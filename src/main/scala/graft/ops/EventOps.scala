@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics in batch form (SURVEY.md C14): tumbling-window
+  * aggregation, gap-based sessionization, JSON property extraction.
+  * The same transforms are Structured-Streaming-compatible (`window()` +
+  * watermark) if the source becomes `readStream`.
+  *
+  * Scale posture: both operators are a single shuffle on the series key;
+  * sessionization keeps only one lag row of state per key per task.
+  */
+object EventOps {
+
+  /** Tumbling-window aggregation per user: Spark's `window()` function —
+    * identical semantics to a streaming windowed aggregation. Window start
+    * is emitted as epoch-aligned (origin 1970-01-01) like streaming windows.
+    */
+  def tumblingWindowStats(df: DataFrame, keyCol: String, tsCol: String, valueCol: String, width: String): DataFrame =
+    df.groupBy(col(keyCol), window(col(tsCol), width).as("win"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Portable.decSum(col(valueCol)).as("sum_value"))
+      .select(
+        col(keyCol),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_events"),
+        col("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous event exceeds `gapSeconds`. Pure window-function form — one
+    * shuffle, no iterative driver logic.
+    */
+  def sessionize(df: DataFrame, keyCol: String, orderCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val epoch = floor(unix_timestamp(col(tsCol))).cast("long")
+    val prevEpoch = lag(epoch, 1).over(w)
+    val isNew = when(prevEpoch.isNull || (epoch - prevEpoch) > gapSeconds, 1).otherwise(0)
+    df.withColumn("session_seq", sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Extract a typed field from a JSON string column (SURVEY.md C2/C13 —
+    * `events.props` like {"k": 87}).
+    */
+  def jsonField(df: DataFrame, jsonCol: String, path: String, asType: String): DataFrame =
+    df.withColumn("json_value", get_json_object(col(jsonCol), path).cast(asType))
+}

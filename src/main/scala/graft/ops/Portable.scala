@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Helpers that make floating-point and hash results *bit-identical* between
+  * Spark and the DuckDB oracle, independent of parallelism or evaluation
+  * order. This is what lets every declared query hash-match at any
+  * partition count — the same property that makes results reproducible on a
+  * 1000-executor cluster.
+  *
+  * Techniques:
+  *   - `decSum`: SUM over doubles is order-dependent in IEEE arithmetic
+  *     (partial aggregation reorders it). Casting each value to DECIMAL
+  *     first makes the sum exact and therefore order-independent; casting
+  *     the exact result back to DOUBLE is deterministic. Cost: decimal adds
+  *     are a few ns slower than double adds — irrelevant next to shuffle IO.
+  *   - `portableHash`: Spark's `hash()` is Murmur3 with Spark-specific
+  *     seeding; DuckDB's `hash()` is different. md5 is bit-identical
+  *     everywhere; we take the first 8 hex chars as a 32-bit int when a
+  *     numeric hash is needed.
+  */
+object Portable {
+
+  /** Order-independent exact sum of a double column, returned as double.
+    * `scale` decimal digits are kept per value (4 is enough for the 2-dp
+    * money/quantity columns in the test data).
+    */
+  def decSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** Order-independent mean: exact decimal sum / count. */
+  def decAvg(c: Column, scale: Int = 6): Column =
+    decSum(c, scale) / count(c)
+
+  /** Portable 32-bit non-negative integer hash of a string column.
+    * DuckDB equivalent: ('0x' || substr(md5(x), 1, 8))::BIGINT
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Portable hash of several columns (null-safe via concat_ws).
+    * DuckDB equivalent: md5(concat_ws('|', c1, c2, ...))
+    */
+  def rowFingerprint(cols: Column*): Column =
+    md5(concat_ws("|", cols.map(_.cast("string")): _*))
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operators: projections, filters, joins, aggregations,
+  * set ops, top-k. Mirrors the reference surface (SURVEY.md §2.2, §2.4,
+  * §2.5, §2.7, §2.8):
+  *   - column-pruning select  — /root/reference/dags/spark/etl.py:161
+  *   - IS NULL filter         — etl.py:167-168
+  *   - select+filter+distinct — etl.py:167-168 (quality-check shape)
+  *   - left equi join fact×dim — etl.py:160-164
+  *   - composite-key inner join — /root/reference/README.md:175-176
+  *
+  * Scale posture (100 TB): dimension sides are `broadcast()` hinted; big
+  * joins are plain equi-joins so Catalyst plans shuffled hash / sort-merge
+  * with AQE skew handling; aggregations are partial+final hash aggregates;
+  * top-k is `orderBy().limit()` which Spark plans as TakeOrderedAndProject
+  * (per-partition heap, no global sort).
+  */
+object Relational {
+
+  /** Pruned scan: reads only the requested columns (column pruning reaches
+    * the parquet reader — check `ReadSchema` in explain).
+    */
+  def scanProject(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** Quality-check shape (etl.py:167-168): project → predicate → distinct. */
+  def qualityCheck(df: DataFrame, cols: Seq[String], predicate: String): DataFrame =
+    df.select(cols.map(col): _*).where(predicate).dropDuplicates()
+
+  /** Fact × small-dimension left join with an explicit broadcast hint, the
+    * 100 TB-safe plan for bounded dims (etl.py:160-164 joins a 2,728-row
+    * dimension; Catalyst would auto-broadcast but the hint is deterministic).
+    */
+  def factDimLeftJoin(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key), "left")
+
+  /** Composite-key inner join (README.md:175-176 derivative↔underlying).
+    * Both sides large at scale → sort-merge join on the composite key.
+    */
+  def compositeInnerJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "inner")
+
+  /** Left semi join: `WHERE key IN (SELECT ...)` without duplication. */
+  def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+
+  /** Left anti join: the scalable form of the reference's quality checks
+    * ("facts whose segment is missing from the spec", SURVEY.md §2.4).
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_anti")
+
+  /** Global top-k: planned as TakeOrderedAndProject (per-partition heap +
+    * single reduce), NOT a global sort — O(k) memory per partition.
+    */
+  def topK(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame =
+    df.orderBy(orderCols: _*).limit(k)
+
+  /** Per-group top-k via row_number window (SURVEY.md C9). */
+  def topKPerGroup(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+}
