@@ -1,13 +1,666 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is declared here as a named query over
+  * the driver test tables (TESTDATA.md), each with a deterministic final
+  * ORDER BY on a unique key, and (where SQL-expressible) a DuckDB oracle in
+  * `oracleSql` computing the identical result — identical column names,
+  * identical null/rounding/division semantics (see graft.ops.Portable).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape, SURVEY.md C5) on sf=0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared derivation: whitespace-token column for `documents.text`. */
+  private val docTokens: Column = TextOps.tokens(col("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── scans / projections / filters (SURVEY §2.1-2.2) ────────────────
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is. Row-level
+    // lineitem queries order (and where needed project) the full unique key
+    // so results are deterministic at any parallelism.
+    "q_scan" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    "q_project" -> ((s, dir) =>
+      Relational.scanProject(T(s, dir, "orders"), Seq("o_orderkey", "o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    "q_filter_null" -> ((s, dir) => {
+      // quality-check analog of etl.py:167: nulls introduced by a left join
+      val dim = T(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      Relational.factDimLeftJoin(T(s, dir, "orders"), dim, "o_custkey")
+        .where(col("c_name").isNull)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_quality_check" -> ((s, dir) =>
+      Relational.qualityCheck(T(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority"), "o_orderstatus <> 'O'")
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    "q_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ── set ops (SURVEY §2.8) ──────────────────────────────────────────
+    "q_union" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_name").as("name"), lit("customer").as("src"))
+      val p = T(s, dir, "supplier").select(col("s_name").as("name"), lit("supplier").as("src"))
+      c.unionByName(p).orderBy("name", "src")
+    }),
+
+    "q_except" -> ((s, dir) =>
+      T(s, dir, "nation").select("n_nationkey")
+        .except(T(s, dir, "supplier").select(col("s_nationkey").as("n_nationkey")))
+        .orderBy("n_nationkey")),
+
+    // ── joins (SURVEY §2.4) ────────────────────────────────────────────
+    "q_join_left" -> ((s, dir) =>
+      Relational.factDimLeftJoin(
+          T(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          T(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+          "c_custkey")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
+    "q_join_inner2" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem")
+        .where(col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      Relational.compositeInnerJoin(
+          T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"),
+          big, Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+
+    "q_join_semi" -> ((s, dir) =>
+      Relational.semiJoin(
+          T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          T(s, dir, "lineitem").where(col("l_quantity") > 45)
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    "q_join_anti" -> ((s, dir) =>
+      Relational.antiJoin(
+          T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          T(s, dir, "lineitem").where(col("l_quantity") > 45)
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // ── aggregations (SURVEY §2.5) ─────────────────────────────────────
+    "q_groupby_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Portable.decSum(col("l_quantity")).as("sum_qty"),
+          Portable.decSum(col("l_extendedprice")).as("sum_base_price"),
+          Portable.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+          (Portable.decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (Portable.decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_count_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("cnt_part"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // HLL sketch variant — engine-specific estimate, no oracle (rows-only).
+    "q_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_part"))
+        .orderBy("l_returnflag")),
+
+    // ── sorts / top-k / ranking (SURVEY §2.7) ──────────────────────────
+    "q_topk" -> ((s, dir) =>
+      Relational.topK(
+        T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc,
+            col("l_partkey").asc, col("l_suppkey").asc), 100)),
+
+    "q_topk_pergroup" -> ((s, dir) =>
+      Relational.topKPerGroup(
+          T(s, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc,
+              col("l_partkey").asc, col("l_suppkey").asc), 5)
+        .orderBy("l_returnflag", "rn")),
+
+    "q_row_number" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ── scalar functions (SURVEY §2.3) ─────────────────────────────────
+    "q_hash" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          Portable.rowFingerprint(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")).as("row_hash"))
+        .withColumn("hash32", Portable.hash32(col("row_hash")))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    "q_ts_derive" -> ((s, dir) => {
+      // reference ts derivation (etl.py:56-59): concat(date, time) → parse
+      val d = date_format(col("ts"), "yyyy-MM-dd")
+      val t = date_format(col("ts"), "HH:mm")
+      val ts2 = to_timestamp(concat(d, t), "yyyy-MM-ddHH:mm")
+      T(s, dir, "events")
+        .select(col("event_id"), date_format(ts2, "yyyy-MM-dd HH:mm:ss").as("trading_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q_date_parse" -> ((s, dir) =>
+      // maturity-date parse analog (etl.py:110): yyyyMMdd string → date
+      T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_date(date_format(col("o_orderdate"), "yyyyMMdd"), "yyyyMMdd").as("parsed_date"))
+        .orderBy("o_orderkey")),
+
+    "q_datediff" -> ((s, dir) =>
+      T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("ship_days"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    "q_arith" -> ((s, dir) =>
+      // maturity_months analog (etl.py:122-126): days / 30.5
+      T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          (datediff(col("l_shipdate"), col("o_orderdate")).cast("double") / lit(30.5)).as("ship_months"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    "q_json_extract" -> ((s, dir) =>
+      EventOps.jsonField(T(s, dir, "events"), "props", "$.k", "long")
+        .select(col("event_id"), col("json_value").as("k"))
+        .orderBy("event_id")),
+
+    // ── time-series (SURVEY §2.6, Tier B) ──────────────────────────────
+    "q_lag_returns" -> ((s, dir) =>
+      TimeSeries.lagReturns(T(s, dir, "events"), "user_id", "event_id", "value")
+        .select("event_id", "user_id", "value", "prev_value", "ret")
+        .orderBy("event_id")),
+
+    "q_rolling_vol" -> ((s, dir) =>
+      TimeSeries.rollingVol(T(s, dir, "events"), "user_id", "event_id", "value", 10)
+        .select("event_id", "user_id", "roll_vol")
+        .orderBy("event_id")),
+
+    "q_ffill" -> ((s, dir) =>
+      TimeSeries.forwardFill(
+          T(s, dir, "events")
+            .withColumn("pval", when(col("event_type") === "purchase", col("value"))),
+          "user_id", "event_id", "pval")
+        .select("event_id", "user_id", "filled_value")
+        .orderBy("event_id")),
+
+    "q_densify_ffill" -> ((s, dir) =>
+      TimeSeries.densifyAndFill(
+          T(s, dir, "events").select("user_id", "ts", "value"),
+          "user_id", "ts", "value", 600L)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_bucket"),
+          col("filled_value"))
+        .orderBy("user_id", "ts_bucket")),
+
+    "q_resample_ohlc" -> ((s, dir) =>
+      TimeSeries.resampleOhlc(
+          EventOps.jsonField(T(s, dir, "events"), "props", "$.k", "long")
+            .withColumnRenamed("json_value", "k"),
+          "user_id", "ts", "event_id", "value", "k", "hour")
+        .select(col("user_id"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_trades"))
+        .orderBy("user_id", "bucket")),
+
+    "q_index_agg" -> ((s, dir) =>
+      TimeSeries.weightedIndex(
+          T(s, dir, "events"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"),
+          col("value"),
+          (col("user_id") % 10 + 1).cast("double"))
+        .orderBy("bucket")),
+
+    // ── events: windows + sessionization (SURVEY C14) ──────────────────
+    "q_event_windows" -> ((s, dir) =>
+      EventOps.tumblingWindowStats(T(s, dir, "events"), "user_id", "ts", "value", "10 minutes")
+        .orderBy("user_id", "win_start")),
+
+    "q_sessionize" -> ((s, dir) =>
+      EventOps.sessionize(T(s, dir, "events"), "user_id", "event_id", "ts", 1800L)
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id")),
+
+    // ── text analysis (SURVEY C3, C10, C12; north star) ────────────────
+    "q_text_tokens" -> ((s, dir) =>
+      TextOps.tokenStats(T(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "text_len")
+        .orderBy("doc_id")),
+
+    "q_token_counts" -> ((s, dir) =>
+      TextOps.tokenCounts(T(s, dir, "documents"), "text")
+        .select("doc_id", "ws_tokens", "re_tokens")
+        .orderBy("doc_id")),
+
+    "q_wordcount" -> ((s, dir) =>
+      TextOps.wordCount(T(s, dir, "documents"), "text")
+        .orderBy("token")),
+
+    "q_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(T(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality_score")
+        .orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      TextOps.dedupExact(T(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      TextOps.ngramJaccardPairs(
+          T(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")),
+
+    "q_simhash" -> ((s, dir) =>
+      TextOps.simHash(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langIdByProfile(T(s, dir, "documents"), "doc_id", "text", "lang", 20)
+        .orderBy("doc_id")),
+
+    // MinHash-LSH near-dup candidates — banded bucket join; the estimate
+    // is hash-seed-specific, so verified by ScalaTest, not SQL oracle.
+    "q_minhash_lsh" -> ((s, dir) =>
+      TextOps.minHashLshCandidates(
+          T(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text",
+          n = 3, k = 32, bands = 8)
+        .orderBy("id_a", "id_b")),
+
+    // ── vectors / similarity search (SURVEY C4, C11; north star) ───────
+    "q_array_dot" -> ((s, dir) =>
+      VectorOps.selfDot(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      VectorOps.cosineTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Approximate (sign-LSH) variant — bucketing is engine-specific, so
+    // verified by ScalaTest against the brute-force baseline (recall),
+    // not by SQL oracle.
+    "q_cosine_topk_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      VectorOps.cosineTopKLsh(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, numPlanes = 8, dim = 64)
+        .select("query_id", "corpus_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  /** DuckDB oracles: same tables, same column names, same semantics.
+    * Tokenization, decimal-exact sums, null-on-zero division, and rounding
+    * are kept in lockstep with the Spark expressions (see graft.ops.Portable).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+
+    "q_project" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+
+    "q_filter_null" ->
+      """SELECT o_orderkey, o_custkey
+         FROM orders o LEFT JOIN (
+           SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+         ) c ON o.o_custkey = c.c_custkey
+         WHERE c.c_name IS NULL ORDER BY o_orderkey""",
+
+    "q_quality_check" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         WHERE o_orderstatus <> 'O' ORDER BY o_orderstatus, o_orderpriority""",
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_union" ->
+      """SELECT name, src FROM (
+           SELECT c_name AS name, 'customer' AS src FROM customer
+           UNION ALL
+           SELECT s_name AS name, 'supplier' AS src FROM supplier
+         ) ORDER BY name, src""",
+
+    "q_except" ->
+      """SELECT n_nationkey FROM nation
+         EXCEPT SELECT s_nationkey AS n_nationkey FROM supplier
+         ORDER BY n_nationkey""",
+
+    "q_join_left" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "q_join_inner2" ->
+      """SELECT a.l_orderkey, a.l_linenumber, a.l_partkey, a.l_suppkey, a.l_extendedprice, b.l_quantity
+         FROM lineitem a
+         JOIN (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30) b
+           ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+         ORDER BY a.l_orderkey, a.l_linenumber, a.l_partkey, a.l_suppkey, b.l_quantity""",
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+         ORDER BY o_orderkey""",
+
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem l WHERE l.l_quantity > 45 AND l.l_orderkey = o.o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(28,4)))::DOUBLE AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(28,4)))::DOUBLE AS sum_base_price,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS sum_disc_price,
+           sum(CAST(l_quantity AS DECIMAL(28,4)))::DOUBLE / count(*) AS avg_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(28,4)))::DOUBLE / count(*) AS avg_price,
+           count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS cnt_part, count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 100""",
+
+    "q_topk_pergroup" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, rn FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+           FROM lineitem)
+         WHERE rn <= 5 ORDER BY l_returnflag, rn""",
+
+    "q_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders ORDER BY o_custkey, rn""",
+
+    "q_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)) AS row_hash,
+           ('0x' || substr(md5(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey))), 1, 8))::BIGINT AS hash32
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+
+    "q_ts_derive" ->
+      """SELECT event_id,
+           strftime(strptime(strftime(ts, '%Y-%m-%d') || strftime(ts, '%H:%M'),
+             '%Y-%m-%d%H:%M'), '%Y-%m-%d %H:%M:%S') AS trading_ts
+         FROM events ORDER BY event_id""",
+
+    "q_date_parse" ->
+      """SELECT o_orderkey,
+           CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS parsed_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_datediff" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS ship_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+
+    "q_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::DOUBLE / 30.5 AS ship_months
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+
+    "q_json_extract" ->
+      """SELECT event_id, regexp_extract(props, '"k": *(-?\d+)', 1)::BIGINT AS k
+         FROM events ORDER BY event_id""",
+
+    "q_lag_returns" ->
+      """SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           value / nullif(lag(value) OVER w, 0.0) - 1.0 AS ret
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY event_id""",
+
+    "q_rolling_vol" ->
+      """SELECT event_id, user_id,
+           CASE WHEN cnt > 1 THEN round(sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0)), 6) END AS roll_vol
+         FROM (
+           SELECT event_id, user_id,
+             count(value) OVER w::DOUBLE AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) OVER w::DOUBLE AS s1,
+             sum(CAST(value*value AS DECIMAL(28,6))) OVER w::DOUBLE AS s2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         ORDER BY event_id""",
+
+    "q_ffill" ->
+      """SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM events ORDER BY event_id""",
+
+    "q_densify_ffill" ->
+      """WITH snapped AS (
+           SELECT user_id, CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS b,
+                  arg_max(value, ts) AS value
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(b) AS t0, max(b) AS t1 FROM snapped GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(t0, t1, 600)) AS b FROM bounds)
+         SELECT g.user_id,
+           strftime(make_timestamp(g.b*1000000), '%Y-%m-%d %H:%M:%S') AS ts_bucket,
+           last_value(s.value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM grid g LEFT JOIN snapped s ON g.user_id = s.user_id AND g.b = s.b
+         ORDER BY g.user_id, ts_bucket""",
+
+    "q_resample_ohlc" ->
+      """SELECT user_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           arg_min(value, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, event_id) AS close,
+           sum(regexp_extract(props, '"k": *(-?\d+)', 1)::BIGINT) AS volume,
+           count(*) AS n_trades
+         FROM events GROUP BY user_id, bucket ORDER BY user_id, bucket""",
+
+    "q_index_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           sum(CAST(value * (user_id % 10 + 1)::DOUBLE AS DECIMAL(28,8)))::DOUBLE /
+             sum(CAST((user_id % 10 + 1)::DOUBLE AS DECIMAL(28,8)))::DOUBLE AS index_value,
+           count(*) AS n_assets
+         FROM events GROUP BY bucket ORDER BY bucket""",
+
+    "q_event_windows" ->
+      """SELECT user_id,
+           strftime(make_timestamp(CAST(floor(epoch(ts)/600)*600 AS BIGINT)*1000000),
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(28,4)))::DOUBLE AS sum_value
+         FROM events GROUP BY user_id, win_start ORDER BY user_id, win_start""",
+
+    "q_sessionize" ->
+      """SELECT event_id, user_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         FROM (
+           SELECT event_id, user_id, ts,
+             CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events)
+         ORDER BY event_id""",
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+           length(text)::BIGINT AS text_len
+         FROM documents ORDER BY doc_id""",
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q_wordcount" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY token""",
+
+    "q_quality_score" ->
+      """SELECT doc_id, n_tokens,
+           round(avg_tok_len, 6) AS avg_token_len,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+         FROM (
+           SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             CASE WHEN len(toks) > 0
+               THEN list_reduce(list_transform(toks, x -> length(x)::BIGINT), (a, b) -> a + b)::DOUBLE / len(toks)
+               ELSE 0.0 END AS avg_tok_len,
+             CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks)
+               ELSE 0.0 END AS stop_ratio
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                 FROM documents))
+         ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, fingerprint FROM (
+           SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+             row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents WHERE doc_id < 100),
+         sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_b, id_a, n_common,
+           n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common)::DOUBLE AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = id_a
+         JOIN counts cb ON cb.doc_id = id_b
+         ORDER BY id_a, id_b""",
+
+    "q_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h FROM tok),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2)
+         SELECT doc_id,
+           sum(CASE WHEN vote_sum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+         FROM votes GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_lang_id" ->
+      """WITH tok AS (
+           SELECT lang, unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS token
+           FROM documents),
+         freq AS (SELECT lang, token, count(*) AS f FROM tok GROUP BY 1, 2),
+         profile AS (
+           SELECT lang AS profile_lang, token FROM (
+             SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY f DESC, token ASC) AS rn
+             FROM freq)
+           WHERE rn <= 20),
+         doctok AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS token
+           FROM documents),
+         overlap AS (
+           SELECT doc_id, profile_lang, count(*) AS overlap
+           FROM doctok JOIN profile USING (token)
+           GROUP BY 1, 2)
+         SELECT doc_id, profile_lang AS lang_pred, overlap FROM (
+           SELECT doc_id, profile_lang, overlap,
+             row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, profile_lang ASC) AS rn
+           FROM overlap)
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_array_dot" ->
+      """SELECT vec_id,
+           list_reduce(list_transform(range(1, 65),
+             i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS dot
+         FROM embeddings ORDER BY vec_id""",
+
+    "q_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             list_reduce(list_transform(range(1, 65), i -> q.e[i]*c.e[i]), (x, y) -> x + y)
+               / (q.nrm * c.nrm) AS score
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 8)
+         SELECT query_id, corpus_id, score, rank FROM (
+           SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+  )
 }

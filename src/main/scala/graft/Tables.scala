@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Loaders for the driver-generated test tables (/root/repo/TESTDATA.md).
   *
@@ -9,8 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * factor — and, on a real cluster, against any warehouse path.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+      // to map to TimestampType; read it as nanos-since-epoch long and
+      // convert (integer `div` — a double roundtrip would lose precision
+      // above 2^53 ns).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else
+      spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

@@ -31,11 +31,16 @@ object EventOps {
 
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event exceeds `gapSeconds`. Pure window-function form — one
-    * shuffle, no iterative driver logic.
+    * shuffle, no iterative driver logic. The window orders by the timestamp
+    * itself with `orderCol` as a unique tiebreaker, so gaps are always
+    * computed in time order (round-1 defect: ordering by orderCol alone
+    * could disagree with time order and produce negative gaps).
+    * unix_timestamp truncates to whole seconds — sub-second gaps are
+    * intentionally below the resolution of `gapSeconds`.
     */
   def sessionize(df: DataFrame, keyCol: String, orderCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(orderCol)
-    val epoch = floor(unix_timestamp(col(tsCol))).cast("long")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(orderCol).asc)
+    val epoch = unix_timestamp(col(tsCol))
     val prevEpoch = lag(epoch, 1).over(w)
     val isNew = when(prevEpoch.isNull || (epoch - prevEpoch) > gapSeconds, 1).otherwise(0)
     df.withColumn("session_seq", sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

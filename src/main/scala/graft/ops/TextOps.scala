@@ -2,19 +2,26 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for the LLM-data-pipeline north star
   * (BASELINE.json): tokenization, word counts, quality scoring, token
   * counting (whitespace + regex), document fingerprinting, corpus-profile
-  * language ID. All pure `org.apache.spark.sql.functions` — codegen'd,
+  * language ID, and the dedup family (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard). All pure `org.apache.spark.sql.functions` — codegen'd,
   * no UDFs, so the hot path stays inside WholeStageCodegen at 100 TB.
   */
 object TextOps {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  /** Whitespace tokens of a text column. */
-  def tokens(c: Column): Column = split(c, " ")
+  /** Whitespace tokens of a text column: split on any whitespace run and
+    * drop empty tokens, so leading/trailing/duplicated whitespace never
+    * produces phantom "" tokens (round-1 defect: split on a single literal
+    * space).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
 
   /** Per-document token statistics (SURVEY.md C3). */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {
@@ -40,18 +47,21 @@ object TextOps {
       .withColumn("re_tokens", size(regexp_extract_all(col(textCol), lit("[A-Za-z]+"), lit(0))).cast("long"))
 
   /** Heuristic document quality score from length / token-shape / stopword
-    * ratios (north-star text analysis). All ratios are exact-integer
-    * divisions so the score is bit-portable across engines.
+    * ratios (north-star text analysis). avg_token_len is the mean token
+    * character count (sum of token lengths / n_tokens) — well-defined for
+    * any whitespace layout; all ratios are guarded for empty documents and
+    * rounded so the score is bit-portable across engines.
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val nTok = size(t).cast("double")
     val nStop = size(filter(t, tk => tk.isin(Stopwords.map(s => s: Any): _*))).cast("double")
-    val avgTokLen = (length(col(textCol)).cast("double") - (nTok - 1.0)) / nTok
-    val stopRatio = nStop / nTok
+    val charSum = aggregate(t, lit(0L), (acc, tk) => acc + length(tk).cast("long")).cast("double")
+    val avgTokLen = when(nTok > 0, charSum / nTok).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(lit(0.0))
     df.withColumn("n_tokens", nTok.cast("long"))
-      .withColumn("avg_token_len", avgTokLen)
-      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("avg_token_len", round(avgTokLen, 6))
+      .withColumn("stopword_ratio", round(stopRatio, 6))
       .withColumn("quality_score", round(stopRatio * lit(0.5) + least(avgTokLen / lit(10.0), lit(1.0)) * lit(0.5), 6))
   }
 
@@ -63,6 +73,119 @@ object TextOps {
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
 
+  /** Exact dedup at scale (SURVEY.md C10): fingerprint → keep the first
+    * row (min idCol) per fingerprint via row_number. Shuffles 32-byte
+    * hashes, never document bodies — the 100 TB-safe shape.
+    */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fingerprint").orderBy(col(idCol).asc)
+    fingerprint(df, textCol)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Portable 32-bit token hash keyed by a seed: first 8 hex chars of
+    * md5(seed||'|'||token). Identical in any engine with md5 — the
+    * primitive under MinHash and SimHash below.
+    */
+  private def seededHash32(seed: Column, token: Column): Column =
+    conv(substring(md5(concat_ws("|", seed, token)), 1, 8), 16, 10).cast("long")
+
+  /** Word n-gram shingles of a document (the dedup unit for MinHash /
+    * Jaccard). Distinct shingles, one output row per (id, shingle).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val idx = sequence(lit(0), size(t) - n)
+    val grams = when(size(t) >= n,
+      array_distinct(transform(idx, i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+    ).otherwise(array(concat_ws(" ", t)))
+    df.select(col(idCol), explode(grams).as("shingle"))
+  }
+
+  /** MinHash signatures: k independent seeded hashes, min per doc.
+    * Output: (id, sig = array of k longs). One shuffle on the doc id.
+    */
+  def minHashSignatures(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
+    val hashed = shingled.select(
+      col(idCol),
+      explode(sequence(lit(0), lit(k - 1))).as("h_i"),
+      col("shingle"))
+      .withColumn("h", seededHash32(col("h_i"), col("shingle")))
+    hashed.groupBy(idCol, "h_i").agg(min("h").as("min_h"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("h_i"), col("min_h")))).as("pairs"))
+      .select(col(idCol), transform(col("pairs"), p => p.getField("min_h")).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: band the k-row signature into
+    * `bands` bands of k/bands rows, bucket-join on (band, band hash), and
+    * emit candidate (id_a < id_b) pairs with their estimated Jaccard
+    * (fraction of matching signature rows). 100 TB-safe: the join key is a
+    * (band, hash) bucket — never an all-pairs cross join.
+    */
+  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val sigs = minHashSignatures(shingles(df, idCol, textCol, n), idCol, k)
+    val banded = sigs.select(
+      col(idCol),
+      col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key", md5(concat_ws("|", col("band"), concat_ws(",", slice(col("sig"), col("band") * r + 1, lit(r))))))
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e)).cast("double")
+          / lit(k.toDouble)).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a bounded id
+    * range (SURVEY.md C10 verification path): explode distinct shingles,
+    * self-join on the shingle (an equi-join — no cross product), and
+    * compute |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
+  /** SimHash document fingerprint (32-bit): per token-occurrence hash,
+    * per-bit ±1 votes weighted by occurrence, bit j set iff the vote sum
+    * is positive. Pure explode + hash-agg; the md5-based token hash makes
+    * the fingerprint engine-portable.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .withColumn("h", seededHash32(lit(0), col("token")))
+    val bits = tok.select(
+      col(idCol),
+      explode(sequence(lit(0), lit(31))).as("bit"),
+      col("h"))
+      .withColumn("vote", when(expr("shiftright(h, CAST(bit AS INT)) % 2") === 1, lit(1)).otherwise(lit(-1)))
+    bits.groupBy(idCol, "bit")
+      .agg(sum("vote").as("vote_sum"))
+      .withColumn("bit_val", when(col("vote_sum") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(lit(0L)))
+      .groupBy(idCol)
+      .agg(sum("bit_val").as("simhash"))
+  }
+
   /** Corpus-profile language ID (north star): builds a per-language profile
     * of its top-N most frequent tokens (tie-break token asc) from a labeled
     * corpus, then predicts each document's language as the profile with the
@@ -71,7 +194,6 @@ object TextOps {
     * broadcastable profile join.
     */
   def langIdByProfile(df: DataFrame, idCol: String, textCol: String, langCol: String, topN: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(langCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
     val freq = tok.groupBy(langCol, "token").agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(langCol).orderBy(col("f").desc, col("token").asc)

@@ -19,7 +19,9 @@ object TimeSeries {
 
   /** One-observation lag return per series: (x / lag(x)) - 1.
     * README.md:177: "shift df.end_price by one observation, grouped by isin".
-    * `orderCol` must be unique within a series for determinism.
+    * `orderCol` must be unique within a series for determinism. Division by
+    * a zero previous value yields null (nullif guard) — declared oracles
+    * must mirror this with `nullif(prev, 0)`.
     */
   def lagReturns(df: DataFrame, seriesKey: String, orderCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(seriesKey).orderBy(orderCol)
@@ -29,14 +31,19 @@ object TimeSeries {
   }
 
   /** Rolling sample volatility over the trailing `n` observations
-    * (README.md:177). Emits null (not NaN) for windows with < 2 rows so the
-    * result is portable across engines.
+    * (README.md:177), computed from exact-decimal window sums
+    * (var = (Σx² − (Σx)²/n) / (n−1)) so the result is bit-portable across
+    * engines regardless of each engine's internal stddev algorithm or
+    * accumulation order. Null (not NaN) for windows with < 2 rows.
     */
   def rollingVol(df: DataFrame, seriesKey: String, orderCol: String, valueCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(seriesKey).orderBy(orderCol).rowsBetween(-(n - 1), 0)
-    val sd = stddev_samp(col(valueCol)).over(w)
-    val cnt = count(col(valueCol)).over(w)
-    df.withColumn("roll_vol", when(cnt > 1, sd))
+    val v = col(valueCol)
+    val cnt = count(v).over(w).cast("double")
+    val s1 = sum(v.cast("decimal(28,6)")).over(w).cast("double")
+    val s2 = sum((v * v).cast("decimal(28,6)")).over(w).cast("double")
+    val variance = (s2 - s1 * s1 / cnt) / (cnt - lit(1.0))
+    df.withColumn("roll_vol", when(cnt > 1, round(sqrt(greatest(variance, lit(0.0))), 6)))
   }
 
   /** Forward-fill: carry the last non-null observation forward within a
@@ -51,9 +58,16 @@ object TimeSeries {
   }
 
   /** Densify a time series to a fixed step, then forward-fill: builds the
-    * per-key minute grid with sequence()+explode (distributed — the grid for
-    * each key is generated where the key's data lives), left-joins the
-    * observations, and carries values forward. The full B7 operator.
+    * per-key grid with sequence()+explode (distributed — each key's grid is
+    * generated where the key's data lives), left-joins the observations,
+    * and carries values forward.
+    *
+    * Observations are first snapped DOWN to their grid bucket (epoch-aligned
+    * floor to stepSeconds, keeping the last observation per bucket by
+    * orderCol) so off-grid timestamps are bucketed rather than silently
+    * dropped (round-1 defect: exact-equality join lost unaligned rows).
+    * The grid itself is epoch-aligned so bucket boundaries are independent
+    * of each key's min(ts) — stable under data arrival order.
     */
   def densifyAndFill(
       df: DataFrame,
@@ -61,37 +75,47 @@ object TimeSeries {
       tsCol: String,
       valueCol: String,
       stepSeconds: Long): DataFrame = {
-    val bounds = df.groupBy(seriesKey)
-      .agg(min(col(tsCol)).as("_t0"), max(col(tsCol)).as("_t1"))
+    val bucketTs = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / stepSeconds) * stepSeconds)
+    val snapped = df
+      .withColumn("_bucket_ts", bucketTs)
+      .groupBy(col(seriesKey), col("_bucket_ts"))
+      .agg(max_by(col(valueCol), col(tsCol)).as(valueCol))
+    val bounds = snapped.groupBy(seriesKey)
+      .agg(min(col("_bucket_ts")).as("_t0"), max(col("_bucket_ts")).as("_t1"))
     val step = expr(s"interval $stepSeconds seconds")
     val grid = bounds
-      .select(col(seriesKey), explode(sequence(col("_t0"), col("_t1"), step)).as(tsCol))
-    val obs = df.select(col(seriesKey), col(tsCol), col(valueCol))
-    val joined = grid.join(obs, Seq(seriesKey, tsCol), "left")
+      .select(col(seriesKey), explode(sequence(col("_t0"), col("_t1"), step)).as("_bucket_ts"))
+    val joined = grid.join(snapped, Seq(seriesKey, "_bucket_ts"), "left")
+      .withColumnRenamed("_bucket_ts", tsCol)
     forwardFill(joined, seriesKey, tsCol, valueCol)
   }
 
   /** OHLCV resample to a coarser time bucket (README.md:178). open/close
     * use min_by/max_by on a unique order column — deterministic under
     * parallel execution (never first()/last(), which are order-dependent).
-    * Volume sums use the exact-decimal trick (Portable.decSum).
+    * `volumeCol`/`tradesCol` are summed separately from the price column
+    * (round-1 defect: volume was the sum of prices). Volume sums use the
+    * exact-decimal trick (Portable.decSum) so partial-aggregation order
+    * can't perturb the result.
     */
   def resampleOhlc(
       df: DataFrame,
       seriesKey: String,
       tsCol: String,
       orderCol: String,
-      valueCol: String,
+      priceCol: String,
+      volumeCol: String,
       bucket: String): DataFrame = {
     val b = date_trunc(bucket, col(tsCol)).as("bucket_ts")
     df.groupBy(col(seriesKey), b)
       .agg(
-        min_by(col(valueCol), col(orderCol)).as("open"),
-        max(col(valueCol)).as("high"),
-        min(col(valueCol)).as("low"),
-        max_by(col(valueCol), col(orderCol)).as("close"),
-        Portable.decSum(col(valueCol)).as("volume"),
-        count(lit(1)).as("n_obs"))
+        min_by(col(priceCol), col(orderCol)).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), col(orderCol)).as("close"),
+        sum(col(volumeCol)).as("volume"),
+        count(lit(1)).as("n_trades"))
   }
 
   /** Weighted cross-asset index per timestamp bucket (README.md:179):

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector / embedding operators for the similarity-search north star
+  * (SURVEY.md C4, C11): dot products and norms via higher-order functions
+  * (codegen'd, no UDFs), brute-force cosine top-k for a bounded query set,
+  * and a random-hyperplane LSH variant whose candidate generation is a
+  * bucket equi-join — never an all-pairs cross join (the one scale-killer
+  * VERDICT.md round 1 warned against).
+  *
+  * Scale posture (100 TB): the query set is broadcast (bounded); the corpus
+  * side streams. Per-query top-k is a row_number window partitioned by the
+  * query id — high cardinality, well distributed. The LSH path buckets the
+  * corpus once (linear scan), then joins query buckets to corpus buckets on
+  * the signature — candidate count is |bucket| not |corpus|.
+  */
+object VectorOps {
+
+  /** Sequential left-fold dot product of two float-array columns, in
+    * double precision. Element order is the array order on both engines
+    * (Spark `aggregate` and DuckDB `list_reduce` are both left folds), so
+    * the result is bit-identical to the DuckDB oracle.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean norm of a float-array column (sequential fold, double). */
+  def norm(c: Column): Column = sqrt(dot(c, c))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-vector self dot product (squared L2 norm) — SURVEY.md C4. */
+  def selfDot(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), dot(col(vecCol), col(vecCol)).as("dot"))
+
+  /** Brute-force cosine top-k: every query vector (a bounded, broadcast
+    * set) against the full corpus, excluding self-matches; exact re-score;
+    * deterministic top-k per query (score desc, corpus id asc). This is
+    * the correctness baseline ANN implementations are verified against.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes` rows ×
+    * `dim` components in [-0.5, 0.5), from a fixed-seed generator — stable
+    * across runs and JVMs.
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rng.nextDouble() - 0.5)
+  }
+
+  /** Sign-LSH signature of a vector column: bit p is set iff
+    * dot(v, plane_p) > 0. Returns a long (`planes` ≤ 63). Vectors with a
+    * small cosine angle agree on most sign bits, so near neighbors land in
+    * the same bucket with high probability.
+    */
+  def lshSignature(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vecCol, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate cosine top-k: bucket corpus and queries by
+    * sign signature, equi-join on the bucket, exact re-score inside the
+    * bucket, top-k per query. At 100 TB the join key is the signature —
+    * candidates per query are one bucket, not the corpus. Fewer planes →
+    * bigger buckets → better recall, more work.
+    */
+  def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val sig = lshSignature(col(vecCol), planes)
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), sig.as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), sig.as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `centroids` (broadcast), giving a partition (cell) id for clustered
+    * storage / probe-limited search. Centroids are any small DataFrame of
+    * (centroid_id, vec).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val scored = df.join(broadcast(centroids))
+      .select(col(idCol), col(cidCol),
+        dot(col(vecCol), col(cvecCol)).as("sim"))
+    val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col(cidCol).asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col(idCol), col(cidCol).as("cell"), col("sim"))
+  }
+}
