@@ -1,0 +1,87 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schemas.Schemas
+
+/** Eurex ingestion pipeline: CSV minute bars → derived ts/maturity columns
+  * → broadcast left join against the product-specification dimension →
+  * quality checks → three Parquet sinks
+  * (reference: /root/reference/dags/spark/etl.py:65-175).
+  *
+  * Spark-first deviations (SURVEY.md §7.5):
+  *  - D1: `trading_ts` TimestampType, `maturity_date` DateType (the
+  *    reference emits formatted strings despite its docs).
+  *  - D3: the enriched DF is cached before fanning out to the three sinks;
+  *    the reference recomputes the scan→derive→join subtree once per sink.
+  *  - D5: `maturity_days` kept as the natural Int from datediff, cast to
+  *    Long at the output boundary (README.md:166 documents Long).
+  *  - D6: quality checks keep the reference's post-join lineage.
+  *
+  * Scale posture: the dimension is 2,728 rows → explicit broadcast() so
+  * the fact side never shuffles; the three sinks reuse one cached scan.
+  */
+object EurexPipeline {
+
+  /** Raw Eurex CSV read (positional rename per D4). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(Schemas.eurex)
+      .csv(path)
+
+  /** Dimension CSV read (etl.py:156-158). */
+  def readDimension(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(Schemas.dimension)
+      .csv(path)
+
+  /** Derivations (etl.py:101-126): trading_ts, maturity_date,
+    * maturity_days, maturity_months.
+    */
+  def derive(df: DataFrame): DataFrame =
+    df.withColumn(
+        "trading_ts",
+        to_timestamp(
+          concat(col("trading_date").cast("string"), col("trading_time")),
+          "yyyy-MM-ddHH:mm"))
+      .withColumn("maturity_date", to_date(col("maturity_string"), "yyyyMMdd"))
+      .withColumn("maturity_days",
+        datediff(col("maturity_date"), col("trading_date")).cast("long"))
+      .withColumn("maturity_months", col("maturity_days") / lit(30.5))
+
+  /** Enrich with the 5 pruned dimension columns via broadcast left join on
+    * market_segment (etl.py:160-164; USING semantics dedup the key).
+    */
+  def enrich(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(
+      broadcast(dim.select("market_segment", "product_name", "product_type",
+        "underlying_name", "underlying_category")),
+      Seq("market_segment"), "left")
+
+  /** Quality check: distinct (market_segment, mleg) of rows where `col`
+    * is null (etl.py:167-168) — post-join lineage per D6.
+    */
+  def missingCheck(enriched: DataFrame, nullCol: String): DataFrame =
+    enriched.select("market_segment", "mleg")
+      .where(col(nullCol).isNull)
+      .dropDuplicates()
+
+  /** Full pipeline (etl.py:65-175): one cached enriched DF, three sinks. */
+  def run(spark: SparkSession, inputPath: String, dimPath: String, outputUri: String): Unit = {
+    val enriched = enrich(derive(read(spark, inputPath)), readDimension(spark, dimPath))
+      .cache()
+    try {
+      val missingIsin = missingCheck(enriched, "isin")
+      val missingUnderlying = missingCheck(enriched, "underlying_symbol")
+
+      enriched.write.mode("overwrite")
+        .partitionBy("trading_date").parquet(s"$outputUri/data/eurex")
+      missingIsin.write.mode("overwrite")
+        .partitionBy("market_segment").parquet(s"$outputUri/quality_check/missing_isin")
+      missingUnderlying.write.mode("overwrite")
+        .partitionBy("market_segment").parquet(s"$outputUri/quality_check/missing_underlying")
+    } finally enriched.unpersist()
+  }
+}

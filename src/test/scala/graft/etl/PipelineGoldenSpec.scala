@@ -1,0 +1,88 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampType, DateType, LongType, DoubleType}
+import java.nio.file.Files
+
+/** Golden pipeline-fidelity tests against the reference's own sample data
+  * (read-only at /root/reference): row counts, positional rename, derived
+  * columns, join enrichment, quality checks, partitioned sink layout.
+  * Expected values follow /root/reference/dags/spark/etl.py semantics with
+  * the typed-column decisions D1/D5 (SURVEY.md §7.5).
+  */
+class PipelineGoldenSpec extends SparkSpec {
+
+  private val xetraCsv = "/root/reference/sample-data/2020-11-24_BINS_XETR08.csv"
+  private val eurexCsv = "/root/reference/sample-data/2020-11-24_BINS_XEUR08.csv"
+  private val dimCsv = "/root/reference/dags/dimension_data/eurex_product_specification.csv"
+
+  test("xetra read: positional rename binds 15,057 data rows") {
+    val df = XetraPipeline.read(spark, xetraCsv)
+    assert(df.count() === 15057)
+    assert(df.columns.head === "isin")
+    assert(df.schema("trading_date").dataType === DateType)
+    assert(df.schema("traded_volume").dataType === LongType)
+    // quoted SecurityDesc with embedded commas must not shift columns
+    val r = df.where(col("isin") === "AT0000A0E9W5" && col("trading_time") === "08:00")
+      .select("mnemonic", "start_price", "traded_volume").head()
+    assert(r.getString(0) === "SANT")
+    assert(r.getDouble(1) === 18.94)
+    assert(r.getLong(2) === 1183L)
+  }
+
+  test("xetra derive: trading_ts is a typed timestamp at minute resolution") {
+    val df = XetraPipeline.derive(XetraPipeline.read(spark, xetraCsv))
+    assert(df.schema("trading_ts").dataType === TimestampType)
+    val ts = df.where(col("isin") === "AT0000A0E9W5" && col("trading_time") === "08:00")
+      .select(date_format(col("trading_ts"), "yyyy-MM-dd HH:mm:ss")).head().getString(0)
+    assert(ts === "2020-11-24 08:00:00")
+  }
+
+  test("eurex read + derive: 3,546 rows, maturity derivations, FUT nulls") {
+    val df = EurexPipeline.derive(EurexPipeline.read(spark, eurexCsv))
+    assert(df.count() === 3546)
+    assert(df.schema("maturity_date").dataType === DateType)
+    assert(df.schema("maturity_days").dataType === LongType)
+    assert(df.schema("maturity_months").dataType === DoubleType)
+    // OPT row: OESX put, maturity 2020-12-18, trading 2020-11-24 → 24 days
+    val opt = df.where(col("isin") === "DE000P0YX7V7").head()
+    assert(opt.getAs[Long]("maturity_days") === 24L)
+    assert(math.abs(opt.getAs[Double]("maturity_months") - 24 / 30.5) < 1e-12)
+    // FUT rows carry null strike/put_or_call/generation (nullability D2)
+    val fut = df.where(col("security_type") === "FUT" && col("strike_price").isNull)
+    assert(fut.count() > 0)
+  }
+
+  test("eurex enrich: broadcast left join adds 4 dim columns, preserves rows") {
+    val facts = EurexPipeline.derive(EurexPipeline.read(spark, eurexCsv))
+    val dim = EurexPipeline.readDimension(spark, dimCsv)
+    assert(dim.count() === 2729) // header + 2,729 data rows (file lacks trailing \n)
+    val enriched = EurexPipeline.enrich(facts, dim)
+    assert(enriched.count() === 3546) // left join: no row loss/dup (dim key unique)
+    val oesx = enriched.where(col("market_segment") === "OESX")
+      .select("product_name", "underlying_name").head()
+    assert(oesx.getString(0) !== null)
+    // join key deduped by USING semantics
+    assert(enriched.columns.count(_ == "market_segment") === 1)
+  }
+
+  test("full run: three partitioned parquet sinks with hive layout") {
+    val out = Files.createTempDirectory("graft_eurex_golden").toString
+    EurexPipeline.run(spark, eurexCsv, dimCsv, out)
+    val facts = spark.read.parquet(s"$out/data/eurex")
+    assert(facts.count() === 3546)
+    assert(new java.io.File(s"$out/data/eurex/trading_date=2020-11-24").isDirectory)
+    val mi = spark.read.parquet(s"$out/quality_check/missing_isin")
+    val mu = spark.read.parquet(s"$out/quality_check/missing_underlying")
+    // quality checks: distinct (market_segment, mleg) pairs with null keys
+    assert(mi.columns.sorted === Array("market_segment", "mleg"))
+    assert(mi.count() === mi.dropDuplicates().count())
+    // sample data: FUT/MLEG rows with empty underlying exist
+    assert(mu.count() > 0)
+
+    val xout = Files.createTempDirectory("graft_xetra_golden").toString
+    XetraPipeline.run(spark, xetraCsv, xout)
+    assert(spark.read.parquet(s"$xout/data/xetra").count() === 15057)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class Kv(k: String, v: Long)
+
+class RelationalEventSpec extends SparkSpec {
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("semi/anti joins partition the left side") {
+    val l = df(Seq(Kv("a", 1), Kv("b", 2), Kv("c", 3)))
+    val r = df(Seq(Kv("a", 9), Kv("c", 9)))
+    val semi = Relational.semiJoin(l, r.select("k"), Seq("k")).collect().map(_.getString(0)).sorted
+    val anti = Relational.antiJoin(l, r.select("k"), Seq("k")).collect().map(_.getString(0)).sorted
+    assert(semi.toSeq === Seq("a", "c"))
+    assert(anti.toSeq === Seq("b"))
+    assert(semi.length + anti.length === 3)
+  }
+
+  test("topKPerGroup returns exactly k per group, deterministically") {
+    val in = df((1 to 20).map(i => Kv(if (i % 2 == 0) "even" else "odd", i.toLong)))
+    val r = Relational.topKPerGroup(in, Seq("k"), Seq(col("v").desc), 3)
+      .orderBy("k", "rn").collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq === Seq(("even", 20L), ("even", 18L), ("even", 16L),
+                           ("odd", 19L), ("odd", 17L), ("odd", 15L)))
+  }
+
+  test("sessionize: new session when gap exceeded, ordered by time") {
+    val in = df(Seq(
+      Ev(1, 7, t("2024-01-01 00:00:00"), 0),
+      Ev(2, 7, t("2024-01-01 00:10:00"), 0),   // gap 600 ≤ 1800 → same session
+      Ev(3, 7, t("2024-01-01 01:00:00"), 0),   // gap 3000 > 1800 → new session
+      Ev(4, 8, t("2024-01-01 00:00:00"), 0)))  // other user
+    val r = EventOps.sessionize(in, "user_id", "event_id", "ts", 1800L)
+      .orderBy("event_id").select("session_seq").collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("sessionize orders by timestamp even when orderCol disagrees") {
+    val in = df(Seq(
+      Ev(2, 7, t("2024-01-01 00:00:00"), 0),   // ids reversed vs time
+      Ev(1, 7, t("2024-01-01 02:00:00"), 0)))
+    val r = EventOps.sessionize(in, "user_id", "event_id", "ts", 1800L)
+      .orderBy("ts").select("session_seq").collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(1L, 2L))            // gap computed in time order
+  }
+
+  test("tumblingWindowStats: epoch-aligned windows") {
+    val in = df(Seq(
+      Ev(1, 7, t("2024-01-01 00:03:00"), 2.0),
+      Ev(2, 7, t("2024-01-01 00:07:00"), 3.0),
+      Ev(3, 7, t("2024-01-01 00:12:00"), 5.0)))
+    val r = EventOps.tumblingWindowStats(in, "user_id", "ts", "value", "10 minutes")
+      .orderBy("win_start").collect()
+    assert(r.length === 2)
+    assert(r(0).getAs[String]("win_start") === "2024-01-01 00:00:00")
+    assert(r(0).getAs[Long]("n_events") === 2L)
+    assert(r(0).getAs[Double]("sum_value") === 5.0)
+    assert(r(1).getAs[String]("win_start") === "2024-01-01 00:10:00")
+  }
+
+  test("jsonField extracts typed values") {
+    val in = spark.createDataFrame(Seq((1L, """{"k": 87}"""), (2L, """{"k": -3}""")))
+      .toDF("id", "props")
+    val r = EventOps.jsonField(in, "props", "$.k", "long")
+      .orderBy("id").select("json_value").collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(87L, -3L))
+  }
+
+  test("portable hash32 and fingerprint are stable") {
+    val in = df(Seq(Kv("x", 1)))
+    val r = in.select(
+      Portable.rowFingerprint(col("k"), col("v")).as("fp"),
+      Portable.hash32(lit("hello")).as("h")).head()
+    assert(r.getString(0) === r.getString(0))
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592 → first 8 hex as int
+    assert(r.getLong(1) === java.lang.Long.parseLong("5d41402a", 16))
+  }
+}

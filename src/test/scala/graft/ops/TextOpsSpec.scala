@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class Doc(doc_id: Long, text: String)
+
+class TextOpsSpec extends SparkSpec {
+
+  private def docs = df(Seq(
+    Doc(0, "the quick brown fox jumps over the lazy dog"),
+    Doc(1, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    Doc(2, "THE  quick   brown fox jumps over the lazy dog"), // dup modulo case/ws
+    Doc(3, "the quick brown fox leaps over the lazy dog"),    // near-dup (1 token)
+    Doc(4, "completely different content about spark engines"),
+    Doc(5, "")))
+
+  test("tokens: whitespace runs collapse, empty text yields no tokens") {
+    val r = TextOps.tokenStats(docs, "text").orderBy("doc_id")
+      .select("n_tokens").collect().map(_.getLong(0))
+    assert(r(0) === 9)
+    assert(r(2) === 9)     // double spaces don't create phantom tokens
+    assert(r(5) === 0)     // empty doc
+  }
+
+  test("wordCount aggregates across corpus") {
+    val wc = TextOps.wordCount(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc("the") === 7)   // 2 per doc in 0,1,3; doc 2's first is "THE" (case-sensitive)
+    assert(wc("fox") === 4)
+    assert(!wc.contains(""))
+  }
+
+  test("qualityScore guards empty docs") {
+    val r = TextOps.qualityScore(docs, "text").where(col("doc_id") === 5).head()
+    assert(r.getAs[Double]("avg_token_len") === 0.0)
+    assert(r.getAs[Double]("stopword_ratio") === 0.0)
+    assert(r.getAs[Double]("quality_score") === 0.0)
+  }
+
+  test("dedupExact: keeps min-id row per normalized fingerprint") {
+    val kept = TextOps.dedupExact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 0,1,2 share a fingerprint (case/whitespace normalized) → keep 0
+    assert(kept.toSeq === Seq(0L, 3L, 4L, 5L))
+  }
+
+  test("dedupExact is idempotent (property)") {
+    val once = TextOps.dedupExact(docs, "doc_id", "text")
+    val twice = TextOps.dedupExact(once, "doc_id", "text")
+    assert(once.count() === twice.count())
+  }
+
+  test("minHashLsh surfaces the near-dup pair, skips unrelated docs") {
+    val cands = TextOps.minHashLshCandidates(docs, "doc_id", "text", n = 3, k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = cands.map(c => (c._1, c._2)).toSet
+    assert(pairs.contains((0L, 1L)))   // exact dups always collide
+    // doc 4 shares no shingles with 0 → never a candidate
+    assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L))
+    // estimated jaccard of identical docs is 1.0
+    assert(cands.find(c => c._1 == 0L && c._2 == 1L).get._3 === 1.0)
+  }
+
+  test("ngramJaccardPairs: exact jaccard on shingle sets") {
+    val r = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .where(col("id_a") === 0 && col("id_b") === 1).head()
+    assert(r.getAs[Double]("jaccard") === 1.0)
+    val near = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .where(col("id_a") === 0 && col("id_b") === 3).head()
+    // 9 tokens → 7 shingles each; "jumps"→"leaps" perturbs 3 → 4 common, 10 union
+    assert(math.abs(near.getAs[Double]("jaccard") - 0.4) < 1e-12)
+  }
+
+  test("simHash: identical docs agree, unrelated docs differ") {
+    val h = TextOps.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(h(0) === h(1))
+    assert(h(0) !== h(4))
+    def popcount(x: Long) = java.lang.Long.bitCount(x)
+    // near-dup differs in few bits; unrelated in many
+    assert(popcount(h(0) ^ h(3)) < popcount(h(0) ^ h(4)))
+  }
+
+  test("langIdByProfile recovers the label on a separable corpus") {
+    val labeled = spark.createDataFrame(Seq(
+      (0L, "aaa bbb ccc ddd", "x"), (1L, "aaa bbb ccc eee", "x"),
+      (2L, "zzz yyy xxx www", "y"), (3L, "zzz yyy xxx vvv", "y")))
+      .toDF("doc_id", "text", "lang")
+    val pred = TextOps.langIdByProfile(labeled, "doc_id", "text", "lang", 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(0) === "x" && pred(1) === "x" && pred(2) === "y" && pred(3) === "y")
+  }
+}
