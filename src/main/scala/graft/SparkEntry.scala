@@ -317,6 +317,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ── multimodal columns (north star): binary payload + metadata →
+    // partition-local decode (deterministic stub) → feature stats ────────
+    "q_multimodal" -> ((s, dir) => {
+      val packed = MultimodalOps.packBinary(
+        T(s, dir, "documents").withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
+      MultimodalOps.featureStats(MultimodalOps.decodeFeaturesStub(packed))
+        .withColumn("mean_f", round(col("mean_f"), 6))
+        .orderBy("mime", "dim")
+    }),
+
     // Approximate (sign-LSH) variant — bucketing is engine-specific, so
     // verified by ScalaTest against the brute-force baseline (recall),
     // not by SQL oracle.
@@ -639,6 +649,16 @@ object SparkEntry {
              row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, profile_lang ASC) AS rn
            FROM overlap)
          WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_multimodal" ->
+      """SELECT mime, dim, n, round(mean_f, 6) AS mean_f, total_bytes FROM (
+           SELECT 'text/plain' AS mime, b.dim,
+             count(*) AS n,
+             avg((('0x' || substr(md5(text), b.dim*2+1, 2))::INT::FLOAT / 255::FLOAT)::DOUBLE) AS mean_f,
+             sum(CAST(length(text)::DOUBLE AS DECIMAL(28,4)))::DOUBLE AS total_bytes
+           FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS dim) b
+           GROUP BY b.dim)
+         ORDER BY mime, dim""",
 
     "q_array_dot" ->
       """SELECT vec_id,

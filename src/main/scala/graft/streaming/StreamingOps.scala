@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming counterparts of the batch event operators
+  * (graft.ops.EventOps). The reference itself is batch-only (SURVEY.md
+  * §2.10), but the engine's event ops are designed to promote to streams:
+  * the same `window()` aggregation works under `readStream` + watermark,
+  * and gap sessionization maps to `flatMapGroupsWithState` with an
+  * event-time timeout.
+  *
+  * Scale posture: state is bounded per key — the windowed agg keeps one
+  * partial aggregate per (key, window) until the watermark passes; the
+  * sessionizer keeps one open session per key, flushed on gap timeout.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of
+    * EventOps.tumblingWindowStats. Works on any DataFrame with (keyCol,
+    * tsCol: timestamp, valueCol: double); on a streaming input it emits
+    * finalized windows once the watermark passes (append mode).
+    */
+  def windowedStats(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+                    width: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), window(col(tsCol), width).as("win"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol), col("win.start").as("win_start"), col("n_events"), col("sum_value"))
+
+  case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class SessionOut(key: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based session aggregation with explicit state: a session closes
+    * when no event arrives within `gapSeconds` of its last event (enforced
+    * by an event-time timeout keyed to the watermark). Emits one row per
+    * closed session.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
+                 watermarkDelay: String): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(key: Long, rows: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val gapMs = gapSeconds * 1000
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(key, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end), s.n, s.sum))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed ::= SessionOut(key, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.sum)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class MDoc(doc_id: Long, text: String, source: String)
+
+class MultimodalStreamingSpec extends SparkSpec {
+
+  private def docs = df(Seq(
+    MDoc(0, "hello world", "src0"),
+    MDoc(1, "hello world", "src0"),     // identical payload → identical features
+    MDoc(2, "other text entirely", "src1")))
+
+  test("packBinary: payload round-trips, metadata is typed") {
+    val packed = MultimodalOps.packBinary(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
+    val r = packed.orderBy("id").head()
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") === "hello world")
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[String]("mime") === "text/plain")
+    assert(meta.getAs[Long]("byte_len") === 11L)
+    assert(meta.getAs[String]("source") === "src0")
+  }
+
+  test("decodeFeaturesStub: deterministic, fixed-width, partition-local") {
+    val packed = MultimodalOps.packBinary(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
+    val decoded = MultimodalOps.decodeFeaturesStub(packed).collect().sortBy(_.id)
+    assert(decoded.length === 3)
+    assert(decoded.forall(_.features.length === 8))
+    assert(decoded(0).features.toSeq === decoded(1).features.toSeq) // same payload
+    assert(decoded(0).features.toSeq !== decoded(2).features.toSeq)
+    assert(decoded.forall(d => d.features.forall(f => f >= 0f && f <= 1f)))
+  }
+
+  test("sampleFrames: stride over byte_len-derived frame count, no payload fanout") {
+    val packed = MultimodalOps.packBinary(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text", "video/fake")
+    val frames = MultimodalOps.sampleFrames(packed, bytesPerFrame = 2L, stride = 2)
+    // doc 0: 11 bytes / 2 = 5 frames → sampled idx 0,2,4
+    val f0 = frames.where(col("id") === 0).select("frame_idx")
+      .collect().map(_.getLong(0)).sorted
+    assert(f0.toSeq === Seq(0L, 2L, 4L))
+    assert(!frames.columns.contains("payload")) // payload pruned before explode
+  }
+
+  test("featureStats aggregates per mime and dimension") {
+    val packed = MultimodalOps.packBinary(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
+    val stats = MultimodalOps.featureStats(MultimodalOps.decodeFeaturesStub(packed))
+    assert(stats.count() === 8) // one mime × 8 dims
+    val r = stats.where(col("dim") === 0).head()
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("total_bytes") === (11 + 11 + 19).toDouble)
+  }
+
+  test("streaming windowedStats matches the batch tumbling windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:03:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:07:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:12:00")
+    mem.addData((7L, t0, 2.0), (7L, t1, 3.0), (7L, t2, 5.0))
+    val streamDf = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingOps.windowedStats(streamDf, "user_id", "ts", "value", "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_out").orderBy("win_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n_events") === 2L)
+      assert(rows(0).getAs[Double]("sum_value") === 5.0)
+      assert(rows(1).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes sessions on gap timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.SessionEvent]
+    def ev(min: Int, v: Double) =
+      StreamingOps.SessionEvent(7L, java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), v)
+    val q = StreamingOps.sessionize(mem.toDS(), gapSeconds = 600L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      mem.addData(ev(0, 1.0), ev(5, 2.0))   // one session: 00:00-00:05
+      q.processAllAvailable()
+      mem.addData(ev(30, 4.0))              // gap 25 min > 10 min → closes first session
+      q.processAllAvailable()
+      mem.addData(ev(59, 8.0))              // gap 29 min → closes second session
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").orderBy("session_start").collect()
+      assert(rows.length >= 1)
+      val first = rows.head
+      assert(first.getAs[Long]("n_events") === 2L)
+      assert(first.getAs[Double]("sum_value") === 3.0)
+      assert(first.getAs[java.sql.Timestamp]("session_start").toString.startsWith("2024-01-01 00:00"))
+      assert(first.getAs[java.sql.Timestamp]("session_end").toString.startsWith("2024-01-01 00:05"))
+    } finally q.stop()
+  }
+}
