@@ -31,6 +31,11 @@ class PipelineGoldenSpec extends SparkSpec {
     assert(r.getLong(2) === 1183L)
   }
 
+  test("xetra read: glob pattern binds the same rows (A2)") {
+    val df = XetraPipeline.read(spark, "/root/reference/sample-data/*XETR*.csv")
+    assert(df.count() === 15057)
+  }
+
   test("xetra derive: trading_ts is a typed timestamp at minute resolution") {
     val df = XetraPipeline.derive(XetraPipeline.read(spark, xetraCsv))
     assert(df.schema("trading_ts").dataType === TimestampType)
