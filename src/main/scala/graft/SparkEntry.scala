@@ -249,6 +249,20 @@ object SparkEntry {
           (col("user_id") % 10 + 1).cast("double"))
         .orderBy("bucket")),
 
+    "q_asof_join" -> ((s, dir) => {
+      // last purchase value at-or-before each event, per user — the
+      // derivative↔underlying-state join shape (README.md:175-177)
+      val ev = T(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      TimeSeries.asOfJoin(purchases, ev.select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+          col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // ── events: windows + sessionization (SURVEY C14) ──────────────────
     "q_event_windows" -> ((s, dir) =>
       EventOps.tumblingWindowStats(T(s, dir, "events"), "user_id", "ts", "value", "10 minutes")
@@ -525,6 +539,15 @@ object SparkEntry {
              sum(CAST((user_id % 10 + 1)::DOUBLE AS DECIMAL(28,8)))::DOUBLE AS index_value,
            count(*) AS n_assets
          FROM events GROUP BY bucket ORDER BY bucket""",
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.value,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+           p.value AS asof_value
+         FROM events e ASOF LEFT JOIN (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+         ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
 
     "q_event_windows" ->
       """SELECT user_id,

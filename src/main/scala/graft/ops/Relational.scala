@@ -54,6 +54,23 @@ object Relational {
   def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_anti")
 
+  /** Skew-salted inner equi join for hot keys: the (large, skewed) left
+    * side gets a deterministic salt from its full row hash, the right side
+    * is replicated `nSalts` ways, and the join runs on (keys :+ salt) so a
+    * hot key's rows spread over `nSalts` tasks instead of one straggler.
+    * Results are identical to the plain join; use when AQE's skew split
+    * isn't enough (e.g. one key is >> a single task's memory). Right-side
+    * replication costs nSalts× its size — keep the right side the smaller
+    * input.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], nSalts: Int): DataFrame = {
+    val salted = left.withColumn(
+      "_salt", pmod(hash(left.columns.map(col): _*), lit(nSalts)))
+    val replicated = right.withColumn(
+      "_salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
   /** Global top-k: planned as TakeOrderedAndProject (per-partition heap +
     * single reduce), NOT a global sort — O(k) memory per partition.
     */

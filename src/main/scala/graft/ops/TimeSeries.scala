@@ -118,6 +118,41 @@ object TimeSeries {
         count(lit(1)).as("n_trades"))
   }
 
+  /** As-of join: attach to every `right` row the most recent `left`
+    * observation with left.ts <= right.ts for the same key (inclusive —
+    * a left row at exactly right.ts is visible). The natural time-series
+    * join for the reference's data model (README.md:175-177 joins
+    * derivatives to their underlying's state at trade time).
+    *
+    * Spark has no native as-of join; the naive form is a range join
+    * (quadratic blowup). This implementation is the scalable union-window
+    * form: tag both streams, union, one window per key ordered by
+    * (ts, tag), carry the last left payload forward — a SINGLE shuffle on
+    * the key, per-task state of one row, no range join, no skew blowup.
+    *
+    * `leftValueCols` are emitted on matched rows as `asof_<name>`, plus
+    * `asof_ts` (the matched left timestamp); unmatched rows get nulls.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      leftValueCols: Seq[String]): DataFrame = {
+    val lPayload = struct(
+      (col(tsCol).as("asof_ts") +: leftValueCols.map(c => col(c).as(s"asof_$c"))): _*)
+    val l = left.select(col(keyCol), col(tsCol), lPayload.as("_lval"), lit(0).as("_tag"))
+    val r = right.withColumn("_tag", lit(1))
+    val unioned = r.unionByName(l, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("_filled", last(col("_lval"), ignoreNulls = true).over(w))
+    val outCols = right.columns.map(col) ++
+      (col("_filled.asof_ts").as("asof_ts") +:
+        leftValueCols.map(c => col(s"_filled.asof_$c").as(s"asof_$c")))
+    filled.where(col("_tag") === 1).select(outCols: _*)
+  }
+
   /** Weighted cross-asset index per timestamp bucket (README.md:179):
     * sum(value*weight)/sum(weight), exact-decimal accumulation.
     */
