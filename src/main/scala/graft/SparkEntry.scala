@@ -341,6 +341,16 @@ object SparkEntry {
         .orderBy("mime", "dim")
     }),
 
+    // Same computation through the custom codegen'd FloatDotProduct
+    // expression — bit-identical scores, same oracle, fused loop.
+    "q_cosine_topk_native" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      VectorOps.cosineTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
+          nativeDot = true)
+        .select("query_id", "corpus_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // Approximate (sign-LSH) variant — bucketing is engine-specific, so
     // verified by ScalaTest against the brute-force baseline (recall),
     // not by SQL oracle.
@@ -690,6 +700,23 @@ object SparkEntry {
          FROM embeddings ORDER BY vec_id""",
 
     "q_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             list_reduce(list_transform(range(1, 65), i -> q.e[i]*c.e[i]), (x, y) -> x + y)
+               / (q.nrm * c.nrm) AS score
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 8)
+         SELECT query_id, corpus_id, score, rank FROM (
+           SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_cosine_topk_native" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          n AS (SELECT vec_id, e,
                  sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm

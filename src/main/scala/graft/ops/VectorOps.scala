@@ -36,6 +36,17 @@ object VectorOps {
   /** Cosine similarity of two float-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen'd dot product (graft.functions.FloatDotProduct):
+    * bit-identical to `dot` (same left-to-right double accumulation) but
+    * runs as a fused loop inside WholeStageCodegen instead of interpreted
+    * higher-order-function lambdas — the hot path for large corpora.
+    */
+  def dotNative(a: Column, b: Column): Column = graft.functions.FloatDotProduct.dot(a, b)
+
+  /** Cosine via the native expression — bit-identical to `cosine`. */
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+
   /** Per-vector self dot product (squared L2 norm) — SURVEY.md C4. */
   def selfDot(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), dot(col(vecCol), col(vecCol)).as("dot"))
@@ -45,12 +56,14 @@ object VectorOps {
     * deterministic top-k per query (score desc, corpus id asc). This is
     * the correctness baseline ANN implementations are verified against.
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                 nativeDot: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val sim = if (nativeDot) cosineNative(col("q_vec"), col("c_vec"))
+              else cosine(col("q_vec"), col("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        cosine(col("q_vec"), col("c_vec")).as("score"))
+      .select(col("query_id"), col("corpus_id"), sim.as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

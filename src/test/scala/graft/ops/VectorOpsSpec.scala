@@ -48,6 +48,41 @@ class VectorOpsSpec extends SparkSpec {
     assert(lsh.exists(_.getAs[Long]("corpus_id") == 1L))
   }
 
+  test("native FloatDotProduct is bit-identical to the fold form") {
+    val both = vecs.select(
+      VectorOps.dot(col("embedding"), col("embedding")).as("fold"),
+      VectorOps.dotNative(col("embedding"), col("embedding")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native FloatDotProduct null semantics: null array, length mismatch") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      (1L, Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),   // 1*3 + 2*4 = 11
+      (2L, None, Some(Seq(1f, 2f))),                 // null array
+      (3L, Some(Seq(1f)), Some(Seq(1f, 2f))))        // length mismatch
+      .toDF("id", "a", "b")
+    val r = in.select(col("id"), VectorOps.dotNative(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(r(0).getDouble(1) === 11.0)
+    assert(r(1).isNullAt(1))
+    assert(r(2).isNullAt(1))
+  }
+
+  test("native cosineTopK equals fold cosineTopK exactly") {
+    val fold = VectorOps.cosineTopK(vecs, vecs.where(col("vec_id") < 2), "vec_id", "embedding", 3)
+      .select("query_id", "corpus_id", "score", "rank").collect()
+    val nat = VectorOps.cosineTopK(vecs, vecs.where(col("vec_id") < 2), "vec_id", "embedding", 3,
+      nativeDot = true)
+      .select("query_id", "corpus_id", "score", "rank").collect()
+    assert(fold.map(_.toSeq).toSeq === nat.map(_.toSeq).toSeq)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = VectorOps.hyperplanes(4, dim)
     val b = VectorOps.hyperplanes(4, dim)
