@@ -341,6 +341,20 @@ object SparkEntry {
         .orderBy("mime", "dim")
     }),
 
+    // Embedding-cosine near-dup: exact within a bounded range (oracle-
+    // checked); the LSH-bucketed variant below is the 100 TB path.
+    "q_embed_neardup" -> ((s, dir) =>
+      VectorOps.nearDupPairsExact(
+          T(s, dir, "embeddings").where(col("vec_id") < 200), "vec_id", "embedding", 0.2)
+        .withColumn("cos_sim", round(col("cos_sim"), 9))
+        .orderBy("id_a", "id_b")),
+
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      VectorOps.nearDupPairsLsh(
+          T(s, dir, "embeddings"), "vec_id", "embedding", 0.2, numPlanes = 6, dim = 64)
+        .withColumn("cos_sim", round(col("cos_sim"), 9))
+        .orderBy("id_a", "id_b")),
+
     // Same computation through the custom codegen'd FloatDotProduct
     // expression — bit-identical scores, same oracle, fused loop.
     "q_cosine_topk_native" -> ((s, dir) => {
@@ -715,6 +729,19 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
            FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x, y) -> x + y)
+             / (a.nrm * b.nrm), 9) AS cos_sim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x, y) -> x + y)
+             / (a.nrm * b.nrm) >= 0.2
+         ORDER BY id_a, id_b""",
 
     "q_cosine_topk_native" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

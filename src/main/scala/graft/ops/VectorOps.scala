@@ -112,6 +112,38 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs with
+    * cosine ≥ threshold within a bounded id range — the verification
+    * baseline for LSH near-dup. Equi-self-join free: the bounded subset is
+    * broadcast against itself only once.
+    */
+  def nearDupPairsExact(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineNative(col("vec_a"), col("vec_b")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: sign-LSH bucket the
+    * corpus, equi-join on the bucket, exact re-score, threshold — never an
+    * all-pairs cross join. Recall < 1 by construction (pairs split across
+    * buckets are missed); raise recall by lowering numPlanes or probing
+    * neighbor buckets.
+    */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                      numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val sig = df.select(col(idCol), col(vecCol), lshSignature(col(vecCol), planes).as("bucket"))
+    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("bucket"))
+    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineNative(col("vec_a"), col("vec_b")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (broadcast), giving a partition (cell) id for clustered
     * storage / probe-limited search. Centroids are any small DataFrame of
