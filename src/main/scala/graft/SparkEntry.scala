@@ -127,6 +127,36 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    "q_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), Portable.decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_pivot" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    "q_percentile" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").getItem(0).as("p25_price"),
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").getItem(1).as("p75_price"))
+        .orderBy("l_returnflag")),
+
+    "q_corr" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(Portable.decCorr(col("l_quantity"), col("l_extendedprice")), 9).as("corr_qty_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     // HLL sketch variant — engine-specific estimate, no oracle (rows-only).
     "q_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -453,6 +483,44 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS cnt_part, count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           sum(CAST(l_quantity AS DECIMAL(28,4)))::DOUBLE AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_pivot" ->
+      """SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_corr" ->
+      """SELECT l_returnflag,
+           round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+           cnt
+         FROM (
+           SELECT l_returnflag,
+             count(*) AS cnt,
+             count(l_quantity)::DOUBLE AS n,
+             sum(CAST(l_quantity AS DECIMAL(28,6)))::DOUBLE AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(28,6)))::DOUBLE AS sy,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))::DOUBLE AS sxx,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6)))::DOUBLE AS syy,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))::DOUBLE AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
 
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM lineitem

@@ -33,6 +33,21 @@ object Portable {
   def decAvg(c: Column, scale: Int = 6): Column =
     decSum(c, scale) / count(c)
 
+  /** Order-independent Pearson correlation from exact decimal sums:
+    * (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)). Spark's built-in
+    * `corr` accumulates co-moments in shuffle order (not reproducible
+    * across partitionings); this form is bit-stable and oracle-matchable.
+    */
+  def decCorr(x: Column, y: Column, scale: Int = 6): Column = {
+    val n = count(x).cast("double")
+    val sx = decSum(x, scale)
+    val sy = decSum(y, scale)
+    val sxx = decSum(x * x, scale)
+    val syy = decSum(y * y, scale)
+    val sxy = decSum(x * y, scale)
+    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
   /** Portable 32-bit non-negative integer hash of a string column.
     * DuckDB equivalent: ('0x' || substr(md5(x), 1, 8))::BIGINT
     */
