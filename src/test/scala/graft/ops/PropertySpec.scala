@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY.md §5.2.4) over ScalaCheck-generated
+  * series with fixed seeds (deterministic CI): forward-fill idempotence,
+  * lag-returns price-path reconstruction, resample volume conservation.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
+
+  private def t(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+
+  test("forwardFill is idempotent") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.option(Gen.choose(1.0, 100.0))))
+    samples(gen, 5).foreach { rows =>
+      val in = spark.createDataFrame(
+        rows.zipWithIndex.map { case ((k, v), i) =>
+          (k, i.toLong, v.map(Double.box).orNull.asInstanceOf[java.lang.Double]) })
+        .toDF("k", "seq", "v")
+      val once = TimeSeries.forwardFill(in, "k", "seq", "v")
+        .select(col("k"), col("seq"), col("filled_value").as("v"))
+      val twice = TimeSeries.forwardFill(once, "k", "seq", "v")
+        .select(col("k"), col("seq"), col("filled_value").as("v"))
+      assert(once.orderBy("k", "seq").collect().toSeq ===
+             twice.orderBy("k", "seq").collect().toSeq)
+    }
+  }
+
+  test("lagReturns reconstructs the price path: p_i = p_{i-1} * (1 + ret_i)") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(1.0, 1000.0))
+    samples(gen, 5).foreach { prices =>
+      val in = spark.createDataFrame(prices.zipWithIndex.map { case (p, i) => (1L, i.toLong, p) })
+        .toDF("k", "seq", "p")
+      val rets = TimeSeries.lagReturns(in, "k", "seq", "p")
+        .orderBy("seq").select("p", "prev_value", "ret").collect()
+      rets.drop(1).foreach { r =>
+        val (p, prev, ret) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        assert(math.abs(prev * (1.0 + ret) - p) < 1e-9 * math.max(1.0, p))
+      }
+    }
+  }
+
+  test("resampleOhlc conserves volume and rows; OHLC bounds hold") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 500), Gen.choose(1L, 100L)))
+    samples(gen, 5).foreach { obs =>
+      val in = spark.createDataFrame(
+        obs.zipWithIndex.map { case ((minOff, vol), i) =>
+          (1L, i.toLong, t(minOff), minOff.toDouble, vol) })
+        .toDF("k", "seq", "ts", "px", "vol")
+      val out = TimeSeries.resampleOhlc(in, "k", "ts", "seq", "px", "vol", "hour")
+      val agg = out.agg(sum("volume"), sum("n_trades")).head()
+      assert(agg.getLong(0) === obs.map(_._2).sum)
+      assert(agg.getLong(1) === obs.size.toLong)
+      val bad = out.where(col("high") < col("low") ||
+        col("open") > col("high") || col("open") < col("low") ||
+        col("close") > col("high") || col("close") < col("low")).count()
+      assert(bad === 0)
+    }
+  }
+
+  test("dedupExact output has unique fingerprints for any corpus") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val gen = Gen.nonEmptyListOf(Gen.listOfN(4, word).map(_.mkString(" ")))
+    samples(gen, 5).foreach { texts =>
+      val in = spark.createDataFrame(texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) })
+        .toDF("doc_id", "text")
+      val out = TextOps.dedupExact(in, "doc_id", "text")
+      assert(out.count() === out.select("fingerprint").distinct().count())
+      assert(out.count() === in.select(lower(col("text"))).distinct().count())
+    }
+  }
+}
