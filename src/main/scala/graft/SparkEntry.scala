@@ -346,7 +346,7 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, dir) =>
       TextOps.minHashLshCandidates(
           T(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text",
-          n = 3, k = 32, bands = 8)
+          n = 3, k = 16, bands = 8)
         .orderBy("id_a", "id_b")),
 
     // ── vectors / similarity search (SURVEY C4, C11; north star) ───────
