@@ -228,6 +228,16 @@ object SparkEntry {
           (datediff(col("l_shipdate"), col("o_orderdate")).cast("double") / lit(30.5)).as("ship_months"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
 
+    "q_string_funcs" -> ((s, dir) =>
+      T(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          lpad(col("p_brand"), 12, "_").as("pad"),
+          substring(col("p_type"), 2, 5).as("sub"),
+          upper(col("p_name")).as("up"))
+        .orderBy("p_partkey")),
+
     "q_json_extract" -> ((s, dir) =>
       EventOps.jsonField(T(s, dir, "events"), "props", "$.k", "long")
         .select(col("event_id"), col("json_value").as("k"))
@@ -243,6 +253,21 @@ object SparkEntry {
       TimeSeries.rollingVol(T(s, dir, "events"), "user_id", "event_id", "value", 10)
         .select("event_id", "user_id", "roll_vol")
         .orderBy("event_id")),
+
+    "q_range_window" -> ((s, dir) =>
+      TimeSeries.trailingTimeWindow(T(s, dir, "events"), "user_id", "ts", "value", 3600L)
+        .select("event_id", "trail_sum", "trail_cnt")
+        .orderBy("event_id")),
+
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag").orderBy(
+        col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("l_suppkey").asc)
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"), ntile(4).over(w).as("quartile"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
 
     "q_ffill" -> ((s, dir) =>
       TimeSeries.forwardFill(
@@ -569,6 +594,15 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
 
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+           levenshtein(p_brand, p_type)::BIGINT AS lev,
+           translate(p_name, 'aeiou', 'AEIOU') AS tr,
+           lpad(p_brand, 12, '_') AS pad,
+           substring(p_type, 2, 5) AS sub,
+           upper(p_name) AS up
+         FROM part ORDER BY p_partkey""",
+
     "q_json_extract" ->
       """SELECT event_id, regexp_extract(props, '"k": *(-?\d+)', 1)::BIGINT AS k
          FROM events ORDER BY event_id""",
@@ -591,6 +625,22 @@ object SparkEntry {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
          ORDER BY event_id""",
+
+    "q_range_window" ->
+      """SELECT event_id,
+           sum(CAST(value AS DECIMAL(28,6))) OVER w::DOUBLE AS trail_sum,
+           count(value) OVER w AS trail_cnt
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_ntile" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+           ntile(4) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS quartile
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
 
     "q_ffill" ->
       """SELECT event_id, user_id,

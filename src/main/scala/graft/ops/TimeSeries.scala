@@ -46,6 +46,21 @@ object TimeSeries {
     df.withColumn("roll_vol", when(cnt > 1, round(sqrt(greatest(variance, lit(0.0))), 6)))
   }
 
+  /** Trailing TIME-window aggregate (RANGE frame): sum/count of the value
+    * over the last `windowSeconds` of event time per series — unlike the
+    * ROWS frames above, the frame is defined by timestamp distance, so
+    * irregular sampling is handled correctly (a README.md:177-style
+    * "rolling window of previous observations" keyed by time, not count).
+    */
+  def trailingTimeWindow(df: DataFrame, seriesKey: String, tsCol: String,
+                         valueCol: String, windowSeconds: Long): DataFrame = {
+    val epoch = unix_timestamp(col(tsCol))
+    val w = Window.partitionBy(seriesKey).orderBy(epoch)
+      .rangeBetween(-windowSeconds, 0)
+    df.withColumn("trail_sum", sum(col(valueCol).cast("decimal(28,6)")).over(w).cast("double"))
+      .withColumn("trail_cnt", count(col(valueCol)).over(w))
+  }
+
   /** Forward-fill: carry the last non-null observation forward within a
     * series (README.md:22-24 "price needs to be inferred from the previous
     * observation"). Uses last(ignoreNulls) over an unbounded-preceding

@@ -46,4 +46,30 @@ class CsvQualitySpec extends SparkSpec {
     assert(scans.head.partitionFilters.nonEmpty,
       "partition filter must reach the scan (no full-table read)")
   }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val out = Files.createTempDirectory("graft_dpp").toString
+    val s = spark
+    import s.implicits._
+    (1 to 300).map(i => (i, s"d${i % 3}")).toDF("v", "part_key")
+      .write.partitionBy("part_key").parquet(s"$out/fact")
+    Seq(("d1", "keep")).toDF("part_key", "tag")
+      .write.parquet(s"$out/dim")
+    val fact = spark.read.parquet(s"$out/fact")
+    val dim = spark.read.parquet(s"$out/dim").where(col("tag") === "keep")
+    val joined = fact.join(dim, Seq("part_key"))
+    assert(joined.count() === 100)
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanLike] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          unwrap(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => unwrap(q.plan)
+        case f: FileSourceScanLike => Seq(f)
+      }.flatten
+    val scans = unwrap(joined.queryExecution.executedPlan)
+    val factScan = scans.find(_.relation.location.rootPaths.exists(_.toString.contains("fact")))
+    assert(factScan.nonEmpty, s"no fact scan found among ${scans.size} scans")
+    assert(factScan.get.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+      s"expected a dynamicpruning partition filter, got: ${factScan.get.partitionFilters}")
+  }
 }
