@@ -43,9 +43,11 @@ object VectorOps {
     */
   def dotNative(a: Column, b: Column): Column = graft.functions.FloatDotProduct.dot(a, b)
 
-  /** Cosine via the native expression — bit-identical to `cosine`. */
+  /** Cosine via the fused native expression (one array traversal for
+    * dot + both norms) — bit-identical to `cosine`.
+    */
   def cosineNative(a: Column, b: Column): Column =
-    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   /** Per-vector self dot product (squared L2 norm) — SURVEY.md C4. */
   def selfDot(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -74,6 +74,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(2).isNullAt(1))
   }
 
+  test("fused CosineSimilarity is bit-identical to the composed form") {
+    val pairs = vecs.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(vecs.select(col("embedding").as("b")))
+    val both = pairs.select(
+      (VectorOps.dot(col("a"), col("b")) /
+        (sqrt(VectorOps.dot(col("a"), col("a"))) * sqrt(VectorOps.dot(col("b"), col("b"))))).as("composed"),
+      VectorOps.cosineNative(col("a"), col("b")).as("fused"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("native cosineTopK equals fold cosineTopK exactly") {
     val fold = VectorOps.cosineTopK(vecs, vecs.where(col("vec_id") < 2), "vec_id", "embedding", 3)
       .select("query_id", "corpus_id", "score", "rank").collect()
