@@ -157,6 +157,39 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    "q_profile" -> ((s, dir) =>
+      Profiling.profile(T(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy("col_name")),
+
+    "q_conditional_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("n_bulk"),
+          Portable.decSum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))).as("disc_rev"),
+          count(when(col("l_tax") === 0, 1)).as("n_taxfree"))
+        .orderBy("l_returnflag")),
+
+    "q_histogram" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select((floor(col("l_extendedprice") / 5000) * 5000).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bin")),
+
+    "q_rank_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag").orderBy(
+        col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("l_suppkey").asc)
+      T(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     // HLL sketch variant — engine-specific estimate, no oracle (rows-only).
     "q_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -508,6 +541,36 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS cnt_part, count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_profile" ->
+      """SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+           SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             count(*) - count(o_orderkey) AS n_nulls, count(DISTINCT o_orderkey) AS n_distinct FROM orders
+           UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey) FROM orders
+           UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus) FROM orders
+           UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice) FROM orders
+           UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders)
+         ORDER BY col_name""",
+
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+           count(*) FILTER (l_quantity > 25) AS n_bulk,
+           sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(28,4)))::DOUBLE AS disc_rev,
+           count(*) FILTER (l_tax = 0) AS n_taxfree
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_histogram" ->
+      """SELECT (floor(l_extendedprice / 5000) * 5000)::BIGINT AS bin, count(*) AS cnt
+         FROM lineitem GROUP BY bin ORDER BY bin""",
+
+    "q_rank_dist" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume
+         FROM lineitem WHERE l_orderkey < 1000
+         WINDOW w AS (PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey)
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
