@@ -22,9 +22,6 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Shared derivation: whitespace-token column for `documents.text`. */
-  private val docTokens: Column = TextOps.tokens(col("text"))
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── scans / projections / filters (SURVEY §2.1-2.2) ────────────────
     // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic data;

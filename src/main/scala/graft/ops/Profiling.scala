@@ -17,7 +17,7 @@ object Profiling {
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nulls"),
         (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))).as(s"${c}__distinct"))
     }
     val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Operators must degrade to empty output (not throw) on empty inputs —
+  * the behavior a scheduled pipeline hits on a day with no data.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+  private def emptyBars = df(Seq.empty[Bar])
+  private def emptyDocs = df(Seq.empty[Doc])
+
+  test("time-series ops on empty input") {
+    assert(TimeSeries.lagReturns(emptyBars, "isin", "seq", "price").count() === 0)
+    assert(TimeSeries.rollingVol(emptyBars, "isin", "seq", "price", 5).count() === 0)
+    assert(TimeSeries.forwardFill(emptyBars, "isin", "seq", "price").count() === 0)
+    assert(TimeSeries.densifyAndFill(
+      emptyBars.select("isin", "ts", "price"), "isin", "ts", "price", 60L).count() === 0)
+    assert(TimeSeries.resampleOhlc(emptyBars, "isin", "ts", "seq", "price", "vol", "hour").count() === 0)
+    assert(TimeSeries.weightedIndex(emptyBars, col("isin"), col("price"), col("vol")).count() === 0)
+  }
+
+  test("asOfJoin with empty left keeps right rows with null asof columns") {
+    val right = df(Seq(Bar("A", 1, t("2024-01-01 00:00:00"), 1.0, 1)))
+    val out = TimeSeries.asOfJoin(emptyBars.select("isin", "ts", "price"),
+      right.toDF(), "isin", "ts", Seq("price"))
+    assert(out.count() === 1)
+    assert(out.head().isNullAt(out.columns.indexOf("asof_price")))
+  }
+
+  test("text ops on empty corpus") {
+    assert(TextOps.wordCount(emptyDocs, "text").count() === 0)
+    assert(TextOps.dedupExact(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextOps.minHashLshCandidates(emptyDocs, "doc_id", "text", 3, 16, 4).count() === 0)
+    assert(TextOps.simHash(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextOps.langIdByProfile(
+      emptyDocs.withColumn("lang", lit("x")), "doc_id", "text", "lang", 5).count() === 0)
+  }
+
+  test("vector ops on empty corpus") {
+    val emptyVecs = df(Seq.empty[Vec])
+    assert(VectorOps.selfDot(emptyVecs, "vec_id", "embedding").count() === 0)
+    assert(VectorOps.cosineTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() === 0)
+    assert(VectorOps.nearDupPairsLsh(emptyVecs, "vec_id", "embedding", 0.5, 4, 8).count() === 0)
+  }
+
+  test("profiling on empty frame reports zero rows per column") {
+    val p = Profiling.profile(emptyBars.toDF(), Seq("isin", "price")).collect()
+    assert(p.length === 2)
+    p.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === 0L)
+      assert(r.getAs[Long]("n_distinct") === 0L)
+    }
+  }
+}
