@@ -47,6 +47,11 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_hash_sample" -> ((s, dir) =>
+      Relational.hashSample(
+          T(s, dir, "orders").select("o_orderkey", "o_totalprice"), "o_orderkey", 0.1)
+        .orderBy("o_orderkey")),
+
     "q_quality_check" -> ((s, dir) =>
       Relational.qualityCheck(T(s, dir, "orders"),
           Seq("o_orderstatus", "o_orderpriority"), "o_orderstatus <> 'O'")
@@ -480,6 +485,11 @@ object SparkEntry {
            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
          ) c ON o.o_custkey = c.c_custkey
          WHERE c.c_name IS NULL ORDER BY o_orderkey""",
+
+    "q_hash_sample" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 < 1000
+         ORDER BY o_orderkey""",
 
     "q_quality_check" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

@@ -54,6 +54,31 @@ object Relational {
   def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_anti")
 
+  /** Deterministic hash-based sampling: keep a row iff
+    * md5(key) mod 10000 < rate·10000. Unlike `sample()`/`sampleBy()`
+    * (rand(seed) per row — result depends on partitioning and row order),
+    * this is a pure function of the key: reproducible on any cluster
+    * layout, stable across reruns, and expressible in any engine — the
+    * correct way to carve out a held-out split of a 100 TB corpus.
+    */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    df.where(bucket < (rate * 10000).toLong)
+  }
+
+  /** Stratified deterministic sample: per-stratum rates, same hash rule. */
+  def hashSampleBy(df: DataFrame, keyCol: String, strataCol: String,
+                   rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * 10000).toLong)).otherwise(acc)
+    }
+    df.where(bucket < threshold)
+  }
+
   /** Skew-salted inner equi join for hot keys: the (large, skewed) left
     * side gets a deterministic salt from its full row hash, the right side
     * is replicated `nSalts` ways, and the join runs on (keys :+ salt) so a
