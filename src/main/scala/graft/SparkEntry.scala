@@ -383,6 +383,11 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality_score")
         .orderBy("doc_id")),
 
+    "q_rolling_hash" -> ((s, dir) =>
+      TextOps.rollingHash(T(s, dir, "documents"), "text")
+        .select("doc_id", "rolling_hash")
+        .orderBy("doc_id")),
+
     "q_dedup_exact" -> ((s, dir) =>
       TextOps.dedupExact(T(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fingerprint")
@@ -817,6 +822,15 @@ object SparkEntry {
            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
                  FROM documents))
          ORDER BY doc_id""",
+
+    "q_rolling_hash" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                 t -> ('0x' || substr(md5('0|' || t), 1, 8))::BIGINT)),
+             (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+         FROM documents ORDER BY doc_id""",
 
     "q_dedup_exact" ->
       """SELECT doc_id, fingerprint FROM (

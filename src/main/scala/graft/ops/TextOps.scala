@@ -73,6 +73,19 @@ object TextOps {
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
 
+  /** Polynomial rolling-hash document fingerprint (north-star
+    * "document fingerprinting (rolling hash)"): left fold
+    * h ← (h·31 + hash32(token)) mod (2³¹−1) over the token sequence —
+    * order-sensitive, incremental (a streaming chunker can extend it
+    * token-by-token), and engine-portable via the md5-based token hash.
+    */
+  def rollingHash(df: DataFrame, textCol: String): DataFrame = {
+    val m = 2147483647L
+    val tokHash = (t: Column) => seededHash32(lit(0), t)
+    df.withColumn("rolling_hash",
+      aggregate(tokens(col(textCol)), lit(0L), (acc, t) => (acc * 31 + tokHash(t)) % m))
+  }
+
   /** Exact dedup at scale (SURVEY.md C10): fingerprint → keep the first
     * row (min idCol) per fingerprint via row_number. Shuffles 32-byte
     * hashes, never document bodies — the 100 TB-safe shape.
