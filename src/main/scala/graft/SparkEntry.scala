@@ -212,12 +212,13 @@ object SparkEntry {
           Seq("l_returnflag"),
           Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc,
               col("l_partkey").asc, col("l_suppkey").asc), 5)
+        .withColumn("rn", col("rn").cast("long"))
         .orderBy("l_returnflag", "rn")),
 
     "q_row_number" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       T(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).cast("long").as("rn"))
         .orderBy("o_custkey", "rn")
     }),
 
@@ -243,7 +244,8 @@ object SparkEntry {
       // maturity-date parse analog (etl.py:110): yyyyMMdd string → date
       T(s, dir, "orders")
         .select(col("o_orderkey"),
-          to_date(date_format(col("o_orderdate"), "yyyyMMdd"), "yyyyMMdd").as("parsed_date"))
+          date_format(to_date(date_format(col("o_orderdate"), "yyyyMMdd"), "yyyyMMdd"),
+            "yyyy-MM-dd").as("parsed_date"))
         .orderBy("o_orderkey")),
 
     "q_datediff" -> ((s, dir) =>
@@ -300,7 +302,7 @@ object SparkEntry {
         col("l_partkey").asc, col("l_suppkey").asc)
       T(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-          col("l_returnflag"), ntile(4).over(w).as("quartile"))
+          col("l_returnflag"), ntile(4).over(w).cast("long").as("quartile"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
@@ -422,7 +424,7 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       VectorOps.cosineTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5)
-        .select("query_id", "corpus_id", "score", "rank")
+        .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -456,7 +458,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       VectorOps.cosineTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
           nativeDot = true)
-        .select("query_id", "corpus_id", "score", "rank")
+        .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -467,7 +469,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       VectorOps.cosineTopKLsh(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, numPlanes = 8, dim = 64)
-        .select("query_id", "corpus_id", "score", "rank")
+        .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     })
   )
@@ -654,7 +656,7 @@ object SparkEntry {
 
     "q_date_parse" ->
       """SELECT o_orderkey,
-           CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS parsed_date
+           strftime(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d'), '%Y-%m-%d') AS parsed_date
          FROM orders ORDER BY o_orderkey""",
 
     "q_datediff" ->
@@ -746,7 +748,7 @@ object SparkEntry {
            max(value) AS high,
            min(value) AS low,
            arg_max(value, event_id) AS close,
-           sum(regexp_extract(props, '"k": *(-?\d+)', 1)::BIGINT) AS volume,
+           sum(regexp_extract(props, '"k": *(-?\d+)', 1)::BIGINT)::BIGINT AS volume,
            count(*) AS n_trades
          FROM events GROUP BY user_id, bucket ORDER BY user_id, bucket""",
 
@@ -777,7 +779,7 @@ object SparkEntry {
     "q_sessionize" ->
       """SELECT event_id, user_id,
            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
          FROM (
            SELECT event_id, user_id, ts,
              CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

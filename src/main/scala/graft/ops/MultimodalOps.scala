@@ -90,6 +90,7 @@ object MultimodalOps {
   def featureStats(decoded: Dataset[DecodedFeatures]): DataFrame =
     decoded.toDF()
       .select(col("mime"), col("byte_len"), posexplode(col("features")).as(Seq("dim", "f")))
+      .withColumn("dim", col("dim").cast("long"))
       .groupBy("mime", "dim")
       .agg(
         count(lit(1)).as("n"),

@@ -96,11 +96,18 @@ def main():
             n_fail += 1
             continue
         problems = compare(name, spark_df, oracle_df)
+        # raw-dtype parity warning: the driver's compare may be stricter
+        # than our normalized compare, so surface pre-normalization deltas
+        s_dt = {c: str(spark_df[c].dtype) for c in spark_df.columns}
+        o_dt = {c: str(oracle_df[c].dtype) for c in oracle_df.columns}
+        dtype_delta = {c: (s_dt.get(c), o_dt.get(c))
+                       for c in set(s_dt) | set(o_dt) if s_dt.get(c) != o_dt.get(c)}
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name} ({spark_df.shape[0]} rows)")
+            suffix = f"  [dtype delta: {dtype_delta}]" if dtype_delta else ""
+            print(f"PASS  {name} ({spark_df.shape[0]} rows){suffix}")
             n_pass += 1
     # queries with no oracle: report presence only
     for name in sorted(set(os.listdir(out_dir)) - set(oracle) - {"oracle_sql.json"}):
