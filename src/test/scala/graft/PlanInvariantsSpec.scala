@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Standing scale-safety invariants over every declared query's physical
+  * plan: no Cartesian products (the one scale-killer VERDICT.md round 1
+  * warned about — similarity/near-dup joins must go through buckets or
+  * bounded broadcasts, never all-pairs).
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(flatten)) ++ p.subqueries.flatMap(flatten)
+
+  test("no declared query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      if (flatten(plan).exists(_.isInstanceOf[CartesianProductExec])) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("every lineitem row-level query orders by the full unique key") {
+    // regression guard for the non-unique (l_orderkey, l_linenumber) trap:
+    // queries whose FIRST sort column is l_orderkey must also sort by
+    // l_partkey and l_suppkey (directly or via earlier unique columns)
+    val rowLevel = Seq("q_scan", "q_hash", "q_datediff", "q_arith", "q_ntile", "q_rank_dist")
+    rowLevel.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val sortStr = plan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.order.map(_.sql).mkString(",")
+      }.headOption.getOrElse("")
+      withClue(s"$name sort=[$sortStr]: ") {
+        assert(sortStr.contains("l_partkey") && sortStr.contains("l_suppkey"))
+      }
+    }
+  }
+}
