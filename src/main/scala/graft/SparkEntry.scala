@@ -404,6 +404,10 @@ object SparkEntry {
       TextOps.simHash(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q_simhash_neardup" -> ((s, dir) =>
+      TextOps.simHashNearDup(T(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")),
+
     "q_lang_id" -> ((s, dir) =>
       TextOps.langIdByProfile(T(s, dir, "documents"), "doc_id", "text", "lang", 20)
         .orderBy("doc_id")),
@@ -876,6 +880,26 @@ object SparkEntry {
          SELECT doc_id,
            sum(CASE WHEN vote_sum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_simhash_neardup" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h FROM tok),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote_sum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY id_a, id_b""",
 
     "q_lang_id" ->
       """WITH tok AS (

@@ -200,6 +200,30 @@ object TextOps {
       .agg(sum("bit_val").as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: band the 32-bit fingerprint into 4
+    * bytes and equi-join on (band index, band value) — by pigeonhole, any
+    * pair within Hamming distance 3 shares at least one exact byte — then
+    * verify with bit_count(xor) <= maxHamming. Fully relational: the join
+    * key is a byte band, never an all-pairs product; the candidate set per
+    * band bucket is tiny for well-spread hashes.
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val sigs = simHash(df, idCol, textCol)
+    val banded = sigs.select(
+      col(idCol),
+      col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("(simhash >> (band * 8)) & 255"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Corpus-profile language ID (north star): builds a per-language profile
     * of its top-N most frequent tokens (tie-break token asc) from a labeled
     * corpus, then predicts each document's language as the profile with the
