@@ -412,8 +412,9 @@ object SparkEntry {
       TextOps.langIdByProfile(T(s, dir, "documents"), "doc_id", "text", "lang", 20)
         .orderBy("doc_id")),
 
-    // MinHash-LSH near-dup candidates — banded bucket join; the estimate
-    // is hash-seed-specific, so verified by ScalaTest, not SQL oracle.
+    // MinHash-LSH near-dup candidates — banded bucket join. The md5-seeded
+    // hash family is engine-portable, so the full banding (signatures,
+    // band keys, estimated Jaccard) is replicated in the DuckDB oracle.
     "q_minhash_lsh" -> ((s, dir) =>
       TextOps.minHashLshCandidates(
           T(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text",
@@ -871,34 +872,71 @@ object SparkEntry {
       """WITH tok AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
            FROM documents),
-         h AS (SELECT doc_id, ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h FROM tok),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok),
          bits AS (
            SELECT doc_id, b.bit,
-             CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
-           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b),
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
          votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2)
          SELECT doc_id,
-           sum(CASE WHEN vote_sum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+           sum(CASE WHEN vote_sum > 0
+                 THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                 ELSE 0 END)::BIGINT AS simhash
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
 
     "q_simhash_neardup" ->
       """WITH tok AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
            FROM documents),
-         h AS (SELECT doc_id, ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h FROM tok),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok),
          bits AS (
            SELECT doc_id, b.bit,
-             CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
-           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b),
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
          votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
          sh AS (
            SELECT doc_id,
-             sum(CASE WHEN vote_sum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+             sum(CASE WHEN vote_sum > 0
+                   THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                   ELSE 0 END)::BIGINT AS simhash
            FROM votes GROUP BY doc_id)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY id_a, id_b""",
+
+    "q_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents WHERE doc_id < 200),
+         sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         hashes AS (
+           SELECT doc_id, s.seed,
+             min(('0x' || substr(md5(s.seed::VARCHAR || '|' || shingle), 1, 8))::BIGINT) AS mh
+           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, sig, b.band,
+             md5(b.band::VARCHAR || '|' || array_to_string(sig[b.band*2+1 : b.band*2+2], ',')) AS band_key
+           FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b)
+         SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i]))::DOUBLE / 16.0 AS est_jaccard
+         FROM banded a JOIN banded b2
+           ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
          ORDER BY id_a, id_b""",
 
     "q_lang_id" ->

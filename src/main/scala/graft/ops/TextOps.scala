@@ -180,40 +180,56 @@ object TextOps {
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
   }
 
-  /** SimHash document fingerprint (32-bit): per token-occurrence hash,
+  /** SimHash document fingerprint (64-bit): per token-occurrence hash,
     * per-bit ±1 votes weighted by occurrence, bit j set iff the vote sum
-    * is positive. Pure explode + hash-agg; the md5-based token hash makes
-    * the fingerprint engine-portable.
+    * is positive. The 64 bits come from the first 16 hex chars of the
+    * token's md5 (two 32-bit halves — engine-portable, one md5 per token).
+    *
+    * Single-pass wide aggregation: each bit's vote sum is its own `sum()`
+    * column over the token rows — partial (map-side) aggregation applies,
+    * ONE shuffle on the doc id, and no 64× row explosion (the naive
+    * explode(0..63) form multiplies the pre-shuffle row count by the bit
+    * width — the `minHashSignatures` lesson applied to SimHash).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val m = md5(concat_ws("|", lit(0), col("token")))
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .withColumn("h", seededHash32(lit(0), col("token")))
-    val bits = tok.select(
-      col(idCol),
-      explode(sequence(lit(0), lit(31))).as("bit"),
-      col("h"))
-      .withColumn("vote", when(expr("shiftright(h, CAST(bit AS INT)) % 2") === 1, lit(1)).otherwise(lit(-1)))
-    bits.groupBy(idCol, "bit")
-      .agg(sum("vote").as("vote_sum"))
-      .withColumn("bit_val", when(col("vote_sum") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(lit(0L)))
-      .groupBy(idCol)
-      .agg(sum("bit_val").as("simhash"))
+      .withColumn("h_lo", conv(substring(m, 1, 8), 16, 10).cast("long"))
+      .withColumn("h_hi", conv(substring(m, 9, 8), 16, 10).cast("long"))
+    val voteCols = (0 until 64).map { j =>
+      val (src, b) = if (j < 32) (col("h_lo"), j) else (col("h_hi"), j - 32)
+      sum(when(shiftright(src, b).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))).as(s"_v$j")
+    }
+    // Signed recombination: bit 63 contributes Long.MinValue (1L << 63
+    // overflows); every partial sum of {2^0..2^62} ∪ {MinValue} stays in
+    // long range, so the addition chain is exact two's complement.
+    val fp = (0 until 64).map { j =>
+      val bitVal = if (j == 63) Long.MinValue else 1L << j
+      when(col(s"_v$j") > 0, lit(bitVal)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(idCol)
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs: band the 32-bit fingerprint into 4
-    * bytes and equi-join on (band index, band value) — by pigeonhole, any
-    * pair within Hamming distance 3 shares at least one exact byte — then
-    * verify with bit_count(xor) <= maxHamming. Fully relational: the join
-    * key is a byte band, never an all-pairs product; the candidate set per
-    * band bucket is tiny for well-spread hashes.
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
+    * 16-bit bands and equi-join on (band index, band value) — by
+    * pigeonhole, any pair within Hamming distance 3 shares at least one
+    * exact band — then verify with bit_count(xor) <= maxHamming. Fully
+    * relational: the join key is a 16-bit band, never an all-pairs
+    * product; 65,536 values per band spread a large corpus so bucket
+    * self-joins stay near-linear (the 8-bit/256-value banding of a 32-bit
+    * hash goes quadratic at corpus scale — VERDICT r2).
     */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands over 64 bits guarantee complete recall only for maxHamming <= 3 (got $maxHamming)")
     val sigs = simHash(df, idCol, textCol)
     val banded = sigs.select(
       col(idCol),
       col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_val", expr("(simhash >> (band * 8)) & 255"))
+      .withColumn("band_val", expr("(simhash >> (band * 16)) & 65535"))
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("band_val"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
