@@ -451,9 +451,14 @@ object SparkEntry {
         .withColumn("cos_sim", round(col("cos_sim"), 9))
         .orderBy("id_a", "id_b")),
 
+    // Banded (AND/OR-amplified) LSH: 8 bands × 2 planes — expected recall
+    // 1−(1−p²)⁸ ≈ 0.95 at the cos=0.2 boundary. Hyperplanes are
+    // deterministic, so the full banding is replicated in the DuckDB
+    // oracle (plane constants embedded as literals — see lshBandSigSql).
     "q_embed_neardup_lsh" -> ((s, dir) =>
       VectorOps.nearDupPairsLsh(
-          T(s, dir, "embeddings"), "vec_id", "embedding", 0.2, numPlanes = 6, dim = 64)
+          T(s, dir, "embeddings"), "vec_id", "embedding", 0.2,
+          bands = 8, planesPerBand = 2, dim = 64)
         .withColumn("cos_sim", round(col("cos_sim"), 9))
         .orderBy("id_a", "id_b")),
 
@@ -467,17 +472,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Approximate (sign-LSH) variant — bucketing is engine-specific, so
-    // verified by ScalaTest against the brute-force baseline (recall),
-    // not by SQL oracle.
+    // Approximate banded sign-LSH top-k — deterministic hyperplanes make
+    // the bucketing engine-portable, so this too is oracle-checked (plus a
+    // measured-recall ScalaTest against the brute-force baseline).
     "q_cosine_topk_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       VectorOps.cosineTopKLsh(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, numPlanes = 8, dim = 64)
+          k = 5, bands = 8, planesPerBand = 2, dim = 64)
         .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     })
   )
+
+  /** DuckDB text of the banded sign-LSH signature array (one BIGINT per
+    * band, `planesPerBand` sign bits each). The hyperplane constants are
+    * deterministic (VectorOps.hyperplanes, fixed seed), so they are
+    * embedded as double literals; the dot product is the same left fold
+    * the Spark side uses, making bucket assignment engine-identical.
+    * Expects a vector column `e` of type DOUBLE[].
+    */
+  private def lshBandSigSql(bands: Int, planesPerBand: Int, dim: Int): String = {
+    val planes = VectorOps.hyperplanes(bands * planesPerBand, dim)
+    (0 until bands).map { bnd =>
+      (0 until planesPerBand).map { p =>
+        val planeLit = planes(bnd * planesPerBand + p).mkString("[", ", ", "]")
+        s"(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), i -> e[i] * ($planeLit)[i]), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    }.mkString("[", ",\n            ", "]")
+  }
 
   /** DuckDB oracles: same tables, same column names, same semantics.
     * Tokenization, decimal-exact sums, null-on-zero division, and rounding
@@ -1008,6 +1030,60 @@ object SparkEntry {
          WHERE list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x, y) -> x + y)
              / (a.nrm * b.nrm) >= 0.2
          ORDER BY id_a, id_b""",
+
+    "q_embed_neardup_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         sigged AS (SELECT vec_id, e,
+           ${lshBandSigSql(bands = 8, planesPerBand = 2, dim = 64)} AS sigs
+           FROM v),
+         banded AS (
+           SELECT vec_id, ub.i - 1 AS band, sigs[ub.i] AS band_sig
+           FROM sigged CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ub),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v)
+         SELECT id_a, id_b,
+           round(list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
+             / (na.nrm * nb.nrm), 9) AS cos_sim
+         FROM cand
+         JOIN n na ON na.vec_id = id_a
+         JOIN n nb ON nb.vec_id = id_b
+         WHERE list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
+             / (na.nrm * nb.nrm) >= 0.2
+         ORDER BY id_a, id_b""",
+
+    "q_cosine_topk_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         sigged AS (SELECT vec_id, e,
+           ${lshBandSigSql(bands = 8, planesPerBand = 2, dim = 64)} AS sigs
+           FROM v),
+         banded AS (
+           SELECT vec_id, ub.i - 1 AS band, sigs[ub.i] AS band_sig
+           FROM sigged CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ub),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+           FROM banded c JOIN banded q
+             ON c.band = q.band AND c.band_sig = q.band_sig AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 8),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         scored AS (
+           SELECT query_id, corpus_id,
+             list_reduce(list_transform(range(1, 65), i -> nq.e[i]*nc.e[i]), (x, y) -> x + y)
+               / (nq.nrm * nc.nrm) AS score
+           FROM cand
+           JOIN n nq ON nq.vec_id = query_id
+           JOIN n nc ON nc.vec_id = corpus_id)
+         SELECT query_id, corpus_id, score, rank FROM (
+           SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_cosine_topk_native" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

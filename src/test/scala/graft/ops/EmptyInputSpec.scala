@@ -43,7 +43,7 @@ class EmptyInputSpec extends SparkSpec {
     val emptyVecs = df(Seq.empty[Vec])
     assert(VectorOps.selfDot(emptyVecs, "vec_id", "embedding").count() === 0)
     assert(VectorOps.cosineTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() === 0)
-    assert(VectorOps.nearDupPairsLsh(emptyVecs, "vec_id", "embedding", 0.5, 4, 8).count() === 0)
+    assert(VectorOps.nearDupPairsLsh(emptyVecs, "vec_id", "embedding", 0.5, 2, 2, 8).count() === 0)
   }
 
   test("profiling on empty frame reports zero rows per column") {

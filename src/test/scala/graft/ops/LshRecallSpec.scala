@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Measured recall of the banded (AND/OR-amplified) sign-LSH operators
+  * against their exact baselines on the sf0.1 test embeddings — the
+  * quantitative check VERDICT r2 asked for (item 3). Expected recall for a
+  * pair at angle θ is 1 − (1 − p^r)^b with p = 1 − θ/π; the assertions
+  * below sit well under the expectation for the chosen (b, r) so the test
+  * is deterministic-stable (fixed-seed hyperplanes), while `info` logs the
+  * measured number for the record.
+  */
+class LshRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.1"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def pairSet(dfp: org.apache.spark.sql.DataFrame) =
+    dfp.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("near-dup LSH (8 bands x 2 planes) recall >= 0.9 vs exact at cos 0.2, precision 1.0") {
+    val bounded = emb.where(col("vec_id") < 200)
+    val exact = pairSet(VectorOps.nearDupPairsExact(bounded, "vec_id", "embedding", 0.2))
+    val lsh = pairSet(VectorOps.nearDupPairsLsh(bounded, "vec_id", "embedding", 0.2,
+      bands = 8, planesPerBand = 2, dim = 64))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"near-dup LSH recall: $recall%.4f (${lsh.intersect(exact).size}/${exact.size} exact pairs)")
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "exact re-score + same threshold must make precision 1.0")
+    assert(recall >= 0.9)
+  }
+
+  test("top-k LSH (8 bands x 2 planes) recall >= 0.9 vs brute-force top-5") {
+    val queries = emb.where(col("vec_id") < 8)
+    val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.cosineTopKLsh(emb, queries, "vec_id", "embedding", 5,
+      bands = 8, planesPerBand = 2, dim = 64)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"top-k LSH recall: $recall%.4f (${lsh.intersect(brute).size}/${brute.size} brute-force hits)")
+    assert(recall >= 0.9)
+  }
+
+  test("high-similarity regime: 8 bands x 8 planes prunes candidates while holding recall") {
+    // Plant near-duplicates: a slightly perturbed copy of each vector
+    // (cos > 0.99 to its original) — the regime near-dup LSH is FOR.
+    val base = emb.where(col("vec_id") < 500).select("vec_id", "embedding")
+    val planted = base.select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + when(i % 7 === 0, lit(0.01f)).otherwise(lit(-0.01f))).as("embedding"))
+    val corpus = base.unionByName(planted)
+
+    val exact = pairSet(VectorOps.nearDupPairsExact(corpus, "vec_id", "embedding", 0.95))
+    val lsh = pairSet(VectorOps.nearDupPairsLsh(corpus, "vec_id", "embedding", 0.95,
+      bands = 8, planesPerBand = 8, dim = 64))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"planted near-dup recall (r=8): $recall%.4f (${exact.size} planted pairs)")
+    assert(exact.size >= 450, "perturbed copies must actually be near-dups of their originals")
+    assert(recall >= 0.9)
+
+    // Pruning evidence: candidate pairs (pre-rescore) vs all pairs. With
+    // r = 8 sign bits per band each band has 256 buckets, so random pairs
+    // rarely collide — this is what keeps bucket self-joins near-linear.
+    val sig = corpus.select(col("vec_id"),
+      posexplode(VectorOps.bandedSignatures(col("embedding"), 8, 8, 64)).as(Seq("band", "band_sig")))
+    val a = sig.select(col("vec_id").as("id_a"), col("band"), col("band_sig"))
+    val b = sig.select(col("vec_id").as("id_b"), col("band"), col("band_sig"))
+    val nCand = a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    val n = corpus.count()
+    val allPairs = n * (n - 1) / 2
+    info(f"candidate pairs: $nCand of $allPairs all-pairs (${nCand.toDouble / allPairs * 100}%.2f%%)")
+    assert(nCand.toDouble / allPairs < 0.15, "r=8 banding must prune the candidate space")
+  }
+}

@@ -38,7 +38,7 @@ class VectorOpsSpec extends SparkSpec {
     val brute = VectorOps.cosineTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 4)
       .collect().map(r => r.getAs[Long]("corpus_id") -> r.getAs[Double]("score")).toMap
     val lsh = VectorOps.cosineTopKLsh(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding",
-      k = 4, numPlanes = 4, dim = dim).collect()
+      k = 4, bands = 2, planesPerBand = 2, dim = dim).collect()
     assert(lsh.nonEmpty)
     lsh.foreach { r =>
       val id = r.getAs[Long]("corpus_id")
