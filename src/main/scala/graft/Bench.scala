@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorb one-time JVM/codegen/scan-setup cost so it
+    // isn't charged to whichever query happens to run first (VERDICT r2:
+    // a ~6 s cold-start polluted q_histogram). The flagship agg plus one
+    // window query touch the scan, hash-agg, window, and sort codegen
+    // paths shared by the rest of the suite.
+    Seq("q_groupby_agg", "q_row_number").foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -452,12 +452,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // Banded (AND/OR-amplified) LSH: 8 bands × 2 planes — expected recall
-    // 1−(1−p²)⁸ ≈ 0.95 at the cos=0.2 boundary. Hyperplanes are
+    // 1−(1−p²)⁸ ≈ 0.95 at the cos=0.2 boundary. Bounded to the same
+    // verification subset as the exact twin (at a low threshold on random
+    // vectors r=2 banding is a recall demo, not a pruning regime — the
+    // high-r pruning regime is measured in LshRecallSpec). Hyperplanes are
     // deterministic, so the full banding is replicated in the DuckDB
     // oracle (plane constants embedded as literals — see lshBandSigSql).
     "q_embed_neardup_lsh" -> ((s, dir) =>
       VectorOps.nearDupPairsLsh(
-          T(s, dir, "embeddings"), "vec_id", "embedding", 0.2,
+          T(s, dir, "embeddings").where(col("vec_id") < 500), "vec_id", "embedding", 0.2,
           bands = 8, planesPerBand = 2, dim = 64)
         .withColumn("cos_sim", round(col("cos_sim"), 9))
         .orderBy("id_a", "id_b")),
@@ -495,7 +498,10 @@ object SparkEntry {
     val planes = VectorOps.hyperplanes(bands * planesPerBand, dim)
     (0 until bands).map { bnd =>
       (0 until planesPerBand).map { p =>
-        val planeLit = planes(bnd * planesPerBand + p).mkString("[", ", ", "]")
+        // float-rounded, matching bandedSignatures' array<float> plane
+        // literals: both engines multiply the same doubles
+        val planeLit = planes(bnd * planesPerBand + p)
+          .map(_.toFloat.toDouble).mkString("[", ", ", "]")
         s"(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), i -> e[i] * ($planeLit)[i]), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)"
       }.mkString(" + ")
     }.mkString("[", ",\n            ", "]")
@@ -1032,7 +1038,7 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "q_embed_neardup_lsh" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 500),
          sigged AS (SELECT vec_id, e,
            ${lshBandSigSql(bands = 8, planesPerBand = 2, dim = 64)} AS sigs
            FROM v),

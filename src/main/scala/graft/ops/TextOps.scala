@@ -148,14 +148,21 @@ object TextOps {
       col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key", md5(concat_ws("|", col("band"), concat_ws(",", slice(col("sig"), col("band") * r + 1, lit(r))))))
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("band_key"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e)).cast("double")
+    // Same-plan self-join (exchange-reuse eligible) + first-agreeing-band
+    // filter: each candidate pair is emitted exactly once, with no
+    // dropDuplicates shuffle over the candidate set (see simHashNearDup).
+    val hinted = banded.hint("shuffle_hash")
+    val joined = hinted.as("a").join(hinted.as("b"),
+      col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    val firstAgreeingBand = !exists(
+      filter(sequence(lit(0), lit(bands - 1)), e => e < col("a.band")),
+      e => slice(col("a.sig"), e * r + 1, lit(r)) === slice(col("b.sig"), e * r + 1, lit(r)))
+    joined
+      .where(firstAgreeingBand)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e)).cast("double")
           / lit(k.toDouble)).as("est_jaccard"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a bounded id
@@ -196,19 +203,28 @@ object TextOps {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .withColumn("h_lo", conv(substring(m, 1, 8), 16, 10).cast("long"))
       .withColumn("h_hi", conv(substring(m, 9, 8), 16, 10).cast("long"))
-    val voteCols = (0 until 64).map { j =>
-      val (src, b) = if (j < 32) (col("h_lo"), j) else (col("h_hi"), j - 32)
-      sum(when(shiftright(src, b).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))).as(s"_v$j")
+    // SWAR lane packing: the ones-counters for bit j (from h_lo) and bit
+    // j+32 (from h_hi) share one long in two 32-bit lanes, halving the
+    // aggregate width to 32 sums + count. Lanes cannot carry into each
+    // other below 2^31 token occurrences per doc. "Vote sum positive"
+    // (Σ±1 > 0) is equivalent to 2·ones > n, so the semantics — and the
+    // DuckDB oracle — are unchanged.
+    val lane = lit(4294967296L) // 2^32
+    val packedCols = (0 until 32).map { j =>
+      sum(shiftright(col("h_lo"), j).bitwiseAND(lit(1L)) +
+          shiftright(col("h_hi"), j).bitwiseAND(lit(1L)) * lane).as(s"_s$j")
     }
     // Signed recombination: bit 63 contributes Long.MinValue (1L << 63
     // overflows); every partial sum of {2^0..2^62} ∪ {MinValue} stays in
     // long range, so the addition chain is exact two's complement.
     val fp = (0 until 64).map { j =>
+      val ones = if (j < 32) col(s"_s$j").bitwiseAND(lit(4294967295L))
+                 else shiftright(col(s"_s${j - 32}"), 32).bitwiseAND(lit(4294967295L))
       val bitVal = if (j == 63) Long.MinValue else 1L << j
-      when(col(s"_v$j") > 0, lit(bitVal)).otherwise(lit(0L))
+      when(ones * 2 > col("_n"), lit(bitVal)).otherwise(lit(0L))
     }.reduce(_ + _)
     tok.groupBy(idCol)
-      .agg(voteCols.head, voteCols.tail: _*)
+      .agg(packedCols.head, (packedCols.tail :+ count(lit(1)).as("_n")): _*)
       .select(col(idCol), fp.as("simhash"))
   }
 
@@ -230,14 +246,29 @@ object TextOps {
       col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val", expr("(simhash >> (band * 16)) & 65535"))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("band_val"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("band_val"))
-    a.join(b, Seq("band", "band_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+    // Self-join of the SAME plan object with SHUFFLE_HASH on both sides:
+    // the two shuffle subtrees canonicalize equal, so the (expensive)
+    // signature pipeline is eligible for exchange reuse — a broadcast
+    // join would always materialize it twice.
+    val hinted = banded.hint("shuffle_hash")
+    val joined = hinted.as("a").join(hinted.as("b"),
+      col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    // Exactly-once emission without a dedup shuffle: a pair agreeing on
+    // several bands joins once per agreeing band, so keep only the row
+    // whose band is the FIRST agreeing band — all earlier bands must
+    // differ. The predicate runs on already-joined rows (cheap) and
+    // replaces a full dropDuplicates exchange over the candidate set.
+    def bandVal(sh: Column, e: Column): Column =
+      call_function("shiftright", sh, (e * 16).cast("int")).bitwiseAND(lit(65535L))
+    val firstAgreeingBand = !exists(
+      filter(sequence(lit(0), lit(3)), e => e < col("a.band")),
+      e => bandVal(col("a.simhash"), e) === bandVal(col("b.simhash"), e))
+    joined
+      .where(firstAgreeingBand)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Corpus-profile language ID (north star): builds a per-language profile

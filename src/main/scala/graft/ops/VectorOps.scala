@@ -99,8 +99,14 @@ object VectorOps {
     val planes = hyperplanes(bands * planesPerBand, dim, seed)
     array((0 until bands).map { bnd =>
       (0 until planesPerBand).map { p =>
-        val planeLit = array(planes(bnd * planesPerBand + p).map(lit): _*)
-        when(dot(vecCol, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+        // Float-rounded plane constants: the codegen'd FloatDotProduct
+        // takes array<float> on both sides (a fused loop instead of b·r
+        // interpreted higher-order folds per row — the signature pass is
+        // the linear scan of the corpus, so it must be codegen). The
+        // oracle embeds the same float-rounded values as double literals,
+        // so both engines see identical products and signs.
+        val planeLit = array(planes(bnd * planesPerBand + p).map(x => lit(x.toFloat)): _*)
+        when(dotNative(vecCol, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
   }
@@ -115,13 +121,21 @@ object VectorOps {
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
     val sigs = bandedSignatures(col(vecCol), bands, planesPerBand, dim)
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
-      posexplode(sigs).as(Seq("band", "band_sig")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      posexplode(sigs).as(Seq("band", "band_sig")))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), sigs.as("c_sigs"))
+      .select(col("corpus_id"), col("c_vec"), col("c_sigs"),
+        posexplode(col("c_sigs")).as(Seq("band", "band_sig")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), sigs.as("q_sigs"))
+      .select(col("query_id"), col("q_vec"), col("q_sigs"),
+        posexplode(col("q_sigs")).as(Seq("band", "band_sig")))
+    // First-agreeing-band filter instead of a dropDuplicates shuffle: a
+    // (query, corpus) pair colliding in several bands is kept only where
+    // the band is its first agreement, so the candidate stream stays
+    // exactly-once and fully map-side after the broadcast join.
+    val firstAgreeingBand = !exists(
+      filter(sequence(lit(0), lit(bands - 1)), e => e < col("band")),
+      e => get(col("c_sigs"), e) === get(col("q_sigs"), e))
     val cand = c.join(broadcast(q), Seq("band", "band_sig"))
-      .where(col("query_id") =!= col("corpus_id"))
-      .dropDuplicates("query_id", "corpus_id")
+      .where(col("query_id") =!= col("corpus_id") && firstAgreeingBand)
     val scored = cand.select(col("query_id"), col("corpus_id"),
       cosine(col("q_vec"), col("c_vec")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
@@ -153,13 +167,23 @@ object VectorOps {
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                       bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
     val sig = df.select(col(idCol), col(vecCol),
-      posexplode(bandedSignatures(col(vecCol), bands, planesPerBand, dim)).as(Seq("band", "band_sig")))
-    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("band"), col("band_sig"))
-    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), cosineNative(col("vec_a"), col("vec_b")).as("cos_sim"))
+        bandedSignatures(col(vecCol), bands, planesPerBand, dim).as("sigs"))
+      .select(col(idCol), col(vecCol), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "band_sig")))
+      .hint("shuffle_hash")
+    // Same-plan self-join (exchange-reuse eligible) + first-agreeing-band
+    // filter: exactly-once candidates with no dedup shuffle — the pair
+    // stream flows straight into the single exact re-score.
+    val joined = sig.as("a").join(sig.as("b"),
+      col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    val firstAgreeingBand = !exists(
+      filter(sequence(lit(0), lit(bands - 1)), e => e < col("a.band")),
+      e => get(col("a.sigs"), e) === get(col("b.sigs"), e))
+    joined
+      .where(firstAgreeingBand)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 

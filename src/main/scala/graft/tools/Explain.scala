@@ -29,6 +29,12 @@ object Explain {
         val n = fn(spark, sfDir).count()
         println(f"  run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       }
+      if (sys.env.get("GRAFT_EXPLAIN_FINAL").contains("1")) {
+        // the post-execution adaptive plan — shows runtime ReusedExchange.
+        // collect() (not count()) so THIS frame's queryExecution runs.
+        df.collect()
+        println(df.queryExecution.executedPlan.toString.take(8000))
+      }
     }
     spark.stop()
   }

@@ -52,7 +52,7 @@ class LshRecallSpec extends SparkSpec {
     val planted = base.select(
       (col("vec_id") + 10000L).as("vec_id"),
       transform(col("embedding"),
-        (x, i) => x + when(i % 7 === 0, lit(0.01f)).otherwise(lit(-0.01f))).as("embedding"))
+        (x, i) => (x + when(i % 7 === 0, lit(0.01f)).otherwise(lit(-0.01f))).cast("float")).as("embedding"))
     val corpus = base.unionByName(planted)
 
     val exact = pairSet(VectorOps.nearDupPairsExact(corpus, "vec_id", "embedding", 0.95))
