@@ -400,6 +400,15 @@ object SparkEntry {
           T(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
 
+    // Same jaccard with the hot-shingle skew guard active: shingles in
+    // more than 3% of documents are dropped before the equi-join — they
+    // match everything (no dedup signal) and fan out quadratically.
+    "q_ngram_jaccard_df" -> ((s, dir) =>
+      TextOps.ngramJaccardPairs(
+          T(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 3,
+          maxDocFreqRatio = 0.03)
+        .orderBy("id_a", "id_b")),
+
     "q_simhash" -> ((s, dir) =>
       TextOps.simHash(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -884,6 +893,32 @@ object SparkEntry {
              THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
              ELSE [array_to_string(t, ' ')] END) AS shingle
            FROM toks),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_b, id_a, n_common,
+           n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common)::DOUBLE AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = id_a
+         JOIN counts cb ON cb.doc_id = id_b
+         ORDER BY id_a, id_b""",
+
+    "q_ngram_jaccard_df" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents WHERE doc_id < 100),
+         sh_all AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh_all),
+         hot AS (
+           SELECT shingle FROM sh_all CROSS JOIN nd
+           GROUP BY shingle, n_docs HAVING count(*) > n_docs * 0.03),
+         sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
          counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common

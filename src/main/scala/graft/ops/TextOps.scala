@@ -117,6 +117,26 @@ object TextOps {
     df.select(col(idCol), explode(grams).as("shingle"))
   }
 
+  /** Skew guard for shingle equi-joins: drop shingles whose document
+    * frequency exceeds `maxDocFreqRatio` of the corpus. A shingle present
+    * in a large fraction of documents carries no dedup signal (it matches
+    * everything) but its join key fans out quadratically — the classic
+    * hot-key straggler at corpus scale. The hot list is tiny by
+    * construction (few shingles can exceed the cutoff), so it broadcasts;
+    * the doc-frequency aggregation itself is hot-key-safe (map-side
+    * partial counts). No-op when maxDocFreqRatio >= 1.
+    */
+  def pruneFrequentShingles(sh: DataFrame, idCol: String, maxDocFreqRatio: Double): DataFrame = {
+    if (maxDocFreqRatio >= 1.0) sh
+    else {
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+        .crossJoin(broadcast(sh.agg(countDistinct(col(idCol)).as("_nd"))))
+        .where(col("_df") > col("_nd") * maxDocFreqRatio)
+        .select("shingle")
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
+
   /** MinHash signatures: k independent seeded hashes, min per doc.
     * Output: (id, sig = array of k longs).
     *
@@ -140,9 +160,11 @@ object TextOps {
     * (band, hash) bucket — never an all-pairs cross join.
     */
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           n: Int, k: Int, bands: Int): DataFrame = {
+                           n: Int, k: Int, bands: Int,
+                           maxDocFreqRatio: Double = 1.0): DataFrame = {
     val r = k / bands
-    val sigs = minHashSignatures(shingles(df, idCol, textCol, n), idCol, k)
+    val sigs = minHashSignatures(
+      pruneFrequentShingles(shingles(df, idCol, textCol, n), idCol, maxDocFreqRatio), idCol, k)
     val banded = sigs.select(
       col(idCol),
       col("sig"),
@@ -170,8 +192,9 @@ object TextOps {
     * self-join on the shingle (an equi-join — no cross product), and
     * compute |A∩B| / (|A|+|B|-|A∩B|).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                        maxDocFreqRatio: Double = 1.0): DataFrame = {
+    val sh = pruneFrequentShingles(shingles(df, idCol, textCol, n), idCol, maxDocFreqRatio)
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))

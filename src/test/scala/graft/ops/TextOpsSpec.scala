@@ -82,6 +82,23 @@ class TextOpsSpec extends SparkSpec {
     assert(popcount(h(0) ^ h(3)) < popcount(h(0) ^ h(4)))
   }
 
+  test("pruneFrequentShingles drops hot-key shingles so a skewed corpus completes flat") {
+    // Every doc shares one boilerplate trigram (a hot join key that would
+    // fan out 200x200); the rest of each doc is unique.
+    val skewed = df((0L until 200L).map(i => Doc(i, s"common boiler plate u${i}a u${i}b u${i}c")))
+    val sh = TextOps.shingles(skewed, "doc_id", "text", 3)
+    val pruned = TextOps.pruneFrequentShingles(sh, "doc_id", 0.5)
+    // exactly the ubiquitous shingle is dropped (df=200 of 200; all others df=1)
+    assert(pruned.count() === sh.count() - 200)
+    assert(pruned.where(col("shingle") === "common boiler plate").count() === 0)
+    // with the guard the join has no hot key and no phantom matches survive
+    val pairs = TextOps.ngramJaccardPairs(skewed, "doc_id", "text", 3, maxDocFreqRatio = 0.5)
+    assert(pairs.count() === 0)
+    // guard off => the boilerplate shingle alone creates all-pairs matches
+    val unguarded = TextOps.ngramJaccardPairs(skewed.where(col("doc_id") < 20), "doc_id", "text", 3)
+    assert(unguarded.count() === 20L * 19 / 2)
+  }
+
   test("langIdByProfile recovers the label on a separable corpus") {
     val labeled = spark.createDataFrame(Seq(
       (0L, "aaa bbb ccc ddd", "x"), (1L, "aaa bbb ccc eee", "x"),
