@@ -15,10 +15,23 @@ object Tables {
       // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
       // to map to TimestampType; read it as nanos-since-epoch long and
       // convert (integer `div` — a double roundtrip would lose precision
-      // above 2^53 ns).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // above 2^53 ns). The legacy flag is scoped to this read: restored
+      // afterwards so other parquet reads in the session still fail loudly
+      // on nanos columns instead of silently yielding longs.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val read = spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // force schema resolution while the flag is set; execution re-reads
+        // the footer, so the plan itself must carry the resolved schema
+        read.schema
+        read
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     } else
       spark.read.parquet(s"$dir/$name.parquet")
   }

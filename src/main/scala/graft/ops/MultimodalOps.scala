@@ -31,15 +31,23 @@ object MultimodalOps {
 
   /** Wrap a string column as a binary payload + typed metadata struct —
     * the ingestion shape a real pipeline gets from raw media files.
+    * `sourceCol` names an optional provenance column; inputs without one
+    * get a constant "unknown" instead of an AnalysisException.
     */
-  def packBinary(df: DataFrame, idCol: String, payloadCol: String, mime: String): DataFrame =
+  def packBinary(df: DataFrame, idCol: String, payloadCol: String, mime: String,
+                 sourceCol: Option[String] = Some("source")): DataFrame = {
+    val src = sourceCol.filter(df.columns.contains) match {
+      case Some(c) => coalesce(col(c), lit("unknown"))
+      case None    => lit("unknown")
+    }
     df.select(
       col(idCol),
       col(payloadCol).cast("binary").as("payload"),
       struct(
         lit(mime).as("mime"),
         length(col(payloadCol)).cast("long").as("byte_len"),
-        coalesce(col("source"), lit("unknown")).as("source")).as("meta"))
+        src.as("source")).as("meta"))
+  }
 
   /** Output row of the decode stage. */
   case class DecodedFeatures(id: Long, mime: String, byte_len: Long, features: Array[Float])

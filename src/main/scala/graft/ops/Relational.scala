@@ -64,7 +64,9 @@ object Relational {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
     val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 10000
-    df.where(bucket < (rate * 10000).toLong)
+    // math.round: truncation would put e.g. 0.29*10000 = 2899.999... one
+    // bucket under the documented rate*10000 threshold
+    df.where(bucket < math.round(rate * 10000))
   }
 
   /** Stratified deterministic sample: per-stratum rates, same hash rule. */
@@ -72,9 +74,9 @@ object Relational {
                    rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
     val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 10000
-    val threshold = rates.foldLeft(lit((defaultRate * 10000).toLong)) {
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 10000))) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit((rate * 10000).toLong)).otherwise(acc)
+        when(col(strataCol) === stratum, lit(math.round(rate * 10000))).otherwise(acc)
     }
     df.where(bucket < threshold)
   }

@@ -78,9 +78,12 @@ object TimeSeries {
     * and carries values forward.
     *
     * Observations are first snapped DOWN to their grid bucket (epoch-aligned
-    * floor to stepSeconds, keeping the last observation per bucket by
-    * orderCol) so off-grid timestamps are bucketed rather than silently
-    * dropped (round-1 defect: exact-equality join lost unaligned rows).
+    * floor to stepSeconds, keeping the observation with the latest raw
+    * tsCol per bucket via max_by) so off-grid timestamps are bucketed
+    * rather than silently dropped (round-1 defect: exact-equality join
+    * lost unaligned rows). Caveat: two observations sharing the identical
+    * raw timestamp within one bucket tie under max_by and resolve
+    * arbitrarily — pre-aggregate to unique timestamps if that matters.
     * The grid itself is epoch-aligned so bucket boundaries are independent
     * of each key's min(ts) — stable under data arrival order.
     */

@@ -25,6 +25,12 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(meta.getAs[String]("source") === "src0")
   }
 
+  test("packBinary tolerates inputs without a source column") {
+    val noSource = docs.drop("source").withColumnRenamed("doc_id", "id")
+    val packed = MultimodalOps.packBinary(noSource, "id", "text", "text/plain")
+    assert(packed.select("meta.source").collect().forall(_.getString(0) === "unknown"))
+  }
+
   test("decodeFeaturesStub: deterministic, fixed-width, partition-local") {
     val packed = MultimodalOps.packBinary(
       docs.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
