@@ -484,6 +484,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF probe-limited ANN: spherical k-means centroids (deterministic —
+    // seeded init + decimal-exact means), corpus bucketed by nearest cell,
+    // queries probe their 4 nearest of 16 cells. The centroids come from
+    // Spark jobs at plan-build time, so no SQL oracle can replicate them —
+    // verified rows-only here plus a measured-recall ScalaTest
+    // (LshRecallSpec) against the exact brute-force baseline.
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val centroids = VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 4)
+      VectorOps.ivfTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
+          centroids, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Approximate banded sign-LSH top-k — deterministic hyperplanes make
     // the bucketing engine-portable, so this too is oracle-checked (plus a
     // measured-recall ScalaTest against the brute-force baseline).

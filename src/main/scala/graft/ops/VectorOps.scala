@@ -187,6 +187,99 @@ object VectorOps {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Per-row nearest-centroid cell id: k fused dot products against the
+    * (driver-side, literal) centroid array, argmax via struct ordering —
+    * highest dot wins, ties break to the lowest cell id. No join: the
+    * centroids ARE the model, k·dim floats, embedded in the expression.
+    */
+  def nearestCell(vecCol: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotNative(vecCol, array(c.map(lit): _*)).as("dot"), lit(-i).as("negid"))
+    }
+    (greatest(scored: _*).getField("negid") * -1).cast("int")
+  }
+
+  /** The `nProbe` cells nearest to a query vector, best first. */
+  def topCells(vecCol: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotNative(vecCol, array(c.map(lit): _*)).as("dot"), lit(-i).as("negid"))
+    }
+    transform(slice(sort_array(array(scored: _*), asc = false), 1, nProbe),
+      s => (s.getField("negid") * -1).cast("int"))
+  }
+
+  /** Spherical k-means (Lloyd's) over an embedding column, DataFrame-
+    * iterative: vectors are L2-normalized, assignment is max-dot against
+    * the current centroids (a literal expression — no join), and each new
+    * centroid is the element-wise mean of its members, re-normalized.
+    * Only the k·dim centroid floats ever reach the driver per iteration —
+    * the data-side work is one narrow aggregation per iteration, so the
+    * loop is `iters` Spark jobs, not a driver-side scan.
+    *
+    * Deterministic: seeded init picks the k vectors with the smallest
+    * md5(id), and the per-dimension means use exact decimal sums
+    * (Portable.decSum) so centroid bits do not depend on partitioning.
+    * Empty cells keep their previous centroid.
+    */
+  def kMeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Array[Array[Float]] = {
+    val nrm = normalized(col(vecCol))
+    val base = df.select(nrm.as("_v"), md5(col(idCol).cast("string")).as("_h"))
+    var centroids: Array[Array[Float]] = base.orderBy("_h").limit(k)
+      .collect().map(_.getSeq[Float](0).toArray)
+    (0 until iters).foreach { _ =>
+      val means = base
+        .select(nearestCell(col("_v"), centroids).as("_cell"),
+          posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy("_cell", "_pos")
+        .agg((Portable.decSum(col("_x").cast("double"), 9) / count(lit(1))).as("_m"))
+        .groupBy("_cell")
+        .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
+        .select(col("_cell"),
+          transform(col("_pm"), p => p.getField("_m")).as("_mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val m = r.getSeq[Double](1).toArray
+        val n = math.sqrt(m.map(x => x * x).sum)
+        if (n > 0) next(r.getInt(0)) = m.map(x => (x / n).toFloat)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** L2-normalize a float-array column (null-safe; zero vectors pass
+    * through unscaled).
+    */
+  def normalized(vecCol: Column): Column = {
+    val n = sqrt(dotNative(vecCol, vecCol))
+    transform(vecCol, x => when(n > 0, (x / n).cast("float")).otherwise(x))
+  }
+
+  /** IVF probe-limited approximate top-k: the corpus is bucketed once by
+    * nearest centroid (a linear scan — at rest this is the clustered
+    * layout), each query probes only its `nProbe` nearest cells, and the
+    * exact re-score runs inside the probed buckets. Candidates per query
+    * are nProbe/k of the corpus instead of all of it. Pairs are unique by
+    * construction (one cell per corpus vector, distinct probe cells per
+    * query), so there is no dedup shuffle.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(topCells(col(vecCol), centroids, nProbe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineNative(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (broadcast), giving a partition (cell) id for clustered
     * storage / probe-limited search. Centroids are any small DataFrame of

@@ -45,6 +45,57 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("IVF probe-limited top-k: measured recall vs brute force on the raw corpus") {
+    // The sf0.1 embeddings are near-isotropic (no cluster structure), so
+    // IVF recall scales roughly with the probed corpus fraction — measured
+    // here: nProbe 4/16 -> 0.58, 8/16 -> 0.80, 12/16 -> 0.95. The assert
+    // pins the 12-probe point; the pruning regime needs real structure
+    // (next test).
+    val corpus = emb.select("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 8)
+    val cents = VectorOps.kMeansCentroids(corpus, "vec_id", "embedding", k = 16, iters = 4)
+    assert(cents.length === 16 && cents.forall(_.length === 64))
+    val brute = VectorOps.cosineTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.ivfTopK(corpus, queries, "vec_id", "embedding", 5, cents, nProbe = 12)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF top-k recall (nProbe=12/16, isotropic corpus): $recall%.4f (${ivf.intersect(brute).size}/${brute.size})")
+    assert(recall >= 0.9)
+  }
+
+  test("IVF on clustered data: planted twins found at nProbe=2 with strong pruning") {
+    // Plant structure: a perturbed near-copy of each of 500 vectors. A
+    // query's true nearest neighbor is its source vector, which spherical
+    // k-means puts in the same (or an adjacent) cell — so 2 of 16 probes
+    // suffice where the isotropic corpus above needed 12.
+    val base = emb.where(col("vec_id") < 500).select("vec_id", "embedding")
+    val planted = base.select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => (x + when(i % 5 === 0, lit(0.02f)).otherwise(lit(-0.01f))).cast("float")).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val cents = VectorOps.kMeansCentroids(corpus, "vec_id", "embedding", k = 16, iters = 4)
+    val queries = corpus.where(col("vec_id") >= 10000L && col("vec_id") < 10050L)
+    val found = VectorOps.ivfTopK(corpus, queries, "vec_id", "embedding", 1, cents, nProbe = 2)
+      .select("query_id", "corpus_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hit = (10000L until 10050L).count(q => found.get(q).contains(q - 10000L))
+    info(f"planted-twin hit rate at nProbe=2/16: ${hit / 50.0}%.4f ($hit/50)")
+    assert(hit >= 45)
+    // pruning evidence: 2 probes scan a small fraction of the corpus
+    val n = corpus.count()
+    val cells = corpus.select(VectorOps.nearestCell(col("embedding"), cents).as("cell"))
+      .groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probed = queries.select(VectorOps.topCells(col("embedding"), cents, 2).as("cells"))
+      .collect().map(_.getSeq[Int](0).map(c => cells.getOrElse(c, 0L)).sum)
+    val worst = probed.max.toDouble / n
+    info(f"worst-case probed fraction: $worst%.3f of $n vectors")
+    assert(worst < 0.5, "2 of 16 probes must scan well under the full corpus")
+  }
+
   test("high-similarity regime: 8 bands x 8 planes prunes candidates while holding recall") {
     // Plant near-duplicates: a slightly perturbed copy of each vector
     // (cos > 0.99 to its original) — the regime near-dup LSH is FOR.
