@@ -31,6 +31,26 @@ object StreamingOps {
         sum(col(valueCol)).as("sum_value"))
       .select(col(keyCol), col("win.start").as("win_start"), col("n_events"), col("sum_value"))
 
+  /** File-source streaming twin of the batch tumbling windows: watch a
+    * directory for arriving event files (the landing-zone pattern — each
+    * upstream batch drops parquet parts, the stream picks them up
+    * incrementally) and maintain the same windowed aggregation.
+    * `maxFilesPerTrigger` bounds per-micro-batch ingest so a backlog
+    * replays with bounded memory instead of one giant batch.
+    */
+  def fileStreamWindowedStats(spark: org.apache.spark.sql.SparkSession,
+                              inputDir: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              keyCol: String, tsCol: String, valueCol: String,
+                              width: String, watermarkDelay: String,
+                              maxFilesPerTrigger: Int = 16): DataFrame =
+    windowedStats(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(inputDir),
+      keyCol, tsCol, valueCol, width, watermarkDelay)
+
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class SessionOut(key: Long, session_start: java.sql.Timestamp,

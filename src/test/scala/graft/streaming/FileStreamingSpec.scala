@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.ops.EventOps
+import org.apache.spark.sql.functions._
+
+/** File-source streaming over the driver test events: files land in a
+  * watched directory in two arrivals (interleaved users, so per-key state
+  * must merge across micro-batches) and the streaming windowed aggregation
+  * must converge to the batch q_event_windows answer.
+  */
+class FileStreamingSpec extends SparkSpec {
+
+  test("file-source stream converges to the batch tumbling-window answer") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts", "value")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toFile.getAbsolutePath
+
+    // first arrival: even event ids (every user appears in both halves)
+    events.where(pmod(col("event_id"), lit(2)) === 0).write.mode("append").parquet(inDir)
+
+    val stream = StreamingOps.fileStreamWindowedStats(spark, inDir, events.schema,
+      "user_id", "ts", "value", "10 minutes", "1 minute")
+    val q = stream.writeStream.format("memory").queryName("file_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val midCount = spark.table("file_win").count()
+      assert(midCount > 0, "first arrival must already produce windows")
+
+      // second arrival: the rest — existing (user, window) state must update
+      events.where(pmod(col("event_id"), lit(2)) === 1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.get(0).toString, r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+      val streamed = toMap(spark.table("file_win")
+        .select(col("user_id"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n_events"), col("sum_value")))
+      val batch = toMap(EventOps.tumblingWindowStats(
+        events.drop("event_id"), "user_id", "ts", "value", "10 minutes"))
+
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (k, (n, s)) =>
+        val (sn, ss) = streamed(k)
+        assert(sn === n, s"n_events mismatch for $k")
+        assert(math.abs(ss - s) < 1e-6, s"sum_value mismatch for $k")
+      }
+    } finally q.stop()
+  }
+}
