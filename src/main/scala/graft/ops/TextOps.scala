@@ -99,11 +99,14 @@ object TextOps {
   }
 
   /** Portable 32-bit token hash keyed by a seed: first 8 hex chars of
-    * md5(seed||'|'||token). Identical in any engine with md5 — the
-    * primitive under MinHash and SimHash below.
+    * md5(seed||'|'||token) — computed natively from the digest bytes
+    * (graft.functions.Md5Hash64; bit-identical to the
+    * conv(substring(md5(...))) recipe every oracle uses, without the
+    * hex-string round-trip per token). Identical in any engine with md5 —
+    * the primitive under MinHash and SimHash below.
     */
   private def seededHash32(seed: Column, token: Column): Column =
-    conv(substring(md5(concat_ws("|", seed, token)), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Hash64.hash64(concat_ws("|", seed, token)).getItem(0)
 
   /** Word n-gram shingles of a document (the dedup unit for MinHash /
     * Jaccard). Distinct shingles, one output row per (id, shingle).
@@ -222,10 +225,10 @@ object TextOps {
     * width — the `minHashSignatures` lesson applied to SimHash).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val m = md5(concat_ws("|", lit(0), col("token")))
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .withColumn("h_lo", conv(substring(m, 1, 8), 16, 10).cast("long"))
-      .withColumn("h_hi", conv(substring(m, 9, 8), 16, 10).cast("long"))
+      .withColumn("_h64", graft.functions.Md5Hash64.hash64(concat_ws("|", lit(0), col("token"))))
+      .withColumn("h_lo", col("_h64").getItem(0))
+      .withColumn("h_hi", col("_h64").getItem(1))
     // SWAR lane packing: the ones-counters for bit j (from h_lo) and bit
     // j+32 (from h_hi) share one long in two 32-bit lanes, halving the
     // aggregate width to 32 sums + count. Lanes cannot carry into each

@@ -99,6 +99,22 @@ class TextOpsSpec extends SparkSpec {
     assert(unguarded.count() === 20L * 19 / 2)
   }
 
+  test("Md5Hash64 matches the portable conv(substring(md5)) recipe bit-for-bit") {
+    val samples = docs.select(explode(TextOps.tokens(col("text"))).as("s"))
+      .union(df(Seq(Doc(0, "edge"))).select(lit("").as("s")))
+      .union(df(Seq(Doc(0, "edge"))).select(lit("héllo wörld 🎛").as("s")))
+    val both = samples.select(
+      graft.functions.Md5Hash64.hash64(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("lo"),
+      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("hi"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val native = r.getSeq[Long](0)
+      assert(native(0) === r.getLong(1) && native(1) === r.getLong(2))
+    }
+  }
+
   test("langIdByProfile recovers the label on a separable corpus") {
     val labeled = spark.createDataFrame(Seq(
       (0L, "aaa bbb ccc ddd", "x"), (1L, "aaa bbb ccc eee", "x"),
