@@ -73,6 +73,11 @@ object SparkEntry {
         .except(T(s, dir, "supplier").select(col("s_nationkey").as("n_nationkey")))
         .orderBy("n_nationkey")),
 
+    "q_intersect" -> ((s, dir) =>
+      T(s, dir, "customer").select("c_nationkey")
+        .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("c_nationkey")))
+        .orderBy("c_nationkey")),
+
     // ── joins (SURVEY §2.4) ────────────────────────────────────────────
     "q_join_left" -> ((s, dir) =>
       Relational.factDimLeftJoin(
@@ -132,6 +137,12 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), Portable.decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_cube" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), Portable.decSum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
@@ -304,6 +315,21 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           col("l_returnflag"), ntile(4).over(w).cast("long").as("quartile"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // Navigation window functions (lead / first_value / nth_value /
+    // last_value) — the forward-looking complements of q_lag_returns.
+    "q_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first(col("value")).over(grow).as("first_value"),
+          nth_value(col("value"), 2).over(grow).as("second_value"),
+          last(col("value")).over(full).as("last_value"))
+        .orderBy("event_id")
     }),
 
     "q_ffill" -> ((s, dir) =>
@@ -574,6 +600,32 @@ object SparkEntry {
       """SELECT n_nationkey FROM nation
          EXCEPT SELECT s_nationkey AS n_nationkey FROM supplier
          ORDER BY n_nationkey""",
+
+    "q_intersect" ->
+      """SELECT c_nationkey FROM customer
+         INTERSECT SELECT s_nationkey AS c_nationkey FROM supplier
+         ORDER BY c_nationkey""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           sum(CAST(l_quantity AS DECIMAL(28,4)))::DOUBLE AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_window_nav" ->
+      """SELECT event_id, user_id, value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER wg AS first_value,
+           nth_value(value, 2) OVER wg AS second_value,
+           last_value(value) OVER wf AS last_value
+         FROM events
+         WINDOW
+           w AS (PARTITION BY user_id ORDER BY event_id),
+           wg AS (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""",
 
     "q_join_left" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
