@@ -276,6 +276,19 @@ object SparkEntry {
           (datediff(col("l_shipdate"), col("o_orderdate")).cast("double") / lit(30.5)).as("ship_months"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
 
+    "q_date_parts" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2m"))
+        .orderBy("o_orderkey")),
+
     "q_string_funcs" -> ((s, dir) =>
       T(s, dir, "part")
         .select(col("p_partkey"),
@@ -390,6 +403,20 @@ object SparkEntry {
       EventOps.sessionize(T(s, dir, "events"), "user_id", "event_id", "ts", 1800L)
         .select("event_id", "user_id", "session_seq")
         .orderBy("event_id")),
+
+    // Spark's native session_window aggregation — the batch twin of the
+    // streaming sessionizer. Sessions merge while consecutive gaps are
+    // STRICTLY under the gap duration; the oracle replicates that with a
+    // microsecond-exact lag/cumsum.
+    "q_session_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), Portable.decSum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
 
     // ── text analysis (SURVEY C3, C10, C12; north star) ────────────────
     "q_text_tokens" -> ((s, dir) =>
@@ -897,6 +924,39 @@ object SparkEntry {
                   THEN 1 ELSE 0 END AS is_new
            FROM events)
          ORDER BY event_id""",
+
+    "q_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(28,4)))::DOUBLE AS sum_value
+         FROM numbered GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+           year(o_orderdate)::BIGINT AS y,
+           quarter(o_orderdate)::BIGINT AS q,
+           month(o_orderdate)::BIGINT AS m,
+           dayofmonth(o_orderdate)::BIGINT AS dom,
+           dayofyear(o_orderdate)::BIGINT AS doy,
+           (dayofweek(o_orderdate) + 1)::BIGINT AS dow,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m
+         FROM orders ORDER BY o_orderkey""",
 
     "q_text_tokens" ->
       """SELECT doc_id,
