@@ -474,6 +474,19 @@ object SparkEntry {
       TextOps.langIdByProfile(T(s, dir, "documents"), "doc_id", "text", "lang", 20)
         .orderBy("doc_id")),
 
+    // Dedup groups: connected components over SimHash near-dup pairs —
+    // every doc labeled with its group's minimum id ("keep rows where
+    // doc_id = group_rep" is then the representative filter). Oracle:
+    // recursive-CTE transitive closure over the identical pair set.
+    "q_dedup_groups" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Graph.connectedComponents(
+          docs.select("doc_id"), "doc_id",
+          TextOps.simHashNearDup(docs, "doc_id", "text", 3), "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup candidates — banded bucket join. The md5-seeded
     // hash family is engine-portable, so the full banding (signatures,
     // band keys, estimated Jaccard) is replicated in the DuckDB oracle.
@@ -1103,6 +1116,41 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote_sum > 0
+                   THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                   ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s, d FROM sym
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s)
+         SELECT doc_id, least(doc_id, coalesce(m.mn, doc_id)) AS group_rep
+         FROM documents
+         LEFT JOIN (SELECT s, min(d) AS mn FROM reach GROUP BY s) m ON m.s = doc_id
+         ORDER BY doc_id""",
 
     "q_minhash_lsh" ->
       """WITH toks AS (

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal distributed graph utilities for the dedup pipeline: near-dup
+  * pair generation (SimHash / MinHash / embedding LSH) produces EDGES;
+  * deduplication needs GROUPS — every document labeled with one canonical
+  * representative per connected component, so "keep one per group" is a
+  * simple filter.
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation:
+    * rep(v) ← min(rep(v), min over neighbors rep(u)) until fixpoint.
+    * Each round is one shuffle-join plus an aggregation — O(diameter)
+    * rounds, and near-dup components are shallow (dup clusters, not long
+    * chains). Labels are localCheckpoint'ed per round to truncate the
+    * growing lineage (the standard Spark iterative-algorithm discipline —
+    * state lives on executors, never the driver; only the convergence
+    * count crosses to the driver).
+    *
+    * Output: (id, group_rep) for EVERY node — isolated nodes map to
+    * themselves; group_rep is the component's minimum id.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("_src"), col(bCol).as("_dst"))
+      .union(edges.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("group_rep"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = sym.join(labels, col("_src") === col("id"))
+        .groupBy(col("_dst"))
+        .agg(min("group_rep").as("_nbr_rep"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("_dst"), "left")
+        .select(labels("id"),
+          least(col("group_rep"), coalesce(col("_nbr_rep"), col("group_rep"))).as("group_rep"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("group_rep").as("_prev")), "id")
+        .where(col("group_rep") =!= col("_prev")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+}
