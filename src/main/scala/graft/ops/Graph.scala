@@ -26,9 +26,17 @@ object Graph {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
+    // Materialize the symmetric edge list ONCE: without this, every
+    // propagation round re-evaluates the upstream edge pipeline (e.g. the
+    // whole SimHash near-dup query) from scratch.
     val sym = edges.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .union(edges.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+      .localCheckpoint(true)
+    def labelSum(l: DataFrame): BigDecimal =
+      BigDecimal(l.agg(sum(col("group_rep").cast("decimal(38,0)"))).head().getDecimal(0))
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("group_rep"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -39,10 +47,13 @@ object Graph {
         .select(labels("id"),
           least(col("group_rep"), coalesce(col("_nbr_rep"), col("group_rep"))).as("group_rep"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("id"), col("group_rep").as("_prev")), "id")
-        .where(col("group_rep") =!= col("_prev")).count()
+      // labels are monotone non-increasing, so the (exact, decimal) label
+      // sum strictly decreases until the fixpoint — a single lightweight
+      // aggregation instead of a join-based change count per round.
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     labels
