@@ -105,7 +105,11 @@ object VectorOps {
         // the linear scan of the corpus, so it must be codegen). The
         // oracle embeds the same float-rounded values as double literals,
         // so both engines see identical products and signs.
-        val planeLit = array(planes(bnd * planesPerBand + p).map(x => lit(x.toFloat)): _*)
+        // typedlit (one array-literal reference object) instead of
+        // array(lit, ...): the plane values live in the expression's
+        // references, not the generated source, so plans with different
+        // constants share one compiled class (codegen-cache hit)
+        val planeLit = typedlit(planes(bnd * planesPerBand + p).map(_.toFloat).toSeq)
         when(dotNative(vecCol, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
@@ -193,8 +197,11 @@ object VectorOps {
     * centroids ARE the model, k·dim floats, embedded in the expression.
     */
   def nearestCell(vecCol: Column, centroids: Array[Array[Float]]): Column = {
+    // typedlit: centroid values become reference objects, keeping the
+    // generated source identical across k-means iterations so each
+    // iteration's plan is a codegen-cache hit instead of a fresh compile
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotNative(vecCol, array(c.map(lit): _*)).as("dot"), lit(-i).as("negid"))
+      struct(dotNative(vecCol, typedlit(c.toSeq)).as("dot"), lit(-i).as("negid"))
     }
     (greatest(scored: _*).getField("negid") * -1).cast("int")
   }
@@ -202,7 +209,7 @@ object VectorOps {
   /** The `nProbe` cells nearest to a query vector, best first. */
   def topCells(vecCol: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotNative(vecCol, array(c.map(lit): _*)).as("dot"), lit(-i).as("negid"))
+      struct(dotNative(vecCol, typedlit(c.toSeq)).as("dot"), lit(-i).as("negid"))
     }
     transform(slice(sort_array(array(scored: _*), asc = false), 1, nProbe),
       s => (s.getField("negid") * -1).cast("int"))
@@ -223,26 +230,33 @@ object VectorOps {
     */
   def kMeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): Array[Array[Float]] = {
-    val nrm = normalized(col(vecCol))
-    val base = df.select(nrm.as("_v"), md5(col(idCol).cast("string")).as("_h"))
+    // Normalize ONCE and materialize (localCheckpoint): every iteration
+    // re-reads executor-cached blocks instead of re-scanning and
+    // re-normalizing the source.
+    val base = df.select(normalized(col(vecCol)).as("_v"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .localCheckpoint(true)
+    val dim = base.select(size(col("_v"))).head().getInt(0)
     var centroids: Array[Array[Float]] = base.orderBy("_h").limit(k)
       .collect().map(_.getSeq[Float](0).toArray)
+    // Per-iteration update is ONE wide aggregation (64 decimal-exact
+    // element sums + count, a single shuffle over k cells) — the
+    // posexplode + double-groupBy form paid two shuffles per round.
+    val sumCols = (0 until dim).map { i =>
+      sum(element_at(col("_v"), i + 1).cast("double").cast("decimal(28,9)")).as(s"_d$i")
+    }
     (0 until iters).foreach { _ =>
-      val means = base
-        .select(nearestCell(col("_v"), centroids).as("_cell"),
-          posexplode(col("_v")).as(Seq("_pos", "_x")))
-        .groupBy("_cell", "_pos")
-        .agg((Portable.decSum(col("_x").cast("double"), 9) / count(lit(1))).as("_m"))
+      val rows = base
+        .select(nearestCell(col("_v"), centroids).as("_cell"), col("_v"))
         .groupBy("_cell")
-        .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
-        .select(col("_cell"),
-          transform(col("_pm"), p => p.getField("_m")).as("_mean"))
+        .agg(count(lit(1)).as("_n"), sumCols: _*)
         .collect()
       val next = centroids.map(_.clone())
-      means.foreach { r =>
-        val m = r.getSeq[Double](1).toArray
-        val n = math.sqrt(m.map(x => x * x).sum)
-        if (n > 0) next(r.getInt(0)) = m.map(x => (x / n).toFloat)
+      rows.foreach { r =>
+        val n = r.getLong(1).toDouble
+        val m = (0 until dim).map(i => r.getDecimal(2 + i).doubleValue / n).toArray
+        val nrm2 = math.sqrt(m.map(x => x * x).sum)
+        if (nrm2 > 0) next(r.getInt(0)) = m.map(x => (x / nrm2).toFloat)
       }
       centroids = next
     }
