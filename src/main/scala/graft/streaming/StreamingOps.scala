@@ -51,6 +51,24 @@ object StreamingOps {
         .parquet(inputDir),
       keyCol, tsCol, valueCol, width, watermarkDelay)
 
+  /** Streaming twin of TextOps.dedupExact: fingerprint each arriving
+    * document (md5 over whitespace-normalized, lower-cased text — the
+    * same portable recipe as batch) and emit only the first occurrence
+    * of each fingerprint, within and across micro-batches. State is one
+    * 32-byte fingerprint per distinct document, kept indefinitely —
+    * exact corpus-wide dedup semantics. Pass `withinWatermark = true`
+    * (with an event-time column already watermarked upstream) to bound
+    * state to the watermark horizon instead, trading completeness for
+    * bounded memory on unbounded streams.
+    */
+  def streamingDedupExact(df: DataFrame, textCol: String,
+                          withinWatermark: Boolean = false): DataFrame = {
+    val fp = df.withColumn("fingerprint",
+      md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+    if (withinWatermark) fp.dropDuplicatesWithinWatermark("fingerprint")
+    else fp.dropDuplicates("fingerprint")
+  }
+
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class SessionOut(key: Long, session_start: java.sql.Timestamp,

@@ -51,4 +51,27 @@ class FileStreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamingDedupExact keeps first occurrence within and across micro-batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingDedupExact(
+      in.toDF().toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: an exact dup and a whitespace/case variant of doc 0
+      in.addData((0L, "hello spark world"), (1L, "hello spark world"), (2L, "HELLO  spark world"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch dup plus one genuinely new doc
+      in.addData((3L, "hello spark world"), (4L, "a brand new document"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(0L, 4L))
+    } finally q.stop()
+  }
 }
