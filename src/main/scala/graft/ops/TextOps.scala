@@ -129,11 +129,16 @@ object TextOps {
     * the doc-frequency aggregation itself is hot-key-safe (map-side
     * partial counts). No-op when maxDocFreqRatio >= 1.
     */
-  def pruneFrequentShingles(sh: DataFrame, idCol: String, maxDocFreqRatio: Double): DataFrame = {
+  def pruneFrequentShingles(sh: DataFrame, idCol: String, maxDocFreqRatio: Double,
+                            docCount: Option[DataFrame] = None): DataFrame = {
     if (maxDocFreqRatio >= 1.0) sh
     else {
+      // doc count from the (cheap) source when provided — counting it from
+      // `sh` would evaluate the shingle pipeline a third time
+      val nd = docCount.getOrElse(sh).select(col(idCol)).distinct()
+        .agg(count(lit(1)).as("_nd"))
       val hot = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
-        .crossJoin(broadcast(sh.agg(countDistinct(col(idCol)).as("_nd"))))
+        .crossJoin(broadcast(nd))
         .where(col("_df") > col("_nd") * maxDocFreqRatio)
         .select("shingle")
       sh.join(broadcast(hot), Seq("shingle"), "left_anti")
@@ -167,7 +172,8 @@ object TextOps {
                            maxDocFreqRatio: Double = 1.0): DataFrame = {
     val r = k / bands
     val sigs = minHashSignatures(
-      pruneFrequentShingles(shingles(df, idCol, textCol, n), idCol, maxDocFreqRatio), idCol, k)
+      pruneFrequentShingles(shingles(df, idCol, textCol, n), idCol, maxDocFreqRatio,
+        docCount = Some(df.select(col(idCol)))), idCol, k)
     val banded = sigs.select(
       col(idCol),
       col("sig"),
@@ -197,7 +203,8 @@ object TextOps {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                         maxDocFreqRatio: Double = 1.0): DataFrame = {
-    val sh = pruneFrequentShingles(shingles(df, idCol, textCol, n), idCol, maxDocFreqRatio)
+    val sh = pruneFrequentShingles(shingles(df, idCol, textCol, n), idCol, maxDocFreqRatio,
+      docCount = Some(df.select(col(idCol))))
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
