@@ -310,6 +310,15 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "prev_value", "ret")
         .orderBy("event_id")),
 
+    // EWMA: the recursion y_t = α·x_t + (1−α)·y_{t−1} is inexpressible as
+    // a window function — the sanctioned mapPartitions case. The oracle's
+    // list_reduce prefix folds apply the identical double ops in the same
+    // order, so values are bit-equal.
+    "q_ewma" -> ((s, dir) =>
+      TimeSeries.ewma(T(s, dir, "events"), "user_id", "event_id", "value", 0.2)
+        .select("event_id", "user_id", "value", "ewma")
+        .orderBy("event_id")),
+
     "q_rolling_vol" -> ((s, dir) =>
       TimeSeries.rollingVol(T(s, dir, "events"), "user_id", "event_id", "value", 10)
         .select("event_id", "user_id", "roll_vol")
@@ -516,6 +525,16 @@ object SparkEntry {
       MultimodalOps.featureStats(MultimodalOps.decodeFeaturesStub(packed))
         .withColumn("mean_f", round(col("mean_f"), 6))
         .orderBy("mime", "dim")
+    }),
+
+    // Frame sampling over video-like payloads: every stride-th frame index
+    // up to byte_len/bytesPerFrame, generator-side (no payload fanout).
+    "q_frame_sample" -> ((s, dir) => {
+      val packed = MultimodalOps.packBinary(
+        T(s, dir, "documents").withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
+      MultimodalOps.sampleFrames(packed, bytesPerFrame = 16L, stride = 3)
+        .select(col("id"), col("frame_idx"))
+        .orderBy("id", "frame_idx")
     }),
 
     // Embedding-cosine near-dup: exact within a bounded range (oracle-
@@ -839,6 +858,27 @@ object SparkEntry {
            value / nullif(lag(value) OVER w, 0.0) - 1.0 AS ret
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
          ORDER BY event_id""",
+
+    "q_ewma" ->
+      """WITH ord AS (
+           SELECT user_id,
+             list(event_id ORDER BY event_id) AS ids,
+             list(value ORDER BY event_id) AS vs
+           FROM events GROUP BY user_id),
+         exploded AS (
+           SELECT user_id,
+             unnest(ids) AS event_id,
+             unnest(vs) AS value,
+             unnest(list_transform(range(1, len(vs) + 1),
+               i -> list_reduce(vs[1:i],
+                 (acc, x) -> 0.2::DOUBLE * x + (1.0::DOUBLE - 0.2::DOUBLE) * acc))) AS ewma
+           FROM ord)
+         SELECT event_id, user_id, value, ewma FROM exploded ORDER BY event_id""",
+
+    "q_frame_sample" ->
+      """SELECT doc_id AS id,
+           unnest(range(0, greatest(length(text) // 16, 1), 3)) AS frame_idx
+         FROM documents ORDER BY id, frame_idx""",
 
     "q_rolling_vol" ->
       """SELECT event_id, user_id,

@@ -17,6 +17,42 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeSeries {
 
+  /** Exponentially weighted moving average per series:
+    * y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁ in orderCol order.
+    *
+    * The recursion is genuinely inexpressible as a window function (each
+    * output depends on the previous OUTPUT, not a frame of inputs), so
+    * this is the one sanctioned `mapPartitions` case: repartition by the
+    * series key, sort each partition by (key, order), and run the
+    * constant-space recurrence per key within a partition. State is two
+    * doubles per task; keys never span partitions, so results are
+    * independent of parallelism. The fold is left-to-right over the same
+    * double ops as DuckDB's list_reduce, so the oracle matches
+    * bit-for-bit. seriesKey and orderCol must be integral (both are cast
+    * to long internally for the typed-tuple encoder).
+    */
+  def ewma(df: DataFrame, seriesKey: String, orderCol: String, valueCol: String,
+           alpha: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesKey).cast("long"), col(orderCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .repartition(col(seriesKey))
+      .sortWithinPartitions(col(seriesKey), col(orderCol))
+      .mapPartitions { rows =>
+        var curKey = Long.MinValue
+        var haveKey = false
+        var acc = 0.0
+        rows.map { case (k, ord, x) =>
+          if (!haveKey || k != curKey) { curKey = k; haveKey = true; acc = x }
+          else acc = alpha * x + (1.0 - alpha) * acc
+          (k, ord, x, acc)
+        }
+      }
+      .toDF(seriesKey, orderCol, valueCol, "ewma")
+  }
+
   /** One-observation lag return per series: (x / lag(x)) - 1.
     * README.md:177: "shift df.end_price by one observation, grouped by isin".
     * `orderCol` must be unique within a series for determinism. Division by

@@ -15,6 +15,26 @@ class TimeSeriesSpec extends SparkSpec {
     Bar("A", 3, t("2024-01-01 09:03:00"), 99.0, 5),
     Bar("B", 4, t("2024-01-01 09:00:00"), 50.0, 7)))
 
+  test("ewma matches the sequential recurrence at any parallelism") {
+    val s = spark
+    import s.implicits._
+    val data = (0L until 4L).flatMap(k => (0L until 50L).map(i => (k, i, (i * 7 % 13).toDouble)))
+    val in = data.toDF("user_id", "event_id", "value")
+    val alpha = 0.3
+    val expected = data.groupBy(_._1).flatMap { case (k, rows) =>
+      var acc = 0.0
+      rows.sortBy(_._2).zipWithIndex.map { case ((_, i, x), idx) =>
+        acc = if (idx == 0) x else alpha * x + (1.0 - alpha) * acc
+        (k, i) -> acc
+      }
+    }.toMap
+    Seq(1, 3, 7).foreach { p =>
+      val out = TimeSeries.ewma(in.repartition(p), "user_id", "event_id", "value", alpha)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(out === expected, s"mismatch at input parallelism $p")
+    }
+  }
+
   test("lagReturns: (x / prev) - 1 per series, null for first and zero-prev") {
     val r = TimeSeries.lagReturns(bars, "isin", "seq", "price")
       .orderBy("seq").select("ret").collect().map(x => Option(x.get(0)))
