@@ -483,6 +483,16 @@ object SparkEntry {
       TextOps.langIdByProfile(T(s, dir, "documents"), "doc_id", "text", "lang", 20)
         .orderBy("doc_id")),
 
+    // Decontamination: docs >= 100 checked for 3-gram overlap against a
+    // pretend benchmark set (docs < 100) — the eval-leakage hygiene pass.
+    "q_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextOps.contaminationFlags(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", n = 3, minCommon = 2L)
+        .orderBy("doc_id")
+    }),
+
     // Dedup groups: connected components over SimHash near-dup pairs —
     // every doc labeled with its group's minimum id ("keep rows where
     // doc_id = group_rep" is then the representative filter). Oracle:
@@ -1156,6 +1166,28 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 100),
+         overlap AS (
+           SELECT s.doc_id, count(*) AS n_common_shingles
+           FROM sh s JOIN bench b ON s.shingle = b.shingle
+           WHERE s.doc_id >= 100
+           GROUP BY s.doc_id)
+         SELECT d.doc_id,
+           coalesce(o.n_common_shingles, 0) AS n_common_shingles,
+           coalesce(o.n_common_shingles, 0) >= 2 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+         LEFT JOIN overlap o ON o.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     "q_dedup_groups" ->
       """WITH RECURSIVE tok AS (

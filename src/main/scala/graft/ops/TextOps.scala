@@ -304,6 +304,30 @@ object TextOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Decontamination: flag corpus documents sharing at least `minCommon`
+    * distinct word n-gram shingles with a benchmark/eval corpus — the
+    * training-data hygiene step that keeps eval answers out of training
+    * sets. The benchmark's distinct shingle set is the join side (small
+    * relative to the corpus — broadcast); the corpus streams through a
+    * semi-join-shaped equi-join plus one count aggregation per flagged
+    * doc. Emits EVERY corpus doc with its overlap count so thresholds can
+    * be tuned downstream.
+    */
+  def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         minCommon: Long): DataFrame = {
+    val benchShingles = shingles(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    val overlap = shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_common_shingles"))
+    corpus.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_common_shingles"))
+      .withColumn("contaminated", col("n_common_shingles") >= minCommon)
+  }
+
   /** Corpus-profile language ID (north star): builds a per-language profile
     * of its top-N most frequent tokens (tie-break token asc) from a labeled
     * corpus, then predicts each document's language as the profile with the

@@ -99,6 +99,17 @@ class TextOpsSpec extends SparkSpec {
     assert(unguarded.count() === 20L * 19 / 2)
   }
 
+  test("contaminationFlags counts benchmark shingle overlap per corpus doc") {
+    val bench = df(Seq(Doc(100, "the quick brown fox jumps")))
+    // doc 0 shares the benchmark's trigrams; doc 4 shares none
+    val flags = TextOps.contaminationFlags(docs, bench, "doc_id", "text", 3, minCommon = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(flags(0)._1 === 3 && flags(0)._2)       // 3 shared trigrams
+    assert(flags(4)._1 === 0 && !flags(4)._2)
+    assert(flags(3)._2)                            // near-dup of 0 still overlaps
+    assert(flags.size === docs.count())
+  }
+
   test("Md5Hash64 matches the portable conv(substring(md5)) recipe bit-for-bit") {
     val samples = docs.select(explode(TextOps.tokens(col("text"))).as("s"))
       .union(df(Seq(Doc(0, "edge"))).select(lit("").as("s")))
