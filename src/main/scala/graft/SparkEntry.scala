@@ -515,6 +515,30 @@ object SparkEntry {
           n = 3, k = 16, bands = 8)
         .orderBy("id_a", "id_b")),
 
+    // Flagship composition — the whole training-data prep pipeline in one
+    // declarative plan: quality floor → exact dedup (keep-first) →
+    // near-dup clustering (keep each group's representative) →
+    // deterministic hash split. Every stage is an operator declared above;
+    // the oracle recomputes the identical pipeline in SQL (including the
+    // recursive-CTE near-dup closure).
+    "q_pipeline_prep" -> ((s, dir) => {
+      val quality = TextOps.qualityScore(T(s, dir, "documents"), "text")
+        .where(col("n_tokens") >= 10)
+      val deduped = TextOps.dedupExact(quality, "doc_id", "text")
+      val groups = Graph.connectedComponents(
+        deduped.select("doc_id"), "doc_id",
+        TextOps.simHashNearDup(deduped, "doc_id", "text", 3), "id_a", "id_b")
+      val reps = deduped.join(
+        groups.where(col("id") === col("group_rep")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+      reps
+        .withColumn("split", when(bucket < 8000, lit("train")).otherwise(lit("eval")))
+        .select("doc_id", "n_tokens", "quality_score", "split")
+        .orderBy("doc_id")
+    }),
+
     // ── vectors / similarity search (SURVEY C4, C11; north star) ───────
     "q_array_dot" -> ((s, dir) =>
       VectorOps.selfDot(T(s, dir, "embeddings"), "vec_id", "embedding")
@@ -1166,6 +1190,66 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q_pipeline_prep" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         q AS (
+           SELECT doc_id, text,
+             len(t)::BIGINT AS n_tokens,
+             CASE WHEN len(t) > 0
+               THEN list_reduce(list_transform(t, x -> length(x)::BIGINT), (a, b) -> a + b)::DOUBLE / len(t)
+               ELSE 0.0 END AS avg_tok_len,
+             CASE WHEN len(t) > 0
+               THEN len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(t)
+               ELSE 0.0 END AS stop_ratio
+           FROM toks WHERE len(t) >= 10),
+         dd AS (
+           SELECT doc_id, text, n_tokens,
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+           FROM (
+             SELECT q.*, row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+             FROM q)
+           WHERE rn = 1),
+         tok2 AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM dd),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok2),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote_sum > 0
+                   THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                   ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s, d FROM sym
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s)
+         SELECT dd.doc_id, n_tokens, quality_score,
+           CASE WHEN ('0x' || substr(md5(dd.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000
+                THEN 'train' ELSE 'eval' END AS split
+         FROM dd
+         LEFT JOIN (SELECT s, min(d) AS mn FROM reach GROUP BY s) m ON m.s = dd.doc_id
+         WHERE least(dd.doc_id, coalesce(m.mn, dd.doc_id)) = dd.doc_id
+         ORDER BY dd.doc_id""",
 
     "q_contamination" ->
       """WITH toks AS (
