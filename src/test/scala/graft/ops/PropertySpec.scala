@@ -64,6 +64,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ewma stays within the running min/max of its inputs (convexity)") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-50.0, 50.0))
+    samples(gen, 5).foreach { xs =>
+      val in = spark.createDataFrame(xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) })
+        .toDF("k", "seq", "v")
+      val out = TimeSeries.ewma(in, "k", "seq", "v", 0.4)
+        .orderBy("seq").select("ewma").collect().map(_.getDouble(0))
+      var lo = Double.MaxValue
+      var hi = Double.MinValue
+      xs.zip(out).foreach { case (x, y) =>
+        lo = math.min(lo, x); hi = math.max(hi, x)
+        assert(y >= lo - 1e-9 && y <= hi + 1e-9,
+          s"ewma $y escaped running input range [$lo, $hi]")
+      }
+    }
+  }
+
+  test("simHashNearDup pairs are ordered, within the Hamming bound, and self-free") {
+    val word = Gen.oneOf("spark", "scala", "query", "table", "joins", "batch")
+    val gen = Gen.nonEmptyListOf(Gen.listOfN(6, word).map(_.mkString(" ")))
+    samples(gen, 3).foreach { texts =>
+      val in = spark.createDataFrame(texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) })
+        .toDF("doc_id", "text")
+      val pairs = TextOps.simHashNearDup(in, "doc_id", "text", 3).collect()
+      pairs.foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+        assert(r.getAs[Long]("hamming") <= 3)
+      }
+      // exactly-once: no duplicate pairs even when several bands agree
+      assert(pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length === pairs.length)
+    }
+  }
+
+  test("connectedComponents reps are component-consistent for random edge sets") {
+    val gen = Gen.listOf(Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    samples(gen, 5).foreach { rawEdges =>
+      val edges = rawEdges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val nodes = spark.createDataFrame((0L until 20L).map(Tuple1(_))).toDF("id")
+      val edgeDf = spark.createDataFrame(
+        if (edges.isEmpty) Seq((-1L, -2L)) else edges).toDF("a", "b")
+      val reps = Graph.connectedComponents(nodes, "id", edgeDf, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every edge endpoint pair shares a rep; every rep maps to itself
+      edges.foreach { case (a, b) => assert(reps(a) === reps(b)) }
+      reps.values.filter(reps.contains).foreach(rep => assert(reps(rep) === rep))
+      reps.foreach { case (id, rep) => assert(rep <= id) }
+    }
+  }
+
   test("dedupExact output has unique fingerprints for any corpus") {
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
     val gen = Gen.nonEmptyListOf(Gen.listOfN(4, word).map(_.mkString(" ")))
