@@ -28,28 +28,29 @@ object TimeSeries {
     * doubles per task; keys never span partitions, so results are
     * independent of parallelism. The fold is left-to-right over the same
     * double ops as DuckDB's list_reduce, so the oracle matches
-    * bit-for-bit. seriesKey and orderCol must be integral (both are cast
-    * to long internally for the typed-tuple encoder).
+    * bit-for-bit. Key and order columns keep their original types (Row
+    * encoder); only the value column is cast to double.
     */
   def ewma(df: DataFrame, seriesKey: String, orderCol: String, valueCol: String,
            alpha: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(seriesKey).cast("long"), col(orderCol).cast("long"),
-        col(valueCol).cast("double"))
-      .as[(Long, Long, Double)]
-      .repartition(col(seriesKey))
+    val in = df.select(col(seriesKey), col(orderCol), col(valueCol).cast("double"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "ewma", org.apache.spark.sql.types.DoubleType, nullable = false))
+    in.repartition(col(seriesKey))
       .sortWithinPartitions(col(seriesKey), col(orderCol))
       .mapPartitions { rows =>
-        var curKey = Long.MinValue
+        var curKey: Any = null
         var haveKey = false
         var acc = 0.0
-        rows.map { case (k, ord, x) =>
+        rows.map { r =>
+          val k = r.get(0)
+          val x = r.getDouble(2)
           if (!haveKey || k != curKey) { curKey = k; haveKey = true; acc = x }
           else acc = alpha * x + (1.0 - alpha) * acc
-          (k, ord, x, acc)
+          org.apache.spark.sql.Row(r.get(0), r.get(1), x, acc)
         }
-      }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF(seriesKey, orderCol, valueCol, "ewma")
   }
 

@@ -35,6 +35,17 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ewma preserves non-numeric key types (string series keys)") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(("DE0001", 0L, 10.0), ("DE0001", 1L, 20.0), ("FR0002", 0L, 5.0))
+      .toDF("isin", "seq", "px")
+    val out = TimeSeries.ewma(in, "isin", "seq", "px", 0.5)
+      .orderBy("isin", "seq").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("DE0001", "DE0001", "FR0002"))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(10.0, 15.0, 5.0))
+  }
+
   test("lagReturns: (x / prev) - 1 per series, null for first and zero-prev") {
     val r = TimeSeries.lagReturns(bars, "isin", "seq", "price")
       .orderBy("seq").select("ret").collect().map(x => Option(x.get(0)))
