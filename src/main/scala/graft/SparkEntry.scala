@@ -97,6 +97,15 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
     }),
 
+    // Skew-salted join: results must be IDENTICAL to the plain equi-join —
+    // the oracle is the plain join, so the equivalence is hash-checked.
+    "q_join_salted" -> ((s, dir) =>
+      Relational.saltedJoin(
+          T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+          T(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+          Seq("l_orderkey"), nSalts = 8)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
     "q_join_semi" -> ((s, dir) =>
       Relational.semiJoin(
           T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
@@ -544,6 +553,15 @@ object SparkEntry {
       VectorOps.selfDot(T(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")),
 
+    // Int8 symmetric quantization — the embedding storage path. The
+    // quantized vector is emitted as a CSV string so the hash compare is
+    // representation-stable across engines.
+    "q_quantize_int8" -> ((s, dir) =>
+      VectorOps.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+          concat_ws(",", col("q")).as("q_csv"))
+        .orderBy("vec_id")),
+
     "q_cosine_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       VectorOps.cosineTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5)
@@ -731,6 +749,11 @@ object SparkEntry {
          JOIN (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30) b
            ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
          ORDER BY a.l_orderkey, a.l_linenumber, a.l_partkey, a.l_suppkey, b.l_quantity""",
+
+    "q_join_salted" ->
+      """SELECT l.l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, o_totalprice
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         ORDER BY l.l_orderkey, l_linenumber, l_partkey, l_suppkey""",
 
     "q_join_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -1366,6 +1389,18 @@ object SparkEntry {
            FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS dim) b
            GROUP BY b.dim)
          ORDER BY mime, dim""",
+
+    "q_quantize_int8" ->
+      """SELECT vec_id, round(s, 9) AS scale,
+           array_to_string(list_transform(e,
+             x -> CASE WHEN s > 0 THEN floor(x * 127.0 / s + 0.5)::TINYINT
+                       ELSE 0::TINYINT END), ',') AS q_csv
+         FROM (
+           SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_reduce(list_transform(embedding::DOUBLE[], x -> abs(x)),
+               (a, b) -> greatest(a, b)) AS s
+           FROM embeddings)
+         ORDER BY vec_id""",
 
     "q_array_dot" ->
       """SELECT vec_id,

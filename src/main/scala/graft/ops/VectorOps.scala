@@ -263,6 +263,22 @@ object VectorOps {
     centroids
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * max-abs scale, qᵢ = floor(xᵢ·127/scale + 0.5) — the 4× storage
+    * compression for embedding columns at rest (a quantized 64-dim vector
+    * is 64 bytes + one float). The rounding recipe is floor(·+0.5) so it
+    * is reproducible verbatim in any engine; zero vectors quantize to
+    * zeros with scale 0. Dequantize as qᵢ·scale/127 (max abs error
+    * scale/254).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val s = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val q = transform(col(vecCol), x =>
+      when(s > 0, floor(x.cast("double") * 127.0 / s + 0.5).cast("tinyint"))
+        .otherwise(lit(0).cast("tinyint")))
+    df.select(col(idCol), s.as("scale"), q.as("q"))
+  }
+
   /** L2-normalize a float-array column (null-safe; zero vectors pass
     * through unscaled).
     */

@@ -98,6 +98,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(fold.map(_.toSeq).toSeq === nat.map(_.toSeq).toSeq)
   }
 
+  test("quantizeInt8 round-trips within scale/254 per element") {
+    val original = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val out = VectorOps.quantizeInt8(vecs, "vec_id", "embedding").collect()
+    assert(out.length === original.size)
+    out.foreach { r =>
+      val (id, s, q) = (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2))
+      assert(q.forall(b => b >= -127 && b <= 127))
+      original(id).zip(q).foreach { case (x, b) =>
+        assert(math.abs(x.toDouble - b.toDouble * s / 127.0) <= s / 254.0 + 1e-9)
+      }
+    }
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = VectorOps.hyperplanes(4, dim)
     val b = VectorOps.hyperplanes(4, dim)
