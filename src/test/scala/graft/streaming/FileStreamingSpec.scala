@@ -52,6 +52,56 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming sessionize converges to the batch session boundaries") {
+    val s = spark
+    import s.implicits._
+    // whole-second timestamps so the batch (second-truncated epoch) and
+    // streaming (millisecond) gap rules agree
+    val slice = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .where(col("user_id") < 10)
+      .select(col("user_id").as("key"), date_trunc("second", col("ts")).as("ts"),
+        col("value"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sess_in").toFile.getAbsolutePath
+    slice.write.mode("append").parquet(inDir)
+    // sentinel per key, far past every real event: closes all real sessions
+    val maxTs = slice.agg(max("ts")).head().getTimestamp(0)
+    slice.select("key").distinct()
+      .select(col("key"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)).as("ts"),
+        lit(0.0).as("value"))
+      .write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream.schema(slice.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .as[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionize(stream, gapSeconds = 1800L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_file").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_file")
+        .select(col("key"), col("session_start"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      // batch truth: gap-sessionize, then one row per (key, session)
+      val batch = EventOps.sessionize(
+          slice.withColumn("seq", monotonically_increasing_id()), "key", "seq", "ts", 1800L)
+        .groupBy("key", "session_seq")
+        .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
+          sum("value").as("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).getTime) -> (r.getLong(3), r.getDouble(4)))
+        .toMap
+      assert(batch.nonEmpty)
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (k, (n, sv)) =>
+        val (sn, ss) = streamed(k)
+        assert(sn === n, s"n_events mismatch for session $k")
+        assert(math.abs(ss - sv) < 1e-6, s"sum_value mismatch for session $k")
+      }
+    } finally q.stop()
+  }
+
   test("streamingDedupExact keeps first occurrence within and across micro-batches") {
     val s = spark
     import s.implicits._
