@@ -12,8 +12,18 @@ class PlanInvariantsSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] =
-    (p +: p.children.flatMap(flatten)) ++ p.subqueries.flatMap(flatten)
+  // descends through AQE wrappers (AdaptiveSparkPlanExec / query stages) —
+  // without this the invariants only ever saw the adaptive root node
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(s.plan)
+      case _ => Seq.empty
+    }
+    (p +: p.children.flatMap(flatten)) ++ p.subqueries.flatMap(flatten) ++ inner
+  }
 
   test("no declared query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -21,6 +31,28 @@ class PlanInvariantsSpec extends SparkSpec {
       if (flatten(plan).exists(_.isInstanceOf[CartesianProductExec])) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("documents scans prune to exactly the needed columns") {
+    // regression guard for column pruning reaching the parquet reader: a
+    // text query that drags the unused `lang`/`source` columns through its
+    // scan would multiply 100 TB scan volume for nothing
+    val textOnly = Seq("q_text_tokens", "q_wordcount", "q_dedup_exact",
+      "q_simhash", "q_pipeline_prep", "q_contamination")
+    textOnly.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val scans = flatten(plan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.inputFiles.exists(_.contains("documents")) => s
+      }
+      assert(scans.nonEmpty, s"$name: no documents scan found")
+      scans.foreach { s =>
+        val read = s.requiredSchema.fieldNames.toSet
+        withClue(s"$name reads ${read.mkString(",")}: ") {
+          assert(read.subsetOf(Set("doc_id", "text")))
+        }
+      }
+    }
   }
 
   test("every lineitem row-level query orders by the full unique key") {

@@ -96,6 +96,25 @@ class LshRecallSpec extends SparkSpec {
     assert(worst < 0.5, "2 of 16 probes must scan well under the full corpus")
   }
 
+  test("int8-quantized corpus preserves cosine top-k (storage-path search fitness)") {
+    val corpus = emb.select("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = VectorOps.cosineTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // corpus stored quantized, dequantized at read; queries full precision
+    val dequant = VectorOps.quantizeInt8(corpus, "vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("q"), b => (b.cast("double") * col("scale") / lit(127.0)).cast("float"))
+          .as("embedding"))
+    val approx = VectorOps.cosineTopK(dequant, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = approx.intersect(exact).size.toDouble / exact.size
+    info(f"int8 top-5 overlap vs exact: $overlap%.4f (${approx.intersect(exact).size}/${exact.size})")
+    assert(overlap >= 0.85)
+  }
+
   test("high-similarity regime: 8 bands x 8 planes prunes candidates while holding recall") {
     // Plant near-duplicates: a slightly perturbed copy of each vector
     // (cos > 0.99 to its original) — the regime near-dup LSH is FOR.
