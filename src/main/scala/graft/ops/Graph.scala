@@ -32,8 +32,10 @@ object Graph {
     val sym = edges.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .union(edges.select(col(bCol).as("_src"), col(aCol).as("_dst")))
       .localCheckpoint(true)
-    def labelSum(l: DataFrame): BigDecimal =
-      BigDecimal(l.agg(sum(col("group_rep").cast("decimal(38,0)"))).head().getDecimal(0))
+    def labelSum(l: DataFrame): BigDecimal = {
+      val d = l.agg(sum(col("group_rep").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) BigDecimal(0) else BigDecimal(d) // null sum = empty node set
+    }
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("group_rep"))
       .localCheckpoint(true)
     var prevSum = labelSum(labels)

@@ -236,7 +236,9 @@ object VectorOps {
     val base = df.select(normalized(col(vecCol)).as("_v"),
         md5(col(idCol).cast("string")).as("_h"))
       .localCheckpoint(true)
-    val dim = base.select(size(col("_v"))).head().getInt(0)
+    val firstRow = base.select(size(col("_v"))).limit(1).collect()
+    if (firstRow.isEmpty) return Array.empty // empty corpus: no centroids
+    val dim = firstRow.head.getInt(0)
     var centroids: Array[Array[Float]] = base.orderBy("_h").limit(k)
       .collect().map(_.getSeq[Float](0).toArray)
     // Per-iteration update is ONE wide aggregation (64 decimal-exact

@@ -44,6 +44,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(VectorOps.selfDot(emptyVecs, "vec_id", "embedding").count() === 0)
     assert(VectorOps.cosineTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() === 0)
     assert(VectorOps.nearDupPairsLsh(emptyVecs, "vec_id", "embedding", 0.5, 2, 2, 8).count() === 0)
+    assert(VectorOps.kMeansCentroids(emptyVecs, "vec_id", "embedding", 4, 2).isEmpty)
+    assert(VectorOps.quantizeInt8(emptyVecs, "vec_id", "embedding").count() === 0)
+  }
+
+  test("iterative ops on empty inputs") {
+    val emptyNodes = df(Seq.empty[Node])
+    val emptyEdges = df(Seq.empty[Edge])
+    assert(Graph.connectedComponents(emptyNodes, "id", emptyEdges, "id_a", "id_b").count() === 0)
+    assert(TimeSeries.ewma(df(Seq.empty[Bar]).select("isin", "seq", "price"),
+      "isin", "seq", "price", 0.5).count() === 0)
   }
 
   test("profiling on empty frame reports zero rows per column") {
