@@ -533,7 +533,10 @@ object SparkEntry {
     "q_pipeline_prep" -> ((s, dir) => {
       val quality = TextOps.qualityScore(T(s, dir, "documents"), "text")
         .where(col("n_tokens") >= 10)
-      val deduped = TextOps.dedupExact(quality, "doc_id", "text")
+      // materialization point between pipeline stages: three consumers
+      // (near-dup edges, component nodes, final join) would otherwise
+      // each re-evaluate the quality+dedup stage from the scan
+      val deduped = TextOps.dedupExact(quality, "doc_id", "text").localCheckpoint(true)
       val groups = Graph.connectedComponents(
         deduped.select("doc_id"), "doc_id",
         TextOps.simHashNearDup(deduped, "doc_id", "text", 3), "id_a", "id_b")
