@@ -37,8 +37,11 @@ class PlanInvariantsSpec extends SparkSpec {
     // regression guard for column pruning reaching the parquet reader: a
     // text query that drags the unused `lang`/`source` columns through its
     // scan would multiply 100 TB scan volume for nothing
+    // (q_pipeline_prep is excluded: its documents scan runs inside the
+    // eager dedup-stage checkpoint, so the returned plan reads the
+    // materialized RDD, not parquet)
     val textOnly = Seq("q_text_tokens", "q_wordcount", "q_dedup_exact",
-      "q_simhash", "q_pipeline_prep", "q_contamination")
+      "q_simhash", "q_contamination")
     textOnly.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
       val scans = flatten(plan).collect {
