@@ -24,10 +24,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query values rounded to ms: full double precision tripled the
+    // JSON line length and the driver's bounded tail capture truncated it
+    // mid-record (BENCH_r03 parsed: null). The line is also written to a
+    // file and printed LAST (after spark.stop()) so only sbt's short
+    // [success] trailer follows it in the captured tail.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = math.rint(results.values.sum * 1000) / 1000
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
   }
 }

@@ -52,6 +52,15 @@ object SparkEntry {
           T(s, dir, "orders").select("o_orderkey", "o_totalprice"), "o_orderkey", 0.1)
         .orderBy("o_orderkey")),
 
+    // Stratified deterministic sample: per-status rates over the same
+    // md5-bucket rule — the "oversample rare strata" split recipe.
+    "q_hash_sample_by" -> ((s, dir) =>
+      Relational.hashSampleBy(
+          T(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          "o_orderkey", "o_orderstatus",
+          Map("O" -> 0.05, "F" -> 0.2, "P" -> 0.5))
+        .orderBy("o_orderkey")),
+
     "q_quality_check" -> ((s, dir) =>
       Relational.qualityCheck(T(s, dir, "orders"),
           Seq("o_orderstatus", "o_orderpriority"), "o_orderstatus <> 'O'")
@@ -105,6 +114,33 @@ object SparkEntry {
           T(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
           Seq("l_orderkey"), nSalts = 8)
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // 3-table star join (TPC-H Q3 shape): the reference's own analytical
+    // contract (README.md:175-176 derivative ↔ underlying ↔ product-spec)
+    // is a 3-way star. Filtered customer (≈1/5 of a small dim) broadcasts
+    // into orders; the orders×lineitem join shuffles on the orderkey; the
+    // revenue agg reuses that partitioning (groupBy key starts with
+    // l_orderkey — no extra exchange); top-10 is TakeOrderedAndProject.
+    "q_join_star" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = T(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1997-07-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(Portable.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
 
     "q_join_semi" -> ((s, dir) =>
       Relational.semiJoin(
@@ -626,13 +662,18 @@ object SparkEntry {
 
     // IVF probe-limited ANN: spherical k-means centroids (deterministic —
     // seeded init + decimal-exact means), corpus bucketed by nearest cell,
-    // queries probe their 4 nearest of 16 cells. The centroids come from
-    // Spark jobs at plan-build time, so no SQL oracle can replicate them —
-    // verified rows-only here plus a measured-recall ScalaTest
-    // (LshRecallSpec) against the exact brute-force baseline.
+    // queries probe their 4 nearest of 16 cells. The centroids are an
+    // INDEX ARTIFACT (IvfIndex): trained once per dataset, persisted, and
+    // loaded at query time — the real ANN lifecycle, not per-query
+    // training. Because the loaded artifact pre-exists SQL generation, the
+    // oracle embeds the centroid values as literals (ivfTopKSql) and this
+    // query is fully hash-checked; recall vs the brute-force baseline is
+    // measured separately in LshRecallSpec.
     "q_ivf_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val centroids = VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 4)
+      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
+        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      }
       VectorOps.ivfTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
           centroids, nProbe = 4)
         .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
@@ -650,6 +691,81 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     })
   )
+
+  /** IVF hyperparameters shared by the query and its oracle generator. */
+  private val IvfK = 16
+  private val IvfIters = 4
+
+  /** DuckDB oracle for q_ivf_topk, generated from the persisted IVF index
+    * artifact: the centroid floats are embedded as double literals (exact —
+    * float widening is lossless), the per-vector nearest cell / per-query
+    * probe cells replicate nearestCell/topCells (max dot, ties to the
+    * lowest cell id), and the re-score is the same cosine as q_cosine_topk.
+    */
+  private def ivfTopKSql(centroids: Array[Array[Float]], nProbe: Int): String = {
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toDouble).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n             ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cents(cell, c) AS (VALUES
+             $cents),
+         cell_dots AS (
+           SELECT vec_id, cell,
+             list_reduce(list_transform(range(1, 65), i -> e[i] * c[i]), (x, y) -> x + y) AS d
+           FROM v CROSS JOIN cents),
+         corpus_cell AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+             FROM cell_dots)
+           WHERE rn = 1),
+         query_cells AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+             FROM cell_dots WHERE vec_id < 8)
+           WHERE rn <= $nProbe),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         cand AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+           FROM query_cells q JOIN corpus_cell c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+         scored AS (
+           SELECT query_id, corpus_id,
+             list_reduce(list_transform(range(1, 65), i -> nq.e[i]*nc.e[i]), (x, y) -> x + y)
+               / (nq.nrm * nc.nrm) AS score
+           FROM cand
+           JOIN n nq ON nq.vec_id = query_id
+           JOIN n nc ON nc.vec_id = corpus_id)
+         SELECT query_id, corpus_id, score, rank FROM (
+           SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** The q_ivf_topk oracle entry, present whenever the index artifact for
+    * the dataset the queries last ran against is obtainable: loaded from
+    * the persisted artifact (the normal path — Verify runs the query, which
+    * trains-or-loads, before dumping oracles), else trained on the spot if
+    * a session is live. Absent only when neither holds — the driver then
+    * falls back to the rows-only check, same as before the artifact existed.
+    */
+  private def ivfOracleEntry: Map[String, String] = {
+    val dir = IvfIndex.lastSfDir.getOrElse("/root/testdata/sf0.01")
+    val cOpt = IvfIndex.loadIfPresent(dir, IvfK, IvfIters).orElse {
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
+        IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
+          VectorOps.kMeansCentroids(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", k = IvfK, iters = IvfIters)
+        }
+      }
+    }
+    cOpt.filter(_.nonEmpty)
+      .map(c => Map("q_ivf_topk" -> ivfTopKSql(c, nProbe = 4)))
+      .getOrElse(Map.empty)
+  }
 
   /** DuckDB text of the banded sign-LSH signature array (one BIGINT per
     * band, `planesPerBand` sign bits each). The hyperplane constants are
@@ -674,8 +790,13 @@ object SparkEntry {
   /** DuckDB oracles: same tables, same column names, same semantics.
     * Tokenization, decimal-exact sums, null-on-zero division, and rounding
     * are kept in lockstep with the Spark expressions (see graft.ops.Portable).
+    * The q_ivf_topk oracle is generated from the persisted IVF index
+    * artifact (ivfOracleEntry), so it joins the map only once that
+    * artifact is obtainable.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = staticOracles ++ ivfOracleEntry
+
+  private def staticOracles: Map[String, String] = Map(
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
@@ -694,6 +815,24 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 < 1000
          ORDER BY o_orderkey""",
+
+    "q_hash_sample_by" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10000 <
+           CASE o_orderstatus WHEN 'O' THEN 500 WHEN 'F' THEN 2000 WHEN 'P' THEN 5000 ELSE 0 END
+         ORDER BY o_orderkey""",
+
+    "q_join_star" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+           AND l_shipdate > TIMESTAMP '1997-07-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
     "q_quality_check" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.Tables
+import graft.ops.{IvfIndex, VectorOps}
+
+/** Offline index-build job — the "train once" half of the IVF lifecycle:
+  * trains the spherical k-means coarse quantizer for each given dataset
+  * dir and persists the centroid artifact (IvfIndex). Queries then load
+  * the artifact instead of retraining.
+  *
+  * Usage: graft.tools.BuildIndex <sfDir> [sfDir ...] [-k K] [-iters N]
+  */
+object BuildIndex {
+  def main(args: Array[String]): Unit = {
+    def opt(flag: String, default: Int): Int =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v.toInt }.getOrElse(default)
+    val k = opt("-k", 16)
+    val iters = opt("-iters", 4)
+    val dirs = args.zipWithIndex.collect {
+      case (a, i) if !a.startsWith("-") && (i == 0 || !args(i - 1).startsWith("-")) => a
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dirs.foreach { dir =>
+      val t0 = System.nanoTime()
+      val c = IvfIndex.centroidsFor(dir, k, iters) {
+        VectorOps.kMeansCentroids(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", k, iters)
+      }
+      println(f"[build-index] $dir: k=${c.length} dim=${c.headOption.map(_.length).getOrElse(0)} " +
+        f"-> ${IvfIndex.artifactPath(dir, k, iters)} (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+    spark.stop()
+  }
+}

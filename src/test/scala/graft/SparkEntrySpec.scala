@@ -30,6 +30,25 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("q_approx_distinct HLL estimate is within 5% of the exact count at sf0.1") {
+    // The one declared query with neither an oracle (HLL sketches are
+    // engine-specific) nor, until now, a quantitative check. Compare the
+    // estimate against q_count_distinct's exact answer per group at the
+    // bench scale factor and assert the relative error is inside the
+    // sketch's design bound (default rsd = 5%).
+    val dir = "/root/testdata/sf0.1"
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_count_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, ex) =>
+      val err = math.abs(approx(flag) - ex).toDouble / ex
+      info(f"$flag: exact=$ex approx=${approx(flag)} relative error=${err * 100}%.2f%%")
+      assert(err <= 0.05, f"$flag: HLL error ${err * 100}%.2f%% exceeds 5%%")
+    }
+  }
+
   test("declared queries have deterministic output across reruns") {
     // re-run a representative mix twice and compare full collected output
     Seq("q_groupby_agg", "q_topk", "q_dedup_exact", "q_cosine_topk", "q_sessionize")
