@@ -650,6 +650,34 @@ object SparkEntry {
         .withColumn("cos_sim", round(col("cos_sim"), 9))
         .orderBy("id_a", "id_b")),
 
+    // PRUNING-regime banded LSH (8 bands × 8 planes — 256 buckets per
+    // band): the configuration near-dup detection actually runs at scale,
+    // where random pairs almost never collide and candidates stay
+    // near-linear (VERDICT r3 item 2; candidate-fraction measured in
+    // LshRecallSpec). The corpus gets planted near-duplicates built
+    // in-query — a deterministic double-arithmetic perturbation of each
+    // vec_id < 50, rounded back to float, so the oracle replicates the
+    // planting bit-for-bit and the result (~the 50 planted twin pairs at
+    // cos ≥ 0.9) is hash-checked end to end.
+    "q_embed_neardup_lsh_r8" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").where(col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      // perturb FIRST, re-key SECOND: in one select the lambda's
+      // col("vec_id") would lateral-resolve to the new alias (vec_id +
+      // 100000) and perturb with the wrong offsets
+      val planted = base.where(col("vec_id") < 50)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              ((col("vec_id") * 64 + i) % 7 - 3).cast("double") * lit(0.001)).cast("float"))
+            .as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      VectorOps.nearDupPairsLsh(base.unionByName(planted), "vec_id", "embedding", 0.9,
+          bands = 8, planesPerBand = 8, dim = 64)
+        .withColumn("cos_sim", round(col("cos_sim"), 9))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Same computation through the custom codegen'd FloatDotProduct
     // expression — bit-identical scores, same oracle, fused loop.
     "q_cosine_topk_native" -> ((s, dir) => {
@@ -1603,6 +1631,38 @@ object SparkEntry {
          JOIN n nb ON nb.vec_id = id_b
          WHERE list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
              / (na.nrm * nb.nrm) >= 0.2
+         ORDER BY id_a, id_b""",
+
+    "q_embed_neardup_lsh_r8" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 500),
+         planted AS (
+           SELECT vec_id + 100000 AS vec_id, pe AS e FROM (
+             SELECT vec_id,
+               list_transform(range(1, 65),
+                 i -> ((e[i] + ((vec_id * 64 + (i - 1)) % 7 - 3) * 0.001)::FLOAT)::DOUBLE) AS pe
+             FROM base WHERE vec_id < 50)),
+         v AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted),
+         sigged AS (SELECT vec_id, e,
+           ${lshBandSigSql(bands = 8, planesPerBand = 8, dim = 64)} AS sigs
+           FROM v),
+         banded AS (
+           SELECT vec_id, ub.i - 1 AS band, sigs[ub.i] AS band_sig
+           FROM sigged CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ub),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v)
+         SELECT id_a, id_b,
+           round(list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
+             / (na.nrm * nb.nrm), 9) AS cos_sim
+         FROM cand
+         JOIN n na ON na.vec_id = id_a
+         JOIN n nb ON nb.vec_id = id_b
+         WHERE list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
+             / (na.nrm * nb.nrm) >= 0.9
          ORDER BY id_a, id_b""",
 
     "q_cosine_topk_lsh" ->
