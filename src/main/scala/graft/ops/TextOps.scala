@@ -261,6 +261,27 @@ object TextOps {
       .select(col(idCol), fp.as("simhash"))
   }
 
+  /** Row-local SimHash: the identical 64-bit fingerprint as `simHash`
+    * (same seeded token hash, same occurrence-weighted vote rule) computed
+    * entirely within one row via array folds — no explode, no shuffle.
+    * This is the streaming-safe form (a stateless projection any
+    * micro-batch can apply); batch prefers `simHash`, whose wide
+    * aggregation shuffles 32 packed counters instead of re-walking the
+    * token array 64 times. Equality of the two is asserted in TextOpsSpec.
+    */
+  def rowSimHash(textCol: Column): Column = {
+    val hs = transform(tokens(textCol),
+      t => graft.functions.Md5Hash64.hash64(concat_ws("|", lit(0), t)))
+    val n = size(hs)
+    (0 until 64).map { j =>
+      val half = if (j < 32) 0 else 1
+      val ones = size(filter(hs,
+        h => shiftright(h.getItem(half), j % 32).bitwiseAND(lit(1L)) === 1))
+      val bitVal = if (j == 63) Long.MinValue else 1L << j
+      when(ones * 2 > n, lit(bitVal)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
     * 16-bit bands and equi-join on (band index, band value) — by
     * pigeonhole, any pair within Hamming distance 3 shares at least one

@@ -69,6 +69,34 @@ object StreamingOps {
     else fp.dropDuplicates("fingerprint")
   }
 
+  /** Streaming approximate near-dup over SimHash band keys: each arriving
+    * document gets its row-local 64-bit SimHash (TextOps.rowSimHash — a
+    * stateless projection, no shuffle), explodes into the same 4 × 16-bit
+    * bands the batch near-dup join uses, and keeps only the FIRST document
+    * per (band, band value) bucket. A later document within Hamming ≤ 3 of
+    * an earlier one shares at least one exact band (pigeonhole), so at
+    * least one of its band rows is dropped — "kept fewer than 4 of its
+    * band rows" flags it as an approximate near-duplicate of earlier
+    * state, converging to the batch simHashNearDup candidate relation on
+    * replay (FileStreamingSpec).
+    *
+    * State is one row per distinct (band, band value) — bounded by 4 ×
+    * min(corpus, 4·65,536 per band) entries. Pass `withinWatermark = true`
+    * (input already watermarked on an event-time column) to bound state to
+    * the watermark horizon instead, trading cross-horizon completeness for
+    * bounded memory on unbounded streams.
+    */
+  def streamingNearDupBands(df: DataFrame, idCol: String, textCol: String,
+                            withinWatermark: Boolean = false): DataFrame = {
+    val banded = df
+      .withColumn("simhash", graft.ops.TextOps.rowSimHash(col(textCol)))
+      .select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("(simhash >> (band * 16)) & 65535"))
+    if (withinWatermark) banded.dropDuplicatesWithinWatermark("band", "band_val")
+    else banded.dropDuplicates("band", "band_val")
+  }
+
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class SessionOut(key: Long, session_start: java.sql.Timestamp,

@@ -82,6 +82,21 @@ class TextOpsSpec extends SparkSpec {
     assert(popcount(h(0) ^ h(3)) < popcount(h(0) ^ h(4)))
   }
 
+  test("rowSimHash equals the wide-aggregation simHash on the real documents table") {
+    // the streaming-safe row-local form must be bit-identical to the batch
+    // shuffle form — same token hash, same occurrence-weighted vote rule
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val batch = TextOps.simHash(real, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rowLocal = real.select(col("doc_id"), TextOps.rowSimHash(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    // batch simHash has no row for token-less docs (no exploded rows);
+    // rowSimHash yields 0 for them — compare on the batch key set
+    assert(batch.keySet.subsetOf(rowLocal.keySet))
+    batch.foreach { case (id, v) => assert(rowLocal(id) === v, s"doc $id") }
+  }
+
   test("pruneFrequentShingles drops hot-key shingles so a skewed corpus completes flat") {
     // Every doc shares one boilerplate trigram (a hot join key that would
     // fan out 200x200); the rest of each doc is unique.

@@ -1,8 +1,10 @@
 package graft.streaming
 
 import graft.{SparkSpec, Tables}
-import graft.ops.EventOps
+import graft.ops.{EventOps, TextOps}
 import org.apache.spark.sql.functions._
+
+case class Doc2(doc_id: Long, text: String)
 
 /** File-source streaming over the driver test events: files land in a
   * watched directory in two arrivals (interleaved users, so per-key state
@@ -99,6 +101,49 @@ class FileStreamingSpec extends SparkSpec {
         assert(sn === n, s"n_events mismatch for session $k")
         assert(math.abs(ss - sv) < 1e-6, s"sum_value mismatch for session $k")
       }
+    } finally q.stop()
+  }
+
+  test("streamingNearDupBands flags near-dups across micro-batches, converging to the batch relation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far " +
+      "past the green hills toward the quiet river bend every single morning without fail"
+    val texts = Map(
+      0L -> base,
+      1L -> base, // exact dup of 0 (hamming 0 — all 4 bands collide)
+      2L -> "completely different content about distributed query engines at scale",
+      3L -> base.replaceFirst("quick", "cat"), // near-dup of 0: hamming 1, 3 shared bands
+      4L -> "yet another unrelated document mentioning streaming watermarks only")
+    val corpus = df(texts.toSeq.sortBy(_._1).map { case (id, t) => Doc2(id, t) })
+
+    // batch truth on the same corpus: near-dup candidate docs are the
+    // larger ids of the band-collision pairs (arrival order = id order)
+    val batchPairs = TextOps.simHashNearDup(corpus, "doc_id", "text", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs === Set((0L, 1L), (0L, 3L), (1L, 3L)),
+      "test corpus must make exactly docs 1 and 3 near-dups of doc 0")
+
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingNearDupBands(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((0L, texts(0L)), (1L, texts(1L)), (2L, texts(2L)))
+      q.processAllAvailable()
+      in.addData((3L, texts(3L)), (4L, texts(4L))) // cross-batch near-dup + a fresh doc
+      q.processAllAvailable()
+      val survivors = spark.table("neardup_stream").groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a doc keeping all 4 band rows collided with nothing earlier; a doc
+      // losing any band row is an approximate near-dup of earlier state
+      val flagged = texts.keySet.filter(id => survivors.getOrElse(id, 0L) < 4)
+      val batchNearDups = batchPairs.map(_._2) // larger id of each pair
+      assert(flagged === batchNearDups,
+        s"streaming band-flagged docs $flagged must equal batch near-dup ids $batchNearDups")
     } finally q.stop()
   }
 
