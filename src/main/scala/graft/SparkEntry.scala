@@ -262,12 +262,15 @@ object SparkEntry {
         Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc,
             col("l_partkey").asc, col("l_suppkey").asc), 100)),
 
+    // fanout=32: l_returnflag has 3 values, so a single-phase window would
+    // sort the whole table in 3 tasks; the salted two-phase plan sorts 96
+    // buckets and re-ranks 480 survivors — same rows, same oracle
     "q_topk_pergroup" -> ((s, dir) =>
       Relational.topKPerGroup(
           T(s, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"),
           Seq("l_returnflag"),
           Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc,
-              col("l_partkey").asc, col("l_suppkey").asc), 5)
+              col("l_partkey").asc, col("l_suppkey").asc), 5, fanout = 32)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("l_returnflag", "rn")),
 
@@ -523,6 +526,26 @@ object SparkEntry {
     "q_simhash_neardup" -> ((s, dir) =>
       TextOps.simHashNearDup(T(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
+
+    // Repetition-based quality signals (Gopher-style): duplicate-token and
+    // top-bigram fractions — the "filter boilerplate/spam before training"
+    // scores, over the same shuffle shape as q_wordcount.
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // PII redaction: the synthetic corpus carries no PII, so the query
+    // plants a deterministic email + phone per document (replicated in the
+    // oracle) and the scrub is hash-checked on both the redacted text and
+    // the redaction counts.
+    "q_redact" -> ((s, dir) => {
+      val withPii = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad(col("doc_id").cast("string"), 4, "0")).as("text"))
+      TextOps.redactPii(withPii, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
 
     "q_lang_id" -> ((s, dir) =>
       TextOps.langIdByProfile(T(s, dir, "documents"), "doc_id", "text", "lang", 20)
@@ -1525,6 +1548,40 @@ object SparkEntry {
          FROM banded a JOIN banded b2
            ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
          ORDER BY id_a, id_b""",
+
+    "q_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         stats AS (
+           SELECT doc_id, len(t)::BIGINT AS n_tokens,
+             len(list_distinct(t))::BIGINT AS uniq_tokens, t
+           FROM toks),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM stats),
+         bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+         bgs AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM bgc GROUP BY doc_id)
+         SELECT s.doc_id, n_tokens, uniq_tokens,
+           round(CASE WHEN n_tokens > 0
+             THEN 1.0 - uniq_tokens::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END, 6) AS dup_token_frac,
+           round(coalesce(top::DOUBLE / total::DOUBLE, 0.0), 6) AS top_bigram_frac
+         FROM stats s LEFT JOIN bgs ON bgs.doc_id = s.doc_id
+         ORDER BY s.doc_id""",
+
+    "q_redact" ->
+      """WITH withpii AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+               lpad(doc_id::VARCHAR, 4, '0') AS text
+           FROM documents)
+         SELECT doc_id,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) +
+            len(regexp_extract_all(text, '[+]?[0-9][0-9-]{6,}[0-9]')))::BIGINT AS n_redactions,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[+]?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM withpii ORDER BY doc_id""",
 
     "q_lang_id" ->
       """WITH tok AS (

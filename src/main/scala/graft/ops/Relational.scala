@@ -104,13 +104,34 @@ object Relational {
   def topK(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
 
-  /** Per-group top-k via row_number window (SURVEY.md C9). */
+  /** Per-group top-k via row_number window (SURVEY.md C9).
+    *
+    * `fanout > 1` enables the salted two-phase plan for LOW-CARDINALITY
+    * groups: a row_number window partitioned by G groups sorts the whole
+    * input in G tasks — with 3 groups at 100 TB that is 3 straggler tasks
+    * sorting everything. Phase 1 ranks within (group, salt) — G·fanout
+    * buckets, each sorting 1/fanout of its group — and keeps k rows per
+    * bucket; phase 2 re-ranks the ≤ G·fanout·k survivors. The global
+    * top-k per group is contained in the union of per-salt top-ks, and
+    * the salt is a deterministic row hash, so the result is identical to
+    * the single-phase plan whenever `orderCols` is a total order (the
+    * same determinism requirement the single-phase form already has).
+    */
   def topKPerGroup(
       df: DataFrame,
       partCols: Seq[String],
       orderCols: Seq[org.apache.spark.sql.Column],
-      k: Int): DataFrame = {
+      k: Int,
+      fanout: Int = 1): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    if (fanout <= 1)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    else {
+      val salted = df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(fanout)))
+      val w1 = Window.partitionBy((partCols :+ "_salt").map(col): _*).orderBy(orderCols: _*)
+      salted.withColumn("_rn1", row_number().over(w1)).where(col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    }
   }
 }

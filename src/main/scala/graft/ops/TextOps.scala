@@ -133,15 +133,22 @@ object TextOps {
                             docCount: Option[DataFrame] = None): DataFrame = {
     if (maxDocFreqRatio >= 1.0) sh
     else {
+      // Materialize the shingle explosion ONCE: the guard itself (hot-list
+      // aggregate + anti-join probe) and every downstream consumer
+      // (per-doc counts, both self-join sides) otherwise re-tokenize and
+      // re-shingle the corpus per consumer — 5 evaluations of the most
+      // expensive stage. Same discipline as the connected-components edge
+      // list: a multiply-read intermediate is worth one materialization.
+      val mat = sh.localCheckpoint(true)
       // doc count from the (cheap) source when provided — counting it from
-      // `sh` would evaluate the shingle pipeline a third time
-      val nd = docCount.getOrElse(sh).select(col(idCol)).distinct()
+      // the shingles would add yet another evaluation
+      val nd = docCount.getOrElse(mat).select(col(idCol)).distinct()
         .agg(count(lit(1)).as("_nd"))
-      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      val hot = mat.groupBy("shingle").agg(count(lit(1)).as("_df"))
         .crossJoin(broadcast(nd))
         .where(col("_df") > col("_nd") * maxDocFreqRatio)
         .select("shingle")
-      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      mat.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
 
@@ -324,6 +331,58 @@ object TextOps {
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Repetition-based quality signals (the Gopher/MassiveText-style
+    * repetition filters): duplicate-token fraction and top-bigram fraction
+    * per document. Highly repetitive documents (boilerplate, generated
+    * spam, scraper artifacts) score high and get filtered before
+    * training. The per-doc token stats are row-local; the top-bigram
+    * fraction is the wordCount shape (explode → two-phase hash agg) so the
+    * heavy lifting shuffles compact (id, bigram) pairs, never documents.
+    * Docs with fewer than 2 tokens have no bigrams: fractions are 0.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val stats = df.select(col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("uniq_tokens"),
+      t.as("_toks"))
+    // guard: sequence(1, n-1) DESCENDS for n < 2 — docs without bigrams
+    // must produce an empty array, not reversed out-of-range indices
+    val bigrams = stats.select(col(idCol),
+      explode(when(size(col("_toks")) >= 2,
+        transform(sequence(lit(1), size(col("_toks")) - 1),
+          i => concat_ws(" ", element_at(col("_toks"), i), element_at(col("_toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    val bigramStats = bigrams.groupBy(idCol, "bigram").agg(count(lit(1)).as("_c"))
+      .groupBy(idCol).agg(max("_c").as("_top"), sum("_c").as("_total"))
+    stats.drop("_toks")
+      .join(bigramStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("uniq_tokens"),
+        round(when(col("n_tokens") > 0,
+          lit(1.0) - col("uniq_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_token_frac"),
+        round(coalesce(col("_top").cast("double") / col("_total").cast("double"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** PII redaction pass: replace email addresses and phone-number-shaped
+    * digit runs with placeholder tags and count the redactions — the
+    * pre-training privacy scrub. Pure `regexp_replace`/`regexp_extract_all`
+    * (codegen'd, engine-portable patterns: character classes only, no
+    * dialect-specific escapes). Emails are replaced first so their digit
+    * runs can't double-match the phone pattern.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhonePattern = "[+]?[0-9][0-9-]{6,}[0-9]"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      (size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))) +
+        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))).cast("long")
+        .as("n_redactions"),
+      regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"))
 
   /** Decontamination: flag corpus documents sharing at least `minCommon`
     * distinct word n-gram shingles with a benchmark/eval corpus — the

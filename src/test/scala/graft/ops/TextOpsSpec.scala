@@ -82,6 +82,33 @@ class TextOpsSpec extends SparkSpec {
     assert(popcount(h(0) ^ h(3)) < popcount(h(0) ^ h(4)))
   }
 
+  test("repetitionSignals: dup-token and top-bigram fractions on known docs") {
+    val corpus = df(Seq(
+      Doc(0, "spam spam spam spam"),          // 4 tokens, 1 uniq; bigram "spam spam" x3 of 3
+      Doc(1, "all tokens here are unique"),   // 5 tokens, 5 uniq; every bigram count 1 of 4
+      Doc(2, "one"),                          // single token: no bigrams
+      Doc(3, "")))                            // empty: everything 0
+    val out = TextOps.repetitionSignals(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L) === ((4L, 1L, 0.75, 1.0)))
+    assert(out(1L) === ((5L, 5L, 0.0, 0.25)))
+    assert(out(2L) === ((1L, 1L, 0.0, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0, 0.0)))
+  }
+
+  test("redactPii replaces emails and phone numbers and counts them") {
+    val corpus = df(Seq(
+      Doc(0, "reach me at jane.doe+x@corp.example.org or +1-555-0123 thanks"),
+      Doc(1, "no pii here at all"),
+      Doc(2, "two mails a@b.io c@d.net and digits 12345678")))
+    val out = TextOps.redactPii(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(0L) === ((2L, "reach me at <EMAIL> or <PHONE> thanks")))
+    assert(out(1L) === ((0L, "no pii here at all")))
+    assert(out(2L) === ((3L, "two mails <EMAIL> <EMAIL> and digits <PHONE>")))
+  }
+
   test("rowSimHash equals the wide-aggregation simHash on the real documents table") {
     // the streaming-safe row-local form must be bit-identical to the batch
     // shuffle form — same token hash, same occurrence-weighted vote rule
