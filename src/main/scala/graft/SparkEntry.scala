@@ -158,6 +158,34 @@ object SparkEntry {
           Seq("o_orderkey"))
         .orderBy("o_orderkey")),
 
+    // Snapshot upsert: merge an update batch (every 10th order, doubled
+    // price, version 2) into the base snapshot (version 1), keeping the
+    // highest version per key.
+    "q_upsert" -> ((s, dir) => {
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("version"))
+      val updates = T(s, dir, "orders").where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2.0).as("o_totalprice"),
+          lit(2L).as("version"))
+      Relational.upsertLatest(base, updates, Seq("o_orderkey"), "version")
+        .orderBy("o_orderkey")
+    }),
+
+    // Snapshot diff: old = orders; new = orders minus every 7th key, every
+    // 5th surviving key's price raised 1.5x, plus 100 synthetic additions.
+    // Emits added/removed/changed rows only.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val old = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val newSnap = old.where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(old.where(col("o_orderkey") < 100)
+          .select((col("o_orderkey") + 1000000L).as("o_orderkey"), col("o_totalprice")))
+      Relational.snapshotDiff(old, newSnap, Seq("o_orderkey"), Seq("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // ── aggregations (SURVEY §2.5) ─────────────────────────────────────
     "q_groupby_agg" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -401,6 +429,14 @@ object SparkEntry {
           last(col("value")).over(full).as("last_value"))
         .orderBy("event_id")
     }),
+
+    // Per-group z-score normalization (feature scaling before similarity
+    // search / model input) — exact-decimal mean/std so the oracle is
+    // bit-identical.
+    "q_zscore" -> ((s, dir) =>
+      Profiling.zScore(T(s, dir, "events"), Seq("user_id"), "value")
+        .select("event_id", "user_id", "value", "zscore")
+        .orderBy("event_id")),
 
     "q_ffill" -> ((s, dir) =>
       TimeSeries.forwardFill(
@@ -958,6 +994,55 @@ object SparkEntry {
          WHERE NOT EXISTS (
            SELECT 1 FROM lineitem l WHERE l.l_quantity > 45 AND l.l_orderkey = o.o_orderkey)
          ORDER BY o_orderkey""",
+
+    "q_upsert" ->
+      """SELECT o_orderkey, o_totalprice, version FROM (
+           SELECT o_orderkey, o_totalprice, version,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+           FROM (
+             SELECT o_orderkey, o_totalprice, 1::BIGINT AS version FROM orders
+             UNION ALL
+             SELECT o_orderkey, o_totalprice * 2.0, 2::BIGINT FROM orders WHERE o_orderkey % 10 = 0))
+         WHERE rn = 1 ORDER BY o_orderkey""",
+
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+         new AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.5 ELSE o_totalprice END AS o_totalprice
+           FROM old WHERE o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderkey + 1000000, o_totalprice FROM old WHERE o_orderkey < 100)
+         SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+         FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+         WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END <> 'unchanged'
+         ORDER BY o_orderkey""",
+
+    "q_zscore" ->
+      """SELECT event_id, user_id, value,
+           CASE WHEN cnt > 1 AND std > 0 THEN round((value - s1/cnt) / std, 6) END AS zscore
+         FROM (
+           SELECT event_id, user_id, value,
+             count(value) OVER w::DOUBLE AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) OVER w::DOUBLE AS s1,
+             sqrt(greatest(
+               (sum(CAST(value*value AS DECIMAL(28,6))) OVER w::DOUBLE
+                 - (sum(CAST(value AS DECIMAL(28,6))) OVER w::DOUBLE)
+                   * (sum(CAST(value AS DECIMAL(28,6))) OVER w::DOUBLE)
+                   / count(value) OVER w::DOUBLE)
+               / (count(value) OVER w::DOUBLE - 1.0), 0.0)) AS std
+           FROM events
+           WINDOW w AS (PARTITION BY user_id))
+         ORDER BY event_id""",
 
     "q_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -26,4 +26,25 @@ object Profiling {
         expr(s"stack(${cols.size}, $stackExpr) AS (col_name, n_nulls, n_distinct)"))
       .select(col("col_name"), col("__rows").as("n_rows"), col("n_nulls"), col("n_distinct"))
   }
+
+  /** Per-group z-score normalization: (x − mean) / stddev over the group,
+    * the feature-scaling pass before similarity search or model input.
+    * Mean and sample stddev come from exact-decimal group sums
+    * (var = (Σx² − (Σx)²/n)/(n−1) — the rollingVol recipe on an unbounded
+    * frame) so results are bit-portable across engines regardless of
+    * their internal variance algorithm. Null for groups with < 2 rows or
+    * zero variance.
+    */
+  def zScore(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    val v = col(valueCol)
+    val cnt = count(v).over(w).cast("double")
+    val s1 = sum(v.cast("decimal(28,6)")).over(w).cast("double")
+    val s2 = sum((v * v).cast("decimal(28,6)")).over(w).cast("double")
+    val mean = s1 / cnt
+    val variance = (s2 - s1 * s1 / cnt) / (cnt - lit(1.0))
+    val std = sqrt(greatest(variance, lit(0.0)))
+    df.withColumn("zscore",
+      when(cnt > 1 && std > 0, round((v - mean) / std, 6)))
+  }
 }

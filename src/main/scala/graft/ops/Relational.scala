@@ -98,6 +98,50 @@ object Relational {
     salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 
+  /** Snapshot upsert (merge-into-latest): union the base snapshot with an
+    * update batch and keep, per key, the row with the highest version —
+    * the periodic "refresh the entity table from the landing zone" op of
+    * a 100 TB pipeline. One shuffle on the key; `versionCol` must totally
+    * order rows within a key (ingest timestamp, batch id) for the result
+    * to be deterministic.
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame,
+                   keys: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    base.unionByName(updates)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Snapshot diff: compare two snapshots by key and emit added / removed /
+    * changed rows (unchanged rows are dropped — at scale the diff is tiny
+    * relative to the snapshots). One full-outer shuffle join on the key;
+    * presence markers (not null checks on data columns) decide
+    * added/removed so null-valued columns never masquerade as absence.
+    * Output: keys, status, and old_/new_ prefixed compare columns.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .toDF(keys ++ compareCols.map("old_" + _): _*)
+      .withColumn("_in_old", lit(true))
+    val n = newDf.select((keys ++ compareCols).map(col): _*)
+      .toDF(keys ++ compareCols.map("new_" + _): _*)
+      .withColumn("_in_new", lit(true))
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .drop("_in_old", "_in_new")
+  }
+
   /** Global top-k: planned as TakeOrderedAndProject (per-partition heap +
     * single reduce), NOT a global sort — O(k) memory per partition.
     */

@@ -28,6 +28,31 @@ class RelationalEventSpec extends SparkSpec {
                            ("odd", 19L), ("odd", 17L), ("odd", 15L)))
   }
 
+  test("topKPerGroup salted two-phase (fanout > 1) equals the single-phase result") {
+    val in = df((1 to 200).map(i => Kv(if (i % 2 == 0) "even" else "odd", i.toLong)))
+    val one = Relational.topKPerGroup(in, Seq("k"), Seq(col("v").desc), 5)
+      .orderBy("k", "rn").collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    val two = Relational.topKPerGroup(in, Seq("k"), Seq(col("v").desc), 5, fanout = 8)
+      .orderBy("k", "rn").collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    assert(two.toSeq === one.toSeq)
+  }
+
+  test("upsertLatest keeps the highest version per key and passes through new keys") {
+    val base = df(Seq(Kv("a", 1), Kv("b", 2))).withColumn("version", lit(1L))
+    val updates = df(Seq(Kv("b", 20), Kv("c", 30))).withColumn("version", lit(2L))
+    val out = Relational.upsertLatest(base, updates, Seq("k"), "version")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", 1L, 1L), ("b", 20L, 2L), ("c", 30L, 2L)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val old = df(Seq(Kv("a", 1), Kv("b", 2), Kv("c", 3)))
+    val neu = df(Seq(Kv("b", 2), Kv("c", 30), Kv("d", 4))) // a removed, c changed, d added
+    val out = Relational.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getAs[String]("status")))
+    assert(out.toSeq === Seq(("a", "removed"), ("c", "changed"), ("d", "added")))
+  }
+
   test("sessionize: new session when gap exceeded, ordered by time") {
     val in = df(Seq(
       Ev(1, 7, t("2024-01-01 00:00:00"), 0),
