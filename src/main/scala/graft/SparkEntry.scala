@@ -142,6 +142,33 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // 5-table join (TPC-H Q5 shape): revenue per nation for ASIA customers
+    // served by a same-nation supplier. The three dimension tables
+    // (region→nation, supplier) broadcast; the two fact joins
+    // (lineitem⋈orders, ⋈customer) shuffle. Exercises multi-join ordering
+    // with mixed broadcast/shuffle strategies under AQE.
+    "q_join_q5" -> ((s, dir) => {
+      val nat = T(s, dir, "nation")
+        .join(broadcast(T(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = T(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val ord = T(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      T(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(Portable.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .orderBy("n_name")
+    }),
+
     "q_join_semi" -> ((s, dir) =>
       Relational.semiJoin(
           T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
@@ -983,6 +1010,20 @@ object SparkEntry {
       """SELECT l.l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, o_totalprice
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          ORDER BY l.l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+
+    "q_join_q5" ->
+      """SELECT n_name,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY n_name""",
 
     "q_join_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders

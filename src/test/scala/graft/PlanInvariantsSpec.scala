@@ -33,6 +33,22 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("star-join queries broadcast their dimension sides (no shuffled dim join)") {
+    // the 100 TB plan contract for q_join_star / q_join_q5: every
+    // dimension join is a BroadcastHashJoin; only fact×fact joins and the
+    // aggregation may shuffle
+    Seq("q_join_star" -> 1, "q_join_q5" -> 2).foreach { case (name, minBroadcasts) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val nodes = flatten(plan)
+      val nBroadcast = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      withClue(s"$name: ") {
+        assert(nBroadcast >= minBroadcasts,
+          s"expected >= $minBroadcasts broadcast joins, saw $nBroadcast")
+      }
+    }
+  }
+
   test("documents scans prune to exactly the needed columns") {
     // regression guard for column pruning reaching the parquet reader: a
     // text query that drags the unused `lang`/`source` columns through its
