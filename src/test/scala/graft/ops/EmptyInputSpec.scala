@@ -56,6 +56,19 @@ class EmptyInputSpec extends SparkSpec {
       "isin", "seq", "price", 0.5).count() === 0)
   }
 
+  test("round-4 ops on empty inputs") {
+    assert(TextOps.repetitionSignals(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextOps.redactPii(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Profiling.zScore(emptyBars, Seq("isin"), "price").count() === 0)
+    val emptyKv = df(Seq.empty[Kv]).withColumn("version", lit(1L))
+    assert(Relational.upsertLatest(emptyKv, emptyKv, Seq("k"), "version").count() === 0)
+    assert(Relational.snapshotDiff(
+      df(Seq.empty[Kv]), df(Seq.empty[Kv]), Seq("k"), Seq("v")).count() === 0)
+    // empty updates: upsert must be the identity on the base snapshot
+    val base = df(Seq(Kv("a", 1))).withColumn("version", lit(1L))
+    assert(Relational.upsertLatest(base, emptyKv, Seq("k"), "version").count() === 1)
+  }
+
   test("profiling on empty frame reports zero rows per column") {
     val p = Profiling.profile(emptyBars.toDF(), Seq("isin", "price")).collect()
     assert(p.length === 2)
