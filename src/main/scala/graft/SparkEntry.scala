@@ -538,6 +538,18 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // Sequential funnel: earliest view → click-after-view →
+    // purchase-after-click per user, with steps-reached count.
+    "q_funnel" -> ((s, dir) =>
+      EventOps.funnel(T(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          date_format(col("step_ts_0"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format(col("step_ts_1"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format(col("step_ts_2"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+          col("reached"))
+        .orderBy("user_id")),
+
     // ── text analysis (SURVEY C3, C10, C12; north star) ────────────────
     "q_text_tokens" -> ((s, dir) =>
       TextOps.tokenStats(T(s, dir, "documents"), "text")
@@ -1374,6 +1386,27 @@ object SparkEntry {
            sum(CAST(value AS DECIMAL(28,4)))::DOUBLE AS sum_value
          FROM numbered GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+
+    "q_funnel" ->
+      """WITH s0 AS (
+           SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (
+           SELECT e.user_id, min(e.ts) AS t1
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY e.user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY e.user_id)
+         SELECT s0.user_id,
+           strftime(t0, '%Y-%m-%d %H:%M:%S') AS t_view,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_click,
+           strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+           (1 + (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT)::BIGINT AS reached
+         FROM s0
+         LEFT JOIN s1 ON s1.user_id = s0.user_id
+         LEFT JOIN s2 ON s2.user_id = s0.user_id
+         ORDER BY s0.user_id""",
 
     "q_date_parts" ->
       """SELECT o_orderkey,

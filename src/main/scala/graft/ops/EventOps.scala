@@ -51,4 +51,39 @@ object EventOps {
     */
   def jsonField(df: DataFrame, jsonCol: String, path: String, asType: String): DataFrame =
     df.withColumn("json_value", get_json_object(col(jsonCol), path).cast(asType))
+
+  /** Sequential funnel analysis: for each user, the earliest time of step
+    * i AT OR AFTER their recorded step i−1 time (ties allowed — equal
+    * timestamps progress the funnel), plus how many steps were reached.
+    * One row per user who completed step 0; `step_ts_i` is null from the
+    * first uncompleted step on.
+    *
+    * Shape: per step, one type-filtered scan (the predicate pushes to the
+    * source) joined to the previous stage on the user key and
+    * min-aggregated — steps run over ever-shrinking cohorts, and every
+    * join/agg shuffles on the user key, so the whole funnel reuses one
+    * partitioning. No window over the full event stream.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = df.select(col(userCol), col(tsCol), col(typeCol))
+    var stage = ev.where(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(tsCol).as("step_ts_0"))
+    val stages = scala.collection.mutable.ArrayBuffer(stage)
+    steps.indices.tail.foreach { i =>
+      stage = ev.where(col(typeCol) === steps(i))
+        .join(stage.select(col(userCol), col(s"step_ts_${i - 1}")), Seq(userCol))
+        .where(col(tsCol) >= col(s"step_ts_${i - 1}"))
+        .groupBy(userCol).agg(min(tsCol).as(s"step_ts_$i"))
+      stages += stage
+    }
+    val joined = stages.tail.zipWithIndex.foldLeft(stages.head) { case (acc, (st, idx)) =>
+      acc.join(st, Seq(userCol), "left")
+    }
+    val reached = steps.indices.tail
+      .map(i => when(col(s"step_ts_$i").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    joined.withColumn("reached", reached)
+  }
 }

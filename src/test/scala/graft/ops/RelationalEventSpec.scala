@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class Kv(k: String, v: Long)
+case class TypedEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
 
 class RelationalEventSpec extends SparkSpec {
 
@@ -51,6 +52,32 @@ class RelationalEventSpec extends SparkSpec {
     val out = Relational.snapshotDiff(old, neu, Seq("k"), Seq("v"))
       .orderBy("k").collect().map(r => (r.getString(0), r.getAs[String]("status")))
     assert(out.toSeq === Seq(("a", "removed"), ("c", "changed"), ("d", "added")))
+  }
+
+  test("funnel: steps only count at-or-after the previous step; dropoff keeps partial rows") {
+    val ev = df(Seq(
+      // user 1: full funnel in order
+      TypedEv(1, t("2024-01-01 09:00:00"), "view"),
+      TypedEv(1, t("2024-01-01 09:05:00"), "click"),
+      TypedEv(1, t("2024-01-01 09:10:00"), "purchase"),
+      // user 2: purchase BEFORE any view → only reaches step 1 (view)
+      TypedEv(2, t("2024-01-01 08:00:00"), "purchase"),
+      TypedEv(2, t("2024-01-01 09:00:00"), "view"),
+      // user 3: view then click, click-before-view ignored, no purchase
+      TypedEv(3, t("2024-01-01 07:00:00"), "click"),
+      TypedEv(3, t("2024-01-01 08:00:00"), "view"),
+      TypedEv(3, t("2024-01-01 08:30:00"), "click"),
+      // user 4: never views → not in the funnel at all
+      TypedEv(4, t("2024-01-01 10:00:00"), "click")))
+    val out = EventOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), r.getLong(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L)._4 === 3L)
+    assert(out(2L) === ((Some(t("2024-01-01 09:00:00")), None, None, 1L)))
+    assert(out(3L) === ((Some(t("2024-01-01 08:00:00")), Some(t("2024-01-01 08:30:00")), None, 2L)))
   }
 
   test("sessionize: new session when gap exceeded, ordered by time") {
