@@ -519,6 +519,14 @@ object SparkEntry {
       EventOps.tumblingWindowStats(T(s, dir, "events"), "user_id", "ts", "value", "10 minutes")
         .orderBy("user_id", "win_start")),
 
+    // Hopping windows: 10-minute windows every 5 minutes — every event in
+    // exactly 2 overlapping windows; the oracle replicates the expansion
+    // with a 2-element start-offset unnest.
+    "q_hopping_window" -> ((s, dir) =>
+      EventOps.hoppingWindowStats(T(s, dir, "events"), "user_id", "ts", "value",
+          "10 minutes", "5 minutes")
+        .orderBy("user_id", "win_start")),
+
     "q_sessionize" -> ((s, dir) =>
       EventOps.sessionize(T(s, dir, "events"), "user_id", "event_id", "ts", 1800L)
         .select("event_id", "user_id", "session_seq")
@@ -1344,6 +1352,15 @@ object SparkEntry {
            SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
          ) p ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id""",
+
+    "q_hopping_window" ->
+      """SELECT user_id,
+           strftime(make_timestamp((CAST(floor(epoch(ts)/300)*300 AS BIGINT) - off.o)*1000000),
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(28,4)))::DOUBLE AS sum_value
+         FROM events CROSS JOIN (SELECT unnest([0, 300]) AS o) off
+         GROUP BY user_id, win_start ORDER BY user_id, win_start""",
 
     "q_event_windows" ->
       """SELECT user_id,

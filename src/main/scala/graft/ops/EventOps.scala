@@ -52,6 +52,26 @@ object EventOps {
   def jsonField(df: DataFrame, jsonCol: String, path: String, asType: String): DataFrame =
     df.withColumn("json_value", get_json_object(col(jsonCol), path).cast(asType))
 
+  /** Hopping (sliding) window aggregation: windows of `width` starting
+    * every `slide` — each event lands in width/slide overlapping windows
+    * (Spark's `window(ts, width, slide)` expands the event via an internal
+    * generator, then aggregates; the expansion factor is the overlap
+    * count, bounded and known at plan time). The streaming-compatible
+    * twin of tumblingWindowStats for overlap analytics (rolling rates,
+    * smoothing).
+    */
+  def hoppingWindowStats(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+                         width: String, slide: String): DataFrame =
+    df.groupBy(col(keyCol), window(col(tsCol), width, slide).as("win"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Portable.decSum(col(valueCol)).as("sum_value"))
+      .select(
+        col(keyCol),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_events"),
+        col("sum_value"))
+
   /** Sequential funnel analysis: for each user, the earliest time of step
     * i AT OR AFTER their recorded step i−1 time (ties allowed — equal
     * timestamps progress the funnel), plus how many steps were reached.

@@ -74,6 +74,20 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("hot-path queries keep a WholeStageCodegen span") {
+    // regression guard against accidentally dropping the hot path out of
+    // codegen (e.g. introducing a CodegenFallback expression into the
+    // scan→agg pipeline)
+    val hot = Seq("q_scan", "q_groupby_agg", "q_cosine_topk_native", "q_simhash", "q_wordcount")
+    hot.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // AQE only applies codegen as stages materialize — run first
+      val hasSpan = flatten(df.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+      withClue(s"$name: ")(assert(hasSpan, "expected a WholeStageCodegen span"))
+    }
+  }
+
   test("every lineitem row-level query orders by the full unique key") {
     // regression guard for the non-unique (l_orderkey, l_linenumber) trap:
     // queries whose FIRST sort column is l_orderkey must also sort by
