@@ -275,6 +275,11 @@ object SparkEntry {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // Key-skew diagnostic: heaviest join keys with row share — run before
+    // choosing plain vs salted join.
+    "q_skew_profile" -> ((s, dir) =>
+      Profiling.keySkew(T(s, dir, "lineitem"), "l_orderkey", 20)),
+
     "q_conditional_agg" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -1129,6 +1134,13 @@ object SparkEntry {
            UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice) FROM orders
            UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders)
          ORDER BY col_name""",
+
+    "q_skew_profile" ->
+      """SELECT l_orderkey, cnt, round(cnt::DOUBLE / total::DOUBLE, 9) AS share
+         FROM (
+           SELECT l_orderkey, count(*) AS cnt, sum(count(*)) OVER () AS total
+           FROM lineitem GROUP BY l_orderkey)
+         ORDER BY cnt DESC, l_orderkey ASC LIMIT 20""",
 
     "q_conditional_agg" ->
       """SELECT l_returnflag,

@@ -27,6 +27,22 @@ object Profiling {
       .select(col("col_name"), col("__rows").as("n_rows"), col("n_nulls"), col("n_distinct"))
   }
 
+  /** Join-key skew profile: the `topN` heaviest keys with their row counts
+    * and share of the table — the diagnostic run before choosing between a
+    * plain join, AQE skew handling, or an explicit salted join
+    * (Relational.saltedJoin). Two-phase hash agg + a top-N, so the profile
+    * itself is safe on the skewed data it measures.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("_total").cast("double"), 9).as("share"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topN)
+  }
+
   /** Per-group z-score normalization: (x − mean) / stddev over the group,
     * the feature-scaling pass before similarity search or model input.
     * Mean and sample stddev come from exact-decimal group sums
