@@ -62,12 +62,17 @@ object Graph {
       // Pointer doubling: chase one indirection through the just-stepped
       // labels (rep(rep(v))). Labels stay monotone — the representative's
       // label is itself ≥ the component minimum — but label chains halve
-      // every round instead of shrinking by one hop.
-      val reps = stepped.select(col("id").as("_rid"), col("group_rep").as("_rrep"))
-      val next = stepped.join(reps, stepped("group_rep") === reps("_rid"), "left")
-        .select(stepped("id"),
-          least(stepped("group_rep"), coalesce(col("_rrep"), stepped("group_rep"))).as("group_rep"))
-        .localCheckpoint(true)
+      // every round instead of shrinking by one hop. Skipped in round 1:
+      // shallow components (dup clusters, the common case) converge on
+      // plain propagation alone, and the extra join would be pure
+      // overhead; chains long enough to need it still get O(log d)
+      // rounds from round 2 on.
+      val next = (if (i == 0) stepped else {
+        val reps = stepped.select(col("id").as("_rid"), col("group_rep").as("_rrep"))
+        stepped.join(reps, stepped("group_rep") === reps("_rid"), "left")
+          .select(stepped("id"),
+            least(stepped("group_rep"), coalesce(col("_rrep"), stepped("group_rep"))).as("group_rep"))
+      }).localCheckpoint(true)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
