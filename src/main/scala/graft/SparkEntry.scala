@@ -519,6 +519,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of join with staleness tolerance: the carried purchase value is
+    // nulled when older than 2 hours at the event's time.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      TimeSeries.asOfJoinTolerance(purchases, ev.select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", Seq("value"), toleranceSeconds = 7200L)
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+          col("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // Tukey-fence outlier screen: events outside [Q1-1.5·IQR, Q3+1.5·IQR]
+    // of their user's value distribution.
+    "q_outliers" -> ((s, dir) =>
+      Profiling.iqrOutliers(T(s, dir, "events"), Seq("user_id"), "value")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("fence_lo"), 9).as("fence_lo"), round(col("fence_hi"), 9).as("fence_hi"))
+        .orderBy("event_id")),
+
     // ── events: windows + sessionization (SURVEY C14) ──────────────────
     "q_event_windows" -> ((s, dir) =>
       EventOps.tumblingWindowStats(T(s, dir, "events"), "user_id", "ts", "value", "10 minutes")
@@ -1373,6 +1395,29 @@ object SparkEntry {
            sum(CAST(value AS DECIMAL(28,4)))::DOUBLE AS sum_value
          FROM events CROSS JOIN (SELECT unnest([0, 300]) AS o) off
          GROUP BY user_id, win_start ORDER BY user_id, win_start""",
+
+    "q_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id, e.value,
+           CASE WHEN floor(epoch(e.ts))::BIGINT - floor(epoch(p.ts))::BIGINT <= 7200
+                THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S') END AS asof_ts,
+           CASE WHEN floor(epoch(e.ts))::BIGINT - floor(epoch(p.ts))::BIGINT <= 7200
+                THEN p.value END AS asof_value
+         FROM events e ASOF LEFT JOIN (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+         ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
+
+    "q_outliers" ->
+      """WITH fences AS (
+           SELECT user_id,
+             quantile_cont(value, 0.25) - (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5 AS fence_lo,
+             quantile_cont(value, 0.75) + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5 AS fence_hi
+           FROM events GROUP BY user_id)
+         SELECT event_id, e.user_id, value,
+           round(fence_lo, 9) AS fence_lo, round(fence_hi, 9) AS fence_hi
+         FROM events e JOIN fences f ON e.user_id = f.user_id
+         WHERE value < fence_lo OR value > fence_hi
+         ORDER BY event_id""",
 
     "q_event_windows" ->
       """SELECT user_id,

@@ -43,6 +43,25 @@ object Profiling {
       .limit(topN)
   }
 
+  /** IQR outlier detection per group: rows whose value falls outside
+    * [Q1 − k·IQR, Q3 + k·IQR] (Tukey's fences, k = 1.5 classically) — the
+    * standard robust data-quality screen. Quartiles come from one grouped
+    * exact-percentile aggregation joined back to the rows (groups are the
+    * broadcast side), so the screen is two scans and one broadcast join.
+    */
+  def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 1.5): DataFrame = {
+    val fences = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        expr(s"percentile($valueCol, 0.25)").as("_q1"),
+        expr(s"percentile($valueCol, 0.75)").as("_q3"))
+      .select(groupCols.map(col) :+
+        (col("_q1") - (col("_q3") - col("_q1")) * k).as("fence_lo") :+
+        (col("_q3") + (col("_q3") - col("_q1")) * k).as("fence_hi"): _*)
+    df.join(broadcast(fences), groupCols)
+      .where(col(valueCol) < col("fence_lo") || col(valueCol) > col("fence_hi"))
+  }
+
   /** Per-group z-score normalization: (x − mean) / stddev over the group,
     * the feature-scaling pass before similarity search or model input.
     * Mean and sample stddev come from exact-decimal group sums

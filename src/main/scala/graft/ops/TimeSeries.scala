@@ -146,6 +146,28 @@ object TimeSeries {
     forwardFill(joined, seriesKey, tsCol, valueCol)
   }
 
+  /** As-of join with a staleness tolerance: like `asOfJoin`, but the
+    * carried state is nulled out when it is older than
+    * `toleranceSeconds` at the event's timestamp — "the last quote, but
+    * only if it is fresh enough". Second-resolution comparison
+    * (unix_timestamp floor), matching the sessionizer's gap rule.
+    */
+  def asOfJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      leftValueCols: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    val joined = asOfJoin(left, right, keyCol, tsCol, leftValueCols)
+    val fresh = col("asof_ts").isNotNull &&
+      (unix_timestamp(col(tsCol)) - unix_timestamp(col("asof_ts"))) <= toleranceSeconds
+    val asofCols = "asof_ts" +: leftValueCols.map(c => s"asof_$c")
+    asofCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }
+  }
+
   /** OHLCV resample to a coarser time bucket (README.md:178). open/close
     * use min_by/max_by on a unique order column — deterministic under
     * parallel execution (never first()/last(), which are order-dependent).
