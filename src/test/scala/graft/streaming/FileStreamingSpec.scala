@@ -54,6 +54,40 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping windows converge to the batch hopping-window answer") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts", "value")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_hop_in").toFile.getAbsolutePath
+    events.where(pmod(col("event_id"), lit(2)) === 0).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 16).parquet(inDir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), window(col("ts"), "10 minutes", "5 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("win.start").as("win_start"), col("n_events"), col("sum_value"))
+    val q = stream.writeStream.format("memory").queryName("hop_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      events.where(pmod(col("event_id"), lit(2)) === 1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val streamed = toMap(spark.table("hop_win")
+        .select(col("user_id"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n_events"), col("sum_value")))
+      val batch = toMap(graft.ops.EventOps.hoppingWindowStats(
+        events, "user_id", "ts", "value", "10 minutes", "5 minutes"))
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (k, (n, s)) =>
+        val (sn, ss) = streamed(k)
+        assert(sn === n, s"n_events mismatch for $k")
+        assert(math.abs(ss - s) < 1e-6, s"sum_value mismatch for $k")
+      }
+    } finally q.stop()
+  }
+
   test("file-source streaming sessionize converges to the batch session boundaries") {
     val s = spark
     import s.implicits._
