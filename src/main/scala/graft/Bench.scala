@@ -24,18 +24,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Per-query values rounded to ms: full double precision tripled the
-    // JSON line length and the driver's bounded tail capture truncated it
-    // mid-record (BENCH_r03 parsed: null). The line is also written to a
-    // file and printed LAST (after spark.stop()) so only sbt's short
-    // [success] trailer follows it in the captured tail.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
-      .mkString("{", ",", "}")
+    // The stdout line must survive the driver's bounded tail capture:
+    // even ms-rounded, 90 per-query records overflowed it (BENCH_r04
+    // parsed: null — the tail began mid-line). So stdout carries a COMPACT
+    // line — totals plus the headline queries only — printed LAST (after
+    // spark.stop(), so just sbt's short [success] trailer follows), while
+    // the complete per-query map goes to BENCH_LAST.json.
+    def fmt(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
     val total = math.rint(results.values.sum * 1000) / 1000
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    val headline = Seq("q_groupby_agg", "q_join_q5", "q_topk", "q_simhash_neardup",
+      "q_dedup_groups", "q_pipeline_prep", "q_ngram_jaccard_df", "q_minhash_lsh",
+      "q_ivf_topk", "q_cosine_topk_native", "q_corr")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(headline.flatMap(k => results.get(k).map(k -> _)))},"n_queries":${results.size},"detail":"BENCH_LAST.json","sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    println(json)
+    println(compact)
   }
 }

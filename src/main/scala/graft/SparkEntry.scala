@@ -22,7 +22,12 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Insertion-ordered (SeqMap): the bench and Verify iterate this map, so
+  // a stable declaration order makes per-query timings comparable across
+  // rounds and guarantees that session-memoized artifacts (the SimHash
+  // near-dup edge stage, the IVF centroids) are paid for by the query that
+  // owns them — q_simhash_neardup runs before its two consumers.
+  def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.SeqMap(
     // ── scans / projections / filters (SURVEY §2.1-2.2) ────────────────
     // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
     // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is. Row-level
@@ -634,7 +639,7 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q_simhash_neardup" -> ((s, dir) =>
-      TextOps.simHashNearDup(T(s, dir, "documents"), "doc_id", "text", 3)
+      TextOps.simHashNearDupCached(T(s, dir, "documents"), "doc_id", "text", 3, s, dir)
         .orderBy("id_a", "id_b")),
 
     // Repetition-based quality signals (Gopher-style): duplicate-token and
@@ -679,7 +684,7 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       Graph.connectedComponents(
           docs.select("doc_id"), "doc_id",
-          TextOps.simHashNearDup(docs, "doc_id", "text", 3), "id_a", "id_b")
+          TextOps.simHashNearDupCached(docs, "doc_id", "text", 3, s, dir), "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -706,9 +711,18 @@ object SparkEntry {
       // (near-dup edges, component nodes, final join) would otherwise
       // each re-evaluate the quality+dedup stage from the scan
       val deduped = TextOps.dedupExact(quality, "doc_id", "text").localCheckpoint(true)
+      // Near-dup edges over the deduped survivors = the full-corpus edge
+      // set restricted to pairs with BOTH endpoints surviving (SimHash
+      // fingerprints are per-document — see simHashNearDupCached's
+      // soundness note), so the expensive signature stage is shared with
+      // q_simhash_neardup / q_dedup_groups instead of recomputed here.
+      val survivors = deduped.select(col("doc_id"))
+      val edges = TextOps.simHashNearDupCached(
+          T(s, dir, "documents"), "doc_id", "text", 3, s, dir)
+        .join(survivors.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(survivors.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
       val groups = Graph.connectedComponents(
-        deduped.select("doc_id"), "doc_id",
-        TextOps.simHashNearDup(deduped, "doc_id", "text", 3), "id_a", "id_b")
+        deduped.select("doc_id"), "doc_id", edges, "id_a", "id_b")
       val reps = deduped.join(
         groups.where(col("id") === col("group_rep")).select(col("id").as("doc_id")),
         Seq("doc_id"), "left_semi")
@@ -913,8 +927,13 @@ object SparkEntry {
     * a session is live. Absent only when neither holds — the driver then
     * falls back to the rows-only check, same as before the artifact existed.
     */
-  private def ivfOracleEntry: Map[String, String] = {
-    val dir = IvfIndex.lastSfDir.getOrElse("/root/testdata/sf0.01")
+  private def ivfOracleEntry: Map[String, String] = IvfIndex.lastSfDir match {
+    // No query has run in this JVM: we don't know which dataset the oracle
+    // dump targets, and guessing one would silently embed the WRONG
+    // centroids (ADVICE r4). Omitting the entry keeps q_ivf_topk on the
+    // driver's rows-only fallback instead.
+    case None => Map.empty
+    case Some(dir) =>
     val cOpt = IvfIndex.loadIfPresent(dir, IvfK, IvfIters).orElse {
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
         IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
@@ -1810,10 +1829,10 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id,
            (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) +
-            len(regexp_extract_all(text, '[+]?[0-9][0-9-]{6,}[0-9]')))::BIGINT AS n_redactions,
+            len(regexp_extract_all(text, '[+]?[(]?[0-9]([-.() ]{0,2}[0-9]){6,14}')))::BIGINT AS n_redactions,
            regexp_replace(
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '[+]?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+             '[+]?[(]?[0-9]([-.() ]{0,2}[0-9]){6,14}', '<PHONE>', 'g') AS redacted
          FROM withpii ORDER BY doc_id""",
 
     "q_lang_id" ->

@@ -62,12 +62,18 @@ object Graph {
       // Pointer doubling: chase one indirection through the just-stepped
       // labels (rep(rep(v))). Labels stay monotone — the representative's
       // label is itself ≥ the component minimum — but label chains halve
-      // every round instead of shrinking by one hop. Skipped in round 1:
-      // shallow components (dup clusters, the common case) converge on
-      // plain propagation alone, and the extra join would be pure
-      // overhead; chains long enough to need it still get O(log d)
-      // rounds from round 2 on.
-      val next = (if (i == 0) stepped else {
+      // every round instead of shrinking by one hop. Gated ADAPTIVELY:
+      // plain propagation only for the first `plainRounds` rounds, because
+      // shallow components (dup clusters of 2-5 docs, the overwhelmingly
+      // common case) converge on plain propagation alone and the shortcut
+      // join is pure per-round overhead there (round 4 recorded the
+      // regression: engaging it from round 2 cost +0.6 s at sf0.1 while
+      // saving zero rounds). Only a graph still unconverged after
+      // `plainRounds` rounds has chains deep enough for the shortcut to
+      // pay; from then on it halves the remaining depth per round, so the
+      // worst case stays O(plainRounds + log d).
+      val plainRounds = 3
+      val next = (if (i < plainRounds) stepped else {
         val reps = stepped.select(col("id").as("_rid"), col("group_rep").as("_rrep"))
         stepped.join(reps, stepped("group_rep") === reps("_rid"), "left")
           .select(stepped("id"),

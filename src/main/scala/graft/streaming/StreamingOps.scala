@@ -88,7 +88,13 @@ object StreamingOps {
     */
   def streamingNearDupBands(df: DataFrame, idCol: String, textCol: String,
                             withinWatermark: Boolean = false): DataFrame = {
+    // Token-less documents are excluded up front: batch simHash emits no
+    // row for them (explode of an empty token list), while rowSimHash
+    // would fingerprint them all as 0 — without this filter every
+    // empty/whitespace-only document would collide on all 4 bands and be
+    // flagged as a near-dup of the first one seen (ADVICE r4).
     val banded = df
+      .where(size(graft.ops.TextOps.tokens(col(textCol))) > 0)
       .withColumn("simhash", graft.ops.TextOps.rowSimHash(col(textCol)))
       .select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))

@@ -109,6 +109,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, "two mails <EMAIL> <EMAIL> and digits <PHONE>")))
   }
 
+  test("phone pattern requires 7-15 digits and tolerates real separators") {
+    val corpus = df(Seq(
+      Doc(0, "call (555) 123-4567 now"),   // parens + space + hyphens
+      Doc(1, "dotted 555.123.4567 form"),  // dot separators
+      Doc(2, "id 123456 is too short"),    // 6 digits: below the minimum
+      Doc(3, "zip 12345 and year 2024")))  // short digit runs untouched
+    val out = TextOps.redactPii(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(0L) === ((1L, "call <PHONE> now")))
+    assert(out(1L) === ((1L, "dotted <PHONE> form")))
+    assert(out(2L) === ((0L, "id 123456 is too short")))
+    assert(out(3L) === ((0L, "zip 12345 and year 2024")))
+  }
+
   test("rowSimHash equals the wide-aggregation simHash on the real documents table") {
     // the streaming-safe row-local form must be bit-identical to the batch
     // shuffle form — same token hash, same occurrence-weighted vote rule
