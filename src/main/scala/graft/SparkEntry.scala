@@ -174,6 +174,31 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Bucketed co-located join (the highest-value repeated-join
+    // optimization at 100 TB): lineitem and orders are materialized ONCE
+    // as tables bucketed (and sorted) on the order key, then the join AND
+    // the per-order aggregation both run with zero hash-partition
+    // exchanges — Spark pairs matching buckets directly and the groupBy
+    // reuses the same clustering. Results must be IDENTICAL to the plain
+    // join, so the oracle is the plain join (the q_join_salted trick) and
+    // the zero-shuffle claim is asserted in PlanInvariantsSpec.
+    "q_join_bucketed" -> ((s, dir) => {
+      val li = sources.BucketedTables.ensureBucketed(s, dir, "lineitem",
+        Seq("l_orderkey"), 8, Seq("l_orderkey", "l_quantity", "l_extendedprice"))
+      val ord = sources.BucketedTables.ensureBucketed(s, dir, "orders",
+        Seq("o_orderkey"), 8, Seq("o_orderkey", "o_totalprice"))
+      sources.BucketedTables.readBucketed(s, li)
+        .join(sources.BucketedTables.readBucketed(s, ord),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Portable.decSum(col("l_quantity")).as("sum_qty"),
+          Portable.decSum(col("l_extendedprice")).as("sum_price"),
+          max(col("o_totalprice")).as("o_totalprice"))
+        .orderBy("l_orderkey")
+    }),
+
     "q_join_semi" -> ((s, dir) =>
       Relational.semiJoin(
           T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
@@ -756,11 +781,12 @@ object SparkEntry {
     }),
 
     // ── multimodal columns (north star): binary payload + metadata →
-    // partition-local decode (deterministic stub) → feature stats ────────
+    // partition-local byte-level decode (nibble histogram + entropy over
+    // the actual payload bytes) → feature stats ──────────────────────────
     "q_multimodal" -> ((s, dir) => {
       val packed = MultimodalOps.packBinary(
         T(s, dir, "documents").withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
-      MultimodalOps.featureStats(MultimodalOps.decodeFeaturesStub(packed))
+      MultimodalOps.featureStats(MultimodalOps.decodeByteFeatures(packed))
         .withColumn("mean_f", round(col("mean_f"), 6))
         .orderBy("mime", "dim")
     }),
@@ -1090,6 +1116,17 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY n_name ORDER BY n_name""",
+
+    // The bucketed co-located join must equal the PLAIN join — the oracle
+    // is the plain join+agg, so bucketing is hash-checked as a pure
+    // physical-layout optimization (the q_join_salted equivalence trick).
+    "q_join_bucketed" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+           sum(CAST(l_quantity AS DECIMAL(28,4)))::DOUBLE AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(28,4)))::DOUBLE AS sum_price,
+           max(o_totalprice) AS o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
 
     "q_join_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -1859,15 +1896,37 @@ object SparkEntry {
            FROM overlap)
          WHERE rn = 1 ORDER BY doc_id""",
 
+    // Replicates decodeByteFeatures: nibble counts = hex-digit counts of
+    // the payload's hex encoding; frequencies divide by 2·byte_len; the
+    // entropy dim uses the same -Σ p·ln(p) / ln(2) form as the Scala loop.
+    // Every per-doc feature is cast to FLOAT exactly like the Spark side,
+    // and mean_f is rounded to 6 dp so ULP-level log/ordering differences
+    // can't surface.
     "q_multimodal" ->
-      """SELECT mime, dim, n, round(mean_f, 6) AS mean_f, total_bytes FROM (
-           SELECT 'text/plain' AS mime, b.dim,
-             count(*) AS n,
-             avg((('0x' || substr(md5(text), b.dim*2+1, 2))::INT::FLOAT / 255::FLOAT)::DOUBLE) AS mean_f,
-             sum(CAST(length(text)::DOUBLE AS DECIMAL(28,4)))::DOUBLE AS total_bytes
-           FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS dim) b
-           GROUP BY b.dim)
-         ORDER BY mime, dim""",
+      """WITH d AS (
+           SELECT doc_id, length(text) AS chars, hex(encode(text)) AS h,
+             2 * octet_length(encode(text)) AS tot
+           FROM documents),
+         nib AS (
+           SELECT doc_id, tot, b.dim,
+             length(h) - length(replace(h, substr('0123456789ABCDEF', b.dim + 1, 1), '')) AS cnt
+           FROM d CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) b),
+         freq AS (
+           SELECT doc_id, dim,
+             (CASE WHEN tot > 0 THEN cnt::DOUBLE / tot ELSE 0.0 END)::FLOAT AS f
+           FROM nib),
+         ent AS (
+           SELECT doc_id, 16 AS dim,
+             (CASE WHEN any_value(tot) > 0 THEN
+               sum(CASE WHEN cnt > 0 THEN -(cnt::DOUBLE / tot) * ln(cnt::DOUBLE / tot) ELSE 0.0 END) / ln(2.0)
+              ELSE 0.0 END)::FLOAT AS f
+           FROM nib GROUP BY doc_id),
+         feats AS (SELECT * FROM freq UNION ALL SELECT * FROM ent)
+         SELECT 'text/plain' AS mime, dim::BIGINT AS dim, count(*) AS n,
+           round(avg(f::DOUBLE), 6) AS mean_f,
+           sum(CAST(chars::DOUBLE AS DECIMAL(28,4)))::DOUBLE AS total_bytes
+         FROM feats JOIN d USING (doc_id)
+         GROUP BY dim ORDER BY mime, dim""",
 
     "q_quantize_int8" ->
       """SELECT vec_id, round(s, 9) AS scale,

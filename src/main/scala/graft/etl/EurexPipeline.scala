@@ -68,9 +68,19 @@ object EurexPipeline {
       .where(col(nullCol).isNull)
       .dropDuplicates()
 
-  /** Full pipeline (etl.py:65-175): one cached enriched DF, three sinks. */
+  /** Full pipeline (etl.py:65-175): corrupt-capturing read → quarantine
+    * sink, then one cached enriched DF over the clean branch, three sinks.
+    * The ingestion-time capture (quarantined raw lines) complements the
+    * reference's post-join missing-key checks below, which are kept as-is.
+    */
   def run(spark: SparkSession, inputPath: String, dimPath: String, outputUri: String): Unit = {
-    val enriched = enrich(derive(read(spark, inputPath)), readDimension(spark, dimPath))
+    val captured = graft.sources.CsvQuality
+      .readWithCorruptCapture(spark, inputPath, Schemas.eurex).cache()
+    graft.sources.CsvQuality.corruptRows(captured)
+      .write.mode("overwrite")
+      .parquet(s"$outputUri/quality_check/corrupt_rows")
+    val enriched = enrich(derive(graft.sources.CsvQuality.cleanRows(captured)),
+        readDimension(spark, dimPath))
       .cache()
     try {
       val missingIsin = missingCheck(enriched, "isin")
@@ -82,6 +92,9 @@ object EurexPipeline {
         .partitionBy("market_segment").parquet(s"$outputUri/quality_check/missing_isin")
       missingUnderlying.write.mode("overwrite")
         .partitionBy("market_segment").parquet(s"$outputUri/quality_check/missing_underlying")
-    } finally enriched.unpersist()
+    } finally {
+      enriched.unpersist()
+      captured.unpersist()
+    }
   }
 }

@@ -40,10 +40,25 @@ object XetraPipeline {
         concat(col("trading_date").cast("string"), col("trading_time")),
         "yyyy-MM-ddHH:mm"))
 
-  /** Full pipeline: read → derive → partitioned parquet sink (etl.py:62). */
-  def run(spark: SparkSession, inputPath: String, outputUri: String): Unit =
-    derive(read(spark, inputPath))
-      .write.mode("overwrite")
-      .partitionBy("trading_date")
-      .parquet(s"$outputUri/data/xetra")
+  /** Full pipeline: corrupt-capturing read → quarantine sink + (clean →
+    * derive → partitioned parquet sink) (etl.py:62). Ingestion-side
+    * quality capture upgrades the reference's record-only post-hoc checks
+    * (etl.py:166-175): rows that fail the schema are quarantined as raw
+    * lines instead of silently nulled into the fact table. The captured DF
+    * is cached so the two branches share one CSV parse (also the
+    * documented Spark requirement for queries over the corrupt column).
+    */
+  def run(spark: SparkSession, inputPath: String, outputUri: String): Unit = {
+    val captured = graft.sources.CsvQuality
+      .readWithCorruptCapture(spark, inputPath, Schemas.xetra).cache()
+    try {
+      graft.sources.CsvQuality.corruptRows(captured)
+        .write.mode("overwrite")
+        .parquet(s"$outputUri/quality_check/corrupt_rows")
+      derive(graft.sources.CsvQuality.cleanRows(captured))
+        .write.mode("overwrite")
+        .partitionBy("trading_date")
+        .parquet(s"$outputUri/data/xetra")
+    } finally captured.unpersist()
+  }
 }

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extraction / frame-sampling run
   * per-partition over the binary batches.
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * environment): `decodeFeaturesStub` derives a deterministic fake feature
-  * vector from the payload bytes. The Spark-side plumbing — schema,
-  * encoders, partition-wise batch processing, metadata propagation — is
-  * real and tested; swapping the stub for a JNI/codec call changes one
-  * function.
+  * The feature extraction (`decodeByteFeatures`) operates on the ACTUAL
+  * payload bytes — per-payload nibble histogram plus Shannon entropy, the
+  * standard content-type/compression fingerprint (encrypted or compressed
+  * media ≈ 4 bits/nibble; text ≈ 2-3; zero-padded containers less) — so
+  * the full decode path is real end-to-end. Format-specific codecs
+  * (JPEG/PCM/H.264) are absent in this environment; plugging one in
+  * replaces the histogram loop inside the same mapPartitions batch shape,
+  * encoders, and metadata propagation.
   *
   * Scale posture: payloads never shuffle unless the caller aggregates on
   * them — decode happens partition-local (`mapPartitions`), features are
@@ -52,14 +54,21 @@ object MultimodalOps {
   /** Output row of the decode stage. */
   case class DecodedFeatures(id: Long, mime: String, byte_len: Long, features: Array[Float])
 
-  /** Partition-wise "decode": one pass per partition over the binary
-    * payloads, emitting a fixed-width feature vector per document. The
-    * feature derivation below is a deterministic STUB standing in for a
-    * real decoder (`??? ← decode(payload)` would go here); everything
-    * around it — the mapPartitions batch shape, encoder, fixed feature
-    * width — is the production plumbing.
+  /** Number of feature dimensions emitted per payload: 16 nibble
+    * frequencies + 1 entropy.
     */
-  def decodeFeaturesStub(packed: DataFrame, featureDim: Int = 8): Dataset[DecodedFeatures] = {
+  val ByteFeatureDim = 17
+
+  /** Partition-wise decode: one pass per partition over the binary
+    * payloads, emitting a fixed-width feature vector computed from the
+    * payload BYTES — dims 0-15 are the frequency of each 4-bit nibble
+    * value among the payload's nibbles, dim 16 is the Shannon entropy
+    * (bits/nibble) of that distribution. Deterministic, codec-free, and
+    * oracle-expressible (the nibble counts equal hex-digit counts of the
+    * hex encoding, which any engine can compute); a format-specific
+    * decoder slots into this same mapPartitions loop.
+    */
+  def decodeByteFeatures(packed: DataFrame): Dataset[DecodedFeatures] = {
     val spark = packed.sparkSession
     import spark.implicits._
     packed.select(
@@ -70,11 +79,27 @@ object MultimodalOps {
       .as[(Long, Array[Byte], String, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, payload, mime, byteLen) =>
-          // STUB: a real implementation decodes the media here. The fake
-          // features are a stable function of the payload bytes so tests
-          // and re-runs are deterministic.
-          val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
-          val features = Array.tabulate(featureDim)(i => ((md(i % md.length) & 0xff) / 255.0f))
+          val cnt = new Array[Long](16)
+          var i = 0
+          while (i < payload.length) {
+            val b = payload(i) & 0xff
+            cnt(b >> 4) += 1
+            cnt(b & 0xf) += 1
+            i += 1
+          }
+          val tot = 2.0 * payload.length
+          val features = new Array[Float](ByteFeatureDim)
+          if (payload.length > 0) {
+            var entropy = 0.0
+            var j = 0
+            while (j < 16) {
+              val p = cnt(j) / tot
+              features(j) = p.toFloat
+              if (cnt(j) > 0) entropy -= p * math.log(p)
+              j += 1
+            }
+            features(16) = (entropy / math.log(2.0)).toFloat
+          }
           DecodedFeatures(id, mime, byteLen, features)
         }
       }

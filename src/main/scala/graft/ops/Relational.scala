@@ -85,10 +85,22 @@ object Relational {
     * side gets a deterministic salt from its full row hash, the right side
     * is replicated `nSalts` ways, and the join runs on (keys :+ salt) so a
     * hot key's rows spread over `nSalts` tasks instead of one straggler.
-    * Results are identical to the plain join; use when AQE's skew split
-    * isn't enough (e.g. one key is >> a single task's memory). Right-side
-    * replication costs nSalts× its size — keep the right side the smaller
-    * input.
+    * Results are identical to the plain join. Right-side replication costs
+    * nSalts× its size — keep the right side the smaller input.
+    *
+    * WHEN TO USE WHICH skew remedy (fed by the `keySkew` diagnostic /
+    * q_skew_profile):
+    *  - AQE skew-join (default-on, zero code): splits an oversized SHUFFLE
+    *    PARTITION into advisory-sized reads post-shuffle. Handles the
+    *    common case — several warm keys hashing into one partition, or one
+    *    hot key whose rows AQE can fan across sub-reads (the matching
+    *    right side is duplicated per split). Proven in SkewJoinSpec.
+    *  - saltedJoin (explicit rewrite): when one KEY alone exceeds what a
+    *    single task should hold even after AQE's split granularity, or
+    *    when the engine must guarantee the spread at plan time (AQE only
+    *    reacts to observed map statistics at runtime). Costs the salt
+    *    column + right-side replication, so it's the escalation, not the
+    *    default.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], nSalts: Int): DataFrame = {
     val salted = left.withColumn(

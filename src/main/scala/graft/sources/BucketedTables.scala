@@ -24,4 +24,30 @@ object BucketedTables {
   /** Read a bucketed table back (bucket metadata applies automatically). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  private val ensured = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** Write-once bucketed copy of a test table: materializes
+    * `sfDir/<table>.parquet` as a managed table bucketed on `bucketCols`
+    * and returns its catalog name; subsequent calls in the same
+    * SparkContext reuse it. This is the bucketing LIFECYCLE at 100 TB —
+    * the fact table is written bucketed ONCE (by its producer), and every
+    * downstream join/aggregation on the bucket key runs shuffle-free — so
+    * the one-time write here plays the producer's role, and the queries
+    * over it demonstrate the steady state.
+    */
+  def ensureBucketed(spark: SparkSession, sfDir: String, table: String,
+                     bucketCols: Seq[String], numBuckets: Int,
+                     selectCols: Seq[String]): String = {
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val name = s"graft_bkt_${table}_$dirHash"
+    ensured.getOrElseUpdate((spark.sparkContext.applicationId, name), {
+      import org.apache.spark.sql.functions.col
+      writeBucketed(graft.Tables.load(spark, sfDir, table).select(selectCols.map(col): _*),
+        name, bucketCols, numBuckets, sortCols = bucketCols)
+    })
+    name
+  }
 }

@@ -88,6 +88,27 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_join_bucketed joins and aggregates with zero hash-shuffle exchanges") {
+    // the co-located-join contract: with both tables bucketed on the join
+    // key, the join AND the per-key aggregation need no hash repartition —
+    // the only exchange in the whole plan is the final ORDER BY's range
+    // partitioning. Broadcast is disabled so the invariant can't pass
+    // trivially via a broadcast join at this tiny scale factor.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+      df.collect() // materialize so AQE settles the final stages
+      val hashShuffles = flatten(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashShuffles.isEmpty,
+        s"expected zero hash shuffles, saw ${hashShuffles.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("every lineitem row-level query orders by the full unique key") {
     // regression guard for the non-unique (l_orderkey, l_linenumber) trap:
     // queries whose FIRST sort column is l_orderkey must also sort by

@@ -90,4 +90,33 @@ class PipelineGoldenSpec extends SparkSpec {
     XetraPipeline.run(spark, xetraCsv, xout)
     assert(spark.read.parquet(s"$xout/data/xetra").count() === 15057)
   }
+
+  test("ingestion-time quality capture: malformed rows are quarantined, clean rows flow") {
+    // the reference's sample data plus two planted bad rows: a truncated
+    // line and a row with a non-numeric volume — both must land in the
+    // quarantine sink as raw lines while every clean row reaches the fact
+    // sink (capture-at-ingest upgrade over etl.py:166-175's post-hoc checks)
+    val dir = Files.createTempDirectory("graft_xetra_dirty")
+    val dirty = dir.resolve("bars.csv")
+    val sample = Files.readString(java.nio.file.Path.of(xetraCsv))
+    Files.writeString(dirty, sample.stripTrailing() +
+      "\nBADROW,truncated,line\n" +
+      "DE000TEST001,TST,DESC,Common stock,EUR,1,2020-11-24,08:00,1.0,1.0,1.0,1.0,not_a_number,1\n")
+    val out = Files.createTempDirectory("graft_xetra_dirty_out").toString
+    XetraPipeline.run(spark, dirty.toString, out)
+    val quarantined = spark.read.parquet(s"$out/quality_check/corrupt_rows")
+      .collect().map(_.getString(0))
+    assert(quarantined.length === 2)
+    assert(quarantined.exists(_.startsWith("BADROW")))
+    assert(quarantined.exists(_.startsWith("DE000TEST001")))
+    val facts = spark.read.parquet(s"$out/data/xetra")
+    assert(facts.count() === 15057)
+    assert(!facts.columns.contains(graft.sources.CsvQuality.CorruptCol))
+
+    // the clean reference file quarantines nothing but still writes the sink
+    val cleanOut = Files.createTempDirectory("graft_eurex_clean_out").toString
+    EurexPipeline.run(spark, eurexCsv, dimCsv, cleanOut)
+    assert(spark.read.parquet(s"$cleanOut/quality_check/corrupt_rows").count() === 0)
+    assert(spark.read.parquet(s"$cleanOut/data/eurex").count() === 3546)
+  }
 }

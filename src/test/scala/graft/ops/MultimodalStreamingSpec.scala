@@ -31,15 +31,32 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(packed.select("meta.source").collect().forall(_.getString(0) === "unknown"))
   }
 
-  test("decodeFeaturesStub: deterministic, fixed-width, partition-local") {
+  test("decodeByteFeatures: real nibble histogram + entropy from payload bytes") {
     val packed = MultimodalOps.packBinary(
       docs.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
-    val decoded = MultimodalOps.decodeFeaturesStub(packed).collect().sortBy(_.id)
+    val decoded = MultimodalOps.decodeByteFeatures(packed).collect().sortBy(_.id)
     assert(decoded.length === 3)
-    assert(decoded.forall(_.features.length === 8))
+    assert(decoded.forall(_.features.length === MultimodalOps.ByteFeatureDim))
     assert(decoded(0).features.toSeq === decoded(1).features.toSeq) // same payload
     assert(decoded(0).features.toSeq !== decoded(2).features.toSeq)
-    assert(decoded.forall(d => d.features.forall(f => f >= 0f && f <= 1f)))
+    // the 16 frequency dims sum to 1 for a non-empty payload
+    decoded.foreach { d =>
+      assert(math.abs(d.features.take(16).map(_.toDouble).sum - 1.0) < 1e-6)
+    }
+    // hand-check "hello world" (UTF-8, 11 bytes, 22 nibbles): nibble 6
+    // appears 8 times (h/e/l/o/w/r/d high nibbles and 'l'/'o' lows...) —
+    // verify against a direct recomputation instead of a magic constant
+    val bytes = "hello world".getBytes("UTF-8")
+    val cnt = new Array[Int](16)
+    bytes.foreach { b => cnt((b & 0xff) >> 4) += 1; cnt(b & 0xf) += 1 }
+    val tot = 2.0 * bytes.length
+    (0 until 16).foreach { j =>
+      assert(decoded(0).features(j) === (cnt(j) / tot).toFloat, s"dim $j")
+    }
+    val expEnt = -cnt.filter(_ > 0).map(c => c / tot * math.log(c / tot)).sum / math.log(2.0)
+    assert(decoded(0).features(16) === expEnt.toFloat)
+    // entropy of a uniform-ish text payload sits strictly between 0 and 4
+    assert(decoded.forall(d => d.features(16) > 0f && d.features(16) < 4f))
   }
 
   test("sampleFrames: stride over byte_len-derived frame count, no payload fanout") {
@@ -56,8 +73,8 @@ class MultimodalStreamingSpec extends SparkSpec {
   test("featureStats aggregates per mime and dimension") {
     val packed = MultimodalOps.packBinary(
       docs.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
-    val stats = MultimodalOps.featureStats(MultimodalOps.decodeFeaturesStub(packed))
-    assert(stats.count() === 8) // one mime × 8 dims
+    val stats = MultimodalOps.featureStats(MultimodalOps.decodeByteFeatures(packed))
+    assert(stats.count() === MultimodalOps.ByteFeatureDim) // one mime × 17 dims
     val r = stats.where(col("dim") === 0).head()
     assert(r.getAs[Long]("n") === 3L)
     assert(r.getAs[Double]("total_bytes") === (11 + 11 + 19).toDouble)
