@@ -45,6 +45,14 @@ object BucketedTables {
     val name = s"graft_bkt_${table}_$dirHash"
     ensured.getOrElseUpdate((spark.sparkContext.applicationId, name), {
       import org.apache.spark.sql.functions.col
+      // the in-memory catalog is per-JVM but the warehouse directory is
+      // not: a previous process' files under the managed location make
+      // CTAS fail LOCATION_ALREADY_EXISTS — drop both before writing
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       writeBucketed(graft.Tables.load(spark, sfDir, table).select(selectCols.map(col): _*),
         name, bucketCols, numBuckets, sortCols = bucketCols)
     })
