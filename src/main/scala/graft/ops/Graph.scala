@@ -46,19 +46,31 @@ object Graph {
       val d = l.agg(sum(col("group_rep").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) BigDecimal(0) else BigDecimal(d) // null sum = empty node set
     }
+    // Loop state is LAZILY localCheckpoint'ed: the convergence aggregate
+    // right below is the first action, so one job per round both
+    // materializes the checkpoint (truncating lineage) and returns the
+    // label sum — an eager checkpoint would run a separate job per round,
+    // doubling the loop's fixed job-scheduling cost for nothing.
     var labels = sym.select(col("_src").as("id")).distinct()
       .select(col("id"), col("id").as("group_rep"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
-    var converged = labels.isEmpty // no edges: nothing to propagate
+    // prevSum > 0 ⇒ labels nonempty, so the extra isEmpty job only runs in
+    // the empty / all-ids-sum-to-zero corner
+    var converged = prevSum == 0 && labels.isEmpty
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = sym.join(labels, col("_src") === col("id"))
-        .groupBy(col("_dst"))
-        .agg(min("group_rep").as("_nbr_rep"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("_dst"), "left")
-        .select(labels("id"),
-          least(col("group_rep"), coalesce(col("_nbr_rep"), col("group_rep"))).as("group_rep"))
+      // One propagation round as union + min-aggregate: each node's row
+      // (v, rep(v)) unions with one contribution (dst, rep(src)) per
+      // directed edge, and min per node is exactly
+      // rep'(v) = min(rep(v), min over neighbors rep(u)) — the same
+      // fixpoint as the join→groupBy→join form but with one fewer
+      // exchange and no second join per round (the loop cost is pure
+      // fixed job/shuffle overhead at small edge counts).
+      val contrib = sym.join(labels, col("_src") === col("id"))
+        .select(col("_dst").as("id"), col("group_rep"))
+      val stepped = labels.union(contrib)
+        .groupBy("id").agg(min("group_rep").as("group_rep"))
       // Pointer doubling: chase one indirection through the just-stepped
       // labels (rep(rep(v))). Labels stay monotone — the representative's
       // label is itself ≥ the component minimum — but label chains halve
@@ -78,7 +90,7 @@ object Graph {
         stepped.join(reps, stepped("group_rep") === reps("_rid"), "left")
           .select(stepped("id"),
             least(stepped("group_rep"), coalesce(col("_rrep"), stepped("group_rep"))).as("group_rep"))
-      }).localCheckpoint(true)
+      }).localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum

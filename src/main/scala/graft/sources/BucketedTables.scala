@@ -45,16 +45,28 @@ object BucketedTables {
     val name = s"graft_bkt_${table}_$dirHash"
     ensured.getOrElseUpdate((spark.sparkContext.applicationId, name), {
       import org.apache.spark.sql.functions.col
-      // the in-memory catalog is per-JVM but the warehouse directory is
-      // not: a previous process' files under the managed location make
-      // CTAS fail LOCATION_ALREADY_EXISTS — drop both before writing
+      // The in-memory catalog is per-JVM but the warehouse directory is
+      // not. A COMPLETE layout left by a previous process (committed
+      // _SUCCESS marker) is the persisted artifact of the one-time
+      // producer write — re-register the bucketed table over it instead
+      // of rewriting (the IvfIndex lifecycle applied to table layout);
+      // anything else at the location is a partial write: delete and
+      // rebuild.
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), name)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      writeBucketed(graft.Tables.load(spark, sfDir, table).select(selectCols.map(col): _*),
-        name, bucketCols, numBuckets, sortCols = bucketCols)
+      val src = graft.Tables.load(spark, sfDir, table).select(selectCols.map(col): _*)
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        val keys = bucketCols.mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE $name (${src.schema.toDDL}) USING PARQUET
+             |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $numBuckets BUCKETS
+             |LOCATION '$loc'""".stripMargin)
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        writeBucketed(src, name, bucketCols, numBuckets, sortCols = bucketCols)
+      }
     })
     name
   }
