@@ -691,6 +691,12 @@ object SparkEntry {
       TextOps.langIdByProfile(T(s, dir, "documents"), "doc_id", "text", "lang", 20)
         .orderBy("doc_id")),
 
+    // TF-IDF top-5 terms per document — keyword extraction over the whole
+    // corpus. Ranks on the ROUNDED score so rank order is engine-exact.
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfIdfTopTerms(T(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy("doc_id", "rank")),
+
     // Decontamination: docs >= 100 checked for 3-gram overlap against a
     // pretend benchmark set (docs < 100) — the eval-leakage hygiene pass.
     "q_contamination" -> ((s, dir) => {
@@ -1871,6 +1877,29 @@ object SparkEntry {
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[+]?[(]?[0-9]([-.() ]{0,2}[0-9]){6,14}', '<PHONE>', 'g') AS redacted
          FROM withpii ORDER BY doc_id""",
+
+    "q_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         perdoc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         dlen AS (SELECT doc_id, sum(cnt) AS len FROM perdoc GROUP BY 1),
+         dfreq AS (SELECT token, count(*) AS df FROM perdoc GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         scored AS (
+           SELECT p.doc_id, p.token,
+             round((p.cnt::DOUBLE / l.len::DOUBLE)
+               * (ln((n.n::DOUBLE + 1.0) / (f.df::DOUBLE + 1.0)) + 1.0), 6) AS score
+           FROM perdoc p
+           JOIN dlen l ON p.doc_id = l.doc_id
+           JOIN dfreq f ON p.token = f.token
+           CROSS JOIN n)
+         SELECT doc_id, token, score, rank FROM (
+           SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5
+         ORDER BY doc_id, rank""",
 
     "q_lang_id" ->
       """WITH tok AS (

@@ -453,6 +453,38 @@ object TextOps {
       .withColumn("contaminated", col("n_common_shingles") >= minCommon)
   }
 
+  /** TF-IDF top terms per document: tf = occurrences / doc token count,
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed), keep the top `k` terms per doc
+    * by score (ties broken token asc). The canonical corpus-curation
+    * ranking for keyword extraction / near-dup triage.
+    *
+    * Scale shape: one explode → two hash aggregations (term counts per
+    * doc, document frequency per term) — both two-phase with map-side
+    * partials — then a term-keyed equi-join of the per-doc counts against
+    * the DF table and a per-doc top-k window. Nothing materializes the
+    * vocabulary on the driver; the DF side is term-partitioned, so hot
+    * terms are bounded by the same DF-guard argument as the shingle join
+    * (a term in every doc has idf → ln(1)+1, scoring near the bottom).
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val perDoc = tok.groupBy(idCol, "token").agg(count(lit(1)).as("_cnt"))
+    val docLen = perDoc.groupBy(idCol).agg(sum("_cnt").as("_len"))
+    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("_n"))
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("_df"))
+    val scored = perDoc
+      .join(docLen, Seq(idCol))
+      .join(docFreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round((col("_cnt").cast("double") / col("_len").cast("double")) *
+          (log((col("_n").cast("double") + 1.0) / (col("_df").cast("double") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("score"), col("rank"))
+  }
+
   /** Corpus-profile language ID (north star): builds a per-language profile
     * of its top-N most frequent tokens (tie-break token asc) from a labeled
     * corpus, then predicts each document's language as the profile with the

@@ -59,6 +59,15 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(decoded.forall(d => d.features(16) > 0f && d.features(16) < 4f))
   }
 
+  test("decodeByteFeatures: empty payload yields all-zero features, no NaN") {
+    val empty = df(Seq(MDoc(0, "", "src0"), MDoc(1, "x", "src0")))
+    val packed = MultimodalOps.packBinary(
+      empty.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")
+    val decoded = MultimodalOps.decodeByteFeatures(packed).collect().sortBy(_.id)
+    assert(decoded(0).features.forall(_ === 0f))
+    assert(decoded.flatMap(_.features).forall(f => !f.isNaN))
+  }
+
   test("sampleFrames: stride over byte_len-derived frame count, no payload fanout") {
     val packed = MultimodalOps.packBinary(
       docs.withColumnRenamed("doc_id", "id"), "id", "text", "video/fake")

@@ -64,4 +64,38 @@ class SkewJoinSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("runtime bloom filter from a selective dim filter prunes the fact side") {
+    // the third join optimization in the 100 TB kit (next to bucketing and
+    // skew splitting): a selective filter on one join side injects a bloom
+    // filter into the OTHER side's scan, dropping non-matching fact rows
+    // before the shuffle. Thresholds are lowered so the tiny test tables
+    // qualify; broadcast is disabled so the join actually shuffles.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val li = graft.Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = graft.Tables.load(spark, dir, "orders")
+        .where(col("o_totalprice") > 150000.0) // selective creation side
+        .select("o_orderkey", "o_totalprice")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter in the optimized plan:\n${optimized.take(4000)}")
+      // and the filtered result is still exactly the plain join
+      assert(joined.count() ===
+        li.join(ord.hint("broadcast"), col("l_orderkey") === col("o_orderkey")).count())
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
