@@ -697,6 +697,22 @@ object SparkEntry {
       TextOps.tfIdfTopTerms(T(s, dir, "documents"), "doc_id", "text", 5)
         .orderBy("doc_id", "rank")),
 
+    // Sliding-window chunking: 64-token windows every 48 tokens — the
+    // long-document splitter feeding a fixed-context trainer.
+    "q_chunk" -> ((s, dir) =>
+      TextOps.chunkDocuments(T(s, dir, "documents"), "doc_id", "text", chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Greedy sequence packing to a 2048-token budget across 8 md5 shards —
+    // deterministic batch assembly (shard + id order fix the layout at any
+    // parallelism).
+    "q_pack" -> ((s, dir) =>
+      TextOps.packSequences(
+          TextOps.tokenStats(T(s, dir, "documents"), "text")
+            .select("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budget = 2048L, shards = 8)
+        .orderBy("doc_id")),
+
     // Decontamination: docs >= 100 checked for 3-gram overlap against a
     // pretend benchmark set (docs < 100) — the eval-leakage hygiene pass.
     "q_contamination" -> ((s, dir) => {
@@ -1900,6 +1916,34 @@ object SparkEntry {
            FROM scored)
          WHERE rank <= 5
          ORDER BY doc_id, rank""",
+
+    "q_chunk" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         s AS (
+           SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start
+           FROM d WHERE len(t) > 0)
+         SELECT doc_id, (start // 48)::BIGINT AS chunk_idx,
+           array_to_string(t[start+1 : start+64], ' ') AS chunk_text,
+           least(len(t) - start, 64)::BIGINT AS n_chunk_tokens
+         FROM s ORDER BY doc_id, chunk_idx""",
+
+    "q_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM d)
+         SELECT doc_id, shard, (before // 2048)::BIGINT AS pack_id,
+           (before % 2048)::BIGINT AS pack_offset, n_tokens
+         FROM p ORDER BY doc_id""",
 
     "q_lang_id" ->
       """WITH tok AS (

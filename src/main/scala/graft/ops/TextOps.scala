@@ -485,6 +485,54 @@ object TextOps {
       .select(col(idCol), col("token"), col("score"), col("rank"))
   }
 
+  /** Sliding-window document chunking — the long-document splitter of a
+    * training pipeline: token windows of `size` starting every
+    * `size - overlap` tokens (the final window may be shorter). Pure
+    * generator-side (`explode(sequence)` over start offsets + array
+    * slices): payload text is never duplicated across shuffle, each
+    * output row carries only its own window. Token-less documents emit
+    * no chunks.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize (got $overlap/$chunkSize)")
+    val step = chunkSize - overlap
+    val t = tokens(col(textCol))
+    val starts = when(size(t) > 0,
+      sequence(lit(0), size(t) - 1, lit(step))).otherwise(array().cast("array<int>"))
+    df.select(col(idCol), t.as("_toks"), explode(starts).as("start"))
+      .select(
+        col(idCol),
+        (col("start") / step).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"), col("start") + 1, lit(chunkSize))).as("chunk_text"),
+        least(size(col("_toks")) - col("start"), lit(chunkSize)).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Greedy sequential sequence packing — the "fill each training batch
+    * to the token budget" step: documents are sharded by a portable md5
+    * bucket of the id, ordered by id within the shard, and assigned to
+    * the pack where their first token lands (exclusive running token
+    * count ÷ budget). Deterministic at any parallelism (the md5 shard +
+    * id order fix the layout), and scale-safe: the running sum is a
+    * window per SHARD, never a global single-partition sort — shards
+    * pack independently, exactly how 1000 executors would each fill
+    * their own batch stream.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+                    budget: Long, shards: Int): DataFrame = {
+    val shard = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % shards
+    val w = Window.partitionBy("shard").orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(nTokCol), shard.as("shard"))
+      .withColumn("_before", coalesce(sum(col(nTokCol)).over(w), lit(0L)))
+      .select(col(idCol), col("shard"),
+        (col("_before") / budget).cast("long").as("pack_id"),
+        (col("_before") % budget).as("pack_offset"),
+        col(nTokCol))
+  }
+
   /** Corpus-profile language ID (north star): builds a per-language profile
     * of its top-N most frequent tokens (tie-break token asc) from a labeled
     * corpus, then predicts each document's language as the profile with the

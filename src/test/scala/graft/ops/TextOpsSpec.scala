@@ -109,6 +109,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, "two mails <EMAIL> <EMAIL> and digits <PHONE>")))
   }
 
+  test("chunkDocuments slides a token window with overlap; empty docs emit nothing") {
+    // doc 0 has 9 tokens; size=4, overlap=1 → step 3 → starts 0,3,6
+    val chunks = TextOps.chunkDocuments(docs.where(col("doc_id").isin(0L, 5L)),
+        "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(chunks.length === 3) // doc 5 (empty) contributes none
+    assert(chunks.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(chunks(0).getString(2) === "the quick brown fox")
+    assert(chunks(1).getString(2) === "fox jumps over the")
+    assert(chunks(2).getString(2) === "the lazy dog") // final short window
+    assert(chunks.map(_.getLong(3)).toSeq === Seq(4L, 4L, 3L))
+  }
+
+  test("packSequences fills shards to the token budget deterministically") {
+    val counts = TextOps.tokenStats(docs, "text").select("doc_id", "n_tokens")
+    val packed = TextOps.packSequences(counts, "doc_id", "n_tokens",
+        budget = 10L, shards = 1) // one shard → global id-ordered fill
+      .orderBy("doc_id").collect()
+    // doc token counts: 9,9,9,9,6,0 → exclusive prefix: 0,9,18,27,36,42
+    assert(packed.map(_.getLong(2)).toSeq === Seq(0L, 0L, 1L, 2L, 3L, 4L))
+    assert(packed.map(_.getLong(3)).toSeq === Seq(0L, 9L, 8L, 7L, 6L, 2L))
+    // sharded variant is a partition of the same rows with shard-local fill
+    val sharded = TextOps.packSequences(counts, "doc_id", "n_tokens", 10L, 4)
+    assert(sharded.count() === 6)
+    assert(sharded.where(col("pack_offset") >= 10L).count() === 0)
+  }
+
   test("phone pattern requires 7-15 digits and tolerates real separators") {
     val corpus = df(Seq(
       Doc(0, "call (555) 123-4567 now"),   // parens + space + hyphens
