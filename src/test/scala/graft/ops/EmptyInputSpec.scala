@@ -69,6 +69,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.upsertLatest(base, emptyKv, Seq("k"), "version").count() === 1)
   }
 
+  test("round-5 ops on empty inputs") {
+    assert(TextOps.tfIdfTopTerms(emptyDocs, "doc_id", "text", 5).count() === 0)
+    assert(TextOps.chunkDocuments(emptyDocs, "doc_id", "text", 64, 16).count() === 0)
+    assert(TextOps.packSequences(
+      emptyDocs.withColumn("n_tokens", lit(1L)), "doc_id", "n_tokens", 2048L, 8).count() === 0)
+    assert(MultimodalOps.decodeByteFeatures(MultimodalOps.packBinary(
+      emptyDocs.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")).count() === 0)
+  }
+
   test("profiling on empty frame reports zero rows per column") {
     val p = Profiling.profile(emptyBars.toDF(), Seq("isin", "price")).collect()
     assert(p.length === 2)

@@ -181,6 +181,38 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkDocuments is stream-compatible: micro-batched chunks equal the batch chunks") {
+    // the chunker is a stateless generator (explode over start offsets), so
+    // it promotes to Structured Streaming with no state store and no
+    // watermark — each arriving document emits its chunks in that
+    // micro-batch, and replaying the corpus reproduces the batch relation
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val out = TextOps.chunkDocuments(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", chunkSize = 64, overlap = 16)
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      val (first, second) = corpus.splitAt(20)
+      in.addData(first.toIndexedSeq); q.processAllAvailable()
+      in.addData(second.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val batch = TextOps.chunkDocuments(
+          df(corpus.toIndexedSeq.map { case (id, t) => Doc2(id, t) }),
+          "doc_id", "text", chunkSize = 64, overlap = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingDedupExact keeps first occurrence within and across micro-batches") {
     val s = spark
     import s.implicits._
