@@ -713,6 +713,19 @@ object SparkEntry {
           "doc_id", "n_tokens", budget = 2048L, shards = 8)
         .orderBy("doc_id")),
 
+    // Domain-level corpus stats: the synthetic corpus carries no URLs, so
+    // the query plants two per document (replicated in the oracle) and the
+    // extraction + rollup is hash-checked.
+    "q_domains" -> ((s, dir) => {
+      val withUrls = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/page"), col("doc_id"),
+          lit(" and http://ref.example.org/x")).as("text"))
+      TextOps.domainStats(withUrls, "doc_id", "text")
+        .orderBy("domain")
+    }),
+
     // Decontamination: docs >= 100 checked for 3-gram overlap against a
     // pretend benchmark set (docs < 100) — the eval-leakage hygiene pass.
     "q_contamination" -> ((s, dir) => {
@@ -1944,6 +1957,18 @@ object SparkEntry {
          SELECT doc_id, shard, (before // 2048)::BIGINT AS pack_id,
            (before % 2048)::BIGINT AS pack_offset, n_tokens
          FROM p ORDER BY doc_id""",
+
+    "q_domains" ->
+      """WITH withurls AS (
+           SELECT doc_id,
+             text || ' see https://site' || (doc_id % 7) || '.example.com/page' || doc_id ||
+               ' and http://ref.example.org/x' AS text
+           FROM documents),
+         dom AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+           FROM withurls)
+         SELECT domain, count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
+         FROM dom GROUP BY domain ORDER BY domain""",
 
     "q_lang_id" ->
       """WITH tok AS (

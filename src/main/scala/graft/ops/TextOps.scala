@@ -533,6 +533,21 @@ object TextOps {
         col(nTokCol))
   }
 
+  /** URL-domain extraction + per-domain rollup — the domain-level corpus
+    * curation step (per-domain stats feed blocklists, quality priors, and
+    * crawl budgets). Pure `regexp_extract_all` with a capture group (no
+    * lookarounds — RE2-portable), explode, and one two-phase aggregation
+    * keyed by the domain; `n_docs` counts distinct documents referencing
+    * the domain.
+    */
+  val UrlDomainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlDomainPattern), lit(1))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_refs"), countDistinct(col(idCol)).as("n_docs"))
+
   /** Corpus-profile language ID (north star): builds a per-language profile
     * of its top-N most frequent tokens (tie-break token asc) from a labeled
     * corpus, then predicts each document's language as the profile with the

@@ -46,6 +46,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments covers every token exactly; adjacent chunks overlap as declared") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val gen = Gen.nonEmptyListOf(word)
+    samples(gen, 5).foreach { words =>
+      val text = words.mkString(" ")
+      val in = spark.createDataFrame(Seq((0L, text))).toDF("doc_id", "text")
+      val chunks = TextOps.chunkDocuments(in, "doc_id", "text", chunkSize = 4, overlap = 2)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getLong(1), r.getString(2).split(" ").toSeq, r.getLong(3)))
+      // chunk_idx is dense from 0; window starts advance by chunkSize - overlap
+      assert(chunks.map(_._1).toSeq === chunks.indices.map(_.toLong))
+      // reassembling from starts reproduces the token sequence exactly
+      val step = 2
+      chunks.foreach { case (idx, toks, n) =>
+        val start = idx.toInt * step
+        assert(toks === words.slice(start, start + 4), s"chunk $idx")
+        assert(n === toks.length.toLong)
+      }
+      // full coverage: the last chunk reaches the final token
+      val (lastIdx, lastToks, _) = chunks.last
+      assert(lastIdx.toInt * step + lastToks.length === words.length)
+    }
+  }
+
+  test("packSequences: packs are contiguous per shard and never exceed the budget start") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(1L, 9L))
+    samples(gen, 5).foreach { counts =>
+      val in = spark.createDataFrame(counts.zipWithIndex.map { case (n, i) => (i.toLong, n) })
+        .toDF("doc_id", "n_tokens")
+      val out = TextOps.packSequences(in, "doc_id", "n_tokens", budget = 10L, shards = 3)
+        .orderBy("shard", "doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(out.length === counts.length) // every doc is packed exactly once
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        // offsets are the exclusive running sum within the shard
+        var running = 0L
+        rows.foreach { case (_, packId, offset, n) =>
+          assert(packId === running / 10L)
+          assert(offset === running % 10L)
+          running += n
+        }
+      }
+    }
+  }
+
   test("resampleOhlc conserves volume and rows; OHLC bounds hold") {
     val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 500), Gen.choose(1L, 100L)))
     samples(gen, 5).foreach { obs =>
