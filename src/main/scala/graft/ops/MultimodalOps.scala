@@ -105,6 +105,40 @@ object MultimodalOps {
       }
   }
 
+  /** Output row of the waveform decode. */
+  case class WaveStats(id: Long, n_samples: Long, rms: Double, peak: Long)
+
+  /** Audio-path decode: interpret the payload as little-endian int16 PCM
+    * and emit per-payload waveform statistics — sample count, RMS energy,
+    * peak amplitude. Bit-deterministic across engines: the squared-sample
+    * sum is integer-valued (exact in a double below 2^53), the division is
+    * one IEEE op, and sqrt is correctly rounded everywhere — so the oracle
+    * reproduces it from the hex encoding with no tolerance. A trailing odd
+    * byte is ignored; payloads under one sample emit zeros.
+    */
+  def waveformStats(packed: DataFrame): Dataset[WaveStats] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n = payload.length / 2
+          var sumSq = 0L
+          var peak = 0L
+          var i = 0
+          while (i < n) {
+            val s = (((payload(2 * i + 1): Int) << 8) | (payload(2 * i) & 0xff)).toShort.toLong
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          val rms = if (n > 0) math.rint(math.sqrt(sumSq.toDouble / n) * 1e6) / 1e6 else 0.0
+          WaveStats(id, n.toLong, rms, peak)
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: emit every `stride`-th frame
     * index up to `meta.byte_len / bytesPerFrame` — pure generator-side
     * (`explode(sequence)`), no payload duplication across rows.
