@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally passes through sbt's logger, which prefixes
+// every stdout line with "[info] " — that prefix broke the bench driver's
+// JSON parse of the final stdout line (BENCH_r05 parsed:null). StdoutOutput
+// lets the forked JVM inherit sbt's raw stdout/stderr instead, so the
+// bench's compact JSON line reaches the driver byte-for-byte.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
