@@ -22,6 +22,9 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Query-term set for q_bm25 — shared by the Spark query and its oracle. */
+  private val Bm25Terms = Seq("spark", "window", "merge")
+
   // Insertion-ordered (SeqMap): the bench and Verify iterate this map, so
   // a stable declaration order makes per-query timings comparable across
   // rounds and guarantees that session-memoized artifacts (the SimHash
@@ -243,6 +246,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Incremental aggregation maintenance: base (event_id % 10 != 0) and a
+    // delta batch (the rest) are aggregated to per-(type, day) partials
+    // independently, then MERGED — the materialized-view pattern that
+    // avoids rescanning 100 TB of history per refresh. The oracle is the
+    // full one-pass recompute over all events: hash equality IS the claim
+    // that merge(partial(base), partial(delta)) = aggregate(base ∪ delta),
+    // exact because the partial state is (count, decimal sum).
+    "q_incr_agg" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      val keys = Seq("event_type", "day")
+      val base = Relational.partialAggs(ev.where(col("event_id") % 10 =!= 0), keys, "value")
+      val delta = Relational.partialAggs(ev.where(col("event_id") % 10 === 0), keys, "value")
+      Relational.mergePartialAggs(Seq(base, delta), keys)
+        .withColumn("avg_value", round(col("avg_value"), 9))
+        .orderBy("event_type", "day")
+    }),
+
     // ── aggregations (SURVEY §2.5) ─────────────────────────────────────
     "q_groupby_agg" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -275,6 +297,22 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), Portable.decSum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-(flag,status) detail plus per-flag and grand totals in one pass,
+    // disambiguated by grouping_id. One shuffle; Spark expands the sets
+    // map-side.
+    "q_grouping_sets" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          Portable.decSum(col("l_quantity")).as("sum_qty"))
+        .select("gid", "l_returnflag", "l_linestatus", "cnt", "sum_qty")
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
 
     "q_pivot" -> ((s, dir) =>
       T(s, dir, "events")
@@ -615,6 +653,29 @@ object SparkEntry {
           col("reached"))
         .orderBy("user_id")),
 
+    // Interval join via bucketing: every event matched to the 5-minute
+    // windows (anchored at every 500th event) containing it — the rewrite
+    // that turns a nested-loop range join into an ordinary equi-join (see
+    // EventOps.intervalJoinBucketed). Left join back to the window list so
+    // empty windows surface with zero counts.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val windows = ev.where(col("event_id") % 500 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 300 SECONDS")).as("w_end"))
+      val matched = EventOps.intervalJoinBucketed(
+          ev.select(col("event_id"), col("ts"), col("value")), "ts",
+          windows, "w_start", "w_end", bucketSeconds = 300L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"), Portable.decSum(col("value")).as("sum_value"))
+      windows.join(matched, Seq("window_id"), "left")
+        .select(col("window_id"),
+          date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("window_id")
+    }),
+
     // ── text analysis (SURVEY C3, C10, C12; north star) ────────────────
     "q_text_tokens" -> ((s, dir) =>
       TextOps.tokenStats(T(s, dir, "documents"), "text")
@@ -696,6 +757,30 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfIdfTopTerms(T(s, dir, "documents"), "doc_id", "text", 5)
         .orderBy("doc_id", "rank")),
+
+    // Corpus-unigram LM quality score (perplexity proxy): mean add-one
+    // log-probability of each document's tokens under the corpus's own
+    // unigram model — the gibberish/OOV filter of a curation pipeline.
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // BM25 relevance of every document against a fixed query-term set —
+    // the retrieval primitive behind corpus search / quality-weighted
+    // selection.
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25Scores(T(s, dir, "documents"), "doc_id", "text", Bm25Terms)
+        .orderBy("doc_id")),
+
+    // Temperature-weighted domain rebalancing (α = 0.5 over `lang`):
+    // skewed strata are flattened toward √-share weights, selection by
+    // deterministic md5 bucket — the "domain mixture" step before
+    // training-data assembly.
+    "q_domain_mix" -> ((s, dir) =>
+      TextOps.temperatureSample(T(s, dir, "documents"), "doc_id", "lang",
+          targetFrac = 0.5)
+        .select("doc_id", "lang", "keep_rate")
+        .orderBy("doc_id")),
 
     // Sliding-window chunking: 64-token windows every 48 tokens — the
     // long-document splitter feeding a fixed-context trainer.
@@ -1105,6 +1190,21 @@ object SparkEntry {
            sum(CAST(l_quantity AS DECIMAL(28,4)))::DOUBLE AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_grouping_sets" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+           l_returnflag, l_linestatus, count(*) AS cnt,
+           sum(CAST(l_quantity AS DECIMAL(28,4)))::DOUBLE AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_incr_agg" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+           sum(CAST(value AS DECIMAL(28,4)))::DOUBLE AS total,
+           round(sum(CAST(value AS DECIMAL(28,4)))::DOUBLE / count(*)::DOUBLE, 9) AS avg_value
+         FROM events GROUP BY 1, 2
+         ORDER BY event_type, day""",
 
     "q_window_nav" ->
       """SELECT event_id, user_id, value,
@@ -1573,6 +1673,19 @@ object SparkEntry {
          LEFT JOIN s2 ON s2.user_id = s0.user_id
          ORDER BY s0.user_id""",
 
+    "q_interval_join" ->
+      """WITH w AS (
+           SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 300 SECOND AS w_end
+           FROM events WHERE event_id % 500 = 0)
+         SELECT w.window_id,
+           strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+           count(e.event_id) AS n_events,
+           coalesce(sum(CAST(e.value AS DECIMAL(28,4)))::DOUBLE, 0.0) AS sum_value
+         FROM w LEFT JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+         GROUP BY w.window_id, w.w_start
+         ORDER BY w.window_id""",
+
     "q_date_parts" ->
       """SELECT o_orderkey,
            year(o_orderdate)::BIGINT AS y,
@@ -1929,6 +2042,64 @@ object SparkEntry {
            FROM scored)
          WHERE rank <= 5
          ORDER BY doc_id, rank""",
+
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM model)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           round(sum(CAST(ln((m.c::DOUBLE + 1.0) / (tot.total + tot.vocab)::DOUBLE)
+                 AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS logprob
+         FROM tok t JOIN model m ON t.token = m.token CROSS JOIN tot
+         GROUP BY t.doc_id
+         ORDER BY doc_id""",
+
+    // Constants interpolated from the SAME Scala doubles the query uses
+    // (Double.toString round-trips exactly), so literal parsing can never
+    // diverge between engines.
+    "q_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
+      raw"""WITH dl AS (
+           SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS dl
+           FROM documents),
+         tot AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ($terms) GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+         SELECT t.doc_id, count(*) AS n_terms,
+           round(sum(CAST(
+             ln(1.0 + (tot.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+               * ((t.tf::DOUBLE * ${k1 + 1.0}) /
+                  (t.tf::DOUBLE + $k1 * (1.0 - $b + $b * (d.dl::DOUBLE / (tot.sumdl::DOUBLE / tot.n::DOUBLE)))))
+             AS DECIMAL(28,12)))::DOUBLE, 6) AS bm25
+         FROM tf t
+         JOIN dfreq f ON t.token = f.token
+         JOIN dl d ON t.doc_id = d.doc_id
+         CROSS JOIN tot
+         GROUP BY t.doc_id
+         ORDER BY t.doc_id"""
+    },
+
+    "q_domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         norm AS (SELECT sum(CAST(sqrt(c::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS sum_w,
+                         sum(c) AS n FROM c),
+         rates AS (
+           SELECT c.lang,
+             round(least(1.0,
+               (sqrt(c.c::DOUBLE) / norm.sum_w) * (0.5 * norm.n::DOUBLE) / c.c::DOUBLE), 6) AS keep_rate
+           FROM c CROSS JOIN norm)
+         SELECT d.doc_id, d.lang, r.keep_rate
+         FROM documents d JOIN rates r ON d.lang = r.lang
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+               < round(r.keep_rate * 10000)
+         ORDER BY d.doc_id""",
 
     "q_chunk" ->
       """WITH d AS (

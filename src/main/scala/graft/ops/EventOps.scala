@@ -106,4 +106,31 @@ object EventOps {
       .foldLeft(lit(1L))(_ + _)
     joined.withColumn("reached", reached)
   }
+
+  /** Interval (range) join, bucketed: match fact rows whose timestamp
+    * falls inside `[startCol, endCol]` of an intervals table. A naive
+    * `ts BETWEEN start AND end` join has no equi-key, so Spark plans a
+    * broadcast-nested-loop — O(fact × intervals), a scale-killer. This is
+    * the standard rewrite: quantize time into `bucketSeconds` buckets,
+    * explode each interval onto every bucket it overlaps (bounded fan-out:
+    * ⌈len/bucket⌉+1 rows per interval), equi-join on the bucket, then
+    * refine with the exact range predicate. Each (fact, interval) pair
+    * matches in exactly one bucket — the fact's own — so no dedup pass is
+    * needed. With `bucketSeconds` ≈ the typical interval length the
+    * fan-out is ≤ 2×, and the join is an ordinary shuffled/broadcast hash
+    * join that scales like any equi-join.
+    */
+  def intervalJoinBucketed(fact: DataFrame, factTsCol: String,
+                           intervals: DataFrame, startCol: String, endCol: String,
+                           bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val fb = fact.withColumn("_bucket",
+      floor(unix_timestamp(col(factTsCol)) / bucketSeconds))
+    val ib = intervals.withColumn("_bucket",
+      explode(sequence(floor(unix_timestamp(col(startCol)) / bucketSeconds),
+                       floor(unix_timestamp(col(endCol)) / bucketSeconds))))
+    fb.join(ib, Seq("_bucket"))
+      .where(col(factTsCol) >= col(startCol) && col(factTsCol) <= col(endCol))
+      .drop("_bucket")
+  }
 }

@@ -126,6 +126,36 @@ object Relational {
       .drop("_rn")
   }
 
+  /** Partial-aggregate state for incremental (materialized-view style)
+    * aggregation maintenance: per-key count + exact decimal sum. Partials
+    * are re-mergeable — `mergePartialAggs(Seq(partial(base),
+    * partial(delta)))` equals `partial(base ∪ delta)` exactly, because
+    * count and decimal-sum are associative/commutative monoids (a double
+    * sum would NOT be: IEEE addition order changes the result, so partials
+    * would drift from the full recompute).
+    *
+    * This is the pattern that makes a 100 TB rolling aggregate affordable:
+    * aggregate each new partition/day once, keep the tiny partial table,
+    * and merge — never rescan history. Derived values (double total, avg)
+    * are computed only at merge time, from the exact state.
+    */
+  def partialAggs(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("decimal(28,4)")).as("_dec_total"))
+
+  /** Merge partial-aggregate states (see `partialAggs`) and finalize:
+    * n, double total, and mean — bit-identical to aggregating the union of
+    * the underlying rows in one pass.
+    */
+  def mergePartialAggs(parts: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("_dec_total").as("_t"))
+      .select(keys.map(col) ++ Seq(
+        col("n"),
+        col("_t").cast("double").as("total"),
+        (col("_t").cast("double") / col("n").cast("double")).as("avg_value")): _*)
+
   /** Snapshot diff: compare two snapshots by key and emit added / removed /
     * changed rows (unchanged rows are dropped — at scale the diff is tiny
     * relative to the snapshots). One full-outer shuffle join on the key;

@@ -548,6 +548,106 @@ object TextOps {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_refs"), countDistinct(col(idCol)).as("n_docs"))
 
+  /** Corpus-unigram language-model quality score — the classic
+    * "perplexity-proxy" filter of a training-data pipeline: score each
+    * document by the mean log-probability of its tokens under the corpus's
+    * own add-one-smoothed unigram model, p(t) = (c_t + 1) / (T + V).
+    * Low scores flag gibberish / OOV-heavy documents for removal.
+    *
+    * Scale shape: one explode → one token-keyed count aggregation (the
+    * model), a 2-value totals row broadcast, then a token-keyed equi-join
+    * of the document tokens against the model and a per-document decimal
+    * mean — the same two-phase shape as TF-IDF, nothing driver-side.
+    * The log values are decimal-cast before summing (order-independent,
+    * see Portable.decSum) and the mean is rounded to 6 dp for
+    * engine-exact comparison. Token-less documents emit no row.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val model = tok.groupBy("token").agg(count(lit(1)).as("_c"))
+    val totals = model.agg(sum("_c").as("_total"), count(lit(1)).as("_vocab"))
+    val logp = log((col("_c").cast("double") + 1.0) /
+      (col("_total") + col("_vocab")).cast("double"))
+    tok.join(model, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(Portable.decSum(logp, 12) / count(lit(1)), 6).as("logprob"))
+  }
+
+  /** BM25 relevance scoring of every document against a fixed query-term
+    * set — the retrieval/ranking primitive behind corpus search and
+    * quality-weighted sampling. Standard Okapi form:
+    *   idf(t)   = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *   score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: document lengths and term frequencies are two hash
+    * aggregations over one explode; the per-term df table is tiny (|query|
+    * rows) and broadcast; the per-document sum is decimal-cast
+    * (order-independent). Only documents containing at least one query
+    * term survive — the term filter lands before the tf aggregation, so
+    * the shuffle carries query-term tokens only.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("_dl"))
+    val totals = dl.agg(count(lit(1)).as("_n"), sum("_dl").as("_sumdl"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("_df"))
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("_n").cast("double") - col("_df").cast("double") + 0.5) /
+        (col("_df").cast("double") + 0.5))
+    val denom = col("_tf").cast("double") +
+      lit(k1) * (lit(1.0) - b + lit(b) * (col("_dl").cast("double") / avgdl))
+    val contrib = idf * ((col("_tf").cast("double") * (k1 + 1.0)) / denom)
+    tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(Portable.decSum(contrib, 12), 6).as("bm25"))
+  }
+
+  /** Temperature-weighted stratified resampling — the "domain mixture"
+    * rebalancing step of a training-data pipeline: stratum s with share
+    * c_s is resampled toward weight √c_s / Σ√c_s (temperature α = 0.5),
+    * flattening skewed strata (a dominant language/domain shrinks, rare
+    * ones keep everything). `targetFrac` sets the overall output size as
+    * a fraction of the corpus; per-stratum keep rates cap at 1 (no
+    * upsampling). Selection is the same deterministic md5 bucket as
+    * `Relational.hashSample` — a pure function of the id, reproducible at
+    * any parallelism.
+    *
+    * Scale shape: one tiny per-stratum count aggregation (broadcast back),
+    * then a stateless filter over the corpus — no shuffle of the payload.
+    * The √-weight normalizer is decimal-summed (order-independent) and
+    * rates are rounded to 6 dp so the keep decision is engine-exact.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_c"))
+    val norm = counts.agg(
+      Portable.decSum(sqrt(col("_c").cast("double")), 12).as("_sum_w"),
+      sum("_c").as("_n"))
+    val rates = counts.crossJoin(broadcast(norm))
+      .withColumn("keep_rate", round(
+        least(lit(1.0),
+          (sqrt(col("_c").cast("double")) / col("_sum_w")) *
+            (lit(targetFrac) * col("_n").cast("double")) / col("_c").cast("double")),
+        6))
+      .select(col(strataCol), col("keep_rate"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(bucket < round(col("keep_rate") * 10000))
+  }
+
   /** Corpus-profile language ID (north star): builds a per-language profile
     * of its top-N most frequent tokens (tie-break token asc) from a labeled
     * corpus, then predicts each document's language as the profile with the
