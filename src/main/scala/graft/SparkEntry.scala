@@ -676,6 +676,17 @@ object SparkEntry {
         .orderBy("window_id")
     }),
 
+    // Rectangle scan over the z-ordered events layout (who × when): the
+    // multi-dimensional data-skipping artifact — see sources.ZOrder. The
+    // oracle is the identical predicate over the plain table: same rows ⇒
+    // the layout changes the read cost, never the answer. ZOrderSpec
+    // proves the skipping bound; this gates the lifecycle end-to-end.
+    "q_zorder_scan" -> ((s, dir) =>
+      s.read.parquet(sources.ZOrder.ensureZOrderedEvents(s, dir))
+        .where(col("user_id").between(2, 9) && col("minute_of_day").between(600, 780))
+        .select("event_id", "user_id", "minute_of_day", "value")
+        .orderBy("event_id")),
+
     // ── text analysis (SURVEY C3, C10, C12; north star) ────────────────
     "q_text_tokens" -> ((s, dir) =>
       TextOps.tokenStats(T(s, dir, "documents"), "text")
@@ -1685,6 +1696,15 @@ object SparkEntry {
          FROM w LEFT JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
          GROUP BY w.window_id, w.w_start
          ORDER BY w.window_id""",
+
+    "q_zorder_scan" ->
+      """SELECT event_id, user_id,
+           (extract(hour FROM ts) * 60 + extract(minute FROM ts))::BIGINT AS minute_of_day,
+           value
+         FROM events
+         WHERE user_id BETWEEN 2 AND 9
+           AND (extract(hour FROM ts) * 60 + extract(minute FROM ts)) BETWEEN 600 AND 780
+         ORDER BY event_id""",
 
     "q_date_parts" ->
       """SELECT o_orderkey,

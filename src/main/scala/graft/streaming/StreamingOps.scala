@@ -103,6 +103,30 @@ object StreamingOps {
     else banded.dropDuplicates("band", "band_val")
   }
 
+  /** Stream–stream inner interval join: match each left row to right rows
+    * with the same key whose timestamp falls in
+    * `[leftTs − lookbackSeconds, leftTs]` — the streaming enrichment join
+    * (e.g. purchases joined to the clicks that preceded them). Both sides
+    * are watermarked and the join condition carries the explicit time
+    * range, which is what lets Spark BOUND THE STATE: a buffered right row
+    * can be dropped once the left watermark passes `rightTs +
+    * lookbackSeconds`, so state is O(rate × (lookback + delay)) per key —
+    * never the whole history. Without the range condition the state store
+    * grows without bound; this operator makes the bound structural.
+    * Column names must be disjoint apart from the join keys.
+    */
+  def streamStreamIntervalJoin(left: DataFrame, leftTsCol: String,
+                               right: DataFrame, rightTsCol: String,
+                               keys: Seq[String], lookbackSeconds: Long,
+                               watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+      r(rightTsCol) <= l(leftTsCol)
+    keys.foldLeft(l.join(r, cond))((acc, k) => acc.drop(r(k)))
+  }
+
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class SessionOut(key: Long, session_start: java.sql.Timestamp,

@@ -235,4 +235,53 @@ class FileStreamingSpec extends SparkSpec {
       assert(kept.toSeq === Seq(0L, 4L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join converges to the batch range join") {
+    // Arrivals are time-ordered (the watermark contract); the second
+    // arrival's purchases must still match FIRST-arrival views, proving
+    // the right side is buffered as state across micro-batches.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // views for users 1..40 at 10:00; user 41's view long before lookback
+    val viewRows = (1L to 40L).map(u => (1000L + u, u, ts("2024-01-01 10:00:00"))) :+
+      ((1041L, 41L, ts("2024-01-01 08:00:00")))
+    // batch-1 purchases (users 1..20, 10:05) match in-batch; batch-2
+    // purchases (users 21..41, 10:20) match across batches; user 41's
+    // view is outside the 1h lookback -> no pair
+    val p1 = (1L to 20L).map(u => (2000L + u, u, ts("2024-01-01 10:05:00")))
+    val p2 = (21L to 41L).map(u => (2000L + u, u, ts("2024-01-01 10:20:00")))
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.streamStreamIntervalJoin(
+      pIn.toDF().toDF("p_id", "user_id", "p_ts"), "p_ts",
+      vIn.toDF().toDF("v_id", "user_id", "v_ts"), "v_ts",
+      Seq("user_id"), lookbackSeconds = 3600L, watermarkDelay = "10 minutes")
+    val q = joined.select("p_id", "v_id").writeStream.format("memory")
+      .queryName("ssj_stream").outputMode("append").start()
+    try {
+      vIn.addData(viewRows); pIn.addData(p1)
+      q.processAllAvailable()
+      pIn.addData(p2)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val purchases = df((p1 ++ p2).map(r => Ssj(r._1, r._2, r._3)))
+        .toDF("p_id", "user_id", "p_ts")
+      val views = df(viewRows.map(r => Ssj(r._1, r._2, r._3)))
+        .toDF("v_id", "v_user", "v_ts")
+      val batch = purchases.join(views,
+          col("user_id") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS") &&
+            col("v_ts") <= col("p_ts"))
+        .select("p_id", "v_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.size === 40, "every user 1..40 pairs exactly once; user 41 never")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
+
+case class Ssj(id: Long, user: Long, t: java.sql.Timestamp)
