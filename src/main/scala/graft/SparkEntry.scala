@@ -1012,6 +1012,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Product-quantization ADC top-k with exact re-rank: each corpus
+    // vector compresses to 4 sub-space codes (16 bytes/vector — the scan
+    // payload of a 100 TB ANN sweep), queries rank by the dot against the
+    // reconstructed vector, and the top-20 candidates re-score exactly.
+    // Codebooks are a persisted artifact (PqIndex, same lifecycle as IVF)
+    // whose literals the oracle embeds — fully hash-checked.
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val books = PqIndex.codebooksFor(dir, PqM, PqK, PqIters) {
+        (0 until PqM).map { m =>
+          VectorOps.subKMeans(
+            emb.select(col("vec_id"), slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub")),
+            "vec_id", "sub", PqK, PqIters)
+        }.toArray
+      }
+      VectorOps.pqTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
+          books, rerank = 20)
+        .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Approximate banded sign-LSH top-k — deterministic hyperplanes make
     // the bucketing engine-portable, so this too is oracle-checked (plus a
     // measured-recall ScalaTest against the brute-force baseline).
@@ -1027,6 +1048,11 @@ object SparkEntry {
   /** IVF hyperparameters shared by the query and its oracle generator. */
   private val IvfK = 16
   private val IvfIters = 4
+
+  private val PqM = 4       // sub-spaces
+  private val PqSubDim = 16 // 64-dim embeddings / 4
+  private val PqK = 16      // codes per sub-space
+  private val PqIters = 4
 
   /** DuckDB oracle for q_ivf_topk, generated from the persisted IVF index
     * artifact: the centroid floats are embedded as double literals (exact —
@@ -1075,6 +1101,91 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
            FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB oracle for q_pq_topk, generated from the persisted PQ
+    * codebooks: sub-space codes replicate VectorOps.nearestCode (argmax of
+    * dot − ½‖c‖², both the centroid floats and the precomputed ½‖c‖²
+    * embedded as exact double literals), reconstruction is the ordered
+    * concat of selected sub-centroids, the ADC ranking is the same
+    * 64-element left-fold dot, and the re-rank is the exact cosine.
+    */
+  private def pqTopKSql(books: Array[Array[Array[Float]]], rerank: Int): String = {
+    val d = books(0)(0).length
+    val dim = books.length * d
+    val cents = books.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($m, $j, ${c.map(_.toDouble).mkString("[", ", ", "]")}::DOUBLE[], ${VectorOps.halfNorm2(c)})"
+      }
+    }.mkString(",\n             ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cents(m, j, c, h) AS (VALUES
+             $cents),
+         sub_scores AS (
+           SELECT v.vec_id, cents.m, cents.j,
+             list_reduce(list_transform(range(1, ${d + 1}), i -> e[cents.m * $d + i] * c[i]), (x, y) -> x + y)
+               - cents.h AS s
+           FROM v CROSS JOIN cents),
+         codes AS (
+           SELECT vec_id, m, j FROM (
+             SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, j ASC) AS rn
+             FROM sub_scores)
+           WHERE rn = 1),
+         recon AS (
+           SELECT codes.vec_id, flatten(list(cents.c ORDER BY codes.m)) AS r
+           FROM codes JOIN cents ON codes.m = cents.m AND codes.j = cents.j
+           GROUP BY codes.vec_id),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 8),
+         approx AS (
+           SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+             list_reduce(list_transform(range(1, ${dim + 1}), i -> q.e[i] * r.r[i]), (x, y) -> x + y) AS ad
+           FROM q JOIN recon r ON q.vec_id <> r.vec_id),
+         cand AS (
+           SELECT query_id, corpus_id FROM (
+             SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY ad DESC, corpus_id ASC) AS rn
+             FROM approx)
+           WHERE rn <= $rerank),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, ${dim + 1}), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         scored AS (
+           SELECT query_id, corpus_id,
+             list_reduce(list_transform(range(1, ${dim + 1}), i -> nq.e[i]*nc.e[i]), (x, y) -> x + y)
+               / (nq.nrm * nc.nrm) AS score
+           FROM cand
+           JOIN n nq ON nq.vec_id = query_id
+           JOIN n nc ON nc.vec_id = corpus_id)
+         SELECT query_id, corpus_id, score, rank FROM (
+           SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** The q_pq_topk oracle entry — same contract as ivfOracleEntry: present
+    * only when the codebooks for the dataset the queries last ran against
+    * are obtainable; otherwise the driver falls back to rows-only.
+    */
+  private def pqOracleEntry: Map[String, String] = PqIndex.lastSfDir match {
+    case None => Map.empty
+    case Some(dir) =>
+      val bOpt = PqIndex.loadIfPresent(dir, PqM, PqK, PqIters).orElse {
+        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
+          PqIndex.codebooksFor(dir, PqM, PqK, PqIters) {
+            val emb = Tables.load(s, dir, "embeddings")
+            (0 until PqM).map { m =>
+              VectorOps.subKMeans(
+                emb.select(col("vec_id"), slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub")),
+                "vec_id", "sub", PqK, PqIters)
+            }.toArray
+          }
+        }
+      }
+      bOpt.filter(b => b.nonEmpty && b.forall(_.nonEmpty))
+        .map(b => Map("q_pq_topk" -> pqTopKSql(b, rerank = 20)))
+        .getOrElse(Map.empty)
   }
 
   /** The q_ivf_topk oracle entry, present whenever the index artifact for
@@ -1131,7 +1242,7 @@ object SparkEntry {
     * artifact (ivfOracleEntry), so it joins the map only once that
     * artifact is obtainable.
     */
-  def oracleSql: Map[String, String] = staticOracles ++ ivfOracleEntry
+  def oracleSql: Map[String, String] = staticOracles ++ ivfOracleEntry ++ pqOracleEntry
 
   private def staticOracles: Map[String, String] = Map(
     "q_scan" ->

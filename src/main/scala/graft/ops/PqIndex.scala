@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Train-once / load-at-query-time lifecycle for the product-quantization
+  * codebooks — the same artifact discipline as IvfIndex: the model is
+  * m·k·subDim floats (4 KB at m=4, k=16, d=16), trained offline once
+  * (graft.tools.BuildIndex) and loaded by every query. The file stores the
+  * m codebooks as m consecutive blocks of k comma-separated float rows;
+  * Float.toString/parseFloat round-trips exactly, so a load is
+  * bit-identical to the training output.
+  */
+object PqIndex {
+
+  private val cache = TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  /** Dataset dir most recently asked for codebooks in this JVM (see
+    * IvfIndex.lastSfDir — same oracle-generation contract).
+    */
+  @volatile private var lastDir: Option[String] = None
+  def lastSfDir: Option[String] = lastDir
+
+  def artifactPath(sfDir: String, m: Int, k: Int, iters: Int): Path = {
+    val abs = Paths.get(sfDir).toAbsolutePath.normalize.toString
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    IvfIndex.artifactRoot.resolve(s"pq-${Paths.get(abs).getFileName}-$h-m$m-k$k-i$iters.csv")
+  }
+
+  /** Codebooks for (sfDir, m, k, iters): cache → artifact → train-once. */
+  def codebooksFor(sfDir: String, m: Int, k: Int, iters: Int)
+                  (train: => Array[Array[Array[Float]]]): Array[Array[Array[Float]]] = {
+    lastDir = Some(sfDir)
+    cache.getOrElseUpdate(artifactPath(sfDir, m, k, iters).toString, {
+      val p = artifactPath(sfDir, m, k, iters)
+      if (Files.exists(p)) load(p, k)
+      else {
+        val c = train
+        persist(p, c)
+        c
+      }
+    })
+  }
+
+  /** Codebooks if already trained/persisted — never trains. */
+  def loadIfPresent(sfDir: String, m: Int, k: Int, iters: Int): Option[Array[Array[Array[Float]]]] = {
+    val key = artifactPath(sfDir, m, k, iters).toString
+    cache.get(key).orElse {
+      val p = artifactPath(sfDir, m, k, iters)
+      if (Files.exists(p)) {
+        val c = load(p, k)
+        cache.putIfAbsent(key, c)
+        Some(c)
+      } else None
+    }
+  }
+
+  private def load(p: Path, k: Int): Array[Array[Array[Float]]] =
+    Files.readAllLines(p).asScala.toArray
+      .filter(_.nonEmpty)
+      .map(_.split(",").map(java.lang.Float.parseFloat))
+      .grouped(k).map(_.toArray).toArray
+
+  private def persist(p: Path, books: Array[Array[Array[Float]]]): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
+    Files.write(tmp,
+      books.flatMap(_.map(_.map(_.toString).mkString(","))).toSeq.asJava)
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    catch { // concurrent writer won: theirs is bit-identical (deterministic training)
+      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+    }
+  }
+}

@@ -1,13 +1,15 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, slice}
 import graft.Tables
-import graft.ops.{IvfIndex, VectorOps}
+import graft.ops.{IvfIndex, PqIndex, VectorOps}
 
-/** Offline index-build job — the "train once" half of the IVF lifecycle:
-  * trains the spherical k-means coarse quantizer for each given dataset
-  * dir and persists the centroid artifact (IvfIndex). Queries then load
-  * the artifact instead of retraining.
+/** Offline index-build job — the "train once" half of the ANN lifecycle:
+  * trains the IVF spherical k-means coarse quantizer AND the PQ sub-space
+  * codebooks for each given dataset dir and persists both artifacts
+  * (IvfIndex / PqIndex). Queries then load the artifacts instead of
+  * retraining.
   *
   * Usage: graft.tools.BuildIndex <sfDir> [sfDir ...] [-k K] [-iters N]
   */
@@ -36,6 +38,18 @@ object BuildIndex {
       }
       println(f"[build-index] $dir: k=${c.length} dim=${c.headOption.map(_.length).getOrElse(0)} " +
         f"-> ${IvfIndex.artifactPath(dir, k, iters)} (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      val t1 = System.nanoTime()
+      val (m, subDim) = (4, 16)
+      val b = PqIndex.codebooksFor(dir, m, k, iters) {
+        val emb = Tables.load(spark, dir, "embeddings")
+        (0 until m).map { i =>
+          VectorOps.subKMeans(
+            emb.select(col("vec_id"), slice(col("embedding"), i * subDim + 1, subDim).as("sub")),
+            "vec_id", "sub", k, iters)
+        }.toArray
+      }
+      println(f"[build-index] $dir: pq m=${b.length} k=${b.headOption.map(_.length).getOrElse(0)} " +
+        f"-> ${PqIndex.artifactPath(dir, m, k, iters)} (${(System.nanoTime() - t1) / 1e9}%.1f s)")
     }
     spark.stop()
   }

@@ -45,6 +45,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(VectorOps.cosineTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() === 0)
     assert(VectorOps.nearDupPairsLsh(emptyVecs, "vec_id", "embedding", 0.5, 2, 2, 8).count() === 0)
     assert(VectorOps.kMeansCentroids(emptyVecs, "vec_id", "embedding", 4, 2).isEmpty)
+    assert(VectorOps.subKMeans(emptyVecs, "vec_id", "embedding", 4, 2).isEmpty)
+    assert(VectorOps.pqTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5,
+      Array.fill(4)(Array.fill(2)(Array.fill(16)(0.1f))), rerank = 10).count() === 0)
     assert(VectorOps.quantizeInt8(emptyVecs, "vec_id", "embedding").count() === 0)
   }
 

@@ -148,4 +148,58 @@ class LshRecallSpec extends SparkSpec {
     info(f"candidate pairs: $nCand of $allPairs all-pairs (${nCand.toDouble / allPairs * 100}%.2f%%)")
     assert(nCand.toDouble / allPairs < 0.15, "r=8 banding must prune the candidate space")
   }
+
+  test("PQ ADC + exact re-rank: measured recall vs brute force, artifact round-trips") {
+    val corpus = emb.select("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 8)
+    val books = (0 until 4).map { m =>
+      VectorOps.subKMeans(
+        corpus.select(col("vec_id"), slice(col("embedding"), m * 16 + 1, 16).as("sub")),
+        "vec_id", "sub", k = 16, iters = 4)
+    }.toArray
+    assert(books.forall(b => b.length === 16 && b.forall(_.length === 16)))
+    val brute = VectorOps.cosineTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.pqTopK(corpus, queries, "vec_id", "embedding", 5, books, rerank = 50)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(f"PQ top-k recall (m=4, k=16, rerank=50, isotropic corpus): $recall%.4f")
+    // The isotropic corpus is PQ's WORST case: neighbors are near-
+    // equidistant (max cos ~0.6, playbook), so the 16x-compressed ranking
+    // can barely order the close pack — measured ~0.28 at a 1% rerank
+    // fraction (vs 0.01 for random candidates; a 27x lift). The floor
+    // pins that lift; the planted-structure regime below is the case PQ
+    // exists for, and the committed q_pq_topk is hash-checked for
+    // algorithmic correctness independent of recall.
+    assert(recall >= 0.15)
+
+    // planted twins: the reconstruction error is far smaller than the
+    // query-twin gap, so the twin must win the ADC ranking outright
+    val base = emb.where(col("vec_id") < 500).select("vec_id", "embedding")
+    val planted = base.select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => (x + when(i % 5 === 0, lit(0.02f)).otherwise(lit(-0.01f))).cast("float")).as("embedding"))
+    val corpus2 = base.unionByName(planted)
+    val books2 = (0 until 4).map { m =>
+      VectorOps.subKMeans(
+        corpus2.select(col("vec_id"), slice(col("embedding"), m * 16 + 1, 16).as("sub")),
+        "vec_id", "sub", k = 16, iters = 4)
+    }.toArray
+    val q2 = corpus2.where(col("vec_id") >= 10000L && col("vec_id") < 10050L)
+    val found = VectorOps.pqTopK(corpus2, q2, "vec_id", "embedding", 1, books2, rerank = 20)
+      .select("query_id", "corpus_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hit = (10000L until 10050L).count(q => found.get(q).contains(q - 10000L))
+    info(f"PQ planted-twin hit rate: ${hit / 50.0}%.4f ($hit/50)")
+    assert(hit >= 45)
+
+    // the committed artifact for this dataset parses to the right shape
+    // (the load path Float-parses the exact strings training wrote)
+    PqIndex.loadIfPresent(dir, 4, 16, 4).foreach { loaded =>
+      assert(loaded.length === 4 && loaded.forall(b => b.length === 16 && b.forall(_.length === 16)))
+    }
+  }
 }
