@@ -845,6 +845,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Canonical-representative selection: within each near-dup group keep
+    // the HIGHEST-quality document (not the lowest id) — the curation
+    // policy a real pipeline wants. Composes the memoized near-dup edge
+    // stage + connected components + the quality score; ranking is on the
+    // ROUNDED score (engine-exact), ties to the lowest id.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val groups = Graph.connectedComponents(
+          docs.select("doc_id"), "doc_id",
+          TextOps.simHashNearDupCached(docs, "doc_id", "text", 3, s, dir), "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val quality = TextOps.qualityScore(docs, "text").select("doc_id", "quality_score")
+      val w = Window.partitionBy("group_rep")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      groups.join(quality, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("group_rep", "doc_id", "quality_score")
+        .orderBy("group_rep")
+    }),
+
+    // Incremental ingest dedup: the delta batch (doc_id >= 400) is checked
+    // against the base corpus's fingerprints and then first-wins deduped
+    // within itself — daily cost O(delta), not O(corpus).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextOps.dedupIncremental(
+          docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // MinHash-LSH near-dup candidates — banded bucket join. The md5-seeded
     // hash family is engine-portable, so the full banding (signatures,
     // band keys, estimated Jaccard) is replicated in the DuckDB oracle.
@@ -2090,6 +2122,77 @@ object SparkEntry {
          SELECT doc_id, least(doc_id, coalesce(m.mn, doc_id)) AS group_rep
          FROM documents
          LEFT JOIN (SELECT s, min(d) AS mn FROM reach GROUP BY s) m ON m.s = doc_id
+         ORDER BY doc_id""",
+
+    // Same transitive closure as q_dedup_groups, then keep the highest-
+    // quality member per group (rounded score, ties to lowest id).
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote_sum > 0
+                   THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                   ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT s, d FROM sym
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s),
+         groups AS (
+           SELECT doc_id, least(doc_id, coalesce(m.mn, doc_id)) AS group_rep
+           FROM documents
+           LEFT JOIN (SELECT s, min(d) AS mn FROM reach GROUP BY s) m ON m.s = doc_id),
+         q AS (
+           SELECT doc_id,
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+           FROM (
+             SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                 THEN list_reduce(list_transform(toks, x -> length(x)::BIGINT), (a, b) -> a + b)::DOUBLE / len(toks)
+                 ELSE 0.0 END AS avg_tok_len,
+               CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+             FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                   FROM documents)))
+         SELECT group_rep, doc_id, quality_score FROM (
+           SELECT g.group_rep, g.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY g.group_rep
+               ORDER BY q.quality_score DESC, g.doc_id ASC) AS rn
+           FROM groups g JOIN q ON q.doc_id = g.doc_id)
+         WHERE rn = 1
+         ORDER BY group_rep""",
+
+    "q_dedup_incremental" ->
+      """WITH f AS (
+           SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+           FROM documents),
+         base AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id < 400),
+         delta AS (SELECT doc_id, fingerprint FROM f WHERE doc_id >= 400)
+         SELECT doc_id, fingerprint FROM (
+           SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+           FROM delta
+           WHERE fingerprint NOT IN (SELECT fingerprint FROM base))
+         WHERE rn = 1
          ORDER BY doc_id""",
 
     "q_minhash_lsh" ->

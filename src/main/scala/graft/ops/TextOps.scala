@@ -98,6 +98,26 @@ object TextOps {
       .drop("rn")
   }
 
+  /** Incremental exact dedup — the daily-ingest step: a delta batch is
+    * checked against the EXISTING corpus's fingerprints (anti join on the
+    * 32-byte hash, never against document bodies) and then deduped
+    * within itself (first id wins). At 100 TB the base fingerprint set is
+    * the persisted side artifact a crawler maintains; only the delta is
+    * scanned, so daily cost is O(delta), not O(corpus). Same fingerprint
+    * as `dedupExact`, so incremental ingestion and a full re-dedup agree.
+    */
+  def dedupIncremental(base: DataFrame, delta: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val baseFp = fingerprint(base, textCol).select("fingerprint").distinct()
+    val w = Window.partitionBy("fingerprint").orderBy(col(idCol).asc)
+    fingerprint(delta, textCol)
+      .select(col(idCol), col("fingerprint"))
+      .join(baseFp, Seq("fingerprint"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("fingerprint"))
+  }
+
   /** Portable 32-bit token hash keyed by a seed: first 8 hex chars of
     * md5(seed||'|'||token) — computed natively from the digest bytes
     * (graft.functions.Md5Hash64; bit-identical to the

@@ -88,6 +88,23 @@ class Round6OpsSpec extends SparkSpec {
     assert(merged.orderBy("k").collect().toSeq === full.orderBy("k").collect().toSeq)
   }
 
+  test("dedupIncremental drops base dups and within-delta dups, first id wins") {
+    val base = df(Seq(Doc6(1, "seen before", "en"), Doc6(2, "unique old", "en")))
+    val delta = df(Seq(
+      Doc6(10, "seen  BEFORE", "en"),  // dup of base (case/whitespace-normalized)
+      Doc6(11, "brand new", "en"),
+      Doc6(12, "brand new", "en"),     // within-delta dup: 11 wins
+      Doc6(13, "also new", "en")))
+    val kept = TextOps.dedupIncremental(base, delta, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(11L, 13L))
+    // agreement with full re-dedup: incremental survivors = full-corpus
+    // survivors restricted to the delta
+    val full = TextOps.dedupExact(base.unionByName(delta), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ >= 10).sorted
+    assert(kept.toSeq === full.toSeq)
+  }
+
   test("round-6 ops degrade to empty output on empty input") {
     val emptyDocs = df(Seq.empty[Doc6])
     assert(TextOps.unigramLogProb(emptyDocs, "doc_id", "text").count() === 0)
