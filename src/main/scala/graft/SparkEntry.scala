@@ -1138,9 +1138,9 @@ object SparkEntry {
   /** DuckDB oracle for q_pq_topk, generated from the persisted PQ
     * codebooks: sub-space codes replicate VectorOps.nearestCode (argmax of
     * dot − ½‖c‖², both the centroid floats and the precomputed ½‖c‖²
-    * embedded as exact double literals), reconstruction is the ordered
-    * concat of selected sub-centroids, the ADC ranking is the same
-    * 64-element left-fold dot, and the re-rank is the exact cosine.
+    * embedded as exact double literals), the ADC ranking is the decimal
+    * sum of the per-sub-space 16-element left-fold dots (order-free on
+    * both engines), and the re-rank is the exact cosine.
     */
   private def pqTopKSql(books: Array[Array[Array[Float]]], rerank: Int): String = {
     val d = books(0)(0).length
@@ -1164,15 +1164,19 @@ object SparkEntry {
                row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, j ASC) AS rn
              FROM sub_scores)
            WHERE rn = 1),
-         recon AS (
-           SELECT codes.vec_id, flatten(list(cents.c ORDER BY codes.m)) AS r
-           FROM codes JOIN cents ON codes.m = cents.m AND codes.j = cents.j
-           GROUP BY codes.vec_id),
          q AS (SELECT vec_id, e FROM v WHERE vec_id < 8),
+         tm AS (
+           SELECT q.vec_id AS query_id, codes.vec_id AS corpus_id,
+             CAST(list_reduce(list_transform(range(1, ${d + 1}),
+                 x -> q.e[cents.m * $d + x] * cents.c[x]), (a, b) -> a + b)
+               AS DECIMAL(28,12)) AS t
+           FROM q
+           CROSS JOIN codes
+           JOIN cents ON cents.m = codes.m AND cents.j = codes.j
+           WHERE q.vec_id <> codes.vec_id),
          approx AS (
-           SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
-             list_reduce(list_transform(range(1, ${dim + 1}), i -> q.e[i] * r.r[i]), (x, y) -> x + y) AS ad
-           FROM q JOIN recon r ON q.vec_id <> r.vec_id),
+           SELECT query_id, corpus_id, sum(t)::DOUBLE AS ad
+           FROM tm GROUP BY query_id, corpus_id),
          cand AS (
            SELECT query_id, corpus_id FROM (
              SELECT query_id, corpus_id,

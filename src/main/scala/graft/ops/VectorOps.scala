@@ -373,32 +373,45 @@ object VectorOps {
     * third member of the ANN family (brute force → IVF probe → PQ ADC):
     * each corpus vector is encoded as M sub-space codes (16 bytes for a
     * 64-dim float vector at M=4 — a 16× compression of the scan payload),
-    * a query ranks the corpus by the dot product against the RECONSTRUCTED
-    * vector (the concatenation of its selected sub-centroids — one fused
-    * 64-element fold, identical left-fold semantics on both engines), and
-    * only the top `rerank` candidates per query are re-scored with the
-    * exact cosine. At 100 TB the codes are computed once at rest (this
-    * query encodes in-flight for the gate); the ADC scan touches 16 bytes
-    * per corpus row instead of 256, and the exact vectors are fetched for
-    * rerank·|queries| rows only.
+    * a query precomputes its M·K lookup table of sub-space dots and ranks
+    * the corpus by the asymmetric distance — M table lookups + a decimal
+    * sum per pair — and only the top `rerank` candidates per query are
+    * re-scored with the exact cosine. At 100 TB the codes are computed
+    * once at rest (materialized here — see the barrier note below); the
+    * ADC scan touches 16 bytes per corpus row instead of 256, and the
+    * exact vectors are fetched for rerank·|queries| rows only.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, codebooks: Array[Array[Array[Float]]], rerank: Int): DataFrame = {
     val m = codebooks.length
     require(m > 0, "need at least one codebook")
+    val kk = codebooks(0).length
     val d = codebooks(0)(0).length
     val codeCols = (0 until m).map { i =>
       nearestCode(slice(col(vecCol), i * d + 1, d), codebooks(i)).as(s"code_$i")
     }
+    // Materialize the encoded corpus ONCE — this is the at-rest codes
+    // table of the real lifecycle (codes are computed when data lands,
+    // not per query). Without the barrier the optimizer collapses the
+    // encode into the join and re-evaluates all m·k sub-space dots per
+    // (query × corpus) PAIR — an |queries|× amplification of the encode.
     val c = corpus.select(
       (Seq(col(idCol).as("corpus_id"), col(vecCol).as("c_vec")) ++ codeCols): _*)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val reconstructed = concat((0 until m).map { i =>
-      element_at(typedlit(codebooks(i).map(_.toSeq).toSeq), col(s"code_$i") + 1)
+      .localCheckpoint(true)
+    // True ADC: each query precomputes its m·k lookup table of sub-space
+    // dots once; a candidate pair then costs m element_at + a decimal sum
+    // of the m partials (order-free, so the oracle replicates it with a
+    // grouped decimal SUM instead of a fixed-order chain).
+    val lut = array((0 until m).flatMap { i =>
+      codebooks(i).map { cj => dotNative(slice(col("q_vec"), i * d + 1, d), typedlit(cj.toSeq)) }
     }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("_lut", lut)
     val approx = c.join(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("approx", dotNative(col("q_vec"), reconstructed))
+      .withColumn("approx",
+        (0 until m).map(i => element_at(col("_lut"), col(s"code_$i") + lit(i * kk + 1))
+          .cast("decimal(28,12)")).reduce(_ + _).cast("double"))
     val wa = Window.partitionBy("query_id").orderBy(col("approx").desc, col("corpus_id").asc)
     val cand = approx.withColumn("_rn", row_number().over(wa)).where(col("_rn") <= rerank)
     val wf = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
