@@ -601,6 +601,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Linear gap interpolation: every 5th event's value is nulled (the
+    // planted gap, replicated in the oracle) and repaired by the
+    // time-weighted line between its non-null neighbors.
+    "q_interpolate" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      TimeSeries.interpolateLinear(ev, "user_id", "ts", "event_id", "value")
+        .select(col("event_id"), col("user_id"),
+          round(col("filled_value"), 6).as("filled_value"))
+        .orderBy("event_id")
+    }),
+
     // Tukey-fence outlier screen: events outside [Q1-1.5·IQR, Q3+1.5·IQR]
     // of their user's value distribution.
     "q_outliers" -> ((s, dir) =>
@@ -920,6 +933,24 @@ object SparkEntry {
         .withColumn("split", when(bucket < 8000, lit("train")).otherwise(lit("eval")))
         .select("doc_id", "n_tokens", "quality_score", "split")
         .orderBy("doc_id")
+    }),
+
+    // The injected SQL-function surface (GraftExtensions) under the
+    // driver's gate: the same fused codegen expressions the Column API
+    // uses, reached through spark.sql text — float_dot / cosine_sim /
+    // md5_hash64 over a registered view. reverse() makes the pair
+    // non-trivial (and exposes the norm fold order, which the oracle
+    // replicates exactly).
+    "q_sql_funcs" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "embeddings").createOrReplaceTempView("graft_sql_emb")
+      s.sql("""SELECT vec_id,
+                 round(float_dot(embedding, reverse(embedding)), 6) AS rev_dot,
+                 round(cosine_sim(embedding, reverse(embedding)), 9) AS rev_cos,
+                 md5_hash64(CAST(vec_id AS STRING))[0] AS h_lo,
+                 md5_hash64(CAST(vec_id AS STRING))[1] AS h_hi
+               FROM graft_sql_emb""")
+        .orderBy("vec_id")
     }),
 
     // ── vectors / similarity search (SURVEY C4, C11; north star) ───────
@@ -1843,6 +1874,42 @@ object SparkEntry {
          FROM w LEFT JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
          GROUP BY w.window_id, w.w_start
          ORDER BY w.window_id""",
+
+    "q_interpolate" ->
+      """WITH g AS (
+           SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+           FROM events),
+         w AS (
+           SELECT event_id, user_id, t, value,
+             last_value(CASE WHEN value IS NOT NULL THEN struct_pack(t := t, v := value) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+             first_value(CASE WHEN value IS NOT NULL THEN struct_pack(t := t, v := value) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
+           FROM g)
+         SELECT event_id, user_id,
+           round(CASE
+             WHEN value IS NOT NULL THEN value
+             WHEN prev IS NULL AND next IS NULL THEN NULL
+             WHEN prev IS NULL THEN next.v
+             WHEN next IS NULL THEN prev.v
+             ELSE prev.v + (next.v - prev.v) * ((t - prev.t)::DOUBLE / (next.t - prev.t)::DOUBLE)
+           END, 6) AS filled_value
+         FROM w
+         ORDER BY event_id""",
+
+    "q_sql_funcs" ->
+      """SELECT vec_id,
+           round(list_reduce(list_transform(range(1, 65), i -> e[i] * e[65 - i]), (a, b) -> a + b), 6) AS rev_dot,
+           round(list_reduce(list_transform(range(1, 65), i -> e[i] * e[65 - i]), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, 65), i -> e[65 - i] * e[65 - i]), (a, b) -> a + b))), 9) AS rev_cos,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h_lo,
+           ('0x' || substr(md5(vec_id::VARCHAR), 9, 8))::BIGINT AS h_hi
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         ORDER BY vec_id""",
 
     "q_zorder_scan" ->
       """SELECT event_id, user_id,

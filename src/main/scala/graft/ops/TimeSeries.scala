@@ -240,4 +240,37 @@ object TimeSeries {
           sum(weightCol.cast("decimal(28,8)")).cast("double")).as("index_value"),
         count(lit(1)).as("n_assets"))
   }
+
+  /** Linear gap interpolation: nulls in `valueCol` are filled by the
+    * time-weighted line between the nearest non-null observations on
+    * either side (forward-fill's smoother sibling — the standard sensor /
+    * market-data gap repair). Leading gaps take the next value, trailing
+    * gaps the previous (no extrapolation). Two windows per key carry the
+    * nearest (timestamp, value) pair in each direction as a struct, so
+    * state per row is O(1) and the shuffle is the usual one series-key
+    * exchange. Weights use microsecond epochs; `orderCol` breaks
+    * timestamp ties deterministically.
+    */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+                        orderCol: String, valueCol: String): DataFrame = {
+    val wPrev = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(orderCol).asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col(valueCol).isNotNull,
+      struct(unix_micros(col(tsCol)).as("t"), col(valueCol).as("v")))
+    val prev = last(obs, ignoreNulls = true).over(wPrev)
+    val next = first(obs, ignoreNulls = true).over(wNext)
+    val t = unix_micros(col(tsCol))
+    df.withColumn("_prev", prev).withColumn("_next", next)
+      .withColumn("filled_value",
+        when(col(valueCol).isNotNull, col(valueCol))
+          .when(col("_prev").isNull && col("_next").isNull, lit(null).cast("double"))
+          .when(col("_prev").isNull, col("_next.v"))
+          .when(col("_next").isNull, col("_prev.v"))
+          .otherwise(col("_prev.v") + (col("_next.v") - col("_prev.v")) *
+            ((t - col("_prev.t")).cast("double") /
+              (col("_next.t") - col("_prev.t")).cast("double"))))
+      .drop("_prev", "_next")
+  }
 }

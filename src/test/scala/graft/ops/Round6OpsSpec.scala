@@ -105,6 +105,27 @@ class Round6OpsSpec extends SparkSpec {
     assert(kept.toSeq === full.toSeq)
   }
 
+  test("interpolateLinear: time-weighted fill, boundary gaps clamp, all-null stays null") {
+    val rows = df(Seq(
+      Ev6(1, t("2024-01-01 00:00:00"), 10.0),
+      Ev6(2, t("2024-01-01 00:00:30"), Double.NaN), // placeholder, nulled below
+      Ev6(3, t("2024-01-01 00:02:00"), 40.0),
+      Ev6(4, t("2024-01-01 00:03:00"), Double.NaN), // trailing gap
+      Ev6(0, t("2023-12-31 23:59:00"), Double.NaN)  // leading gap
+    )).withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
+      .withColumn("user_id", lit(7L))
+    val out = TimeSeries.interpolateLinear(rows, "user_id", "ts", "event_id", "value")
+      .orderBy("event_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("filled_value")).toMap
+    assert(out(0) === 10.0)                         // leading -> next
+    // 30s into a 120s gap from 10.0 to 40.0 -> 10 + 30*(30/120) = 17.5
+    assert(math.abs(out(2) - 17.5) < 1e-9)
+    assert(out(4) === 40.0)                         // trailing -> prev
+    val allNull = rows.withColumn("value", lit(null).cast("double"))
+    val fn = TimeSeries.interpolateLinear(allNull, "user_id", "ts", "event_id", "value")
+    assert(fn.where(col("filled_value").isNotNull).count() === 0)
+  }
+
   test("round-6 ops degrade to empty output on empty input") {
     val emptyDocs = df(Seq.empty[Doc6])
     assert(TextOps.unigramLogProb(emptyDocs, "doc_id", "text").count() === 0)
