@@ -62,6 +62,31 @@ object Profiling {
       .where(col(valueCol) < col("fence_lo") || col(valueCol) > col("fence_hi"))
   }
 
+  /** Robust (median/MAD) anomaly score per group: (x − median) / MAD where
+    * MAD = median(|x − median|) — the outlier screen that, unlike z-scores,
+    * is itself immune to the outliers it hunts (50% breakdown point vs 0%).
+    * Two grouped exact-percentile aggregations (medians can't be computed
+    * in one pass: deviations need the median first), each joined back as
+    * the broadcast side — group count is small relative to rows. Score is
+    * null when MAD = 0 (constant group) or the group has a single row.
+    *
+    * At 100 TB: exact `percentile` holds a group's values in memory per
+    * aggregation — fine for bounded per-key cardinality; for heavy keys
+    * swap `approx_percentile(…, 0.5, accuracy)` in both passes (the
+    * t-digest-style sketch is mergeable, so the plan shape is unchanged).
+    */
+  def madScore(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val med = df.groupBy(g: _*).agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val mad = df.join(broadcast(med), groupCols)
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+      .groupBy(g: _*)
+      .agg(max(col("_med")).as("med"), expr("percentile(_dev, 0.5)").as("mad"))
+    df.join(broadcast(mad), groupCols)
+      .withColumn("mad_score",
+        when(col("mad") > 0, (col(valueCol) - col("med")) / col("mad")))
+  }
+
   /** Per-group z-score normalization: (x − mean) / stddev over the group,
     * the feature-scaling pass before similarity search or model input.
     * Mean and sample stddev come from exact-decimal group sums
