@@ -38,6 +38,11 @@ object PqIndex {
       if (Files.exists(p)) load(p, k)
       else {
         val c = train
+        // The artifact format is positional (k rows per book), so a book
+        // with fewer centroids (corpus < k vectors) would reload
+        // misaligned (ADVICE r6) — refuse to persist such a shape.
+        require(c.forall(_.length == k),
+          s"PQ books must have exactly $k centroids each to persist; got ${c.map(_.length).mkString(",")}")
         persist(p, c)
         c
       }
@@ -57,11 +62,17 @@ object PqIndex {
     }
   }
 
-  private def load(p: Path, k: Int): Array[Array[Array[Float]]] =
-    Files.readAllLines(p).asScala.toArray
+  private def load(p: Path, k: Int): Array[Array[Array[Float]]] = {
+    val rows = Files.readAllLines(p).asScala.toArray
       .filter(_.nonEmpty)
       .map(_.split(",").map(java.lang.Float.parseFloat))
-      .grouped(k).map(_.toArray).toArray
+    // Shape check (ADVICE r6): the format is positional, so a row count
+    // that isn't a multiple of k means the artifact was written with
+    // different parameters — loading it would silently misalign codebooks.
+    require(rows.nonEmpty && rows.length % k == 0,
+      s"PQ artifact $p has ${rows.length} rows, not a multiple of k=$k")
+    rows.grouped(k).map(_.toArray).toArray
+  }
 
   private def persist(p: Path, books: Array[Array[Array[Float]]]): Unit = {
     Files.createDirectories(p.getParent)

@@ -203,7 +203,10 @@ object VectorOps {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(dotNative(vecCol, typedlit(c.toSeq)).as("dot"), lit(-i).as("negid"))
     }
-    (greatest(scored: _*).getField("negid") * -1).cast("int")
+    // greatest() rejects <2 children at analysis time; a 1-cell quantizer
+    // degrades to the constant assignment (ADVICE r6).
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    (best.getField("negid") * -1).cast("int")
   }
 
   /** The `nProbe` cells nearest to a query vector, best first. */
@@ -366,7 +369,9 @@ object VectorOps {
       struct((dotNative(vecCol, typedlit(c.toSeq)) - halfNorm2(c)).as("d"),
         lit(-i).as("negid"))
     }
-    (greatest(scored: _*).getField("negid") * -1).cast("int")
+    // Single-code books degrade to the constant assignment (ADVICE r6).
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    (best.getField("negid") * -1).cast("int")
   }
 
   /** Product-quantization approximate top-k with exact re-rank — the
@@ -408,6 +413,54 @@ object VectorOps {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("_lut", lut)
     val approx = c.join(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("approx",
+        (0 until m).map(i => element_at(col("_lut"), col(s"code_$i") + lit(i * kk + 1))
+          .cast("decimal(28,12)")).reduce(_ + _).cast("double"))
+    val wa = Window.partitionBy("query_id").orderBy(col("approx").desc, col("corpus_id").asc)
+    val cand = approx.withColumn("_rn", row_number().over(wa)).where(col("_rn") <= rerank)
+    val wf = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    cand.select(col("query_id"), col("corpus_id"),
+        cosineNative(col("q_vec"), col("c_vec")).as("score"))
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF-PQ composed ANN — the layout every billion-vector system ships
+    * (VERDICT r6 item 2): the coarse quantizer (IVF cells) bounds WHICH
+    * rows a query touches, and product quantization bounds the BYTES per
+    * touched row. The corpus is materialized once as its at-rest form —
+    * (cell, m codes, exact vector) — queries probe their `nProbe` nearest
+    * of the k cells, the ADC lookup-table ranking runs only inside probed
+    * cells (nProbe/k of the corpus instead of all of it — the fix for
+    * pqTopK's whole-corpus scan), and the top `rerank` candidates re-score
+    * with the exact cosine. Candidate pairs are unique by construction
+    * (one cell per corpus vector, distinct probe cells per query), so
+    * there is no dedup shuffle; the query side is broadcast.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, centroids: Array[Array[Float]], nProbe: Int,
+                codebooks: Array[Array[Array[Float]]], rerank: Int): DataFrame = {
+    val m = codebooks.length
+    require(m > 0, "need at least one codebook")
+    val kk = codebooks(0).length
+    val d = codebooks(0)(0).length
+    val codeCols = (0 until m).map { i =>
+      nearestCode(slice(col(vecCol), i * d + 1, d), codebooks(i)).as(s"code_$i")
+    }
+    // At-rest layout: cell id + codes computed once when data lands
+    // (localCheckpoint = the materialization barrier, as in pqTopK).
+    val c = corpus.select(
+      (Seq(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+        nearestCell(col(vecCol), centroids).as("cell")) ++ codeCols): _*)
+      .localCheckpoint(true)
+    val lut = array((0 until m).flatMap { i =>
+      codebooks(i).map { cj => dotNative(slice(col("q_vec"), i * d + 1, d), typedlit(cj.toSeq)) }
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(topCells(col(vecCol), centroids, nProbe)).as("cell"))
+      .withColumn("_lut", lut)
+    val approx = c.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("approx",
         (0 until m).map(i => element_at(col("_lut"), col(s"code_$i") + lit(i * kk + 1))
