@@ -25,6 +25,12 @@ object SparkEntry {
   /** Query-term set for q_bm25 — shared by the Spark query and its oracle. */
   private val Bm25Terms = Seq("spark", "window", "merge")
 
+  /** Exactly 20 tokens — one full span for q_dedup_paragraph's planted
+    * boilerplate (span = 20), shared verbatim by query and oracle.
+    */
+  private val ParaBoiler =
+    "terms of service all rights reserved this content is provided as is without warranty of any kind please read carefully"
+
   // Insertion-ordered (SeqMap): the bench and Verify iterate this map, so
   // a stable declaration order makes per-query timings comparable across
   // rounds and guarantees that session-memoized artifacts (the SimHash
@@ -538,6 +544,17 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "zscore")
         .orderBy("event_id")),
 
+    // MAD (median-absolute-deviation) robust outlier score per group —
+    // the heavy-tail-safe twin of q_zscore (mean/stddev break under the
+    // very outliers being hunted). Median and MAD via exact interpolated
+    // percentile (DuckDB quantile_cont parity, as q_outliers).
+    "q_mad_outliers" -> ((s, dir) =>
+      Profiling.madScore(T(s, dir, "events"), Seq("user_id"), "value")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("med"), 9).as("med"), round(col("mad"), 9).as("mad"),
+          round(col("mad_score"), 6).as("mad_score"))
+        .orderBy("event_id")),
+
     "q_ffill" -> ((s, dir) =>
       TimeSeries.forwardFill(
           T(s, dir, "events")
@@ -716,7 +733,7 @@ object SparkEntry {
         .orderBy("token")),
 
     "q_quality_score" -> ((s, dir) =>
-      TextOps.qualityScore(T(s, dir, "documents"), "text")
+      TextOps.qualityScoreCached(T(s, dir, "documents"), "text", s, dir)
         .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality_score")
         .orderBy("doc_id")),
 
@@ -729,6 +746,27 @@ object SparkEntry {
       TextOps.dedupExact(T(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
+
+    // Paragraph(span)-level dedup: repeated boilerplate *within*
+    // otherwise-distinct documents. The corpus has no natural repeated
+    // spans (and no paragraph breaks), so three docs carrying a shared
+    // 20-token boilerplate block are planted in-query (replicated in the
+    // oracle, q_redact pattern) — doc 9000 keeps the first occurrence,
+    // 9001's copy and BOTH of 9002's (one is a within-doc repeat) are
+    // marked removed. Span unit = 20 whitespace tokens, C41's chunk shape.
+    "q_dedup_paragraph" -> ((s, dir) => {
+      import s.implicits._
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Seq(
+        (9000L, s"$ParaBoiler alpha ending words here"),
+        (9001L, s"$ParaBoiler beta different tail tokens"),
+        (9002L, s"$ParaBoiler $ParaBoiler gamma tail")
+      ).toDF("doc_id", "text")
+      TextOps.dedupParagraphs(base.unionByName(planted), "doc_id", "text", span = 20)
+        .select(col("doc_id"), col("span_idx").cast("long").as("span_idx"),
+          col("span_fp"), col("kept"))
+        .orderBy("doc_id", "span_idx")
+    }),
 
     "q_ngram_jaccard" -> ((s, dir) =>
       TextOps.ngramJaccardPairs(
@@ -869,7 +907,8 @@ object SparkEntry {
           docs.select("doc_id"), "doc_id",
           TextOps.simHashNearDupCached(docs, "doc_id", "text", 3, s, dir), "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
-      val quality = TextOps.qualityScore(docs, "text").select("doc_id", "quality_score")
+      val quality = TextOps.qualityScoreCached(docs, "text", s, dir)
+        .select("doc_id", "quality_score")
       val w = Window.partitionBy("group_rep")
         .orderBy(col("quality_score").desc, col("doc_id").asc)
       groups.join(quality, Seq("doc_id"))
@@ -906,7 +945,7 @@ object SparkEntry {
     // the oracle recomputes the identical pipeline in SQL (including the
     // recursive-CTE near-dup closure).
     "q_pipeline_prep" -> ((s, dir) => {
-      val quality = TextOps.qualityScore(T(s, dir, "documents"), "text")
+      val quality = TextOps.qualityScoreCached(T(s, dir, "documents"), "text", s, dir)
         .where(col("n_tokens") >= 10)
       // materialization point between pipeline stages: three consumers
       // (near-dup edges, component nodes, final join) would otherwise
@@ -1923,6 +1962,19 @@ object SparkEntry {
          ) p ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id""",
 
+    "q_mad_outliers" ->
+      """WITH med AS (
+           SELECT user_id, quantile_cont(value, 0.5) AS med FROM events GROUP BY user_id),
+         mad AS (
+           SELECT e.user_id, max(m.med) AS med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id)
+         SELECT event_id, e.user_id, value,
+           round(mad.med, 9) AS med, round(mad.mad, 9) AS mad,
+           CASE WHEN mad.mad > 0 THEN round((value - mad.med) / mad.mad, 6) END AS mad_score
+         FROM events e JOIN mad ON e.user_id = mad.user_id
+         ORDER BY event_id""",
+
     "q_outliers" ->
       """WITH fences AS (
            SELECT user_id,
@@ -2120,6 +2172,27 @@ object SparkEntry {
                ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_dedup_paragraph" ->
+      s"""WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9000, '$ParaBoiler alpha ending words here'),
+             (9001, '$ParaBoiler beta different tail tokens'),
+             (9002, '$ParaBoiler $ParaBoiler gamma tail')) AS t(doc_id, text)),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+           FROM docs),
+         spans AS (
+           SELECT doc_id, u.i AS span_idx,
+             md5(array_to_string(t[u.i*20+1 : u.i*20+20], ' ')) AS span_fp
+           FROM toks CROSS JOIN LATERAL unnest(range(0, CAST(ceil(len(t)/20.0) AS BIGINT))) AS u(i)
+           WHERE len(t) > 0)
+         SELECT doc_id, span_idx, span_fp,
+           (CASE WHEN row_number() OVER (PARTITION BY span_fp ORDER BY doc_id, span_idx) = 1
+             THEN 1 ELSE 0 END)::BIGINT AS kept
+         FROM spans ORDER BY doc_id, span_idx""",
 
     "q_ngram_jaccard" ->
       """WITH toks AS (

@@ -51,6 +51,42 @@ object StreamingOps {
         .parquet(inputDir),
       keyCol, tsCol, valueCol, width, watermarkDelay)
 
+  /** Streaming incremental-aggregation maintenance (VERDICT r6 item 6) —
+    * the streaming twin of Relational.partialAggs/mergePartialAggs (C45):
+    * each micro-batch collapses to its per-key monoid state (count +
+    * exact decimal sum) and merges into the running base — history is
+    * never rescanned; per-trigger cost is O(micro-batch) + O(|keys|).
+    * Because count and decimal-sum are associative/commutative, the
+    * maintained state is BIT-IDENTICAL to a one-pass aggregate of
+    * everything that has arrived, whatever the micro-batch boundaries —
+    * the convergence FileStreamingSpec asserts. The state is re-grouped
+    * and checkpoint-materialized per merge so its lineage and size stay
+    * one row per key, not one plan node per trigger.
+    *
+    * Attach with `stream.writeStream.foreachBatch(state.mergeBatch _)`
+    * (the foreachBatch hook is how a streaming job maintains an external
+    * materialized view transactionally — at scale the state table would
+    * live in the warehouse; here it is a session DataFrame).
+    */
+  final class IncrementalAggState(keys: Seq[String], valueCol: String) {
+    @volatile private var partial: Option[DataFrame] = None
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val p = graft.ops.Relational.partialAggs(batch, keys, valueCol)
+      val merged = partial match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy(keys.map(col): _*)
+          .agg(sum("n").as("n"), sum("_dec_total").as("_dec_total"))
+        case None => p
+      }
+      partial = Some(merged.localCheckpoint(true))
+    }
+
+    /** Finalized view (n, total, avg) of everything merged so far. */
+    def finalized: Option[DataFrame] =
+      partial.map(p => graft.ops.Relational.mergePartialAggs(Seq(p), keys))
+  }
+
   /** Streaming twin of TextOps.dedupExact: fingerprint each arriving
     * document (md5 over whitespace-normalized, lower-cased text — the
     * same portable recipe as batch) and emit only the first occurrence

@@ -12,6 +12,12 @@ import graft.ops.{IvfIndex, PqIndex, VectorOps}
   * retraining.
   *
   * Usage: graft.tools.BuildIndex <sfDir> [sfDir ...] [-k K] [-iters N]
+  *          [-pq-k K] [-pq-iters N]
+  *
+  * -k/-iters size the IVF coarse quantizer only; the PQ codebooks take
+  * their own -pq-k/-pq-iters (default 16/4 — the parameters SparkEntry
+  * queries load with), so a non-default IVF -k no longer writes a PQ
+  * artifact the queries never read (ADVICE r6).
   */
 object BuildIndex {
   def main(args: Array[String]): Unit = {
@@ -19,6 +25,8 @@ object BuildIndex {
       args.sliding(2).collectFirst { case Array(`flag`, v) => v.toInt }.getOrElse(default)
     val k = opt("-k", 16)
     val iters = opt("-iters", 4)
+    val pqK = opt("-pq-k", 16)
+    val pqIters = opt("-pq-iters", 4)
     val dirs = args.zipWithIndex.collect {
       case (a, i) if !a.startsWith("-") && (i == 0 || !args(i - 1).startsWith("-")) => a
     }
@@ -40,16 +48,16 @@ object BuildIndex {
         f"-> ${IvfIndex.artifactPath(dir, k, iters)} (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       val t1 = System.nanoTime()
       val (m, subDim) = (4, 16)
-      val b = PqIndex.codebooksFor(dir, m, k, iters) {
+      val b = PqIndex.codebooksFor(dir, m, pqK, pqIters) {
         val emb = Tables.load(spark, dir, "embeddings")
         (0 until m).map { i =>
           VectorOps.subKMeans(
             emb.select(col("vec_id"), slice(col("embedding"), i * subDim + 1, subDim).as("sub")),
-            "vec_id", "sub", k, iters)
+            "vec_id", "sub", pqK, pqIters)
         }.toArray
       }
       println(f"[build-index] $dir: pq m=${b.length} k=${b.headOption.map(_.length).getOrElse(0)} " +
-        f"-> ${PqIndex.artifactPath(dir, m, k, iters)} (${(System.nanoTime() - t1) / 1e9}%.1f s)")
+        f"-> ${PqIndex.artifactPath(dir, m, pqK, pqIters)} (${(System.nanoTime() - t1) / 1e9}%.1f s)")
     }
     spark.stop()
   }

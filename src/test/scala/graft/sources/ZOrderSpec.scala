@@ -75,6 +75,64 @@ class ZOrderSpec extends SparkSpec {
     assert(zRows.toSeq === want.toSeq)
   }
 
+  // Executed-plan scan metrics for `df.collect()`: rows the parquet
+  // reader actually materialized (after row-group stats skipping +
+  // pushed filters) and files listed. AQE wrappers are unwrapped or the
+  // metrics read the adaptive root (vacuous — PlanInvariantsSpec lesson).
+  private def scanMetrics(dfq: DataFrame): (Long, Long) = {
+    dfq.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(s.plan)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(flatten)) ++ inner
+    }
+    val scans = flatten(dfq.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a parquet FileSourceScanExec in the executed plan")
+    (scans.map(_.metrics("numOutputRows").value).sum,
+     scans.map(_.metrics("numFiles").value).sum)
+  }
+
+  test("declared rectangle on the real events artifact: z-order scan reads a bounded fraction") {
+    // VERDICT r6 item 5 — measure the READ PATH of the exact q_zorder_scan
+    // rectangle (user_id 2-9 × minute 600-780) on the real sf0.001 events
+    // artifact, from executed-plan metrics rather than synthetic file
+    // stats. Each file of the 32-file layout is one row group, so
+    // row-group stats skipping ≈ file skipping; the baseline is the same
+    // table written WITHOUT any clustering (insertion order: ts-ish, so
+    // (user, minute) rectangles touch every file).
+    val dir = "/root/testdata/sf0.001"
+    val zPath = ZOrder.ensureZOrderedEvents(spark, dir)
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("minute_of_day"),
+        col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zplain").toString
+    ev.repartition(32).write.mode("overwrite").parquet(tmp) // unclustered baseline
+    val total = ev.count()
+
+    def rect(df: DataFrame) = df
+      .where(col("user_id").between(2, 9) && col("minute_of_day").between(600, 780))
+    val (zRows, zFiles) = scanMetrics(rect(spark.read.parquet(zPath)))
+    val (pRows, pFiles) = scanMetrics(rect(spark.read.parquet(tmp)))
+    info(s"z-ordered: $zRows of $total rows materialized across $zFiles files")
+    info(s"plain:     $pRows of $total rows materialized across $pFiles files")
+    // the plain layout's row-group stats cover the full (user, minute)
+    // domain per file — nothing skippable; z-order must cut the read
+    assert(pRows === total, "unclustered layout cannot skip any row group for the rectangle")
+    assert(zRows <= total / 2,
+      s"z-ordered layout must materialize < 50% of rows for the declared rectangle (read $zRows/$total)")
+    // answers identical regardless of layout
+    assert(rect(spark.read.parquet(zPath)).agg(sum("event_id")).head().getLong(0) ===
+      rect(spark.read.parquet(tmp)).agg(sum("event_id")).head().getLong(0))
+  }
+
   test("ensureZOrderedEvents is write-once and preserves the table") {
     val p1 = ZOrder.ensureZOrderedEvents(spark, "/root/testdata/sf0.001", nFiles = 8)
     val p2 = ZOrder.ensureZOrderedEvents(spark, "/root/testdata/sf0.001", nFiles = 8)
