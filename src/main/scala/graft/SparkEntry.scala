@@ -224,6 +224,118 @@ object SparkEntry {
           Seq("o_orderkey"))
         .orderBy("o_orderkey")),
 
+    // Scalar-subquery threshold (TPC-H Q11 shape): per-part revenue kept
+    // only when above a fraction of the GLOBAL revenue. The global total is
+    // a 1-row aggregate broadcast back over the per-part rows — the
+    // canonical two-level aggregate that never re-scans the fact table.
+    // Both levels sum in exact decimal so the threshold comparison is
+    // bit-identical on both engines (no double-accumulation order issues).
+    "q_scalar_subquery" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(Portable.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("part_value"))
+      val tot = rev.agg(Portable.decSum(col("part_value"), 6).as("total"))
+      rev.crossJoin(broadcast(tot))
+        .where(col("part_value") > col("total") * lit(0.0005))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy("l_partkey")
+    }),
+
+    // Correlated EXISTS (TPC-H Q4 shape): orders with at least one line
+    // item shipped after the order date, counted by priority. The
+    // non-equi correlation rides on the equi-key semi join, so the plan
+    // stays a hash join with an extra residual predicate.
+    "q_exists_join" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .join(T(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // Scalar subquery + NOT EXISTS (TPC-H Q22 shape): lapsed high-balance
+    // customers — richer than the average positive balance, no order since
+    // 2000 — rolled up per nation. Average is exact-decimal-sum / count
+    // (order-free), the anti join carries only the key column of the
+    // date-filtered orders.
+    "q_not_exists" -> ((s, dir) => {
+      val avgBal = T(s, dir, "customer").where(col("c_acctbal") > 0.0)
+        .agg(Portable.decAvg(col("c_acctbal"), 4).as("avg_bal"))
+      T(s, dir, "customer")
+        .crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(T(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), Portable.decSum(col("c_acctbal"), 4).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Two-level distribution (TPC-H Q13 shape): orders-per-customer via
+    // LEFT join (zero-order customers count with c_count = 0), then the
+    // distribution of those counts — an aggregate OF an aggregate, the
+    // shape that forces two shuffles and nothing more.
+    "q_cust_dist" -> ((s, dir) => {
+      val perCust = T(s, dir, "customer").select("c_custkey")
+        .join(T(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_custkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Join + NOT IN + HAVING on a distinct count (TPC-H Q16 shape):
+    // distinct suppliers per brand over non-PROMO parts, excluding
+    // "complaint" suppliers (negative balance) via an anti join on the
+    // broadcastable exclusion list.
+    "q_group_having" -> ((s, dir) =>
+      T(s, dir, "part").where(col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand")
+        .join(T(s, dir, "lineitem").select("l_partkey", "l_suppkey"),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(T(s, dir, "supplier").where(col("s_acctbal") < 0.0)
+          .select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .where(col("supplier_cnt") >= 2)
+        .orderBy(col("supplier_cnt").desc, col("p_brand"))),
+
+    // Levenshtein<=1 fuzzy self-join via lossless deletion-neighborhood
+    // blocking (ops/Linkage.scala) — candidate generation is an equi-join
+    // on |s|+1 keys per record, never an all-pairs cross join; the oracle
+    // is the brute-force definition, so losslessness is hash-proven.
+    "q_fuzzy_join" -> ((s, dir) =>
+      Linkage.fuzzySelfJoinLev1(
+          T(s, dir, "customer").where(col("c_custkey") < 500)
+            .select(col("c_custkey").as("id"), col("c_name").as("name")),
+          "id", "name")
+        .orderBy("id_a", "id_b")),
+
+    // Record linkage: deterministically planted dirty records (one digit
+    // deleted from the customer name, replicated in the oracle) resolved
+    // back to their best clean match — min edit distance, ties to the
+    // lowest clean id. The ambiguity is real: a deleted digit can often
+    // be reinserted to form several existing names.
+    "q_record_linkage" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val pos = (col("c_custkey") % 9 + 10).cast("int")
+      val dirty = cust.where(col("c_custkey") % 7 === 3)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(col("c_name").substr(lit(1), pos - 1),
+            col("c_name").substr(pos + 1, length(col("c_name")))).as("name"))
+      Linkage.linkLev1(
+          cust.select(col("c_custkey").as("id"), col("c_name").as("name")),
+          dirty, "id", "name")
+        .orderBy("dirty_id")
+    }),
+
     // Snapshot upsert: merge an update batch (every 10th order, doubled
     // price, version 2) into the base snapshot (version 1), keeping the
     // highest version per key.
@@ -671,6 +783,23 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // Windowed dedup: keep the FIRST event per (user, type) within each
+    // 1-hour tumbling window — the batch twin of the streaming
+    // dropDuplicatesWithinWatermark path (bounded-state dedup: at 100 TB
+    // the state is one row per key per open window, never the corpus).
+    "q_window_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("value"))
+        .orderBy("event_id")
+    }),
+
     // Sequential funnel: earliest view → click-after-view →
     // purchase-after-click per user, with steps-reached count.
     "q_funnel" -> ((s, dir) =>
@@ -730,6 +859,14 @@ object SparkEntry {
 
     "q_wordcount" -> ((s, dir) =>
       TextOps.wordCount(T(s, dir, "documents"), "text")
+        .orderBy("token")),
+
+    // Exact heavy hitters (count > 2% of all tokens) through the
+    // Misra-Gries candidate pass + exact recount — O(1/phi) executor
+    // state; the oracle is the plain GROUP BY ... HAVING definition, so
+    // the sketch phase is hash-proven to lose nothing.
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(T(s, dir, "documents"), "text", phi = 0.02)
         .orderBy("token")),
 
     "q_quality_score" -> ((s, dir) =>
@@ -1161,6 +1298,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup-style semantic dedup: coarse k-means cells (the SAME
+    // persisted IVF artifact the ANN queries own) bound the pairwise
+    // cosine work to within-cluster members; lower-id-wins keep policy.
+    // Near-identical vectors are planted in-query (the r8 perturbation,
+    // replicated bit-for-bit in the oracle) so the dedup has real
+    // positives to find — random corpus pairs top out at cos≈0.51.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
+        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      }
+      val base = emb.select("vec_id", "embedding")
+      // perturb FIRST, re-key SECOND (see q_embed_neardup_lsh_r8)
+      val planted = base.where(col("vec_id") < 50)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              ((col("vec_id") * 64 + i) % 7 - 3).cast("double") * lit(0.001)).cast("float"))
+            .as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      VectorOps.semanticDedup(base.unionByName(planted), "vec_id", "embedding",
+          centroids, threshold = 0.9)
+        .orderBy("vec_id")
+    }),
+
     // Approximate banded sign-LSH top-k — deterministic hyperplanes make
     // the bucketing engine-portable, so this too is oracle-checked (plus a
     // measured-recall ScalaTest against the brute-force baseline).
@@ -1387,6 +1549,70 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** DuckDB oracle for q_semantic_dedup: replicates the in-query twin
+    * planting (identical CTE to q_embed_neardup_lsh_r8), assigns cells
+    * from the SAME persisted centroid literals as ivfTopKSql, and marks a
+    * vector removed iff a lower-id same-cell neighbor clears the cosine
+    * threshold.
+    */
+  private def semanticDedupSql(centroids: Array[Array[Float]], threshold: Double): String = {
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toDouble).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n             ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         planted AS (
+           SELECT vec_id + 100000 AS vec_id, pe AS e FROM (
+             SELECT vec_id,
+               list_transform(range(1, 65),
+                 i -> ((e[i] + ((vec_id * 64 + (i - 1)) % 7 - 3) * 0.001)::FLOAT)::DOUBLE) AS pe
+             FROM base WHERE vec_id < 50)),
+         v AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted),
+         cents(cell, c) AS (VALUES
+             $cents),
+         cell_dots AS (
+           SELECT vec_id, cell,
+             list_reduce(list_transform(range(1, 65), i -> e[i] * c[i]), (x, y) -> x + y) AS d
+           FROM v CROSS JOIN cents),
+         asg AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+             FROM cell_dots)
+           WHERE rn = 1),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         dups AS (
+           SELECT DISTINCT bb.vec_id
+           FROM asg aa JOIN asg bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+           JOIN n na ON na.vec_id = aa.vec_id
+           JOIN n nb ON nb.vec_id = bb.vec_id
+           WHERE list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
+               / (na.nrm * nb.nrm) >= $threshold)
+         SELECT asg.vec_id, asg.cell::BIGINT AS cell,
+           (asg.vec_id NOT IN (SELECT vec_id FROM dups)) AS kept
+         FROM asg ORDER BY asg.vec_id"""
+  }
+
+  /** The q_semantic_dedup oracle entry — same artifact contract as
+    * ivfOracleEntry (it consumes the same persisted centroids).
+    */
+  private def semanticDedupOracleEntry: Map[String, String] = IvfIndex.lastSfDir match {
+    case None => Map.empty
+    case Some(dir) =>
+      val cOpt = IvfIndex.loadIfPresent(dir, IvfK, IvfIters).orElse {
+        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
+          IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
+            VectorOps.kMeansCentroids(Tables.load(s, dir, "embeddings"),
+              "vec_id", "embedding", k = IvfK, iters = IvfIters)
+          }
+        }
+      }
+      cOpt.filter(_.nonEmpty)
+        .map(c => Map("q_semantic_dedup" -> semanticDedupSql(c, threshold = 0.9)))
+        .getOrElse(Map.empty)
+  }
+
   /** The q_ivfpq_topk oracle entry — present only when BOTH artifacts for
     * the last-queried dataset are obtainable (same contract as
     * ivfOracleEntry / pqOracleEntry; the driver falls back to rows-only
@@ -1484,7 +1710,8 @@ object SparkEntry {
     * artifact is obtainable.
     */
   def oracleSql: Map[String, String] =
-    staticOracles ++ ivfOracleEntry ++ pqOracleEntry ++ ivfPqOracleEntry
+    staticOracles ++ ivfOracleEntry ++ pqOracleEntry ++ ivfPqOracleEntry ++
+      semanticDedupOracleEntry
 
   private def staticOracles: Map[String, String] = Map(
     "q_scan" ->
@@ -1523,6 +1750,91 @@ object SparkEntry {
            AND l_shipdate > TIMESTAMP '1997-07-01'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    // Two-level decimal sums make the scalar threshold exact on both
+    // engines; the comparison itself is then plain IEEE double math.
+    "q_scalar_subquery" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS part_value
+           FROM lineitem GROUP BY l_partkey),
+         tot AS (SELECT sum(CAST(part_value AS DECIMAL(28,6)))::DOUBLE AS total FROM rev)
+         SELECT l_partkey, part_value FROM rev, tot
+         WHERE part_value > total * 0.0005
+         ORDER BY l_partkey""",
+
+    "q_exists_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_not_exists" ->
+      """WITH avg_bal AS (
+           SELECT sum(CAST(c_acctbal AS DECIMAL(28,4)))::DOUBLE / count(c_acctbal) AS avg_bal
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT c_nationkey, count(*) AS numcust,
+           sum(CAST(c_acctbal AS DECIMAL(28,4)))::DOUBLE AS totacctbal
+         FROM customer, avg_bal
+         WHERE c_acctbal > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_custkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "q_group_having" ->
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+         WHERE p_type <> 'PROMO'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         GROUP BY p_brand
+         HAVING count(DISTINCT l_suppkey) >= 2
+         ORDER BY supplier_cnt DESC, p_brand""",
+
+    // Brute-force definition of the lev<=1 join — the blocked Spark plan
+    // must reproduce it exactly (losslessness proof by hash).
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE a.c_custkey < 500 AND b.c_custkey < 500
+           AND levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
+
+    "q_record_linkage" ->
+      """WITH dirty AS (
+           SELECT c_custkey + 1000000 AS id,
+             substr(c_name, 1, (10 + c_custkey % 9) - 1)
+               || substr(c_name, (10 + c_custkey % 9) + 1, length(c_name)) AS name
+           FROM customer WHERE c_custkey % 7 = 3),
+         cand AS (
+           SELECT d.id AS dirty_id, d.name AS dirty_name,
+             c.c_custkey AS clean_id, c.c_name AS clean_name,
+             levenshtein(d.name, c.c_name)::BIGINT AS dist
+           FROM dirty d JOIN customer c ON levenshtein(d.name, c.c_name) <= 1)
+         SELECT dirty_id, dirty_name, clean_id, clean_name, dist FROM (
+           SELECT *, row_number() OVER (PARTITION BY dirty_id
+             ORDER BY dist ASC, clean_id ASC) AS rn
+           FROM cand)
+         WHERE rn = 1 ORDER BY dirty_id""",
+
+    "q_window_dedup" ->
+      """SELECT event_id, user_id, event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, value
+         FROM (
+           SELECT event_id, user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY event_id""",
 
     "q_quality_check" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
@@ -2137,6 +2449,20 @@ object SparkEntry {
            SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
            FROM documents)
          GROUP BY token ORDER BY token""",
+
+    // Plain GROUP BY ... HAVING definition of the 2% heavy hitters; the
+    // threshold multiplies in double on both engines (n::DOUBLE here,
+    // lit(0.02) * long→double in Spark) so the comparison is bit-equal.
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tot AS (SELECT count(*) AS n FROM tok)
+         SELECT token, count(*) AS cnt, round(count(*) / n::DOUBLE, 9) AS frac
+         FROM tok, tot
+         GROUP BY token, n
+         HAVING count(*) > 0.02 * n::DOUBLE
+         ORDER BY token""",
 
     "q_quality_score" ->
       """SELECT doc_id, n_tokens,

@@ -34,6 +34,48 @@ object TextOps {
     * At 100 TB this is the canonical two-phase aggregation: partial counts
     * map-side, one shuffle on the token.
     */
+  /** Exact frequency-threshold heavy hitters (tokens with count >
+    * phi·N) via a Misra-Gries candidate pass: each partition keeps at
+    * most ceil(1/phi) counters, so any token with global frequency above
+    * the threshold survives in at least one partition summary
+    * (pigeonhole over the partition totals) — the union of partition
+    * candidates is a guaranteed SUPERSET of the answer regardless of how
+    * tokens are distributed. A second pass recounts only the candidates
+    * (broadcast semi filter) and applies the exact threshold, so the
+    * result is exact while per-executor state stays O(1/phi) — the shape
+    * that works when the vocabulary itself (urls, n-grams, shingles) is
+    * too large to group-by at 100 TB. Guarantee is property-tested in
+    * HeavyHitterSpec with vocabulary ≫ capacity.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, phi: Double): DataFrame = {
+    import df.sparkSession.implicits._
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    val cap = math.ceil(1.0 / phi).toInt
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < cap) counters(t) = 1L
+        else {
+          // full and t absent: decrement everything, drop zeros (the
+          // arriving t conceptually cancels against one unit of each)
+          val keys = counters.keys.toList
+          keys.foreach { key =>
+            val n = counters(key) - 1L
+            if (n == 0L) counters.remove(key) else counters(key) = n
+          }
+        }
+      }
+      counters.keys.toArray.iterator
+    }.distinct().toDF("token")
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(candidates), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") > lit(phi) * col("n"))
+      .select(col("token"), col("cnt"), round(col("cnt") / col("n"), 9).as("frac"))
+  }
+
   def wordCount(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token")

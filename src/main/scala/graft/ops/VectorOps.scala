@@ -474,6 +474,37 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * coarse quantizer (k-means cells — the SAME persisted IVF artifact the
+    * ANN queries use), then mark every vector that has a lower-id
+    * neighbor with cosine ≥ `threshold` INSIDE ITS CELL as a duplicate.
+    * Keep-first-by-id is the deterministic stand-in for "keep one per
+    * group"; the within-cell restriction is the whole scale story —
+    * pairwise work is bounded by cluster size, never |corpus|², which is
+    * how embedding-level dedup runs on billion-document corpora
+    * (clusters are also independently parallel, no cross-cell shuffle).
+    *
+    * Returns (id, cell, kept). Reference scope: the semantic twin of the
+    * fingerprint dedup family (/root/reference/README.md pipeline stage
+    * "dedup"); composes the C11 similarity machinery with C10 policy.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Float]], threshold: Double): DataFrame = {
+    val cells = df.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    val a = cells.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = cells.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dups = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosineNative(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("_dup", lit(true))
+    cells.select(col(idCol), col("cell").cast("long").as("cell"))
+      .join(dups, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cell"),
+        not(coalesce(col("_dup"), lit(false))).as("kept"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (broadcast), giving a partition (cell) id for clustered
     * storage / probe-limited search. Centroids are any small DataFrame of

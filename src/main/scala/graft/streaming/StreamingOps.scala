@@ -139,6 +139,19 @@ object StreamingOps {
     else banded.dropDuplicates("band", "band_val")
   }
 
+  /** Stream-static enrichment: each micro-batch of the stream joins the
+    * static dimension via an explicit broadcast — the dimension ships to
+    * executors once per micro-batch plan, the stream side never shuffles,
+    * and (unlike stream-stream joins) no watermark or join state is
+    * needed because the static side is complete by definition. This is
+    * the standard "decorate events with reference data" stage; left
+    * outer keeps unmatched events (dimension gaps surface as nulls
+    * downstream instead of silently dropping facts).
+    */
+  def streamStaticEnrich(stream: DataFrame, streamKeyCol: String,
+                         dim: DataFrame, dimKeyCol: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKeyCol) === col(dimKeyCol), "left_outer")
+
   /** Stream–stream inner interval join: match each left row to right rows
     * with the same key whose timestamp falls in
     * `[leftTs − lookbackSeconds, leftTs]` — the streaming enrichment join

@@ -81,6 +81,16 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs.withColumnRenamed("doc_id", "id"), "id", "text", "text/plain")).count() === 0)
   }
 
+  test("round-7 ops on empty inputs") {
+    val emptyVecs = df(Seq.empty[Vec])
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    assert(VectorOps.semanticDedup(emptyVecs, "vec_id", "embedding", cents, 0.9).count() === 0)
+    val emptyNames = emptyDocs.select(col("doc_id").as("id"), col("text").as("name"))
+    assert(Linkage.fuzzySelfJoinLev1(emptyNames, "id", "name").count() === 0)
+    assert(Linkage.linkLev1(emptyNames, emptyNames, "id", "name").count() === 0)
+    assert(TextOps.heavyHitters(emptyDocs, "text", 0.1).count() === 0)
+  }
+
   test("profiling on empty frame reports zero rows per column") {
     val p = Profiling.profile(emptyBars.toDF(), Seq("isin", "price")).collect()
     assert(p.length === 2)

@@ -275,6 +275,38 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment converges to the batch join+agg") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts", "value")
+    // dimension misses users >= 10 so the left-outer null path is exercised
+    val dim = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .where(col("c_custkey") < 10)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_enrich_in").toFile.getAbsolutePath
+    def agg(enriched: org.apache.spark.sql.DataFrame) = enriched
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(28,4)")).as("sv"))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDecimal(2))).toSet
+
+    events.where(pmod(col("event_id"), lit(2)) === 0).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 4).parquet(inDir)
+    val q = agg(StreamingOps.streamStaticEnrich(stream, "user_id", dim, "c_custkey"))
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      events.where(pmod(col("event_id"), lit(2)) === 1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val streamed = toSet(spark.table("enrich_stream"))
+      val batch = toSet(agg(
+        StreamingOps.streamStaticEnrich(events, "user_id", dim, "c_custkey")))
+      assert(streamed === batch)
+      assert(batch.exists(_._1.isEmpty), "unmatched users must surface as a null segment group")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join converges to the batch range join") {
     // Arrivals are time-ordered (the watermark contract); the second
     // arrival's purchases must still match FIRST-arrival views, proving
