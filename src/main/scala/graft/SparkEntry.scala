@@ -75,6 +75,15 @@ object SparkEntry {
           Map("O" -> 0.05, "F" -> 0.2, "P" -> 0.5))
         .orderBy("o_orderkey")),
 
+    // Deterministic stratum-free train/val/test assignment on the same
+    // md5-bucket rule as q_hash_sample: a document's split is a pure
+    // function of its key — reproducible and stable under corpus growth.
+    "q_split_assign" -> ((s, dir) =>
+      Relational.splitAssign(
+          T(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
     "q_quality_check" -> ((s, dir) =>
       Relational.qualityCheck(T(s, dir, "orders"),
           Seq("o_orderstatus", "o_orderpriority"), "o_orderstatus <> 'O'")
@@ -745,6 +754,16 @@ object SparkEntry {
 
     // Tukey-fence outlier screen: events outside [Q1-1.5·IQR, Q3+1.5·IQR]
     // of their user's value distribution.
+    // Winsorization: cap each event's value at its type's exact p05/p95 —
+    // outlier treatment (vs q_outliers' detection); percentile parity
+    // with DuckDB quantile_cont is the C59 recipe.
+    "q_winsorize" -> ((s, dir) =>
+      Profiling.winsorize(
+          T(s, dir, "events").select("event_id", "event_type", "value"),
+          Seq("event_type"), "value", 0.05, 0.95)
+        .select("event_id", "event_type", "value", "value_w")
+        .orderBy("event_id")),
+
     "q_outliers" -> ((s, dir) =>
       Profiling.iqrOutliers(T(s, dir, "events"), Seq("user_id"), "value")
         .select(col("event_id"), col("user_id"), col("value"),
@@ -967,6 +986,19 @@ object SparkEntry {
     // BM25 relevance of every document against a fixed query-term set —
     // the retrieval primitive behind corpus search / quality-weighted
     // selection.
+    // Order-2 LM extension of q_unigram_logprob: add-1-smoothed bigram
+    // score — the sharper perplexity-style quality filter.
+    "q_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Global top-50 bigrams (cnt desc, ties lexicographic) — the n-gram
+    // frequency table that feeds boilerplate and collocation analysis;
+    // runs as TakeOrderedAndProject, not a global sort.
+    "q_top_bigrams" -> ((s, dir) =>
+      TextOps.topBigrams(T(s, dir, "documents"), "text", 50)
+        .orderBy("rank")),
+
     "q_bm25" -> ((s, dir) =>
       TextOps.bm25Scores(T(s, dir, "documents"), "doc_id", "text", Bm25Terms)
         .orderBy("doc_id")),
@@ -2882,6 +2914,56 @@ object SparkEntry {
            FROM scored)
          WHERE rank <= 5
          ORDER BY doc_id, rank""",
+
+    "q_winsorize" ->
+      """WITH q AS (
+           SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value,
+           round(least(greatest(value, lo), hi), 9) AS value_w
+         FROM events e JOIN q USING (event_type)
+         ORDER BY event_id""",
+
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+                WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "q_top_bigrams" ->
+      """WITH bg AS (
+           SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                 FROM documents)),
+         c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram)
+         SELECT bigram, cnt, rank FROM (
+           SELECT bigram, cnt, row_number() OVER (ORDER BY cnt DESC, bigram ASC) AS rank
+           FROM c)
+         WHERE rank <= 50 ORDER BY rank""",
+
+    "q_bigram_logprob" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM t),
+         model AS (SELECT bigram, count(*) AS cbg FROM bg GROUP BY bigram),
+         uni AS (SELECT token, count(*) AS cu FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+             FROM documents)
+           GROUP BY token),
+         tot AS (SELECT count(*) AS vocab FROM uni)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           round(sum(CAST(ln((m.cbg::DOUBLE + 1.0) / (u.cu + tot.vocab)::DOUBLE)
+                 AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS logprob
+         FROM bg b
+         JOIN model m USING (bigram)
+         JOIN uni u ON u.token = split_part(b.bigram, ' ', 1)
+         CROSS JOIN tot
+         GROUP BY b.doc_id
+         ORDER BY doc_id""",
 
     "q_unigram_logprob" ->
       """WITH tok AS (

@@ -62,6 +62,26 @@ object Profiling {
       .where(col(valueCol) < col("fence_lo") || col(valueCol) > col("fence_hi"))
   }
 
+  /** Per-group winsorization: clip values to the group's exact
+    * interpolated [pLo, pHi] percentiles — the outlier TREATMENT to
+    * iqrOutliers/madScore's detection (cap the tails instead of dropping
+    * rows, the standard prep before scale-sensitive aggregates). One
+    * grouped percentile aggregation joined back as the broadcast side;
+    * the clipped value is rounded to 9 dp for engine-exact comparison
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the C59 parity).
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    val q = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        expr(s"percentile($valueCol, $pLo)").as("_lo"),
+        expr(s"percentile($valueCol, $pHi)").as("_hi"))
+    df.join(broadcast(q), groupCols)
+      .withColumn(s"${valueCol}_w",
+        round(least(greatest(col(valueCol), col("_lo")), col("_hi")), 9))
+      .drop("_lo", "_hi")
+  }
+
   /** Robust (median/MAD) anomaly score per group: (x − median) / MAD where
     * MAD = median(|x − median|) — the outlier screen that, unlike z-scores,
     * is itself immune to the outliers it hunts (50% breakdown point vs 0%).

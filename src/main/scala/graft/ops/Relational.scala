@@ -81,6 +81,27 @@ object Relational {
     df.where(bucket < threshold)
   }
 
+  /** Deterministic train/val/test split assignment over the SAME md5
+    * bucket rule as hashSample — stateless, reproducible across runs and
+    * engines, and stable under corpus growth (a document's split never
+    * changes when other documents arrive, unlike randomSplit). Fractions
+    * are (name, fraction) in order; buckets partition [0, 10000) by the
+    * cumulative cuts, remainder falls to the last split.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    val assign = fractions.zip(cuts).reverse
+      .foldLeft(lit(fractions.last._1): org.apache.spark.sql.Column) {
+        case (acc, ((name, _), cut)) => when(bucket < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** Skew-salted inner equi join for hot keys: the (large, skewed) left
     * side gets a deterministic salt from its full row hash, the right side
     * is replicated `nSalts` ways, and the join runs on (keys :+ salt) so a

@@ -34,6 +34,56 @@ object TextOps {
     * At 100 TB this is the canonical two-phase aggregation: partial counts
     * map-side, one shuffle on the token.
     */
+  /** Adjacent-token bigrams of a text column ("a b", "b c", …); empty for
+    * documents with fewer than 2 tokens. The size guard matters: Spark's
+    * `sequence(1, 0)` counts DOWN ([1, 0]) instead of yielding empty.
+    */
+  def bigrams(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Global top-k bigrams by frequency, ties to the lexicographically
+    * first bigram. The limit runs as TakeOrderedAndProject (per-partition
+    * top-k + merge — no global sort shuffle); the rank window then orders
+    * only the k survivors.
+    */
+  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("bigram").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("bigram").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Add-1-smoothed bigram LM score per document (the C47 unigram model's
+    * order-2 extension): mean over the document's bigrams of
+    * ln((C(w1 w2)+1) / (C(w1)+V)), with corpus bigram counts, unigram
+    * context counts and vocabulary size V. Same two-phase agg + join
+    * shape as unigramLogProb; log sums in exact decimal, mean rounded to
+    * 6 dp. Documents with fewer than 2 tokens emit no row.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+      .withColumn("_w1", element_at(split(col("bigram"), " "), 1))
+    val model = bg.groupBy("bigram").agg(count(lit(1)).as("_cbg"))
+    val uni = df.select(explode(tokens(col(textCol))).as("_w1"))
+      .groupBy("_w1").agg(count(lit(1)).as("_cu"))
+    val totals = uni.agg(count(lit(1)).as("_vocab"))
+    val logp = log((col("_cbg").cast("double") + 1.0) /
+      (col("_cu") + col("_vocab")).cast("double"))
+    bg.join(model, Seq("bigram"))
+      .join(uni, Seq("_w1"))
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(Portable.decSum(logp, 12) / count(lit(1)), 6).as("logprob"))
+  }
+
   /** Exact frequency-threshold heavy hitters (tokens with count >
     * phi·N) via a Misra-Gries candidate pass: each partition keeps at
     * most ceil(1/phi) counters, so any token with global frequency above
