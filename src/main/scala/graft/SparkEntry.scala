@@ -234,19 +234,22 @@ object SparkEntry {
         .orderBy("o_orderkey")),
 
     // Scalar-subquery threshold (TPC-H Q11 shape): per-part revenue kept
-    // only when above a fraction of the GLOBAL revenue. The global total is
-    // a 1-row aggregate broadcast back over the per-part rows — the
-    // canonical two-level aggregate that never re-scans the fact table.
-    // Both levels sum in exact decimal so the threshold comparison is
-    // bit-identical on both engines (no double-accumulation order issues).
+    // only when above the average per-part share of the GLOBAL revenue —
+    // relative, so the predicate stays selective at every scale factor (a
+    // fixed fraction goes empty as the part count grows). The global
+    // total is a 1-row aggregate broadcast back over the per-part rows —
+    // the canonical two-level aggregate that never re-scans the fact
+    // table. Both levels sum in exact decimal so the threshold comparison
+    // is bit-identical on both engines.
     "q_scalar_subquery" -> ((s, dir) => {
       val rev = T(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(Portable.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .as("part_value"))
-      val tot = rev.agg(Portable.decSum(col("part_value"), 6).as("total"))
+      val tot = rev.agg(Portable.decSum(col("part_value"), 6).as("total"),
+        count(lit(1)).as("n_parts"))
       rev.crossJoin(broadcast(tot))
-        .where(col("part_value") > col("total") * lit(0.0005))
+        .where(col("part_value") > col("total") / col("n_parts"))
         .select(col("l_partkey"), col("part_value"))
         .orderBy("l_partkey")
     }),
@@ -725,6 +728,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: the NEXT purchase at-or-after each event — the
+    // mirror of q_asof_join (same union + one-window shape, frame
+    // flipped); deterministic because (user_id, ts) is unique.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      TimeSeries.asOfJoinForward(purchases, ev.select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+          col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // As-of join with staleness tolerance: the carried purchase value is
     // nulled when older than 2 hours at the event's time.
     "q_asof_tolerance" -> ((s, dir) => {
@@ -801,6 +819,68 @@ object SparkEntry {
           date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")),
+
+    // Weekly cohort retention matrix: users by first-seen week ×
+    // week-offset distinct actives — the product-analytics staple.
+    "q_cohort_retention" -> ((s, dir) =>
+      EventOps.cohortRetention(T(s, dir, "events"), "user_id", "ts")
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // Per-user event-type profile with a portable array-agg: the sorted
+    // distinct set serialized deterministically (CSV) so the grouped
+    // collection itself is hash-checked across engines.
+    "q_collect_types" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")),
+
+    // Declarative data-quality report (Deequ/dbt-tests shape) over a
+    // deterministically corrupted copy of the inputs (CASE-planted
+    // violations, replicated in the oracle) — null checks, FK orphans,
+    // range rules, one (rule, violations) row each; passing rules report
+    // zero rather than vanishing.
+    "q_dq_checks" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+      val cust = T(s, dir, "customer")
+      val ordD = ord
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 500 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderdate",
+          when(col("o_orderkey") % 700 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("o_orderdate")))
+      val liD = T(s, dir, "lineitem")
+        .withColumn("l_orderkey",
+          when(col("l_orderkey") % 1000 === 0, col("l_orderkey") + lit(20000000L))
+            .otherwise(col("l_orderkey")))
+      Profiling.dqReport(Seq(
+        "customer_null_acctbal" -> cust.where(col("c_acctbal").isNull),
+        "lineitem_orphan_orderkey" -> liD.join(ord.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"),
+        "lineitem_quantity_range" -> liD.where(col("l_quantity") <= 0 || col("l_quantity") > 50),
+        "orders_nonpositive_price" -> ordD.where(col("o_totalprice") <= 0.0),
+        "orders_null_date" -> ordD.where(col("o_orderdate").isNull)
+      )).orderBy("rule")
+    }),
+
+    // Mergeable-sketch percentiles (approx_percentile / t-digest-style):
+    // the 100 TB path the exact-percentile ops document as their scale
+    // fallback. No portable oracle exists for the sketch (driver records
+    // rows-only, like q_approx_distinct); the error bound vs the exact
+    // interpolated percentile is asserted in Round7cOpsSpec.
+    "q_approx_percentile" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5D, 0.95D), 1000)").as("_p"))
+        .select(col("event_type"),
+          element_at(col("_p"), 1).as("p50"),
+          element_at(col("_p"), 2).as("p95"))
+        .orderBy("event_type")),
 
     // Windowed dedup: keep the FIRST event per (user, type) within each
     // 1-hour tumbling window — the batch twin of the streaming
@@ -1790,9 +1870,10 @@ object SparkEntry {
            SELECT l_partkey,
              sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS part_value
            FROM lineitem GROUP BY l_partkey),
-         tot AS (SELECT sum(CAST(part_value AS DECIMAL(28,6)))::DOUBLE AS total FROM rev)
+         tot AS (SELECT sum(CAST(part_value AS DECIMAL(28,6)))::DOUBLE AS total,
+                        count(*) AS n_parts FROM rev)
          SELECT l_partkey, part_value FROM rev, tot
-         WHERE part_value > total * 0.0005
+         WHERE part_value > total / n_parts
          ORDER BY l_partkey""",
 
     "q_exists_join" ->
@@ -2914,6 +2995,59 @@ object SparkEntry {
            FROM scored)
          WHERE rank <= 5
          ORDER BY doc_id, rank""",
+
+    // Brute-force definition of the forward as-of: min-future-ts match
+    // per event via a windowed range join (fine at oracle scale; the
+    // Spark plan is the single-window union form).
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT event_id, user_id, ts, value FROM events),
+         nxt AS (
+           SELECT e.event_id, p.ts AS asof_ts, p.value AS asof_value,
+             row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts ASC) AS rn
+           FROM e JOIN p ON e.user_id = p.user_id AND p.ts >= e.ts)
+         SELECT e.event_id, e.user_id, e.value,
+           strftime(n.asof_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts, n.asof_value
+         FROM e LEFT JOIN (SELECT * FROM nxt WHERE rn = 1) n USING (event_id)
+         ORDER BY event_id""",
+
+    "q_cohort_retention" ->
+      """WITH weekly AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+         c AS (SELECT user_id, min(w) AS cw FROM weekly GROUP BY user_id)
+         SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           floor(date_diff('day', cw, w) / 7)::BIGINT AS week_offset,
+           count(DISTINCT weekly.user_id) AS n_users
+         FROM weekly JOIN c USING (user_id)
+         GROUP BY cw, week_offset
+         ORDER BY cohort_week, week_offset""",
+
+    "q_collect_types" ->
+      """SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+           count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_dq_checks" ->
+      """WITH ord AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 500 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 700 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate
+           FROM orders),
+         li AS (
+           SELECT CASE WHEN l_orderkey % 1000 = 0 THEN l_orderkey + 20000000 ELSE l_orderkey END AS l_orderkey,
+             l_quantity
+           FROM lineitem)
+         SELECT 'customer_null_acctbal' AS rule, count(*) AS violations
+           FROM customer WHERE c_acctbal IS NULL
+         UNION ALL SELECT 'lineitem_orphan_orderkey', count(*)
+           FROM li WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
+         UNION ALL SELECT 'lineitem_quantity_range', count(*)
+           FROM li WHERE l_quantity <= 0 OR l_quantity > 50
+         UNION ALL SELECT 'orders_nonpositive_price', count(*)
+           FROM ord WHERE o_totalprice <= 0.0
+         UNION ALL SELECT 'orders_null_date', count(*)
+           FROM ord WHERE o_orderdate IS NULL
+         ORDER BY rule""",
 
     "q_winsorize" ->
       """WITH q AS (

@@ -133,4 +133,21 @@ object EventOps {
       .where(col(factTsCol) >= col(startCol) && col(factTsCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** Weekly cohort retention: users bucketed by first-seen week, then
+    * distinct-user counts per (cohort_week, week_offset) — the retention
+    * matrix every product-analytics stack ships. Three aggregations, all
+    * keyed on (user, week) or coarser; week alignment means the offset
+    * division is always exact. The initial distinct collapses the event
+    * stream to one row per (user, week) BEFORE any join, so the heavy
+    * input is touched once.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weekly = df.select(col(userCol), date_trunc("week", col(tsCol)).as("w")).distinct()
+    val cohort = weekly.groupBy(userCol).agg(min(col("w")).as("cohort_week"))
+    weekly.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("w"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

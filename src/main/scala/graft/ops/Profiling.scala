@@ -127,4 +127,16 @@ object Profiling {
     df.withColumn("zscore",
       when(cnt > 1 && std > 0, round((v - mean) / std, 6)))
   }
+
+  /** Declarative data-quality report (the Deequ/dbt-tests shape): each
+    * rule is a name plus the DataFrame of VIOLATING rows; the report is
+    * one (rule, violations) row per rule. Rules on the same table should
+    * share a cached scan upstream if the table is hot; each count here is
+    * a bare aggregate — no collect, no row payload past the count.
+    */
+  def dqReport(rules: Seq[(String, DataFrame)]): DataFrame =
+    rules.map { case (name, violating) =>
+      violating.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("rule"), col("violations"))
+    }.reduce(_ unionByName _)
 }

@@ -35,15 +35,16 @@ object TextOps {
     * map-side, one shuffle on the token.
     */
   /** Adjacent-token bigrams of a text column ("a b", "b c", …); empty for
-    * documents with fewer than 2 tokens. The size guard matters: Spark's
-    * `sequence(1, 0)` counts DOWN ([1, 0]) instead of yielding empty.
+    * documents with fewer than 2 tokens. One fused zip_with over the two
+    * shifted slices — measurably faster than the index-generating
+    * sequence + element_at form (per-element array probes), and the
+    * greatest() guard keeps slice's length argument non-negative (Spark
+    * throws on negative lengths; `sequence(1, 0)` would count DOWN).
     */
   def bigrams(c: Column): Column = {
     val t = tokens(c)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n), (a, b) => concat(a, lit(" "), b))
   }
 
   /** Global top-k bigrams by frequency, ties to the lexicographically
@@ -67,16 +68,20 @@ object TextOps {
     * 6 dp. Documents with fewer than 2 tokens emit no row.
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // substring_index (no array alloc) beats re-splitting the bigram; the
+    // model and context tables are tiny aggregates — broadcast them
+    // explicitly so the 100 TB-side bigram stream never shuffles on the
+    // skewed (few-distinct-values) join keys
     val bg = df.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
-      .withColumn("_w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
     val model = bg.groupBy("bigram").agg(count(lit(1)).as("_cbg"))
     val uni = df.select(explode(tokens(col(textCol))).as("_w1"))
       .groupBy("_w1").agg(count(lit(1)).as("_cu"))
     val totals = uni.agg(count(lit(1)).as("_vocab"))
     val logp = log((col("_cbg").cast("double") + 1.0) /
       (col("_cu") + col("_vocab")).cast("double"))
-    bg.join(model, Seq("bigram"))
-      .join(uni, Seq("_w1"))
+    bg.join(broadcast(model), Seq("bigram"))
+      .join(broadcast(uni), Seq("_w1"))
       .crossJoin(broadcast(totals))
       .groupBy(idCol)
       .agg(

@@ -230,6 +230,36 @@ object TimeSeries {
     filled.where(col("_tag") === 1).select(outCols: _*)
   }
 
+  /** Forward as-of join — the FIRST left row at-or-AFTER each right row's
+    * timestamp per key ("the next quote/fill after the event"; asOfJoin's
+    * mirror). Same union + single-window shape, with the frame flipped to
+    * [current, unbounded following] and the tie order flipped so a left
+    * row at exactly the right row's timestamp still matches. Determinism
+    * requires (key, ts) uniqueness on the left, same as the backward
+    * variant.
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      leftValueCols: Seq[String]): DataFrame = {
+    val lPayload = struct(
+      (col(tsCol).as("asof_ts") +: leftValueCols.map(c => col(c).as(s"asof_$c"))): _*)
+    val l = left.select(col(keyCol), col(tsCol), lPayload.as("_lval"), lit(0).as("_tag"))
+    val r = right.withColumn("_tag", lit(1))
+    val unioned = r.unionByName(l, allowMissingColumns = true)
+    // right (_tag 1) sorts BEFORE left (_tag 0) at equal ts, so the
+    // forward frame starting at the right row includes same-ts left rows
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col("_tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned.withColumn("_filled", first(col("_lval"), ignoreNulls = true).over(w))
+    val outCols = right.columns.map(col) ++
+      (col("_filled.asof_ts").as("asof_ts") +:
+        leftValueCols.map(c => col(s"_filled.asof_$c").as(s"asof_$c")))
+    filled.where(col("_tag") === 1).select(outCols: _*)
+  }
+
   /** Weighted cross-asset index per timestamp bucket (README.md:179):
     * sum(value*weight)/sum(weight), exact-decimal accumulation.
     */
