@@ -1444,8 +1444,215 @@ object SparkEntry {
           k = 5, bands = 8, planesPerBand = 2, dim = 64)
         .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ── round 7d: relational surface + graph + series extensions ────────
+    // Full outer join of two partially-overlapping per-customer aggregates
+    // (orderkey %2 vs %3 slices): genuine null rows on BOTH sides, key
+    // coalesced by the USING-style join.
+    "q_join_full" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+      val even = ord.where(col("o_orderkey") % 2 === 0).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_even"), Portable.decSum(col("o_totalprice")).as("spend_even"))
+      val third = ord.where(col("o_orderkey") % 3 === 0).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_third"), Portable.decSum(col("o_totalprice")).as("spend_third"))
+      even.join(third, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_even"), lit(0L)).as("n_even"),
+          coalesce(col("n_third"), lit(0L)).as("n_third"),
+          round(coalesce(col("spend_even"), lit(0.0)) + coalesce(col("spend_third"), lit(0.0)), 4)
+            .as("spend_both"))
+        .orderBy("o_custkey")
+    }),
+
+    // Null-safe equi join (<=> / IS NOT DISTINCT FROM): planted-null
+    // nation keys match a planted null-keyed UNKNOWN dimension row — the
+    // idiom for joining through nullable FKs without dropping rows.
+    "q_join_nullsafe" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 50 === 0, lit(null).cast("int"))
+            .otherwise(col("c_nationkey")).as("nk"))
+      val nat = T(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+        .unionByName(s.range(1).select(lit(null).cast("int").as("nk"), lit("UNKNOWN").as("n_name")))
+      cust.join(broadcast(nat), cust("nk") <=> nat("nk"))
+        .select(cust("c_custkey"), cust("nk").as("nk"), nat("n_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // Wide→long unpivot (melt) of the part metrics — the reshape dual of
+    // q_pivot; Spark's native `unpivot` keeps this a zero-shuffle
+    // generator-style expansion.
+    "q_unpivot" -> ((s, dir) =>
+      T(s, dir, "part")
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")),
+
+    // SCD Type 2 dimension history from two snapshots with planted segment
+    // changes (%10), balance changes (%7), deletes (%97) and inserts
+    // (%101 re-keyed) — unchanged keys stay open, changes close the old
+    // row and open a new one, deletes close without a successor.
+    "q_scd2" -> ((s, dir) => {
+      val cur = T(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      val nxt = cur.where(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, lit("ARCHIVE"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(cur.where(col("c_custkey") % 101 === 0)
+          .select((col("c_custkey") + 900000L).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal")))
+      Relational.scdType2(cur, nxt, "c_custkey", Seq("c_mktsegment", "c_acctbal"),
+          "2024-01-01", "2024-02-01")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // Hourly VWAP per event type: exact-decimal weighted mean with a
+    // deterministic synthetic volume (event_id-derived, replicated in the
+    // oracle).
+    "q_vwap" -> ((s, dir) =>
+      TimeSeries.vwap(T(s, dir, "events"), "event_type",
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"),
+          col("value"), (col("event_id") % 10 + 1).cast("double"))
+        .select(col("event_type"), col("bucket"), round(col("vwap"), 9).as("vwap"),
+          col("total_vol"), col("n_trades"))
+        .orderBy("event_type", "bucket")),
+
+    // Running peak-to-trough drawdown per user over the cumulative value
+    // curve — exact-decimal prefix sums make the curve reproducible at any
+    // partition count.
+    "q_drawdown" -> ((s, dir) =>
+      TimeSeries.drawdown(T(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .select(col("event_id"), col("user_id"), col("equity"), col("peak"),
+          round(col("drawdown"), 4).as("drawdown"))
+        .orderBy("event_id")),
+
+    // Consecutive-day activity streaks per user — the gaps-and-islands
+    // idiom (longest streak, streak count, total active days).
+    "q_streaks" -> ((s, dir) =>
+      EventOps.activityStreaks(T(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id")),
+
+    // Frequency-ranked vocabulary with cumulative corpus coverage — the
+    // tokenizer-budget diagnostic (top-100 types + share of all tokens).
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(T(s, dir, "documents"), "text", 100)
+        .orderBy("rank")),
+
+    // Market-basket co-occurrence: top part pairs ordered together —
+    // bounded within-basket fan-out, never an all-pairs join.
+    "q_cooccur" -> ((s, dir) =>
+      Relational.coOccurrence(T(s, dir, "lineitem"), "l_orderkey", "l_partkey", 50)
+        .orderBy("rank")),
+
+    // Two-iteration PageRank over the symmetrized customer↔supplier trade
+    // graph (supplier ids offset to a disjoint space; symmetry removes
+    // dangling mass) — exact-decimal contribution sums make the fixed
+    // iteration oracle-checkable.
+    "q_pagerank" -> ((s, dir) => {
+      Graph.pageRank(tradeEdges(s, dir).toDF("src", "dst")
+          .unionByName(tradeEdges(s, dir).select(col("supp").as("src"), col("cust").as("dst"))),
+        "src", "dst", iters = 2, damping = 0.85)
+        .select(col("id").as("node_id"), round(col("rank"), 9).as("rank"))
+        .orderBy("node_id")
+    }),
+
+    // ── round 7e: feature engineering + graph profile + CDC ─────────────
+    // Rolling 20-row autocorrelation (value vs lag-value) per user: five
+    // exact-decimal window sums → bit-stable Pearson coefficient;
+    // degenerate frames yield null.
+    "q_rolling_corr" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("value_lag", lag(col("value"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("event_id").asc)))
+        .where(col("value_lag").isNotNull)
+      TimeSeries.rollingCorr(ev, "user_id", "event_id", "value", "value_lag", 20)
+        .select(col("event_id"), col("user_id"), round(col("roll_corr"), 6).as("roll_corr"))
+        .orderBy("event_id")
+    }),
+
+    // Per-type min-max feature scaling — broadcast extrema, null on
+    // degenerate groups.
+    "q_minmax_scale" -> ((s, dir) =>
+      Profiling.minMaxScale(T(s, dir, "events").select("event_id", "event_type", "value"),
+          Seq("event_type"), "value")
+        .select("event_id", "event_type", "value", "scaled")
+        .orderBy("event_id")),
+
+    // One-hot encoding against the fixed segment vocabulary (explicit, not
+    // inferred — schema stability under batch/stream reuse).
+    "q_onehot" -> ((s, dir) =>
+      Relational.oneHot(T(s, dir, "customer"), "c_custkey", "c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .orderBy("c_custkey")),
+
+    // Feature hashing (hashing trick): md5-bucketed term frequencies,
+    // sparse vector serialized deterministically — stateless, no
+    // vocabulary fit.
+    "q_feature_hash" -> ((s, dir) =>
+      TextOps.featureHash(T(s, dir, "documents"), "doc_id", "text", 256)
+        .orderBy("doc_id")),
+
+    // Degree distribution of the trade graph — the hub/skew profile.
+    "q_degree_dist" -> ((s, dir) =>
+      Graph.degreeDistribution(tradeEdges(s, dir), "cust", "supp")
+        .orderBy("degree")),
+
+    // CDC changelog application (MERGE INTO kernel): planted updates (%5,
+    // version 2), deletes (%11, version 3 — beats the %55 overlap's
+    // update) and inserts (%13 re-keyed, version 1); latest version per
+    // key wins, D suppresses.
+    "q_cdc_apply" -> ((s, dir) => {
+      val cust = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val upd = cust.where(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("U").as("op"), lit(2L).as("version"),
+          col("c_name"), (col("c_acctbal") + lit(50.0)).as("c_acctbal"))
+      val del = cust.where(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), lit("D").as("op"), lit(3L).as("version"),
+          col("c_name"), col("c_acctbal"))
+      val ins = cust.where(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 500000L).as("c_custkey"), lit("I").as("op"),
+          lit(1L).as("version"), concat(col("c_name"), lit("_new")).as("c_name"),
+          col("c_acctbal"))
+      Relational.cdcApply(cust, upd.unionByName(del).unionByName(ins),
+          "c_custkey", "op", "version", Seq("c_name", "c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // Month-over-month revenue change per order priority — lag-window
+    // period deltas over exact-decimal monthly sums.
+    "q_pop_change" -> ((s, dir) =>
+      TimeSeries.periodChange(T(s, dir, "orders"), "o_orderpriority",
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd"),
+          col("o_totalprice"))
+        .select(col("o_orderpriority"), col("period"), col("revenue"),
+          col("prev_revenue"), round(col("abs_change"), 4).as("abs_change"),
+          col("pct_change"))
+        .orderBy("o_orderpriority", "period")),
+
+    // Two-hop BFS reachability from low-key seed customers over the trade
+    // graph, labeled with minimum hop distance.
+    "q_bfs_2hop" -> ((s, dir) => {
+      val e0 = tradeEdges(s, dir)
+      val seeds = e0.select("cust").where(col("cust") < 10).distinct()
+      Graph.bfsWithinHops(e0, "cust", "supp", seeds, "cust", 2)
+        .orderBy("id")
     })
   )
+
+  /** Customer↔supplier trade edge list (supplier ids offset into a
+    * disjoint space) shared by the graph queries and their oracles.
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct()
 
   /** IVF hyperparameters shared by the query and its oracle generator. */
   private val IvfK = 16
@@ -3402,6 +3609,290 @@ object SparkEntry {
            SELECT query_id, corpus_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
            FROM scored)
-         WHERE rank <= 5 ORDER BY query_id, rank"""
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // ── round 7d ────────────────────────────────────────────────────────
+    "q_join_full" ->
+      """WITH even AS (
+           SELECT o_custkey, count(*) AS n_even,
+             sum(CAST(o_totalprice AS DECIMAL(28,4)))::DOUBLE AS spend_even
+           FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey),
+         third AS (
+           SELECT o_custkey, count(*) AS n_third,
+             sum(CAST(o_totalprice AS DECIMAL(28,4)))::DOUBLE AS spend_third
+           FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey)
+         SELECT o_custkey,
+           coalesce(n_even, 0) AS n_even,
+           coalesce(n_third, 0) AS n_third,
+           round(coalesce(spend_even, 0.0) + coalesce(spend_third, 0.0), 4) AS spend_both
+         FROM even FULL OUTER JOIN third USING (o_custkey)
+         ORDER BY o_custkey""",
+
+    "q_join_nullsafe" ->
+      """WITH cust AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_nationkey END AS nk
+           FROM customer),
+         nat AS (
+           SELECT n_nationkey AS nk, n_name FROM nation
+           UNION ALL SELECT NULL, 'UNKNOWN')
+         SELECT c_custkey, cust.nk AS nk, n_name
+         FROM cust JOIN nat ON cust.nk IS NOT DISTINCT FROM nat.nk
+         ORDER BY c_custkey""",
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+         ORDER BY p_partkey, metric""",
+
+    "q_scd2" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         nxt AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'ARCHIVE' ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+           FROM customer WHERE c_custkey % 97 <> 0
+           UNION ALL
+           SELECT c_custkey + 900000, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey % 101 = 0),
+         j AS (
+           SELECT coalesce(o.c_custkey, n.c_custkey) AS k,
+             o.c_custkey IS NOT NULL AS in_o, n.c_custkey IS NOT NULL AS in_n,
+             o.c_mktsegment AS seg_o, o.c_acctbal AS bal_o,
+             n.c_mktsegment AS seg_n, n.c_acctbal AS bal_n,
+             (o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+               AND o.c_mktsegment = n.c_mktsegment AND o.c_acctbal = n.c_acctbal) AS same
+           FROM cur o FULL OUTER JOIN nxt n ON o.c_custkey = n.c_custkey)
+         SELECT k AS c_custkey, seg_o AS c_mktsegment, bal_o AS c_acctbal,
+           '2024-01-01' AS valid_from,
+           CASE WHEN same THEN NULL ELSE '2024-02-01' END AS valid_to,
+           same AS is_current
+         FROM j WHERE in_o
+         UNION ALL
+         SELECT k, seg_n, bal_n, '2024-02-01', NULL, true
+         FROM j WHERE in_n AND NOT coalesce(same, false)
+         ORDER BY c_custkey, valid_from""",
+
+    "q_vwap" ->
+      """SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           round(sum(CAST(value * (event_id % 10 + 1) AS DECIMAL(28,8)))::DOUBLE /
+                 sum(CAST((event_id % 10 + 1) AS DECIMAL(28,8)))::DOUBLE, 9) AS vwap,
+           sum(CAST((event_id % 10 + 1) AS DECIMAL(28,4)))::DOUBLE AS total_vol,
+           count(*) AS n_trades
+         FROM events GROUP BY event_type, bucket
+         ORDER BY event_type, bucket""",
+
+    "q_drawdown" ->
+      """WITH c AS (
+           SELECT event_id, user_id, ts,
+             sum(CAST(value AS DECIMAL(28,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS equity
+           FROM events),
+         p AS (
+           SELECT event_id, user_id, equity,
+             max(equity) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM c)
+         SELECT event_id, user_id, equity, peak,
+           round(peak - equity, 4) AS drawdown
+         FROM p ORDER BY event_id""",
+
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+         isl AS (
+           SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+           FROM days),
+         g AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY user_id, island)
+         SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+           sum(len)::BIGINT AS active_days
+         FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         tot AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+         r AS (
+           SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+           FROM c)
+         SELECT rank, token, cnt,
+           round(cum::DOUBLE / total::DOUBLE, 9) AS cum_share
+         FROM r CROSS JOIN tot WHERE rank <= 100 ORDER BY rank""",
+
+    "q_cooccur" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         pairs AS (
+           SELECT l.i AS item_a, r.i AS item_b
+           FROM items l JOIN items r ON l.b = r.b AND l.i < r.i),
+         sup AS (SELECT item_a, item_b, count(*) AS support FROM pairs GROUP BY item_a, item_b)
+         SELECT rank, item_a, item_b, support FROM (
+           SELECT item_a, item_b, support,
+             row_number() OVER (ORDER BY support DESC, item_a ASC, item_b ASC) AS rank
+           FROM sup)
+         WHERE rank <= 50 ORDER BY rank""",
+
+    "q_pagerank" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT cust AS src, supp AS dst FROM e0
+               UNION ALL SELECT supp, cust FROM e0),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+         r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+         s1 AS (
+           SELECT e.dst AS id,
+             sum(CAST(r0.rank / deg.d AS DECIMAL(28,12)))::DOUBLE AS inr
+           FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.id
+           GROUP BY e.dst),
+         r1 AS (
+           SELECT nodes.id, (1.0 - 0.85) / n + 0.85 * coalesce(s1.inr, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.id = s1.id),
+         s2 AS (
+           SELECT e.dst AS id,
+             sum(CAST(r1.rank / deg.d AS DECIMAL(28,12)))::DOUBLE AS inr
+           FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.id
+           GROUP BY e.dst),
+         r2 AS (
+           SELECT nodes.id, (1.0 - 0.85) / n + 0.85 * coalesce(s2.inr, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.id = s2.id)
+         SELECT id AS node_id, round(rank, 9) AS rank
+         FROM r2 ORDER BY node_id""",
+
+    // ── round 7e ────────────────────────────────────────────────────────
+    "q_rolling_corr" ->
+      """WITH l AS (
+           SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS value_lag
+           FROM events),
+         f AS (SELECT * FROM l WHERE value_lag IS NOT NULL),
+         r AS (
+           SELECT event_id, user_id,
+             count(*) OVER w AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) OVER w AS sx,
+             sum(CAST(value_lag AS DECIMAL(28,6))) OVER w AS sy,
+             sum(CAST(value * value AS DECIMAL(28,6))) OVER w AS sxx,
+             sum(CAST(value_lag * value_lag AS DECIMAL(28,6))) OVER w AS syy,
+             sum(CAST(value * value_lag AS DECIMAL(28,6))) OVER w AS sxy
+           FROM f
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         d AS (
+           SELECT event_id, user_id, cnt::DOUBLE AS c,
+             sx::DOUBLE AS sx, sy::DOUBLE AS sy, sxx::DOUBLE AS sxx,
+             syy::DOUBLE AS syy, sxy::DOUBLE AS sxy
+           FROM r)
+         SELECT event_id, user_id,
+           CASE WHEN c >= 2 AND c * sxx - sx * sx > 0 AND c * syy - sy * sy > 0
+             THEN round((c * sxy - sx * sy) /
+               (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy)), 6)
+           END AS roll_corr
+         FROM d ORDER BY event_id""",
+
+    "q_minmax_scale" ->
+      """WITH ext AS (
+           SELECT event_type, min(value) AS mn, max(value) AS mx
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value,
+           CASE WHEN mx <> mn THEN round((value - mn) / (mx - mn), 9) END AS scaled
+         FROM events e JOIN ext USING (event_type)
+         ORDER BY event_id""",
+
+    "q_onehot" ->
+      """SELECT c_custkey,
+           (c_mktsegment = 'AUTOMOBILE')::BIGINT AS is_automobile,
+           (c_mktsegment = 'BUILDING')::BIGINT AS is_building,
+           (c_mktsegment = 'FURNITURE')::BIGINT AS is_furniture,
+           (c_mktsegment = 'HOUSEHOLD')::BIGINT AS is_household,
+           (c_mktsegment = 'MACHINERY')::BIGINT AS is_machinery
+         FROM customer ORDER BY c_custkey""",
+
+    "q_feature_hash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket
+           FROM tok),
+         c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket)
+         SELECT doc_id,
+           string_agg(lpad(bucket::VARCHAR, 4, '0') || ':' || cnt, ' '
+             ORDER BY lpad(bucket::VARCHAR, 4, '0') || ':' || cnt) AS features,
+           count(DISTINCT bucket) AS n_buckets
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_degree_dist" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         sym AS (SELECT cust AS u, supp AS v FROM e0
+                 UNION SELECT supp, cust FROM e0),
+         d AS (SELECT u, count(*) AS degree FROM sym WHERE u <> v GROUP BY u)
+         SELECT degree, count(*) AS n_nodes FROM d
+         GROUP BY degree ORDER BY degree""",
+
+    "q_cdc_apply" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         changes AS (
+           SELECT c_custkey, 'U' AS op, 2 AS version, c_name,
+             c_acctbal + 50.0 AS c_acctbal
+           FROM cust WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey, 'D', 3, c_name, c_acctbal
+           FROM cust WHERE c_custkey % 11 = 0
+           UNION ALL
+           SELECT c_custkey + 500000, 'I', 1, c_name || '_new', c_acctbal
+           FROM cust WHERE c_custkey % 13 = 0),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+             FROM changes)
+           WHERE rn = 1)
+         SELECT c_custkey, c_name, c_acctbal FROM cust
+         WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+         ORDER BY c_custkey""",
+
+    "q_pop_change" ->
+      """WITH m AS (
+           SELECT o_orderpriority,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS period,
+             sum(CAST(o_totalprice AS DECIMAL(28,4)))::DOUBLE AS revenue
+           FROM orders GROUP BY o_orderpriority, period),
+         l AS (
+           SELECT *, lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY period) AS prev_revenue
+           FROM m)
+         SELECT o_orderpriority, period, revenue, prev_revenue,
+           round(revenue - prev_revenue, 4) AS abs_change,
+           CASE WHEN prev_revenue <> 0 THEN round((revenue - prev_revenue) / prev_revenue, 9) END AS pct_change
+         FROM l ORDER BY o_orderpriority, period""",
+
+    "q_bfs_2hop" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         sym AS (SELECT cust AS u, supp AS v FROM e0
+                 UNION SELECT supp, cust FROM e0),
+         h0 AS (SELECT DISTINCT cust AS id FROM e0 WHERE cust < 10),
+         h1 AS (SELECT DISTINCT v AS id FROM sym JOIN h0 ON u = h0.id),
+         h2 AS (SELECT DISTINCT v AS id FROM sym JOIN h1 ON u = h1.id),
+         allh AS (
+           SELECT id, 0 AS hop FROM h0
+           UNION ALL SELECT id, 1 FROM h1
+           UNION ALL SELECT id, 2 FROM h2)
+         SELECT id, min(hop) AS hop FROM allh GROUP BY id ORDER BY id"""
   )
 }

@@ -150,4 +150,24 @@ object EventOps {
         floor(datediff(col("w"), col("cohort_week")) / 7).cast("long").as("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Consecutive-day activity streaks per user — the gaps-and-islands
+    * window idiom. Distinct active days first (the one heavy collapse),
+    * then island id = day − row_number() days (constant within a run of
+    * consecutive dates), then one aggregate per island and one per user.
+    * Everything after the initial distinct is keyed on the user, so the
+    * whole chain rides a single exchange; per-row window state is O(1).
+    */
+  def activityStreaks(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(userCol), to_date(col(tsCol)).as("d")).distinct()
+    val w = Window.partitionBy(userCol).orderBy(col("d").asc)
+    val islands = days
+      .withColumn("_island", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col(userCol), col("_island"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("streak_start"))
+    islands.groupBy(userCol)
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+  }
 }

@@ -102,4 +102,83 @@ object Graph {
       .join(labels.withColumnRenamed("group_rep", "_rep"), Seq("id"), "left")
       .select(col("id"), coalesce(col("_rep"), col("id")).as("group_rep"))
   }
+
+  /** Fixed-iteration PageRank over a directed edge list — the link-quality
+    * prior used to weight web-corpus documents (and the canonical "iterate
+    * a join until done" Spark workload). Each round is one join (rank →
+    * out-edges) + one aggregate (sum of contributions per target) + one
+    * broadcast-ready rank update; lineage is truncated per round with
+    * `localCheckpoint` exactly like `connectedComponents`.
+    *
+    * Determinism: contributions are summed as exact decimals
+    * (Portable.decSum rationale — an IEEE double sum would depend on
+    * shuffle arrival order, making ranks unreproducible across cluster
+    * sizes), so a fixed iteration count yields bit-stable ranks and the
+    * whole computation is oracle-checkable. Nodes with no out-edges
+    * contribute nothing (their mass leaks, the classic simplification);
+    * callers who need stochastic completeness pass a symmetrized edge
+    * list, where dangling nodes cannot exist.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("_src").as("id")).union(e.select(col("_dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val nNodes = nodes.count().toDouble
+    val outDeg = e.groupBy(col("_src").as("id")).agg(count(lit(1)).as("_deg"))
+    var ranks = nodes.select(col("id"), (lit(1.0) / lit(nNodes)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contrib = e.join(ranks.join(outDeg, Seq("id")), e("_src") === col("id"))
+        .select(col("_dst").as("id"), (col("rank") / col("_deg")).as("_c"))
+      val summed = contrib.groupBy("id")
+        .agg(sum(col("_c").cast("decimal(28,12)")).cast("double").as("_in"))
+      ranks = nodes.join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / nNodes) +
+            lit(damping) * coalesce(col("_in"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Degree distribution of an undirected edge list — the first graph
+    * profile anyone runs (skew → hub detection, feeds the salting /
+    * AQE-skew decisions the join playbook documents). Two hash
+    * aggregates: distinct-neighbor degree per node, then node count per
+    * degree. Edges are symmetrized internally; self-loops dropped.
+    */
+  def degreeDistribution(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    sym.groupBy("u").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Bounded-hop BFS reachability: nodes within `hops` undirected edges of
+    * a seed set, labeled with their minimum hop distance. Each hop is one
+    * frontier⋈edges join + a min-aggregate — the iterative-join BFS Spark
+    * executes well when the frontier is a small fraction of the graph;
+    * `hops` is a hard bound, so the plan is statically known (no
+    * data-dependent loop) and oracle-expressible.
+    */
+  def bfsWithinHops(edges: DataFrame, aCol: String, bCol: String,
+                    seeds: DataFrame, seedCol: String, hops: Int): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct().localCheckpoint(true)
+    var reached = seeds.select(col(seedCol).cast("long").as("id"), lit(0).as("hop"))
+      .distinct().localCheckpoint(true)
+    for (h <- 1 to hops) {
+      val next = sym.join(reached, sym("u") === reached("id"))
+        .select(col("v").as("id"), lit(h).as("hop"))
+      reached = reached.union(next)
+        .groupBy("id").agg(min("hop").as("hop"))
+        .localCheckpoint(true)
+    }
+    reached
+  }
 }

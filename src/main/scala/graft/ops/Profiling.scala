@@ -139,4 +139,21 @@ object Profiling {
       violating.agg(count(lit(1)).as("violations"))
         .select(lit(name).as("rule"), col("violations"))
     }.reduce(_ unionByName _)
+
+  /** Per-group min-max feature scaling: (x − min) / (max − min), the
+    * normalization staple. Tiny per-group extrema aggregate broadcast
+    * back onto the stream — no window, no second shuffle of the payload.
+    * Degenerate groups (max = min) scale to null rather than dividing by
+    * zero; min/max of doubles are order-independent so the result is
+    * reproducible at any parallelism.
+    */
+  def minMaxScale(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val ext = df.groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("_mn"), max(col(valueCol)).as("_mx"))
+    df.join(broadcast(ext), keys)
+      .withColumn("scaled",
+        when(col("_mx") =!= col("_mn"),
+          round((col(valueCol) - col("_mn")) / (col("_mx") - col("_mn")), 9)))
+      .drop("_mn", "_mx")
+  }
 }

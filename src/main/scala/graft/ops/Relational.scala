@@ -241,4 +241,101 @@ object Relational {
         .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
     }
   }
+
+  /** Slowly-changing-dimension Type 2 build from two full snapshots — the
+    * warehouse-dimension history pattern (companion to `upsertLatest`
+    * (Type 1) and `snapshotDiff`). Rows are compared by a fingerprint of
+    * `tracked` attributes:
+    *   - unchanged keys   → one open row   (valid_from = asOfOld, valid_to null)
+    *   - changed keys     → closed old row (valid_to = asOfNew) + open new row
+    *   - inserted keys    → open row       (valid_from = asOfNew)
+    *   - deleted keys     → closed old row (valid_to = asOfNew), no successor
+    *
+    * Scale posture: one full-outer shuffle join on the key — the minimal
+    * plan for snapshot comparison; fingerprints are computed map-side so
+    * the comparison never widens the shuffle beyond the carried attribute
+    * columns. At 100 TB the dimension is small next to facts; the expensive
+    * variant (fact-table SCD) would swap this to an incremental
+    * `snapshotDiff` feed, which this output format is closed under.
+    */
+  def scdType2(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+               tracked: Seq[String], asOfOld: String, asOfNew: String): DataFrame = {
+    val fp: DataFrame => DataFrame = df =>
+      df.withColumn("_fp", Portable.rowFingerprint(tracked.map(col): _*))
+    val o = fp(oldSnap).select(col(key) +: col("_fp").as("_fp_o") +:
+      tracked.map(c => col(c).as(s"${c}_o")): _*)
+    val n = fp(newSnap).select(col(key) +: col("_fp").as("_fp_n") +:
+      tracked.map(c => col(c).as(s"${c}_n")): _*)
+    val j = o.join(n, Seq(key), "full_outer")
+
+    // one row per (key, version): version 0 = the old snapshot's row when it
+    // existed, version 1 = the new snapshot's row when it differs or is new
+    val oldRows = j.where(col("_fp_o").isNotNull)
+      .select(col(key) +:
+        tracked.map(c => col(s"${c}_o").as(c)) :+
+        lit(asOfOld).as("valid_from") :+
+        when(col("_fp_n").isNull || col("_fp_n") =!= col("_fp_o"), lit(asOfNew))
+          .otherwise(lit(null).cast("string")).as("valid_to"): _*)
+    val newRows = j.where(col("_fp_n").isNotNull &&
+        (col("_fp_o").isNull || col("_fp_o") =!= col("_fp_n")))
+      .select(col(key) +:
+        tracked.map(c => col(s"${c}_n").as(c)) :+
+        lit(asOfNew).as("valid_from") :+
+        lit(null).cast("string").as("valid_to"): _*)
+    oldRows.unionByName(newRows)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** One-hot encoding of a categorical column against an EXPLICIT category
+    * vocabulary — the feature-engineering staple. The vocabulary is a
+    * caller-supplied constant (never inferred per-batch: inference would
+    * make the output schema data-dependent, which breaks both streaming
+    * and train/serve skew guarantees). Row-local, zero-shuffle.
+    */
+  def oneHot(df: DataFrame, keyCol: String, catCol: String,
+             categories: Seq[String]): DataFrame =
+    df.select(col(keyCol) +: categories.map(c =>
+      (col(catCol) === c).cast("long").as(s"is_${c.toLowerCase}")): _*)
+
+  /** Apply a CDC changelog (op ∈ I/U/D + monotonically increasing version)
+    * to a base snapshot — the MERGE INTO / CDC-compaction kernel. The
+    * latest change per key wins (row_number over version desc); a final
+    * D suppresses the key, a final I/U replaces (or inserts) the payload,
+    * untouched base rows pass through via anti-join. Two shuffles total
+    * (change ranking + base anti-join), both on the key — the plan a
+    * lakehouse MERGE executes.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, key: String,
+               opCol: String, versionCol: String, payload: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(versionCol).desc)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+    val upserts = latest.where(col(opCol) =!= "D")
+      .select(col(key) +: payload.map(col): _*)
+    base.join(latest.select(key), Seq(key), "left_anti")
+      .select(col(key) +: payload.map(col): _*)
+      .unionByName(upserts)
+  }
+
+  /** Market-basket co-occurrence: pairs of items appearing in the same
+    * basket, support counted across baskets, top `k` pairs. Pair
+    * generation is a within-basket equi-self-join — fan-out bounded by
+    * basket size squared, and baskets are small by domain construction
+    * (TPC-H orders carry ≤ 7 lines), so the blow-up is a small constant
+    * per basket, never an all-pairs cross join. Support counting is one
+    * hash aggregate on the pair key; the final rank window runs over the
+    * aggregated pair table (|distinct pairs|, not |baskets|).
+    */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String, k: Int): DataFrame = {
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
+    val pairs = items.as("l")
+      .join(items.as("r"), col("l._b") === col("r._b") && col("l._i") < col("r._i"))
+      .select(col("l._i").as("item_a"), col("r._i").as("item_b"))
+    val w = Window.orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+    pairs.groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("rank", "item_a", "item_b", "support")
+  }
 }

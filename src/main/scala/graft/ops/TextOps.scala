@@ -839,4 +839,50 @@ object TextOps {
     overlap.withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
       .select(col(idCol), col("profile_lang").as("lang_pred"), col("overlap"))
   }
+
+  /** Frequency-ranked vocabulary with cumulative corpus coverage — the
+    * tokenizer-construction diagnostic ("how many types cover 95 % of
+    * tokens?"). One token-keyed count aggregate, then a single-partition
+    * window over the VOCABULARY (types, not tokens — ~10⁵ rows even at
+    * 100 TB corpus scale, so the one-reducer cumsum is safe by
+    * construction; the heavy token stream itself is only ever hash-
+    * aggregated). Counts are integers, so the cumulative share is exact
+    * decimal division — engine-portable. Returns the top `k` types with
+    * rank and cumulative coverage share.
+    */
+  /** Feature hashing (the hashing trick): tokens map to a fixed bucket
+    * space via the portable md5 hash, per-document term frequencies
+    * aggregate per bucket, and the sparse vector serializes
+    * deterministically as sorted "bucket:count" pairs — so the whole
+    * featurization is engine-portable and hash-checkable. No vocabulary
+    * state, no fit step: exactly why the trick scales to 100 TB (stateless
+    * map + one (doc, bucket) hash aggregate + one per-doc combine).
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String, nBuckets: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = tok
+      .withColumn("bucket", Portable.hash32(col("token")) % nBuckets)
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(idCol)
+      .agg(
+        concat_ws(" ", array_sort(collect_list(
+          concat(lpad(col("bucket").cast("string"), 4, "0"), lit(":"), col("cnt"))))).as("features"),
+        countDistinct(col("bucket")).as("n_buckets"))
+  }
+
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("_total"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wr = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("cum_share",
+        round(sum("cnt").over(w).cast("double") / col("_total").cast("double"), 9))
+      .where(col("rank") <= k)
+      .select("rank", "token", "cnt", "cum_share")
+  }
 }

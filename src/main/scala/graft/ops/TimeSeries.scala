@@ -303,4 +303,80 @@ object TimeSeries {
               (col("_next.t") - col("_prev.t")).cast("double"))))
       .drop("_prev", "_next")
   }
+
+  /** Volume-weighted average price per (key, bucket) — the execution /
+    * market-microstructure resample (OHLCV's weighted sibling, reference
+    * README.md:173-180 query family). One partial+final hash aggregate;
+    * both sums are exact decimals so the ratio is order-independent
+    * (Portable.decSum rationale) and safe to hash-check on any cluster.
+    */
+  def vwap(df: DataFrame, keyCol: String, bucketCol: Column,
+           priceCol: Column, volCol: Column): DataFrame =
+    df.groupBy(col(keyCol), bucketCol.as("bucket"))
+      .agg(
+        (sum((priceCol * volCol).cast("decimal(28,8)")).cast("double") /
+          sum(volCol.cast("decimal(28,8)")).cast("double")).as("vwap"),
+        Portable.decSum(volCol).as("total_vol"),
+        count(lit(1)).as("n_trades"))
+
+  /** Trailing N-row Pearson correlation between two columns per series —
+    * the co-movement signal (pairs-trading / feature drift). All five
+    * sufficient statistics are exact-decimal window sums over the same
+    * frame (Portable.decCorr rationale: IEEE accumulation order is not
+    * reproducible across partitionings; decimal sums are), so the rolling
+    * coefficient is bit-stable and oracle-matchable. Frames shorter than
+    * 2 rows or with zero variance yield null, not NaN/Inf. Callers must
+    * pre-filter to rows where BOTH columns are non-null (e.g. drop the
+    * lag-null head row) — mixed-null frames would make the five sums
+    * range over inconsistent row sets.
+    */
+  def rollingCorr(df: DataFrame, keyCol: String, orderCol: String,
+                  xCol: String, yCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol).asc)
+      .rowsBetween(-(n - 1), 0)
+    def ds(c: Column) = sum(c.cast("decimal(28,6)")).over(w).cast("double")
+    val x = col(xCol); val y = col(yCol)
+    val cnt = count(x).over(w).cast("double") // counts frames where BOTH present
+    val sx = ds(x); val sy = ds(y)
+    val sxx = ds(x * x); val syy = ds(y * y); val sxy = ds(x * y)
+    val varX = cnt * sxx - sx * sx
+    val varY = cnt * syy - sy * sy
+    df.withColumn("roll_corr",
+      when(cnt >= 2 && varX > 0 && varY > 0,
+        (cnt * sxy - sx * sy) / (sqrt(varX) * sqrt(varY))))
+  }
+
+  /** Period-over-period change: exact-decimal revenue per (group, period)
+    * with lag-1 absolute and relative deltas — the MoM/YoY reporting
+    * staple. One aggregate + one O(1)-state lag window per group.
+    */
+  def periodChange(df: DataFrame, groupCol: String, periodCol: Column,
+                   valueCol: Column): DataFrame = {
+    val agg = df.groupBy(col(groupCol), periodCol.as("period"))
+      .agg(Portable.decSum(valueCol).as("revenue"))
+    val w = Window.partitionBy(groupCol).orderBy(col("period").asc)
+    agg
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("abs_change", col("revenue") - col("prev_revenue"))
+      .withColumn("pct_change",
+        when(col("prev_revenue") =!= 0.0,
+          round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 9)))
+  }
+
+  /** Running peak-to-trough drawdown per series: cumulative exact-decimal
+    * sum of `valueCol` (the equity curve), its running maximum, and the
+    * gap to that peak. Both are single-pass prefix windows over one
+    * series-key exchange — O(1) state per row, no self-join; the decimal
+    * cumsum makes every prefix exact, so the curve is reproducible at any
+    * partition count (a double cumsum would drift with evaluation order).
+    */
+  def drawdown(df: DataFrame, keyCol: String, tsCol: String,
+               orderCol: String, valueCol: String): DataFrame = {
+    val wCum = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("equity",
+        sum(col(valueCol).cast("decimal(28,4)")).over(wCum).cast("double"))
+      .withColumn("peak", max(col("equity")).over(wCum))
+      .withColumn("drawdown", col("peak") - col("equity"))
+  }
 }
