@@ -1641,7 +1641,170 @@ object SparkEntry {
       val seeds = e0.select("cust").where(col("cust") < 10).distinct()
       Graph.bfsWithinHops(e0, "cust", "supp", seeds, "cust", 2)
         .orderBy("id")
-    })
+    }),
+
+    // ── TPC-H subquery shapes, batch 2 (SURVEY C92–C95) ────────────────
+
+    // Max-of-aggregate (TPC-H Q15 shape): top supplier(s) by quarterly
+    // revenue. The per-supplier aggregate is computed once; the global max
+    // is a 1-row aggregate OF that result broadcast back — Q15's "view
+    // referenced twice" never rescans the fact table.
+    "q_max_of_agg" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(Portable.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("_mx"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("_mx"))
+        .select(col("l_suppkey"), col("total_revenue"))
+        .orderBy("l_suppkey")
+    }),
+
+    // Correlated scalar average (TPC-H Q17 shape): revenue locked in
+    // small-lot orders — lines under 20 % of their part's average
+    // quantity. The correlated subquery decorrelates to a per-part
+    // aggregate joined back on the key; the threshold side carries two
+    // columns only, so at 100 TB the join ships |parts| rows, not lines.
+    "q_correlated_avg" -> ((s, dir) => {
+      val avgQty = T(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(Portable.decAvg(col("l_quantity"), 4).as("avg_qty"))
+      T(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(avgQty, Seq("l_partkey"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(Portable.decSum(col("l_extendedprice"), 4).as("small_lot_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // IN-subquery with HAVING (TPC-H Q18 shape): large-volume orders —
+    // the grouped-HAVING subquery reduces to a pre-aggregated inner join
+    // carrying (orderkey, total_qty), so the "IN" never materializes a
+    // list; customer attaches afterwards on the already-filtered orders.
+    "q_semi_having" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(Portable.decSum(col("l_quantity"), 2).as("total_qty"))
+        .where(col("total_qty") > 300.0)
+      T(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, dir, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Nested aggregate share predicate (TPC-H Q20 shape, adapted to the
+    // schema at hand): suppliers shipping more than 3× their fair share
+    // of a part's volume. Two-level aggregate — (part, supplier) rollup,
+    // then part totals from THAT result — followed by a share predicate
+    // kept multiplicative (sq·n > 3·total) so no division enters the
+    // hash-checked columns.
+    "q_dominant_supplier" -> ((s, dir) => {
+      val ps = T(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(Portable.decSum(col("l_quantity"), 2).as("supp_qty"))
+      val pt = ps.groupBy("l_partkey")
+        .agg(Portable.decSum(col("supp_qty"), 2).as("part_qty"),
+          count(lit(1)).as("n_supps"))
+      ps.join(pt, Seq("l_partkey"))
+        .where(col("n_supps") >= 2 &&
+               col("supp_qty") * col("n_supps") > col("part_qty") * lit(3.0))
+        .select(col("l_partkey"), col("l_suppkey"), col("supp_qty"),
+          col("part_qty"), col("n_supps"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
+    // EXISTS + NOT-EXISTS combination (TPC-H Q21 shape, adapted —
+    // returnflag stands in for the missing receipt/commit dates):
+    // suppliers who were the SOLE returns-flagged supplier on orders
+    // served by several suppliers. Both correlated subqueries collapse
+    // into one per-(order, supplier) rollup consumed twice: counting two
+    // DISTINCTs directly would expand every row ×3 (Spark's multi-distinct
+    // rewrite — benched 8.3 s); aggregating the deduped rollup instead
+    // runs the same two order-key shuffles at 1/3 the rows (2.6 s).
+    "q_sole_return_supplier" -> ((s, dir) => {
+      val perSupp = T(s, dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+      val stats = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
+      perSupp.where(col("has_r") === 1L)
+        .select("l_orderkey", "l_suppkey")
+        .join(stats.where(col("n_supp") >= 2 && col("n_r_supp") === 1),
+          Seq("l_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+    }),
+
+    // ── reconciliation + sequence modeling + model fit (C96–C98) ───────
+
+    // Block-hash reconciliation (anti-entropy): the diff between the base
+    // customer snapshot and a drifted replica (planted deletes/updates/
+    // inserts), computed by exchanging 64 per-block digests and diffing
+    // ONLY mismatched blocks. The oracle is the brute-force full diff —
+    // hash equality proves the digest pruning lost nothing.
+    "q_block_diff" -> ((s, dir) => {
+      val base = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val replica = base.where(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 6 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(base.where(col("c_custkey") < 50)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"), col("c_name"),
+            col("c_acctbal")))
+      Relational.blockDiff(base, replica, Seq("c_custkey"),
+          Seq("c_name", "c_acctbal"), nBlocks = 64)
+        .orderBy("c_custkey")
+    }),
+
+    // First-order Markov transitions over per-user event sequences: the
+    // session-modeling primitive. One lead() window on the (user, time)
+    // sort Spark already needs for sessionization, then a hash aggregate
+    // on the (from, to) pair — the from-state total rides a window over
+    // the 25-row aggregated transition matrix, not the event stream.
+    "q_markov_chain" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .where(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("transitions"))
+        .withColumn("from_total",
+          sum(col("transitions")).over(Window.partitionBy("event_type")))
+        .orderBy("event_type", "next_type")
+    }),
+
+    // Per-group OLS trend fit: value-vs-time slope and intercept per
+    // event type from one pass of exact-decimal sufficient statistics
+    // (ops/Profiling.groupOls) — x is hours since the corpus epoch so the
+    // normal equations stay well-conditioned in double.
+    "q_group_ols" -> ((s, dir) =>
+      Profiling.groupOls(T(s, dir, "events"), Seq("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600L) - lit(473352L),
+          col("value"))
+        .orderBy("event_type")),
+
+    // First 2 BPE tokenizer-training merges over the document corpus —
+    // per-round corpus-wide pair count + greedy row-local rewrite
+    // (ops/TextOps.bpeTopMerges). The iterative corpus rewrite is not
+    // SQL-expressible in one statement, so like q_approx_distinct this is
+    // a rows-only driver check; the merge semantics (greedy left-to-right,
+    // overlap rule, tie order, early stop) are hand-verified in
+    // Round7fOpsSpec. Two rounds exercise the full recurrence (round 2
+    // counts pairs over round 1's REWRITTEN corpus) at half the cost of
+    // three — each extra round re-folds the whole corpus through every
+    // prior merge.
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeTopMerges(T(s, dir, "documents"), "text", 2)
+        .orderBy("iteration"))
   )
 
   /** Customer↔supplier trade edge list (supplier ids offset into a
@@ -3893,6 +4056,119 @@ object SparkEntry {
            SELECT id, 0 AS hop FROM h0
            UNION ALL SELECT id, 1 FROM h1
            UNION ALL SELECT id, 2 FROM h2)
-         SELECT id, min(hop) AS hop FROM allh GROUP BY id ORDER BY id"""
+         SELECT id, min(hop) AS hop FROM allh GROUP BY id ORDER BY id""",
+
+    "q_max_of_agg" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT l_suppkey, total_revenue FROM rev
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY l_suppkey""",
+
+    "q_correlated_avg" ->
+      """WITH a AS (
+           SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(28,4)))::DOUBLE / count(l_quantity) AS avg_qty
+           FROM lineitem GROUP BY l_partkey)
+         SELECT sum(CAST(l_extendedprice AS DECIMAL(28,4)))::DOUBLE AS small_lot_revenue,
+           count(*) AS n_lines
+         FROM lineitem l JOIN a USING (l_partkey)
+         WHERE l_quantity < 0.2 * avg_qty""",
+
+    "q_semi_having" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE > 300.0)
+         SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice, total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "q_dominant_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE AS supp_qty
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+         pt AS (
+           SELECT l_partkey, sum(CAST(supp_qty AS DECIMAL(28,2)))::DOUBLE AS part_qty,
+             count(*) AS n_supps
+           FROM ps GROUP BY l_partkey)
+         SELECT l_partkey, l_suppkey, supp_qty, part_qty, n_supps
+         FROM ps JOIN pt USING (l_partkey)
+         WHERE n_supps >= 2 AND supp_qty * n_supps > part_qty * 3.0
+         ORDER BY l_partkey, l_suppkey""",
+
+    "q_sole_return_supplier" ->
+      """WITH st AS (
+           SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+           FROM lineitem GROUP BY l_orderkey),
+         r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+         SELECT l_suppkey, count(*) AS numwait
+         FROM r JOIN st USING (l_orderkey)
+         WHERE n_supp >= 2 AND n_r_supp = 1
+         GROUP BY l_suppkey
+         ORDER BY numwait DESC, l_suppkey""",
+
+    // Brute-force FULL diff — the blocked plan must reproduce it exactly
+    // (digest-pruning losslessness proof by hash, the q_fuzzy_join pattern).
+    "q_block_diff" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         repl AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+           FROM base WHERE c_custkey % 11 <> 0
+           UNION ALL
+           SELECT c_custkey + 2000000, c_name, c_acctbal FROM base WHERE c_custkey < 50)
+         SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           ('0x' || substr(md5(coalesce(o.c_custkey, n.c_custkey)::VARCHAR), 1, 8))::BIGINT % 64 AS block,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           o.c_name AS old_c_name, o.c_acctbal AS old_c_acctbal,
+           n.c_name AS new_c_name, n.c_acctbal AS new_c_acctbal
+         FROM base o FULL OUTER JOIN repl n ON o.c_custkey = n.c_custkey
+         WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+            OR o.c_name IS DISTINCT FROM n.c_name
+            OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+         ORDER BY c_custkey""",
+
+    "q_markov_chain" ->
+      """WITH seq AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events),
+         tr AS (
+           SELECT event_type, next_type, count(*) AS transitions
+           FROM seq WHERE next_type IS NOT NULL
+           GROUP BY event_type, next_type)
+         SELECT event_type, next_type, transitions,
+           (sum(transitions) OVER (PARTITION BY event_type))::BIGINT AS from_total
+         FROM tr ORDER BY event_type, next_type""",
+
+    "q_group_ols" ->
+      """WITH pts AS (
+           SELECT event_type, value,
+             (CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473352)::DOUBLE AS x
+           FROM events),
+         st AS (
+           SELECT event_type, count(*)::DOUBLE AS n,
+             sum(CAST(x AS DECIMAL(28,6)))::DOUBLE AS sx,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS sy,
+             sum(CAST(x * value AS DECIMAL(28,6)))::DOUBLE AS sxy,
+             sum(CAST(x * x AS DECIMAL(28,6)))::DOUBLE AS sxx
+           FROM pts GROUP BY event_type)
+         SELECT event_type, n::BIGINT AS n,
+           CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
+                THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) END AS slope,
+           CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
+                THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) END AS intercept
+         FROM st ORDER BY event_type"""
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling for pipeline QA (the north-star "know your corpus"
@@ -155,5 +155,36 @@ object Profiling {
         when(col("_mx") =!= col("_mn"),
           round((col(valueCol) - col("_mn")) / (col("_mx") - col("_mn")), 9)))
       .drop("_mn", "_mx")
+  }
+
+  /** Per-group simple linear regression (OLS) from exact decimal sums —
+    * the distributed model-fit primitive: one hash aggregate computes the
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σxx) and the closed-form
+    * slope/intercept fall out on the aggregated (tiny) result. Spark's
+    * built-in regr_slope accumulates floating co-moments in shuffle order
+    * and is not reproducible across partitionings (the same reason
+    * Portable.decCorr exists); decimal sums make the fit bit-stable and
+    * oracle-matchable. Degenerate groups (n < 2 or zero x-variance)
+    * yield null coefficients.
+    */
+  def groupOls(df: DataFrame, keys: Seq[String], xCol: Column, yCol: Column,
+               scale: Int = 6): DataFrame = {
+    val x = xCol.cast("double")
+    val y = yCol.cast("double")
+    val agg = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("_n"),
+        Portable.decSum(x, scale).as("_sx"),
+        Portable.decSum(y, scale).as("_sy"),
+        Portable.decSum(x * y, scale).as("_sxy"),
+        Portable.decSum(x * x, scale).as("_sxx"))
+    val den = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / den
+    agg
+      .withColumn("n", col("_n").cast("long"))
+      .withColumn("slope", when(col("_n") >= 2.0 && den =!= 0.0, round(slope, 9)))
+      .withColumn("intercept",
+        when(col("_n") >= 2.0 && den =!= 0.0,
+          round((col("_sy") - slope * col("_sx")) / col("_n"), 6)))
+      .drop("_n", "_sx", "_sy", "_sxy", "_sxx")
   }
 }

@@ -338,4 +338,46 @@ object Relational {
       .where(col("rank") <= k)
       .select("rank", "item_a", "item_b", "support")
   }
+
+  /** Block-hash reconciliation — snapshotDiff's cross-datacenter twin.
+    *
+    * Comparing two 100 TB replicas row-by-row means shipping one of them
+    * over the wire; the anti-entropy pattern (Dynamo/Cassandra Merkle
+    * repair, rsync) first exchanges O(nBlocks) per-block digests, then
+    * diffs ONLY the rows whose block digests disagree. Each side computes
+    * (count, sum, xor) of a portable row hash per key-hash block — one
+    * map-side-combined aggregate, a few KB of digest rows to move — and
+    * the full-fidelity diff runs on the semi-joined mismatched blocks
+    * alone. A differing row can only escape if count AND sum AND xor all
+    * collide simultaneously; the oracle for q_block_diff is the
+    * brute-force FULL diff, so losslessness on the test corpus is
+    * hash-proven end to end.
+    *
+    * Output schema matches snapshotDiff plus the owning `block` id.
+    */
+  def blockDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                compareCols: Seq[String], nBlocks: Int): DataFrame = {
+    def keyed(df: DataFrame): DataFrame =
+      df.select((keys ++ compareCols).map(col): _*)
+        .withColumn("block",
+          pmod(Portable.hash32(concat_ws("|", keys.map(col): _*)), lit(nBlocks.toLong)))
+        .withColumn("_rowhash",
+          Portable.hash32(concat_ws("|", (keys ++ compareCols).map(c => col(c).cast("string")): _*)))
+    def digest(df: DataFrame, tag: String): DataFrame =
+      df.groupBy("block").agg(
+        count(lit(1)).as(s"${tag}_rows"),
+        sum("_rowhash").as(s"${tag}_sum"),
+        expr("bit_xor(_rowhash)").as(s"${tag}_xor"))
+    val o = keyed(oldDf)
+    val n = keyed(newDf)
+    val bad = digest(o, "o").join(digest(n, "n"), Seq("block"), "full_outer")
+      .where(!(col("o_rows") <=> col("n_rows")) ||
+             !(col("o_sum") <=> col("n_sum")) ||
+             !(col("o_xor") <=> col("n_xor")))
+      .select("block")
+    snapshotDiff(
+        o.join(bad, Seq("block"), "left_semi").drop("_rowhash"),
+        n.join(bad, Seq("block"), "left_semi").drop("_rowhash"),
+        keys :+ "block", compareCols)
+  }
 }

@@ -871,6 +871,76 @@ object TextOps {
         countDistinct(col("bucket")).as("n_buckets"))
   }
 
+  /** One greedy left-to-right BPE merge pass: every non-overlapping
+    * occurrence of the adjacent pair (a, b) in the token array becomes the
+    * single token a+b. The scan-with-carry is a fold over the array
+    * (functions.aggregate — row-local, codegen-adjacent, no UDF): state is
+    * (accumulated tokens, pending token); a pending `a` followed by `b`
+    * flushes the merged token and clears the carry, so "a a a" under pair
+    * (a, a) yields [aa, a] — the overlap rule real BPE tokenizer training
+    * uses — never [aa, aa] from double-counting the shared middle.
+    */
+  def bpeMergeStep(tokensCol: Column, a: String, b: String): Column = {
+    val init = named_struct(lit("acc"), array().cast("array<string>"),
+      lit("pending"), lit(null).cast("string"))
+    val step = (st: Column, x: Column) =>
+      when(st.getField("pending").isNull,
+        named_struct(lit("acc"), st.getField("acc"), lit("pending"), x))
+      .when(st.getField("pending") === lit(a) && x === lit(b),
+        named_struct(lit("acc"), concat(st.getField("acc"), array(lit(a + b))),
+          lit("pending"), lit(null).cast("string")))
+      .otherwise(
+        named_struct(lit("acc"), concat(st.getField("acc"), array(st.getField("pending"))),
+          lit("pending"), x))
+    val finish = (st: Column) =>
+      when(st.getField("pending").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("pending"))))
+    aggregate(tokensCol, init, step, finish)
+  }
+
+  /** The first `nIters` merges of BPE tokenizer training over a corpus:
+    * each round counts adjacent pairs corpus-wide (slice-zip explode — one
+    * hash aggregate, never all-pairs), adopts the most frequent pair
+    * (count desc, then lexicographic — a total order, so the trained
+    * merge table is reproducible at any parallelism), and rewrites the
+    * corpus with bpeMergeStep. The adopted pair is the only driver-side
+    * materialization per round — a 1-row scalar model, same legitimacy
+    * class as the k-means centroids. Output: one row per merge round
+    * (iteration, pair_a, pair_b, support, merged). At 100 TB each round
+    * is one map-side-combined pair count + one row-local rewrite; real
+    * trainers amortize further by caching pair counts, but the per-round
+    * plan shape is exactly this.
+    */
+  def bpeTopMerges(df: DataFrame, textCol: String, nIters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var toks = df.select(tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, String)]
+    var i = 1
+    while (i <= nIters) {
+      val top = toks
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("a"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) { i = nIters + 1 }
+      else {
+        val r = top.head
+        val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((i, a, b, cnt, a + b))
+        toks = toks.select(bpeMergeStep(col("toks"), a, b).as("toks"))
+          .where(size(col("toks")) >= 2)
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("iteration", "pair_a", "pair_b", "support", "merged")
+  }
+
   def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the lakehouse maintenance primitive.
+  *
+  * Streaming sinks, frequent CDC merges, and over-partitioned writes leave
+  * tables as thousands of KB-sized parquet files; at 100 TB that means a
+  * scheduler drowning in tasks, a NameNode/object-store drowning in
+  * listings, and scans paying per-file open cost instead of streaming
+  * MB-sized row groups. Compaction rewrites a table into files sized near
+  * a target, after which every scan is cheaper forever — the same
+  * pay-once/benefit-always economics as bucketing and z-ordering
+  * (OPTIMIZE / bin-packing in lakehouse engines).
+  *
+  * Sizing is computed from the input's actual on-disk (compressed) bytes,
+  * not a row-count guess, so the output lands near the target regardless
+  * of schema width or codec ratio.
+  */
+object Compaction {
+
+  /** Total on-disk bytes of the data files under `dir` (non-recursive,
+    * skips _SUCCESS and other metadata side files).
+    */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).iterator
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+  }
+
+  /** Data file count under `dir` — the metric compaction shrinks. */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+  }
+
+  /** Rewrite the parquet table at `inDir` to `outDir` with ceil(bytes /
+    * targetFileBytes) output files. Plain bin-packing uses `coalesce`
+    * (no shuffle — merging small files needs no data movement, only
+    * fewer write tasks); passing `sortCols` upgrades the rewrite to a
+    * clustered compaction — a range repartition + within-partition sort —
+    * so the merged files also carry tight min/max footer stats on the
+    * sort key (1-D data skipping, see ZOrder for the 2-D version).
+    * Returns the number of files written.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetFileBytes: Long, sortCols: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive (got $targetFileBytes)")
+    val nFiles = math.max(1L,
+      (dataBytes(spark, inDir) + targetFileBytes - 1) / targetFileBytes).toInt
+    val in = spark.read.parquet(inDir)
+    val packed =
+      if (sortCols.isEmpty) in.coalesce(nFiles)
+      else in.repartitionByRange(nFiles, sortCols.map(in.col): _*)
+        .sortWithinPartitions(sortCols.map(in.col): _*)
+    packed.write.mode("overwrite").parquet(outDir)
+    dataFileCount(spark, outDir)
+  }
+}
