@@ -88,6 +88,29 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("twice-referenced aggregates execute their shared exchange once (ReusedExchange)") {
+    // the Q15/Q11 contract: the revenue view consumed by both the
+    // threshold branch and the filter branch must share one physical
+    // exchange — a second FileSourceScan of the fact table would double
+    // the 100 TB scan cost the comments claim to avoid
+    Seq("q_max_of_agg", "q_scalar_subquery").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // AQE finalizes reuse as stages materialize
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val reused = nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+      val factScans = nodes.count {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.exists(_.contains("lineitem"))
+        case _ => false
+      }
+      withClue(s"$name (reused=$reused, lineitem scans=$factScans): ") {
+        assert(reused || factScans <= 1,
+          "expected a ReusedExchange or a single fact scan")
+      }
+    }
+  }
+
   test("q_join_bucketed joins and aggregates with zero hash-shuffle exchanges") {
     // the co-located-join contract: with both tables bucketed on the join
     // key, the join AND the per-key aggregation need no hash repartition —
