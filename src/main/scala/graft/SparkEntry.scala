@@ -1804,7 +1804,30 @@ object SparkEntry {
     // prior merge.
     "q_bpe_merges" -> ((s, dir) =>
       TextOps.bpeTopMerges(T(s, dir, "documents"), "text", 2)
-        .orderBy("iteration"))
+        .orderBy("iteration")),
+
+    // Entry-path mining: the top 20 first-three-event journeys across
+    // users — funnel analysis without a prescribed funnel. The ordered
+    // prefix is pinned with one ranked window, the path assembled from
+    // three conditional-max pivots (no order-dependent collect_list),
+    // and the final top-k is a TakeOrderedAndProject over the tiny
+    // aggregated path table. concat_ws drops NULLs identically in both
+    // engines, so sub-3-event users contribute their shorter path.
+    "q_user_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(concat_ws(">",
+          max(when(col("rn") === 1, col("event_type"))),
+          max(when(col("rn") === 2, col("event_type"))),
+          max(when(col("rn") === 3, col("event_type")))).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    })
   )
 
   /** Customer↔supplier trade edge list (supplier ids offset into a
@@ -4169,6 +4192,20 @@ object SparkEntry {
                 THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) END AS slope,
            CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
                 THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) END AS intercept
-         FROM st ORDER BY event_type"""
+         FROM st ORDER BY event_type""",
+
+    "q_user_paths" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, concat_ws('>',
+             max(CASE WHEN rn = 1 THEN event_type END),
+             max(CASE WHEN rn = 2 THEN event_type END),
+             max(CASE WHEN rn = 3 THEN event_type END)) AS path
+           FROM r WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p
+         GROUP BY path ORDER BY n_users DESC, path LIMIT 20"""
   )
 }
