@@ -1806,6 +1806,34 @@ object SparkEntry {
       TextOps.bpeTopMerges(T(s, dir, "documents"), "text", 2)
         .orderBy("iteration")),
 
+    // Cross-nation trade volume (TPC-H Q7 shape): the one join shape the
+    // suite lacked — the SAME dimension (nation) joined twice under two
+    // aliases, once through the supplier FK and once through the customer
+    // FK. Both nation sides and supplier broadcast (tiny dims); orders and
+    // customer attach by shuffle on their keys; revenue per (supplier
+    // nation, customer nation, year) in exact decimal.
+    "q_nation_volume" -> ((s, dir) => {
+      val n = T(s, dir, "nation").select("n_nationkey", "n_name")
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+          year(col("l_shipdate")).as("l_year"))
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.toDF("_snk", "supp_nation")), col("s_nationkey") === col("_snk"))
+        .join(broadcast(n.toDF("_cnk", "cust_nation")), col("c_nationkey") === col("_cnk"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(Portable.decSum(col("volume"), 6).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Entry-path mining: the top 20 first-three-event journeys across
     // users — funnel analysis without a prescribed funnel. The ordered
     // prefix is pinned with one ranked window, the path assembled from
@@ -4218,6 +4246,21 @@ object SparkEntry {
              max(CASE WHEN rn = 3 THEN event_type END)) AS path
            FROM r WHERE rn <= 3 GROUP BY user_id)
          SELECT path, count(*) AS n_users FROM p
-         GROUP BY path ORDER BY n_users DESC, path LIMIT 20"""
+         GROUP BY path ORDER BY n_users DESC, path LIMIT 20""",
+
+    "q_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND sn.n_name <> cn.n_name
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year"""
   )
 }
