@@ -176,6 +176,29 @@ object StreamingOps {
     keys.foldLeft(l.join(r, cond))((acc, k) => acc.drop(r(k)))
   }
 
+  /** Stream–stream LEFT OUTER interval join — the "did anything precede
+    * this?" enrichment where ABSENCE is the signal (purchases with no
+    * qualifying view = dark-funnel attribution). Same bounded-state
+    * mechanics as the inner form, plus the outer contract: an unmatched
+    * left row is emitted null-padded only once the watermark passes its
+    * own timestamp — the point after which no in-interval right row can
+    * still arrive — so every null result is a PROOF of absence under the
+    * lateness bound, not a race. Until the watermark reaches that
+    * deadline the row sits in state; outer results are therefore delayed
+    * by exactly the lateness allowance, the price of correctness.
+    */
+  def streamStreamIntervalJoinLeftOuter(left: DataFrame, leftTsCol: String,
+                                        right: DataFrame, rightTsCol: String,
+                                        keys: Seq[String], lookbackSeconds: Long,
+                                        watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+      r(rightTsCol) <= l(leftTsCol)
+    keys.foldLeft(l.join(r, cond, "left_outer"))((acc, k) => acc.drop(r(k)))
+  }
+
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class SessionOut(key: Long, session_start: java.sql.Timestamp,

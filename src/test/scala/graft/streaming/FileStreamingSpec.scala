@@ -353,6 +353,45 @@ class FileStreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER interval join null-emits unmatched rows after the watermark deadline") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.streamStreamIntervalJoinLeftOuter(
+      pIn.toDF().toDF("p_id", "user_id", "p_ts"), "p_ts",
+      vIn.toDF().toDF("v_id", "user_id", "v_ts"), "v_ts",
+      Seq("user_id"), lookbackSeconds = 3600L, watermarkDelay = "10 minutes")
+    val q = joined.select("p_id", "v_id").writeStream.format("memory")
+      .queryName("ssj_outer").outputMode("append").start()
+    try {
+      // user 1: view then purchase (match); user 2: purchase, NO view
+      vIn.addData(Seq((1001L, 1L, ts("2024-01-01 10:00:00"))))
+      pIn.addData(Seq((2001L, 1L, ts("2024-01-01 10:05:00")),
+        (2002L, 2L, ts("2024-01-01 10:05:00"))))
+      q.processAllAvailable()
+      val early = spark.table("ssj_outer").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(!early.exists(_._1 == 2002L),
+        "the unmatched purchase must NOT null-emit before the watermark passes its deadline")
+      // sentinels on BOTH inputs advance the global watermark to
+      // 11:50 > 10:05 → purchase 2002's state expires → null emission
+      vIn.addData(Seq((1099L, 99L, ts("2024-01-01 12:00:00"))))
+      pIn.addData(Seq((2098L, 98L, ts("2024-01-01 12:00:00"))))
+      q.processAllAvailable()
+      val late = spark.table("ssj_outer").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(late.contains((2001L, Some(1001L))), "in-interval pair must match")
+      assert(late.contains((2002L, None)),
+        "watermark-expired unmatched purchase must surface null-padded")
+      assert(!late.contains((2098L, None)),
+        "the pending sentinel (watermark not yet past its deadline) must not emit")
+    } finally q.stop()
+  }
 }
 
 case class Ssj(id: Long, user: Long, t: java.sql.Timestamp)
