@@ -1806,6 +1806,15 @@ object SparkEntry {
       TextOps.bpeTopMerges(T(s, dir, "documents"), "text", 2)
         .orderBy("iteration")),
 
+    // Chunk→document embedding pooling: mean vector per group of 10
+    // embeddings (ops/VectorOps.meanPool) — exact-decimal per-dimension
+    // means, serialized dimension-ordered in integral micro-units so the
+    // pooled vectors hash-compare across engines.
+    "q_embed_pool" -> ((s, dir) =>
+      VectorOps.meanPool(T(s, dir, "embeddings"),
+          col("vec_id") % 50, "embedding")
+        .orderBy("group_id")),
+
     // Cross-nation trade volume (TPC-H Q7 shape): the one join shape the
     // suite lacked — the SAME dimension (nation) joined twice under two
     // aliases, once through the supplier FK and once through the customer
@@ -4261,6 +4270,20 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
            AND sn.n_name <> cn.n_name
          GROUP BY supp_nation, cust_nation, l_year
-         ORDER BY supp_nation, cust_nation, l_year"""
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_embed_pool" ->
+      """WITH x AS (
+           SELECT vec_id % 50 AS group_id, dim, (embedding::DOUBLE[])[dim] AS v
+           FROM embeddings CROSS JOIN range(1, 65) r(dim)),
+         a AS (
+           SELECT group_id, dim,
+             sum(CAST(v AS DECIMAL(28,8)))::DOUBLE / count(v) AS avg_v,
+             count(v) AS cnt
+           FROM x GROUP BY group_id, dim)
+         SELECT group_id, max(cnt)::BIGINT AS n_vectors,
+           string_agg(lpad(dim::VARCHAR, 2, '0') || ':' ||
+             CAST(round(avg_v * 1e6) AS BIGINT)::VARCHAR, ' ' ORDER BY dim) AS pooled_micro
+         FROM a GROUP BY group_id ORDER BY group_id"""
   )
 }

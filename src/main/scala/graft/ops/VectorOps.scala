@@ -519,4 +519,30 @@ object VectorOps {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col(idCol), col(cidCol).as("cell"), col("sim"))
   }
+
+  /** Mean-pool embeddings per group — the chunk→document aggregation every
+    * two-stage embedding pipeline runs (chunks are embedded, documents are
+    * searched). The vectors are exploded to (group, dim, value) and pooled
+    * with one hash aggregate on (group, dim): the shuffle carries compact
+    * triples and parallelism is groups × dims, never a row-local fold over
+    * a whole group's vectors on one task. The pooled vector is serialized
+    * as sorted "dim:micro" tokens (dimension-ordered, components scaled to
+    * integral micro-units) so the result is representation-stable across
+    * engines — same trick as featureHash. Mean in exact decimal; n_vectors
+    * reports the pooled group size.
+    */
+  def meanPool(df: DataFrame, groupExpr: Column, vecCol: String): DataFrame = {
+    val perDim = df
+      .select(groupExpr.as("group_id"), posexplode(col(vecCol)).as(Seq("dim0", "v")))
+      .groupBy("group_id", "dim0")
+      .agg(Portable.decAvg(col("v").cast("double"), 8).as("avg_v"),
+        count(lit(1)).as("_cnt"))
+    perDim
+      .withColumn("comp", concat(
+        lpad((col("dim0") + 1).cast("string"), 2, "0"), lit(":"),
+        round(col("avg_v") * 1e6).cast("long").cast("string")))
+      .groupBy("group_id")
+      .agg(max(col("_cnt")).as("n_vectors"),
+        concat_ws(" ", array_sort(collect_list(col("comp")))).as("pooled_micro"))
+  }
 }
