@@ -70,8 +70,19 @@ object StreamingOps {
     */
   final class IncrementalAggState(keys: Seq[String], valueCol: String) {
     @volatile private var partial: Option[DataFrame] = None
+    private var lastBatchId: Long = -1L
 
+    /** Idempotent under foreachBatch's replay contract: after a failure
+      * Structured Streaming re-delivers the SAME batchId with the same
+      * data, and a sum-monoid merge applied twice would double-count —
+      * the classic exactly-once bug in hand-rolled materialized views.
+      * Batch ids are monotonically increasing, so tracking the last
+      * applied id and skipping ≤ it makes re-delivery a no-op; the
+      * warehouse analogue transactionally commits (state, batchId)
+      * together.
+      */
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
       val p = graft.ops.Relational.partialAggs(batch, keys, valueCol)
       val merged = partial match {
         case Some(prev) => prev.unionByName(p)
@@ -80,6 +91,7 @@ object StreamingOps {
         case None => p
       }
       partial = Some(merged.localCheckpoint(true))
+      lastBatchId = batchId
     }
 
     /** Finalized view (n, total, avg) of everything merged so far. */

@@ -275,6 +275,27 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental aggregation is idempotent under foreachBatch batch replay") {
+    // exactly-once contract: after a failure, foreachBatch RE-DELIVERS the
+    // same batchId with the same data; a naive sum-monoid merge applied
+    // twice double-counts. Replayed and stale batch ids must be no-ops.
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value").limit(100)
+    val state = new StreamingOps.IncrementalAggState(Seq("user_id"), "value")
+    def snapshot() = state.finalized.get.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    state.mergeBatch(events, batchId = 0L)
+    val afterFirst = snapshot()
+    state.mergeBatch(events, batchId = 0L)   // replay of the SAME batch
+    assert(snapshot() === afterFirst, "replayed batchId must not double-count")
+    state.mergeBatch(events, batchId = 1L)   // genuinely new delivery
+    val afterSecond = snapshot()
+    assert(afterSecond !== afterFirst, "a new batchId must merge")
+    state.mergeBatch(events, batchId = 0L)   // stale id after progress
+    assert(snapshot() === afterSecond, "stale batchId must be a no-op")
+  }
+
   test("stream-static broadcast enrichment converges to the batch join+agg") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select("event_id", "user_id", "ts", "value")
