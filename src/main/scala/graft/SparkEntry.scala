@@ -1806,6 +1806,41 @@ object SparkEntry {
       TextOps.bpeTopMerges(T(s, dir, "documents"), "text", 2)
         .orderBy("iteration")),
 
+    // Point-in-time (Kimball Type-2) lookup — the CONSUMER of C77's SCD2
+    // history: each fact row joins the dimension version whose
+    // [valid_from, valid_to) interval covers the fact date. The non-equi
+    // validity predicate rides the c_custkey equi join as a residual, so
+    // the plan is a plain hash join; intervals are disjoint per key, so
+    // every fact matches at most one version (facts dated past a deleted
+    // customer's closed interval surface with null attributes — the
+    // left-join absence signal). ISO date strings compare lexicographically
+    // identically in both engines.
+    "q_pit_join" -> ((s, dir) => {
+      val cur = T(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      val nxt = cur.where(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, lit("ARCHIVE"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(cur.where(col("c_custkey") % 101 === 0)
+          .select((col("c_custkey") + 900000L).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal")))
+      val hist = Relational.scdType2(cur, nxt, "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"), "1995-01-01", "1998-01-01")
+      T(s, dir, "orders").where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .join(hist,
+          col("o_custkey") === col("c_custkey") &&
+            col("valid_from") <= col("o_date") &&
+            (col("valid_to").isNull || col("o_date") < col("valid_to")),
+          "left_outer")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+          col("c_mktsegment"), col("c_acctbal"), col("valid_from"))
+        .orderBy("o_orderkey")
+    }),
+
     // Chunk→document embedding pooling: mean vector per group of 10
     // embeddings (ops/VectorOps.meanPool) — exact-decimal per-dimension
     // means, serialized dimension-ordered in integral micro-units so the
@@ -4284,6 +4319,42 @@ object SparkEntry {
          SELECT group_id, max(cnt)::BIGINT AS n_vectors,
            string_agg(lpad(dim::VARCHAR, 2, '0') || ':' ||
              CAST(round(avg_v * 1e6) AS BIGINT)::VARCHAR, ' ' ORDER BY dim) AS pooled_micro
-         FROM a GROUP BY group_id ORDER BY group_id"""
+         FROM a GROUP BY group_id ORDER BY group_id""",
+
+    "q_pit_join" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         nxt AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'ARCHIVE' ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+           FROM customer WHERE c_custkey % 97 <> 0
+           UNION ALL
+           SELECT c_custkey + 900000, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey % 101 = 0),
+         j AS (
+           SELECT coalesce(o.c_custkey, n.c_custkey) AS k,
+             o.c_custkey IS NOT NULL AS in_o, n.c_custkey IS NOT NULL AS in_n,
+             o.c_mktsegment AS seg_o, o.c_acctbal AS bal_o,
+             n.c_mktsegment AS seg_n, n.c_acctbal AS bal_n,
+             (o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+               AND o.c_mktsegment = n.c_mktsegment AND o.c_acctbal = n.c_acctbal) AS same
+           FROM cur o FULL OUTER JOIN nxt n ON o.c_custkey = n.c_custkey),
+         hist AS (
+           SELECT k AS c_custkey, seg_o AS c_mktsegment, bal_o AS c_acctbal,
+             '1995-01-01' AS valid_from,
+             CASE WHEN same THEN NULL ELSE '1998-01-01' END AS valid_to
+           FROM j WHERE in_o
+           UNION ALL
+           SELECT k, seg_n, bal_n, '1998-01-01', NULL
+           FROM j WHERE in_n AND NOT coalesce(same, false)),
+         facts AS (
+           SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+           FROM orders WHERE o_orderkey % 100 = 0)
+         SELECT f.o_orderkey, f.o_custkey, f.o_date,
+           h.c_mktsegment, h.c_acctbal, h.valid_from
+         FROM facts f LEFT JOIN hist h ON f.o_custkey = h.c_custkey
+           AND h.valid_from <= f.o_date
+           AND (h.valid_to IS NULL OR f.o_date < h.valid_to)
+         ORDER BY o_orderkey"""
   )
 }
