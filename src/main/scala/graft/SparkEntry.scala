@@ -1806,6 +1806,29 @@ object SparkEntry {
       TextOps.bpeTopMerges(T(s, dir, "documents"), "text", 2)
         .orderBy("iteration")),
 
+    // Segment market share per year (TPC-H Q8 shape): ratio of a
+    // conditional revenue sum to the total revenue within each group —
+    // numerator and denominator fall out of ONE aggregate pass (a CASE
+    // inside the sum), so the share needs no self-join; both sums are
+    // exact decimal and the ratio is the only floating step (identical
+    // IEEE division in both engines, rounded for stability).
+    "q_market_share" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey",
+          "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          Portable.decSum(when(col("c_mktsegment") === "BUILDING", col("volume"))
+            .otherwise(lit(0.0)), 6).as("building_rev"),
+          Portable.decSum(col("volume"), 6).as("total_rev"))
+        .withColumn("mkt_share",
+          round(col("building_rev") / col("total_rev"), 9))
+        .orderBy("o_year")),
+
     // Point-in-time (Kimball Type-2) lookup — the CONSUMER of C77's SCD2
     // history: each fact row joins the dimension version whose
     // [valid_from, valid_to) interval covers the fact date. The non-equi
@@ -4355,6 +4378,22 @@ object SparkEntry {
          FROM facts f LEFT JOIN hist h ON f.o_custkey = h.c_custkey
            AND h.valid_from <= f.o_date
            AND (h.valid_to IS NULL OR f.o_date < h.valid_to)
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+
+    "q_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+           sum(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+               AS DECIMAL(28,6)))::DOUBLE AS building_rev,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS total_rev,
+           round(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+               AS DECIMAL(28,6)))::DOUBLE
+             / sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE,
+             9) AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY o_year ORDER BY o_year"""
   )
 }
