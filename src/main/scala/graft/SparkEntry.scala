@@ -1829,6 +1829,73 @@ object SparkEntry {
           round(col("building_rev") / col("total_rev"), 9))
         .orderBy("o_year")),
 
+    // Disjunctive multi-predicate scan (TPC-H Q19 shape): an OR of three
+    // (brand, size-range, quantity-range) conjunct groups. The point is
+    // the PLAN, not the arithmetic: Catalyst extracts the common
+    // l_quantity bounds and p_brand IN (...) from the disjunction and
+    // pushes them into both parquet scans, so the join sees a fraction of
+    // each table and the full OR evaluates only as the post-join residual
+    // — the shape naive engines evaluate row-by-row over the whole join.
+    "q_disjunctive" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(T(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity") >= 25))
+        .agg(
+          Portable.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    // Per-node triangle participation over the part co-occurrence graph
+    // (parts sharing an order = an edge) — the clustering/community
+    // primitive. Degree-ordered orientation bounds the wedge fan-out by
+    // O(√m) per apex independent of hub skew; see Graph.triangleCounts.
+    // Top-20 nodes by triangle count (ties by id).
+    "q_triangles" -> ((s, dir) => {
+      val items = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("_b"), col("l_partkey").as("_i")).distinct()
+      val edges = items.as("l")
+        .join(items.as("r"), col("l._b") === col("r._b") && col("l._i") < col("r._i"))
+        .select(col("l._i").as("pa"), col("r._i").as("pb")).distinct()
+      Graph.triangleCounts(edges, "pa", "pb")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("triangles").desc, col("node_id").asc)).cast("long"))
+        .where(col("rank") <= 20)
+        .select("rank", "node_id", "triangles")
+    }),
+
+    // Per-document token-distribution Shannon entropy (nats) — the
+    // diversity quality signal complementing q_repetition's ratio
+    // signals; near-zero entropy = repeated-token spam.
+    "q_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Weighted sample without replacement (Efraimidis–Spirakis A-ES
+    // priorities over the deterministic md5 uniform), 20 docs per lang
+    // weighted by n_chars — the quality-weighted subsample primitive; a
+    // stateless per-row expression + per-group top-k, no sequential pass.
+    "q_weighted_sample" -> ((s, dir) =>
+      Relational.weightedSample(
+          T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "doc_id", "lang", "n_chars", 20)
+        .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"), col("n_chars"), col("priority"))
+        .orderBy("lang", "sample_rank")),
+
+    // Matryoshka truncation: first 8 dims, L2-renormalized — the nested-
+    // representation ANN cost cut; exploded (vec_id, dim, value) output.
+    "q_matryoshka" -> ((s, dir) =>
+      VectorOps.matryoshka(T(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .orderBy("vec_id", "dim")),
+
     // Point-in-time (Kimball Type-2) lookup — the CONSUMER of C77's SCD2
     // history: each fact row joins the dimension version whose
     // [valid_from, valid_to) interval covers the fact date. The non-equi
@@ -4394,6 +4461,69 @@ object SparkEntry {
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
-         GROUP BY o_year ORDER BY o_year"""
+         GROUP BY o_year ORDER BY o_year""",
+
+    "q_disjunctive" ->
+      """SELECT sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE AS revenue,
+           count(*) AS n_rows
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)""",
+
+    // Brute-force id-ordered triple join: counts each triangle once at its
+    // minimum-id corner; the Spark side orients by degree instead, but the
+    // triangle SET (and hence every per-node count) is identical.
+    "q_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         e AS (SELECT DISTINCT l.i AS a, r.i AS b2
+               FROM items l JOIN items r ON l.b = r.b AND l.i < r.i),
+         tri AS (
+           SELECT e1.a AS x, e1.b2 AS y, e2.b2 AS z
+           FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b2 < e2.b2
+           JOIN e e3 ON e3.a = e1.b2 AND e3.b2 = e2.b2),
+         pernode AS (
+           SELECT node_id, count(*) AS triangles
+           FROM (SELECT unnest([x, y, z]) AS node_id FROM tri)
+           GROUP BY node_id)
+         SELECT rank, node_id, triangles FROM (
+           SELECT node_id, triangles,
+             row_number() OVER (ORDER BY triangles DESC, node_id ASC) AS rank
+           FROM pernode)
+         WHERE rank <= 20 ORDER BY rank""",
+
+    "q_token_entropy" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         agg AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+             sum(CAST(c::DOUBLE * ln(c::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS clogc
+           FROM cnt GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct,
+           round(ln(n_tokens::DOUBLE) - clogc / n_tokens::DOUBLE, 6) AS entropy
+         FROM agg ORDER BY doc_id""",
+
+    "q_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id, lang, n_chars,
+             -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE + 0.5)
+                 / 4294967296.0) / n_chars::DOUBLE AS p
+           FROM documents),
+         r AS (SELECT doc_id, lang, n_chars, p,
+             row_number() OVER (PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS sample_rank
+           FROM w)
+         SELECT lang, sample_rank, doc_id, n_chars, round(p, 9) AS priority
+         FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank""",
+
+    "q_matryoshka" ->
+      """WITH comp AS (
+           SELECT vec_id, dim::BIGINT AS dim, (embedding::DOUBLE[])[dim] AS v
+           FROM embeddings CROSS JOIN range(1, 9) r(dim)),
+         n AS (SELECT vec_id, sqrt(sum(CAST(v * v AS DECIMAL(28,12)))::DOUBLE) AS nrm
+               FROM comp GROUP BY vec_id)
+         SELECT c.vec_id, c.dim, round(c.v / n.nrm, 6) AS value
+         FROM comp c JOIN n ON c.vec_id = n.vec_id
+         ORDER BY c.vec_id, c.dim"""
   )
 }

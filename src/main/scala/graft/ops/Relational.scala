@@ -102,6 +102,40 @@ object Relational {
     df.withColumn("split", assign)
   }
 
+  /** Weighted sample of k rows per stratum WITHOUT replacement, by
+    * deterministic priority (Efraimidis–Spirakis A-ES): each row draws a
+    * uniform u from the SAME md5-bucket rule as hashSample (a pure
+    * function of its key — reproducible on any cluster layout) and gets
+    * priority −ln(u)/w; the k smallest priorities per stratum win. This
+    * is exactly weighted sampling without replacement — a row of weight w
+    * has priority distributed Exp(w), and taking the k minima of
+    * independent exponentials reproduces sequential weighted draws — but
+    * runs as a stateless per-row expression + per-group top-k, no
+    * sequential pass, no rejection loop, no driver state: the correct way
+    * to pull a quality-weighted subsample from a 100 TB corpus.
+    *
+    * Scale shape: row-local priority, then the standard two-phase
+    * per-group top-k (partial sort inside partitions via the window rank,
+    * only k rows per (partition, stratum) reach the shuffle when AQE's
+    * partial windowing applies; worst case one shuffle on the stratum
+    * key). Weights must be strictly positive.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, strataCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    // u in (0, 1): (bucket + 0.5) / 2^32 over the first 8 md5 hex digits —
+    // never 0 or 1, so the log is finite; same digest both engines.
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val rank = row_number().over(
+      Window.partitionBy(col(strataCol))
+        .orderBy(col("_priority").asc, col(keyCol).asc))
+    df.withColumn("_priority", -log(u) / col(weightCol).cast("double"))
+      .withColumn("sample_rank", rank)
+      .where(col("sample_rank") <= k)
+      .withColumn("priority", round(col("_priority"), 9))
+      .drop("_priority")
+  }
+
   /** Skew-salted inner equi join for hot keys: the (large, skewed) left
     * side gets a deterministic salt from its full row hash, the right side
     * is replicated `nSalts` ways, and the join runs on (keys :+ salt) so a

@@ -746,6 +746,32 @@ object TextOps {
         round(Portable.decSum(logp, 12) / count(lit(1)), 6).as("logprob"))
   }
 
+  /** Per-document Shannon entropy of the token distribution (nats) — the
+    * diversity quality signal: near-zero entropy flags repeated-token spam
+    * (complementing the repetition ratios of `repetitionSignals`), and
+    * entropy far below ln(n_tokens) flags heavy skew toward few tokens.
+    * Computed as H = ln(N) − Σ c·ln(c) / N over per-document token counts
+    * c (algebraically identical to −Σ p·ln p with p = c/N, but each term
+    * depends only on an integer count, so both engines evaluate
+    * bit-identical doubles and the decimal-cast sum is order-independent).
+    *
+    * Scale shape: one explode → one (doc, token) count aggregate → one
+    * per-doc aggregate; token strings leave the plan after the first
+    * aggregation, so the second shuffles only (id, count) pairs.
+    * Token-less documents emit no row.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_c"))
+    counts.groupBy(idCol)
+      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        Portable.decSum(col("_c").cast("double") * log(col("_c").cast("double")), 12)
+          .as("_clogc"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("_clogc") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
   /** BM25 relevance scoring of every document against a fixed query-term
     * set — the retrieval/ranking primitive behind corpus search and
     * quality-weighted sampling. Standard Okapi form:

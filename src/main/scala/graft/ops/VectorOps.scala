@@ -531,6 +531,39 @@ object VectorOps {
     * engines — same trick as featureHash. Mean in exact decimal; n_vectors
     * reports the pooled group size.
     */
+  /** Matryoshka truncation: keep the first `dims` components of each
+    * embedding and L2-renormalize — the standard "nested representation"
+    * trick for cutting ANN index cost (a matryoshka-trained model packs
+    * the most information into the leading dimensions, so searching at
+    * 8–64 dims and re-ranking at full width trades recall for a large
+    * constant-factor saving; see Kusupati et al. 2022).
+    *
+    * Output is one row per (vector, dimension) with the renormalized
+    * component — the exploded form keeps the comparison representation-
+    * independent (no array-literal formatting) and is what a downstream
+    * per-dimension index build consumes anyway. The squared-norm sum is
+    * decimal-cast (order-independent); the division and sqrt are the only
+    * floating steps, identical IEEE ops in any engine, rounded to 6 dp.
+    * All-zero prefixes yield IEEE NaN components (0/0) rather than a
+    * crash.
+    *
+    * Scale shape: slice is row-local; posexplode fans each vector to
+    * `dims` rows only (not full width); one hash aggregate on vec_id for
+    * the norm, one broadcast-sized rejoin per vector — no driver state,
+    * no full-width shuffle.
+    */
+  def matryoshka(df: DataFrame, idCol: String, vecCol: String, dims: Int): DataFrame = {
+    // dim is 1-based, matching SQL list-subscript convention.
+    val comp = df.select(col(idCol), posexplode(slice(col(vecCol), 1, dims)).as(Seq("dim0", "v")))
+      .select(col(idCol), (col("dim0") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val norms = comp.groupBy(idCol)
+      .agg(sqrt(Portable.decSum(col("v") * col("v"), 12)).as("_norm"))
+    comp.join(norms, Seq(idCol))
+      .select(col(idCol), col("dim"),
+        round(col("v") / col("_norm"), 6).as("value"))
+  }
+
   def meanPool(df: DataFrame, groupExpr: Column, vecCol: String): DataFrame = {
     val perDim = df
       .select(groupExpr.as("group_id"), posexplode(col(vecCol)).as(Seq("dim0", "v")))

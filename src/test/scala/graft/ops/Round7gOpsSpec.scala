@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class Edge7g(a: Long, b: Long)
+case class Doc7g(id: Long, text: String)
+case class Wt7g(id: Long, grp: String, w: Double)
+case class Vec7g(id: Long, v: Array[Float])
+
+/** Round-7 batch-7 operators: triangle counting, token entropy, weighted
+  * sampling, matryoshka truncation.
+  */
+class Round7gOpsSpec extends SparkSpec {
+
+  // ── triangleCounts ──────────────────────────────────────────────────
+
+  test("triangleCounts: K4 — every node on 3 triangles") {
+    // complete graph on {1,2,3,4}: C(4,3) = 4 triangles, each node on 3
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield Edge7g(a, b)
+    val out = Graph.triangleCounts(df(k4.toSeq), "a", "b")
+      .orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangleCounts: triangle-free graphs emit nothing") {
+    // path 1-2-3-4 and star 10-{11,12,13}: wedges everywhere, no closures
+    val pathStar = Seq(Edge7g(1, 2), Edge7g(2, 3), Edge7g(3, 4),
+      Edge7g(10, 11), Edge7g(10, 12), Edge7g(10, 13))
+    assert(Graph.triangleCounts(df(pathStar), "a", "b").count() === 0)
+  }
+
+  test("triangleCounts: hub sharing one triangle counts it once") {
+    // hub 1 connected to 2..6; extra edge (2,3) closes exactly one
+    // triangle {1,2,3}; the hub's high degree must not multiply it
+    val hub = (2L to 6L).map(Edge7g(1, _)) :+ Edge7g(2, 3)
+    val out = Graph.triangleCounts(df(hub), "a", "b")
+      .orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  // ── tokenEntropy ────────────────────────────────────────────────────
+
+  test("tokenEntropy: uniform, constant, and skewed distributions") {
+    val docs = Seq(
+      Doc7g(1, "a b c"),       // uniform over 3 → ln 3
+      Doc7g(2, "a a a a"),     // constant → 0
+      Doc7g(3, "a a b b"),     // uniform over 2 → ln 2
+      Doc7g(4, "a a a b"))     // skewed: ln 4 − (3 ln 3)/4
+    val out = TextOps.tokenEntropy(df(docs), "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1L, 3L, 3L), (2L, 4L, 1L), (3L, 4L, 2L), (4L, 4L, 2L)))
+    val expected = Seq(math.log(3), 0.0, math.log(2),
+      math.log(4) - 3 * math.log(3) / 4)
+    out.map(_._4).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6, s"entropy $got vs $want")
+    }
+  }
+
+  test("tokenEntropy: token-less documents emit no row") {
+    val out = TextOps.tokenEntropy(df(Seq(Doc7g(1, "  "), Doc7g(2, "x"))), "id", "text")
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  // ── weightedSample ──────────────────────────────────────────────────
+
+  private val wtRows = (1L to 30L).map(i =>
+    Wt7g(i, if (i % 2 == 0) "even" else "odd", 1.0 + (i % 5)))
+
+  test("weightedSample: exactly k per stratum, ranks 1..k, priorities sorted") {
+    val out = Relational.weightedSample(df(wtRows), "id", "grp", "w", 5)
+      .orderBy("grp", "sample_rank").collect()
+    assert(out.length === 10)
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).toSeq === (1 to 5))
+      val ps = rows.map(_.getDouble(4))
+      assert(ps.zip(ps.tail).forall { case (x, y) => x <= y })
+      assert(ps.forall(_ > 0))
+    }
+  }
+
+  test("weightedSample: k >= stratum size keeps every row") {
+    val out = Relational.weightedSample(df(wtRows), "id", "grp", "w", 100)
+    assert(out.count() === 30)
+  }
+
+  test("weightedSample: an overwhelming weight wins its stratum") {
+    // w = 1e12 drives priority −ln(u)/w to ~0 — rank 1 regardless of u
+    val rows = wtRows :+ Wt7g(999, "even", 1e12)
+    val top = Relational.weightedSample(df(rows), "id", "grp", "w", 1)
+      .where(col("grp") === "even").select("id").head().getLong(0)
+    assert(top === 999L)
+  }
+
+  test("weightedSample: deterministic across partitionings") {
+    val a = Relational.weightedSample(df(wtRows), "id", "grp", "w", 5)
+      .select("grp", "sample_rank", "id").orderBy("grp", "sample_rank").collect().toSeq
+    val b = Relational.weightedSample(df(wtRows).repartition(7), "id", "grp", "w", 5)
+      .select("grp", "sample_rank", "id").orderBy("grp", "sample_rank").collect().toSeq
+    assert(a === b)
+  }
+
+  // ── matryoshka ──────────────────────────────────────────────────────
+
+  test("matryoshka: 3-4-5 prefix renormalizes to 0.6 / 0.8") {
+    // dims beyond the cut must not contribute to the norm
+    val v = Vec7g(1, Array(3f, 4f, 100f, 100f))
+    val out = VectorOps.matryoshka(df(Seq(v)), "id", "v", 2)
+      .orderBy("dim").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 0.6), (2L, 0.8)))
+  }
+
+  test("matryoshka: truncated vectors have unit L2 norm") {
+    val vecs = (1L to 20L).map(i =>
+      Vec7g(i, Array.tabulate(16)(d => (1 + (i * 7 + d * 3) % 11).toFloat)))
+    val out = VectorOps.matryoshka(df(vecs), "id", "v", 8)
+      .groupBy("id").agg(sum(col("value") * col("value")).as("ss"))
+      .collect().map(_.getDouble(1))
+    assert(out.length === 20)
+    // components are rounded to 6 dp on output, so ‖v‖² carries up to
+    // ~2·Σ|x_d|·5e-7 ≈ 1e-5 of rounding slack
+    out.foreach(ss => assert(math.abs(ss - 1.0) < 1e-4))
+  }
+}
