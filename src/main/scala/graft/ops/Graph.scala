@@ -198,8 +198,19 @@ object Graph {
     * Input must be the canonical undirected edge list: a < b, distinct,
     * no self-loops. Output: (node_id, triangles) for every node on at
     * least one triangle.
+    *
+    * The wedge stream is the BIG intermediate — Θ(Σ C(outdeg, 2)), up to
+    * m^1.5 rows on a dense graph — so the closing join must not shuffle
+    * it: with `broadcastClose` (default) the canonical edge list is
+    * broadcast and wedges probe it in the same stage they are produced,
+    * never touching a shuffle. That is the right plan whenever the EDGE
+    * LIST fits executor memory — item/co-occurrence graphs at any fact
+    * scale, where |V| is a catalog, not the fact table. For a graph whose
+    * edges exceed memory, pass false to fall back to a shuffle join on
+    * the unordered pair key (and expect the wedge exchange to dominate).
     */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+                     broadcastClose: Boolean = true): DataFrame = {
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint(true) // reused three times: degrees, wedges, closing
     val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
@@ -222,7 +233,9 @@ object Graph {
       .select(col("o1.src").as("u"),
         least(col("o1.dst"), col("o2.dst")).as("v"),
         greatest(col("o1.dst"), col("o2.dst")).as("w"))
-    val tri = wedges.join(e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    val closing = e.select(col("a").as("v"), col("b").as("w"))
+    val tri = wedges.join(
+      if (broadcastClose) broadcast(closing) else closing, Seq("v", "w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
   }
