@@ -1865,9 +1865,9 @@ object SparkEntry {
         .join(items.as("r"), col("l._b") === col("r._b") && col("l._i") < col("r._i"))
         .select(col("l._i").as("pa"), col("r._i").as("pb")).distinct()
       Graph.triangleCounts(edges, "pa", "pb")
+        .orderBy(col("triangles").desc, col("node_id").asc).limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("triangles").desc, col("node_id").asc)).cast("long"))
-        .where(col("rank") <= 20)
         .select("rank", "node_id", "triangles")
     }),
 

@@ -366,10 +366,13 @@ object Relational {
     val pairs = items.as("l")
       .join(items.as("r"), col("l._b") === col("r._b") && col("l._i") < col("r._i"))
       .select(col("l._i").as("item_a"), col("r._i").as("item_b"))
+    // TakeOrderedAndProject keeps the top k (per-partition heap + merge,
+    // no global sort); the rank window then orders only the k survivors —
+    // never rank the full pair table through a one-partition window.
     val w = Window.orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
     pairs.groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
       .select("rank", "item_a", "item_b", "support")
   }
 

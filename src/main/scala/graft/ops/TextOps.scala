@@ -971,14 +971,18 @@ object TextOps {
     val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("_total"))
+    // The cumulative share at rank r only involves rows ranked ≤ r, so
+    // TakeOrderedAndProject the k survivors FIRST and run the prefix-sum
+    // window over those k rows — a 100 M-token vocabulary must never pass
+    // through a one-partition global window.
     val w = Window.orderBy(col("cnt").desc, col("token").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wr = Window.orderBy(col("cnt").desc, col("token").asc)
-    counts.crossJoin(broadcast(total))
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .withColumn("cum_share",
         round(sum("cnt").over(w).cast("double") / col("_total").cast("double"), 9))
-      .where(col("rank") <= k)
       .select("rank", "token", "cnt", "cum_share")
   }
 }
