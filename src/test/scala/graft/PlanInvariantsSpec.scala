@@ -132,6 +132,43 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_disjunctive pushes per-side OR-factored predicates into both parquet scans") {
+    // the Q19 contract: Catalyst extracts the quantity disjunction for the
+    // lineitem scan and the brand∧size disjunction for the part scan — a
+    // plan that evaluates the OR only post-join reads both tables in full
+    val plan = SparkEntry.queries("q_disjunctive")(spark, sfDir)
+      .queryExecution.executedPlan
+    val scans = flatten(plan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (s.relation.location.inputFiles.headOption.getOrElse(""),
+          s.metadata.getOrElse("PushedFilters", ""))
+    }
+    val li = scans.find(_._1.contains("lineitem")).map(_._2).getOrElse("")
+    val pt = scans.find(_._1.contains("part")).map(_._2).getOrElse("")
+    withClue(s"lineitem=[$li] part=[$pt]: ") {
+      assert(li.contains("Or(") && li.contains("l_quantity"),
+        "lineitem scan missing the pushed quantity disjunction")
+      assert(pt.contains("Or(") && pt.contains("p_brand") && pt.contains("p_size"),
+        "part scan missing the pushed brand/size disjunction")
+    }
+  }
+
+  test("q_triangles closes wedges via broadcast and ranks top-k without a global sort") {
+    // the triangle contract: the Θ(m^1.5)-worst-case wedge stream must
+    // probe a broadcast of the edge list (never shuffle), and the final
+    // rank must be a TakeOrderedAndProject over per-node counts, not a
+    // one-partition window over them
+    val df = SparkEntry.queries("q_triangles")(spark, sfDir)
+    df.collect() // AQE settles the final stages
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "expected the closing edge join to broadcast")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject for the top-20 rank")
+  }
+
   test("every lineitem row-level query orders by the full unique key") {
     // regression guard for the non-unique (l_orderkey, l_linenumber) trap:
     // queries whose FIRST sort column is l_orderkey must also sort by
