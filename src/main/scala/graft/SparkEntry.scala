@@ -395,6 +395,26 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // Incremental JOIN maintenance (C45's join twin): orders and customer
+    // each split into an already-joined base + a newly-arrived delta; the
+    // stored base join plus Relational.incrementalJoinDelta's two delta
+    // joins must reproduce the full-recompute join EXACTLY — the oracle
+    // is the plain full join, so the distributivity identity is
+    // hash-proven, not asserted.
+    "q_incr_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = T(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val (oB, oD) = (o.where(col("o_orderkey") % 7 =!= 0),
+        o.where(col("o_orderkey") % 7 === 0))
+      val (cB, cD) = (c.where(col("c_custkey") % 5 =!= 0),
+        c.where(col("c_custkey") % 5 === 0))
+      val baseJoin = oB.join(cB, col("o_custkey") === col("c_custkey"))
+      baseJoin.unionByName(
+          Relational.incrementalJoinDelta(oB, oD, cB, cD, "o_custkey", "c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+        .orderBy("o_orderkey")
+    }),
+
     // ── aggregations (SURVEY §2.5) ─────────────────────────────────────
     "q_groupby_agg" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -4524,6 +4544,13 @@ object SparkEntry {
                FROM comp GROUP BY vec_id)
          SELECT c.vec_id, c.dim, round(c.v / n.nrm, 6) AS value
          FROM comp c JOIN n ON c.vec_id = n.vec_id
-         ORDER BY c.vec_id, c.dim"""
+         ORDER BY c.vec_id, c.dim""",
+
+    // The full-recompute join: hash equality against the base+delta
+    // assembly proves the incremental-maintenance identity.
+    "q_incr_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey"""
   )
 }

@@ -211,6 +211,28 @@ object Relational {
         col("_t").cast("double").as("total"),
         (col("_t").cast("double") / col("n").cast("double")).as("avg_value")): _*)
 
+  /** Incremental equi-join maintenance — the join twin of `partialAggs`'
+    * never-rescan-history pattern. With both inputs split into an already-
+    * joined base and a newly-arrived delta, the distributivity identity
+    *
+    *   L_full ⋈ R_full = (L_base ⋈ R_base) ∪ (ΔL ⋈ R_full) ∪ (L_base ⋈ ΔR)
+    *
+    * says the stored base-join materialization only ever needs the two
+    * delta joins APPENDED — the ΔL⋈ΔR cross term is inside ΔL⋈R_full, and
+    * the three parts are disjoint (each output row's (L-part, R-part)
+    * provenance differs), so the append is a plain union, no dedup. Daily
+    * cost is O(|Δ| ⋈-matched), not O(|history|): ΔL streams against
+    * R_full and ΔR against L_base, both ordinary (broadcastable when the
+    * delta is small) equi-joins; the base join result is never recomputed
+    * or rescanned. Returns the INCREMENT only; callers union it with
+    * their stored base-join table.
+    */
+  def incrementalJoinDelta(baseL: DataFrame, deltaL: DataFrame,
+                           baseR: DataFrame, deltaR: DataFrame,
+                           leftKey: String, rightKey: String): DataFrame =
+    deltaL.join(baseR.unionByName(deltaR), col(leftKey) === col(rightKey))
+      .unionByName(baseL.join(deltaR, col(leftKey) === col(rightKey)))
+
   /** Snapshot diff: compare two snapshots by key and emit added / removed /
     * changed rows (unchanged rows are dropped — at scale the diff is tiny
     * relative to the snapshots). One full-outer shuffle join on the key;

@@ -7,6 +7,7 @@ case class Edge7g(a: Long, b: Long)
 case class Doc7g(id: Long, text: String)
 case class Wt7g(id: Long, grp: String, w: Double)
 case class Vec7g(id: Long, v: Array[Float])
+case class Dim7g(did: Long, text: String)
 
 /** Round-7 batch-7 operators: triangle counting, token entropy, weighted
   * sampling, matryoshka truncation.
@@ -100,6 +101,29 @@ class Round7gOpsSpec extends SparkSpec {
     val b = Relational.weightedSample(df(wtRows).repartition(7), "id", "grp", "w", 5)
       .select("grp", "sample_rank", "id").orderBy("grp", "sample_rank").collect().toSeq
     assert(a === b)
+  }
+
+  // ── incrementalJoinDelta ────────────────────────────────────────────
+
+  test("incrementalJoinDelta: base join + increment equals the full recompute") {
+    val l = (1L to 20L).map(i => Wt7g(i, s"k${i % 6}", i.toDouble))
+    val r = (0L to 5L).map(i => Dim7g(i, s"k$i"))
+    val (lB, lD) = (l.filter(_.id % 3 != 0), l.filter(_.id % 3 == 0))
+    val (rB, rD) = (r.filter(_.did % 2 != 0), r.filter(_.did % 2 == 0))
+    val lbDf = df(lB); val ldDf = df(lD); val rbDf = df(rB); val rdDf = df(rD)
+    val assembled = lbDf.join(rbDf, col("grp") === col("text"))
+      .unionByName(Relational.incrementalJoinDelta(lbDf, ldDf, rbDf, rdDf, "grp", "text"))
+    val full = df(l).join(df(r), col("grp") === col("text"))
+    assert(assembled.count() === full.count())
+    assert(assembled.except(full).count() === 0)
+    assert(full.except(assembled).count() === 0)
+  }
+
+  test("incrementalJoinDelta: empty deltas produce an empty increment") {
+    val l = df(Seq(Wt7g(1, "a", 1.0))); val r = df(Seq(Dim7g(1, "a")))
+    val out = Relational.incrementalJoinDelta(
+      l, l.limit(0), r, r.limit(0), "grp", "text")
+    assert(out.count() === 0)
   }
 
   // ── matryoshka ──────────────────────────────────────────────────────
