@@ -91,6 +91,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.heavyHitters(emptyDocs, "text", 0.1).count() === 0)
   }
 
+  test("round-7 late-batch ops on empty inputs") {
+    val emptyEdges = df(Seq.empty[Kv]).select(col("k").as("a"), col("v").as("b"))
+    assert(Graph.triangleCounts(emptyEdges, "a", "b").count() === 0)
+    assert(TextOps.tokenEntropy(emptyDocs, "doc_id", "text").count() === 0)
+    val emptyW = emptyDocs.select(col("doc_id"), lit("g").as("grp"), lit(1.0).as("w"))
+    assert(Relational.weightedSample(emptyW, "doc_id", "grp", "w", 5).count() === 0)
+    val emptyVecs = df(Seq.empty[Vec])
+    assert(VectorOps.matryoshka(emptyVecs, "vec_id", "embedding", 8).count() === 0)
+  }
+
   test("profiling on empty frame reports zero rows per column") {
     val p = Profiling.profile(emptyBars.toDF(), Seq("isin", "price")).collect()
     assert(p.length === 2)
