@@ -1891,6 +1891,17 @@ object SparkEntry {
         .select("rank", "node_id", "triangles")
     }),
 
+    // Exact threshold-Jaccard self-join via prefix filtering (AllPairs/
+    // PPJoin): candidates only from each document's rarest
+    // (|d| − ⌈t·|d|⌉ + 1) shingles under one global rarity order — the
+    // hot shingles that blow up the naive shared-shingle join never
+    // enter the candidate join, LOSSLESSLY (vs the DF guard's lossy
+    // drop). Corpus-wide (no id-range cap); brute-force oracle proves no
+    // pair is missed.
+    "q_jaccard_prefix" -> ((s, dir) =>
+      TextOps.jaccardPrefixJoin(T(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b")),
+
     // Per-document token-distribution Shannon entropy (nats) — the
     // diversity quality signal complementing q_repetition's ratio
     // signals; near-zero entropy = repeated-token spam.
@@ -4545,6 +4556,30 @@ object SparkEntry {
          SELECT c.vec_id, c.dim, round(c.v / n.nrm, 6) AS value
          FROM comp c JOIN n ON c.vec_id = n.vec_id
          ORDER BY c.vec_id, c.dim""",
+
+    // Brute-force shared-shingle join with NO prefix pruning: hash
+    // equality proves the prefix filter loses no qualifying pair.
+    "q_jaccard_prefix" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common,
+           n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common)::DOUBLE AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = id_a
+         JOIN counts cb ON cb.doc_id = id_b
+         WHERE n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common)::DOUBLE >= 0.5
+         ORDER BY id_a, id_b""",
 
     // The full-recompute join: hash equality against the base+delta
     // assembly proves the incremental-maintenance identity.

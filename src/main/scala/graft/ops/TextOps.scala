@@ -379,6 +379,64 @@ object TextOps {
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
   }
 
+  /** Exact threshold-Jaccard self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate rule; Bayardo et al. 2007, Xiao et al.
+    * 2008) — the scale path when you need EVERY pair above a similarity
+    * threshold, exactly, without MinHash's false negatives and without
+    * joining on every shared shingle.
+    *
+    * Order each document's distinct shingles by global rarity (document
+    * frequency asc, shingle asc — one canonical order corpus-wide). If
+    * J(x, y) ≥ t then |x∩y| ≥ t·max(|x|,|y|), so x can exclude at most
+    * |x| − ⌈t·|x|⌉ shingles from any qualifying intersection — meaning
+    * every qualifying pair shares a shingle within BOTH documents' first
+    * (|d| − ⌈t·|d|⌉ + 1) rarest shingles (the standard prefix-filtering
+    * lemma under a shared total order). Candidates therefore come from an
+    * equi-join of PREFIXES only: the quadratic fan-out concentrates on
+    * globally RARE shingles (bounded by construction), while the hot
+    * shingles that make the naive shared-shingle join explode never enter
+    * the candidate join at all — the same hot-key problem
+    * `pruneFrequentShingles` handles by lossy dropping, solved LOSSLESSLY.
+    * Survivors are verified exactly on their full shingle sets.
+    *
+    * Scale shape: df-count aggregate, one per-document rank window
+    * (partitioned by doc — parallel), prefix equi-join on the shingle,
+    * then the verify join fans each candidate by its shingle count only.
+    * Output: (id_a, id_b, n_common, jaccard) for pairs with jaccard ≥ t.
+    */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    // Materialize the exploded shingle table ONCE: four consumers (df
+    // counts, per-doc sizes, the rank window, the verify join) would each
+    // re-run the tokenize+shingle explode otherwise — at scale this is
+    // the persisted shingle table every serious similarity pipeline
+    // keeps next to the corpus.
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("_df").asc, col("shingle").asc)))
+      .join(counts, Seq(idCol))
+      .where(col("_rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col(idCol), col("shingle"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = cand.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash document fingerprint (64-bit): per token-occurrence hash,
     * per-bit ±1 votes weighted by occurrence, bit j set iff the vote sum
     * is positive. The 64 bits come from the first 16 hex chars of the

@@ -103,6 +103,39 @@ class Round7gOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ── jaccardPrefixJoin ───────────────────────────────────────────────
+
+  test("jaccardPrefixJoin: agrees exactly with the unpruned shared-shingle join") {
+    // near-dup twins (1,2) and (5,6), plus dissimilar docs sharing the
+    // hot shingle "the common phrase" that fans out the naive join
+    val docs = Seq(
+      Doc7g(1, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc7g(2, "alpha beta gamma delta epsilon zeta eta iota"),
+      Doc7g(3, "the common phrase one two three four five six"),
+      Doc7g(4, "the common phrase six five four three two one"),
+      Doc7g(5, "red orange yellow green blue indigo violet"),
+      Doc7g(6, "red orange yellow green blue indigo purple"),
+      Doc7g(7, "completely different text with nothing shared at all"))
+    val pruned = TextOps.jaccardPrefixJoin(df(docs), "id", "text", 3, 0.4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = TextOps.ngramJaccardPairs(df(docs), "id", "text", 3)
+      .where(col("jaccard") >= 0.4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pruned.toSeq === brute.toSeq)
+    assert(pruned.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (5L, 6L)))
+  }
+
+  test("jaccardPrefixJoin: threshold 1.0 finds exact-duplicate shingle sets only") {
+    val docs = Seq(
+      Doc7g(1, "a b c d e"), Doc7g(2, "a b c d e"),
+      Doc7g(3, "a b c d f"))
+    val out = TextOps.jaccardPrefixJoin(df(docs), "id", "text", 3, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   // ── incrementalJoinDelta ────────────────────────────────────────────
 
   test("incrementalJoinDelta: base join + increment equals the full recompute") {
