@@ -1902,6 +1902,15 @@ object SparkEntry {
       TextOps.jaccardPrefixJoin(T(s, dir, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy("id_a", "id_b")),
 
+    // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
+    // the mergeable approximate-count state for unbounded vocabularies;
+    // counters are sums, so shard sketches merge by element-wise
+    // addition (spec-proven), and the matrix itself is engine-exact.
+    "q_cm_sketch" -> ((s, dir) =>
+      TextOps.countMinSketch(T(s, dir, "documents"), "text", 4, 256)
+        .select(col("j").cast("long").as("j"), col("bucket"), col("cnt"))
+        .orderBy("j", "bucket")),
+
     // Per-document token-distribution Shannon entropy (nats) — the
     // diversity quality signal complementing q_repetition's ratio
     // signals; near-zero entropy = repeated-token spam.
@@ -4556,6 +4565,17 @@ object SparkEntry {
          SELECT c.vec_id, c.dim, round(c.v / n.nrm, 6) AS value
          FROM comp c JOIN n ON c.vec_id = n.vec_id
          ORDER BY c.vec_id, c.dim""",
+
+    "q_cm_sketch" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tc AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         cells AS (
+           SELECT j, ('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 8))::BIGINT % 256 AS bucket, c
+           FROM tc CROSS JOIN range(0, 4) r(j))
+         SELECT j, bucket, sum(c)::BIGINT AS cnt
+         FROM cells GROUP BY 1, 2 ORDER BY j, bucket""",
 
     // Brute-force shared-shingle join with NO prefix pruning: hash
     // equality proves the prefix filter loses no qualifying pair.

@@ -136,6 +136,54 @@ object TextOps {
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Count-min sketch of corpus token frequencies (Cormode & Muthu-
+    * krishnan 2005) — the MERGEABLE approximate-count state Misra-Gries
+    * (`heavyHitters`, exact heavy hitters only) does not provide: a
+    * depth×width counter matrix answering point queries
+    * est(t) = min_j counter[j][h_j(t)] with est ≥ true and
+    * est ≤ true + (e/width)·N w.p. 1−e^−depth per query. Counters are
+    * plain sums, so sketches of corpus shards merge by element-wise
+    * addition — build per partition/day, add matrices, never rescan
+    * (the `partialAggs` pattern for an unbounded vocabulary).
+    *
+    * Scale shape: exact per-token counts FIRST (one map-side-combinable
+    * token shuffle), then the depth-way explode runs over the VOCABULARY
+    * table, not the token stream (the simHash no-explode lesson), into a
+    * ≤ depth·width-cell aggregate. Hash rows use the portable seeded-md5
+    * recipe, so the sketch is bit-identical in any engine with md5.
+    * Output: (j, bucket, cnt) — the sketch matrix in sparse form.
+    */
+  def countMinSketch(df: DataFrame, textCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    val tokenCounts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("_c"))
+    tokenCounts
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("token"), col("_c"))
+      .select(col("j"),
+        pmod(seededHash32(col("j"), col("token")), lit(width.toLong)).as("bucket"),
+        col("_c"))
+      .groupBy("j", "bucket").agg(sum("_c").as("cnt"))
+  }
+
+  /** Point-query estimates from a `countMinSketch` matrix for the given
+    * tokens: est(t) = min_j counter[j][h_j(t)] (absent cells are 0 —
+    * only possible for tokens the sketch never saw). The probe is a
+    * broadcast-sized join of |tokens|·depth rows against the sketch.
+    */
+  def countMinEstimate(sketch: DataFrame, tokens: Seq[String],
+                       depth: Int, width: Int): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probes = tokens.toDF("token")
+      .select(col("token"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("token"), col("j"),
+        pmod(seededHash32(col("j"), col("token")), lit(width.toLong)).as("bucket"))
+    probes.join(sketch, Seq("j", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Token counting two ways: whitespace split and a BPE-ish regex
     * (alphabetic runs). `regexp_extract_all` is codegen'd — no UDF.
     */

@@ -159,6 +159,44 @@ class Round7gOpsSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  // ── countMinSketch ──────────────────────────────────────────────────
+
+  private val cmDocs = (1L to 40L).map(i =>
+    Doc7g(i, (1L to i).map(k => s"tok${k % 13}").mkString(" ")))
+
+  test("countMinSketch: shard sketches merge by element-wise sum into the whole-corpus sketch") {
+    val whole = TextOps.countMinSketch(df(cmDocs), "text", 4, 64)
+    val sa = TextOps.countMinSketch(df(cmDocs.filter(_.id % 2 == 0)), "text", 4, 64)
+    val sb = TextOps.countMinSketch(df(cmDocs.filter(_.id % 2 != 0)), "text", 4, 64)
+    val merged = sa.unionByName(sb).groupBy("j", "bucket")
+      .agg(sum("cnt").as("cnt"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getInt(0), r.getLong(1), r.getLong(2))
+    assert(merged.orderBy("j", "bucket").collect().map(key).toSeq ===
+      whole.orderBy("j", "bucket").collect().map(key).toSeq)
+  }
+
+  test("countMinSketch: every hash row partitions the full occurrence count") {
+    val n = df(cmDocs).select(explode(split(col("text"), " "))).count()
+    val perRow = TextOps.countMinSketch(df(cmDocs), "text", 4, 64)
+      .groupBy("j").agg(sum("cnt").as("total")).collect()
+    assert(perRow.length === 4)
+    perRow.foreach(r => assert(r.getLong(1) === n))
+  }
+
+  test("countMinEstimate: never underestimates, and is exact sans collisions") {
+    val sketch = TextOps.countMinSketch(df(cmDocs), "text", 4, 64)
+    val truth = TextOps.wordCount(df(cmDocs), "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = TextOps.countMinEstimate(sketch, truth.keys.toSeq, 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t: est ${est(t)} < true $c")
+    }
+    // 13 tokens into 64 buckets × 4 independent rows: the min over rows
+    // is exact for at least one token on this deterministic hash layout
+    assert(truth.exists { case (t, c) => est(t) == c })
+  }
+
   // ── matryoshka ──────────────────────────────────────────────────────
 
   test("matryoshka: 3-4-5 prefix renormalizes to 0.6 / 0.8") {
