@@ -1902,6 +1902,24 @@ object SparkEntry {
       TextOps.jaccardPrefixJoin(T(s, dir, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy("id_a", "id_b")),
 
+    // Reciprocal-rank fusion of two retrieval shortlists — lexical BM25
+    // and the unigram-LM quality ranking, each a top-100 list (ties on
+    // the rounded score broken by doc_id, so both ranks are
+    // engine-deterministic); fused score Σ 1/(60 + rank), top-20 out.
+    "q_rrf_fuse" -> ((s, dir) => {
+      val bm = TextOps.bm25Scores(T(s, dir, "documents"), "doc_id", "text", Bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      val lm = TextOps.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("logprob").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("logprob").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      Relational.rrfFuse(Seq(bm, lm), "doc_id", 60, 20)
+    }),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -4565,6 +4583,61 @@ object SparkEntry {
          SELECT c.vec_id, c.dim, round(c.v / n.nrm, 6) AS value
          FROM comp c JOIN n ON c.vec_id = n.vec_id
          ORDER BY c.vec_id, c.dim""",
+
+    // BM25 and unigram-LM CTEs are verbatim copies of their own oracles
+    // (q_bm25 / q_unigram_logprob — both independently hash-checked), so
+    // any fusion mismatch isolates to the RRF arithmetic itself.
+    "q_rrf_fuse" -> {
+      val (k1, b) = (1.2, 0.75)
+      val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
+      raw"""WITH dl AS (
+           SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS dl
+           FROM documents),
+         tot AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ($terms) GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         bm AS (
+           SELECT t.doc_id,
+             round(sum(CAST(
+               ln(1.0 + (tot.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+                 * ((t.tf::DOUBLE * ${k1 + 1.0}) /
+                    (t.tf::DOUBLE + $k1 * (1.0 - $b + $b * (d.dl::DOUBLE / (tot.sumdl::DOUBLE / tot.n::DOUBLE)))))
+               AS DECIMAL(28,12)))::DOUBLE, 6) AS bm25
+           FROM tf t
+           JOIN dfreq f ON t.token = f.token
+           JOIN dl d ON t.doc_id = d.doc_id
+           CROSS JOIN tot
+           GROUP BY t.doc_id),
+         bmr AS (SELECT doc_id, rank FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+             FROM bm) WHERE rank <= 100),
+         model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         tot2 AS (SELECT sum(c) AS total, count(*) AS vocab FROM model),
+         lm AS (
+           SELECT t.doc_id,
+             round(sum(CAST(ln((m.c::DOUBLE + 1.0) / (tot2.total + tot2.vocab)::DOUBLE)
+                   AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS logprob
+           FROM tok t JOIN model m ON t.token = m.token CROSS JOIN tot2
+           GROUP BY t.doc_id),
+         lmr AS (SELECT doc_id, rank FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY logprob DESC, doc_id ASC) AS rank
+             FROM lm) WHERE rank <= 100),
+         contrib AS (
+           SELECT doc_id, 1.0 / (60 + rank) AS c FROM bmr
+           UNION ALL
+           SELECT doc_id, 1.0 / (60 + rank) FROM lmr),
+         fused AS (
+           SELECT doc_id, round(sum(CAST(c AS DECIMAL(28,12)))::DOUBLE, 9) AS rrf,
+             count(*) AS n_lists
+           FROM contrib GROUP BY 1)
+         SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+           doc_id, rrf, n_lists
+         FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20"""
+    },
 
     "q_cm_sketch" ->
       """WITH tok AS (

@@ -211,6 +211,31 @@ object Relational {
         col("_t").cast("double").as("total"),
         (col("_t").cast("double") / col("n").cast("double")).as("avg_value")): _*)
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of retrieval
+    * shortlists: each input carries (idCol, rank); a document's fused
+    * score is Σ_lists 1/(kConst + rank), absent-from-a-list contributing
+    * nothing — the standard way to combine lexical (BM25) and semantic
+    * (embedding) retrieval without score calibration, since only RANKS
+    * enter. Inputs are top-N shortlists, not full corpus rankings: that
+    * is both what production fusion does and what keeps this
+    * scale-clean — the union is |lists|·N rows, the aggregate and final
+    * top-k are a toy regardless of corpus size. Contributions are
+    * decimal-summed (order-independent across lists); ties broken by id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              kConst: Int, topK: Int): DataFrame = {
+    val contribs = rankings.map(_.select(col(idCol),
+        (lit(1.0) / (lit(kConst.toDouble) + col("rank").cast("double"))).as("_c")))
+      .reduce(_ unionByName _)
+    contribs.groupBy(idCol)
+      .agg(round(Portable.decSum(col("_c"), 12), 9).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol).asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col(idCol).asc)).cast("long"))
+      .select(col("rank"), col(idCol), col("rrf"), col("n_lists"))
+  }
+
   /** Incremental equi-join maintenance — the join twin of `partialAggs`'
     * never-rescan-history pattern. With both inputs split into an already-
     * joined base and a newly-arrived delta, the distributivity identity

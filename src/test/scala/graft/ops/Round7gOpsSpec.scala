@@ -8,6 +8,7 @@ case class Doc7g(id: Long, text: String)
 case class Wt7g(id: Long, grp: String, w: Double)
 case class Vec7g(id: Long, v: Array[Float])
 case class Dim7g(did: Long, text: String)
+case class Kv7g(k: Long, v: Long)
 
 /** Round-7 batch-7 operators: triangle counting, token entropy, weighted
   * sampling, matryoshka truncation.
@@ -157,6 +158,28 @@ class Round7gOpsSpec extends SparkSpec {
     val out = Relational.incrementalJoinDelta(
       l, l.limit(0), r, r.limit(0), "grp", "text")
     assert(out.count() === 0)
+  }
+
+  // ── rrfFuse ─────────────────────────────────────────────────────────
+
+  test("rrfFuse: both-list documents outrank single-list, ties break by id") {
+    val la = df(Seq(Kv7g(10, 1), Kv7g(20, 2), Kv7g(30, 3)))
+      .select(col("k").as("doc"), col("v").cast("int").as("rank"))
+    val lb = df(Seq(Kv7g(20, 1), Kv7g(40, 2)))
+      .select(col("k").as("doc"), col("v").cast("int").as("rank"))
+    val out = Relational.rrfFuse(Seq(la, lb), "doc", 60, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // 20 is on both lists (1/61 + 1/62) — clear winner; then 10 (1/61),
+    // 40 (1/62), 30 (1/63)
+    assert(out.toSeq === Seq((1L, 20L, 2L), (2L, 10L, 1L), (3L, 40L, 1L), (4L, 30L, 1L)))
+  }
+
+  test("rrfFuse: fused score is the reciprocal-rank sum") {
+    val la = df(Seq(Kv7g(1, 1))).select(col("k").as("doc"), col("v").cast("int").as("rank"))
+    val lb = df(Seq(Kv7g(1, 3))).select(col("k").as("doc"), col("v").cast("int").as("rank"))
+    val rrf = Relational.rrfFuse(Seq(la, lb), "doc", 60, 5)
+      .head().getDouble(2)
+    assert(math.abs(rrf - (1.0 / 61 + 1.0 / 63)) < 1e-9)
   }
 
   // ── countMinSketch ──────────────────────────────────────────────────
