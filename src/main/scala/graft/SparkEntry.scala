@@ -1026,7 +1026,9 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> ((s, dir) =>
       TextOps.ngramJaccardPairs(
-          T(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 3)
+          T(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 3,
+          shingleSource = Some(graft.sources.ShingleStore.ensureShingles(s, dir, 3)
+            .where(col("doc_id") < 100)))
         .orderBy("id_a", "id_b")),
 
     // Same jaccard with the hot-shingle skew guard active: shingles in
@@ -1035,7 +1037,9 @@ object SparkEntry {
     "q_ngram_jaccard_df" -> ((s, dir) =>
       TextOps.ngramJaccardPairs(
           T(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 3,
-          maxDocFreqRatio = 0.03)
+          maxDocFreqRatio = 0.03,
+          shingleSource = Some(graft.sources.ShingleStore.ensureShingles(s, dir, 3)
+            .where(col("doc_id") < 100)))
         .orderBy("id_a", "id_b")),
 
     "q_simhash" -> ((s, dir) =>
@@ -1146,9 +1150,11 @@ object SparkEntry {
     // pretend benchmark set (docs < 100) — the eval-leakage hygiene pass.
     "q_contamination" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      TextOps.contaminationFlags(
-          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
-          "doc_id", "text", n = 3, minCommon = 2L)
+      val sh = graft.sources.ShingleStore.ensureShingles(s, dir, 3)
+      TextOps.contaminationFlagsFromShingles(
+          docs.where(col("doc_id") >= 100).select("doc_id"),
+          sh.where(col("doc_id") >= 100), sh.where(col("doc_id") < 100),
+          "doc_id", minCommon = 2L)
         .orderBy("doc_id")
     }),
 
@@ -1899,7 +1905,8 @@ object SparkEntry {
     // drop). Corpus-wide (no id-range cap); brute-force oracle proves no
     // pair is missed.
     "q_jaccard_prefix" -> ((s, dir) =>
-      TextOps.jaccardPrefixJoin(T(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+      TextOps.jaccardPrefixJoinFromShingles(
+          graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
 
     // Reciprocal-rank fusion of two retrieval shortlists — lexical BM25
