@@ -445,8 +445,18 @@ object Relational {
       df.select((keys ++ compareCols).map(col): _*)
         .withColumn("block",
           pmod(Portable.hash32(concat_ws("|", keys.map(col): _*)), lit(nBlocks.toLong)))
-        .withColumn("_rowhash",
-          Portable.hash32(concat_ws("|", (keys ++ compareCols).map(c => col(c).cast("string")): _*)))
+        .withColumn("_rowhash", Portable.hash32(concat(
+          (keys ++ compareCols).map { c =>
+            // Length-prefixed, null-tagged encoding: concat_ws would skip
+            // NULLs and let values containing the delimiter alias across
+            // columns ((null,'x') vs ('x',null), 'a|b' vs 'a','b' —
+            // ADVICE r7), making digest collisions structural rather than
+            // 1-in-2^32. "len:value|" (with NULL as "N|") decodes
+            // unambiguously, so distinct rows produce distinct encodings.
+            val s = col(c).cast("string")
+            when(s.isNull, lit("N|"))
+              .otherwise(concat(length(s).cast("string"), lit(":"), s, lit("|")))
+          }: _*)))
     def digest(df: DataFrame, tag: String): DataFrame =
       df.groupBy("block").agg(
         count(lit(1)).as(s"${tag}_rows"),

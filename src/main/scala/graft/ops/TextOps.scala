@@ -277,6 +277,52 @@ object TextOps {
           .cast("int").cast("long"))
   }
 
+  /** Overlapping-window (stride < span) span dedup — closes
+    * [[dedupParagraphs]]' alignment blind spot: aligned spans only catch
+    * boilerplate that starts exactly on a span boundary, so the same
+    * 20-token disclaimer offset by a few tokens is invisible to them.
+    * Windows of `span` tokens start every `stride` tokens (one window per
+    * stride segment, truncated at the doc end), so repeated content
+    * starting at ANY stride multiple produces an identical window
+    * fingerprint. Containment policy: a stride SEGMENT (the removable
+    * unit, tokens [s·stride, (s+1)·stride)) is removed iff ANY window
+    * covering it is a non-first occurrence of its fingerprint —
+    * over-removal is the safe failure mode for boilerplate scrubbing.
+    *
+    * Output: one row per (id, seg_idx) with kept 1/0.
+    *
+    * 100 TB shape: same as dedupParagraphs — windows are generated
+    * row-locally (explode over stride offsets, span/stride× the aligned
+    * row count), the dedup shuffle carries 32-byte fingerprints only, and
+    * the coverage vote is one more fingerprint-keyed aggregation; nothing
+    * driver-side, nothing all-pairs.
+    */
+  def dedupSpanStride(df: DataFrame, idCol: String, textCol: String,
+                      span: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= span && span % stride == 0,
+      s"need 0 < stride <= span and span % stride == 0 (got span=$span stride=$stride)")
+    val cover = span / stride
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) > 0)
+    val nSegs = ceil(size(col("_t")).cast("double") / stride).cast("int")
+    val wins = withToks
+      .select(col(idCol), col("_t"), nSegs.as("_nsegs"),
+        explode(sequence(lit(0), nSegs - 1)).as("win_idx"))
+      .select(col(idCol), col("win_idx"), col("_nsegs"),
+        md5(concat_ws(" ", slice(col("_t"), col("win_idx") * stride + 1, lit(span))))
+          .as("win_fp"))
+    val flagged = wins.withColumn("is_dup",
+      (row_number().over(
+        Window.partitionBy("win_fp").orderBy(col(idCol).asc, col("win_idx").asc)) > 1)
+        .cast("int"))
+    flagged
+      .select(col(idCol), col("is_dup"),
+        explode(sequence(col("win_idx"),
+          least(col("win_idx") + lit(cover - 1), col("_nsegs") - 1))).as("seg_idx"))
+      .groupBy(col(idCol), col("seg_idx"))
+      .agg((lit(1L) - max(col("is_dup")).cast("long")).as("kept"))
+  }
+
   /** Incremental exact dedup — the daily-ingest step: a delta batch is
     * checked against the EXISTING corpus's fingerprints (anti join on the
     * 32-byte hash, never against document bodies) and then deduped
@@ -1067,9 +1113,29 @@ object TextOps {
   def bpeTopMerges(df: DataFrame, textCol: String, nIters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrainMerges(df, textCol, nIters)
+      .map { case (i, a, b, cnt) => (i, a, b, cnt, a + b) }
+      .toDF("iteration", "pair_a", "pair_b", "support", "merged")
+  }
+
+  /** The training loop behind [[bpeTopMerges]], returning the merge table
+    * as driver-side rows (the `nIters`-row model BpeModel persists). Loop
+    * state is LAZILY `localCheckpoint`'ed per round — the pair-count
+    * action materializes it — so round r's count reads round r−1's
+    * checkpointed tokens instead of re-executing all r−1 prior merge
+    * folds over the corpus (O(nIters²) recompute and unbounded plan
+    * depth otherwise — ADVICE r7; the `Graph.connectedComponents` loop
+    * pattern). The checkpointed state is token rows — corpus-sized but
+    * shrinking every round — and, as in every training loop here, an
+    * executor loss aborts only the training job, never a serving query:
+    * the trained artifact is what production reuses.
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+                     nIters: Int): Seq[(Int, String, String, Long)] = {
     var toks = df.select(tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, String)]
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var i = 1
     while (i <= nIters) {
       val top = toks
@@ -1085,13 +1151,37 @@ object TextOps {
       else {
         val r = top.head
         val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += ((i, a, b, cnt, a + b))
+        merges += ((i, a, b, cnt))
         toks = toks.select(bpeMergeStep(col("toks"), a, b).as("toks"))
           .where(size(col("toks")) >= 2)
+          .localCheckpoint(false)
         i += 1
       }
     }
-    merges.toSeq.toDF("iteration", "pair_a", "pair_b", "support", "merged")
+    merges.toSeq
+  }
+
+  /** Apply a trained BPE merge table to tokenize the corpus — the encode
+    * step every training pipeline actually runs (the reference's
+    * row-wise derivations, `/root/reference/dags/spark/etl.py:78-104`,
+    * generalized to model application). Merges apply in training order,
+    * each a row-local [[bpeMergeStep]] fold — no shuffle at all: the
+    * whole encode is a projection, embarrassingly parallel at any corpus
+    * size. Emits per-doc raw/encoded token counts and the encoded
+    * token sequence (space-joined — tokens are `\s+`-split so the join
+    * is lossless).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val encoded = merges.foldLeft(tokens(col(textCol))) {
+      case (t, (a, b)) => bpeMergeStep(t, a, b)
+    }
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens_raw"),
+        encoded.as("_enc"))
+      .select(col(idCol), col("n_tokens_raw"),
+        size(col("_enc")).cast("long").as("n_tokens_bpe"),
+        concat_ws(" ", col("_enc")).as("encoded"))
   }
 
   def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {

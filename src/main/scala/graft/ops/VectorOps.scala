@@ -571,8 +571,12 @@ object VectorOps {
       .agg(Portable.decAvg(col("v").cast("double"), 8).as("avg_v"),
         count(lit(1)).as("_cnt"))
     perDim
+      // Pad width 4 (the featureHash pattern), NOT the dimension's current
+      // digit count: Spark's lpad TRUNCATES strings longer than the pad
+      // length, so width 2 would fold dim 100 into '10' and silently
+      // corrupt the pooled string for >99-dim vectors (ADVICE r7).
       .withColumn("comp", concat(
-        lpad((col("dim0") + 1).cast("string"), 2, "0"), lit(":"),
+        lpad((col("dim0") + 1).cast("string"), 4, "0"), lit(":"),
         round(col("avg_v") * 1e6).cast("long").cast("string")))
       .groupBy("group_id")
       .agg(max(col("_cnt")).as("n_vectors"),

@@ -20,15 +20,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Total on-disk bytes of the data files under `dir` (non-recursive,
-    * skips _SUCCESS and other metadata side files).
+  /** Total on-disk bytes of the data files under `dir`, RECURSIVE (skips
+    * _SUCCESS/. metadata side files at any depth): a hive-partitioned
+    * table keeps its data in partition subdirectories, and the previous
+    * non-recursive listing computed 0 input bytes for exactly that layout
+    * — silently sizing every compaction to one file (ADVICE r7).
     */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).iterator
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) total += st.getLen
+    }
+    total
+  }
+
+  /** True when `dir` holds data in subdirectories (hive partition layout). */
+  def hasPartitionDirs(spark: SparkSession, dir: String): Boolean = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).exists(st => st.isDirectory &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
   }
 
   /** Data file count under `dir` — the metric compaction shrinks. */
@@ -50,6 +66,13 @@ object Compaction {
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
                      targetFileBytes: Long, sortCols: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive (got $targetFileBytes)")
+    // Fail fast on hive-partitioned input: a flat rewrite would silently
+    // DROP the partition-column layout (and the columns' values, which
+    // live only in the directory names). Partition-preserving compaction
+    // is a per-partition rewrite — run this on each leaf directory.
+    require(!hasPartitionDirs(spark, inDir),
+      s"$inDir holds a hive-partitioned layout; compact each leaf partition " +
+        "directory instead — a flat rewrite would drop the partition columns")
     val nFiles = math.max(1L,
       (dataBytes(spark, inDir) + targetFileBytes - 1) / targetFileBytes).toInt
     val in = spark.read.parquet(inDir)

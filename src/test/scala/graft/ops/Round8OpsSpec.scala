@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class Doc8(doc_id: Long, text: String)
+
+/** Round-8 operators: BPE encode (apply a trained merge table), the
+  * per-round-checkpointed training loop, and their exact accounting
+  * identity (support at round i == merges applied by encode's i-th fold).
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  private def docs = df(Seq(
+    Doc8(1, "a b a b c d"),
+    Doc8(2, "a b c d c d"),
+    Doc8(3, "x y x y x y"),
+    Doc8(4, "a a a a a"),
+    Doc8(5, "solo")))
+
+  test("bpeEncode: applies merges in order with the greedy overlap rule") {
+    val out = TextOps.bpeEncode(docs, "doc_id", "text", Seq(("a", "b"), ("c", "d")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 6L, 3L, "ab ab cd")))
+    assert(out(1) === ((2L, 6L, 3L, "ab cd cd")))
+    assert(out(2) === ((3L, 6L, 6L, "x y x y x y")))
+    // "a a a a a" under (a,a)-free table: untouched
+    assert(out(3) === ((4L, 5L, 5L, "a a a a a")))
+    assert(out(4) === ((5L, 1L, 1L, "solo")))
+  }
+
+  test("bpeEncode: overlap rule matches training ('a a a a a' under (a,a) -> [aa, aa, a])") {
+    val out = TextOps.bpeEncode(docs.where(col("doc_id") === 4), "doc_id", "text",
+        Seq(("a", "a")))
+      .collect().head
+    assert(out.getLong(2) === 3L)
+    assert(out.getString(3) === "aa aa a")
+  }
+
+  test("bpeEncode: chained merges consume earlier merge outputs") {
+    val d = df(Seq(Doc8(1, "a b c a b c")))
+    val out = TextOps.bpeEncode(d, "doc_id", "text", Seq(("a", "b"), ("ab", "c")))
+      .collect().head
+    assert(out.getString(3) === "abc abc")
+    assert(out.getLong(2) === 2L)
+  }
+
+  test("bpeTrainMerges support bounds the token-count drop; exact for distinct pairs") {
+    // Support is the raw adjacent-pair count at that round. For a ≠ b the
+    // pair's occurrences are disjoint (an overlap would need a == b), so
+    // greedy encode applies exactly `support` merges; for a == b a run of
+    // L tokens counts L−1 pairs but merges ⌊L/2⌋ times — support is an
+    // upper bound. docs(4) = "a a a a a" makes (a,a) the first merge, so
+    // both branches are exercised here.
+    val merges = TextOps.bpeTrainMerges(docs, "text", 4)
+    assert(merges.nonEmpty)
+    assert(merges.head._2 === "a" && merges.head._3 === "a",
+      "the fixture must adopt the self-pair (a,a) first (support 4)")
+    val raw = docs.select(sum(size(TextOps.tokens(col("text"))))).collect().head.getLong(0)
+    var prev = raw
+    merges.zipWithIndex.foreach { case ((_, a, b, support), i) =>
+      val prefix = merges.take(i + 1).map { case (_, x, y, _) => (x, y) }
+      val total = TextOps.bpeEncode(docs, "doc_id", "text", prefix)
+        .agg(sum("n_tokens_bpe")).collect().head.getLong(0)
+      val drop = prev - total
+      assert(drop > 0 && drop <= support,
+        s"merge ${i + 1} ($a,$b): drop $drop must be in (0, support=$support]")
+      if (a != b) assert(drop === support,
+        s"merge ${i + 1} ($a,$b): distinct-pair drop must equal support")
+      prev = total
+    }
+  }
+
+  test("bpeTrainMerges: token counts drop monotonically per merge (8 rounds at sf0.001)") {
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val merges = TextOps.bpeTrainMerges(corpus, "text", 8)
+    assert(merges.length === 8)
+    assert(merges.forall(_._4 > 0))
+    val raw = corpus.select(sum(size(TextOps.tokens(col("text"))))).collect().head.getLong(0)
+    val totals = (1 to merges.length).map { i =>
+      TextOps.bpeEncode(corpus, "doc_id", "text",
+          merges.take(i).map { case (_, a, b, _) => (a, b) })
+        .agg(sum("n_tokens_bpe")).collect().head.getLong(0)
+    }
+    assert((raw +: totals).sliding(2).forall { case Seq(prev, cur) => cur < prev },
+      s"corpus token count must drop strictly every merge: raw=$raw totals=$totals")
+    // Supports bound the drops (exact when no merge is a self-pair).
+    assert(totals.last >= raw - merges.map(_._4).sum)
+  }
+
+  // ── dedupSpanStride ───────────────────────────────────────────────────
+
+  // 20 distinct tokens of boilerplate, planted at an OFF-boundary offset.
+  private val boiler = (1 to 20).map(i => s"boil$i").mkString(" ")
+
+  test("dedupSpanStride catches off-boundary boilerplate that aligned spans provably miss") {
+    val corpus = df(Seq(
+      Doc8(1, boiler),                                        // first occurrence
+      Doc8(2, s"p1 p2 p3 p4 p5 $boiler t1 t2 t3 t4 t5"),      // offset 5: stride-aligned, span-misaligned
+      Doc8(3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))             // unrelated
+    // Aligned spans (span=20): every span of doc 2 straddles the
+    // boilerplate boundary, so NO cross-doc span duplicate exists.
+    val aligned = TextOps.dedupParagraphs(corpus, "doc_id", "text", span = 20)
+    assert(aligned.where(col("doc_id") === 2 && col("kept") === 0).count() === 0,
+      "aligned spans must miss the offset-5 boilerplate (the blind spot)")
+    // Stride windows (stride=5): doc 2's window at token offset 5 equals
+    // doc 1's first window, so segments 1-4 of doc 2 are removed.
+    val strided = TextOps.dedupSpanStride(corpus, "doc_id", "text", span = 20, stride = 5)
+      .orderBy("doc_id", "seg_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val removed = strided.filter(_._3 == 0L).map(t => (t._1, t._2))
+    assert(removed.toSet === Set((2L, 1), (2L, 2), (2L, 3), (2L, 4)),
+      s"exactly doc 2 segments 1-4 must be removed, got ${removed.mkString(",")}")
+    // Docs 1 and 3 fully kept (first occurrence / unrelated).
+    assert(strided.filter(t => t._1 != 2L).forall(_._3 == 1L))
+  }
+
+  test("dedupSpanStride with stride == span degenerates to the aligned policy") {
+    val corpus = df(Seq(
+      Doc8(1, boiler),
+      Doc8(2, s"$boiler x1 x2 x3 x4 x5")))
+    val out = TextOps.dedupSpanStride(corpus, "doc_id", "text", span = 20, stride = 20)
+      .orderBy("doc_id", "seg_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // doc 2 seg 0 duplicates doc 1 seg 0; its tail segment survives.
+    assert(out.toSeq === Seq((1L, 0, 1L), (2L, 0, 0L), (2L, 1, 1L)))
+  }
+}

@@ -65,4 +65,28 @@ class CompactionSpec extends SparkSpec {
     }
     assert(spark.read.parquet(out).count() === 10000L)
   }
+
+  test("dataBytes recurses into hive partition directories; compactParquet fails fast on them") {
+    val in = tmp("compact-part-in")
+    val out = tmp("compact-part-out")
+    spark.range(1000)
+      .select(col("id"), (col("id") % 4).as("p"), md5(col("id").cast("string")).as("payload"))
+      .write.mode("overwrite").partitionBy("p").parquet(in)
+    // Data lives only in p=*/ subdirectories: the byte count must see it.
+    assert(Compaction.hasPartitionDirs(spark, in))
+    assert(Compaction.dataBytes(spark, in) > 0L,
+      "partitioned layout must not compute 0 input bytes")
+    // A flat rewrite would drop the partition column's values (they live
+    // in directory names) — refuse rather than corrupt.
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, in, out, 1L << 20)
+    }
+    assert(e.getMessage.contains("partition"))
+    // Per-leaf compaction (the documented path) still works.
+    val leaf = in + "/p=0"
+    assert(!Compaction.hasPartitionDirs(spark, leaf))
+    val written = Compaction.compactParquet(spark, leaf, out, Long.MaxValue / 2)
+    assert(written === 1)
+    assert(spark.read.parquet(out).count() === 250L)
+  }
 }
