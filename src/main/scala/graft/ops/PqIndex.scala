@@ -22,19 +22,26 @@ object PqIndex {
   @volatile private var lastDir: Option[String] = None
   def lastSfDir: Option[String] = lastDir
 
-  def artifactPath(sfDir: String, m: Int, k: Int, iters: Int): Path = {
+  /** `tag` distinguishes codebook VARIANTS trained with the same (m, k,
+    * iters) but different inputs — "" for raw-vector books (q_pq_topk),
+    * "res<ivfK>x<ivfIters>" for IVF-residual books (q_ivfpq_topk, keyed
+    * by the coarse quantizer they residualize against). Without it the
+    * two variants would silently share one positional artifact.
+    */
+  def artifactPath(sfDir: String, m: Int, k: Int, iters: Int, tag: String = ""): Path = {
     val abs = Paths.get(sfDir).toAbsolutePath.normalize.toString
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    IvfIndex.artifactRoot.resolve(s"pq-${Paths.get(abs).getFileName}-$h-m$m-k$k-i$iters.csv")
+    val t = if (tag.isEmpty) "" else s"-$tag"
+    IvfIndex.artifactRoot.resolve(s"pq$t-${Paths.get(abs).getFileName}-$h-m$m-k$k-i$iters.csv")
   }
 
-  /** Codebooks for (sfDir, m, k, iters): cache → artifact → train-once. */
-  def codebooksFor(sfDir: String, m: Int, k: Int, iters: Int)
+  /** Codebooks for (sfDir, m, k, iters, tag): cache → artifact → train-once. */
+  def codebooksFor(sfDir: String, m: Int, k: Int, iters: Int, tag: String = "")
                   (train: => Array[Array[Array[Float]]]): Array[Array[Array[Float]]] = {
     lastDir = Some(sfDir)
-    cache.getOrElseUpdate(artifactPath(sfDir, m, k, iters).toString, {
-      val p = artifactPath(sfDir, m, k, iters)
+    cache.getOrElseUpdate(artifactPath(sfDir, m, k, iters, tag).toString, {
+      val p = artifactPath(sfDir, m, k, iters, tag)
       if (Files.exists(p)) load(p, k)
       else {
         val c = train
@@ -50,10 +57,11 @@ object PqIndex {
   }
 
   /** Codebooks if already trained/persisted — never trains. */
-  def loadIfPresent(sfDir: String, m: Int, k: Int, iters: Int): Option[Array[Array[Array[Float]]]] = {
-    val key = artifactPath(sfDir, m, k, iters).toString
+  def loadIfPresent(sfDir: String, m: Int, k: Int, iters: Int,
+                    tag: String = ""): Option[Array[Array[Array[Float]]]] = {
+    val key = artifactPath(sfDir, m, k, iters, tag).toString
     cache.get(key).orElse {
-      val p = artifactPath(sfDir, m, k, iters)
+      val p = artifactPath(sfDir, m, k, iters, tag)
       if (Files.exists(p)) {
         val c = load(p, k)
         cache.putIfAbsent(key, c)

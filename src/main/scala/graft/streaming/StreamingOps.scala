@@ -99,6 +99,60 @@ object StreamingOps {
       partial.map(p => graft.ops.Relational.mergePartialAggs(Seq(p), keys))
   }
 
+  /** Streaming CDC apply (VERDICT r7 item 7) — the streaming twin of
+    * Relational.cdcApply (C89): I/U/D changelog micro-batches merge into
+    * a running base via foreachBatch, latest version per key wins, D
+    * suppresses. The maintained state is the max-version row per key
+    * (base rows seeded at version `baseVersion`, below every change), so
+    * the result is independent of BOTH the micro-batch boundaries and the
+    * arrival ORDER of changes — a late-arriving stale version loses to
+    * the newer one already applied, exactly as the batch whole-changelog
+    * window decides it. Per-trigger cost is O(micro-batch) + O(|keys|);
+    * history is never rescanned. Same idempotent-replay contract as
+    * IncrementalAggState (re-delivered batchIds are no-ops).
+    *
+    * Ties on (key, version) break by op: D > U > I (reverse-alphabetic
+    * desc), so a delete at the same version as an update wins
+    * deterministically in both this state and the batch oracle the
+    * convergence spec compares against.
+    */
+  final class CdcApplyState(key: String, opCol: String, versionCol: String,
+                            payload: Seq[String]) {
+    @volatile private var state: Option[DataFrame] = None
+    private var lastBatchId: Long = -1L
+    private val cols = Seq(col(key), col(opCol), col(versionCol)) ++ payload.map(col)
+
+    /** Seed the maintained state with the base snapshot (op I, version
+      * `baseVersion` — conventionally 0, below every changelog version).
+      */
+    def init(base: DataFrame, baseVersion: Long = 0L): Unit = synchronized {
+      val seeded = base.select(
+        (Seq(col(key), lit("I").as(opCol), lit(baseVersion).as(versionCol)) ++
+          payload.map(col)): _*)
+      state = Some(seeded.localCheckpoint(true))
+    }
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val unioned = state match {
+        case Some(prev) => prev.unionByName(batch.select(cols: _*))
+        case None => batch.select(cols: _*)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(col(versionCol).desc, col(opCol).desc)
+      val merged = unioned
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn")
+      state = Some(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current table view: live rows only (deletes suppressed). */
+    def finalized: Option[DataFrame] =
+      state.map(_.where(col(opCol) =!= "D").select(col(key) +: payload.map(col): _*))
+  }
+
   /** Streaming twin of TextOps.dedupExact: fingerprint each arriving
     * document (md5 over whitespace-normalized, lower-cased text — the
     * same portable recipe as batch) and emit only the first occurrence

