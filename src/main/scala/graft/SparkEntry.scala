@@ -2144,13 +2144,14 @@ object SparkEntry {
     * expensive stage, the graph algorithms run on its compact output.
     */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame =
-    tradeEdgeCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+    graft.ops.SessionMemo.memoize(tradeEdgeCache, (s.sparkContext.applicationId, dir)) {
       T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
         .distinct()
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+    }
 
   /** IVF hyperparameters shared by the query and its oracle generator. */
   private val IvfK = 16

@@ -672,10 +672,13 @@ object TextOps {
                            maxHamming: Int, spark: org.apache.spark.sql.SparkSession,
                            corpusKey: String): DataFrame =
     // keyed by applicationId: a localCheckpoint lives in the SparkContext,
-    // so entries from a stopped context are never handed to a new one
-    nearDupEdgeCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, corpusKey, maxHamming),
-      simHashNearDup(df, idCol, textCol, maxHamming).localCheckpoint(true))
+    // so entries from a stopped context are never handed to a new one;
+    // single-entry retention (SessionMemo) releases the previous corpus's
+    // pinned blocks on re-key
+    SessionMemo.memoize(nearDupEdgeCache,
+      (spark.sparkContext.applicationId, corpusKey, maxHamming)) {
+      simHashNearDup(df, idCol, textCol, maxHamming).localCheckpoint(true)
+    }
 
   /** Session-memoized qualityScore over a corpus (VERDICT r6 item 7):
     * three queries consume the same per-document quality frame
@@ -692,9 +695,9 @@ object TextOps {
   def qualityScoreCached(df: => DataFrame, textCol: String,
                          spark: org.apache.spark.sql.SparkSession,
                          corpusKey: String): DataFrame =
-    qualityCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, corpusKey),
-      qualityScore(df, textCol).localCheckpoint(true))
+    SessionMemo.memoize(qualityCache, (spark.sparkContext.applicationId, corpusKey)) {
+      qualityScore(df, textCol).localCheckpoint(true)
+    }
 
   /** Repetition-based quality signals (the Gopher/MassiveText-style
     * repetition filters): duplicate-token fraction and top-bigram fraction

@@ -116,6 +116,30 @@ class Round8OpsSpec extends SparkSpec {
     assert(strided.filter(t => t._1 != 2L).forall(_._3 == 1L))
   }
 
+  // ── SessionMemo ───────────────────────────────────────────────────────
+
+  test("session memo releases the previous corpus's checkpoint blocks on re-key") {
+    def checkpointRddId(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        case other => fail(s"expected a checkpointed LogicalRDD plan, got $other")
+      }
+    val docsA = df(Seq(Doc8(1, "alpha beta gamma delta"), Doc8(2, "epsilon zeta eta")))
+    val docsB = df(Seq(Doc8(3, "one two three"), Doc8(4, "four five six")))
+    val a = TextOps.qualityScoreCached(docsA, "text", spark, "memo-spec-A")
+    val idA = checkpointRddId(a)
+    assert(spark.sparkContext.getPersistentRDDs.contains(idA),
+      "the memoized frame must be checkpoint-pinned while live")
+    // same key → same cached frame, no re-materialization
+    assert(TextOps.qualityScoreCached(docsA, "text", spark, "memo-spec-A") eq a)
+    // re-key → the old entry's blocks are RELEASED (VERDICT r7 item 8)
+    val b = TextOps.qualityScoreCached(docsB, "text", spark, "memo-spec-B")
+    assert(!spark.sparkContext.getPersistentRDDs.contains(idA),
+      "re-keying must unpersist the previous corpus's checkpoint")
+    assert(spark.sparkContext.getPersistentRDDs.contains(checkpointRddId(b)))
+    assert(b.count() === 2)
+  }
+
   test("dedupSpanStride with stride == span degenerates to the aligned policy") {
     val corpus = df(Seq(
       Doc8(1, boiler),
