@@ -1966,7 +1966,7 @@ object SparkEntry {
       Graph.triangleCounts(edges, "pa", "pb")
         .orderBy(col("triangles").desc, col("node_id").asc).limit(20)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("triangles").desc, col("node_id").asc)).cast("long"))
+          Portable.kRowWindow(col("triangles").desc, col("node_id").asc)).cast("long"))
         .select("rank", "node_id", "triangles")
     }),
 
@@ -1990,12 +1990,12 @@ object SparkEntry {
       val bm = TextOps.bm25Scores(T(s, dir, "documents"), "doc_id", "text", Bm25Terms)
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+          Portable.kRowWindow(col("bm25").desc, col("doc_id").asc)))
         .select("doc_id", "rank")
       val lm = TextOps.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("logprob").desc, col("doc_id").asc).limit(100)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("logprob").desc, col("doc_id").asc)))
+          Portable.kRowWindow(col("logprob").desc, col("doc_id").asc)))
         .select("doc_id", "rank")
       Relational.rrfFuse(Seq(bm, lm), "doc_id", 60, 20)
     }),

@@ -232,7 +232,7 @@ object Relational {
         count(lit(1)).as("n_lists"))
       .orderBy(col("rrf").desc, col(idCol).asc).limit(topK)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf").desc, col(idCol).asc)).cast("long"))
+        Portable.kRowWindow(col("rrf").desc, col(idCol).asc)).cast("long"))
       .select(col("rank"), col(idCol), col("rrf"), col("n_lists"))
   }
 
@@ -416,7 +416,7 @@ object Relational {
     // TakeOrderedAndProject keeps the top k (per-partition heap + merge,
     // no global sort); the rank window then orders only the k survivors —
     // never rank the full pair table through a one-partition window.
-    val w = Window.orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+    val w = Portable.kRowWindow(col("support").desc, col("item_a").asc, col("item_b").asc)
     pairs.groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))

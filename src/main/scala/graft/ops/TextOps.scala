@@ -56,7 +56,7 @@ object TextOps {
     val counts = df.select(explode(bigrams(col(textCol))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
     val top = counts.orderBy(col("cnt").desc, col("bigram").asc).limit(k)
-    val w = Window.orderBy(col("cnt").desc, col("bigram").asc)
+    val w = Portable.kRowWindow(col("cnt").desc, col("bigram").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
@@ -1195,9 +1195,9 @@ object TextOps {
     // TakeOrderedAndProject the k survivors FIRST and run the prefix-sum
     // window over those k rows — a 100 M-token vocabulary must never pass
     // through a one-partition global window.
-    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val w = Portable.kRowWindow(col("cnt").desc, col("token").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wr = Window.orderBy(col("cnt").desc, col("token").asc)
+    val wr = Portable.kRowWindow(col("cnt").desc, col("token").asc)
     counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
       .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(wr).cast("long"))
