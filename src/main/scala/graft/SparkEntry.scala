@@ -993,6 +993,17 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality_score")
         .orderBy("doc_id")),
 
+    // Token-budget selection: keep the highest-quality docs whose running
+    // token total fits a 15k-token budget (the "best N-trillion tokens"
+    // cut). The running sum is the two-level distributed prefix sum —
+    // quality-bucket offsets (k-row window) + within-bucket partitioned
+    // windows — never a corpus-wide global window; a spec proves equality
+    // with the single-window reference the oracle runs.
+    "q_token_budget" -> ((s, dir) =>
+      TextOps.tokenBudgetSelect(T(s, dir, "documents"), "doc_id", "text",
+          budget = 15000L)
+        .orderBy("doc_id")),
+
     "q_rolling_hash" -> ((s, dir) =>
       TextOps.rollingHash(T(s, dir, "documents"), "text")
         .select("doc_id", "rolling_hash")
@@ -3403,6 +3414,30 @@ object SparkEntry {
            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
                  FROM documents))
          ORDER BY doc_id""",
+
+    "q_token_budget" ->
+      """WITH q AS (
+           SELECT doc_id, n_tokens,
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+           FROM (
+             SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               CASE WHEN len(toks) > 0
+                 THEN list_reduce(list_transform(toks, x -> length(x)::BIGINT), (a, b) -> a + b)::DOUBLE / len(toks)
+                 ELSE 0.0 END AS avg_tok_len,
+               CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+             FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                   FROM documents))),
+         c AS (
+           SELECT doc_id, n_tokens, quality_score,
+             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM q)
+         SELECT doc_id, n_tokens, quality_score, cum_tokens::BIGINT AS cum_tokens,
+           (CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END)::BIGINT AS kept
+         FROM c ORDER BY doc_id""",
 
     "q_rolling_hash" ->
       """SELECT doc_id,

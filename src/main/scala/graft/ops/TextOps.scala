@@ -210,6 +210,48 @@ object TextOps {
       .withColumn("quality_score", round(stopRatio * lit(0.5) + least(avgTokLen / lit(10.0), lit(1.0)) * lit(0.5), 6))
   }
 
+  /** Select the highest-quality documents whose cumulative token count
+    * fits a corpus token budget — the "best N-trillion tokens" cut every
+    * training-data pipeline makes once quality scores exist. Greedy
+    * prefix policy: order docs (quality desc, id asc), keep the maximal
+    * prefix with running token total ≤ budget (deterministic; the first
+    * overflowing doc and everything after it is cut).
+    *
+    * 100 TB shape — the distributed prefix sum, NOT a global window: a
+    * corpus-wide running sum ordered by quality would funnel every row
+    * through one partition. Instead (1) docs hash into quality buckets
+    * (floor(q·nBuckets) — monotone, so bucket order refines quality
+    * order), (2) per-bucket token totals aggregate map-side into a k-row
+    * table whose strictly-higher-bucket prefix sums are a [[Portable
+    * .kRowWindow]], (3) each doc's global running total is its bucket
+    * offset (broadcast) + a running sum windowed WITHIN its bucket —
+    * partitioned, parallel. Equivalent to the global window because
+    * floor is monotone and ties share a bucket; a spec proves equality
+    * against the single-window reference.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        budget: Long, nBuckets: Int = 100): DataFrame = {
+    val q = qualityScore(df, textCol)
+      .select(col(idCol), col("n_tokens"), col("quality_score"))
+    val bucketed = q.withColumn("_bucket",
+      floor(col("quality_score") * nBuckets).cast("long"))
+    val bucketTotals = bucketed.groupBy("_bucket").agg(sum("n_tokens").as("_btotal"))
+    val offsets = bucketTotals.withColumn("_offset",
+      coalesce(
+        sum("_btotal").over(Portable.kRowWindow(col("_bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val w = Window.partitionBy("_bucket")
+      .orderBy(col("quality_score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets.select("_bucket", "_offset")), Seq("_bucket"))
+      .withColumn("cum_tokens", col("_offset") + sum("n_tokens").over(w))
+      .withColumn("kept", (col("cum_tokens") <= budget).cast("int").cast("long"))
+      .select(col(idCol), col("n_tokens"), col("quality_score"),
+        col("cum_tokens"), col("kept"))
+  }
+
   /** Canonical document fingerprint: md5 over whitespace-normalized,
     * lower-cased text. Portable (same value in any engine), and the basis
     * for exact dedup at scale (group by fingerprint instead of full text —

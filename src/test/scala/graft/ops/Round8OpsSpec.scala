@@ -116,6 +116,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(strided.filter(t => t._1 != 2L).forall(_._3 == 1L))
   }
 
+  // ── tokenBudgetSelect ─────────────────────────────────────────────────
+
+  test("tokenBudgetSelect equals the single-global-window reference, without one") {
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextOps.tokenBudgetSelect(corpus, "doc_id", "text", budget = 15000L)
+    // reference: the straightforward corpus-wide running sum
+    val q = TextOps.qualityScore(corpus, "text")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val refW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = q.withColumn("cum_tokens", sum("n_tokens").over(refW))
+      .withColumn("kept", (col("cum_tokens") <= 15000L).cast("int").cast("long"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "quality_score", "cum_tokens", "kept")
+      .orderBy("doc_id").collect().toSeq
+    assert(rows(out) === rows(ref))
+    // the budget actually cuts: both kept and dropped docs exist
+    val kept = out.where(col("kept") === 1).count()
+    assert(kept > 0 && kept < corpus.count())
+    // scale shape: the corpus-side running sum must be a PARTITIONED
+    // window — the only unpartitioned window allowed is the k-row bucket
+    // offset (≤ nBuckets+1 rows by construction). Inspect the logical
+    // plan (the physical one hides inside the AQE wrapper).
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(windows.exists(_.nonEmpty), "corpus running sum must be bucket-partitioned")
+  }
+
   // ── SessionMemo ───────────────────────────────────────────────────────
 
   test("session memo releases the previous corpus's checkpoint blocks on re-key") {
