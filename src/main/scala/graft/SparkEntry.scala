@@ -1004,6 +1004,25 @@ object SparkEntry {
           budget = 15000L)
         .orderBy("doc_id")),
 
+    // Shingle novelty: fraction of each doc's distinct 3-gram shingles
+    // shared with at least one other document — the templated-content
+    // signal between exact dedup and span dedup. Third consumer of the
+    // persisted ShingleStore artifact (after prefix-Jaccard and
+    // decontamination): df-aggregate + join back, never the text bodies.
+    "q_novelty" -> ((s, dir) =>
+      TextOps.shingleNovelty(
+          graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id")
+        .orderBy("doc_id")),
+
+    // Per-domain adaptive quality floor: keep docs at or above their own
+    // source-domain's 25th-percentile quality — a corpus-wide threshold
+    // over-prunes clean domains and under-prunes noisy ones. Exact
+    // percentile (quantile_cont parity), broadcast floor table.
+    "q_quality_floor" -> ((s, dir) =>
+      TextOps.qualityFloorByDomain(T(s, dir, "documents"), "doc_id", "text",
+          "source", q = 0.25)
+        .orderBy("doc_id")),
+
     "q_rolling_hash" -> ((s, dir) =>
       TextOps.rollingHash(T(s, dir, "documents"), "text")
         .select("doc_id", "rolling_hash")
@@ -3438,6 +3457,42 @@ object SparkEntry {
          SELECT doc_id, n_tokens, quality_score, cum_tokens::BIGINT AS cum_tokens,
            (CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END)::BIGINT AS kept
          FROM c ORDER BY doc_id""",
+
+    "q_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+         SELECT doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS shared_frac
+         FROM sh JOIN dfreq USING (shingle)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_quality_floor" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+           FROM (
+             SELECT doc_id, source,
+               CASE WHEN len(toks) > 0
+                 THEN list_reduce(list_transform(toks, x -> length(x)::BIGINT), (a, b) -> a + b)::DOUBLE / len(toks)
+                 ELSE 0.0 END AS avg_tok_len,
+               CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+             FROM (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                   FROM documents))),
+         f AS (SELECT source, quantile_cont(quality_score, 0.25) AS fl
+               FROM q GROUP BY source)
+         SELECT doc_id, source, quality_score, round(fl, 9) AS domain_floor,
+           (CASE WHEN quality_score >= fl THEN 1 ELSE 0 END)::BIGINT AS kept
+         FROM q JOIN f USING (source) ORDER BY doc_id""",
 
     "q_rolling_hash" ->
       """SELECT doc_id,

@@ -252,6 +252,49 @@ object TextOps {
         col("cum_tokens"), col("kept"))
   }
 
+  /** Per-document shingle novelty: what fraction of a doc's distinct
+    * n-gram shingles also appear in at least one OTHER document. High
+    * shared fraction = templated/boilerplate-heavy content even when no
+    * single document duplicates it outright — the curation signal between
+    * exact dedup (whole doc) and span dedup (contiguous blocks). Takes
+    * the PRE-BUILT shingle table so, at scale, the persisted
+    * [[graft.sources.ShingleStore]] artifact is scanned — one
+    * document-frequency aggregate on the shingle key, one equi-join back,
+    * one per-doc aggregate; never the text bodies.
+    *
+    * df > 1 ⇒ shared with another doc because [[shingles]] emits DISTINCT
+    * shingles per doc — a within-doc repeat contributes one row.
+    */
+  def shingleNovelty(sh: DataFrame, idCol: String): DataFrame = {
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
+  /** Per-domain adaptive quality floor: keep documents at or above their
+    * own domain's q-th quality quantile. A single corpus-wide threshold
+    * over-prunes clean domains and under-prunes noisy ones; the
+    * per-domain floor is the standard fix. Exact `percentile` (not
+    * approx) so the floor is deterministic and engine-portable
+    * (DuckDB quantile_cont parity — the C59/C66 recipe); domains are a
+    * bounded set, so the floor table broadcasts.
+    */
+  def qualityFloorByDomain(df: DataFrame, idCol: String, textCol: String,
+                           domainCol: String, q: Double): DataFrame = {
+    val scored = qualityScore(df, textCol)
+      .select(col(idCol), col(domainCol), col("quality_score"))
+    val floors = scored.groupBy(domainCol)
+      .agg(expr(s"percentile(quality_score, $q)").as("_floor"))
+    scored.join(broadcast(floors), Seq(domainCol))
+      .select(col(idCol), col(domainCol), col("quality_score"),
+        round(col("_floor"), 9).as("domain_floor"),
+        (col("quality_score") >= col("_floor")).cast("int").cast("long").as("kept"))
+  }
+
   /** Canonical document fingerprint: md5 over whitespace-normalized,
     * lower-cased text. Portable (same value in any engine), and the basis
     * for exact dedup at scale (group by fingerprint instead of full text —

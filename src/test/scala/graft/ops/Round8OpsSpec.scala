@@ -147,6 +147,55 @@ class Round8OpsSpec extends SparkSpec {
     assert(windows.exists(_.nonEmpty), "corpus running sum must be bucket-partitioned")
   }
 
+  // ── shingleNovelty ────────────────────────────────────────────────────
+
+  test("shingleNovelty: shared fraction counts shingles present in other docs") {
+    val docs = df(Seq(
+      Doc8(1, "a b c d e"),        // shingles: abc bcd cde
+      Doc8(2, "a b c x y"),        // shares abc with doc 1
+      Doc8(3, "p q r s t")))       // fully novel
+    val sh = TextOps.shingles(docs, "doc_id", "text", 3)
+    val out = TextOps.shingleNovelty(sh, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1L, 3L, 1L, 0.333333)))
+    assert(out(1) === ((2L, 3L, 1L, 0.333333)))
+    assert(out(2) === ((3L, 3L, 0L, 0.0)))
+  }
+
+  test("shingleNovelty: within-doc repeats do not count as shared") {
+    // "a b c a b c" has distinct shingles {abc, bca, cab} — repeats inside
+    // one doc collapse (shingles are distinct per doc), so df stays 1.
+    val docs = df(Seq(Doc8(1, "a b c a b c"), Doc8(2, "x y z w v")))
+    val out = TextOps.shingleNovelty(
+        TextOps.shingles(docs, "doc_id", "text", 3), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(2) == 0L), "no cross-doc sharing exists here")
+  }
+
+  // ── qualityFloorByDomain ──────────────────────────────────────────────
+
+  test("qualityFloorByDomain: floors are per-domain, kept iff at or above own floor") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextOps.qualityFloorByDomain(docs, "doc_id", "text", "source", 0.25)
+    val rows = out.collect()
+    assert(rows.length === docs.count())
+    val byDomain = rows.groupBy(_.getString(1))
+    assert(byDomain.size > 1, "fixture must have several source domains")
+    byDomain.foreach { case (dom, rs) =>
+      val floor = rs.head.getDouble(3)
+      assert(rs.forall(_.getDouble(3) === floor), s"one floor per domain $dom")
+      rs.foreach { r =>
+        assert((r.getLong(4) == 1L) === (r.getDouble(2) >= floor))
+      }
+      // roughly the top 75% survive (exact fraction depends on ties)
+      val kept = rs.count(_.getLong(4) == 1L).toDouble / rs.length
+      assert(kept >= 0.6 && kept <= 1.0, s"$dom kept fraction $kept")
+    }
+    // floors genuinely differ across domains (adaptive, not global)
+    assert(byDomain.values.map(_.head.getDouble(3)).toSet.size > 1)
+  }
+
   // ── SessionMemo ───────────────────────────────────────────────────────
 
   test("session memo releases the previous corpus's checkpoint blocks on re-key") {
