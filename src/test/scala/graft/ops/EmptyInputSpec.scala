@@ -101,6 +101,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(VectorOps.matryoshka(emptyVecs, "vec_id", "embedding", 8).count() === 0)
   }
 
+  test("round-8 ops on empty and degenerate inputs") {
+    // empty corpus
+    assert(TextOps.dedupSpanStride(emptyDocs, "doc_id", "text", 20, 5).count() === 0)
+    assert(TextOps.bpeEncode(emptyDocs, "doc_id", "text", Seq(("a", "b"))).count() === 0)
+    assert(TextOps.bpeTrainMerges(emptyDocs, "text", 4).isEmpty)
+    assert(TextOps.shingleNovelty(
+      TextOps.shingles(emptyDocs, "doc_id", "text", 3), "doc_id").count() === 0)
+    assert(TextOps.qualityFloorByDomain(
+      emptyDocs.withColumn("source", lit("x")), "doc_id", "text", "source", 0.25).count() === 0)
+    assert(TextOps.tokenBudgetSelect(emptyDocs, "doc_id", "text", 1000L).count() === 0)
+    // empty merge table: encode must be the identity tokenization
+    val one = df(Seq(Doc(1, "a b c")))
+    val enc = TextOps.bpeEncode(one, "doc_id", "text", Seq.empty).collect().head
+    assert(enc.getLong(1) === 3L && enc.getLong(2) === 3L && enc.getString(3) === "a b c")
+    // 1-token docs: no window shorter than a doc, nothing throws
+    val tiny = df(Seq(Doc(1, "solo"), Doc(2, "solo")))
+    val spans = TextOps.dedupSpanStride(tiny, "doc_id", "text", 20, 5)
+      .orderBy("doc_id").collect()
+    assert(spans.map(r => (r.getLong(0), r.getLong(2))).toSeq === Seq((1L, 1L), (2L, 0L)),
+      "identical 1-token docs still dedup (doc 2's only window duplicates doc 1's)")
+    // zero-token budget keeps nothing but still emits every doc's verdict
+    val zb = TextOps.tokenBudgetSelect(one, "doc_id", "text", 0L).collect()
+    assert(zb.length === 1 && zb.head.getLong(4) === 0L)
+  }
+
   test("profiling on empty frame reports zero rows per column") {
     val p = Profiling.profile(emptyBars.toDF(), Seq("isin", "price")).collect()
     assert(p.length === 2)
