@@ -1360,6 +1360,34 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // Image-container header parse — REAL byte-level format decoding:
+    // even docs get a planted PNG (big-endian u32 dims in the IHDR
+    // chunk), odd docs a GIF (little-endian u16 logical-screen dims),
+    // every third doc's payload is the raw text (an unparseable header —
+    // the malformed-media case). The payloads are built in-query from
+    // doc_id arithmetic, the parser reads actual bytes at the container
+    // offsets, and the oracle checks the parse recovers exactly the
+    // planted dimensions (the q_redact planted-fixture pattern applied
+    // to binary).
+    "q_image_dims" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val w = (col("doc_id") % 256 + 64).cast("int")
+      val h = (col("doc_id") % 128 + 32).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      val gifHex = concat(lit("474946383961"),
+        lpad(hex(w % 256), 2, "0"), lpad(hex(w / 256), 2, "0"),
+        lpad(hex(h % 256), 2, "0"), lpad(hex(h / 256), 2, "0"), lit("000000"))
+      val payload = when(col("doc_id") % 3 === 0, col("text").cast("binary"))
+        .when(col("doc_id") % 2 === 0, unhex(pngHex))
+        .otherwise(unhex(gifHex))
+      val packed = docs.select(col("doc_id").as("id"), payload.as("payload"),
+        struct(lit("image/*").as("mime"), length(payload).cast("long").as("byte_len"),
+          lit("planted").as("source")).as("meta"))
+      MultimodalOps.imageDims(packed).toDF()
+        .orderBy("id")
+    }),
+
     // Embedding-cosine near-dup: exact within a bounded range (oracle-
     // checked); the LSH-bucketed variant below is the 100 TB path.
     "q_embed_neardup" -> ((s, dir) =>
@@ -3457,6 +3485,14 @@ object SparkEntry {
          SELECT doc_id, n_tokens, quality_score, cum_tokens::BIGINT AS cum_tokens,
            (CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END)::BIGINT AS kept
          FROM c ORDER BY doc_id""",
+
+    "q_image_dims" ->
+      """SELECT doc_id AS id,
+           CASE WHEN doc_id % 3 = 0 THEN 'unknown'
+                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+           (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 256 + 64 END)::BIGINT AS width,
+           (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 128 + 32 END)::BIGINT AS height
+         FROM documents ORDER BY id""",
 
     "q_novelty" ->
       """WITH toks AS (

@@ -151,6 +151,43 @@ object MultimodalOps {
         explode(sequence(lit(0L), nFrames - 1, lit(stride.toLong))).as("frame_idx"))
   }
 
+  /** Output row of the image-header parse. */
+  case class ImageDims(id: Long, format: String, width: Long, height: Long)
+
+  /** Image-container header parse — REAL format decoding on the payload
+    * bytes, not a fingerprint: PNG (8-byte signature, then the IHDR chunk
+    * carries width/height as big-endian u32 at offsets 16/20) and GIF
+    * ("GIF87a"/"GIF89a", then the logical-screen width/height as
+    * little-endian u16 at offsets 6/8). These are the two raster formats
+    * whose dimensions live at FIXED offsets, so the parse is a handful of
+    * byte reads — same partition-local mapPartitions shape as
+    * [[decodeByteFeatures]]; a full codec slots into the same loop.
+    * Unrecognized payloads emit ("unknown", -1, -1) rather than throwing:
+    * at corpus scale a malformed header is data, not an exception.
+    */
+  def imageDims(packed: DataFrame): Dataset[ImageDims] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        def u8(p: Array[Byte], i: Int): Long = p(i) & 0xffL
+        def be32(p: Array[Byte], i: Int): Long =
+          (u8(p, i) << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+        def le16(p: Array[Byte], i: Int): Long = u8(p, i) | (u8(p, i + 1) << 8)
+        val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+        rows.map { case (id, p) =>
+          if (p != null && p.length >= 24 && p.startsWith(pngSig) &&
+              p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+            ImageDims(id, "png", be32(p, 16), be32(p, 20))
+          else if (p != null && p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+              p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+            ImageDims(id, "gif", le16(p, 6), le16(p, 8))
+          else ImageDims(id, "unknown", -1L, -1L)
+        }
+      }
+  }
+
   /** Corpus stats over decoded features: per-mime feature means — the
     * downstream-analytics shape (small columns only; payloads pruned).
     */

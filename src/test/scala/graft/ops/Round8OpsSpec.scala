@@ -196,6 +196,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(byDomain.values.map(_.head.getDouble(3)).toSet.size > 1)
   }
 
+  // ── imageDims ─────────────────────────────────────────────────────────
+
+  test("imageDims parses PNG (BE u32) and GIF (LE u16) headers, rejects junk") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480: sig + IHDR len + "IHDR" + w + h + depth/color/padding
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      "00000280" + "000001E0" + "0806000000")
+    // GIF89a 320x200 little-endian: 40 01 / C8 00
+    val gif = hexBytes("474946383961" + "4001" + "C800" + "000000")
+    // Truncated PNG (signature only) and plain text
+    val junk1 = hexBytes("89504E470D0A1A0A")
+    val junk2 = "just some text bytes".getBytes("UTF-8")
+    val packed = spark.createDataFrame(Seq(
+        (1L, png), (2L, gif), (3L, junk1), (4L, junk2)))
+      .toDF("id", "payload")
+      .withColumn("meta", struct(lit("image/*").as("mime"),
+        length(col("payload")).cast("long").as("byte_len"), lit("t").as("source")))
+    val out = MultimodalOps.imageDims(packed).collect()
+      .map(d => d.id -> ((d.format, d.width, d.height))).toMap
+    assert(out(1L) === (("png", 640L, 480L)))
+    assert(out(2L) === (("gif", 320L, 200L)))
+    assert(out(3L) === (("unknown", -1L, -1L)))
+    assert(out(4L) === (("unknown", -1L, -1L)))
+  }
+
   // ── SessionMemo ───────────────────────────────────────────────────────
 
   test("session memo releases the previous corpus's checkpoint blocks on re-key") {
