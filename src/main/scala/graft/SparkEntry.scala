@@ -1014,6 +1014,16 @@ object SparkEntry {
           graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id")
         .orderBy("doc_id")),
 
+    // Vocabulary-id encoding: map every doc to top-20 vocab ids (by
+    // corpus frequency, ties token-asc; 0 = OOV) with per-doc OOV rate —
+    // the encode step between vocab training and packing. The id
+    // sequence reassembles order-deterministically via sorted (pos, id)
+    // structs, never a bare collect_list.
+    "q_tokenize_ids" -> ((s, dir) =>
+      TextOps.tokenizeToIds(T(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy("doc_id")),
+
     // Per-domain adaptive quality floor: keep docs at or above their own
     // source-domain's 25th-percentile quality — a corpus-wide threshold
     // over-prunes clean domains and under-prunes noisy ones. Exact
@@ -3509,6 +3519,27 @@ object SparkEntry {
            round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS shared_frac
          FROM sh JOIN dfreq USING (shingle)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_tokenize_ids" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         vocab AS (
+           SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS token_id
+           FROM (SELECT token, count(*) AS cnt
+                 FROM (SELECT unnest(t) AS token FROM toks)
+                 GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20)),
+         tok AS (
+           SELECT doc_id, u.i AS pos, t[u.i] AS token
+           FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+         mapped AS (
+           SELECT doc_id, pos, coalesce(token_id, 0) AS tid,
+             CASE WHEN token_id IS NULL THEN 1 ELSE 0 END AS oov
+           FROM tok LEFT JOIN vocab USING (token))
+         SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+           round(sum(oov)::DOUBLE / count(*)::DOUBLE, 6) AS oov_rate,
+           string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS ids
+         FROM mapped GROUP BY doc_id ORDER BY doc_id""",
 
     "q_quality_floor" ->
       """WITH q AS (

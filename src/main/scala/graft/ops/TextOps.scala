@@ -1272,6 +1272,38 @@ object TextOps {
         concat_ws(" ", col("_enc")).as("encoded"))
   }
 
+  /** Map every document to vocabulary token ids (1..vocabSize by corpus
+    * frequency, ties token-asc; 0 = OOV/UNK) and account the OOV rate —
+    * the encode step between vocabulary training (C81 vocabCoverage) and
+    * sequence packing. Scale shape: the vocab is a top-k aggregate
+    * (broadcast — vocabSize rows), tokens explode WITH POSITION, the id
+    * map is a broadcast left join, and each doc reassembles its id
+    * sequence order-deterministically by sorting (pos, id) structs —
+    * `collect_list` alone has no order guarantee under parallelism.
+    */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+      .withColumn("token_id",
+        row_number().over(Portable.kRowWindow(col("cnt").desc, col("token").asc)).cast("long"))
+      .select("token", "token_id")
+    val tok = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos").as("p"),
+            coalesce(col("token_id"), lit(0L)).as("tid")))),
+          s => s.getField("tid").cast("string"))).as("ids"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate"), col("ids"))
+  }
+
   def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))

@@ -196,6 +196,20 @@ class Round8OpsSpec extends SparkSpec {
     assert(byDomain.values.map(_.head.getDouble(3)).toSet.size > 1)
   }
 
+  // ── tokenizeToIds ─────────────────────────────────────────────────────
+
+  test("tokenizeToIds: frequency-ranked ids, OOV as 0, position order preserved") {
+    val docs = df(Seq(
+      Doc8(1, "b a b c b a"),   // freqs: b=3(+1 below =4? no, per-corpus) ...
+      Doc8(2, "a a z")))
+    // corpus freqs: a=4, b=3, c=1, z=1 → vocab(3): a=1, b=2, c=3; z OOV
+    val out = TextOps.tokenizeToIds(docs, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(out(0) === ((1L, 6L, 0L, "2 1 2 3 2 1")))
+    assert(out(1) === ((2L, 3L, 1L, "1 1 0")))
+  }
+
   // ── imageDims ─────────────────────────────────────────────────────────
 
   test("imageDims parses PNG (BE u32) and GIF (LE u16) headers, rejects junk") {
