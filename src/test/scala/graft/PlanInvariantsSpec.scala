@@ -169,6 +169,26 @@ class PlanInvariantsSpec extends SparkSpec {
       "expected TakeOrderedAndProject for the top-20 rank")
   }
 
+  test("round-8 queries keep their scale-plan contracts") {
+    // q_quality_floor / q_tokenize_ids: the small side (per-domain floor
+    // table / top-k vocab) must broadcast — the corpus never shuffles on
+    // a join key for these
+    Seq("q_quality_floor", "q_tokenize_ids").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      withClue(s"$name: ") {
+        assert(nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+          "expected the bounded side to broadcast")
+      }
+    }
+    // q_novelty reads the persisted shingle artifact, not a re-explode
+    val nov = SparkEntry.queries("q_novelty")(spark, sfDir)
+    assert(nov.queryExecution.executedPlan.toString.contains("graft_shingles_n3"),
+      "q_novelty must scan the ShingleStore artifact")
+  }
+
   test("every lineitem row-level query orders by the full unique key") {
     // regression guard for the non-unique (l_orderkey, l_linenumber) trap:
     // queries whose FIRST sort column is l_orderkey must also sort by
