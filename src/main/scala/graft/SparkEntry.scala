@@ -1014,6 +1014,15 @@ object SparkEntry {
           graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id")
         .orderBy("doc_id")),
 
+    // Portable per-group HLL sketch (m=64): register state and estimate
+    // are built from md5 halves + bin()-length ranks + exact dyadic sums,
+    // so unlike approx_count_distinct's engine-private HLL++ this sketch
+    // HASH-CHECKS against the oracle (the C6/C73 rows-only gap, closed
+    // for the mergeable-register formulation).
+    "q_hll_distinct" -> ((s, dir) =>
+      Profiling.hllDistinct(T(s, dir, "events"), Seq("event_type"), "user_id")
+        .orderBy("event_type")),
+
     // Vocabulary-id encoding: map every doc to top-20 vocab ids (by
     // corpus frequency, ties token-asc; 0 = OOV) with per-doc OOV rate —
     // the encode step between vocab training and packing. The id
@@ -3519,6 +3528,28 @@ object SparkEntry {
            round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS shared_frac
          FROM sh JOIN dfreq USING (shingle)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_hll_distinct" ->
+      """WITH h AS (
+           SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 64 AS idx,
+             ('0x' || substr(md5(user_id::VARCHAR), 9, 8))::BIGINT AS hi
+           FROM events),
+         r AS (
+           SELECT event_type, idx,
+             max(CASE WHEN hi = 0 THEN 33 ELSE 33 - length(bin(hi)) END) AS rho
+           FROM h GROUP BY event_type, idx),
+         s AS (
+           SELECT event_type, count(*) AS n_registers_set,
+             sum(power(0.5, rho)) + (64 - count(*)) AS s
+           FROM r GROUP BY event_type)
+         SELECT event_type, n_registers_set::BIGINT AS n_registers_set,
+           (s * 8589934592.0)::BIGINT AS s_scaled,
+           round(CASE WHEN (64 - n_registers_set) > 0
+                       AND 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s <= 160.0
+                  THEN 64.0 * ln(64.0 / (64 - n_registers_set))
+                  ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) AS est_distinct
+         FROM s ORDER BY event_type""",
 
     "q_tokenize_ids" ->
       """WITH toks AS (

@@ -187,4 +187,51 @@ object Profiling {
           round((col("_sy") - slope * col("_sx")) / col("_n"), 6)))
       .drop("_n", "_sx", "_sy", "_sxy", "_sxx")
   }
+
+  /** Per-group HyperLogLog sketch (m = 64 registers) — the mergeable
+    * approximate-distinct state, built PORTABLY so it hash-checks against
+    * the DuckDB oracle (unlike approx_count_distinct's engine-private
+    * HLL++ — the C6/C73 rows-only cases, upgraded here): register index =
+    * md5-low32 mod 64, rank = leading zeros of md5-high32 + 1 computed as
+    * 33 − length(bin(h)) (string length is exact; no libm anywhere), and
+    * the register sum Σ 2^−R is a dyadic rational with denominator 2⁻³³ —
+    * exact in double in ANY summation order, exported as the integer
+    * `s_scaled` = S·2³³. The raw HLL estimate αₘ·m²/S uses only IEEE
+    * division/multiplication; the small-range linear-counting correction
+    * (m·ln(m/V) when V empty registers exist and the raw estimate is
+    * below 2.5m) does use ln, but its argument set is FINITE — V ∈ 1..63
+    * — and Java's Math.log and DuckDB's ln were verified bit-identical on
+    * all 63 inputs, so `est_distinct` stays hash-checked.
+    *
+    * Scale shape: one hash aggregate to (group, register) — map-side
+    * combinable — then one to group; registers merge by MAX, so shard
+    * sketches union by element-wise max exactly like the count-min matrix
+    * (spec-proven).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val m = 64
+    val h = graft.functions.Md5Hash64.hash64(col(valueCol).cast("string"))
+    val idx = pmod(h.getItem(0), lit(m.toLong))
+    val hi = h.getItem(1)
+    val rho = when(hi === 0L, lit(33L)).otherwise(lit(33L) - length(bin(hi)))
+    val regs = df
+      .select((groupCols.map(col) :+ idx.as("_idx") :+ rho.as("_rho")): _*)
+      .groupBy((groupCols :+ "_idx").map(col): _*)
+      .agg(max("_rho").as("_r"))
+    // α_64·m², spelled as the same IEEE op sequence the oracle runs
+    val alphaMM = 0.7213 / (1 + 1.079 / 64.0) * 4096.0
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_registers_set"),
+        sum(pow(lit(0.5), col("_r"))).as("_sp"))
+      .withColumn("_s", col("_sp") + (lit(m.toDouble) - col("n_registers_set")))
+      .withColumn("_v", lit(m.toLong) - col("n_registers_set"))
+      .withColumn("_raw", lit(alphaMM) / col("_s"))
+      .withColumn("s_scaled", (col("_s") * lit(8589934592.0)).cast("long"))
+      .withColumn("est_distinct", round(
+        when(col("_v") > 0L && col("_raw") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_v").cast("double")))
+          .otherwise(col("_raw")), 4))
+      .select((groupCols.map(col) ++
+        Seq(col("n_registers_set"), col("s_scaled"), col("est_distinct"))): _*)
+  }
 }

@@ -210,6 +210,46 @@ class Round8OpsSpec extends SparkSpec {
     assert(out(1) === ((2L, 3L, 1L, "1 1 0")))
   }
 
+  // ── hllDistinct ───────────────────────────────────────────────────────
+
+  test("hllDistinct: estimates within HLL error bounds of the exact distinct count") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val est = Profiling.hllDistinct(events, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, d) =>
+      val relErr = math.abs(est(k) - d) / d.toDouble
+      info(f"$k: exact=$d est=${est(k)}%.1f relErr=$relErr%.3f")
+      // raw m=64 estimator: 1.04/sqrt(64) = 13% std error; 3 sigma ≈ 0.4
+      assert(relErr < 0.4, s"$k: estimate ${est(k)} vs exact $d")
+    }
+  }
+
+  test("hllDistinct: shard sketches merge by register max into the whole-corpus sketch") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "user_id")
+    // Rebuild the register tables for two disjoint shards and max-merge
+    // them; the merged state must reproduce the whole-corpus sketch
+    // EXACTLY (max is the HLL merge monoid — same claim as count-min's
+    // element-wise sum, proven on the register representation).
+    def registers(df: org.apache.spark.sql.DataFrame) = {
+      val h = graft.functions.Md5Hash64.hash64(col("user_id").cast("string"))
+      df.select(col("event_type"), pmod(h.getItem(0), lit(64L)).as("idx"),
+          when(h.getItem(1) === 0L, lit(33L))
+            .otherwise(lit(33L) - length(bin(h.getItem(1)))).as("rho"))
+        .groupBy("event_type", "idx").agg(max("rho").as("r"))
+    }
+    val a = registers(events.where(pmod(col("event_id"), lit(2)) === 0))
+    val b = registers(events.where(pmod(col("event_id"), lit(2)) === 1))
+    val merged = a.unionByName(b).groupBy("event_type", "idx").agg(max("r").as("r"))
+    val whole = registers(events)
+    assert(merged.except(whole).count() === 0 && whole.except(merged).count() === 0,
+      "max-merged shard registers must equal the whole-corpus registers")
+  }
+
   // ── imageDims ─────────────────────────────────────────────────────────
 
   test("imageDims parses PNG (BE u32) and GIF (LE u16) headers, rejects junk") {
