@@ -208,16 +208,30 @@ object Profiling {
     * sketches union by element-wise max exactly like the count-min matrix
     * (spec-proven).
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
-    val m = 64
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** The per-(group, register) rank table — the sketch's MERGEABLE state:
+    * shard register tables union + max-merge into the whole-corpus table
+    * (spec-proven), which is what the streaming twin maintains per
+    * micro-batch.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val h = graft.functions.Md5Hash64.hash64(col(valueCol).cast("string"))
-    val idx = pmod(h.getItem(0), lit(m.toLong))
+    val idx = pmod(h.getItem(0), lit(64L))
     val hi = h.getItem(1)
     val rho = when(hi === 0L, lit(33L)).otherwise(lit(33L) - length(bin(hi)))
-    val regs = df
-      .select((groupCols.map(col) :+ idx.as("_idx") :+ rho.as("_rho")): _*)
+    df.select((groupCols.map(col) :+ idx.as("_idx") :+ rho.as("_rho")): _*)
       .groupBy((groupCols :+ "_idx").map(col): _*)
       .agg(max("_rho").as("_r"))
+  }
+
+  /** Estimate finalization over a register table (columns `_idx`, `_r`
+    * plus the group keys) — shared by the batch operator and the
+    * streaming state so stream-vs-batch convergence is hash-exact.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = 64
     // α_64·m², spelled as the same IEEE op sequence the oracle runs
     val alphaMM = 0.7213 / (1 + 1.079 / 64.0) * 4096.0
     regs.groupBy(groupCols.map(col): _*)

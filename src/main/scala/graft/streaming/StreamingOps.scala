@@ -99,6 +99,42 @@ object StreamingOps {
       partial.map(p => graft.ops.Relational.mergePartialAggs(Seq(p), keys))
   }
 
+  /** Streaming approximate-distinct maintenance — the streaming twin of
+    * Profiling.hllDistinct (C125): each micro-batch reduces to its
+    * per-(group, register) HLL rank table and max-merges into the running
+    * registers. MAX is the HLL merge monoid, so the maintained state is
+    * EXACTLY the whole-stream sketch whatever the micro-batch boundaries
+    * or arrival order — the same bit-exact convergence claim as
+    * IncrementalAggState's (count, sum) monoid, on sketch state. State
+    * size is |groups|·64 rows forever, the whole point of sketching an
+    * unbounded stream. Same idempotent-replay contract (re-delivered
+    * batchIds are no-ops).
+    */
+  final class HllDistinctState(groupCols: Seq[String], valueCol: String) {
+    @volatile private var registers: Option[DataFrame] = None
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = graft.ops.Profiling.hllRegisters(batch, groupCols, valueCol)
+      val merged = registers match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy((groupCols :+ "_idx").map(col): _*)
+          .agg(max("_r").as("_r"))
+        case None => p
+      }
+      registers = Some(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current estimates — the SAME finalization as the batch operator
+      * (Profiling.hllEstimate), so stream-vs-batch convergence is
+      * hash-exact.
+      */
+    def finalized: Option[DataFrame] =
+      registers.map(graft.ops.Profiling.hllEstimate(_, groupCols))
+  }
+
   /** Streaming CDC apply (VERDICT r7 item 7) — the streaming twin of
     * Relational.cdcApply (C89): I/U/D changelog micro-batches merge into
     * a running base via foreachBatch, latest version per key wins, D

@@ -235,16 +235,11 @@ class Round8OpsSpec extends SparkSpec {
     // them; the merged state must reproduce the whole-corpus sketch
     // EXACTLY (max is the HLL merge monoid — same claim as count-min's
     // element-wise sum, proven on the register representation).
-    def registers(df: org.apache.spark.sql.DataFrame) = {
-      val h = graft.functions.Md5Hash64.hash64(col("user_id").cast("string"))
-      df.select(col("event_type"), pmod(h.getItem(0), lit(64L)).as("idx"),
-          when(h.getItem(1) === 0L, lit(33L))
-            .otherwise(lit(33L) - length(bin(h.getItem(1)))).as("rho"))
-        .groupBy("event_type", "idx").agg(max("rho").as("r"))
-    }
+    def registers(df: org.apache.spark.sql.DataFrame) =
+      Profiling.hllRegisters(df, Seq("event_type"), "user_id")
     val a = registers(events.where(pmod(col("event_id"), lit(2)) === 0))
     val b = registers(events.where(pmod(col("event_id"), lit(2)) === 1))
-    val merged = a.unionByName(b).groupBy("event_type", "idx").agg(max("r").as("r"))
+    val merged = a.unionByName(b).groupBy("event_type", "_idx").agg(max("_r").as("_r"))
     val whole = registers(events)
     assert(merged.except(whole).count() === 0 && whole.except(merged).count() === 0,
       "max-merged shard registers must equal the whole-corpus registers")

@@ -414,6 +414,33 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL sketch converges hash-exactly to the batch sketch") {
+    // C125's streaming twin: per-micro-batch register tables max-merge
+    // into the running sketch; MAX is the HLL merge monoid, so the
+    // maintained state must equal the batch whole-corpus sketch EXACTLY
+    // (registers, s_scaled, estimate) whatever the batch boundaries.
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "user_id")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_hll_in").toFile.getAbsolutePath
+    events.where(pmod(col("event_id"), lit(3)) === 0).write.mode("append").parquet(inDir)
+    events.where(pmod(col("event_id"), lit(3)) === 1).write.mode("append").parquet(inDir)
+    events.where(pmod(col("event_id"), lit(3)) === 2).write.mode("append").parquet(inDir)
+
+    val state = new StreamingOps.HllDistinctState(Seq("event_type"), "user_id")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val streamed = toMap(state.finalized.get)
+      val batch = toMap(graft.ops.Profiling.hllDistinct(events, Seq("event_type"), "user_id"))
+      assert(streamed === batch,
+        "micro-batched max-merged registers must reproduce the batch sketch bit-for-bit")
+    } finally q.stop()
+  }
+
   test("streaming CDC apply converges to the batch cdcApply, out of order and replayed") {
     // C89's streaming twin (VERDICT r7 item 7): the q_cdc_apply changelog
     // (updates v2, deletes v3, inserts v1) lands in micro-batches in
