@@ -1014,6 +1014,16 @@ object SparkEntry {
           graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id")
         .orderBy("doc_id")),
 
+    // Portable histogram-quantile sketch (128 bins): the mergeable
+    // approximate-percentile state built from exact bin counts + linear
+    // interpolation — no engine-private sketch, so unlike
+    // q_approx_percentile (rows-only by design) the estimates
+    // HASH-CHECK; error bounded by one bin width by construction.
+    "q_hist_quantiles" -> ((s, dir) =>
+      Profiling.histogramQuantiles(T(s, dir, "events"), Seq("event_type"), "value",
+          nBins = 128, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type", "q")),
+
     // Portable per-group HLL sketch (m=64): register state and estimate
     // are built from md5 halves + bin()-length ranks + exact dyadic sums,
     // so unlike approx_count_distinct's engine-private HLL++ this sketch
@@ -3528,6 +3538,32 @@ object SparkEntry {
            round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS shared_frac
          FROM sh JOIN dfreq USING (shingle)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_hist_quantiles" ->
+      """WITH ext AS (
+           SELECT event_type, min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi, count(*) AS n
+           FROM events GROUP BY event_type),
+         b AS (
+           SELECT e.event_type,
+             (CASE WHEN hi = lo THEN 0
+                   ELSE least(floor((value::DOUBLE - lo) / ((hi - lo) / 128)), 127) END)::BIGINT AS bin
+           FROM events e JOIN ext USING (event_type)),
+         c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY event_type, bin),
+         cc AS (
+           SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM c),
+         qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+         pick AS (
+           SELECT cc.event_type, q, bin, cnt, cum, lo, hi, n,
+             row_number() OVER (PARTITION BY cc.event_type, q ORDER BY bin) AS rn
+           FROM cc JOIN ext USING (event_type) CROSS JOIN qq
+           WHERE cum::DOUBLE >= q * n::DOUBLE)
+         SELECT event_type, q,
+           round(lo + bin::DOUBLE * ((hi - lo) / 128)
+             + ((q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE) * ((hi - lo) / 128), 6) AS est
+         FROM pick WHERE rn = 1 ORDER BY event_type, q""",
 
     "q_hll_distinct" ->
       """WITH h AS (

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Dataset profiling for pipeline QA (the north-star "know your corpus"
   * op): per-column null and distinct counts in ONE scan — every stat is a
@@ -186,6 +187,59 @@ object Profiling {
         when(col("_n") >= 2.0 && den =!= 0.0,
           round((col("_sy") - slope * col("_sx")) / col("_n"), 6)))
       .drop("_n", "_sx", "_sy", "_sxy", "_sxx")
+  }
+
+  /** Per-group histogram-quantile sketch — the PORTABLE mergeable
+    * approximate-percentile state (the C73 rows-only case, upgraded the
+    * way C125 upgrades approx distinct): per-group [min, max] splits
+    * into `nBins` equal bins, bin counts aggregate map-side (the
+    * mergeable state — shard histograms sum element-wise given shared
+    * edges), and each requested quantile interpolates linearly inside
+    * the first bin whose cumulative count reaches q·n. Every step is
+    * exact counting or basic IEEE arithmetic — no engine-private sketch
+    * — so estimates hash-check against the oracle. Guarantee: the
+    * estimate lands in the bin of the ⌈q·n⌉-th order statistic, i.e.
+    * within one bin width (max−min)/nBins of the COUNT-BASED quantile
+    * (spec-proven). Interpolated definitions (quantile_cont /
+    * percentile) can differ by more on sparse tails — they interpolate
+    * BETWEEN order statistics that may sit bins apart; the bracketing
+    * guarantee is on the order statistic itself.
+    *
+    * Scale shape: one (group) min/max/count aggregate (broadcast — groups
+    * are bounded), one (group, bin) count aggregate, a per-group
+    * cumulative window over ≤ nBins rows, and a broadcast explode of the
+    * requested quantiles.
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                         nBins: Int, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val ext = df.groupBy(groupCols.map(col): _*)
+      .agg(min(v).as("_lo"), max(v).as("_hi"), count(lit(1)).as("_n"))
+    val wBin = (col("_hi") - col("_lo")) / nBins
+    val bin = when(col("_hi") === col("_lo"), lit(0L))
+      .otherwise(least(floor((v - col("_lo")) / wBin), lit((nBins - 1).toLong)))
+      .cast("long")
+    val counts = df.join(broadcast(ext), groupCols)
+      .select((groupCols.map(col) :+ bin.as("_bin")): _*)
+      .groupBy((groupCols :+ "_bin").map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wcum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_bin").asc)
+    val cum = counts.withColumn("_cum", sum("_cnt").over(wcum))
+      .join(broadcast(ext), groupCols)
+    val qdf = qs.toDF("q")
+    val target = col("q") * col("_n").cast("double")
+    val wPick = Window.partitionBy((groupCols :+ "q").map(col): _*).orderBy(col("_bin").asc)
+    cum.join(broadcast(qdf))
+      .where(col("_cum").cast("double") >= target)
+      .withColumn("_rn", row_number().over(wPick))
+      .where(col("_rn") === 1)
+      .withColumn("est", round(
+        col("_lo") + col("_bin").cast("double") * wBin +
+          ((target - (col("_cum") - col("_cnt")).cast("double")) / col("_cnt").cast("double")) * wBin,
+        6))
+      .select((groupCols.map(col) ++ Seq(col("q"), col("est"))): _*)
   }
 
   /** Per-group HyperLogLog sketch (m = 64 registers) — the mergeable

@@ -245,6 +245,52 @@ class Round8OpsSpec extends SparkSpec {
       "max-merged shard registers must equal the whole-corpus registers")
   }
 
+  // ── histogramQuantiles ────────────────────────────────────────────────
+
+  test("histogramQuantiles: estimates within one bin width of the q*n-th order statistic") {
+    // The sketch's guarantee is on the COUNT-BASED quantile: the estimate
+    // lands in the bin of the ceil(q*n)-th order statistic. (Interpolated
+    // quantile_cont can sit between order statistics bins apart on a
+    // sparse tail — that's a definition difference, not sketch error.)
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = Profiling.histogramQuantiles(events, Seq("event_type"), "value",
+        nBins = 128, qs = qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val grouped = events.select(col("event_type"), col("value").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(est.keySet === grouped.keySet.flatMap(k => qs.map(k -> _)))
+    grouped.foreach { case (k, vs) =>
+      val binW = (vs.last - vs.head) / 128.0
+      qs.foreach { q =>
+        val orderStat = vs(math.min(vs.length - 1, math.ceil(q * vs.length).toInt - 1))
+        val e = est((k, q))
+        assert(math.abs(e - orderStat) <= binW + 1e-9,
+          s"($k, $q): estimate $e must be within one bin width ($binW) of order statistic $orderStat")
+      }
+    }
+  }
+
+  test("histogramQuantiles: shard histograms with shared edges sum into the whole") {
+    // The mergeable-state claim: bin counts from disjoint shards (same
+    // [lo, hi] edges) sum element-wise into the whole-corpus histogram.
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("event_type"), col("value").cast("double").as("v"))
+    val ext = events.groupBy("event_type").agg(min("v").as("lo"), max("v").as("hi"))
+    def hist(df: org.apache.spark.sql.DataFrame) = df.join(broadcast(ext), Seq("event_type"))
+      .select(col("event_type"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 128)),
+            lit(127L))).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+    val a = hist(events.where(pmod(col("event_id"), lit(2)) === 0))
+    val b = hist(events.where(pmod(col("event_id"), lit(2)) === 1))
+    val merged = a.unionByName(b).groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+    val whole = hist(events)
+    assert(merged.except(whole).count() === 0 && whole.except(merged).count() === 0)
+  }
+
   // ── imageDims ─────────────────────────────────────────────────────────
 
   test("imageDims parses PNG (BE u32) and GIF (LE u16) headers, rejects junk") {
