@@ -1299,6 +1299,38 @@ object SparkEntry {
     // deterministic hash split. Every stage is an operator declared above;
     // the oracle recomputes the identical pipeline in SQL (including the
     // recursive-CTE near-dup closure).
+    // CURATION pipeline v2 (r8 capstone): chain the round's operators the
+    // way a training-data pass actually runs them — per-domain adaptive
+    // quality floor (keep docs at/above their source's q25), novelty
+    // screen (drop docs whose shingles are >50% shared — templated
+    // content), then the token-budget cut over survivors (best remaining
+    // docs under 8k tokens). Novelty reads the persisted ShingleStore
+    // artifact; the budget's running sum is the distributed prefix sum.
+    // Every doc emits its verdict trail (floor_kept, shared_frac,
+    // budget verdict) so the cut is auditable, not just applied.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val floored = TextOps.qualityFloorByDomain(docs, "doc_id", "text", "source", 0.25)
+        .select(col("doc_id"), col("quality_score"), col("kept").as("floor_kept"))
+      val novelty = TextOps.shingleNovelty(
+          graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id")
+        .select(col("doc_id"), col("shared_frac"))
+      val survivors = docs
+        .join(floored.where(col("floor_kept") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(novelty.where(col("shared_frac") <= 0.5).select("doc_id"), Seq("doc_id"), "left_semi")
+      val budget = TextOps.tokenBudgetSelect(survivors, "doc_id", "text", budget = 8000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("kept"))
+      floored
+        .join(novelty, Seq("doc_id"), "left")
+        .join(budget, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_score"), col("floor_kept"),
+          col("shared_frac"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("cum_tokens"), lit(0L)).as("cum_tokens"),
+          coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "q_pipeline_prep" -> ((s, dir) => {
       val quality = TextOps.qualityScoreCached(T(s, dir, "documents"), "text", s, dir)
         .where(col("n_tokens") >= 10)
@@ -3522,6 +3554,58 @@ object SparkEntry {
            (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 256 + 64 END)::BIGINT AS width,
            (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 128 + 32 END)::BIGINT AS height
          FROM documents ORDER BY id""",
+
+    "q_pipeline_curate" ->
+      """WITH toks AS (
+           SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         q AS (
+           SELECT doc_id, source, n_tokens,
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+           FROM (
+             SELECT doc_id, source, len(t)::BIGINT AS n_tokens,
+               CASE WHEN len(t) > 0
+                 THEN list_reduce(list_transform(t, x -> length(x)::BIGINT), (a, b) -> a + b)::DOUBLE / len(t)
+                 ELSE 0.0 END AS avg_tok_len,
+               CASE WHEN len(t) > 0
+                 THEN len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(t)
+                 ELSE 0.0 END AS stop_ratio
+             FROM toks)),
+         f AS (SELECT source, quantile_cont(quality_score, 0.25) AS fl
+               FROM q GROUP BY source),
+         fk AS (
+           SELECT doc_id, quality_score,
+             (CASE WHEN quality_score >= fl THEN 1 ELSE 0 END)::BIGINT AS floor_kept
+           FROM q JOIN f USING (source)),
+         sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         nov AS (
+           SELECT doc_id,
+             round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS shared_frac
+           FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id),
+         surv AS (
+           SELECT q.doc_id, q.n_tokens, q.quality_score
+           FROM q
+           JOIN fk USING (doc_id)
+           JOIN nov USING (doc_id)
+           WHERE fk.floor_kept = 1 AND nov.shared_frac <= 0.5),
+         b AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM surv)
+         SELECT fk.doc_id, fk.quality_score, fk.floor_kept, nov.shared_frac,
+           coalesce(b.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(b.cum, 0)::BIGINT AS cum_tokens,
+           coalesce(CASE WHEN b.cum <= 8000 THEN 1 ELSE 0 END, 0)::BIGINT AS kept
+         FROM fk
+         JOIN nov USING (doc_id)
+         LEFT JOIN b USING (doc_id)
+         ORDER BY doc_id""",
 
     "q_novelty" ->
       """WITH toks AS (
