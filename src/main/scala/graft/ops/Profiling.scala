@@ -242,6 +242,25 @@ object Profiling {
       .select((groupCols.map(col) ++ Seq(col("q"), col("est"))): _*)
   }
 
+  /** Per-(group, bin) counts against EXPLICIT edges [lo, hi] — the
+    * mergeable histogram state for callers that fix the edges up front
+    * (the streaming twin must: a stream cannot know its final min/max).
+    * Values outside [lo, hi] clamp into the boundary bins, keeping the
+    * sketch total equal to the row count.
+    */
+  def histogramCounts(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val w = (hi - lo) / nBins
+    val bin =
+      if (w == 0) lit(0L)
+      else greatest(least(floor((v - lit(lo)) / lit(w)), lit((nBins - 1).toLong)), lit(0L))
+        .cast("long")
+    df.select((groupCols.map(col) :+ bin.as("_bin")): _*)
+      .groupBy((groupCols :+ "_bin").map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+  }
+
   /** Per-group HyperLogLog sketch (m = 64 registers) — the mergeable
     * approximate-distinct state, built PORTABLY so it hash-checks against
     * the DuckDB oracle (unlike approx_count_distinct's engine-private

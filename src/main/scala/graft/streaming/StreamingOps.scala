@@ -135,6 +135,37 @@ object StreamingOps {
       registers.map(graft.ops.Profiling.hllEstimate(_, groupCols))
   }
 
+  /** Streaming histogram maintenance — the streaming twin of the C126
+    * histogram-quantile sketch, with edges FIXED up front (a stream
+    * cannot know its final min/max; production picks edges from a
+    * historical profile). Per-micro-batch bin counts SUM-merge into the
+    * running histogram — sum is the histogram merge monoid, so the
+    * maintained state equals the batch whole-corpus histogram exactly
+    * for any micro-batch boundaries (the count-min / HLL convergence
+    * claim, on binned counts). State is |groups|·nBins rows forever.
+    */
+  final class HistogramState(groupCols: Seq[String], valueCol: String,
+                             lo: Double, hi: Double, nBins: Int) {
+    @volatile private var counts: Option[DataFrame] = None
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = graft.ops.Profiling.histogramCounts(batch, groupCols, valueCol, lo, hi, nBins)
+      val merged = counts match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy((groupCols :+ "_bin").map(col): _*)
+          .agg(sum("_cnt").as("_cnt"))
+        case None => p
+      }
+      counts = Some(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current histogram (group cols, _bin, _cnt). */
+    def finalized: Option[DataFrame] = counts
+  }
+
   /** Streaming CDC apply (VERDICT r7 item 7) — the streaming twin of
     * Relational.cdcApply (C89): I/U/D changelog micro-batches merge into
     * a running base via foreachBatch, latest version per key wins, D

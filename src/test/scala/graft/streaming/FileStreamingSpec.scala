@@ -441,6 +441,34 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram with fixed edges converges exactly to the batch histogram") {
+    // C126's streaming twin: per-micro-batch bin counts sum-merge (the
+    // histogram merge monoid) into the running state; fixed edges stand
+    // in for the historical profile a production stream pins up front.
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "value")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_histo_in").toFile.getAbsolutePath
+    events.where(pmod(col("event_id"), lit(2)) === 0).write.mode("append").parquet(inDir)
+    events.where(pmod(col("event_id"), lit(2)) === 1).write.mode("append").parquet(inDir)
+
+    val state = new StreamingOps.HistogramState(Seq("event_type"), "value",
+      lo = 0.0, hi = 400.0, nBins = 64)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.finalized.get
+      val batch = graft.ops.Profiling.histogramCounts(events, Seq("event_type"), "value",
+        lo = 0.0, hi = 400.0, nBins = 64)
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "sum-merged micro-batch histograms must equal the batch histogram exactly")
+      // clamping keeps totals equal to the row count
+      val total = streamed.agg(sum("_cnt")).collect().head.getLong(0)
+      assert(total === events.count())
+    } finally q.stop()
+  }
+
   test("streaming CDC apply converges to the batch cdcApply, out of order and replayed") {
     // C89's streaming twin (VERDICT r7 item 7): the q_cdc_apply changelog
     // (updates v2, deletes v3, inserts v1) lands in micro-batches in
