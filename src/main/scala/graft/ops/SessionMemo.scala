@@ -40,7 +40,13 @@ object SessionMemo {
           if (k != key) cache.remove(k).foreach(releaseCheckpoint)
         }
         val df = build
-        cache.putIfAbsent(key, df)
-        df
+        cache.putIfAbsent(key, df) match {
+          case Some(winner) =>
+            // concurrent miss: another thread installed first — release
+            // OUR checkpoint (it would otherwise pin blocks unreferenced)
+            releaseCheckpoint(df)
+            winner
+          case None => df
+        }
     }
 }
