@@ -282,6 +282,13 @@ object TextOps {
     * approx) so the floor is deterministic and engine-portable
     * (DuckDB quantile_cont parity — the C59/C66 recipe); domains are a
     * bounded set, so the floor table broadcasts.
+    *
+    * Scale note: exact percentile buffers each domain's values on its
+    * aggregation task — fine while the largest domain fits an executor
+    * (it does at every test SF), but a 100 TB run with billion-doc
+    * domains should derive the floor from the mergeable histogram sketch
+    * instead (Profiling.histogramQuantiles — bounded state, one-bin-width
+    * error), keeping this operator's join/broadcast shape unchanged.
     */
   def qualityFloorByDomain(df: DataFrame, idCol: String, textCol: String,
                            domainCol: String, q: Double): DataFrame = {
