@@ -20,7 +20,17 @@ object TextOps {
     * produces phantom "" tokens (round-1 defect: split on a single literal
     * space).
     */
-  def tokens(c: Column): Column =
+  /** Whitespace tokens — native single-pass scan (WhitespaceTokens),
+    * bit-identical to `filter(split(c, "\\s+"), t => t =!= "")` (the
+    * form every DuckDB oracle mirrors; equivalence property-tested in
+    * SqlFunctionsSpec and re-proven corpus-wide by every oracle hash).
+    */
+  def tokens(c: Column): Column = graft.functions.WhitespaceTokens.tokens(c)
+
+  /** The reference (regex + interpreted filter) tokenizer — kept as the
+    * equivalence-test witness for [[tokens]].
+    */
+  def tokensReference(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= lit(""))
 
   /** Per-document token statistics (SURVEY.md C3). */

@@ -25,6 +25,30 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](2) === viaColumn)
   }
 
+  test("WhitespaceTokens is bit-identical to the regex split + filter reference") {
+    import org.apache.spark.sql.functions._
+    val fixtures = Seq(
+      "hello world", "  leading", "trailing  ", "  both  ", "", "   ",
+      "one", "a\tb\nc\rd\fe", "ab", "x  y   z", "tab\t\ttab",
+      "nbsp is not whitespace", "mixed \t\n sep", "日本語 テスト text",
+      "a", " ", "\n", "multi  \r\n  line  input")
+    val df = spark.createDataFrame(fixtures.zipWithIndex.map { case (s, i) => (i, s) })
+      .toDF("id", "text")
+    val both = df.select(
+      graft.ops.TextOps.tokens(col("text")).as("native"),
+      graft.ops.TextOps.tokensReference(col("text")).as("ref"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+    // corpus-wide: every document tokenizes identically
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val diff = docs.select(
+        graft.ops.TextOps.tokens(col("text")).as("native"),
+        graft.ops.TextOps.tokensReference(col("text")).as("ref"))
+      .where(not(col("native") === col("ref")))
+    assert(diff.count() === 0)
+  }
+
   test("SQL function null/type semantics follow the expressions") {
     GraftFunctions.register(spark)
     val r = spark.sql(
