@@ -1374,7 +1374,9 @@ object SparkEntry {
                  round(float_dot(embedding, reverse(embedding)), 6) AS rev_dot,
                  round(cosine_sim(embedding, reverse(embedding)), 9) AS rev_cos,
                  md5_hash64(CAST(vec_id AS STRING))[0] AS h_lo,
-                 md5_hash64(CAST(vec_id AS STRING))[1] AS h_hi
+                 md5_hash64(CAST(vec_id AS STRING))[1] AS h_hi,
+                 size(ws_tokens(concat('x  ', CAST(vec_id AS STRING), ' y'))) AS n_tok,
+                 element_at(ws_tokens(concat('x  ', CAST(vec_id AS STRING), ' y')), 2) AS tok_mid
                FROM graft_sql_emb""")
         .orderBy("vec_id")
     }),
@@ -3448,7 +3450,9 @@ object SparkEntry {
              / (sqrt(list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]), (a, b) -> a + b))
                 * sqrt(list_reduce(list_transform(range(1, 65), i -> e[65 - i] * e[65 - i]), (a, b) -> a + b))), 9) AS rev_cos,
            ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h_lo,
-           ('0x' || substr(md5(vec_id::VARCHAR), 9, 8))::BIGINT AS h_hi
+           ('0x' || substr(md5(vec_id::VARCHAR), 9, 8))::BIGINT AS h_hi,
+           3 AS n_tok,
+           vec_id::VARCHAR AS tok_mid
          FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
          ORDER BY vec_id""",
 

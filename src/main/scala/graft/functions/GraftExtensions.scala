@@ -37,5 +37,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("md5_hash64",
       new ExpressionInfo(classOf[Md5Hash64].getName, "md5_hash64"),
-      (es: Seq[Expression]) => Md5Hash64(es(0))))
+      (es: Seq[Expression]) => Md5Hash64(es(0))),
+    ("ws_tokens",
+      new ExpressionInfo(classOf[WhitespaceTokens].getName, "ws_tokens"),
+      (es: Seq[Expression]) => WhitespaceTokens(es(0))))
 }
