@@ -4801,7 +4801,7 @@ object SparkEntry {
            FROM cust WHERE c_custkey % 13 = 0),
          latest AS (
            SELECT * FROM (
-             SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+             SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC, op DESC) AS rn
              FROM changes)
            WHERE rn = 1)
          SELECT c_custkey, c_name, c_acctbal FROM cust

@@ -388,7 +388,11 @@ object Relational {
     */
   def cdcApply(base: DataFrame, changes: DataFrame, key: String,
                opCol: String, versionCol: String, payload: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(col(versionCol).desc)
+    // op DESC tie-break on equal versions (D > U > I, reverse-alphabetic):
+    // version alone leaves row_number nondeterministic on duplicate
+    // (key, version) pairs, and this is the same total order the
+    // streaming twin (CdcApplyState) resolves ties with.
+    val w = Window.partitionBy(key).orderBy(col(versionCol).desc, col(opCol).desc)
     val latest = changes
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
