@@ -1798,7 +1798,11 @@ object SparkEntry {
     // CDC changelog application (MERGE INTO kernel): planted updates (%5,
     // version 2), deletes (%11, version 3 — beats the %55 overlap's
     // update) and inserts (%13 re-keyed, version 1); latest version per
-    // key wins, D suppresses.
+    // key wins, D suppresses. Even %11 keys ALSO carry an update at the
+    // SAME version 3 — an exact (key, version) tie the explicit D > U > I
+    // op priority must resolve toward the delete (were the tie broken by
+    // the op string's own descending collation, U > D, those keys would
+    // resurrect with the +999 payload and the hash check would catch it).
     "q_cdc_apply" -> ((s, dir) => {
       val cust = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
       val upd = cust.where(col("c_custkey") % 5 === 0)
@@ -1807,11 +1811,14 @@ object SparkEntry {
       val del = cust.where(col("c_custkey") % 11 === 0)
         .select(col("c_custkey"), lit("D").as("op"), lit(3L).as("version"),
           col("c_name"), col("c_acctbal"))
+      val updTie = cust.where(col("c_custkey") % 11 === 0 && col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), lit("U").as("op"), lit(3L).as("version"),
+          col("c_name"), (col("c_acctbal") + lit(999.0)).as("c_acctbal"))
       val ins = cust.where(col("c_custkey") % 13 === 0)
         .select((col("c_custkey") + 500000L).as("c_custkey"), lit("I").as("op"),
           lit(1L).as("version"), concat(col("c_name"), lit("_new")).as("c_name"),
           col("c_acctbal"))
-      Relational.cdcApply(cust, upd.unionByName(del).unionByName(ins),
+      Relational.cdcApply(cust, upd.unionByName(del).unionByName(updTie).unionByName(ins),
           "c_custkey", "op", "version", Seq("c_name", "c_acctbal"))
         .orderBy("c_custkey")
     }),
@@ -4797,11 +4804,16 @@ object SparkEntry {
            SELECT c_custkey, 'D', 3, c_name, c_acctbal
            FROM cust WHERE c_custkey % 11 = 0
            UNION ALL
+           SELECT c_custkey, 'U', 3, c_name, c_acctbal + 999.0
+           FROM cust WHERE c_custkey % 11 = 0 AND c_custkey % 2 = 0
+           UNION ALL
            SELECT c_custkey + 500000, 'I', 1, c_name || '_new', c_acctbal
            FROM cust WHERE c_custkey % 13 = 0),
          latest AS (
            SELECT * FROM (
-             SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC, op DESC) AS rn
+             SELECT *, row_number() OVER (PARTITION BY c_custkey
+               ORDER BY version DESC,
+                 CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC) AS rn
              FROM changes)
            WHERE rn = 1)
          SELECT c_custkey, c_name, c_acctbal FROM cust

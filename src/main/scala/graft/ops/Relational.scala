@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -378,6 +378,14 @@ object Relational {
     df.select(col(keyCol) +: categories.map(c =>
       (col(catCol) === c).cast("long").as(s"is_${c.toLowerCase}")): _*)
 
+  /** CDC op priority for (key, version) ties: a delete beats an update
+    * beats an insert at the same version. Shared by the batch kernel
+    * below and the streaming CdcApplyState so both resolve ties with one
+    * total order (the q_cdc_apply oracle encodes the same CASE).
+    */
+  def cdcOpPriority(opCol: String): Column =
+    when(col(opCol) === "D", 3).when(col(opCol) === "U", 2).otherwise(1)
+
   /** Apply a CDC changelog (op ∈ I/U/D + monotonically increasing version)
     * to a base snapshot — the MERGE INTO / CDC-compaction kernel. The
     * latest change per key wins (row_number over version desc); a final
@@ -388,11 +396,14 @@ object Relational {
     */
   def cdcApply(base: DataFrame, changes: DataFrame, key: String,
                opCol: String, versionCol: String, payload: Seq[String]): DataFrame = {
-    // op DESC tie-break on equal versions (D > U > I, reverse-alphabetic):
+    // Explicit op-priority tie-break on equal versions (D > U > I):
     // version alone leaves row_number nondeterministic on duplicate
-    // (key, version) pairs, and this is the same total order the
-    // streaming twin (CdcApplyState) resolves ties with.
-    val w = Window.partitionBy(key).orderBy(col(versionCol).desc, col(opCol).desc)
+    // (key, version) pairs. The priority is spelled out as a CASE rather
+    // than ordering on the op string (whose descending collation is
+    // U > I > D — the OPPOSITE policy), and it is the same total order
+    // the streaming twin (CdcApplyState) and the DuckDB oracle use.
+    val w = Window.partitionBy(key)
+      .orderBy(col(versionCol).desc, cdcOpPriority(opCol).desc)
     val latest = changes
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)

@@ -123,7 +123,13 @@ object StreamingOps {
           .agg(max("_r").as("_r"))
         case None => p
       }
+      val prev = registers
       registers = Some(merged.localCheckpoint(true))
+      // The eager checkpoint above fully materialized `merged`, so the
+      // previous frame's pinned blocks are dead weight — release them
+      // (ADVICE r8: without this every trigger pins another state copy
+      // for the life of the context).
+      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
       lastBatchId = batchId
     }
 
@@ -158,7 +164,9 @@ object StreamingOps {
           .agg(sum("_cnt").as("_cnt"))
         case None => p
       }
+      val prev = counts
       counts = Some(merged.localCheckpoint(true))
+      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
       lastBatchId = batchId
     }
 
@@ -178,10 +186,16 @@ object StreamingOps {
     * history is never rescanned. Same idempotent-replay contract as
     * IncrementalAggState (re-delivered batchIds are no-ops).
     *
-    * Ties on (key, version) break by op: D > U > I (reverse-alphabetic
-    * desc), so a delete at the same version as an update wins
-    * deterministically in both this state and the batch oracle the
-    * convergence spec compares against.
+    * Ties on (key, version) break by an explicit op priority, D > U > I
+    * (Relational.cdcOpPriority — NOT the op string's own collation, whose
+    * descending order is U > I > D), so a delete at the same version as
+    * an update wins deterministically in this state, the batch kernel,
+    * and the DuckDB oracle the convergence spec compares against.
+    *
+    * This class is the foreachBatch-driven REFERENCE implementation: its
+    * per-trigger cost is O(|state|) because the whole frame re-ranks each
+    * micro-batch. The production shape is `cdcApplyKeyed` below, whose
+    * state store touches only the batch's keys per trigger.
     */
   final class CdcApplyState(key: String, opCol: String, versionCol: String,
                             payload: Seq[String]) {
@@ -206,18 +220,89 @@ object StreamingOps {
         case None => batch.select(cols: _*)
       }
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(key).orderBy(col(versionCol).desc, col(opCol).desc)
+        .partitionBy(key)
+        .orderBy(col(versionCol).desc, graft.ops.Relational.cdcOpPriority(opCol).desc)
       val merged = unioned
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .drop("_rn")
+      val prev = state
       state = Some(merged.localCheckpoint(true))
+      // merged is fully materialized by the eager checkpoint; the payload
+      // copy the previous trigger pinned is now unreachable — free it so
+      // long-running streams hold exactly ONE O(|keys|) frame (ADVICE r8).
+      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
       lastBatchId = batchId
     }
 
     /** Current table view: live rows only (deletes suppressed). */
     def finalized: Option[DataFrame] =
       state.map(_.where(col(opCol) =!= "D").select(col(key) +: payload.map(col): _*))
+  }
+
+  /** Keyed-state streaming CDC apply — the production shape the r8
+    * verdict prescribed over CdcApplyState's whole-frame re-rank: the
+    * changelog streams into `flatMapGroupsWithState`, the state store
+    * keeps ONE row per key (the max-(version, op-priority) change seen so
+    * far, ties broken D > U > I exactly as the batch kernel
+    * `Relational.cdcApply` and its oracle), and the base snapshot seeds
+    * the store via initial state (op 'I', version `baseVersion` — below
+    * every changelog version). Per-trigger work touches ONLY the
+    * micro-batch's keys; untouched keys sit in the state store unread and
+    * unrewritten, so trigger cost is O(batch keys), not O(all keys). In
+    * Update output mode a trigger emits exactly the keys whose winning
+    * row CHANGED (a 1-key micro-batch emits 1 row — spec-asserted); a
+    * stale arrival (below the standing winner) changes nothing and emits
+    * nothing. Consumers materialize the current table by upserting
+    * emitted rows over the base and dropping op='D' keys — the same
+    * semantics as the batch kernel, with the engine's own checkpointed
+    * state store supplying crash recovery and exactly-once replay.
+    *
+    * The grouping key is the key column rendered to string (injective for
+    * the integral/string keys changelogs key on), which lets one
+    * Row-encoded implementation serve any payload schema; emitted rows
+    * carry the original typed key column. `base` must have unique keys
+    * (it is a snapshot).
+    */
+  def cdcApplyKeyed(changes: DataFrame, base: DataFrame, key: String,
+                    opCol: String, versionCol: String, payload: Seq[String],
+                    baseVersion: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val cols = Seq(col(key), col(opCol), col(versionCol).cast("long").as(versionCol)) ++
+      payload.map(col)
+    val projected = changes.select(cols: _*)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(projected.schema)
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    val opIdx = 1
+    val verIdx = 2
+    def pri(r: Row): Int = r.getString(opIdx) match {
+      case "D" => 3
+      case "U" => 2
+      case _   => 1
+    }
+    def beats(a: Row, b: Row): Boolean =
+      a.getLong(verIdx) > b.getLong(verIdx) ||
+        (a.getLong(verIdx) == b.getLong(verIdx) && pri(a) > pri(b))
+    def upsert(k: String, rows: Iterator[Row], state: GroupState[Row]): Iterator[Row] = {
+      val prev = state.getOption
+      val winner = rows.foldLeft(prev) {
+        case (Some(b), r) => if (beats(r, b)) Some(r) else Some(b)
+        case (None, r)    => Some(r)
+      }
+      winner match {
+        case Some(w) if !prev.contains(w) =>
+          state.update(w)
+          Iterator.single(w)
+        case _ => Iterator.empty
+      }
+    }
+    val seeded = base.select(
+      (Seq(col(key), lit("I").as(opCol), lit(baseVersion).cast("long").as(versionCol)) ++
+        payload.map(col)): _*)
+    val initial = seeded.groupByKey((r: Row) => r.get(0).toString)
+    projected.groupByKey((r: Row) => r.get(0).toString)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout(), initial)(upsert)
+      .toDF(projected.schema.fieldNames.toIndexedSeq: _*)
   }
 
   /** Streaming twin of TextOps.dedupExact: fingerprint each arriving

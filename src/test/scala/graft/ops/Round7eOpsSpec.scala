@@ -46,17 +46,22 @@ class Round7eOpsSpec extends SparkSpec {
   }
 
   test("cdcApply: latest version wins, D suppresses, I inserts, untouched rows pass through") {
-    val base = df(Seq(Base7e(1, "a", 1.0), Base7e(2, "b", 2.0), Base7e(3, "c", 3.0)))
+    val base = df(Seq(Base7e(1, "a", 1.0), Base7e(2, "b", 2.0), Base7e(3, "c", 3.0),
+      Base7e(4, "d", 4.0)))
     val changes = df(Seq(
       Cdc7e(2, "U", 1, "b1", 2.1),   // superseded update...
       Cdc7e(2, "U", 2, "b2", 2.2),   // ...latest version wins
       Cdc7e(3, "U", 1, "c1", 3.1),   // update then delete:
       Cdc7e(3, "D", 2, "c1", 3.1),   // delete wins → key gone
+      Cdc7e(4, "U", 2, "d9", 4.9),   // EXACT (key, version) tie with a delete:
+      Cdc7e(4, "D", 2, "d0", 4.0),   // explicit priority D > U → key gone
+      Cdc7e(8, "I", 1, "i1", 8.1),   // I/U tie at the same version:
+      Cdc7e(8, "U", 1, "u1", 8.2),   // U > I → the update's payload wins
       Cdc7e(9, "I", 1, "new", 9.0))) // insert of an unseen key
     val out = Relational.cdcApply(base, changes, "k", "op", "version", Seq("name", "bal"))
       .orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-    assert(out.toSeq === Seq((1L, "a", 1.0), (2L, "b2", 2.2), (9L, "new", 9.0)))
+    assert(out.toSeq === Seq((1L, "a", 1.0), (2L, "b2", 2.2), (8L, "u1", 8.2), (9L, "new", 9.0)))
   }
 
   test("featureHash: bucketed counts serialize sorted; same text → same features") {

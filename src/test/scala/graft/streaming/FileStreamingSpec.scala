@@ -484,15 +484,21 @@ class FileStreamingSpec extends SparkSpec {
     val del = cust.where(col("c_custkey") % 11 === 0)
       .select(col("c_custkey"), lit("D").as("op"), lit(3L).as("version"),
         col("c_name"), col("c_acctbal"))
+    // exact (key, version) tie with the deletes: D > U priority must hold
+    // even though the update arrives in a LATER micro-batch
+    val updTie = cust.where(col("c_custkey") % 11 === 0 && col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), lit("U").as("op"), lit(3L).as("version"),
+        col("c_name"), (col("c_acctbal") + lit(999.0)).as("c_acctbal"))
     val ins = cust.where(col("c_custkey") % 13 === 0)
       .select((col("c_custkey") + 500000L).as("c_custkey"), lit("I").as("op"),
         lit(1L).as("version"), concat(col("c_name"), lit("_new")).as("c_name"),
         col("c_acctbal"))
-    val changes = upd.unionByName(del).unionByName(ins)
+    val changes = upd.unionByName(del).unionByName(updTie).unionByName(ins)
 
     val inDir = java.nio.file.Files.createTempDirectory("graft_cdc_in").toFile.getAbsolutePath
     // one file per op class, landed newest-version-first
     del.coalesce(1).write.mode("append").parquet(inDir)
+    updTie.coalesce(1).write.mode("append").parquet(inDir)
     upd.coalesce(1).write.mode("append").parquet(inDir)
     ins.coalesce(1).write.mode("append").parquet(inDir)
 
@@ -516,6 +522,88 @@ class FileStreamingSpec extends SparkSpec {
       // replay contract: re-merging a stale batchId is a no-op
       state.mergeBatch(del, batchId = 0L)
       assert(toMap(state.finalized.get.select("c_custkey", "c_name", "c_acctbal")) === streamed)
+    } finally q.stop()
+  }
+
+  test("keyed-state CDC apply converges to batch and a 1-key trigger emits 1 row") {
+    // The production CDC shape (VERDICT r8 item 3): flatMapGroupsWithState
+    // keyed state, base seeded as initial state. Same adversarial landing
+    // order as the reference-implementation spec above (deletes first,
+    // then the same-version tie updates, then stale updates, then
+    // inserts), PLUS the O(batch-keys) evidence: after convergence a
+    // micro-batch touching exactly ONE key must emit exactly ONE row —
+    // the state store never re-emits (or re-ranks) the untouched keys —
+    // and a STALE change (version below the standing winner) emits zero.
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val upd = cust.where(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), lit("U").as("op"), lit(2L).as("version"),
+        col("c_name"), (col("c_acctbal") + lit(50.0)).as("c_acctbal"))
+    val del = cust.where(col("c_custkey") % 11 === 0)
+      .select(col("c_custkey"), lit("D").as("op"), lit(3L).as("version"),
+        col("c_name"), col("c_acctbal"))
+    val updTie = cust.where(col("c_custkey") % 11 === 0 && col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), lit("U").as("op"), lit(3L).as("version"),
+        col("c_name"), (col("c_acctbal") + lit(999.0)).as("c_acctbal"))
+    val ins = cust.where(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 500000L).as("c_custkey"), lit("I").as("op"),
+        lit(1L).as("version"), concat(col("c_name"), lit("_new")).as("c_name"),
+        col("c_acctbal"))
+    val changes = upd.unionByName(del).unionByName(updTie).unionByName(ins)
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_cdck_in").toFile.getAbsolutePath
+    del.coalesce(1).write.mode("append").parquet(inDir)
+    updTie.coalesce(1).write.mode("append").parquet(inDir)
+    upd.coalesce(1).write.mode("append").parquet(inDir)
+    ins.coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val out = StreamingOps.cdcApplyKeyed(stream, cust, "c_custkey", "op", "version",
+      Seq("c_name", "c_acctbal"))
+
+    // Driver-side consumer: upsert each trigger's emitted winners over the
+    // base (tiny — emissions are only changed keys), recording per-batch
+    // emission counts for the O(batch-keys) assertions.
+    val current = scala.collection.mutable.Map.empty[Long, (String, String, Double)]
+    cust.collect().foreach(r =>
+      current(r.getLong(0)) = ("I", r.getString(1), r.getDouble(2)))
+    val emitCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect()
+        emitCounts += rows.length.toLong
+        rows.foreach(r => current(r.getLong(0)) = (r.getString(1), r.getString(3), r.getDouble(4)))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = current.toMap.filter(_._2._1 != "D").map { case (k, (_, n, b)) => k -> (n, b) }
+      val batch = graft.ops.Relational.cdcApply(cust, changes,
+          "c_custkey", "op", "version", Seq("c_name", "c_acctbal"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(streamed.keySet === batch.keySet,
+        "tie deletes must suppress their keys; stale updates must not resurrect them")
+      batch.foreach { case (k, v) => assert(streamed(k) === v, s"key $k") }
+
+      // a trigger touching ONE key emits exactly one row...
+      val one = cust.where(col("c_custkey") === 1L)
+        .select(col("c_custkey"), lit("U").as("op"), lit(10L).as("version"),
+          col("c_name"), lit(7777.0).as("c_acctbal"))
+      one.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(emitCounts.last === 1L,
+        s"1-key trigger must emit 1 row, not rewrite all keys (got ${emitCounts.last})")
+      assert(current(1L) === (("U", current(1L)._2, 7777.0)))
+
+      // ...and a STALE change (loses to the standing winner) emits none
+      val stale = cust.where(col("c_custkey") === 1L)
+        .select(col("c_custkey"), lit("U").as("op"), lit(1L).as("version"),
+          col("c_name"), lit(1.0).as("c_acctbal"))
+      stale.coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(emitCounts.last === 0L, "stale version must not emit or disturb state")
+      assert(current(1L)._3 === 7777.0)
     } finally q.stop()
   }
 }
