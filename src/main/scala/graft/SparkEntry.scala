@@ -1052,6 +1052,15 @@ object SparkEntry {
           "source", q = 0.25)
         .orderBy("doc_id")),
 
+    // The scale-safe floor (clears C122): same contract, floor from the
+    // mergeable histogram-quantile sketch — (domain, bin) state instead
+    // of buffering a whole domain's values on one task. Hash-checked
+    // against an oracle that replays the sketch estimate bit-for-bit.
+    "q_quality_floor_sketch" -> ((s, dir) =>
+      TextOps.qualityFloorByDomainSketch(T(s, dir, "documents"), "doc_id", "text",
+          "source", q = 0.25, nBins = 128)
+        .orderBy("doc_id")),
+
     "q_rolling_hash" -> ((s, dir) =>
       TextOps.rollingHash(T(s, dir, "documents"), "text")
         .select("doc_id", "rolling_hash")
@@ -1308,9 +1317,13 @@ object SparkEntry {
     // artifact; the budget's running sum is the distributed prefix sum.
     // Every doc emits its verdict trail (floor_kept, shared_frac,
     // budget verdict) so the cut is auditable, not just applied.
+    // The floor stage is the SKETCH variant (r9): the capstone is the
+    // 100 TB curation path, so its floor must come from mergeable
+    // (domain, bin) state, not an exact percentile that buffers a whole
+    // domain on one task (the C122 boundary, now cleared).
     "q_pipeline_curate" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val floored = TextOps.qualityFloorByDomain(docs, "doc_id", "text", "source", 0.25)
+      val floored = TextOps.qualityFloorByDomainSketch(docs, "doc_id", "text", "source", 0.25)
         .select(col("doc_id"), col("quality_score"), col("kept").as("floor_kept"))
       val novelty = TextOps.shingleNovelty(
           graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id")
@@ -3582,8 +3595,32 @@ object SparkEntry {
                  THEN len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(t)
                  ELSE 0.0 END AS stop_ratio
              FROM toks)),
-         f AS (SELECT source, quantile_cont(quality_score, 0.25) AS fl
-               FROM q GROUP BY source),
+         ext AS (
+           SELECT source, min(quality_score) AS lo, max(quality_score) AS hi, count(*) AS n
+           FROM q GROUP BY source),
+         hb AS (
+           SELECT q.source,
+             (CASE WHEN hi = lo THEN 0
+                   ELSE least(floor((quality_score - lo) / ((hi - lo) / 128)), 127) END)::BIGINT AS bin
+           FROM q JOIN ext USING (source)),
+         hc AS (SELECT source, bin, count(*) AS cnt FROM hb GROUP BY source, bin),
+         hcc AS (
+           SELECT source, bin, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM hc),
+         pick AS (
+           SELECT hcc.source, bin, cnt, cum, lo, hi, n,
+             row_number() OVER (PARTITION BY hcc.source ORDER BY bin) AS rn
+           FROM hcc JOIN ext USING (source)
+           WHERE cum::DOUBLE >= 0.25 * n::DOUBLE),
+         f AS (
+           SELECT source,
+             -- VARCHAR::DECIMAL replays Spark's round(): shortest decimal repr, then HALF_UP
+             round((lo + bin::DOUBLE * ((hi - lo) / 128)
+               + ((0.25 * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE) * ((hi - lo) / 128)
+               )::VARCHAR::DECIMAL(38,18), 6)::DOUBLE AS fl
+           FROM pick WHERE rn = 1),
          fk AS (
            SELECT doc_id, quality_score,
              (CASE WHEN quality_score >= fl THEN 1 ELSE 0 END)::BIGINT AS floor_kept
@@ -3656,8 +3693,9 @@ object SparkEntry {
            FROM cc JOIN ext USING (event_type) CROSS JOIN qq
            WHERE cum::DOUBLE >= q * n::DOUBLE)
          SELECT event_type, q,
-           round(lo + bin::DOUBLE * ((hi - lo) / 128)
-             + ((q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE) * ((hi - lo) / 128), 6) AS est
+           round((lo + bin::DOUBLE * ((hi - lo) / 128)
+             + ((q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE) * ((hi - lo) / 128)
+             )::VARCHAR::DECIMAL(38,18), 6)::DOUBLE AS est
          FROM pick WHERE rn = 1 ORDER BY event_type, q""",
 
     "q_hll_distinct" ->
@@ -3719,6 +3757,50 @@ object SparkEntry {
                    FROM documents))),
          f AS (SELECT source, quantile_cont(quality_score, 0.25) AS fl
                FROM q GROUP BY source)
+         SELECT doc_id, source, quality_score, round(fl, 9) AS domain_floor,
+           (CASE WHEN quality_score >= fl THEN 1 ELSE 0 END)::BIGINT AS kept
+         FROM q JOIN f USING (source) ORDER BY doc_id""",
+
+    "q_quality_floor_sketch" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+           FROM (
+             SELECT doc_id, source,
+               CASE WHEN len(toks) > 0
+                 THEN list_reduce(list_transform(toks, x -> length(x)::BIGINT), (a, b) -> a + b)::DOUBLE / len(toks)
+                 ELSE 0.0 END AS avg_tok_len,
+               CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks)
+                 ELSE 0.0 END AS stop_ratio
+             FROM (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                   FROM documents))),
+         ext AS (
+           SELECT source, min(quality_score) AS lo, max(quality_score) AS hi, count(*) AS n
+           FROM q GROUP BY source),
+         b AS (
+           SELECT q.source,
+             (CASE WHEN hi = lo THEN 0
+                   ELSE least(floor((quality_score - lo) / ((hi - lo) / 128)), 127) END)::BIGINT AS bin
+           FROM q JOIN ext USING (source)),
+         c AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY source, bin),
+         cc AS (
+           SELECT source, bin, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM c),
+         pick AS (
+           SELECT cc.source, bin, cnt, cum, lo, hi, n,
+             row_number() OVER (PARTITION BY cc.source ORDER BY bin) AS rn
+           FROM cc JOIN ext USING (source)
+           WHERE cum::DOUBLE >= 0.25 * n::DOUBLE),
+         f AS (
+           SELECT source,
+             -- VARCHAR::DECIMAL replays Spark's round(): shortest decimal repr, then HALF_UP
+             round((lo + bin::DOUBLE * ((hi - lo) / 128)
+               + ((0.25 * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE) * ((hi - lo) / 128)
+               )::VARCHAR::DECIMAL(38,18), 6)::DOUBLE AS fl
+           FROM pick WHERE rn = 1)
          SELECT doc_id, source, quality_score, round(fl, 9) AS domain_floor,
            (CASE WHEN quality_score >= fl THEN 1 ELSE 0 END)::BIGINT AS kept
          FROM q JOIN f USING (source) ORDER BY doc_id""",

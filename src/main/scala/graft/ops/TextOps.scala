@@ -296,9 +296,11 @@ object TextOps {
     * Scale note: exact percentile buffers each domain's values on its
     * aggregation task — fine while the largest domain fits an executor
     * (it does at every test SF), but a 100 TB run with billion-doc
-    * domains should derive the floor from the mergeable histogram sketch
-    * instead (Profiling.histogramQuantiles — bounded state, one-bin-width
-    * error), keeping this operator's join/broadcast shape unchanged.
+    * domains must use `qualityFloorByDomainSketch` below: the same
+    * contract with the floor derived from the mergeable histogram sketch
+    * (bounded state, one-bin-width error). This exact variant remains the
+    * deterministic quantile_cont-parity reference (the C36/C59/C66
+    * exact-quantile family); the curation capstone runs the sketch form.
     */
   def qualityFloorByDomain(df: DataFrame, idCol: String, textCol: String,
                            domainCol: String, q: Double): DataFrame = {
@@ -306,6 +308,34 @@ object TextOps {
       .select(col(idCol), col(domainCol), col("quality_score"))
     val floors = scored.groupBy(domainCol)
       .agg(expr(s"percentile(quality_score, $q)").as("_floor"))
+    scored.join(broadcast(floors), Seq(domainCol))
+      .select(col(idCol), col(domainCol), col("quality_score"),
+        round(col("_floor"), 9).as("domain_floor"),
+        (col("quality_score") >= col("_floor")).cast("int").cast("long").as("kept"))
+  }
+
+  /** The 100 TB-safe per-domain quality floor (VERDICT r8 item 1, clears
+    * C122): identical contract and join/broadcast shape as
+    * `qualityFloorByDomain`, but the floor comes from the MERGEABLE
+    * histogram-quantile sketch (Profiling.histogramQuantiles) instead of
+    * exact `percentile`. Exact percentile buffers every value of a domain
+    * on one aggregation task — a billion-document domain lands billions
+    * of doubles on one executor — while the sketch's state is
+    * (domain, bin) counts: nBins rows per domain whatever the domain's
+    * size, built by two map-side-combinable aggregates. The price is a
+    * bounded floor error (within one bin width of the q·n-th order
+    * statistic — spec-asserted against the exact floor), which a curation
+    * threshold tolerates by construction: the floor itself is a heuristic
+    * percentile choice, not a semantic boundary.
+    */
+  def qualityFloorByDomainSketch(df: DataFrame, idCol: String, textCol: String,
+                                 domainCol: String, q: Double,
+                                 nBins: Int = 128): DataFrame = {
+    val scored = qualityScore(df, textCol)
+      .select(col(idCol), col(domainCol), col("quality_score"))
+    val floors = Profiling.histogramQuantiles(scored, Seq(domainCol), "quality_score",
+        nBins, Seq(q))
+      .select(col(domainCol), col("est").as("_floor"))
     scored.join(broadcast(floors), Seq(domainCol))
       .select(col(idCol), col(domainCol), col("quality_score"),
         round(col("_floor"), 9).as("domain_floor"),
