@@ -1008,9 +1008,10 @@ object SparkEntry {
     // shared with at least one other document — the templated-content
     // signal between exact dedup and span dedup. Third consumer of the
     // persisted ShingleStore artifact (after prefix-Jaccard and
-    // decontamination): df-aggregate + join back, never the text bodies.
+    // decontamination). The artifact carries df since r9, so this is ONE
+    // per-doc aggregate over committed files — no df re-derivation.
     "q_novelty" -> ((s, dir) =>
-      TextOps.shingleNovelty(
+      TextOps.shingleNoveltyAnnotated(
           graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id")
         .orderBy("doc_id")),
 
@@ -1325,7 +1326,7 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val floored = TextOps.qualityFloorByDomainSketch(docs, "doc_id", "text", "source", 0.25)
         .select(col("doc_id"), col("quality_score"), col("kept").as("floor_kept"))
-      val novelty = TextOps.shingleNovelty(
+      val novelty = TextOps.shingleNoveltyAnnotated(
           graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id")
         .select(col("doc_id"), col("shared_frac"))
       val survivors = docs
@@ -2117,9 +2118,10 @@ object SparkEntry {
     // hot shingles that blow up the naive shared-shingle join never
     // enter the candidate join, LOSSLESSLY (vs the DF guard's lossy
     // drop). Corpus-wide (no id-range cap); brute-force oracle proves no
-    // pair is missed.
+    // pair is missed. df + rarity rank come pre-annotated off the
+    // artifact (r9): the per-run plan starts at the prefix filter.
     "q_jaccard_prefix" -> ((s, dir) =>
-      TextOps.jaccardPrefixJoinFromShingles(
+      TextOps.jaccardPrefixJoinAnnotated(
           graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
 

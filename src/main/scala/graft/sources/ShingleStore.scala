@@ -21,21 +21,33 @@ object ShingleStore {
 
   private val ensured = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
 
-  /** Artifact location for (sfDir, n) under the session warehouse dir. */
+  /** Artifact location for (sfDir, n) under the session warehouse dir.
+    * `v2` = df-annotated schema (VERDICT r8 item 2) — a v1 two-column
+    * layout left by an earlier build is simply a different path, never
+    * misread as annotated.
+    */
   def shinglePath(spark: SparkSession, sfDir: String, n: Int): String = {
     val dirHash = java.security.MessageDigest.getInstance("MD5")
       .digest(java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"graft_shingles_n${n}_$dirHash").toString
+      spark.conf.get("spark.sql.warehouse.dir"), s"graft_shingles_v2_n${n}_$dirHash").toString
   }
 
   /** Ensure the word-`n`-gram shingle table of `sfDir`'s `documents`
     * table exists as a parquet artifact and return a reader over it.
-    * Columns: (doc_id, shingle), distinct per doc — exactly
-    * [[graft.ops.TextOps.shingles]]' output. A COMPLETE layout left by a
-    * previous process (committed `_SUCCESS`) is reused as-is; anything
-    * else at the location is a partial write — deleted and rebuilt.
+    * Columns: (doc_id, shingle, df, rarity_rank) — the distinct per-doc
+    * shingles of [[graft.ops.TextOps.shingles]], ANNOTATED at build time
+    * with each shingle's corpus document frequency and its per-document
+    * rarity rank (df asc, shingle asc — the prefix-filtering order).
+    * The df aggregate and the per-doc rank window are paid ONCE at the
+    * write, not by every consumer per run: the prefix-Jaccard join,
+    * novelty scoring, and decontamination all read the same committed
+    * files (VERDICT r8 item 2 — previously the suite's #2 query re-derived
+    * df + rank from the raw artifact on every run). A COMPLETE layout
+    * left by a previous process (committed `_SUCCESS`) is reused as-is;
+    * anything else at the location is a partial write — deleted and
+    * rebuilt.
     */
   def ensureShingles(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val loc = shinglePath(spark, sfDir, n)
@@ -44,8 +56,15 @@ object ShingleStore {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
         if (fs.exists(p)) fs.delete(p, true)
-        graft.ops.TextOps.shingles(
-            graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text", n)
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val sh = graft.ops.TextOps.shingles(
+          graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text", n)
+        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        sh.join(dfreq, Seq("shingle"))
+          .withColumn("rarity_rank", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+          .select("doc_id", "shingle", "df", "rarity_rank")
           .write.mode("overwrite").parquet(loc)
       }
     })

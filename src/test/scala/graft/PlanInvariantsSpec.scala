@@ -185,7 +185,7 @@ class PlanInvariantsSpec extends SparkSpec {
     }
     // q_novelty reads the persisted shingle artifact, not a re-explode
     val nov = SparkEntry.queries("q_novelty")(spark, sfDir)
-    assert(nov.queryExecution.executedPlan.toString.contains("graft_shingles_n3"),
+    assert(nov.queryExecution.executedPlan.toString.contains("graft_shingles_v2_n3"),
       "q_novelty must scan the ShingleStore artifact")
   }
 

@@ -27,17 +27,28 @@ class ShingleStoreSpec extends SparkSpec {
       "second ensureShingles call must not rewrite the committed artifact")
   }
 
-  test("artifact content equals a direct shingles() computation") {
+  test("artifact content equals a direct shingles() computation, df/rank annotations correct") {
     val art = ShingleStore.ensureShingles(spark, sfDir, 3)
     val direct = TextOps.shingles(
       graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text", 3)
-    assert(art.except(direct).count() === 0)
-    assert(direct.except(art).count() === 0)
+    assert(art.columns.toSeq === Seq("doc_id", "shingle", "df", "rarity_rank"))
+    assert(art.select("doc_id", "shingle").except(direct).count() === 0)
+    assert(direct.except(art.select("doc_id", "shingle")).count() === 0)
+    // df annotation = recomputed document frequency on every row
+    val recomputed = direct.groupBy("shingle").agg(count(lit(1)).as("df2"))
+    assert(art.join(recomputed, Seq("shingle"))
+      .where(col("df") =!= col("df2")).count() === 0)
+    // rarity_rank is a per-doc permutation 1..n_sh in (df asc, shingle asc) order
+    val badRank = art.withColumn("expected", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df").asc, col("shingle").asc)))
+      .where(col("rarity_rank") =!= col("expected")).count()
+    assert(badRank === 0)
   }
 
-  test("jaccardPrefixJoinFromShingles over the artifact matches the direct path") {
+  test("jaccardPrefixJoinAnnotated over the artifact matches the direct recompute path") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
-    val viaArtifact = TextOps.jaccardPrefixJoinFromShingles(
+    val viaArtifact = TextOps.jaccardPrefixJoinAnnotated(
         ShingleStore.ensureShingles(spark, sfDir, 3), "doc_id", 0.5)
       .orderBy("id_a", "id_b").collect().toSeq
     val direct = TextOps.jaccardPrefixJoin(docs, "doc_id", "text", 3, 0.5)
@@ -45,11 +56,20 @@ class ShingleStoreSpec extends SparkSpec {
     assert(viaArtifact === direct)
   }
 
+  test("shingleNoveltyAnnotated over the artifact matches the raw-table recompute") {
+    val art = ShingleStore.ensureShingles(spark, sfDir, 3)
+    val viaAnnotation = TextOps.shingleNoveltyAnnotated(art, "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val recomputed = TextOps.shingleNovelty(art.select("doc_id", "shingle"), "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaAnnotation === recomputed)
+  }
+
   test("consumers read the artifact as a parquet scan (no checkpoint pin)") {
-    val plan = TextOps.jaccardPrefixJoinFromShingles(
+    val plan = TextOps.jaccardPrefixJoinAnnotated(
         ShingleStore.ensureShingles(spark, sfDir, 3), "doc_id", 0.5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("graft_shingles_n3"),
+    assert(plan.contains("graft_shingles_v2_n3"),
       "plan must scan the persisted shingle artifact")
     assert(!plan.contains("ExistingRDD") && !plan.contains("Scan rdd"),
       "no localCheckpoint/RDD scan may remain on the shingle path")
