@@ -1438,14 +1438,18 @@ object SparkEntry {
     }),
 
     // Image-container header parse — REAL byte-level format decoding:
-    // even docs get a planted PNG (big-endian u32 dims in the IHDR
-    // chunk), odd docs a GIF (little-endian u16 logical-screen dims),
-    // every third doc's payload is the raw text (an unparseable header —
-    // the malformed-media case). The payloads are built in-query from
-    // doc_id arithmetic, the parser reads actual bytes at the container
-    // offsets, and the oracle checks the parse recovers exactly the
-    // planted dimensions (the q_redact planted-fixture pattern applied
-    // to binary).
+    // planted PNGs (big-endian u32 dims in the IHDR chunk), GIFs
+    // (little-endian u16 logical-screen dims), and JPEGs whose SOF0
+    // frame header sits behind APP0 + COM segments the marker walk must
+    // skip by their big-endian lengths (r9 — the format a real
+    // multimodal corpus mostly contains). Every third doc's payload is
+    // the raw text (an unparseable header), and doc_ids ending in 5
+    // carry a TRUNCATED jpeg (APP0 length pointing past the payload end)
+    // — both malformed-media cases must emit ('unknown', -1, -1) as
+    // data. The payloads are built in-query from doc_id arithmetic, the
+    // parser reads actual bytes at the container offsets, and the oracle
+    // checks the parse recovers exactly the planted dimensions (the
+    // q_redact planted-fixture pattern applied to binary).
     "q_image_dims" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val w = (col("doc_id") % 256 + 64).cast("int")
@@ -1455,7 +1459,15 @@ object SparkEntry {
       val gifHex = concat(lit("474946383961"),
         lpad(hex(w % 256), 2, "0"), lpad(hex(w / 256), 2, "0"),
         lpad(hex(h % 256), 2, "0"), lpad(hex(h / 256), 2, "0"), lit("000000"))
+      // SOI + APP0(JFIF, len 16) + COM(len 7) + SOF0(len 17: precision,
+      // height BE u16, width BE u16, 3 components)
+      val jpegHex = concat(
+        lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
+          "FFFE" + "0007" + "706C616E74" + "FFC0" + "0011" + "08"),
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), lit("03012200021101031101"))
       val payload = when(col("doc_id") % 3 === 0, col("text").cast("binary"))
+        .when(col("doc_id") % 10 === 5, unhex(lit("FFD8FFE00010")))
+        .when(col("doc_id") % 5 === 0, unhex(jpegHex))
         .when(col("doc_id") % 2 === 0, unhex(pngHex))
         .otherwise(unhex(gifHex))
       val packed = docs.select(col("doc_id").as("id"), payload.as("payload"),
@@ -3575,10 +3587,13 @@ object SparkEntry {
 
     "q_image_dims" ->
       """SELECT doc_id AS id,
-           CASE WHEN doc_id % 3 = 0 THEN 'unknown'
+           CASE WHEN doc_id % 3 = 0 OR doc_id % 10 = 5 THEN 'unknown'
+                WHEN doc_id % 5 = 0 THEN 'jpeg'
                 WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
-           (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 256 + 64 END)::BIGINT AS width,
-           (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 128 + 32 END)::BIGINT AS height
+           (CASE WHEN doc_id % 3 = 0 OR doc_id % 10 = 5 THEN -1
+                 ELSE doc_id % 256 + 64 END)::BIGINT AS width,
+           (CASE WHEN doc_id % 3 = 0 OR doc_id % 10 = 5 THEN -1
+                 ELSE doc_id % 128 + 32 END)::BIGINT AS height
          FROM documents ORDER BY id""",
 
     "q_pipeline_curate" ->

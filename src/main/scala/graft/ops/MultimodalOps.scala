@@ -156,14 +156,22 @@ object MultimodalOps {
 
   /** Image-container header parse — REAL format decoding on the payload
     * bytes, not a fingerprint: PNG (8-byte signature, then the IHDR chunk
-    * carries width/height as big-endian u32 at offsets 16/20) and GIF
+    * carries width/height as big-endian u32 at offsets 16/20), GIF
     * ("GIF87a"/"GIF89a", then the logical-screen width/height as
-    * little-endian u16 at offsets 6/8). These are the two raster formats
-    * whose dimensions live at FIXED offsets, so the parse is a handful of
-    * byte reads — same partition-local mapPartitions shape as
-    * [[decodeByteFeatures]]; a full codec slots into the same loop.
-    * Unrecognized payloads emit ("unknown", -1, -1) rather than throwing:
-    * at corpus scale a malformed header is data, not an exception.
+    * little-endian u16 at offsets 6/8), and JPEG (SOI then a MARKER WALK:
+    * each FF-marker segment carries a big-endian u16 length including its
+    * own two bytes, so APPn/COM/quantization segments are skipped by
+    * length until a start-of-frame marker — SOF0 baseline, SOF1 extended
+    * sequential, SOF2 progressive — whose header carries height/width as
+    * big-endian u16 after the precision byte). PNG and GIF are fixed
+    * offsets; JPEG is the format whose dimensions float behind
+    * variable-length metadata, which is why real corpora (where JPEG
+    * dominates) need the walk. Same partition-local mapPartitions shape
+    * as [[decodeByteFeatures]]; a full codec slots into the same loop.
+    * Unrecognized or malformed payloads (bad signature, truncated
+    * segment, zero-length marker, scan data before any SOF) emit
+    * ("unknown", -1, -1) rather than throwing: at corpus scale a
+    * malformed header is data, not an exception.
     */
   def imageDims(packed: DataFrame): Dataset[ImageDims] = {
     val spark = packed.sparkSession
@@ -174,8 +182,36 @@ object MultimodalOps {
         def u8(p: Array[Byte], i: Int): Long = p(i) & 0xffL
         def be32(p: Array[Byte], i: Int): Long =
           (u8(p, i) << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+        def be16(p: Array[Byte], i: Int): Long = (u8(p, i) << 8) | u8(p, i + 1)
         def le16(p: Array[Byte], i: Int): Long = u8(p, i) | (u8(p, i + 1) << 8)
         val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+        // JPEG marker walk to the first SOF0/SOF1/SOF2 frame header;
+        // None on any structural violation.
+        def jpegDims(p: Array[Byte]): Option[(Long, Long)] = {
+          var i = 2
+          while (i + 1 < p.length) {
+            if (u8(p, i) != 0xffL) return None
+            var j = i + 1 // skip FF fill bytes before the marker code
+            while (j < p.length && u8(p, j) == 0xffL) j += 1
+            if (j >= p.length) return None
+            val marker = u8(p, j).toInt
+            if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+              // frame header: len(2) precision(1) height(2) width(2) ...
+              if (j + 7 >= p.length || be16(p, j + 1) < 8) return None
+              return Some((be16(p, j + 6), be16(p, j + 4))) // (width, height)
+            } else if (marker == 0xd9 || marker == 0xda) {
+              return None // EOI / entropy-coded scan before any SOF
+            } else if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+              i = j + 1 // standalone marker, no length field
+            } else {
+              if (j + 2 >= p.length) return None
+              val len = be16(p, j + 1)
+              if (len < 2 || j + 1 + len >= p.length) return None
+              i = j + 1 + len.toInt
+            }
+          }
+          None
+        }
         rows.map { case (id, p) =>
           if (p != null && p.length >= 24 && p.startsWith(pngSig) &&
               p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
@@ -183,6 +219,11 @@ object MultimodalOps {
           else if (p != null && p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
               p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
             ImageDims(id, "gif", le16(p, 6), le16(p, 8))
+          else if (p != null && p.length >= 4 && u8(p, 0) == 0xffL && u8(p, 1) == 0xd8L)
+            jpegDims(p) match {
+              case Some((w, h)) => ImageDims(id, "jpeg", w, h)
+              case None         => ImageDims(id, "unknown", -1L, -1L)
+            }
           else ImageDims(id, "unknown", -1L, -1L)
         }
       }

@@ -48,4 +48,34 @@ class Round9OpsSpec extends SparkSpec {
     val keptSketch = sketch.where(col("kept") === 1).count().toDouble / n
     assert(keptSketch > 0.6 && keptSketch < 0.9, s"kept fraction $keptSketch")
   }
+
+  test("imageDims JPEG marker walk: SOF0/SOF2 behind skip segments, malformed variants rejected") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val app0 = "FFE0" + "0010" + "4A46494600010100000100010000"
+    val com = "FFFE" + "0007" + "706C616E74"
+    // baseline SOF0, 1024x768 (h=0x0300, w=0x0400) behind APP0 + COM
+    val sof0 = hexBytes("FFD8" + app0 + com +
+      "FFC0" + "0011" + "08" + "0300" + "0400" + "03012200021101031101")
+    // progressive SOF2 with FF fill bytes before the marker and an RST
+    // standalone marker in the walk, 17x4097 (h=0x0011, w=0x1001)
+    val sof2 = hexBytes("FFD8" + app0 + "FFD0" + "FF" +
+      "FFC2" + "0011" + "08" + "0011" + "1001" + "03012200021101031101")
+    // malformed: APP0 length runs past the payload end
+    val truncated = hexBytes("FFD8FFE00010")
+    // malformed: entropy-coded scan (SOS) before any SOF
+    val sosFirst = hexBytes("FFD8" + app0 + "FFDA" + "000C" + "03010002110311003F00")
+    // malformed: zero-length segment (length field < 2)
+    val zeroLen = hexBytes("FFD8" + "FFE0" + "0001" + "00")
+    val packed = spark.createDataFrame(Seq(
+        (1L, sof0), (2L, sof2), (3L, truncated), (4L, sosFirst), (5L, zeroLen)))
+      .toDF("id", "payload")
+    val out = MultimodalOps.imageDims(packed).collect()
+      .map(d => d.id -> ((d.format, d.width, d.height))).toMap
+    assert(out(1L) === (("jpeg", 1024L, 768L)))
+    assert(out(2L) === (("jpeg", 4097L, 17L)))
+    assert(out(3L) === (("unknown", -1L, -1L)))
+    assert(out(4L) === (("unknown", -1L, -1L)))
+    assert(out(5L) === (("unknown", -1L, -1L)))
+  }
 }
