@@ -49,6 +49,56 @@ class Round9OpsSpec extends SparkSpec {
     assert(keptSketch > 0.6 && keptSketch < 0.9, s"kept fraction $keptSketch")
   }
 
+  test("sketch parameter sweep: HLL error tracks 1.04/sqrt(m) across m in {16, 64, 256}") {
+    // Measured evidence for the m = 64 default (VERDICT r8 item 6 — the
+    // residual-PQ measure-don't-guess standard applied to the sketches):
+    // realized relative error per register count against the exact
+    // distinct, asserted within 3 standard errors of the HLL bound.
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val exact = events.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Seq(16, 64, 256).map { m =>
+      val est = Profiling.hllDistinct(events, Seq("event_type"), "user_id", m)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+      val relErrs = exact.map { case (k, n) => math.abs(est(k) - n) / n.toDouble }
+      val maxErr = relErrs.max
+      val bound = 1.04 / math.sqrt(m.toDouble)
+      assert(maxErr <= 3 * bound,
+        s"m=$m: max relative error $maxErr exceeds 3x the HLL standard error $bound")
+      (m, maxErr, bound)
+    }
+    info("HLL sweep (m, observed max rel error, 1.04/sqrt(m)):")
+    rows.foreach { case (m, e, b) => info(f"  m=$m%3d  err=$e%.4f  bound=$b%.4f") }
+    // more registers must not make things worse across the sweep's span
+    assert(rows.last._2 <= rows.head._2 + 0.02,
+      "error at m=256 should not exceed error at m=16")
+  }
+
+  test("sketch parameter sweep: histogram quantile error stays within one bin width across nBins") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val grouped = events.select(col("event_type"), col("value").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = Seq(32, 128, 512).map { nBins =>
+      val est = Profiling.histogramQuantiles(events, Seq("event_type"), "value", nBins, qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val errs = grouped.toSeq.flatMap { case (k, vs) =>
+        val binW = (vs.last - vs.head) / nBins
+        qs.map { q =>
+          val orderStat = vs(math.min(vs.length - 1, math.ceil(q * vs.length).toInt - 1))
+          val e = math.abs(est((k, q)) - orderStat)
+          assert(e <= binW + 1e-9,
+            s"nBins=$nBins ($k, $q): error $e exceeds one bin width $binW")
+          e / binW
+        }
+      }
+      (nBins, errs.max)
+    }
+    info("histogram sweep (nBins, observed max error in bin widths — bound is 1.0):")
+    rows.foreach { case (b, e) => info(f"  nBins=$b%3d  err=$e%.3f binW") }
+  }
+
   test("imageDims JPEG marker walk: SOF0/SOF2 behind skip segments, malformed variants rejected") {
     def hexBytes(s: String): Array[Byte] =
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
