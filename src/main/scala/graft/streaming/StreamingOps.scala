@@ -240,6 +240,80 @@ object StreamingOps {
       state.map(_.where(col(opCol) =!= "D").select(col(key) +: payload.map(col): _*))
   }
 
+  /** Streaming shingle document-frequency state — the streaming twin of
+    * the ShingleStore-backed curation signals (novelty, decontamination;
+    * VERDICT r8 item 7). Two pieces of maintained state:
+    *
+    *   - the per-shingle document-frequency table, SUM-merged per
+    *     micro-batch: shingles are distinct per document and a document
+    *     arrives in exactly one batch, so per-batch df partials sum to
+    *     the whole-corpus df whatever the batch boundaries — sum is the
+    *     df merge monoid, the same convergence claim as HistogramState's
+    *     binned counts.
+    *   - the arrived (doc, shingle) pairs, APPEND-ONLY: each batch's
+    *     shingle table is checkpointed once and never rewritten
+    *     (per-trigger cost O(batch), unlike a union-and-recheckpoint of
+    *     the whole history). At scale these parts are the incrementally
+    *     appended ShingleStore parquet artifact — the landing-zone
+    *     pattern — held here as per-batch checkpoint frames in the
+    *     reference implementation.
+    *
+    * Novelty is retrospective by nature (an early document becomes
+    * "shared" when its twin arrives later), so per-doc verdicts finalize
+    * from CURRENT state — one shingle-keyed join of the arrived pairs
+    * against the df table, exactly the batch shingleNovelty plan — and
+    * converge to the batch answer once the same documents have arrived
+    * (FileStreamingSpec). Decontamination against a static benchmark
+    * reads the same arrived pairs. Idempotent-replay contract as the
+    * other states (re-delivered batchIds are no-ops).
+    */
+  final class ShingleDfState(idCol: String, textCol: String, n: Int) {
+    @volatile private var dfCounts: Option[DataFrame] = None
+    private val shingleParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val sh = graft.ops.TextOps.shingles(batch, idCol, textCol, n)
+        .localCheckpoint(true)
+      shingleParts += sh
+      val p = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val merged = dfCounts match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("shingle").agg(sum("df").as("df"))
+        case None => p
+      }
+      val prev = dfCounts
+      dfCounts = Some(merged.localCheckpoint(true))
+      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      lastBatchId = batchId
+    }
+
+    private def arrivedShingles: Option[DataFrame] =
+      shingleParts.reduceOption(_ unionByName _)
+
+    /** Per-doc novelty from current state — the batch shingleNovelty
+      * aggregation over the arrived pairs and the maintained df table.
+      */
+    def finalizedNovelty: Option[DataFrame] = for {
+      sh <- arrivedShingles; d <- dfCounts
+    } yield sh.join(d, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+
+    /** Contamination flags of every arrived doc against a static
+      * benchmark shingle table — the batch operator over current state.
+      */
+    def finalizedContamination(benchShingles: DataFrame, minCommon: Long): Option[DataFrame] =
+      arrivedShingles.map { sh =>
+        graft.ops.TextOps.contaminationFlagsFromShingles(
+          sh.select(col(idCol)).distinct(), sh, benchShingles, idCol, minCommon)
+      }
+  }
+
   /** Keyed-state streaming CDC apply — the production shape the r8
     * verdict prescribed over CdcApplyState's whole-frame re-rank: the
     * changelog streams into `flatMapGroupsWithState`, the state store

@@ -525,6 +525,57 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming shingle-df state: novelty and contamination converge to batch") {
+    // VERDICT r8 item 7: per-shingle df counts SUM-merge across
+    // micro-batches (the df merge monoid — shingles are distinct per doc
+    // and each doc arrives once), so novelty finalized from streaming
+    // state must equal the batch shingleNovelty over the same documents,
+    // including the RETROSPECTIVE flip: docs landing in the first batch
+    // become "shared" when their twins arrive in the second.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val bench = docs.where(col("doc_id") < 20)
+    val corpus = docs.where(col("doc_id") >= 20)
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_shdf_in").toFile.getAbsolutePath
+    corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(inDir)
+    corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+
+    val state = new StreamingOps.ShingleDfState("doc_id", "text", 3)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      def novMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val streamedNov = novMap(state.finalizedNovelty.get
+        .select("doc_id", "n_shingles", "n_shared", "shared_frac"))
+      val batchNov = novMap(graft.ops.TextOps.shingleNovelty(
+          graft.ops.TextOps.shingles(corpus, "doc_id", "text", 3), "doc_id")
+        .select("doc_id", "n_shingles", "n_shared", "shared_frac"))
+      assert(streamedNov === batchNov,
+        "sum-merged df state must reproduce the batch novelty verdicts exactly")
+
+      val benchSh = graft.ops.TextOps.shingles(bench, "doc_id", "text", 3)
+      def conMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val streamedCon = conMap(state.finalizedContamination(benchSh, 2L).get
+        .select("doc_id", "n_common_shingles", "contaminated"))
+      val batchCon = conMap(graft.ops.TextOps.contaminationFlagsFromShingles(
+          corpus.select("doc_id"),
+          graft.ops.TextOps.shingles(corpus, "doc_id", "text", 3), benchSh,
+          "doc_id", minCommon = 2L)
+        .select("doc_id", "n_common_shingles", "contaminated"))
+      assert(streamedCon === batchCon)
+
+      // replay contract: a stale batchId is a no-op
+      state.mergeBatch(corpus.limit(5), batchId = 0L)
+      assert(novMap(state.finalizedNovelty.get
+        .select("doc_id", "n_shingles", "n_shared", "shared_frac")) === streamedNov)
+    } finally q.stop()
+  }
+
   test("keyed-state CDC apply converges to batch and a 1-key trigger emits 1 row") {
     // The production CDC shape (VERDICT r8 item 3): flatMapGroupsWithState
     // keyed state, base seeded as initial state. Same adversarial landing
