@@ -2355,7 +2355,10 @@ object SparkEntry {
          e AS (SELECT doc_id, n_tokens_raw, replace(trim($chain, '|'), '||', ' ') AS encoded
                FROM s)
        SELECT doc_id, n_tokens_raw,
-              len(string_split(encoded, ' '))::BIGINT AS n_tokens_bpe,
+              -- empty-doc guard (ADVICE r8): string_split('', ' ') is ['']
+              -- in DuckDB (count 1) where Spark's size(empty array) is 0
+              (CASE WHEN encoded = '' THEN 0
+                    ELSE len(string_split(encoded, ' ')) END)::BIGINT AS n_tokens_bpe,
               encoded
        FROM e ORDER BY doc_id"""
   }
