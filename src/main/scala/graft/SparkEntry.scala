@@ -1459,11 +1459,20 @@ object SparkEntry {
       val gifHex = concat(lit("474946383961"),
         lpad(hex(w % 256), 2, "0"), lpad(hex(w / 256), 2, "0"),
         lpad(hex(h % 256), 2, "0"), lpad(hex(h / 256), 2, "0"), lit("000000"))
-      // SOI + APP0(JFIF, len 16) + COM(len 7) + SOF0(len 17: precision,
-      // height BE u16, width BE u16, 3 components)
+      // SOI + APP0(JFIF, len 16) + COM(len 7) + SOFn(len 17: precision,
+      // height BE u16, width BE u16, 3 components). The frame marker
+      // varies: progressive SOF2 and arithmetic-coded SOF9 are planted
+      // alongside baseline SOF0 (r10) — all three share the identical
+      // frame-header layout, and a walk that only recognized SOF0/1/2
+      // would emit ('unknown',-1,-1) for the SOF9 rows and hash-fail.
+      val sofMarker = when(col("doc_id") % 20 === 0, lit("FFC2"))
+        .when(col("doc_id") % 20 === 10, lit("FFC9"))
+        .otherwise(lit("FFC0"))
       val jpegHex = concat(
         lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
-          "FFFE" + "0007" + "706C616E74" + "FFC0" + "0011" + "08"),
+          "FFFE" + "0007" + "706C616E74"),
+        sofMarker,
+        lit("0011" + "08"),
         lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), lit("03012200021101031101"))
       val payload = when(col("doc_id") % 3 === 0, col("text").cast("binary"))
         .when(col("doc_id") % 10 === 5, unhex(lit("FFD8FFE00010")))

@@ -161,8 +161,9 @@ object MultimodalOps {
     * little-endian u16 at offsets 6/8), and JPEG (SOI then a MARKER WALK:
     * each FF-marker segment carries a big-endian u16 length including its
     * own two bytes, so APPn/COM/quantization segments are skipped by
-    * length until a start-of-frame marker — SOF0 baseline, SOF1 extended
-    * sequential, SOF2 progressive — whose header carries height/width as
+    * length until a start-of-frame marker — any SOFn in 0xC0-0xCF except
+    * 0xC4/0xC8/0xCC, covering baseline, progressive, lossless, and
+    * arithmetic-coded frames — whose header carries height/width as
     * big-endian u16 after the precision byte). PNG and GIF are fixed
     * offsets; JPEG is the format whose dimensions float behind
     * variable-length metadata, which is why real corpora (where JPEG
@@ -185,8 +186,12 @@ object MultimodalOps {
         def be16(p: Array[Byte], i: Int): Long = (u8(p, i) << 8) | u8(p, i + 1)
         def le16(p: Array[Byte], i: Int): Long = u8(p, i) | (u8(p, i + 1) << 8)
         val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-        // JPEG marker walk to the first SOF0/SOF1/SOF2 frame header;
-        // None on any structural violation.
+        // JPEG marker walk to the first SOFn frame header; None on any
+        // structural violation. Every marker in 0xC0-0xCF is a frame
+        // header sharing the len/precision/height/width layout EXCEPT
+        // 0xC4 (DHT), 0xC8 (JPG extension), 0xCC (DAC) — so lossless
+        // SOF3, differential SOF5-7, and arithmetic-coded SOF9-11/13-15
+        // all resolve, not just baseline/extended/progressive.
         def jpegDims(p: Array[Byte]): Option[(Long, Long)] = {
           var i = 2
           while (i + 1 < p.length) {
@@ -195,7 +200,8 @@ object MultimodalOps {
             while (j < p.length && u8(p, j) == 0xffL) j += 1
             if (j >= p.length) return None
             val marker = u8(p, j).toInt
-            if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+            if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
               // frame header: len(2) precision(1) height(2) width(2) ...
               if (j + 7 >= p.length || be16(p, j + 1) < 8) return None
               return Some((be16(p, j + 6), be16(p, j + 4))) // (width, height)
