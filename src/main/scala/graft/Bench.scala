@@ -67,16 +67,26 @@ object Bench {
     // cost nothing ever re-timed). So the queue ALSO takes any query
     // slower than 3× its previous committed time (VERDICT r8 item 4) —
     // the proportional trigger catches cheap-query steal, the absolute
-    // one catches queries with no history.
-    val prevQueries: Map[String, Double] =
+    // one catches queries with no history. The r9 artifact then showed
+    // the 3× rule's own blind spot: q_rrf_fuse drifted 1.56× (~0.6 s of
+    // phantom cost) and sat invisible below it — so queries already ≥ 1 s
+    // ALSO queue at > 1.5× their committed time (VERDICT r9 item 4;
+    // sub-second queries stay at 3× — their absolute drift is noise).
+    // Both proportional triggers only fire when the committed artifact
+    // was recorded at the SAME sf dir (ADVICE r9): per-query times at a
+    // different scale factor would mis-trigger every query or none.
+    val (prevQueries, prevSf): (Map[String, Double], Option[String]) =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH_LAST.json"))
         val qBlock = txt.substring(txt.indexOf("\"queries\":{") + 11)
-        """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qBlock.takeWhile(_ != '}'))
+        val qs = """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qBlock.takeWhile(_ != '}'))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+        (qs, """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)))
+      } catch { case _: Throwable => (Map.empty, None) }
+    val sfComparable = prevSf.contains(sfDir)
     def needsRetry(name: String, sec: Double): Boolean =
-      sec > 2.5 || prevQueries.get(name).exists(p => p > 0 && sec > 3 * p)
+      sec > 2.5 || (sfComparable && prevQueries.get(name).exists(p =>
+        p > 0 && (sec > 3 * p || (sec >= 1.0 && sec > 1.5 * p))))
     val firstPass = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
     val results = collection.mutable.Map[String, Double](firstPass.toSeq: _*)
     val retrySteal = collection.mutable.ArrayBuffer[Double]()
