@@ -47,13 +47,21 @@ object ShingleStore {
     * df + rank from the raw artifact on every run). A COMPLETE layout
     * left by a previous process (committed `_SUCCESS`) is reused as-is;
     * anything else at the location is a partial write — deleted and
-    * rebuilt.
+    * rebuilt. Ensuring the v2 layout also GARBAGE-COLLECTS a stale v1
+    * `graft_shingles_n*` sibling from a pre-r8 build (VERDICT r9 item 7):
+    * the path rename that protects v2 readers from misreading the
+    * two-column layout would otherwise orphan the old directory forever.
     */
   def ensureShingles(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val loc = shinglePath(spark, sfDir, n)
     ensured.getOrElseUpdate((spark.sparkContext.applicationId, loc), {
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // GC the orphaned v1 artifact (same (n, sfDir) key, pre-annotation
+      // layout): nothing can read it once v2 exists, so it is dead disk.
+      val v1 = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName.replaceFirst("^graft_shingles_v2_", "graft_shingles_"))
+      if (fs.exists(v1)) fs.delete(v1, true)
       if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
         if (fs.exists(p)) fs.delete(p, true)
         import org.apache.spark.sql.expressions.Window

@@ -65,6 +65,21 @@ class ShingleStoreSpec extends SparkSpec {
     assert(viaAnnotation === recomputed)
   }
 
+  test("ensuring the v2 layout garbage-collects a stale v1 sibling") {
+    // n=4 gets a fresh ensure (the TrieMap memo is per (app, location),
+    // and other tests already ensured n=3 in this session)
+    val v2 = new org.apache.hadoop.fs.Path(ShingleStore.shinglePath(spark, sfDir, 4))
+    val v1 = new org.apache.hadoop.fs.Path(
+      v2.getParent, v2.getName.replaceFirst("^graft_shingles_v2_", "graft_shingles_"))
+    val fs = v2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(v1)
+    fs.create(new org.apache.hadoop.fs.Path(v1, "part-00000.parquet")).close()
+    assert(fs.exists(v1))
+    assert(ShingleStore.ensureShingles(spark, sfDir, 4).count() > 0)
+    assert(!fs.exists(v1),
+      "orphaned pre-annotation v1 artifact must be deleted when v2 is ensured")
+  }
+
   test("consumers read the artifact as a parquet scan (no checkpoint pin)") {
     val plan = TextOps.jaccardPrefixJoinAnnotated(
         ShingleStore.ensureShingles(spark, sfDir, 3), "doc_id", 0.5)
