@@ -250,12 +250,17 @@ object StreamingOps {
     *     the whole-corpus df whatever the batch boundaries — sum is the
     *     df merge monoid, the same convergence claim as HistogramState's
     *     binned counts.
-    *   - the arrived (doc, shingle) pairs, APPEND-ONLY: each batch's
-    *     shingle table is checkpointed once and never rewritten
-    *     (per-trigger cost O(batch), unlike a union-and-recheckpoint of
-    *     the whole history). At scale these parts are the incrementally
-    *     appended ShingleStore parquet artifact — the landing-zone
-    *     pattern — held here as per-batch checkpoint frames in the
+    *   - the arrived (doc, shingle) pairs, appended per batch and
+    *     COMPACTED every `compactEvery` triggers: each batch's shingle
+    *     table is checkpointed once (per-trigger cost O(batch)), and once
+    *     `compactEvery` frames accumulate they are unioned into ONE
+    *     checkpointed frame and the old frames' pinned blocks released —
+    *     so both pinned-block memory and the width of the union plan the
+    *     finalizers read stay bounded at `compactEvery` frames however
+    *     long the stream runs, for an amortized per-trigger recompaction
+    *     cost of O(arrived / compactEvery). At scale these parts are the
+    *     incrementally appended ShingleStore parquet artifact — the
+    *     landing-zone pattern — held here as checkpoint frames in the
     *     reference implementation.
     *
     * Novelty is retrospective by nature (an early document becomes
@@ -267,7 +272,9 @@ object StreamingOps {
     * reads the same arrived pairs. Idempotent-replay contract as the
     * other states (re-delivered batchIds are no-ops).
     */
-  final class ShingleDfState(idCol: String, textCol: String, n: Int) {
+  final class ShingleDfState(idCol: String, textCol: String, n: Int,
+                             compactEvery: Int = 8) {
+    require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
     @volatile private var dfCounts: Option[DataFrame] = None
     private val shingleParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     private var lastBatchId: Long = -1L
@@ -286,11 +293,29 @@ object StreamingOps {
       val prev = dfCounts
       dfCounts = Some(merged.localCheckpoint(true))
       prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      // Compact LAST: the eager df checkpoint above must read `sh` while
+      // its blocks are still pinned — the compacted union is itself
+      // materialized eagerly before the old frames are released.
+      if (shingleParts.size >= compactEvery) {
+        val compacted = shingleParts.reduce(_ unionByName _).localCheckpoint(true)
+        shingleParts.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+        shingleParts.clear()
+        shingleParts += compacted
+      }
       lastBatchId = batchId
     }
 
-    private def arrivedShingles: Option[DataFrame] =
+    /** Number of retained checkpoint frames — bounded at `compactEvery`
+      * by construction (spec-asserted); exposed for that evidence.
+      */
+    def partCount: Int = synchronized { shingleParts.size }
+
+    // Read under the same lock mergeBatch holds: a reader must never
+    // capture a union plan over frames a concurrent compaction is about
+    // to release (ADVICE r9 item 1).
+    private def arrivedShingles: Option[DataFrame] = synchronized {
       shingleParts.reduceOption(_ unionByName _)
+    }
 
     /** Per-doc novelty from current state — the batch shingleNovelty
       * aggregation over the arrived pairs and the maintained df table.
@@ -342,6 +367,15 @@ object StreamingOps {
                     opCol: String, versionCol: String, payload: Seq[String],
                     baseVersion: Long = 0L): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
+    // The grouping key is the key column rendered to string; that is
+    // injective only for integral/string keys. Fail fast on anything else
+    // (a Double/Decimal key would silently merge 1 vs 1.0 state or split
+    // equal keys across renderings — ADVICE r9 item 3).
+    import org.apache.spark.sql.types._
+    val keyType = changes.schema(key).dataType
+    require(keyType == StringType || keyType == LongType || keyType == IntegerType ||
+        keyType == ShortType || keyType == ByteType,
+      s"cdcApplyKeyed requires an integral or string key column; '$key' is $keyType")
     val cols = Seq(col(key), col(opCol), col(versionCol).cast("long").as(versionCol)) ++
       payload.map(col)
     val projected = changes.select(cols: _*)

@@ -538,15 +538,22 @@ class FileStreamingSpec extends SparkSpec {
     val corpus = docs.where(col("doc_id") >= 20)
 
     val inDir = java.nio.file.Files.createTempDirectory("graft_shdf_in").toFile.getAbsolutePath
-    corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(inDir)
-    corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    (0 to 3).foreach { m =>
+      corpus.where(col("doc_id") % 4 === m).coalesce(1).write.mode("append").parquet(inDir)
+    }
 
-    val state = new StreamingOps.ShingleDfState("doc_id", "text", 3)
+    // compactEvery=2 forces a compaction on every second trigger — the
+    // retained-frame bound is exercised, not just claimed (ADVICE r9 1).
+    val state = new StreamingOps.ShingleDfState("doc_id", "text", 3, compactEvery = 2)
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
     try {
       q.processAllAvailable()
+      // 4 triggers with compactEvery=2: retained frames must stay bounded
+      // by compactEvery, not grow with trigger count.
+      assert(state.partCount <= 2,
+        s"shingleParts must be compacted to <= compactEvery frames, got ${state.partCount}")
       def novMap(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
       val streamedNov = novMap(state.finalizedNovelty.get
@@ -656,6 +663,20 @@ class FileStreamingSpec extends SparkSpec {
       assert(emitCounts.last === 0L, "stale version must not emit or disturb state")
       assert(current(1L)._3 === 7777.0)
     } finally q.stop()
+  }
+
+  test("cdcApplyKeyed rejects non-integral/string key columns at entry") {
+    // The state-store grouping key is the key column rendered to string —
+    // injective for integral/string keys only. A Double key must fail
+    // fast, not silently merge 1 vs 1.0 state (ADVICE r9 item 3).
+    val base = spark.range(3).select(col("id").cast("double").as("k"),
+      lit("x").as("v"))
+    val changes = base.select(col("k"), lit("U").as("op"), lit(1L).as("version"),
+      col("v"))
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.cdcApplyKeyed(changes, base, "k", "op", "version", Seq("v"))
+    }
+    assert(ex.getMessage.contains("integral or string"))
   }
 }
 
