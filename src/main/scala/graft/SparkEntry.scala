@@ -1114,6 +1114,26 @@ object SparkEntry {
         .orderBy("doc_id", "seg_idx")
     }),
 
+    // Exact duplicated-substring cut (stride-1 windows — the Lee-et-al
+    // ExactSubstr modality the stride machinery can't reach): doc 9201
+    // carries the 20-token boilerplate after a SEVEN-token lead-in — an
+    // offset no stride grid hits — and its merged dup span must be
+    // exactly those 20 tokens; doc 9202 carries TWO copies separated by
+    // filler, exercising within-doc duplication and the island merge
+    // (two disjoint maximal spans, 40 dup tokens).
+    "q_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Seq(
+        (9200L, ParaBoiler),
+        (9201L, s"seven lead tokens come before the block $ParaBoiler trailing words end"),
+        (9202L, s"self repeat case $ParaBoiler middle filler words between copies $ParaBoiler done")
+      ).toDF("doc_id", "text")
+      TextOps.dedupExactSubstring(base.unionByName(planted), "doc_id", "text",
+          minLen = 15)
+        .orderBy("doc_id")
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       TextOps.ngramJaccardPairs(
           T(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", 3,
@@ -3901,6 +3921,53 @@ object SparkEntry {
            CROSS JOIN LATERAL unnest(range(win_idx, least(win_idx + 4, n_segs))) AS u(s))
          SELECT doc_id, seg_idx::BIGINT AS seg_idx, (1 - max(is_dup))::BIGINT AS kept
          FROM segs GROUP BY doc_id, seg_idx ORDER BY doc_id, seg_idx""",
+
+    "q_substring_dedup" ->
+      s"""WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (9200, '$ParaBoiler'),
+             (9201, 'seven lead tokens come before the block $ParaBoiler trailing words end'),
+             (9202, 'self repeat case $ParaBoiler middle filler words between copies $ParaBoiler done')
+           ) AS t(doc_id, text)),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+           FROM docs),
+         d AS (SELECT doc_id, t, len(t)::BIGINT AS n_tokens FROM toks WHERE len(t) > 0),
+         wins AS (
+           SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i+1 : u.i+15], ' ')) AS fp
+           FROM d CROSS JOIN LATERAL unnest(range(0, n_tokens - 14)) AS u(i)
+           WHERE n_tokens >= 15),
+         flagged AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+           FROM wins),
+         ranges AS (
+           SELECT doc_id, pos AS s, pos + 15 AS e FROM flagged WHERE rn > 1),
+         marked AS (
+           SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+           FROM ranges),
+         islands AS (
+           SELECT doc_id, s, e,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+           FROM marked),
+         spans AS (
+           SELECT doc_id, span_id, min(s) AS s, max(e) AS e
+           FROM islands GROUP BY 1, 2),
+         per_doc AS (
+           SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
+           FROM spans GROUP BY 1)
+         SELECT d.doc_id, d.n_tokens,
+           COALESCE(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+           round(COALESCE(p.dup_tokens, 0)::DOUBLE / d.n_tokens::DOUBLE, 6) AS dup_frac
+         FROM d LEFT JOIN per_doc p USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "q_ngram_jaccard" ->
       """WITH toks AS (

@@ -471,6 +471,76 @@ object TextOps {
       .agg((lit(1L) - max(col("is_dup")).cast("long")).as("kept"))
   }
 
+  /** Exact duplicated-substring cut (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — the suffix-array ExactSubstr
+    * modality, re-expressed as stride-1 window fingerprinting): a token
+    * run of length >= `minLen` shared across documents (or repeated
+    * within one) is duplicated text at ANY offset, not just stride
+    * multiples. Every length-`minLen` token window is fingerprinted; a
+    * fingerprint's single FIRST occurrence (least (id, pos)) is the kept
+    * copy, every other occurrence marks its [pos, pos+minLen) token range
+    * duplicated. Per document the duplicated ranges are merged
+    * gaps-and-islands style (touching ranges coalesce: a new span starts
+    * only when its start exceeds the running max end) into maximal spans
+    * — exactly the byte-range cuts the suffix-array method emits.
+    *
+    * Output: one row per doc — n_tokens, n_dup_spans, dup_tokens (union
+    * size of the duplicated ranges), dup_frac. Docs shorter than
+    * `minLen` tokens have no window and report 0 duplication.
+    *
+    * 100 TB shape: windows are generated row-locally (explode over
+    * stride-1 offsets — minLen× the shingle row count, the honest price
+    * of any-offset exactness); the only corpus-wide shuffles carry
+    * 32-byte fingerprints. First occurrences come from a min(struct)
+    * aggregation (map-side partial merge — skew-safe even for a
+    * boilerplate fingerprint in millions of docs), restricted to
+    * fingerprints with occ > 1 before the join back, so the join fans
+    * out only over genuinely duplicated windows. The span merge is a
+    * per-document window — bounded by document length, never corpus-wide.
+    */
+  def dedupExactSubstring(df: DataFrame, idCol: String, textCol: String,
+                          minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t"), size(col("_t")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val fps = withToks.where(col("n_tokens") >= minLen)
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("n_tokens") - minLen)).as("pos"), col("_t"))
+      .select(col(idCol), col("pos"),
+        md5(concat_ws(" ", slice(col("_t"), (col("pos") + 1).cast("int"), lit(minLen))))
+          .as("fp"))
+    val firsts = fps
+      .groupBy("fp")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"),
+        count(lit(1)).as("occ"))
+      .where(col("occ") > 1)
+      .select(col("fp"), col("first").getField(idCol).as("_fid"),
+        col("first").getField("pos").as("_fpos"))
+    val dupRanges = fps.join(firsts, Seq("fp"))
+      .where(!(col(idCol) === col("_fid") && col("pos") === col("_fpos")))
+      .select(col(idCol), col("pos").as("start"), (col("pos") + minLen).as("end"))
+    val w = Window.partitionBy(idCol).orderBy(col("start").asc, col("end").asc)
+    val spans = dupRanges
+      .withColumn("_prev_end",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new", when(col("_prev_end").isNull ||
+        col("start") > col("_prev_end"), 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min("start").as("s"), max("end").as("e"))
+    val perDoc = spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    withToks.select(col(idCol), col("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
   /** Incremental exact dedup — the daily-ingest step: a delta batch is
     * checked against the EXISTING corpus's fingerprints (anti join on the
     * 32-byte hash, never against document bodies) and then deduped
