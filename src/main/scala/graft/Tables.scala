@@ -12,18 +12,30 @@ import org.apache.spark.sql.functions.{col, expr}
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-      // to map to TimestampType; read it as nanos-since-epoch long and
-      // convert (integer `div` — a double roundtrip would lose precision
-      // above 2^53 ns). The legacy flag is scoped to this read: restored
-      // afterwards so other parquet reads in the session still fail loudly
-      // on nanos columns instead of silently yielding longs.
+      // events.ts has shipped in two physical layouts across testdata
+      // generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to map
+      // to TimestampType — read as nanos-since-epoch long under the
+      // scoped legacy flag and convert; integer `div`, a double roundtrip
+      // would lose precision above 2^53 ns) and plain TIMESTAMP(MICROS)
+      // with isAdjustedToUTC=false (inferred as TIMESTAMP_NTZ — cast to
+      // the session-zoned TimestampType every consumer was built against;
+      // the session zone is UTC everywhere, so wall-clock values are
+      // unchanged). Adapt on the OBSERVED schema so either generation
+      // loads identically. The legacy flag is scoped to this read:
+      // restored afterwards so other parquet reads in the session still
+      // fail loudly on nanos columns instead of silently yielding longs.
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try {
-        val read = spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        val read = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
         // force schema resolution while the flag is set; execution re-reads
         // the footer, so the plan itself must carry the resolved schema
         read.schema

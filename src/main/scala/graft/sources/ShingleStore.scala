@@ -21,6 +21,13 @@ object ShingleStore {
 
   private val ensured = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
 
+  /** Test-only: forget that (app, location) was ensured, so a spec can
+    * exercise the ensure path deterministically regardless of which other
+    * suites ran first in the shared session (ADVICE r10 item 2).
+    */
+  private[graft] def forgetForTest(spark: SparkSession, sfDir: String, n: Int): Unit =
+    ensured.remove((spark.sparkContext.applicationId, shinglePath(spark, sfDir, n)))
+
   /** Artifact location for (sfDir, n) under the session warehouse dir.
     * `v2` = df-annotated schema (VERDICT r8 item 2) — a v1 two-column
     * layout left by an earlier build is simply a different path, never
@@ -51,17 +58,14 @@ object ShingleStore {
     * `graft_shingles_n*` sibling from a pre-r8 build (VERDICT r9 item 7):
     * the path rename that protects v2 readers from misreading the
     * two-column layout would otherwise orphan the old directory forever.
+    * The GC runs only once a committed v2 layout is confirmed, so a
+    * failed v2 build never deletes the sole surviving copy.
     */
   def ensureShingles(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val loc = shinglePath(spark, sfDir, n)
     ensured.getOrElseUpdate((spark.sparkContext.applicationId, loc), {
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // GC the orphaned v1 artifact (same (n, sfDir) key, pre-annotation
-      // layout): nothing can read it once v2 exists, so it is dead disk.
-      val v1 = new org.apache.hadoop.fs.Path(
-        p.getParent, p.getName.replaceFirst("^graft_shingles_v2_", "graft_shingles_"))
-      if (fs.exists(v1)) fs.delete(v1, true)
       if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
         if (fs.exists(p)) fs.delete(p, true)
         import org.apache.spark.sql.expressions.Window
@@ -75,6 +79,14 @@ object ShingleStore {
           .select("doc_id", "shingle", "df", "rarity_rank")
           .write.mode("overwrite").parquet(loc)
       }
+      // GC the orphaned v1 artifact (same (n, sfDir) key, pre-annotation
+      // layout) only AFTER the v2 `_SUCCESS` check above has confirmed or
+      // completed a committed v2 layout: a failed v2 build must never
+      // delete the one (stale but readable-by-old-builds) copy that
+      // exists (ADVICE r10 item 3).
+      val v1 = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName.replaceFirst("^graft_shingles_v2_", "graft_shingles_"))
+      if (fs.exists(v1)) fs.delete(v1, true)
     })
     spark.read.parquet(loc)
   }

@@ -254,9 +254,10 @@ object StreamingOps {
     *     COMPACTED every `compactEvery` triggers: each batch's shingle
     *     table is checkpointed once (per-trigger cost O(batch)), and once
     *     `compactEvery` frames accumulate they are unioned into ONE
-    *     checkpointed frame and the old frames' pinned blocks released —
-    *     so both pinned-block memory and the width of the union plan the
-    *     finalizers read stay bounded at `compactEvery` frames however
+    *     checkpointed frame and the old frames RETIRED — held pinned for
+    *     one more trigger so plans the finalizers already captured stay
+    *     executable, then released — so both pinned-block memory and the
+    *     width of the union plan the finalizers read stay bounded however
     *     long the stream runs, for an amortized per-trigger recompaction
     *     cost of O(arrived / compactEvery). At scale these parts are the
     *     incrementally appended ShingleStore parquet artifact — the
@@ -277,10 +278,22 @@ object StreamingOps {
     require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
     @volatile private var dfCounts: Option[DataFrame] = None
     private val shingleParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Frames replaced by the MOST RECENT trigger, still pinned: a plan a
+    // finalizer captured before that trigger may reference them, and the
+    // plan is lazy — executing it after an immediate release would fail on
+    // truncated lineage (ADVICE r10 item 1). Retired frames are released
+    // at the START of the next trigger (generation-based retirement), so a
+    // captured plan stays executable until a SECOND trigger completes;
+    // callers that hold plans longer must collect eagerly.
+    private val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     private var lastBatchId: Long = -1L
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return
+      // Previous generation's retirees are now two triggers old — no
+      // captured plan younger than the state they describe can exist.
+      retired.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      retired.clear()
       val sh = graft.ops.TextOps.shingles(batch, idCol, textCol, n)
         .localCheckpoint(true)
       shingleParts += sh
@@ -292,13 +305,13 @@ object StreamingOps {
       }
       val prev = dfCounts
       dfCounts = Some(merged.localCheckpoint(true))
-      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      prev.foreach(retired += _)
       // Compact LAST: the eager df checkpoint above must read `sh` while
       // its blocks are still pinned — the compacted union is itself
-      // materialized eagerly before the old frames are released.
+      // materialized eagerly before the old frames are retired.
       if (shingleParts.size >= compactEvery) {
         val compacted = shingleParts.reduce(_ unionByName _).localCheckpoint(true)
-        shingleParts.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+        retired ++= shingleParts
         shingleParts.clear()
         shingleParts += compacted
       }
@@ -310,9 +323,17 @@ object StreamingOps {
       */
     def partCount: Int = synchronized { shingleParts.size }
 
-    // Read under the same lock mergeBatch holds: a reader must never
-    // capture a union plan over frames a concurrent compaction is about
-    // to release (ADVICE r9 item 1).
+    /** Frames awaiting release at the next trigger — bounded at
+      * `compactEvery` + 1 (one compaction's worth of shingle frames plus
+      * the replaced df table); exposed for spec evidence.
+      */
+    def retiredCount: Int = synchronized { retired.size }
+
+    // Read under the same lock mergeBatch holds, so a reader never
+    // captures a union plan mid-swap (ADVICE r9 item 1); the captured
+    // plan then stays EXECUTABLE across one subsequent trigger because
+    // replaced frames retire for a generation before release (ADVICE r10
+    // item 1).
     private def arrivedShingles: Option[DataFrame] = synchronized {
       shingleParts.reduceOption(_ unionByName _)
     }

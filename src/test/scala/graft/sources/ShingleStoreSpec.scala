@@ -66,8 +66,10 @@ class ShingleStoreSpec extends SparkSpec {
   }
 
   test("ensuring the v2 layout garbage-collects a stale v1 sibling") {
-    // n=4 gets a fresh ensure (the TrieMap memo is per (app, location),
-    // and other tests already ensured n=3 in this session)
+    // Reset the ensure memo for this (sfDir, n) so the GC branch runs in
+    // THIS test whatever other suites ensured first in the shared session
+    // (ADVICE r10 item 2 — previously the test leaned on n=4 being fresh).
+    ShingleStore.forgetForTest(spark, sfDir, 4)
     val v2 = new org.apache.hadoop.fs.Path(ShingleStore.shinglePath(spark, sfDir, 4))
     val v1 = new org.apache.hadoop.fs.Path(
       v2.getParent, v2.getName.replaceFirst("^graft_shingles_v2_", "graft_shingles_"))
@@ -78,6 +80,25 @@ class ShingleStoreSpec extends SparkSpec {
     assert(ShingleStore.ensureShingles(spark, sfDir, 4).count() > 0)
     assert(!fs.exists(v1),
       "orphaned pre-annotation v1 artifact must be deleted when v2 is ensured")
+  }
+
+  test("v1 GC is gated on a committed v2 layout: a failed build leaves v1 intact") {
+    // ADVICE r10 item 3: if the v2 build dies before `_SUCCESS`, the
+    // stale-but-readable v1 copy must survive. Simulate with a doomed
+    // ensure over a nonexistent sfDir whose v1 sibling exists.
+    val badSf = "/root/testdata/graft_no_such_sf"
+    val v2 = new org.apache.hadoop.fs.Path(ShingleStore.shinglePath(spark, badSf, 3))
+    val v1 = new org.apache.hadoop.fs.Path(
+      v2.getParent, v2.getName.replaceFirst("^graft_shingles_v2_", "graft_shingles_"))
+    val fs = v2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(v1)
+    fs.create(new org.apache.hadoop.fs.Path(v1, "part-00000.parquet")).close()
+    try {
+      ShingleStore.forgetForTest(spark, badSf, 3)
+      intercept[Exception] { ShingleStore.ensureShingles(spark, badSf, 3) }
+      assert(fs.exists(v1),
+        "a failed v2 build must not delete the surviving v1 artifact")
+    } finally { fs.delete(v1, true); fs.delete(v2, true) }
   }
 
   test("consumers read the artifact as a parquet scan (no checkpoint pin)") {

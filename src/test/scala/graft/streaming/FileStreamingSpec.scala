@@ -580,6 +580,20 @@ class FileStreamingSpec extends SparkSpec {
       state.mergeBatch(corpus.limit(5), batchId = 0L)
       assert(novMap(state.finalizedNovelty.get
         .select("doc_id", "n_shingles", "n_shared", "shared_frac")) === streamedNov)
+
+      // ADVICE r10 item 1 — the EXECUTION race: a lazy plan captured
+      // before a trigger must stay executable after that trigger runs a
+      // compaction (parts is at capacity here, so the next merge compacts
+      // and retires the very frames this plan reads). Generation-based
+      // retirement keeps them pinned for one more trigger; without it
+      // this collect() dies on truncated lineage.
+      val captured = state.finalizedNovelty.get
+      state.mergeBatch(corpus.limit(3), batchId = 100L)
+      assert(state.retiredCount > 0,
+        "the compacting trigger must RETIRE replaced frames, not free them")
+      assert(novMap(captured.select("doc_id", "n_shingles", "n_shared", "shared_frac"))
+          === streamedNov,
+        "a plan captured before a trigger must execute to its as-of-capture answer")
     } finally q.stop()
   }
 
