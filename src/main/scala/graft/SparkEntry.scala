@@ -2141,11 +2141,8 @@ object SparkEntry {
     // O(√m) per apex independent of hub skew; see Graph.triangleCounts.
     // Top-20 nodes by triangle count (ties by id).
     "q_triangles" -> ((s, dir) => {
-      val items = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("_b"), col("l_partkey").as("_i")).distinct()
-      val edges = items.as("l")
-        .join(items.as("r"), col("l._b") === col("r._b") && col("l._i") < col("r._i"))
-        .select(col("l._i").as("pa"), col("r._i").as("pb")).distinct()
+      val edges = Relational.basketPairs(T(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .select(col("item_a").as("pa"), col("item_b").as("pb")).distinct()
       Graph.triangleCounts(edges, "pa", "pb")
         .orderBy(col("triangles").desc, col("node_id").asc).limit(20)
         .withColumn("rank", row_number().over(

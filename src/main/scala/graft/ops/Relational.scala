@@ -414,25 +414,40 @@ object Relational {
       .unionByName(upserts)
   }
 
+  /** Unordered distinct within-basket item pairs: one row (item_a <
+    * item_b) per basket containing both. ONE scan of the fact table and
+    * ONE shuffle (the basket groupBy; collect_set dedups in the agg) —
+    * the equi-self-join formulation reads the fact table twice and pays a
+    * distinct-shuffle before the join, which at 100 TB means an extra
+    * full-corpus scan and exchange for the same pair stream. Per-basket
+    * fan-out is C(k, 2) either way and baskets are small by domain
+    * construction (TPC-H orders carry ≤ 7 lines); the basket item set is
+    * held in one aggregation buffer, fine at catalog-bounded basket
+    * sizes (a million-item basket would blow up ANY pairwise expansion).
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.groupBy(col(basketCol))
+      .agg(sort_array(collect_set(col(itemCol))).as("_its"))
+      .where(size(col("_its")) > 1)
+      .select(explode(flatten(transform(col("_its"), (x, i) =>
+        transform(slice(col("_its"), i + lit(2), size(col("_its")) - i - lit(1)),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("_p"))
+      .select(col("_p.item_a").as("item_a"), col("_p.item_b").as("item_b"))
+
   /** Market-basket co-occurrence: pairs of items appearing in the same
     * basket, support counted across baskets, top `k` pairs. Pair
-    * generation is a within-basket equi-self-join — fan-out bounded by
-    * basket size squared, and baskets are small by domain construction
-    * (TPC-H orders carry ≤ 7 lines), so the blow-up is a small constant
-    * per basket, never an all-pairs cross join. Support counting is one
-    * hash aggregate on the pair key; the final rank window runs over the
-    * aggregated pair table (|distinct pairs|, not |baskets|).
+    * generation is the single-scan basket expansion of [[basketPairs]];
+    * support counting is one hash aggregate on the pair key; the final
+    * rank window runs over the aggregated pair table (|distinct pairs|,
+    * not |baskets|).
     */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String, k: Int): DataFrame = {
-    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
-    val pairs = items.as("l")
-      .join(items.as("r"), col("l._b") === col("r._b") && col("l._i") < col("r._i"))
-      .select(col("l._i").as("item_a"), col("r._i").as("item_b"))
     // TakeOrderedAndProject keeps the top k (per-partition heap + merge,
     // no global sort); the rank window then orders only the k survivors —
     // never rank the full pair table through a one-partition window.
     val w = Portable.kRowWindow(col("support").desc, col("item_a").asc, col("item_b").asc)
-    pairs.groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+    basketPairs(df, basketCol, itemCol)
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "item_a", "item_b", "support")

@@ -95,6 +95,24 @@ class Round7dOpsSpec extends SparkSpec {
       (3L, 20L, 30L, 1L)))
   }
 
+  test("basketPairs: matches the equi-self-join formulation on real data") {
+    // The single-scan basket expansion (groupBy + collect_set + pair
+    // explode) must yield the EXACT pair multiset of the reference
+    // formulation (distinct items, within-basket self-join on a < b) —
+    // support counts and the derived co-occurrence edge set both ride on
+    // this equivalence.
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val viaBaskets = Relational.basketPairs(li, "l_orderkey", "l_partkey")
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n"))
+    val items = li.select(col("l_orderkey").as("_b"), col("l_partkey").as("_i")).distinct()
+    val viaJoin = items.as("l")
+      .join(items.as("r"), col("l._b") === col("r._b") && col("l._i") < col("r._i"))
+      .select(col("l._i").as("item_a"), col("r._i").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n"))
+    assert(viaBaskets.except(viaJoin).count() === 0)
+    assert(viaJoin.except(viaBaskets).count() === 0)
+  }
+
   test("pageRank: symmetric 2-node graph converges to uniform; star concentrates rank") {
     // symmetric pair: ranks stay 0.5 each at every iteration
     val pair = df(Seq(Edge7(1, 2), Edge7(2, 1)))
