@@ -747,29 +747,47 @@ object TextOps {
     * `df` and `rarity_rank` (the prefix-filtering order) are read off the
     * committed files instead of re-derived, dropping the
     * document-frequency aggregate, its shingle-keyed join, and the
-    * per-doc rank window from EVERY run (VERDICT r8 item 2). What remains
-    * per run: the per-doc size aggregate, the prefix equi-join, and the
-    * exact verify join — the irreducible candidate/verify work.
+    * per-doc rank window from EVERY run (VERDICT r8 item 2).
+    *
+    * Per run, the artifact is folded to DOC granularity once (one
+    * aggregate: the rarity-sorted shingle array per doc; n_sh = its
+    * size), and everything else reads that frame: the prefix is a
+    * `slice` of the array (no counts join), and verification intersects
+    * the two candidates' arrays directly — `size(array_intersect)` per
+    * candidate pair. The previous exploded verify join materialized
+    * |candidates| × |shingles per doc| rows (~50× the candidate count)
+    * and shuffled them on the (id, shingle) key twice; the array verify
+    * moves each candidate pair exactly once and intersects in place,
+    * which is the difference between a corpus-sized exchange and a
+    * candidate-sized one at 100 TB (r11; measured ~25% of the query on
+    * the sf0.1 bench). Equality with the recompute path is spec-proven
+    * (ShingleStoreSpec), and the DuckDB oracle replays the exploded
+    * formulation bit-for-bit.
+    *
     * The annotation must come from the SAME table the join runs over
     * (corpus-wide df; a filtered subset would need re-ranking).
     */
   def jaccardPrefixJoinAnnotated(sh: DataFrame, idCol: String,
                                  threshold: Double): DataFrame = {
-    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val prefix = sh.join(counts, Seq(idCol))
-      .where(col("rarity_rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col(idCol), col("shingle"))
+    // sort_array on (rarity_rank, shingle) structs restores the per-doc
+    // rarity order whatever order collect_list saw the rows in.
+    val docs = sh.groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(col("rarity_rank"), col("shingle")))),
+        x => x.getField("shingle")).as("_arr"))
+      .select(col(idCol), col("_arr"), size(col("_arr")).as("n_sh"))
+    val prefix = docs.select(col(idCol),
+      explode(slice(col("_arr"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))).as("shingle"))
     val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
       .join(prefix.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = cand.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    cand
+      .join(docs.select(col(idCol).as("id_a"), col("_arr").as("_aa"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col("_arr").as("_ab"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("_aa"), col("_ab"))).cast("long"))
       .select(col("id_a"), col("id_b"), col("n_common"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
