@@ -107,8 +107,17 @@ object Graph {
     * prior used to weight web-corpus documents (and the canonical "iterate
     * a join until done" Spark workload). Each round is one join (rank →
     * out-edges) + one aggregate (sum of contributions per target) + one
-    * broadcast-ready rank update; lineage is truncated per round with
-    * `localCheckpoint` exactly like `connectedComponents`.
+    * rank update. The out-degree is folded into the EDGE list once before
+    * the loop (it is loop-invariant), so each round joins ranks against
+    * one prepared table instead of re-joining the degree table every
+    * iteration. Lineage is truncated with `localCheckpoint` every 5th
+    * round only: the per-round plan is a shallow chain (each stage
+    * executes once — nothing is recomputed), so for small fixed iteration
+    * counts the eager materialization per round was pure overhead, while
+    * unbounded growth at large `iters` still gets cut before planning
+    * costs compound (r11; the same cadence reasoning as
+    * `connectedComponents`, which keeps per-round truncation because its
+    * loop is data-dependent and re-reads state twice per round).
     *
     * Determinism: contributions are summed as exact decimals
     * (Portable.decSum rationale — an IEEE double sum would depend on
@@ -126,11 +135,11 @@ object Graph {
     val nodes = e.select(col("_src").as("id")).union(e.select(col("_dst").as("id")))
       .distinct().localCheckpoint(true)
     val nNodes = nodes.count().toDouble
-    val outDeg = e.groupBy(col("_src").as("id")).agg(count(lit(1)).as("_deg"))
+    val outDeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val eDeg = e.join(outDeg, Seq("_src")).localCheckpoint(true)
     var ranks = nodes.select(col("id"), (lit(1.0) / lit(nNodes)).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val contrib = e.join(ranks.join(outDeg, Seq("id")), e("_src") === col("id"))
+    for (i <- 0 until iters) {
+      val contrib = eDeg.join(ranks, eDeg("_src") === ranks("id"))
         .select(col("_dst").as("id"), (col("rank") / col("_deg")).as("_c"))
       val summed = contrib.groupBy("id")
         .agg(sum(col("_c").cast("decimal(28,12)")).cast("double").as("_in"))
@@ -138,7 +147,7 @@ object Graph {
         .select(col("id"),
           (lit((1.0 - damping) / nNodes) +
             lit(damping) * coalesce(col("_in"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      if ((i + 1) % 5 == 0 && i + 1 < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
