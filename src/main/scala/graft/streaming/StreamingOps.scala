@@ -174,6 +174,51 @@ object StreamingOps {
     def finalized: Option[DataFrame] = counts
   }
 
+  /** Streaming count-min sketch maintenance — the streaming twin of
+    * TextOps.countMinSketch (C127): each micro-batch reduces to its own
+    * depth×width counter matrix and SUM-merges into the running sketch.
+    * Counters are plain sums of token occurrences, so sum is the
+    * count-min merge monoid (Cormode & Muthukrishnan 2005's shard-merge
+    * property run continuously): the maintained state equals the batch
+    * whole-stream sketch HASH-EXACTLY whatever the micro-batch boundaries
+    * or arrival order — the HllDistinctState convergence claim on summed
+    * counters instead of maxed registers. State is ≤ depth·width rows
+    * forever (the point of sketching an unbounded token stream), point
+    * queries run against current state via the SAME finalization as the
+    * batch operator (TextOps.countMinEstimate), and the idempotent-replay
+    * contract matches the other states (re-delivered batchIds are
+    * no-ops).
+    */
+  final class CmSketchState(textCol: String, depth: Int, width: Int) {
+    @volatile private var counters: Option[DataFrame] = None
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = graft.ops.TextOps.countMinSketch(batch, textCol, depth, width)
+      val merged = counters match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+        case None => p
+      }
+      val prev = counters
+      counters = Some(merged.localCheckpoint(true))
+      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      lastBatchId = batchId
+    }
+
+    /** Current sketch matrix (j, bucket, cnt) — comparable row-for-row
+      * with the batch whole-corpus `countMinSketch`.
+      */
+    def finalized: Option[DataFrame] = counters
+
+    /** Point-query estimates from current state — the batch
+      * `countMinEstimate` finalization over the maintained matrix.
+      */
+    def estimates(tokens: Seq[String]): Option[DataFrame] =
+      counters.map(graft.ops.TextOps.countMinEstimate(_, tokens, depth, width))
+  }
+
   /** Streaming CDC apply (VERDICT r7 item 7) — the streaming twin of
     * Relational.cdcApply (C89): I/U/D changelog micro-batches merge into
     * a running base via foreachBatch, latest version per key wins, D

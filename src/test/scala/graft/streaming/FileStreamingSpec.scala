@@ -441,6 +441,51 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch converges exactly to the batch sketch") {
+    // C127's streaming twin: per-micro-batch depth×width counter matrices
+    // SUM-merge (the count-min merge monoid) into the running sketch, so
+    // the maintained state equals the batch whole-corpus sketch exactly
+    // for any micro-batch boundaries — and point estimates finalized from
+    // the state equal the batch estimates (upper bounds ≥ true counts).
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_cms_in").toFile.getAbsolutePath
+    (0 to 2).foreach { m =>
+      docs.where(pmod(col("doc_id"), lit(3)) === m).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+
+    val state = new StreamingOps.CmSketchState("text", depth = 4, width = 256)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.finalized.get
+      val batch = graft.ops.TextOps.countMinSketch(docs, "text", 4, 256)
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "sum-merged micro-batch sketches must equal the batch sketch exactly")
+      // point estimates: finalized from state = batch finalization, and
+      // each is an upper bound on the true count (count-min guarantee)
+      val probes = Seq("the", "data", "quality")
+      val est = state.estimates(probes).get.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batchEst = graft.ops.TextOps.countMinEstimate(batch, probes, 4, 256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est === batchEst)
+      val truth = docs.select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c")).where(col("token").isin(probes: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      probes.foreach { t =>
+        assert(est(t) >= truth.getOrElse(t, 0L),
+          s"count-min estimate for '$t' must upper-bound the true count")
+      }
+      // replay contract: a stale batchId is a no-op
+      state.mergeBatch(docs.limit(5), batchId = 0L)
+      assert(state.finalized.get.except(batch).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming histogram with fixed edges converges exactly to the batch histogram") {
     // C126's streaming twin: per-micro-batch bin counts sum-merge (the
     // histogram merge monoid) into the running state; fixed edges stand
