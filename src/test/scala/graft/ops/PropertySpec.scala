@@ -170,4 +170,41 @@ class PropertySpec extends SparkSpec {
       assert(out.count() === in.select(lower(col("text"))).distinct().count())
     }
   }
+
+  test("basketPairs emits exactly the unordered distinct-item pairs of every basket") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 9L)))
+    samples(gen, 5).foreach { rows =>
+      val in = spark.createDataFrame(rows).toDF("b", "i")
+      val got = Relational.basketPairs(in, "b", "i")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // reference: per basket, all a < b pairs of the DISTINCT items,
+      // multiset-concatenated across baskets
+      val want = rows.groupBy(_._1).values.flatMap { basket =>
+        val its = basket.map(_._2).distinct.sorted
+        for (a <- its; b <- its if a < b) yield (a, b)
+      }.toSeq.sorted
+      assert(got === want)
+      got.foreach { case (a, b) => assert(a < b) }
+    }
+  }
+
+  test("countMinSketch merges by element-wise addition across corpus shards") {
+    // The shard-merge (monoid) property CmSketchState runs continuously:
+    // sketch(A ++ B) = sketch(A) + sketch(B) cell-wise, for ANY split.
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "fff")
+    val gen = Gen.nonEmptyListOf(Gen.listOfN(6, word).map(_.mkString(" ")))
+    samples(gen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+      def sketch(rows: Seq[(Long, String)]): Map[(Int, Long), Long] =
+        if (rows.isEmpty) Map.empty
+        else TextOps.countMinSketch(
+            spark.createDataFrame(rows).toDF("doc_id", "text"), "text", 4, 32)
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val (l, r) = docs.partition(_._1 % 2 == 0)
+      val whole = sketch(docs)
+      val merged = (sketch(l).toSeq ++ sketch(r).toSeq)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      assert(merged === whole)
+    }
+  }
 }
