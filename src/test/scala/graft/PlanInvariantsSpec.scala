@@ -189,6 +189,37 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_novelty must scan the ShingleStore artifact")
   }
 
+  test("round-11 queries keep their scale-plan contracts") {
+    // basketPairs scans the fact table ONCE (the r11 point — the
+    // self-join formulation scanned it twice and paid an extra distinct
+    // exchange). Asserted via q_cooccur; q_triangles shares the same
+    // kernel but materializes its edge list through an eager
+    // localCheckpoint, which truncates the final plan before the scan.
+    Seq("q_cooccur").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val scans = flatten(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.inputFiles.exists(_.contains("lineitem")) => s
+      }
+      withClue(s"$name: ") {
+        assert(scans.size === 1,
+          s"basketPairs must scan lineitem exactly once, found ${scans.size} scans")
+      }
+    }
+    // q_jaccard_prefix: verification must intersect per-doc arrays, not
+    // re-join the exploded artifact (the candidate-sized-vs-corpus-sized
+    // exchange distinction at scale); the only aggregate over the
+    // artifact is the single doc-granularity fold + the candidate distinct
+    val jp = SparkEntry.queries("q_jaccard_prefix")(spark, sfDir)
+    jp.collect()
+    val jpPlan = jp.queryExecution.executedPlan.toString
+    assert(jpPlan.contains("array_intersect"),
+      "q_jaccard_prefix must verify candidates via array_intersect")
+    assert(jpPlan.contains("graft_shingles_v2_n3"),
+      "q_jaccard_prefix must read the persisted shingle artifact")
+  }
+
   test("every lineitem row-level query orders by the full unique key") {
     // regression guard for the non-unique (l_orderkey, l_linenumber) trap:
     // queries whose FIRST sort column is l_orderkey must also sort by
