@@ -25,6 +25,11 @@ object SparkEntry {
   /** Query-term set for q_bm25 — shared by the Spark query and its oracle. */
   private val Bm25Terms = Seq("spark", "window", "merge")
 
+  /** Probe tokens for q_cm_estimate — shared by the Spark query and its
+    * oracle; the last one is absent from any corpus (never-seen path).
+    */
+  private val CmProbes = Seq("data", "quality", "the", "zz_absent_probe")
+
   /** Exactly 20 tokens — one full span for q_dedup_paragraph's planted
     * boilerplate (span = 20), shared verbatim by query and oracle.
     */
@@ -2189,6 +2194,16 @@ object SparkEntry {
       TextOps.countMinSketch(T(s, dir, "documents"), "text", 4, 256)
         .select(col("j").cast("long").as("j"), col("bucket"), col("cnt"))
         .orderBy("j", "bucket")),
+
+    // Point-query estimates off the count-min matrix: est(t) =
+    // min_j counter[j][h_j(t)], an upper bound on the true count; the
+    // absent probe proves the never-seen path (0 everywhere only if all
+    // its cells are empty). The oracle replays sketch AND probe hashing.
+    "q_cm_estimate" -> ((s, dir) =>
+      TextOps.countMinEstimate(
+          TextOps.countMinSketch(T(s, dir, "documents"), "text", 4, 256),
+          CmProbes, 4, 256)
+        .orderBy("token")),
 
     // Per-document token-distribution Shannon entropy (nats) — the
     // diversity quality signal complementing q_repetition's ratio
@@ -5362,6 +5377,23 @@ object SparkEntry {
            FROM tc CROSS JOIN range(0, 4) r(j))
          SELECT j, bucket, sum(c)::BIGINT AS cnt
          FROM cells GROUP BY 1, 2 ORDER BY j, bucket""",
+
+    "q_cm_estimate" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tc AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         cells AS (
+           SELECT j, ('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 8))::BIGINT % 256 AS bucket, c
+           FROM tc CROSS JOIN range(0, 4) r(j)),
+         sketch AS (SELECT j, bucket, sum(c)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+         probes AS (SELECT * FROM (VALUES ('data'), ('quality'), ('the'), ('zz_absent_probe')) p(token)),
+         pb AS (
+           SELECT token, j, ('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 8))::BIGINT % 256 AS bucket
+           FROM probes CROSS JOIN range(0, 4) r(j))
+         SELECT token, min(coalesce(cnt, 0))::BIGINT AS est
+         FROM pb LEFT JOIN sketch USING (j, bucket)
+         GROUP BY token ORDER BY token""",
 
     // Brute-force shared-shingle join with NO prefix pruning: hash
     // equality proves the prefix filter loses no qualifying pair.
