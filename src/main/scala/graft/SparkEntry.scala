@@ -697,11 +697,16 @@ object SparkEntry {
     // the heavy-tail-safe twin of q_zscore (mean/stddev break under the
     // very outliers being hunted). Median and MAD via exact interpolated
     // percentile (DuckDB quantile_cont parity, as q_outliers).
+    // mad_score rounds through a 12-scale decimal snapshot on BOTH
+    // engines: the median interpolation formulas differ in final ulps,
+    // and a raw double round(…, 6) flips at a 5e-7 tie boundary (2 rows
+    // at sf0.1 after the r11 data regen). Snapshotting at 12 decimals
+    // first erases the ulp noise before the visible rounding.
     "q_mad_outliers" -> ((s, dir) =>
       Profiling.madScore(T(s, dir, "events"), Seq("user_id"), "value")
         .select(col("event_id"), col("user_id"), col("value"),
           round(col("med"), 9).as("med"), round(col("mad"), 9).as("mad"),
-          round(col("mad_score"), 6).as("mad_score"))
+          round(col("mad_score").cast("decimal(28,12)"), 6).cast("double").as("mad_score"))
         .orderBy("event_id")),
 
     "q_ffill" -> ((s, dir) =>
@@ -3404,7 +3409,9 @@ object SparkEntry {
            FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id)
          SELECT event_id, e.user_id, value,
            round(mad.med, 9) AS med, round(mad.mad, 9) AS mad,
-           CASE WHEN mad.mad > 0 THEN round((value - mad.med) / mad.mad, 6) END AS mad_score
+           CASE WHEN mad.mad > 0
+             THEN round(((value - mad.med) / mad.mad)::DECIMAL(28,12), 6)::DOUBLE
+           END AS mad_score
          FROM events e JOIN mad ON e.user_id = mad.user_id
          ORDER BY event_id""",
 
