@@ -111,6 +111,17 @@ object Bench {
     val deltas = results.toSeq
       .flatMap { case (k, v) => prevQueries.get(k).filter(_ > 0).map(p => (k, v, p, v / p)) }
       .sortBy(-_._4).take(5)
+    // Median per-query ratio vs the previous committed run (same sf):
+    // ≈1.0 = comparable machine conditions; a uniformly elevated value
+    // (r11 observed 1.6 under sustained multi-minute steal) means the
+    // WHOLE run is contention-inflated and the total is not evidence of
+    // regression — per-query deltas far ABOVE the median are the ones
+    // worth reading. -1 when no same-sf history exists.
+    val medianRatio = {
+      val rs = results.toSeq
+        .flatMap { case (k, v) => prevQueries.get(k).filter(_ > 0).map(v / _) }.sorted
+      if (sfComparable && rs.nonEmpty) math.rint(rs(rs.size / 2) * 100) / 100 else -1.0
+    }
     val deltasJson = deltas
       .map { case (k, v, p, r) => "\"" + k + "\":{\"now\":" + (math.rint(v * 1000) / 1000) +
         ",\"prev\":" + (math.rint(p * 1000) / 1000) + ",\"ratio\":" + (math.rint(r * 100) / 100) + "}" }
@@ -133,8 +144,8 @@ object Bench {
       "q_dedup_groups", "q_pipeline_prep", "q_ngram_jaccard_df", "q_minhash_lsh",
       "q_ivf_topk", "q_cosine_topk_native", "q_corr")
     val retryStealJson = retrySteal.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"retry_pass_steal":$retryStealJson,"queries":${fmt(results)},"deltas":$deltasJson,"sf":"$sfDir"}"""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"retry_pass_steal":$retryStealJson,"queries":${fmt(headline.flatMap(k => results.get(k).map(k -> _)))},"top_deltas":$deltasJson,"n_queries":${results.size},"detail":"BENCH_LAST.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"retry_pass_steal":$retryStealJson,"queries":${fmt(results)},"deltas":$deltasJson,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"retry_pass_steal":$retryStealJson,"queries":${fmt(headline.flatMap(k => results.get(k).map(k -> _)))},"top_deltas":$deltasJson,"n_queries":${results.size},"detail":"BENCH_LAST.json","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
