@@ -108,19 +108,29 @@ object Bench {
     // the proportional retry trigger) so a per-query blow-up is visible
     // at build time, not at judge time. Top-5 ratios go to stdout and
     // into the new artifact's "deltas" block.
-    val deltas = results.toSeq
+    // Ratios only mean anything against a SAME-sf history (the retry
+    // triggers already gate on sfComparable; the deltas block must too —
+    // cross-sf "ratios" would flag or hide blow-ups on meaningless
+    // numbers after a scale-factor switch).
+    val ratioed = if (sfComparable) results.toSeq
       .flatMap { case (k, v) => prevQueries.get(k).filter(_ > 0).map(p => (k, v, p, v / p)) }
-      .sortBy(-_._4).take(5)
+      else Seq.empty
+    val deltas = ratioed.sortBy(-_._4).take(5)
     // Median per-query ratio vs the previous committed run (same sf):
     // ≈1.0 = comparable machine conditions; a uniformly elevated value
     // (r11 observed 1.6 under sustained multi-minute steal) means the
     // WHOLE run is contention-inflated and the total is not evidence of
     // regression — per-query deltas far ABOVE the median are the ones
-    // worth reading. -1 when no same-sf history exists.
+    // worth reading. -1 when no same-sf history exists. Interpolated at
+    // even sizes (the repo's own percentile discipline).
     val medianRatio = {
-      val rs = results.toSeq
-        .flatMap { case (k, v) => prevQueries.get(k).filter(_ > 0).map(v / _) }.sorted
-      if (sfComparable && rs.nonEmpty) math.rint(rs(rs.size / 2) * 100) / 100 else -1.0
+      val rs = ratioed.map(_._4).sorted
+      if (rs.isEmpty) -1.0
+      else {
+        val m = if (rs.size % 2 == 1) rs(rs.size / 2)
+                else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0
+        math.rint(m * 100) / 100
+      }
     }
     val deltasJson = deltas
       .map { case (k, v, p, r) => "\"" + k + "\":{\"now\":" + (math.rint(v * 1000) / 1000) +

@@ -30,6 +30,11 @@ object SparkEntry {
     */
   private val CmProbes = Seq("data", "quality", "the", "zz_absent_probe")
 
+  /** CmProbes rendered as a SQL VALUES list — interpolated into the
+    * q_cm_estimate oracle so ONE definition drives both engines.
+    */
+  private val CmProbesSqlValues = CmProbes.map(t => s"('$t')").mkString(", ")
+
   /** Exactly 20 tokens — one full span for q_dedup_paragraph's planted
     * boilerplate (span = 20), shared verbatim by query and oracle.
     */
@@ -5386,7 +5391,7 @@ object SparkEntry {
          FROM cells GROUP BY 1, 2 ORDER BY j, bucket""",
 
     "q_cm_estimate" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
            SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
            FROM documents),
          tc AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
@@ -5394,7 +5399,7 @@ object SparkEntry {
            SELECT j, ('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 8))::BIGINT % 256 AS bucket, c
            FROM tc CROSS JOIN range(0, 4) r(j)),
          sketch AS (SELECT j, bucket, sum(c)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
-         probes AS (SELECT * FROM (VALUES ('data'), ('quality'), ('the'), ('zz_absent_probe')) p(token)),
+         probes AS (SELECT * FROM (VALUES $CmProbesSqlValues) p(token)),
          pb AS (
            SELECT token, j, ('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 8))::BIGINT % 256 AS bucket
            FROM probes CROSS JOIN range(0, 4) r(j))

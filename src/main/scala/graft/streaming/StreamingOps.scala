@@ -17,6 +17,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** One-frame checkpointed state cell with GENERATION-BASED RETIREMENT
+    * (ADVICE r10 item 1, applied uniformly to every foreachBatch state):
+    * `swap` releases the frame retired by the PREVIOUS trigger, moves the
+    * current frame to retired (still pinned), and installs the new one.
+    * A lazy plan a finalizer captured over the current frame therefore
+    * stays executable across one subsequent trigger — an immediate
+    * release would truncate its lineage mid-flight — and every frame is
+    * still freed DETERMINISTICALLY one trigger later (not whenever the
+    * JVM happens to GC the RDD reference). Owners call `swap` under
+    * their own mergeBatch lock; reads are volatile.
+    */
+  private final class RetiringFrame {
+    @volatile private var cur: Option[DataFrame] = None
+    @volatile private var retired: Option[DataFrame] = None
+    def get: Option[DataFrame] = cur
+    def swap(next: DataFrame): Unit = {
+      retired.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      retired = cur
+      cur = Some(next)
+    }
+  }
+
   /** Watermarked tumbling-window aggregation — the streaming twin of
     * EventOps.tumblingWindowStats. Works on any DataFrame with (keyCol,
     * tsCol: timestamp, valueCol: double); on a streaming input it emits
@@ -69,7 +91,7 @@ object StreamingOps {
     * live in the warehouse; here it is a session DataFrame).
     */
   final class IncrementalAggState(keys: Seq[String], valueCol: String) {
-    @volatile private var partial: Option[DataFrame] = None
+    private val partial = new RetiringFrame
     private var lastBatchId: Long = -1L
 
     /** Idempotent under foreachBatch's replay contract: after a failure
@@ -84,19 +106,19 @@ object StreamingOps {
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return
       val p = graft.ops.Relational.partialAggs(batch, keys, valueCol)
-      val merged = partial match {
+      val merged = partial.get match {
         case Some(prev) => prev.unionByName(p)
           .groupBy(keys.map(col): _*)
           .agg(sum("n").as("n"), sum("_dec_total").as("_dec_total"))
         case None => p
       }
-      partial = Some(merged.localCheckpoint(true))
+      partial.swap(merged.localCheckpoint(true))
       lastBatchId = batchId
     }
 
     /** Finalized view (n, total, avg) of everything merged so far. */
     def finalized: Option[DataFrame] =
-      partial.map(p => graft.ops.Relational.mergePartialAggs(Seq(p), keys))
+      partial.get.map(p => graft.ops.Relational.mergePartialAggs(Seq(p), keys))
   }
 
   /** Streaming approximate-distinct maintenance — the streaming twin of
@@ -111,25 +133,23 @@ object StreamingOps {
     * batchIds are no-ops).
     */
   final class HllDistinctState(groupCols: Seq[String], valueCol: String) {
-    @volatile private var registers: Option[DataFrame] = None
+    private val registers = new RetiringFrame
     private var lastBatchId: Long = -1L
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return
       val p = graft.ops.Profiling.hllRegisters(batch, groupCols, valueCol)
-      val merged = registers match {
+      val merged = registers.get match {
         case Some(prev) => prev.unionByName(p)
           .groupBy((groupCols :+ "_idx").map(col): _*)
           .agg(max("_r").as("_r"))
         case None => p
       }
-      val prev = registers
-      registers = Some(merged.localCheckpoint(true))
-      // The eager checkpoint above fully materialized `merged`, so the
-      // previous frame's pinned blocks are dead weight — release them
-      // (ADVICE r8: without this every trigger pins another state copy
-      // for the life of the context).
-      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      // The eager checkpoint fully materializes `merged`; the replaced
+      // frame retires for one trigger (captured plans stay executable)
+      // and is then released, so long-running streams hold at most TWO
+      // O(|state|) frames (ADVICE r8 bound + ADVICE r10 retirement).
+      registers.swap(merged.localCheckpoint(true))
       lastBatchId = batchId
     }
 
@@ -138,7 +158,7 @@ object StreamingOps {
       * hash-exact.
       */
     def finalized: Option[DataFrame] =
-      registers.map(graft.ops.Profiling.hllEstimate(_, groupCols))
+      registers.get.map(graft.ops.Profiling.hllEstimate(_, groupCols))
   }
 
   /** Streaming histogram maintenance — the streaming twin of the C126
@@ -152,26 +172,24 @@ object StreamingOps {
     */
   final class HistogramState(groupCols: Seq[String], valueCol: String,
                              lo: Double, hi: Double, nBins: Int) {
-    @volatile private var counts: Option[DataFrame] = None
+    private val counts = new RetiringFrame
     private var lastBatchId: Long = -1L
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return
       val p = graft.ops.Profiling.histogramCounts(batch, groupCols, valueCol, lo, hi, nBins)
-      val merged = counts match {
+      val merged = counts.get match {
         case Some(prev) => prev.unionByName(p)
           .groupBy((groupCols :+ "_bin").map(col): _*)
           .agg(sum("_cnt").as("_cnt"))
         case None => p
       }
-      val prev = counts
-      counts = Some(merged.localCheckpoint(true))
-      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      counts.swap(merged.localCheckpoint(true))
       lastBatchId = batchId
     }
 
     /** Current histogram (group cols, _bin, _cnt). */
-    def finalized: Option[DataFrame] = counts
+    def finalized: Option[DataFrame] = counts.get
   }
 
   /** Streaming count-min sketch maintenance — the streaming twin of
@@ -190,33 +208,31 @@ object StreamingOps {
     * no-ops).
     */
   final class CmSketchState(textCol: String, depth: Int, width: Int) {
-    @volatile private var counters: Option[DataFrame] = None
+    private val counters = new RetiringFrame
     private var lastBatchId: Long = -1L
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return
       val p = graft.ops.TextOps.countMinSketch(batch, textCol, depth, width)
-      val merged = counters match {
+      val merged = counters.get match {
         case Some(prev) => prev.unionByName(p)
           .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
         case None => p
       }
-      val prev = counters
-      counters = Some(merged.localCheckpoint(true))
-      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      counters.swap(merged.localCheckpoint(true))
       lastBatchId = batchId
     }
 
     /** Current sketch matrix (j, bucket, cnt) — comparable row-for-row
       * with the batch whole-corpus `countMinSketch`.
       */
-    def finalized: Option[DataFrame] = counters
+    def finalized: Option[DataFrame] = counters.get
 
     /** Point-query estimates from current state — the batch
       * `countMinEstimate` finalization over the maintained matrix.
       */
     def estimates(tokens: Seq[String]): Option[DataFrame] =
-      counters.map(graft.ops.TextOps.countMinEstimate(_, tokens, depth, width))
+      counters.get.map(graft.ops.TextOps.countMinEstimate(_, tokens, depth, width))
   }
 
   /** Streaming CDC apply (VERDICT r7 item 7) — the streaming twin of
@@ -244,7 +260,7 @@ object StreamingOps {
     */
   final class CdcApplyState(key: String, opCol: String, versionCol: String,
                             payload: Seq[String]) {
-    @volatile private var state: Option[DataFrame] = None
+    private val state = new RetiringFrame
     private var lastBatchId: Long = -1L
     private val cols = Seq(col(key), col(opCol), col(versionCol)) ++ payload.map(col)
 
@@ -255,12 +271,12 @@ object StreamingOps {
       val seeded = base.select(
         (Seq(col(key), lit("I").as(opCol), lit(baseVersion).as(versionCol)) ++
           payload.map(col)): _*)
-      state = Some(seeded.localCheckpoint(true))
+      state.swap(seeded.localCheckpoint(true))
     }
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return
-      val unioned = state match {
+      val unioned = state.get match {
         case Some(prev) => prev.unionByName(batch.select(cols: _*))
         case None => batch.select(cols: _*)
       }
@@ -271,18 +287,17 @@ object StreamingOps {
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .drop("_rn")
-      val prev = state
-      state = Some(merged.localCheckpoint(true))
-      // merged is fully materialized by the eager checkpoint; the payload
-      // copy the previous trigger pinned is now unreachable — free it so
-      // long-running streams hold exactly ONE O(|keys|) frame (ADVICE r8).
-      prev.foreach(graft.ops.SessionMemo.releaseCheckpoint)
+      // merged is fully materialized by the eager checkpoint; the
+      // replaced frame retires for one trigger (captured plans stay
+      // executable) before release, so long-running streams hold at most
+      // TWO O(|keys|) frames (ADVICE r8 bound + ADVICE r10 retirement).
+      state.swap(merged.localCheckpoint(true))
       lastBatchId = batchId
     }
 
     /** Current table view: live rows only (deletes suppressed). */
     def finalized: Option[DataFrame] =
-      state.map(_.where(col(opCol) =!= "D").select(col(key) +: payload.map(col): _*))
+      state.get.map(_.where(col(opCol) =!= "D").select(col(key) +: payload.map(col): _*))
   }
 
   /** Streaming shingle document-frequency state — the streaming twin of

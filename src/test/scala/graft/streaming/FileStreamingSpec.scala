@@ -483,6 +483,14 @@ class FileStreamingSpec extends SparkSpec {
       // replay contract: a stale batchId is a no-op
       state.mergeBatch(docs.limit(5), batchId = 0L)
       assert(state.finalized.get.except(batch).count() === 0)
+
+      // retirement contract (uniform across foreachBatch states): a plan
+      // captured before a trigger must execute to its as-of-capture
+      // answer after that trigger swaps the state frame.
+      val captured = state.estimates(probes).get
+      state.mergeBatch(docs.limit(7), batchId = 100L)
+      assert(captured.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === est,
+        "a plan captured before a trigger must stay executable and as-of-capture")
     } finally q.stop()
   }
 
