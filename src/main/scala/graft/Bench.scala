@@ -33,6 +33,10 @@ object Bench {
     // the steady state every consumer of the persisted table sees.
     try graft.sources.ShingleStore.ensureShingles(spark, sfDir, 3).count()
     catch { case _: Throwable => () }
+    // Pair-support artifact (r11): same lifecycle for the market-basket
+    // pair table feeding q_cooccur and the q_triangles edge set.
+    try graft.sources.PairStore.ensurePairs(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // Steal ticks (field 8 of /proc/stat "cpu": USER_HZ=100) — direct
     // evidence for noise-vs-regression adjudication that loadavg only
     // proxies: nonzero steal_sec means the host took CPU mid-run.

