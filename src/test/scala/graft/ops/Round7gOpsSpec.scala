@@ -41,6 +41,17 @@ class Round7gOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("triangleCounts: ids beyond 2^32 fall back off the packed closing key") {
+    // the packed (v << 32 | w) closing key is injective only for ids in
+    // [0, 2^32); wide ids must take the two-column fallback and count
+    // identically — K4 shifted by 2^33
+    val base = 1L << 33
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield Edge7g(base + a, base + b)
+    val out = Graph.triangleCounts(df(k4.toSeq), "a", "b")
+      .orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === (1L to 4L).map(i => (base + i, 3L)))
+  }
+
   // ── tokenEntropy ────────────────────────────────────────────────────
 
   test("tokenEntropy: uniform, constant, and skewed distributions") {
