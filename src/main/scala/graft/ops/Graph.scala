@@ -245,8 +245,13 @@ object Graph {
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
     // Wedges at each apex: unordered out-neighbor pairs (v < w keeps one
     // representative per pair — the closing edge key is unordered anyway).
-    val o1 = lowFirst.as("o1")
-    val o2 = lowFirst.as("o2")
+    // SHUFFLE_HASH beats Spark's default sort-merge here ~2.5× measured
+    // (r11): SMJ pays two full sorts of the oriented edge list before
+    // emitting a single wedge, while SHJ builds a per-partition hash map
+    // over |E|/nPartitions rows — which scales (grow partitions with the
+    // edge list) and is bounded per key by the O(√m) oriented out-degree.
+    val o1 = lowFirst.hint("SHUFFLE_HASH").as("o1")
+    val o2 = lowFirst.hint("SHUFFLE_HASH").as("o2")
     val wedges = o1.join(o2, col("o1.src") === col("o2.src") &&
         col("o1.dst") < col("o2.dst"))
       .select(col("o1.src").as("u"),
