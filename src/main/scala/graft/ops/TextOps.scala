@@ -778,6 +778,11 @@ object TextOps {
     val prefix = docs.select(col(idCol),
       explode(slice(col("_arr"), lit(1),
         (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))).as("shingle"))
+    // The candidate self-join stays sort-merge: a SHUFFLE_HASH variant
+    // measured ~1.7× SLOWER paired (r11) — the high-cardinality string
+    // shingle key makes the hash build cost more than SMJ's sorted
+    // many-to-many merge saves (the opposite of the long-keyed wedge
+    // join in Graph.triangleCounts, where SHJ won 2.5×).
     val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
       .join(prefix.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .where(col("id_a") < col("id_b"))
