@@ -31,12 +31,21 @@ object Bench {
     // same lifecycle as the bucketed/z-order/IVF artifacts above) so the
     // timed q_jaccard_prefix / q_ngram_jaccard* / q_contamination measure
     // the steady state every consumer of the persisted table sees.
-    try graft.sources.ShingleStore.ensureShingles(spark, sfDir, 3).count()
-    catch { case _: Throwable => () }
-    // Pair-support artifact (r11): same lifecycle for the market-basket
-    // pair table feeding q_cooccur and the q_triangles edge set.
-    try graft.sources.PairStore.ensurePairs(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // A failed warm-up is NOT silent (ADVICE r11 item 3): the build cost
+    // would shift into the first timed consumer with no signal, so the
+    // suppressed exception goes to stderr for bench adjudication.
+    def warmArtifact(what: String)(build: => Long): Unit =
+      try build
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] $what artifact warm-up FAILED " +
+          s"(cost shifts into the first timed consumer): $t")
+      }
+    warmArtifact("shingle")(graft.sources.ShingleStore.ensureShingles(spark, sfDir, 3).count())
+    // Pair-support + item-count artifacts (r11/r12): same lifecycle for
+    // the market-basket tables feeding q_cooccur, the q_triangles edge
+    // set, and q_assoc_rules.
+    warmArtifact("pair")(graft.sources.PairStore.ensurePairs(spark, sfDir).count())
+    warmArtifact("item-count")(graft.sources.PairStore.ensureItems(spark, sfDir).count())
     // Steal ticks (field 8 of /proc/stat "cpu": USER_HZ=100) — direct
     // evidence for noise-vs-regression adjudication that loadavg only
     // proxies: nonzero steal_sec means the host took CPU mid-run.

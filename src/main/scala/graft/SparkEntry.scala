@@ -1822,6 +1822,18 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Association rules (r12): confidence and lift for both directed
+    // rules of the top-50 supported pairs — computed ENTIRELY from the
+    // two committed PairStore artifacts (pair supports + per-item basket
+    // counts with the denormalized basket total). Zero lineitem scans
+    // per run (plan-invariant-asserted); the 100-row rule side is
+    // broadcast into the catalog-sized item table, never the reverse.
+    "q_assoc_rules" -> ((s, dir) =>
+      Relational.assocRules(
+        graft.sources.PairStore.ensurePairs(s, dir),
+        graft.sources.PairStore.ensureItems(s, dir), 50)
+        .orderBy("rank")),
+
     // Two-iteration PageRank over the symmetrized customer↔supplier trade
     // graph (supplier ids offset to a disjoint space; symmetry removes
     // dangling mass) — exact-decimal contribution sums make the fixed
@@ -4904,6 +4916,36 @@ object SparkEntry {
              row_number() OVER (ORDER BY support DESC, item_a ASC, item_b ASC) AS rank
            FROM sup)
          WHERE rank <= 50 ORDER BY rank""",
+
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+         cnt AS (SELECT i AS item, count(*) AS basket_cnt FROM items GROUP BY i),
+         pairs AS (
+           SELECT l.i AS item_a, r.i AS item_b
+           FROM items l JOIN items r ON l.b = r.b AND l.i < r.i),
+         sup AS (SELECT item_a, item_b, count(*) AS support FROM pairs GROUP BY item_a, item_b),
+         top AS (SELECT item_a, item_b, support FROM (
+           SELECT item_a, item_b, support,
+             row_number() OVER (ORDER BY support DESC, item_a ASC, item_b ASC) AS prank
+           FROM sup) WHERE prank <= 50),
+         rules AS (
+           SELECT item_a AS antecedent, item_b AS consequent, support FROM top
+           UNION ALL
+           SELECT item_b AS antecedent, item_a AS consequent, support FROM top),
+         j AS (
+           SELECT r.antecedent, r.consequent, r.support,
+             ca.basket_cnt AS cnt_a, cb.basket_cnt AS cnt_b, n.n_baskets
+           FROM rules r
+           JOIN cnt ca ON r.antecedent = ca.item
+           JOIN cnt cb ON r.consequent = cb.item
+           CROSS JOIN n)
+         SELECT
+           row_number() OVER (ORDER BY support DESC, antecedent ASC, consequent ASC) AS rank,
+           antecedent, consequent, support,
+           round(support::DOUBLE / cnt_a, 9) AS confidence,
+           round(support::DOUBLE * n_baskets / (cnt_a::DOUBLE * cnt_b), 9) AS lift
+         FROM j ORDER BY rank""",
 
     "q_pagerank" ->
       """WITH e0 AS (

@@ -453,6 +453,52 @@ object Relational {
       .select("rank", "item_a", "item_b", "support")
   }
 
+  /** Association rules from the persisted pair-support and item-count
+    * artifacts ([[graft.sources.PairStore]]): for the top `k` supported
+    * unordered pairs, both directed rules antecedent→consequent with
+    *   confidence = support / cnt(antecedent)
+    *   lift       = N · support / (cnt(antecedent) · cnt(consequent))
+    * (N = total baskets). Standard Agrawal-Srikant rule metrics restated
+    * over pre-aggregated supports — at 100 TB the corpus-sized work
+    * (fact scan, basket explode, pair agg, item counts) was paid ONCE at
+    * the artifact writes; the per-run plan is a TakeOrderedAndProject
+    * heap over the pair table plus two joins that BROADCAST the 2k-row
+    * rule side into streamed scans of the catalog-sized item table —
+    * never the reverse (an item catalog at corpus scale is not
+    * broadcastable; 2k rules always are). The count product is computed
+    * in double (counts can reach corpus cardinality; a long·long product
+    * would overflow before the division rescales it).
+    *
+    * `pairs` is (item_a, item_b, support); `itemCounts` is (item,
+    * basket_cnt, n_baskets). Output: rank, antecedent, consequent,
+    * support, confidence, lift — ordered by (support desc, antecedent,
+    * consequent), a total order since each unordered pair contributes
+    * two distinct directed rules.
+    */
+  def assocRules(pairs: DataFrame, itemCounts: DataFrame, k: Int): DataFrame = {
+    val top = pairs
+      .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc).limit(k)
+    val rules = top.select(
+        col("item_a").as("antecedent"), col("item_b").as("consequent"), col("support"))
+      .unionByName(top.select(
+        col("item_b").as("antecedent"), col("item_a").as("consequent"), col("support")))
+    val withA = itemCounts
+      .select(col("item").as("antecedent"), col("basket_cnt").as("cnt_a"), col("n_baskets"))
+      .join(broadcast(rules), Seq("antecedent"))
+    val withAB = itemCounts
+      .select(col("item").as("consequent"), col("basket_cnt").as("cnt_b"))
+      .join(broadcast(withA), Seq("consequent"))
+    val w = Portable.kRowWindow(col("support").desc, col("antecedent").asc, col("consequent").asc)
+    withAB
+      .withColumn("confidence", round(col("support").cast("double") / col("cnt_a"), 9))
+      .withColumn("lift", round(
+        col("support").cast("double") * col("n_baskets") /
+          (col("cnt_a").cast("double") * col("cnt_b")), 9))
+      .orderBy(col("support").desc, col("antecedent").asc, col("consequent").asc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "antecedent", "consequent", "support", "confidence", "lift")
+  }
+
   /** Block-hash reconciliation — snapshotDiff's cross-datacenter twin.
     *
     * Comparing two 100 TB replicas row-by-row means shipping one of them

@@ -25,8 +25,10 @@ object PairStore {
     * exercise the ensure path deterministically (the ShingleStore
     * forgetForTest rationale).
     */
-  private[graft] def forgetForTest(spark: SparkSession, sfDir: String): Unit =
+  private[graft] def forgetForTest(spark: SparkSession, sfDir: String): Unit = {
     ensured.remove((spark.sparkContext.applicationId, pairPath(spark, sfDir)))
+    ensured.remove((spark.sparkContext.applicationId, itemPath(spark, sfDir)))
+  }
 
   /** Artifact location for sfDir's lineitem basket pairs under the
     * session warehouse dir.
@@ -39,24 +41,65 @@ object PairStore {
       spark.conf.get("spark.sql.warehouse.dir"), s"graft_pairs_v1_$dirHash").toString
   }
 
-  /** Ensure the (item_a, item_b, support) pair table of `sfDir`'s
-    * lineitem orders exists as a committed parquet artifact and return a
-    * reader over it.
+  /** Artifact location for sfDir's per-item basket counts under the
+    * session warehouse dir.
     */
-  def ensurePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val loc = pairPath(spark, sfDir)
+  def itemPath(spark: SparkSession, sfDir: String): String = {
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"graft_items_v1_$dirHash").toString
+  }
+
+  private def ensureArtifact(spark: SparkSession, loc: String)(build: String => Unit): DataFrame = {
     ensured.getOrElseUpdate((spark.sparkContext.applicationId, loc), {
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
         if (fs.exists(p)) fs.delete(p, true)
-        import org.apache.spark.sql.functions._
-        graft.ops.Relational
-          .basketPairs(graft.Tables.load(spark, sfDir, "lineitem"), "l_orderkey", "l_partkey")
-          .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
-          .write.mode("overwrite").parquet(loc)
+        build(loc)
       }
     })
     spark.read.parquet(loc)
   }
+
+  /** Ensure the (item_a, item_b, support) pair table of `sfDir`'s
+    * lineitem orders exists as a committed parquet artifact and return a
+    * reader over it.
+    */
+  def ensurePairs(spark: SparkSession, sfDir: String): DataFrame =
+    ensureArtifact(spark, pairPath(spark, sfDir)) { loc =>
+      import org.apache.spark.sql.functions._
+      graft.ops.Relational
+        .basketPairs(graft.Tables.load(spark, sfDir, "lineitem"), "l_orderkey", "l_partkey")
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+        .write.mode("overwrite").parquet(loc)
+    }
+
+  /** Ensure the per-item basket-count table (item, basket_cnt,
+    * n_baskets) of `sfDir`'s lineitem orders exists as a committed
+    * parquet artifact and return a reader over it. `basket_cnt` counts
+    * the distinct baskets containing the item; `n_baskets` — the corpus
+    * basket total every rule-probability denominator needs — is
+    * denormalized onto each of the catalog-sized rows so consumers read
+    * ONE artifact (the alternative, a second 1-row stats parquet, costs
+    * an extra listing+scan per query for a single long). Association
+    * rules (confidence = support/cnt(antecedent), lift =
+    * N·support/(cnt·cnt)) join this table against [[ensurePairs]]'s pair
+    * supports; neither consumer touches the fact table at query time.
+    */
+  def ensureItems(spark: SparkSession, sfDir: String): DataFrame =
+    ensureArtifact(spark, itemPath(spark, sfDir)) { loc =>
+      import org.apache.spark.sql.functions._
+      val li = graft.Tables.load(spark, sfDir, "lineitem")
+      val perItem = li.select(col("l_orderkey").as("b"), col("l_partkey").as("item"))
+        .distinct()
+        .groupBy("item").agg(count(lit(1)).as("basket_cnt"))
+      val total = li.agg(count_distinct(col("l_orderkey")).as("n_baskets"))
+      // 1-row aggregate broadcast onto the catalog-sized count table —
+      // the repo's sanctioned crossJoin shape.
+      perItem.crossJoin(broadcast(total))
+        .write.mode("overwrite").parquet(loc)
+    }
 }

@@ -224,6 +224,32 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_jaccard_prefix must read the persisted shingle artifact")
   }
 
+  test("q_assoc_rules reads both PairStore artifacts and never the fact table") {
+    // the association-rule contract (r12): confidence/lift are computed
+    // from the committed pair-support and item-count artifacts alone —
+    // the corpus-sized fact scan was paid at the artifact writes. The
+    // 100-row rule side must BROADCAST into the catalog-sized item table
+    // (the item catalog at corpus scale is not broadcastable; the top-k
+    // rule set always is).
+    val df = SparkEntry.queries("q_assoc_rules")(spark, sfDir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val factScans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.inputFiles.exists(_.contains("lineitem")) => s
+    }
+    assert(factScans.isEmpty,
+      s"q_assoc_rules must read only the artifacts, found ${factScans.size} lineitem scans")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pairs_v1"),
+      "q_assoc_rules must scan the persisted pair artifact")
+    assert(plan.contains("graft_items_v1"),
+      "q_assoc_rules must scan the persisted item-count artifact")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "expected the rule side to broadcast into the item-count joins")
+  }
+
   test("every lineitem row-level query orders by the full unique key") {
     // regression guard for the non-unique (l_orderkey, l_linenumber) trap:
     // queries whose FIRST sort column is l_orderkey must also sort by

@@ -13,19 +13,60 @@ class PairStoreSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("ensurePairs writes once and reuses the committed layout") {
-    PairStore.forgetForTest(spark, sfDir)
-    val path = new org.apache.hadoop.fs.Path(
-      PairStore.pairPath(spark, sfDir)).toUri.getPath
-    val first = PairStore.ensurePairs(spark, sfDir)
-    assert(first.count() > 0)
+  // Directory fingerprint for the write-once assertions: _SUCCESS mtime
+  // alone has 1 s granularity on some filesystems (ADVICE r11 item 4 — a
+  // spurious same-second rewrite would pass undetected), so also pin the
+  // data-file listing (names + lengths) and a survives-rewrite sentinel.
+  private def listing(path: String): Seq[(String, Long)] =
+    new java.io.File(path).listFiles().toSeq
+      .map(f => (f.getName, f.length())).sortBy(_._1)
+
+  private def assertWriteOnce(path: String, ensure: () => Long): Unit = {
+    val firstCount = ensure()
+    assert(firstCount > 0)
     val success = new java.io.File(path, "_SUCCESS")
     assert(success.exists())
     val stamp = success.lastModified()
-    val second = PairStore.ensurePairs(spark, sfDir)
-    assert(second.count() === first.count())
-    assert(success.lastModified() === stamp,
-      "second ensurePairs call must not rewrite the committed artifact")
+    val files = listing(path)
+    val sentinel = new java.io.File(path, "_graft_write_once_sentinel")
+    assert(sentinel.createNewFile())
+    try {
+      assert(ensure() === firstCount)
+      assert(success.lastModified() === stamp,
+        "second ensure call must not rewrite the committed artifact")
+      assert(listing(path).filterNot(_._1 == sentinel.getName) === files,
+        "second ensure call must leave the data-file listing unchanged")
+      assert(sentinel.exists(),
+        "second ensure call must not clear the artifact directory")
+    } finally sentinel.delete()
+  }
+
+  test("ensurePairs writes once and reuses the committed layout") {
+    PairStore.forgetForTest(spark, sfDir)
+    assertWriteOnce(
+      new org.apache.hadoop.fs.Path(PairStore.pairPath(spark, sfDir)).toUri.getPath,
+      () => PairStore.ensurePairs(spark, sfDir).count())
+  }
+
+  test("ensureItems writes once and reuses the committed layout") {
+    PairStore.forgetForTest(spark, sfDir)
+    assertWriteOnce(
+      new org.apache.hadoop.fs.Path(PairStore.itemPath(spark, sfDir)).toUri.getPath,
+      () => PairStore.ensureItems(spark, sfDir).count())
+  }
+
+  test("item-count artifact equals the direct per-item basket aggregation") {
+    val art = PairStore.ensureItems(spark, sfDir)
+    assert(art.columns.toSeq === Seq("item", "basket_cnt", "n_baskets"))
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val direct = li.select(col("l_orderkey").as("b"), col("l_partkey").as("item"))
+      .distinct().groupBy("item").agg(count(lit(1)).as("basket_cnt"))
+    assert(art.select("item", "basket_cnt").except(direct).count() === 0)
+    assert(direct.except(art.select("item", "basket_cnt")).count() === 0)
+    // n_baskets is the corpus basket total, denormalized identically on
+    // every row
+    val n = li.select("l_orderkey").distinct().count()
+    assert(art.select("n_baskets").distinct().collect().map(_.getLong(0)).toSeq === Seq(n))
   }
 
   test("artifact content equals the direct basketPairs support aggregation") {
