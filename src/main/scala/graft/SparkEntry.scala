@@ -2087,14 +2087,13 @@ object SparkEntry {
     // First 8 BPE tokenizer-training merges over the document corpus —
     // per-round corpus-wide pair count + greedy row-local rewrite, the
     // loop state localCheckpoint'ed per round so round r never re-folds
-    // the corpus through rounds 1..r-1 (ops/TextOps.bpeTrainMerges). The
-    // iterative corpus rewrite is not SQL-expressible in one statement,
-    // so like q_approx_distinct this is a rows-only driver check; the
-    // merge semantics (greedy left-to-right, overlap rule, tie order,
-    // early stop) are hand-verified in Round7fOpsSpec, and the trained
-    // table feeds the fully oracle-checked q_bpe_encode below. Trains
-    // once per JVM and persists the 8-row model (ops/BpeModel — the
-    // IvfIndex artifact lifecycle).
+    // the corpus through rounds 1..r-1 (ops/TextOps.bpeTrainMerges).
+    // Fully oracle-checked since r12: bpeMergesSql replays the 8
+    // training rounds as chained DuckDB CTEs (per-round pair-count
+    // argmax under the cnt-desc-then-lexicographic tie rule + the greedy
+    // rewrite as replace() over the '|'-delimited state q_bpe_encode's
+    // oracle already proved sound). Trains once per JVM and persists the
+    // 8-row model (ops/BpeModel — the IvfIndex artifact lifecycle).
     "q_bpe_merges" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -2436,6 +2435,50 @@ object SparkEntry {
                     ELSE len(string_split(encoded, ' ')) END)::BIGINT AS n_tokens_bpe,
               encoded
        FROM e ORDER BY doc_id"""
+  }
+
+  /** DuckDB oracle for q_bpe_merges — the training loop ITSELF replayed
+    * in SQL (r12; drops the rows-only trio to the two approx-sketch
+    * members that are rows-only by stated design). Each of the `n`
+    * rounds is three chained CTEs over the '|'-delimited corpus state
+    * bpeEncodeSql already proved sound: adjacent-pair counts (the
+    * range/list_transform bigram idiom of q_top_bigrams), the argmax
+    * under the exact training tie rule (cnt desc, then pair
+    * lexicographic — binary collation in both engines), and the greedy
+    * left-to-right non-overlapping corpus rewrite as one replace() per
+    * round. Early-stop parity holds for free: an exhausted corpus makes
+    * m{r} empty, the cross-joined rewrite empties the state, and every
+    * later round contributes zero rows — exactly the Scala loop's break.
+    * Spark's per-round `size >= 2` re-filter needs no replica: a
+    * one-token document yields no pairs in either engine.
+    */
+  private def bpeMergesSql(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      val count =
+        s"""c$r AS (
+           SELECT p.pa AS a, p.pb AS b, count(*) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(toks)),
+               i -> {'pa': toks[i], 'pb': toks[i+1]})) AS p
+             FROM (SELECT string_split(trim(s, '|'), '||') AS toks FROM s${r - 1}))
+           GROUP BY a, b),
+         m$r AS (SELECT $r AS iteration, a, b, cnt FROM c$r
+                 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
+      val rewrite =
+        if (r == n) ""
+        else s""",
+         s$r AS (SELECT replace(p.s, '|'||m.a||'||'||m.b||'|', '|'||m.a||m.b||'|') AS s
+                 FROM s${r - 1} p CROSS JOIN m$r m)"""
+      count + rewrite
+    }.mkString(",\n         ")
+    s"""WITH s0 AS (
+           SELECT '|' || array_to_string(toks, '||') || '|' AS s
+           FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 2),
+         $rounds
+       SELECT iteration, a AS pair_a, b AS pair_b, cnt AS support, a || b AS merged
+       FROM (${(1 to n).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+       ORDER BY iteration"""
   }
 
   /** The q_bpe_encode oracle entry — same contract as pqOracleEntry:
@@ -2868,6 +2911,8 @@ object SparkEntry {
       semanticDedupOracleEntry ++ bpeOracleEntry
 
   private def staticOracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesSql(BpeN),
+
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
