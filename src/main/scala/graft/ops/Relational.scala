@@ -453,6 +453,50 @@ object Relational {
       .select("rank", "item_a", "item_b", "support")
   }
 
+  /** Incremental maintenance of the basket-pair support table — the
+    * C45/C113 delta-merge pattern applied to [[graft.sources.PairStore]]
+    * (r12; the artifact was write-once-per-corpus before, so any fact
+    * growth forced a FULL rebuild: a whole-corpus scan + basket explode
+    * for a delta that touched a sliver of baskets).
+    *
+    * Append-only delta semantics: `deltaFacts` holds newly-arrived fact
+    * rows; a basket spanning base and delta cannot have its new pairs
+    * derived from the delta alone (pairs mix old and new items), so the
+    * kernel re-derives pairs for TOUCHED baskets only, from the union of
+    * that basket's base and delta rows, and merges signed support deltas
+    * into the base table:
+    *
+    *   pairs_full = pairs_base − pairs(base rows of touched baskets)
+    *                           + pairs(all rows of touched baskets)
+    *
+    * Per-basket the old pair set is contained in the new one (items only
+    * accrue), so no support ever goes negative; the >0 guard is defense
+    * for callers feeding corrections. Cost at 100 TB: the touched-basket
+    * restriction is a semi-join on the basket key (broadcastable for a
+    * daily delta; partition-prunable when facts are clustered by basket
+    * ranges), the pair re-derivation explodes only touched baskets, and
+    * the final merge is one sum-groupBy over base-pairs ∪ signed-deltas
+    * — the corpus-sized fact scan the full rebuild pays never happens.
+    * Merge ≡ full-rebuild equality is spec-proven (Round10OpsSpec-style
+    * hash identity in PairStoreSpec).
+    */
+  def mergeBasketPairSupports(basePairs: DataFrame, baseFacts: DataFrame,
+                              deltaFacts: DataFrame,
+                              basketCol: String, itemCol: String): DataFrame = {
+    val touched = deltaFacts.select(col(basketCol)).distinct()
+    val baseTouched = baseFacts.select(col(basketCol), col(itemCol))
+      .join(touched, Seq(basketCol), "left_semi")
+    val removed = basketPairs(baseTouched, basketCol, itemCol)
+      .groupBy("item_a", "item_b").agg((-count(lit(1))).as("support"))
+    val added = basketPairs(
+        baseTouched.unionByName(deltaFacts.select(col(basketCol), col(itemCol))),
+        basketCol, itemCol)
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+    basePairs.unionByName(removed).unionByName(added)
+      .groupBy("item_a", "item_b").agg(sum("support").as("support"))
+      .where(col("support") > 0)
+  }
+
   /** Association rules from the persisted pair-support and item-count
     * artifacts ([[graft.sources.PairStore]]): for the top `k` supported
     * unordered pairs, both directed rules antecedent→consequent with

@@ -443,10 +443,38 @@ object StreamingOps {
     * Row-encoded implementation serve any payload schema; emitted rows
     * carry the original typed key column. `base` must have unique keys
     * (it is a snapshot).
+    *
+    * `tombstoneTtlMs` (r12 — the r9 verdict's unbounded-state item):
+    * with the default `None`, op='D' winners live in the state store
+    * forever — correct for a MERGE target that may see arbitrarily late
+    * stale versions, but a delete-heavy changelog then grows state
+    * monotonically. Set a TTL to expire tombstones on a processing-time
+    * horizon (Kafka log-compaction's `delete.retention.ms` contract):
+    * once a delete's winning row has sat untouched past the TTL, the
+    * state row is dropped — freeing store memory — and the key behaves
+    * as never-seen. The trade is explicit: the TTL is a promise that no
+    * changelog entry for the key older than the horizon will still
+    * arrive; a stale pre-delete version delivered AFTER expiry would
+    * resurrect the key as a fresh insert (the same contract every
+    * compacted-log consumer accepts). Any arrival for a tombstoned key
+    * inside the horizon — even a stale one that changes nothing —
+    * re-arms the clock (Spark clears a registered timeout on every
+    * invocation for the key, so the sweep only fires on keys quiet for
+    * a full TTL). Expiry itself emits nothing: consumers already
+    * dropped the key when the delete was emitted.
+    *
+    * Engine interaction to know about: once any processing-time timeout
+    * exists, Spark schedules micro-batches CONTINUOUSLY (a fresh batch
+    * timestamp is how due timeouts get evaluated), so pair the TTL with
+    * a real processing-time trigger in production — and do not wait on
+    * `processAllAvailable`, which never observes the idle moment it
+    * needs with batches back-to-back; poll `lastProgress` instead (as
+    * the TTL spec does).
     */
   def cdcApplyKeyed(changes: DataFrame, base: DataFrame, key: String,
                     opCol: String, versionCol: String, payload: Seq[String],
-                    baseVersion: Long = 0L): DataFrame = {
+                    baseVersion: Long = 0L,
+                    tombstoneTtlMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     // The grouping key is the key column rendered to string; that is
     // injective only for integral/string keys. Fail fast on anything else
@@ -473,24 +501,44 @@ object StreamingOps {
       a.getLong(verIdx) > b.getLong(verIdx) ||
         (a.getLong(verIdx) == b.getLong(verIdx) && pri(a) > pri(b))
     def upsert(k: String, rows: Iterator[Row], state: GroupState[Row]): Iterator[Row] = {
-      val prev = state.getOption
-      val winner = rows.foldLeft(prev) {
-        case (Some(b), r) => if (beats(r, b)) Some(r) else Some(b)
-        case (None, r)    => Some(r)
-      }
-      winner match {
-        case Some(w) if !prev.contains(w) =>
-          state.update(w)
-          Iterator.single(w)
-        case _ => Iterator.empty
+      if (state.hasTimedOut) {
+        // Tombstone quiet past the TTL horizon: free the state row. No
+        // emission — consumers dropped the key when the delete emitted.
+        state.remove()
+        Iterator.empty
+      } else {
+        val prev = state.getOption
+        val winner = rows.foldLeft(prev) {
+          case (Some(b), r) => if (beats(r, b)) Some(r) else Some(b)
+          case (None, r)    => Some(r)
+        }
+        // Every invocation clears a registered timeout, so a surviving
+        // tombstone must re-arm its clock whether or not the winner
+        // changed (a stale arrival would otherwise disarm expiry).
+        def armTombstone(w: Row): Unit = tombstoneTtlMs.foreach { ttl =>
+          if (w.getString(opIdx) == "D") state.setTimeoutDuration(ttl)
+        }
+        winner match {
+          case Some(w) if !prev.contains(w) =>
+            state.update(w)
+            armTombstone(w)
+            Iterator.single(w)
+          case Some(w) =>
+            armTombstone(w)
+            Iterator.empty
+          case None => Iterator.empty
+        }
       }
     }
     val seeded = base.select(
       (Seq(col(key), lit("I").as(opCol), lit(baseVersion).cast("long").as(versionCol)) ++
         payload.map(col)): _*)
     val initial = seeded.groupByKey((r: Row) => r.get(0).toString)
+    val timeoutConf =
+      if (tombstoneTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     projected.groupByKey((r: Row) => r.get(0).toString)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout(), initial)(upsert)
+      .flatMapGroupsWithState(OutputMode.Update(), timeoutConf, initial)(upsert)
       .toDF(projected.schema.fieldNames.toIndexedSeq: _*)
   }
 

@@ -82,6 +82,36 @@ class PairStoreSpec extends SparkSpec {
     assert(art.count() === art.select("item_a", "item_b").distinct().count())
   }
 
+  test("incremental pair-support merge equals the full rebuild") {
+    // The C45/C113 delta-merge identity on the pair table: split the
+    // fact table so many baskets SPAN base and delta (the case the
+    // verdict flagged — spanning baskets must re-derive pairs from the
+    // union of their rows, not the delta alone), merge the delta into
+    // the base supports, and demand row-identical equality with the
+    // from-scratch build over all facts.
+    val baseRows = graft.Tables.load(spark, sfDir, "lineitem")
+      .where(col("l_linenumber") <= 3).select(col("l_orderkey"), col("l_partkey"))
+    val deltaRows = graft.Tables.load(spark, sfDir, "lineitem")
+      .where(col("l_linenumber") > 3).select(col("l_orderkey"), col("l_partkey"))
+    assert(deltaRows.count() > 0 && baseRows.count() > 0)
+    // sanity: the split really produces spanning baskets
+    val spanning = baseRows.select("l_orderkey").distinct()
+      .join(deltaRows.select("l_orderkey").distinct(), Seq("l_orderkey"), "left_semi")
+      .count()
+    assert(spanning > 0, "test split must produce baskets spanning base and delta")
+
+    def support(df: org.apache.spark.sql.DataFrame) = Relational
+      .basketPairs(df, "l_orderkey", "l_partkey")
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+    val basePairs = support(baseRows)
+    val merged = Relational.mergeBasketPairSupports(
+      basePairs, baseRows, deltaRows, "l_orderkey", "l_partkey")
+    val full = support(baseRows.unionByName(deltaRows))
+    assert(merged.except(full).count() === 0)
+    assert(full.except(merged).count() === 0)
+    assert(merged.count() === full.count())
+  }
+
   test("q_cooccur reads the artifact as a parquet scan (q_triangles checkpoints it)") {
     // q_triangles' edge list is eagerly localCheckpoint'ed inside
     // triangleCounts, so its FINAL plan shows the checkpoint RDD, not the
