@@ -227,6 +227,12 @@ object Graph {
     * measured ~2× on the whole operator (the probe runs once per wedge —
     * the hot loop). Wider ids fall back to the two-column key, same
     * result.
+    *
+    * NOT lazy (ADVICE r11): calling this runs Spark jobs during plan
+    * CONSTRUCTION — the eager localCheckpoint materializing the reused
+    * edge list, plus the one-row id-bounds aggregate deciding
+    * packability. Compose the returned DataFrame freely, but don't
+    * build it somewhere latency-sensitive expecting a free plan.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
                      broadcastClose: Boolean = true): DataFrame = {

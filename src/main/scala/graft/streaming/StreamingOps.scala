@@ -116,7 +116,18 @@ object StreamingOps {
       lastBatchId = batchId
     }
 
-    /** Finalized view (n, total, avg) of everything merged so far. */
+    /** Finalized view (n, total, avg) of everything merged so far.
+      *
+      * ONE-TRIGGER validity (ADVICE r11): the returned plan reads the
+      * current state frame, which [[RetiringFrame]] retires on the next
+      * `mergeBatch` and RELEASES on the one after — so a plan held
+      * across two or more triggers fails on truncated lineage. (Before
+      * the r11 retirement rework replaced frames were never freed, so
+      * long-captured plans happened to stay executable; that was a
+      * leak, not a contract.) Execute promptly, or re-call `finalized`
+      * after each trigger for a fresh plan. The same lifecycle applies
+      * to every foreachBatch state in this file.
+      */
     def finalized: Option[DataFrame] =
       partial.get.map(p => graft.ops.Relational.mergePartialAggs(Seq(p), keys))
   }
