@@ -568,7 +568,7 @@ object TextOps {
     * hex-string round-trip per token). Identical in any engine with md5 —
     * the primitive under MinHash and SimHash below.
     */
-  private def seededHash32(seed: Column, token: Column): Column =
+  private[graft] def seededHash32(seed: Column, token: Column): Column =
     graft.functions.Md5Hash64.hash64(concat_ws("|", seed, token)).getItem(0)
 
   /** Word n-gram shingles of a document (the dedup unit for MinHash /
