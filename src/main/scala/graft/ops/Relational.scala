@@ -522,10 +522,16 @@ object Relational {
   def assocRules(pairs: DataFrame, itemCounts: DataFrame, k: Int): DataFrame = {
     val top = pairs
       .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc).limit(k)
-    val rules = top.select(
-        col("item_a").as("antecedent"), col("item_b").as("consequent"), col("support"))
-      .unionByName(top.select(
-        col("item_b").as("antecedent"), col("item_a").as("consequent"), col("support")))
+    // Both directions explode out of ONE top-k pass: a union of two
+    // selects over `top` would plan TWO scans of the pair artifact and
+    // TWO TakeOrderedAndProject heaps — at corpus scale that doubles
+    // the dominant cost of the whole query (observed in the r12 plan
+    // audit before this rework).
+    val rules = top.select(col("support"), explode(array(
+        struct(col("item_a").as("antecedent"), col("item_b").as("consequent")),
+        struct(col("item_b").as("antecedent"), col("item_a").as("consequent")))).as("r"))
+      .select(col("r.antecedent").as("antecedent"),
+        col("r.consequent").as("consequent"), col("support"))
     val withA = itemCounts
       .select(col("item").as("antecedent"), col("basket_cnt").as("cnt_a"), col("n_baskets"))
       .join(broadcast(rules), Seq("antecedent"))
@@ -538,7 +544,6 @@ object Relational {
       .withColumn("lift", round(
         col("support").cast("double") * col("n_baskets") /
           (col("cnt_a").cast("double") * col("cnt_b")), 9))
-      .orderBy(col("support").desc, col("antecedent").asc, col("consequent").asc)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "antecedent", "consequent", "support", "confidence", "lift")
   }
