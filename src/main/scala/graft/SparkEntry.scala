@@ -1822,6 +1822,13 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Frequent 3-itemsets (r12): the next A-priori lattice level over
+    // the same single-scan basket expansion — C(k,3) fan-out bounded by
+    // basket size, one fact scan, one shuffle, heap-ranked top-25.
+    "q_itemsets3" -> ((s, dir) =>
+      Relational.frequentTriples(T(s, dir, "lineitem"), "l_orderkey", "l_partkey", 25)
+        .orderBy("rank")),
+
     // Association rules (r12): confidence and lift for both directed
     // rules of the top-50 supported pairs — computed ENTIRELY from the
     // two committed PairStore artifacts (pair supports + per-item basket
@@ -4961,6 +4968,21 @@ object SparkEntry {
              row_number() OVER (ORDER BY support DESC, item_a ASC, item_b ASC) AS rank
            FROM sup)
          WHERE rank <= 50 ORDER BY rank""",
+
+    "q_itemsets3" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         t AS (
+           SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c
+           FROM items x
+           JOIN items y ON x.b = y.b AND x.i < y.i
+           JOIN items z ON y.b = z.b AND y.i < z.i),
+         sup AS (SELECT item_a, item_b, item_c, count(*) AS support
+                 FROM t GROUP BY item_a, item_b, item_c)
+         SELECT rank, item_a, item_b, item_c, support FROM (
+           SELECT item_a, item_b, item_c, support,
+             row_number() OVER (ORDER BY support DESC, item_a ASC, item_b ASC, item_c ASC) AS rank
+           FROM sup)
+         WHERE rank <= 25 ORDER BY rank""",
 
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

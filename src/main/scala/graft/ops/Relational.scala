@@ -434,6 +434,43 @@ object Relational {
           y => struct(x.as("item_a"), y.as("item_b")))))).as("_p"))
       .select(col("_p.item_a").as("item_a"), col("_p.item_b").as("item_b"))
 
+  /** Unordered distinct within-basket item TRIPLES — the next level of
+    * the A-priori lattice over the same single-scan basket expansion as
+    * [[basketPairs]] (item_a < item_b < item_c from the sorted distinct
+    * item array; three nested tail-slices, flattened). Per-basket
+    * fan-out is C(k, 3) — bounded by the same catalog-bounded basket
+    * sizes that bound the pair kernel (TPC-H orders carry ≤ 7 lines →
+    * ≤ 35 triple rows per basket); ONE fact scan, ONE shuffle.
+    */
+  def basketTriples(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.groupBy(col(basketCol))
+      .agg(sort_array(collect_set(col(itemCol))).as("_its"))
+      .where(size(col("_its")) > 2)
+      .select(explode(flatten(flatten(transform(col("_its"), (x, i) =>
+        transform(slice(col("_its"), i + lit(2), size(col("_its")) - i - lit(1)), (y, jj) =>
+          transform(slice(col("_its"), i + jj + lit(3), size(col("_its")) - i - jj - lit(2)),
+            z => struct(x.as("item_a"), y.as("item_b"), z.as("item_c")))))))).as("_t"))
+      .select(col("_t.item_a").as("item_a"), col("_t.item_b").as("item_b"),
+        col("_t.item_c").as("item_c"))
+
+  /** Top-k frequent 3-itemsets: triple support counted across baskets,
+    * ranked like [[coOccurrence]] (TakeOrderedAndProject heap, rank
+    * window only over the k survivors). Completes the market-basket
+    * suite: pairs (C82) → rules (C128) → triples; anti-monotonicity
+    * against the pair supports is spec-proven (every frequent triple's
+    * three constituent pairs support ≥ the triple's).
+    */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String, k: Int): DataFrame = {
+    val w = Portable.kRowWindow(col("support").desc,
+      col("item_a").asc, col("item_b").asc, col("item_c").asc)
+    basketTriples(df, basketCol, itemCol)
+      .groupBy("item_a", "item_b", "item_c").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc,
+        col("item_a").asc, col("item_b").asc, col("item_c").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "item_a", "item_b", "item_c", "support")
+  }
+
   /** Market-basket co-occurrence: pairs of items appearing in the same
     * basket, support counted across baskets, top `k` pairs. Pair
     * generation is the single-scan basket expansion of [[basketPairs]];

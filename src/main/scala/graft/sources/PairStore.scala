@@ -30,27 +30,25 @@ object PairStore {
     ensured.remove((spark.sparkContext.applicationId, itemPath(spark, sfDir)))
   }
 
-  /** Artifact location for sfDir's lineitem basket pairs under the
-    * session warehouse dir.
-    */
-  def pairPath(spark: SparkSession, sfDir: String): String = {
+  private def artifactPath(spark: SparkSession, sfDir: String, prefix: String): String = {
     val dirHash = java.security.MessageDigest.getInstance("MD5")
       .digest(java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"graft_pairs_v1_$dirHash").toString
+      spark.conf.get("spark.sql.warehouse.dir"), s"${prefix}_$dirHash").toString
   }
+
+  /** Artifact location for sfDir's lineitem basket pairs under the
+    * session warehouse dir.
+    */
+  def pairPath(spark: SparkSession, sfDir: String): String =
+    artifactPath(spark, sfDir, "graft_pairs_v1")
 
   /** Artifact location for sfDir's per-item basket counts under the
     * session warehouse dir.
     */
-  def itemPath(spark: SparkSession, sfDir: String): String = {
-    val dirHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"graft_items_v1_$dirHash").toString
-  }
+  def itemPath(spark: SparkSession, sfDir: String): String =
+    artifactPath(spark, sfDir, "graft_items_v1")
 
   private def ensureArtifact(spark: SparkSession, loc: String)(build: String => Unit): DataFrame = {
     ensured.getOrElseUpdate((spark.sparkContext.applicationId, loc), {

@@ -112,6 +112,50 @@ class PairStoreSpec extends SparkSpec {
     assert(merged.count() === full.count())
   }
 
+  test("basketTriples enumerates exactly the C(k,3) ordered triples of a basket") {
+    val in = df(Seq((1L, 30L), (1L, 10L), (1L, 20L), (1L, 10L), (1L, 40L),
+        (2L, 7L), (2L, 8L), (3L, 5L)))
+      .toDF("b", "i")
+    val got = Relational.basketTriples(in, "b", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // basket 1 = {10,20,30,40} → 4 sorted triples; baskets 2 (pairs
+    // only) and 3 (singleton) contribute none
+    assert(got === Set((10L, 20L, 30L), (10L, 20L, 40L), (10L, 30L, 40L), (20L, 30L, 40L)))
+  }
+
+  test("frequent triples are anti-monotone against the pair artifact") {
+    // The A-priori property that makes lattice mining prunable: every
+    // frequent triple's three constituent pairs must each have support
+    // ≥ the triple's support. Checked for the full triple-support table
+    // against the committed pair artifact.
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val triples = Relational.basketTriples(li, "l_orderkey", "l_partkey")
+      .groupBy("item_a", "item_b", "item_c").agg(count(lit(1)).as("t_sup"))
+    assert(triples.count() > 0)
+    val pairs = PairStore.ensurePairs(spark, sfDir)
+    def pairSup(a: String, c: String) = pairs.select(
+      col("item_a").as(a), col("item_b").as(c), col("support"))
+    val violations = triples
+      .join(pairSup("item_a", "item_b").withColumnRenamed("support", "s_ab"),
+        Seq("item_a", "item_b"))
+      .join(pairSup("item_a", "item_c").withColumnRenamed("support", "s_ac"),
+        Seq("item_a", "item_c"))
+      .join(pairSup("item_b", "item_c").withColumnRenamed("support", "s_bc"),
+        Seq("item_b", "item_c"))
+      .where(col("t_sup") > col("s_ab") || col("t_sup") > col("s_ac") ||
+        col("t_sup") > col("s_bc"))
+      .count()
+    assert(violations === 0L)
+    // and every triple HAS its three pairs in the artifact (the joins
+    // above dropped nothing)
+    val joined = triples
+      .join(pairSup("item_a", "item_b").drop("support"), Seq("item_a", "item_b"))
+      .join(pairSup("item_a", "item_c").drop("support"), Seq("item_a", "item_c"))
+      .join(pairSup("item_b", "item_c").drop("support"), Seq("item_b", "item_c"))
+      .count()
+    assert(joined === triples.count())
+  }
+
   test("q_cooccur reads the artifact as a parquet scan (q_triangles checkpoints it)") {
     // q_triangles' edge list is eagerly localCheckpoint'ed inside
     // triangleCounts, so its FINAL plan shows the checkpoint RDD, not the
