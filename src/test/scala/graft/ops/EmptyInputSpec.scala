@@ -126,6 +126,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(zb.length === 1 && zb.head.getLong(4) === 0L)
   }
 
+  test("round-12 basket ops on empty and degenerate inputs") {
+    val emptyFacts = df(Seq.empty[Kv7g]).select(col("k").as("b"), col("v").as("i"))
+    assert(Relational.basketTriples(emptyFacts, "b", "i").count() === 0)
+    assert(Relational.frequentTriples(emptyFacts, "b", "i", 5).count() === 0)
+    // pair-only baskets produce zero triples, not an error
+    val pairsOnly = df(Seq(Kv7g(1L, 10L), Kv7g(1L, 20L)))
+      .select(col("k").as("b"), col("v").as("i"))
+    assert(Relational.basketTriples(pairsOnly, "b", "i").count() === 0)
+    // empty delta merge is the identity; empty base adopts the delta
+    val basePairs = Relational.basketPairs(pairsOnly, "b", "i")
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+    val mergedId = Relational.mergeBasketPairSupports(
+      basePairs, pairsOnly, emptyFacts, "b", "i")
+    assert(mergedId.collect().toSeq === basePairs.collect().toSeq)
+    val emptyPairs = basePairs.where(lit(false))
+    val adopted = Relational.mergeBasketPairSupports(
+      emptyPairs, emptyFacts, pairsOnly, "b", "i")
+    assert(adopted.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((10L, 20L, 1L)))
+    // assocRules on an empty pair table emits no rules
+    val emptyItems = df(Seq.empty[Kv7g]).select(col("k").as("item"),
+      col("v").as("basket_cnt"), lit(0L).as("n_baskets"))
+    assert(Relational.assocRules(emptyPairs, emptyItems, 5).count() === 0)
+  }
+
   test("profiling on empty frame reports zero rows per column") {
     val p = Profiling.profile(emptyBars.toDF(), Seq("isin", "price")).collect()
     assert(p.length === 2)
