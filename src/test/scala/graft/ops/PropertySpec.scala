@@ -188,6 +188,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("basketTriples emits exactly the ordered distinct-item triples of every basket") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 9L)))
+    samples(gen, 5).foreach { rows =>
+      val in = spark.createDataFrame(rows).toDF("b", "i")
+      val got = Relational.basketTriples(in, "b", "i")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = rows.groupBy(_._1).values.flatMap { basket =>
+        val its = basket.map(_._2).distinct.sorted
+        for (a <- its; b <- its if a < b; c <- its if b < c) yield (a, b, c)
+      }.toSeq.sorted
+      assert(got === want)
+      got.foreach { case (a, b, c) => assert(a < b && b < c) }
+    }
+  }
+
+  test("mergeBasketPairSupports equals the full rebuild for any split") {
+    // The C45/C113 delta-merge identity, property-tested over random
+    // fact tables and random base/delta row splits — including splits
+    // where baskets span both sides and where one side is empty.
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 7L))),
+      Gen.choose(0, 100))
+    samples(gen, 5).foreach { case (rows, splitPct) =>
+      val tagged = rows.zipWithIndex
+      val (baseRows, deltaRows) = tagged.partition { case (_, i) => i * 100 < splitPct * rows.size }
+      def frame(rs: Seq[((Long, Long), Int)]) =
+        spark.createDataFrame(rs.map(_._1) :+ ((-1L, -1L))).toDF("b", "i")
+          .where(col("b") >= 0) // keep the schema when the side is empty
+      def support(df: org.apache.spark.sql.DataFrame) = Relational
+        .basketPairs(df, "b", "i")
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+      val base = frame(baseRows)
+      val delta = frame(deltaRows)
+      val merged = Relational.mergeBasketPairSupports(support(base), base, delta, "b", "i")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val full = support(frame(tagged))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(merged === full)
+    }
+  }
+
   test("countMinSketch merges by element-wise addition across corpus shards") {
     // The shard-merge (monoid) property CmSketchState runs continuously:
     // sketch(A ++ B) = sketch(A) + sketch(B) cell-wise, for ANY split.
