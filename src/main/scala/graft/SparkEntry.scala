@@ -1853,6 +1853,74 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // Two-iteration HITS over the DIRECTED customer→supplier trade graph
+    // (r12) — the bipartite link-analysis complement to q_pagerank:
+    // authority concentrates on the supplier side, hub on the customer
+    // side, L1-normalized with exact-decimal sums so the fixed iteration
+    // is oracle-checkable by unrolled CTEs.
+    "q_hits" -> ((s, dir) =>
+      Graph.hits(tradeEdges(s, dir), "cust", "supp", iters = 2)
+        .select(col("id").as("node_id"), round(col("auth"), 9).as("auth"),
+          round(col("hub"), 9).as("hub"))
+        .orderBy("node_id")),
+
+    // Bounded-hop weighted shortest paths (r12): Bellman-Ford relaxation
+    // over the trade graph with integer edge costs (line-item count per
+    // customer–supplier pair), 3 rounds from the low-key seed customers —
+    // the C91 BFS generalized to additive weights; integer path sums keep
+    // every min() engine-exact.
+    "q_sssp" -> ((s, dir) => {
+      val we = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = we.select("cust").where(col("cust") < 10).distinct()
+      Graph.ssspWithinHops(we, "cust", "supp", "w", seeds, "cust", 3)
+        .orderBy("id")
+    }),
+
+    // 3-core of the repeat-trade graph (r12): edges are customer–supplier
+    // pairs trading in ≥ 2 line items — sparse enough that peeling
+    // CASCADES (23 rounds at sf0.1), exercising the data-dependent loop;
+    // the oracle unrolls 40 peel rounds (idempotent past the fixpoint).
+    "q_kcore" -> ((s, dir) => {
+      val repeat = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+      Graph.kCore(repeat, "cust", "supp", k = 3)
+        .select(col("id").as("node_id"), col("deg"))
+        .orderBy("node_id")
+    }),
+
+    // PMI collocations (r12): every bigram with corpus count ≥ 20 scored
+    // ln(p(ab)/(p(a)p(b))) — association strength, not raw frequency
+    // (C67's complement). The floor keeps the output a deterministic SET;
+    // the PMI double is one fixed-shape expression both engines evaluate
+    // identically.
+    "q_pmi" -> ((s, dir) =>
+      TextOps.pmiCollocations(T(s, dir, "documents"), "text", minCount = 20)
+        .orderBy("bigram")),
+
+    // Per-domain KL divergence from the corpus unigram distribution
+    // (r12): the mixture-drift diagnostic, absent-token mass folded in
+    // closed form so no domain×vocabulary expansion ever materializes.
+    "q_domain_kl" -> ((s, dir) =>
+      TextOps.domainDivergence(T(s, dir, "documents"), "source", "text")
+        .orderBy("domain")),
+
+    // DSIR importance weights (r12): per-document hashed-unigram
+    // log-likelihood ratio, target domain src0 vs the whole corpus —
+    // the importance-resampling score that tilts a raw crawl toward a
+    // target distribution (Xie et al. 2023).
+    "q_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
+          "source", "src0", nBuckets = 256)
+        .orderBy("doc_id")),
+
     // ── round 7e: feature engineering + graph profile + CDC ─────────────
     // Rolling 20-row autocorrelation (value vs lag-value) per user: five
     // exact-decimal window sums → bit-stable Pearson coefficient;
@@ -5042,6 +5110,180 @@ object SparkEntry {
            FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.id = s2.id)
          SELECT id AS node_id, round(rank, 9) AS rank
          FROM r2 ORDER BY node_id""",
+
+    // Two HITS iterations unrolled (the q_pagerank recipe): every
+    // contribution and normalization sum is decimal-exact, so each CTE
+    // mirrors one Spark join+aggregate bit-for-bit.
+    "q_hits" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT cust AS src, supp AS dst FROM e0),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         h0 AS (SELECT id, 1.0 AS hub FROM nodes),
+         a1r AS (SELECT e.dst AS id, sum(CAST(h0.hub AS DECIMAL(28,12)))::DOUBLE AS auth
+                 FROM e JOIN h0 ON e.src = h0.id GROUP BY e.dst),
+         a1f AS (SELECT nodes.id, coalesce(a1r.auth, 0.0) AS auth
+                 FROM nodes LEFT JOIN a1r ON nodes.id = a1r.id),
+         a1t AS (SELECT sum(CAST(auth AS DECIMAL(28,12)))::DOUBLE AS tot FROM a1f),
+         a1 AS (SELECT id, auth / tot AS auth FROM a1f CROSS JOIN a1t),
+         h1r AS (SELECT e.src AS id, sum(CAST(a1.auth AS DECIMAL(28,12)))::DOUBLE AS hub
+                 FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+         h1f AS (SELECT nodes.id, coalesce(h1r.hub, 0.0) AS hub
+                 FROM nodes LEFT JOIN h1r ON nodes.id = h1r.id),
+         h1t AS (SELECT sum(CAST(hub AS DECIMAL(28,12)))::DOUBLE AS tot FROM h1f),
+         h1 AS (SELECT id, hub / tot AS hub FROM h1f CROSS JOIN h1t),
+         a2r AS (SELECT e.dst AS id, sum(CAST(h1.hub AS DECIMAL(28,12)))::DOUBLE AS auth
+                 FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+         a2f AS (SELECT nodes.id, coalesce(a2r.auth, 0.0) AS auth
+                 FROM nodes LEFT JOIN a2r ON nodes.id = a2r.id),
+         a2t AS (SELECT sum(CAST(auth AS DECIMAL(28,12)))::DOUBLE AS tot FROM a2f),
+         a2 AS (SELECT id, auth / tot AS auth FROM a2f CROSS JOIN a2t),
+         h2r AS (SELECT e.src AS id, sum(CAST(a2.auth AS DECIMAL(28,12)))::DOUBLE AS hub
+                 FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+         h2f AS (SELECT nodes.id, coalesce(h2r.hub, 0.0) AS hub
+                 FROM nodes LEFT JOIN h2r ON nodes.id = h2r.id),
+         h2t AS (SELECT sum(CAST(hub AS DECIMAL(28,12)))::DOUBLE AS tot FROM h2f),
+         h2 AS (SELECT id, hub / tot AS hub FROM h2f CROSS JOIN h2t)
+         SELECT nodes.id AS node_id, round(a2.auth, 9) AS auth, round(h2.hub, 9) AS hub
+         FROM nodes JOIN a2 ON nodes.id = a2.id JOIN h2 ON nodes.id = h2.id
+         ORDER BY node_id""",
+
+    // Three Bellman-Ford rounds unrolled; integer path costs make every
+    // min() exact, so no decimal discipline is needed.
+    "q_sssp" ->
+      """WITH we AS (
+           SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp, count(*) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+         sym0 AS (SELECT cust AS u, supp AS v, w FROM we
+                  UNION ALL SELECT supp, cust, w FROM we),
+         sym AS (SELECT u, v, min(w) AS w FROM sym0 GROUP BY u, v),
+         d0 AS (SELECT DISTINCT cust AS id, 0::BIGINT AS dist FROM we WHERE cust < 10),
+         r1 AS (SELECT id, min(dist) AS dist FROM (
+                  SELECT id, dist FROM d0
+                  UNION ALL
+                  SELECT sym.v, d0.dist + sym.w FROM sym JOIN d0 ON sym.u = d0.id)
+                GROUP BY id),
+         r2 AS (SELECT id, min(dist) AS dist FROM (
+                  SELECT id, dist FROM r1
+                  UNION ALL
+                  SELECT sym.v, r1.dist + sym.w FROM sym JOIN r1 ON sym.u = r1.id)
+                GROUP BY id),
+         r3 AS (SELECT id, min(dist) AS dist FROM (
+                  SELECT id, dist FROM r2
+                  UNION ALL
+                  SELECT sym.v, r2.dist + sym.w FROM sym JOIN r2 ON sym.u = r2.id)
+                GROUP BY id)
+         SELECT id, dist FROM r3 ORDER BY id""",
+
+    // k-core peel unrolled to 40 rounds (generated; the deepest observed
+    // fixpoint on this graph family is 23 rounds at sf0.1, and rounds
+    // past the fixpoint are idempotent, so the margin is pure safety —
+    // KCoreSpec pins a brute-force referee on top).
+    "q_kcore" -> {
+      val rounds = 40
+      // MATERIALIZED is load-bearing: each round references the previous
+      // one three times, and CTE inlining would make the plan (and the
+      // parquet scan count) grow 3^rounds.
+      val head =
+        """WITH e0 AS MATERIALIZED (
+           SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         s0 AS MATERIALIZED (SELECT cust AS u, supp AS v FROM e0 UNION SELECT supp, cust FROM e0)"""
+      val body = (1 to rounds).map { i =>
+        s""",
+         k$i AS MATERIALIZED (SELECT u FROM s${i - 1} GROUP BY u HAVING count(*) >= 3),
+         s$i AS MATERIALIZED (SELECT s.u, s.v FROM s${i - 1} s
+                 JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)"""
+      }.mkString
+      head + body +
+        s"""
+         SELECT u AS node_id, count(*) AS deg FROM s$rounds
+         GROUP BY u HAVING count(*) >= 3 ORDER BY node_id"""
+    },
+
+    "q_pmi" ->
+      """WITH bg AS (
+           SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                 FROM documents)),
+         c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+         uni AS (SELECT token, count(*) AS uc FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+             FROM documents)
+           GROUP BY token),
+         btot AS (SELECT sum(cnt)::BIGINT AS btot FROM c),
+         utot AS (SELECT sum(uc)::BIGINT AS utot FROM uni),
+         f AS (SELECT bigram, cnt,
+                 string_split(bigram, ' ')[1] AS w1,
+                 string_split(bigram, ' ')[2] AS w2
+               FROM c WHERE cnt >= 20)
+         SELECT f.bigram, f.cnt,
+           round(ln((f.cnt::DOUBLE / btot.btot::DOUBLE) *
+                    (utot.utot::DOUBLE / u1.uc::DOUBLE) *
+                    (utot.utot::DOUBLE / u2.uc::DOUBLE)), 6) AS pmi
+         FROM f JOIN uni u1 ON f.w1 = u1.token JOIN uni u2 ON f.w2 = u2.token
+         CROSS JOIN btot CROSS JOIN utot
+         ORDER BY bigram""",
+
+    // Closed-form absent-token mass (see TextOps.domainDivergence): the
+    // oracle mirrors the per-term double shapes and the decimal sums, so
+    // the whole KL hash-checks despite transcendentals.
+    "q_domain_kl" ->
+      """WITH tok AS (
+           SELECT source AS domain,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         uni AS (SELECT token, count(*) AS ct FROM tok GROUP BY token),
+         corpus AS (SELECT sum(ct)::BIGINT AS n, count(*) AS v FROM uni),
+         lcall AS (
+           SELECT sum(CAST(ln((ct::DOUBLE + 1.0) / (n + v)::DOUBLE)
+             AS DECIMAL(28,12)))::DOUBLE AS lc_all
+           FROM uni CROSS JOIN corpus),
+         dom AS (SELECT domain, token, count(*) AS cdt FROM tok GROUP BY domain, token),
+         domtot AS (SELECT domain, sum(cdt)::BIGINT AS nd, count(*) AS vd
+                    FROM dom GROUP BY domain),
+         present AS (
+           SELECT d.domain, dt.nd, dt.vd,
+             sum(CAST(((d.cdt::DOUBLE + 1.0) / (dt.nd + c.v)::DOUBLE) *
+                ln(((d.cdt::DOUBLE + 1.0) / (dt.nd + c.v)::DOUBLE) /
+                   ((u.ct::DOUBLE + 1.0) / (c.n + c.v)::DOUBLE))
+               AS DECIMAL(28,12)))::DOUBLE AS s1,
+             sum(CAST(ln((u.ct::DOUBLE + 1.0) / (c.n + c.v)::DOUBLE)
+               AS DECIMAL(28,12)))::DOUBLE AS lcd
+           FROM dom d JOIN uni u ON d.token = u.token
+           JOIN domtot dt ON d.domain = dt.domain
+           CROSS JOIN corpus c
+           GROUP BY d.domain, dt.nd, dt.vd)
+         SELECT p.domain, p.nd AS n_tokens, p.vd AS vocab_seen,
+           round(p.s1 + (1.0 / (p.nd + c.v)::DOUBLE) *
+             ((c.v - p.vd)::DOUBLE * ln(1.0 / (p.nd + c.v)::DOUBLE) -
+              (l.lc_all - p.lcd)), 6) AS kl
+         FROM present p CROSS JOIN corpus c CROSS JOIN lcall l
+         ORDER BY domain""",
+
+    "q_dsir_weights" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tb AS (SELECT doc_id, source,
+                  ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS b
+                FROM tok),
+         raw AS (SELECT b, count(*) AS craw FROM tb GROUP BY b),
+         tgt AS (SELECT b, count(*) AS ctgt FROM tb WHERE source = 'src0' GROUP BY b),
+         model AS (SELECT raw.b, raw.craw, coalesce(tgt.ctgt, 0) AS ctgt
+                   FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         totals AS (SELECT sum(craw)::BIGINT AS nraw, sum(ctgt)::BIGINT AS ntgt FROM model),
+         perdoc AS (SELECT doc_id, b, count(*) AS cnt FROM tb GROUP BY doc_id, b)
+         SELECT p.doc_id, sum(p.cnt)::BIGINT AS n_tokens,
+           round(sum(CAST(p.cnt::DOUBLE *
+             (ln((m.ctgt::DOUBLE + 1.0) / (t.ntgt + 256)::DOUBLE) -
+              ln((m.craw::DOUBLE + 1.0) / (t.nraw + 256)::DOUBLE))
+             AS DECIMAL(28,12)))::DOUBLE, 6) AS weight
+         FROM perdoc p JOIN model m ON p.b = m.b CROSS JOIN totals t
+         GROUP BY p.doc_id ORDER BY doc_id""",
 
     // ── round 7e ────────────────────────────────────────────────────────
     "q_rolling_corr" ->

@@ -191,6 +191,145 @@ object Graph {
     reached
   }
 
+  /** Fixed-iteration HITS (Kleinberg hubs-and-authorities) over a directed
+    * edge list — the second classic link-analysis prior next to PageRank
+    * (C83), natural on bipartite interaction graphs (queries→pages,
+    * customers→suppliers) where PageRank's single score conflates the two
+    * roles. Each iteration is two join+aggregate passes over the edge
+    * list: authority(v) ← Σ over in-edges hub(u), then hub(u) ← Σ over
+    * out-edges authority(v), each L1-normalized so scores are a
+    * distribution (the usual L2 norm would put a cross-engine sqrt inside
+    * the iteration; L1 keeps every step a sum — same fixed point family,
+    * and exactly reproducible).
+    *
+    * Determinism: contribution sums are exact decimals (the C83
+    * Portable.decSum rationale — IEEE double sums depend on shuffle
+    * arrival order), and each normalization divides two decimal-exact
+    * doubles, so a fixed iteration count yields bit-stable scores and the
+    * whole computation is oracle-checkable by unrolled chained CTEs.
+    * Nodes with no in-edges carry authority 0; nodes with no out-edges
+    * carry hub 0 (on a bipartite graph each side holds exactly one
+    * nonzero role). Scale shape: the edge list is checkpointed once and
+    * reused 2·iters times; per-iteration state is one row per node.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("_src").as("id")).union(e.select(col("_dst").as("id")))
+      .distinct().localCheckpoint(true)
+    def l1normalize(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(col(c).cast("decimal(28,12)")).cast("double").as("_tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col("id"), (col(c) / col("_tot")).as(c))
+    }
+    var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
+    var auths = nodes.select(col("id"), lit(0.0).as("auth"))
+    for (i <- 0 until iters) {
+      val aRaw = e.join(hubs, e("_src") === hubs("id"))
+        .groupBy(col("_dst").as("id"))
+        .agg(sum(col("hub").cast("decimal(28,12)")).cast("double").as("auth"))
+      auths = l1normalize(
+        nodes.join(aRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")), "auth")
+      val hRaw = e.join(auths, e("_dst") === auths("id"))
+        .groupBy(col("_src").as("id"))
+        .agg(sum(col("auth").cast("decimal(28,12)")).cast("double").as("hub"))
+      hubs = l1normalize(
+        nodes.join(hRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")), "hub")
+      if ((i + 1) % 3 == 0 && i + 1 < iters) {
+        auths = auths.localCheckpoint(true)
+        hubs = hubs.localCheckpoint(true)
+      }
+    }
+    nodes.join(auths, Seq("id")).join(hubs, Seq("id"))
+  }
+
+  /** Bounded-hop single-source shortest paths over a WEIGHTED undirected
+    * edge list — the C91 BFS generalized from hop counts to additive edge
+    * costs (Bellman-Ford relaxation, one round per hop bound). Each round
+    * is one frontier⋈edges join producing candidate distances
+    * dist(u)+w(u,v), then a min-aggregate folding them into the standing
+    * labels — the iterative-join SSSP Spark executes well when `hops`
+    * is a small static bound, which also keeps the plan
+    * oracle-expressible as unrolled CTEs.
+    *
+    * Weights must be non-negative integers (longs): integer sums make
+    * every path cost exact, so min() ties are engine-independent — a
+    * double-weighted variant would need the decimal discipline instead.
+    * Output: (id, dist) for every node reachable within `hops` edges of
+    * a seed, dist = minimum total weight over all such paths (seeds at
+    * 0). State is one row per reached node; the edge list is checkpointed
+    * once and reused every round.
+    */
+  def ssspWithinHops(edges: DataFrame, aCol: String, bCol: String, wCol: String,
+                     seeds: DataFrame, seedCol: String, hops: Int): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"),
+        col(wCol).cast("long").as("w"))
+      .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v"),
+        col(wCol).cast("long").as("w")))
+      .groupBy("u", "v").agg(min("w").as("w")) // parallel edges: keep the cheapest
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).cast("long").as("id"), lit(0L).as("dist"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val relaxed = sym.join(dist, sym("u") === dist("id"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** k-core decomposition: the maximal subgraph in which every node has
+    * degree ≥ k, by iterative peeling — drop all nodes of degree < k,
+    * recompute degrees in the induced subgraph, repeat until a fixpoint
+    * (the order of removals never changes the result, so the bulk
+    * round-synchronous peel is exact). The loop is data-dependent like
+    * [[connectedComponents]] — each round is one degree aggregate + one
+    * semi-join restriction of the edge list, with per-round
+    * localCheckpoint truncating lineage and one count() driving the
+    * convergence test (the surviving-node count is strictly decreasing
+    * until the fixpoint). Peeling can cascade: removing a node can drop a
+    * neighbor below k next round, so round counts are graph-dependent —
+    * chains peel one link per round (a 23-round example lives in the
+    * repeat-trade graph at sf0.1) while dense cores finish in one.
+    *
+    * Output: (id, deg) for every node in the k-core, deg = its degree
+    * INSIDE the core (≥ k by construction). Scale shape: state is the
+    * surviving edge list, shrinking monotonically; every step is an
+    * equi-join or hash aggregate on node ids — no all-pairs, no
+    * driver-side graph.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 60): DataFrame = {
+    var sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v"))
+        .where(col("u") =!= col("v")))
+      .distinct().localCheckpoint(true)
+    var nAlive = -1L
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("u").as("_keep"))
+      val next = sym
+        .join(keep.withColumnRenamed("_keep", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("_keep", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(false)
+      val n = next.select(col("u")).distinct().count()
+      done = n == nAlive
+      nAlive = n
+      sym = next
+      round += 1
+    }
+    sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k) // guards the maxRounds-truncated corner
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation — the
     * scale-safe triangle algorithm. Orienting every undirected edge from
     * its lower-(degree, id) endpoint to the higher one makes each node's

@@ -99,6 +99,137 @@ object TextOps {
         round(Portable.decSum(logp, 12) / count(lit(1)), 6).as("logprob"))
   }
 
+  /** Collocations by pointwise mutual information: every adjacent-token
+    * bigram with corpus count ≥ `minCount`, scored
+    * PMI = ln(p(ab) / (p(a)·p(b))) — the association measure that
+    * separates true collocations ("machine learning") from bigrams that
+    * are frequent only because both words are (C67's raw-count ranking
+    * cannot). The count floor plays the standard role (PMI explodes on
+    * hapax pairs) AND keeps the result a deterministic SET — no top-k cut
+    * whose ties depend on float rounding.
+    *
+    * Scale shape: two corpus aggregates (bigram counts, unigram counts)
+    * + two joins. Only the FLOORED bigram table (small by construction)
+    * broadcasts; the vocabulary-sized unigram table never moves. The PMI
+    * double is evaluated in one fixed association order —
+    * (c_ab/B)·(U/c_a)·(U/c_b) keeps every intermediate near 1, so the
+    * expression is overflow-proof at any corpus size and bit-identical
+    * across engines (IEEE ops in the same order; the oracle mirrors the
+    * exact shape).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val bgCounts = df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val uni = df.select(explode(tokens(col(textCol))).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_uc"))
+    val totB = bgCounts.agg(sum("cnt").as("_btot"))
+    val totU = uni.agg(sum("_uc").as("_utot"))
+    val floored = bgCounts.where(col("cnt") >= minCount)
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("_w2", substring_index(col("bigram"), " ", -1))
+    val c1 = uni.select(col("_tok").as("_w1"), col("_uc").as("_c1"))
+    val c2 = uni.select(col("_tok").as("_w2"), col("_uc").as("_c2"))
+    val pmi = log(
+      (col("cnt").cast("double") / col("_btot").cast("double")) *
+        (col("_utot").cast("double") / col("_c1").cast("double")) *
+        (col("_utot").cast("double") / col("_c2").cast("double")))
+    c2.join(broadcast(c1.join(broadcast(floored), Seq("_w1"))), Seq("_w2"))
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+      .select(col("bigram"), col("cnt"), round(pmi, 6).as("pmi"))
+  }
+
+  /** Per-domain corpus drift: add-1-smoothed KL divergence of each
+    * domain's unigram distribution from the whole-corpus distribution —
+    * the mixture diagnostic that flags a source whose language shifted
+    * (scrape drift, new boilerplate) before it contaminates training.
+    * p_d(t) = (c_dt+1)/(n_d+V), p_c(t) = (c_t+1)/(N+V) over the CORPUS
+    * vocabulary.
+    *
+    * The absent-token mass is folded in CLOSED FORM: every vocabulary
+    * token the domain never saw contributes p0·(ln p0 − ln p_c(t)) with
+    * the same p0 = 1/(n_d+V), so the sum over absent tokens collapses to
+    * p0·((V−V_d)·ln p0 − (LC_all − LC_d)) where LC_all = Σ_vocab ln p_c
+    * is ONE corpus scalar and LC_d = Σ_present ln p_c a per-domain
+    * aggregate — the domain×vocabulary expansion (the naive plan, |D|·V
+    * rows) never materializes, which is what makes the operator safe at
+    * a 100 TB vocabulary. Per-token terms are decimal-summed
+    * (order-independent); the final combination is a fixed-shape double
+    * expression the oracle mirrors.
+    */
+  def domainDivergence(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(domainCol).as("domain"), explode(tokens(col(textCol))).as("_tok"))
+    val uni = tok.groupBy("_tok").agg(count(lit(1)).as("_ct"))
+    val corpus = uni.agg(sum("_ct").as("_n"), count(lit(1)).as("_v"))
+    val lnPc = log((col("_ct").cast("double") + 1.0) /
+      (col("_n") + col("_v")).cast("double"))
+    val lcAll = uni.crossJoin(broadcast(corpus))
+      .agg(Portable.decSum(lnPc, 12).as("_lc_all"))
+    val dom = tok.groupBy("domain", "_tok").agg(count(lit(1)).as("_cdt"))
+    val domTot = dom.groupBy("domain")
+      .agg(sum("_cdt").as("_nd"), count(lit(1)).as("_vd"))
+    // token-keyed join of two vocabulary-sized aggregates — co-partitioned
+    // shuffle join, nothing corpus-sized broadcasts
+    val joined = dom.join(uni, Seq("_tok"))
+      .join(broadcast(domTot), Seq("domain"))
+      .crossJoin(broadcast(corpus))
+    val pd = (col("_cdt").cast("double") + 1.0) / (col("_nd") + col("_v")).cast("double")
+    val present = joined
+      .select(col("domain"), col("_nd"), col("_vd"),
+        (pd * log(pd / ((col("_ct").cast("double") + 1.0) /
+          (col("_n") + col("_v")).cast("double")))).as("_term"),
+        log((col("_ct").cast("double") + 1.0) /
+          (col("_n") + col("_v")).cast("double")).as("_lnpc"))
+      .groupBy("domain")
+      .agg(first("_nd").as("_nd"), first("_vd").as("_vd"),
+        Portable.decSum(col("_term"), 12).as("_s1"),
+        Portable.decSum(col("_lnpc"), 12).as("_lcd"))
+    val p0 = lit(1.0) / (col("_nd") + col("_v")).cast("double")
+    present.crossJoin(broadcast(corpus)).crossJoin(broadcast(lcAll))
+      .select(col("domain"), col("_nd").as("n_tokens"), col("_vd").as("vocab_seen"),
+        round(col("_s1") +
+          p0 * ((col("_v") - col("_vd")).cast("double") * log(p0) -
+            (col("_lc_all") - col("_lcd"))), 6).as("kl"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-unigram features are under a
+    * TARGET domain's bag-of-buckets model than under the whole corpus —
+    * w(x) = Σ_tokens [ln p_tgt(b(t)) − ln p_raw(b(t))], add-1 smoothed
+    * over `nBuckets` hash buckets. Resampling by exp(w) (or
+    * thresholding w) tilts a raw crawl toward the target distribution;
+    * the weight itself is what this operator emits, auditably per doc.
+    *
+    * The hashing trick (C87's portable md5 bucket) makes the model
+    * O(nBuckets) regardless of vocabulary, so both models broadcast at
+    * any corpus scale; per-doc scoring is one broadcast join over
+    * (doc, bucket) counts + a decimal-summed dot product. Weights are
+    * bit-stable: counts are exact, each term is a fixed-shape double,
+    * the sum is order-independent.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  domainCol: String, targetDomain: String, nBuckets: Int): DataFrame = {
+    val tok = df.select(col(idCol), col(domainCol).as("_dom"),
+        explode(tokens(col(textCol))).as("_tok"))
+      .withColumn("_b", Portable.hash32(col("_tok")) % nBuckets)
+    val raw = tok.groupBy("_b").agg(count(lit(1)).as("_craw"))
+    val tgt = tok.where(col("_dom") === targetDomain)
+      .groupBy("_b").agg(count(lit(1)).as("_ctgt"))
+    val totals = raw.join(tgt, Seq("_b"), "left")
+      .agg(sum("_craw").as("_nraw"), sum(coalesce(col("_ctgt"), lit(0L))).as("_ntgt"))
+    val model = raw.join(tgt, Seq("_b"), "left")
+      .select(col("_b"), col("_craw"), coalesce(col("_ctgt"), lit(0L)).as("_ctgt"))
+    val perDoc = tok.groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_cnt"))
+    val term = col("_cnt").cast("double") *
+      (log((col("_ctgt").cast("double") + 1.0) / (col("_ntgt") + lit(nBuckets)).cast("double")) -
+       log((col("_craw").cast("double") + 1.0) / (col("_nraw") + lit(nBuckets)).cast("double")))
+    perDoc.join(broadcast(model), Seq("_b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(sum("_cnt").as("n_tokens"),
+        round(Portable.decSum(term, 12), 6).as("weight"))
+  }
+
   /** Exact frequency-threshold heavy hitters (tokens with count >
     * phi·N) via a Misra-Gries candidate pass: each partition keeps at
     * most ceil(1/phi) counters, so any token with global frequency above

@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class DirEdge(src: Long, dst: Long)
+case class WEdge(a: Long, b: Long, w: Long)
+case class Doc12(doc_id: Long, source: String, text: String)
+
+/** Round-12 operators: HITS, weighted bounded SSSP, k-core, PMI
+  * collocations, per-domain KL divergence, DSIR importance weights.
+  * Every test checks against an INDEPENDENT in-memory referee (plain
+  * Scala re-derivation), not against the operator's own building blocks.
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  // ── HITS ──────────────────────────────────────────────────────────────
+
+  /** Plain-Scala HITS referee: same L1-normalized fixed iteration. */
+  private def hitsReferee(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Double, Double)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 0.0).toMap
+    for (_ <- 0 until iters) {
+      val aRaw = nodes.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val aTot = aRaw.values.sum
+      auth = aRaw.map { case (k, x) => k -> x / aTot }
+      val hRaw = nodes.map(u => u -> edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+      val hTot = hRaw.values.sum
+      hub = hRaw.map { case (k, x) => k -> x / hTot }
+    }
+    nodes.map(v => v -> (auth(v), hub(v))).toMap
+  }
+
+  test("hits matches the plain-Scala referee on a small bipartite graph") {
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L), (1L, 12L), (4L, 10L))
+    val got = Graph.hits(df(edges.map(e => DirEdge(e._1, e._2))), "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = hitsReferee(edges, 2)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (a, h)) =>
+      assert(math.abs(a - want(id)._1) < 1e-9, s"auth($id)")
+      assert(math.abs(h - want(id)._2) < 1e-9, s"hub($id)")
+    }
+  }
+
+  test("hits scores are L1 distributions; roles separate on a bipartite graph") {
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L))
+    val rows = Graph.hits(df(edges.map(e => DirEdge(e._1, e._2))), "src", "dst", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9) // Σ auth = 1
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9) // Σ hub = 1
+    rows.foreach { case (id, a, h) =>
+      if (id < 10) { assert(a == 0.0); assert(h > 0.0) } // source side: pure hub
+      else { assert(a > 0.0); assert(h == 0.0) }          // sink side: pure authority
+    }
+  }
+
+  // ── weighted bounded SSSP ─────────────────────────────────────────────
+
+  test("ssspWithinHops prefers a cheaper two-hop path over a direct edge") {
+    val edges = df(Seq(WEdge(0, 1, 10), WEdge(0, 2, 1), WEdge(2, 1, 2)))
+    val seeds = df(Seq(Node(0L)))
+    val twoHop = Graph.ssspWithinHops(edges, "a", "b", "w", seeds, "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoHop === Map(0L -> 0L, 1L -> 3L, 2L -> 1L))
+    val oneHop = Graph.ssspWithinHops(edges, "a", "b", "w", seeds, "id", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneHop(1L) === 10L) // hop bound binds: the cheap detour needs 2 edges
+  }
+
+  test("ssspWithinHops keeps the cheapest parallel edge and is undirected") {
+    val edges = df(Seq(WEdge(0, 1, 7), WEdge(1, 0, 3), WEdge(1, 2, 4)))
+    val got = Graph.ssspWithinHops(edges, "a", "b", "w", df(Seq(Node(2L))), "id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2→1 costs 4 (traversed against its direction: symmetrized), 1→0 min(7,3)=3
+    assert(got === Map(2L -> 0L, 1L -> 4L, 0L -> 7L))
+  }
+
+  // ── k-core ────────────────────────────────────────────────────────────
+
+  /** Plain-Scala peel referee. */
+  private def kCoreReferee(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val adj = scala.collection.mutable.HashMap.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      if (a != b) { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    }
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(v => (adj(v) & alive).size < k)
+      changed = drop.nonEmpty
+      alive = alive -- drop
+    }
+    alive.map(v => v -> (adj(v) & alive).size).toMap
+  }
+
+  test("kCore matches the referee on a clique with a cascading tail") {
+    // 4-clique {0,1,2,3} (its own 3-core) + chain 3-4-5-6 that must peel
+    // one link per round (the cascade path)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.kCore(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got === kCoreReferee(edges, 3))
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got.values.forall(_ >= 3))
+  }
+
+  test("kCore removal cascades: breaking one clique edge empties the 3-core") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), // (2,3) missing
+      (3L, 4L), (4L, 5L))
+    val got = Graph.kCore(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b", k = 3)
+      .collect()
+    assert(got.isEmpty)
+    assert(kCoreReferee(edges, 3).isEmpty)
+  }
+
+  test("kCore matches the referee on a deterministic pseudo-random graph") {
+    val edges = (0 until 120).map { i =>
+      val a = (i * 37) % 24; val b = (i * 53 + 11) % 24
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    for (k <- Seq(2, 4, 6)) {
+      val got = Graph.kCore(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === kCoreReferee(edges, k), s"k=$k")
+    }
+  }
+
+  // ── PMI collocations ──────────────────────────────────────────────────
+
+  test("pmiCollocations scores association, not frequency, and honors the floor") {
+    // "a b" appears 3×; a and b appear ONLY together → strong association.
+    // "x y" appears 3× but x and y are everywhere → weaker association.
+    val res = TextOps.pmiCollocations(df(Seq(
+        Doc12(0, "s", "a b x y x z y x"),
+        Doc12(1, "s", "a b x y y z x y"),
+        Doc12(2, "s", "a b x y z x y z"))), "text", minCount = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res.contains("a b") && res.contains("x y"))
+    assert(res("a b")._2 > res("x y")._2) // association beats frequency ties
+    // floor: every emitted bigram carries cnt >= 3
+    assert(res.values.forall(_._1 >= 3))
+    // referee for one value: PMI(a b) = ln((c_ab/B)·(U/c_a)·(U/c_b))
+    val allTokens = Seq("a b x y x z y x", "a b x y y z x y", "a b x y z x y z")
+      .flatMap(_.split("\\s+"))
+    val u = allTokens.size.toDouble
+    val bigrams = Seq("a b x y x z y x", "a b x y y z x y", "a b x y z x y z")
+      .flatMap(t => t.split("\\s+").sliding(2).map(_.mkString(" ")))
+    val b = bigrams.size.toDouble
+    val want = math.log((3.0 / b) * (u / 3.0) * (u / 3.0))
+    assert(math.abs(res("a b")._2 - BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+  }
+
+  // ── per-domain KL divergence ──────────────────────────────────────────
+
+  /** Naive full-vocabulary referee: explicit domain×vocab expansion —
+    * the closed-form absent-token folding must agree with it exactly.
+    */
+  private def klReferee(docs: Seq[Doc12]): Map[String, Double] = {
+    val toks = docs.flatMap(d => d.text.split("\\s+").filter(_.nonEmpty).map(t => (d.source, t)))
+    val uni = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    toks.groupBy(_._1).map { case (dom, ts) =>
+      val cdt = ts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nd = cdt.values.sum.toDouble
+      val kl = uni.keys.toSeq.sorted.map { t =>
+        val pd = (cdt.getOrElse(t, 0L) + 1.0) / (nd + v)
+        val pc = (uni(t) + 1.0) / (n + v)
+        pd * math.log(pd / pc)
+      }.sum
+      dom -> kl
+    }
+  }
+
+  test("domainDivergence's closed form agrees with the naive full-vocab expansion") {
+    val docs = Seq(
+      Doc12(0, "tech", "code data code model train data"),
+      Doc12(1, "tech", "model code gpu train"),
+      Doc12(2, "news", "vote city vote mayor city rain"),
+      Doc12(3, "news", "rain city storm"))
+    val got = TextOps.domainDivergence(df(docs), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val want = klReferee(docs)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (d, kl) =>
+      assert(math.abs(kl - want(d)) < 1e-6, s"kl($d): $kl vs ${want(d)}")
+      assert(kl > 0.0) // disjoint-vocabulary domains diverge strictly
+    }
+  }
+
+  test("domainDivergence is near zero for a domain that IS the corpus") {
+    val docs = Seq(Doc12(0, "only", "a b c a b c"), Doc12(1, "only", "a b c"))
+    val got = TextOps.domainDivergence(df(docs), "source", "text").collect()
+    assert(got.length === 1)
+    assert(math.abs(got.head.getDouble(3)) < 1e-9) // p_d == p_c exactly
+  }
+
+  // ── DSIR importance weights ───────────────────────────────────────────
+
+  test("dsirWeights matches a naive referee and favors target-like documents") {
+    val docs = Seq(
+      Doc12(0, "tgt", "alpha beta alpha gamma"),
+      Doc12(1, "tgt", "alpha beta beta"),
+      Doc12(2, "web", "delta epsilon zeta delta"),
+      Doc12(3, "web", "alpha beta alpha"), // looks like target
+      Doc12(4, "web", "zeta zeta epsilon")) // looks unlike target
+    val nB = 64
+    val got = TextOps.dsirWeights(df(docs), "doc_id", "text", "source", "tgt", nB)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // referee: same md5 bucketing re-derived independently
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md, 16) % nB).toInt
+    }
+    val all = docs.flatMap(d => d.text.split("\\s+").map(t => (d, bucket(t))))
+    val craw = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ctgt = all.filter(_._1.source == "tgt").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nraw = craw.values.sum.toDouble
+    val ntgt = ctgt.values.sum.toDouble
+    docs.foreach { d =>
+      val toks = d.text.split("\\s+").toSeq
+      val want = toks.map { t =>
+        val b = bucket(t)
+        math.log((ctgt.getOrElse(b, 0L) + 1.0) / (ntgt + nB)) -
+          math.log((craw(b) + 1.0) / (nraw + nB))
+      }.sum
+      assert(got(d.doc_id)._1 === toks.size.toLong)
+      assert(math.abs(got(d.doc_id)._2 - want) < 1e-6, s"doc ${d.doc_id}")
+    }
+    // the target-like web doc outscores the target-unlike one
+    assert(got(3L)._2 > got(4L)._2)
+  }
+}
