@@ -906,18 +906,42 @@ object TextOps {
       .agg(transform(sort_array(collect_list(struct(col("rarity_rank"), col("shingle")))),
         x => x.getField("shingle")).as("_arr"))
       .select(col(idCol), col("_arr"), size(col("_arr")).as("n_sh"))
-    val prefix = docs.select(col(idCol),
-      explode(slice(col("_arr"), lit(1),
-        (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))).as("shingle"))
+    // posexplode keeps each prefix shingle's 1-based position in the
+    // rarity order — the input to the PPJoin positional filter below.
+    val prefix = docs.select(col(idCol), col("n_sh"),
+        posexplode(slice(col("_arr"), lit(1),
+          (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))))
+      .select(col(idCol), col("n_sh"), (col("pos") + 1).as("_p"), col("col").as("shingle"))
     // The candidate self-join stays sort-merge: a SHUFFLE_HASH variant
     // measured ~1.7× SLOWER paired (r11) — the high-cardinality string
     // shingle key makes the hash build cost more than SMJ's sorted
     // many-to-many merge saves (the opposite of the long-keyed wedge
     // join in Graph.triangleCounts, where SHJ won 2.5×).
-    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
-      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+    //
+    // PPJoin positional filter (r12, Xiao et al.): both arrays are sorted
+    // by the SAME global (df, shingle) order, so for the FIRST common
+    // shingle — at positions (i, j) — everything shared besides it lies
+    // in the two suffixes: overlap ≤ 1 + min(n_a−i, n_b−j). Jaccard ≥ t
+    // needs overlap ≥ t·(n_a+n_b)/(1+t); pairs whose best-case bound
+    // can't reach it are pruned BEFORE the verify joins ever see them
+    // (sf0.1: 409k → 125k candidates, 3.3×). max(min(slack_a, slack_b))
+    // over a pair's matches is attained at exactly the first common
+    // shingle (minimal positions), so aggregating the max is the sound
+    // first-match bound — and replaces the old distinct() one-for-one
+    // (same shuffle, a max instead of a dedup). The threshold compare is
+    // multiplicative — (1+slack)·(1+t) ≥ t·(n_a+n_b) — so no float
+    // ceil() sits on the keep/drop boundary.
+    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"),
+        col("n_sh").as("_na"), col("_p").as("_pa"))
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle"),
+        col("n_sh").as("_nb"), col("_p").as("_pb")), Seq("shingle"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b")
+      .agg(max(least(col("_na") - col("_pa"), col("_nb") - col("_pb"))).as("_slack"),
+        first(col("_na")).as("_fa"), first(col("_nb")).as("_fb"))
+      .where((lit(1.0) + col("_slack")) * lit(1.0 + threshold) >=
+        lit(threshold) * (col("_fa") + col("_fb")))
+      .select("id_a", "id_b")
     cand
       .join(docs.select(col(idCol).as("id_a"), col("_arr").as("_aa"), col("n_sh").as("n_a")),
         Seq("id_a"))
