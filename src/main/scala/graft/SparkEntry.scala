@@ -1921,6 +1921,27 @@ object SparkEntry {
           "source", "src0", nBuckets = 256)
         .orderBy("doc_id")),
 
+    // Personalized PageRank (r12): teleport mass concentrated on the
+    // low-key seed customers — rank decays with distance from the seed
+    // set (nodes beyond 2 hops hold exactly 0 at 2 iterations), the
+    // seed-expansion / related-item primitive.
+    "q_ppr" -> ((s, dir) => {
+      val sym = tradeEdges(s, dir).toDF("src", "dst")
+        .unionByName(tradeEdges(s, dir).select(col("supp").as("src"), col("cust").as("dst")))
+      val seeds = tradeEdges(s, dir).select("cust").where(col("cust") < 10).distinct()
+      Graph.personalizedPageRank(sym, "src", "dst", seeds, "cust", iters = 2)
+        .select(col("id").as("node_id"), round(col("rank"), 9).as("rank"))
+        .orderBy("node_id")
+    }),
+
+    // TextRank keyword scores (r12): two PageRank iterations over the
+    // word co-occurrence graph, string-keyed (no vocabulary-wide id
+    // window) — structural keywording beyond raw frequency.
+    "q_textrank" -> ((s, dir) =>
+      TextOps.textRank(T(s, dir, "documents"), "text", iters = 2)
+        .select(col("token"), round(col("rank"), 9).as("rank"))
+        .orderBy("token")),
+
     // ── round 7e: feature engineering + graph profile + CDC ─────────────
     // Rolling 20-row autocorrelation (value vs lag-value) per user: five
     // exact-decimal window sums → bit-stable Pearson coefficient;
@@ -5284,6 +5305,68 @@ object SparkEntry {
              AS DECIMAL(28,12)))::DOUBLE, 6) AS weight
          FROM perdoc p JOIN model m ON p.b = m.b CROSS JOIN totals t
          GROUP BY p.doc_id ORDER BY doc_id""",
+
+    "q_ppr" ->
+      """WITH e0 AS (
+           SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT cust AS src, supp AS dst FROM e0
+               UNION ALL SELECT supp, cust FROM e0),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         seeds AS (SELECT DISTINCT cust AS id FROM e0 WHERE cust < 10),
+         ns AS (SELECT count(*)::DOUBLE AS s FROM seeds),
+         deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+         p AS (SELECT nodes.id,
+                 CASE WHEN seeds.id IS NOT NULL THEN 1.0 / ns.s ELSE 0.0 END AS p
+               FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id CROSS JOIN ns),
+         r0 AS (SELECT id, p AS rank FROM p),
+         s1 AS (
+           SELECT e.dst AS id,
+             sum(CAST(r0.rank / deg.d AS DECIMAL(28,12)))::DOUBLE AS inr
+           FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.id
+           GROUP BY e.dst),
+         r1 AS (SELECT p.id, (1.0 - 0.85) * p.p + 0.85 * coalesce(s1.inr, 0.0) AS rank
+                FROM p LEFT JOIN s1 ON p.id = s1.id),
+         s2 AS (
+           SELECT e.dst AS id,
+             sum(CAST(r1.rank / deg.d AS DECIMAL(28,12)))::DOUBLE AS inr
+           FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.id
+           GROUP BY e.dst),
+         r2 AS (SELECT p.id, (1.0 - 0.85) * p.p + 0.85 * coalesce(s2.inr, 0.0) AS rank
+                FROM p LEFT JOIN s2 ON p.id = s2.id)
+         SELECT id AS node_id, round(rank, 9) AS rank
+         FROM r2 ORDER BY node_id""",
+
+    "q_textrank" ->
+      """WITH bg AS (
+           SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                 FROM documents)),
+         bp AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                       string_split(bigram, ' ')[2] AS w2
+                FROM bg
+                WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
+         e AS (SELECT DISTINCT w1, w2 FROM
+                 (SELECT w1, w2 FROM bp UNION ALL SELECT w2, w1 FROM bp)),
+         nodes AS (SELECT DISTINCT w1 AS token FROM e),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         deg AS (SELECT w1, count(*) AS d FROM e GROUP BY w1),
+         r0 AS (SELECT token, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+         s1 AS (
+           SELECT e.w2 AS token,
+             sum(CAST(r0.rank / deg.d AS DECIMAL(28,12)))::DOUBLE AS inr
+           FROM e JOIN r0 ON e.w1 = r0.token JOIN deg ON e.w1 = deg.w1
+           GROUP BY e.w2),
+         r1 AS (SELECT nodes.token, (1.0 - 0.85) / n + 0.85 * coalesce(s1.inr, 0.0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.token = s1.token),
+         s2 AS (
+           SELECT e.w2 AS token,
+             sum(CAST(r1.rank / deg.d AS DECIMAL(28,12)))::DOUBLE AS inr
+           FROM e JOIN r1 ON e.w1 = r1.token JOIN deg ON e.w1 = deg.w1
+           GROUP BY e.w2),
+         r2 AS (SELECT nodes.token, (1.0 - 0.85) / n + 0.85 * coalesce(s2.inr, 0.0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.token = s2.token)
+         SELECT token, round(rank, 9) AS rank FROM r2 ORDER BY token""",
 
     // ── round 7e ────────────────────────────────────────────────────────
     "q_rolling_corr" ->

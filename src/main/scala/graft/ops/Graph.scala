@@ -152,6 +152,51 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * concentrated on a SEED set instead of spread uniformly — the
+    * "relevance to these nodes" ranking behind related-item
+    * recommendation and seed-expansion labeling (find more documents
+    * like this trusted set). Identical loop shape (the degree-folded
+    * edge list is loop-invariant, contributions sum in exact decimal),
+    * with two changes: ranks initialize to the personalization vector
+    * p(v) = 1/|seeds| on seeds (0 elsewhere), and each round adds
+    * (1−d)·p(v) instead of (1−d)/N — so mass re-enters only at seeds
+    * and rank decays with distance from them. A node unreachable from
+    * the seed set within `iters` edges holds rank exactly 0, which
+    * keeps fixed-iteration results oracle-checkable.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("_src").as("id")).union(e.select(col("_dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val eDeg = e.join(outDeg, Seq("_src")).localCheckpoint(true)
+    val seedSet = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi").localCheckpoint(true)
+    val nSeeds = seedSet.count().toDouble
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed present in the graph")
+    val p = nodes.join(seedSet, Seq("id"), "left_semi")
+      .select(col("id"), (lit(1.0) / lit(nSeeds)).as("_p"))
+    var ranks = nodes.join(p, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_p"), lit(0.0)).as("rank"))
+    val pFull = ranks.select(col("id"), col("rank").as("_p")).localCheckpoint(true)
+    for (i <- 0 until iters) {
+      val contrib = eDeg.join(ranks, eDeg("_src") === ranks("id"))
+        .select(col("_dst").as("id"), (col("rank") / col("_deg")).as("_c"))
+      val summed = contrib.groupBy("id")
+        .agg(sum(col("_c").cast("decimal(28,12)")).cast("double").as("_in"))
+      ranks = pFull.join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("_p") +
+            lit(damping) * coalesce(col("_in"), lit(0.0))).as("rank"))
+      if ((i + 1) % 5 == 0 && i + 1 < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Degree distribution of an undirected edge list — the first graph
     * profile anyone runs (skew → hub detection, feeds the salting /
     * AQE-skew decisions the join playbook documents). Two hash

@@ -954,6 +954,51 @@ object TextOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
+    * word co-occurrence graph — nodes are tokens, edges connect tokens
+    * adjacent anywhere in the corpus (the window-2 co-occurrence variant,
+    * unweighted: DISTINCT pairs, symmetrized; self-adjacency dropped).
+    * High-rank tokens are the corpus's structural keywords — connected to
+    * many other well-connected tokens, a sharper signal than raw
+    * frequency (C12) for boilerplate-vs-content vocabulary.
+    *
+    * The loop is [[Graph.pageRank]]'s shape re-keyed on the token STRING:
+    * assigning integer node ids first would need a vocabulary-wide
+    * row_number — a one-partition window over what can be a 100 M-type
+    * vocabulary — while the string-keyed join costs the same shuffles the
+    * id-keyed one would. Symmetrization removes dangling mass by
+    * construction (every node has an out-edge), so ranks sum to 1 and a
+    * fixed iteration count is oracle-checkable (exact-decimal
+    * contribution sums, the C83 discipline). Tokens with no co-occurrence
+    * edge (single-token documents) are not ranked.
+    */
+  def textRank(df: DataFrame, textCol: String, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val bg = df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("_w1"),
+        substring_index(col("bigram"), " ", -1).as("_w2"))
+      .where(col("_w1") =!= col("_w2"))
+    val e = bg.union(bg.select(col("_w2").as("_w1"), col("_w1").as("_w2")))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("_w1").as("token")).distinct().localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy("_w1").agg(count(lit(1)).as("_deg"))
+    val eDeg = e.join(outDeg, Seq("_w1")).localCheckpoint(true)
+    var ranks = nodes.select(col("token"), (lit(1.0) / lit(n)).as("rank"))
+    for (i <- 0 until iters) {
+      val contrib = eDeg.join(ranks, col("_w1") === col("token"))
+        .select(col("_w2").as("token"), (col("rank") / col("_deg")).as("_c"))
+      val summed = contrib.groupBy("token")
+        .agg(sum(col("_c").cast("decimal(28,12)")).cast("double").as("_in"))
+      ranks = nodes.join(summed, Seq("token"), "left")
+        .select(col("token"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("_in"), lit(0.0))).as("rank"))
+      if ((i + 1) % 5 == 0 && i + 1 < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** SimHash document fingerprint (64-bit): per token-occurrence hash,
     * per-bit ±1 votes weighted by occurrence, bit j set iff the vote sum
     * is positive. The 64 bits come from the first 16 hex chars of the

@@ -128,6 +128,70 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ── personalized PageRank ─────────────────────────────────────────────
+
+  /** Plain-Scala PPR referee: same fixed-iteration loop. */
+  private def pprReferee(edges: Seq[(Long, Long)], seeds: Set[Long],
+                         iters: Int, d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val p = nodes.map(v => v -> (if (seeds(v)) 1.0 / seeds.size else 0.0)).toMap
+    var r = p
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map(e => r(e._1) / outDeg(e._1)).sum).toMap
+      r = nodes.map(v => v -> ((1.0 - d) * p(v) + d * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches the referee; rank is 0 beyond the hop horizon") {
+    // chain 0-1-2-3-4 symmetrized; seed {0}: after 2 iters nodes 3,4 hold 0
+    val dirEdges = (0L until 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val got = Graph.personalizedPageRank(df(dirEdges.map(e => DirEdge(e._1, e._2))),
+        "src", "dst", df(Seq(Node(0L))), "id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = pprReferee(dirEdges, Set(0L), 2, 0.85)
+    got.foreach { case (id, r) => assert(math.abs(r - want(id)) < 1e-12, s"node $id") }
+    assert(got(3L) === 0.0 && got(4L) === 0.0) // unreachable in 2 hops from the seed
+    // the seed dominates; note rank does NOT decay monotonically with
+    // distance at a fixed small iteration count (node 1's round-1 mass
+    // has already flowed on to 0 and 2 by round 2 — the oscillation any
+    // power-iteration shows on a chain), so only the max is asserted
+    assert(got.values.max === got(0L))
+  }
+
+  test("personalizedPageRank rejects an all-foreign seed set") {
+    val e = df(Seq(DirEdge(1, 2), DirEdge(2, 1)))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "src", "dst", df(Seq(Node(99L))), "id", 1)
+    }
+  }
+
+  // ── TextRank ──────────────────────────────────────────────────────────
+
+  test("textRank ranks the co-occurrence hub above peripheral tokens; mass sums to 1") {
+    // "hub" co-occurs with every spoke; spokes only with the hub
+    val docs = df(Seq(
+      Doc12(0, "s", "hub s1 hub s2"),
+      Doc12(1, "s", "hub s3 hub s4"),
+      Doc12(2, "s", "s1 hub s2 hub")))
+    val got = TextOps.textRank(docs, "text", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // symmetric graph: no leaked mass
+    val spokes = got.filter(_._1 != "hub").values
+    assert(spokes.forall(got("hub") > _))
+    // unweighted-distinct edges: all four spokes are structurally identical
+    assert(spokes.toSeq.distinct.size === 1)
+  }
+
+  test("textRank drops self-adjacency and isolated tokens") {
+    val docs = df(Seq(Doc12(0, "s", "a a b"), Doc12(1, "s", "lonely")))
+    val got = TextOps.textRank(docs, "text", iters = 2)
+      .collect().map(r => r.getString(0)).toSet
+    assert(got === Set("a", "b")) // "a a" self-loop dropped; "lonely" has no edge
+  }
+
   // ── PMI collocations ──────────────────────────────────────────────────
 
   test("pmiCollocations scores association, not frequency, and honors the floor") {
