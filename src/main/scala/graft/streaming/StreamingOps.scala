@@ -246,6 +246,59 @@ object StreamingOps {
       counters.get.map(graft.ops.TextOps.countMinEstimate(_, tokens, depth, width))
   }
 
+  /** Streaming basket-pair support maintenance (r12) — the streaming twin
+    * of Relational.mergeBasketPairSupports (the C45/C113 delta pattern on
+    * [[graft.sources.PairStore]]): order lines stream in, and the pair
+    * support table stays current without ever rescanning history. Each
+    * micro-batch names its TOUCHED baskets; the delta kernel re-derives
+    * pairs for those baskets only — from the union of their accumulated
+    * and newly-arrived items, the spanning-basket case a naive
+    * delta-only pair expansion gets wrong — and folds signed support
+    * deltas into the running table.
+    *
+    * State is two frames: the accumulated DISTINCT (basket, item) rows
+    * (needed so a basket spanning micro-batches can re-derive its full
+    * pair set) and the pair-support table itself. Per-trigger cost is
+    * O(micro-batch) + O(touched-basket pairs) + one sum-groupBy over the
+    * pair table. Item-level duplicates are no-ops by construction (the
+    * kernel's collect_set makes removed ≡ added for already-known
+    * items), on top of the batchId replay guard every foreachBatch state
+    * shares. At warehouse scale the (basket, item) frame is the fact
+    * table itself — the state this class holds in-session is exactly
+    * what partition-pruned fact storage provides there.
+    */
+  final class PairSupportState(basketCol: String, itemCol: String) {
+    private val facts = new RetiringFrame
+    private val pairs = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val delta = batch.select(col(basketCol), col(itemCol)).distinct()
+      val (nextPairs, nextFacts) = facts.get match {
+        case Some(prevFacts) =>
+          val merged = graft.ops.Relational.mergeBasketPairSupports(
+            pairs.get.get, prevFacts, delta, basketCol, itemCol)
+          (merged, prevFacts.unionByName(delta).distinct())
+        case None =>
+          (graft.ops.Relational.basketPairs(delta, basketCol, itemCol)
+            .groupBy("item_a", "item_b").agg(count(lit(1)).as("support")),
+            delta)
+      }
+      // materialize pairs FIRST: its plan reads the previous facts frame,
+      // which the facts.swap below retires
+      pairs.swap(nextPairs.localCheckpoint(true))
+      facts.swap(nextFacts.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current (item_a, item_b, support) table — comparable row-for-row
+      * with the batch basketPairs aggregate over everything arrived.
+      * One-trigger validity (see IncrementalAggState.finalized).
+      */
+    def finalized: Option[DataFrame] = pairs.get
+  }
+
   /** Streaming CDC apply (VERDICT r7 item 7) — the streaming twin of
     * Relational.cdcApply (C89): I/U/D changelog micro-batches merge into
     * a running base via foreachBatch, latest version per key wins, D

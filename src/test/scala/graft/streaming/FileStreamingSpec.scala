@@ -793,6 +793,73 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pair-support maintenance converges to the batch pair aggregate") {
+    // The C82/PairStore streaming twin: order lines land in two arrivals
+    // split WITHIN baskets (odd/even line numbers), so pairs mixing an
+    // old and a new item exist only if the state re-derives touched
+    // baskets from accumulated + arrived items — the spanning-basket
+    // case mergeBasketPairSupports was built for. The maintained table
+    // must equal the one-pass basketPairs aggregate over everything
+    // arrived, row for row.
+    val lines = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_pairs_in").toFile.getAbsolutePath
+    lines.where(pmod(col("l_linenumber"), lit(2)) === 0)
+      .drop("l_linenumber").write.mode("append").parquet(inDir)
+
+    val state = new StreamingOps.PairSupportState("l_orderkey", "l_partkey")
+    val schema = lines.drop("l_linenumber").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      assert(state.finalized.map(_.count()).getOrElse(0L) > 0,
+        "first arrival must already have maintained pairs")
+
+      lines.where(pmod(col("l_linenumber"), lit(2)) === 1)
+        .drop("l_linenumber").write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val streamed = toMap(state.finalized.get.select("item_a", "item_b", "support"))
+      val batch = toMap(graft.ops.Relational.basketPairs(lines, "l_orderkey", "l_partkey")
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+        .select("item_a", "item_b", "support"))
+      assert(streamed === batch,
+        "maintained pair supports must equal the one-pass aggregate")
+      // the split produced genuinely spanning baskets (pairs that exist
+      // only across the two arrivals), so the equality above exercised
+      // the delta re-derivation, not just unioned batch-local pairs
+      val firstOnly = toMap(graft.ops.Relational.basketPairs(
+          lines.where(pmod(col("l_linenumber"), lit(2)) === 0), "l_orderkey", "l_partkey")
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("support")))
+      val secondOnly = toMap(graft.ops.Relational.basketPairs(
+          lines.where(pmod(col("l_linenumber"), lit(2)) === 1), "l_orderkey", "l_partkey")
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("support")))
+      assert(batch.keySet.diff(firstOnly.keySet ++ secondOnly.keySet).nonEmpty,
+        "fixture must contain cross-arrival pairs or the test proves nothing")
+    } finally q.stop()
+  }
+
+  test("pair-support state is idempotent under foreachBatch batch replay") {
+    val lines = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_partkey").limit(200)
+    val state = new StreamingOps.PairSupportState("l_orderkey", "l_partkey")
+    def snapshot() = state.finalized.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    state.mergeBatch(lines, batchId = 0L)
+    val afterFirst = snapshot()
+    state.mergeBatch(lines, batchId = 0L) // replay of the SAME batch
+    assert(snapshot() === afterFirst, "replayed batchId must not inflate supports")
+    // a NEW batchId carrying already-seen items is ALSO a no-op — the
+    // item-level set semantics (removed ≡ added for known items), the
+    // second idempotency layer the scaladoc promises
+    state.mergeBatch(lines, batchId = 1L)
+    assert(snapshot() === afterFirst, "re-delivered items must be support no-ops")
+  }
+
   test("cdcApplyKeyed rejects non-integral/string key columns at entry") {
     // The state-store grouping key is the key column rendered to string —
     // injective for integral/string keys only. A Double key must fail
