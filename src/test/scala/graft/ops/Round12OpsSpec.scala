@@ -100,7 +100,11 @@ class Round12OpsSpec extends SparkSpec {
     // one link per round (the cascade path)
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
       (3L, 4L), (4L, 5L), (5L, 6L))
-    val got = Graph.kCore(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b", k = 3)
+    // distributed path forced: the multi-round cascade must be walked by
+    // the peel LOOP here (the local finish gets its referee run in the
+    // pseudo-random-graph test)
+    val got = Graph.kCore(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b", k = 3,
+        localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(got === kCoreReferee(edges, 3))
     assert(got.keySet === Set(0L, 1L, 2L, 3L))
@@ -116,15 +120,21 @@ class Round12OpsSpec extends SparkSpec {
     assert(kCoreReferee(edges, 3).isEmpty)
   }
 
-  test("kCore matches the referee on a deterministic pseudo-random graph") {
+  test("kCore matches the referee on a deterministic pseudo-random graph, both paths") {
     val edges = (0 until 120).map { i =>
       val a = (i * 37) % 24; val b = (i * 53 + 11) % 24
       (a.toLong, b.toLong)
     }.filter(e => e._1 != e._2)
     for (k <- Seq(2, 4, 6)) {
-      val got = Graph.kCore(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b", k)
+      // default: the local-finish fast path engages (tiny graph)
+      val local = Graph.kCore(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b", k)
         .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
-      assert(got === kCoreReferee(edges, k), s"k=$k")
+      // localFinishEdges = 0 forces the pure-distributed peel loop
+      val dist = Graph.kCore(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b", k,
+          localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(local === kCoreReferee(edges, k), s"local path, k=$k")
+      assert(dist === local, s"distributed path must equal local finish, k=$k")
     }
   }
 
