@@ -224,14 +224,17 @@ object Graph {
     val sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .distinct().localCheckpoint(true)
+    // Lazy checkpoints — same reasoning as ssspWithinHops: a static hop
+    // bound needs no per-round action, so the per-hop eager jobs were
+    // pure scheduling overhead.
     var reached = seeds.select(col(seedCol).cast("long").as("id"), lit(0).as("hop"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     for (h <- 1 to hops) {
       val next = sym.join(reached, sym("u") === reached("id"))
         .select(col("v").as("id"), lit(h).as("hop"))
       reached = reached.union(next)
         .groupBy("id").agg(min("hop").as("hop"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     reached
   }
@@ -316,14 +319,21 @@ object Graph {
         col(wCol).cast("long").as("w")))
       .groupBy("u", "v").agg(min("w").as("w")) // parallel edges: keep the cheapest
       .localCheckpoint(true)
+    // LAZY checkpoints: the hop bound is static, so no convergence probe
+    // needs per-round materialization — the caller's one action computes
+    // the whole chain, each round's RDD caching on first use (a round's
+    // state is read twice by the next round: the relax join and the
+    // union), while the checkpoint still truncates lineage growth.
+    // Eager per-round checkpoints were one scheduled job per hop of pure
+    // overhead.
     var dist = seeds.select(col(seedCol).cast("long").as("id"), lit(0L).as("dist"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     for (_ <- 1 to hops) {
       val relaxed = sym.join(dist, sym("u") === dist("id"))
         .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     dist
   }
