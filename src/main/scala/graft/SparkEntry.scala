@@ -1933,6 +1933,15 @@ object SparkEntry {
         .select(col("token"), round(col("rank"), 9).as("rank"))
         .orderBy("token")),
 
+    // Embedding covariance matrix (r12): the d(d+1)/2 upper-triangular
+    // entries that feed PCA/whitening — row-local (i,j,x·y) expansion
+    // (no self-join), exact-decimal sums, whole matrix hash-checked.
+    "q_embed_cov" -> ((s, dir) =>
+      VectorOps.embeddingCovariance(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"), col("cov"))
+        .orderBy("i", "j")),
+
     // ── round 7e: feature engineering + graph profile + CDC ─────────────
     // Rolling 20-row autocorrelation (value vs lag-value) per user: five
     // exact-decimal window sums → bit-stable Pearson coefficient;
@@ -5377,6 +5386,24 @@ object SparkEntry {
          r2 AS (SELECT nodes.token, (1.0 - 0.85) / n + 0.85 * coalesce(s2.inr, 0.0) AS rank
                 FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.token = s2.token)
          SELECT token, round(rank, 9) AS rank FROM r2 ORDER BY token""",
+
+    "q_embed_cov" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         p AS (SELECT unnest(flatten(list_transform(range(0, len(v)), i ->
+                 list_transform(range(i, len(v)), j ->
+                   {'i': i, 'j': j, 'xy': v[i+1]::DOUBLE * v[j+1]::DOUBLE})))) AS s
+               FROM e),
+         agg AS (SELECT s.i AS i, s.j AS j,
+                   sum(CAST(s.xy AS DECIMAL(28,12)))::DOUBLE AS sxy, count(*) AS n
+                 FROM p GROUP BY 1, 2),
+         m AS (SELECT u.i AS i, sum(CAST(u.x AS DECIMAL(28,12)))::DOUBLE AS sx FROM
+                 (SELECT unnest(list_transform(range(0, len(v)), i ->
+                    {'i': i, 'x': v[i+1]::DOUBLE})) AS u FROM e) t
+               GROUP BY 1)
+         SELECT a.i::BIGINT AS i, a.j::BIGINT AS j, a.n,
+           round(a.sxy / a.n - (mi.sx / a.n) * (mj.sx / a.n), 6) AS cov
+         FROM agg a JOIN m mi ON a.i = mi.i JOIN m mj ON a.j = mj.i
+         ORDER BY i, j""",
 
     // ── round 7e ────────────────────────────────────────────────────────
     "q_rolling_corr" ->

@@ -641,4 +641,92 @@ object VectorOps {
       .agg(max(col("_cnt")).as("n_vectors"),
         concat_ws(" ", array_sort(collect_list(col("comp")))).as("pooled_micro"))
   }
+
+  /** Upper-triangular covariance entries of an embedding column — the
+    * d(d+1)/2-element summary that feeds PCA/whitening (and the first
+    * diagnostic for anisotropic embedding spaces, where cosine ANN
+    * recall quietly degrades). The (i, j, x_i·x_j) expansion is ROW-LOCAL
+    * (the basketPairs nested-slice idiom on the vector's own array — no
+    * self-join, no shuffle before the aggregate), map-side combines to
+    * ≤ partitions·d² rows on the wire, and cov(i,j) finalizes as
+    * Σxy/n − mean_i·mean_j from exact decimal sums — bit-stable under
+    * any partitioning, so the whole matrix hash-checks against DuckDB.
+    * Fan-out is d²/2 per row: fine for embedding dims (64² here), the
+    * wrong tool for 100k-wide sparse features (use [[graft.ops.TextOps
+    * .featureHash]] + co-occurrence counts there).
+    */
+  def embeddingCovariance(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val pairs = df.select(explode(flatten(transform(v, (x, i) =>
+        transform(slice(v, i + 1, size(v) - i),
+          (y, jj) => struct(i.as("i"), (i + jj).as("j"),
+            (x.cast("double") * y.cast("double")).as("xy")))))).as("_p"))
+      .select(col("_p.i").as("i"), col("_p.j").as("j"), col("_p.xy").as("xy"))
+      .groupBy("i", "j")
+      .agg(Portable.decSum(col("xy"), 12).as("_sxy"), count(lit(1)).as("n"))
+    val means = df.select(posexplode(v))
+      .select(col("pos").as("i"), col("col").cast("double").as("x"))
+      .groupBy("i").agg(Portable.decSum(col("x"), 12).as("_sx"))
+    pairs
+      .join(broadcast(means.select(col("i"), col("_sx").as("_si"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("_sx").as("_sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        round(col("_sxy") / col("n") -
+          (col("_si") / col("n")) * (col("_sj") / col("n")), 6).as("cov"))
+  }
+
+  /** Top-k principal components of the covariance matrix by power
+    * iteration with Gram-Schmidt deflation — a k×d MODEL built on the
+    * driver from the d²-entry covariance (the kMeansCentroids pattern:
+    * collecting a model-sized aggregate at index-build time is the
+    * sanctioned collect; the corpus itself never moves). Deterministic:
+    * fixed arithmetic, deterministic start vector (normalized
+    * (1, 2, …, d) — never orthogonal to a top component in practice; a
+    * degenerate zero iterate falls back to a shifted start), fixed
+    * iteration count. Returns components in variance order.
+    */
+  def pcaComponents(cov: DataFrame, d: Int, k: Int, iters: Int = 100): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](d, d)
+    cov.select("i", "j", "cov").collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val comps = Array.ofDim[Double](k, d)
+    for (c <- 0 until k) {
+      var v = Array.tabulate(d)(i => (i + 1).toDouble)
+      def orthonormalize(x: Array[Double]): Array[Double] = {
+        val y = x.clone()
+        for (p <- 0 until c) {
+          val proj = (0 until d).map(i => y(i) * comps(p)(i)).sum
+          for (i <- 0 until d) y(i) -= proj * comps(p)(i)
+        }
+        val n = math.sqrt(y.map(x => x * x).sum)
+        if (n < 1e-12) Array.tabulate(d)(i => if (i == c) 1.0 else 0.0) else y.map(_ / n)
+      }
+      v = orthonormalize(v)
+      for (_ <- 0 until iters) {
+        val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+        v = orthonormalize(w)
+      }
+      comps(c) = v
+    }
+    comps
+  }
+
+  /** Project embeddings onto PCA components (broadcast k×d model;
+    * per-row dot products — row-local, codegen'd). Output keeps the id
+    * plus `pc1..pck` projection columns; mean-centering uses the means
+    * implied by the covariance build so projections are centered scores.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 components: Array[Array[Double]],
+                 meansVec: Array[Double]): DataFrame = {
+    val centered = zip_with(col(vecCol),
+      typedLit(meansVec.toSeq), (x, mu) => x.cast("double") - mu)
+    val projCols = components.zipWithIndex.map { case (comp, c) =>
+      aggregate(zip_with(centered, typedLit(comp.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x).as(s"pc${c + 1}")
+    }
+    df.select((col(idCol) +: projCols.toSeq): _*)
+  }
 }

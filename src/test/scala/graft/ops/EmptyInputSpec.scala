@@ -59,6 +59,27 @@ class EmptyInputSpec extends SparkSpec {
       "isin", "seq", "price", 0.5).count() === 0)
   }
 
+  test("round-12 graph ops on empty inputs") {
+    val emptyDir = df(Seq.empty[DirEdge])
+    val emptyW = df(Seq.empty[WEdge])
+    val emptyEdges = df(Seq.empty[Edge])
+    assert(Graph.hits(emptyDir, "src", "dst", 2).count() === 0)
+    assert(Graph.ssspWithinHops(emptyW, "a", "b", "w",
+      df(Seq.empty[Node]), "id", 2).count() === 0)
+    // both peel paths: the local finish (default) and the pure loop
+    assert(Graph.kCore(emptyEdges, "id_a", "id_b", 2).count() === 0)
+    assert(Graph.kCore(emptyEdges, "id_a", "id_b", 2, localFinishEdges = 0L).count() === 0)
+  }
+
+  test("round-12 text ops on empty corpus") {
+    assert(TextOps.pmiCollocations(emptyDocs, "text", 2).count() === 0)
+    assert(TextOps.domainDivergence(
+      emptyDocs.withColumn("source", lit("x")), "source", "text").count() === 0)
+    assert(TextOps.dsirWeights(emptyDocs.withColumn("source", lit("x")),
+      "doc_id", "text", "source", "x", 16).count() === 0)
+    assert(TextOps.textRank(emptyDocs, "text", 2).count() === 0)
+  }
+
   test("round-4 ops on empty inputs") {
     assert(TextOps.repetitionSignals(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.redactPii(emptyDocs, "doc_id", "text").count() === 0)

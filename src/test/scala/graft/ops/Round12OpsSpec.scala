@@ -272,6 +272,62 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(got.head.getDouble(3)) < 1e-9) // p_d == p_c exactly
   }
 
+  // ── embedding covariance + PCA ────────────────────────────────────────
+
+  test("embeddingCovariance matches a hand-computed matrix") {
+    val vecs = df(Seq(
+      Vec(0, Array(1.0f, 2.0f, 0.0f)),
+      Vec(1, Array(3.0f, 0.0f, 1.0f)),
+      Vec(2, Array(2.0f, 1.0f, 2.0f))))
+    val got = VectorOps.embeddingCovariance(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    // referee: population covariance E[xy] − E[x]E[y]
+    val data = Seq(Seq(1.0, 2.0, 0.0), Seq(3.0, 0.0, 1.0), Seq(2.0, 1.0, 2.0))
+    val n = data.size.toDouble
+    def mean(i: Int) = data.map(_(i)).sum / n
+    def cov(i: Int, j: Int) = data.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+    assert(got.size === 6) // upper triangle of 3x3
+    got.foreach { case ((i, j), c) =>
+      // the operator emits round(·, 6); round the referee the same way
+      val want = BigDecimal(cov(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(c - want) < 1e-9, s"cov($i,$j): $c vs $want")
+    }
+  }
+
+  test("pcaComponents recovers a planted dominant axis; projections are orthonormal") {
+    // points spread along (0.6, 0.8) with small off-axis jitter
+    val axis = Array(0.6, 0.8)
+    val vecs = (0 until 40).map { t =>
+      val s = (t - 20).toDouble          // on-axis spread, sd ~ 11.8
+      val e = ((t * 7) % 5 - 2) * 0.05   // off-axis jitter, sd ~ 0.07
+      Vec(t.toLong, Array((s * axis(0) - e * axis(1)).toFloat,
+        (s * axis(1) + e * axis(0)).toFloat))
+    }
+    val cov = VectorOps.embeddingCovariance(df(vecs), "vec_id", "embedding")
+    val comps = VectorOps.pcaComponents(cov, d = 2, k = 2)
+    val align = math.abs(comps(0)(0) * axis(0) + comps(0)(1) * axis(1))
+    assert(align > 0.999, s"pc1 must align with the planted axis (dot=$align)")
+    // orthonormal basis
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    assert(math.abs(dot(comps(0), comps(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(comps(1), comps(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(comps(0), comps(1))) < 1e-9)
+    // variance ordering of the projected scores; with k = d the squared
+    // projections preserve total centered variance (Parseval)
+    val means = Array(vecs.map(_.embedding(0).toDouble).sum / vecs.size,
+      vecs.map(_.embedding(1).toDouble).sum / vecs.size)
+    val proj = VectorOps.pcaProject(df(vecs), "vec_id", "embedding", comps, means)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val v1 = proj.map(p => p._1 * p._1).sum
+    val v2 = proj.map(p => p._2 * p._2).sum
+    assert(v1 > v2, "pc1 scores must carry more variance than pc2")
+    val total = vecs.map { v =>
+      val c0 = v.embedding(0) - means(0); val c1 = v.embedding(1) - means(1)
+      c0 * c0 + c1 * c1
+    }.sum
+    assert(math.abs((v1 + v2) - total) / total < 1e-6, "Parseval at k = d")
+  }
+
   // ── DSIR importance weights ───────────────────────────────────────────
 
   test("dsirWeights matches a naive referee and favors target-like documents") {
