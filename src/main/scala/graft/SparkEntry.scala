@@ -2315,6 +2315,25 @@ object SparkEntry {
       Relational.rrfFuse(Seq(bm, lm), "doc_id", 60, 20)
     }),
 
+    // Rank-biased overlap (r12) between the same two top-100 retrieval
+    // lists q_rrf_fuse fuses — the top-weighted ranker-similarity
+    // diagnostic (RBO ≈ 1 ⇒ redundant rankers, ≈ 0 ⇒ orthogonal);
+    // p = 0.9 weights prefix k by p^(k−1), both rank lists are
+    // engine-deterministic (ties on the rounded score break by doc_id).
+    "q_rbo" -> ((s, dir) => {
+      val bm = TextOps.bm25Scores(T(s, dir, "documents"), "doc_id", "text", Bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank", row_number().over(
+          Portable.kRowWindow(col("bm25").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      val lm = TextOps.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("logprob").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank", row_number().over(
+          Portable.kRowWindow(col("logprob").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      Relational.rankBiasedOverlap(bm, lm, "doc_id", "rank", p = 0.9, depth = 100)
+    }),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -5860,6 +5879,64 @@ object SparkEntry {
          SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
            doc_id, rrf, n_lists
          FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20"""
+    },
+
+    // Same bmr/lmr list derivations as q_rrf_fuse; p and 1−p are
+    // interpolated from the SAME Scala doubles the query uses
+    // (Double.toString round-trips exactly — the q_bm25 constant rule).
+    "q_rbo" -> {
+      val (k1, b, p, depth) = (1.2, 0.75, 0.9, 100)
+      val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
+      raw"""WITH dl AS (
+           SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS dl
+           FROM documents),
+         tot AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ($terms) GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         bm AS (
+           SELECT t.doc_id,
+             round(sum(CAST(
+               ln(1.0 + (tot.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+                 * ((t.tf::DOUBLE * ${k1 + 1.0}) /
+                    (t.tf::DOUBLE + $k1 * (1.0 - $b + $b * (d.dl::DOUBLE / (tot.sumdl::DOUBLE / tot.n::DOUBLE)))))
+               AS DECIMAL(28,12)))::DOUBLE, 6) AS bm25
+           FROM tf t
+           JOIN dfreq f ON t.token = f.token
+           JOIN dl d ON t.doc_id = d.doc_id
+           CROSS JOIN tot
+           GROUP BY t.doc_id),
+         bmr AS (SELECT doc_id, rank FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+             FROM bm) WHERE rank <= $depth),
+         model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         tot2 AS (SELECT sum(c) AS total, count(*) AS vocab FROM model),
+         lm AS (
+           SELECT t.doc_id,
+             round(sum(CAST(ln((m.c::DOUBLE + 1.0) / (tot2.total + tot2.vocab)::DOUBLE)
+                   AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS logprob
+           FROM tok t JOIN model m ON t.token = m.token CROSS JOIN tot2
+           GROUP BY t.doc_id),
+         lmr AS (SELECT doc_id, rank FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY logprob DESC, doc_id ASC) AS rank
+             FROM lm) WHERE rank <= $depth),
+         ks AS (SELECT unnest(range(1, ${depth + 1})) AS k),
+         ent AS (SELECT greatest(br.rank, lr.rank) AS k0
+                 FROM bmr br JOIN lmr lr ON br.doc_id = lr.doc_id
+                 WHERE greatest(br.rank, lr.rank) <= $depth),
+         cnt AS (SELECT k0, count(*) AS c FROM ent GROUP BY 1),
+         xk AS (SELECT k, sum(coalesce(cnt.c, 0)) OVER (ORDER BY k) AS x
+                FROM ks LEFT JOIN cnt ON ks.k = cnt.k0)
+         SELECT $depth::BIGINT AS depth,
+           max(CASE WHEN k = $depth THEN x END)::BIGINT AS overlap_at_depth,
+           round(${1.0 - p} * sum(CAST(power($p, k::DOUBLE - 1.0) * (x::DOUBLE / k::DOUBLE)
+               AS DECIMAL(28,12)))::DOUBLE
+             + power($p, ${depth.toDouble}) *
+               (max(CASE WHEN k = $depth THEN x END)::DOUBLE / ${depth.toDouble}), 6) AS rbo
+         FROM xk"""
     },
 
     "q_cm_sketch" ->

@@ -236,6 +236,46 @@ object Relational {
       .select(col("rank"), col(idCol), col("rrf"), col("n_lists"))
   }
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) of two top-`depth`
+    * rankings — the top-weighted similarity between two rankers that C116's
+    * RRF fusion presumes are worth fusing: two rankers with RBO ≈ 1 are
+    * redundant, RBO ≈ 0 orthogonal. Persistence parameter `p` weights
+    * prefix k by p^(k−1), so early agreement dominates (the property plain
+    * set-overlap-at-k lacks).
+    *
+    *   RBO_d = (1−p)·Σ_{k=1..d} p^(k−1)·X_k/k + p^d·X_d/d
+    *
+    * where X_k = |A_{1..k} ∩ B_{1..k}|. A shared doc enters every prefix
+    * from k₀ = max(rank_A, rank_B) onward, so X_k is one cumulative sum
+    * over the d-row depth frame — the window is a kRowWindow over exactly
+    * `depth` rows (bounded by construction, never corpus-sized), and the
+    * per-k terms decimal-sum so the score is order-independent. Output is
+    * ONE row: (depth, overlap_at_depth, rbo).
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+                        p: Double, depth: Int): DataFrame = {
+    val entry = a.select(col(idCol), col(rankCol).cast("long").as("_ra"))
+      .join(b.select(col(idCol), col(rankCol).cast("long").as("_rb")), Seq(idCol))
+      .select(greatest(col("_ra"), col("_rb")).as("_k0"))
+      .where(col("_k0") <= depth)
+      .groupBy("_k0").agg(count(lit(1)).as("_c"))
+    val ks = a.sparkSession.range(1, depth + 1).toDF("k")
+    val xk = ks.join(broadcast(entry), col("k") === col("_k0"), "left")
+      .select(col("k"), coalesce(col("_c"), lit(0L)).as("_c"))
+      .withColumn("_x", sum("_c").over(Portable.kRowWindow(col("k").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val term = pow(lit(p), col("k").cast("double") - 1.0) *
+      (col("_x").cast("double") / col("k").cast("double"))
+    xk.agg(
+        max(when(col("k") === depth, col("_x"))).as("_xd"),
+        Portable.decSum(term, 12).as("_s"))
+      .select(lit(depth).cast("long").as("depth"),
+        col("_xd").as("overlap_at_depth"),
+        round(lit(1.0 - p) * col("_s") +
+          pow(lit(p), lit(depth.toDouble)) * (col("_xd").cast("double") / lit(depth.toDouble)),
+          6).as("rbo"))
+  }
+
   /** Incremental equi-join maintenance — the join twin of `partialAggs`'
     * never-rescan-history pattern. With both inputs split into an already-
     * joined base and a newly-arrived delta, the distributivity identity

@@ -272,6 +272,35 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(got.head.getDouble(3)) < 1e-9) // p_d == p_c exactly
   }
 
+  // ── rank-biased overlap ───────────────────────────────────────────────
+
+  private case class Ranked(doc_id: Long, rank: Long)
+
+  /** Plain-Scala RBO referee (fixed-depth extrapolated form). */
+  private def rboReferee(a: Seq[Long], b: Seq[Long], p: Double, d: Int): Double = {
+    val xs = (1 to d).map(k => (a.take(k).toSet & b.take(k).toSet).size)
+    (1 - p) * (1 to d).map(k => math.pow(p, k - 1) * xs(k - 1) / k).sum +
+      math.pow(p, d) * xs(d - 1).toDouble / d
+  }
+
+  test("rankBiasedOverlap: identical lists score 1, disjoint 0, partial matches referee") {
+    def ranked(ids: Seq[Long]) = df(ids.zipWithIndex.map { case (id, i) => Ranked(id, i + 1L) })
+    def rbo(a: Seq[Long], b: Seq[Long], d: Int) =
+      Relational.rankBiasedOverlap(ranked(a), ranked(b), "doc_id", "rank", 0.9, d)
+        .head().getDouble(2)
+    val l = (1L to 10L).toSeq
+    assert(rbo(l, l, 10) === 1.0)                          // identical ⇒ exactly 1
+    assert(rbo(l, (11L to 20L).toSeq, 10) === 0.0)         // disjoint ⇒ exactly 0
+    val shuffled = Seq(1L, 3L, 2L, 5L, 4L, 7L, 6L, 9L, 8L, 10L)
+    val want = BigDecimal(rboReferee(l, shuffled, 0.9, 10))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rbo(l, shuffled, 10) - want) < 1e-9)
+    // top-weighting: disagreement AT THE TOP hurts more than at the tail
+    val topSwap = Seq(2L, 1L) ++ (3L to 10L)
+    val tailSwap = (1L to 8L) ++ Seq(10L, 9L)
+    assert(rbo(l, topSwap, 10) < rbo(l, tailSwap, 10))
+  }
+
   // ── embedding covariance + PCA ────────────────────────────────────────
 
   test("embeddingCovariance matches a hand-computed matrix") {
