@@ -1822,11 +1822,15 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
-    // Frequent 3-itemsets (r12): the next A-priori lattice level over
-    // the same single-scan basket expansion — C(k,3) fan-out bounded by
-    // basket size, one fact scan, one shuffle, heap-ranked top-25.
+    // Frequent 3-itemsets (r12): the next A-priori lattice level —
+    // C(k,3) fan-out bounded by basket size, heap-ranked top-25. Reads
+    // the persisted per-basket item-array artifact (the PairStore
+    // lifecycle one lattice level up): the fact scan + set aggregation
+    // was paid at the artifact write, the per-run plan explodes a
+    // basket-count-sized parquet and touches lineitem ZERO times.
     "q_itemsets3" -> ((s, dir) =>
-      Relational.frequentTriples(T(s, dir, "lineitem"), "l_orderkey", "l_partkey", 25)
+      Relational.frequentTriplesFromBaskets(
+          graft.sources.PairStore.ensureBaskets(s, dir), "items", 25)
         .orderBy("rank")),
 
     // Association rules (r12): confidence and lift for both directed

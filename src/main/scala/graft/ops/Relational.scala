@@ -483,12 +483,22 @@ object Relational {
     * ≤ 35 triple rows per basket); ONE fact scan, ONE shuffle.
     */
   def basketTriples(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
-    df.groupBy(col(basketCol))
-      .agg(sort_array(collect_set(col(itemCol))).as("_its"))
-      .where(size(col("_its")) > 2)
-      .select(explode(flatten(flatten(transform(col("_its"), (x, i) =>
-        transform(slice(col("_its"), i + lit(2), size(col("_its")) - i - lit(1)), (y, jj) =>
-          transform(slice(col("_its"), i + jj + lit(3), size(col("_its")) - i - jj - lit(2)),
+    triplesFromBaskets(
+      df.groupBy(col(basketCol))
+        .agg(sort_array(collect_set(col(itemCol))).as("_its")), "_its")
+
+  /** [[basketTriples]]' expansion over a PRE-AGGREGATED basket item-array
+    * frame (sorted distinct items per basket — the
+    * [[graft.sources.PairStore.ensureBaskets]] artifact schema): the
+    * corpus-sized fact scan + set aggregation was paid at the artifact
+    * write, so lattice consumers explode a basket-count-sized table.
+    */
+  def triplesFromBaskets(baskets: DataFrame, itemsCol: String): DataFrame =
+    baskets
+      .where(size(col(itemsCol)) > 2)
+      .select(explode(flatten(flatten(transform(col(itemsCol), (x, i) =>
+        transform(slice(col(itemsCol), i + lit(2), size(col(itemsCol)) - i - lit(1)), (y, jj) =>
+          transform(slice(col(itemsCol), i + jj + lit(3), size(col(itemsCol)) - i - jj - lit(2)),
             z => struct(x.as("item_a"), y.as("item_b"), z.as("item_c")))))))).as("_t"))
       .select(col("_t.item_a").as("item_a"), col("_t.item_b").as("item_b"),
         col("_t.item_c").as("item_c"))
@@ -500,10 +510,20 @@ object Relational {
     * against the pair supports is spec-proven (every frequent triple's
     * three constituent pairs support ≥ the triple's).
     */
-  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String, k: Int): DataFrame = {
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String, k: Int): DataFrame =
+    rankTriples(basketTriples(df, basketCol, itemCol), k)
+
+  /** [[frequentTriples]] over the persisted basket artifact — zero fact
+    * scans per run (the q_cooccur/PairStore lifecycle applied one lattice
+    * level up).
+    */
+  def frequentTriplesFromBaskets(baskets: DataFrame, itemsCol: String, k: Int): DataFrame =
+    rankTriples(triplesFromBaskets(baskets, itemsCol), k)
+
+  private def rankTriples(triples: DataFrame, k: Int): DataFrame = {
     val w = Portable.kRowWindow(col("support").desc,
       col("item_a").asc, col("item_b").asc, col("item_c").asc)
-    basketTriples(df, basketCol, itemCol)
+    triples
       .groupBy("item_a", "item_b", "item_c").agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc,
         col("item_a").asc, col("item_b").asc, col("item_c").asc).limit(k)

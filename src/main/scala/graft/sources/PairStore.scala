@@ -28,6 +28,7 @@ object PairStore {
   private[graft] def forgetForTest(spark: SparkSession, sfDir: String): Unit = {
     ensured.remove((spark.sparkContext.applicationId, pairPath(spark, sfDir)))
     ensured.remove((spark.sparkContext.applicationId, itemPath(spark, sfDir)))
+    ensured.remove((spark.sparkContext.applicationId, basketPath(spark, sfDir)))
   }
 
   private def artifactPath(spark: SparkSession, sfDir: String, prefix: String): String = {
@@ -49,6 +50,12 @@ object PairStore {
     */
   def itemPath(spark: SparkSession, sfDir: String): String =
     artifactPath(spark, sfDir, "graft_items_v1")
+
+  /** Artifact location for sfDir's per-basket item arrays under the
+    * session warehouse dir.
+    */
+  def basketPath(spark: SparkSession, sfDir: String): String =
+    artifactPath(spark, sfDir, "graft_baskets_v1")
 
   private def ensureArtifact(spark: SparkSession, loc: String)(build: String => Unit): DataFrame = {
     ensured.getOrElseUpdate((spark.sparkContext.applicationId, loc), {
@@ -98,6 +105,27 @@ object PairStore {
       // 1-row aggregate broadcast onto the catalog-sized count table —
       // the repo's sanctioned crossJoin shape.
       perItem.crossJoin(broadcast(total))
+        .write.mode("overwrite").parquet(loc)
+    }
+
+  /** Ensure the per-basket SORTED DISTINCT item-array table (basket,
+    * items) of `sfDir`'s lineitem orders exists as a committed parquet
+    * artifact and return a reader over it. This is the intermediate the
+    * pair AND triple expansions both flatten from — persisting it moves
+    * the fact scan + per-basket set aggregation (the corpus-sized stage)
+    * into the artifact lifecycle, so lattice levels beyond pairs
+    * (3-itemsets today, any k tomorrow) explode a basket-count-sized
+    * parquet instead of rescanning the fact table per query. Only
+    * multi-item baskets are stored (singletons generate no pair or
+    * triple).
+    */
+  def ensureBaskets(spark: SparkSession, sfDir: String): DataFrame =
+    ensureArtifact(spark, basketPath(spark, sfDir)) { loc =>
+      import org.apache.spark.sql.functions._
+      graft.Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey").as("basket"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+        .where(size(col("items")) > 1)
         .write.mode("overwrite").parquet(loc)
     }
 }

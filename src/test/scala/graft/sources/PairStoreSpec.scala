@@ -55,6 +55,27 @@ class PairStoreSpec extends SparkSpec {
       () => PairStore.ensureItems(spark, sfDir).count())
   }
 
+  test("ensureBaskets writes once and reuses the committed layout") {
+    PairStore.forgetForTest(spark, sfDir)
+    assertWriteOnce(
+      new org.apache.hadoop.fs.Path(PairStore.basketPath(spark, sfDir)).toUri.getPath,
+      () => PairStore.ensureBaskets(spark, sfDir).count())
+  }
+
+  test("triples from the basket artifact equal triples from the fact table") {
+    val fromArtifact = Relational.frequentTriplesFromBaskets(
+      PairStore.ensureBaskets(spark, sfDir), "items", 25)
+    val fromFacts = Relational.frequentTriples(
+      graft.Tables.load(spark, sfDir, "lineitem"), "l_orderkey", "l_partkey", 25)
+    assert(fromArtifact.collect().toSeq === fromFacts.collect().toSeq)
+    // artifact invariants: sorted distinct multi-item baskets only
+    val art = PairStore.ensureBaskets(spark, sfDir)
+    assert(art.columns.toSeq === Seq("basket", "items"))
+    assert(art.where(size(col("items")) < 2).count() === 0)
+    assert(art.where(col("items") =!= array_sort(col("items"))).count() === 0)
+    assert(art.where(size(col("items")) =!= size(array_distinct(col("items")))).count() === 0)
+  }
+
   test("item-count artifact equals the direct per-item basket aggregation") {
     val art = PairStore.ensureItems(spark, sfDir)
     assert(art.columns.toSeq === Seq("item", "basket_cnt", "n_baskets"))
