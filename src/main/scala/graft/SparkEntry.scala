@@ -2301,6 +2301,16 @@ object SparkEntry {
           graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
 
+    // Asymmetric containment near-dup join (r12): ≥ 4/5 of A's shingles
+    // inside B — the sub-document duplication signal Jaccard misses;
+    // contained-side prefix filter over the annotated ShingleStore,
+    // exact-rational threshold (integer cross-multiplication, no float
+    // tie on the keep/drop boundary).
+    "q_containment" -> ((s, dir) =>
+      TextOps.containmentJoinFromShingles(
+          graft.sources.ShingleStore.ensureShingles(s, dir, 3), "doc_id", num = 4, den = 5)
+        .orderBy("id_a", "id_b")),
+
     // Reciprocal-rank fusion of two retrieval shortlists — lexical BM25
     // and the unigram-LM quality ranking, each a top-100 list (ties on
     // the rounded score broken by doc_id, so both ranks are
@@ -5993,6 +6003,29 @@ object SparkEntry {
          JOIN counts ca ON ca.doc_id = id_a
          JOIN counts cb ON cb.doc_id = id_b
          WHERE n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common)::DOUBLE >= 0.5
+         ORDER BY id_a, id_b""",
+
+    // Directional containment: the exploded formulation over the same
+    // shingle derivation; the threshold is integer cross-multiplication
+    // (n_common·5 ≥ n_a·4) on both engines — tie-exact by construction.
+    "q_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         ov AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common,
+           round(n_common::DOUBLE / ca.n_sh::DOUBLE, 6) AS containment
+         FROM ov JOIN counts ca ON ca.doc_id = id_a
+         WHERE n_common * 5 >= ca.n_sh * 4
          ORDER BY id_a, id_b""",
 
     // The full-recompute join: hash equality against the base+delta

@@ -954,6 +954,62 @@ object TextOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment near-dup join over the annotated
+    * ShingleStore: emit (id_a, id_b) whenever at least num/den of A's
+    * distinct shingles also appear in B — the SUB-DOCUMENT duplication
+    * signal Jaccard misses (a short doc fully quoted inside a long one
+    * has high containment but low Jaccard, because the union is
+    * long-doc-sized). Directional: both directions are tested, both can
+    * emit.
+    *
+    * Candidate generation is the asymmetric AllPairs prefix filter:
+    * containment needs |A∩B| ≥ ceil(t·n_a) — a bound on the CONTAINED
+    * side only — so if none of A's rarest n_a − ceil(t·n_a) + 1 shingles
+    * (the prefix, in the artifact's global rarity order) appears
+    * anywhere in B, the pair cannot qualify. Only the contained side is
+    * prefix-cut; the index side is the FULL shingle table (no length
+    * filter exists for containment — B may be arbitrarily large).
+    * Verification intersects the two docs' rarity-sorted arrays in
+    * place (the r11/r12 Jaccard recipe — candidate-sized exchanges
+    * only).
+    *
+    * The threshold is an exact RATIONAL num/den: the keep test is
+    * n_common·den ≥ n_a·num in integers, because a double t·n_a sits a
+    * ulp away from the true product at exact multiples (0.8·35 in
+    * doubles is 28.0000000000000016 — ceil flips to 29) and DuckDB's
+    * decimal arithmetic lands on the other side; integer
+    * cross-multiplication is tie-exact on both engines by construction.
+    */
+  def containmentJoinFromShingles(sh: DataFrame, idCol: String,
+                                  num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be a fraction in (0, 1]")
+    val raw = sh.select(col(idCol), col("shingle"), col("rarity_rank"))
+    val docs = raw.groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(col("rarity_rank"), col("shingle")))),
+        x => x.getField("shingle")).as("_arr"))
+      .select(col(idCol), col("_arr"), size(col("_arr")).as("n_sh"))
+    // prefix length n_a − ceil(n_a·num/den) + 1; ceil(a/b) = floor((a +
+    // b − 1)/b) — the double division is exact here (numerator ≪ 2^53
+    // and a non-integer rational quotient with den this small sits ≥
+    // 1/den from any integer, far beyond one ulp)
+    val alpha = floor((col("n_sh") * num + den - 1) / den)
+    val prefix = docs.select(col(idCol).as("id_a"),
+      explode(slice(col("_arr"), lit(1),
+        (col("n_sh") - alpha + 1).cast("int"))).as("shingle"))
+    val cand = prefix
+      .join(raw.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(docs.select(col(idCol).as("id_a"), col("_arr").as("_aa"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col("_arr").as("_ab")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("_aa"), col("_ab"))).cast("long"))
+      .where(col("n_common") * den >= col("n_a") * num)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_a").cast("double"), 6).as("containment"))
+  }
+
   /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
     * word co-occurrence graph — nodes are tokens, edges connect tokens
     * adjacent anywhere in the corpus (the window-2 co-occurrence variant,

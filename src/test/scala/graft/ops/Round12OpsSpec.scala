@@ -272,6 +272,37 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(got.head.getDouble(3)) < 1e-9) // p_d == p_c exactly
   }
 
+  // ── containment join ──────────────────────────────────────────────────
+
+  test("containment catches a quoted sub-document that Jaccard misses") {
+    // B fully contains A's text plus much more: containment(A⊆B) = 1,
+    // Jaccard(A,B) low. C shares nothing.
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val outer = inner + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val docs = df(Seq(
+      Doc12(0, "s", inner), Doc12(1, "s", outer),
+      Doc12(2, "s", "totally different content with other words entirely here now")))
+    // annotate like the ShingleStore would: df + per-doc rarity rank
+    val sh = TextOps.shingles(docs, "doc_id", "text", 3)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ann = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rarity_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df").asc, col("shingle").asc)))
+    val got = TextOps.containmentJoinFromShingles(ann, "doc_id", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.keySet === Set((0L, 1L))) // only A-contained-in-B; never the reverse
+    assert(got((0L, 1L)) === 1.0)
+    // referee: brute-force containment over the same shingle sets
+    val sets = sh.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    for (a <- sets.keys; b <- sets.keys if a != b) {
+      val c = (sets(a) & sets(b)).size
+      val keep = c * 5 >= sets(a).size * 4
+      assert(keep === got.contains((a, b)), s"pair ($a,$b)")
+    }
+  }
+
   // ── rank-biased overlap ───────────────────────────────────────────────
 
   private case class Ranked(doc_id: Long, rank: Long)
