@@ -2348,6 +2348,58 @@ object SparkEntry {
       Relational.rankBiasedOverlap(bm, lm, "doc_id", "rank", p = 0.9, depth = 100)
     }),
 
+    // Bounded edit-distance self-join at tau=2 via PassJoin segment
+    // blocking — the entity-resolution step up from C61's lev<=1 (FastSS
+    // deletion keys blow up quadratically at tau=2; segments stay
+    // linear). Corpus: customer names under 1000 with a deterministic
+    // deletion planted on every 11th key, so the candidate join must
+    // cross LENGTHS (17 vs 18 chars), not just substitute digits; the
+    // oracle brute-forces the full pair space.
+    "q_editdist_join" -> ((s, dir) => {
+      val pos = (col("c_custkey") % 9 + 10).cast("int")
+      val mutated = T(s, dir, "customer").where(col("c_custkey") < 1000)
+        .select(col("c_custkey").as("id"),
+          when(col("c_custkey") % 11 === 5,
+            concat(col("c_name").substr(lit(1), pos - 1),
+              col("c_name").substr(pos + 1, length(col("c_name")))))
+            .otherwise(col("c_name")).as("name"))
+      Linkage.editDistSelfJoin(mutated, "id", "name", tau = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-user burstiness of inter-event gaps (Goh-Barabasi
+    // B = (sigma - mu)/(sigma + mu) over exact microsecond gaps) — the
+    // bot-vs-human temporal signature; moment sums are exact integers,
+    // the final combination fixed-shape IEEE.
+    "q_burstiness" -> ((s, dir) =>
+      EventOps.burstiness(T(s, dir, "events"), "user_id", "ts", "event_id")
+        .orderBy("user_id")),
+
+    // Benford leading-digit screen on extended price — digit extracted
+    // symbolically (floor -> bigint -> first char), never via log10,
+    // so the keying path is engine-exact.
+    "q_benford" -> ((s, dir) =>
+      Profiling.benfordProfile(T(s, dir, "lineitem"), col("l_extendedprice"))
+        .orderBy("digit")),
+
+    // Per-domain Simpson concentration over token counts — the
+    // repeated-draw boilerplate signal complementing entropy.
+    "q_simpson" -> ((s, dir) =>
+      TextOps.simpsonDiversity(T(s, dir, "documents"), "source", "text")
+        .orderBy("domain")),
+
+    // Corpus Gini coefficient of type frequencies — ranks aggregated by
+    // frequency VALUE (at most sqrt(2N) distinct), never a
+    // vocabulary-wide sort.
+    "q_gini" -> ((s, dir) =>
+      TextOps.giniConcentration(T(s, dir, "documents"), "text")),
+
+    // Zipf rank-frequency OLS slope over the top-200 types — the
+    // one-parameter naturalness fit; C99's OLS shapes on C81's
+    // deterministic ranks.
+    "q_zipf_slope" -> ((s, dir) =>
+      TextOps.zipfSlope(T(s, dir, "documents"), "text", 200)),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -5952,6 +6004,109 @@ object SparkEntry {
                (max(CASE WHEN k = $depth THEN x END)::DOUBLE / ${depth.toDouble}), 6) AS rbo
          FROM xk"""
     },
+
+    // Brute force over the (bounded) mutated corpus — the blocking-
+    // losslessness check is the whole point of oracling this one.
+    "q_editdist_join" ->
+      raw"""WITH m AS (
+           SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 11 = 5 THEN
+               substr(c_name, 1, (10 + c_custkey % 9) - 1)
+                 || substr(c_name, (10 + c_custkey % 9) + 1, length(c_name))
+             ELSE c_name END AS name
+           FROM customer WHERE c_custkey < 1000)
+         SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.name, b.name)::BIGINT AS dist
+         FROM m a JOIN m b ON a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY id_a, id_b""",
+
+    "q_burstiness" ->
+      raw"""WITH g AS (
+           SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS g
+           FROM events),
+         a AS (
+           SELECT user_id, count(*) AS n_gaps, sum(g)::BIGINT AS sg,
+             sum(g::HUGEINT * g) AS sg2
+           FROM g WHERE g IS NOT NULL GROUP BY user_id)
+         SELECT user_id, n_gaps,
+           round(sg::DOUBLE / n_gaps::DOUBLE, 3) AS mean_gap_us,
+           round(
+             (sqrt(greatest(sg2::DOUBLE / n_gaps::DOUBLE
+                - (sg::DOUBLE / n_gaps::DOUBLE) * (sg::DOUBLE / n_gaps::DOUBLE), 0.0))
+              - sg::DOUBLE / n_gaps::DOUBLE) /
+             (sqrt(greatest(sg2::DOUBLE / n_gaps::DOUBLE
+                - (sg::DOUBLE / n_gaps::DOUBLE) * (sg::DOUBLE / n_gaps::DOUBLE), 0.0))
+              + sg::DOUBLE / n_gaps::DOUBLE), 6) AS burstiness
+         FROM a WHERE n_gaps >= 2 ORDER BY user_id""",
+
+    "q_benford" ->
+      """WITH d AS (
+           SELECT substr(floor(l_extendedprice)::BIGINT::VARCHAR, 1, 1)::INT AS digit
+           FROM lineitem WHERE l_extendedprice >= 1.0),
+         c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit),
+         t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+         SELECT digit, cnt,
+           round(cnt::DOUBLE / t.total::DOUBLE, 6) AS obs_share,
+           round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0), 6) AS benford_share
+         FROM c CROSS JOIN t ORDER BY digit""",
+
+    "q_simpson" ->
+      raw"""WITH tok AS (
+           SELECT source AS domain,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT domain, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         a AS (SELECT domain, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
+                 sum(c::HUGEINT * (c - 1)) AS rep
+               FROM c GROUP BY domain)
+         SELECT domain, n_tokens, n_types,
+           round(rep::DOUBLE / (n_tokens::DOUBLE * (n_tokens - 1)::DOUBLE), 6) AS simpson
+         FROM a ORDER BY domain""",
+
+    // Mirrors the grouped-by-frequency rank-sum form (see
+    // TextOps.giniConcentration): exact hugeint rank-weighted sums, ONE
+    // double division at the end.
+    "q_gini" ->
+      raw"""WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         byf AS (SELECT c AS f, count(*) AS m FROM c GROUP BY c),
+         r AS (SELECT f, m,
+             coalesce(sum(m) OVER (ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rprev
+           FROM byf),
+         a AS (SELECT
+             sum((m::HUGEINT * rprev + (m::HUGEINT * (m + 1)) // 2) * f) AS s,
+             sum(f::HUGEINT * m) AS t, sum(m)::BIGINT AS n
+           FROM r)
+         SELECT n AS n_types, t::BIGINT AS n_tokens,
+           round((2 * s - (n + 1)::HUGEINT * t)::DOUBLE /
+                 (n::HUGEINT * t)::DOUBLE, 6) AS gini
+         FROM a""",
+
+    "q_zipf_slope" ->
+      raw"""WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         top AS (SELECT cnt, r FROM (
+             SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+             FROM c) WHERE r <= 200),
+         v AS (SELECT ln(r::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM top),
+         a AS (SELECT count(*)::DOUBLE AS n,
+             sum(CAST(x AS DECIMAL(28,12)))::DOUBLE AS sx,
+             sum(CAST(y AS DECIMAL(28,12)))::DOUBLE AS sy,
+             sum(CAST(x * y AS DECIMAL(28,12)))::DOUBLE AS sxy,
+             sum(CAST(x * x AS DECIMAL(28,12)))::DOUBLE AS sxx
+           FROM v)
+         SELECT n::BIGINT AS n_types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+         FROM a""",
 
     "q_cm_sketch" ->
       """WITH tok AS (

@@ -170,4 +170,42 @@ object EventOps {
         count(lit(1)).as("n_streaks"),
         sum(col("len")).as("active_days"))
   }
+
+  /** Per-user burstiness of inter-event gaps — Goh & Barabási's
+    * B = (σ − μ)/(σ + μ) over the microsecond gaps between a user's
+    * consecutive events (+1 periodic clock, 0 Poisson, →1 heavy-tailed
+    * bursts) — the temporal-pattern diagnostic that separates bot-like
+    * schedulers from human sessions at a glance.
+    *
+    * Numeric contract: gaps are exact integer microseconds
+    * (`unix_micros` both engines); Σg stays a long, Σg² is summed in
+    * decimal(38,0) (a microsecond gap squares past 2^63) so both moment
+    * sums are EXACT, and μ/σ/B are then fixed-shape IEEE doubles on
+    * bit-identical inputs — the whole row hash-checks. Variance uses
+    * E[g²] − μ² guarded non-negative (catastrophic cancellation on
+    * near-constant gaps).
+    *
+    * Scale shape: one per-user ordered window (lag) riding the same
+    * exchange as the final per-user aggregate — one shuffle total, O(1)
+    * window state per row, no global ordering anywhere.
+    */
+  def burstiness(df: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String, minGaps: Long = 2L): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val us = unix_micros(col(tsCol))
+    val gap = (us - lag(us, 1).over(w)).as("_g")
+    val gaps = df.select(col(userCol), gap).where(col("_g").isNotNull)
+    val agg = gaps.groupBy(userCol).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("_g")).as("_sg"),
+      sum(col("_g").cast("decimal(20,0)") * col("_g")).as("_sg2"))
+    val n = col("n_gaps").cast("double")
+    val mu = col("_sg").cast("double") / n
+    val variance = greatest(col("_sg2").cast("double") / n - mu * mu, lit(0.0))
+    val sigma = sqrt(variance)
+    agg.where(col("n_gaps") >= minGaps)
+      .select(col(userCol), col("n_gaps"),
+        round(mu, 3).as("mean_gap_us"),
+        round((sigma - mu) / (sigma + mu), 6).as("burstiness"))
+  }
 }

@@ -67,4 +67,81 @@ object Linkage {
     cand.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
       .select("dirty_id", "dirty_name", "clean_id", "clean_name", "dist")
   }
+
+  /** Segment start (1-based) and length for segment `i` of a string of
+    * length `ls` under the even (tau+1)-way partition: the first
+    * (tau+1 - ls%(tau+1)) segments get floor(ls/(tau+1)) characters, the
+    * rest one more. Both sides of the join derive the layout from this
+    * one definition, so index and probe can never disagree on it.
+    */
+  private def segLayout(ls: Column, i: Column, tau: Int): (Column, Column) = {
+    val parts = lit(tau + 1)
+    val base = floor(ls / parts).cast("int")
+    val nBase = parts - (ls % parts).cast("int")
+    val segLen = base + when(i >= nBase, 1).otherwise(0)
+    val segStart = lit(1) + i * base + greatest(lit(0), i - nBase)
+    (segStart, segLen)
+  }
+
+  /** Lossless Levenshtein<=tau self-join via PassJoin-style segment
+    * blocking (Li, Deng, Feng, VLDB 2011 — "PassJoin: a partition-based
+    * method for similarity joins"). FastSS deletion neighborhoods (the
+    * lev<=1 operators above) blow up combinatorially at tau=2 (|s|^2 keys
+    * per record); segment blocking stays LINEAR: the index side cuts each
+    * string into tau+1 contiguous segments — tau edits can touch at most
+    * tau of them, so any string within distance tau contains at least one
+    * segment EXACTLY, shifted by at most tau positions (the shift of an
+    * unedited block is bounded by the net insertions/deletions before
+    * it). The probe side therefore emits, for each candidate indexed
+    * length ls in [len-tau, len+tau] and each segment slot, the
+    * substrings at the <=2*tau+1 admissible start positions, and the
+    * candidate join is a plain equi-join on (substring, slot, ls) — both
+    * sides corpus-sized streams, no cross join anywhere. One exact
+    * `levenshtein` refine (codegen'd) finishes.
+    *
+    * Fan-out per probe row is (2*tau+1)^2 * (tau+1) keys at most (~75 for
+    * tau=2) and tau+1 per index row — bounded, payload-free shuffles.
+    * Returns (id_a, id_b, dist) with id_a < id_b, exact distances.
+    */
+  def editDistSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                       tau: Int): DataFrame = {
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    val s = col(strCol)
+    // Index side: the tau+1 segments of each string, keyed (seg, slot, len).
+    val slots = sequence(lit(0), lit(tau))
+    val segKeys = transform(slots, i => {
+      val (st, ln) = segLayout(length(s), i, tau)
+      struct(s.substr(st, ln).as("seg"), i.as("slot"), length(s).as("ls"))
+    })
+    val indexed = df
+      .where(length(s) >= tau + 1)
+      .select(col(idCol).as("id_b"), s.as("name_b"),
+        explode(segKeys).as("_k"))
+      .select(col("id_b"), col("name_b"),
+        col("_k.seg").as("_seg"), col("_k.slot").as("_slot"), col("_k.ls").as("_ls"))
+    // Probe side: for every admissible indexed length and slot, the
+    // substrings at starts within +-tau of the segment's home position.
+    val lens = sequence(greatest(length(s) - tau, lit(tau + 1)), length(s) + tau)
+    val probeKeys = flatten(transform(lens, ls =>
+      flatten(transform(slots, i => {
+        val (st, ln) = segLayout(ls, i, tau)
+        val pLo = greatest(st - tau, lit(1))
+        val pHi = least(st + tau, length(s) - ln + lit(1))
+        transform(
+          when(pHi >= pLo, sequence(pLo, pHi)).otherwise(array()),
+          p => struct(s.substr(p, ln).as("seg"), i.as("slot"), ls.as("ls")))
+      }))))
+    val probes = df
+      .where(length(s) >= tau + 1)
+      .select(col(idCol).as("id_a"), s.as("name_a"),
+        explode(probeKeys).as("_k"))
+      .select(col("id_a"), col("name_a"),
+        col("_k.seg").as("_seg"), col("_k.slot").as("_slot"), col("_k.ls").as("_ls"))
+    probes.join(indexed, Seq("_seg", "_slot", "_ls"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= tau)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -340,4 +340,31 @@ object Profiling {
       .select((groupCols.map(col) ++
         Seq(col("n_registers_set"), col("s_scaled"), col("est_distinct"))): _*)
   }
+
+  /** Benford first-significant-digit profile of a positive numeric
+    * column — the classic fabricated-data / unit-mixing screen: natural
+    * multiplicative quantities follow P(d) = log10(1 + 1/d); synthetic or
+    * truncated ones don't, and the per-digit deviation points at the
+    * culprit.
+    *
+    * The leading digit is extracted SYMBOLICALLY — floor to a bigint,
+    * render, take the first character — because the arithmetic route
+    * (x / 10^floor(log10 x)) puts a transcendental on the keying path
+    * where a one-ulp disagreement flips the digit; integer rendering is
+    * engine-exact. One hash aggregation over nine groups + a broadcast
+    * total; expected shares are fixed-shape doubles.
+    */
+  def benfordProfile(df: DataFrame, valueCol: Column): DataFrame = {
+    val digits = df.where(valueCol >= 1.0)
+      .select(substring(floor(valueCol).cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(sum("cnt").as("_total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("cnt"),
+        round(col("cnt").cast("double") / col("_total").cast("double"), 6)
+          .as("obs_share"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)), 6).as("benford_share"))
+  }
 }

@@ -1752,4 +1752,95 @@ object TextOps {
         round(sum("cnt").over(w).cast("double") / col("_total").cast("double"), 9))
       .select("rank", "token", "cnt", "cum_share")
   }
+
+  /** Per-domain Simpson concentration λ = Σ c_t(c_t−1) / (N(N−1)) over
+    * token counts — the probability two tokens drawn without replacement
+    * from the domain are the SAME type. The repeated-draw complement to
+    * C110's entropy (entropy weights the tail, λ the head): boilerplate-
+    * heavy or template-generated domains spike λ long before entropy
+    * moves. Counts and the Σc(c−1) moment are exact integers (decimal-
+    * summed — c² squares past long at web-corpus counts); the single
+    * final division is a fixed-shape double, so rows hash-check.
+    * Two hash aggregations, nothing corpus-sized ever sits on one task.
+    */
+  def simpsonDiversity(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(domainCol).as("domain"), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy("domain", "_tok").agg(count(lit(1)).as("_c"))
+    counts.groupBy("domain")
+      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("_c").cast("decimal(20,0)") * (col("_c") - 1)).as("_rep"))
+      .select(col("domain"), col("n_tokens"), col("n_types"),
+        round(col("_rep").cast("double") /
+          (col("n_tokens").cast("double") * (col("n_tokens") - 1).cast("double")), 6)
+          .as("simpson"))
+  }
+
+  /** Gini coefficient of the corpus type-frequency distribution — the
+    * single-number concentration summary (0 = uniform vocabulary use,
+    * →1 = a few types dominate) that tracks boilerplate growth across
+    * crawl snapshots without shipping the whole rank curve (C81 keeps
+    * the curve; this keeps the scalar).
+    *
+    * The textbook form needs every type's ascending rank — a
+    * vocabulary-wide global sort. Instead ranks are aggregated BY
+    * FREQUENCY VALUE: all m_f types sharing frequency f occupy a known
+    * rank block, whose rank-sum is m_f·R_{<f} + m_f(m_f+1)/2 regardless
+    * of order within the block (ties make the block interchangeable).
+    * The only ordered pass is the running R_{<f} over DISTINCT
+    * frequencies — and a corpus with N tokens has at most √(2N) distinct
+    * frequency values (1+2+…+k ≤ N), so the one-partition window sees
+    * ~1.4e7 rows even at N = 1e14; the two-level prefix-sum (the C120
+    * idiom) is the documented upgrade if that ever binds. Rank-weighted
+    * sums are exact decimals; G = (2S − (n+1)T) / (nT) is ONE double
+    * division on exact integer inputs.
+    */
+  def giniConcentration(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_c"))
+    val byFreq = counts.groupBy(col("_c").as("_f")).agg(count(lit(1)).as("_m"))
+    val wc = Portable.kRowWindow(col("_f").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byFreq
+      .withColumn("_rprev", coalesce(sum("_m").over(wc), lit(0L)))
+      .withColumn("_ranksum",
+        col("_m").cast("decimal(38,0)") * col("_rprev") +
+          (col("_m").cast("decimal(38,0)") * (col("_m") + 1)) / 2)
+    val agg = ranked.agg(
+      sum(col("_ranksum") * col("_f")).as("_s"),
+      sum(col("_f").cast("decimal(20,0)") * col("_m")).as("_t"),
+      sum("_m").as("_n"))
+    agg.select(col("_n").as("n_types"), col("_t").cast("long").as("n_tokens"),
+      round((lit(2).cast("decimal(38,0)") * col("_s") -
+        (col("_n") + 1).cast("decimal(38,0)") * col("_t")).cast("double") /
+        (col("_n").cast("decimal(38,0)") * col("_t")).cast("double"), 6).as("gini"))
+  }
+
+  /** Zipf rank-frequency slope: OLS of ln(count) on ln(rank) over the
+    * top-k types (count-desc, token-asc — the C81 deterministic rank) —
+    * the one-parameter naturalness fit (natural language ≈ −1; template
+    * spam flattens it, id-like vocabularies steepen it). Head-only by
+    * design: the tail bends the pure power law and k bounds the global
+    * sort to a TakeOrderedAndProject. Moment sums are decimal-cast at
+    * scale 12 (order-independent) and the slope/intercept shapes mirror
+    * C99's groupOls exactly, so the single output row hash-checks.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val wr = Portable.kRowWindow(col("cnt").desc, col("token").asc)
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .withColumn("_x", log(row_number().over(wr).cast("double")))
+      .withColumn("_y", log(col("cnt").cast("double")))
+    val agg = top.agg(count(lit(1)).cast("double").as("_n"),
+      Portable.decSum(col("_x"), 12).as("_sx"),
+      Portable.decSum(col("_y"), 12).as("_sy"),
+      Portable.decSum(col("_x") * col("_y"), 12).as("_sxy"),
+      Portable.decSum(col("_x") * col("_x"), 12).as("_sxx"))
+    val den = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / den
+    agg.select(col("_n").cast("long").as("n_types"),
+      round(slope, 9).as("slope"),
+      round((col("_sy") - slope * col("_sx")) / col("_n"), 6).as("intercept"))
+  }
 }

@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class NamedRow(id: Long, name: String)
+case class EvRow(user_id: Long, event_id: Long, ts: Timestamp)
+case class ValRow(v: Double)
+case class DomDoc(doc_id: Long, source: String, text: String)
+
+/** Round-12 late-batch operators: PassJoin bounded edit-distance join,
+  * burstiness, Benford profile, Simpson diversity, Gini concentration,
+  * Zipf slope. Referees are independent plain-Scala re-derivations.
+  */
+class Round12bOpsSpec extends SparkSpec {
+
+  // ── PassJoin edit-distance self-join ──────────────────────────────────
+
+  /** Plain-Scala Levenshtein referee. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def brutePairs(rows: Seq[NamedRow], tau: Int): Set[(Long, Long, Long)] =
+    (for {
+      a <- rows; b <- rows if a.id < b.id
+      d = lev(a.name, b.name) if d <= tau
+    } yield (a.id, b.id, d.toLong)).toSet
+
+  private def passJoin(rows: Seq[NamedRow], tau: Int): Set[(Long, Long, Long)] =
+    Linkage.editDistSelfJoin(df(rows), "id", "name", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("editDistSelfJoin matches brute force on substitutions, deletions, insertions") {
+    val rows = Seq(
+      NamedRow(1, "abcdefghij"),   // base
+      NamedRow(2, "abXdefghij"),   // 1 substitution
+      NamedRow(3, "abXdeYghij"),   // 2 substitutions
+      NamedRow(4, "abcdefghi"),    // 1 deletion (tail)
+      NamedRow(5, "bcdefghij"),    // 1 deletion (head — max segment shift)
+      NamedRow(6, "abcdeQfghij"),  // 1 insertion (middle)
+      NamedRow(7, "abXdeYgZij"),   // 3 substitutions — must be excluded
+      NamedRow(8, "zyxwvutsrq"))   // unrelated
+    assert(passJoin(rows, 2) === brutePairs(rows, 2))
+  }
+
+  test("editDistSelfJoin is lossless on a digit-templated corpus (shared prefixes)") {
+    val rows = (0L until 60L).map(i => NamedRow(i, f"Customer#$i%09d")) ++
+      Seq(NamedRow(100, "Customer#00000012"))  // planted deletion, length 17
+    assert(passJoin(rows, 2) === brutePairs(rows, 2))
+  }
+
+  test("editDistSelfJoin at tau=1 agrees with the FastSS lev<=1 join") {
+    val rows = Seq(NamedRow(1, "kitten"), NamedRow(2, "mitten"), NamedRow(3, "kittens"),
+      NamedRow(4, "sitten"), NamedRow(5, "bitten"), NamedRow(6, "smitten"))
+    val fast = Linkage.fuzzySelfJoinLev1(df(rows), "id", "name")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist"))).toSet
+    assert(passJoin(rows, 1) === fast)
+  }
+
+  // ── Burstiness ────────────────────────────────────────────────────────
+
+  private def evs(user: Long, gapsUs: Seq[Long]): Seq[EvRow] = {
+    var t = 1700000000000000L
+    EvRow(user, 0, new Timestamp(t / 1000)) +: gapsUs.zipWithIndex.map { case (g, i) =>
+      t += g
+      val ts = new Timestamp(t / 1000)
+      ts.setNanos(((t % 1000000) * 1000).toInt)
+      EvRow(user, i + 1L, ts)
+    }
+  }
+
+  private def referee(gaps: Seq[Long]): Double = {
+    val n = gaps.size.toDouble
+    val mu = gaps.sum.toDouble / n
+    val sg2 = gaps.map(g => BigInt(g) * BigInt(g)).sum
+    val sigma = math.sqrt(math.max(sg2.toDouble / n - mu * mu, 0.0))
+    (sigma - mu) / (sigma + mu)
+  }
+
+  test("burstiness: constant gaps give exactly -1; referee parity; bursts push it up") {
+    val constant = Seq.fill(9)(60000000L)
+    val bursty = Seq.fill(8)(1000000L) :+ 3600000000L
+    val rows = evs(1, constant) ++ evs(2, bursty)
+    val got = EventOps.burstiness(df(rows), "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("burstiness"))).toMap
+    assert(got(1L)._1 === 9L)
+    assert(got(1L)._2 === -1.0)
+    val wantBursty = math.rint(referee(bursty) * 1e6) / 1e6
+    assert(math.abs(got(2L)._2 - wantBursty) < 1e-9)
+    assert(got(2L)._2 > 0.3, "heavy-tailed gaps should read as bursty")
+  }
+
+  test("burstiness drops users below the min-gap floor") {
+    val rows = evs(1, Seq(1000000L)) ++ evs(2, Seq(1000000L, 2000000L))
+    val got = EventOps.burstiness(df(rows), "user_id", "ts", "event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L))
+  }
+
+  // ── Benford profile ───────────────────────────────────────────────────
+
+  test("benfordProfile extracts leading digits symbolically and shares sum to 1") {
+    val vals = Seq(1.5, 19.99, 123.0, 2.0, 29.0, 999.99, 9.01, 0.5, 31.7)
+    val got = Profiling.benfordProfile(df(vals.map(ValRow)), col("v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Double]("obs_share"),
+        r.getAs[Double]("benford_share"))).toMap
+    // 0.5 excluded; digits: 1,1,1,2,2,9,9,3
+    assert(got.keySet === Set(1, 2, 3, 9))
+    assert(got(1)._1 === 3L)
+    assert(got(2)._1 === 2L)
+    assert(got(3)._1 === 1L)
+    assert(got(9)._1 === 2L)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+    assert(math.abs(got(1)._3 - math.log10(2.0)) < 1e-6)
+  }
+
+  // ── Simpson diversity ─────────────────────────────────────────────────
+
+  test("simpsonDiversity: single-type domain hits 1; referee parity on a mixed domain") {
+    val docs = Seq(
+      DomDoc(1, "mono", "spam spam spam spam"),
+      DomDoc(2, "mixed", "a a a b b c"))
+    val got = TextOps.simpsonDiversity(df(docs), "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("simpson"))).toMap
+    assert(got("mono") === ((4L, 1L, 1.0)))
+    // mixed: c = 3,2,1 -> sum c(c-1) = 6+2+0 = 8; N(N-1) = 30
+    assert(got("mixed")._1 === 6L)
+    assert(got("mixed")._2 === 3L)
+    assert(math.abs(got("mixed")._3 - 8.0 / 30.0) < 1e-6)
+  }
+
+  // ── Gini concentration ────────────────────────────────────────────────
+
+  /** Textbook referee: ascending sort, G = 2*sum(i*c_i)/(n*T) - (n+1)/n. */
+  private def giniReferee(counts: Seq[Long]): Double = {
+    val sorted = counts.sorted
+    val n = sorted.size.toLong
+    val t = sorted.sum
+    val s = sorted.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    (2.0 * s - (n + 1).toDouble * t) / (n.toDouble * t)
+  }
+
+  private def giniOf(texts: Seq[String]): (Long, Long, Double) = {
+    val rows = texts.zipWithIndex.map { case (t, i) => DomDoc(i.toLong, "d", t) }
+    val r = TextOps.giniConcentration(df(rows), "text").collect().head
+    (r.getLong(0), r.getLong(1), r.getAs[Double]("gini"))
+  }
+
+  test("giniConcentration: uniform counts give 0; grouped form matches the textbook referee") {
+    val (nU, tU, gU) = giniOf(Seq("a b c d", "a b c d", "a b c d"))
+    assert((nU, tU) === ((4L, 12L)))
+    assert(gU === 0.0)
+    // skewed corpus with TIES at several frequencies (the grouped-form risk)
+    val texts = Seq("a a a a a a a b b b c c d d e f g h")
+    val counts = Seq(7L, 3L, 2L, 2L, 1L, 1L, 1L, 1L)
+    val (n, t, g) = giniOf(texts)
+    assert((n, t) === ((8L, 18L)))
+    assert(math.abs(g - math.rint(giniReferee(counts) * 1e6) / 1e6) < 1e-9)
+  }
+
+  // ── Zipf slope ────────────────────────────────────────────────────────
+
+  test("zipfSlope recovers the exponent of an exact power-law corpus") {
+    // counts c_r = 2^(10-r) for r = 1..8: ln c = 11*ln2 - r*ln2... not linear
+    // in ln r — instead construct c_r = K / r exactly: c_r = 840/r for r in 1..8.
+    val counts = (1 to 8).map(r => 840 / r) // 840,420,280,210,168,140,120,105
+    val words = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(s"w${('a' + i).toChar}")
+    }
+    val text = scala.util.Random.shuffle(words.toList).mkString(" ") // layout noise only
+    val r = TextOps.zipfSlope(df(Seq(DomDoc(1, "d", text))), "text", 8).collect().head
+    assert(r.getLong(0) === 8L)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-6,
+      s"exact 1/r law must fit slope -1, got ${r.getAs[Double]("slope")}")
+  }
+
+  test("zipfSlope respects the top-k cut and deterministic tie order") {
+    val text = "a a a b b c"
+    val r = TextOps.zipfSlope(df(Seq(DomDoc(1, "d", text))), "text", 2).collect().head
+    assert(r.getLong(0) === 2L)
+    // ranks: a(3) then b(2); slope = (ln2-ln3)/(ln2-ln1)
+    val want = (math.log(2.0) - math.log(3.0)) / math.log(2.0)
+    assert(math.abs(r.getAs[Double]("slope") - want) < 1e-6)
+  }
+}
