@@ -2351,13 +2351,16 @@ object SparkEntry {
     // Bounded edit-distance self-join at tau=2 via PassJoin segment
     // blocking — the entity-resolution step up from C61's lev<=1 (FastSS
     // deletion keys blow up quadratically at tau=2; segments stay
-    // linear). Corpus: customer names under 1000 with a deterministic
-    // deletion planted on every 11th key, so the candidate join must
-    // cross LENGTHS (17 vs 18 chars), not just substitute digits; the
-    // oracle brute-forces the full pair space.
+    // linear). Corpus: customer names under 500 (the q_fuzzy_join bound:
+    // the digit template makes the two non-varying segments corpus-
+    // constant join keys, so candidate volume grows n^2-ish on THIS
+    // corpus — see the operator scaladoc's skew note) with a
+    // deterministic deletion planted on every 11th key, so the candidate
+    // join must cross LENGTHS (17 vs 18 chars), not just substitute
+    // digits; the oracle brute-forces the full pair space.
     "q_editdist_join" -> ((s, dir) => {
       val pos = (col("c_custkey") % 9 + 10).cast("int")
-      val mutated = T(s, dir, "customer").where(col("c_custkey") < 1000)
+      val mutated = T(s, dir, "customer").where(col("c_custkey") < 500)
         .select(col("c_custkey").as("id"),
           when(col("c_custkey") % 11 === 5,
             concat(col("c_name").substr(lit(1), pos - 1),
@@ -6014,7 +6017,7 @@ object SparkEntry {
                substr(c_name, 1, (10 + c_custkey % 9) - 1)
                  || substr(c_name, (10 + c_custkey % 9) + 1, length(c_name))
              ELSE c_name END AS name
-           FROM customer WHERE c_custkey < 1000)
+           FROM customer WHERE c_custkey < 500)
          SELECT a.id AS id_a, b.id AS id_b,
            levenshtein(a.name, b.name)::BIGINT AS dist
          FROM m a JOIN m b ON a.id < b.id

@@ -99,8 +99,21 @@ object Linkage {
     * sides corpus-sized streams, no cross join anywhere. One exact
     * `levenshtein` refine (codegen'd) finishes.
     *
-    * Fan-out per probe row is (2*tau+1)^2 * (tau+1) keys at most (~75 for
-    * tau=2) and tau+1 per index row — bounded, payload-free shuffles.
+    * Fan-out per probe row is bounded — tau+1 keys per index row, and on
+    * the probe side at most (tau+1) starts per (length, slot) thanks to
+    * the multi-match-aware window (a match at shift d forces >= |d| edits
+    * before the segment and >= |delta-d| after, so only
+    * |d| + |delta - d| <= tau survives) — payload-free shuffles both ways.
+    *
+    * Skew note: candidate volume is governed by SEGMENT ENTROPY. On a
+    * templated corpus (e.g. "Customer#00000NNNN") the slots that never
+    * vary become corpus-constant join keys and the candidate join
+    * degrades toward n² on those slots — and no slot can be dropped
+    * (the pigeonhole needs all tau+1). At scale the mitigation is the
+    * C17 treatment of the hot keys: salt the high-DF segment keys and
+    * replicate the matching index rows; selectivity is restored by the
+    * varying slots either way.
+    *
     * Returns (id_a, id_b, dist) with id_a < id_b, exact distances.
     */
   def editDistSelfJoin(df: DataFrame, idCol: String, strCol: String,
@@ -120,13 +133,21 @@ object Linkage {
       .select(col("id_b"), col("name_b"),
         col("_k.seg").as("_seg"), col("_k.slot").as("_slot"), col("_k.ls").as("_ls"))
     // Probe side: for every admissible indexed length and slot, the
-    // substrings at starts within +-tau of the segment's home position.
+    // substrings at the multi-match-aware start positions. A match at
+    // shift d = p - p_i forces >= |d| edits before the segment and
+    // >= |delta - d| after it (delta = probe len - indexed len), so only
+    // d with |d| + |delta - d| <= tau can witness a true pair:
+    // d in [min(0,delta) - (tau-|delta|)/2, max(0,delta) + (tau-|delta|)/2]
+    // — <= tau+1 starts per slot instead of the naive 2*tau+1.
     val lens = sequence(greatest(length(s) - tau, lit(tau + 1)), length(s) + tau)
     val probeKeys = flatten(transform(lens, ls =>
       flatten(transform(slots, i => {
         val (st, ln) = segLayout(ls, i, tau)
-        val pLo = greatest(st - tau, lit(1))
-        val pHi = least(st + tau, length(s) - ln + lit(1))
+        val delta = length(s) - ls
+        val slack = floor((lit(tau) - abs(delta)) / 2).cast("int")
+        val pLo = greatest(st + least(delta, lit(0)) - slack, lit(1))
+        val pHi = least(st + greatest(delta, lit(0)) + slack,
+          length(s) - ln + lit(1))
         transform(
           when(pHi >= pLo, sequence(pLo, pHi)).otherwise(array()),
           p => struct(s.substr(p, ln).as("seg"), i.as("slot"), ls.as("ls")))
