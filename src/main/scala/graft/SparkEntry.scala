@@ -2288,6 +2288,26 @@ object SparkEntry {
         .select("rank", "node_id", "triangles")
     }),
 
+    // Per-node clustering coefficient on the co-occurrence item graph —
+    // the closed-wedge fraction over the SAME pair-artifact edge set as
+    // q_triangles (community-embedded items vs pure connectors); exact
+    // counts, one fixed-shape division per node.
+    "q_clustering_coef" -> ((s, dir) => {
+      val edges = graft.sources.PairStore.ensurePairs(s, dir)
+        .select(col("item_a").as("pa"), col("item_b").as("pb"))
+      Graph.clusteringCoefficients(edges, "pa", "pb")
+        .orderBy("node_id")
+    }),
+
+    // Degree assortativity of the co-occurrence graph — Newman's r over
+    // the directed double cover; hubs-link-hubs vs hubs-link-leaves in
+    // one exact-moment scalar.
+    "q_assortativity" -> ((s, dir) => {
+      val edges = graft.sources.PairStore.ensurePairs(s, dir)
+        .select(col("item_a").as("pa"), col("item_b").as("pb"))
+      Graph.degreeAssortativity(edges, "pa", "pb")
+    }),
+
     // Exact threshold-Jaccard self-join via prefix filtering (AllPairs/
     // PPJoin): candidates only from each document's rarest
     // (|d| − ⌈t·|d|⌉ + 1) shingles under one global rarity order — the
@@ -5860,6 +5880,50 @@ object SparkEntry {
              row_number() OVER (ORDER BY triangles DESC, node_id ASC) AS rank
            FROM pernode)
          WHERE rank <= 20 ORDER BY rank""",
+
+    // Same brute-force triangle CTEs as q_triangles, extended with the
+    // degree table; coefficient is one double division on exact counts.
+    "q_clustering_coef" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         e AS (SELECT DISTINCT l.i AS a, r.i AS b2
+               FROM items l JOIN items r ON l.b = r.b AND l.i < r.i),
+         deg AS (SELECT id, count(*) AS degree FROM (
+             SELECT a AS id FROM e UNION ALL SELECT b2 AS id FROM e)
+           GROUP BY id),
+         tri AS (
+           SELECT e1.a AS x, e1.b2 AS y, e2.b2 AS z
+           FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b2 < e2.b2
+           JOIN e e3 ON e3.a = e1.b2 AND e3.b2 = e2.b2),
+         pernode AS (
+           SELECT node_id, count(*) AS triangles
+           FROM (SELECT unnest([x, y, z]) AS node_id FROM tri)
+           GROUP BY node_id)
+         SELECT d.id AS node_id, d.degree,
+           coalesce(p.triangles, 0)::BIGINT AS triangles,
+           round((2 * coalesce(p.triangles, 0))::DOUBLE /
+                 (d.degree * (d.degree - 1))::DOUBLE, 6) AS clustering
+         FROM deg d LEFT JOIN pernode p ON d.id = p.node_id
+         WHERE d.degree >= 2 ORDER BY node_id""",
+
+    "q_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         e AS (SELECT DISTINCT l.i AS a, r.i AS b2
+               FROM items l JOIN items r ON l.b = r.b AND l.i < r.i),
+         deg AS (SELECT id, count(*) AS degree FROM (
+             SELECT a AS id FROM e UNION ALL SELECT b2 AS id FROM e)
+           GROUP BY id),
+         dir AS (SELECT a AS u, b2 AS v FROM e UNION ALL SELECT b2 AS u, a AS v FROM e),
+         j AS (SELECT du.degree AS x, dv.degree AS y
+               FROM dir JOIN deg du ON dir.u = du.id JOIN deg dv ON dir.v = dv.id),
+         a AS (SELECT count(*) AS n, sum(x)::HUGEINT AS sx,
+                 sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+               FROM j)
+         SELECT (n // 2)::BIGINT AS n_edges,
+           CASE WHEN n::HUGEINT * sxx - sx * sx <> 0 THEN
+             round((n::HUGEINT * sxy - sx * sx)::DOUBLE /
+                   (n::HUGEINT * sxx - sx * sx)::DOUBLE, 6)
+           END AS assortativity
+         FROM a""",
 
     "q_token_entropy" ->
       """WITH tok AS (

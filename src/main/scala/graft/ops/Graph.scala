@@ -514,4 +514,69 @@ object Graph {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Per-node local clustering coefficient c(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    * for every node of degree ≥ 2 — the closed-wedge fraction that
+    * separates community-embedded nodes (c → 1) from pure connectors
+    * (c → 0) on the same canonical edge list as [[triangleCounts]]
+    * (a < b, distinct, no self-loops; same eager-jobs caveat). The graph-
+    * level average of c is the standard small-world diagnostic; keeping
+    * the per-node rows feeds hub triage directly.
+    *
+    * T(v) and deg(v) are exact integer counts and the coefficient is ONE
+    * fixed-shape double division, so rows hash-check. Cost beyond the
+    * triangle kernel is one degree aggregate and a node-keyed left join
+    * (triangle-free nodes carry T = 0).
+    */
+  def clusteringCoefficients(edges: DataFrame, aCol: String, bCol: String,
+                             broadcastClose: Boolean = true): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges, aCol, bCol, broadcastClose)
+      .select(col("node_id").as("id"), col("triangles"))
+    deg.where(col("degree") >= 2)
+      .join(tri, Seq("id"), "left")
+      .select(col("id").as("node_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round((lit(2) * coalesce(col("triangles"), lit(0L))).cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double"), 6).as("clustering"))
+  }
+
+  /** Degree assortativity of an undirected graph — Newman's r: the
+    * Pearson correlation of endpoint degrees over the directed double
+    * cover (each edge in both orientations). Positive = hubs link hubs
+    * (social-style), negative = hubs link leaves (infrastructure-style);
+    * the one-scalar wiring summary that decides whether degree-targeted
+    * sampling or skew salting will pay off.
+    *
+    * By symmetry of the double cover Σx = Σy and Σx² = Σy², so
+    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) with every sum an exact
+    * integer (decimal-summed — degree products overflow long at hub
+    * scale) and ONE double division at the end: the row hash-checks.
+    * Shape: one degree aggregate + two node-keyed joins onto the edge
+    * list — no iteration, nothing collected. Returns NULL on a degree-
+    * regular graph (zero variance: r is undefined, not 0).
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val joined = dir
+      .join(deg.select(col("id").as("u"), col("degree").as("_du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("degree").as("_dv")), Seq("v"))
+    val agg = joined.agg(count(lit(1)).as("_n"),
+      sum(col("_du")).as("_sx"),
+      sum(col("_du").cast("decimal(20,0)") * col("_dv")).as("_sxy"),
+      sum(col("_du").cast("decimal(20,0)") * col("_du")).as("_sxx"))
+    val num = col("_n").cast("decimal(38,0)") * col("_sxy") -
+      col("_sx").cast("decimal(38,0)") * col("_sx")
+    val den = col("_n").cast("decimal(38,0)") * col("_sxx") -
+      col("_sx").cast("decimal(38,0)") * col("_sx")
+    agg.select((col("_n") / 2).cast("long").as("n_edges"),
+      when(den =!= lit(0), round(num.cast("double") / den.cast("double"), 6))
+        .as("assortativity"))
+  }
 }

@@ -32,4 +32,46 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps === (0L to 3L).map(i => i -> i).toMap)
   }
+
+  test("clusteringCoefficients: triangle vertices 1, connectors 0, partial wedges exact") {
+    // triangle {1,2,3}; node 4 bridges 3 and 5 (a pure connector);
+    // node 3 sits on the triangle AND the bridge: deg 3, 1 triangle ->
+    // c = 2*1/(3*2) = 1/3.
+    val edges = df(Seq(Edge(1, 2), Edge(1, 3), Edge(2, 3), Edge(3, 4), Edge(4, 5)))
+    val got = Graph.clusteringCoefficients(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("clustering"))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))  // node 5 has degree 1
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(4L) === ((2L, 0L, 0.0)))
+    assert(got(3L)._1 === 3L)
+    assert(math.abs(got(3L)._3 - 0.333333) < 1e-9)
+  }
+
+  test("degreeAssortativity: star is -1, degree-regular graph is undefined") {
+    // Star K1,4: every edge joins deg 4 to deg 1 -> r = -1 exactly.
+    val star = df(Seq(Edge(0, 1), Edge(0, 2), Edge(0, 3), Edge(0, 4)))
+    val r1 = Graph.degreeAssortativity(star, "id_a", "id_b").collect().head
+    assert(r1.getLong(0) === 4L)
+    assert(r1.getAs[Double]("assortativity") === -1.0)
+    // 4-cycle: all degrees 2 -> zero degree variance -> NULL, not 0.
+    val cycle = df(Seq(Edge(1, 2), Edge(2, 3), Edge(3, 4), Edge(1, 4)))
+    val r2 = Graph.degreeAssortativity(cycle, "id_a", "id_b").collect().head
+    assert(r2.isNullAt(1))
+  }
+
+  test("degreeAssortativity matches a plain-Scala Pearson referee on a mixed graph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 5L), (5L, 6L))
+    val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+    val xs = edges.flatMap { case (u, v) => Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val n = xs.size.toDouble
+    val sx = xs.map(_._1).sum.toDouble
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+    val want = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    val got = Graph.degreeAssortativity(df(edges.map(e => Edge(e._1, e._2))), "id_a", "id_b")
+      .collect().head.getAs[Double]("assortativity")
+    assert(math.abs(got - math.rint(want * 1e6) / 1e6) < 1e-9)
+  }
 }
