@@ -199,6 +199,17 @@ object EventOps {
       count(lit(1)).as("n_gaps"),
       sum(col("_g")).as("_sg"),
       sum(col("_g").cast("decimal(20,0)") * col("_g")).as("_sg2"))
+    burstinessFromMoments(agg, userCol, minGaps)
+  }
+
+  /** Shared finalization for [[burstiness]] and the streaming moment
+    * state: the fixed-shape double combination over exact (n_gaps, Σg,
+    * Σg²) moments. Both paths produce bit-identical moments, so routing
+    * them through one projection makes streamed and batch rows equal by
+    * construction.
+    */
+  private[graft] def burstinessFromMoments(agg: DataFrame, userCol: String,
+                                           minGaps: Long): DataFrame = {
     val n = col("n_gaps").cast("double")
     val mu = col("_sg").cast("double") / n
     val variance = greatest(col("_sg2").cast("double") / n - mu * mu, lit(0.0))
@@ -207,5 +218,29 @@ object EventOps {
       .select(col(userCol), col("n_gaps"),
         round(mu, 3).as("mean_gap_us"),
         round((sigma - mu) / (sigma + mu), 6).as("burstiness"))
+  }
+
+  /** Per-user gap moments of ONE time-contiguous event segment — the
+    * mergeable state behind streaming burstiness: (n_events, first_us,
+    * last_us, Σg, Σg²) forms a monoid under segment concatenation
+    * (left ⊕ right adds the BRIDGE gap first_right − last_left, and
+    * (n_l−1) + (n_r−1) + 1 bridge = n_l+n_r−1 keeps the gap count
+    * consistent), so per-batch moments fold into a running total without
+    * ever revisiting raw events. Exactness contract as [[burstiness]]:
+    * Σg long, Σg² decimal(38,0).
+    */
+  private[graft] def gapSegmentMoments(df: DataFrame, userCol: String,
+                                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val us = unix_micros(col(tsCol))
+    df.select(col(userCol), us.as("_us"),
+        (us - lag(us, 1).over(w)).as("_g"))
+      .groupBy(userCol).agg(
+        count(lit(1)).as("n_events"),
+        min("_us").as("first_us"),
+        max("_us").as("last_us"),
+        coalesce(sum(col("_g")), lit(0L)).as("_sg"),
+        coalesce(sum(col("_g").cast("decimal(20,0)") * col("_g")),
+          lit(0L).cast("decimal(38,0)")).as("_sg2"))
   }
 }

@@ -860,6 +860,56 @@ class FileStreamingSpec extends SparkSpec {
     assert(snapshot() === afterFirst, "re-delivered items must be support no-ops")
   }
 
+  test("burstiness state converges to the batch operator across a time-split arrival") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts")
+    // time split: per-user contiguous segments (the state's ordering
+    // contract) with a genuine cross-batch bridge gap per user
+    val sorted = events.select("ts").orderBy("ts").collect()
+    val cutoff = sorted(sorted.length / 2).getTimestamp(0)
+    val first = events.where(col("ts") < cutoff)
+    val second = events.where(col("ts") >= cutoff)
+    val bothSides = first.select("user_id").distinct()
+      .intersect(second.select("user_id").distinct()).count()
+    assert(bothSides > 0, "fixture must bridge users across the split or the test proves nothing")
+
+    val state = new StreamingOps.BurstinessState("user_id", "ts", "event_id")
+    state.mergeBatch(first, batchId = 0L)
+    state.mergeBatch(second, batchId = 1L)
+
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("mean_gap_us"),
+        r.getAs[Double]("burstiness"))).toMap
+    val streamed = toMap(state.finalized.get)
+    val batch = toMap(EventOps.burstiness(events, "user_id", "ts", "event_id"))
+    assert(streamed === batch,
+      "maintained moments must reproduce the batch answer bit-for-bit")
+  }
+
+  test("burstiness state is replay-idempotent and refuses out-of-order segments") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts")
+    val sorted = events.select("ts").orderBy("ts").collect()
+    val cutoff = sorted(sorted.length / 2).getTimestamp(0)
+    val first = events.where(col("ts") < cutoff)
+    val second = events.where(col("ts") >= cutoff)
+
+    val state = new StreamingOps.BurstinessState("user_id", "ts", "event_id")
+    state.mergeBatch(first, batchId = 0L)
+    val snap = state.finalized.get.collect().map(_.toSeq).toSet
+    state.mergeBatch(first, batchId = 0L) // replayed trigger: no-op
+    assert(state.finalized.get.collect().map(_.toSeq).toSet === snap)
+
+    // out-of-order: merging the EARLIER half after the later one must
+    // fail loudly (negative bridge), not corrupt the moments
+    val bad = new StreamingOps.BurstinessState("user_id", "ts", "event_id")
+    bad.mergeBatch(second, batchId = 0L)
+    val ex = intercept[IllegalStateException] {
+      bad.mergeBatch(first, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+  }
+
   test("cdcApplyKeyed rejects non-integral/string key columns at entry") {
     // The state-store grouping key is the key column rendered to string —
     // injective for integral/string keys only. A Double key must fail
