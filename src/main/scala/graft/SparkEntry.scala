@@ -2423,6 +2423,32 @@ object SparkEntry {
     "q_zipf_slope" -> ((s, dir) =>
       TextOps.zipfSlope(T(s, dir, "documents"), "text", 200)),
 
+    // Per-domain quantile normalization of document length — percent_rank
+    // within each source, the cross-domain-fair calibration step.
+    "q_quantile_norm" -> ((s, dir) =>
+      Profiling.quantileNormalize(T(s, dir, "documents"), "doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Domain-token mutual information — how much the source predicts the
+    // language, in one exact-moment scalar (the aggregate counterpart of
+    // q_domain_kl).
+    "q_domain_mi" -> ((s, dir) =>
+      TextOps.domainTokenMI(T(s, dir, "documents"), "source", "text")),
+
+    // Pairwise domain vocabulary overlap via the basketPairs kernel
+    // transposed onto text (basket = token, items = domains).
+    "q_domain_overlap" -> ((s, dir) =>
+      TextOps.domainVocabOverlap(T(s, dir, "documents"), "source", "text")
+        .orderBy("domain_a", "domain_b")),
+
+    // HLL set algebra: per event-type-pair union and intersection
+    // estimates of user sets from max-merged registers — sketch-state
+    // arithmetic only, finalized through the same estimator as
+    // q_hll_distinct.
+    "q_hll_overlap" -> ((s, dir) =>
+      Profiling.hllOverlap(T(s, dir, "events"), "event_type", "user_id")
+        .orderBy("group_a", "group_b")),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -6174,6 +6200,99 @@ object SparkEntry {
            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
            round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
          FROM a""",
+
+    "q_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC), 9) AS qnorm
+         FROM documents ORDER BY doc_id""",
+
+    // Same fixed per-term shape as TextOps.domainTokenMI:
+    // (c_dt/N)·ln((c_dt/c_d)·(N/c_t)), decimal-summed.
+    "q_domain_mi" ->
+      raw"""WITH tok AS (
+           SELECT source AS d,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+           FROM documents),
+         joint AS (SELECT d, t, count(*) AS cdt FROM tok GROUP BY 1, 2),
+         dtot AS (SELECT d, sum(cdt)::BIGINT AS cd FROM joint GROUP BY d),
+         ttot AS (SELECT t, sum(cdt)::BIGINT AS ct FROM joint GROUP BY t),
+         tot AS (SELECT sum(cd)::BIGINT AS n, count(*) AS n_domains FROM dtot),
+         ty AS (SELECT count(*) AS n_types FROM ttot),
+         s AS (
+           SELECT max(tot.n) AS n_tokens, max(tot.n_domains) AS n_domains,
+             sum(CAST((j.cdt::DOUBLE / tot.n::DOUBLE) *
+               ln((j.cdt::DOUBLE / dt.cd::DOUBLE) * (tot.n::DOUBLE / tt.ct::DOUBLE))
+               AS DECIMAL(28,12)))::DOUBLE AS mi
+           FROM joint j JOIN dtot dt ON j.d = dt.d JOIN ttot tt ON j.t = tt.t
+           CROSS JOIN tot)
+         SELECT n_tokens, n_domains, ty.n_types, round(mi, 6) AS mi
+         FROM s CROSS JOIN ty""",
+
+    "q_domain_overlap" ->
+      raw"""WITH dt AS (
+           SELECT DISTINCT source AS d,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         v AS (SELECT d, count(*) AS vsz FROM dt GROUP BY d),
+         c AS (SELECT a.d AS domain_a, b.d AS domain_b, count(*) AS n_common
+               FROM dt a JOIN dt b ON a.token = b.token AND a.d < b.d
+               GROUP BY 1, 2)
+         SELECT domain_a, domain_b, va.vsz AS vocab_a, vb.vsz AS vocab_b, n_common,
+           round(n_common::DOUBLE / (va.vsz + vb.vsz - n_common)::DOUBLE, 6) AS jaccard
+         FROM c JOIN v va ON va.d = c.domain_a JOIN v vb ON vb.d = c.domain_b
+         ORDER BY domain_a, domain_b""",
+
+    // Registers and the estimator are the q_hll_distinct oracle's own
+    // CTEs; union registers are the per-pair max-merge, intersection is
+    // inclusion-exclusion on the ROUNDED estimates (mirrored in Scala).
+    "q_hll_overlap" ->
+      """WITH h AS (
+           SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 64 AS idx,
+             ('0x' || substr(md5(user_id::VARCHAR), 9, 8))::BIGINT AS hi
+           FROM events),
+         r AS (
+           SELECT event_type, idx,
+             max(CASE WHEN hi = 0 THEN 33 ELSE 33 - length(bin(hi)) END) AS rho
+           FROM h GROUP BY event_type, idx),
+         s AS (
+           SELECT event_type, count(*) AS nrs,
+             sum(power(0.5, rho)) + (64 - count(*)) AS s
+           FROM r GROUP BY event_type),
+         est AS (
+           SELECT event_type,
+             round(CASE WHEN (64 - nrs) > 0
+                         AND 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s <= 160.0
+                    THEN 64.0 * ln(64.0 / (64 - nrs))
+                    ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) AS est
+           FROM s),
+         pairs AS (
+           SELECT a.event_type AS ga, b.event_type AS gb
+           FROM (SELECT DISTINCT event_type FROM r) a
+           JOIN (SELECT DISTINCT event_type FROM r) b ON a.event_type < b.event_type),
+         ur AS (
+           SELECT ga, gb, idx, max(rho) AS rho FROM (
+             SELECT p.ga, p.gb, r.idx, r.rho FROM pairs p JOIN r ON r.event_type = p.ga
+             UNION ALL
+             SELECT p.ga, p.gb, r.idx, r.rho FROM pairs p JOIN r ON r.event_type = p.gb)
+           GROUP BY ga, gb, idx),
+         us AS (
+           SELECT ga, gb, count(*) AS nrs,
+             sum(power(0.5, rho)) + (64 - count(*)) AS s
+           FROM ur GROUP BY ga, gb),
+         uest AS (
+           SELECT ga, gb,
+             round(CASE WHEN (64 - nrs) > 0
+                         AND 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s <= 160.0
+                    THEN 64.0 * ln(64.0 / (64 - nrs))
+                    ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) AS est_union
+           FROM us)
+         SELECT u.ga AS group_a, u.gb AS group_b,
+           ea.est AS est_a, eb.est AS est_b, u.est_union,
+           round(ea.est + eb.est - u.est_union, 4) AS est_intersect
+         FROM uest u JOIN est ea ON ea.event_type = u.ga
+         JOIN est eb ON eb.event_type = u.gb
+         ORDER BY group_a, group_b""",
 
     "q_cm_sketch" ->
       """WITH tok AS (

@@ -354,6 +354,63 @@ object Profiling {
     * engine-exact. One hash aggregation over nine groups + a broadcast
     * total; expected shares are fixed-shape doubles.
     */
+  /** Per-group quantile normalization: percent_rank of `valueCol` within
+    * each group — the cross-domain calibration step that makes one
+    * quality threshold fair across sources whose raw score scales differ
+    * (a 0.9 cut then keeps the top decile of EVERY domain, not of
+    * whichever domain scores high). Rank-based, so ties get equal
+    * normalized scores in any engine; single-member groups land at 0 by
+    * the (rank−1)/(n−1) definition. One per-group window riding one
+    * exchange; O(1) state per row.
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol).asc)
+    df.select(col(idCol), col(groupCol), col(valueCol),
+      round(percent_rank().over(w), 9).as("qnorm"))
+  }
+
+  /** HLL set algebra between groups — the sketch-level answer to "how
+    * many values do groups share?" without ever materializing the value
+    * sets: registers max-merge (the HLL union monoid) per group PAIR,
+    * the union estimate runs through the SAME [[hllEstimate]]
+    * finalization as the per-group estimates, and the intersection
+    * falls out by inclusion-exclusion est_a + est_b − est_union (the
+    * standard HLL trick — small true intersections can estimate
+    * negative; that is the sketch's documented behavior, not an error).
+    *
+    * Scale shape: the register table is |groups|·m rows (the whole
+    * point), the pair frame is a group-CATALOG cross join (broadcast,
+    * never data-sized), and every estimate is sketch-state arithmetic.
+    */
+  def hllOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                 m: Int = 64): DataFrame = {
+    val regs = hllRegisters(df, Seq(groupCol), valueCol, m)
+    val per = hllEstimate(regs, Seq(groupCol), m)
+      .select(col(groupCol), col("est_distinct"))
+    val groups = regs.select(col(groupCol).as("_g")).distinct()
+    val pairs = groups.select(col("_g").as("group_a"))
+      .crossJoin(broadcast(groups.select(col("_g").as("group_b"))))
+      .where(col("group_a") < col("group_b"))
+    val ra = pairs.join(
+      regs.select(col(groupCol).as("group_a"), col("_idx"), col("_r")), Seq("group_a"))
+    val rb = pairs.join(
+      regs.select(col(groupCol).as("group_b"), col("_idx"), col("_r")), Seq("group_b"))
+    val unionRegs = ra.select("group_a", "group_b", "_idx", "_r")
+      .unionByName(rb.select("group_a", "group_b", "_idx", "_r"))
+      .groupBy("group_a", "group_b", "_idx").agg(max("_r").as("_r"))
+    val est = hllEstimate(unionRegs, Seq("group_a", "group_b"), m)
+      .select(col("group_a"), col("group_b"), col("est_distinct").as("est_union"))
+    est
+      .join(broadcast(per.select(col(groupCol).as("group_a"),
+        col("est_distinct").as("est_a"))), Seq("group_a"))
+      .join(broadcast(per.select(col(groupCol).as("group_b"),
+        col("est_distinct").as("est_b"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_intersect"))
+  }
+
   def benfordProfile(df: DataFrame, valueCol: Column): DataFrame = {
     val digits = df.where(valueCol >= 1.0)
       .select(substring(floor(valueCol).cast("bigint").cast("string"), 1, 1)

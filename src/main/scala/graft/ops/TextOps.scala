@@ -1816,6 +1816,68 @@ object TextOps {
         (col("_n").cast("decimal(38,0)") * col("_t")).cast("double"), 6).as("gini"))
   }
 
+  /** Mutual information between domain and token, I(D;T) =
+    * Σ p(d,t)·ln(p(t|d)/p(t)) — the single scalar answering "how much
+    * does knowing the source tell you about the language?" (0 =
+    * perfectly mixed corpus; high = domains are linguistic silos — the
+    * aggregate counterpart of C134's per-domain KL, which it equals in
+    * expectation over domains). Every count is exact; each term is the
+    * fixed shape (c_dt/N)·ln((c_dt/c_d)·(N/c_t)) — both factors near 1,
+    * overflow-proof, bit-identical cross-engine — and terms are
+    * decimal-summed, so the one output row hash-checks.
+    *
+    * Scale shape: one (domain, token) aggregate, two marginal
+    * aggregates, token-keyed join of vocabulary-sized tables
+    * (co-partitioned), domain marginals broadcast. No |D|·V expansion —
+    * only observed (d, t) cells carry rows.
+    */
+  def domainTokenMI(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(domainCol).as("_d"), explode(tokens(col(textCol))).as("_t"))
+    val joint = tok.groupBy("_d", "_t").agg(count(lit(1)).as("_cdt"))
+    val dtot = joint.groupBy("_d").agg(sum("_cdt").as("_cd"))
+    val ttot = joint.groupBy("_t").agg(sum("_cdt").as("_ct"))
+    val tot = dtot.agg(sum("_cd").as("_n"), count(lit(1)).as("n_domains"))
+    val types = ttot.agg(count(lit(1)).as("n_types"))
+    val term = (col("_cdt").cast("double") / col("_n").cast("double")) *
+      log((col("_cdt").cast("double") / col("_cd").cast("double")) *
+        (col("_n").cast("double") / col("_ct").cast("double")))
+    joint.join(broadcast(dtot), Seq("_d")).join(ttot, Seq("_t"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("_n")).as("n_tokens"), max(col("n_domains")).as("n_domains"),
+        Portable.decSum(term, 12).as("_mi"))
+      .crossJoin(broadcast(types))
+      .select(col("n_tokens"), col("n_domains"), col("n_types"),
+        round(col("_mi"), 6).as("mi"))
+  }
+
+  /** Pairwise domain vocabulary overlap: |V_a ∩ V_b| and Jaccard for
+    * every domain pair sharing at least one type — the source-similarity
+    * matrix behind dedup-across-mirrors and domain-merge decisions. The
+    * pair counts come from the basketPairs kernel transposed onto text
+    * (basket = TOKEN, items = the domains containing it): one
+    * vocabulary-sized aggregate, per-token fan-out C(k,2) bounded by the
+    * domain CATALOG, one shuffle — domain pair sets are never built by
+    * a vocabulary self-join. Counts exact; one division per pair row.
+    */
+  def domainVocabOverlap(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val dt = df.select(col(domainCol).as("_d"), explode(tokens(col(textCol))).as("_tok"))
+      .distinct()
+    val vocab = dt.groupBy("_d").agg(count(lit(1)).as("_v"))
+    val pairs = Relational.basketPairs(dt, "_tok", "_d")
+      .groupBy(col("item_a").as("domain_a"), col("item_b").as("domain_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(vocab.select(col("_d").as("domain_a"), col("_v").as("vocab_a"))),
+        Seq("domain_a"))
+      .join(broadcast(vocab.select(col("_d").as("domain_b"), col("_v").as("vocab_b"))),
+        Seq("domain_b"))
+      .select(col("domain_a"), col("domain_b"), col("vocab_a"), col("vocab_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Zipf rank-frequency slope: OLS of ln(count) on ln(rank) over the
     * top-k types (count-desc, token-asc — the C81 deterministic rank) —
     * the one-parameter naturalness fit (natural language ≈ −1; template

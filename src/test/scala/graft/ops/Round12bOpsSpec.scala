@@ -8,6 +8,8 @@ case class NamedRow(id: Long, name: String)
 case class EvRow(user_id: Long, event_id: Long, ts: Timestamp)
 case class ValRow(v: Double)
 case class DomDoc(doc_id: Long, source: String, text: String)
+case class ScoreRow(id: Long, grp: String, v: Long)
+case class GroupVal(g: String, v: Long)
 
 /** Round-12 late-batch operators: PassJoin bounded edit-distance join,
   * burstiness, Benford profile, Simpson diversity, Gini concentration,
@@ -182,6 +184,76 @@ class Round12bOpsSpec extends SparkSpec {
     assert(r.getLong(0) === 8L)
     assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-6,
       s"exact 1/r law must fit slope -1, got ${r.getAs[Double]("slope")}")
+  }
+
+  // ── Quantile normalization ────────────────────────────────────────────
+
+  test("quantileNormalize: ties share ranks, extremes hit 0 and 1, singletons land at 0") {
+    val rows = Seq(ScoreRow(1, "a", 10), ScoreRow(2, "a", 20), ScoreRow(3, "a", 20),
+      ScoreRow(4, "a", 40), ScoreRow(5, "solo", 99))
+    val got = Profiling.quantileNormalize(df(rows), "id", "grp", "v")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("qnorm")).toMap
+    assert(got(1L) === 0.0)
+    assert(math.abs(got(2L) - 1.0 / 3.0) < 1e-8)
+    assert(got(2L) === got(3L), "equal scores must normalize equally")
+    assert(got(4L) === 1.0)
+    assert(got(5L) === 0.0, "single-member group lands at 0 by (rank-1)/(n-1)")
+  }
+
+  // ── Domain-token mutual information ───────────────────────────────────
+
+  test("domainTokenMI: identical domains give 0, disjoint equal domains give ln 2") {
+    val same = Seq(DomDoc(1, "d1", "a b"), DomDoc(2, "d2", "a b"))
+    val mi0 = TextOps.domainTokenMI(df(same), "source", "text").collect().head
+    assert(mi0.getAs[Double]("mi") === 0.0)
+    val split = Seq(DomDoc(1, "d1", "a a"), DomDoc(2, "d2", "b b"))
+    val r = TextOps.domainTokenMI(df(split), "source", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_domains") === 2L)
+    assert(r.getAs[Long]("n_types") === 2L)
+    assert(math.abs(r.getAs[Double]("mi") - math.log(2.0)) < 1e-6,
+      "perfectly separated domains carry H(D) = ln 2 of information")
+  }
+
+  // ── Domain vocabulary overlap ─────────────────────────────────────────
+
+  test("domainVocabOverlap counts shared types and omits disjoint pairs") {
+    val docs = Seq(DomDoc(1, "d1", "a b c"), DomDoc(2, "d2", "b c d"), DomDoc(3, "d3", "x"))
+    val got = TextOps.domainVocabOverlap(df(docs), "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet === Set(("d1", "d2")), "zero-overlap pairs must not appear")
+    assert(got(("d1", "d2")) === ((3L, 3L, 2L, 0.5)))
+  }
+
+  // ── HLL overlap ───────────────────────────────────────────────────────
+
+  test("hllOverlap: identical groups coincide, disjoint groups grow the union") {
+    val a = (0L until 500L).map(GroupVal("A", _))
+    val b = (0L until 500L).map(GroupVal("B", _))      // identical to A
+    val c = (1000L until 1500L).map(GroupVal("C", _))  // disjoint from both
+    val got = Profiling.hllOverlap(df(a ++ b ++ c), "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"))).toMap
+    val ab = got(("A", "B"))
+    assert(ab._1 === ab._2)
+    assert(ab._3 === ab._1, "union of identical registers is the same sketch")
+    assert(ab._4 === ab._1, "inclusion-exclusion recovers the full intersection")
+    val ac = got(("A", "C"))
+    assert(ac._3 > ac._1 && ac._3 > ac._2, "disjoint values must grow the union estimate")
+    assert(ac._4 < ab._4, "disjoint intersection estimate must sit well below identical")
+    // union never exceeds the sum (register max-merge is monotone)
+    got.values.foreach(v => assert(v._3 <= v._1 + v._2 + 1e-9))
+  }
+
+  test("hllOverlap per-group estimates equal hllDistinct's own") {
+    val rows = (0L until 300L).map(GroupVal("A", _)) ++ (100L until 600L).map(GroupVal("B", _))
+    val per = Profiling.hllDistinct(df(rows), Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    val ov = Profiling.hllOverlap(df(rows), "g", "v").collect().head
+    assert(ov.getAs[Double]("est_a") === per("A"))
+    assert(ov.getAs[Double]("est_b") === per("B"))
   }
 
   test("zipfSlope respects the top-k cut and deterministic tie order") {
