@@ -224,6 +224,28 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_jaccard_prefix must read the persisted shingle artifact")
   }
 
+  test("clustering coefficient and assortativity ride the pair artifact, never the fact table") {
+    // Both r12 graph diagnostics read the committed co-occurrence pair
+    // parquet: assortativity's whole plan is artifact-fed; clustering's
+    // degree branch scans the artifact while its triangle branch enters
+    // as the kernel's eager localCheckpoint (LogicalRDD) — either way
+    // lineitem must appear in NEITHER executed plan.
+    Seq("q_clustering_coef", "q_assortativity").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val factScans = flatten(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.inputFiles.exists(_.contains("lineitem")) => s
+      }
+      withClue(s"$name: ") {
+        assert(factScans.isEmpty,
+          s"$name must read the pair artifact, found ${factScans.size} lineitem scans")
+        assert(df.queryExecution.executedPlan.toString.contains("graft_pairs_v1"),
+          s"$name must scan the persisted pair artifact")
+      }
+    }
+  }
+
   test("q_assoc_rules reads both PairStore artifacts and never the fact table") {
     // the association-rule contract (r12): confidence/lift are computed
     // from the committed pair-support and item-count artifacts alone —
