@@ -2449,6 +2449,20 @@ object SparkEntry {
       Profiling.hllOverlap(T(s, dir, "events"), "event_type", "user_id")
         .orderBy("group_a", "group_b")),
 
+    // RFM segmentation — recency/frequency/monetary quintile scores with
+    // boundaries off the C126 portable histogram sketch (never an ntile
+    // global sort over the user catalog).
+    "q_rfm" -> ((s, dir) =>
+      EventOps.rfmSegments(T(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // First/last-touch attribution: each purchase credited to the first
+    // and most recent preceding non-purchase event type of its user.
+    "q_attribution" -> ((s, dir) =>
+      EventOps.touchAttribution(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", "purchase")
+        .orderBy("event_id")),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -6293,6 +6307,86 @@ object SparkEntry {
          FROM uest u JOIN est ea ON ea.event_type = u.ga
          JOIN est eb ON eb.event_type = u.gb
          ORDER BY group_a, group_b""",
+
+    // Quintile boundaries replay the q_hist_quantiles sketch CTEs
+    // (UNROUNDED interpolation — the comparisons need the raw double);
+    // one histogram block per metric.
+    "q_rfm" -> {
+      def hb(metric: String, p: String): String =
+        s"""${p}ext AS (SELECT min($metric::DOUBLE) AS lo, max($metric::DOUBLE) AS hi,
+               count(*) AS n FROM per),
+         ${p}b AS (SELECT (CASE WHEN hi = lo THEN 0
+               ELSE least(floor(($metric::DOUBLE - lo) / ((hi - lo) / 128)), 127)
+             END)::BIGINT AS bin
+           FROM per CROSS JOIN ${p}ext),
+         ${p}c AS (SELECT bin, count(*) AS cnt FROM ${p}b GROUP BY bin),
+         ${p}cc AS (SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM ${p}c),
+         ${p}pick AS (
+           SELECT q, lo + bin::DOUBLE * ((hi - lo) / 128)
+               + ((q * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE) * ((hi - lo) / 128) AS est,
+             row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+           FROM ${p}cc CROSS JOIN ${p}ext CROSS JOIN qq
+           WHERE cum::DOUBLE >= q * n::DOUBLE),
+         ${p}bnd AS (SELECT
+             max(CASE WHEN q = 0.2 THEN est END) AS b20,
+             max(CASE WHEN q = 0.4 THEN est END) AS b40,
+             max(CASE WHEN q = 0.6 THEN est END) AS b60,
+             max(CASE WHEN q = 0.8 THEN est END) AS b80
+           FROM ${p}pick WHERE rn = 1)"""
+      s"""WITH ref AS (SELECT max(ts::DATE) AS ref FROM events),
+         per AS (
+           SELECT user_id,
+             date_diff('day', max(ts::DATE), ref.ref)::BIGINT AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(value AS DECIMAL(28,4)))::DOUBLE AS monetary
+           FROM events CROSS JOIN ref GROUP BY user_id, ref.ref),
+         qq AS (SELECT unnest([0.2::DOUBLE, 0.4::DOUBLE, 0.6::DOUBLE, 0.8::DOUBLE]) AS q),
+         ${hb("recency_days", "r")},
+         ${hb("frequency", "f")},
+         ${hb("monetary", "m")}
+         SELECT p.user_id, p.recency_days, p.frequency, p.monetary,
+           (1 + CASE WHEN p.recency_days::DOUBLE > rb.b20 THEN 1 ELSE 0 END
+              + CASE WHEN p.recency_days::DOUBLE > rb.b40 THEN 1 ELSE 0 END
+              + CASE WHEN p.recency_days::DOUBLE > rb.b60 THEN 1 ELSE 0 END
+              + CASE WHEN p.recency_days::DOUBLE > rb.b80 THEN 1 ELSE 0 END) AS r_score,
+           (1 + CASE WHEN p.frequency::DOUBLE > fb.b20 THEN 1 ELSE 0 END
+              + CASE WHEN p.frequency::DOUBLE > fb.b40 THEN 1 ELSE 0 END
+              + CASE WHEN p.frequency::DOUBLE > fb.b60 THEN 1 ELSE 0 END
+              + CASE WHEN p.frequency::DOUBLE > fb.b80 THEN 1 ELSE 0 END) AS f_score,
+           (1 + CASE WHEN p.monetary > mb.b20 THEN 1 ELSE 0 END
+              + CASE WHEN p.monetary > mb.b40 THEN 1 ELSE 0 END
+              + CASE WHEN p.monetary > mb.b60 THEN 1 ELSE 0 END
+              + CASE WHEN p.monetary > mb.b80 THEN 1 ELSE 0 END) AS m_score,
+           ((1 + CASE WHEN p.recency_days::DOUBLE > rb.b20 THEN 1 ELSE 0 END
+               + CASE WHEN p.recency_days::DOUBLE > rb.b40 THEN 1 ELSE 0 END
+               + CASE WHEN p.recency_days::DOUBLE > rb.b60 THEN 1 ELSE 0 END
+               + CASE WHEN p.recency_days::DOUBLE > rb.b80 THEN 1 ELSE 0 END) * 100
+            + (1 + CASE WHEN p.frequency::DOUBLE > fb.b20 THEN 1 ELSE 0 END
+                 + CASE WHEN p.frequency::DOUBLE > fb.b40 THEN 1 ELSE 0 END
+                 + CASE WHEN p.frequency::DOUBLE > fb.b60 THEN 1 ELSE 0 END
+                 + CASE WHEN p.frequency::DOUBLE > fb.b80 THEN 1 ELSE 0 END) * 10
+            + (1 + CASE WHEN p.monetary > mb.b20 THEN 1 ELSE 0 END
+                 + CASE WHEN p.monetary > mb.b40 THEN 1 ELSE 0 END
+                 + CASE WHEN p.monetary > mb.b60 THEN 1 ELSE 0 END
+                 + CASE WHEN p.monetary > mb.b80 THEN 1 ELSE 0 END))::BIGINT AS segment
+         FROM per p CROSS JOIN rbnd rb CROSS JOIN fbnd fb CROSS JOIN mbnd mb
+         ORDER BY user_id"""
+    },
+
+    "q_attribution" ->
+      """SELECT event_id, user_id, first_touch, last_touch FROM (
+           SELECT event_id, user_id, event_type,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+           FROM events)
+         WHERE event_type = 'purchase' ORDER BY event_id""",
 
     "q_cm_sketch" ->
       """WITH tok AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -218,6 +218,83 @@ object EventOps {
       .select(col(userCol), col("n_gaps"),
         round(mu, 3).as("mean_gap_us"),
         round((sigma - mu) / (sigma + mu), 6).as("burstiness"))
+  }
+
+  /** RFM segmentation: per-user recency (days since last event, against
+    * the corpus max date), frequency (event count) and monetary (exact
+    * decimal-summed value), each scored into quintiles 1–5 — the classic
+    * behavioral-segmentation primitive (churn targeting, whale
+    * detection) with `segment` = r·100 + f·10 + m.
+    *
+    * The quintile boundaries come from the C126 portable histogram
+    * sketch over the per-user metric frames (constant group) — NOT from
+    * ntile, whose global sort would put every user through one
+    * partition at 100 TB user cardinalities. Boundaries are the
+    * UNROUNDED fixed-shape interpolations (histogramQuantilesRaw), so
+    * the comparisons are engine-identical; each score is
+    * 1 + Σ [metric > boundary_q] — a broadcast 1-row join + three
+    * codegen'd comparisons per user row. Deterministic: all inputs to
+    * every comparison are exact counts, integer day diffs, or decimal
+    * sums.
+    *
+    * Score orientation: every score is the ASCENDING-value quintile
+    * index — r_score 1 = most recent (recency_days small), f/m_score 5
+    * = most frequent / highest spend. Callers wanting the inverted
+    * marketing convention for recency apply 6 - r_score.
+    */
+  def rfmSegments(df: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, nBins: Int = 128): DataFrame = {
+    val ref = df.agg(max(to_date(col(tsCol))).as("_ref"))
+    val per = df.groupBy(userCol).agg(
+      max(to_date(col(tsCol))).as("_last"),
+      count(lit(1)).as("frequency"),
+      Portable.decSum(col(valueCol).cast("double"), 4).as("_mon"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("_ref"), col("_last")).cast("long"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def bounds(metric: String, prefix: String): DataFrame = {
+      val pivots = qs.map(q => max(when(col("q") === q,
+        col("_est_raw"))).as(s"$prefix${(q * 100).round}"))
+      Profiling.histogramQuantilesRaw(
+          per.select(lit(1).as("_g"), col(metric)), Seq("_g"), metric, nBins, qs)
+        .groupBy("_g")
+        .agg(pivots.head, pivots.tail: _*)
+        .drop("_g")
+    }
+    def score(c: Column, prefix: String): Column =
+      lit(1) + qs.map(q => when(c > col(s"$prefix${(q * 100).round}"), 1).otherwise(0))
+        .reduce(_ + _)
+    per
+      .crossJoin(broadcast(bounds("recency_days", "_rb")))
+      .crossJoin(broadcast(bounds("frequency", "_fb")))
+      .crossJoin(broadcast(bounds("_mon", "_mb")))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("_mon").as("monetary"),
+        score(col("recency_days").cast("double"), "_rb").as("r_score"),
+        score(col("frequency").cast("double"), "_fb").as("f_score"),
+        score(col("_mon"), "_mb").as("m_score"))
+      .withColumn("segment",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("long"))
+  }
+
+  /** First-touch / last-touch attribution: for every conversion event,
+    * the first and the most recent PRECEDING non-conversion event type
+    * of the same user — the channel-credit primitive marketing analytics
+    * runs on every touch log. One per-user ordered window carrying both
+    * ignore-null extremes (first_value/last_value over the unbounded-
+    * preceding frame), O(1) state per row, conversions with no prior
+    * touch keep NULLs (they are data, not an error).
+    */
+  def touchAttribution(df: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String, convType: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    df.select(col(tieCol), col(userCol), col(typeCol),
+        first(touch, ignoreNulls = true).over(w).as("first_touch"),
+        last(touch, ignoreNulls = true).over(w).as("last_touch"))
+      .where(col(typeCol) === convType)
+      .drop(typeCol)
   }
 
   /** Per-user gap moments of ONE time-contiguous event segment — the

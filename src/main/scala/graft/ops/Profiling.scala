@@ -218,7 +218,19 @@ object Profiling {
     * state per group.
     */
   def histogramQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                         nBins: Int, qs: Seq[Double]): DataFrame = {
+                         nBins: Int, qs: Seq[Double]): DataFrame =
+    histogramQuantilesRaw(df, groupCols, valueCol, nBins, qs)
+      .withColumn("est", round(col("_est_raw"), 6))
+      .select((groupCols.map(col) ++ Seq(col("q"), col("est"))): _*)
+
+  /** [[histogramQuantiles]] before the display rounding: `_est_raw` is
+    * the pure fixed-shape IEEE interpolation (engine-identical without
+    * any decimal snapshot), which is what THRESHOLD consumers (the RFM
+    * quintile scorer) must compare against — a rounded boundary would
+    * reclassify rows sitting inside the rounding radius.
+    */
+  def histogramQuantilesRaw(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                            nBins: Int, qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol).cast("double")
@@ -242,11 +254,10 @@ object Profiling {
       .where(col("_cum").cast("double") >= target)
       .withColumn("_rn", row_number().over(wPick))
       .where(col("_rn") === 1)
-      .withColumn("est", round(
+      .withColumn("_est_raw",
         col("_lo") + col("_bin").cast("double") * wBin +
-          ((target - (col("_cum") - col("_cnt")).cast("double")) / col("_cnt").cast("double")) * wBin,
-        6))
-      .select((groupCols.map(col) ++ Seq(col("q"), col("est"))): _*)
+          ((target - (col("_cum") - col("_cnt")).cast("double")) / col("_cnt").cast("double")) * wBin)
+      .select((groupCols.map(col) ++ Seq(col("q"), col("_est_raw"))): _*)
   }
 
   /** Per-(group, bin) counts against EXPLICIT edges [lo, hi] — the

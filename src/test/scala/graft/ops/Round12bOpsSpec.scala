@@ -256,6 +256,65 @@ class Round12bOpsSpec extends SparkSpec {
     assert(ov.getAs[Double]("est_b") === per("B"))
   }
 
+  // ── RFM segmentation ──────────────────────────────────────────────────
+
+  case class RfmEv(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+  test("rfmSegments: quintile scores are monotone in each metric and span 1..5") {
+    // user u (1..10): u+1 events, last day 2024-01-u, value u per event —
+    // all three metrics strictly increasing in u (recency DEcreasing).
+    val rows = (1 to 10).flatMap { u =>
+      (0 to u).map { i =>
+        RfmEv(u.toLong, u * 100L + i,
+          Timestamp.valueOf(f"2024-01-${u}%02d 0$i:00:00"), u.toDouble)
+      }
+    }
+    val got = EventOps.rfmSegments(df(rows), "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getLong(7))).toMap
+    got.values.foreach { case (_, _, rs, fs, ms, seg) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(seg === rs * 100L + fs * 10L + ms)
+    }
+    // monotone: higher u -> later last day -> smaller recency -> r_score falls;
+    // frequency/monetary rise -> f/m scores rise
+    val byU = (1 to 10).map(u => got(u.toLong))
+    assert(byU.map(_._3).zip(byU.tail.map(_._3)).forall { case (a, b) => a >= b },
+      "r_score must be non-increasing in u (ascending-value quintile of recency)")
+    assert(byU.map(_._4).zip(byU.tail.map(_._4)).forall { case (a, b) => a <= b })
+    assert(byU.map(_._5).zip(byU.tail.map(_._5)).forall { case (a, b) => a <= b })
+    assert(got(10L)._3 === 1, "the most recent user sits in the first recency quintile")
+    assert(got(1L)._3 === 5)
+    assert(got(1L)._4 === 1)
+    assert(got(10L)._4 === 5)
+    assert(got(10L)._5 === 5)
+  }
+
+  // ── Touch attribution ─────────────────────────────────────────────────
+
+  case class TouchEv(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+
+  test("touchAttribution credits first and last preceding touch; cold conversions keep nulls") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      TouchEv(1, 1, t(1), "view"), TouchEv(1, 2, t(2), "click"),
+      TouchEv(1, 3, t(3), "purchase"),
+      TouchEv(1, 4, t(4), "error"), TouchEv(1, 5, t(5), "purchase"),
+      TouchEv(2, 6, t(1), "purchase"),  // no prior touch
+      TouchEv(2, 7, t(2), "signup"), TouchEv(2, 8, t(3), "purchase"))
+    val got = EventOps.touchAttribution(df(rows), "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(got(3L) === ((Some("view"), Some("click"))))
+    assert(got(5L) === ((Some("view"), Some("error"))),
+      "a prior purchase must not be credited as a touch")
+    assert(got(6L) === ((None, None)))
+    assert(got(8L) === ((Some("signup"), Some("signup"))))
+    assert(got.keySet === Set(3L, 5L, 6L, 8L))
+  }
+
   test("zipfSlope respects the top-k cut and deterministic tie order") {
     val text = "a a a b b c"
     val r = TextOps.zipfSlope(df(Seq(DomDoc(1, "d", text))), "text", 2).collect().head
