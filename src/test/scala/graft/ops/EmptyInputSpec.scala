@@ -180,4 +180,35 @@ class EmptyInputSpec extends SparkSpec {
       assert(r.getAs[Long]("n_distinct") === 0L)
     }
   }
+
+  test("round-12 third-wave operators on empty inputs") {
+    val emptyEvents = df(Seq.empty[Ev12]).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"), col("value"))
+    val emptyNames = df(Seq.empty[Nm12])
+    assert(Linkage.editDistSelfJoin(emptyNames, "id", "name", tau = 2).count() === 0)
+    assert(EventOps.burstiness(emptyEvents, "user_id", "ts", "event_id").count() === 0)
+    assert(EventOps.rfmSegments(emptyEvents, "user_id", "ts", "value").count() === 0)
+    assert(EventOps.touchAttribution(emptyEvents, "user_id", "ts", "event_id",
+      "event_type", "purchase").count() === 0)
+    assert(Profiling.benfordProfile(emptyEvents, col("value")).count() === 0)
+    assert(Profiling.quantileNormalize(emptyEvents, "event_id", "event_type",
+      "value").count() === 0)
+    assert(Profiling.hllOverlap(emptyEvents, "event_type", "user_id").count() === 0)
+    val srcDocs = emptyDocs.withColumn("source", lit("x"))
+    assert(TextOps.simpsonDiversity(srcDocs, "source", "text").count() === 0)
+    assert(TextOps.giniConcentration(emptyDocs, "text").count() === 1,
+      "gini emits its single summary row (null-valued) even on empty input")
+    assert(TextOps.zipfSlope(emptyDocs, "text", 10).count() === 1)
+    assert(TextOps.domainTokenMI(srcDocs, "source", "text").count() === 1)
+    assert(TextOps.domainVocabOverlap(srcDocs, "source", "text").count() === 0)
+    val emptyEdges = df(Seq.empty[Ed12])
+    assert(Graph.clusteringCoefficients(emptyEdges, "a", "b").count() === 0)
+    assert(Graph.degreeAssortativity(emptyEdges, "a", "b").count() === 1,
+      "assortativity is a one-row scalar frame; NULL value on no edges")
+  }
 }
+
+case class Ev12(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                event_type: String, value: Double)
+case class Nm12(id: Long, name: String)
+case class Ed12(a: Long, b: Long)
