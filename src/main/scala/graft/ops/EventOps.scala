@@ -245,29 +245,38 @@ object EventOps {
   def rfmSegments(df: DataFrame, userCol: String, tsCol: String,
                   valueCol: String, nBins: Int = 128): DataFrame = {
     val ref = df.agg(max(to_date(col(tsCol))).as("_ref"))
+    // Materialized EAGERLY (the triangleCounts caveat: plan construction
+    // runs a job): the per-user frame feeds three boundary histograms
+    // (two passes each) plus the final scoring join — seven consumers
+    // that would otherwise each rescan the raw event log. One
+    // user-catalog-sized frame, the same state class as kCore's degree
+    // frames.
     val per = df.groupBy(userCol).agg(
       max(to_date(col(tsCol))).as("_last"),
       count(lit(1)).as("frequency"),
       Portable.decSum(col(valueCol).cast("double"), 4).as("_mon"))
       .crossJoin(broadcast(ref))
       .withColumn("recency_days", datediff(col("_ref"), col("_last")).cast("long"))
+      .localCheckpoint(true)
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
-    def bounds(metric: String, prefix: String): DataFrame = {
-      val pivots = qs.map(q => max(when(col("q") === q,
-        col("_est_raw"))).as(s"$prefix${(q * 100).round}"))
-      Profiling.histogramQuantilesRaw(
-          per.select(lit(1).as("_g"), col(metric)), Seq("_g"), metric, nBins, qs)
-        .groupBy("_g")
-        .agg(pivots.head, pivots.tail: _*)
-        .drop("_g")
-    }
+    // ONE grouped histogram pass over the three metrics stacked as
+    // (metric, value) — each group's sketch is computed independently so
+    // the boundaries are identical to three separate passes, at a third
+    // of the pipeline cost.
+    val metrics = per
+      .select(lit("r").as("_m"), col("recency_days").cast("double").as("_v"))
+      .unionByName(per.select(lit("f").as("_m"), col("frequency").cast("double").as("_v")))
+      .unionByName(per.select(lit("m").as("_m"), col("_mon").as("_v")))
+    val pivots = for (m <- Seq("r", "f", "m"); q <- qs)
+      yield max(when(col("_m") === m && col("q") === q, col("_est_raw")))
+        .as(s"_${m}b${(q * 100).round}")
+    val bounds = Profiling.histogramQuantilesRaw(metrics, Seq("_m"), "_v", nBins, qs)
+      .agg(pivots.head, pivots.tail: _*)
     def score(c: Column, prefix: String): Column =
       lit(1) + qs.map(q => when(c > col(s"$prefix${(q * 100).round}"), 1).otherwise(0))
         .reduce(_ + _)
     per
-      .crossJoin(broadcast(bounds("recency_days", "_rb")))
-      .crossJoin(broadcast(bounds("frequency", "_fb")))
-      .crossJoin(broadcast(bounds("_mon", "_mb")))
+      .crossJoin(broadcast(bounds))
       .select(col(userCol), col("recency_days"), col("frequency"),
         col("_mon").as("monetary"),
         score(col("recency_days").cast("double"), "_rb").as("r_score"),
