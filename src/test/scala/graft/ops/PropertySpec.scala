@@ -248,4 +248,39 @@ class PropertySpec extends SparkSpec {
       assert(merged === whole)
     }
   }
+
+  // ── PassJoin segment blocking (C142) ──────────────────────────────────
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistSelfJoin is lossless for any corpus at tau in {1, 2}") {
+    // Small alphabet + short strings maximize near-miss density — the
+    // regime where a broken segment/shift window actually drops pairs.
+    val strGen = for {
+      n <- Gen.choose(3, 9)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpusGen = Gen.nonEmptyListOf(strGen)
+    for (tau <- Seq(1, 2)) {
+      samples(corpusGen, 6).foreach { strs =>
+        val rows = strs.distinct.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        val in = spark.createDataFrame(rows).toDF("id", "name")
+        val got = Linkage.editDistSelfJoin(in, "id", "name", tau)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = (for {
+          a <- rows; b <- rows if a._1 < b._1
+          d = levRef(a._2, b._2) if d <= tau
+        } yield (a._1, b._1, d.toLong)).toSet
+        assert(got === want, s"tau=$tau corpus=${strs.distinct}")
+      }
+    }
+  }
 }
