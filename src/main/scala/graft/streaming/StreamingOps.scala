@@ -687,6 +687,69 @@ object StreamingOps {
       .toDF(projected.schema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** Keyed streaming first/last-touch attribution — the streaming twin
+    * of EventOps.touchAttribution (C155), on engine-checkpointed per-user
+    * state (the cdcApplyKeyed production shape, not a frame state): each
+    * user's state is just (first_touch, last_touch, last_us, last_tie) —
+    * O(1) per user forever — and every arriving conversion emits its
+    * credit row in the micro-batch it arrives in (append mode).
+    *
+    * Ordering contract: per user, arrivals must be append-log time
+    * ordered ACROSS batches (WITHIN a batch the group sorts itself); a
+    * row at or before the state's high-water (us, tie) mark throws
+    * rather than silently mis-crediting — the same loud refusal as
+    * BurstinessState, with the batch operator as the adjudicator for
+    * unordered logs. State never expires: a user's first touch is
+    * meaningful for their whole lifetime (pair with a TTL policy
+    * upstream if the log retires users).
+    */
+  def attributionKeyed(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val keyType = events.schema(userCol).dataType
+    require(keyType == StringType || keyType == LongType || keyType == IntegerType ||
+        keyType == ShortType || keyType == ByteType,
+      s"attributionKeyed requires an integral or string user column; '$userCol' is $keyType")
+    val projected = events.select(col(userCol), col(tieCol).cast("long").as(tieCol),
+      unix_micros(col(tsCol)).as("_us"), col(typeCol).cast("string").as(typeCol))
+    val outSchema = StructType(Seq(
+      StructField(tieCol, LongType),
+      projected.schema(userCol),
+      StructField("first_touch", StringType),
+      StructField("last_touch", StringType)))
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    implicit val stEnc: org.apache.spark.sql.Encoder[(String, String, Long, Long)] =
+      Encoders.product[(String, String, Long, Long)]
+    def step(k: String, rows: Iterator[Row],
+             state: GroupState[(String, String, Long, Long)]): Iterator[Row] = {
+      var (first, lastT, lastUs, lastTie) =
+        state.getOption.getOrElse((null: String, null: String, Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer[Row]()
+      rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
+        val us = r.getLong(2)
+        val tie = r.getLong(1)
+        if (us < lastUs || (us == lastUs && tie <= lastTie))
+          throw new IllegalStateException(
+            s"attributionKeyed: out-of-order arrival for user $k — event " +
+              s"($us, $tie) at or before the merged high-water ($lastUs, $lastTie); " +
+              "this state requires per-user append-log time order " +
+              "(use the batch operator for unordered logs)")
+        val tpe = r.getString(3)
+        if (tpe == convType) out += Row(tie, r.get(0), first, lastT)
+        else { if (first == null) first = tpe; lastT = tpe }
+        lastUs = us
+        lastTie = tie
+      }
+      state.update((first, lastT, lastUs, lastTie))
+      out.iterator
+    }
+    projected.groupByKey((r: Row) => r.get(0).toString)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+      .toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** Streaming twin of TextOps.dedupExact: fingerprint each arriving
     * document (md5 over whitespace-normalized, lower-cased text — the
     * same portable recipe as batch) and emit only the first occurrence

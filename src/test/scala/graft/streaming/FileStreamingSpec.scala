@@ -910,6 +910,71 @@ class FileStreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("out-of-order"))
   }
 
+  test("attributionKeyed converges to batch attribution across a time-split arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "event_id", "ts", "event_type")
+    val rows = events.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getTimestamp(2), r.getString(3)))
+      .sortBy(r => (r._3.getTime, r._2))
+    val (firstHalf, secondHalf) = rows.splitAt(rows.length / 2)
+
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val out = StreamingOps.attributionKeyed(
+      in.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+    val q = out.writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(firstHalf.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(secondHalf.toIndexedSeq)
+      q.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (Option(r.getString(2)), Option(r.getString(3)))).toMap
+      val streamed = toMap(spark.table("attr_stream")
+        .select("event_id", "user_id", "first_touch", "last_touch"))
+      val batch = toMap(EventOps.touchAttribution(events, "user_id", "ts",
+        "event_id", "event_type", "purchase"))
+      assert(streamed === batch,
+        "keyed state must reproduce the batch credit rows exactly")
+      // the split must produce conversions whose credited touches span
+      // the two arrivals, or cross-batch state was never exercised
+      val firstIds = firstHalf.map(_._2).toSet
+      val crossBatch = secondHalf.filter(_._4 == "purchase").map(_._2)
+        .filter(id => batch.get(id).exists(_._1.isDefined))
+      assert(crossBatch.nonEmpty, "fixture must carry cross-arrival conversions")
+      assert(firstIds.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("attributionKeyed refuses out-of-order cross-batch arrivals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val out = StreamingOps.attributionKeyed(
+      in.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+    val q = out.writeStream.format("memory").queryName("attr_bad")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 10L, t(5), "view"))
+      q.processAllAvailable()
+      in.addData((1L, 9L, t(3), "click")) // predates the high-water mark
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("out-of-order") ||
+        Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+    } finally q.stop()
+  }
+
   test("cdcApplyKeyed rejects non-integral/string key columns at entry") {
     // The state-store grouping key is the key column rendered to string —
     // injective for integral/string keys only. A Double key must fail
