@@ -56,9 +56,20 @@ class PlanInvariantsSpec extends SparkSpec {
     // (q_pipeline_prep is excluded: its documents scan runs inside the
     // eager dedup-stage checkpoint, so the returned plan reads the
     // materialized RDD, not parquet)
-    val textOnly = Seq("q_text_tokens", "q_wordcount", "q_dedup_exact",
-      "q_simhash", "q_contamination")
-    textOnly.foreach { name =>
+    val pruned = Seq(
+      "q_text_tokens" -> Set("doc_id", "text"),
+      "q_wordcount" -> Set("doc_id", "text"),
+      "q_dedup_exact" -> Set("doc_id", "text"),
+      "q_simhash" -> Set("doc_id", "text"),
+      "q_contamination" -> Set("doc_id", "text"),
+      // r12 distribution diagnostics: token-only queries must not drag
+      // doc_id/lang/n_chars through the scan; domain queries add source
+      "q_gini" -> Set("text"),
+      "q_zipf_slope" -> Set("text"),
+      "q_simpson" -> Set("source", "text"),
+      "q_domain_mi" -> Set("source", "text"),
+      "q_domain_overlap" -> Set("source", "text"))
+    pruned.foreach { case (name, allowed) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
       val scans = flatten(plan).collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec
@@ -68,7 +79,7 @@ class PlanInvariantsSpec extends SparkSpec {
       scans.foreach { s =>
         val read = s.requiredSchema.fieldNames.toSet
         withClue(s"$name reads ${read.mkString(",")}: ") {
-          assert(read.subsetOf(Set("doc_id", "text")))
+          assert(read.subsetOf(allowed))
         }
       }
     }
