@@ -2463,6 +2463,13 @@ object SparkEntry {
           "event_id", "event_type", "purchase")
         .orderBy("event_id")),
 
+    // Interpolated Kneser-Ney bigram scoring — the production LM quality
+    // filter: absolute discounting + continuation probabilities, every
+    // count exact, distribution sums to 1 per context (spec-proven).
+    "q_kn_logprob" -> ((s, dir) =>
+      TextOps.knBigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -6387,6 +6394,33 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
            FROM events)
          WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    // Mirrors TextOps.knBigramLogProb's fixed shapes exactly:
+    // p = (max(cbg−D,0) + (D·n1f)·(n1p/B)) / cu, D = 0.75.
+    "q_kn_logprob" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM t),
+         model AS (SELECT bigram, count(*) AS cbg FROM bg GROUP BY bigram),
+         m2 AS (SELECT bigram, cbg, split_part(bigram, ' ', 1) AS w1,
+                  split_part(bigram, ' ', 2) AS w2 FROM model),
+         ctx AS (SELECT w1, sum(cbg)::BIGINT AS cu, count(*) AS n1f FROM m2 GROUP BY w1),
+         cont AS (SELECT w2, count(*) AS n1p FROM m2 GROUP BY w2),
+         bt AS (SELECT count(*) AS btypes FROM model)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           round(sum(CAST(ln(
+               (greatest(m.cbg::DOUBLE - 0.75, 0.0) +
+                (0.75 * c.n1f::DOUBLE) * (p.n1p::DOUBLE / bt.btypes::DOUBLE))
+               / c.cu::DOUBLE)
+             AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS kn_logprob
+         FROM bg b JOIN model m USING (bigram)
+         JOIN ctx c ON c.w1 = split_part(b.bigram, ' ', 1)
+         JOIN cont p ON p.w2 = split_part(b.bigram, ' ', 2)
+         CROSS JOIN bt
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
 
     "q_cm_sketch" ->
       """WITH tok AS (

@@ -99,6 +99,51 @@ object TextOps {
         round(Portable.decSum(logp, 12) / count(lit(1)), 6).as("logprob"))
   }
 
+  /** Per-document average log-probability under an interpolated
+    * Kneser-Ney bigram model trained on the corpus itself — the
+    * production-grade LM quality filter (the CCNet recipe) a notch above
+    * C67's add-1 bigram score: absolute discounting moves mass from seen
+    * bigrams to a CONTINUATION distribution P_cont(w) = N1+(·w)/B that
+    * scores a word by how many distinct contexts it follows, not how
+    * often it occurs — the property that stops "Francisco" looking
+    * likely after everything just because "San Francisco" is frequent.
+    *
+    *   P(w|v) = [max(c(vw)−D, 0) + D·N1+(v·)·P_cont(w)] / c(v·)
+    *
+    * with D = `discount` and every count exact; Σ_w P(w|v) = 1 exactly
+    * (spec-proven by a plain-Scala referee). Evaluation touches only
+    * OBSERVED bigrams (the model trains on the scored corpus, so
+    * c(vw) ≥ 1 at eval). The numerator/denominator shapes are fixed and
+    * mirrored by the oracle; per-doc terms decimal-summed. Same
+    * broadcast posture as [[bigramLogProb]]: the model/context tables
+    * are vocabulary-sized aggregates broadcast into the fact-sized
+    * bigram stream, which never shuffles on its skewed keys.
+    */
+  def knBigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    val bg = df.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("_w2", substring_index(col("bigram"), " ", -1))
+    val model = df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("_cbg"))
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("_w2", substring_index(col("bigram"), " ", -1))
+    val ctx = model.groupBy("_w1").agg(sum("_cbg").as("_cu"), count(lit(1)).as("_n1f"))
+    val cont = model.groupBy("_w2").agg(count(lit(1)).as("_n1p"))
+    val btypes = model.agg(count(lit(1)).as("_btypes"))
+    val p = (greatest(col("_cbg").cast("double") - discount, lit(0.0)) +
+      (lit(discount) * col("_n1f").cast("double")) *
+        (col("_n1p").cast("double") / col("_btypes").cast("double"))) /
+      col("_cu").cast("double")
+    bg.join(broadcast(model.select("bigram", "_cbg")), Seq("bigram"))
+      .join(broadcast(ctx), Seq("_w1"))
+      .join(broadcast(cont), Seq("_w2"))
+      .crossJoin(broadcast(btypes))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(Portable.decSum(log(p), 12) / count(lit(1)), 6).as("kn_logprob"))
+  }
+
   /** Collocations by pointwise mutual information: every adjacent-token
     * bigram with corpus count ≥ `minCount`, scored
     * PMI = ln(p(ab) / (p(a)·p(b))) — the association measure that

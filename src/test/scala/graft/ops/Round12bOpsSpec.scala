@@ -315,6 +315,50 @@ class Round12bOpsSpec extends SparkSpec {
     assert(got.keySet === Set(3L, 5L, 6L, 8L))
   }
 
+  // ── Kneser-Ney bigram scoring ─────────────────────────────────────────
+
+  /** Plain-Scala interpolated-KN referee over a token list corpus. */
+  private def knReferee(docs: Seq[Seq[String]], d: Double)
+      : (Map[(String, String), Double], Map[String, Double]) = {
+    val bgs = docs.flatMap(ts => ts.zip(ts.tail))
+    val cbg = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cu = cbg.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1f = cbg.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1p = cbg.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val b = cbg.size.toLong
+    def p(v: String, w: String): Double =
+      (math.max(cbg.getOrElse((v, w), 0L).toDouble - d, 0.0) +
+        (d * n1f(v)) * (n1p.getOrElse(w, 0L).toDouble / b)) / cu(v)
+    val vocab = docs.flatten.distinct
+    val sums = cu.keys.map(v => v -> vocab.map(w => p(v, w)).sum).toMap
+    (cbg.keys.map(k => k -> p(k._1, k._2)).toMap, sums)
+  }
+
+  test("knBigramLogProb: distribution sums to 1 per context; referee score parity") {
+    val texts = Seq("the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog", "san francisco san francisco san jose")
+    val docs = texts.map(_.split(" ").toSeq)
+    val (probs, sums) = knReferee(docs, 0.75)
+    sums.foreach { case (v, s) =>
+      assert(math.abs(s - 1.0) < 1e-12, s"sum over vocab for context '$v'")
+    }
+    val rows = texts.zipWithIndex.map { case (t, i) => DomDoc(i.toLong, "d", t) }
+    val got = TextOps.knBigramLogProb(df(rows), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("kn_logprob"))).toMap
+    docs.zipWithIndex.foreach { case (ts, i) =>
+      val bgs = ts.zip(ts.tail)
+      val want = bgs.map(bg => math.log(probs(bg))).sum / bgs.size
+      assert(got(i.toLong)._1 === bgs.size.toLong)
+      assert(math.abs(got(i.toLong)._2 - math.rint(want * 1e6) / 1e6) < 1e-6, s"doc $i")
+    }
+    // continuation semantics: "francisco" occurs 2x but follows ONLY
+    // "san", so its continuation mass is low relative to its frequency —
+    // KN must score (the unseen-context-diverse) "sat -> on" bigram above
+    // a same-count bigram whose successor is context-poor; sanity-check
+    // the ingredient directly
+    assert(probs(("on", "the")) > 0.0)
+  }
+
   test("zipfSlope respects the top-k cut and deterministic tie order") {
     val text = "a a a b b c"
     val r = TextOps.zipfSlope(df(Seq(DomDoc(1, "d", text))), "text", 2).collect().head
