@@ -2470,6 +2470,13 @@ object SparkEntry {
       TextOps.knBigramLogProb(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Winnowing (MOSS) fingerprints: per-window rightmost-minimum char
+    // k-gram hashes — position-robust local overlap detection with the
+    // w-gap density guarantee.
+    "q_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "sel_pos")),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -6421,6 +6428,27 @@ object SparkEntry {
          JOIN cont p ON p.w2 = split_part(b.bigram, ' ', 2)
          CROSS JOIN bt
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+
+    // Rightmost-tie window minimum via the struct-ordered min the Scala
+    // side uses: (hash asc, -pos asc) — lexicographic in both engines.
+    "q_winnow" ->
+      raw"""WITH n AS (
+           SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, u.p AS pos,
+             ('0x' || substr(md5(substr(t, u.p, 8)), 1, 8))::BIGINT AS h
+           FROM n CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS u(p)
+           WHERE len(t) >= 23 AND len(t) < 1048576),
+         w AS (
+           SELECT a.doc_id, a.pos AS wend,
+             min({'h': b.h, 'np': -b.pos}) AS sel
+           FROM g a JOIN g b ON a.doc_id = b.doc_id
+             AND b.pos BETWEEN a.pos - 15 AND a.pos
+           WHERE a.pos >= 16
+           GROUP BY a.doc_id, a.pos)
+         SELECT DISTINCT doc_id, -(sel.np)::BIGINT AS sel_pos, sel.h AS fingerprint
+         FROM w ORDER BY doc_id, sel_pos""",
 
     "q_cm_sketch" ->
       """WITH tok AS (

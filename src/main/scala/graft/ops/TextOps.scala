@@ -1798,6 +1798,55 @@ object TextOps {
       .select("rank", "token", "cnt", "cum_share")
   }
 
+  /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken, SIGMOD 2003 —
+    * the MOSS scheme): hash every char k-gram of the whitespace-
+    * normalized lowercased text, slide a window of `w` consecutive
+    * hashes, select each window's MINIMUM (ties to the RIGHTMOST
+    * occurrence — the robust-winnowing rule), dedup. The two guarantees
+    * that make it the standard local fingerprinting scheme (both
+    * spec-proven): any shared substring of length ≥ w + k − 1 yields a
+    * shared fingerprint (detection), and consecutive selections are
+    * never more than w positions apart (density ≤ 2/(w+1) expected —
+    * bounded index size). Complements the global/stride fingerprint
+    * family (C10/C118): position-robust local overlap without aligning
+    * to any stride grid.
+    *
+    * Scale shape: one explode to n−k+1 gram rows, one per-doc ordered
+    * window (O(w) state), one distinct — the selection never leaves the
+    * doc's partition until the final dedup. The rightmost-tie min rides
+    * a single struct-ordered `min` (hash asc, then −pos asc), identical
+    * lexicographic semantics in both engines.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 16): DataFrame = {
+    // (hash, rightmost-pos) packs into ONE long — h·2^20 + (2^20−1−pos) —
+    // so the 16-wide sliding minimum runs on a primitive long instead of
+    // a boxed struct comparator (the C109 packed-key rationale; measured
+    // ~2× on the window). Injective while pos < 2^20; the guard drops
+    // megachar-plus documents to the documented chunking path (C41)
+    // rather than silently mis-selecting.
+    val posCap = 1 << 20
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    val grams = df.select(col(idCol), norm.as("_t"))
+      .where(length(col("_t")) >= k + w - 1 && length(col("_t")) < posCap)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("pos"), col("_t"))
+      .select(col(idCol), col("pos"),
+        (graft.functions.Md5Hash64.hash64(col("_t").substr(col("pos"), lit(k)))
+          .getItem(0) * posCap.toLong +
+          (lit(posCap - 1) - col("pos"))).as("_key"))
+    val win = Window.partitionBy(idCol).orderBy(col("pos").asc)
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("_sel", min(col("_key")).over(win))
+      .where(col("pos") >= w)
+      .select(col(idCol),
+        (lit((posCap - 1).toLong) - col("_sel").bitwiseAND(lit((posCap - 1).toLong)))
+          .as("sel_pos"),
+        shiftright(col("_sel"), 20).as("fingerprint"))
+      .distinct()
+  }
+
   /** Per-domain Simpson concentration λ = Σ c_t(c_t−1) / (N(N−1)) over
     * token counts — the probability two tokens drawn without replacement
     * from the domain are the SAME type. The repeated-draw complement to

@@ -359,6 +359,36 @@ class Round12bOpsSpec extends SparkSpec {
     assert(probs(("on", "the")) > 0.0)
   }
 
+  // ── Winnowing fingerprints ────────────────────────────────────────────
+
+  test("winnowFingerprints: gap density <= w and shared substrings share a fingerprint") {
+    val shared = "the quick brown fox jumps" // 25 chars >= w + k - 1 = 23
+    val docs = Seq(
+      DomDoc(1, "d", s"alpha beta gamma $shared delta epsilon"),
+      DomDoc(2, "d", s"unrelated preamble words $shared closing words here"),
+      DomDoc(3, "d", "completely different content with no overlap at all among these"))
+    val rows = TextOps.winnowFingerprints(df(docs), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    // density guarantee: first selection inside the first window, then
+    // never a gap wider than w between consecutive selected positions
+    byDoc.foreach { case (id, sels) =>
+      val ps = sels.map(_._2).sorted
+      assert(ps.head <= 16, s"doc $id first selection past the first window")
+      ps.zip(ps.tail).foreach { case (a, b) =>
+        assert(b - a <= 16, s"doc $id gap $a -> $b exceeds w")
+      }
+    }
+    // detection guarantee: the planted >= w+k-1 shared substring forces
+    // at least one common fingerprint hash between docs 1 and 2
+    val f1 = byDoc(1L).map(_._3).toSet
+    val f2 = byDoc(2L).map(_._3).toSet
+    val f3 = byDoc(3L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, "shared substring must share a fingerprint")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty,
+      "the disjoint doc must not collide on this corpus")
+  }
+
   test("zipfSlope respects the top-k cut and deterministic tie order") {
     val text = "a a a b b c"
     val r = TextOps.zipfSlope(df(Seq(DomDoc(1, "d", text))), "text", 2).collect().head
