@@ -2477,6 +2477,13 @@ object SparkEntry {
       TextOps.winnowFingerprints(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "sel_pos")),
 
+    // Distribution-shape moments per event type — skewness/excess
+    // kurtosis from exact decimal power sums in one fixed double shape
+    // (never the engine-private skew/kurt aggregates).
+    "q_moments" -> ((s, dir) =>
+      Profiling.momentsProfile(T(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -6449,6 +6456,31 @@ object SparkEntry {
            GROUP BY a.doc_id, a.pos)
          SELECT DISTINCT doc_id, -(sel.np)::BIGINT AS sel_pos, sel.h AS fingerprint
          FROM w ORDER BY doc_id, sel_pos""",
+
+    "q_moments" ->
+      """WITH a AS (
+           SELECT event_type, count(*) AS n,
+             sum(CAST(value::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS s1,
+             sum(CAST(value::DOUBLE * value::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS s2,
+             sum(CAST(value::DOUBLE * value::DOUBLE * value::DOUBLE
+               AS DECIMAL(28,6)))::DOUBLE AS s3,
+             sum(CAST(value::DOUBLE * value::DOUBLE * value::DOUBLE * value::DOUBLE
+               AS DECIMAL(28,6)))::DOUBLE AS s4
+           FROM events GROUP BY event_type)
+         SELECT event_type, n,
+           round(s1 / n::DOUBLE, 6) AS mean,
+           round(sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)), 6) AS stddev,
+           round((s3 / n::DOUBLE - 3.0 * (s1 / n::DOUBLE) * (s2 / n::DOUBLE)
+               + 2.0 * ((s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE)))
+             / (sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0))
+                * sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0))
+                * sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0))), 6) AS skewness,
+           round((s4 / n::DOUBLE - 4.0 * (s1 / n::DOUBLE) * (s3 / n::DOUBLE)
+               + 6.0 * ((s1 / n::DOUBLE) * (s1 / n::DOUBLE)) * (s2 / n::DOUBLE)
+               - 3.0 * ((s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE)))
+             / (greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)
+                * greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)) - 3.0, 6) AS kurtosis
+         FROM a ORDER BY event_type""",
 
     "q_cm_sketch" ->
       """WITH tok AS (

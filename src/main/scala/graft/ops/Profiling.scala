@@ -365,6 +365,44 @@ object Profiling {
     * engine-exact. One hash aggregation over nine groups + a broadcast
     * total; expected shares are fixed-shape doubles.
     */
+  /** Per-group distribution-shape moments: mean, population stddev,
+    * skewness and excess kurtosis — the profiler columns that catch what
+    * mean/stddev (C72) can't: a bimodal mixture, a heavy upper tail, or
+    * a truncated distribution all shift the 3rd/4th moments before they
+    * move the first two. Deliberately NOT the built-in skewness/kurtosis
+    * aggregates (engines disagree on sample-vs-population and bias
+    * corrections): four exact decimal power sums (the decSum idiom) are
+    * combined in one FIXED double shape both engines share —
+    *   skew = (E[x³] − 3m·E[x²] + 2m³) / σ³,
+    *   kurt = (E[x⁴] − 4m·E[x³] + 6m²·E[x²] − 3m⁴) / σ⁴ − 3
+    * — so every row hash-checks. One hash aggregation, map-side
+    * combinable, O(1) state per group.
+    */
+  def momentsProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      Portable.decSum(v, 6).as("_s1"),
+      Portable.decSum(v * v, 6).as("_s2"),
+      Portable.decSum(v * v * v, 6).as("_s3"),
+      Portable.decSum(v * v * v * v, 6).as("_s4"))
+    val n = col("n").cast("double")
+    val m = col("_s1") / n
+    val ex2 = col("_s2") / n
+    val ex3 = col("_s3") / n
+    val ex4 = col("_s4") / n
+    val variance = greatest(ex2 - m * m, lit(0.0))
+    val sd = sqrt(variance)
+    agg.select(col(groupCol), col("n"),
+      round(m, 6).as("mean"),
+      round(sd, 6).as("stddev"),
+      round((ex3 - lit(3.0) * m * ex2 + lit(2.0) * (m * m * m)) / (sd * sd * sd), 6)
+        .as("skewness"),
+      round((ex4 - lit(4.0) * m * ex3 + lit(6.0) * (m * m) * ex2 -
+        lit(3.0) * (m * m * m * m)) / (variance * variance) - lit(3.0), 6)
+        .as("kurtosis"))
+  }
+
   /** Per-group quantile normalization: percent_rank of `valueCol` within
     * each group — the cross-domain calibration step that makes one
     * quality threshold fair across sources whose raw score scales differ

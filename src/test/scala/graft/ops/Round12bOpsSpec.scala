@@ -359,6 +359,35 @@ class Round12bOpsSpec extends SparkSpec {
     assert(probs(("on", "the")) > 0.0)
   }
 
+  // ── Moments profile ───────────────────────────────────────────────────
+
+  test("momentsProfile: exact values on {-1,1}, referee parity on a skewed group") {
+    val rows = Seq(("sym", -1.0), ("sym", 1.0)) ++
+      Seq(1.0, 1.0, 1.0, 1.0, 10.0).map(("skewed", _))
+    val in = spark.createDataFrame(rows).toDF("g", "v")
+    val got = Profiling.momentsProfile(in, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("mean"),
+        r.getAs[Double]("stddev"), r.getAs[Double]("skewness"),
+        r.getAs[Double]("kurtosis"))).toMap
+    // {-1, 1}: mean 0, sd 1, skew 0, excess kurtosis E[x^4]/sd^4 - 3 = -2
+    assert(got("sym") === ((2L, 0.0, 1.0, 0.0, -2.0)))
+    // referee on the skewed group
+    val vs = Seq(1.0, 1.0, 1.0, 1.0, 10.0)
+    val n = vs.size.toDouble
+    val m = vs.sum / n
+    val e2 = vs.map(v => v * v).sum / n
+    val e3 = vs.map(v => v * v * v).sum / n
+    val e4 = vs.map(v => v * v * v * v).sum / n
+    val va = e2 - m * m
+    val sd = math.sqrt(va)
+    val skew = (e3 - 3.0 * m * e2 + 2.0 * m * m * m) / (sd * sd * sd)
+    val kurt = (e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m) / (va * va) - 3.0
+    assert(got("skewed")._1 === 5L)
+    assert(math.abs(got("skewed")._4 - math.rint(skew * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got("skewed")._5 - math.rint(kurt * 1e6) / 1e6) < 1e-9)
+    assert(got("skewed")._4 > 1.0, "a single far outlier must read as strong right skew")
+  }
+
   // ── Winnowing fingerprints ────────────────────────────────────────────
 
   test("winnowFingerprints: gap density <= w and shared substrings share a fingerprint") {
