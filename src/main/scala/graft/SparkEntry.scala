@@ -2484,6 +2484,14 @@ object SparkEntry {
       Profiling.momentsProfile(T(s, dir, "events"), "event_type", "value")
         .orderBy("event_type")),
 
+    // Top-1 Markov baseline accuracy — the in-sample argmax-transition
+    // sanity floor over q_markov_chain's matrix; deterministic tie rule
+    // (count desc, type asc).
+    "q_markov_acc" -> ((s, dir) =>
+      EventOps.markovTopPredAccuracy(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("prev_type")),
+
     // Count-min sketch matrix (4×256, portable seeded-md5 hash rows) —
     // the mergeable approximate-count state for unbounded vocabularies;
     // counters are sums, so shard sketches merge by element-wise
@@ -6481,6 +6489,27 @@ object SparkEntry {
              / (greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)
                 * greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)) - 3.0, 6) AS kurtosis
          FROM a ORDER BY event_type""",
+
+    "q_markov_acc" ->
+      """WITH seq AS (
+           SELECT event_type AS prev,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+           FROM events),
+         tr AS (SELECT prev, next FROM seq WHERE next IS NOT NULL),
+         c AS (SELECT prev, next, count(*) AS c FROM tr GROUP BY prev, next),
+         pred AS (
+           SELECT prev, next AS predicted_next FROM (
+             SELECT prev, next,
+               row_number() OVER (PARTITION BY prev ORDER BY c DESC, next ASC) AS rn
+             FROM c) WHERE rn = 1)
+         SELECT t.prev AS prev_type, p.predicted_next,
+           count(*) AS n_transitions,
+           sum(CASE WHEN t.next = p.predicted_next THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           round(sum(CASE WHEN t.next = p.predicted_next THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS accuracy
+         FROM tr t JOIN pred p ON t.prev = p.prev
+         GROUP BY t.prev, p.predicted_next
+         ORDER BY prev_type""",
 
     "q_cm_sketch" ->
       """WITH tok AS (

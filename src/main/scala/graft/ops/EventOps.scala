@@ -306,6 +306,42 @@ object EventOps {
       .drop(typeCol)
   }
 
+  /** Top-1 Markov baseline accuracy: train the order-1 transition
+    * argmax on the corpus's own event sequences (ties count-desc then
+    * type-asc — deterministic in any engine) and score it in-sample —
+    * the sanity floor every sequence model must beat before its lift
+    * means anything, and the evaluation layer over C98's transition
+    * matrix. Per source state: the predicted next type, transition
+    * count, hits, and accuracy (one exact division).
+    *
+    * Scale shape: one per-user ordered window (the same lag exchange as
+    * C98), one (state, state)-sized count table whose argmax row set is
+    * state-CATALOG-sized and broadcasts into the transition stream —
+    * the corpus-sized side never reshuffles.
+    */
+  def markovTopPredAccuracy(df: DataFrame, userCol: String, tsCol: String,
+                            tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val trans = df
+      .select(col(typeCol).as("_prev"),
+        lead(col(typeCol), 1).over(w).as("_next"))
+      .where(col("_next").isNotNull)
+    val counts = trans.groupBy("_prev", "_next").agg(count(lit(1)).as("_c"))
+    val wp = Window.partitionBy("_prev").orderBy(col("_c").desc, col("_next").asc)
+    val pred = counts.withColumn("_rn", row_number().over(wp))
+      .where(col("_rn") === 1)
+      .select(col("_prev"), col("_next").as("predicted_next"))
+    trans.join(broadcast(pred), Seq("_prev"))
+      .groupBy(col("_prev").as("prev_type"), col("predicted_next"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("_next") === col("predicted_next"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("prev_type"), col("predicted_next"), col("n_transitions"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_transitions").cast("double"), 6)
+          .as("accuracy"))
+  }
+
   /** Per-user gap moments of ONE time-contiguous event segment — the
     * mergeable state behind streaming burstiness: (n_events, first_us,
     * last_us, Σg, Σg²) forms a monoid under segment concatenation

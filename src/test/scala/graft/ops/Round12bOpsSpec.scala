@@ -359,6 +359,37 @@ class Round12bOpsSpec extends SparkSpec {
     assert(probs(("on", "the")) > 0.0)
   }
 
+  // ── Markov top-1 baseline accuracy ────────────────────────────────────
+
+  test("markovTopPredAccuracy: argmax prediction, deterministic ties, exact hit rate") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: a->b, b->a, a->b, b->c ; user 2: a->b, b->c
+    // transitions from a: b,b,b (3x b -> predict b, acc 1.0)
+    // transitions from b: a,c,c (predict c by count; acc 2/3)
+    val rows = Seq(
+      TouchEv(1, 1, t(1), "a"), TouchEv(1, 2, t(2), "b"), TouchEv(1, 3, t(3), "a"),
+      TouchEv(1, 4, t(4), "b"), TouchEv(1, 5, t(5), "c"),
+      TouchEv(2, 6, t(1), "a"), TouchEv(2, 7, t(2), "b"), TouchEv(2, 8, t(3), "c"))
+    val got = EventOps.markovTopPredAccuracy(df(rows), "user_id", "ts", "event_id",
+        "event_type")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getAs[Double]("accuracy"))).toMap
+    assert(got("a") === (("b", 3L, 3L, 1.0)))
+    assert(got("b")._1 === "c")
+    assert(got("b")._2 === 3L)
+    assert(got("b")._3 === 2L)
+    assert(math.abs(got("b")._4 - 0.666667) < 1e-9)
+    assert(!got.contains("c"), "terminal states carry no transitions")
+    // tie determinism: equal counts must pick the lexicographically
+    // smaller successor
+    val tie = Seq(TouchEv(1, 1, t(1), "x"), TouchEv(1, 2, t(2), "b"),
+      TouchEv(1, 3, t(3), "x"), TouchEv(1, 4, t(4), "a"))
+    val tp = EventOps.markovTopPredAccuracy(df(tie), "user_id", "ts", "event_id",
+        "event_type")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tp("x") === "a")
+  }
+
   // ── Moments profile ───────────────────────────────────────────────────
 
   test("momentsProfile: exact values on {-1,1}, referee parity on a skewed group") {
