@@ -2308,6 +2308,15 @@ object SparkEntry {
       Graph.degreeAssortativity(edges, "pa", "pb")
     }),
 
+    // Rich-club coefficient ladder: edge density among nodes of degree
+    // > k — do the hubs form their own clique?
+    "q_rich_club" -> ((s, dir) => {
+      val edges = graft.sources.PairStore.ensurePairs(s, dir)
+        .select(col("item_a").as("pa"), col("item_b").as("pb"))
+      Graph.richClub(edges, "pa", "pb", Seq(64, 128, 160, 192))
+        .orderBy("k")
+    }),
+
     // Exact threshold-Jaccard self-join via prefix filtering (AllPairs/
     // PPJoin): candidates only from each document's rarest
     // (|d| − ⌈t·|d|⌉ + 1) shingles under one global rarity order — the
@@ -5993,6 +6002,29 @@ object SparkEntry {
                    (n::HUGEINT * sxx - sx * sx)::DOUBLE, 6)
            END AS assortativity
          FROM a""",
+
+    "q_rich_club" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         e AS (SELECT DISTINCT l.i AS a, r.i AS b2
+               FROM items l JOIN items r ON l.b = r.b AND l.i < r.i),
+         deg AS (SELECT id, count(*) AS degree FROM (
+             SELECT a AS id FROM e UNION ALL SELECT b2 AS id FROM e)
+           GROUP BY id),
+         ks AS (SELECT unnest([64, 128, 160, 192])::BIGINT AS k),
+         nk AS (SELECT k, count(*) AS n_nodes FROM deg CROSS JOIN ks
+                WHERE degree > k GROUP BY k),
+         ek AS (SELECT k, count(*) AS n_edges
+                FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b2 = db.id
+                CROSS JOIN ks
+                WHERE least(da.degree, db.degree) > k GROUP BY k)
+         SELECT ks.k, coalesce(nk.n_nodes, 0)::BIGINT AS n_nodes,
+           coalesce(ek.n_edges, 0)::BIGINT AS n_edges,
+           CASE WHEN coalesce(nk.n_nodes, 0) >= 2 THEN
+             round((2 * coalesce(ek.n_edges, 0))::DOUBLE /
+               (coalesce(nk.n_nodes, 0) * (coalesce(nk.n_nodes, 0) - 1))::DOUBLE, 6)
+           END AS phi
+         FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+         ORDER BY ks.k""",
 
     "q_token_entropy" ->
       """WITH tok AS (

@@ -543,6 +543,46 @@ object Graph {
           (col("degree") * (col("degree") - 1)).cast("double"), 6).as("clustering"))
   }
 
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for each degree
+    * threshold in `ks`: the edge density among nodes of degree > k — the
+    * direct answer to "do the hubs form their own clique?" that
+    * assortativity (C149) only gives in correlation form. N_k, E_k are
+    * exact counts; one double division per threshold; thresholds with
+    * fewer than two qualifying nodes return NULL (undefined, not 0).
+    *
+    * Scale shape: degrees join onto the edge list once; the edge and
+    * node streams each fan out by the |ks| CATALOG (broadcast literal
+    * frame) and reduce in one hash aggregate — no per-threshold rescan.
+    */
+  def richClub(edges: DataFrame, aCol: String, bCol: String,
+               ks: Seq[Int]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ksDf = ks.map(_.toLong).toDF("k")
+    val nk = deg.crossJoin(broadcast(ksDf))
+      .where(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = e
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), Seq("b"))
+      .crossJoin(broadcast(ksDf))
+      .where(least(col("_da"), col("_db")) > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    broadcast(ksDf)
+      .join(nk, Seq("k"), "left")
+      .join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi",
+        when(col("n_nodes") >= 2,
+          round((lit(2) * col("n_edges")).cast("double") /
+            (col("n_nodes") * (col("n_nodes") - 1)).cast("double"), 6)))
+  }
+
   /** Degree assortativity of an undirected graph — Newman's r: the
     * Pearson correlation of endpoint degrees over the directed double
     * cover (each edge in both orientations). Positive = hubs link hubs

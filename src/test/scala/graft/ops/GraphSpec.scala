@@ -61,6 +61,22 @@ class GraphSpec extends SparkSpec {
     assert(r2.isNullAt(1))
   }
 
+  test("richClub: a hub clique with pendant leaves reads phi 1 above the leaf degree") {
+    // K4 on {1,2,3,4} (degree >= 3 each) plus a pendant leaf per hub
+    // (leaves have degree 1, hubs degree 4)
+    val k4 = for (a <- 1L to 4L; b <- a + 1 to 4L) yield Edge(a, b)
+    val leaves = (1L to 4L).map(h => Edge(h, h + 10))
+    val got = Graph.richClub(df(k4 ++ leaves), "id_a", "id_b", Seq(1, 3, 10))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // k=1: hubs only (deg 4 > 1; leaves deg 1 excluded) -> the K4: phi 1
+    assert(got(1L) === ((4L, 6L, Some(1.0))))
+    // k=3: same club
+    assert(got(3L) === ((4L, 6L, Some(1.0))))
+    // k=10: nobody qualifies -> undefined, not 0
+    assert(got(10L) === ((0L, 0L, None)))
+  }
+
   test("degreeAssortativity matches a plain-Scala Pearson referee on a mixed graph") {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 5L), (5L, 6L))
     val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity).map { case (k, v) => k -> v.size }
