@@ -5587,7 +5587,7 @@ object SparkEntry {
                     {'i': i, 'x': v[i+1]::DOUBLE})) AS u FROM e) t
                GROUP BY 1)
          SELECT a.i::BIGINT AS i, a.j::BIGINT AS j, a.n,
-           round(a.sxy / a.n - (mi.sx / a.n) * (mj.sx / a.n), 6) AS cov
+           round(a.sxy / a.n - (mi.sx / a.n) * (mj.sx / a.n), 6) + 0 AS cov
          FROM agg a JOIN m mi ON a.i = mi.i JOIN m mj ON a.j = mj.i
          ORDER BY i, j""",
 

@@ -49,6 +49,19 @@ object Portable {
       org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
 
+  /** Canonicalize IEEE negative zero to positive zero. `round(x, n)` of a
+    * tiny negative yields `-0.0`, and engines disagree on the sign bit
+    * (Spark's BigDecimal HALF_UP round emits `+0.0`; DuckDB's round
+    * preserves `-0.0`) — one bit that fails a bit-sensitive hash compare
+    * even though every value is numerically equal (the r12 `q_embed_cov`
+    * failure, one row out of 2080). `x + 0.0` is the IEEE identity that
+    * maps `-0.0 → +0.0` and leaves every other value (including NaN and
+    * ±Inf) bit-unchanged, in both engines. Apply to every rounded-double
+    * output whose argument can be a tiny negative (covariances, slopes,
+    * z-scores, log-ratios...); the oracle SQL mirrors it as `+ 0`.
+    */
+  def canonZero(c: Column): Column = c + lit(0.0d)
+
   /** Order-independent exact sum of a double column, returned as double.
     * `scale` decimal digits are kept per value (4 is enough for the 2-dp
     * money/quantity columns in the test data).

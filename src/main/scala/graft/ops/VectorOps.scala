@@ -671,8 +671,8 @@ object VectorOps {
       .join(broadcast(means.select(col("i"), col("_sx").as("_si"))), Seq("i"))
       .join(broadcast(means.select(col("i").as("j"), col("_sx").as("_sj"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
-        round(col("_sxy") / col("n") -
-          (col("_si") / col("n")) * (col("_sj") / col("n")), 6).as("cov"))
+        Portable.canonZero(round(col("_sxy") / col("n") -
+          (col("_si") / col("n")) * (col("_sj") / col("n")), 6)).as("cov"))
   }
 
   /** Top-k principal components of the covariance matrix by power
