@@ -217,7 +217,12 @@ object EventOps {
     agg.where(col("n_gaps") >= minGaps)
       .select(col(userCol), col("n_gaps"),
         round(mu, 3).as("mean_gap_us"),
-        round((sigma - mu) / (sigma + mu), 6).as("burstiness"))
+        // Guard the all-gaps-zero group (sigma + mu = 0): Spark's double
+        // 0/0 yields NULL while DuckDB IEEE division yields NaN — emit
+        // NULL explicitly in both engines (oracle mirrors the CASE).
+        // pround: burstiness is signed, so round(-eps) needs -0.0 canon.
+        when(sigma + mu > 0,
+          Portable.pround((sigma - mu) / (sigma + mu), 6)).as("burstiness"))
   }
 
   /** RFM segmentation: per-user recency (days since last event, against

@@ -608,7 +608,10 @@ object Graph {
       .join(deg.select(col("id").as("u"), col("degree").as("_du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("degree").as("_dv")), Seq("v"))
     val agg = joined.agg(count(lit(1)).as("_n"),
-      sum(col("_du")).as("_sx"),
+      // decimal, not long: over the directed double cover Σx = Σ deg(v)²,
+      // the same magnitude as _sxx — a plain (non-ANSI) long sum would
+      // wrap silently at hub scale while the other moments stay exact.
+      sum(col("_du").cast("decimal(20,0)")).as("_sx"),
       sum(col("_du").cast("decimal(20,0)") * col("_dv")).as("_sxy"),
       sum(col("_du").cast("decimal(20,0)") * col("_du")).as("_sxx"))
     val num = col("_n").cast("decimal(38,0)") * col("_sxy") -
@@ -616,7 +619,8 @@ object Graph {
     val den = col("_n").cast("decimal(38,0)") * col("_sxx") -
       col("_sx").cast("decimal(38,0)") * col("_sx")
     agg.select((col("_n") / 2).cast("long").as("n_edges"),
-      when(den =!= lit(0), round(num.cast("double") / den.cast("double"), 6))
+      when(den =!= lit(0),
+          Portable.pround(num.cast("double") / den.cast("double"), 6))
         .as("assortativity"))
   }
 }

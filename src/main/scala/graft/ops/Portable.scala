@@ -62,6 +62,14 @@ object Portable {
     */
   def canonZero(c: Column): Column = c + lit(0.0d)
 
+  /** Portable round for SIGNED quantities: `canonZero(round(c, scale))`.
+    * Use wherever the rounded value can be a tiny negative (covariance,
+    * correlation, z-scores, slopes, log-ratios, drawdowns...); pair with
+    * `+ 0` after the oracle's `round`. Unsigned outputs (ratios, shares,
+    * norms) can keep a bare `round` — they can never produce `-0.0`.
+    */
+  def pround(c: Column, scale: Int): Column = canonZero(round(c, scale))
+
   /** Order-independent exact sum of a double column, returned as double.
     * `scale` decimal digits are kept per value (4 is enough for the 2-dp
     * money/quantity columns in the test data).

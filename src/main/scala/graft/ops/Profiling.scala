@@ -126,7 +126,7 @@ object Profiling {
     val variance = (s2 - s1 * s1 / cnt) / (cnt - lit(1.0))
     val std = sqrt(greatest(variance, lit(0.0)))
     df.withColumn("zscore",
-      when(cnt > 1 && std > 0, round((v - mean) / std, 6)))
+      when(cnt > 1 && std > 0, Portable.pround((v - mean) / std, 6)))
   }
 
   /** Declarative data-quality report (the Deequ/dbt-tests shape): each
@@ -182,10 +182,11 @@ object Profiling {
     val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / den
     agg
       .withColumn("n", col("_n").cast("long"))
-      .withColumn("slope", when(col("_n") >= 2.0 && den =!= 0.0, round(slope, 9)))
+      .withColumn("slope",
+        when(col("_n") >= 2.0 && den =!= 0.0, Portable.pround(slope, 9)))
       .withColumn("intercept",
         when(col("_n") >= 2.0 && den =!= 0.0,
-          round((col("_sy") - slope * col("_sx")) / col("_n"), 6)))
+          Portable.pround((col("_sy") - slope * col("_sx")) / col("_n"), 6)))
       .drop("_n", "_sx", "_sy", "_sxy", "_sxx")
   }
 
@@ -352,19 +353,6 @@ object Profiling {
         Seq(col("n_registers_set"), col("s_scaled"), col("est_distinct"))): _*)
   }
 
-  /** Benford first-significant-digit profile of a positive numeric
-    * column — the classic fabricated-data / unit-mixing screen: natural
-    * multiplicative quantities follow P(d) = log10(1 + 1/d); synthetic or
-    * truncated ones don't, and the per-digit deviation points at the
-    * culprit.
-    *
-    * The leading digit is extracted SYMBOLICALLY — floor to a bigint,
-    * render, take the first character — because the arithmetic route
-    * (x / 10^floor(log10 x)) puts a transcendental on the keying path
-    * where a one-ulp disagreement flips the digit; integer rendering is
-    * engine-exact. One hash aggregation over nine groups + a broadcast
-    * total; expected shares are fixed-shape doubles.
-    */
   /** Per-group distribution-shape moments: mean, population stddev,
     * skewness and excess kurtosis — the profiler columns that catch what
     * mean/stddev (C72) can't: a bimodal mixture, a heavy upper tail, or
@@ -394,12 +382,19 @@ object Profiling {
     val variance = greatest(ex2 - m * m, lit(0.0))
     val sd = sqrt(variance)
     agg.select(col(groupCol), col("n"),
-      round(m, 6).as("mean"),
+      Portable.pround(m, 6).as("mean"),
       round(sd, 6).as("stddev"),
-      round((ex3 - lit(3.0) * m * ex2 + lit(2.0) * (m * m * m)) / (sd * sd * sd), 6)
-        .as("skewness"),
-      round((ex4 - lit(4.0) * m * ex3 + lit(6.0) * (m * m) * ex2 -
-        lit(3.0) * (m * m * m * m)) / (variance * variance) - lit(3.0), 6)
+      // Zero-variance guard: σ³ and σ⁴ divisions at variance = 0 yield
+      // NULL in Spark but NaN/Inf under DuckDB's IEEE division — a
+      // constant-valued group must emit NULL explicitly in BOTH engines
+      // (the oracle carries the matching CASE). pround: both moments are
+      // signed, so round(-eps) needs the -0.0 canonicalization.
+      when(variance > 0,
+        Portable.pround((ex3 - lit(3.0) * m * ex2 + lit(2.0) * (m * m * m)) /
+          (sd * sd * sd), 6)).as("skewness"),
+      when(variance > 0,
+        Portable.pround((ex4 - lit(4.0) * m * ex3 + lit(6.0) * (m * m) * ex2 -
+          lit(3.0) * (m * m * m * m)) / (variance * variance) - lit(3.0), 6))
         .as("kurtosis"))
   }
 
@@ -460,6 +455,19 @@ object Profiling {
         round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_intersect"))
   }
 
+  /** Benford first-significant-digit profile of a positive numeric
+    * column — the classic fabricated-data / unit-mixing screen: natural
+    * multiplicative quantities follow P(d) = log10(1 + 1/d); synthetic or
+    * truncated ones don't, and the per-digit deviation points at the
+    * culprit.
+    *
+    * The leading digit is extracted SYMBOLICALLY — floor to a bigint,
+    * render, take the first character — because the arithmetic route
+    * (x / 10^floor(log10 x)) puts a transcendental on the keying path
+    * where a one-ulp disagreement flips the digit; integer rendering is
+    * engine-exact. One hash aggregation over nine groups + a broadcast
+    * total; expected shares are fixed-shape doubles.
+    */
   def benfordProfile(df: DataFrame, valueCol: Column): DataFrame = {
     val digits = df.where(valueCol >= 1.0)
       .select(substring(floor(valueCol).cast("bigint").cast("string"), 1, 1)
