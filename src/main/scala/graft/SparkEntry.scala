@@ -3379,7 +3379,7 @@ object SparkEntry {
     "q_incr_agg" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
            sum(CAST(value AS DECIMAL(28,4)))::DOUBLE AS total,
-           round(sum(CAST(value AS DECIMAL(28,4)))::DOUBLE / count(*)::DOUBLE, 9) AS avg_value
+           round(sum(CAST(value AS DECIMAL(28,4)))::DOUBLE / count(*)::DOUBLE, 9) + 0 AS avg_value
          FROM events GROUP BY 1, 2
          ORDER BY event_type, day""",
 
@@ -3485,7 +3485,7 @@ object SparkEntry {
 
     "q_zscore" ->
       """SELECT event_id, user_id, value,
-           CASE WHEN cnt > 1 AND std > 0 THEN round((value - s1/cnt) / std, 6) END AS zscore
+           CASE WHEN cnt > 1 AND std > 0 THEN round((value - s1/cnt) / std, 6) + 0 END AS zscore
          FROM (
            SELECT event_id, user_id, value,
              count(value) OVER w::DOUBLE AS cnt,
@@ -3526,7 +3526,7 @@ object SparkEntry {
          ORDER BY col_name""",
 
     "q_skew_profile" ->
-      """SELECT l_orderkey, cnt, round(cnt::DOUBLE / total::DOUBLE, 9) AS share
+      """SELECT l_orderkey, cnt, round(cnt::DOUBLE / total::DOUBLE, 9) + 0 AS share
          FROM (
            SELECT l_orderkey, count(*) AS cnt, sum(count(*)) OVER () AS total
            FROM lineitem GROUP BY l_orderkey)
@@ -3545,8 +3545,8 @@ object SparkEntry {
 
     "q_rank_dist" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-           round(percent_rank() OVER w, 9) AS pct_rank,
-           round(cume_dist() OVER w, 9) AS cume
+           round(percent_rank() OVER w, 9) + 0 AS pct_rank,
+           round(cume_dist() OVER w, 9) + 0 AS cume
          FROM lineitem WHERE l_orderkey < 1000
          WINDOW w AS (PARTITION BY l_returnflag
            ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey)
@@ -3576,7 +3576,7 @@ object SparkEntry {
 
     "q_corr" ->
       """SELECT l_returnflag,
-           round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+           round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) + 0 AS corr_qty_price,
            cnt
          FROM (
            SELECT l_returnflag,
@@ -3680,7 +3680,7 @@ object SparkEntry {
 
     "q_rolling_vol" ->
       """SELECT event_id, user_id,
-           CASE WHEN cnt > 1 THEN round(sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0)), 6) END AS roll_vol
+           CASE WHEN cnt > 1 THEN round(sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0)), 6) + 0 END AS roll_vol
          FROM (
            SELECT event_id, user_id,
              count(value) OVER w::DOUBLE AS cnt,
@@ -3783,7 +3783,7 @@ object SparkEntry {
              quantile_cont(abs(e.value - m.med), 0.5) AS mad
            FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id)
          SELECT event_id, e.user_id, value,
-           round(mad.med, 9) AS med, round(mad.mad, 9) AS mad,
+           round(mad.med, 9) + 0 AS med, round(mad.mad, 9) + 0 AS mad,
            CASE WHEN mad.mad > 0
              THEN round(((value - mad.med) / mad.mad)::DECIMAL(28,12), 6)::DOUBLE
            END AS mad_score
@@ -3797,7 +3797,7 @@ object SparkEntry {
              quantile_cont(value, 0.75) + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5 AS fence_hi
            FROM events GROUP BY user_id)
          SELECT event_id, e.user_id, value,
-           round(fence_lo, 9) AS fence_lo, round(fence_hi, 9) AS fence_hi
+           round(fence_lo, 9) + 0 AS fence_lo, round(fence_hi, 9) + 0 AS fence_hi
          FROM events e JOIN fences f ON e.user_id = f.user_id
          WHERE value < fence_lo OR value > fence_hi
          ORDER BY event_id""",
@@ -3899,16 +3899,16 @@ object SparkEntry {
              WHEN prev IS NULL THEN next.v
              WHEN next IS NULL THEN prev.v
              ELSE prev.v + (next.v - prev.v) * ((t - prev.t)::DOUBLE / (next.t - prev.t)::DOUBLE)
-           END, 6) AS filled_value
+           END, 6) + 0 AS filled_value
          FROM w
          ORDER BY event_id""",
 
     "q_sql_funcs" ->
       """SELECT vec_id,
-           round(list_reduce(list_transform(range(1, 65), i -> e[i] * e[65 - i]), (a, b) -> a + b), 6) AS rev_dot,
+           round(list_reduce(list_transform(range(1, 65), i -> e[i] * e[65 - i]), (a, b) -> a + b), 6) + 0 AS rev_dot,
            round(list_reduce(list_transform(range(1, 65), i -> e[i] * e[65 - i]), (a, b) -> a + b)
              / (sqrt(list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]), (a, b) -> a + b))
-                * sqrt(list_reduce(list_transform(range(1, 65), i -> e[65 - i] * e[65 - i]), (a, b) -> a + b))), 9) AS rev_cos,
+                * sqrt(list_reduce(list_transform(range(1, 65), i -> e[65 - i] * e[65 - i]), (a, b) -> a + b))), 9) + 0 AS rev_cos,
            ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h_lo,
            ('0x' || substr(md5(vec_id::VARCHAR), 9, 8))::BIGINT AS h_hi,
            3 AS n_tok,
@@ -3963,7 +3963,7 @@ object SparkEntry {
            SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
            FROM documents),
          tot AS (SELECT count(*) AS n FROM tok)
-         SELECT token, count(*) AS cnt, round(count(*) / n::DOUBLE, 9) AS frac
+         SELECT token, count(*) AS cnt, round(count(*) / n::DOUBLE, 9) + 0 AS frac
          FROM tok, tot
          GROUP BY token, n
          HAVING count(*) > 0.02 * n::DOUBLE
@@ -3971,9 +3971,9 @@ object SparkEntry {
 
     "q_quality_score" ->
       """SELECT doc_id, n_tokens,
-           round(avg_tok_len, 6) AS avg_token_len,
-           round(stop_ratio, 6) AS stopword_ratio,
-           round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+           round(avg_tok_len, 6) + 0 AS avg_token_len,
+           round(stop_ratio, 6) + 0 AS stopword_ratio,
+           round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) + 0 AS quality_score
          FROM (
            SELECT doc_id,
              len(toks)::BIGINT AS n_tokens,
@@ -3990,7 +3990,7 @@ object SparkEntry {
     "q_token_budget" ->
       """WITH q AS (
            SELECT doc_id, n_tokens,
-             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) + 0 AS quality_score
            FROM (
              SELECT doc_id,
                len(toks)::BIGINT AS n_tokens,
@@ -4028,7 +4028,7 @@ object SparkEntry {
            FROM documents),
          q AS (
            SELECT doc_id, source, n_tokens,
-             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) + 0 AS quality_score
            FROM (
              SELECT doc_id, source, len(t)::BIGINT AS n_tokens,
                CASE WHEN len(t) > 0
@@ -4076,7 +4076,7 @@ object SparkEntry {
          dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
          nov AS (
            SELECT doc_id,
-             round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS shared_frac
+             round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) + 0 AS shared_frac
            FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id),
          surv AS (
            SELECT q.doc_id, q.n_tokens, q.quality_score
@@ -4110,7 +4110,7 @@ object SparkEntry {
          dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
          SELECT doc_id, count(*)::BIGINT AS n_shingles,
            sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
-           round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS shared_frac
+           round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) + 0 AS shared_frac
          FROM sh JOIN dfreq USING (shingle)
          GROUP BY doc_id ORDER BY doc_id""",
 
@@ -4160,7 +4160,7 @@ object SparkEntry {
            round(CASE WHEN (64 - n_registers_set) > 0
                        AND 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s <= 160.0
                   THEN 64.0 * ln(64.0 / (64 - n_registers_set))
-                  ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) AS est_distinct
+                  ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) + 0 AS est_distinct
          FROM s ORDER BY event_type""",
 
     "q_tokenize_ids" ->
@@ -4180,14 +4180,14 @@ object SparkEntry {
              CASE WHEN token_id IS NULL THEN 1 ELSE 0 END AS oov
            FROM tok LEFT JOIN vocab USING (token))
          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
-           round(sum(oov)::DOUBLE / count(*)::DOUBLE, 6) AS oov_rate,
+           round(sum(oov)::DOUBLE / count(*)::DOUBLE, 6) + 0 AS oov_rate,
            string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS ids
          FROM mapped GROUP BY doc_id ORDER BY doc_id""",
 
     "q_quality_floor" ->
       """WITH q AS (
            SELECT doc_id, source,
-             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) + 0 AS quality_score
            FROM (
              SELECT doc_id, source,
                CASE WHEN len(toks) > 0
@@ -4200,14 +4200,14 @@ object SparkEntry {
                    FROM documents))),
          f AS (SELECT source, quantile_cont(quality_score, 0.25) AS fl
                FROM q GROUP BY source)
-         SELECT doc_id, source, quality_score, round(fl, 9) AS domain_floor,
+         SELECT doc_id, source, quality_score, round(fl, 9) + 0 AS domain_floor,
            (CASE WHEN quality_score >= fl THEN 1 ELSE 0 END)::BIGINT AS kept
          FROM q JOIN f USING (source) ORDER BY doc_id""",
 
     "q_quality_floor_sketch" ->
       """WITH q AS (
            SELECT doc_id, source,
-             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) + 0 AS quality_score
            FROM (
              SELECT doc_id, source,
                CASE WHEN len(toks) > 0
@@ -4244,7 +4244,7 @@ object SparkEntry {
                + ((0.25 * n::DOUBLE - (cum - cnt)::DOUBLE) / cnt::DOUBLE) * ((hi - lo) / 128)
                )::VARCHAR::DECIMAL(38,18), 6)::DOUBLE AS fl
            FROM pick WHERE rn = 1)
-         SELECT doc_id, source, quality_score, round(fl, 9) AS domain_floor,
+         SELECT doc_id, source, quality_score, round(fl, 9) + 0 AS domain_floor,
            (CASE WHEN quality_score >= fl THEN 1 ELSE 0 END)::BIGINT AS kept
          FROM q JOIN f USING (source) ORDER BY doc_id""",
 
@@ -4359,7 +4359,7 @@ object SparkEntry {
          SELECT d.doc_id, d.n_tokens,
            COALESCE(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
            COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
-           round(COALESCE(p.dup_tokens, 0)::DOUBLE / d.n_tokens::DOUBLE, 6) AS dup_frac
+           round(COALESCE(p.dup_tokens, 0)::DOUBLE / d.n_tokens::DOUBLE, 6) + 0 AS dup_frac
          FROM d LEFT JOIN per_doc p USING (doc_id)
          ORDER BY d.doc_id""",
 
@@ -4472,7 +4472,7 @@ object SparkEntry {
            FROM toks WHERE len(t) >= 10),
          dd AS (
            SELECT doc_id, text, n_tokens,
-             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) + 0 AS quality_score
            FROM (
              SELECT q.*, row_number() OVER (
                PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
@@ -4611,7 +4611,7 @@ object SparkEntry {
            LEFT JOIN (SELECT s, min(d) AS mn FROM reach GROUP BY s) m ON m.s = doc_id),
          q AS (
            SELECT doc_id,
-             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) AS quality_score
+             round(stop_ratio * 0.5 + least(avg_tok_len / 10.0, 1.0) * 0.5, 6) + 0 AS quality_score
            FROM (
              SELECT doc_id,
                CASE WHEN len(toks) > 0
@@ -4684,8 +4684,8 @@ object SparkEntry {
          bgs AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM bgc GROUP BY doc_id)
          SELECT s.doc_id, n_tokens, uniq_tokens,
            round(CASE WHEN n_tokens > 0
-             THEN 1.0 - uniq_tokens::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END, 6) AS dup_token_frac,
-           round(coalesce(top::DOUBLE / total::DOUBLE, 0.0), 6) AS top_bigram_frac
+             THEN 1.0 - uniq_tokens::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END, 6) + 0 AS dup_token_frac,
+           round(coalesce(top::DOUBLE / total::DOUBLE, 0.0), 6) + 0 AS top_bigram_frac
          FROM stats s LEFT JOIN bgs ON bgs.doc_id = s.doc_id
          ORDER BY s.doc_id""",
 
@@ -4714,7 +4714,7 @@ object SparkEntry {
          scored AS (
            SELECT p.doc_id, p.token,
              round((p.cnt::DOUBLE / l.len::DOUBLE)
-               * (ln((n.n::DOUBLE + 1.0) / (f.df::DOUBLE + 1.0)) + 1.0), 6) AS score
+               * (ln((n.n::DOUBLE + 1.0) / (f.df::DOUBLE + 1.0)) + 1.0), 6) + 0 AS score
            FROM perdoc p
            JOIN dlen l ON p.doc_id = l.doc_id
            JOIN dfreq f ON p.token = f.token
@@ -4784,7 +4784,7 @@ object SparkEntry {
            SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
            FROM events GROUP BY event_type)
          SELECT event_id, e.event_type, value,
-           round(least(greatest(value, lo), hi), 9) AS value_w
+           round(least(greatest(value, lo), hi), 9) + 0 AS value_w
          FROM events e JOIN q USING (event_type)
          ORDER BY event_id""",
 
@@ -4821,7 +4821,7 @@ object SparkEntry {
          tot AS (SELECT count(*) AS vocab FROM uni)
          SELECT b.doc_id, count(*) AS n_bigrams,
            round(sum(CAST(ln((m.cbg::DOUBLE + 1.0) / (u.cu + tot.vocab)::DOUBLE)
-                 AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS logprob
+                 AS DECIMAL(28,12)))::DOUBLE / count(*), 6) + 0 AS logprob
          FROM bg b
          JOIN model m USING (bigram)
          JOIN uni u ON u.token = split_part(b.bigram, ' ', 1)
@@ -4837,7 +4837,7 @@ object SparkEntry {
          tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM model)
          SELECT t.doc_id, count(*) AS n_tokens,
            round(sum(CAST(ln((m.c::DOUBLE + 1.0) / (tot.total + tot.vocab)::DOUBLE)
-                 AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS logprob
+                 AS DECIMAL(28,12)))::DOUBLE / count(*), 6) + 0 AS logprob
          FROM tok t JOIN model m ON t.token = m.token CROSS JOIN tot
          GROUP BY t.doc_id
          ORDER BY doc_id""",
@@ -4863,7 +4863,7 @@ object SparkEntry {
              ln(1.0 + (tot.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
                * ((t.tf::DOUBLE * ${k1 + 1.0}) /
                   (t.tf::DOUBLE + $k1 * (1.0 - $b + $b * (d.dl::DOUBLE / (tot.sumdl::DOUBLE / tot.n::DOUBLE)))))
-             AS DECIMAL(28,12)))::DOUBLE, 6) AS bm25
+             AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS bm25
          FROM tf t
          JOIN dfreq f ON t.token = f.token
          JOIN dl d ON t.doc_id = d.doc_id
@@ -4879,7 +4879,7 @@ object SparkEntry {
          rates AS (
            SELECT c.lang,
              round(least(1.0,
-               (sqrt(c.c::DOUBLE) / norm.sum_w) * (0.5 * norm.n::DOUBLE) / c.c::DOUBLE), 6) AS keep_rate
+               (sqrt(c.c::DOUBLE) / norm.sum_w) * (0.5 * norm.n::DOUBLE) / c.c::DOUBLE), 6) + 0 AS keep_rate
            FROM c CROSS JOIN norm)
          SELECT d.doc_id, d.lang, r.keep_rate
          FROM documents d JOIN rates r ON d.lang = r.lang
@@ -4978,13 +4978,13 @@ object SparkEntry {
            FROM nib GROUP BY doc_id),
          feats AS (SELECT * FROM freq UNION ALL SELECT * FROM ent)
          SELECT 'text/plain' AS mime, dim::BIGINT AS dim, count(*) AS n,
-           round(avg(f::DOUBLE), 6) AS mean_f,
+           round(avg(f::DOUBLE), 6) + 0 AS mean_f,
            sum(CAST(chars::DOUBLE AS DECIMAL(28,4)))::DOUBLE AS total_bytes
          FROM feats JOIN d USING (doc_id)
          GROUP BY dim ORDER BY mime, dim""",
 
     "q_quantize_int8" ->
-      """SELECT vec_id, round(s, 9) AS scale,
+      """SELECT vec_id, round(s, 9) + 0 AS scale,
            array_to_string(list_transform(e,
              x -> CASE WHEN s > 0 THEN floor(x * 127.0 / s + 0.5)::TINYINT
                        ELSE 0::TINYINT END), ',') AS q_csv
@@ -5025,7 +5025,7 @@ object SparkEntry {
                FROM v)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x, y) -> x + y)
-             / (a.nrm * b.nrm), 9) AS cos_sim
+             / (a.nrm * b.nrm), 9) + 0 AS cos_sim
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x, y) -> x + y)
              / (a.nrm * b.nrm) >= 0.2
@@ -5048,7 +5048,7 @@ object SparkEntry {
                FROM v)
          SELECT id_a, id_b,
            round(list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
-             / (na.nrm * nb.nrm), 9) AS cos_sim
+             / (na.nrm * nb.nrm), 9) + 0 AS cos_sim
          FROM cand
          JOIN n na ON na.vec_id = id_a
          JOIN n nb ON nb.vec_id = id_b
@@ -5080,7 +5080,7 @@ object SparkEntry {
                FROM v)
          SELECT id_a, id_b,
            round(list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
-             / (na.nrm * nb.nrm), 9) AS cos_sim
+             / (na.nrm * nb.nrm), 9) + 0 AS cos_sim
          FROM cand
          JOIN n na ON na.vec_id = id_a
          JOIN n nb ON nb.vec_id = id_b
@@ -5147,7 +5147,7 @@ object SparkEntry {
          SELECT o_custkey,
            coalesce(n_even, 0) AS n_even,
            coalesce(n_third, 0) AS n_third,
-           round(coalesce(spend_even, 0.0) + coalesce(spend_third, 0.0), 4) AS spend_both
+           round(coalesce(spend_even, 0.0) + coalesce(spend_third, 0.0), 4) + 0 AS spend_both
          FROM even FULL OUTER JOIN third USING (o_custkey)
          ORDER BY o_custkey""",
 
@@ -5201,7 +5201,7 @@ object SparkEntry {
       """SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
            round(sum(CAST(value * (event_id % 10 + 1) AS DECIMAL(28,8)))::DOUBLE /
-                 sum(CAST((event_id % 10 + 1) AS DECIMAL(28,8)))::DOUBLE, 9) AS vwap,
+                 sum(CAST((event_id % 10 + 1) AS DECIMAL(28,8)))::DOUBLE, 9) + 0 AS vwap,
            sum(CAST((event_id % 10 + 1) AS DECIMAL(28,4)))::DOUBLE AS total_vol,
            count(*) AS n_trades
          FROM events GROUP BY event_type, bucket
@@ -5221,7 +5221,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
            FROM c)
          SELECT event_id, user_id, equity, peak,
-           round(peak - equity, 4) AS drawdown
+           round(peak - equity, 4) + 0 AS drawdown
          FROM p ORDER BY event_id""",
 
     "q_streaks" ->
@@ -5248,7 +5248,7 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
            FROM c)
          SELECT rank, token, cnt,
-           round(cum::DOUBLE / total::DOUBLE, 9) AS cum_share
+           round(cum::DOUBLE / total::DOUBLE, 9) + 0 AS cum_share
          FROM r CROSS JOIN tot WHERE rank <= 100 ORDER BY rank""",
 
     "q_cooccur" ->
@@ -5304,8 +5304,8 @@ object SparkEntry {
          SELECT
            row_number() OVER (ORDER BY support DESC, antecedent ASC, consequent ASC) AS rank,
            antecedent, consequent, support,
-           round(support::DOUBLE / cnt_a, 9) AS confidence,
-           round(support::DOUBLE * n_baskets / (cnt_a::DOUBLE * cnt_b), 9) AS lift
+           round(support::DOUBLE / cnt_a, 9) + 0 AS confidence,
+           round(support::DOUBLE * n_baskets / (cnt_a::DOUBLE * cnt_b), 9) + 0 AS lift
          FROM j ORDER BY rank""",
 
     "q_pagerank" ->
@@ -5334,7 +5334,7 @@ object SparkEntry {
          r2 AS (
            SELECT nodes.id, (1.0 - 0.85) / n + 0.85 * coalesce(s2.inr, 0.0) AS rank
            FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.id = s2.id)
-         SELECT id AS node_id, round(rank, 9) AS rank
+         SELECT id AS node_id, round(rank, 9) + 0 AS rank
          FROM r2 ORDER BY node_id""",
 
     // Two HITS iterations unrolled (the q_pagerank recipe): every
@@ -5371,7 +5371,7 @@ object SparkEntry {
                  FROM nodes LEFT JOIN h2r ON nodes.id = h2r.id),
          h2t AS (SELECT sum(CAST(hub AS DECIMAL(28,12)))::DOUBLE AS tot FROM h2f),
          h2 AS (SELECT id, hub / tot AS hub FROM h2f CROSS JOIN h2t)
-         SELECT nodes.id AS node_id, round(a2.auth, 9) AS auth, round(h2.hub, 9) AS hub
+         SELECT nodes.id AS node_id, round(a2.auth, 9) + 0 AS auth, round(h2.hub, 9) + 0 AS hub
          FROM nodes JOIN a2 ON nodes.id = a2.id JOIN h2 ON nodes.id = h2.id
          ORDER BY node_id""",
 
@@ -5448,7 +5448,7 @@ object SparkEntry {
          SELECT f.bigram, f.cnt,
            round(ln((f.cnt::DOUBLE / btot.btot::DOUBLE) *
                     (utot.utot::DOUBLE / u1.uc::DOUBLE) *
-                    (utot.utot::DOUBLE / u2.uc::DOUBLE)), 6) AS pmi
+                    (utot.utot::DOUBLE / u2.uc::DOUBLE)), 6) + 0 AS pmi
          FROM f JOIN uni u1 ON f.w1 = u1.token JOIN uni u2 ON f.w2 = u2.token
          CROSS JOIN btot CROSS JOIN utot
          ORDER BY bigram""",
@@ -5485,7 +5485,7 @@ object SparkEntry {
          SELECT p.domain, p.nd AS n_tokens, p.vd AS vocab_seen,
            round(p.s1 + (1.0 / (p.nd + c.v)::DOUBLE) *
              ((c.v - p.vd)::DOUBLE * ln(1.0 / (p.nd + c.v)::DOUBLE) -
-              (l.lc_all - p.lcd)), 6) AS kl
+              (l.lc_all - p.lcd)), 6) + 0 AS kl
          FROM present p CROSS JOIN corpus c CROSS JOIN lcall l
          ORDER BY domain""",
 
@@ -5507,7 +5507,7 @@ object SparkEntry {
            round(sum(CAST(p.cnt::DOUBLE *
              (ln((m.ctgt::DOUBLE + 1.0) / (t.ntgt + 256)::DOUBLE) -
               ln((m.craw::DOUBLE + 1.0) / (t.nraw + 256)::DOUBLE))
-             AS DECIMAL(28,12)))::DOUBLE, 6) AS weight
+             AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS weight
          FROM perdoc p JOIN model m ON p.b = m.b CROSS JOIN totals t
          GROUP BY p.doc_id ORDER BY doc_id""",
 
@@ -5539,7 +5539,7 @@ object SparkEntry {
            GROUP BY e.dst),
          r2 AS (SELECT p.id, (1.0 - 0.85) * p.p + 0.85 * coalesce(s2.inr, 0.0) AS rank
                 FROM p LEFT JOIN s2 ON p.id = s2.id)
-         SELECT id AS node_id, round(rank, 9) AS rank
+         SELECT id AS node_id, round(rank, 9) + 0 AS rank
          FROM r2 ORDER BY node_id""",
 
     "q_textrank" ->
@@ -5571,7 +5571,7 @@ object SparkEntry {
            GROUP BY e.w2),
          r2 AS (SELECT nodes.token, (1.0 - 0.85) / n + 0.85 * coalesce(s2.inr, 0.0) AS rank
                 FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.token = s2.token)
-         SELECT token, round(rank, 9) AS rank FROM r2 ORDER BY token""",
+         SELECT token, round(rank, 9) + 0 AS rank FROM r2 ORDER BY token""",
 
     "q_embed_cov" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -5617,7 +5617,7 @@ object SparkEntry {
          SELECT event_id, user_id,
            CASE WHEN c >= 2 AND c * sxx - sx * sx > 0 AND c * syy - sy * sy > 0
              THEN round((c * sxy - sx * sy) /
-               (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy)), 6)
+               (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy)), 6) + 0
            END AS roll_corr
          FROM d ORDER BY event_id""",
 
@@ -5626,7 +5626,7 @@ object SparkEntry {
            SELECT event_type, min(value) AS mn, max(value) AS mx
            FROM events GROUP BY event_type)
          SELECT event_id, e.event_type, value,
-           CASE WHEN mx <> mn THEN round((value - mn) / (mx - mn), 9) END AS scaled
+           CASE WHEN mx <> mn THEN round((value - mn) / (mx - mn), 9) + 0 END AS scaled
          FROM events e JOIN ext USING (event_type)
          ORDER BY event_id""",
 
@@ -5703,8 +5703,8 @@ object SparkEntry {
            SELECT *, lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY period) AS prev_revenue
            FROM m)
          SELECT o_orderpriority, period, revenue, prev_revenue,
-           round(revenue - prev_revenue, 4) AS abs_change,
-           CASE WHEN prev_revenue <> 0 THEN round((revenue - prev_revenue) / prev_revenue, 9) END AS pct_change
+           round(revenue - prev_revenue, 4) + 0 AS abs_change,
+           CASE WHEN prev_revenue <> 0 THEN round((revenue - prev_revenue) / prev_revenue, 9) + 0 END AS pct_change
          FROM l ORDER BY o_orderpriority, period""",
 
     "q_bfs_2hop" ->
@@ -5830,9 +5830,9 @@ object SparkEntry {
            FROM pts GROUP BY event_type)
          SELECT event_type, n::BIGINT AS n,
            CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
-                THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) END AS slope,
+                THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) + 0 END AS slope,
            CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
-                THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) END AS intercept
+                THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) + 0 END AS intercept
          FROM st ORDER BY event_type""",
 
     "q_user_paths" ->
@@ -5924,7 +5924,7 @@ object SparkEntry {
                  THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
                AS DECIMAL(28,6)))::DOUBLE
              / sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))::DOUBLE,
-             9) AS mkt_share
+             9) + 0 AS mkt_share
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -5979,7 +5979,7 @@ object SparkEntry {
          SELECT d.id AS node_id, d.degree,
            coalesce(p.triangles, 0)::BIGINT AS triangles,
            round((2 * coalesce(p.triangles, 0))::DOUBLE /
-                 (d.degree * (d.degree - 1))::DOUBLE, 6) AS clustering
+                 (d.degree * (d.degree - 1))::DOUBLE, 6) + 0 AS clustering
          FROM deg d LEFT JOIN pernode p ON d.id = p.node_id
          WHERE d.degree >= 2 ORDER BY node_id""",
 
@@ -5999,7 +5999,7 @@ object SparkEntry {
          SELECT (n // 2)::BIGINT AS n_edges,
            CASE WHEN n::HUGEINT * sxx - sx * sx <> 0 THEN
              round((n::HUGEINT * sxy - sx * sx)::DOUBLE /
-                   (n::HUGEINT * sxx - sx * sx)::DOUBLE, 6)
+                   (n::HUGEINT * sxx - sx * sx)::DOUBLE, 6) + 0
            END AS assortativity
          FROM a""",
 
@@ -6021,7 +6021,7 @@ object SparkEntry {
            coalesce(ek.n_edges, 0)::BIGINT AS n_edges,
            CASE WHEN coalesce(nk.n_nodes, 0) >= 2 THEN
              round((2 * coalesce(ek.n_edges, 0))::DOUBLE /
-               (coalesce(nk.n_nodes, 0) * (coalesce(nk.n_nodes, 0) - 1))::DOUBLE, 6)
+               (coalesce(nk.n_nodes, 0) * (coalesce(nk.n_nodes, 0) - 1))::DOUBLE, 6) + 0
            END AS phi
          FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
          ORDER BY ks.k""",
@@ -6035,7 +6035,7 @@ object SparkEntry {
              sum(CAST(c::DOUBLE * ln(c::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS clogc
            FROM cnt GROUP BY doc_id)
          SELECT doc_id, n_tokens, n_distinct,
-           round(ln(n_tokens::DOUBLE) - clogc / n_tokens::DOUBLE, 6) AS entropy
+           round(ln(n_tokens::DOUBLE) - clogc / n_tokens::DOUBLE, 6) + 0 AS entropy
          FROM agg ORDER BY doc_id""",
 
     "q_weighted_sample" ->
@@ -6047,7 +6047,7 @@ object SparkEntry {
          r AS (SELECT doc_id, lang, n_chars, p,
              row_number() OVER (PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS sample_rank
            FROM w)
-         SELECT lang, sample_rank, doc_id, n_chars, round(p, 9) AS priority
+         SELECT lang, sample_rank, doc_id, n_chars, round(p, 9) + 0 AS priority
          FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank""",
 
     "q_matryoshka" ->
@@ -6056,7 +6056,7 @@ object SparkEntry {
            FROM embeddings CROSS JOIN range(1, 9) r(dim)),
          n AS (SELECT vec_id, sqrt(sum(CAST(v * v AS DECIMAL(28,12)))::DOUBLE) AS nrm
                FROM comp GROUP BY vec_id)
-         SELECT c.vec_id, c.dim, round(c.v / n.nrm, 6) AS value
+         SELECT c.vec_id, c.dim, round(c.v / n.nrm, 6) + 0 AS value
          FROM comp c JOIN n ON c.vec_id = n.vec_id
          ORDER BY c.vec_id, c.dim""",
 
@@ -6082,7 +6082,7 @@ object SparkEntry {
                ln(1.0 + (tot.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
                  * ((t.tf::DOUBLE * ${k1 + 1.0}) /
                     (t.tf::DOUBLE + $k1 * (1.0 - $b + $b * (d.dl::DOUBLE / (tot.sumdl::DOUBLE / tot.n::DOUBLE)))))
-               AS DECIMAL(28,12)))::DOUBLE, 6) AS bm25
+               AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS bm25
            FROM tf t
            JOIN dfreq f ON t.token = f.token
            JOIN dl d ON t.doc_id = d.doc_id
@@ -6096,7 +6096,7 @@ object SparkEntry {
          lm AS (
            SELECT t.doc_id,
              round(sum(CAST(ln((m.c::DOUBLE + 1.0) / (tot2.total + tot2.vocab)::DOUBLE)
-                   AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS logprob
+                   AS DECIMAL(28,12)))::DOUBLE / count(*), 6) + 0 AS logprob
            FROM tok t JOIN model m ON t.token = m.token CROSS JOIN tot2
            GROUP BY t.doc_id),
          lmr AS (SELECT doc_id, rank FROM (
@@ -6107,7 +6107,7 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id, 1.0 / (60 + rank) FROM lmr),
          fused AS (
-           SELECT doc_id, round(sum(CAST(c AS DECIMAL(28,12)))::DOUBLE, 9) AS rrf,
+           SELECT doc_id, round(sum(CAST(c AS DECIMAL(28,12)))::DOUBLE, 9) + 0 AS rrf,
              count(*) AS n_lists
            FROM contrib GROUP BY 1)
          SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
@@ -6137,7 +6137,7 @@ object SparkEntry {
                ln(1.0 + (tot.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
                  * ((t.tf::DOUBLE * ${k1 + 1.0}) /
                     (t.tf::DOUBLE + $k1 * (1.0 - $b + $b * (d.dl::DOUBLE / (tot.sumdl::DOUBLE / tot.n::DOUBLE)))))
-               AS DECIMAL(28,12)))::DOUBLE, 6) AS bm25
+               AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS bm25
            FROM tf t
            JOIN dfreq f ON t.token = f.token
            JOIN dl d ON t.doc_id = d.doc_id
@@ -6151,7 +6151,7 @@ object SparkEntry {
          lm AS (
            SELECT t.doc_id,
              round(sum(CAST(ln((m.c::DOUBLE + 1.0) / (tot2.total + tot2.vocab)::DOUBLE)
-                   AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS logprob
+                   AS DECIMAL(28,12)))::DOUBLE / count(*), 6) + 0 AS logprob
            FROM tok t JOIN model m ON t.token = m.token CROSS JOIN tot2
            GROUP BY t.doc_id),
          lmr AS (SELECT doc_id, rank FROM (
@@ -6169,7 +6169,7 @@ object SparkEntry {
            round(${1.0 - p} * sum(CAST(power($p, k::DOUBLE - 1.0) * (x::DOUBLE / k::DOUBLE)
                AS DECIMAL(28,12)))::DOUBLE
              + power($p, ${depth.toDouble}) *
-               (max(CASE WHEN k = $depth THEN x END)::DOUBLE / ${depth.toDouble}), 6) AS rbo
+               (max(CASE WHEN k = $depth THEN x END)::DOUBLE / ${depth.toDouble}), 6) + 0 AS rbo
          FROM xk"""
     },
 
@@ -6200,14 +6200,19 @@ object SparkEntry {
              sum(g::HUGEINT * g) AS sg2
            FROM g WHERE g IS NOT NULL GROUP BY user_id)
          SELECT user_id, n_gaps,
-           round(sg::DOUBLE / n_gaps::DOUBLE, 3) AS mean_gap_us,
+           round(sg::DOUBLE / n_gaps::DOUBLE, 3) + 0 AS mean_gap_us,
+           -- sigma + mu = 0 guard (all gaps zero): emit NULL, matching the
+           -- engine's when(sigma + mu > 0, ...) instead of IEEE 0/0 NaN
+           CASE WHEN (sqrt(greatest(sg2::DOUBLE / n_gaps::DOUBLE
+                  - (sg::DOUBLE / n_gaps::DOUBLE) * (sg::DOUBLE / n_gaps::DOUBLE), 0.0))
+                + sg::DOUBLE / n_gaps::DOUBLE) > 0 THEN
            round(
              (sqrt(greatest(sg2::DOUBLE / n_gaps::DOUBLE
                 - (sg::DOUBLE / n_gaps::DOUBLE) * (sg::DOUBLE / n_gaps::DOUBLE), 0.0))
               - sg::DOUBLE / n_gaps::DOUBLE) /
              (sqrt(greatest(sg2::DOUBLE / n_gaps::DOUBLE
                 - (sg::DOUBLE / n_gaps::DOUBLE) * (sg::DOUBLE / n_gaps::DOUBLE), 0.0))
-              + sg::DOUBLE / n_gaps::DOUBLE), 6) AS burstiness
+              + sg::DOUBLE / n_gaps::DOUBLE), 6) + 0 END AS burstiness
          FROM a WHERE n_gaps >= 2 ORDER BY user_id""",
 
     "q_benford" ->
@@ -6217,8 +6222,8 @@ object SparkEntry {
          c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit),
          t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
          SELECT digit, cnt,
-           round(cnt::DOUBLE / t.total::DOUBLE, 6) AS obs_share,
-           round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0), 6) AS benford_share
+           round(cnt::DOUBLE / t.total::DOUBLE, 6) + 0 AS obs_share,
+           round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0), 6) + 0 AS benford_share
          FROM c CROSS JOIN t ORDER BY digit""",
 
     "q_simpson" ->
@@ -6231,7 +6236,7 @@ object SparkEntry {
                  sum(c::HUGEINT * (c - 1)) AS rep
                FROM c GROUP BY domain)
          SELECT domain, n_tokens, n_types,
-           round(rep::DOUBLE / (n_tokens::DOUBLE * (n_tokens - 1)::DOUBLE), 6) AS simpson
+           round(rep::DOUBLE / (n_tokens::DOUBLE * (n_tokens - 1)::DOUBLE), 6) + 0 AS simpson
          FROM a ORDER BY domain""",
 
     // Mirrors the grouped-by-frequency rank-sum form (see
@@ -6253,7 +6258,7 @@ object SparkEntry {
            FROM r)
          SELECT n AS n_types, t::BIGINT AS n_tokens,
            round((2 * s - (n + 1)::HUGEINT * t)::DOUBLE /
-                 (n::HUGEINT * t)::DOUBLE, 6) AS gini
+                 (n::HUGEINT * t)::DOUBLE, 6) + 0 AS gini
          FROM a""",
 
     "q_zipf_slope" ->
@@ -6272,13 +6277,13 @@ object SparkEntry {
              sum(CAST(x * x AS DECIMAL(28,12)))::DOUBLE AS sxx
            FROM v)
          SELECT n::BIGINT AS n_types,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) + 0 AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) + 0 AS intercept
          FROM a""",
 
     "q_quantile_norm" ->
       """SELECT doc_id, source, n_chars,
-           round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC), 9) AS qnorm
+           round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC), 9) + 0 AS qnorm
          FROM documents ORDER BY doc_id""",
 
     // Same fixed per-term shape as TextOps.domainTokenMI:
@@ -6300,7 +6305,7 @@ object SparkEntry {
                AS DECIMAL(28,12)))::DOUBLE AS mi
            FROM joint j JOIN dtot dt ON j.d = dt.d JOIN ttot tt ON j.t = tt.t
            CROSS JOIN tot)
-         SELECT n_tokens, n_domains, ty.n_types, round(mi, 6) AS mi
+         SELECT n_tokens, n_domains, ty.n_types, round(mi, 6) + 0 AS mi
          FROM s CROSS JOIN ty""",
 
     "q_domain_overlap" ->
@@ -6313,7 +6318,7 @@ object SparkEntry {
                FROM dt a JOIN dt b ON a.token = b.token AND a.d < b.d
                GROUP BY 1, 2)
          SELECT domain_a, domain_b, va.vsz AS vocab_a, vb.vsz AS vocab_b, n_common,
-           round(n_common::DOUBLE / (va.vsz + vb.vsz - n_common)::DOUBLE, 6) AS jaccard
+           round(n_common::DOUBLE / (va.vsz + vb.vsz - n_common)::DOUBLE, 6) + 0 AS jaccard
          FROM c JOIN v va ON va.d = c.domain_a JOIN v vb ON vb.d = c.domain_b
          ORDER BY domain_a, domain_b""",
 
@@ -6339,7 +6344,7 @@ object SparkEntry {
              round(CASE WHEN (64 - nrs) > 0
                          AND 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s <= 160.0
                     THEN 64.0 * ln(64.0 / (64 - nrs))
-                    ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) AS est
+                    ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) + 0 AS est
            FROM s),
          pairs AS (
            SELECT a.event_type AS ga, b.event_type AS gb
@@ -6360,11 +6365,11 @@ object SparkEntry {
              round(CASE WHEN (64 - nrs) > 0
                          AND 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s <= 160.0
                     THEN 64.0 * ln(64.0 / (64 - nrs))
-                    ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) AS est_union
+                    ELSE 0.7213 / (1 + 1.079 / 64.0) * 4096.0 / s END, 4) + 0 AS est_union
            FROM us)
          SELECT u.ga AS group_a, u.gb AS group_b,
            ea.est AS est_a, eb.est AS est_b, u.est_union,
-           round(ea.est + eb.est - u.est_union, 4) AS est_intersect
+           round(ea.est + eb.est - u.est_union, 4) + 0 AS est_intersect
          FROM uest u JOIN est ea ON ea.event_type = u.ga
          JOIN est eb ON eb.event_type = u.gb
          ORDER BY group_a, group_b""",
@@ -6469,7 +6474,7 @@ object SparkEntry {
                (greatest(m.cbg::DOUBLE - 0.75, 0.0) +
                 (0.75 * c.n1f::DOUBLE) * (p.n1p::DOUBLE / bt.btypes::DOUBLE))
                / c.cu::DOUBLE)
-             AS DECIMAL(28,12)))::DOUBLE / count(*), 6) AS kn_logprob
+             AS DECIMAL(28,12)))::DOUBLE / count(*), 6) + 0 AS kn_logprob
          FROM bg b JOIN model m USING (bigram)
          JOIN ctx c ON c.w1 = split_part(b.bigram, ' ', 1)
          JOIN cont p ON p.w2 = split_part(b.bigram, ' ', 2)
@@ -6508,18 +6513,22 @@ object SparkEntry {
                AS DECIMAL(28,6)))::DOUBLE AS s4
            FROM events GROUP BY event_type)
          SELECT event_type, n,
-           round(s1 / n::DOUBLE, 6) AS mean,
-           round(sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)), 6) AS stddev,
+           round(s1 / n::DOUBLE, 6) + 0 AS mean,
+           round(sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)), 6) + 0 AS stddev,
+           -- variance = 0 guard (constant-valued group): emit NULL, matching
+           -- the engine's when(variance > 0, ...) instead of IEEE NaN/Inf
+           CASE WHEN greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0) > 0 THEN
            round((s3 / n::DOUBLE - 3.0 * (s1 / n::DOUBLE) * (s2 / n::DOUBLE)
                + 2.0 * ((s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE)))
              / (sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0))
                 * sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0))
-                * sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0))), 6) AS skewness,
+                * sqrt(greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0))), 6) + 0 END AS skewness,
+           CASE WHEN greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0) > 0 THEN
            round((s4 / n::DOUBLE - 4.0 * (s1 / n::DOUBLE) * (s3 / n::DOUBLE)
                + 6.0 * ((s1 / n::DOUBLE) * (s1 / n::DOUBLE)) * (s2 / n::DOUBLE)
                - 3.0 * ((s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE) * (s1 / n::DOUBLE)))
              / (greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)
-                * greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)) - 3.0, 6) AS kurtosis
+                * greatest(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE), 0.0)) - 3.0, 6) + 0 END AS kurtosis
          FROM a ORDER BY event_type""",
 
     "q_markov_acc" ->
@@ -6538,7 +6547,7 @@ object SparkEntry {
            count(*) AS n_transitions,
            sum(CASE WHEN t.next = p.predicted_next THEN 1 ELSE 0 END)::BIGINT AS n_correct,
            round(sum(CASE WHEN t.next = p.predicted_next THEN 1 ELSE 0 END)::DOUBLE
-             / count(*)::DOUBLE, 6) AS accuracy
+             / count(*)::DOUBLE, 6) + 0 AS accuracy
          FROM tr t JOIN pred p ON t.prev = p.prev
          GROUP BY t.prev, p.predicted_next
          ORDER BY prev_type""",
@@ -6613,7 +6622,7 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b, n_common,
-           round(n_common::DOUBLE / ca.n_sh::DOUBLE, 6) AS containment
+           round(n_common::DOUBLE / ca.n_sh::DOUBLE, 6) + 0 AS containment
          FROM ov JOIN counts ca ON ca.doc_id = id_a
          WHERE n_common * 5 >= ca.n_sh * 4
          ORDER BY id_a, id_b""",

@@ -54,13 +54,16 @@ def compare(name, spark_df, oracle_df):
     for c in s.columns:
         a, b = s[c], o[c]
         if pd.api.types.is_float_dtype(a):
-            eq = (a.isna() & b.isna()) | (a == b)
-            # count exact-bit mismatches separately from tiny fp noise
+            # BIT-exact compare (mirrors the driver's hash): -0.0 != +0.0.
+            abits = a.to_numpy(dtype="float64").view("uint64")
+            bbits = b.to_numpy(dtype="float64").view("uint64")
+            eq = pd.Series((a.isna() & b.isna()).to_numpy() | (abits == bbits),
+                           index=a.index)
             bad = ~eq
             if bad.any():
                 diff = (a[bad] - b[bad]).abs()
                 problems.append(
-                    f"col {c}: {int(bad.sum())} mismatches, max abs diff "
+                    f"col {c}: {int(bad.sum())} bit-mismatches, max abs diff "
                     f"{diff.max() if len(diff) else 'nan-mismatch'} "
                     f"(first at row {bad.idxmax()}: {a[bad.idxmax()]} vs {b[bad.idxmax()]})")
         else:
