@@ -537,10 +537,22 @@ object SparkEntry {
     }),
 
     // HLL sketch variant — engine-specific estimate, no oracle (rows-only).
+    // HLL++ sketch state is engine-private (no portable oracle for the
+    // raw estimate — that's C125 q_hll_distinct's job), so the
+    // oracle-checkable surface is the exact count plus a deterministic
+    // bounded-relative-error flag: |approx − exact| / exact ≤ 3·rsd
+    // (rsd = 0.05 default). The oracle asserts the flag is TRUE — Spark's
+    // HLL++ is deterministic for fixed data, and a regeneration that
+    // pushed the sketch past 3 standard errors would rightly go red.
     "q_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_part"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("_approx"),
+          countDistinct(col("l_partkey")).as("exact_part"))
+        .select(col("l_returnflag"), col("exact_part"),
+          (abs(col("_approx").cast("double") - col("exact_part").cast("double"))
+            / col("exact_part").cast("double") <= lit(0.15)).as("within_bounds"))
         .orderBy("l_returnflag")),
 
     // ── sorts / top-k / ranking (SURVEY §2.7) ──────────────────────────
@@ -905,16 +917,25 @@ object SparkEntry {
 
     // Mergeable-sketch percentiles (approx_percentile / t-digest-style):
     // the 100 TB path the exact-percentile ops document as their scale
-    // fallback. No portable oracle exists for the sketch (driver records
-    // rows-only, like q_approx_distinct); the error bound vs the exact
-    // interpolated percentile is asserted in Round7cOpsSpec.
+    // fallback. The raw sketch output is engine-private (no portable
+    // oracle), so the oracle-checkable surface is the group size plus
+    // deterministic rank-error flags: the sketch guarantees rank error
+    // ≤ 1/accuracy = 0.001, and the flag checks the approx value lands
+    // inside the EXACT percentile band at p ± 0.01 (10× the guarantee).
+    // The oracle asserts both flags TRUE; Round7cOpsSpec pins the tight
+    // bound directly.
     "q_approx_percentile" -> ((s, dir) =>
       T(s, dir, "events")
         .groupBy("event_type")
-        .agg(expr("approx_percentile(value, array(0.5D, 0.95D), 1000)").as("_p"))
-        .select(col("event_type"),
-          element_at(col("_p"), 1).as("p50"),
-          element_at(col("_p"), 2).as("p95"))
+        .agg(
+          count(col("value")).as("n"),
+          expr("approx_percentile(value, array(0.5D, 0.95D), 1000)").as("_p"),
+          expr("percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D))").as("_b"))
+        .select(col("event_type"), col("n"),
+          (element_at(col("_p"), 1) >= element_at(col("_b"), 1) &&
+           element_at(col("_p"), 1) <= element_at(col("_b"), 2)).as("p50_within"),
+          (element_at(col("_p"), 2) >= element_at(col("_b"), 3) &&
+           element_at(col("_p"), 2) <= element_at(col("_b"), 4)).as("p95_within"))
         .orderBy("event_type")),
 
     // Windowed dedup: keep the FIRST event per (user, type) within each
@@ -1086,6 +1107,29 @@ object SparkEntry {
       TextOps.dedupExact(T(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
+
+    // Line-level dedup (CCNet granularity): the corpus texts carry no
+    // newlines, so line-structured docs are DERIVED deterministically —
+    // doc_id % 100 buckets, each bucket's texts joined with '\n' in
+    // doc_id order — and the classic boilerplate motivation is planted
+    // (replicated in the oracle, q_dedup_paragraph pattern): every
+    // derived doc gets the same license-header line prepended and the
+    // same footer line appended. dedupLines keeps both only in ldoc 0
+    // and strips them from the other 99 docs; content lines are unique
+    // and survive everywhere.
+    "q_dedup_lines" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select((col("doc_id") % 100).as("ldoc"), col("doc_id"), col("text"))
+      val ldocs = docs.groupBy("ldoc").agg(
+        concat(
+          lit("shared license header line\n"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            "\n"),
+          lit("\nshared footer line")).as("text"))
+      TextOps.dedupLines(ldocs, "ldoc", "text").orderBy("ldoc")
+    }),
 
     // Paragraph(span)-level dedup: repeated boilerplate *within*
     // otherwise-distinct documents. The corpus has no natural repeated
@@ -3515,6 +3559,21 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS cnt_part, count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // The sketch estimate itself is engine-private; the oracle checks the
+    // exact count and asserts the engine's |approx−exact|/exact ≤ 0.15
+    // flag came out TRUE (Spark HLL++ is deterministic for fixed data).
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_part,
+           true AS within_bounds
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Same pattern for the percentile sketch: group size exact, rank-error
+    // flags asserted TRUE (approx inside the exact p ± 0.01 band).
+    "q_approx_percentile" ->
+      """SELECT event_type, count(value) AS n,
+           true AS p50_within, true AS p95_within
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "q_profile" ->
       """SELECT col_name, n_rows, n_nulls, n_distinct FROM (
            SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
@@ -4264,6 +4323,34 @@ object SparkEntry {
                ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+
+    // Line numbering mirrors the engine's derived doc exactly: header at
+    // line 0, content lines at 1..cnt in doc_id order, footer at cnt+1.
+    "q_dedup_lines" ->
+      """WITH content AS (
+           SELECT doc_id % 100 AS ldoc,
+             row_number() OVER (PARTITION BY doc_id % 100 ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY doc_id % 100) AS cnt,
+             text
+           FROM documents),
+         lines AS (
+           SELECT ldoc, rn AS line_no, text AS line FROM content
+           UNION ALL
+           SELECT DISTINCT ldoc, 0 AS line_no, 'shared license header line' FROM content
+           UNION ALL
+           SELECT ldoc, cnt + 1 AS line_no, 'shared footer line'
+           FROM (SELECT DISTINCT ldoc, cnt FROM content)),
+         flagged AS (
+           SELECT ldoc, line_no, line,
+             row_number() OVER (PARTITION BY md5(line)
+               ORDER BY ldoc, line_no) = 1 AS kept
+           FROM lines)
+         SELECT ldoc, count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0
+                THEN string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY line_no)
+           END AS text_dedup
+         FROM flagged GROUP BY ldoc ORDER BY ldoc""",
 
     "q_dedup_paragraph" ->
       s"""WITH docs AS (

@@ -567,6 +567,48 @@ object TextOps {
       .drop("rn")
   }
 
+  /** Line-level exact dedup — CCNet's curation granularity (Wenzek et
+    * al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): fingerprint every NEWLINE-bounded line, keep the
+    * first occurrence corpus-wide (ordered by (id, line_no)), and drop
+    * every later identical line anywhere — another document or later in
+    * the same one. This is the line-BOUNDARY step between whole-document
+    * dedup ([[dedupExact]]) and the grid-based span units
+    * ([[dedupParagraphs]]/[[dedupSpanStride]]): web boilerplate
+    * (navigation chrome, cookie banners, license headers) repeats as
+    * whole lines, not as token-grid blocks. Output is one row per doc:
+    * (id, n_lines, n_kept, text_dedup) where `text_dedup` is the doc
+    * rebuilt from its kept lines joined with '\n' (NULL when every line
+    * was a duplicate).
+    *
+    * 100 TB shape: the keep/drop vote is a window over a SLIM
+    * (id, line_no, md5) projection — the fingerprint shuffle carries
+    * 32-byte hashes + two keys, never line bodies; bodies move once, in
+    * the (id, line_no)-keyed rejoin feeding the per-doc rebuild.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "line")))
+    val flags = lines
+      .select(col(idCol), col("line_no"), md5(col("line")).as("_fp"))
+      .withColumn("kept", row_number().over(
+        Window.partitionBy("_fp").orderBy(col(idCol).asc, col("line_no").asc)) === 1)
+      .select(col(idCol), col("line_no"), col("kept"))
+    lines.join(flags, Seq(idCol, "line_no"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("_txt"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, col("_txt")).as("text_dedup"))
+  }
+
   /** Paragraph-level exact dedup (VERDICT r6 item 3) — the boilerplate-
     * removal step between whole-document dedup (C10) and near-dup (C19):
     * repeated spans *within* otherwise-distinct documents (headers,

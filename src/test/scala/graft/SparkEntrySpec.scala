@@ -31,22 +31,26 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("q_approx_distinct HLL estimate is within 5% of the exact count at sf0.1") {
-    // The one declared query with neither an oracle (HLL sketches are
-    // engine-specific) nor, until now, a quantitative check. Compare the
-    // estimate against q_count_distinct's exact answer per group at the
-    // bench scale factor and assert the relative error is inside the
-    // sketch's design bound (default rsd = 5%).
+    // The query itself now ships the oracle-checkable within_bounds flag
+    // (|approx−exact|/exact ≤ 0.15); this test pins the TIGHT design
+    // bound (default rsd = 5%) on the raw estimate at the bench scale.
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
     val dir = "/root/testdata/sf0.1"
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = SparkEntry.queries("q_count_distinct")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (flag, ex) =>
-      val err = math.abs(approx(flag) - ex).toDouble / ex
-      info(f"$flag: exact=$ex approx=${approx(flag)} relative error=${err * 100}%.2f%%")
+    val rows = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+           countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (flag, ap, ex) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val err = math.abs(ap - ex).toDouble / ex
+      info(f"$flag: exact=$ex approx=$ap relative error=${err * 100}%.2f%%")
       assert(err <= 0.05, f"$flag: HLL error ${err * 100}%.2f%% exceeds 5%%")
     }
+    // and the shipped flags must all be TRUE
+    val flags = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
+    assert(flags.forall(r => r.getBoolean(r.fieldIndex("within_bounds"))))
   }
 
   test("declared queries have deterministic output across reruns") {
