@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1863,10 +1863,90 @@ object TextOps {
                          k: Int = 8, w: Int = 16): DataFrame = {
     // (hash, rightmost-pos) packs into ONE long — h·2^20 + (2^20−1−pos) —
     // so the 16-wide sliding minimum runs on a primitive long instead of
-    // a boxed struct comparator (the C109 packed-key rationale; measured
-    // ~2× on the window). Injective while pos < 2^20; the guard drops
-    // megachar-plus documents to the documented chunking path (C41)
-    // rather than silently mis-selecting.
+    // a boxed struct comparator (the C109 packed-key rationale).
+    // Injective while pos < 2^20; the guard drops megachar-plus documents
+    // to the documented chunking path (C41) rather than silently
+    // mis-selecting.
+    //
+    // FUSED single pass (r13 verdict item 5): gram hashing, the w-wide
+    // sliding min (monotonic deque), and the per-doc dedup all run
+    // partition-local inside one mapPartitions — the sanctioned C26
+    // recurrence shape. The previous expression plan exploded to one row
+    // per character, SHUFFLED the gram stream into per-doc window
+    // partitions, and shuffled again for the distinct; selections are
+    // doc-local by construction, so neither exchange carries information
+    // — this plan has zero shuffles. The expression formulation is kept
+    // below as [[winnowFingerprintsExpr]], the referee the parity spec
+    // pins this pass against.
+    val posCap = 1 << 20
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    val docs = df.select(col(idCol), norm.as("_t"))
+      .where(length(col("_t")) >= k + w - 1 && length(col("_t")) < posCap)
+    val idField = docs.schema.fields(0)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(idField,
+      org.apache.spark.sql.types.StructField("sel_pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fingerprint",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    docs.mapPartitions { it: Iterator[Row] =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val id = row.get(0)
+        val bytes = row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // codepoint start offsets (Spark's length()/substr() count
+        // codepoints, as does the DuckDB oracle's substr)
+        val starts = new Array[Int](bytes.length + 1)
+        var nChars = 0
+        var b = 0
+        while (b < bytes.length) {
+          if ((bytes(b) & 0xc0) != 0x80) { starts(nChars) = b; nChars += 1 }
+          b += 1
+        }
+        starts(nChars) = bytes.length
+        val m = nChars - (k - 1) // gram count; filter guarantees m >= w
+        val selected = new java.util.LinkedHashSet[java.lang.Long]()
+        // monotonic deque of packed keys (ring buffer on positions)
+        val dqKey = new Array[Long](w + 1)
+        val dqPos = new Array[Int](w + 1)
+        var head = 0
+        var tail = 0 // exclusive
+        var p = 1
+        while (p <= m) {
+          val off = starts(p - 1)
+          md.reset()
+          md.update(bytes, off, starts(p - 1 + k) - off)
+          val d = md.digest()
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val key = h * posCap + (posCap - 1 - p)
+          while (tail > head && dqKey((tail - 1) % (w + 1)) >= key) tail -= 1
+          dqKey(tail % (w + 1)) = key
+          dqPos(tail % (w + 1)) = p
+          tail += 1
+          if (dqPos(head % (w + 1)) <= p - w) head += 1
+          if (p >= w) selected.add(dqKey(head % (w + 1)))
+          p += 1
+        }
+        val iter = selected.iterator()
+        new Iterator[Row] {
+          override def hasNext: Boolean = iter.hasNext
+          override def next(): Row = {
+            val key = iter.next().longValue()
+            Row(id, (posCap - 1).toLong - (key & (posCap - 1).toLong), key >>> 20)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The declarative formulation of [[winnowFingerprints]] — explode to
+    * gram rows, per-doc ordered window min, distinct. Same output by
+    * construction (parity spec-pinned); kept as the referee because the
+    * fused pass above re-derives md5 halves and codepoint stepping in
+    * plain Scala rather than through Catalyst expressions.
+    */
+  private[graft] def winnowFingerprintsExpr(df: DataFrame, idCol: String, textCol: String,
+                                            k: Int = 8, w: Int = 16): DataFrame = {
     val posCap = 1 << 20
     val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
     val grams = df.select(col(idCol), norm.as("_t"))

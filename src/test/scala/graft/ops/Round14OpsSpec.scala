@@ -52,4 +52,24 @@ class Round14OpsSpec extends SparkSpec {
     // header was already taken by doc 1, so doc 3 keeps neither
     assert(ref(3L)._2 === 1L) // only epsilon survives
   }
+
+  test("fused winnowFingerprints matches the expression-plan referee") {
+    // multi-byte codepoints included: the fused pass steps UTF-8
+    // boundaries by hand and must agree with Spark's substr/length
+    // (codepoint) semantics the referee (and the DuckDB oracle) use
+    val docs = Seq(
+      LineDoc(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      LineDoc(2L, "unrelated preamble words the quick brown fox jumps closing here"),
+      LineDoc(3L, "naïve café übermaß — ärgerlich große Straßenbahnhöfe führen überall hin"),
+      LineDoc(4L, "short"), // below k + w - 1: filtered out
+      LineDoc(5L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")) // degenerate repeats
+    val d = df(docs)
+    val fused = TextOps.winnowFingerprints(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = TextOps.winnowFingerprintsExpr(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused === ref)
+    assert(fused.exists(_._1 == 3L), "unicode doc must fingerprint")
+    assert(!fused.exists(_._1 == 4L), "short doc must be filtered")
+  }
 }
