@@ -3,6 +3,7 @@ package graft.etl
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{TimestampType, DateType, LongType, DoubleType}
+import org.apache.spark.sql.execution.FileSourceScanLike
 import java.nio.file.Files
 
 /** Golden pipeline-fidelity tests against the reference's own sample data
@@ -89,6 +90,51 @@ class PipelineGoldenSpec extends SparkSpec {
     val xout = Files.createTempDirectory("graft_xetra_golden").toString
     XetraPipeline.run(spark, xetraCsv, xout)
     assert(spark.read.parquet(s"$xout/data/xetra").count() === 15057)
+  }
+
+  test("partition pruning on the pipelines' OWN output (etl.py:62,171 intent)") {
+    // The reference's design intent is that downstream `WHERE
+    // trading_date=` scans read one partition, not the table. Prove it on
+    // the pipeline's real output, not a synthetic frame: build a two-day
+    // corpus (the sample day plus a date-rewritten copy), run the full
+    // pipeline, and pin the partition filter at the scan.
+    val dir = Files.createTempDirectory("graft_xetra_2day")
+    val sample = Files.readString(java.nio.file.Path.of(xetraCsv))
+    Files.writeString(dir.resolve("day1.csv"), sample)
+    Files.writeString(dir.resolve("day2.csv"), sample.replace("2020-11-24", "2020-11-25"))
+    val out = Files.createTempDirectory("graft_xetra_2day_out").toString
+    XetraPipeline.run(spark, s"$dir/*.csv", out)
+
+    def scansOf(df: org.apache.spark.sql.DataFrame) = {
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanLike] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            unwrap(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => unwrap(q.plan)
+          case f: FileSourceScanLike => Seq(f)
+        }.flatten
+      unwrap(df.queryExecution.executedPlan)
+    }
+
+    val pruned = spark.read.parquet(s"$out/data/xetra")
+      .where(col("trading_date") === "2020-11-25")
+    assert(pruned.count() === 15057, "exactly the rewritten day's rows")
+    val scan = scansOf(pruned).head
+    assert(scan.partitionFilters.nonEmpty,
+      "trading_date predicate must reach the scan as a partition filter")
+    assert(new java.io.File(s"$out/data/xetra/trading_date=2020-11-24").isDirectory &&
+      new java.io.File(s"$out/data/xetra/trading_date=2020-11-25").isDirectory,
+      "both hive partitions must exist, so a full read would see 2x rows")
+
+    // same proof for the Eurex quality sink's market_segment layout (A4)
+    val eout = Files.createTempDirectory("graft_eurex_prune_out").toString
+    EurexPipeline.run(spark, eurexCsv, dimCsv, eout)
+    val mu = spark.read.parquet(s"$eout/quality_check/missing_underlying")
+    val seg = mu.select("market_segment").head.getString(0)
+    val muPruned = mu.where(col("market_segment") === seg)
+    assert(muPruned.count() > 0)
+    assert(scansOf(muPruned).head.partitionFilters.nonEmpty,
+      "market_segment predicate must reach the quality-sink scan")
   }
 
   test("ingestion-time quality capture: malformed rows are quarantined, clean rows flow") {
