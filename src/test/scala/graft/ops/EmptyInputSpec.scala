@@ -34,6 +34,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.wordCount(emptyDocs, "text").count() === 0)
     assert(TextOps.dedupExact(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.dedupLines(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextOps.winnowFingerprints(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.minHashLshCandidates(emptyDocs, "doc_id", "text", 3, 16, 4).count() === 0)
     assert(TextOps.simHash(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.langIdByProfile(
