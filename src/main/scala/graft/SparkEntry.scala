@@ -1029,6 +1029,15 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality_score")
         .orderBy("doc_id")),
 
+    // Gopher rule-set filter (Rae et al. 2021 App. A1.1) with the
+    // corpus-adapted stopword list (the paper's function words barely
+    // occur in the synthetic corpus; the rule structure is what's under
+    // test and the oracle replays the same list).
+    "q_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(T(s, dir, "documents"), "doc_id", "text",
+          stopwords = TextOps.Stopwords)
+        .orderBy("doc_id")),
+
     // Token-budget selection: keep the highest-quality docs whose running
     // token total fits a 15k-token budget (the "best N-trillion tokens"
     // cut). The running sum is the two-level distributed prefix sum —
@@ -4045,6 +4054,52 @@ object SparkEntry {
            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
                  FROM documents))
          ORDER BY doc_id""",
+
+    // Raw (unrounded) ratios drive the keep thresholds, mirroring the
+    // engine exactly; every displayed double is rounded with the + 0
+    // canonicalizer.
+    "q_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             string_split(text, chr(10)) AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             list_reduce(list_transform(toks, x -> len(x)::BIGINT), (a, b) -> a + b)::DOUBLE
+               / len(toks)::DOUBLE AS mean_len,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+               / len(toks)::DOUBLE AS frac_alpha,
+             len(list_intersect(toks,
+               ['the','a','of','and','to','in','is','it']))::BIGINT AS n_stop,
+             (len(text) - len(replace(text, '#', '')))::DOUBLE
+               / len(toks)::DOUBLE AS hash_ratio,
+             ((len(text) - len(replace(text, '...', ''))) / 3)
+               / len(toks)::DOUBLE AS ell_ratio,
+             len(list_filter(lines, l -> substr(l, 1, 1) IN ('•','-','*')))::DOUBLE
+               / len(lines)::DOUBLE AS bullet_frac,
+             len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE
+               / len(lines)::DOUBLE AS ell_line_frac,
+             (len(lines) - len(list_distinct(lines)))::DOUBLE
+               / len(lines)::DOUBLE AS dup_line_frac
+           FROM t WHERE len(toks) > 0)
+         SELECT doc_id, n_words,
+           round(mean_len, 6) + 0 AS mean_word_len,
+           round(frac_alpha, 6) + 0 AS frac_alpha,
+           n_stop,
+           round(hash_ratio, 6) + 0 AS hash_ratio,
+           round(ell_ratio, 6) + 0 AS ellipsis_ratio,
+           round(bullet_frac, 6) + 0 AS bullet_frac,
+           round(ell_line_frac, 6) + 0 AS ellipsis_line_frac,
+           round(dup_line_frac, 6) + 0 AS dup_line_frac,
+           (n_words >= 50 AND n_words <= 100000
+             AND mean_len >= 3.0 AND mean_len <= 10.0
+             AND hash_ratio < 0.1 AND ell_ratio < 0.1
+             AND bullet_frac < 0.9 AND ell_line_frac < 0.3
+             AND frac_alpha >= 0.8 AND n_stop >= 2
+             AND dup_line_frac <= 0.3) AS keep
+         FROM m ORDER BY doc_id""",
 
     "q_token_budget" ->
       """WITH q AS (

@@ -1821,6 +1821,72 @@ object TextOps {
       .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate"), col("ids"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", App. A1.1) —
+    * the MassiveText document filter that became the standard first
+    * rule-based pass of web-corpus curation. Per document:
+    * word count ∈ [minWords, maxWords], mean word length ∈ [3, 10],
+    * '#'-symbol and "..."-ellipsis ratios < 0.1 per word, < 90% of
+    * lines bullet-led, < 30% ellipsis-terminated, ≥ 80% of words
+    * containing an alphabetic character, at least two distinct stop
+    * words present, and ≤ 30% duplicate lines. Output carries every
+    * rule's measured value plus the conjunctive `keep` flag, so
+    * downstream reporting can attribute removals to rules.
+    *
+    * Every ratio is an exact int/int division evaluated in one fixed
+    * double shape (identical IEEE result in any engine), so the raw
+    * threshold comparisons — not the rounded display values — drive
+    * `keep` and still hash-check. All row-local (one projection, no
+    * shuffle); at 100 TB this is a free rider on the ingest scan.
+    *
+    * `stopwords` defaults to the paper's set; corpora with a different
+    * function-word inventory (like the synthetic test corpus) pass
+    * their own.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, b) => a + b)
+    val meanLen = sumLen.cast("double") / nWords.cast("double")
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val fracAlpha = nAlpha.cast("double") / nWords.cast("double")
+    val nStop = size(array_intersect(toks, array(stopwords.map(lit): _*))).cast("long")
+    val nHash = length(col(textCol)) - length(expr(s"replace($textCol, '#', '')"))
+    val hashRatio = nHash.cast("double") / nWords.cast("double")
+    val nEll = (length(col(textCol)) -
+      length(expr(s"replace($textCol, '...', '')"))) / 3
+    val ellRatio = nEll.cast("double") / nWords.cast("double")
+    val lines = split(col(textCol), "\n", -1)
+    val nLines = size(lines).cast("long")
+    val bulletFrac = size(filter(lines,
+      l => substring(l, 1, 1).isin("•", "-", "*"))).cast("double") / nLines.cast("double")
+    val ellLineFrac = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines.cast("double")
+    val dupLineFrac = (nLines - size(array_distinct(lines)).cast("long"))
+      .cast("double") / nLines.cast("double")
+    df.where(size(tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        nWords.as("n_words"),
+        Portable.pround(meanLen, 6).as("mean_word_len"),
+        Portable.pround(fracAlpha, 6).as("frac_alpha"),
+        nStop.as("n_stop"),
+        Portable.pround(hashRatio, 6).as("hash_ratio"),
+        Portable.pround(ellRatio, 6).as("ellipsis_ratio"),
+        Portable.pround(bulletFrac, 6).as("bullet_frac"),
+        Portable.pround(ellLineFrac, 6).as("ellipsis_line_frac"),
+        Portable.pround(dupLineFrac, 6).as("dup_line_frac"),
+        (nWords >= minWords && nWords <= maxWords &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          hashRatio < 0.1 && ellRatio < 0.1 &&
+          bulletFrac < 0.9 && ellLineFrac < 0.3 &&
+          fracAlpha >= 0.8 && nStop >= 2L &&
+          dupLineFrac <= 0.3).as("keep"))
+  }
+
   def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))

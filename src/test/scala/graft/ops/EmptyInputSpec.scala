@@ -35,6 +35,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.dedupExact(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.dedupLines(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.winnowFingerprints(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextOps.gopherRules(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.minHashLshCandidates(emptyDocs, "doc_id", "text", 3, 16, 4).count() === 0)
     assert(TextOps.simHash(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextOps.langIdByProfile(

@@ -53,6 +53,38 @@ class Round14OpsSpec extends SparkSpec {
     assert(ref(3L)._2 === 1L) // only epsilon survives
   }
 
+  test("gopherRules: each rule trips on its planted violator") {
+    val goodBody = Seq.fill(12)("alpha beta gamma delta").mkString(" ")
+    val docs = Seq(
+      LineDoc(1L, s"the a $goodBody"),                         // passes all
+      LineDoc(2L, "the a too short to pass"),                  // n_words < 50
+      LineDoc(3L, s"the a ${Seq.fill(50)("#x").mkString(" ")}"), // hash ratio
+      LineDoc(4L, "the a\n" + Seq.fill(20)("- bullet line item four words").mkString("\n")), // bullets
+      LineDoc(5L, s"the a ${Seq.fill(60)("12345").mkString(" ")}"), // frac_alpha
+      LineDoc(6L, s"a only one stopword $goodBody"),           // n_stop < 2
+      LineDoc(7L, "the a intro\n" + Seq.fill(9)("same duplicated line content here").mkString("\n"))) // dup lines
+    val out = TextOps.gopherRules(df(docs), "doc_id", "text",
+        stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def keep(id: Long) = out(id).getBoolean(out(id).fieldIndex("keep"))
+    assert(keep(1L), "clean long doc must pass every rule")
+    assert(!keep(2L) && out(2L).getLong(out(2L).fieldIndex("n_words")) < 50)
+    assert(!keep(3L) &&
+      out(3L).getDouble(out(3L).fieldIndex("hash_ratio")) >= 0.1)
+    assert(!keep(4L) &&
+      out(4L).getDouble(out(4L).fieldIndex("bullet_frac")) >= 0.9)
+    assert(!keep(5L) &&
+      out(5L).getDouble(out(5L).fieldIndex("frac_alpha")) < 0.8)
+    assert(!keep(6L) && out(6L).getLong(out(6L).fieldIndex("n_stop")) === 1L)
+    assert(!keep(7L) &&
+      out(7L).getDouble(out(7L).fieldIndex("dup_line_frac")) > 0.3)
+    // measured values sanity: doc 1 mean word length over known words
+    val toks = s"the a $goodBody".split("\\s+")
+    val wantMean = toks.map(_.length).sum.toDouble / toks.length
+    assert(math.abs(out(1L).getDouble(out(1L).fieldIndex("mean_word_len")) -
+      math.rint(wantMean * 1e6) / 1e6) < 1e-9)
+  }
+
   test("fused winnowFingerprints matches the expression-plan referee") {
     // multi-byte codepoints included: the fused pass steps UTF-8
     // boundaries by hand and must agree with Spark's substr/length
