@@ -2370,6 +2370,16 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Synchronous label-propagation communities, 3 fixed rounds
+    // (most-frequent neighbor label, ties to the smallest — exact
+    // integers, deterministic in any engine).
+    "q_label_prop" -> ((s, dir) => {
+      val edges = graft.sources.PairStore.ensurePairs(s, dir)
+        .select(col("item_a").as("pa"), col("item_b").as("pb"))
+      Graph.labelPropagation(edges, "pa", "pb", iters = 3)
+        .orderBy("id")
+    }),
+
     // Exact threshold-Jaccard self-join via prefix filtering (AllPairs/
     // PPJoin): candidates only from each document's rarest
     // (|d| − ⌈t·|d|⌉ + 1) shingles under one global rarity order — the
@@ -6167,6 +6177,30 @@ object SparkEntry {
            END AS phi
          FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
          ORDER BY ks.k""",
+
+    // 3 unrolled LPA rounds; sym MATERIALIZED (referenced every round —
+    // plain inlining re-derives the basket self-join per reference, the
+    // q_kcore lesson).
+    "q_label_prop" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         e0 AS (SELECT DISTINCT l.i AS a, r.i AS b2
+                FROM items l JOIN items r ON l.b = r.b AND l.i < r.i),
+         sym AS MATERIALIZED (
+           SELECT a AS s, b2 AS d FROM e0 UNION SELECT b2, a FROM e0),
+         l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM sym),
+         c1 AS (SELECT sym.s AS id, l0.lbl AS nl, count(*) AS c
+                FROM sym JOIN l0 ON sym.d = l0.id GROUP BY 1, 2),
+         l1 AS (SELECT id, (min({'nc': -c, 'l': nl})).l AS lbl
+                FROM c1 GROUP BY id),
+         c2 AS (SELECT sym.s AS id, l1.lbl AS nl, count(*) AS c
+                FROM sym JOIN l1 ON sym.d = l1.id GROUP BY 1, 2),
+         l2 AS (SELECT id, (min({'nc': -c, 'l': nl})).l AS lbl
+                FROM c2 GROUP BY id),
+         c3 AS (SELECT sym.s AS id, l2.lbl AS nl, count(*) AS c
+                FROM sym JOIN l2 ON sym.d = l2.id GROUP BY 1, 2),
+         l3 AS (SELECT id, (min({'nc': -c, 'l': nl})).l AS lbl
+                FROM c3 GROUP BY id)
+         SELECT id, lbl AS community FROM l3 ORDER BY id""",
 
     "q_token_entropy" ->
       """WITH tok AS (

@@ -203,6 +203,45 @@ object Graph {
     * aggregates: distinct-neighbor degree per node, then node count per
     * degree. Edges are symmetrized internally; self-loops dropped.
     */
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * fixed iteration count: every node starts labeled with its own id;
+    * each round it adopts the MOST FREQUENT label among its neighbors,
+    * ties broken toward the smallest label — both rules exact-integer,
+    * so a fixed round count is deterministic in any engine and the whole
+    * computation is oracle-checkable (the fixpoint variant is famously
+    * order-dependent; the synchronous fixed-round form is the
+    * reproducible one). Complements [[connectedComponents]]: CC answers
+    * "reachable at all?", LPA answers "densely attached where?" —
+    * communities inside one component (the dedup-cluster splitter for
+    * chains of borderline near-dup edges).
+    *
+    * Scale shape: identical round structure to [[pageRank]] — the
+    * symmetrized edge list is loop-invariant (checkpointed once), each
+    * round is one equi-join (labels into edges) + one (node, label)
+    * count + one argmax agg; the argmax rides a single packed
+    * min(struct(-count, label)), no window. Lineage truncated every 5th
+    * round (the r11 cadence: fixed small iteration counts make per-round
+    * eager materialization pure overhead).
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("_src"), col(bCol).cast("long").as("_dst"))
+      .union(edges.select(col(bCol).cast("long").as("_src"), col(aCol).cast("long").as("_dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("_src").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+    for (i <- 0 until iters) {
+      val nbr = sym.join(labels, sym("_dst") === labels("id"))
+        .select(col("_src").as("id"), col("community").as("_nl"))
+      labels = nbr.groupBy("id", "_nl").agg(count(lit(1)).as("_c"))
+        .groupBy("id")
+        .agg(min(struct((-col("_c")).as("_nc"), col("_nl").as("_l"))).as("_best"))
+        .select(col("id"), col("_best._l").as("community"))
+      if ((i + 1) % 5 == 0 && i + 1 < iters) labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   def degreeDistribution(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))

@@ -67,6 +67,7 @@ class EmptyInputSpec extends SparkSpec {
     val emptyW = df(Seq.empty[WEdge])
     val emptyEdges = df(Seq.empty[Edge])
     assert(Graph.hits(emptyDir, "src", "dst", 2).count() === 0)
+    assert(Graph.labelPropagation(emptyDir, "src", "dst", 2).count() === 0)
     assert(Graph.ssspWithinHops(emptyW, "a", "b", "w",
       df(Seq.empty[Node]), "id", 2).count() === 0)
     // both peel paths: the local finish (default) and the pure loop

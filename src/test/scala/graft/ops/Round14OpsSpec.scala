@@ -53,6 +53,34 @@ class Round14OpsSpec extends SparkSpec {
     assert(ref(3L)._2 === 1L) // only epsilon survives
   }
 
+  test("labelPropagation matches a plain-Scala synchronous referee") {
+    // two dense 4-cliques joined by a single bridge edge
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = cliqueA ++ cliqueB ++ Seq((4L, 11L))
+    def referee(iters: Int): Map[Long, Long] = {
+      val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+      val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 0 until iters) {
+        lbl = nbrs.map { case (v, ns) =>
+          val counts = ns.groupBy(lbl).view.mapValues(_.size).toMap
+          v -> counts.toSeq.map { case (l, c) => (-c.toLong, l) }.min._2
+        }
+      }
+      lbl
+    }
+    val got = Graph.labelPropagation(
+        df(edges.map(e => DirEdge(e._1, e._2))), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referee(3))
+    // communities must split along the bridge: clique interiors agree,
+    // and the two interiors carry different labels
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(12L) === got(13L) && got(13L) === got(14L))
+    assert(got(1L) !== got(14L))
+  }
+
   test("gopherRules: each rule trips on its planted violator") {
     val goodBody = Seq.fill(12)("alpha beta gamma delta").mkString(" ")
     val docs = Seq(
