@@ -768,6 +768,52 @@ object StreamingOps {
     else fp.dropDuplicates("fingerprint")
   }
 
+  /** Streaming line-dedup maintenance — the streaming twin of
+    * TextOps.dedupLines (C164): each micro-batch reduces its documents
+    * to per-line-fingerprint FIRST occurrences (min over (id, line_no)
+    * — the keep-first rule as a monoid), which min-merge into the
+    * running winner table. Min is associative, commutative and
+    * idempotent, so the maintained state equals the batch winners for
+    * ANY micro-batch boundaries or arrival order: a later duplicate of
+    * an earlier line loses the merge, exactly the batch rule (a line
+    * from a LOWER (id, line_no) arriving later correctly displaces —
+    * the batch twin is order-free, so the stream must be too). State is
+    * one row per DISTINCT line fingerprint (fp, id, line_no) — bounded
+    * by content diversity, not stream length. Same idempotent-replay
+    * contract as every foreachBatch state here (re-delivered batchIds
+    * are no-ops).
+    */
+  final class LineDedupState(idCol: String, textCol: String) {
+    private val winners = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    private def batchWinners(batch: DataFrame): DataFrame = batch
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "line")))
+      .groupBy(md5(col("line")).as("line_fp"))
+      .agg(min(struct(col("id"), col("line_no").cast("long").as("line_no"))).as("_w"))
+      .select(col("line_fp"), col("_w.id").as("id"), col("_w.line_no").as("line_no"))
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = batchWinners(batch)
+      val merged = winners.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("line_fp")
+          .agg(min(struct(col("id"), col("line_no"))).as("_w"))
+          .select(col("line_fp"), col("_w.id").as("id"), col("_w.line_no").as("line_no"))
+        case None => p
+      }
+      winners.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** (line_fp, id, line_no) winner per distinct line seen so far.
+      * One-trigger validity (the RetiringFrame contract).
+      */
+    def finalized: Option[DataFrame] = winners.get
+  }
+
   /** Streaming approximate near-dup over SimHash band keys: each arriving
     * document gets its row-local 64-bit SimHash (TextOps.rowSimHash — a
     * stateless projection, no shuffle), explodes into the same 4 × 16-bit

@@ -236,6 +236,55 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line-dedup winners converge to the batch keep-first rule") {
+    // C164's streaming twin: per-batch (line_fp -> min(id, line_no))
+    // winners min-merge across micro-batches; the min monoid makes the
+    // state equal the batch winners regardless of arrival order — proven
+    // by streaming the docs in REVERSE id order, where later batches
+    // must displace earlier winners.
+    val docs = Seq(
+      (1L, "header\nalpha beta\ngamma"),
+      (2L, "header\ndelta\ngamma"),
+      (3L, "header\nheader\nepsilon"))
+    val s = spark
+    import s.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ldd_in").toFile.getAbsolutePath
+    // one file per doc, written in REVERSE order (doc 3 arrives first)
+    docs.reverse.foreach { d =>
+      Seq(d).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val batchDf = docs.toDF("doc_id", "text")
+    val state = new StreamingOps.LineDedupState("doc_id", "text")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.finalized.get.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // plain-Scala referee: first (id, line_no) per line corpus-wide
+      val referee = docs.flatMap { case (id, text) =>
+        text.split("\n", -1).zipWithIndex.map { case (l, i) => (l, id, i.toLong) }
+      }.groupBy(_._1).map { case (l, occ) =>
+        val w = occ.map(o => (o._2, o._3)).min
+        md5Hex(l) -> w
+      }
+      assert(streamed === referee,
+        "min-merged winners must equal batch keep-first despite reverse arrival")
+      // replay idempotence: re-delivering the last batchId is a no-op
+      val before = streamed
+      state.mergeBatch(batchDf.limit(1), 2L)
+      q.processAllAvailable()
+      val after = state.finalized.get.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(after === before)
+    } finally q.stop()
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("streaming incremental aggregation converges bit-exactly to the one-pass batch aggregate") {
     // C45's streaming twin (VERDICT r6 item 6): micro-batched partialAggs
     // merged into a base via foreachBatch must equal aggregating all
