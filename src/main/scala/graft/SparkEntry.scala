@@ -2440,6 +2440,24 @@ object SparkEntry {
       Relational.rankBiasedOverlap(bm, lm, "doc_id", "rank", p = 0.9, depth = 100)
     }),
 
+    // nDCG@50 of the BM25 ranking judged by LM-derived pseudo-relevance
+    // (grades 5..1 by 20-rank LM buckets — the q_rbo ranking pair recast
+    // as system-vs-judgments).
+    "q_ndcg" -> ((s, dir) => {
+      val bm = TextOps.bm25Scores(T(s, dir, "documents"), "doc_id", "text", Bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank", row_number().over(
+          Portable.kRowWindow(col("bm25").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      val rels = TextOps.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("logprob").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank", row_number().over(
+          Portable.kRowWindow(col("logprob").desc, col("doc_id").asc)))
+        .select(col("doc_id"),
+          (lit(5L) - floor((col("rank") - 1).cast("double") / 20.0).cast("long")).as("rel"))
+      Relational.ndcgAtK(bm, rels, "doc_id", "rank", "rel", k = 50)
+    }),
+
     // Bounded edit-distance self-join at tau=2 via PassJoin segment
     // blocking — the entity-resolution step up from C61's lev<=1 (FastSS
     // deletion keys blow up quadratically at tau=2; segments stay
@@ -6347,6 +6365,63 @@ object SparkEntry {
              + power($p, ${depth.toDouble}) *
                (max(CASE WHEN k = $depth THEN x END)::DOUBLE / ${depth.toDouble}), 6) + 0 AS rbo
          FROM xk"""
+    },
+
+    // Shared ranking CTEs with q_rbo; ln-only discount shape (log2
+    // differs in ulps across engines, ln does not).
+    "q_ndcg" -> {
+      val (k1, b, k, depth) = (1.2, 0.75, 50, 100)
+      val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
+      raw"""WITH dl AS (
+           SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS dl
+           FROM documents),
+         tot AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ($terms) GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         bm AS (
+           SELECT t.doc_id,
+             round(sum(CAST(
+               ln(1.0 + (tot.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+                 * ((t.tf::DOUBLE * ${k1 + 1.0}) /
+                    (t.tf::DOUBLE + $k1 * (1.0 - $b + $b * (d.dl::DOUBLE / (tot.sumdl::DOUBLE / tot.n::DOUBLE)))))
+               AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS bm25
+           FROM tf t
+           JOIN dfreq f ON t.token = f.token
+           JOIN dl d ON t.doc_id = d.doc_id
+           CROSS JOIN tot
+           GROUP BY t.doc_id),
+         bmr AS (SELECT doc_id, rank FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+             FROM bm) WHERE rank <= $depth),
+         model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         tot2 AS (SELECT sum(c) AS total, count(*) AS vocab FROM model),
+         lm AS (
+           SELECT t.doc_id,
+             round(sum(CAST(ln((m.c::DOUBLE + 1.0) / (tot2.total + tot2.vocab)::DOUBLE)
+                   AS DECIMAL(28,12)))::DOUBLE / count(*), 6) + 0 AS logprob
+           FROM tok t JOIN model m ON t.token = m.token CROSS JOIN tot2
+           GROUP BY t.doc_id),
+         rels AS (SELECT doc_id, 5 - (rank - 1) // 20 AS rel FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY logprob DESC, doc_id ASC) AS rank
+             FROM lm) WHERE rank <= $depth),
+         sys AS (SELECT br.rank, coalesce(r.rel, 0) AS rel
+                 FROM bmr br LEFT JOIN rels r ON br.doc_id = r.doc_id
+                 WHERE br.rank <= $k),
+         d AS (SELECT sum(CAST((power(2.0, rel::DOUBLE) - 1.0) * ln(2.0)
+                 / ln(rank::DOUBLE + 1.0) AS DECIMAL(28,12)))::DOUBLE AS dcg FROM sys),
+         ip AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS pos
+                FROM rels QUALIFY pos <= $k),
+         i AS (SELECT sum(CAST((power(2.0, rel::DOUBLE) - 1.0) * ln(2.0)
+                 / ln(pos::DOUBLE + 1.0) AS DECIMAL(28,12)))::DOUBLE AS idcg FROM ip)
+         SELECT $k::BIGINT AS k,
+           round(dcg, 6) + 0 AS dcg,
+           round(idcg, 6) + 0 AS idcg,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) + 0 END AS ndcg
+         FROM d CROSS JOIN i"""
     },
 
     // Brute force over the (bounded) mutated corpus — the blocking-

@@ -276,6 +276,53 @@ object Relational {
           6).as("rbo"))
   }
 
+  /** nDCG@k (Järvelin & Kekäläinen 2002) of a system ranking against
+    * graded relevance judgments — the standard position-discounted IR
+    * quality metric completing the retrieval-eval family (C116 RRF
+    * fuses rankers, C140 RBO compares two rankers symmetrically; nDCG
+    * grades ONE ranker against judgments):
+    *
+    *   DCG@k  = Σ_{pos ≤ k} (2^rel − 1) / log2(pos + 1)   (rel 0 if unjudged)
+    *   iDCG@k = the same sum over the k highest grades in the judgment set
+    *   nDCG@k = DCG / iDCG                                 (NULL when iDCG = 0)
+    *
+    * Determinism: grades are integers, so 2^rel is exact; the discount
+    * is expressed as (2^rel − 1)·ln(2)/ln(pos+1) — the ln-only shape
+    * whose cross-engine bit-parity every logprob oracle already relies
+    * on (log2 implementations differ in ulps between engines; ln does
+    * not). Tied grades in the ideal ordering occupy a contiguous
+    * position block, and permuting equal grades within it leaves the
+    * sum unchanged — the ideal value is deterministic; the (grade desc,
+    * id asc) sort just makes the PLAN deterministic too. Terms
+    * decimal-sum (order-independent), one row out: (k, dcg, idcg, ndcg).
+    *
+    * Scale shape: the system side is a rank-filtered k-row frame joined
+    * left against the judgment set (broadcastable — judgments are
+    * eval-set-sized, never corpus-sized); the ideal side is a top-k over
+    * the judgments (TakeOrderedAndProject). Nothing corpus-sized moves.
+    */
+  def ndcgAtK(ranked: DataFrame, rels: DataFrame, idCol: String,
+              rankCol: String, relCol: String, k: Int): DataFrame = {
+    val lnTwo = log(lit(2.0))
+    val sysTerm = (pow(lit(2.0), coalesce(col("_rel"), lit(0L)).cast("double")) - lit(1.0)) *
+      lnTwo / log(col(rankCol).cast("double") + lit(1.0))
+    val dcg = ranked.where(col(rankCol) <= k)
+      .join(broadcast(rels.select(col(idCol), col(relCol).as("_rel"))), Seq(idCol), "left")
+      .agg(Portable.decSum(sysTerm, 12).cast("double").as("_dcg"))
+    val idealTerm = (pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)) *
+      lnTwo / log(col("_pos").cast("double") + lit(1.0))
+    val ideal = rels
+      .orderBy(col(relCol).desc, col(idCol).asc).limit(k)
+      .withColumn("_pos", row_number().over(
+        Portable.kRowWindow(col(relCol).desc, col(idCol).asc)))
+      .agg(Portable.decSum(idealTerm, 12).cast("double").as("_idcg"))
+    dcg.crossJoin(ideal).select(
+      lit(k).cast("long").as("k"),
+      Portable.pround(col("_dcg"), 6).as("dcg"),
+      Portable.pround(col("_idcg"), 6).as("idcg"),
+      when(col("_idcg") > 0, Portable.pround(col("_dcg") / col("_idcg"), 6)).as("ndcg"))
+  }
+
   /** Incremental equi-join maintenance — the join twin of `partialAggs`'
     * never-rescan-history pattern. With both inputs split into an already-
     * joined base and a newly-arrived delta, the distributivity identity

@@ -3,6 +3,8 @@ package graft.ops
 import graft.SparkSpec
 
 case class LineDoc(doc_id: Long, text: String)
+case class RankRow(doc_id: Long, rank: Long)
+case class RelRow(doc_id: Long, rel: Long)
 
 /** Round-14 operators. Tests check against an independent in-memory
   * referee (plain Scala re-derivation), not the operator's own blocks.
@@ -51,6 +53,28 @@ class Round14OpsSpec extends SparkSpec {
     // within-doc repeat: doc 3 keeps only ONE of its two header lines...
     // header was already taken by doc 1, so doc 3 keeps neither
     assert(ref(3L)._2 === 1L) // only epsilon survives
+  }
+
+  test("ndcgAtK matches the textbook hand computation") {
+    val ranked = df(Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .map(p => RankRow(p._1, p._2)))
+    // id 9 is judged but never retrieved; id 2 retrieved but unjudged
+    val rels = df(Seq((1L, 3L), (3L, 2L), (9L, 1L)).map(p => RelRow(p._1, p._2)))
+    val r = Relational.ndcgAtK(ranked, rels, "doc_id", "rank", "rel", k = 3)
+      .collect().head
+    def disc(pos: Long) = math.log(2.0) / math.log(pos + 1.0)
+    def gain(rel: Long) = math.pow(2.0, rel.toDouble) - 1.0
+    val dcg = gain(3) * disc(1) + gain(0) * disc(2) + gain(2) * disc(3)
+    val idcg = gain(3) * disc(1) + gain(2) * disc(2) + gain(1) * disc(3)
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) - math.rint(dcg * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(r.getDouble(2) - math.rint(idcg * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(r.getDouble(3) - math.rint(dcg / idcg * 1e6) / 1e6) < 1e-9)
+    // perfect ranking of its own judgments scores exactly 1
+    val perfect = df(Seq((1L, 1L), (3L, 2L), (9L, 3L)).map(p => RankRow(p._1, p._2)))
+    val p1 = Relational.ndcgAtK(perfect, rels, "doc_id", "rank", "rel", k = 3)
+      .collect().head
+    assert(p1.getDouble(3) === 1.0)
   }
 
   test("labelPropagation matches a plain-Scala synchronous referee") {
