@@ -257,6 +257,41 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("round-14 queries keep their scale-plan contracts") {
+    // q_label_prop: rides the pair artifact, never the fact table
+    val lp = SparkEntry.queries("q_label_prop")(spark, sfDir)
+    lp.collect()
+    val lpFact = flatten(lp.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.inputFiles.exists(_.contains("lineitem")) => s
+    }
+    assert(lpFact.isEmpty, "q_label_prop must iterate off the pair artifact")
+
+    // q_gopher_rules: row-local — no shuffle before the presentation
+    // sort, and the documents scan prunes to exactly (doc_id, text)
+    val gr = SparkEntry.queries("q_gopher_rules")(spark, sfDir)
+    val grScan = flatten(gr.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(grScan.schema.fieldNames.sorted.toSeq === Seq("doc_id", "text"),
+      s"gopher scan must prune to (doc_id, text), read ${grScan.schema.fieldNames.mkString(",")}")
+    val grShuffles = flatten(gr.queryExecution.executedPlan).count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        !e.outputPartitioning.toString.contains("range"); case _ => false
+    }
+    assert(grShuffles === 0,
+      "gopher rules are row-local; only the presentation range-sort may exchange")
+
+    // q_ndcg: the judgment side enters the system join as a broadcast
+    val nd = SparkEntry.queries("q_ndcg")(spark, sfDir)
+    nd.collect()
+    assert(flatten(nd.queryExecution.executedPlan).exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, "q_ndcg must broadcast the eval-set-sized judgment frame")
+  }
+
   test("q_assoc_rules reads both PairStore artifacts and never the fact table") {
     // the association-rule contract (r12): confidence/lift are computed
     // from the committed pair-support and item-count artifacts alone —
