@@ -216,27 +216,29 @@ object Graph {
     * chains of borderline near-dup edges).
     *
     * Scale shape: identical round structure to [[pageRank]] — the
-    * symmetrized edge list is loop-invariant (checkpointed once), each
-    * round is one equi-join (labels into edges) + one (node, label)
-    * count + one argmax agg; the argmax rides a single packed
-    * min(struct(-count, label)), no window. Lineage truncated every 5th
-    * round (the r11 cadence: fixed small iteration counts make per-round
-    * eager materialization pure overhead).
+    * symmetrized edge list is loop-invariant, HASH-PARTITIONED ON the
+    * join key before its one-time checkpoint (so each round shuffles
+    * only the node-sized label frame into the join, never the edge
+    * list), and each round is that one equi-join plus ONE aggregation:
+    * `mode(label, deterministic = true)` — Spark's most-frequent-value
+    * aggregate whose deterministic flag breaks ties toward the LOWEST
+    * value, exactly LPA's rule, in a single map-side-combinable pass
+    * (the naive count-then-argmax formulation pays a second shuffle per
+    * round for the same answer). Lineage truncated every 5th round (the
+    * r11 cadence: fixed small iteration counts make per-round eager
+    * materialization pure overhead).
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        iters: Int): DataFrame = {
     val sym = edges.select(col(aCol).cast("long").as("_src"), col(bCol).cast("long").as("_dst"))
       .union(edges.select(col(bCol).cast("long").as("_src"), col(aCol).cast("long").as("_dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("_dst")).localCheckpoint(true)
     var labels = sym.select(col("_src").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
     for (i <- 0 until iters) {
-      val nbr = sym.join(labels, sym("_dst") === labels("id"))
-        .select(col("_src").as("id"), col("community").as("_nl"))
-      labels = nbr.groupBy("id", "_nl").agg(count(lit(1)).as("_c"))
-        .groupBy("id")
-        .agg(min(struct((-col("_c")).as("_nc"), col("_nl").as("_l"))).as("_best"))
-        .select(col("id"), col("_best._l").as("community"))
+      labels = sym.join(labels, sym("_dst") === labels("id"))
+        .groupBy(col("_src").as("id"))
+        .agg(mode(col("community"), deterministic = true).as("community"))
       if ((i + 1) % 5 == 0 && i + 1 < iters) labels = labels.localCheckpoint(true)
     }
     labels
