@@ -1301,6 +1301,38 @@ object TextOps {
       qualityScore(df, textCol).localCheckpoint(true)
     }
 
+  /** Session-memoized BM25 scores over a corpus: the retrieval-eval
+    * family (q_rbo, q_rrf_fuse, q_ndcg) re-derives the same ranking
+    * frame its primary query (q_bm25) computes — one materialization per
+    * (application, corpus, terms) instead of four. Sound because the
+    * frame is deterministic in (corpus, terms); same applicationId
+    * keying contract as [[qualityScoreCached]].
+    */
+  private val bm25Cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Seq[String]), DataFrame]
+
+  def bm25ScoresCached(df: => DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], spark: org.apache.spark.sql.SparkSession,
+                       corpusKey: String): DataFrame =
+    SessionMemo.memoize(bm25Cache,
+      (spark.sparkContext.applicationId, corpusKey, terms)) {
+      bm25Scores(df, idCol, textCol, terms).localCheckpoint(true)
+    }
+
+  /** Session-memoized unigram-LM logprob scores (same rationale and
+    * contract as [[bm25ScoresCached]] — q_unigram_logprob, q_rbo,
+    * q_rrf_fuse and q_ndcg consume the same frame).
+    */
+  private val unigramLpCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def unigramLogProbCached(df: => DataFrame, idCol: String, textCol: String,
+                           spark: org.apache.spark.sql.SparkSession,
+                           corpusKey: String): DataFrame =
+    SessionMemo.memoize(unigramLpCache, (spark.sparkContext.applicationId, corpusKey)) {
+      unigramLogProb(df, idCol, textCol).localCheckpoint(true)
+    }
+
   /** Repetition-based quality signals (the Gopher/MassiveText-style
     * repetition filters): duplicate-token fraction and top-bigram fraction
     * per document. Highly repetitive documents (boilerplate, generated
