@@ -2428,6 +2428,71 @@ object SparkEntry {
       Relational.ndcgAtK(bm25Rank(s, dir), rels, "doc_id", "rank", "rel", k = 50)
     }),
 
+    // Binary-relevance retrieval metrics (MRR / P@20 / R@20 / AP@20) of
+    // the BM25 top-100. Relevant = even-id documents containing >= 2
+    // distinct query terms: the term floor ties relevance to the query,
+    // the id-parity cut stands in for an external labeler who marked
+    // only half the matching docs — so the top-20 mixes hits and misses
+    // and every metric path (first-hit, cum-precision, miss) is
+    // exercised at corpus scale. Memoized BM25 ranking; judgments
+    // broadcast; the term filter lands before the explode's aggregation
+    // so the shuffle carries query-term tokens only.
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val rels = T(s, dir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token").isin(Bm25Terms: _*))
+        .groupBy("doc_id").agg(count_distinct(col("token")).as("_nt"))
+        .where(col("_nt") >= 2).select("doc_id")
+      Relational.retrievalMetrics(bm25Rank(s, dir), rels, "doc_id", "rank", k = 20)
+    }),
+
+    // Per-source 2-D skyline over (token count, distinct-token count) —
+    // the Pareto curation cut: keep a document iff no same-source doc is
+    // at least as long AND at least as lexically rich (strictly better
+    // on one). Both coordinates row-local integers off the pruned
+    // (doc_id, source, text) scan; dominance is two windows on ONE
+    // source-hash exchange (no self-join).
+    "q_skyline" -> ((s, dir) => {
+      val profiled = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct"))
+      Relational.skyline2D(profiled, "source", "n_tokens", "n_distinct")
+        .orderBy(col("source"), col("n_tokens").desc, col("doc_id"))
+    }),
+
+    // Per-user autocorrelation of event values at lags 1..3 — the
+    // periodicity profile of a behavior stream (flat-high ACF = scripted
+    // traffic; the temporal cousin of q_burstiness). One user exchange,
+    // lags fanned row-locally, exact decimal moments.
+    "q_acf" -> ((s, dir) =>
+      TimeSeries.acf(T(s, dir, "events"), "user_id", "event_id", "value", maxLag = 3)
+        .orderBy("user_id", "lag")),
+
+    // Adamic-Adar link prediction over the repeat-trade affiliation
+    // graph: customer pairs scored by shared repeat-suppliers, each
+    // weighted 1/ln(degree) — rare shared affiliations dominate. The
+    // w >= 2 projection bounds per-supplier degree (the q_kcore
+    // derivation, session-memoized), keeping the wedge join linear-ish.
+    "q_adamic_adar" -> ((s, dir) =>
+      Graph.adamicAdarBipartite(
+        weightedTradeEdges(s, dir).where(col("w") >= 2), "cust", "supp", topK = 50)),
+
+    // Hard-negative mining: for each probe embedding, the top-5 most
+    // cosine-similar vectors with a DIFFERENT class label — contrastive
+    // training's near-miss negatives (random negatives are easy; the
+    // gradient lives at the top of the cross-label ranking). Broadcast
+    // probes, label predicate fused into the join, codegen'd native dot.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      VectorOps.hardNegatives(emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("query_label").cast("long").as("query_label"),
+          col("corpus_id"), col("corpus_label").cast("long").as("corpus_label"),
+          col("score"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Bounded edit-distance self-join at tau=2 via PassJoin segment
     // blocking — the entity-resolution step up from C61's lev<=1 (FastSS
     // deletion keys blow up quadratically at tau=2; segments stay
@@ -6415,6 +6480,141 @@ object SparkEntry {
            CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) + 0 END AS ndcg
          FROM d CROSS JOIN i"""
     },
+
+    // Shared bm CTE with q_bm25's own oracle; relevance re-derived from
+    // the same tf table (>= 2 distinct terms, even ids); all metric
+    // numerators/denominators exact integers, AP terms decimal-summed.
+    "q_retrieval_metrics" -> {
+      val (k1, b, k, depth) = (1.2, 0.75, 20, 100)
+      val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
+      raw"""WITH dl AS (
+           SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS dl
+           FROM documents),
+         tot AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ($terms) GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         bm AS (
+           SELECT t.doc_id,
+             round(sum(CAST(
+               ln(1.0 + (tot.n::DOUBLE - f.df::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+                 * ((t.tf::DOUBLE * ${k1 + 1.0}) /
+                    (t.tf::DOUBLE + $k1 * (1.0 - $b + $b * (d.dl::DOUBLE / (tot.sumdl::DOUBLE / tot.n::DOUBLE)))))
+               AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS bm25
+           FROM tf t
+           JOIN dfreq f ON t.token = f.token
+           JOIN dl d ON t.doc_id = d.doc_id
+           CROSS JOIN tot
+           GROUP BY t.doc_id),
+         bmr AS (SELECT doc_id, rank FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+             FROM bm) WHERE rank <= $depth),
+         rels AS (SELECT doc_id FROM tf WHERE doc_id % 2 = 0
+                  GROUP BY doc_id HAVING count(*) >= 2),
+         ann AS (SELECT br.rank, CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+                 FROM bmr br LEFT JOIN rels r ON br.doc_id = r.doc_id),
+         cum AS (SELECT rank, rel, sum(rel) OVER (ORDER BY rank) AS cum FROM ann),
+         sys AS (SELECT min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                   max(CASE WHEN rank <= $k THEN cum END) AS relk,
+                   sum(CASE WHEN rel = 1 AND rank <= $k
+                     THEN CAST(cum::DOUBLE / rank::DOUBLE AS DECIMAL(28,12)) END)::DOUBLE AS psum
+                 FROM cum),
+         nr AS (SELECT count(*) AS nrel FROM rels)
+         SELECT $k::BIGINT AS k, nrel AS n_rel,
+           CASE WHEN first_rel IS NOT NULL THEN round(1.0 / first_rel::DOUBLE, 6) + 0 END AS mrr,
+           round(coalesce(relk, 0)::DOUBLE / ${k.toDouble}, 6) + 0 AS p_at_k,
+           CASE WHEN nrel > 0 THEN round(coalesce(relk, 0)::DOUBLE / nrel::DOUBLE, 6) + 0 END AS r_at_k,
+           CASE WHEN nrel > 0
+             THEN round(coalesce(psum, 0.0) / least(nrel, $k)::DOUBLE, 6) + 0 END AS ap_at_k
+         FROM sys CROSS JOIN nr"""
+    },
+
+    // Window replication of the dominance rule (integer compares only);
+    // a NOT EXISTS brute-force of the same predicate was verified equal
+    // during development — the windows ARE the skyline.
+    "q_skyline" ->
+      raw"""WITH p AS (
+           SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+             len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT AS n_distinct
+           FROM documents),
+         w AS (
+           SELECT doc_id, source, n_tokens, n_distinct,
+             max(n_distinct) OVER (PARTITION BY source ORDER BY n_tokens DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_gt,
+             max(n_distinct) OVER (PARTITION BY source, n_tokens) AS mx_eq
+           FROM p)
+         SELECT doc_id, source, n_tokens, n_distinct FROM w
+         WHERE (mx_gt IS NULL OR mx_gt < n_distinct) AND n_distinct = mx_eq
+         ORDER BY source, n_tokens DESC, doc_id""",
+
+    // Same exact-decimal moment shape as q_rolling_corr's oracle; the
+    // three lag fans are a window pass + UNION ALL.
+    "q_acf" ->
+      """WITH l AS (
+           SELECT user_id, value,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         p AS (
+           SELECT user_id, 1::BIGINT AS lag, value AS x, l1 AS y FROM l WHERE l1 IS NOT NULL
+           UNION ALL SELECT user_id, 2, value, l2 FROM l WHERE l2 IS NOT NULL
+           UNION ALL SELECT user_id, 3, value, l3 FROM l WHERE l3 IS NOT NULL),
+         m AS (SELECT user_id, lag, count(*) AS n,
+             sum(CAST(x AS DECIMAL(28,6)))::DOUBLE AS sx,
+             sum(CAST(y AS DECIMAL(28,6)))::DOUBLE AS sy,
+             sum(CAST(x*x AS DECIMAL(28,6)))::DOUBLE AS sxx,
+             sum(CAST(y*y AS DECIMAL(28,6)))::DOUBLE AS syy,
+             sum(CAST(x*y AS DECIMAL(28,6)))::DOUBLE AS sxy
+           FROM p GROUP BY 1, 2)
+         SELECT user_id, lag, n,
+           CASE WHEN n >= 2 AND n::DOUBLE*sxx - sx*sx > 0 AND n::DOUBLE*syy - sy*sy > 0
+             THEN round((n::DOUBLE*sxy - sx*sy) /
+               (sqrt(n::DOUBLE*sxx - sx*sx) * sqrt(n::DOUBLE*syy - sy*sy)), 6) + 0
+           END AS acf
+         FROM m ORDER BY user_id, lag""",
+
+    // Same repeat-trade projection as q_kcore's e0; raw (unrounded)
+    // decimal-summed score orders the top-k so the cut is exact in both
+    // engines; supplier-key offset omitted (suppliers are not output).
+    "q_adamic_adar" ->
+      """WITH e AS (
+           SELECT o_custkey AS cust, l_suppkey AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT supp, count(*) AS d FROM e GROUP BY 1),
+         w AS (SELECT a.cust AS id_a, b.cust AS id_b, deg.d
+               FROM e a JOIN e b ON a.supp = b.supp AND a.cust < b.cust
+               JOIN deg ON deg.supp = a.supp),
+         sc AS (SELECT id_a, id_b, count(*) AS n_common,
+                 sum(CAST(1.0 / ln(d::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS raw
+                FROM w GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common, round(raw, 6) + 0 AS score
+         FROM sc ORDER BY raw DESC, id_a, id_b LIMIT 50""",
+
+    // q_cosine_topk's oracle with the label-mismatch predicate fused into
+    // the candidate join — same raw left-to-right fold score shape.
+    "q_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS e FROM embeddings),
+         n AS (SELECT vec_id, label, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         scored AS (
+           SELECT q.vec_id AS query_id, q.label AS query_label,
+                  c.vec_id AS corpus_id, c.label AS corpus_label,
+             list_reduce(list_transform(range(1, 65), i -> q.e[i]*c.e[i]), (x, y) -> x + y)
+               / (q.nrm * c.nrm) AS score
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id AND q.label <> c.label
+           WHERE q.vec_id < 8)
+         SELECT query_id, query_label, corpus_id, corpus_label, score, rank FROM (
+           SELECT query_id, query_label, corpus_id, corpus_label, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // Brute force over the (bounded) mutated corpus — the blocking-
     // losslessness check is the whole point of oracling this one.

@@ -197,12 +197,6 @@ object Graph {
     ranks
   }
 
-  /** Degree distribution of an undirected edge list — the first graph
-    * profile anyone runs (skew → hub detection, feeds the salting /
-    * AQE-skew decisions the join playbook documents). Two hash
-    * aggregates: distinct-neighbor degree per node, then node count per
-    * degree. Edges are symmetrized internally; self-loops dropped.
-    */
   /** Synchronous label-propagation communities (Raghavan et al. 2007),
     * fixed iteration count: every node starts labeled with its own id;
     * each round it adopts the MOST FREQUENT label among its neighbors,
@@ -213,7 +207,9 @@ object Graph {
     * reproducible one). Complements [[connectedComponents]]: CC answers
     * "reachable at all?", LPA answers "densely attached where?" —
     * communities inside one component (the dedup-cluster splitter for
-    * chains of borderline near-dup edges).
+    * chains of borderline near-dup edges). Self-loops are dropped, the
+    * same as [[degreeDistribution]] — a node never votes with its own
+    * previous label.
     *
     * Scale shape: identical round structure to [[pageRank]] — the
     * symmetrized edge list is loop-invariant, HASH-PARTITIONED ON the
@@ -232,6 +228,7 @@ object Graph {
                        iters: Int): DataFrame = {
     val sym = edges.select(col(aCol).cast("long").as("_src"), col(bCol).cast("long").as("_dst"))
       .union(edges.select(col(bCol).cast("long").as("_src"), col(aCol).cast("long").as("_dst")))
+      .where(col("_src") =!= col("_dst"))
       .distinct().repartition(col("_dst")).localCheckpoint(true)
     var labels = sym.select(col("_src").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
@@ -244,6 +241,12 @@ object Graph {
     labels
   }
 
+  /** Degree distribution of an undirected edge list — the first graph
+    * profile anyone runs (skew → hub detection, feeds the salting /
+    * AQE-skew decisions the join playbook documents). Two hash
+    * aggregates: distinct-neighbor degree per node, then node count per
+    * degree. Edges are symmetrized internally; self-loops dropped.
+    */
   def degreeDistribution(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
@@ -663,5 +666,43 @@ object Graph {
       when(den =!= lit(0),
           Portable.pround(num.cast("double") / den.cast("double"), 6))
         .as("assortativity"))
+  }
+
+  /** Adamic-Adar link prediction over a bipartite affiliation graph
+    * (Adamic & Adar 2003): left-side node pairs scored by their shared
+    * right-side neighbors, each neighbor weighted 1/ln(degree) — a rare
+    * shared affiliation says more than a popular one (the same
+    * inverse-frequency instinct as IDF). Top `topK` non-trivial pairs
+    * out: (id_a, id_b, n_common, score), id_a < id_b.
+    *
+    * A shared neighbor has degree ≥ 2 by construction, so ln(degree) ≥
+    * ln 2 > 0 — no guard needed. Per-pair terms decimal-sum (order-
+    * independent); ordering ties on the exact summed score break by ids.
+    *
+    * Scale shape: wedge enumeration through each right-side node is the
+    * only quadratic step — Σ_z deg(z)², which the CALLER bounds by
+    * feeding a degree-bounded affiliation graph (e.g. the repeat-trade
+    * projection, whose per-supplier degree is a behavioral constant, not
+    * a corpus-scale one; the same contract as basketPairs' basket-size
+    * bound). The wedge self-join is an equi-join on the right key, the
+    * degree table joins in by the same key (one partitioning reused),
+    * and the pair aggregation is a hash agg on (id_a, id_b); final top-k
+    * is TakeOrderedAndProject, never a global sort.
+    */
+  def adamicAdarBipartite(edges: DataFrame, leftCol: String, rightCol: String,
+                          topK: Int): DataFrame = {
+    val e = edges.select(col(leftCol).cast("long").as("_l"),
+      col(rightCol).cast("long").as("_r")).distinct()
+    val deg = e.groupBy("_r").agg(count(lit(1)).as("_d"))
+    val annotated = e.join(deg, Seq("_r"))
+    val wedges = annotated.select(col("_r"), col("_l").as("id_a"), col("_d"))
+      .join(annotated.select(col("_r"), col("_l").as("id_b")), Seq("_r"))
+      .where(col("id_a") < col("id_b"))
+    wedges.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"),
+        Portable.decSum(lit(1.0) / log(col("_d").cast("double")), 12).as("_score"))
+      .orderBy(col("_score").desc, col("id_a").asc, col("id_b").asc).limit(topK)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("_score"), 6).as("score"))
   }
 }

@@ -301,8 +301,13 @@ object Relational {
     * eval-set-sized, never corpus-sized); the ideal side is a top-k over
     * the judgments (TakeOrderedAndProject). Nothing corpus-sized moves.
     */
-  def ndcgAtK(ranked: DataFrame, rels: DataFrame, idCol: String,
+  def ndcgAtK(ranked: DataFrame, relsRaw: DataFrame, idCol: String,
               rankCol: String, relCol: String, k: Int): DataFrame = {
+    // One judgment per id: a duplicated doc_id would fan out the system-side
+    // left join AND occupy two ideal positions, double-counting both sums.
+    // Max-grade dedup makes the metric well-defined for any input (a no-op
+    // shuffle on an eval-set-sized frame when judgments are already unique).
+    val rels = relsRaw.groupBy(col(idCol)).agg(max(col(relCol)).as(relCol))
     val lnTwo = log(lit(2.0))
     val sysTerm = (pow(lit(2.0), coalesce(col("_rel"), lit(0L)).cast("double")) - lit(1.0)) *
       lnTwo / log(col(rankCol).cast("double") + lit(1.0))
@@ -339,6 +344,88 @@ object Relational {
     * or rescanned. Returns the INCREMENT only; callers union it with
     * their stored base-join table.
     */
+  /** Binary-relevance retrieval metrics — MRR, Precision@k, Recall@k and
+    * AP@k of one ranked list against a relevant-id set, completing the
+    * retrieval-eval family's graded-judgment member (C167 nDCG) with the
+    * binary-judgment classics every eval harness reports:
+    *
+    *   MRR  = 1 / rank of the FIRST relevant result (NULL if none)
+    *   P@k  = |rel ∩ top-k| / k
+    *   R@k  = |rel ∩ top-k| / |rel|
+    *   AP@k = Σ_{r ≤ k, rel(r)} P@r / min(|rel|, k)
+    *
+    * Every numerator/denominator is an exact integer (positions and
+    * cumulative relevant counts), so the only IEEE arithmetic is the
+    * final fixed-shape divisions; AP's per-position precision terms
+    * decimal-sum (order-independent). Duplicate ids in `relsRaw` are
+    * deduped (the ndcgAtK precondition, enforced the same way).
+    *
+    * Scale shape: the ranked list is depth-bounded by construction
+    * (a top-k shortlist, never corpus-sized), the relevant set is
+    * eval-set-sized and broadcast; the cumulative-relevant window is a
+    * kRowWindow over the shortlist. One row out.
+    */
+  def retrievalMetrics(ranked: DataFrame, relsRaw: DataFrame, idCol: String,
+                       rankCol: String, k: Int): DataFrame = {
+    val rels = relsRaw.select(col(idCol)).distinct()
+    val ann = ranked
+      .join(broadcast(rels.withColumn("_r", lit(1L))), Seq(idCol), "left")
+      .select(col(rankCol).cast("long").as("_rank"),
+        coalesce(col("_r"), lit(0L)).as("_rel"))
+      .withColumn("_cum", sum("_rel").over(
+        Portable.kRowWindow(col("_rank").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sys = ann.agg(
+      min(when(col("_rel") === 1L, col("_rank"))).as("_first"),
+      max(when(col("_rank") <= k, col("_cum"))).as("_relk"),
+      Portable.decSum(when(col("_rel") === 1L && col("_rank") <= k,
+        col("_cum").cast("double") / col("_rank").cast("double")), 12).as("_psum"))
+    val nRel = rels.agg(count(lit(1)).as("_nrel"))
+    sys.crossJoin(nRel).select(
+      lit(k).cast("long").as("k"),
+      col("_nrel").as("n_rel"),
+      when(col("_first").isNotNull,
+        Portable.pround(lit(1.0) / col("_first").cast("double"), 6)).as("mrr"),
+      Portable.pround(coalesce(col("_relk"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+        .as("p_at_k"),
+      when(col("_nrel") > 0,
+        Portable.pround(coalesce(col("_relk"), lit(0L)).cast("double") /
+          col("_nrel").cast("double"), 6)).as("r_at_k"),
+      when(col("_nrel") > 0,
+        Portable.pround(coalesce(col("_psum"), lit(0.0)) /
+          least(col("_nrel"), lit(k.toLong)).cast("double"), 6)).as("ap_at_k"))
+  }
+
+  /** Per-group 2-D skyline (Pareto frontier, maximize both axes): keep a
+    * point iff no other point in its group is ≥ on both coordinates and
+    * > on at least one (Börzsönyi et al. 2001's dominance). The classic
+    * multi-criteria curation cut — "no doc strictly better on both
+    * length AND vocabulary" — without collapsing the two signals into
+    * one weighted score first.
+    *
+    * Window formulation (integer coordinates): within a group ordered by
+    * x DESC, a range frame ending 1 PRECEDING sees exactly the points
+    * with strictly larger x, so
+    *
+    *   dominated ⇔ max(y | x' > x) ≥ y  ∨  max(y | x' = x) > y
+    *
+    * (the second term catches same-x points with strictly better y;
+    * coincident duplicates survive together — neither dominates). Both
+    * windows need only the group hash partitioning — ONE shuffle, two
+    * sorts, no self-join, no per-group O(n²). Exact integer compares
+    * throughout; engine-portable by construction.
+    */
+  def skyline2D(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val strictlyAbove = Window.partitionBy(groupCol).orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameX = Window.partitionBy(groupCol, xCol)
+    df.withColumn("_mx_gt", max(col(yCol)).over(strictlyAbove))
+      .withColumn("_mx_eq", max(col(yCol)).over(sameX))
+      .where((col("_mx_gt").isNull || col("_mx_gt") < col(yCol)) &&
+        col(yCol) === col("_mx_eq"))
+      .drop("_mx_gt", "_mx_eq")
+  }
+
   def incrementalJoinDelta(baseL: DataFrame, deltaL: DataFrame,
                            baseR: DataFrame, deltaR: DataFrame,
                            leftKey: String, rightKey: String): DataFrame =

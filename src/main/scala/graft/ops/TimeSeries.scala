@@ -363,6 +363,50 @@ object TimeSeries {
           round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 9)))
   }
 
+  /** Per-series autocorrelation function: Pearson correlation between the
+    * series and its own lag-L shift, for L = 1..maxLag — the periodicity
+    * / persistence profile (machine-generated traffic shows flat-high
+    * ACF, human activity decays; the temporal cousin of C143's
+    * burstiness scalar). Sample form over the n−L overlapping pairs
+    * (v_t, v_{t−L}), which matches the oracle-expressible definition
+    * exactly; moment sums are exact decimals so the coefficient is
+    * bit-stable at any partition count (the rollingCorr rationale).
+    *
+    * Scale shape: ONE series-key exchange — a single window pass emits
+    * all maxLag lagged copies, a stack() fans them to (lag, v, v_lag)
+    * rows (maxLag× the input, bounded by the small fixed lag count, all
+    * row-local), and one hash aggregate per (key, lag) reduces to the
+    * six sufficient moments. Degenerate series (under 2 pairs, zero
+    * variance on either side) yield NULL, never NaN/Inf.
+    */
+  def acf(df: DataFrame, keyCol: String, orderCol: String,
+          valueCol: String, maxLag: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol).asc)
+    val lagged = (1 to maxLag).foldLeft(df.select(col(keyCol), col(orderCol), col(valueCol))) {
+      (d, l) => d.withColumn(s"_lag$l", lag(col(valueCol), l).over(w))
+    }
+    val stackExpr = (1 to maxLag)
+      .map(l => s"${l}L, `$valueCol`, `_lag$l`").mkString(", ")
+    val pairs = lagged
+      .select(col(keyCol),
+        expr(s"stack($maxLag, $stackExpr) AS (lag, _x, _y)"))
+      .where(col("_y").isNotNull)
+    def ds(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    val x = col("_x"); val y = col("_y")
+    pairs.groupBy(col(keyCol), col("lag"))
+      .agg(count(x).cast("long").as("n"),
+        ds(x).as("_sx"), ds(y).as("_sy"),
+        ds(x * x).as("_sxx"), ds(y * y).as("_syy"), ds(x * y).as("_sxy"))
+      .select(col(keyCol), col("lag"), col("n"), {
+        val c = col("n").cast("double")
+        val varX = c * col("_sxx") - col("_sx") * col("_sx")
+        val varY = c * col("_syy") - col("_sy") * col("_sy")
+        when(col("n") >= 2 && varX > 0 && varY > 0,
+          Portable.pround((c * col("_sxy") - col("_sx") * col("_sy")) /
+            (sqrt(varX) * sqrt(varY)), 6)).as("acf")
+      })
+  }
+
   /** Running peak-to-trough drawdown per series: cumulative exact-decimal
     * sum of `valueCol` (the equity curve), its running maximum, and the
     * gap to that peak. Both are single-pass prefix windows over one

@@ -71,6 +71,35 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most cosine-similar corpus vectors whose LABEL differs —
+    * the near-miss negatives that carry the gradient signal random
+    * negatives lack (in-batch negatives are mostly easy; the hard ones
+    * live at the top of the cross-label similarity ranking). Same shape
+    * as [[cosineTopK]] (broadcast query set × full corpus, exact
+    * re-score, deterministic per-query top-k) with the label-mismatch
+    * predicate fused into the broadcast join — the corpus scan is
+    * filtered before scoring, not after ranking, so no same-label
+    * candidate ever occupies a shortlist slot.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    nativeDot: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("corpus_label"))
+    val sim = if (nativeDot) cosineNative(col("q_vec"), col("c_vec"))
+              else cosine(col("q_vec"), col("c_vec"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("corpus_id") && col("query_label") =!= col("corpus_label"))
+      .select(col("query_id"), col("query_label"), col("corpus_id"),
+        col("corpus_label"), sim.as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes` rows ×
     * `dim` components in [-0.5, 0.5), from a fixed-seed generator — stable
     * across runs and JVMs (the same constants can therefore be embedded as

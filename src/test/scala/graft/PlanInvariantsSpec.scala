@@ -277,7 +277,9 @@ class PlanInvariantsSpec extends SparkSpec {
       s"gopher scan must prune to (doc_id, text), read ${grScan.schema.fieldNames.mkString(",")}")
     val grShuffles = flatten(gr.queryExecution.executedPlan).count {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        !e.outputPartitioning.toString.contains("range"); case _ => false
+        !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      case _ => false
     }
     assert(grShuffles === 0,
       "gopher rules are row-local; only the presentation range-sort may exchange")
