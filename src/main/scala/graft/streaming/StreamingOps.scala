@@ -814,6 +814,43 @@ object StreamingOps {
     def finalized: Option[DataFrame] = winners.get
   }
 
+  /** Streaming Pareto-frontier maintenance — the streaming twin of
+    * Relational.skyline2D (C169): each micro-batch is reduced to its own
+    * per-group skyline, which merges into the running frontier by
+    * re-skylining the union. The skyline operator is closed under this
+    * merge — skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)), because
+    * a point dominated in A ∪ B is dominated by some frontier point of
+    * whichever side held its dominator — and dropping dominated points
+    * is idempotent and order-free, so the maintained state equals the
+    * batch skyline for ANY micro-batch boundaries or arrival order
+    * (a frontier point later displaced by a better arrival is re-judged
+    * at every merge). State is the CURRENT frontier only — bounded by
+    * the per-group frontier width (≤ distinct x values per group), never
+    * stream length. Same idempotent-replay contract as every
+    * foreachBatch state here (re-delivered batchIds are no-ops).
+    */
+  final class SkylineState(groupCol: String, xCol: String, yCol: String) {
+    private val frontier = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = graft.ops.Relational.skyline2D(batch, groupCol, xCol, yCol)
+      val merged = frontier.get match {
+        case Some(prev) =>
+          graft.ops.Relational.skyline2D(prev.unionByName(p), groupCol, xCol, yCol)
+        case None => p
+      }
+      frontier.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** The current per-group Pareto frontier. One-trigger validity (the
+      * RetiringFrame contract).
+      */
+    def finalized: Option[DataFrame] = frontier.get
+  }
+
   /** Streaming approximate near-dup over SimHash band keys: each arriving
     * document gets its row-local 64-bit SimHash (TextOps.rowSimHash — a
     * stateless projection, no shuffle), explodes into the same 4 × 16-bit

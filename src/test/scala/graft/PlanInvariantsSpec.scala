@@ -294,6 +294,60 @@ class PlanInvariantsSpec extends SparkSpec {
     }, "q_ndcg must broadcast the eval-set-sized judgment frame")
   }
 
+  test("round-15 queries keep their scale-plan contracts") {
+    def shuffles(p: SparkPlan) = flatten(p).count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      case _ => false
+    }
+    def hasBroadcastJoin(p: SparkPlan) = flatten(p).exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+
+    // q_skyline: both dominance windows ride ONE source-hash exchange
+    // (hash(source) satisfies the (source, x) clustering of the tie
+    // window), and the documents scan prunes to (doc_id, source, text)
+    val sky = SparkEntry.queries("q_skyline")(spark, sfDir)
+    sky.collect()
+    val skyScan = flatten(sky.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(skyScan.schema.fieldNames.sorted.toSeq === Seq("doc_id", "source", "text"),
+      s"skyline scan must prune to (doc_id, source, text), read ${skyScan.schema.fieldNames.mkString(",")}")
+    assert(shuffles(sky.queryExecution.executedPlan) === 1,
+      "skyline dominance is two windows on one group exchange")
+
+    // q_acf: the lag fan is row-local; one user exchange serves both the
+    // lag window and the (user, lag) moment aggregation
+    val acf = SparkEntry.queries("q_acf")(spark, sfDir)
+    acf.collect()
+    assert(shuffles(acf.queryExecution.executedPlan) === 1,
+      "acf must reuse the user-hash exchange for window and aggregate")
+
+    // q_adamic_adar: iterates off the memoized repeat-trade edge frame,
+    // never re-scanning the fact table at query time
+    val aa = SparkEntry.queries("q_adamic_adar")(spark, sfDir)
+    aa.collect()
+    val aaFact = flatten(aa.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.inputFiles.exists(_.contains("lineitem")) => s
+    }
+    assert(aaFact.isEmpty, "q_adamic_adar must ride the memoized edge frame")
+
+    // q_retrieval_metrics / q_hard_negatives: the bounded side broadcasts
+    val rm = SparkEntry.queries("q_retrieval_metrics")(spark, sfDir)
+    rm.collect()
+    assert(hasBroadcastJoin(rm.queryExecution.executedPlan),
+      "q_retrieval_metrics must broadcast the judgment set")
+    val hn = SparkEntry.queries("q_hard_negatives")(spark, sfDir)
+    hn.collect()
+    assert(hasBroadcastJoin(hn.queryExecution.executedPlan),
+      "q_hard_negatives must broadcast the probe set")
+  }
+
   test("q_assoc_rules reads both PairStore artifacts and never the fact table") {
     // the association-rule contract (r12): confidence/lift are computed
     // from the committed pair-support and item-count artifacts alone —

@@ -210,7 +210,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graph.degreeAssortativity(emptyEdges, "a", "b").count() === 1,
       "assortativity is a one-row scalar frame; NULL value on no edges")
   }
+
+  test("round-15 operators on empty inputs") {
+    val emptyRanked = df(Seq.empty[Rk15])
+    val emptyRels = df(Seq.empty[Rl15])
+    val m = Relational.retrievalMetrics(emptyRanked, emptyRels, "doc_id", "rank", 5)
+      .collect()
+    assert(m.length === 1, "metrics are a one-row scalar frame even on empty input")
+    assert(m.head.getLong(1) === 0L && m.head.isNullAt(2))
+    val emptyPts = df(Seq.empty[Pt15])
+    assert(Relational.skyline2D(emptyPts, "source", "x", "y").count() === 0)
+    val emptySeries = df(Seq.empty[AcfRow])
+    assert(TimeSeries.acf(emptySeries, "user_id", "event_id", "value", 3).count() === 0)
+    val emptyAffil = df(Seq.empty[Affil])
+    assert(Graph.adamicAdarBipartite(emptyAffil, "cust", "supp", 10).count() === 0)
+    val emptyVecs = df(Seq.empty[LVec])
+    assert(VectorOps.hardNegatives(emptyVecs, emptyVecs,
+      "vec_id", "embedding", "label", 5).count() === 0)
+  }
 }
+
+case class Rk15(doc_id: String, rank: Long)
+case class Rl15(doc_id: String)
+case class Pt15(doc_id: Long, source: String, x: Long, y: Long)
 
 case class Ev12(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                 event_type: String, value: Double)

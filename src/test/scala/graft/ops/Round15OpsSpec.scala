@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.SparkSpec
+
+case class SkyPoint(doc_id: Long, source: String, x: Long, y: Long)
+case class AcfRow(user_id: Long, event_id: Long, value: Double)
+case class Affil(cust: Long, supp: Long)
+case class LVec(vec_id: Long, embedding: Array[Float], label: Int)
+
+/** Round-15 operators, each checked against an independent in-memory
+  * referee (plain Scala re-derivation), not the operator's own blocks.
+  */
+class Round15OpsSpec extends SparkSpec {
+
+  private def r6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  test("retrievalMetrics matches the textbook hand computation") {
+    // ranks 1..6; relevant = {B, D, E, Z}; Z never retrieved
+    val ranked = df(Seq(("A", 1L), ("B", 2L), ("C", 3L), ("D", 4L), ("E", 5L), ("F", 6L))
+      .map(p => RankRow2(p._1, p._2)))
+    val rels = df(Seq("B", "D", "E", "Z", "B" /* dup must dedup */).map(RelId2))
+    val r = Relational.retrievalMetrics(ranked, rels, "doc_id", "rank", k = 5)
+      .collect().head
+    assert(r.getLong(0) === 5L)              // k
+    assert(r.getLong(1) === 4L)              // n_rel (dup B collapsed)
+    assert(r.getDouble(2) === r6(1.0 / 2.0)) // mrr: first hit at rank 2
+    assert(r.getDouble(3) === r6(3.0 / 5.0)) // p@5: B,D,E in top-5
+    assert(r.getDouble(4) === r6(3.0 / 4.0)) // r@5
+    // AP@5 = (1/2 + 2/4 + 3/5) / min(4, 5)
+    assert(r.getDouble(5) === r6((1.0 / 2.0 + 2.0 / 4.0 + 3.0 / 5.0) / 4.0))
+  }
+
+  test("retrievalMetrics with no relevant retrieved, and empty judgments") {
+    val ranked = df(Seq(("A", 1L), ("B", 2L)).map(p => RankRow2(p._1, p._2)))
+    val none = Relational.retrievalMetrics(ranked,
+      df(Seq("Z").map(RelId2)), "doc_id", "rank", k = 2).collect().head
+    assert(none.isNullAt(2))                 // mrr: no hit anywhere
+    assert(none.getDouble(3) === 0.0 && none.getDouble(4) === 0.0)
+    assert(none.getDouble(5) === 0.0)        // ap: empty precision sum
+    val empty = Relational.retrievalMetrics(ranked,
+      df(Seq.empty[RelId2]), "doc_id", "rank", k = 2).collect().head
+    assert(empty.getLong(1) === 0L)
+    assert(empty.isNullAt(2) && empty.getDouble(3) === 0.0)
+    assert(empty.isNullAt(4) && empty.isNullAt(5)) // 0-denominator guards
+  }
+
+  test("skyline2D equals the brute-force dominance referee") {
+    // ties on x, ties on y, an exact duplicate pair, and two groups
+    val pts = Seq(
+      SkyPoint(1, "g1", 10, 1), SkyPoint(2, "g1", 8, 5), SkyPoint(3, "g1", 8, 5),
+      SkyPoint(4, "g1", 8, 4), SkyPoint(5, "g1", 6, 7), SkyPoint(6, "g1", 10, 1),
+      SkyPoint(7, "g1", 5, 7), SkyPoint(8, "g1", 1, 9),
+      SkyPoint(9, "g2", 2, 2), SkyPoint(10, "g2", 2, 3), SkyPoint(11, "g2", 3, 1))
+    def dominated(p: SkyPoint) = pts.exists(q => q.source == p.source &&
+      q.x >= p.x && q.y >= p.y && (q.x > p.x || q.y > p.y))
+    val want = pts.filterNot(dominated).map(_.doc_id).toSet
+    val got = Relational.skyline2D(df(pts), "source", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // the referee keeps both coincident duplicates (2,3) and both
+    // copies of the (10,1) corner — neither dominates its twin
+    assert(Set(1L, 2L, 3L, 5L, 6L, 8L).subsetOf(got))
+    // (5,7) loses to (6,7): >= on y, > on x — dominance needs only ONE strict
+    assert(!got.contains(7L))
+    assert(got.contains(11L), "(3,1) holds g2's max x — frontier corner")
+    assert(!got.contains(4L) && !got.contains(9L))
+  }
+
+  test("acf: alternating series has lag-1 acf -1 and lag-2 acf +1") {
+    val alt = (1L to 10L).map(i => AcfRow(1L, i, if (i % 2 == 0) 1.0 else -1.0))
+    val const = (1L to 6L).map(i => AcfRow(2L, i, 3.5))   // zero variance
+    val short = Seq(AcfRow(3L, 1L, 1.0), AcfRow(3L, 2L, 2.0)) // 1 pair at lag 1
+    val out = TimeSeries.acf(df(alt ++ const ++ short), "user_id", "event_id", "value", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out((1L, 1L)).getDouble(3) === -1.0)
+    assert(out((1L, 2L)).getDouble(3) === 1.0)
+    assert(out((2L, 1L)).isNullAt(3), "constant series must yield NULL, not NaN")
+    assert(out((3L, 1L)).isNullAt(3), "single pair has zero variance -> NULL")
+    assert(out((1L, 1L)).getLong(2) === 9L) // n pairs at lag 1
+  }
+
+  test("acf matches a plain-Scala Pearson referee on an irregular series") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => AcfRow(7L, i + 1L, v) }
+    def ref(l: Int): Double = {
+      val x = vals.drop(l); val y = vals.dropRight(l)
+      val n = x.size.toDouble
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val out = TimeSeries.acf(df(rows), "user_id", "event_id", "value", 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    (1 to 3).foreach { l =>
+      assert(math.abs(out(l.toLong) - r6(ref(l))) < 1e-9, s"lag $l")
+    }
+  }
+
+  test("adamicAdarBipartite matches the hand-computed wedge sum") {
+    // suppliers: s1 shared by {1,2,3} (deg 3), s2 by {1,2} (deg 2),
+    // s3 only by {4} (deg 1 — never a wedge)
+    val edges = Seq(Affil(1, 101), Affil(2, 101), Affil(3, 101),
+      Affil(1, 102), Affil(2, 102), Affil(4, 103))
+    val out = Graph.adamicAdarBipartite(df(edges), "cust", "supp", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ln3 = 1.0 / math.log(3.0); val ln2 = 1.0 / math.log(2.0)
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out((1L, 2L))._1 === 2L)                      // shares s1 AND s2
+    assert(out((1L, 2L))._2 === r6(ln3 + ln2))
+    assert(out((1L, 3L)) === ((1L, r6(ln3))))
+    assert(out((2L, 3L)) === ((1L, r6(ln3))))
+    // the rare shared supplier (deg 2) outweighs the popular one (deg 3)
+    assert(ln2 > ln3)
+  }
+
+  test("hardNegatives excludes same-label vectors and ranks by cosine") {
+    def unit(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    // query 1 (label 0) is closest to 2 (label 0, EXCLUDED), then 3, 4, 5
+    val vecs = Seq(
+      LVec(1, unit(1, 0, 0), 0),
+      LVec(2, unit(0.99, 0.1, 0), 0),   // same label: must never appear
+      LVec(3, unit(0.9, 0.3, 0.1), 1),
+      LVec(4, unit(0.5, 0.8, 0), 1),
+      LVec(5, unit(0, 1, 0), 2))
+    val d = df(vecs)
+    val out = VectorOps.hardNegatives(d, d.where(org.apache.spark.sql.functions.col("vec_id") === 1),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("corpus_id")).toSeq === Seq(3L, 4L, 5L))
+    assert(out.forall(_.getAs[Int]("corpus_label") != 0))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    // scores strictly decreasing for this construction
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall(p => p(0) > p(1)))
+  }
+}
+
+case class RankRow2(doc_id: String, rank: Long)
+case class RelId2(doc_id: String)

@@ -285,6 +285,45 @@ class FileStreamingSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("streaming skyline frontier converges to the batch skyline") {
+    // C169's streaming twin: skyline(A ∪ B) = skyline(skyline(A) ∪
+    // skyline(B)) — arrival order must not matter, so the dominating
+    // points arrive LAST and must evict earlier provisional frontier
+    // rows; a dominated late arrival must bounce off the frontier.
+    val pts = Seq(
+      (1L, "g1", 5L, 5L),   // provisional frontier, evicted by 3 then 4
+      (2L, "g1", 1L, 9L),   // survives every merge
+      (3L, "g1", 6L, 5L),   // evicts 1, later evicted by 4
+      (4L, "g1", 7L, 6L),   // final dominator
+      (5L, "g1", 6L, 4L),   // late arrival, dominated on entry
+      (6L, "g2", 2L, 2L))   // other group untouched by g1 dominance
+    val s = spark
+    import s.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sky_in").toFile.getAbsolutePath
+    pts.foreach { p =>
+      Seq(p).toDF("doc_id", "source", "x", "y").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    val batchDf = pts.toDF("doc_id", "source", "x", "y")
+    val state = new StreamingOps.SkylineState("source", "x", "y")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val streamed = asSet(state.finalized.get)
+      val batch = asSet(graft.ops.Relational.skyline2D(batchDf, "source", "x", "y"))
+      assert(streamed === batch,
+        "maintained frontier must equal the batch skyline despite dominators arriving last")
+      assert(streamed.map(_._1) === Set(2L, 4L, 6L))
+      // replay idempotence: re-delivering an already-applied batchId is a no-op
+      state.mergeBatch(batchDf, 0L)
+      assert(asSet(state.finalized.get) === batch)
+    } finally q.stop()
+  }
+
   test("streaming incremental aggregation converges bit-exactly to the one-pass batch aggregate") {
     // C45's streaming twin (VERDICT r6 item 6): micro-batched partialAggs
     // merged into a base via foreachBatch must equal aggregating all
