@@ -2380,6 +2380,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Deterministic DeepWalk corpus: one 3-hop walk per seed (nodes
+    // < 50), next hop = neighbor minimizing the portable hash of
+    // (seed, step, neighbor) — a seeded PRNG made engine-portable, so
+    // the walk corpus is reproducible AND oracle-checkable hop by hop;
+    // the seed-sized frontier broadcasts into the loop-invariant edge
+    // list (scanned, never shuffled).
+    "q_walks" -> ((s, dir) => {
+      val edges = graft.sources.PairStore.ensurePairs(s, dir)
+        .select(col("item_a").as("pa"), col("item_b").as("pb"))
+      val seeds = edges.select(col("pa").as("id"))
+        .union(edges.select(col("pb").as("id")))
+        .where(col("id") < 50).distinct()
+      Graph.deterministicWalks(edges, "pa", "pb", seeds, "id", steps = 3)
+        .orderBy("seed", "step")
+    }),
+
     // Exact threshold-Jaccard self-join via prefix filtering (AllPairs/
     // PPJoin): candidates only from each document's rarest
     // (|d| − ⌈t·|d|⌉ + 1) shingles under one global rarity order — the
@@ -2477,6 +2493,14 @@ object SparkEntry {
     "q_adamic_adar" -> ((s, dir) =>
       Graph.adamicAdarBipartite(
         weightedTradeEdges(s, dir).where(col("w") >= 2), "cust", "supp", topK = 50)),
+
+    // Word2vec negative-sampling table: top-30 types with count^0.75
+    // sampling weights — the exponent computed as sqrt(c·sqrt(c)), the
+    // bit-portable shape (libm pow is not ulp-identical across engines;
+    // two correctly-rounded sqrts and a multiply are); normalizer
+    // decimal-summed over the whole vocabulary.
+    "q_neg_sampling" -> ((s, dir) =>
+      TextOps.negativeSamplingTable(T(s, dir, "documents"), "text", topK = 30)),
 
     // Hard-negative mining: for each probe embedding, the top-5 most
     // cosine-similar vectors with a DIFFERENT class label — contrastive
@@ -6277,6 +6301,35 @@ object SparkEntry {
                 FROM c3 GROUP BY id)
          SELECT id, lbl AS community FROM l3 ORDER BY id""",
 
+    // Hash parity: Spark's Portable.hash32 = first 8 md5 hex chars as a
+    // 32-bit unsigned value; '_<step>_'-delimited key strings format
+    // identically for BIGINTs in both engines. 3 unrolled hops; sym
+    // MATERIALIZED (the q_label_prop convention).
+    "q_walks" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         e0 AS (SELECT DISTINCT l.i AS a, r.i AS b2
+                FROM items l JOIN items r ON l.b = r.b AND l.i < r.i),
+         sym AS MATERIALIZED (
+           SELECT a AS s, b2 AS d FROM e0 UNION SELECT b2, a FROM e0),
+         s0 AS (SELECT DISTINCT s AS seed FROM sym WHERE s < 50),
+         w1 AS (SELECT s0.seed,
+             (min({'h': ('0x' || substr(md5(s0.seed::VARCHAR || '_1_' || sym.d::VARCHAR), 1, 8))::BIGINT,
+                   'v': sym.d})).v AS node
+           FROM sym JOIN s0 ON sym.s = s0.seed GROUP BY s0.seed),
+         w2 AS (SELECT w1.seed,
+             (min({'h': ('0x' || substr(md5(w1.seed::VARCHAR || '_2_' || sym.d::VARCHAR), 1, 8))::BIGINT,
+                   'v': sym.d})).v AS node
+           FROM sym JOIN w1 ON sym.s = w1.node GROUP BY w1.seed),
+         w3 AS (SELECT w2.seed,
+             (min({'h': ('0x' || substr(md5(w2.seed::VARCHAR || '_3_' || sym.d::VARCHAR), 1, 8))::BIGINT,
+                   'v': sym.d})).v AS node
+           FROM sym JOIN w2 ON sym.s = w2.node GROUP BY w2.seed)
+         SELECT seed, 0::BIGINT AS step, seed AS node FROM s0
+         UNION ALL SELECT seed, 1, node FROM w1
+         UNION ALL SELECT seed, 2, node FROM w2
+         UNION ALL SELECT seed, 3, node FROM w3
+         ORDER BY seed, step""",
+
     "q_token_entropy" ->
       """WITH tok AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
@@ -6595,6 +6648,21 @@ object SparkEntry {
                 FROM w GROUP BY 1, 2)
          SELECT id_a, id_b, n_common, round(raw, 6) + 0 AS score
          FROM sc ORDER BY raw DESC, id_a, id_b LIMIT 50""",
+
+    // count^0.75 spelled sqrt(c*sqrt(c)) on BOTH sides — the
+    // bit-portable pow-free shape; normalizer decimal-summed.
+    "q_neg_sampling" ->
+      raw"""WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         t AS (SELECT sum(CAST(sqrt(cnt::DOUBLE * sqrt(cnt::DOUBLE)) AS DECIMAL(28,12)))::DOUBLE AS tot
+               FROM c)
+         SELECT token, cnt,
+           round(sqrt(cnt::DOUBLE * sqrt(cnt::DOUBLE)), 6) + 0 AS weight,
+           round(sqrt(cnt::DOUBLE * sqrt(cnt::DOUBLE)) / tot, 9) + 0 AS prob
+         FROM c CROSS JOIN t
+         ORDER BY cnt DESC, token ASC LIMIT 30""",
 
     // q_cosine_topk's oracle with the label-mismatch predicate fused into
     // the candidate join — same raw left-to-right fold score shape.

@@ -689,6 +689,46 @@ object Graph {
     * and the pair aggregation is a hash agg on (id_a, id_b); final top-k
     * is TakeOrderedAndProject, never a global sort.
     */
+  /** Deterministic "random" walks — the DeepWalk/node2vec corpus
+    * generator (Perozzi et al. 2014) with the randomness replaced by a
+    * portable hash: from each seed, one walk of `steps` hops where the
+    * next node is the neighbor minimizing hash32(seed, step, neighbor)
+    * (ties toward the smaller node id). Every engine replays the exact
+    * same walks — the reproducibility every embedding-training pipeline
+    * wants from its walk corpus anyway (a seeded PRNG, made portable),
+    * and what makes the operator oracle-checkable hop by hop.
+    *
+    * Output: (seed, step, node), step 0 = the seed itself. A walk stops
+    * early only if its current node has no neighbors (impossible for
+    * seeds drawn from a symmetrized edge list).
+    *
+    * Scale shape: the frontier is seed-set-sized and BROADCAST into the
+    * loop-invariant symmetrized edge list each hop (the edge list is
+    * scanned, never shuffled; contrast pageRank, whose frontier is the
+    * whole node set) — per-hop cost is one broadcast-join scan + a
+    * seed-keyed argmin aggregate, and `steps` is a small fixed constant.
+    */
+  def deterministicWalks(edges: DataFrame, aCol: String, bCol: String,
+                         seeds: DataFrame, seedCol: String, steps: Int): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("_src"), col(bCol).cast("long").as("_dst"))
+      .union(edges.select(col(bCol).cast("long").as("_src"), col(aCol).cast("long").as("_dst")))
+      .where(col("_src") =!= col("_dst"))
+      .distinct().localCheckpoint(false)
+    var frontier = seeds.select(col(seedCol).cast("long").as("seed"))
+      .distinct().select(col("seed"), col("seed").as("node"))
+    var out = frontier.select(col("seed"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val key = concat(col("seed").cast("string"), lit("_"), lit(t).cast("string"),
+        lit("_"), col("_dst").cast("string"))
+      frontier = sym.join(broadcast(frontier), sym("_src") === frontier("node"))
+        .groupBy("seed")
+        .agg(min(struct(Portable.hash32(key).as("_h"), col("_dst").as("_v"))).as("_n"))
+        .select(col("seed"), col("_n._v").as("node"))
+      out = out.unionByName(frontier.select(col("seed"), lit(t.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
   def adamicAdarBipartite(edges: DataFrame, leftCol: String, rightCol: String,
                           topK: Int): DataFrame = {
     val e = edges.select(col(leftCol).cast("long").as("_l"),

@@ -2219,4 +2219,33 @@ object TextOps {
       round(slope, 9).as("slope"),
       round((col("_sy") - slope * col("_sx")) / col("_n"), 6).as("intercept"))
   }
+
+  /** Word2vec negative-sampling table (Mikolov et al. 2013): every type
+    * weighted count^0.75 — the unigram-smoothing exponent that damps
+    * stop-word dominance without flattening the distribution — with its
+    * normalized sampling probability; top `topK` types out (count desc,
+    * token asc). The training loop draws negatives from exactly this
+    * table, so its values must be reproducible run over run.
+    *
+    * Portability: `pow(c, 0.75)` is NOT ulp-identical across engines
+    * (libm pow differs), but c^0.75 = sqrt(c·sqrt(c)) — two correctly-
+    * rounded sqrts and one multiply — IS: every engine produces the same
+    * bits, the same trick as the ln-only discount shapes. The normalizer
+    * Σ c^0.75 decimal-sums (order-independent) over the full vocabulary.
+    *
+    * Scale shape: one map-side-combinable count aggregate, the scalar
+    * normalizer broadcast back, TakeOrderedAndProject for the cut —
+    * the vocabulary never sits on one task.
+    */
+  def negativeSamplingTable(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    def w(c: Column) = sqrt(c.cast("double") * sqrt(c.cast("double")))
+    val tot = counts.agg(Portable.decSum(w(col("cnt")), 12).as("_tot"))
+    counts.crossJoin(tot)
+      .select(col("token"), col("cnt"),
+        round(w(col("cnt")), 6).as("weight"),
+        round(w(col("cnt")) / col("_tot"), 9).as("prob"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(topK)
+  }
 }

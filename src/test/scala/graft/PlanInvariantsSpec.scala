@@ -337,6 +337,19 @@ class PlanInvariantsSpec extends SparkSpec {
     }
     assert(aaFact.isEmpty, "q_adamic_adar must ride the memoized edge frame")
 
+    // q_walks: the seed-sized frontier broadcasts into the pair-artifact
+    // edge list each hop; the fact table is never re-scanned
+    val wk = SparkEntry.queries("q_walks")(spark, sfDir)
+    wk.collect()
+    val wkNodes = flatten(wk.queryExecution.executedPlan)
+    assert(wkNodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.inputFiles.exists(_.contains("lineitem")) => s
+    }.isEmpty, "q_walks must ride the pair artifact")
+    assert(wkNodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "q_walks must broadcast the seed frontier into the edge scan")
+
     // q_retrieval_metrics / q_hard_negatives: the bounded side broadcasts
     val rm = SparkEntry.queries("q_retrieval_metrics")(spark, sfDir)
     rm.collect()

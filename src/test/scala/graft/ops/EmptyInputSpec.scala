@@ -227,6 +227,9 @@ class EmptyInputSpec extends SparkSpec {
     val emptyVecs = df(Seq.empty[LVec])
     assert(VectorOps.hardNegatives(emptyVecs, emptyVecs,
       "vec_id", "embedding", "label", 5).count() === 0)
+    assert(Graph.deterministicWalks(emptyAffil, "cust", "supp",
+      df(Seq.empty[SeedId15]), "id", 3).count() === 0)
+    assert(TextOps.negativeSamplingTable(emptyDocs, "text", 10).count() === 0)
   }
 }
 

@@ -114,6 +114,55 @@ class Round15OpsSpec extends SparkSpec {
     assert(ln2 > ln3)
   }
 
+  test("deterministicWalks replays the hash-argmin referee hop by hop") {
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // path + a triangle: every node has ≥ 1 neighbor
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (4L, 5L))
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    def referee(seed: Long): Seq[(Long, Long)] = {
+      var cur = seed
+      (0 to 3).map { t =>
+        if (t > 0) cur = nbrs(cur).minBy(v => (h32(s"${seed}_${t}_$v"), v))
+        (t.toLong, cur)
+      }
+    }
+    val seeds = df(Seq(1L, 3L).map(SeedId15))
+    val got = Graph.deterministicWalks(
+        df(edges.map(e => Affil(e._1, e._2))), "cust", "supp", seeds, "id", steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq(1L, 3L).foreach { seed =>
+      referee(seed).foreach { case (step, node) =>
+        assert(got((seed, step)) === node, s"seed $seed step $step")
+      }
+    }
+    assert(got.size === 8, "two seeds x steps 0..3")
+  }
+
+  test("negativeSamplingTable: weights are count^0.75, probs normalize over the vocab") {
+    val docs = Seq(
+      LineDoc(1L, "a a a a b b c"),
+      LineDoc(2L, "a a b c d"))
+    val out = TextOps.negativeSamplingTable(df(docs), "text", topK = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    // counts: a=6 b=3 c=2 d=1; top-3 by count desc, token asc
+    assert(out.map(_._1).toSeq === Seq("a", "b", "c"))
+    def w(c: Double) = math.sqrt(c * math.sqrt(c))
+    val tot = Seq(6.0, 3.0, 2.0, 1.0).map(w).sum
+    val expect = Map("a" -> (6L, w(6)), "b" -> (3L, w(3)), "c" -> (2L, w(2)))
+    out.foreach { case (tok, (cnt, weight, prob)) =>
+      assert(cnt === expect(tok)._1)
+      assert(math.abs(weight - r6(expect(tok)._2)) < 1e-9)
+      assert(math.abs(prob - math.rint(expect(tok)._2 / tot * 1e9) / 1e9) < 1e-9)
+    }
+    // smoothing property: a has 6x d's count but < 6x its probability
+    assert(w(6) / w(1) < 6.0)
+  }
+
   test("hardNegatives excludes same-label vectors and ranks by cosine") {
     def unit(xs: Double*): Array[Float] = {
       val n = math.sqrt(xs.map(x => x * x).sum)
@@ -141,3 +190,4 @@ class Round15OpsSpec extends SparkSpec {
 
 case class RankRow2(doc_id: String, rank: Long)
 case class RelId2(doc_id: String)
+case class SeedId15(id: Long)
