@@ -2502,6 +2502,19 @@ object SparkEntry {
     "q_neg_sampling" -> ((s, dir) =>
       TextOps.negativeSamplingTable(T(s, dir, "documents"), "text", topK = 30)),
 
+    // MMR diversified top-5: rerank the top-50 cosine pool for probe 0
+    // so no near-dup cluster monopolizes the result page — greedy
+    // lambda*rel − (1−lambda)*max-sim-to-selected, the retrieval-side
+    // complement of SemDeDup's corpus-side cut; pool + pool×pool sims
+    // engine-computed (portable fold doubles), selection loop unrolled
+    // in the oracle as 5 argmax CTEs.
+    "q_mmr" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      VectorOps.mmrSelect(emb, emb.where(col("vec_id") === 0), "vec_id", "embedding",
+          k = 5, lambda = 0.7, poolSize = 50)
+        .orderBy("rank")
+    }),
+
     // Hard-negative mining: for each probe embedding, the top-5 most
     // cosine-similar vectors with a DIFFERENT class label — contrastive
     // training's near-miss negatives (random negatives are easy; the
@@ -6663,6 +6676,56 @@ object SparkEntry {
            round(sqrt(cnt::DOUBLE * sqrt(cnt::DOUBLE)) / tot, 9) + 0 AS prob
          FROM c CROSS JOIN t
          ORDER BY cnt DESC, token ASC LIMIT 30""",
+
+    // 5 unrolled greedy argmax rounds over the engine-computed pool and
+    // pool-pair similarity matrix (the q_label_prop unrolling pattern);
+    // the (1 - lambda) literal is interpolated from the SAME Scala
+    // double the query's loop uses (1.0 - 0.7 != 0.3 in IEEE — the
+    // q_bm25 constant rule).
+    "q_mmr" -> {
+      val (lambda, k, pool) = (0.7, 5, 50)
+      val oneMinus = 1.0 - lambda // 0.30000000000000004, NOT 0.3
+      def selSet(r: Int) =
+        (1 until r).map(i => s"SELECT vec_id FROM sel$i").mkString(" UNION ALL ")
+      val rounds = (2 to k).map { r =>
+        s""",
+         c$r AS (SELECT p.vec_id, p.rel,
+             $lambda * p.rel - $oneMinus * (SELECT max(s.sim) FROM sims s
+               WHERE s.ia = p.vec_id AND s.ib IN (${selSet(r)})) AS mmr
+           FROM p0 p WHERE p.vec_id NOT IN (${selSet(r)})),
+         sel$r AS (SELECT vec_id, rel, mmr FROM (
+             SELECT vec_id, rel, mmr,
+               row_number() OVER (ORDER BY mmr DESC, vec_id ASC) AS rn
+             FROM c$r) WHERE rn = 1)"""
+      }.mkString
+      val unions = (1 to k).map(r =>
+        s"SELECT $r::BIGINT AS rank, vec_id, rel, mmr FROM sel$r")
+        .mkString("\n         UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         q AS (SELECT e, nrm FROM n WHERE vec_id = 0),
+         pool AS MATERIALIZED (
+           SELECT c.vec_id, c.e, c.nrm,
+             list_reduce(list_transform(range(1, 65), i -> q.e[i]*c.e[i]), (x, y) -> x + y)
+               / (q.nrm * c.nrm) AS rel
+           FROM n c CROSS JOIN q WHERE c.vec_id <> 0
+           ORDER BY rel DESC, c.vec_id ASC LIMIT $pool),
+         sims AS MATERIALIZED (
+           SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x, y) -> x + y)
+               / (a.nrm * b.nrm) AS sim
+           FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         p0 AS MATERIALIZED (SELECT vec_id, rel FROM pool),
+         sel1 AS (SELECT vec_id, rel, $lambda * rel AS mmr FROM (
+             SELECT vec_id, rel,
+               row_number() OVER (ORDER BY $lambda * rel DESC, vec_id ASC) AS rn
+             FROM p0) WHERE rn = 1)$rounds
+         SELECT rank, vec_id, round(rel, 6) + 0 AS rel, round(mmr, 6) + 0 AS mmr
+         FROM ($unions)
+         ORDER BY rank"""
+    },
 
     // q_cosine_topk's oracle with the label-mismatch predicate fused into
     // the candidate join — same raw left-to-right fold score shape.

@@ -100,6 +100,68 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily select k results maximizing
+    *
+    *   MMR(d) = λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+    *
+    * (max term 0 while nothing is selected; ties toward the smaller id)
+    * — the rerank that stops a near-dup cluster from monopolizing a
+    * result page, the retrieval-side complement of SemDeDup's
+    * corpus-side cut. Production shape: relevance RANKS a bounded pool
+    * first (top `poolSize` by cosine, the distributed stage — broadcast
+    * query against the full corpus, TakeOrderedAndProject cut), then the
+    * greedy loop reranks the pool. Pool relevances and the pool×pool
+    * similarity matrix are computed by the engine (so every double is
+    * the portable left-to-right fold both engines share) and only those
+    * model-sized frames reach the driver (poolSize + poolSize² rows —
+    * the kMeansCentroids sanctioned-collect shape); the selection loop
+    * itself is O(k·poolSize) driver arithmetic in the same fixed IEEE
+    * shapes, making the whole output oracle-checkable by k unrolled
+    * argmax CTEs.
+    *
+    * Output: (rank, vec_id, rel, mmr), mmr = the objective value at
+    * selection time.
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, lambda: Double, poolSize: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    val pool = c.join(broadcast(q), col("_qid") =!= col("_cid"))
+      .select(col("_cid"), col("_cv"), cosineNative(col("_qv"), col("_cv")).as("_rel"))
+      .orderBy(col("_rel").desc, col("_cid").asc).limit(poolSize)
+      .localCheckpoint(true)
+    val rels = pool.select(col("_cid"), col("_rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val simRows = pool.select(col("_cid").as("_ia"), col("_cv").as("_va"))
+      .join(broadcast(pool.select(col("_cid").as("_ib"), col("_cv").as("_vb"))),
+        col("_ia") =!= col("_ib"))
+      .select(col("_ia"), col("_ib"), cosineNative(col("_va"), col("_vb")).as("_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val (bestId, bestMmr) = remaining.iterator.map { case (id, rel) =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => simRows((id, s._1))).max
+        (id, lambda * rel - (1.0 - lambda) * maxSim)
+      }.minBy { case (id, mmr) => (-mmr, id) }
+      selected += ((bestId, remaining(bestId), bestMmr))
+      remaining.remove(bestId)
+    }
+    // Spark round semantics (BigDecimal HALF_UP on the shortest decimal
+    // representation) so the driver-side values hash-match the oracle's
+    // round(); + 0.0 canonicalizes any -0.0 (the Portable.pround rule).
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    val out = selected.zipWithIndex.map { case ((id, rel, mmr), i) =>
+      (i + 1L, id, r6(rel), r6(mmr))
+    }.toSeq
+    import spark.implicits._
+    out.toDF("rank", "vec_id", "rel", "mmr")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes` rows ×
     * `dim` components in [-0.5, 0.5), from a fixed-seed generator — stable
     * across runs and JVMs (the same constants can therefore be embedded as

@@ -230,6 +230,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graph.deterministicWalks(emptyAffil, "cust", "supp",
       df(Seq.empty[SeedId15]), "id", 3).count() === 0)
     assert(TextOps.negativeSamplingTable(emptyDocs, "text", 10).count() === 0)
+    assert(VectorOps.mmrSelect(emptyVecs, emptyVecs,
+      "vec_id", "embedding", 5, 0.7, 50).count() === 0)
   }
 }
 

@@ -163,6 +163,36 @@ class Round15OpsSpec extends SparkSpec {
     assert(w(6) / w(1) < 6.0)
   }
 
+  test("mmrSelect diversifies: the near-dup twin of rank-1 is demoted below a diverse doc") {
+    def unit(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    // query 0 points at x; 1 and 2 are a near-dup pair hugging x (pure
+    // relevance would rank them 1-2); 3 is less relevant but orthogonal
+    // to the pair — MMR must pick it second.
+    val vecs = Seq(
+      LVec(0, unit(1, 0, 0), 0),
+      LVec(1, unit(0.999, 0.04, 0), 0),
+      LVec(2, unit(0.998, 0.06, 0), 0),
+      LVec(3, unit(0.7, 0, 0.7), 0),
+      LVec(4, unit(0, 0, 1), 0))
+    val d = df(vecs)
+    // lambda 0.5 weighs novelty as heavily as relevance — the twin's
+    // ~0.9998 similarity to rank-1 then outweighs its relevance edge
+    val out = VectorOps.mmrSelect(d, d.where(org.apache.spark.sql.functions.col("vec_id") === 0),
+        "vec_id", "embedding", k = 3, lambda = 0.5, poolSize = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L),
+      "rank 2 must be the diverse doc, not the rank-1 twin")
+    // rel column is pure relevance: doc 2 out-rels doc 3 even though ranked after
+    val rels = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(rels(2L) > rels(3L))
+    // mmr of a selected twin carries the similarity penalty: mmr << 0.5*rel
+    val m2 = out.find(_.getLong(1) == 2L).get
+    assert(m2.getDouble(3) < 0.5 * m2.getDouble(2) - 0.1)
+  }
+
   test("hardNegatives excludes same-label vectors and ranks by cosine") {
     def unit(xs: Double*): Array[Float] = {
       val n = math.sqrt(xs.map(x => x * x).sum)
