@@ -1228,6 +1228,25 @@ object SparkEntry {
       TextOps.simHashNearDupCached(T(s, dir, "documents"), "doc_id", "text", 3, s, dir)
         .orderBy("id_a", "id_b")),
 
+    // Cross-source duplication-flow matrix: SimHash near-dup pairs
+    // rolled up to unordered (source, source) counts — WHICH crawls
+    // copy from WHICH (mirror detection, license-laundering, template
+    // farms); the provenance report every dedup pass should end with.
+    // Rides the memoized near-dup relation; the (doc_id, source) dim
+    // joins are plain equi-joins on the pair-sized frame.
+    "q_dup_matrix" -> ((s, dir) => {
+      val pairs = TextOps.simHashNearDupCached(T(s, dir, "documents"), "doc_id", "text", 3, s, dir)
+        .select("id_a", "id_b")
+      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), Seq("id_b"))
+        .select(least(col("_sa"), col("_sb")).as("source_a"),
+          greatest(col("_sa"), col("_sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Repetition-based quality signals (Gopher-style): duplicate-token and
     // top-bigram fractions — the "filter boilerplate/spam before training"
     // scores, over the same shuffle shape as q_wordcount.
@@ -2376,7 +2395,9 @@ object SparkEntry {
     "q_label_prop" -> ((s, dir) => {
       val edges = graft.sources.PairStore.ensurePairs(s, dir)
         .select(col("item_a").as("pa"), col("item_b").as("pb"))
-      Graph.labelPropagation(edges, "pa", "pb", iters = 3)
+      // edgesDistinct: PairStore pairs are a unique a<b set — the
+      // symmetrized double cover needs no dedup shuffle
+      Graph.labelPropagation(edges, "pa", "pb", iters = 3, edgesDistinct = true)
         .orderBy("id")
     }),
 
@@ -4719,6 +4740,38 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY id_a, id_b""",
+
+    // q_simhash_neardup's pair CTEs rolled up to unordered source pairs
+    // (least/greatest are plain binary string compares in both engines).
+    "q_dup_matrix" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote_sum > 0
+                   THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                   ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         m AS (SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b
+               FROM p JOIN documents da ON p.id_a = da.doc_id
+                      JOIN documents db ON p.id_b = db.doc_id)
+         SELECT source_a, source_b, count(*) AS n_pairs
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_pipeline_prep" ->
       """WITH RECURSIVE toks AS (

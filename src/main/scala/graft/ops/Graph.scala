@@ -224,12 +224,21 @@ object Graph {
     * r11 cadence: fixed small iteration counts make per-round eager
     * materialization pure overhead).
     */
+  /** `edgesDistinct = true` promises the input is an undirected edge SET
+    * with a < b per row (the pair-artifact contract): the symmetrized
+    * double cover is then duplicate-free by construction and the
+    * per-round vote weights are already correct, so the dedup —
+    * a full shuffle of the query's LARGEST frame — is skipped. Leave
+    * false for arbitrary edge lists (duplicate edges would double-count
+    * votes).
+    */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-                       iters: Int): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("_src"), col(bCol).cast("long").as("_dst"))
+                       iters: Int, edgesDistinct: Boolean = false): DataFrame = {
+    val doubled = edges.select(col(aCol).cast("long").as("_src"), col(bCol).cast("long").as("_dst"))
       .union(edges.select(col(bCol).cast("long").as("_src"), col(aCol).cast("long").as("_dst")))
       .where(col("_src") =!= col("_dst"))
-      .distinct().repartition(col("_dst")).localCheckpoint(true)
+    val sym = (if (edgesDistinct) doubled else doubled.distinct())
+      .repartition(col("_dst")).localCheckpoint(true)
     var labels = sym.select(col("_src").as("id")).distinct()
       .select(col("id"), col("id").as("community"))
     for (i <- 0 until iters) {

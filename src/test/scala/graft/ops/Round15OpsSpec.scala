@@ -193,6 +193,30 @@ class Round15OpsSpec extends SparkSpec {
     assert(m2.getDouble(3) < 0.5 * m2.getDouble(2) - 0.1)
   }
 
+  test("dup-matrix composition: near-dup pairs roll up to unordered source pairs") {
+    // two exact copies across sources + one within-source copy; the
+    // unordered (least, greatest) key must merge (b,a) into (a,b)
+    val docs = Seq(
+      (1L, "srcB", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "srcA", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "srcA", "totally different content words here nothing shared"),
+      (4L, "srcA", "totally different content words here nothing shared"))
+    val d = df(docs.map(x => Doc15(x._1, x._2, x._3)))
+    val pairs = TextOps.simHashNearDup(d, "doc_id", "text", 3).select("id_a", "id_b")
+    val src = d.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("source"))
+    import org.apache.spark.sql.functions._
+    val m = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), Seq("id_b"))
+      .select(least(col("_sa"), col("_sb")).as("sa"), greatest(col("_sa"), col("_sb")).as("sb"))
+      .groupBy("sa", "sb").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("srcA", "srcB")) === 1L, "cross-source copy lands in the unordered cell")
+    assert(m(("srcA", "srcA")) === 1L, "within-source copy counts on the diagonal")
+    assert(m.values.sum === 2L)
+  }
+
   test("hardNegatives excludes same-label vectors and ranks by cosine") {
     def unit(xs: Double*): Array[Float] = {
       val n = math.sqrt(xs.map(x => x * x).sum)
@@ -221,3 +245,4 @@ class Round15OpsSpec extends SparkSpec {
 case class RankRow2(doc_id: String, rank: Long)
 case class RelId2(doc_id: String)
 case class SeedId15(id: Long)
+case class Doc15(doc_id: Long, source: String, text: String)
