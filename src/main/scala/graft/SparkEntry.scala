@@ -2296,6 +2296,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility by language: chars-per-BPE-token and
+    // raw-to-BPE compression under the committed merge table — the
+    // diagnostic that shows WHICH languages a tokenizer punishes
+    // (under-merged languages pay more tokens per char, i.e. more
+    // compute per byte of training signal). Encode is row-local; one
+    // lang hash agg of exact integer sums; the two ratios are the only
+    // floating steps.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val merges = BpeModel.mergesFor(dir, BpeN) {
+        TextOps.bpeTrainMerges(T(s, dir, "documents"), "text", BpeN)
+      }
+      val docs = T(s, dir, "documents")
+      TextOps.bpeEncode(docs, "doc_id", "text", merges.map { case (_, a, b, _) => (a, b) })
+        .join(docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("_chars")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("_chars").as("n_chars"),
+          sum("n_tokens_raw").as("n_raw"),
+          sum("n_tokens_bpe").as("n_bpe"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_raw"), col("n_bpe"),
+          when(col("n_bpe") > 0,
+            round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 6))
+            .as("chars_per_token"),
+          when(col("n_bpe") > 0,
+            round(col("n_raw").cast("double") / col("n_bpe").cast("double"), 6))
+            .as("compression"))
+        .orderBy("lang")
+    }),
+
     // Segment market share per year (TPC-H Q8 shape): ratio of a
     // conditional revenue sum to the total revenue within each group —
     // numerator and denominator fall out of ONE aggregate pass (a CASE
@@ -2994,7 +3024,24 @@ object SparkEntry {
         }
       }
       mOpt.filter(_.nonEmpty)
-        .map(m => Map("q_bpe_encode" -> bpeEncodeSql(m.map { case (_, a, b, _) => (a, b) })))
+        .map { m =>
+          val enc = bpeEncodeSql(m.map { case (_, a, b, _) => (a, b) })
+          Map("q_bpe_encode" -> enc,
+            "q_bpe_fertility" ->
+              s"""WITH enc AS ($enc),
+                 j AS (SELECT d.lang, length(d.text)::BIGINT AS chars,
+                         e.n_tokens_raw, e.n_tokens_bpe
+                       FROM enc e JOIN documents d ON e.doc_id = d.doc_id)
+                 SELECT lang, count(*) AS n_docs,
+                   sum(chars)::BIGINT AS n_chars,
+                   sum(n_tokens_raw)::BIGINT AS n_raw,
+                   sum(n_tokens_bpe)::BIGINT AS n_bpe,
+                   CASE WHEN sum(n_tokens_bpe) > 0
+                     THEN round(sum(chars)::DOUBLE / sum(n_tokens_bpe)::DOUBLE, 6) + 0 END AS chars_per_token,
+                   CASE WHEN sum(n_tokens_bpe) > 0
+                     THEN round(sum(n_tokens_raw)::DOUBLE / sum(n_tokens_bpe)::DOUBLE, 6) + 0 END AS compression
+                 FROM j GROUP BY lang ORDER BY lang""")
+        }
         .getOrElse(Map.empty)
   }
 
