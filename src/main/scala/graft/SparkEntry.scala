@@ -2443,7 +2443,8 @@ object SparkEntry {
       val seeds = edges.select(col("pa").as("id"))
         .union(edges.select(col("pb").as("id")))
         .where(col("id") < 50).distinct()
-      Graph.deterministicWalks(edges, "pa", "pb", seeds, "id", steps = 3)
+      Graph.deterministicWalks(edges, "pa", "pb", seeds, "id", steps = 3,
+          edgesDistinct = true)
         .orderBy("seed", "step")
     }),
 

@@ -718,11 +718,17 @@ object Graph {
     * seed-keyed argmin aggregate, and `steps` is a small fixed constant.
     */
   def deterministicWalks(edges: DataFrame, aCol: String, bCol: String,
-                         seeds: DataFrame, seedCol: String, steps: Int): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("_src"), col(bCol).cast("long").as("_dst"))
+                         seeds: DataFrame, seedCol: String, steps: Int,
+                         edgesDistinct: Boolean = false): DataFrame = {
+    val doubled = edges.select(col(aCol).cast("long").as("_src"), col(bCol).cast("long").as("_dst"))
       .union(edges.select(col(bCol).cast("long").as("_src"), col(aCol).cast("long").as("_dst")))
       .where(col("_src") =!= col("_dst"))
-      .distinct().localCheckpoint(false)
+    // edgesDistinct: duplicate edges don't change an ARGMIN (unlike LPA's
+    // vote counts), but the dedup still wastes a full shuffle when the
+    // input is already a unique a<b pair set — same contract as
+    // labelPropagation.
+    val sym = (if (edgesDistinct) doubled else doubled.distinct())
+      .localCheckpoint(false)
     var frontier = seeds.select(col(seedCol).cast("long").as("seed"))
       .distinct().select(col("seed"), col("seed").as("node"))
     var out = frontier.select(col("seed"), lit(0L).as("step"), col("node"))
