@@ -2546,6 +2546,15 @@ object SparkEntry {
       Graph.adamicAdarBipartite(
         weightedTradeEdges(s, dir).where(col("w") >= 2), "cust", "supp", topK = 50)),
 
+    // In-sample Naive Bayes language-ID confusion matrix — the
+    // classifier-shape sanity floor (which labels can the token
+    // distributions already separate?): add-1 multinomial NB trained and
+    // scored on the corpus, argmax ties to the smaller label; label²
+    // rows out.
+    "q_nb_confusion" -> ((s, dir) =>
+      TextOps.naiveBayesConfusion(T(s, dir, "documents"), "lang", "text", "doc_id")
+        .orderBy("true_label", "pred_label")),
+
     // Word2vec negative-sampling table: top-30 types with count^0.75
     // sampling weights — the exponent computed as sqrt(c·sqrt(c)), the
     // bit-portable shape (libm pow is not ulp-identical across engines;
@@ -6762,6 +6771,33 @@ object SparkEntry {
                 FROM w GROUP BY 1, 2)
          SELECT id_a, id_b, n_common, round(raw, 6) + 0 AS score
          FROM sc ORDER BY raw DESC, id_a, id_b LIMIT 50""",
+
+    // Same add-1 NB shapes: integer counts, ln-only terms decimal-summed,
+    // argmax via the negated-score struct min (exact sign-bit flip).
+    "q_nb_confusion" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, lang, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, lang AS true_lang, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+         cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         ltot AS (SELECT lang, count(*) AS tot FROM tok GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+         prior AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+         n AS (SELECT count(*) AS nn FROM documents),
+         labels AS (SELECT lang, nd, tot, v, nn
+                    FROM prior JOIN ltot USING (lang) CROSS JOIN vocab CROSS JOIN n),
+         scored AS (
+           SELECT t.doc_id, t.true_lang, l.lang AS cand,
+             ln(l.nd::DOUBLE / l.nn::DOUBLE) +
+             sum(CAST(t.tf::DOUBLE * ln((coalesce(c.c, 0)::DOUBLE + 1.0)
+                   / (l.tot + l.v)::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS score
+           FROM tf t CROSS JOIN labels l
+           LEFT JOIN cnt c ON c.lang = l.lang AND c.token = t.token
+           GROUP BY t.doc_id, t.true_lang, l.lang, l.nd, l.nn),
+         pred AS (SELECT doc_id, true_lang, (min({'ns': -score, 'l': cand})).l AS pred_lang
+                  FROM scored GROUP BY doc_id, true_lang)
+         SELECT true_lang AS true_label, pred_lang AS pred_label, count(*) AS n_docs
+         FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // count^0.75 spelled sqrt(c*sqrt(c)) on BOTH sides — the
     // bit-portable pow-free shape; normalizer decimal-summed.

@@ -2220,6 +2220,53 @@ object TextOps {
       round((col("_sy") - slope * col("_sx")) / col("_n"), 6).as("intercept"))
   }
 
+  /** In-sample multinomial Naive Bayes confusion matrix — the classifier
+    * shape behind fastText-style language ID and quality classifiers,
+    * trained and evaluated on the corpus itself (the C159 Markov-baseline
+    * convention: the in-sample fit is the sanity floor a real classifier
+    * must beat, and the confusion matrix shows WHICH labels the token
+    * distributions can already separate). Add-1 smoothed:
+    *
+    *   score(d, l) = ln(N_l/N) + Σ_w tf_w · ln((c_{w,l} + 1)/(tot_l + V))
+    *
+    * argmax over labels, ties toward the smaller label string. Exact
+    * portability: counts are integers, ln is bit-identical across
+    * engines, per-token terms decimal-sum, the argmax compares exact
+    * negated doubles.
+    *
+    * Scale shape: model = per-(label, token) counts + label totals (two
+    * hash aggs over one explode); scoring fans each doc's tf rows by the
+    * label CATALOG (bounded multiplier) and left-joins the model on
+    * (label, token) — plain equi-joins, map-side-combinable aggregates,
+    * nothing corpus-wide on one task. Output is label² rows.
+    */
+  def naiveBayesConfusion(df: DataFrame, labelCol: String, textCol: String,
+                          idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("_id"), col(labelCol).as("_true"),
+      explode(tokens(col(textCol))).as("_w"))
+    val tf = tok.groupBy("_id", "_true", "_w").agg(count(lit(1)).as("_tf"))
+    val cnt = tok.groupBy(col("_true").as("_l"), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    val ltot = tok.groupBy(col("_true").as("_l")).agg(count(lit(1)).as("_tot"))
+    val vocab = tok.agg(countDistinct("_w").as("_v"))
+    val nDocs = df.agg(count(lit(1)).as("_nn"))
+    val priors = df.groupBy(col(labelCol).as("_l")).agg(count(lit(1)).as("_nd"))
+    val labels = priors.join(ltot, Seq("_l")).crossJoin(vocab).crossJoin(nDocs)
+      .select(col("_l"), col("_tot"), col("_v"),
+        log(col("_nd").cast("double") / col("_nn").cast("double")).as("_prior_ln"))
+    val scored = tf.crossJoin(broadcast(labels))
+      .join(cnt, Seq("_l", "_w"), "left")
+      .groupBy(col("_id"), col("_true"), col("_l"))
+      .agg((max(col("_prior_ln")) + Portable.decSum(
+        col("_tf").cast("double") *
+          log((coalesce(col("_c").cast("double"), lit(0.0)) + lit(1.0)) /
+            (col("_tot") + col("_v")).cast("double")), 12)).as("_score"))
+    val pred = scored.groupBy(col("_id"), col("_true"))
+      .agg(min(struct((col("_score") * -1).as("_ns"), col("_l").as("_pl"))).as("_p"))
+      .select(col("_true").as("true_label"), col("_p._pl").as("pred_label"))
+    pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Word2vec negative-sampling table (Mikolov et al. 2013): every type
     * weighted count^0.75 — the unigram-smoothing exponent that damps
     * stop-word dominance without flattening the distribution — with its

@@ -232,6 +232,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.negativeSamplingTable(emptyDocs, "text", 10).count() === 0)
     assert(VectorOps.mmrSelect(emptyVecs, emptyVecs,
       "vec_id", "embedding", 5, 0.7, 50).count() === 0)
+    val langDocs = emptyDocs.withColumn("lang", lit("en"))
+    assert(TextOps.naiveBayesConfusion(langDocs, "lang", "text", "doc_id").count() === 0)
   }
 }
 

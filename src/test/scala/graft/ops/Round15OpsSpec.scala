@@ -217,6 +217,40 @@ class Round15OpsSpec extends SparkSpec {
     assert(m.values.sum === 2L)
   }
 
+  test("naiveBayesConfusion matches a plain-Scala add-1 NB referee") {
+    val docs = Seq(
+      (1L, "A", "x x y"),
+      (2L, "A", "x y y"),
+      (3L, "B", "z z y"),
+      (4L, "B", "z w"),
+      (5L, "A", "z z z"))  // an A doc that looks like B: off-diagonal mass
+    def referee(): Map[(String, String), Long] = {
+      val tok = docs.flatMap { case (id, l, t) => t.split("\\s+").map(w => (id, l, w)) }
+      val cnt = tok.groupBy(x => (x._2, x._3)).view.mapValues(_.size.toLong).toMap
+      val ltot = tok.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val v = tok.map(_._3).distinct.size.toLong
+      val nd = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val labels = nd.keys.toSeq.sorted
+      val preds = docs.map { case (id, trueL, t) =>
+        val tfs = t.split("\\s+").groupBy(identity).view.mapValues(_.length).toMap
+        val best = labels.map { l =>
+          val s = math.log(nd(l).toDouble / docs.size) + tfs.map { case (w, tf) =>
+            tf * math.log((cnt.getOrElse((l, w), 0L) + 1.0) / (ltot(l) + v).toDouble)
+          }.sum
+          (-s, l)
+        }.min._2
+        (trueL, best)
+      }
+      preds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val got = TextOps.naiveBayesConfusion(
+        df(docs.map(d => Doc15Lang(d._1, d._2, d._3))), "lang", "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === referee())
+    // the z-heavy A doc must be misclassified as B (off-diagonal cell)
+    assert(got.contains(("A", "B")))
+  }
+
   test("hardNegatives excludes same-label vectors and ranks by cosine") {
     def unit(xs: Double*): Array[Float] = {
       val n = math.sqrt(xs.map(x => x * x).sum)
@@ -246,3 +280,4 @@ case class RankRow2(doc_id: String, rank: Long)
 case class RelId2(doc_id: String)
 case class SeedId15(id: Long)
 case class Doc15(doc_id: Long, source: String, text: String)
+case class Doc15Lang(doc_id: Long, lang: String, text: String)
