@@ -25,6 +25,15 @@ object SparkEntry {
   /** Query-term set for q_bm25 — shared by the Spark query and its oracle. */
   private val Bm25Terms = Seq("spark", "window", "merge")
 
+  /** Shared boilerplate preamble planted on every document for
+    * q_cdc_chunks (the q_dedup_lines planting convention — corpus texts
+    * carry no natural cross-doc byte-identical regions, so the classic
+    * license-header case is constructed and oracle-replicated).
+    */
+  private val CdcHeader =
+    "SHARED-LICENSE-HEADER every document in this corpus carries this exact " +
+    "boilerplate preamble before its own body text begins here. "
+
   /** Probe tokens for q_cm_estimate — shared by the Spark query and its
     * oracle; the last one is absent from any corpus (never-seen path).
     */
@@ -2545,6 +2554,18 @@ object SparkEntry {
     "q_adamic_adar" -> ((s, dir) =>
       Graph.adamicAdarBipartite(
         weightedTradeEdges(s, dir).where(col("w") >= 2), "cust", "supp", topK = 50)),
+
+    // Content-defined chunking + cross-doc dup rollup: boundaries fall
+    // where the 8-gram hash mod 64 = 0 (content decides the cut, not the
+    // offset — the insertion-robust storage-dedup granularity the fixed
+    // stride grids lack); every doc carries the planted license header,
+    // whose interior chunks must dedup corpus-wide.
+    "q_cdc_chunks" -> ((s, dir) => {
+      val planted = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit(CdcHeader), col("text")).as("text"))
+      TextOps.cdcDupStats(TextOps.cdcChunks(planted, "doc_id", "text"), "doc_id")
+        .orderBy("doc_id")
+    }),
 
     // In-sample Naive Bayes language-ID confusion matrix — the
     // classifier-shape sanity floor (which labels can the token
@@ -6771,6 +6792,33 @@ object SparkEntry {
                 FROM w GROUP BY 1, 2)
          SELECT id_a, id_b, n_common, round(raw, 6) + 0 AS score
          FROM sc ORDER BY raw DESC, id_a, id_b LIMIT 50""",
+
+    // Same per-position gram-hash SQL as q_winnow's oracle; boundary =
+    // hash mod 64 = 0 after the gram's last char; spans via lag over the
+    // cut list; the end-of-doc cut UNION-dedups when a content cut
+    // already lands there (mirrored by the Scala pass).
+    "q_cdc_chunks" ->
+      raw"""WITH d AS (SELECT doc_id, '$CdcHeader' || text AS t FROM documents),
+         cuts AS (
+           SELECT doc_id, u.p + 7 AS cut
+           FROM d CROSS JOIN LATERAL unnest(range(1, len(t) - 6)) AS u(p)
+           WHERE ('0x' || substr(md5(substr(t, u.p, 8)), 1, 8))::BIGINT % 64 = 0),
+         b AS (SELECT doc_id, cut FROM cuts UNION SELECT doc_id, len(t) FROM d),
+         spans AS (
+           SELECT doc_id,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS s,
+             cut AS e
+           FROM b),
+         chunks AS (
+           SELECT sp.doc_id, md5(substr(d.t, sp.s, sp.e - sp.s + 1)) AS fp,
+             sp.e - sp.s + 1 AS clen
+           FROM spans sp JOIN d ON sp.doc_id = d.doc_id WHERE sp.e >= sp.s),
+         dp AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp)
+         SELECT c.doc_id, count(*) AS n_chunks,
+           sum(CASE WHEN dp.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+           sum(CASE WHEN dp.nd >= 2 THEN c.clen ELSE 0 END)::BIGINT AS dup_chars
+         FROM chunks c JOIN dp ON c.fp = dp.fp
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
 
     // Same add-1 NB shapes: integer counts, ln-only terms decimal-summed,
     // argmax via the negated-score struct min (exact sign-bit flip).

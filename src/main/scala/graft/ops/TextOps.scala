@@ -2220,6 +2220,103 @@ object TextOps {
       round((col("_sy") - slope * col("_sx")) / col("_n"), 6).as("intercept"))
   }
 
+  /** Content-defined chunking (the LBFS/rsync family, Muthitacharoen et
+    * al. 2001): a chunk boundary falls after codepoint p+k−1 wherever the
+    * k-gram hash at position p satisfies h mod `mask` = 0 — boundaries
+    * are decided by CONTENT, not offsets, so an insertion shifts only
+    * the chunks it touches and the stream realigns within ~one chunk
+    * (the property every fixed-stride grid — C41/C118 — lacks; the spec
+    * proves it against a grid referee). The storage-dedup granularity:
+    * chunk fingerprints, not whole docs, are what dedups across
+    * near-identical revisions. No min/max chunk bound — the plain
+    * h mod m = 0 rule keeps both engines' derivations identical (avg
+    * chunk ≈ mask chars).
+    *
+    * Output: (id, chunk_no, fp = md5 hex of the chunk, chunk_len in
+    * codepoints). Empty texts emit no chunks; texts shorter than k are
+    * one whole-text chunk.
+    *
+    * Shape: ONE partition-local mapPartitions pass (the winnowing C157
+    * rationale — per-position gram hashing is doc-local by
+    * construction, so the expression formulation's explode-per-char +
+    * shuffle would carry no information); UTF-8 codepoint boundaries
+    * stepped by hand to keep Spark/DuckDB substr semantics.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, mask: Long = 64L): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol).as("_t"))
+      .where(length(col("_t")) >= 1)
+    val idField = docs.schema.fields(0)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(idField,
+      org.apache.spark.sql.types.StructField("chunk_no",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_len",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    docs.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(d: Array[Byte]): String = {
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < d.length) { sb.append("%02x".format(d(i))); i += 1 }
+        sb.toString
+      }
+      it.flatMap { row =>
+        val id = row.get(0)
+        val bytes = row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val starts = new Array[Int](bytes.length + 1)
+        var nChars = 0
+        var b = 0
+        while (b < bytes.length) {
+          if ((bytes(b) & 0xc0) != 0x80) { starts(nChars) = b; nChars += 1 }
+          b += 1
+        }
+        starts(nChars) = bytes.length
+        // cut positions (codepoint index of each chunk's last char)
+        val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val m = nChars - (k - 1)
+        var p = 1
+        while (p <= m) {
+          val off = starts(p - 1)
+          md.reset()
+          md.update(bytes, off, starts(p - 1 + k) - off)
+          val d = md.digest()
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          if (h % mask == 0L) cuts += p + (k - 1)
+          p += 1
+        }
+        if (cuts.isEmpty || cuts.last != nChars) cuts += nChars
+        var prev = 0
+        cuts.iterator.zipWithIndex.map { case (e, i) =>
+          val s = prev // 0-based start codepoint
+          prev = e
+          md.reset()
+          md.update(bytes, starts(s), starts(e) - starts(s))
+          org.apache.spark.sql.Row(id, (i + 1).toLong, hex(md.digest()), (e - s).toLong)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Per-doc cross-document duplication rollup over [[cdcChunks]]: how
+    * many of each doc's chunks (and chars) also live in ANOTHER doc —
+    * the revision/boilerplate mass a chunk-store would dedup away. One
+    * fingerprint aggregate (distinct-doc count per chunk hash — only
+    * 32-char hashes and ids cross the shuffle) joined back to the
+    * chunk stream.
+    */
+  def cdcDupStats(chunks: DataFrame, idCol: String): DataFrame = {
+    val docsPer = chunks.groupBy("fp")
+      .agg(count_distinct(col(idCol)).as("_nd"))
+    chunks.join(docsPer, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("_nd") >= 2, col("chunk_len")).otherwise(0L)).as("dup_chars"))
+  }
+
   /** In-sample multinomial Naive Bayes confusion matrix — the classifier
     * shape behind fastText-style language ID and quality classifiers,
     * trained and evaluated on the corpus itself (the C159 Markov-baseline

@@ -234,6 +234,9 @@ class EmptyInputSpec extends SparkSpec {
       "vec_id", "embedding", 5, 0.7, 50).count() === 0)
     val langDocs = emptyDocs.withColumn("lang", lit("en"))
     assert(TextOps.naiveBayesConfusion(langDocs, "lang", "text", "doc_id").count() === 0)
+    val noChunks = TextOps.cdcChunks(emptyDocs, "doc_id", "text")
+    assert(noChunks.count() === 0)
+    assert(TextOps.cdcDupStats(noChunks, "doc_id").count() === 0)
   }
 }
 

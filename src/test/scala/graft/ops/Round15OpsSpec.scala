@@ -217,6 +217,37 @@ class Round15OpsSpec extends SparkSpec {
     assert(m.values.sum === 2L)
   }
 
+  test("cdcChunks boundaries are insertion-robust where a fixed grid is not") {
+    // deterministic 600-char pseudo-random text; doc 2 inserts a run in
+    // the MIDDLE — content-defined boundaries must realign downstream
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val s1 = blob(300); val s2 = blob(300)
+    val docs = Seq(LineDoc(1L, s1 + s2), LineDoc(2L, s1 + "XXINSERTEDRUNXX" + s2))
+    val chunks = TextOps.cdcChunks(df(docs), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val f1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = f1 intersect f2
+    // chunks strictly inside s1 AND chunks strictly inside s2 must both
+    // survive the insertion (realignment), not just the prefix
+    assert(shared.size >= 4, s"CDC must share several chunks, got ${shared.size}")
+    val cum1 = chunks.filter(_._1 == 1L).scanLeft(0L)(_ + _._3).drop(1)
+    val tailShared = chunks.filter(_._1 == 1L).zip(cum1)
+      .filter { case (_, end) => end > s1.length + 50 }  // well past the insertion
+      .map(_._1._2).toSet intersect f2
+    assert(tailShared.nonEmpty, "chunks after the insertion point must realign")
+    // fixed 64-char grid referee: insertion shifts every downstream
+    // boundary -> zero shared grid chunks after the insertion point
+    def grid(t: String) = t.grouped(64).toSeq
+    val g1 = grid(docs.head.text); val g2 = grid(docs(1).text)
+    val gridSharedTail = g1.zipWithIndex.filter(_._2 > (s1.length + 50) / 64)
+      .map(_._1).toSet intersect g2.toSet
+    assert(gridSharedTail.isEmpty, "the fixed grid must NOT realign — the contrast")
+    // chunk lengths reassemble the doc exactly
+    assert(chunks.filter(_._1 == 1L).map(_._3).sum === (s1 + s2).length.toLong)
+  }
+
   test("naiveBayesConfusion matches a plain-Scala add-1 NB referee") {
     val docs = Seq(
       (1L, "A", "x x y"),
