@@ -90,6 +90,50 @@ class Round15PropertySpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks reassembles every text exactly and chunks deterministically") {
+    val gen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    samples(gen, 6).foreach { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val in = spark.createDataFrame(rows).toDF("id", "text")
+      val chunks = TextOps.cdcChunks(in, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      // partition property: per doc, chunk lengths sum to the text length
+      // and chunk numbers are 1..n contiguous
+      rows.foreach { case (id, t) =>
+        val mine = chunks.filter(_._1 == id).sortBy(_._2)
+        assert(mine.map(_._4).sum === t.length.toLong, s"doc $id len")
+        assert(mine.map(_._2).toSeq === (1L to mine.length).toSeq)
+      }
+      // identical texts chunk identically (content-defined = content-keyed)
+      val byText = rows.groupBy(_._2)
+      byText.values.filter(_.size >= 2).foreach { same =>
+        val fps = same.map(r => chunks.filter(_._1 == r._1).sortBy(_._2).map(_._3).toSeq)
+        assert(fps.distinct.size === 1)
+      }
+    }
+  }
+
+  test("naiveBayesConfusion row counts conserve docs for random corpora") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("A", "B", "C"),
+      Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))
+    samples(gen, 6).foreach { docs =>
+      val rows = docs.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      val in = spark.createDataFrame(rows).toDF("doc_id", "lang", "text")
+      val m = TextOps.naiveBayesConfusion(in, "lang", "text", "doc_id")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // every doc lands in exactly one confusion cell; true-label
+      // marginals match the corpus label counts
+      assert(m.map(_._3).sum === rows.size.toLong)
+      val trueCounts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      m.groupBy(_._1).foreach { case (t, cells) =>
+        assert(cells.map(_._3).sum === trueCounts(t), s"marginal for $t")
+      }
+      // predictions only ever name labels that exist in the corpus
+      assert(m.map(_._2).toSet.subsetOf(trueCounts.keySet))
+    }
+  }
+
   test("retrievalMetrics invariants: p_at_k*k and r_at_k*n_rel are the same integer") {
     val gen = Gen.zip(
       Gen.choose(3, 12),                        // ranked depth
