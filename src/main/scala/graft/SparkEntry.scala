@@ -2576,6 +2576,66 @@ object SparkEntry {
       TextOps.naiveBayesConfusion(T(s, dir, "documents"), "lang", "text", "doc_id")
         .orderBy("true_label", "pred_label")),
 
+    // Per-source ROC AUC of the stopword-ratio quality score as an
+    // English detector — the threshold-free "does this score separate
+    // the classes" evaluation run before picking a filter cutoff.
+    // Mann-Whitney rank form, all-integer until ONE final division
+    // (engine-exact, unrounded); one source exchange serves both the
+    // distinct-score agg and the cumulative window.
+    "q_auc" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val scored = T(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(filter(t, x => x.isin(TextOps.Stopwords: _*))).cast("double")
+            ./(size(t).cast("double")).as("_score"))
+        .where(size(t) > 0)
+      Profiling.rocAuc(scored, "source", col("_score"), col("lang") === "en")
+        .orderBy("source")
+    }),
+
+    // PSI drift gate between the deterministic train split and the rest
+    // of the corpus over doc-length bins — did the md5-bucket split
+    // preserve the length distribution? Binning is symbolic (bit-length
+    // of n_chars: no transcendental on the keying path); add-1 smoothed
+    // shares, (p−q)·ln(p/q) contributions decimal-summed.
+    "q_psi" -> ((s, dir) => {
+      val split = Relational.splitAssign(
+        T(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Profiling.psiReport(split, col("split") === "train", col("n_chars"))
+    }),
+
+    // Per-source two-sample Kolmogorov-Smirnov distance against the rest
+    // of the corpus on doc length — which crawl's size distribution
+    // drifted. The sup gap is found over integer cross-products (no
+    // per-step division) with ONE division at the end: engine-exact,
+    // unrounded; both ECDFs run inside the per-source window over the
+    // distinct-value grid (no global window).
+    "q_ks_drift" -> ((s, dir) =>
+      Profiling.ksByGroup(T(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source")),
+
+    // Newman modularity of LANGUAGE labels over the SimHash near-dup
+    // graph (memoized: the banded candidate join is paid once per
+    // session) — does duplication stay inside a language or cross it?
+    // Q_c from exact integer counts; two divisions + one multiply are
+    // the only floating steps.
+    "q_modularity" -> ((s, dir) => {
+      val pairs = TextOps.simHashNearDupCached(
+        T(s, dir, "documents"), "doc_id", "text", 3, s, dir).select("id_a", "id_b")
+      Graph.modularity(pairs, "id_a", "id_b",
+        T(s, dir, "documents"), "doc_id", "lang")
+    }),
+
+    // Mann-Kendall trend test per user over event values: S = pairwise
+    // sign sum in event order, tau-a = 2S/(n(n−1)) — the nonparametric
+    // drift screen (only signs enter; outliers don't). Quadratic in the
+    // bounded per-user series length only; integer S, one final
+    // division, engine-exact unrounded.
+    "q_mann_kendall" -> ((s, dir) =>
+      TimeSeries.mannKendall(T(s, dir, "events"), "user_id", "event_id", "value")
+        .orderBy("user_id")),
+
     // Word2vec negative-sampling table: top-30 types with count^0.75
     // sampling weights — the exponent computed as sqrt(c·sqrt(c)), the
     // bit-portable shape (libm pow is not ulp-identical across engines;
@@ -6846,6 +6906,143 @@ object SparkEntry {
                   FROM scored GROUP BY doc_id, true_lang)
          SELECT true_lang AS true_label, pred_lang AS pred_label, count(*) AS n_docs
          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Mann-Whitney rank form: distinct-score groups, average ranks via
+    // the cumulative-count window, all integers until the one final
+    // division — engine-exact, no rounding on either side.
+    "q_auc" ->
+      raw"""WITH t AS (
+           SELECT source, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT source,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks)::DOUBLE AS sc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM t WHERE len(toks) > 0),
+         g AS (SELECT source, sc, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+               FROM s GROUP BY 1, 2),
+         c AS (SELECT source, sc, cnt, pos,
+                 coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+               FROM g),
+         a AS (SELECT source,
+                 sum(pos * (cumb * 2 + cnt + 1)) AS r2,
+                 sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS n_pos
+               FROM c GROUP BY source)
+         SELECT source, n, n_pos,
+           CASE WHEN n_pos > 0 AND n_pos < n
+             THEN (r2 - n_pos * (n_pos + 1))::DOUBLE / ((n_pos * (n - n_pos))::DOUBLE * 2.0)
+           END AS auc
+         FROM a ORDER BY source""",
+
+    // Same md5-bucket split rule as q_split_assign; symbolic bit-length
+    // bins; add-1 shares; contributions decimal-summed.
+    "q_psi" ->
+      """WITH b AS (
+           SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000) AS ref,
+             CASE WHEN n_chars > 0 THEN length(bin(n_chars)) ELSE 0 END AS bin
+           FROM documents),
+         c AS (SELECT bin,
+                 sum(CASE WHEN ref THEN 1 ELSE 0 END)::BIGINT AS ca,
+                 sum(CASE WHEN NOT ref THEN 1 ELSE 0 END)::BIGINT AS cb
+               FROM b GROUP BY bin),
+         t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb, count(*)::BIGINT AS bins FROM c),
+         sh AS (SELECT bin, ca AS n_ref, cb AS n_cur,
+                  (ca + 1)::DOUBLE / (na + bins)::DOUBLE AS p,
+                  (cb + 1)::DOUBLE / (nb + bins)::DOUBLE AS q
+                FROM c CROSS JOIN t),
+         co AS (SELECT bin, n_ref, n_cur, p, q, (p - q) * ln(p / q) AS contrib FROM sh),
+         tot AS (SELECT sum(CAST(contrib AS DECIMAL(28,9)))::DOUBLE AS psi FROM co)
+         SELECT bin, n_ref, n_cur,
+           round(p, 9) AS p_ref, round(q, 9) AS p_cur,
+           round(contrib, 9) + 0 AS contrib, round(psi, 9) + 0 AS psi
+         FROM co CROSS JOIN tot ORDER BY bin""",
+
+    // The sup gap compared as integer cross-products (decimal: O(N²)
+    // magnitudes), divided ONCE at the end — engine-exact, unrounded.
+    "q_ks_drift" ->
+      """WITH base AS (SELECT source AS g, n_chars AS v FROM documents),
+         cnts AS (SELECT g, v, count(*)::BIGINT AS cnt FROM base GROUP BY 1, 2),
+         pv AS (SELECT v, count(*)::BIGINT AS tot FROM base GROUP BY 1),
+         gt AS (SELECT g, count(*)::BIGINT AS ng FROM base GROUP BY 1),
+         nn AS (SELECT count(*)::BIGINT AS n FROM base),
+         grid AS (
+           SELECT gt.g, gt.ng, pv.v, pv.tot, coalesce(c.cnt, 0) AS cnt
+           FROM gt CROSS JOIN pv
+           LEFT JOIN cnts c ON c.g = gt.g AND c.v = pv.v),
+         cum AS (
+           SELECT g, ng,
+             sum(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cg,
+             sum(tot) OVER (PARTITION BY g ORDER BY v)::BIGINT AS call
+           FROM grid),
+         d AS (SELECT g, ng, n,
+                 max(abs(cg::DECIMAL(38,0) * (n - ng) - (call - cg)::DECIMAL(38,0) * ng)) AS dnum
+               FROM cum CROSS JOIN nn GROUP BY g, ng, n)
+         SELECT g AS source, ng AS n,
+           CASE WHEN ng > 0 AND ng < n
+             THEN dnum::DOUBLE / (ng::DECIMAL(38,0) * (n - ng))::DOUBLE
+           END AS ks_d
+         FROM d ORDER BY source""",
+
+    // The q_dup_matrix SimHash pair CTE + the Newman Q_c rollup: exact
+    // integer counts, two divisions + one multiply as the only floating
+    // steps, signed-portable round.
+    "q_modularity" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote_sum > 0
+                   THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                   ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         lab AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+         tg AS (SELECT la.lang AS ca, lb.lang AS cb
+                FROM p JOIN lab la ON p.id_a = la.doc_id
+                       JOIN lab lb ON p.id_b = lb.doc_id),
+         m AS (SELECT count(*)::BIGINT AS me FROM tg),
+         degs AS (SELECT community, count(*)::BIGINT AS deg_sum
+                  FROM (SELECT ca AS community FROM tg
+                        UNION ALL SELECT cb FROM tg)
+                  GROUP BY 1),
+         intra AS (SELECT ca AS community, count(*)::BIGINT AS e_in
+                   FROM tg WHERE ca = cb GROUP BY 1)
+         SELECT d.community, coalesce(i.e_in, 0)::BIGINT AS e_in, d.deg_sum, m.me AS m_edges,
+           round(coalesce(i.e_in, 0)::DOUBLE / me::DOUBLE
+                 - (deg_sum::DOUBLE / (me * 2)::DOUBLE) * (deg_sum::DOUBLE / (me * 2)::DOUBLE),
+             9) + 0 AS q_c
+         FROM degs d LEFT JOIN intra i USING (community) CROSS JOIN m
+         ORDER BY community""",
+
+    // Pairwise sign sum via the bounded per-user self-join; integer S,
+    // one final division — engine-exact, unrounded.
+    "q_mann_kendall" ->
+      """WITH e AS (SELECT user_id, event_id, value FROM events),
+         p AS (SELECT a.user_id, sign(b.value - a.value)::BIGINT AS sgn
+               FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id),
+         n AS (SELECT user_id, count(*)::BIGINT AS n FROM e GROUP BY 1),
+         s AS (SELECT user_id, sum(sgn)::BIGINT AS s FROM p GROUP BY 1)
+         SELECT n.user_id, n.n, coalesce(s.s, 0)::BIGINT AS s,
+           CASE WHEN n.n >= 2
+             THEN (coalesce(s.s, 0) * 2)::DOUBLE / (n.n * (n.n - 1))::DOUBLE
+           END AS tau
+         FROM n LEFT JOIN s USING (user_id) ORDER BY user_id""",
 
     // count^0.75 spelled sqrt(c*sqrt(c)) on BOTH sides — the
     // bit-portable pow-free shape; normalizer decimal-summed.

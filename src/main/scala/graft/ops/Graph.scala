@@ -760,4 +760,50 @@ object Graph {
       .select(col("id_a"), col("id_b"), col("n_common"),
         round(col("_score"), 6).as("score"))
   }
+
+  /** Newman modularity of a node labeling over an undirected edge list
+    * (Newman & Girvan 2004): per community c, Q_c = e_c/m − (d_c/2m)²
+    * where e_c = intra-community edges, d_c = degree sum, m = total
+    * edges; ΣQ_c is the partition's modularity. The quality gate for any
+    * community assignment — run it over labelPropagation's output, or
+    * (the dedup-audit reading) over metadata labels on a near-dup graph:
+    * "do crawl-source / language labels explain the duplication
+    * structure, or does copying cross them?" Q_c near its d_c/2m-driven
+    * maximum = duplication stays inside the label; Q ≈ 0 = the label is
+    * irrelevant to who copies whom.
+    *
+    * All inputs to the formula are exact integer counts aggregated
+    * distributively (e_c and d_c via hash aggs after node-keyed label
+    * joins, never a collect); the two divisions and one multiply are the
+    * only floating steps, in a fixed shape both engines evaluate
+    * identically. Self-loops are dropped (the degreeDistribution
+    * contract); nodes labeled NULL drop out of both e_c and d_c.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e = edges
+      .select(col(aCol).cast("long").as("_a"), col(bCol).cast("long").as("_b"))
+      .where(col("_a") =!= col("_b"))
+    val lab = labels.select(col(idCol).cast("long").as("_id"), col(labelCol).as("_c"))
+      .where(col(labelCol).isNotNull)
+    val tagged = e
+      .join(lab.select(col("_id").as("_a"), col("_c").as("_ca")), Seq("_a"))
+      .join(lab.select(col("_id").as("_b"), col("_c").as("_cb")), Seq("_b"))
+    val m = tagged.agg(count(lit(1)).as("_m"))
+    val degSum = tagged.select(col("_ca").as("community"))
+      .union(tagged.select(col("_cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+    val intra = tagged.where(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community")).agg(count(lit(1)).as("e_in"))
+    degSum.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("e_in"), col("deg_sum"), col("_m").as("m_edges"),
+        Portable.pround(
+          col("e_in").cast("double") / col("_m").cast("double") -
+            (col("deg_sum").cast("double") / (col("_m") * 2).cast("double")) *
+            (col("deg_sum").cast("double") / (col("_m") * 2).cast("double")), 9)
+          .as("q_c"))
+      .orderBy("community")
+  }
 }

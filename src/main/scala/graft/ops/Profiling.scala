@@ -481,4 +481,132 @@ object Profiling {
         round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
           log(lit(10.0)), 6).as("benford_share"))
   }
+
+  /** ROC AUC per group via the Mann-Whitney rank statistic — the
+    * threshold-free "does this score separate the classes" evaluation a
+    * quality-classifier pipeline reports before picking a filter cutoff.
+    *
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the positive class's
+    * rank-sum under ascending score order, ties taking the average rank.
+    * Computed EXACTLY: scores collapse to distinct-value groups
+    * (cnt, pos) per (group, score); a tied group starting after
+    * `cumBefore` rows contributes pos·(2·cumBefore + cnt + 1) to 2·R⁺ —
+    * all integer arithmetic until the single final division, so the
+    * output double is engine-exact with no rounding step.
+    *
+    * Scale shape: one hash exchange on the group column serves both the
+    * distinct-score aggregation (hash(group) co-locates every (group,
+    * score) pair) and the cumulative window; the frame under the window
+    * is distinct scores per group, not rows. Degenerate groups (all one
+    * class) → NULL, never a division by zero.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: Column,
+             labelCol: Column): DataFrame = {
+    val g = df
+      .select(col(groupCol), scoreCol.as("_s"),
+        labelCol.cast("boolean").cast("long").as("_y"))
+      .repartition(col(groupCol))
+      .groupBy(col(groupCol), col("_s"))
+      .agg(count(lit(1)).as("_cnt"), sum("_y").as("_pos"))
+    val w = Window.partitionBy(groupCol).orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // decimal rank-sums: R⁺ is O(N²) — a long wraps silently past ~3e9
+    // rows per group while decimal(38,0) holds to 1e19.
+    g.withColumn("_cumBefore", coalesce(sum("_cnt").over(w), lit(0L)))
+      .groupBy(groupCol)
+      .agg(
+        sum(col("_pos").cast("decimal(38,0)") *
+          (col("_cumBefore") * 2 + col("_cnt") + 1)).as("_r2"),
+        sum("_cnt").as("n"), sum("_pos").as("n_pos"))
+      .select(col(groupCol), col("n"), col("n_pos"),
+        when(col("n_pos") > 0 && col("n_pos") < col("n"),
+          (col("_r2") - col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1))
+            .cast("double") /
+            ((col("n_pos").cast("decimal(38,0)") * (col("n") - col("n_pos")))
+              .cast("double") * 2.0))
+          .as("auc"))
+  }
+
+  /** Population Stability Index between two cohorts of one value column —
+    * the drift gate run between a reference window and a fresh batch
+    * (PSI < 0.1 stable, > 0.25 action). Binning is SYMBOLIC: bin =
+    * bit-length of the integer value (`length(bin(v))`), so no
+    * transcendental sits on the keying path and both engines agree on
+    * every boundary. Per-bin shares are add-1 smoothed over the union of
+    * observed bins (an empty bin on one side must not produce ±Inf);
+    * contribution = (p−q)·ln(p/q). Returns one row per bin plus the
+    * rolled-up `psi` repeated, both rounded via the signed-portable rule.
+    *
+    * Scale: two hash aggs over ≤ 64 bins and a broadcast of the bin
+    * catalog — nothing row-sized crosses a shuffle after the first agg.
+    */
+  def psiReport(df: DataFrame, cohortCol: Column, valueCol: Column): DataFrame = {
+    val binned = df.select(
+      cohortCol.cast("boolean").as("_ref"),
+      when(valueCol.cast("long") > 0, length(bin(valueCol.cast("long"))))
+        .otherwise(lit(0)).cast("long").as("bin"))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("_ref"), 1L).otherwise(0L)).as("_ca"),
+      sum(when(!col("_ref"), 1L).otherwise(0L)).as("_cb"))
+    val totals = counts.agg(
+      sum("_ca").as("_na"), sum("_cb").as("_nb"), count(lit(1)).as("_bins"))
+    val shares = counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("_ca").as("n_ref"), col("_cb").as("n_cur"),
+        ((col("_ca") + 1).cast("double") / (col("_na") + col("_bins")).cast("double")).as("_p"),
+        ((col("_cb") + 1).cast("double") / (col("_nb") + col("_bins")).cast("double")).as("_q"))
+    val contrib = shares.withColumn("_c",
+      (col("_p") - col("_q")) * log(col("_p") / col("_q")))
+    val total = contrib.agg(Portable.decSum(col("_c"), 9).as("_psi"))
+    contrib.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("_p"), 9).as("p_ref"), round(col("_q"), 9).as("p_cur"),
+        Portable.pround(col("_c"), 9).as("contrib"),
+        Portable.pround(col("_psi"), 9).as("psi"))
+      .orderBy("bin")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance of each group against the
+    * REST of the corpus — "which cohort's distribution drifted" ranked by
+    * the sup-norm ECDF gap. D is found EXACTLY: at each candidate value
+    * the gap |F_g − F_rest| is compared as the integer cross-product
+    * |cum_g·(N−n_g) − cum_rest·n_g| (no per-step division), and only the
+    * winning numerator is divided once at the end — the output double is
+    * engine-exact, no rounding step.
+    *
+    * Scale shape: value distributions collapse to (group, value) counts,
+    * the per-value overall count joins on value, and BOTH cumulative sums
+    * run inside the per-group window over the distinct-value grid — no
+    * global (partition-less) window anywhere. The grid is |groups| ×
+    * |distinct values|, already reduced from row scale by the first agg.
+    */
+  def ksByGroup(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"), valueCol.as("_v"))
+    val counts = base.groupBy("_g", "_v").agg(count(lit(1)).as("_cnt"))
+    val perValue = base.groupBy("_v").agg(count(lit(1)).as("_tot"))
+    val groupsTot = base.groupBy("_g").agg(count(lit(1)).as("_ng"))
+    val grandTot = base.agg(count(lit(1)).as("_n"))
+    // group × distinct-value grid: a value absent from a group still moves
+    // the complement's ECDF, so it is a candidate for the sup gap.
+    val grid = groupsTot.crossJoin(broadcast(perValue))
+      .join(counts, Seq("_g", "_v"), "left")
+      .na.fill(0L, Seq("_cnt"))
+    val w = Window.partitionBy("_g").orderBy("_v")
+    // decimal cross-products: cum·(N−n_g) is O(N²) — a long wraps silently
+    // past ~3e9 rows while decimal(38,0) holds to 1e19 rows.
+    grid
+      .withColumn("_cumG", sum("_cnt").over(w))
+      .withColumn("_cumAll", sum("_tot").over(w))
+      .crossJoin(broadcast(grandTot))
+      .select(col("_g"), col("_ng"), col("_n"),
+        abs(col("_cumG").cast("decimal(38,0)") * (col("_n") - col("_ng")) -
+          (col("_cumAll") - col("_cumG")).cast("decimal(38,0)") * col("_ng"))
+          .as("_num"))
+      .groupBy("_g", "_ng", "_n").agg(max("_num").as("_dnum"))
+      .select(col("_g").as(groupCol), col("_ng").as("n"),
+        when(col("_ng") > 0 && col("_ng") < col("_n"),
+          col("_dnum").cast("double") /
+            (col("_ng").cast("decimal(38,0)") * (col("_n") - col("_ng")))
+              .cast("double"))
+          .as("ks_d"))
+  }
 }

@@ -423,4 +423,34 @@ object TimeSeries {
       .withColumn("peak", max(col("equity")).over(wCum))
       .withColumn("drawdown", col("peak") - col("equity"))
   }
+
+  /** Mann–Kendall trend test per series (Mann 1945; Kendall 1975): S =
+    * Σ_{i<j} sign(v_j − v_i) over `orderCol` order, and Kendall's tau-a
+    * = 2S / (n(n−1)) — the nonparametric "is this series drifting"
+    * screen that needs no distributional assumption and shrugs off
+    * outliers (only signs enter). S and n are integers; tau is the one
+    * final division, so the output double is engine-exact unrounded.
+    *
+    * Scale shape: an equi-join on the series key with an order-column
+    * inequality — quadratic IN THE SERIES LENGTH only, which for
+    * per-entity behavioral streams is a bounded constant (the C142
+    * blocking rationale); the key exchange itself is linear. Series of
+    * length < 2 → NULL tau, never a division by zero.
+    */
+  def mannKendall(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol), col(orderCol).as("_o"), col(valueCol).as("_v"))
+    val pairs = base.as("a").join(base.as("b"),
+      col(s"a.$keyCol") === col(s"b.$keyCol") && col("a._o") < col("b._o"))
+      .select(col(s"a.$keyCol").as(keyCol),
+        signum(col("b._v") - col("a._v")).cast("long").as("_sgn"))
+    val n = base.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val s = pairs.groupBy(keyCol).agg(sum("_sgn").as("s"))
+    n.join(s, Seq(keyCol), "left")
+      .na.fill(0L, Seq("s"))
+      .select(col(keyCol), col("n"), col("s"),
+        when(col("n") >= 2,
+          (col("s") * 2).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")).as("tau"))
+  }
 }

@@ -238,6 +238,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(noChunks.count() === 0)
     assert(TextOps.cdcDupStats(noChunks, "doc_id").count() === 0)
   }
+
+  test("round-15 second-wave operators on empty inputs") {
+    val emptyScored = df(Seq.empty[ScoredDoc])
+    assert(Profiling.rocAuc(emptyScored, "source", col("score"), col("pos")).count() === 0)
+    val emptyBins = df(Seq.empty[BinVal])
+    assert(Profiling.psiReport(emptyBins, col("ref"), col("n_chars")).count() === 0)
+    val emptyKs = df(Seq.empty[KsRow])
+    assert(Profiling.ksByGroup(emptyKs, "g", col("v")).count() === 0)
+    val emptyEdges = df(Seq.empty[ModEdge])
+    val emptyLabels = df(Seq.empty[ModLabel])
+    assert(Graph.modularity(emptyEdges, "a", "b", emptyLabels, "id", "c").count() === 0)
+    val emptyMk = df(Seq.empty[MkRow])
+    assert(TimeSeries.mannKendall(emptyMk, "user_id", "event_id", "value").count() === 0)
+  }
 }
 
 case class Rk15(doc_id: String, rank: Long)

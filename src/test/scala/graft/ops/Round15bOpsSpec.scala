@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class ScoredDoc(source: String, score: Double, pos: Boolean)
+case class BinVal(doc_id: Long, n_chars: Long, ref: Boolean)
+case class KsRow(g: String, v: Long)
+case class ModEdge(a: Long, b: Long)
+case class ModLabel(id: Long, c: String)
+case class MkRow(user_id: Long, event_id: Long, value: Double)
+
+/** Second-wave round-15 operators (AUC / PSI / KS / modularity /
+  * Mann-Kendall), each checked against an independent plain-Scala
+  * referee, not the operator's own formulation.
+  */
+class Round15bOpsSpec extends SparkSpec {
+
+  // ---- ROC AUC -----------------------------------------------------------
+
+  /** Referee: AUC = (#(s⁺>s⁻) + ½·#(s⁺=s⁻)) / (n⁺·n⁻) over all pairs. */
+  private def aucReferee(rows: Seq[ScoredDoc]): Option[Double] = {
+    val p = rows.filter(_.pos).map(_.score)
+    val n = rows.filterNot(_.pos).map(_.score)
+    if (p.isEmpty || n.isEmpty) None
+    else Some(
+      (for (x <- p; y <- n) yield
+        if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum / (p.size.toDouble * n.size))
+  }
+
+  test("rocAuc equals the all-pairs referee, ties included") {
+    val rows = Seq(
+      ScoredDoc("g1", 0.9, true), ScoredDoc("g1", 0.8, true), ScoredDoc("g1", 0.8, false),
+      ScoredDoc("g1", 0.5, false), ScoredDoc("g1", 0.5, true), ScoredDoc("g1", 0.5, false),
+      ScoredDoc("g1", 0.1, false),
+      ScoredDoc("g2", 0.3, true), ScoredDoc("g2", 0.7, false), ScoredDoc("g2", 0.7, false))
+    val got = Profiling.rocAuc(df(rows), "source", col("score"), col("pos"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    for (g <- Seq("g1", "g2"))
+      assert(got(g) === aucReferee(rows.filter(_.source == g)), s"group $g")
+  }
+
+  test("rocAuc perfect / inverted / degenerate groups") {
+    val rows = Seq(
+      ScoredDoc("perfect", 1.0, true), ScoredDoc("perfect", 0.9, true),
+      ScoredDoc("perfect", 0.2, false), ScoredDoc("perfect", 0.1, false),
+      ScoredDoc("inverted", 0.1, true), ScoredDoc("inverted", 0.9, false),
+      ScoredDoc("onlyPos", 0.5, true), ScoredDoc("onlyNeg", 0.5, false))
+    val got = Profiling.rocAuc(df(rows), "source", col("score"), col("pos"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got("perfect") === Some(1.0))
+    assert(got("inverted") === Some(0.0))
+    assert(got("onlyPos") === None && got("onlyNeg") === None)
+  }
+
+  test("rocAuc seeded random data matches the referee per group") {
+    val rnd = new scala.util.Random(1715)
+    val rows = (1 to 300).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      // quantized scores force plenty of cross-class ties
+      ScoredDoc(g, rnd.nextInt(8) / 8.0, rnd.nextBoolean())
+    }
+    val got = Profiling.rocAuc(df(rows), "source", col("score"), col("pos"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    for ((g, sub) <- rows.groupBy(_.source))
+      assert(got(g) === aucReferee(sub), s"group $g")
+  }
+
+  // ---- PSI ---------------------------------------------------------------
+
+  private def bitLen(v: Long): Long = if (v > 0) 64 - java.lang.Long.numberOfLeadingZeros(v) else 0L
+
+  test("psiReport matches the add-1 referee and rolls up contributions") {
+    val rows = Seq(
+      // ref cohort lengths: bins 3,3,4,6 ; cur cohort: bins 3,6,6
+      BinVal(1, 5, true), BinVal(2, 7, true), BinVal(3, 12, true), BinVal(4, 40, true),
+      BinVal(5, 6, false), BinVal(6, 33, false), BinVal(7, 60, false))
+    val out = Profiling.psiReport(df(rows), col("ref"), col("n_chars")).collect()
+    val bins = rows.map(r => bitLen(r.n_chars)).distinct.sorted
+    assert(out.map(_.getLong(0)).toSeq === bins)
+    val na = rows.count(_.ref); val nb = rows.size - na; val b = bins.size
+    var wantPsi = 0.0
+    for (row <- out) {
+      val bin = row.getLong(0)
+      val ca = rows.count(r => r.ref && bitLen(r.n_chars) == bin)
+      val cb = rows.count(r => !r.ref && bitLen(r.n_chars) == bin)
+      assert(row.getLong(1) === ca && row.getLong(2) === cb)
+      val p = (ca + 1.0) / (na + b); val q = (cb + 1.0) / (nb + b)
+      val contrib = (p - q) * math.log(p / q)
+      assert(math.abs(row.getDouble(5) - contrib) < 1e-8, s"bin $bin contrib")
+      wantPsi += contrib
+    }
+    for (row <- out) assert(math.abs(row.getDouble(6) - wantPsi) < 1e-8)
+  }
+
+  test("psiReport of an identically-distributed split is ~0 and empty-bin-safe") {
+    val rows = (1L to 200L).map(i => BinVal(i, i % 37 + 1, i % 2 == 0))
+    val psi = Profiling.psiReport(df(rows), col("ref"), col("n_chars"))
+      .select("psi").distinct().collect().head.getDouble(0)
+    assert(math.abs(psi) < 0.01)
+    // one side entirely missing a bin must yield finite contributions
+    val lop = Seq(BinVal(1, 3, true), BinVal(2, 300, false), BinVal(3, 300, false))
+    val cs = Profiling.psiReport(df(lop), col("ref"), col("n_chars"))
+      .collect().map(_.getDouble(5))
+    assert(cs.forall(c => !c.isNaN && !c.isInfinite))
+  }
+
+  // ---- KS ----------------------------------------------------------------
+
+  /** Referee: D = sup_t |F_g(t) − F_rest(t)| over every observed value. */
+  private def ksReferee(rows: Seq[KsRow], g: String): Option[Double] = {
+    val own = rows.filter(_.g == g).map(_.v)
+    val rest = rows.filterNot(_.g == g).map(_.v)
+    if (own.isEmpty || rest.isEmpty) None
+    else Some(rows.map(_.v).distinct.map { t =>
+      math.abs(own.count(_ <= t).toDouble / own.size -
+        rest.count(_ <= t).toDouble / rest.size)
+    }.max)
+  }
+
+  test("ksByGroup equals the ECDF referee, including gaps only one side has") {
+    val rows = Seq(
+      KsRow("a", 1), KsRow("a", 2), KsRow("a", 2), KsRow("a", 9),
+      KsRow("b", 2), KsRow("b", 5), KsRow("b", 5), KsRow("b", 6),
+      KsRow("c", 100))
+    val got = Profiling.ksByGroup(df(rows), "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for (g <- Seq("a", "b", "c"))
+      assert(math.abs(got(g) - ksReferee(rows, g).get) < 1e-12, s"group $g")
+  }
+
+  test("ksByGroup identical distributions give 0; disjoint give 1") {
+    val same = (1L to 50L).flatMap(v => Seq(KsRow("x", v % 5), KsRow("y", v % 5)))
+    val gotSame = Profiling.ksByGroup(df(same), "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gotSame("x") === 0.0 && gotSame("y") === 0.0)
+    val disj = Seq(KsRow("lo", 1), KsRow("lo", 2), KsRow("hi", 10), KsRow("hi", 11))
+    val gotDisj = Profiling.ksByGroup(df(disj), "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gotDisj("lo") === 1.0 && gotDisj("hi") === 1.0)
+  }
+
+  test("ksByGroup seeded random data matches the referee") {
+    val rnd = new scala.util.Random(9415)
+    val rows = (1 to 400).map(_ => KsRow(s"g${rnd.nextInt(4)}", rnd.nextInt(20).toLong))
+    val got = Profiling.ksByGroup(df(rows), "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for (g <- rows.map(_.g).distinct)
+      assert(math.abs(got(g) - ksReferee(rows, g).get) < 1e-12, s"group $g")
+  }
+
+  // ---- Modularity --------------------------------------------------------
+
+  /** Referee: Q_c = e_c/m − (d_c/2m)² from first principles. */
+  private def modReferee(edges: Seq[(Long, Long)], labels: Map[Long, String]): Map[String, Double] = {
+    val e = edges.filter { case (a, b) => a != b }
+      .filter { case (a, b) => labels.contains(a) && labels.contains(b) }
+    val m = e.size.toDouble
+    val comms = e.flatMap { case (a, b) => Seq(labels(a), labels(b)) }.distinct
+    comms.map { c =>
+      val ein = e.count { case (a, b) => labels(a) == c && labels(b) == c }
+      val dc = e.count { case (a, _) => labels(a) == c } + e.count { case (_, b) => labels(b) == c }
+      c -> (ein / m - (dc / (2 * m)) * (dc / (2 * m)))
+    }.toMap
+  }
+
+  test("modularity: two triangles joined by a bridge, labeled by triangle") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val labels = Map(1L -> "A", 2L -> "A", 3L -> "A", 4L -> "B", 5L -> "B", 6L -> "B")
+    val want = modReferee(edges, labels)
+    val got = Graph.modularity(
+      df(edges.map(p => ModEdge(p._1, p._2))), "a", "b",
+      df(labels.toSeq.map(p => ModLabel(p._1, p._2))), "id", "c")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    for ((c, q) <- want) assert(math.abs(got(c) - q) < 1e-9, s"community $c")
+    // Σ e_in = 6 of m = 7; modularity is high for this near-perfect split
+    // (6/7 − 2·(7/14)² = 0.357…)
+    assert(math.abs(want.values.sum - (6.0 / 7.0 - 0.5)) < 1e-9)
+  }
+
+  test("modularity: random labels score ~0, self-loops and NULLs drop") {
+    val edges = Seq((1L, 2L), (2L, 2L), (2L, 3L), (3L, 7L))
+    val labels = Seq(ModLabel(1, "X"), ModLabel(2, "X"), ModLabel(3, "Y"), ModLabel(7, null))
+    val out = Graph.modularity(df(edges.map(p => ModEdge(p._1, p._2))), "a", "b",
+      df(labels), "id", "c").collect()
+    // surviving edges: (1,2) intra-X, (2,3) cross — (2,2) self-loop and
+    // (3,7) NULL-labeled endpoint are gone → m=2
+    assert(out.map(_.getLong(3)).distinct.toSeq === Seq(2L))
+    val got = out.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("X") === ((1L, 3L)) && got("Y") === ((0L, 1L)))
+    val want = modReferee(
+      edges.filterNot(e => e == ((2L, 2L)) || e == ((3L, 7L))),
+      Map(1L -> "X", 2L -> "X", 3L -> "Y"))
+    val qc = out.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    for ((c, q) <- want) assert(math.abs(qc(c) - q) < 1e-9, s"community $c")
+  }
+
+  // ---- Mann-Kendall ------------------------------------------------------
+
+  private def mkReferee(vs: Seq[Double]): (Long, Option[Double]) = {
+    val s = (for (i <- vs.indices; j <- i + 1 until vs.size)
+      yield math.signum(vs(j) - vs(i)).toLong).sum
+    val n = vs.size
+    (s, if (n >= 2) Some(2.0 * s / (n.toLong * (n - 1))) else None)
+  }
+
+  test("mannKendall monotone, anti-monotone, tied, and short series") {
+    val rows =
+      (1 to 5).map(i => MkRow(1, i, i.toDouble)) ++            // rising: tau 1
+        (1 to 5).map(i => MkRow(2, i, -i.toDouble)) ++         // falling: tau -1
+        (1 to 4).map(i => MkRow(3, i, 7.0)) ++                 // all tied: tau 0
+        Seq(MkRow(4, 1, 3.0)) ++                               // singleton: NULL
+        Seq(MkRow(5, 1, 1.0), MkRow(5, 2, 3.0), MkRow(5, 3, 2.0), MkRow(5, 4, 3.0))
+    val got = TimeSeries.mannKendall(df(rows), "user_id", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    for ((u, sub) <- rows.groupBy(_.user_id)) {
+      val vs = sub.sortBy(_.event_id).map(_.value)
+      assert(got(u) === mkReferee(vs), s"user $u")
+    }
+    assert(got(1)._2 === Some(1.0) && got(2)._2 === Some(-1.0))
+    assert(got(3)._2 === Some(0.0) && got(4)._2 === None)
+  }
+
+  test("mannKendall seeded random series match the referee") {
+    val rnd = new scala.util.Random(77123)
+    val rows = for (u <- 1L to 20L; i <- 1 to rnd.nextInt(12) + 1)
+      yield MkRow(u, i, rnd.nextInt(6).toDouble)
+    val got = TimeSeries.mannKendall(df(rows), "user_id", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    for ((u, sub) <- rows.groupBy(_.user_id))
+      assert(got(u) === mkReferee(sub.sortBy(_.event_id).map(_.value)), s"user $u")
+  }
+}
