@@ -361,6 +361,72 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_hard_negatives must broadcast the probe set")
   }
 
+  test("round-15 second-wave queries keep their scale-plan contracts") {
+    def nonRangeShuffles(p: SparkPlan) = flatten(p).count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      case _ => false
+    }
+    def windowsAllKeyed(p: SparkPlan): Boolean = flatten(p).forall {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.nonEmpty
+      case _ => true
+    }
+    def scanColumns(p: SparkPlan, table: String): Seq[Set[String]] =
+      flatten(p).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.inputFiles.exists(_.contains(table)) =>
+          s.schema.fieldNames.toSet
+      }
+
+    // q_auc: ONE hash exchange on source serves the distinct-score agg,
+    // the rank window, and the per-source rollup (the presentation sort
+    // is the only other exchange); no partition-less window; the scan
+    // prunes to the three used columns
+    val auc = SparkEntry.queries("q_auc")(spark, sfDir)
+    auc.collect()
+    val aucPlan = auc.queryExecution.executedPlan
+    assert(nonRangeShuffles(aucPlan) === 1,
+      "q_auc must ride one source-hash exchange end to end")
+    assert(windowsAllKeyed(aucPlan), "q_auc rank window must be keyed")
+    assert(scanColumns(aucPlan, "documents").forall(_ === Set("text", "lang", "source")),
+      "q_auc scan must prune to (text, lang, source)")
+
+    // q_ks_drift: both ECDF cumsums run inside the per-group window —
+    // no global partition-less window; scans prune to source / n_chars
+    val ks = SparkEntry.queries("q_ks_drift")(spark, sfDir)
+    ks.collect()
+    val ksPlan = ks.queryExecution.executedPlan
+    assert(windowsAllKeyed(ksPlan), "q_ks_drift ECDF windows must be keyed")
+    assert(scanColumns(ksPlan, "documents")
+        .forall(_.subsetOf(Set("source", "n_chars"))),
+      "q_ks_drift scans must prune to source/n_chars")
+
+    // q_psi: bins collapse before anything crosses a shuffle; the scan
+    // prunes to the split key + value
+    val psi = SparkEntry.queries("q_psi")(spark, sfDir)
+    psi.collect()
+    assert(scanColumns(psi.queryExecution.executedPlan, "documents")
+        .forall(_ === Set("doc_id", "n_chars")),
+      "q_psi scan must prune to (doc_id, n_chars)")
+
+    // q_modularity: rides the memoized SimHash pair relation — document
+    // scans fetch only the (doc_id, lang) label columns, never text
+    val mod = SparkEntry.queries("q_modularity")(spark, sfDir)
+    mod.collect()
+    assert(scanColumns(mod.queryExecution.executedPlan, "documents")
+        .forall(_ === Set("doc_id", "lang")),
+      "q_modularity must ride the memoized pair artifact (label-only doc scans)")
+
+    // q_mann_kendall: the pair join is an equi-join on the series key
+    // (no cartesian — globally asserted); scans prune to the three cols
+    val mk = SparkEntry.queries("q_mann_kendall")(spark, sfDir)
+    mk.collect()
+    assert(scanColumns(mk.queryExecution.executedPlan, "events")
+        .forall(_.subsetOf(Set("user_id", "event_id", "value"))),
+      "q_mann_kendall scans must prune to (user_id, event_id, value)")
+  }
+
   test("q_assoc_rules reads both PairStore artifacts and never the fact table") {
     // the association-rule contract (r12): confidence/lift are computed
     // from the committed pair-support and item-count artifacts alone —
