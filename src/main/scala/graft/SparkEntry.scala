@@ -2636,6 +2636,37 @@ object SparkEntry {
       TimeSeries.mannKendall(T(s, dir, "events"), "user_id", "event_id", "value")
         .orderBy("user_id")),
 
+    // Sen's slope per user — the robust trend MAGNITUDE that accompanies
+    // q_mann_kendall's trend TEST: median of all pairwise slopes, taken
+    // by deterministic middle-rank picking (never percentile
+    // interpolation — the r11 ulp lesson sidestepped).
+    "q_sen_slope" -> ((s, dir) =>
+      TimeSeries.senSlope(T(s, dir, "events"), "user_id", "event_id", "value")
+        .orderBy("user_id")),
+
+    // Holt double exponential smoothing per user (level + trend) — the
+    // drift-tracking EWMA; mapPartitions recurrence (the q_ewma shape),
+    // replayed bit-for-bit by the oracle's struct-accumulator
+    // list_reduce. α=0.5, γ=0.25 so the (1−α)/(1−γ) literals are exact.
+    "q_holt" -> ((s, dir) =>
+      TimeSeries.holt(T(s, dir, "events"), "user_id", "event_id", "value",
+          alpha = 0.5, gamma = 0.25)
+        .orderBy("event_id")),
+
+    // Calibration/reliability bins + ECE of the stopword-ratio score as
+    // an English-probability estimate — q_auc's complement: AUC checks
+    // the ranking, this checks the score VALUES (the gate before using
+    // a quality score as a probability threshold).
+    "q_calibration" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val scored = T(s, dir, "documents")
+        .select(col("lang"),
+          size(filter(t, x => x.isin(TextOps.Stopwords: _*))).cast("double")
+            ./(size(t).cast("double")).as("_score"))
+        .where(size(t) > 0)
+      Profiling.calibrationReport(scored, col("_score"), col("lang") === "en", 10)
+    }),
+
     // Word2vec negative-sampling table: top-30 types with count^0.75
     // sampling weights — the exponent computed as sqrt(c·sqrt(c)), the
     // bit-portable shape (libm pow is not ulp-identical across engines;
@@ -7043,6 +7074,78 @@ object SparkEntry {
              THEN (coalesce(s.s, 0) * 2)::DOUBLE / (n.n * (n.n - 1))::DOUBLE
            END AS tau
          FROM n LEFT JOIN s USING (user_id) ORDER BY user_id""",
+
+    // Median by deterministic middle-rank picking: ranks (np+1)/2 and
+    // (np+2)/2 under floor (exact: integers/2 are exact doubles), the
+    // 1-2 picked slopes averaged — no percentile interpolation.
+    "q_sen_slope" ->
+      """WITH e AS (SELECT user_id, event_id::DOUBLE AS o, value FROM events),
+         p AS (SELECT a.user_id, (b.value - a.value) / (b.o - a.o) AS slope
+               FROM e a JOIN e b ON a.user_id = b.user_id AND a.o < b.o),
+         r AS (SELECT user_id, slope,
+                 count(*) OVER (PARTITION BY user_id) AS np,
+                 row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn
+               FROM p)
+         SELECT user_id, max(np)::BIGINT AS n_pairs,
+           sum(slope) / count(*) + 0 AS sen_slope
+         FROM r
+         WHERE rn = floor((np + 1) / 2.0) OR rn = floor((np + 2) / 2.0)
+         GROUP BY user_id ORDER BY user_id""",
+
+    // The q_ewma per-prefix fold pattern with a 2-element LIST
+    // accumulator [level, trend], seeded from the first element [x0, 0]:
+    // list construction evaluates BOTH expressions against the old
+    // accumulator (a STRUCT accumulator would not — DuckDB overwrites
+    // struct fields sequentially, so the trend expression would read the
+    // already-updated level); 0.5/0.75 literals are the exact
+    // complements of alpha=0.5, gamma=0.25.
+    "q_holt" ->
+      """WITH ord AS (
+           SELECT user_id,
+             list(event_id ORDER BY event_id) AS ids,
+             list(value ORDER BY event_id) AS vs
+           FROM events GROUP BY user_id),
+         ex AS (
+           SELECT user_id,
+             unnest(ids) AS event_id,
+             unnest(vs) AS value,
+             unnest(list_transform(range(1, len(vs) + 1), i ->
+               list_reduce(
+                 list_transform(vs[1:i], x -> [x::DOUBLE, 0.0::DOUBLE]),
+                 (acc, e) -> [0.5::DOUBLE * e[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+                              0.25::DOUBLE * ((0.5::DOUBLE * e[1] + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                                + 0.75::DOUBLE * acc[2]]))) AS st
+           FROM ord)
+         SELECT event_id, user_id, value, st[1] AS level, st[2] AS trend
+         FROM ex ORDER BY event_id""",
+
+    // Fixed-width floor bins; conf = decimal-snapshotted mean rounded
+    // BEFORE the ECE terms; acc = one exact integer division.
+    "q_calibration" ->
+      raw"""WITH t AS (
+           SELECT lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks)::DOUBLE AS sc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM t WHERE len(toks) > 0),
+         b AS (SELECT least(floor(sc * 10), 9)::BIGINT AS bin, y, sc FROM s),
+         g AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+                 sum(CAST(sc AS DECIMAL(28,12)))::DOUBLE AS ss
+               FROM b GROUP BY bin),
+         tot AS (SELECT sum(n)::BIGINT AS nn FROM g),
+         r AS (SELECT bin, n, n_pos,
+                 round(ss / n, 9) AS conf,
+                 n_pos::DOUBLE / n::DOUBLE AS acc,
+                 (n::DOUBLE / nn::DOUBLE)
+                   * abs(n_pos::DOUBLE / n::DOUBLE - round(ss / n, 9)) AS c
+               FROM g CROSS JOIN tot),
+         e AS (SELECT sum(CAST(c AS DECIMAL(28,12)))::DOUBLE AS ece FROM r)
+         SELECT bin, n, n_pos, conf, acc, round(ece, 9) AS ece
+         FROM r CROSS JOIN e ORDER BY bin""",
 
     // count^0.75 spelled sqrt(c*sqrt(c)) on BOTH sides — the
     // bit-portable pow-free shape; normalizer decimal-summed.

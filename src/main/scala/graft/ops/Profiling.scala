@@ -565,6 +565,44 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** Calibration / reliability report for a [0,1] score against a binary
+    * outcome: fixed-width score bins, each with its mean predicted score
+    * (confidence) and observed positive rate (accuracy), plus the rolled-
+    * up Expected Calibration Error Σ (n_b/N)·|acc_b − conf_b| — AUC's
+    * complement (rocAuc says the RANKING separates; this says the score
+    * VALUES mean what they claim — the gate before using a score as a
+    * probability threshold).
+    *
+    * Binning is floor(score·nBins) clamped to the top bin — the product
+    * and floor are the same doubles in both engines (no percentile
+    * boundary ambiguity). acc is one exact integer division; conf is a
+    * decimal-snapshotted mean rounded BEFORE entering the ECE terms, so
+    * every downstream float shape is fixed. Two hash aggs over ≤ nBins
+    * rows + broadcast totals.
+    */
+  def calibrationReport(df: DataFrame, scoreCol: Column, labelCol: Column,
+                        nBins: Int = 10): DataFrame = {
+    val binned = df.select(
+      least(floor(scoreCol * nBins), lit(nBins - 1)).cast("long").as("bin"),
+      labelCol.cast("boolean").cast("long").as("_y"),
+      scoreCol.as("_s"))
+    val g = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"), sum("_y").as("n_pos"),
+      Portable.decSum(col("_s"), 12).as("_ss"))
+    val tot = g.agg(sum("n").as("_N"))
+    val conf = round(col("_ss") / col("n"), 9)
+    val acc = col("n_pos").cast("double") / col("n").cast("double")
+    val rows = g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        conf.as("conf"), acc.as("acc"),
+        (col("n").cast("double") / col("_N").cast("double") * abs(acc - conf)).as("_c"))
+    val ece = rows.agg(Portable.decSum(col("_c"), 12).as("_ece"))
+    rows.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf"), col("acc"),
+        round(col("_ece"), 9).as("ece"))
+      .orderBy("bin")
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance of each group against the
     * REST of the corpus — "which cohort's distribution drifted" ranked by
     * the sup-norm ECDF gap. D is found EXACTLY: at each candidate value

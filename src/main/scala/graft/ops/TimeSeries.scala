@@ -424,6 +424,94 @@ object TimeSeries {
       .withColumn("drawdown", col("peak") - col("equity"))
   }
 
+  /** Holt double exponential smoothing per series (Holt 1957): level
+    * and trend recurrences l_t = α·x_t + (1−α)·(l + b),
+    * b_t = γ·(l_t − l) + (1−γ)·b, seeded l₀ = x₀, b₀ = 0 — the EWMA
+    * that tracks a drifting series without lagging behind its slope
+    * (and the one-step forecast l + b every monitoring dashboard plots).
+    *
+    * Like [[ewma]], the recursion depends on the previous OUTPUT, so
+    * this is the sanctioned mapPartitions recurrence: repartition by the
+    * series key, sort within partitions, constant state (two doubles)
+    * per task. The fold is left-to-right over fixed IEEE shapes — the
+    * DuckDB struct-accumulator list_reduce replays it bit-for-bit,
+    * PROVIDED (1−α)/(1−γ) are literals that are exact in binary (pass
+    * α, γ whose complements are representable, e.g. 0.5/0.25 — the
+    * q_mmr constant rule).
+    */
+  def holt(df: DataFrame, seriesKey: String, orderCol: String, valueCol: String,
+           alpha: Double, gamma: Double): DataFrame = {
+    val cAlpha = 1.0 - alpha
+    val cGamma = 1.0 - gamma
+    val in = df.select(col(seriesKey), col(orderCol), col(valueCol).cast("double"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "level", org.apache.spark.sql.types.DoubleType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(
+          "trend", org.apache.spark.sql.types.DoubleType, nullable = false))
+    in.repartition(col(seriesKey))
+      .sortWithinPartitions(col(seriesKey), col(orderCol))
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var l = 0.0
+        var b = 0.0
+        rows.map { r =>
+          val k = r.get(0)
+          val x = r.getDouble(2)
+          if (!haveKey || k != curKey) { curKey = k; haveKey = true; l = x; b = 0.0 }
+          else {
+            val l2 = alpha * x + cAlpha * (l + b)
+            b = gamma * (l2 - l) + cGamma * b
+            l = l2
+          }
+          org.apache.spark.sql.Row(r.get(0), r.get(1), x, l, b)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF(seriesKey, orderCol, valueCol, "level", "trend")
+  }
+
+  /** Sen's slope per series (Sen 1968; Theil 1950): the median of all
+    * pairwise slopes (v_j − v_i)/(o_j − o_i), i<j — the robust trend
+    * MAGNITUDE that accompanies the Mann-Kendall trend TEST (MK says
+    * whether a drift exists; Sen says how steep, immune to outliers a
+    * least-squares slope would chase). The median is taken WITHOUT
+    * percentile interpolation: rank the slopes, pick the middle row (or
+    * the two straddling rows, averaged — a 2-term sum is order-free), so
+    * both engines select the identical doubles (the r11 percentile-ulp
+    * lesson, sidestepped instead of patched).
+    *
+    * Scale shape: the same bounded per-series self-join as mannKendall
+    * (quadratic in series length only), then ONE series-key exchange
+    * serves the count window, the rank window, and the final aggregate.
+    * Series with < 2 points → no pairs → no output row (callers join
+    * against mannKendall's n if they need the degenerate rows).
+    */
+  def senSlope(df: DataFrame, keyCol: String, orderCol: String,
+               valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol), col(orderCol).cast("double").as("_o"),
+      col(valueCol).cast("double").as("_v"))
+    val pairs = base.as("a").join(base.as("b"),
+      col(s"a.$keyCol") === col(s"b.$keyCol") && col("a._o") < col("b._o"))
+      .select(col(s"a.$keyCol").as(keyCol),
+        ((col("b._v") - col("a._v")) / (col("b._o") - col("a._o"))).as("_slope"))
+      .repartition(col(keyCol))
+    val wAll = Window.partitionBy(keyCol)
+    val wRank = Window.partitionBy(keyCol).orderBy("_slope")
+    // integer middle ranks via floor: (np+1)/2 and (np+2)/2 straddle the
+    // median for even np and coincide for odd np; the quotients are exact
+    // doubles (integers < 2^53 divided by 2), so floor is portable
+    pairs
+      .withColumn("_np", count(lit(1)).over(wAll))
+      .withColumn("_rn", row_number().over(wRank))
+      .where(col("_rn") === floor((col("_np") + 1) / 2) ||
+        col("_rn") === floor((col("_np") + 2) / 2))
+      .groupBy(keyCol)
+      .agg(max("_np").as("n_pairs"),
+        Portable.canonZero(sum("_slope") / count(lit(1))).as("sen_slope"))
+  }
+
   /** Mann–Kendall trend test per series (Mann 1945; Kendall 1975): S =
     * Σ_{i<j} sign(v_j − v_i) over `orderCol` order, and Kendall's tau-a
     * = 2S / (n(n−1)) — the nonparametric "is this series drifting"

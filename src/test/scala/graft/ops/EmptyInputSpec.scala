@@ -251,6 +251,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graph.modularity(emptyEdges, "a", "b", emptyLabels, "id", "c").count() === 0)
     val emptyMk = df(Seq.empty[MkRow])
     assert(TimeSeries.mannKendall(emptyMk, "user_id", "event_id", "value").count() === 0)
+    assert(TimeSeries.senSlope(emptyMk, "user_id", "event_id", "value").count() === 0)
+    assert(TimeSeries.holt(emptyMk, "user_id", "event_id", "value", 0.5, 0.25).count() === 0)
+    assert(Profiling.calibrationReport(
+      df(Seq.empty[ScoredDoc]), col("score"), col("pos"), 10).count() === 0)
   }
 }
 

@@ -225,6 +225,111 @@ class Round15bOpsSpec extends SparkSpec {
     assert(got(3)._2 === Some(0.0) && got(4)._2 === None)
   }
 
+  // ---- Holt smoothing ----------------------------------------------------
+
+  private def holtReferee(vs: Seq[Double], a: Double, g: Double): Seq[(Double, Double)] = {
+    var l = 0.0; var b = 0.0
+    vs.zipWithIndex.map { case (x, i) =>
+      if (i == 0) { l = x; b = 0.0 }
+      else { val l2 = a * x + (1.0 - a) * (l + b); b = g * (l2 - l) + (1.0 - g) * b; l = l2 }
+      (l, b)
+    }
+  }
+
+  test("holt matches the scalar recurrence referee across interleaved keys") {
+    val rnd = new scala.util.Random(40415)
+    val rows = for (u <- 1L to 7L; i <- 1 to rnd.nextInt(15) + 1)
+      yield MkRow(u, i, math.rint(rnd.nextDouble() * 10000) / 100.0)
+    val got = TimeSeries.holt(df(rows), "user_id", "event_id", "value", 0.5, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    for ((u, sub) <- rows.groupBy(_.user_id)) {
+      val ordered = sub.sortBy(_.event_id)
+      val want = holtReferee(ordered.map(_.value), 0.5, 0.25)
+      for ((row, w) <- ordered.zip(want))
+        assert(got((u, row.event_id)) === w, s"user $u event ${row.event_id}")
+    }
+  }
+
+  test("holt level equals ewma when gamma never engages (constant series)") {
+    val rows = (1 to 6).map(i => MkRow(1, i, 42.5))
+    val out = TimeSeries.holt(df(rows), "user_id", "event_id", "value", 0.5, 0.25)
+      .collect()
+    assert(out.forall(r => r.getDouble(3) === 42.5 && r.getDouble(4) === 0.0))
+  }
+
+  // ---- Sen's slope -------------------------------------------------------
+
+  /** Referee: middle-rank median of pairwise slopes (average of the two
+    * straddling ranks for even counts — the interpolation-free rule).
+    */
+  private def senReferee(pts: Seq[(Long, Double)]): Option[(Long, Double)] = {
+    val slopes = (for {
+      Seq((o1, v1), (o2, v2)) <- pts.sortBy(_._1).combinations(2).toSeq
+    } yield (v2 - v1) / (o2 - o1).toDouble).sorted
+    val np = slopes.size
+    if (np == 0) None
+    else {
+      val lo = (np + 1) / 2; val hi = (np + 2) / 2
+      Some((np.toLong, (slopes(lo - 1) + slopes(hi - 1)) / 2))
+    }
+  }
+
+  test("senSlope matches the median referee for odd, even, and tied slopes") {
+    val rows =
+      Seq((1, 1.0), (2, 3.0), (3, 2.0)).map { case (o, v) => MkRow(1, o, v) } ++   // 3 pairs
+        Seq((1, 0.0), (2, 2.0), (3, 4.0), (5, 4.0)).map { case (o, v) => MkRow(2, o, v) } ++ // 6 pairs
+        Seq((1, 5.0)).map { case (o, v) => MkRow(3, o, v) }                        // no pairs
+    val got = TimeSeries.senSlope(df(rows), "user_id", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for ((u, sub) <- rows.groupBy(_.user_id)) {
+      val want = senReferee(sub.map(r => r.event_id -> r.value))
+      if (want.isEmpty) assert(!got.contains(u), s"user $u must emit no row")
+      else {
+        assert(got(u)._1 === want.get._1, s"user $u n_pairs")
+        assert(math.abs(got(u)._2 - want.get._2) < 1e-12, s"user $u slope")
+      }
+    }
+  }
+
+  test("senSlope seeded random series match the referee") {
+    val rnd = new scala.util.Random(881239)
+    val rows = for (u <- 1L to 15L; i <- 1 to rnd.nextInt(9) + 2)
+      yield MkRow(u, i, rnd.nextInt(40).toDouble)
+    val got = TimeSeries.senSlope(df(rows), "user_id", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for ((u, sub) <- rows.groupBy(_.user_id)) {
+      val want = senReferee(sub.map(r => r.event_id -> r.value)).get._2
+      assert(math.abs(got(u) - want) < 1e-12, s"user $u")
+    }
+  }
+
+  // ---- Calibration -------------------------------------------------------
+
+  test("calibrationReport matches the hand referee, ECE rolled up") {
+    val rows = Seq(
+      ScoredDoc("-", 0.05, false), ScoredDoc("-", 0.08, false), ScoredDoc("-", 0.09, true),
+      ScoredDoc("-", 0.55, true), ScoredDoc("-", 0.58, false),
+      ScoredDoc("-", 0.95, true), ScoredDoc("-", 1.0, true)) // 1.0 clamps to bin 9
+    val out = Profiling.calibrationReport(df(rows), col("score"), col("pos"), 10)
+      .collect()
+    def binOf(s: Double) = math.min(math.floor(s * 10).toLong, 9L)
+    val byBin = rows.groupBy(r => binOf(r.score))
+    assert(out.map(_.getLong(0)).toSeq === byBin.keys.toSeq.sorted)
+    var ece = 0.0
+    for (r <- out) {
+      val sub = byBin(r.getLong(0))
+      assert(r.getLong(1) === sub.size)
+      assert(r.getLong(2) === sub.count(_.pos))
+      val conf = math.rint(sub.map(_.score).sum / sub.size * 1e9) / 1e9
+      val acc = sub.count(_.pos).toDouble / sub.size
+      assert(math.abs(r.getDouble(3) - conf) < 1e-9, s"bin ${r.getLong(0)} conf")
+      assert(r.getDouble(4) === acc, s"bin ${r.getLong(0)} acc")
+      ece += sub.size.toDouble / rows.size * math.abs(acc - conf)
+    }
+    for (r <- out) assert(math.abs(r.getDouble(5) - ece) < 1e-8)
+  }
+
   test("mannKendall seeded random series match the referee") {
     val rnd = new scala.util.Random(77123)
     val rows = for (u <- 1L to 20L; i <- 1 to rnd.nextInt(12) + 1)
