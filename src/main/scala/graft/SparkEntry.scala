@@ -1682,6 +1682,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-cell simplified silhouette of the committed IVF partition —
+    // the index-health report after (re)training a quantizer: tight
+    // cells ≈ 1, smeared ≈ 0, mis-partitioned < 0. Row-local against the
+    // literal centroids + one k-cell hash agg; the O(n·k) stand-in for
+    // the O(n²) pairwise silhouette. Oracle is generated from the same
+    // persisted centroid artifact (the q_ivf_topk contract).
+    "q_silhouette" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
+        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      }
+      VectorOps.clusterSilhouette(emb, "vec_id", "embedding", centroids)
+    }),
+
     // Product-quantization ADC top-k with exact re-rank: each corpus
     // vector compresses to 4 sub-space codes (16 bytes/vector — the scan
     // payload of a 100 TB ANN sweep), queries rank by the dot against the
@@ -3541,8 +3555,50 @@ object SparkEntry {
       }
     }
     cOpt.filter(_.nonEmpty)
-      .map(c => Map("q_ivf_topk" -> ivfTopKSql(c, nProbe = 4)))
+      .map(c => Map(
+        "q_ivf_topk" -> ivfTopKSql(c, nProbe = 4),
+        "q_silhouette" -> silhouetteSql(c)))
       .getOrElse(Map.empty)
+  }
+
+  /** DuckDB oracle for q_silhouette, generated from the persisted IVF
+    * centroids (same contract as ivfTopKSql): cosine distances via the
+    * identical left-fold dots, assignment via the same dot-DESC/cell-ASC
+    * argmax, the per-cell mean snapshotted at DECIMAL(28,12) before the
+    * signed-portable round.
+    */
+  private def silhouetteSql(centroids: Array[Array[Float]]): String = {
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toDouble).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n             ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cents(cell, c) AS (VALUES
+             $cents),
+         cd AS (
+           SELECT vec_id, cell,
+             list_reduce(list_transform(range(1, 65), i -> e[i] * c[i]), (x, y) -> x + y) AS dot,
+             sqrt(list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]), (x, y) -> x + y)) AS vn,
+             sqrt(list_reduce(list_transform(range(1, 65), i -> c[i] * c[i]), (x, y) -> x + y)) AS cn
+           FROM v CROSS JOIN cents),
+         d AS (SELECT vec_id, cell, dot, 1.0::DOUBLE - dot / (vn * cn) AS dist FROM cd),
+         own AS (
+           SELECT vec_id, cell AS own_cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+             FROM d)
+           WHERE rn = 1),
+         ab AS (
+           SELECT d.vec_id, max(o.own_cell) AS own_cell,
+             min(CASE WHEN d.cell = o.own_cell THEN d.dist END) AS a,
+             min(CASE WHEN d.cell <> o.own_cell THEN d.dist END) AS b
+           FROM d JOIN own o ON d.vec_id = o.vec_id GROUP BY d.vec_id),
+         s AS (
+           SELECT own_cell AS cell,
+             CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) END AS sil
+           FROM ab)
+         SELECT cell, count(*)::BIGINT AS n,
+           round(sum(CAST(sil AS DECIMAL(28,12)))::DOUBLE / count(sil), 9) + 0 AS mean_sil
+         FROM s GROUP BY cell ORDER BY cell"""
   }
 
   /** DuckDB text of the banded sign-LSH signature array (one BIGINT per

@@ -820,4 +820,43 @@ object VectorOps {
     }
     df.select((col(idCol) +: projCols.toSeq): _*)
   }
+
+  /** Simplified (centroid-based) silhouette per IVF cell: for each
+    * vector, a = cosine distance to its OWN centroid, b = the nearest
+    * OTHER centroid's distance, s = (b − a)/max(a, b) ∈ [−1, 1]; the
+    * per-cell mean says which cells are tight (≈1), smeared (≈0), or
+    * mis-partitioned (<0) — the index-health gate run after (re)training
+    * an IVF quantizer, and the cheap O(n·k) stand-in for the O(n²)
+    * full-pairwise silhouette (Rousseeuw 1987).
+    *
+    * Assignment is the artifact's own nearestCell (raw-dot argmax, ties
+    * to the lowest cell — the committed quantizer's actual partition, so
+    * the report audits the index as it IS). Everything is row-local
+    * against the k·dim literal centroids until one k-cell hash agg; the
+    * mean snapshots at decimal(28,12) then rounds (signed — a
+    * mis-partitioned cell's mean is legitimately negative). Degenerate
+    * max(a,b) ≤ 0 (vector exactly on two centroids) → NULL, excluded
+    * from the mean's divisor.
+    */
+  def clusterSilhouette(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[Array[Float]]): DataFrame = {
+    val v = col(vecCol)
+    val vnorm = sqrt(dotNative(v, v))
+    val dists = centroids.map { c =>
+      val clit = typedlit(c.toSeq)
+      lit(1.0) - dotNative(v, clit) / (vnorm * sqrt(dotNative(clit, clit)))
+    }
+    val distArr = array(dists.toIndexedSeq: _*)
+    val own = nearestCell(v, centroids)
+    val a = element_at(distArr, own + 1)
+    val b = array_min(transform(distArr,
+      (x, i) => when(i === own, lit(Double.PositiveInfinity)).otherwise(x)))
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+    corpus.select(own.as("cell"), s.as("_s"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        Portable.pround(Portable.decSum(col("_s"), 12) / count(col("_s")), 9)
+          .as("mean_sil"))
+      .orderBy("cell")
+  }
 }

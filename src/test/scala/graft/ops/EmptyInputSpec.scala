@@ -255,6 +255,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TimeSeries.holt(emptyMk, "user_id", "event_id", "value", 0.5, 0.25).count() === 0)
     assert(Profiling.calibrationReport(
       df(Seq.empty[ScoredDoc]), col("score"), col("pos"), 10).count() === 0)
+    assert(VectorOps.clusterSilhouette(df(Seq.empty[LVec]), "vec_id", "embedding",
+      Array(Array(1f, 0f), Array(0f, 1f))).count() === 0)
   }
 }
 

@@ -198,6 +198,58 @@ class Round15bOpsSpec extends SparkSpec {
     for ((c, q) <- want) assert(math.abs(qc(c) - q) < 1e-9, s"community $c")
   }
 
+  // ---- Silhouette --------------------------------------------------------
+
+  /** Referee: cosine-distance simplified silhouette from first principles. */
+  private def silRef(vecs: Seq[Array[Float]], cents: Array[Array[Float]]): Map[Int, (Long, Double)] = {
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def dd(v: Array[Float]) = v.map(_.toDouble).toSeq
+    val rows = vecs.map { v =>
+      val dots = cents.map(c => dot(dd(v), dd(c)))
+      val own = dots.zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+      val dist = cents.map(c =>
+        1.0 - dot(dd(v), dd(c)) / (math.sqrt(dot(dd(v), dd(v))) * math.sqrt(dot(dd(c), dd(c)))))
+      val a = dist(own)
+      val b = dist.zipWithIndex.filter(_._2 != own).map(_._1).min
+      (own, (b - a) / math.max(a, b))
+    }
+    rows.groupBy(_._1).map { case (cell, ss) =>
+      cell -> (ss.size.toLong, ss.map(_._2).sum / ss.size)
+    }
+  }
+
+  test("clusterSilhouette: tight clusters score high, referee agrees") {
+    val rnd = new scala.util.Random(5150)
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 1f))
+    def jitter(c: Array[Float]) = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val vecs = (1 to 60).map(i => LVec(i.toLong, jitter(cents(i % 3)), i % 3))
+    val got = VectorOps.clusterSilhouette(df(vecs), "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = silRef(vecs.map(_.embedding), cents)
+    for ((cell, (n, m)) <- want) {
+      assert(got(cell)._1 === n, s"cell $cell count")
+      assert(math.abs(got(cell)._2 - m) < 1e-6, s"cell $cell mean")
+      assert(got(cell)._2 > 0.5, s"cell $cell should be tight")
+    }
+  }
+
+  test("clusterSilhouette flags a mis-partitioned cell as negative") {
+    // centroid 1 sits inside cluster 0's cone; vectors forced to cell 1
+    // by raw-dot argmax (longer centroid wins the dot) are closer in
+    // ANGLE to centroid 0 → negative silhouette
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(5f, 0.2f, 0f, 0f))
+    val vecs = (1 to 20).map(i => LVec(i.toLong, Array(1f, -0.05f * (i % 5), 0f, 0f), 0))
+    val out = VectorOps.clusterSilhouette(df(vecs), "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val want = silRef(vecs.map(_.embedding), cents)
+    for ((cell, (_, m)) <- want)
+      assert(math.abs(out(cell) - m) < 1e-6, s"cell $cell")
+    // raw-dot assignment sends everything to the long centroid (cell 1),
+    // whose angular fit is worse than centroid 0's → the audit reads < 0
+    assert(out.keySet === Set(1))
+    assert(out(1) < 0, s"expected negative silhouette, got ${out(1)}")
+  }
+
   // ---- Mann-Kendall ------------------------------------------------------
 
   private def mkReferee(vs: Seq[Double]): (Long, Option[Double]) = {
