@@ -540,14 +540,25 @@ object Profiling {
     * Scale: two hash aggs over ≤ 64 bins and a broadcast of the bin
     * catalog — nothing row-sized crosses a shuffle after the first agg.
     */
-  def psiReport(df: DataFrame, cohortCol: Column, valueCol: Column): DataFrame = {
-    val binned = df.select(
-      cohortCol.cast("boolean").as("_ref"),
-      when(valueCol.cast("long") > 0, length(bin(valueCol.cast("long"))))
-        .otherwise(lit(0)).cast("long").as("bin"))
-    val counts = binned.groupBy("bin").agg(
-      sum(when(col("_ref"), 1L).otherwise(0L)).as("_ca"),
-      sum(when(!col("_ref"), 1L).otherwise(0L)).as("_cb"))
+  def psiReport(df: DataFrame, cohortCol: Column, valueCol: Column): DataFrame =
+    psiFromCounts(psiBinnedCounts(df, cohortCol, valueCol))
+
+  /** The per-bin cohort counts feeding [[psiFromCounts]] — (bin, _ca,
+    * _cb) rows. Split out because the counts are the PSI's sum-monoid:
+    * a streaming maintainer merges THESE (StreamingOps.PsiDriftState)
+    * and derives the report at read time via the identical arithmetic.
+    */
+  private[graft] def psiBinnedCounts(df: DataFrame, cohortCol: Column,
+                                     valueCol: Column): DataFrame =
+    df.select(
+        cohortCol.cast("boolean").as("_ref"),
+        when(valueCol.cast("long") > 0, length(bin(valueCol.cast("long"))))
+          .otherwise(lit(0)).cast("long").as("bin"))
+      .groupBy("bin").agg(
+        sum(when(col("_ref"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_ref"), 1L).otherwise(0L)).as("_cb"))
+
+  private[graft] def psiFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.agg(
       sum("_ca").as("_na"), sum("_cb").as("_nb"), count(lit(1)).as("_bins"))
     val shares = counts.crossJoin(broadcast(totals))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -201,6 +201,39 @@ object StreamingOps {
 
     /** Current histogram (group cols, _bin, _cnt). */
     def finalized: Option[DataFrame] = counts.get
+  }
+
+  /** Streaming PSI drift maintenance — the streaming twin of C181's
+    * q_psi: each micro-batch reduces to its (bin, ref-count, cur-count)
+    * rows, which SUM-merge into the running per-bin cohort counts — sum
+    * is the PSI's merge monoid, so the maintained counts equal the
+    * batch whole-corpus counts exactly for any micro-batch boundaries
+    * or arrival order (the HistogramState convergence claim), and the
+    * report derived from them at read time is hash-identical to the
+    * batch q_psi. State is ≤ 64 symbolic bit-length bins forever; the
+    * add-1 smoothing, shares, and rolled-up psi come from the SAME
+    * Profiling arithmetic the batch path uses (no second formula to
+    * drift). Batch-id replay is a no-op (the exactly-once contract).
+    */
+  final class PsiDriftState(cohortCol: Column, valueCol: Column) {
+    private val counts = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = graft.ops.Profiling.psiBinnedCounts(batch, cohortCol, valueCol)
+      val merged = counts.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("bin").agg(sum("_ca").as("_ca"), sum("_cb").as("_cb"))
+        case None => p
+      }
+      counts.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current PSI report — identical shape and hashes to batch q_psi. */
+    def finalized: Option[DataFrame] =
+      counts.get.map(graft.ops.Profiling.psiFromCounts)
   }
 
   /** Streaming count-min sketch maintenance — the streaming twin of

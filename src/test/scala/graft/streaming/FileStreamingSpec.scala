@@ -610,6 +610,39 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI drift state converges exactly to the batch q_psi report") {
+    // C181's streaming twin: per-bin cohort counts are the PSI's sum
+    // monoid; the report derived from the merged counts must be
+    // hash-identical to the batch psiReport whatever the micro-batch
+    // boundaries, and batch-id replay must be a no-op.
+    val docs = graft.ops.Relational.splitAssign(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "n_chars"),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_psi_in").toFile.getAbsolutePath
+    // three uneven micro-batches, cohorts deliberately imbalanced per file
+    docs.where(pmod(col("doc_id"), lit(3)) === 0).write.mode("append").parquet(inDir)
+    docs.where(pmod(col("doc_id"), lit(3)) === 1).write.mode("append").parquet(inDir)
+    docs.where(pmod(col("doc_id"), lit(3)) === 2).write.mode("append").parquet(inDir)
+
+    val state = new StreamingOps.PsiDriftState(col("split") === "train", col("n_chars"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.finalized.get
+      val batch = graft.ops.Profiling.psiReport(docs, col("split") === "train", col("n_chars"))
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "sum-merged cohort counts must reproduce the batch PSI report exactly")
+      // replaying an already-applied batchId must not double-count
+      state.mergeBatch(docs, 0L)
+      val replayed = state.finalized.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0,
+        "batch-id replay must be a no-op")
+    } finally q.stop()
+  }
+
   test("streaming CDC apply converges to the batch cdcApply, out of order and replayed") {
     // C89's streaming twin (VERDICT r7 item 7): the q_cdc_apply changelog
     // (updates v2, deletes v3, inserts v1) lands in micro-batches in
