@@ -2641,6 +2641,25 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "lang")
     }),
 
+    // Per-source Spearman rank correlation between doc length and token
+    // count — the monotone-association screen (Pearson on average
+    // ranks); doubled ranks keep ties integer-exact, one source
+    // exchange serves all four rank windows + the moment agg.
+    "q_spearman" -> ((s, dir) =>
+      Profiling.spearman(
+        T(s, dir, "documents")
+          .select(col("source"), col("n_chars"),
+            size(TextOps.tokens(col("text"))).cast("long").as("_nt")),
+        "source", col("n_chars"), col("_nt"))
+        .orderBy("source")),
+
+    // Chi-square independence + Cramér's V of lang × source — "are the
+    // label margins associated at all, and how strongly": full
+    // contingency grid (zero cells included), expected counts from
+    // integer margin products, contributions decimal-summed.
+    "q_chi2" -> ((s, dir) =>
+      Profiling.chiSquare(T(s, dir, "documents"), "lang", "source")),
+
     // Mann-Kendall trend test per user over event values: S = pairwise
     // sign sum in event order, tau-a = 2S/(n(n−1)) — the nonparametric
     // drift screen (only signs enter; outliers don't). Quadratic in the
@@ -7116,6 +7135,68 @@ object SparkEntry {
              9) + 0 AS q_c
          FROM degs d LEFT JOIN intra i USING (community) CROSS JOIN m
          ORDER BY community""",
+
+    // Doubled average ranks (asc rank + complement of desc rank) keep
+    // ties integer; HUGEINT moment sums mirror decimal(38,0); the rho
+    // formula is the only floating step.
+    "q_spearman" ->
+      raw"""WITH t AS (
+           SELECT source, n_chars,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS nt
+           FROM documents),
+         r AS (
+           SELECT source,
+             (rank() OVER (PARTITION BY source ORDER BY n_chars ASC)
+              + (count(*) OVER (PARTITION BY source)
+                 - rank() OVER (PARTITION BY source ORDER BY n_chars DESC) + 1))::HUGEINT AS rx,
+             (rank() OVER (PARTITION BY source ORDER BY nt ASC)
+              + (count(*) OVER (PARTITION BY source)
+                 - rank() OVER (PARTITION BY source ORDER BY nt DESC) + 1))::HUGEINT AS ry
+           FROM t),
+         a AS (
+           SELECT source, count(*)::BIGINT AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+           FROM r GROUP BY source)
+         SELECT source, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN round((n * sxy - sx * sy)::DOUBLE
+                    / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)),
+                  6) + 0
+           END AS spearman_rho
+         FROM a ORDER BY source""",
+
+    // Full grid including zero cells; expected = decimal margin product
+    // divided once; contributions decimal-summed into chi2.
+    "q_chi2" ->
+      """WITH base AS (
+           SELECT lang AS a, source AS b FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL),
+         cells AS (SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+         rt AS (SELECT a, count(*)::BIGINT AS rt FROM base GROUP BY 1),
+         ct AS (SELECT b, count(*)::BIGINT AS ct FROM base GROUP BY 1),
+         nt AS (SELECT count(*)::BIGINT AS n,
+                  count(DISTINCT a)::BIGINT AS ra, count(DISTINCT b)::BIGINT AS rb
+                FROM base),
+         grid AS (
+           SELECT rt.a, ct.b, rt.rt, ct.ct, coalesce(c.o, 0) AS o, n, ra, rb
+           FROM rt CROSS JOIN ct
+           LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b
+           CROSS JOIN nt),
+         s AS (SELECT a, b, o, n, ra, rb,
+                 (rt::DECIMAL(38,0) * ct)::DOUBLE / n::DOUBLE AS e
+               FROM grid),
+         s2 AS (SELECT a, b, o, n, ra, rb, e,
+                  (o::DOUBLE - e) * (o::DOUBLE - e) / e AS c
+                FROM s),
+         tot AS (SELECT sum(CAST(c AS DECIMAL(28,9)))::DOUBLE AS chi2 FROM s2)
+         SELECT a AS lang, b AS source, o AS observed,
+           round(e, 6) AS expected, round(c, 6) AS contrib,
+           round(chi2, 6) AS chi2,
+           CASE WHEN least(ra, rb) > 1
+             THEN round(sqrt(chi2 / (n::DOUBLE * (least(ra, rb) - 1)::DOUBLE)), 6)
+           END AS cramers_v
+         FROM s2 CROSS JOIN tot ORDER BY lang, source""",
 
     // Pairwise sign sum via the bounded per-user self-join; integer S,
     // one final division — engine-exact, unrounded.

@@ -614,6 +614,95 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** Spearman rank correlation per group — Pearson on average ranks, the
+    * monotone-association screen that ignores the marginal distributions
+    * (C84's rolling Pearson asks "linear"; this asks "monotone", robust
+    * to any monotone rescaling of either column).
+    *
+    * Exactness: ties take the average rank, which is a half-integer — so
+    * the DOUBLED rank (minrank + complement-maxrank, from one ascending
+    * and one descending rank window) is an integer, Pearson is scale-
+    * invariant, and every moment accumulates as decimal(38,0) integers;
+    * the ρ formula's two sqrt/divide steps are the only floating ops
+    * (signed-portable round). Constant columns → NULL, never NaN.
+    *
+    * Scale shape: ONE group-hash exchange serves all four rank windows
+    * (sorts, no re-shuffle) and the final moment aggregation.
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(col(groupCol), xCol.as("_x"), yCol.as("_y"))
+      .repartition(col(groupCol))
+    def doubledRank(c: String): Column = {
+      val asc = rank().over(Window.partitionBy(groupCol).orderBy(col(c).asc))
+      val desc = rank().over(Window.partitionBy(groupCol).orderBy(col(c).desc))
+      val n = count(lit(1)).over(Window.partitionBy(groupCol))
+      (asc.cast("long") + (n - desc.cast("long") + 1)).cast("decimal(38,0)")
+    }
+    val ranked = base
+      .withColumn("_rx", doubledRank("_x"))
+      .withColumn("_ry", doubledRank("_y"))
+    val agg = ranked.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),
+      sum(col("_rx") * col("_ry")).as("_sxy"),
+      sum(col("_rx") * col("_rx")).as("_sxx"),
+      sum(col("_ry") * col("_ry")).as("_syy"))
+    val nD = col("n").cast("decimal(38,0)")
+    val varX = (nD * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val varY = (nD * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    agg.select(col(groupCol), col("n"),
+      when(varX > 0 && varY > 0,
+        Portable.pround(
+          (nD * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+            (sqrt(varX) * sqrt(varY)), 6))
+        .as("spearman_rho"))
+  }
+
+  /** Chi-square test of independence + Cramér's V over two categorical
+    * columns — "are these labels associated at all, and how strongly"
+    * (V ∈ [0,1] normalizes χ² across table sizes; the first question
+    * asked of lang × source before trusting per-source language stats).
+    * Emits the full contingency grid (including ZERO cells — an absent
+    * combination still contributes (0−e)²/e) with observed/expected/
+    * contribution per cell and the rolled-up chi2 and cramers_v
+    * repeated.
+    *
+    * Expected counts are integer cross-products divided once; the grid
+    * is margins × margins (broadcast — label catalogs, not row scale);
+    * contributions decimal-sum into χ². All floating steps fixed-shape.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+    val cells = base.groupBy("_a", "_b").agg(count(lit(1)).as("_o"))
+    val rowT = base.groupBy("_a").agg(count(lit(1)).as("_rt"))
+    val colT = base.groupBy("_b").agg(count(lit(1)).as("_ct"))
+    val nT = base.agg(count(lit(1)).as("_n"),
+      countDistinct("_a").as("_ra"), countDistinct("_b").as("_rb"))
+    val grid = rowT.crossJoin(broadcast(colT))
+      .join(cells, Seq("_a", "_b"), "left")
+      .na.fill(0L, Seq("_o"))
+      .crossJoin(broadcast(nT))
+    // decimal product: row·col margins are O(N²) — a long wraps silently
+    val e = (col("_rt").cast("decimal(38,0)") * col("_ct")).cast("double") /
+      col("_n").cast("double")
+    val contrib = (col("_o").cast("double") - e) * (col("_o").cast("double") - e) / e
+    val scored = grid.select(col("_a"), col("_b"), col("_o"), col("_n"),
+      col("_ra"), col("_rb"), e.as("_e"), contrib.as("_c"))
+    val tot = scored.agg(Portable.decSum(col("_c"), 9).as("_chi2"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("_a").as(aCol), col("_b").as(bCol), col("_o").as("observed"),
+        round(col("_e"), 6).as("expected"),
+        round(col("_c"), 6).as("contrib"),
+        round(col("_chi2"), 6).as("chi2"),
+        when(least(col("_ra"), col("_rb")) > 1,
+          round(sqrt(col("_chi2") /
+            (col("_n").cast("double") *
+              (least(col("_ra"), col("_rb")) - 1).cast("double"))), 6))
+          .as("cramers_v"))
+      .orderBy(aCol, bCol)
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance of each group against the
     * REST of the corpus — "which cohort's distribution drifted" ranked by
     * the sup-norm ECDF gap. D is found EXACTLY: at each candidate value

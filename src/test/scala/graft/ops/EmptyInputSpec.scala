@@ -257,6 +257,10 @@ class EmptyInputSpec extends SparkSpec {
       df(Seq.empty[ScoredDoc]), col("score"), col("pos"), 10).count() === 0)
     assert(VectorOps.clusterSilhouette(df(Seq.empty[LVec]), "vec_id", "embedding",
       Array(Array(1f, 0f), Array(0f, 1f))).count() === 0)
+    assert(Profiling.spearman(df(Seq.empty[BinVal]).withColumnRenamed("doc_id", "g"),
+      "g", col("n_chars"), col("ref")).count() === 0)
+    assert(Profiling.chiSquare(
+      df(Seq.empty[KsRow]).toDF("a", "b"), "a", "b").count() === 0)
   }
 }
 

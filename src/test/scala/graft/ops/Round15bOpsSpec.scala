@@ -198,6 +198,97 @@ class Round15bOpsSpec extends SparkSpec {
     for ((c, q) <- want) assert(math.abs(qc(c) - q) < 1e-9, s"community $c")
   }
 
+  // ---- Spearman ----------------------------------------------------------
+
+  /** Referee: Pearson on average ranks, computed naively. */
+  private def spearmanRef(xs: Seq[Double], ys: Seq[Double]): Option[Double] = {
+    def avgRanks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val lo = sorted.indexOf(x) + 1; val hi = sorted.lastIndexOf(x) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val rx = avgRanks(xs); val ry = avgRanks(ys)
+    val n = xs.size.toDouble
+    val mx = rx.sum / n; val my = ry.sum / n
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = rx.map(a => (a - mx) * (a - mx)).sum
+    val vy = ry.map(b => (b - my) * (b - my)).sum
+    if (vx > 0 && vy > 0) Some(cov / math.sqrt(vx * vy)) else None
+  }
+
+  case class XyRow(g: String, x: Double, y: Double)
+
+  test("spearman: monotone, inverted, tied, and constant groups") {
+    val rows =
+      Seq(1, 2, 3, 4, 5).map(i => XyRow("mono", i, i * i * 10.0)) ++       // rho 1 (nonlinear!)
+        Seq(1, 2, 3, 4).map(i => XyRow("inv", i, -math.exp(i))) ++         // rho -1
+        Seq(XyRow("tied", 1, 2), XyRow("tied", 1, 2), XyRow("tied", 3, 1),
+          XyRow("tied", 4, 5), XyRow("tied", 4, 4)) ++
+        Seq(XyRow("const", 1, 7), XyRow("const", 2, 7))                    // NULL
+    val got = Profiling.spearman(df(rows), "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    for ((g, sub) <- rows.groupBy(_.g)) {
+      val want = spearmanRef(sub.map(_.x), sub.map(_.y))
+        .map(v => math.rint(v * 1e6) / 1e6)
+      assert(got(g) === want, s"group $g")
+    }
+    assert(got("mono") === Some(1.0) && got("inv") === Some(-1.0))
+    assert(got("const") === None)
+  }
+
+  test("spearman seeded random data matches the referee") {
+    val rnd = new scala.util.Random(31337)
+    val rows = (1 to 300).map(_ =>
+      XyRow(s"g${rnd.nextInt(3)}", rnd.nextInt(12), rnd.nextInt(12)))
+    val got = Profiling.spearman(df(rows), "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for ((g, sub) <- rows.groupBy(_.g)) {
+      val want = spearmanRef(sub.map(_.x), sub.map(_.y)).get
+      assert(math.abs(got(g) - want) < 1e-6, s"group $g")
+    }
+  }
+
+  // ---- Chi-square --------------------------------------------------------
+
+  case class AbRow(a: String, b: String)
+
+  test("chiSquare matches the hand computation, zero cells included") {
+    // 2×2: a1 strongly prefers b1
+    val rows = Seq.fill(40)(AbRow("a1", "b1")) ++ Seq.fill(10)(AbRow("a1", "b2")) ++
+      Seq.fill(10)(AbRow("a2", "b1")) ++ Seq.fill(40)(AbRow("a2", "b2")) ++
+      Seq.fill(5)(AbRow("a3", "b1")) // a3 never sees b2 → zero cell
+    val out = Profiling.chiSquare(df(rows), "a", "b").collect()
+    assert(out.length === 6, "3×2 grid incl. the zero cell")
+    val byCell = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byCell(("a3", "b2")).getLong(2) === 0L)
+    // referee
+    val n = rows.size.toDouble
+    val rt = rows.groupBy(_.a).view.mapValues(_.size.toDouble).toMap
+    val ct = rows.groupBy(_.b).view.mapValues(_.size.toDouble).toMap
+    var chi2 = 0.0
+    for (a <- rt.keys; b <- ct.keys) {
+      val o = rows.count(r => r.a == a && r.b == b).toDouble
+      val e = rt(a) * ct(b) / n
+      chi2 += (o - e) * (o - e) / e
+      assert(math.abs(byCell((a, b)).getDouble(3) - e) < 1e-6, s"expected($a,$b)")
+    }
+    for (r <- out) assert(math.abs(r.getDouble(5) - chi2) < 1e-5)
+    val v = math.sqrt(chi2 / (n * 1)) // min(3,2)-1 = 1
+    for (r <- out) assert(math.abs(r.getDouble(6) - v) < 1e-6)
+  }
+
+  test("chiSquare: independent margins give chi2 ~ 0; one category gives NULL V") {
+    val indep = for (i <- 1 to 60) yield AbRow(s"a${i % 3}", s"b${i % 2}")
+    val out = Profiling.chiSquare(df(indep), "a", "b").collect()
+    assert(out.forall(r => math.abs(r.getDouble(5)) < 1e-9), "perfect independence")
+    val oneCat = Seq.fill(10)(AbRow("only", "b1")) ++ Seq.fill(5)(AbRow("only", "b2"))
+    val out1 = Profiling.chiSquare(df(oneCat), "a", "b").collect()
+    assert(out1.forall(_.isNullAt(6)), "min(r,c)=1 must NULL cramers_v")
+  }
+
   // ---- Silhouette --------------------------------------------------------
 
   /** Referee: cosine-distance simplified silhouette from first principles. */
