@@ -7062,7 +7062,7 @@ object SparkEntry {
          co AS (SELECT bin, n_ref, n_cur, p, q, (p - q) * ln(p / q) AS contrib FROM sh),
          tot AS (SELECT sum(CAST(contrib AS DECIMAL(28,9)))::DOUBLE AS psi FROM co)
          SELECT bin, n_ref, n_cur,
-           round(p, 9) AS p_ref, round(q, 9) AS p_cur,
+           round(p, 9) + 0 AS p_ref, round(q, 9) + 0 AS p_cur,
            round(contrib, 9) + 0 AS contrib, round(psi, 9) + 0 AS psi
          FROM co CROSS JOIN tot ORDER BY bin""",
 
@@ -7191,10 +7191,10 @@ object SparkEntry {
                 FROM s),
          tot AS (SELECT sum(CAST(c AS DECIMAL(28,9)))::DOUBLE AS chi2 FROM s2)
          SELECT a AS lang, b AS source, o AS observed,
-           round(e, 6) AS expected, round(c, 6) AS contrib,
-           round(chi2, 6) AS chi2,
+           round(e, 6) + 0 AS expected, round(c, 6) + 0 AS contrib,
+           round(chi2, 6) + 0 AS chi2,
            CASE WHEN least(ra, rb) > 1
-             THEN round(sqrt(chi2 / (n::DOUBLE * (least(ra, rb) - 1)::DOUBLE)), 6)
+             THEN round(sqrt(chi2 / (n::DOUBLE * (least(ra, rb) - 1)::DOUBLE)), 6) + 0
            END AS cramers_v
          FROM s2 CROSS JOIN tot ORDER BY lang, source""",
 
@@ -7275,13 +7275,13 @@ object SparkEntry {
                FROM b GROUP BY bin),
          tot AS (SELECT sum(n)::BIGINT AS nn FROM g),
          r AS (SELECT bin, n, n_pos,
-                 round(ss / n, 9) AS conf,
+                 round(ss / n, 9) + 0 AS conf,
                  n_pos::DOUBLE / n::DOUBLE AS acc,
                  (n::DOUBLE / nn::DOUBLE)
-                   * abs(n_pos::DOUBLE / n::DOUBLE - round(ss / n, 9)) AS c
+                   * abs(n_pos::DOUBLE / n::DOUBLE - (round(ss / n, 9) + 0)) AS c
                FROM g CROSS JOIN tot),
          e AS (SELECT sum(CAST(c AS DECIMAL(28,12)))::DOUBLE AS ece FROM r)
-         SELECT bin, n, n_pos, conf, acc, round(ece, 9) AS ece
+         SELECT bin, n, n_pos, conf, acc, round(ece, 9) + 0 AS ece
          FROM r CROSS JOIN e ORDER BY bin""",
 
     // count^0.75 spelled sqrt(c*sqrt(c)) on BOTH sides — the
