@@ -2641,6 +2641,31 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "lang")
     }),
 
+    // Two-sided CUSUM changepoint statistics per user (Page 1954) — the
+    // sequential drift detector: clamp-at-0 excess above/below the
+    // series' own mu +/- 0.5 sigma band, alarm past 5 sigma. The
+    // mapPartitions recurrence (q_ewma/q_holt shape); the oracle
+    // replays it with the prepend-0 list fold.
+    "q_cusum" -> ((s, dir) =>
+      TimeSeries.cusum(T(s, dir, "events"), "user_id", "event_id", "value",
+          k = 0.5, h = 5.0)
+        .orderBy("event_id")),
+
+    // Cumulative-gains / lift table per source of the stopword-ratio
+    // score vs the English label — "how much of the good stuff sits in
+    // the top decile": ntile over a unique (score desc, doc_id) order,
+    // exact counts, fixed-shape capture/lift divisions.
+    "q_gains" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val scored = T(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("lang"),
+          size(filter(t, x => x.isin(TextOps.Stopwords: _*))).cast("double")
+            ./(size(t).cast("double")).as("_score"))
+        .where(size(t) > 0)
+      Profiling.gainsTable(scored, "source", col("_score"),
+        col("lang") === "en", col("doc_id"), 10)
+    }),
+
     // Per-source Spearman rank correlation between doc length and token
     // count — the monotone-association screen (Pearson on average
     // ranks); doubled ranks keep ties integer-exact, one source
@@ -7135,6 +7160,80 @@ object SparkEntry {
              9) + 0 AS q_c
          FROM degs d LEFT JOIN intra i USING (community) CROSS JOIN m
          ORDER BY community""",
+
+    // Prepend-0 list fold replays the clamp recurrence bit-for-bit
+    // (greatest is exact IEEE on identical doubles); mu/sigma from the
+    // same decimal population moments the engine joins back.
+    "q_cusum" ->
+      """WITH st AS (
+           SELECT user_id, count(*)::BIGINT AS n,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS s1,
+             sum(CAST(value * value AS DECIMAL(28,6)))::DOUBLE AS s2
+           FROM events GROUP BY user_id),
+         m AS (SELECT user_id, s1 / n AS mu,
+                 sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) AS sigma
+               FROM st),
+         ord AS (
+           SELECT e.user_id,
+             list(e.event_id ORDER BY e.event_id) AS ids,
+             list(e.value ORDER BY e.event_id) AS vs,
+             max(m.mu) AS mu, max(m.sigma) AS sigma
+           FROM events e JOIN m ON e.user_id = m.user_id
+           GROUP BY e.user_id),
+         ex AS (
+           SELECT user_id, mu, sigma,
+             unnest(ids) AS event_id,
+             unnest(vs) AS value,
+             unnest(list_transform(range(1, len(vs) + 1), i ->
+               list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list_transform(vs[1:i], x -> x::DOUBLE - (mu + 0.5::DOUBLE * sigma))),
+                 (acc, e) -> greatest(0.0::DOUBLE, acc + e)))) AS cpos,
+             unnest(list_transform(range(1, len(vs) + 1), i ->
+               list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list_transform(vs[1:i], x -> (mu - 0.5::DOUBLE * sigma) - x::DOUBLE)),
+                 (acc, e) -> greatest(0.0::DOUBLE, acc + e)))) AS cneg
+           FROM ord)
+         SELECT event_id, user_id, value, cpos AS cusum_pos, cneg AS cusum_neg,
+           (cpos > 5.0::DOUBLE * sigma OR cneg > 5.0::DOUBLE * sigma) AS alarm
+         FROM ex ORDER BY event_id""",
+
+    // ntile over the unique (score desc, doc_id asc) order; exact
+    // counts; capture/lift as fixed-shape integer divisions.
+    "q_gains" ->
+      raw"""WITH t AS (
+           SELECT source, doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT source, doc_id,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks)::DOUBLE AS sc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM t WHERE len(toks) > 0),
+         tiles AS (
+           SELECT source,
+             ntile(10) OVER (PARTITION BY source ORDER BY sc DESC, doc_id ASC) AS decile,
+             y
+           FROM s),
+         g AS (SELECT source, decile::BIGINT AS decile,
+                 count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+               FROM tiles GROUP BY 1, 2),
+         c AS (SELECT source, decile, n, n_pos,
+                 sum(n) OVER w::BIGINT AS cum_n,
+                 sum(n_pos) OVER w::BIGINT AS cum_pos,
+                 sum(n) OVER (PARTITION BY source)::BIGINT AS tot_n,
+                 sum(n_pos) OVER (PARTITION BY source)::BIGINT AS tot_pos
+               FROM g
+               WINDOW w AS (PARTITION BY source ORDER BY decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT source, decile, n, n_pos, cum_pos,
+           CASE WHEN tot_pos > 0 THEN cum_pos::DOUBLE / tot_pos::DOUBLE END AS capture,
+           CASE WHEN tot_pos > 0
+             THEN (cum_pos::DOUBLE / cum_n::DOUBLE) / (tot_pos::DOUBLE / tot_n::DOUBLE)
+           END AS lift
+         FROM c ORDER BY source, decile""",
 
     // Doubled average ranks (asc rank + complement of desc rank) keep
     // ties integer; HUGEINT moment sums mirror decimal(38,0); the rho

@@ -703,6 +703,49 @@ object Profiling {
       .orderBy(aCol, bCol)
   }
 
+  /** Cumulative-gains / lift table per group: rank rows by score
+    * descending within each group, cut into `nTiles` equal-count tiles,
+    * and report per tile the positives captured so far and the lift over
+    * random targeting — "how much of the good stuff is in the top 10%",
+    * the campaign-targeting complement of [[rocAuc]] (AUC summarizes the
+    * whole ranking; this reads it at the operating depths).
+    *
+    * The tile cut is ntile() over a UNIQUE total order (score desc, tie
+    * key asc) — deterministic in both engines, no percentile boundary
+    * ambiguity. Counts are exact integers; capture and lift are fixed-
+    * shape integer divisions, engine-exact unrounded. All windows key on
+    * the group column (no global window); the cumulative pass runs over
+    * nTiles rows per group.
+    */
+  def gainsTable(df: DataFrame, groupCol: String, scoreCol: Column,
+                 labelCol: Column, tieCol: Column, nTiles: Int = 10): DataFrame = {
+    val base = df.select(col(groupCol), scoreCol.as("_s"),
+      labelCol.cast("boolean").cast("long").as("_y"), tieCol.as("_t"))
+      .repartition(col(groupCol))
+    val wRank = Window.partitionBy(groupCol).orderBy(col("_s").desc, col("_t").asc)
+    val tiles = base.withColumn("decile", ntile(nTiles).over(wRank))
+      .groupBy(col(groupCol), col("decile"))
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+    val wCum = Window.partitionBy(groupCol).orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(groupCol)
+    tiles
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .withColumn("_totN", sum("n").over(wAll))
+      .withColumn("_totPos", sum("n_pos").over(wAll))
+      .select(col(groupCol), col("decile").cast("long").as("decile"),
+        col("n"), col("n_pos"), col("cum_pos"),
+        when(col("_totPos") > 0,
+          col("cum_pos").cast("double") / col("_totPos").cast("double"))
+          .as("capture"),
+        when(col("_totPos") > 0,
+          (col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+            (col("_totPos").cast("double") / col("_totN").cast("double")))
+          .as("lift"))
+      .orderBy(groupCol, "decile")
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance of each group against the
     * REST of the corpus — "which cohort's distribution drifted" ranked by
     * the sup-norm ECDF gap. D is found EXACTLY: at each candidate value

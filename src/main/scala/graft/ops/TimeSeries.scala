@@ -492,24 +492,89 @@ object TimeSeries {
                valueCol: String): DataFrame = {
     val base = df.select(col(keyCol), col(orderCol).cast("double").as("_o"),
       col(valueCol).cast("double").as("_v"))
+    // pair count from the series length (np = n(n−1)/2) instead of a
+    // partition-wide count window: saves a second full window pass over
+    // the pair frame (which is series-length² heavier than the input)
+    val counts = base.groupBy(keyCol).agg(count(lit(1)).as("_n"))
+      .select(col(keyCol),
+        (col("_n") * (col("_n") - 1) / 2).cast("long").as("_np"))
+      .where(col("_np") > 0)
     val pairs = base.as("a").join(base.as("b"),
       col(s"a.$keyCol") === col(s"b.$keyCol") && col("a._o") < col("b._o"))
       .select(col(s"a.$keyCol").as(keyCol),
         ((col("b._v") - col("a._v")) / (col("b._o") - col("a._o"))).as("_slope"))
       .repartition(col(keyCol))
-    val wAll = Window.partitionBy(keyCol)
     val wRank = Window.partitionBy(keyCol).orderBy("_slope")
     // integer middle ranks via floor: (np+1)/2 and (np+2)/2 straddle the
     // median for even np and coincide for odd np; the quotients are exact
     // doubles (integers < 2^53 divided by 2), so floor is portable
     pairs
-      .withColumn("_np", count(lit(1)).over(wAll))
       .withColumn("_rn", row_number().over(wRank))
+      .join(counts, Seq(keyCol))
       .where(col("_rn") === floor((col("_np") + 1) / 2) ||
         col("_rn") === floor((col("_np") + 2) / 2))
       .groupBy(keyCol)
       .agg(max("_np").as("n_pairs"),
         Portable.canonZero(sum("_slope") / count(lit(1))).as("sen_slope"))
+  }
+
+  /** Two-sided CUSUM changepoint statistics per series (Page 1954): the
+    * classic sequential drift detector — cusum_pos accumulates excess
+    * above μ + k·σ, cusum_neg below μ − k·σ, each clamped at 0, alarm
+    * when either clears h·σ. The complement of C184's retrospective
+    * trend test: MK asks "did this series drift overall"; CUSUM marks
+    * WHERE the shift happened, the shape a monitoring pipeline replays.
+    * μ/σ are the series' own exact decimal moments (population form),
+    * joined back per key — the in-sample-baseline convention (C159).
+    *
+    * The clamp max(0, S + c) depends on the previous OUTPUT, so this is
+    * the sanctioned mapPartitions recurrence ([[ewma]], [[holt]]):
+    * constant 2-double state per task; the oracle replays it via the
+    * prepend-0 list_reduce (greatest is an exact IEEE op on identical
+    * doubles, so parity is bit-for-bit).
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+            k: Double = 0.5, h: Double = 5.0): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.groupBy(keyCol).agg(
+      count(lit(1)).as("_n"),
+      Portable.decSum(v, 6).as("_s1"),
+      Portable.decSum(v * v, 6).as("_s2"))
+      .select(col(keyCol),
+        (col("_s1") / col("_n")).as("_mu"),
+        sqrt(greatest((col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n"),
+          lit(0.0))).as("_sigma"))
+    val in = df.select(col(keyCol), col(orderCol), v.cast("double"))
+      .join(stats, Seq(keyCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "cusum_pos", org.apache.spark.sql.types.DoubleType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(
+          "cusum_neg", org.apache.spark.sql.types.DoubleType, nullable = false))
+    in.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(orderCol))
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var pos = 0.0
+        var neg = 0.0
+        rows.map { r =>
+          val kk = r.get(0)
+          val x = r.getDouble(2)
+          val mu = r.getDouble(3)
+          val sigma = r.getDouble(4)
+          if (!haveKey || kk != curKey) { curKey = kk; haveKey = true; pos = 0.0; neg = 0.0 }
+          pos = math.max(0.0, pos + (x - (mu + k * sigma)))
+          neg = math.max(0.0, neg + ((mu - k * sigma) - x))
+          org.apache.spark.sql.Row(r.get(0), r.get(1), x, mu, sigma, pos, neg)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF(keyCol, orderCol, valueCol, "_mu", "_sigma", "cusum_pos", "cusum_neg")
+      .withColumn("alarm",
+        col("cusum_pos") > lit(h) * col("_sigma") ||
+          col("cusum_neg") > lit(h) * col("_sigma"))
+      .drop("_mu", "_sigma")
   }
 
   /** Mann–Kendall trend test per series (Mann 1945; Kendall 1975): S =

@@ -261,6 +261,10 @@ class EmptyInputSpec extends SparkSpec {
       "g", col("n_chars"), col("ref")).count() === 0)
     assert(Profiling.chiSquare(
       df(Seq.empty[KsRow]).toDF("a", "b"), "a", "b").count() === 0)
+    assert(TimeSeries.cusum(df(Seq.empty[MkRow]), "user_id", "event_id", "value")
+      .count() === 0)
+    assert(Profiling.gainsTable(df(Seq.empty[GainsRow]), "g", col("score"),
+      col("pos"), col("doc_id"), 10).count() === 0)
   }
 }
 

@@ -9,6 +9,7 @@ case class KsRow(g: String, v: Long)
 case class ModEdge(a: Long, b: Long)
 case class ModLabel(id: Long, c: String)
 case class MkRow(user_id: Long, event_id: Long, value: Double)
+case class GainsRow(g: String, doc_id: Long, score: Double, pos: Boolean)
 
 /** Second-wave round-15 operators (AUC / PSI / KS / modularity /
   * Mann-Kendall), each checked against an independent plain-Scala
@@ -339,6 +340,91 @@ class Round15bOpsSpec extends SparkSpec {
     // whose angular fit is worse than centroid 0's → the audit reads < 0
     assert(out.keySet === Set(1))
     assert(out(1) < 0, s"expected negative silhouette, got ${out(1)}")
+  }
+
+  // ---- CUSUM -------------------------------------------------------------
+
+  private def cusumRef(vs: Seq[Double], k: Double, h: Double): Seq[(Double, Double, Boolean)] = {
+    val n = vs.size
+    val mu = vs.sum / n
+    val sigma = math.sqrt(math.max(vs.map(x => x * x).sum / n - mu * mu, 0.0))
+    var pos = 0.0; var neg = 0.0
+    vs.map { x =>
+      pos = math.max(0.0, pos + (x - (mu + k * sigma)))
+      neg = math.max(0.0, neg + ((mu - k * sigma) - x))
+      (pos, neg, pos > h * sigma || neg > h * sigma)
+    }
+  }
+
+  test("cusum flags a planted level shift and matches the recurrence referee") {
+    // user 1: level 10 for t≤20, then +8 shift — the IN-SAMPLE mean sits
+    // between the levels, so the early segment drifts BELOW the band
+    // (neg-side alarm) and the late segment ABOVE it (pos-side alarm);
+    // user 2: stable, never alarms
+    val rows =
+      ((1 to 20).map(i => MkRow(1, i, 10.0 + (i % 3) * 0.5)) ++
+        (21 to 40).map(i => MkRow(1, i, 18.0 + (i % 3) * 0.5))) ++
+        (1 to 30).map(i => MkRow(2, i, 50.0 + (i % 5).toDouble))
+    val got = TimeSeries.cusum(df(rows), "user_id", "event_id", "value", 0.5, 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    for ((u, sub) <- rows.groupBy(_.user_id)) {
+      val ordered = sub.sortBy(_.event_id)
+      val want = cusumRef(ordered.map(_.value), 0.5, 5.0)
+      for ((row, (wp, wn, wa)) <- ordered.zip(want)) {
+        val (gp, gn, ga) = got((u, row.event_id))
+        assert(math.abs(gp - wp) < 1e-9 && math.abs(gn - wn) < 1e-9,
+          s"user $u event ${row.event_id}")
+        assert(ga === wa, s"user $u event ${row.event_id} alarm")
+      }
+    }
+    // both sides of the shift alarm, each on its own statistic
+    assert(got((1L, 20L))._3 && got((1L, 20L))._2 > got((1L, 20L))._1,
+      "early segment alarms on the negative side")
+    assert(got((1L, 40L))._3 && got((1L, 40L))._1 > got((1L, 40L))._2,
+      "shifted tail alarms on the positive side")
+    // the positive statistic stays clamped at ~0 until the shift arrives
+    assert((1 to 20).forall(i => got((1L, i.toLong))._1 < 1.0),
+      "pos-side statistic quiet before the shift")
+    assert((1 to 30).forall(i => !got((2L, i.toLong))._3), "stable user never alarms")
+  }
+
+  // ---- Gains table -------------------------------------------------------
+
+  test("gainsTable matches the hand ntile computation") {
+    // 12 docs, one group: scores descending with doc_id tiebreaks;
+    // positives concentrated at the top → first deciles capture most
+    val rows = (1 to 12).map { i =>
+      GainsRow("g", i.toLong, 1.0 - i * 0.05, i <= 4 || i == 7)
+    }
+    val out = Profiling.gainsTable(df(rows), "g", col("score"), col("pos"),
+      col("doc_id"), 10).collect()
+    // Spark/DuckDB ntile(10) over 12 rows: buckets 1,2 get 2 rows each
+    val sizes = Seq(2, 2, 1, 1, 1, 1, 1, 1, 1, 1)
+    assert(out.map(_.getLong(2)).toSeq === sizes.map(_.toLong))
+    val ordered = rows.sortBy(r => (-r.score, r.doc_id))
+    val bounds = sizes.scanLeft(0)(_ + _)
+    val wantPos = sizes.indices.map(d =>
+      ordered.slice(bounds(d), bounds(d + 1)).count(_.pos).toLong)
+    assert(out.map(_.getLong(3)).toSeq === wantPos)
+    val totPos = rows.count(_.pos).toDouble
+    var cum = 0L
+    for ((r, d) <- out.zipWithIndex) {
+      cum += wantPos(d)
+      assert(r.getLong(4) === cum)
+      assert(math.abs(r.getDouble(5) - cum / totPos) < 1e-12, s"capture d$d")
+      val lift = (cum.toDouble / bounds(d + 1)) / (totPos / 12)
+      assert(math.abs(r.getDouble(6) - lift) < 1e-12, s"lift d$d")
+    }
+    // top-decile lift must beat 1 when positives concentrate at the top
+    assert(out.head.getDouble(6) > 1.5)
+  }
+
+  test("gainsTable with zero positives NULLs capture and lift") {
+    val rows = (1 to 8).map(i => GainsRow("g", i.toLong, i * 0.1, pos = false))
+    val out = Profiling.gainsTable(df(rows), "g", col("score"), col("pos"),
+      col("doc_id"), 4).collect()
+    assert(out.forall(r => r.isNullAt(5) && r.isNullAt(6)))
   }
 
   // ---- Mann-Kendall ------------------------------------------------------
