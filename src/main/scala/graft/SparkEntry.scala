@@ -2641,6 +2641,15 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "lang")
     }),
 
+    // Length-3 sequential-pattern mining (PrefixSpan instinct): which
+    // event-type subsequences (gaps allowed) are frequent across users —
+    // the mining complement of q_funnel's given-pattern count. The
+    // subsequence test collapses to "a b-event strictly between first-a
+    // and last-c" via one (user, type) span aggregate.
+    "q_seq_patterns" -> ((s, dir) =>
+      EventOps.sequencePatterns(T(s, dir, "events"), "user_id", "event_id",
+        "event_type", topK = 20)),
+
     // Two-sided CUSUM changepoint statistics per user (Page 1954) — the
     // sequential drift detector: clamp-at-0 excess above/below the
     // series' own mu +/- 0.5 sigma band, alarm past 5 sigma. The
@@ -7160,6 +7169,24 @@ object SparkEntry {
              9) + 0 AS q_c
          FROM degs d LEFT JOIN intra i USING (community) CROSS JOIN m
          ORDER BY community""",
+
+    // Span-collapse subsequence test: b strictly between first-a and
+    // last-c; distinct per (user, pattern); exact integer supports.
+    "q_seq_patterns" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS t, event_type AS y FROM events),
+         sp AS (SELECT u, y, min(t) AS mn, max(t) AS mx FROM e GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT e.u, a.y AS type_a, e.y AS type_b, c.y AS type_c
+           FROM e JOIN sp a ON a.u = e.u AND a.mn < e.t
+                  JOIN sp c ON c.u = e.u AND c.mx > e.t),
+         s AS (SELECT type_a, type_b, type_c, count(*)::BIGINT AS support
+               FROM cand GROUP BY 1, 2, 3)
+         SELECT type_a, type_b, type_c, support FROM (
+           SELECT s.*, row_number() OVER (
+             ORDER BY support DESC, type_a ASC, type_b ASC, type_c ASC) AS rn
+           FROM s)
+         WHERE rn <= 20
+         ORDER BY support DESC, type_a, type_b, type_c""",
 
     // Prepend-0 list fold replays the clamp recurrence bit-for-bit
     // (greatest is exact IEEE on identical doubles); mu/sigma from the

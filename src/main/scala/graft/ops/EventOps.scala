@@ -370,4 +370,41 @@ object EventOps {
         coalesce(sum(col("_g").cast("decimal(20,0)") * col("_g")),
           lit(0L).cast("decimal(38,0)")).as("_sg2"))
   }
+
+  /** Length-3 sequential-pattern support mining (the PrefixSpan instinct,
+    * Pei et al. 2001, specialized to the bounded-catalog/length-3 case):
+    * support of (a, b, c) = how many entities' streams contain an
+    * a-event, then a b-event, then a c-event as a SUBSEQUENCE (gaps
+    * allowed) in `orderCol` order. The mining complement of [[funnel]]:
+    * funnel counts a GIVEN sequence, this discovers which sequences are
+    * frequent. Top `topK` out, ties on the full pattern key.
+    *
+    * The subsequence test collapses to spans: (a,b,c) occurs iff some
+    * b-event sits strictly between the entity's FIRST a and LAST c — so
+    * one (entity, type) min/max aggregate and two span joins replace any
+    * scan over the exponential subsequence space. Each b-event fans by
+    * ≤ |types|² span pairs (a bounded catalog constant, the C171
+    * wedge-bound argument), then a distinct per (entity, pattern) and a
+    * catalog-sized count. All counts exact integers; top-k is
+    * TakeOrderedAndProject on (support desc, pattern asc) — total order,
+    * no ambiguous boundary.
+    */
+  def sequencePatterns(df: DataFrame, userCol: String, orderCol: String,
+                       typeCol: String, topK: Int): DataFrame = {
+    val e = df.select(col(userCol).as("_u"), col(orderCol).as("_t"),
+      col(typeCol).as("_y"))
+    val spans = e.groupBy("_u", "_y")
+      .agg(min("_t").as("_mn"), max("_t").as("_mx"))
+    e.join(spans.select(col("_u"), col("_y").as("type_a"), col("_mn")), Seq("_u"))
+      .where(col("_mn") < col("_t"))
+      .join(spans.select(col("_u"), col("_y").as("type_c"), col("_mx")), Seq("_u"))
+      .where(col("_mx") > col("_t"))
+      .select(col("_u"), col("type_a"), col("_y").as("type_b"), col("type_c"))
+      .distinct()
+      .groupBy("type_a", "type_b", "type_c")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("type_a").asc, col("type_b").asc,
+        col("type_c").asc)
+      .limit(topK)
+  }
 }

@@ -263,6 +263,8 @@ class EmptyInputSpec extends SparkSpec {
       df(Seq.empty[KsRow]).toDF("a", "b"), "a", "b").count() === 0)
     assert(TimeSeries.cusum(df(Seq.empty[MkRow]), "user_id", "event_id", "value")
       .count() === 0)
+    assert(EventOps.sequencePatterns(df(Seq.empty[SeqEv]), "user_id", "event_id",
+      "event_type", 10).count() === 0)
     assert(Profiling.gainsTable(df(Seq.empty[GainsRow]), "g", col("score"),
       col("pos"), col("doc_id"), 10).count() === 0)
   }

@@ -389,6 +389,52 @@ class Round15bOpsSpec extends SparkSpec {
     assert((1 to 30).forall(i => !got((2L, i.toLong))._3), "stable user never alarms")
   }
 
+  // ---- Sequential patterns -----------------------------------------------
+
+  case class SeqEv(user_id: Long, event_id: Long, event_type: String)
+
+  /** Referee: brute-force subsequence existence ∃ i<j<k with the types. */
+  private def seqSupport(rows: Seq[SeqEv]): Map[(String, String, String), Long] = {
+    val types = rows.map(_.event_type).distinct
+    val byUser = rows.groupBy(_.user_id).view.mapValues(_.sortBy(_.event_id).map(_.event_type)).toMap
+    def has(s: Seq[String], p: (String, String, String)): Boolean = {
+      val i = s.indexOf(p._1)
+      if (i < 0) false else {
+        val j = s.indexOf(p._2, i + 1)
+        j >= 0 && s.indexOf(p._3, j + 1) >= 0
+      }
+    }
+    (for (a <- types; b <- types; c <- types) yield {
+      val p = (a, b, c)
+      p -> byUser.values.count(has(_, p)).toLong
+    }).toMap.filter(_._2 > 0)
+  }
+
+  test("sequencePatterns equals the brute-force subsequence referee") {
+    val rnd = new scala.util.Random(60915)
+    val types = Seq("A", "B", "C", "D")
+    val rows = for (u <- 1L to 25L; i <- 1 to rnd.nextInt(10) + 1)
+      yield SeqEv(u, i, types(rnd.nextInt(types.size)))
+    val want = seqSupport(rows)
+    val got = EventOps.sequencePatterns(df(rows), "user_id", "event_id",
+      "event_type", topK = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got === want, "span-collapse must equal brute-force subsequence support")
+  }
+
+  test("sequencePatterns: repeats of one type need three occurrences") {
+    val rows = Seq(
+      SeqEv(1, 1, "X"), SeqEv(1, 2, "X"),                    // only 2 X → no (X,X,X)
+      SeqEv(2, 1, "X"), SeqEv(2, 2, "X"), SeqEv(2, 3, "X"))  // 3 X → (X,X,X)
+    val got = EventOps.sequencePatterns(df(rows), "user_id", "event_id",
+      "event_type", topK = 10).collect()
+    assert(got.length === 1)
+    assert((got.head.getString(0), got.head.getString(1), got.head.getString(2)) ===
+      (("X", "X", "X")))
+    assert(got.head.getLong(3) === 1L, "only the 3-occurrence user supports (X,X,X)")
+  }
+
   // ---- Gains table -------------------------------------------------------
 
   test("gainsTable matches the hand ntile computation") {
