@@ -425,6 +425,42 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(scanColumns(mk.queryExecution.executedPlan, "events")
         .forall(_.subsetOf(Set("user_id", "event_id", "value"))),
       "q_mann_kendall scans must prune to (user_id, event_id, value)")
+
+    // q_spearman: all four rank windows keyed on source, scan pruned
+    val sp = SparkEntry.queries("q_spearman")(spark, sfDir)
+    sp.collect()
+    val spPlan = sp.queryExecution.executedPlan
+    assert(windowsAllKeyed(spPlan), "q_spearman rank windows must be keyed")
+    assert(scanColumns(spPlan, "documents")
+        .forall(_ === Set("source", "n_chars", "text")),
+      "q_spearman scan must prune to (source, n_chars, text)")
+
+    // q_gains: tile + cumulative windows keyed on source
+    val gn = SparkEntry.queries("q_gains")(spark, sfDir)
+    gn.collect()
+    assert(windowsAllKeyed(gn.queryExecution.executedPlan),
+      "q_gains windows must be keyed")
+
+    // q_holt / q_cusum: recurrence inputs prune to the three used cols
+    for (name <- Seq("q_holt", "q_cusum")) {
+      val r = SparkEntry.queries(name)(spark, sfDir)
+      r.collect()
+      assert(scanColumns(r.queryExecution.executedPlan, "events")
+          .forall(_.subsetOf(Set("user_id", "event_id", "value"))),
+        s"$name scans must prune to (user_id, event_id, value)")
+    }
+
+    // q_seq_patterns: top-k via TakeOrderedAndProject (never a global
+    // sort), scan pruned to the three used columns
+    val sq = SparkEntry.queries("q_seq_patterns")(spark, sfDir)
+    sq.collect()
+    val sqPlan = sq.queryExecution.executedPlan
+    assert(flatten(sqPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "q_seq_patterns top-k must be TakeOrderedAndProject")
+    assert(scanColumns(sqPlan, "events")
+        .forall(_.subsetOf(Set("user_id", "event_id", "event_type"))),
+      "q_seq_patterns scans must prune to (user_id, event_id, event_type)")
   }
 
   test("q_assoc_rules reads both PairStore artifacts and never the fact table") {

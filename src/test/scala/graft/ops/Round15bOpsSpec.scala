@@ -10,6 +10,7 @@ case class ModEdge(a: Long, b: Long)
 case class ModLabel(id: Long, c: String)
 case class MkRow(user_id: Long, event_id: Long, value: Double)
 case class GainsRow(g: String, doc_id: Long, score: Double, pos: Boolean)
+case class SeqEv(user_id: Long, event_id: Long, event_type: String)
 
 /** Second-wave round-15 operators (AUC / PSI / KS / modularity /
   * Mann-Kendall), each checked against an independent plain-Scala
@@ -390,8 +391,6 @@ class Round15bOpsSpec extends SparkSpec {
   }
 
   // ---- Sequential patterns -----------------------------------------------
-
-  case class SeqEv(user_id: Long, event_id: Long, event_type: String)
 
   /** Referee: brute-force subsequence existence ∃ i<j<k with the types. */
   private def seqSupport(rows: Seq[SeqEv]): Map[(String, String, String), Long] = {
