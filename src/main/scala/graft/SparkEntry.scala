@@ -2590,6 +2590,38 @@ object SparkEntry {
       TextOps.naiveBayesConfusion(T(s, dir, "documents"), "lang", "text", "doc_id")
         .orderBy("true_label", "pred_label")),
 
+    // Cohen's kappa of the NB language-ID against the true labels —
+    // chance-corrected agreement (accuracy rewards majority-class
+    // guessing; kappa subtracts the margin-product chance rate). Rides
+    // the same confusion matrix; all counts exact, po/pe/kappa the only
+    // floating steps.
+    "q_cohens_kappa" -> ((s, dir) =>
+      Profiling.cohensKappa(
+        TextOps.naiveBayesConfusion(T(s, dir, "documents"), "lang", "text", "doc_id"),
+        "true_label", "pred_label", "n_docs")),
+
+    // Entropy rate of the event-type Markov chain: H = Σ_i π_i H(row i)
+    // — how predictable is the behavior stream per step (the scalar
+    // q_markov_acc's top-1 accuracy reads pointwise). Rides the
+    // q_markov_chain transition shape; −p·ln p terms decimal-summed.
+    "q_markov_entropy" -> ((s, dir) =>
+      EventOps.markovEntropyRate(T(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type")),
+
+    // Entropy decomposition of lang × source: H(A), H(B), H(A,B),
+    // H(A|B), and mutual information — the information-theoretic
+    // companion of q_chi2 (chi2 says the association is real; MI says
+    // how much it carries).
+    "q_cond_entropy" -> ((s, dir) =>
+      Profiling.labelEntropies(T(s, dir, "documents"), "lang", "source")),
+
+    // Hash-block bootstrap SE of the mean doc length: 32 deterministic
+    // md5 blocks, block-mean spread / sqrt(B) — the cluster-robust
+    // uncertainty a pipeline attaches to any headline average, RNG-free.
+    "q_bootstrap_se" -> ((s, dir) =>
+      Profiling.blockBootstrapSe(T(s, dir, "documents"), col("doc_id"),
+        col("n_chars"), b = 32)),
+
     // Per-source ROC AUC of the stopword-ratio quality score as an
     // English detector — the threshold-free "does this score separate
     // the classes" evaluation run before picking a filter cutoff.
@@ -3613,6 +3645,33 @@ object SparkEntry {
         "q_silhouette" -> silhouetteSql(c)))
       .getOrElse(Map.empty)
   }
+
+  /** The Naive-Bayes prediction CTE shared by q_nb_confusion and
+    * q_cohens_kappa (the bpeEncodeSql reuse pattern): everything through
+    * `pred(doc_id, true_lang, pred_lang)`.
+    */
+  private val NbPredCte: String =
+    raw"""WITH tok AS (
+           SELECT doc_id, lang, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, lang AS true_lang, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+         cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         ltot AS (SELECT lang, count(*) AS tot FROM tok GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+         prior AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+         n AS (SELECT count(*) AS nn FROM documents),
+         labels AS (SELECT lang, nd, tot, v, nn
+                    FROM prior JOIN ltot USING (lang) CROSS JOIN vocab CROSS JOIN n),
+         scored AS (
+           SELECT t.doc_id, t.true_lang, l.lang AS cand,
+             ln(l.nd::DOUBLE / l.nn::DOUBLE) +
+             sum(CAST(t.tf::DOUBLE * ln((coalesce(c.c, 0)::DOUBLE + 1.0)
+                   / (l.tot + l.v)::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS score
+           FROM tf t CROSS JOIN labels l
+           LEFT JOIN cnt c ON c.lang = l.lang AND c.token = t.token
+           GROUP BY t.doc_id, t.true_lang, l.lang, l.nd, l.nn),
+         pred AS (SELECT doc_id, true_lang, (min({'ns': -score, 'l': cand})).l AS pred_lang
+                  FROM scored GROUP BY doc_id, true_lang)"""
 
   /** DuckDB oracle for q_silhouette, generated from the persisted IVF
     * centroids (same contract as ivfTopKSql): cosine distances via the
@@ -7023,29 +7082,29 @@ object SparkEntry {
     // Same add-1 NB shapes: integer counts, ln-only terms decimal-summed,
     // argmax via the negated-score struct min (exact sign-bit flip).
     "q_nb_confusion" ->
-      raw"""WITH tok AS (
-           SELECT doc_id, lang, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
-           FROM documents),
-         tf AS (SELECT doc_id, lang AS true_lang, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
-         cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
-         ltot AS (SELECT lang, count(*) AS tot FROM tok GROUP BY 1),
-         vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
-         prior AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
-         n AS (SELECT count(*) AS nn FROM documents),
-         labels AS (SELECT lang, nd, tot, v, nn
-                    FROM prior JOIN ltot USING (lang) CROSS JOIN vocab CROSS JOIN n),
-         scored AS (
-           SELECT t.doc_id, t.true_lang, l.lang AS cand,
-             ln(l.nd::DOUBLE / l.nn::DOUBLE) +
-             sum(CAST(t.tf::DOUBLE * ln((coalesce(c.c, 0)::DOUBLE + 1.0)
-                   / (l.tot + l.v)::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS score
-           FROM tf t CROSS JOIN labels l
-           LEFT JOIN cnt c ON c.lang = l.lang AND c.token = t.token
-           GROUP BY t.doc_id, t.true_lang, l.lang, l.nd, l.nn),
-         pred AS (SELECT doc_id, true_lang, (min({'ns': -score, 'l': cand})).l AS pred_lang
-                  FROM scored GROUP BY doc_id, true_lang)
+      s"""$NbPredCte
          SELECT true_lang AS true_label, pred_lang AS pred_label, count(*) AS n_docs
          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Cohen's kappa over the SAME NB prediction CTE: agreement trace /
+    // margin products, fixed-shape kappa.
+    "q_cohens_kappa" ->
+      s"""$NbPredCte,
+         conf AS (SELECT true_lang, pred_lang, count(*)::BIGINT AS c
+                  FROM pred GROUP BY 1, 2),
+         agg AS (SELECT sum(c)::BIGINT AS n,
+                   sum(CASE WHEN true_lang = pred_lang THEN c ELSE 0 END)::BIGINT AS agree
+                 FROM conf),
+         rt AS (SELECT true_lang AS lbl, sum(c)::BIGINT AS rt FROM conf GROUP BY 1),
+         ct AS (SELECT pred_lang AS lbl, sum(c)::BIGINT AS ct FROM conf GROUP BY 1),
+         pe2 AS (SELECT sum(rt.rt::DECIMAL(38,0) * ct.ct) AS p
+                 FROM rt JOIN ct USING (lbl)),
+         k AS (SELECT n, agree::DOUBLE / n::DOUBLE AS po,
+                 p::DOUBLE / (n::DECIMAL(38,0) * n)::DOUBLE AS pe
+               FROM agg CROSS JOIN pe2)
+         SELECT n AS n_docs, round(po, 9) + 0 AS po, round(pe, 9) + 0 AS pe,
+           CASE WHEN 1.0::DOUBLE - pe > 0 THEN round((po - pe) / (1.0::DOUBLE - pe), 9) + 0 END AS kappa
+         FROM k""",
 
     // Mann-Whitney rank form: distinct-score groups, average ranks via
     // the cumulative-count window, all integers until the one final
@@ -7169,6 +7228,73 @@ object SparkEntry {
              9) + 0 AS q_c
          FROM degs d LEFT JOIN intra i USING (community) CROSS JOIN m
          ORDER BY community""",
+
+    // Same transition shape as q_markov_chain; −p·ln p decimal-summed
+    // per row-state, rate = Σ pi·h decimal-summed.
+    "q_markov_entropy" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events),
+         tr AS (SELECT event_type, next_type, count(*)::BIGINT AS t
+                FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         ft AS (SELECT event_type, t,
+                  sum(t) OVER (PARTITION BY event_type)::BIGINT AS ftot
+                FROM tr),
+         hs AS (SELECT event_type, max(ftot)::BIGINT AS n_from,
+                  sum(CAST(-(t::DOUBLE / ftot::DOUBLE) * ln(t::DOUBLE / ftot::DOUBLE)
+                        AS DECIMAL(28,12)))::DOUBLE AS h
+                FROM ft GROUP BY event_type),
+         tot AS (SELECT sum(n_from)::BIGINT AS tot FROM hs),
+         wp AS (SELECT event_type, n_from, n_from::DOUBLE / tot::DOUBLE AS pi, h
+                FROM hs CROSS JOIN tot),
+         rt AS (SELECT sum(CAST(pi * h AS DECIMAL(28,12)))::DOUBLE AS rate FROM wp)
+         SELECT event_type, n_from, round(pi, 9) + 0 AS pi,
+           round(h, 9) + 0 AS h_state, round(rate, 9) + 0 AS entropy_rate
+         FROM wp CROSS JOIN rt ORDER BY event_type""",
+
+    // Three −p·ln p sums over the label catalogs; fixed-shape
+    // combinations (MI canonicalized — independence lands at ±1e−17).
+    "q_cond_entropy" ->
+      """WITH base AS (
+           SELECT lang AS a, source AS b FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL),
+         n AS (SELECT count(*)::BIGINT AS n FROM base),
+         ha AS (SELECT sum(CAST(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)
+                          AS DECIMAL(28,12)))::DOUBLE AS h
+                FROM (SELECT a, count(*)::BIGINT AS c FROM base GROUP BY a) CROSS JOIN n),
+         hb AS (SELECT sum(CAST(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)
+                          AS DECIMAL(28,12)))::DOUBLE AS h
+                FROM (SELECT b, count(*)::BIGINT AS c FROM base GROUP BY b) CROSS JOIN n),
+         hj AS (SELECT sum(CAST(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)
+                          AS DECIMAL(28,12)))::DOUBLE AS h
+                FROM (SELECT a, b, count(*)::BIGINT AS c FROM base GROUP BY a, b) CROSS JOIN n)
+         SELECT n.n AS n_rows,
+           round(ha.h, 9) + 0 AS h_a, round(hb.h, 9) + 0 AS h_b,
+           round(hj.h, 9) + 0 AS h_joint,
+           round(hj.h - hb.h, 9) + 0 AS h_a_given_b,
+           round(ha.h + hb.h - hj.h, 9) + 0 AS mutual_info
+         FROM n CROSS JOIN ha CROSS JOIN hb CROSS JOIN hj""",
+
+    // The q_split_assign md5-block rule; block means and deviations
+    // decimal-snapshotted; one row out.
+    "q_bootstrap_se" ->
+      """WITH b AS (
+           SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 32 AS blk, n_chars
+           FROM documents),
+         m AS (SELECT blk, sum(CAST(n_chars AS DECIMAL(28,6)))::DOUBLE / count(*) AS m
+               FROM b GROUP BY blk),
+         c AS (SELECT count(*)::BIGINT AS nb,
+                 sum(CAST(m AS DECIMAL(28,12)))::DOUBLE / count(*) AS mbar
+               FROM m),
+         s AS (SELECT nb, mbar,
+                 sum(CAST((m - mbar) * (m - mbar) AS DECIMAL(28,12)))::DOUBLE AS ss
+               FROM m CROSS JOIN c GROUP BY nb, mbar)
+         SELECT nb AS n_blocks, round(mbar, 9) + 0 AS grand_mean,
+           CASE WHEN nb > 1
+             THEN round(sqrt(ss / (nb - 1)::DOUBLE) / sqrt(nb::DOUBLE), 9) + 0
+           END AS se
+         FROM s""",
 
     // Span-collapse subsequence test: b strictly between first-a and
     // last-c; distinct per (user, pattern); exact integer supports.

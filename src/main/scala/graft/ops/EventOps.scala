@@ -371,6 +371,43 @@ object EventOps {
           lit(0L).cast("decimal(38,0)")).as("_sg2"))
   }
 
+  /** Entropy rate of the empirical event-type Markov chain: H = Σ_i π_i
+    * H(row i) with π the empirical from-state frequencies — the
+    * per-step predictability of the behavior stream in nats (0 =
+    * deterministic scripting, ln|types| = uniform noise; the
+    * distribution-level reading of [[markovTopPredAccuracy]]'s
+    * pointwise top-1 score). One row per from-state (n_from, π, row
+    * entropy) with the rolled-up rate repeated.
+    *
+    * Rides the same transition shape as the transition-matrix operator:
+    * one lead window per entity, one hash agg to the |types|² matrix;
+    * −p·ln p terms and the π-weighted rate decimal-sum.
+    */
+  def markovEntropyRate(df: DataFrame, userCol: String, tsCol: String,
+                        orderCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(orderCol))
+    val trans = df
+      .select(col(userCol), col(typeCol),
+        lead(col(typeCol), 1).over(w).as("_next"))
+      .where(col("_next").isNotNull)
+      .groupBy(col(typeCol), col("_next")).agg(count(lit(1)).as("_t"))
+      .withColumn("_ft", sum(col("_t")).over(Window.partitionBy(typeCol)))
+    val p = col("_t").cast("double") / col("_ft").cast("double")
+    val perState = trans.groupBy(typeCol)
+      .agg(max("_ft").as("_ft"), Portable.decSum(-p * log(p), 12).as("_h"))
+    val tot = perState.agg(sum("_ft").as("_tot"))
+    val withPi = perState.crossJoin(broadcast(tot))
+      .select(col(typeCol), col("_ft"),
+        (col("_ft").cast("double") / col("_tot").cast("double")).as("_pi"),
+        col("_h"))
+    val rate = withPi.agg(Portable.decSum(col("_pi") * col("_h"), 12).as("_rate"))
+    withPi.crossJoin(broadcast(rate))
+      .select(col(typeCol), col("_ft").as("n_from"),
+        round(col("_pi"), 9).as("pi"), round(col("_h"), 9).as("h_state"),
+        round(col("_rate"), 9).as("entropy_rate"))
+      .orderBy(typeCol)
+  }
+
   /** Length-3 sequential-pattern support mining (the PrefixSpan instinct,
     * Pei et al. 2001, specialized to the bounded-catalog/length-3 case):
     * support of (a, b, c) = how many entities' streams contain an

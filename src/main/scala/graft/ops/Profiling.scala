@@ -703,6 +703,102 @@ object Profiling {
       .orderBy(aCol, bCol)
   }
 
+  /** Cohen's kappa from a confusion-matrix frame (trueCol, predCol,
+    * countCol rows): chance-corrected agreement κ = (p_o − p_e)/(1 −
+    * p_e), where p_o is the trace share and p_e the margin-product
+    * chance rate — plain accuracy rewards majority-class guessing;
+    * kappa subtracts it (Cohen 1960). One row out (n, po, pe, kappa);
+    * κ undefined (NULL) when p_e = 1 (a single-cell matrix).
+    *
+    * All counts and margin products are exact integers/decimals; po,
+    * pe, and the kappa ratio are the only floating steps. Margins join
+    * on the label (absent-on-one-side labels contribute 0 exactly).
+    */
+  def cohensKappa(conf: DataFrame, trueCol: String, predCol: String,
+                  countCol: String): DataFrame = {
+    val agg = conf.agg(sum(countCol).as("_n"),
+      sum(when(col(trueCol) === col(predCol), col(countCol)).otherwise(0L))
+        .as("_agree"))
+    val rt = conf.groupBy(col(trueCol).as("_lbl")).agg(sum(countCol).as("_rt"))
+    val ct = conf.groupBy(col(predCol).as("_lbl")).agg(sum(countCol).as("_ct"))
+    val pe2 = rt.join(ct, Seq("_lbl"))
+      .agg(sum(col("_rt").cast("decimal(38,0)") * col("_ct")).as("_p"))
+    val po = col("_agree").cast("double") / col("_n").cast("double")
+    val pe = col("_p").cast("double") /
+      (col("_n").cast("decimal(38,0)") * col("_n")).cast("double")
+    agg.crossJoin(broadcast(pe2))
+      .select(col("_n").as("n_docs"),
+        round(po, 9).as("po"), round(pe, 9).as("pe"),
+        when(lit(1.0) - pe > 0,
+          Portable.pround((po - pe) / (lit(1.0) - pe), 9)).as("kappa"))
+  }
+
+  /** Entropy decomposition of two categorical columns: H(A), H(B),
+    * H(A,B), the conditional H(A|B) = H(A,B) − H(B), and the mutual
+    * information I(A;B) = H(A) + H(B) − H(A,B), all in nats — "how much
+    * does knowing the crawl tell you about the language", the
+    * information-theoretic companion of [[chiSquare]]'s significance
+    * test (χ² says the association is real; MI says how many bits it
+    * carries). One row out.
+    *
+    * Three hash aggregations over the label catalogs + broadcast totals;
+    * every −p·ln p term decimal-sums, the combinations are fixed-shape
+    * subtractions (MI signed-portable: independence lands at ±1e−17).
+    */
+  def labelEntropies(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+    val n = base.agg(count(lit(1)).as("_n"))
+    def entropyOf(grouped: DataFrame, as: String): DataFrame = {
+      val p = col("_c").cast("double") / col("_n").cast("double")
+      grouped.crossJoin(broadcast(n))
+        .agg(Portable.decSum(-p * log(p), 12).as(as))
+    }
+    val hA = entropyOf(base.groupBy("_a").agg(count(lit(1)).as("_c")), "_ha")
+    val hB = entropyOf(base.groupBy("_b").agg(count(lit(1)).as("_c")), "_hb")
+    val hJ = entropyOf(base.groupBy("_a", "_b").agg(count(lit(1)).as("_c")), "_hj")
+    n.crossJoin(broadcast(hA)).crossJoin(broadcast(hB)).crossJoin(broadcast(hJ))
+      .select(col("_n").as("n_rows"),
+        round(col("_ha"), 9).as("h_a"),
+        round(col("_hb"), 9).as("h_b"),
+        round(col("_hj"), 9).as("h_joint"),
+        Portable.pround(col("_hj") - col("_hb"), 9).as("h_a_given_b"),
+        Portable.pround(col("_ha") + col("_hb") - col("_hj"), 9).as("mutual_info"))
+  }
+
+  /** Hash-block bootstrap standard error of a mean: rows partition into
+    * `b` deterministic md5-hash blocks on `keyCol`, each block
+    * contributes its own mean, and the spread of block means estimates
+    * the sampling uncertainty of the corpus mean — the cheap
+    * cluster-robust SE a pipeline attaches to any headline average
+    * (subsampling/delete-block form; no RNG, reproducible anywhere).
+    * SE = sd(block means)/√b; one row out (n_blocks, grand_mean, se).
+    *
+    * Two tiny aggregations over b rows after the one block-keyed pass;
+    * block means and deviations snapshot at decimal before the rounds.
+    */
+  def blockBootstrapSe(df: DataFrame, keyCol: Column, valueCol: Column,
+                       b: Int = 32): DataFrame = {
+    val blocks = df
+      .select((Portable.hash32(keyCol) % b).as("_blk"), valueCol.as("_v"))
+      .groupBy("_blk")
+      .agg((Portable.decSum(col("_v"), 6) / count(lit(1))).as("_m"))
+    val center = blocks.agg(
+      count(lit(1)).as("_nb"),
+      (Portable.decSum(col("_m"), 12) / count(lit(1))).as("_mbar"))
+    blocks.crossJoin(broadcast(center))
+      .select(col("_nb"), col("_mbar"),
+        ((col("_m") - col("_mbar")) * (col("_m") - col("_mbar"))).as("_d2"))
+      .groupBy("_nb", "_mbar")
+      .agg(Portable.decSum(col("_d2"), 12).as("_ss"))
+      .select(col("_nb").as("n_blocks"),
+        round(col("_mbar"), 9).as("grand_mean"),
+        when(col("_nb") > 1,
+          round(sqrt(col("_ss") / (col("_nb") - 1).cast("double")) /
+            sqrt(col("_nb").cast("double")), 9))
+          .as("se"))
+  }
+
   /** Cumulative-gains / lift table per group: rank rows by score
     * descending within each group, cut into `nTiles` equal-count tiles,
     * and report per tile the positives captured so far and the lift over

@@ -265,6 +265,17 @@ class EmptyInputSpec extends SparkSpec {
       .count() === 0)
     assert(EventOps.sequencePatterns(df(Seq.empty[SeqEv]), "user_id", "event_id",
       "event_type", 10).count() === 0)
+    assert(EventOps.markovEntropyRate(df(Seq.empty[MkTypedEv]), "user_id", "ts",
+      "event_id", "event_type").count() === 0)
+    // one-row scalar frames come back with NULL stats, never throw
+    val kEmpty = Profiling.cohensKappa(df(Seq.empty[ConfCell]), "t", "p", "n").collect()
+    assert(kEmpty.length === 1 && kEmpty.head.isNullAt(0))
+    val eEmpty = Profiling.labelEntropies(
+      df(Seq.empty[KsRow]).toDF("a", "b"), "a", "b").collect()
+    assert(eEmpty.length === 1 && eEmpty.head.getLong(0) === 0L)
+    val bEmpty = Profiling.blockBootstrapSe(df(Seq.empty[BinVal]),
+      col("doc_id"), col("n_chars"), 8).count()
+    assert(bEmpty === 0L)
     assert(Profiling.gainsTable(df(Seq.empty[GainsRow]), "g", col("score"),
       col("pos"), col("doc_id"), 10).count() === 0)
   }

@@ -11,6 +11,8 @@ case class ModLabel(id: Long, c: String)
 case class MkRow(user_id: Long, event_id: Long, value: Double)
 case class GainsRow(g: String, doc_id: Long, score: Double, pos: Boolean)
 case class SeqEv(user_id: Long, event_id: Long, event_type: String)
+case class ConfCell(t: String, p: String, n: Long)
+case class MkTypedEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
 
 /** Second-wave round-15 operators (AUC / PSI / KS / modularity /
   * Mann-Kendall), each checked against an independent plain-Scala
@@ -388,6 +390,118 @@ class Round15bOpsSpec extends SparkSpec {
     assert((1 to 20).forall(i => got((1L, i.toLong))._1 < 1.0),
       "pos-side statistic quiet before the shift")
     assert((1 to 30).forall(i => !got((2L, i.toLong))._3), "stable user never alarms")
+  }
+
+  // ---- Cohen's kappa -----------------------------------------------------
+
+  private def kappaRef(cells: Seq[ConfCell]): (Double, Double, Option[Double]) = {
+    val n = cells.map(_.n).sum.toDouble
+    val po = cells.filter(c => c.t == c.p).map(_.n).sum / n
+    val labels = (cells.map(_.t) ++ cells.map(_.p)).distinct
+    val pe = labels.map { l =>
+      cells.filter(_.t == l).map(_.n).sum.toDouble * cells.filter(_.p == l).map(_.n).sum
+    }.sum / (n * n)
+    (po, pe, if (1.0 - pe > 0) Some((po - pe) / (1.0 - pe)) else None)
+  }
+
+  test("cohensKappa: perfect, chance-level, and degenerate matrices") {
+    def run(cells: Seq[ConfCell]) = Profiling.cohensKappa(df(cells), "t", "p", "n")
+      .collect().head
+    val perfect = Seq(ConfCell("a", "a", 30), ConfCell("b", "b", 70))
+    assert(run(perfect).getDouble(3) === 1.0)
+    // independent margins: po == pe → kappa 0
+    val chance = Seq(ConfCell("a", "a", 9), ConfCell("a", "b", 21),
+      ConfCell("b", "a", 21), ConfCell("b", "b", 49))
+    assert(math.abs(run(chance).getDouble(3)) < 1e-9)
+    // single-cell matrix: pe = 1 → NULL
+    val degen = Seq(ConfCell("x", "x", 10))
+    assert(run(degen).isNullAt(3))
+    // referee on an asymmetric matrix incl. a never-predicted label
+    val asym = Seq(ConfCell("a", "a", 40), ConfCell("a", "b", 5),
+      ConfCell("b", "b", 30), ConfCell("c", "a", 3), ConfCell("c", "b", 2))
+    val (po, pe, k) = kappaRef(asym)
+    val got = run(asym)
+    assert(math.abs(got.getDouble(1) - po) < 1e-9)
+    assert(math.abs(got.getDouble(2) - pe) < 1e-9)
+    assert(math.abs(got.getDouble(3) - k.get) < 1e-8)
+  }
+
+  // ---- Markov entropy rate -----------------------------------------------
+
+  test("markovEntropyRate: deterministic chain 0, uniform chain ln k") {
+    import java.sql.Timestamp
+    // deterministic A→B→A→B... : every row entropy 0
+    val det = (1L to 4L).flatMap(u => (1 to 20).map(i =>
+      MkTypedEv(u, i, new Timestamp(i * 1000L), if (i % 2 == 0) "A" else "B")))
+    val outDet = EventOps.markovEntropyRate(df(det), "user_id", "ts", "event_id", "event_type")
+      .collect()
+    assert(outDet.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0))
+    // two states, each row uniform over {A, B} → rate = ln 2
+    val uni = (0 until 64).map { i =>
+      // one user; sequence AABB AABB... hits all 4 transitions equally
+      val ty = if ((i / 2) % 2 == 0) "A" else "B"
+      MkTypedEv(1L, i + 1, new Timestamp((i + 1) * 1000L), ty)
+    }
+    val outUni = EventOps.markovEntropyRate(df(uni), "user_id", "ts", "event_id", "event_type")
+      .collect()
+    // AABBAABB…: from A transitions are A,B alternating (≈ uniform), same
+    // for B — each row entropy ~ln 2 up to the boundary transition
+    for (r <- outUni) assert(math.abs(r.getDouble(3) - math.log(2)) < 0.02)
+  }
+
+  // ---- Label entropies ---------------------------------------------------
+
+  test("labelEntropies satisfies the chain rule and MI identities") {
+    val rnd = new scala.util.Random(271828)
+    val rows = (1 to 500).map { _ =>
+      val a = s"a${rnd.nextInt(4)}"
+      // b correlated with a half the time → strictly positive MI
+      val b = if (rnd.nextBoolean()) s"b${a.last}" else s"b${rnd.nextInt(4)}"
+      AbRow(a, b)
+    }
+    val r = Profiling.labelEntropies(df(rows), "a", "b").collect().head
+    val (ha, hb, hj) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val n = rows.size.toDouble
+    def ent(groups: Map[_, Int]): Double =
+      -groups.values.map(c => c / n * math.log(c / n)).sum
+    assert(math.abs(ha - ent(rows.groupBy(_.a).view.mapValues(_.size).toMap)) < 1e-6)
+    assert(math.abs(hb - ent(rows.groupBy(_.b).view.mapValues(_.size).toMap)) < 1e-6)
+    assert(math.abs(hj - ent(rows.groupBy(x => (x.a, x.b)).view.mapValues(_.size).toMap)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - (hj - hb)) < 1e-8, "chain rule H(A|B)=H(AB)-H(B)")
+    assert(math.abs(r.getDouble(5) - (ha + hb - hj)) < 1e-8, "MI identity")
+    assert(r.getDouble(5) > 0.05, "correlated labels carry positive MI")
+    // independent labels → MI ≈ 0 (and canonicalized, never -0.0)
+    val indep = (0 until 400).map(i => AbRow(s"a${i % 4}", s"b${(i / 4) % 4}"))
+    val ri = Profiling.labelEntropies(df(indep), "a", "b").collect().head
+    assert(math.abs(ri.getDouble(5)) < 1e-9)
+    assert(java.lang.Double.doubleToRawLongBits(ri.getDouble(5)) !=
+      java.lang.Double.doubleToRawLongBits(-0.0d), "MI must canonicalize -0.0")
+  }
+
+  // ---- Block bootstrap SE ------------------------------------------------
+
+  test("blockBootstrapSe: constant data has zero SE; referee matches") {
+    val const = (1L to 200L).map(i => BinVal(i, 42L, ref = true))
+    val rc = Profiling.blockBootstrapSe(df(const), col("doc_id"), col("n_chars"), 8)
+      .collect().head
+    assert(rc.getDouble(1) === 42.0 && rc.getDouble(2) === 0.0)
+    // referee with the same md5-block rule
+    val rows = (1L to 300L).map(i => BinVal(i, (i * 37 % 97) + 3, ref = true))
+    val got = Profiling.blockBootstrapSe(df(rows), col("doc_id"), col("n_chars"), 8)
+      .collect().head
+    def blk(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 8
+    }
+    val means = rows.groupBy(r => blk(r.doc_id)).values
+      .map(g => g.map(_.n_chars.toDouble).sum / g.size).toSeq
+    val mbar = means.sum / means.size
+    val se = math.sqrt(means.map(m => (m - mbar) * (m - mbar)).sum / (means.size - 1)) /
+      math.sqrt(means.size)
+    assert(got.getLong(0) === means.size.toLong)
+    assert(math.abs(got.getDouble(1) - mbar) < 1e-6)
+    assert(math.abs(got.getDouble(2) - se) < 1e-6)
   }
 
   // ---- Sequential patterns -----------------------------------------------
