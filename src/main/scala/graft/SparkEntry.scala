@@ -2587,7 +2587,8 @@ object SparkEntry {
     // scored on the corpus, argmax ties to the smaller label; label²
     // rows out.
     "q_nb_confusion" -> ((s, dir) =>
-      TextOps.naiveBayesConfusion(T(s, dir, "documents"), "lang", "text", "doc_id")
+      TextOps.naiveBayesConfusionCached(T(s, dir, "documents"), "lang", "text",
+          "doc_id", s, dir)
         .orderBy("true_label", "pred_label")),
 
     // Cohen's kappa of the NB language-ID against the true labels —
@@ -2597,7 +2598,8 @@ object SparkEntry {
     // floating steps.
     "q_cohens_kappa" -> ((s, dir) =>
       Profiling.cohensKappa(
-        TextOps.naiveBayesConfusion(T(s, dir, "documents"), "lang", "text", "doc_id"),
+        TextOps.naiveBayesConfusionCached(T(s, dir, "documents"), "lang", "text",
+          "doc_id", s, dir),
         "true_label", "pred_label", "n_docs")),
 
     // Entropy rate of the event-type Markov chain: H = Σ_i π_i H(row i)

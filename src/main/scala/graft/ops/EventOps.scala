@@ -416,15 +416,16 @@ object EventOps {
     * funnel counts a GIVEN sequence, this discovers which sequences are
     * frequent. Top `topK` out, ties on the full pattern key.
     *
-    * The subsequence test collapses to spans: (a,b,c) occurs iff some
-    * b-event sits strictly between the entity's FIRST a and LAST c — so
-    * one (entity, type) min/max aggregate and two span joins replace any
-    * scan over the exponential subsequence space. Each b-event fans by
-    * ≤ |types|² span pairs (a bounded catalog constant, the C171
-    * wedge-bound argument), then a distinct per (entity, pattern) and a
-    * catalog-sized count. All counts exact integers; top-k is
-    * TakeOrderedAndProject on (support desc, pattern asc) — total order,
-    * no ambiguous boundary.
+    * The subsequence test collapses to spans twice: (a,b,c) occurs iff
+    * the entity's LAST c lies strictly after its EARLIEST b-event that
+    * follows its FIRST a (the greedy-matching equivalence) — so one
+    * (entity, type) min/max aggregate, an a-span join whose fan the
+    * per-entity (a, b) MIN aggregation absorbs map-side, and a c-span
+    * join over the ≤ catalog²-per-entity frame replace any scan over
+    * the exponential subsequence space (and the row-scale distinct a
+    * direct formulation needs). All counts exact integers; top-k is
+    * TakeOrderedAndProject on (support desc, pattern asc) — total
+    * order, no ambiguous boundary.
     */
   def sequencePatterns(df: DataFrame, userCol: String, orderCol: String,
                        typeCol: String, topK: Int): DataFrame = {
@@ -432,12 +433,14 @@ object EventOps {
       col(typeCol).as("_y"))
     val spans = e.groupBy("_u", "_y")
       .agg(min("_t").as("_mn"), max("_t").as("_mx"))
-    e.join(spans.select(col("_u"), col("_y").as("type_a"), col("_mn")), Seq("_u"))
+    val firstBAfterA = e
+      .join(spans.select(col("_u"), col("_y").as("type_a"), col("_mn")), Seq("_u"))
       .where(col("_mn") < col("_t"))
+      .groupBy(col("_u"), col("type_a"), col("_y").as("type_b"))
+      .agg(min("_t").as("_tb"))
+    firstBAfterA
       .join(spans.select(col("_u"), col("_y").as("type_c"), col("_mx")), Seq("_u"))
-      .where(col("_mx") > col("_t"))
-      .select(col("_u"), col("type_a"), col("_y").as("type_b"), col("type_c"))
-      .distinct()
+      .where(col("_mx") > col("_tb"))
       .groupBy("type_a", "type_b", "type_c")
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("type_a").asc, col("type_b").asc,

@@ -1301,6 +1301,24 @@ object TextOps {
       qualityScore(df, textCol).localCheckpoint(true)
     }
 
+  /** Session-memoized NB confusion matrix: q_nb_confusion and
+    * q_cohens_kappa consume the identical label²-sized frame — one NB
+    * train+score pass per (application, corpus) instead of two (the
+    * qualityScoreCached contract: keyed by applicationId, single-entry
+    * retention).
+    */
+  private val nbConfusionCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def naiveBayesConfusionCached(df: => DataFrame, labelCol: String, textCol: String,
+                                idCol: String,
+                                spark: org.apache.spark.sql.SparkSession,
+                                corpusKey: String): DataFrame =
+    SessionMemo.memoize(nbConfusionCache,
+      (spark.sparkContext.applicationId, corpusKey)) {
+      naiveBayesConfusion(df, labelCol, textCol, idCol).localCheckpoint(true)
+    }
+
   /** Session-memoized BM25 scores over a corpus: the retrieval-eval
     * family (q_rbo, q_rrf_fuse, q_ndcg) re-derives the same ranking
     * frame its primary query (q_bm25) computes — one materialization per
