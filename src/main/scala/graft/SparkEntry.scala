@@ -2709,6 +2709,32 @@ object SparkEntry {
         col("lang") === "en", col("doc_id"), 10)
     }),
 
+    // Precision-constrained cutoff per source: the deepest stopword-
+    // ratio threshold keeping cumulative precision >= 3/5 on the
+    // English label — the actionable "where to cut" end of the eval
+    // family; the test is an exact integer cross-multiplication.
+    "q_threshold_pick" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val scored = T(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(filter(t, x => x.isin(TextOps.Stopwords: _*))).cast("double")
+            ./(size(t).cast("double")).as("_score"))
+        .where(size(t) > 0)
+      Profiling.thresholdPick(scored, "source", col("_score"),
+          col("lang") === "en", pNum = 3, pDen = 5)
+        .orderBy("source")
+    }),
+
+    // Per-label precision/recall/F1 + macro-F1 of the NB language-ID —
+    // which labels does the classifier trade away (kappa is the one-
+    // number summary; this is the breakdown); rides the memoized
+    // confusion matrix.
+    "q_nb_f1" -> ((s, dir) =>
+      Profiling.classificationReport(
+        TextOps.naiveBayesConfusionCached(T(s, dir, "documents"), "lang", "text",
+          "doc_id", s, dir),
+        "true_label", "pred_label", "n_docs")),
+
     // Per-source Spearman rank correlation between doc length and token
     // count — the monotone-association screen (Pearson on average
     // ranks); doubled ranks keep ties integer-exact, one source
@@ -7389,6 +7415,70 @@ object SparkEntry {
              THEN (cum_pos::DOUBLE / cum_n::DOUBLE) / (tot_pos::DOUBLE / tot_n::DOUBLE)
            END AS lift
          FROM c ORDER BY source, decile""",
+
+    // Exact integer precision test (cump·5 >= cumn·3) over the
+    // distinct-score cumulative frame; deepest qualifying cut unique
+    // because cumn strictly increases.
+    "q_threshold_pick" ->
+      raw"""WITH t AS (
+           SELECT source, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT source,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks)::DOUBLE AS sc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM t WHERE len(toks) > 0),
+         g AS (SELECT source, sc, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+               FROM s GROUP BY 1, 2),
+         c AS (SELECT source, sc,
+                 sum(cnt) OVER w::BIGINT AS cumn,
+                 sum(pos) OVER w::BIGINT AS cump,
+                 sum(pos) OVER (PARTITION BY source)::BIGINT AS totp
+               FROM g
+               WINDOW w AS (PARTITION BY source ORDER BY sc DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         q AS (SELECT * FROM c WHERE cump * 5 >= cumn * 3),
+         r AS (SELECT source, sc, cumn, cump, totp,
+                 row_number() OVER (PARTITION BY source ORDER BY cumn DESC) AS rn
+               FROM q)
+         SELECT source, sc AS threshold, cumn AS n_kept, cump AS n_pos_kept,
+           cump::DOUBLE / cumn::DOUBLE AS precision,
+           CASE WHEN totp > 0 THEN cump::DOUBLE / totp::DOUBLE END AS recall
+         FROM r WHERE rn = 1 ORDER BY source""",
+
+    // Margins via full outer label join (absent counts exact zeros);
+    // F1 from UNROUNDED p/r; macro decimal-averages the raw F1s
+    // (absent -> 0) before its own round.
+    "q_nb_f1" ->
+      s"""$NbPredCte,
+         conf AS (SELECT true_lang, pred_lang, count(*)::BIGINT AS c
+                  FROM pred GROUP BY 1, 2),
+         tp AS (SELECT true_lang AS label, sum(CASE WHEN true_lang = pred_lang THEN c ELSE 0 END)::BIGINT AS tp
+                FROM conf GROUP BY 1),
+         rt AS (SELECT true_lang AS label, sum(c)::BIGINT AS rt FROM conf GROUP BY 1),
+         ct AS (SELECT pred_lang AS label, sum(c)::BIGINT AS ct FROM conf GROUP BY 1),
+         base AS (
+           SELECT coalesce(rt.label, ct.label) AS label,
+             coalesce(tp.tp, 0) AS tp, coalesce(rt.rt, 0) AS n_true, coalesce(ct.ct, 0) AS n_pred
+           FROM rt FULL JOIN ct ON rt.label = ct.label
+           LEFT JOIN tp ON coalesce(rt.label, ct.label) = tp.label),
+         pr AS (
+           SELECT label, tp, n_true, n_pred,
+             CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred::DOUBLE END AS p,
+             CASE WHEN n_true > 0 THEN tp::DOUBLE / n_true::DOUBLE END AS r
+           FROM base),
+         f AS (
+           SELECT label, tp, n_true, n_pred, p, r,
+             CASE WHEN p IS NOT NULL AND r IS NOT NULL AND (p + r) > 0
+               THEN 2.0::DOUBLE * p * r / (p + r) END AS f1
+           FROM pr),
+         m AS (SELECT sum(CAST(coalesce(f1, 0.0) AS DECIMAL(28,12)))::DOUBLE / count(*) AS macro FROM f)
+         SELECT label, tp, n_true, n_pred,
+           round(p, 9) + 0 AS precision, round(r, 9) + 0 AS recall,
+           round(f1, 9) + 0 AS f1, round(macro, 9) + 0 AS macro_f1
+         FROM f CROSS JOIN m ORDER BY label""",
 
     // Doubled average ranks (asc rank + complement of desc rank) keep
     // ties integer; HUGEINT moment sums mirror decimal(38,0); the rho

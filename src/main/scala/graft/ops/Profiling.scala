@@ -703,6 +703,83 @@ object Profiling {
       .orderBy(aCol, bCol)
   }
 
+  /** Precision-constrained threshold pick per group: the DEEPEST score
+    * cutoff whose cumulative precision still meets `pNum/pDen` — the
+    * actionable end of the evaluation family ([[rocAuc]] says the score
+    * ranks, [[calibrationReport]] says what it means, THIS says where to
+    * cut to keep the most data at a guaranteed precision). One row per
+    * group: threshold, rows kept, positives kept, achieved precision and
+    * recall at that cut; groups with no qualifying cut emit nothing.
+    *
+    * The precision test is the EXACT integer cross-multiplication
+    * cumPos·pDen ≥ cumN·pNum — no float threshold boundary; cumulative
+    * counts ride the distinct-score frame under one group-keyed window
+    * (the rocAuc shape), and the deepest qualifying cut is unique
+    * because cumN strictly increases with depth.
+    */
+  def thresholdPick(df: DataFrame, groupCol: String, scoreCol: Column,
+                    labelCol: Column, pNum: Int, pDen: Int): DataFrame = {
+    val g = df
+      .select(col(groupCol), scoreCol.as("_s"),
+        labelCol.cast("boolean").cast("long").as("_y"))
+      .repartition(col(groupCol))
+      .groupBy(col(groupCol), col("_s"))
+      .agg(count(lit(1)).as("_cnt"), sum("_y").as("_pos"))
+    val wCum = Window.partitionBy(groupCol).orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(groupCol)
+    val cuts = g
+      .withColumn("_cumN", sum("_cnt").over(wCum))
+      .withColumn("_cumPos", sum("_pos").over(wCum))
+      .withColumn("_totPos", sum("_pos").over(wTot))
+      .where(col("_cumPos") * pDen >= col("_cumN") * pNum)
+    val wBest = Window.partitionBy(groupCol).orderBy(col("_cumN").desc)
+    cuts.withColumn("_rn", row_number().over(wBest))
+      .where(col("_rn") === 1)
+      .select(col(groupCol), col("_s").as("threshold"),
+        col("_cumN").as("n_kept"), col("_cumPos").as("n_pos_kept"),
+        (col("_cumPos").cast("double") / col("_cumN").cast("double"))
+          .as("precision"),
+        when(col("_totPos") > 0,
+          col("_cumPos").cast("double") / col("_totPos").cast("double"))
+          .as("recall"))
+  }
+
+  /** Per-label precision/recall/F1 + macro-F1 from a confusion-matrix
+    * frame (trueCol, predCol, countCol) — the standard multi-class
+    * report ([[cohensKappa]] gives the one-number chance-corrected
+    * score; this shows WHICH labels the classifier trades away). Labels
+    * are the union of true and predicted; absent counts are exact
+    * zeros. P/R/F1 are fixed-shape divisions NULL-guarded on empty
+    * denominators; macro-F1 averages the per-label F1s (absent → 0,
+    * the conservative convention) via a decimal sum.
+    */
+  def classificationReport(conf: DataFrame, trueCol: String, predCol: String,
+                           countCol: String): DataFrame = {
+    val tp = conf.where(col(trueCol) === col(predCol))
+      .groupBy(col(trueCol).as("label")).agg(sum(countCol).as("_tp"))
+    val rt = conf.groupBy(col(trueCol).as("label")).agg(sum(countCol).as("_rt"))
+    val ct = conf.groupBy(col(predCol).as("label")).agg(sum(countCol).as("_ct"))
+    val base = rt.join(ct, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .na.fill(0L, Seq("_tp", "_rt", "_ct"))
+    val prec = when(col("_ct") > 0, col("_tp").cast("double") / col("_ct").cast("double"))
+    val rec = when(col("_rt") > 0, col("_tp").cast("double") / col("_rt").cast("double"))
+    val f1 = when(prec.isNotNull && rec.isNotNull && (prec + rec) > 0,
+      lit(2.0) * prec * rec / (prec + rec))
+    val scored = base.select(col("label"), col("_tp").as("tp"),
+      col("_rt").as("n_true"), col("_ct").as("n_pred"),
+      round(prec, 9).as("precision"), round(rec, 9).as("recall"),
+      round(f1, 9).as("f1"), coalesce(f1, lit(0.0)).as("_f1raw"))
+    val macroAgg = scored.agg(
+      (Portable.decSum(col("_f1raw"), 12) / count(lit(1))).as("_macro"))
+    scored.crossJoin(broadcast(macroAgg))
+      .select(col("label"), col("tp"), col("n_true"), col("n_pred"),
+        col("precision"), col("recall"), col("f1"),
+        round(col("_macro"), 9).as("macro_f1"))
+      .orderBy("label")
+  }
+
   /** Cohen's kappa from a confusion-matrix frame (trueCol, predCol,
     * countCol rows): chance-corrected agreement κ = (p_o − p_e)/(1 −
     * p_e), where p_o is the trace share and p_e the margin-product

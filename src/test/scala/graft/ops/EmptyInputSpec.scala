@@ -276,6 +276,10 @@ class EmptyInputSpec extends SparkSpec {
     val bEmpty = Profiling.blockBootstrapSe(df(Seq.empty[BinVal]),
       col("doc_id"), col("n_chars"), 8).count()
     assert(bEmpty === 0L)
+    assert(Profiling.thresholdPick(df(Seq.empty[GainsRow]), "g", col("score"),
+      col("pos"), 3, 4).count() === 0)
+    assert(Profiling.classificationReport(df(Seq.empty[ConfCell]), "t", "p", "n")
+      .count() === 0)
     assert(Profiling.gainsTable(df(Seq.empty[GainsRow]), "g", col("score"),
       col("pos"), col("doc_id"), 10).count() === 0)
   }

@@ -392,6 +392,85 @@ class Round15bOpsSpec extends SparkSpec {
     assert((1 to 30).forall(i => !got((2L, i.toLong))._3), "stable user never alarms")
   }
 
+  // ---- Threshold pick ----------------------------------------------------
+
+  test("thresholdPick takes the deepest cut meeting the exact precision bar") {
+    // scores desc: pos pattern T T F T F F F F → cum precision
+    // 1, 1, 2/3, 3/4, 3/5, 3/6, 3/7, 3/8; target 3/4 → deepest ok depth 4
+    val rows = Seq(true, true, false, true, false, false, false, false)
+      .zipWithIndex.map { case (p, i) => GainsRow("g", i.toLong, 1.0 - i * 0.1, p) }
+    val out = Profiling.thresholdPick(df(rows), "g", col("score"), col("pos"), 3, 4)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(2) === 4L && r.getLong(3) === 3L)
+    assert(math.abs(r.getDouble(1) - 0.7) < 1e-12, "threshold is the depth-4 score")
+    assert(r.getDouble(4) === 0.75)
+    assert(r.getDouble(5) === 1.0, "all positives captured at the cut")
+    // unattainable bar → no row for the group
+    val none = Profiling.thresholdPick(df(rows.map(_.copy(pos = false))), "g",
+      col("score"), col("pos"), 1, 2).collect()
+    assert(none.isEmpty)
+  }
+
+  // ---- Classification report ---------------------------------------------
+
+  test("classificationReport matches the hand F1s, absent labels zeroed") {
+    // label c never predicted (recall 0, precision NULL); label d only
+    // predicted, never true (precision 0, recall NULL)
+    val cells = Seq(ConfCell("a", "a", 8), ConfCell("a", "b", 2),
+      ConfCell("b", "b", 6), ConfCell("b", "a", 1),
+      ConfCell("c", "a", 3), ConfCell("b", "d", 1))
+    val out = Profiling.classificationReport(df(cells), "t", "p", "n").collect()
+    val by = out.map(r => r.getString(0) -> r).toMap
+    assert(by.keySet === Set("a", "b", "c", "d"))
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    // a: tp=8, n_true=10, n_pred=12
+    assert(by("a").getDouble(4) === r9(8.0 / 12) && by("a").getDouble(5) === 0.8)
+    val f1a = 2 * (8.0 / 12) * 0.8 / (8.0 / 12 + 0.8)
+    assert(math.abs(by("a").getDouble(6) - f1a) < 1e-9)
+    // c: never predicted → precision NULL, recall 0, f1 NULL
+    assert(by("c").isNullAt(4) && by("c").getDouble(5) === 0.0 && by("c").isNullAt(6))
+    // d: never true → recall NULL
+    assert(by("d").getDouble(4) === 0.0 && by("d").isNullAt(5) && by("d").isNullAt(6))
+    // macro averages raw F1s with absents as 0, over all 4 labels
+    val f1b = { val p = 6.0 / 8; val r = 6.0 / 8; 2 * p * r / (p + r) }
+    val wantMacro = (f1a + f1b + 0.0 + 0.0) / 4
+    for (r <- out) assert(math.abs(r.getDouble(7) - wantMacro) < 1e-8)
+  }
+
+  // ---- Rank-statistic invariance properties ------------------------------
+
+  test("AUC, Spearman, and KS are invariant under monotone transforms") {
+    val rnd = new scala.util.Random(424242)
+    val scored = (1 to 200).map(_ =>
+      ScoredDoc(s"g${rnd.nextInt(2)}", rnd.nextInt(10) / 10.0, rnd.nextBoolean()))
+    def aucOf(d: org.apache.spark.sql.DataFrame) =
+      Profiling.rocAuc(d, "source", col("score"), col("pos"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val base = aucOf(df(scored))
+    // exp is strictly monotone → identical rank statistic
+    val mono = aucOf(df(scored).withColumn("score", exp(col("score"))))
+    assert(base === mono, "AUC must be invariant under exp(score)")
+
+    val xy = (1 to 200).map(_ => XyRow(s"g${rnd.nextInt(2)}", rnd.nextInt(9), rnd.nextInt(9)))
+    def rhoOf(d: org.apache.spark.sql.DataFrame) =
+      Profiling.spearman(d, "g", col("x"), col("y"))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rho = rhoOf(df(xy))
+    val rhoMono = rhoOf(df(xy)
+      .withColumn("x", exp(col("x"))).withColumn("y", col("y") * 3 + 1))
+    assert(rho === rhoMono, "Spearman must be invariant under monotone maps")
+
+    val ks = (1 to 300).map(_ => KsRow(s"g${rnd.nextInt(3)}", rnd.nextInt(15).toLong))
+    def ksOf(d: org.apache.spark.sql.DataFrame) =
+      Profiling.ksByGroup(d, "g", col("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val kd = ksOf(df(ks))
+    val kdMono = ksOf(df(ks).withColumn("v", col("v") * 7 + 2))
+    assert(kd === kdMono, "KS must be invariant under monotone maps")
+  }
+
   // ---- Cohen's kappa -----------------------------------------------------
 
   private def kappaRef(cells: Seq[ConfCell]): (Double, Double, Option[Double]) = {
