@@ -761,6 +761,60 @@ object Graph {
         round(col("_score"), 6).as("score"))
   }
 
+  /** k-truss peel of an undirected edge list (Cohen 2008): repeatedly
+    * drop every edge in fewer than k−2 triangles until none drops — the
+    * cohesive-core detector STRONGER than [[kCore]] (a k-core can be a
+    * star; a k-truss edge must share k−2 common neighbors, so trusses
+    * are triangle-dense near-cliques). On a near-dup graph this is the
+    * dedup-audit reading: the 3-truss keeps exactly the edges inside
+    * genuine copy CLUSTERS and drops incidental pairwise matches.
+    * Returns surviving edges with their support in the surviving graph.
+    *
+    * Per round, support comes from closing-edge attribution: each
+    * triangle {a,b,c} yields one wedge per middle vertex, and the tri
+    * row (wa, wb, thru) credits ONLY its closing edge (wa, wb) — so
+    * every triangle credits each of its edges exactly once, no
+    * overcount, no dedup. The wedge join is Σdeg² on the CURRENT
+    * (shrinking) graph — bounded by near-dup cluster width on the
+    * intended input (the C171 wedge-bound argument); per-round
+    * localCheckpoint truncates lineage (the kCore loop contract), and
+    * equal edge counts mean equal sets (peeling is monotone), so the
+    * fixpoint test is one count per round.
+    */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+             maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    def support(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("w"))
+        .union(e.select(col("b").as("u"), col("a").as("w")))
+      sym.as("x").join(sym.as("y"),
+          col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+        .select(col("x.w").as("wa"), col("y.w").as("wb"))
+        .join(e, col("wa") === col("a") && col("wb") === col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var nEdges = e.count()
+    var round = 0
+    var done = nEdges == 0
+    while (!done && round < maxRounds) {
+      val kept = e.join(support(e).where(col("support") >= k - 2),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint(false)
+      val nKept = kept.count()
+      if (nKept == nEdges) done = true
+      else { e = kept; nEdges = nKept }
+      round += 1
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .na.fill(0L, Seq("support"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Newman modularity of a node labeling over an undirected edge list
     * (Newman & Girvan 2004): per community c, Q_c = e_c/m − (d_c/2m)²
     * where e_c = intra-community edges, d_c = degree sum, m = total

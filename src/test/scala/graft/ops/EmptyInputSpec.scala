@@ -249,6 +249,7 @@ class EmptyInputSpec extends SparkSpec {
     val emptyEdges = df(Seq.empty[ModEdge])
     val emptyLabels = df(Seq.empty[ModLabel])
     assert(Graph.modularity(emptyEdges, "a", "b", emptyLabels, "id", "c").count() === 0)
+    assert(Graph.kTruss(emptyEdges, "a", "b", k = 4).count() === 0)
     val emptyMk = df(Seq.empty[MkRow])
     assert(TimeSeries.mannKendall(emptyMk, "user_id", "event_id", "value").count() === 0)
     assert(TimeSeries.senSlope(emptyMk, "user_id", "event_id", "value").count() === 0)

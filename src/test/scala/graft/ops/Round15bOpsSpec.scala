@@ -665,6 +665,58 @@ class Round15bOpsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(5) && r.isNullAt(6)))
   }
 
+  // ---- k-truss -----------------------------------------------------------
+
+  /** Referee: literal peel-to-fixpoint with brute-force support. */
+  private def trussRef(edges: Set[(Long, Long)], k: Int): Map[(Long, Long), Int] = {
+    var e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    def sup(s: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      def nbrs(x: Long) = s.collect { case (a, b) if a == x => b; case (a, b) if b == x => a }
+      s.map { case (a, b) => (a, b) -> (nbrs(a) & nbrs(b)).size }.toMap
+    }
+    var done = false
+    while (!done) {
+      val m = sup(e)
+      val kept = e.filter(m(_) >= k - 2)
+      done = kept == e
+      e = kept
+    }
+    sup(e)
+  }
+
+  test("kTruss peels to the referee fixpoint, cascades included") {
+    // two 4-cliques sharing one vertex, a pendant triangle hanging off a
+    // clique edge (peeled by k=4 — a CASCADE: its edges have support 1),
+    // and an isolated edge
+    val c1 = for (Seq(a, b) <- Seq(1L, 2L, 3L, 4L).combinations(2).toSeq) yield (a, b)
+    val c2 = for (Seq(a, b) <- Seq(4L, 5L, 6L, 7L).combinations(2).toSeq) yield (a, b)
+    val extra = Seq((1L, 10L), (2L, 10L), (20L, 21L))
+    val edges = (c1 ++ c2 ++ extra).toSet
+    val want = trussRef(edges, 4)
+    val got = Graph.kTruss(
+      df(edges.toSeq.map(p => ModEdge(p._1, p._2))), "a", "b", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === want.keySet)
+    for ((e, s) <- want) assert(got(e) === s.toLong, s"support of $e")
+    // both 4-cliques survive whole; triangle {1,2,10} and the isolated
+    // edge are gone
+    assert(got.keySet === (c1 ++ c2).toSet)
+  }
+
+  test("kTruss on seeded random graphs equals the referee") {
+    val rnd = new scala.util.Random(5799)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)).toSet
+      val want = trussRef(edges, 4)
+      val got = Graph.kTruss(
+        df(edges.toSeq.map(p => ModEdge(p._1, p._2))), "a", "b", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want.map { case (e, s) => e -> s.toLong }, s"trial $trial")
+    }
+  }
+
   // ---- Mann-Kendall ------------------------------------------------------
 
   private def mkReferee(vs: Seq[Double]): (Long, Option[Double]) = {
