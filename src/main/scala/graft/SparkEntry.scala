@@ -2663,6 +2663,24 @@ object SparkEntry {
       Profiling.ksByGroup(T(s, dir, "documents"), "source", col("n_chars"))
         .orderBy("source")),
 
+    // Embedding-space drift between the md5 train split and the rest:
+    // cosine + L2 of the per-cohort mean vectors — the representation-
+    // level counterpart of q_psi's scalar drift gate (a feature can
+    // hold still while the embedding space rotates under it).
+    "q_embed_drift" -> ((s, dir) => {
+      val ref = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000 < 8000
+      VectorOps.embeddingDrift(T(s, dir, "embeddings"), ref, "embedding")
+    }),
+
+    // Label-error candidates (confident-learning instinct): docs whose
+    // NB score under some OTHER language beats their own label's,
+    // ranked by margin — the "audit these labels first" queue; rides
+    // the shared NB scores core.
+    "q_label_suspects" -> ((s, dir) =>
+      TextOps.nbLabelSuspects(T(s, dir, "documents"), "lang", "text", "doc_id",
+        topK = 20)),
+
     // Newman modularity of LANGUAGE labels over the SimHash near-dup
     // graph (memoized: the banded candidate join is paid once per
     // session) — does duplication stay inside a language or cross it?
@@ -7541,6 +7559,49 @@ object SparkEntry {
              THEN round(sqrt(chi2 / (n::DOUBLE * (least(ra, rb) - 1)::DOUBLE)), 6) + 0
            END AS cramers_v
          FROM s2 CROSS JOIN tot ORDER BY lang, source""",
+
+    // The q_split_assign md5 rule on vec_id; per-dim decimal means; the
+    // two scalars from decimal cross-moments over 64 dims.
+    "q_embed_drift" ->
+      """WITH e AS (
+           SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000) AS ref,
+             embedding
+           FROM embeddings),
+         fan AS (
+           SELECT ref, p.pos, embedding[p.pos]::DOUBLE AS v
+           FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p),
+         m AS (SELECT ref, pos,
+                 sum(CAST(v AS DECIMAL(28,12)))::DOUBLE / count(*) AS m,
+                 count(*)::BIGINT AS n
+               FROM fan GROUP BY 1, 2),
+         j AS (SELECT a.pos, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb
+               FROM m a JOIN m b ON a.pos = b.pos AND a.ref AND NOT b.ref),
+         agg AS (SELECT max(na)::BIGINT AS n_ref, max(nb)::BIGINT AS n_cur,
+                   sum(CAST(ma * mb AS DECIMAL(28,12)))::DOUBLE AS dot,
+                   sum(CAST(ma * ma AS DECIMAL(28,12)))::DOUBLE AS aa,
+                   sum(CAST(mb * mb AS DECIMAL(28,12)))::DOUBLE AS bb,
+                   sum(CAST((ma - mb) * (ma - mb) AS DECIMAL(28,12)))::DOUBLE AS d2
+                 FROM j)
+         SELECT n_ref, n_cur,
+           CASE WHEN aa > 0 AND bb > 0
+             THEN round(dot / (sqrt(aa) * sqrt(bb)), 9) + 0 END AS mean_cos,
+           round(sqrt(d2), 9) + 0 AS l2_dist
+         FROM agg""",
+
+    // The shared NB scored CTE; best-other via the negated-score struct
+    // min; ordering on the RAW margin with a doc-id tiebreak.
+    "q_label_suspects" ->
+      s"""$NbPredCte,
+         ts AS (SELECT doc_id, score AS tsc FROM scored WHERE cand = true_lang),
+         bo AS (SELECT doc_id, true_lang,
+                  (min({'ns': -score, 'l': cand})).l AS suspect_label,
+                  -((min({'ns': -score, 'l': cand})).ns) AS bs
+                FROM scored WHERE cand <> true_lang GROUP BY doc_id, true_lang)
+         SELECT doc_id, true_lang AS true_label, suspect_label,
+           round(bs - tsc, 6) + 0 AS margin
+         FROM bo JOIN ts USING (doc_id)
+         WHERE bs > tsc
+         ORDER BY (bs - tsc) DESC, doc_id ASC LIMIT 20""",
 
     // Pairwise sign sum via the bounded per-user self-join; integer S,
     // one final division — engine-exact, unrounded.

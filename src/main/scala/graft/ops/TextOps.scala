@@ -2355,8 +2355,13 @@ object TextOps {
     * (label, token) — plain equi-joins, map-side-combinable aggregates,
     * nothing corpus-wide on one task. Output is label² rows.
     */
-  def naiveBayesConfusion(df: DataFrame, labelCol: String, textCol: String,
-                          idCol: String): DataFrame = {
+  /** Per-(document, candidate-label) add-1 multinomial NB scores — the
+    * shared core behind the confusion matrix, kappa, and label-suspect
+    * operators: (_id, _true, _cand, _score) with _score = ln prior +
+    * Σ tf·ln((c+1)/(tot+V)), per-token terms decimal-summed.
+    */
+  def naiveBayesScores(df: DataFrame, labelCol: String, textCol: String,
+                       idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("_id"), col(labelCol).as("_true"),
       explode(tokens(col(textCol))).as("_w"))
     val tf = tok.groupBy("_id", "_true", "_w").agg(count(lit(1)).as("_tf"))
@@ -2369,17 +2374,50 @@ object TextOps {
     val labels = priors.join(ltot, Seq("_l")).crossJoin(vocab).crossJoin(nDocs)
       .select(col("_l"), col("_tot"), col("_v"),
         log(col("_nd").cast("double") / col("_nn").cast("double")).as("_prior_ln"))
-    val scored = tf.crossJoin(broadcast(labels))
+    tf.crossJoin(broadcast(labels))
       .join(cnt, Seq("_l", "_w"), "left")
       .groupBy(col("_id"), col("_true"), col("_l"))
       .agg((max(col("_prior_ln")) + Portable.decSum(
         col("_tf").cast("double") *
           log((coalesce(col("_c").cast("double"), lit(0.0)) + lit(1.0)) /
             (col("_tot") + col("_v")).cast("double")), 12)).as("_score"))
+      .select(col("_id"), col("_true"), col("_l").as("_cand"), col("_score"))
+  }
+
+  def naiveBayesConfusion(df: DataFrame, labelCol: String, textCol: String,
+                          idCol: String): DataFrame = {
+    val scored = naiveBayesScores(df, labelCol, textCol, idCol)
     val pred = scored.groupBy(col("_id"), col("_true"))
-      .agg(min(struct((col("_score") * -1).as("_ns"), col("_l").as("_pl"))).as("_p"))
+      .agg(min(struct((col("_score") * -1).as("_ns"), col("_cand").as("_pl"))).as("_p"))
       .select(col("_true").as("true_label"), col("_p._pl").as("pred_label"))
     pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Label-error candidates (the confident-learning instinct, Northcutt
+    * et al. 2021): documents whose NB score under some OTHER label beats
+    * the score under their OWN label, ranked by that margin — the
+    * "audit these labels first" queue every labeled corpus deserves.
+    * Ordering is on the RAW margin (identical doubles in both engines),
+    * ties to the smaller doc id; the displayed margin rounds
+    * signed-portably. Top `topK` out.
+    */
+  def nbLabelSuspects(df: DataFrame, labelCol: String, textCol: String,
+                      idCol: String, topK: Int): DataFrame = {
+    val scored = naiveBayesScores(df, labelCol, textCol, idCol)
+    val trueScore = scored.where(col("_cand") === col("_true"))
+      .select(col("_id"), col("_score").as("_ts"))
+    val bestOther = scored.where(col("_cand") =!= col("_true"))
+      .groupBy(col("_id"), col("_true"))
+      .agg(min(struct((col("_score") * -1).as("_ns"), col("_cand").as("_bl"))).as("_b"))
+      .select(col("_id"), col("_true"),
+        col("_b._bl").as("suspect_label"), (col("_b._ns") * -1).as("_bs"))
+    bestOther.join(trueScore, Seq("_id"))
+      .where(col("_bs") > col("_ts"))
+      .withColumn("_margin", col("_bs") - col("_ts"))
+      .orderBy(col("_margin").desc, col("_id").asc)
+      .limit(topK)
+      .select(col("_id").as("doc_id"), col("_true").as("true_label"),
+        col("suspect_label"), Portable.pround(col("_margin"), 6).as("margin"))
   }
 
   /** Word2vec negative-sampling table (Mikolov et al. 2013): every type

@@ -821,6 +821,41 @@ object VectorOps {
     df.select((col(idCol) +: projCols.toSeq): _*)
   }
 
+  /** Embedding-space drift between two cohorts: the per-dimension mean
+    * vectors of each cohort, compared by cosine and L2 — the
+    * representation-level counterpart of the scalar PSI gate (a
+    * feature distribution can hold still while the embedding space
+    * rotates under it; retrieval quality dies either way). One row out:
+    * cohort sizes, cosine of the mean vectors, L2 distance.
+    *
+    * Shape: one posexplode fan (row-local), one (cohort, dim) hash agg
+    * of decimal sums — dims-sized, not corpus-sized — then a dims-row
+    * join and one final aggregate; every mean and cross-moment is
+    * decimal-snapshotted so the two scalars are bit-stable at any
+    * partition count.
+    */
+  def embeddingDrift(df: DataFrame, cohortCol: Column, vecCol: String): DataFrame = {
+    val fan = df.select(cohortCol.cast("boolean").as("_ref"), posexplode(col(vecCol)))
+      .select(col("_ref"), (col("pos") + 1).as("_pos"), col("col").cast("double").as("_v"))
+    val means = fan.groupBy("_ref", "_pos")
+      .agg((Portable.decSum(col("_v"), 12) / count(lit(1))).as("_m"),
+        count(lit(1)).as("_n"))
+    val a = means.where(col("_ref")).select(col("_pos"), col("_m").as("_ma"), col("_n").as("_na"))
+    val b = means.where(!col("_ref")).select(col("_pos"), col("_m").as("_mb"), col("_n").as("_nb"))
+    a.join(b, Seq("_pos"))
+      .agg(
+        max("_na").as("n_ref"), max("_nb").as("n_cur"),
+        Portable.decSum(col("_ma") * col("_mb"), 12).as("_dot"),
+        Portable.decSum(col("_ma") * col("_ma"), 12).as("_aa"),
+        Portable.decSum(col("_mb") * col("_mb"), 12).as("_bb"),
+        Portable.decSum((col("_ma") - col("_mb")) * (col("_ma") - col("_mb")), 12).as("_d2"))
+      .select(col("n_ref"), col("n_cur"),
+        when(col("_aa") > 0 && col("_bb") > 0,
+          Portable.pround(col("_dot") / (sqrt(col("_aa")) * sqrt(col("_bb"))), 9))
+          .as("mean_cos"),
+        round(sqrt(col("_d2")), 9).as("l2_dist"))
+  }
+
   /** Simplified (centroid-based) silhouette per IVF cell: for each
     * vector, a = cosine distance to its OWN centroid, b = the nearest
     * OTHER centroid's distance, s = (b − a)/max(a, b) ∈ [−1, 1]; the

@@ -281,6 +281,12 @@ class EmptyInputSpec extends SparkSpec {
       col("pos"), 3, 4).count() === 0)
     assert(Profiling.classificationReport(df(Seq.empty[ConfCell]), "t", "p", "n")
       .count() === 0)
+    val dEmpty = VectorOps.embeddingDrift(df(Seq.empty[LVec]), col("label") === 1,
+      "embedding").collect()
+    assert(dEmpty.length === 1 && dEmpty.head.isNullAt(0),
+      "drift is a one-row scalar frame with NULL stats on empty input")
+    assert(TextOps.nbLabelSuspects(df(Seq.empty[LDoc]), "lang", "text",
+      "doc_id", 10).count() === 0)
     assert(Profiling.gainsTable(df(Seq.empty[GainsRow]), "g", col("score"),
       col("pos"), col("doc_id"), 10).count() === 0)
   }

@@ -12,6 +12,7 @@ case class MkRow(user_id: Long, event_id: Long, value: Double)
 case class GainsRow(g: String, doc_id: Long, score: Double, pos: Boolean)
 case class SeqEv(user_id: Long, event_id: Long, event_type: String)
 case class ConfCell(t: String, p: String, n: Long)
+case class LDoc(doc_id: Long, lang: String, text: String)
 case class MkTypedEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
 
 /** Second-wave round-15 operators (AUC / PSI / KS / modularity /
@@ -663,6 +664,47 @@ class Round15bOpsSpec extends SparkSpec {
     val out = Profiling.gainsTable(df(rows), "g", col("score"), col("pos"),
       col("doc_id"), 4).collect()
     assert(out.forall(r => r.isNullAt(5) && r.isNullAt(6)))
+  }
+
+  // ---- Embedding drift ---------------------------------------------------
+
+  test("embeddingDrift: identical cohorts cos 1 / L2 0; shifted cohorts read the shift") {
+    val base = (1 to 40).map(i => LVec(i.toLong, Array(1f, 2f, 3f, 4f), i % 2))
+    val same = VectorOps.embeddingDrift(df(base), col("label") === 1, "embedding")
+      .collect().head
+    assert(same.getDouble(2) === 1.0 && same.getDouble(3) === 0.0)
+    // cohort B shifted by +10 on dim 1 only
+    val shifted = (1 to 40).map { i =>
+      val v = if (i % 2 == 1) Array(1f, 2f, 3f, 4f) else Array(11f, 2f, 3f, 4f)
+      LVec(i.toLong, v, i % 2)
+    }
+    val out = VectorOps.embeddingDrift(df(shifted), col("label") === 1, "embedding")
+      .collect().head
+    assert(out.getLong(0) === 20L && out.getLong(1) === 20L)
+    assert(math.abs(out.getDouble(3) - 10.0) < 1e-9, "L2 reads the planted shift")
+    val ma = Seq(1.0, 2.0, 3.0, 4.0); val mb = Seq(11.0, 2.0, 3.0, 4.0)
+    val cos = ma.zip(mb).map { case (x, y) => x * y }.sum /
+      (math.sqrt(ma.map(x => x * x).sum) * math.sqrt(mb.map(x => x * x).sum))
+    assert(math.abs(out.getDouble(2) - cos) < 1e-9)
+  }
+
+  // ---- NB label suspects -------------------------------------------------
+
+  test("nbLabelSuspects surfaces a planted mislabeled document first") {
+    // two clearly separated vocabularies; doc 99 carries B-vocabulary
+    // but an A label — it must head the suspect queue with label B
+    val aDocs = (1L to 10L).map(i => LDoc(i, "A", "alpha beta gamma delta alpha"))
+    val bDocs = (11L to 20L).map(i => LDoc(i, "B", "omega psi chi phi omega"))
+    val planted = LDoc(99, "A", "omega psi chi phi omega psi")
+    val docs = aDocs ++ bDocs :+ planted
+    val out = TextOps.nbLabelSuspects(df(docs), "lang", "text",
+      "doc_id", topK = 5).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(0) === 99L)
+    assert(out.head.getString(1) === "A" && out.head.getString(2) === "B")
+    assert(out.head.getDouble(3) > 0)
+    // the cleanly-labeled docs never appear
+    assert(out.forall(_.getLong(0) === 99L))
   }
 
   // ---- k-truss -----------------------------------------------------------
