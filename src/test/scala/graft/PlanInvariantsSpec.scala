@@ -489,6 +489,48 @@ class PlanInvariantsSpec extends SparkSpec {
       "expected the rule side to broadcast into the item-count joins")
   }
 
+  test("TPC-H completion queries keep their scale-plan contracts") {
+    // q_forecast_revenue (Q6 shape): the whole query IS the scan — every
+    // predicate reaches the parquet reader and only the 4 referenced
+    // columns are decoded; any join or wide read here multiplies 100 TB
+    // scan volume for nothing
+    val fr = SparkEntry.queries("q_forecast_revenue")(spark, sfDir)
+    fr.collect()
+    val frScans = flatten(fr.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(frScans.size === 1, "Q6 shape must read exactly one table")
+    val pushed = frScans.head.metadata("PushedFilters")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"predicate on $c not pushed: $pushed")
+    }
+    assert(frScans.head.schema.fieldNames.sorted.toSeq ===
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_shipdate"),
+      s"Q6 scan must decode exactly 4 columns, read ${frScans.head.schema.fieldNames.mkString(",")}")
+    assert(flatten(fr.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) === 0)
+
+    // q_min_cost_supplier (Q2 shape): ONE fact scan — the window-min
+    // formulation; a second lineitem scan means the groupBy-join-back
+    // regression came back
+    val mc = SparkEntry.queries("q_min_cost_supplier")(spark, sfDir)
+    mc.collect()
+    val mcFactScans = flatten(mc.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.inputFiles.exists(_.contains("lineitem")) => s
+    }
+    assert(mcFactScans.size === 1,
+      s"Q2 shape must scan lineitem exactly once, saw ${mcFactScans.size}")
+
+    // q_returned_topk (Q10 shape): the top-20 cut is
+    // TakeOrderedAndProject (never a global sort of the aggregate)
+    val rt = SparkEntry.queries("q_returned_topk")(spark, sfDir)
+    rt.collect()
+    assert(flatten(rt.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "Q10 shape must cut via TakeOrderedAndProject")
+  }
+
   test("every lineitem row-level query orders by the full unique key") {
     // regression guard for the non-unique (l_orderkey, l_linenumber) trap:
     // queries whose FIRST sort column is l_orderkey must also sort by
