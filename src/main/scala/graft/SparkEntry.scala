@@ -3238,7 +3238,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
         .limit(20)
-    })
+    }),
+
+    // Welch's unequal-variance t-test per source: does the md5
+    // train-split's mean doc length differ from the rest's? The
+    // inferential gate on split bias (q_bootstrap_se attaches
+    // uncertainty to ONE mean; this compares two), with the SMD
+    // covariate-balance column off the same single-aggregate moments.
+    "q_welch_t" -> ((s, dir) =>
+      Profiling.welchTTest(
+        T(s, dir, "documents")
+          .select(col("source"),
+            (Portable.hash32(col("doc_id")) % 10000 < 8000).as("_train"),
+            col("n_chars")),
+        "source", col("_train"), col("n_chars"))
+        .orderBy("source")),
+
+    // K-minimum-values distinct sketch per language over the trigram
+    // shingle vocabulary (the dedup keying unit — and, unlike the
+    // 31-type unigram vocab of this corpus, large enough to exercise
+    // the estimator path at every SF) — the third portable sketch
+    // family member (C125 HLL, C126 histogram quantiles): tunable-k,
+    // mergeable by keep-smallest-k, intersection-capable, and — because
+    // the hash is the deterministic md5 rule — fully oracle-replicable.
+    // Exact distinct + estimate + error bound flag in one result.
+    "q_kmv_distinct" -> ((s, dir) =>
+      Profiling.kmvDistinct(
+        TextOps.shingles(T(s, dir, "documents"), "lang", "text", 3),
+        "lang", col("shingle"), 64)
+        .orderBy("lang")),
+
+    // Heaps'-law vocabulary-growth exponent: V(n) ~ K·n^beta fitted over
+    // power-of-two doc-id checkpoints — the scaling input for tokenizer
+    // vocab and dedup-memory budgets (beta near 1 = unbounded novel
+    // types: OCR noise / boilerplate IDs).
+    "q_heaps_law" -> ((s, dir) =>
+      TextOps.heapsLaw(T(s, dir, "documents"), "doc_id", "text")),
+
+    // Deterministic T5 span corruption: 3-token blocks masked by the
+    // portable hash rule, contiguous runs collapsed to numbered
+    // <extra_id_k> sentinels, target = sentinels + their spans — the
+    // denoising-pretraining pair generator, reproducible run over run.
+    "q_span_corrupt" -> ((s, dir) =>
+      TextOps.spanCorrupt(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   /** Customer↔supplier trade edge list (supplier ids offset into a
@@ -8444,6 +8487,171 @@ object SparkEntry {
     "q_incr_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+
+    // Both cohorts' moments accumulate in one conditional decimal
+    // aggregate; t / Welch-df / SMD are then the same fixed IEEE chain
+    // on identical doubles in both engines.
+    "q_welch_t" ->
+      raw"""WITH b AS (
+           SELECT source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 AS f,
+             n_chars::DOUBLE AS v
+           FROM documents),
+         a AS (
+           SELECT source,
+             sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN NOT f THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CAST(CASE WHEN f THEN v END AS DECIMAL(28,6)))::DOUBLE AS s1,
+             sum(CAST(CASE WHEN NOT f THEN v END AS DECIMAL(28,6)))::DOUBLE AS s2,
+             sum(CAST(CASE WHEN f THEN v * v END AS DECIMAL(28,6)))::DOUBLE AS q1,
+             sum(CAST(CASE WHEN NOT f THEN v * v END AS DECIMAL(28,6)))::DOUBLE AS q2
+           FROM b GROUP BY source),
+         m AS (
+           -- guards mirror the engine: 0-row cohort has no mean, 1-row
+           -- cohort has no variance — NULL, never a divide error
+           SELECT source, n1, n2,
+             CASE WHEN n1 > 0 THEN s1 / n1 END AS m1,
+             CASE WHEN n2 > 0 THEN s2 / n2 END AS m2,
+             CASE WHEN n1 > 1
+               THEN (q1 - n1 * (s1 / n1) * (s1 / n1)) / (n1 - 1) END AS var1,
+             CASE WHEN n2 > 1
+               THEN (q2 - n2 * (s2 / n2) * (s2 / n2)) / (n2 - 1) END AS var2
+           FROM a),
+         e AS (
+           SELECT source, n1, n2, m1, m2, var1, var2,
+             var1 / n1 + var2 / n2 AS se2,
+             coalesce(n1 > 1 AND n2 > 1
+               AND var1 / n1 + var2 / n2 > 0, false) AS ok
+           FROM m)
+         SELECT source, n1 AS n_cohort, n2 AS n_rest,
+           round(m1 - m2, 9) + 0 AS mean_diff,
+           CASE WHEN ok THEN round((m1 - m2) / sqrt(se2), 6) + 0 END AS t_stat,
+           CASE WHEN ok THEN round(se2 * se2 /
+             ((var1 / n1) * (var1 / n1) / (n1 - 1)
+              + (var2 / n2) * (var2 / n2) / (n2 - 1)), 6) + 0 END AS welch_df,
+           CASE WHEN ok AND var1 + var2 > 0
+             THEN round((m1 - m2) / sqrt((var1 + var2) / 2), 6) + 0 END AS smd
+         FROM e ORDER BY source""",
+
+    // The md5 hash rule makes the whole KMV sketch replicable: distinct
+    // hash values, the k-th smallest via the same rank window, the same
+    // (k-1)/u_k estimator.
+    "q_kmv_distinct" ->
+      raw"""WITH t AS (
+           SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         tok AS (
+           SELECT lang, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS tok
+           FROM t),
+         h AS (SELECT DISTINCT lang,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+               FROM tok),
+         r AS (SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+               FROM h),
+         a AS (SELECT lang, count(*)::BIGINT AS n_distinct_hashed,
+                 max(CASE WHEN rn = 64 THEN h END) AS hk
+               FROM r GROUP BY lang)
+         SELECT lang, n_distinct_hashed,
+           CASE WHEN hk IS NOT NULL
+             THEN round(63.0 / (hk::DOUBLE / 4294967296.0), 6) + 0
+             ELSE n_distinct_hashed::DOUBLE END AS kmv_estimate,
+           CASE WHEN hk IS NOT NULL
+             THEN round(abs(63.0 / (hk::DOUBLE / 4294967296.0)
+                    - n_distinct_hashed::DOUBLE)
+                  / n_distinct_hashed::DOUBLE, 6) + 0
+             ELSE 0.0 END AS rel_err,
+           (CASE WHEN hk IS NOT NULL
+              THEN abs(63.0 / (hk::DOUBLE / 4294967296.0)
+                     - n_distinct_hashed::DOUBLE)
+                   / n_distinct_hashed::DOUBLE
+              ELSE 0.0 END) <= 0.5 AS within_bounds
+         FROM a ORDER BY lang""",
+
+    // Power-of-two checkpoints replicated with the same shift; ln on
+    // identical doubles, decimal-summed moments, one closed-form OLS.
+    "q_heaps_law" ->
+      raw"""WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         hi AS (SELECT length(bin(max(doc_id))) AS hiexp FROM documents),
+         perdoc AS (SELECT doc_id, count(*)::BIGINT AS ntok FROM toks GROUP BY doc_id),
+         tl AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents),
+         sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END) AS tok
+                FROM tl),
+         firstdoc AS (SELECT tok, min(doc_id) AS fid FROM sh GROUP BY tok),
+         es AS (SELECT unnest(generate_series(4, hiexp)) AS e FROM hi),
+         tc AS (SELECT e, sum(ntok)::BIGINT AS ntoks
+                FROM perdoc, es WHERE doc_id < (1::BIGINT << e) GROUP BY e),
+         vc AS (SELECT e, count(*)::BIGINT AS ntypes
+                FROM firstdoc, es WHERE fid < (1::BIGINT << e) GROUP BY e),
+         pts AS (SELECT ln(ntoks::DOUBLE) AS x, ln(ntypes::DOUBLE) AS y
+                 FROM tc JOIN vc USING (e)
+                 WHERE ntoks > 0 AND ntypes > 0),
+         a AS (SELECT count(*)::BIGINT AS n,
+                 sum(CAST(x AS DECIMAL(28,12)))::DOUBLE AS sx,
+                 sum(CAST(y AS DECIMAL(28,12)))::DOUBLE AS sy,
+                 sum(CAST(x * x AS DECIMAL(28,12)))::DOUBLE AS sxx,
+                 sum(CAST(x * y AS DECIMAL(28,12)))::DOUBLE AS sxy
+               FROM pts)
+         SELECT n AS n_points,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+             THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0
+           END AS beta,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+             THEN round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+                    6) + 0
+           END AS ln_k
+         FROM a""",
+
+    // The mask is a pure function of (doc_id, block): the same md5
+    // arithmetic, run starts via lag, sentinel ids via the running sum,
+    // both sequences rebuilt with an ordered string_agg.
+    "q_span_corrupt" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+             unnest(range(len(toks))) AS p,
+             unnest(toks) AS tok
+           FROM t),
+         f AS (
+           SELECT doc_id, p, tok,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':' || (p // 3)::VARCHAR), 1, 8))::BIGINT
+               % 5 = 0 AS m
+           FROM tok),
+         rs AS (
+           SELECT doc_id, p, tok, m,
+             m AND NOT coalesce(
+               lag(m) OVER (PARTITION BY doc_id ORDER BY p), false) AS run_start
+           FROM f),
+         sid AS (
+           SELECT doc_id, p, tok, m, run_start,
+             sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) - 1 AS k
+           FROM rs)
+         SELECT doc_id,
+           coalesce(string_agg(
+             CASE WHEN NOT m THEN tok
+                  WHEN run_start THEN '<extra_id_' || k::VARCHAR || '>' END,
+             ' ' ORDER BY p), '') AS corrupted,
+           coalesce(string_agg(
+             CASE WHEN m AND run_start
+                    THEN '<extra_id_' || k::VARCHAR || '>' || ' ' || tok
+                  WHEN m THEN tok END,
+             ' ' ORDER BY p), '') AS target,
+           sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+           count(*)::BIGINT AS n_tokens
+         FROM sid GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -963,4 +963,121 @@ object Profiling {
               .cast("double"))
           .as("ks_d"))
   }
+
+  /** Welch's unequal-variance t-test per group (Welch 1947): does the
+    * mean of `valueCol` differ between the `cohortFlag` cohort and the
+    * rest? The question a pipeline asks before calling a split biased or
+    * a drift real — the inferential companion of [[blockBootstrapSe]]
+    * (that attaches uncertainty to ONE mean; this compares two), and of
+    * the standardized-mean-difference balance report (same moments, a
+    * different normalizer).
+    *
+    *   t  = (m1 − m2) / sqrt(s1²/n1 + s2²/n2)
+    *   df = (s1²/n1 + s2²/n2)² / ((s1²/n1)²/(n1−1) + (s2²/n2)²/(n2−1))
+    *
+    * Determinism: both cohorts' (n, Σv, Σv²) accumulate as exact decimal
+    * sums in ONE conditional hash aggregate (no second pass, no join);
+    * means, variances, t and the Welch–Satterthwaite df are then a fixed
+    * chain of IEEE ops on identical doubles in both engines. Degenerate
+    * inputs (a cohort with < 2 rows, or both variances zero) emit NULL,
+    * never NaN/Inf. t is signed → portable round; the SMD columns share
+    * the same moments at zero extra cost.
+    *
+    * Scale shape: one group-keyed hash aggregate over the projected
+    * (group, flag, value) frame — map-side combinable, nothing else
+    * moves. Fine at any corpus size.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, cohortFlag: Column,
+                 valueCol: Column): DataFrame = {
+    val f = cohortFlag.cast("boolean")
+    val v = valueCol.cast("double")
+    val agged = df
+      .select(col(groupCol), f.as("_f"), v.as("_v"))
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col("_f"), 1L).otherwise(0L)).as("_n1"),
+        sum(when(!col("_f"), 1L).otherwise(0L)).as("_n2"),
+        Portable.decSum(when(col("_f"), col("_v")), 6).as("_s1"),
+        Portable.decSum(when(!col("_f"), col("_v")), 6).as("_s2"),
+        Portable.decSum(when(col("_f"), col("_v") * col("_v")), 6).as("_q1"),
+        Portable.decSum(when(!col("_f"), col("_v") * col("_v")), 6).as("_q2"))
+    // every division guarded: a cohort with 0 rows (no mean) or 1 row
+    // (no variance) must NULL-propagate, not raise ANSI DIVIDE_BY_ZERO
+    val m1 = when(col("_n1") > 0, col("_s1") / col("_n1"))
+    val m2 = when(col("_n2") > 0, col("_s2") / col("_n2"))
+    val var1 = when(col("_n1") > 1,
+      (col("_q1") - col("_n1") * m1 * m1) / (col("_n1") - 1))
+    val var2 = when(col("_n2") > 1,
+      (col("_q2") - col("_n2") * m2 * m2) / (col("_n2") - 1))
+    val vn1 = var1 / col("_n1")
+    val vn2 = var2 / col("_n2")
+    val se2 = vn1 + vn2
+    val ok = col("_n1") > 1 && col("_n2") > 1 && se2 > 0
+    agged.select(
+      col(groupCol),
+      col("_n1").as("n_cohort"),
+      col("_n2").as("n_rest"),
+      Portable.pround(m1 - m2, 9).as("mean_diff"),
+      when(ok, Portable.pround((m1 - m2) / sqrt(se2), 6)).as("t_stat"),
+      when(ok,
+        round(se2 * se2 /
+          (vn1 * vn1 / (col("_n1") - 1) + vn2 * vn2 / (col("_n2") - 1)), 6))
+        .as("welch_df"),
+      // standardized mean difference (Cohen's d with pooled-variance
+      // normalizer sqrt((s1²+s2²)/2)) — the covariate-balance read of
+      // the same moments
+      when(ok && (var1 + var2) > 0,
+        Portable.pround((m1 - m2) / sqrt((var1 + var2) / 2), 6)).as("smd"))
+  }
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) per group,
+    * with the exact count alongside: hash every distinct value with the
+    * portable md5 rule, normalize to (0,1], keep the k smallest distinct
+    * hash values; estimate = (k−1)/u_k where u_k is the k-th smallest.
+    * The third portable sketch family member (C125 HLL = fixed 2^p
+    * registers; C126 histogram quantiles; KMV = tunable-k, MERGEABLE by
+    * keep-smallest-k union, and — unlike HLL — supports set
+    * INTERSECTION estimates via the Jaccard of the combined sketch).
+    * Because the hash rule is the deterministic md5 rule, the whole
+    * sketch is oracle-replicable — no engine-private state.
+    *
+    * Scale shape: the distinct-(group, hash) frame is vocabulary-sized;
+    * the k smallest per group come from a rank window on the group
+    * exchange (never a global sort); groups with fewer than k distinct
+    * hashes fall back to the exact count (the sketch is exact below k).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: Column,
+                  k: Int = 64): DataFrame = {
+    val hashes = df.select(col(groupCol), Portable.hash32(valueCol).as("_h"))
+      .groupBy(groupCol, "_h").agg(count(lit(1)).as("_dup")) // distinct (g, h)
+      .drop("_dup")
+    val w = Window.partitionBy(groupCol).orderBy("_h")
+    hashes
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_distinct_hashed"),
+        max(when(col("_rn") === k, col("_h"))).as("_hk"))
+      .select(
+        col(groupCol),
+        col("n_distinct_hashed"),
+        when(col("_hk").isNotNull,
+          round(lit((k - 1).toDouble) /
+            (col("_hk").cast("double") / lit(4294967296.0d)), 6))
+          .otherwise(col("n_distinct_hashed").cast("double"))
+          .as("kmv_estimate"),
+        when(col("_hk").isNotNull,
+          round(abs(lit((k - 1).toDouble) /
+            (col("_hk").cast("double") / lit(4294967296.0d)) -
+            col("n_distinct_hashed").cast("double")) /
+            col("n_distinct_hashed").cast("double"), 6))
+          .otherwise(lit(0.0d)).as("rel_err"),
+        (when(col("_hk").isNotNull,
+          abs(lit((k - 1).toDouble) /
+            (col("_hk").cast("double") / lit(4294967296.0d)) -
+            col("n_distinct_hashed").cast("double")) /
+            col("n_distinct_hashed").cast("double"))
+          .otherwise(lit(0.0d)) <= lit(4.0 / math.sqrt(k.toDouble)))
+          .as("within_bounds"))
+  }
 }

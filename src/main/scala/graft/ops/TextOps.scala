@@ -2448,4 +2448,122 @@ object TextOps {
         round(w(col("cnt")) / col("_tot"), 9).as("prob"))
       .orderBy(col("cnt").desc, col("token").asc).limit(topK)
   }
+
+  /** Heaps'-law exponent fit (Heaps 1978): V(n) ≈ K·n^β — how fast the
+    * vocabulary grows as the corpus grows, THE scaling input for
+    * tokenizer-vocab and dedup-memory budgeting (β near 1 = every doc
+    * brings new types: OCR noise or boilerplate IDs; English web text
+    * sits near 0.5). Complements [[vocabCoverage]] (that reads the
+    * frequency head at a fixed size; this reads growth ACROSS sizes).
+    *
+    * The type unit is the word `gram`-shingle (the [[shingles]]
+    * derivation — unigram types saturate within pages on a low-entropy
+    * corpus; 3-shingles keep growing, which is also exactly the unit the
+    * dedup family keys on, so β directly prices the dedup index). The
+    * growth curve is sampled at power-of-two doc-id checkpoints
+    * (cum tokens and cum distinct types over docs with id < 2^i), so
+    * the curve has O(log N) points at ANY corpus size — never a global
+    * running window. Each doc (for tokens) and each first-occurrence
+    * type (for vocabulary) fans out only to the ≤ log₂ N checkpoints at
+    * or above its id: a bounded sequence-explode, then ONE hash
+    * aggregate per curve. β and ln K come from the closed-form OLS over
+    * the ≤ 40 (ln n, ln V) points — ln on identical doubles is
+    * bit-identical in both engines, the sums decimal-accumulate, and
+    * the slope/intercept divisions are the only remaining float steps.
+    */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+               gram: Int = 3, minExp: Int = 4): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("_id"),
+      explode(tokens(col(textCol))).as("_tok"))
+    // checkpoint exponents: minExp .. bitlen(max id) (the last checkpoint
+    // 2^bitlen > max id covers the whole corpus; earlier ones are strict
+    // prefixes). One broadcast 1-row frame pins the upper bound.
+    val hi = df.agg(length(bin(max(col(idCol).cast("long")))).as("_hiExp"))
+    val perDoc = toks.groupBy("_id").agg(count(lit(1)).as("_ntok"))
+    val firstDoc = shingles(df, idCol, textCol, gram)
+      .select(col(idCol).cast("long").as("_id"), col("shingle"))
+      .groupBy("shingle").agg(min("_id").as("_fid"))
+    def cumAtCheckpoints(src: DataFrame, idc: String, valc: Column,
+                         out: String): DataFrame =
+      src.crossJoin(broadcast(hi))
+        .select(col(idc), valc.as("_v"),
+          explode(sequence(lit(minExp), col("_hiExp"))).as("_e"))
+        .where(col(idc) < expr("shiftleft(CAST(1 AS BIGINT), CAST(_e AS INT))"))
+        .groupBy("_e").agg(sum("_v").as(out))
+    val tokCurve = cumAtCheckpoints(perDoc, "_id", col("_ntok"), "_ntoks")
+    val vocabCurve = cumAtCheckpoints(firstDoc, "_fid", lit(1L), "_ntypes")
+    val pts = tokCurve.join(vocabCurve, Seq("_e"))
+      .where(col("_ntoks") > 0 && col("_ntypes") > 0)
+      .select(log(col("_ntoks").cast("double")).as("_x"),
+        log(col("_ntypes").cast("double")).as("_y"))
+    pts.agg(
+        count(lit(1)).as("_n"),
+        Portable.decSum(col("_x"), 12).as("_sx"),
+        Portable.decSum(col("_y"), 12).as("_sy"),
+        Portable.decSum(col("_x") * col("_x"), 12).as("_sxx"),
+        Portable.decSum(col("_x") * col("_y"), 12).as("_sxy"))
+      .select(
+        col("_n").as("n_points"),
+        when(col("_n") > 1 &&
+            col("_n") * col("_sxx") - col("_sx") * col("_sx") > 0,
+          Portable.pround(
+            (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+              (col("_n") * col("_sxx") - col("_sx") * col("_sx")), 6))
+          .as("beta"),
+        when(col("_n") > 1 &&
+            col("_n") * col("_sxx") - col("_sx") * col("_sx") > 0,
+          Portable.pround(
+            (col("_sy") - col("_sx") *
+              ((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+                (col("_n") * col("_sxx") - col("_sx") * col("_sx")))) /
+              col("_n"), 6))
+          .as("ln_k"))
+  }
+
+  /** Deterministic T5-style span corruption (Raffel et al. 2020 §3.1.4,
+    * PRNG replaced by the portable hash rule — the [[Relational
+    * .splitAssign]] reproducibility convention applied to masking):
+    * tokens are masked in aligned 3-token blocks wherever
+    * hash32(doc_id:block) % `mod` = 0, each CONTIGUOUS masked run is
+    * replaced by one `<extra_id_k>` sentinel (k numbered left to right),
+    * and the target sequence is the sentinels with their masked spans —
+    * the denoising-pretraining pair generator, reproducible run over run
+    * and oracle-checkable because the mask is a pure function of
+    * (doc_id, position).
+    *
+    * Scale shape: the mask flag is row-local; run-start detection and
+    * sentinel numbering are two windows on the SAME doc-keyed exchange
+    * the final rebuild aggregate uses — one shuffle total, nothing
+    * corpus-global.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  block: Int = 3, mod: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("_p", "_tok")))
+    val masked = Portable.hash32(
+      concat_ws(":", col(idCol), expr(s"_p div $block"))) % mod === 0
+    val byPos = Window.partitionBy(idCol).orderBy("_p")
+    val runStart = col("_m") && !coalesce(lag(col("_m"), 1).over(byPos), lit(false))
+    val flagged = toks.withColumn("_m", masked)
+      .withColumn("_rs", runStart)
+      .withColumn("_sid",
+        sum(col("_rs").cast("long")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("_sid"), lit(">"))
+    val corruptedPiece = when(!col("_m"), col("_tok"))
+      .when(col("_rs"), sentinel)
+    val targetPiece = when(col("_m") && col("_rs"),
+        concat(sentinel, lit(" "), col("_tok")))
+      .when(col("_m"), col("_tok"))
+    def joined(piece: Column) = array_join(
+      transform(
+        array_sort(collect_list(when(piece.isNotNull,
+          struct(col("_p"), piece.as("_piece"))))),
+        s => s.getField("_piece")), " ")
+    flagged.groupBy(idCol)
+      .agg(joined(corruptedPiece).as("corrupted"),
+        joined(targetPiece).as("target"),
+        sum(col("_m").cast("long")).as("n_masked"),
+        count(lit(1)).as("n_tokens"))
+  }
 }
