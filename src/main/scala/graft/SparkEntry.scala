@@ -3281,6 +3281,56 @@ object SparkEntry {
     // denoising-pretraining pair generator, reproducible run over run.
     "q_span_corrupt" -> ((s, dir) =>
       TextOps.spanCorrupt(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Classical additive seasonal decomposition of the daily value
+    // series per event type: centered 7-day MA trend, zero-centered
+    // epoch-day-phase seasonal, residual — the drift/seasonality
+    // separator that tells q_cusum's alarms from Friday effects.
+    "q_seasonal_decomp" -> ((s, dir) =>
+      TimeSeries.seasonalDecompose(T(s, dir, "events"),
+          "event_type", "ts", "value", 7)
+        .orderBy("event_type", "day")),
+
+    // Approximate-FD profile (g3 error): is doc_id a real key for
+    // source, and how far are source→lang / lang→source from
+    // functional — the schema-discovery gate before trusting a column
+    // pair for dedup keys, joins, or SCD identity.
+    "q_fd_profile" -> ((s, dir) =>
+      Profiling.fdViolations(T(s, dir, "documents"),
+        Seq("doc_id" -> "source", "source" -> "lang", "lang" -> "source"))
+        .orderBy("lhs", "rhs")),
+
+    // AMS F2 sketch of events.user_id with the exact self-join size
+    // alongside — the join-planner's "how big would an equi-join on
+    // this key be" number, median of 5 means of 16 deterministic
+    // ±1-hash estimators (exact integers end to end).
+    "q_ams_f2" -> ((s, dir) =>
+      Profiling.amsF2(T(s, dir, "events"), col("user_id"))),
+
+    // Johnson-Lindenstrauss distortion audit: 64-dim embeddings
+    // projected to 16 dims through the deterministic ±1 md5 sign
+    // matrix; every probe pair reports true vs projected squared
+    // distance and the ratio — the measured evidence for using the
+    // projection as an ANN pre-filter.
+    "q_jl_distortion" -> ((s, dir) =>
+      VectorOps.jlDistortion(T(s, dir, "embeddings"),
+        "vec_id", "embedding", 64, 16, 20)),
+
+    // Moving-average TTR (MATTR): length-fair lexical diversity per
+    // doc — low MATTR at normal length = boilerplate/repetition; the
+    // fixed 25-token window makes thresholds transfer across length
+    // buckets (raw TTR collapses by Heaps' law).
+    "q_mattr" -> ((s, dir) =>
+      TextOps.mattr(T(s, dir, "documents"), "doc_id", "text", 25)
+        .orderBy("doc_id")),
+
+    // Deterministic fill-in-the-middle: hash-drawn cut points split
+    // each doc into prefix/middle/suffix + the assembled PSM training
+    // string — the infilling-pretraining pair generator (q_span_corrupt
+    // is the denoising sibling).
+    "q_fim" -> ((s, dir) =>
+      TextOps.fimSplit(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"))
   )
 
@@ -8652,6 +8702,181 @@ object SparkEntry {
              ' ' ORDER BY p), '') AS target,
            sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_masked,
            count(*)::BIGINT AS n_tokens
-         FROM sid GROUP BY doc_id ORDER BY doc_id"""
+         FROM sid GROUP BY doc_id ORDER BY doc_id""",
+
+    // Daily decimal sums; trend = exact decimal 7-row window sum, ONE
+    // double division; phase = epoch-day mod 7 (day-of-week builtins
+    // disagree on week start between engines, epoch arithmetic doesn't).
+    "q_seasonal_decomp" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS value
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         ph AS (
+           SELECT event_type, day, value,
+             (day - DATE '1970-01-01') % 7 AS phase
+           FROM daily),
+         tr AS (
+           SELECT event_type, day, value, phase,
+             CASE WHEN count(*) OVER w = 7 THEN
+               (sum(CAST(value AS DECIMAL(28,12))) OVER w)::DOUBLE / 7
+             END AS trend
+           FROM ph
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         se AS (
+           SELECT event_type, phase,
+             sum(CAST(value - trend AS DECIMAL(28,12)))::DOUBLE / count(*) AS praw
+           FROM tr WHERE trend IS NOT NULL GROUP BY event_type, phase),
+         ce AS (
+           SELECT event_type, phase,
+             praw - (sum(CAST(praw AS DECIMAL(28,12))) OVER (PARTITION BY event_type))::DOUBLE
+                      / count(*) OVER (PARTITION BY event_type) AS seasonal
+           FROM se)
+         SELECT t.event_type, t.day,
+           round(t.value, 6) + 0 AS value,
+           round(t.trend, 6) + 0 AS trend,
+           round(c.seasonal, 6) + 0 AS seasonal,
+           round(t.value - t.trend - c.seasonal, 6) + 0 AS residual
+         FROM tr t LEFT JOIN ce c
+           ON t.event_type = c.event_type AND t.phase = c.phase
+         ORDER BY t.event_type, t.day""",
+
+    // Exact integer counts end to end; the g3 rate is the one division.
+    "q_fd_profile" ->
+      """WITH p1 AS (SELECT doc_id AS l, source AS r, count(*) AS n
+                     FROM documents GROUP BY 1, 2),
+         g1 AS (SELECT l, sum(n) AS tot, max(n) AS top FROM p1 GROUP BY l),
+         a1 AS (SELECT count(*)::BIGINT AS n_groups,
+                  sum(CASE WHEN tot > top THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+                  sum(tot - top)::BIGINT AS g3_rows,
+                  sum(tot)::BIGINT AS n_rows FROM g1),
+         p2 AS (SELECT source AS l, lang AS r, count(*) AS n
+                FROM documents GROUP BY 1, 2),
+         g2 AS (SELECT l, sum(n) AS tot, max(n) AS top FROM p2 GROUP BY l),
+         a2 AS (SELECT count(*)::BIGINT AS n_groups,
+                  sum(CASE WHEN tot > top THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+                  sum(tot - top)::BIGINT AS g3_rows,
+                  sum(tot)::BIGINT AS n_rows FROM g2),
+         p3 AS (SELECT lang AS l, source AS r, count(*) AS n
+                FROM documents GROUP BY 1, 2),
+         g3 AS (SELECT l, sum(n) AS tot, max(n) AS top FROM p3 GROUP BY l),
+         a3 AS (SELECT count(*)::BIGINT AS n_groups,
+                  sum(CASE WHEN tot > top THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+                  sum(tot - top)::BIGINT AS g3_rows,
+                  sum(tot)::BIGINT AS n_rows FROM g3)
+         SELECT lhs, rhs, n_groups, violating_groups, g3_rows,
+           round(g3_rows::DOUBLE / n_rows::DOUBLE, 9) + 0 AS g3_rate
+         FROM (
+           SELECT 'doc_id' AS lhs, 'source' AS rhs, * FROM a1
+           UNION ALL SELECT 'source', 'lang', * FROM a2
+           UNION ALL SELECT 'lang', 'source', * FROM a3)
+         ORDER BY lhs, rhs""",
+
+    // The ±1 stream signs come from bit 0 of the seeded md5 rule, so
+    // every estimator is the same exact integer in both engines; the
+    // median-of-means chain is then fixed double arithmetic.
+    "q_ams_f2" ->
+      """WITH c AS (SELECT user_id AS v, count(*)::BIGINT AS c
+                    FROM events GROUP BY user_id),
+         s AS (SELECT seed,
+                 sum(CASE WHEN ('0x' || substr(md5(seed::VARCHAR || ':' || v::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                       THEN c ELSE -c END)::BIGINT AS z
+               FROM c, (SELECT unnest(range(80)) AS seed) GROUP BY seed),
+         mm AS (SELECT seed % 5 AS grp, sum(z * z)::DOUBLE / 16 AS mean
+                FROM s GROUP BY seed % 5),
+         med AS (SELECT list_sort(list(mean)) AS ms FROM mm),
+         e AS (SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct,
+                 sum(c * c)::BIGINT AS exact_f2 FROM c)
+         SELECT n_rows, n_distinct, exact_f2,
+           round((ms[3] + ms[3]) / 2, 6) + 0 AS ams_estimate,
+           round(abs((ms[3] + ms[3]) / 2 - exact_f2::DOUBLE) / exact_f2::DOUBLE, 6) + 0 AS rel_err
+         FROM e, med""",
+
+    // Signs replicated from the same 'rp:j:d' md5 rule; every sum is the
+    // same left-to-right fold (list_reduce = Spark aggregate, both
+    // sequential in array order); sqrt(16) is exact in both engines.
+    "q_jl_distortion" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         signs AS (
+           SELECT j,
+             list(CASE WHEN ('0x' || substr(md5('rp:' || j::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END ORDER BY d) AS srow
+           FROM (SELECT unnest(range(16)) AS j),
+                (SELECT unnest(range(1, 65)) AS d)
+           GROUP BY j),
+         proj AS (
+           SELECT p.vec_id,
+             list(list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(p.embedding) + 1),
+                   i -> p.embedding[i]::DOUBLE * s.srow[i])),
+               (a, b) -> a + b) / sqrt(16.0) ORDER BY s.j) AS pv
+           FROM probes p, signs s GROUP BY p.vec_id),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(a.embedding) + 1),
+                 i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+                    * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))),
+               (x, y) -> x + y) AS d2t,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(pa.pv) + 1),
+                 i -> (pa.pv[i] - pb.pv[i]) * (pa.pv[i] - pb.pv[i]))),
+               (x, y) -> x + y) AS d2p
+           FROM probes a JOIN probes b ON a.vec_id < b.vec_id
+             JOIN proj pa ON pa.vec_id = a.vec_id
+             JOIN proj pb ON pb.vec_id = b.vec_id)
+         SELECT id_a, id_b,
+           round(d2t, 6) + 0 AS d2_true,
+           round(d2p, 6) + 0 AS d2_proj,
+           CASE WHEN d2t > 0 THEN round(d2p / d2t, 6) + 0 END AS distortion
+         FROM pairs ORDER BY id_a, id_b""",
+
+    // Window distinct counts accumulate as ONE exact integer sum
+    // (mean of d_i/w = sum d_i / (w*m)); the fold is the same
+    // left-to-right list_reduce as Spark's aggregate.
+    "q_mattr" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+         SELECT doc_id, n::BIGINT AS n_tokens,
+           round(len(list_distinct(toks))::DOUBLE / n, 6) + 0 AS ttr,
+           CASE WHEN n >= 25 THEN
+             round(list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(range(1, n - 25 + 2),
+                   i -> len(list_distinct(toks[i:i+24]))::BIGINT)),
+               (a, b) -> a + b)::DOUBLE / (25 * (n - 25 + 1)), 6) + 0
+           ELSE round(len(list_distinct(toks))::DOUBLE / n, 6) + 0
+           END AS mattr
+         FROM f ORDER BY doc_id""",
+
+    // The cut points are the same seeded md5 rule mod (n+1); slices are
+    // 1-based inclusive in both engines' conventions.
+    "q_fim" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':fim1'), 1, 8))::BIGINT % (len(toks) + 1) AS h1,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':fim2'), 1, 8))::BIGINT % (len(toks) + 1) AS h2
+               FROM t),
+         s AS (SELECT doc_id, toks, n,
+                 least(h1, h2) AS lo, greatest(h1, h2) AS hi FROM c)
+         SELECT doc_id, n::BIGINT AS n_tokens,
+           lo::BIGINT AS cut1, hi::BIGINT AS cut2,
+           -- DuckDB renders some empty slices as NULL; Spark's slice is
+           -- always a (possibly empty) list — coalesce to ''
+           coalesce(array_to_string(toks[1:lo], ' '), '') AS prefix,
+           coalesce(array_to_string(toks[lo+1:hi], ' '), '') AS middle,
+           coalesce(array_to_string(toks[hi+1:n], ' '), '') AS suffix,
+           '<fim_prefix> ' || coalesce(array_to_string(toks[1:lo], ' '), '')
+             || ' <fim_suffix> ' || coalesce(array_to_string(toks[hi+1:n], ' '), '')
+             || ' <fim_middle> ' || coalesce(array_to_string(toks[lo+1:hi], ' '), '') AS psm
+         FROM s ORDER BY doc_id"""
   )
 }

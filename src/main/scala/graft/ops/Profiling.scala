@@ -1080,4 +1080,93 @@ object Profiling {
           .otherwise(lit(0.0d)) <= lit(4.0 / math.sqrt(k.toDouble)))
           .as("within_bounds"))
   }
+
+  /** Approximate-functional-dependency profile (Kivinen & Mannila 1995's
+    * g₃ error): for each candidate `lhs → rhs`, the minimum number of rows
+    * that must be deleted for the FD to hold exactly — Σ over lhs groups
+    * of (group size − the most common rhs's count) — plus the violating
+    * group count and the g₃ rate. The schema-discovery primitive a
+    * pipeline runs before trusting a key for dedup, a join, or an SCD
+    * identity; rate 0 certifies the dependency, small rates localize
+    * dirty rows.
+    *
+    * Engine parity: counts are exact integers end to end; the one
+    * division (rate) is a fixed double op on identical operands. NULLs on
+    * either side participate as ordinary values (null-safe grouping in
+    * both engines).
+    *
+    * Scale shape: per candidate, one (lhs, rhs) hash aggregate (map-side
+    * combinable) collapsed by a second lhs-keyed aggregate — the second
+    * rides the first's exchange prefix-wise; output is candidates-sized.
+    * Candidates evaluate independently (a union of branches over the
+    * same scan — Spark reuses the exchange where projections overlap).
+    */
+  def fdViolations(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "no candidate dependencies")
+    candidates.map { case (lhs, rhs) =>
+      val pair = df.groupBy(col(lhs).as("_l"), col(rhs).as("_r"))
+        .agg(count(lit(1)).as("_n"))
+      val perL = pair.groupBy("_l")
+        .agg(sum("_n").as("_tot"), max("_n").as("_top"))
+      perL.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_tot") > col("_top"), 1L).otherwise(0L))
+          .as("violating_groups"),
+        sum(col("_tot") - col("_top")).as("g3_rows"),
+        sum("_tot").as("n_rows"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_groups"), col("violating_groups"), col("g3_rows"),
+          round(col("g3_rows").cast("double") /
+            col("n_rows").cast("double"), 9).as("g3_rate"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996)
+    * with the exact F₂ alongside: F₂ = Σ_v c_v² is the SELF-JOIN SIZE of
+    * the column — the number every join planner wants before keying a
+    * shuffle on it (expected output rows of an equi-join on a skewed key,
+    * and Σc² / n² is the collision probability driving salting
+    * decisions). Estimator: s_i(v) = ±1 from bit 0 of the seeded portable
+    * hash; est_i = (Σ_v c_v·s_i(v))²; median of `groups` means of `perGroup`
+    * estimators each (median-of-means — the standard variance-then-tail
+    * reduction). Every estimator is an exact INTEGER (counts × ±1 summed,
+    * then squared), so the mean/median chain is bit-identical in any
+    * engine — like the KMV sketch, deterministic and oracle-replicable
+    * with no engine-private state.
+    *
+    * Scale shape: one value-keyed count aggregate (vocabulary-sized
+    * output), a ×(groups·perGroup) explode over THAT frame — never over
+    * the corpus — and one seed-keyed re-aggregate; the final
+    * median-of-means runs on groups·perGroup rows.
+    */
+  def amsF2(df: DataFrame, valueCol: Column, groups: Int = 5,
+            perGroup: Int = 16): DataFrame = {
+    val k = groups * perGroup
+    val counts = df.select(valueCol.as("_v")).groupBy("_v")
+      .agg(count(lit(1)).as("_c"))
+    val signed = counts
+      .select(col("_v"), col("_c"),
+        explode(sequence(lit(0), lit(k - 1))).as("_seed"))
+      .select(col("_seed"),
+        (when(Portable.hash32(concat_ws(":", col("_seed"), col("_v"))) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)) * col("_c")).as("_sc"))
+      .groupBy("_seed").agg(sum("_sc").as("_z"))
+      .select(col("_seed") % groups.toLong as "_grp",
+        (col("_z") * col("_z")).as("_est"))
+    val means = signed.groupBy("_grp")
+      .agg((sum("_est").cast("double") / perGroup).as("_mean"))
+    val exact = counts.agg(sum(col("_c") * col("_c")).as("exact_f2"),
+      sum("_c").as("n_rows"), count(lit(1)).as("n_distinct"))
+    // median of `groups` means: average of the two middle ranks of the
+    // sorted (tiny, groups-sized) list — deterministic middle-rank
+    // picking, never percentile interpolation
+    val medianOf = means.agg(sort_array(collect_list("_mean")).as("_ms"))
+      .select(((element_at(col("_ms"), (groups + 1) / 2) +
+        element_at(col("_ms"), groups / 2 + 1)) / 2).as("ams_estimate"))
+    exact.crossJoin(medianOf).select(
+      col("n_rows"), col("n_distinct"), col("exact_f2"),
+      round(col("ams_estimate"), 6).as("ams_estimate"),
+      round(abs(col("ams_estimate") - col("exact_f2").cast("double")) /
+        col("exact_f2").cast("double"), 6).as("rel_err"))
+  }
 }

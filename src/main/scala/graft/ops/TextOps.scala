@@ -2566,4 +2566,77 @@ object TextOps {
         sum(col("_m").cast("long")).as("n_masked"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Moving-average type-token ratio (MATTR, Covington & McFall 2010) +
+    * plain TTR per document — the lexical-diversity score that, unlike
+    * raw TTR, does NOT collapse with document length (TTR of a long doc
+    * tends to 0 by Heaps' law — [[heapsLaw]] measures that corpus-wide;
+    * this scores each doc on a length-fair scale). MATTR = mean over all
+    * `window`-token sliding windows of (distinct types in window) /
+    * window; docs shorter than the window fall back to their exact TTR.
+    * Low MATTR with normal length = boilerplate/repetition (the C27
+    * repetition family's continuous cousin); filtering thresholds
+    * transfer across length buckets because the window is fixed.
+    *
+    * Engine parity: the window distinct counts accumulate as ONE exact
+    * integer sum inside the row (mean of d_i/w = Σd_i / (w·m)), so the
+    * whole score is a single double division on exact integers.
+    * Everything is row-local — the operator is one projection, no
+    * shuffle at all until the presentation sort.
+    */
+  def mattr(df: DataFrame, idCol: String, textCol: String,
+            window: Int = 25): DataFrame = {
+    val ttr = round(size(array_distinct(col("_t"))).cast("double") /
+      col("_n"), 6)
+    val starts = sequence(lit(1), col("_n") - window + 1) // 1-based
+    val sumDistinct = aggregate(starts, lit(0L), (acc, i) =>
+      acc + size(array_distinct(slice(col("_t"), i, lit(window)))).cast("long"))
+    df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t"), size(col("_t")).as("_n"))
+      .where(col("_n") > 0)
+      .select(col(idCol),
+        col("_n").cast("long").as("n_tokens"),
+        ttr.as("ttr"),
+        when(col("_n") >= window,
+          round(sumDistinct.cast("double") /
+            (lit(window) * (col("_n") - window + 1)), 6))
+          .otherwise(ttr)
+          .as("mattr"))
+  }
+
+  /** Deterministic fill-in-the-middle transform (Bavarian et al. 2022's
+    * PSM format, the PRNG replaced by the portable hash rule — the
+    * [[spanCorrupt]] convention applied to infilling): two cut points
+    * c₁ ≤ c₂ drawn as seeded hashes mod (n+1) split each document into
+    * prefix/middle/suffix, emitted both as the three spans and as the
+    * assembled PSM training string `<fim_prefix> P <fim_suffix> S
+    * <fim_middle> M`. Reproducible run over run; oracle-checkable because
+    * the cuts are a pure function of the document id.
+    *
+    * Scale shape: entirely row-local (slices of the token array) — no
+    * shuffle until the presentation sort.
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val h1 = Portable.hash32(concat(col(idCol).cast("string"), lit(":fim1"))) % (n + 1)
+    val h2 = Portable.hash32(concat(col(idCol).cast("string"), lit(":fim2"))) % (n + 1)
+    val lo = least(h1, h2).cast("int")
+    val hi = greatest(h1, h2).cast("int")
+    df.select(col(idCol), t.as("_t"), n.as("_n"),
+        lo.as("_lo"), hi.as("_hi"))
+      .select(col(idCol),
+        col("_n").cast("long").as("n_tokens"),
+        col("_lo").cast("long").as("cut1"),
+        col("_hi").cast("long").as("cut2"),
+        array_join(slice(col("_t"), lit(1), col("_lo")), " ").as("prefix"),
+        array_join(slice(col("_t"), col("_lo") + 1, col("_hi") - col("_lo")), " ")
+          .as("middle"),
+        array_join(slice(col("_t"), col("_hi") + 1, col("_n") - col("_hi")), " ")
+          .as("suffix"))
+      .withColumn("psm",
+        concat(lit("<fim_prefix> "), col("prefix"),
+          lit(" <fim_suffix> "), col("suffix"),
+          lit(" <fim_middle> "), col("middle")))
+  }
 }

@@ -606,4 +606,67 @@ object TimeSeries {
           (col("s") * 2).cast("double") /
             (col("n") * (col("n") - 1)).cast("double")).as("tau"))
   }
+
+  /** Classical additive seasonal decomposition per series (the
+    * moving-average method of Macaulay 1931, the `decompose()` default in
+    * every stats stack): value = trend + seasonal + residual, on a daily
+    * grid with weekly period `period`.
+    *
+    *   trend_t    = centered `period`-point moving average (only where the
+    *                full window exists — edge rows keep NULL trend);
+    *   seasonal_p = mean of (value − trend) per phase p = epochDay mod
+    *                period, re-centered so the phases sum to zero;
+    *   residual_t = value − trend − seasonal.
+    *
+    * Engine parity: the daily value and every window/phase mean
+    * decimal-accumulate; the phase index is epoch-day mod period (both
+    * engines agree on epoch-day arithmetic; day-of-week builtins do NOT
+    * agree on week start). Odd `period` only (the centered window is
+    * symmetric; even periods need the 2×period double-MA variant).
+    *
+    * Scale shape: one (key, day) hash aggregate collapses the corpus to
+    * series-length-sized rows; the trend window and the phase aggregate
+    * both ride the key exchange; the phase means re-join as a broadcast
+    * (keys × period rows). Nothing after the first aggregate is
+    * corpus-sized.
+    */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, period: Int = 7): DataFrame = {
+    require(period % 2 == 1, "centered MA needs an odd period")
+    val half = period / 2
+    val daily = df
+      .select(col(keyCol), to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("double").as("_v"))
+      .groupBy(keyCol, "day")
+      .agg(Portable.decSum(col("_v"), 6).as("value"))
+      .withColumn("_phase",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(period)))
+    val wTrend = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-half, half)
+    // exact decimal window sum, then ONE double division — decimal
+    // division result scales differ between engines, double / int does not
+    val withTrend = daily.withColumn("trend",
+      when(count(lit(1)).over(wTrend) === period,
+        sum(col("value").cast("decimal(28,12)")).over(wTrend)
+          .cast("double") / period))
+    val phase = withTrend
+      .where(col("trend").isNotNull)
+      .groupBy(keyCol, "_phase")
+      .agg((Portable.decSum(col("value") - col("trend"), 12) /
+        count(lit(1))).cast("double").as("_praw"))
+    val centered = phase
+      .withColumn("_pmean",
+        sum(col("_praw").cast("decimal(28,12)"))
+          .over(Window.partitionBy(keyCol)).cast("double") /
+          count(lit(1)).over(Window.partitionBy(keyCol)))
+      .select(col(keyCol), col("_phase"),
+        (col("_praw") - col("_pmean")).as("_seasonal"))
+    withTrend.join(broadcast(centered), Seq(keyCol, "_phase"), "left")
+      .select(col(keyCol), col("day"),
+        Portable.pround(col("value"), 6).as("value"),
+        Portable.pround(col("trend"), 6).as("trend"),
+        Portable.pround(col("_seasonal"), 6).as("seasonal"),
+        Portable.pround(col("value") - col("trend") - col("_seasonal"), 6)
+          .as("residual"))
+  }
 }

@@ -894,4 +894,70 @@ object VectorOps {
           .as("mean_sil"))
       .orderBy("cell")
   }
+
+  /** The deterministic ±1 Johnson-Lindenstrauss sign matrix: entry
+    * (j, d) — projection row j in 0..k-1, input dim d in 1..dim (1-based,
+    * the SQL subscript convention) — is +1 when bit 0 of the portable
+    * md5 hash of "rp:j:d" is 0, else −1 (Achlioptas 2003: ±1 entries
+    * satisfy the JL lemma with the same constants as Gaussians). Pure
+    * function of the indices → any engine reproduces it exactly.
+    */
+  private[graft] def jlSigns(k: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dim) { (j, d0) =>
+      val h = md.digest(s"rp:$j:${d0 + 1}".getBytes("UTF-8"))
+      val word = java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16)
+      if (word % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson-Lindenstrauss distortion audit: project `vecCol` (dim
+    * `dim`) to `k` dims through [[jlSigns]] (scaled 1/√k) and report,
+    * for every probe pair (ids below `probeLimit`), the true vs
+    * projected squared distance and their ratio — the measured evidence
+    * (E[ratio] = 1, spread ~ √(2/k)) for using the projection as a
+    * cheap ANN pre-filter at 100 TB: 4× fewer bytes per vector BEFORE
+    * the index, with a known distance-distortion envelope.
+    *
+    * Engine parity: each projected coordinate is a fixed-order
+    * left-to-right sum over the vector array (Spark `aggregate` =
+    * DuckDB `list_reduce`, both sequential in array order) of exact
+    * sign flips, divided by the correctly-rounded √k — identical
+    * doubles in both engines; both squared distances are the same
+    * fixed-order sums of squares.
+    *
+    * Scale shape: the projection is row-local (k·dim multiply-adds per
+    * row, no shuffle); the audit join is probe×probe on a broadcast
+    * row-limited frame. The full-corpus path a user would ship is the
+    * projection alone — linear, embarrassingly parallel.
+    */
+  def jlDistortion(df: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, k: Int, probeLimit: Int): DataFrame = {
+    val signs = jlSigns(k, dim)
+    val scale = math.sqrt(k.toDouble)
+    def dot(v: Column, row: Array[Double]): Column =
+      aggregate(
+        zip_with(v, typedLit(row.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0d), (acc, x) => acc + x)
+    val projected = df
+      .where(col(idCol) < probeLimit)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        array((0 until k).map(j => dot(col(vecCol), signs(j)) / scale): _*)
+          .as("_p"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0d), (acc, x) => acc + x)
+    projected.as("a").join(broadcast(projected.as("b")),
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        round(d2(col("a._v"), col("b._v")), 6).as("d2_true"),
+        round(d2(col("a._p"), col("b._p")), 6).as("d2_proj"),
+        when(d2(col("a._v"), col("b._v")) > 0,
+          round(d2(col("a._p"), col("b._p")) / d2(col("a._v"), col("b._v")), 6))
+          .as("distortion"))
+      .orderBy("id_a", "id_b")
+  }
 }

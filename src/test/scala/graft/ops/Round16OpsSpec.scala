@@ -180,6 +180,169 @@ class Round16OpsSpec extends SparkSpec {
         s"doc ${d.doc_id}")
   }
 
+  // ---- classical seasonal decomposition ------------------------------------
+
+  case class DayVal(k: String, ts: java.sql.Timestamp, v: Double)
+
+  test("seasonalDecompose recovers a planted trend + weekly pattern exactly") {
+    // value(day) = 10·day + pattern[day mod 7]; the pattern sums to 0, so
+    // the centered 7-day MA of the signal IS the linear trend and the
+    // phase means recover the pattern with residual 0 (no noise planted)
+    val pattern = Array(3.0, -1.0, 2.0, -4.0, 0.0, 1.0, -1.0) // sums to 0
+    val rows = (0 until 28).map { d =>
+      DayVal("a", java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        10.0 * d + pattern(d % 7))
+    }
+    val got = TimeSeries.seasonalDecompose(df(rows), "k", "ts", "v", 7)
+      .orderBy("day").collect()
+    assert(got.length === 28)
+    val inner = got.filter(!_.isNullAt(3)) // rows with a full MA window
+    assert(inner.length === 22)
+    for (r <- inner) {
+      val day = r.getDate(1).toLocalDate.getDayOfMonth - 1
+      assert(math.abs(r.getDouble(3) - 10.0 * day) < 1e-6, s"trend day $day")
+      assert(math.abs(r.getDouble(5)) < 1e-6, s"residual day $day")
+    }
+    // seasonal components: zero-centered, equal for equal phases
+    val sea = got.map(r => r.getDouble(4))
+    assert(math.abs(got.take(7).map(_.getDouble(4)).sum) < 1e-6)
+    for (d <- 0 until 21) assert(math.abs(sea(d) - sea(d + 7)) < 1e-9)
+  }
+
+  test("seasonalDecompose: series shorter than the period keeps NULL trend everywhere") {
+    val rows = (0 until 5).map(d =>
+      DayVal("s", java.sql.Timestamp.valueOf(f"2024-02-${d + 1}%02d 01:00:00"), d.toDouble))
+    val got = TimeSeries.seasonalDecompose(df(rows), "k", "ts", "v", 7).collect()
+    assert(got.length === 5)
+    assert(got.forall(_.isNullAt(3)) && got.forall(_.isNullAt(4)))
+  }
+
+  // ---- approximate-FD profile ----------------------------------------------
+
+  case class FdRow(a: String, b: String)
+
+  test("fdViolations: exact FD scores 0; known violations count g3 rows") {
+    val rows = Seq(
+      FdRow("x1", "p"), FdRow("x1", "p"), FdRow("x1", "q"), // x1: top=2, tot=3
+      FdRow("x2", "p"), FdRow("x2", "p"),                   // x2: clean
+      FdRow("x3", "r"))                                     // x3: clean
+    val got = Profiling.fdViolations(df(rows),
+        Seq("a" -> "b", "b" -> "b"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toList
+    val byLhs = got.map(t => t._1 -> t).toMap
+    // rate is rounded to 9 digits by the operator
+    assert(byLhs("a") === (("a", 3L, 1L, 1L, 0.166666667)))  // one row to delete
+    assert(byLhs("b") === (("b", 3L, 0L, 0L, 0.0)))      // trivially exact
+  }
+
+  // ---- AMS F2 ----------------------------------------------------------------
+
+  case class KeyRow(k: Long)
+
+  test("amsF2 exact F2 is right and the estimate matches the hash referee") {
+    // counts: value v appears v times, v = 1..12 → F2 = sum v^2 = 650
+    val rows = (1 to 12).flatMap(v => Seq.fill(v)(KeyRow(v.toLong)))
+    val r = Profiling.amsF2(df(rows), col("k"), groups = 5, perGroup = 16).head
+    assert(r.getLong(0) === 78L)     // n_rows
+    assert(r.getLong(1) === 12L)     // n_distinct
+    assert(r.getLong(2) === 650L)    // exact_f2
+    // referee: same seeded-sign estimators in plain Scala
+    val zs = (0 until 80).map { seed =>
+      (1 to 12).map { v =>
+        val s = if (md5hash32(s"$seed:$v") % 2 == 0) 1L else -1L
+        s * v
+      }.sum
+    }
+    val means = (0 until 5).map(g =>
+      (0 until 80).filter(_ % 5 == g).map(i => zs(i) * zs(i)).sum.toDouble / 16)
+    val med = means.sorted.apply(2)
+    assert(math.abs(r.getDouble(3) - med) < 1e-6)
+  }
+
+  // ---- JL distortion ----------------------------------------------------------
+
+  case class VecRow(vec_id: Long, embedding: Seq[Float])
+
+  test("jlDistortion matches a plain-Scala projection referee") {
+    val dim = 8; val k = 4
+    val rnd = new scala.util.Random(1613)
+    val rows = (0L until 6L).map(i =>
+      VecRow(i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val got = VectorOps.jlDistortion(df(rows), "vec_id", "embedding", dim, k, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val signs = VectorOps.jlSigns(k, dim)
+    def proj(v: Seq[Float]) = (0 until k).map(j =>
+      v.zipWithIndex.map { case (x, d) => x.toDouble * signs(j)(d) }.sum /
+        math.sqrt(k))
+    for (a <- rows; b <- rows if a.vec_id < b.vec_id) {
+      val d2t = a.embedding.zip(b.embedding)
+        .map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+      val d2p = proj(a.embedding).zip(proj(b.embedding))
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      val (gt, gp) = got((a.vec_id, b.vec_id))
+      assert(math.abs(gt - d2t) < 1e-5, s"true d2 ${a.vec_id}-${b.vec_id}")
+      assert(math.abs(gp - d2p) < 1e-5, s"proj d2 ${a.vec_id}-${b.vec_id}")
+    }
+  }
+
+  test("jlSigns is balanced-ish and deterministic") {
+    val s1 = VectorOps.jlSigns(16, 64)
+    val s2 = VectorOps.jlSigns(16, 64)
+    assert(s1.flatten.toSeq === s2.flatten.toSeq)
+    val pos = s1.flatten.count(_ > 0)
+    assert(pos > 400 && pos < 624) // 1024 fair coins, ±5σ band
+  }
+
+  // ---- MATTR ---------------------------------------------------------------
+
+  test("mattr equals the sliding-window referee; short docs fall back to TTR") {
+    val docs = Seq(
+      GrowDoc(1L, (1 to 60).map(i => s"t${i % 9}").mkString(" ")), // repetitive
+      GrowDoc(2L, (1 to 60).map(i => s"u$i").mkString(" ")),       // all-novel
+      GrowDoc(3L, "a b a"))                                        // short
+    val got = TextOps.mattr(df(docs), "doc_id", "text", 25)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    def ref(text: String, w: Int) = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.length < w) t.distinct.length.toDouble / t.length
+      else (0 to t.length - w).map(i => t.slice(i, i + w).distinct.length).sum
+        .toDouble / (w * (t.length - w + 1))
+    }
+    for (d <- docs) {
+      val (n, ttr, m) = got(d.doc_id)
+      val t = d.text.split("\\s+").filter(_.nonEmpty)
+      assert(n === t.length.toLong)
+      assert(math.abs(ttr - t.distinct.length.toDouble / t.length) < 1e-6)
+      assert(math.abs(m - ref(d.text, 25)) < 1e-6, s"doc ${d.doc_id}")
+    }
+    assert(got(2L)._3 === 1.0)            // all-novel: every window is all types
+    assert(got(1L)._3 < got(2L)._3)       // repetition scores lower
+    assert(got(3L)._3 === got(3L)._2)     // short doc: mattr = ttr
+  }
+
+  // ---- FIM -----------------------------------------------------------------
+
+  test("fimSplit cuts match the hash referee and the spans partition the doc") {
+    val docs = (0L until 50L).map(i =>
+      GrowDoc(i, (0 to 10 + (i % 20).toInt).map(j => s"w$j").mkString(" ")))
+    val got = TextOps.fimSplit(df(docs), "doc_id", "text").collect()
+    for (r <- got) {
+      val id = r.getLong(0)
+      val toks = docs.find(_.doc_id == id).get.text.split("\\s+")
+      val n = toks.length
+      val h1 = md5hash32(s"$id:fim1") % (n + 1)
+      val h2 = md5hash32(s"$id:fim2") % (n + 1)
+      assert(r.getLong(2) === math.min(h1, h2) && r.getLong(3) === math.max(h1, h2))
+      val (p, m, s) = (r.getString(4), r.getString(5), r.getString(6))
+      // spans partition the token sequence in order
+      assert(Seq(p, m, s).filter(_.nonEmpty).mkString(" ") === toks.mkString(" "))
+      assert(r.getString(7) === s"<fim_prefix> $p <fim_suffix> $s <fim_middle> $m")
+    }
+  }
+
   test("spanCorrupt round-trip: splicing target spans back restores the doc") {
     val docs = (100L until 140L).map(i =>
       GrowDoc(i, (0 to 30).map(j => s"w$j").mkString(" ")))
