@@ -546,4 +546,91 @@ class PlanInvariantsSpec extends SparkSpec {
       }
     }
   }
+
+  test("round-16 queries keep their scale-plan contracts") {
+    def nonRangeShuffles(p: SparkPlan) = flatten(p).count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      case _ => false
+    }
+    def scanColumns(p: SparkPlan, table: String): Seq[Set[String]] =
+      flatten(p).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.inputFiles.exists(_.contains(table)) =>
+          s.schema.fieldNames.toSet
+      }
+    def run(name: String) = {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      q.collect(); q.queryExecution.executedPlan
+    }
+
+    // q_mattr / q_fim: entirely row-local — the presentation range sort
+    // is the ONLY exchange, and the scan prunes to (doc_id, text)
+    for (name <- Seq("q_mattr", "q_fim")) {
+      val p = run(name)
+      withClue(s"$name: ") {
+        assert(nonRangeShuffles(p) === 0, "must be row-local")
+        assert(scanColumns(p, "documents").forall(_ === Set("doc_id", "text")),
+          "scan must prune to (doc_id, text)")
+      }
+    }
+
+    // q_welch_t: ONE conditional hash aggregate — one source exchange,
+    // no join; scan prunes to the three used columns
+    val wt = run("q_welch_t")
+    assert(nonRangeShuffles(wt) === 1,
+      "q_welch_t is one conditional hash aggregate")
+    assert(scanColumns(wt, "documents")
+        .forall(_ === Set("doc_id", "source", "n_chars")),
+      "q_welch_t scan must prune to (doc_id, source, n_chars)")
+
+    // q_span_corrupt: run-detection windows and the rebuild aggregate all
+    // ride ONE doc-keyed exchange
+    assert(nonRangeShuffles(run("q_span_corrupt")) === 1,
+      "q_span_corrupt must ride one doc-hash exchange")
+
+    // q_kmv_distinct: the distinct-(lang, hash) agg plus the rank window /
+    // final agg exchange — two total; nothing corpus-keyed after the first
+    assert(nonRangeShuffles(run("q_kmv_distinct")) <= 2,
+      "q_kmv_distinct is two exchanges: distinct agg + rank window")
+
+    // q_seasonal_decomp: daily agg, key window/phase agg — the phase
+    // means must come back as a BROADCAST join, never a shuffled one
+    val sd = run("q_seasonal_decomp")
+    assert(flatten(sd).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "q_seasonal_decomp must broadcast the phase means")
+    assert(scanColumns(sd, "events")
+        .forall(_ === Set("event_type", "ts", "value")),
+      "q_seasonal_decomp scan must prune to (event_type, ts, value)")
+
+    // q_ams_f2: the ×80 seed explode runs over the vocabulary-sized count
+    // frame, NEVER the corpus — the explode's child aggregate keys on the
+    // value, so the exchange count stays fixed (count agg, seed agg,
+    // group agg, two singleton rollups)
+    assert(nonRangeShuffles(run("q_ams_f2")) <= 5,
+      "q_ams_f2 exchanges must stay sketch-sized and fixed")
+
+    // q_jl_distortion: probe pairing is a broadcast nested-loop on the
+    // row-limited frame; the projection itself adds no exchange
+    val jl = run("q_jl_distortion")
+    assert(nonRangeShuffles(jl) === 0,
+      "q_jl_distortion must not shuffle (row-local projection + broadcast pairing)")
+    assert(flatten(jl).exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }, "q_jl_distortion must broadcast the probe frame")
+
+    // q_fd_profile: exact integer profile — per candidate the (lhs, rhs)
+    // agg, the lhs agg and a singleton rollup; the union of 3 candidates
+    // stays within 9 exchanges and every documents scan prunes to the
+    // candidate's two columns (or fewer)
+    val fd = run("q_fd_profile")
+    assert(nonRangeShuffles(fd) <= 9, "q_fd_profile exchanges must stay fixed")
+    assert(scanColumns(fd, "documents")
+        .forall(_.subsetOf(Set("doc_id", "source", "lang"))),
+      "q_fd_profile scans must prune to candidate columns")
+  }
 }
