@@ -3331,7 +3331,17 @@ object SparkEntry {
     // is the denoising sibling).
     "q_fim" -> ((s, dir) =>
       TextOps.fimSplit(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // KMV mergeability, proven as a hash-checked query: the corpus-wide
+    // trigram-vocabulary sketch computed directly vs merged from the
+    // per-source sketches — the property that lets each of 1000
+    // executors ship k longs instead of a vocabulary (q_kmv_distinct's
+    // scale story, made falsifiable).
+    "q_kmv_merge" -> ((s, dir) =>
+      Profiling.kmvMergeProof(
+        TextOps.shingles(T(s, dir, "documents"), "source", "text", 3),
+        "source", col("shingle"), 64))
   )
 
   /** Customer↔supplier trade edge list (supplier ids offset into a
@@ -8877,6 +8887,41 @@ object SparkEntry {
            '<fim_prefix> ' || coalesce(array_to_string(toks[1:lo], ' '), '')
              || ' <fim_suffix> ' || coalesce(array_to_string(toks[hi+1:n], ' '), '')
              || ' <fim_middle> ' || coalesce(array_to_string(toks[lo+1:hi], ' '), '') AS psm
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+
+    // Both sketch paths replayed: k smallest of all distinct hashes vs
+    // k smallest of the unioned per-source k-smallest lists — same
+    // estimator arithmetic, equality surfaced as a hash-checked boolean.
+    "q_kmv_merge" ->
+      raw"""WITH t AS (
+           SELECT source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         tok AS (
+           SELECT source, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS tok
+           FROM t),
+         h AS (SELECT DISTINCT source,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+               FROM tok),
+         gl AS (SELECT DISTINCT h FROM h),
+         dr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gl),
+         dsk AS (SELECT count(*) AS n, max(h) AS mx FROM dr WHERE rn <= 64),
+         de AS (SELECT CASE WHEN n = 64
+                  THEN round(63.0 / (mx::DOUBLE / 4294967296.0), 6) + 0
+                  ELSE n::DOUBLE END AS direct_estimate FROM dsk),
+         pr AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM h),
+         mu AS (SELECT DISTINCT h FROM pr WHERE rn <= 64),
+         mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mu),
+         msk AS (SELECT count(*) AS n, max(h) AS mx FROM mr WHERE rn <= 64),
+         me AS (SELECT CASE WHEN n = 64
+                  THEN round(63.0 / (mx::DOUBLE / 4294967296.0), 6) + 0
+                  ELSE n::DOUBLE END AS merged_estimate FROM msk),
+         np AS (SELECT count(DISTINCT source)::BIGINT AS n_parts FROM documents)
+         SELECT n_parts, direct_estimate, merged_estimate,
+           direct_estimate = merged_estimate AS merge_exact
+         FROM np, de, me"""
   )
 }

@@ -1046,11 +1046,45 @@ object Profiling {
     * exchange (never a global sort); groups with fewer than k distinct
     * hashes fall back to the exact count (the sketch is exact below k).
     */
-  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: Column,
-                  k: Int = 64): DataFrame = {
-    val hashes = df.select(col(groupCol), Portable.hash32(valueCol).as("_h"))
+  /** Distinct (group, portable-hash) frame — the KMV sketch's input
+    * relation, shared by the batch estimator, the merge proof and the
+    * streaming twin. */
+  private[graft] def kmvHashes(df: DataFrame, groupCol: String,
+                               valueCol: Column): DataFrame =
+    df.select(col(groupCol), Portable.hash32(valueCol).as("_h"))
       .groupBy(groupCol, "_h").agg(count(lit(1)).as("_dup")) // distinct (g, h)
       .drop("_dup")
+
+  /** Keep the k smallest distinct hashes per group — the KMV truncation.
+    * Idempotent and associative under union (smallest-k of a union =
+    * smallest-k of the unioned smallest-ks), which is what makes the
+    * sketch mergeable and the streaming state bounded. */
+  private[graft] def kmvSmallestK(hashes: DataFrame, groupCol: String,
+                                  k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("_h")
+    hashes.distinct()
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k).drop("_rn")
+  }
+
+  /** The (k−1)/u_k estimate off a ≤k-per-group sketch frame (exact-count
+    * fallback below k) — the read-time arithmetic shared by the streaming
+    * twin, producing values bit-identical to [[kmvDistinct]]'s
+    * `kmv_estimate` column. */
+  private[graft] def kmvEstimateFromSketch(sketch: DataFrame, groupCol: String,
+                                           k: Int): DataFrame =
+    sketch.groupBy(groupCol)
+      .agg(count(lit(1)).as("_n"), max("_h").as("_mx"))
+      .select(col(groupCol),
+        when(col("_n") === k,
+          round(lit((k - 1).toDouble) /
+            (col("_mx").cast("double") / lit(4294967296.0d)), 6))
+          .otherwise(col("_n").cast("double"))
+          .as("kmv_estimate"))
+
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: Column,
+                  k: Int = 64): DataFrame = {
+    val hashes = kmvHashes(df, groupCol, valueCol)
     val w = Window.partitionBy(groupCol).orderBy("_h")
     hashes
       .withColumn("_rn", row_number().over(w))
@@ -1079,6 +1113,40 @@ object Profiling {
             col("n_distinct_hashed").cast("double"))
           .otherwise(lit(0.0d)) <= lit(4.0 / math.sqrt(k.toDouble)))
           .as("within_bounds"))
+  }
+
+  /** KMV mergeability proof as a query: the corpus-wide sketch computed
+    * DIRECTLY (k smallest of all distinct hashes) vs computed by MERGING
+    * the per-`partCol` sketches (union of each part's k smallest, then k
+    * smallest of that) — with the estimates and an equality flag in one
+    * row. This is the property that makes the sketch a 100 TB citizen:
+    * each partition/shard/day ships k longs, the coordinator merges, and
+    * the answer is AS IF the whole corpus were sketched centrally
+    * (smallest-k is an idempotent, associative, commutative monoid under
+    * union). The flag is engine-computed AND oracle-replayed, so a
+    * regression in either path flips a hash-checked boolean.
+    *
+    * Scale shape: one distinct-(part, hash) aggregate; everything after
+    * is parts·k-sized.
+    */
+  def kmvMergeProof(df: DataFrame, partCol: String, valueCol: Column,
+                    k: Int = 64): DataFrame = {
+    val hashes = kmvHashes(df, partCol, valueCol)
+    val global = hashes.select(lit("all").as("_g"), col("_h"))
+    val direct = kmvEstimateFromSketch(kmvSmallestK(global, "_g", k), "_g", k)
+      .select(col("kmv_estimate").as("direct_estimate"))
+    val merged = kmvEstimateFromSketch(
+      kmvSmallestK(
+        kmvSmallestK(hashes, partCol, k)
+          .select(lit("all").as("_g"), col("_h")),
+        "_g", k),
+      "_g", k)
+      .select(col("kmv_estimate").as("merged_estimate"))
+    val nParts = df.select(col(partCol)).distinct()
+      .agg(count(lit(1)).as("n_parts"))
+    nParts.crossJoin(direct).crossJoin(merged)
+      .select(col("n_parts"), col("direct_estimate"), col("merged_estimate"),
+        (col("direct_estimate") === col("merged_estimate")).as("merge_exact"))
   }
 
   /** Approximate-functional-dependency profile (Kivinen & Mannila 1995's

@@ -236,6 +236,43 @@ object StreamingOps {
       counts.get.map(graft.ops.Profiling.psiFromCounts)
   }
 
+  /** Streaming KMV distinct-sketch maintenance — the streaming twin of
+    * C210's q_kmv_distinct: each micro-batch reduces to its distinct
+    * (group, portable-hash) rows truncated to the k smallest per group,
+    * which keep-smallest-k-merge into the running sketch. Smallest-k
+    * under union is an idempotent, associative, commutative monoid (the
+    * kmvMergeProof property run continuously), so the maintained sketch
+    * equals the batch whole-corpus sketch EXACTLY for any micro-batch
+    * boundaries or arrival order, and the estimate derived at read time
+    * is bit-identical to the batch `kmv_estimate` column (same shared
+    * Profiling arithmetic — no second formula to drift). State is
+    * ≤ |groups|·k hashes forever. Batch-id replay is a no-op (the
+    * exactly-once contract); so is re-delivery of already-seen values
+    * (distinct hashes — dedup is free, unlike counter sketches).
+    */
+  final class KmvState(groupCol: String, valueCol: Column, k: Int) {
+    private val sketch = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = graft.ops.Profiling.kmvSmallestK(
+        graft.ops.Profiling.kmvHashes(batch, groupCol, valueCol), groupCol, k)
+      val merged = sketch.get match {
+        case Some(prev) =>
+          graft.ops.Profiling.kmvSmallestK(prev.unionByName(p), groupCol, k)
+        case None => p
+      }
+      sketch.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current (group, kmv_estimate) — bit-identical to the batch
+      * q_kmv_distinct estimate column. */
+    def finalized: Option[DataFrame] =
+      sketch.get.map(graft.ops.Profiling.kmvEstimateFromSketch(_, groupCol, k))
+  }
+
   /** Streaming count-min sketch maintenance — the streaming twin of
     * TextOps.countMinSketch (C127): each micro-batch reduces to its own
     * depth×width counter matrix and SUM-merges into the running sketch.

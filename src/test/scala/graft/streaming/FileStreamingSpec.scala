@@ -643,6 +643,47 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch converges exactly to the batch kmv_estimate") {
+    // C210's streaming twin: keep-smallest-k is an idempotent,
+    // associative, commutative union monoid, so the sketch maintained
+    // over arbitrary micro-batch boundaries must yield estimates
+    // BIT-identical to the batch q_kmv_distinct column — k=16 so the
+    // estimator path (not just the exact fallback) is exercised.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_kmv_in").toFile.getAbsolutePath
+    docs.where(pmod(col("doc_id"), lit(3)) === 0).write.mode("append").parquet(inDir)
+    docs.where(pmod(col("doc_id"), lit(3)) === 1).write.mode("append").parquet(inDir)
+    docs.where(pmod(col("doc_id"), lit(3)) === 2).write.mode("append").parquet(inDir)
+
+    val state = new StreamingOps.KmvState("lang", col("text"), 16)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.finalized.get
+      val batch = graft.ops.Profiling.kmvDistinct(docs, "lang", col("text"), 16)
+        .select("lang", "kmv_estimate")
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "smallest-k-merged sketch must reproduce the batch estimates exactly")
+      // the estimator path must actually be exercised (some lang above k)
+      assert(graft.ops.Profiling.kmvDistinct(docs, "lang", col("text"), 16)
+        .where(col("n_distinct_hashed") > 16).count() > 0)
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(docs, 0L)
+      val replayed = state.finalized.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0,
+        "batch-id replay must be a no-op")
+      // re-delivery of already-seen values must also be a no-op (distinct
+      // hashes — dedup is free, unlike counter sketches)
+      state.mergeBatch(docs.limit(50), 99L)
+      val redelivered = state.finalized.get
+      assert(redelivered.except(batch).count() === 0 && batch.except(redelivered).count() === 0,
+        "re-delivered values must not move the sketch")
+    } finally q.stop()
+  }
+
   test("streaming CDC apply converges to the batch cdcApply, out of order and replayed") {
     // C89's streaming twin (VERDICT r7 item 7): the q_cdc_apply changelog
     // (updates v2, deletes v3, inserts v1) lands in micro-batches in
