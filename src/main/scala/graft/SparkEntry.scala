@@ -3341,7 +3341,32 @@ object SparkEntry {
     "q_kmv_merge" -> ((s, dir) =>
       Profiling.kmvMergeProof(
         TextOps.shingles(T(s, dir, "documents"), "source", "text", 3),
-        "source", col("shingle"), 64))
+        "source", col("shingle"), 64)),
+
+    // Multi-touch attribution: linear and U-shaped (40/20/40) fractional
+    // credit per conversion segment, rolled up per touch type — the
+    // budget-allocation companion of q_attribution's first/last picks.
+    "q_attribution_multi" -> ((s, dir) =>
+      EventOps.multiTouchAttribution(T(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", "purchase")
+        .orderBy("touch_type")),
+
+    // Kaplan-Meier customer-lifetime survival (30-day units) with
+    // right-censoring (last order within 180 days of corpus end = still
+    // active): the churn curve that does not pretend active customers
+    // already died.
+    "q_km_survival" -> ((s, dir) =>
+      EventOps.kaplanMeier(T(s, dir, "orders"), "o_custkey", "o_orderdate",
+          180, 30)
+        .orderBy("life")),
+
+    // Quantized-retrieval recall: per probe, top-10 by exact float dot
+    // vs by the int8 estimate — the measured cost of serving retrieval
+    // from 4x-smaller vectors (q_quantize_int8's accuracy audit).
+    "q_int8_recall" -> ((s, dir) =>
+      VectorOps.int8Recall(T(s, dir, "embeddings"), "vec_id", "embedding",
+          10, 20)
+        .orderBy("probe_id"))
   )
 
   /** Customer↔supplier trade edge list (supplier ids offset into a
@@ -8922,6 +8947,101 @@ object SparkEntry {
          np AS (SELECT count(DISTINCT source)::BIGINT AS n_parts FROM documents)
          SELECT n_parts, direct_estimate, merged_estimate,
            direct_estimate = merged_estimate AS merge_exact
-         FROM np, de, me"""
+         FROM np, de, me""",
+
+    // Each credit is one double division on exact integer segment
+    // counts, decimal-summed; segment membership rides the shared
+    // (ts, event_id) order.
+    "q_attribution_multi" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id, event_type,
+             event_type = 'purchase' AS conv
+           FROM events),
+         c AS (
+           SELECT *, sum(CASE WHEN conv THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+           FROM b),
+         t AS (SELECT user_id, cum + 1 AS cid, ts, event_id, event_type
+               FROM c WHERE NOT conv),
+         v AS (SELECT user_id, cum AS cid FROM c WHERE conv),
+         s AS (SELECT t.* FROM t JOIN v USING (user_id, cid)),
+         p AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id, cid
+                                    ORDER BY ts, event_id) AS pos,
+                 count(*) OVER (PARTITION BY user_id, cid) AS n
+               FROM s)
+         SELECT event_type AS touch_type, count(*)::BIGINT AS n_touches,
+           round(sum(CAST(1.0 / n AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS linear_credit,
+           round(sum(CAST(CASE WHEN n = 1 THEN 1.0
+                               WHEN n = 2 THEN 0.5
+                               WHEN pos = 1 OR pos = n THEN 0.4
+                               ELSE 0.2 / (n - 2) END AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS u_credit
+         FROM p GROUP BY event_type ORDER BY touch_type""",
+
+    // The running survival product folds left-to-right over the sorted
+    // per-lifetime rows with the q_holt LIST-accumulator pattern —
+    // never exp/ln, never a windowed product an engine may tree-shape.
+    "q_km_survival" ->
+      """WITH u AS (SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+                      CAST(max(o_orderdate) AS DATE) AS l
+                    FROM orders GROUP BY o_custkey),
+         g AS (SELECT max(l) AS gmax FROM u),
+         lf AS (SELECT (l - f) // 30 AS life,
+                  CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn
+                FROM u, g),
+         pl AS (SELECT life, sum(churn)::BIGINT AS d,
+                  sum(1 - churn)::BIGINT AS c
+                FROM lf GROUP BY life),
+         arr AS (SELECT list([life::DOUBLE, d::DOUBLE, c::DOUBLE]
+                    ORDER BY life) AS a,
+                  sum(d + c)::DOUBLE AS total FROM pl),
+         ex AS (SELECT unnest(range(1, len(a) + 1)) AS i, a, total FROM arr)
+         SELECT a[i][1]::BIGINT AS life,
+           (total - list_reduce(
+              list_prepend(0.0::DOUBLE,
+                list_transform(a[1:i-1], e -> e[2] + e[3])),
+              (x, y) -> x + y))::BIGINT AS n_risk,
+           a[i][2]::BIGINT AS n_churned,
+           a[i][3]::BIGINT AS n_censored,
+           round(list_reduce(
+             list_prepend([total, 1.0::DOUBLE], a[1:i]),
+             (acc, e) -> [acc[1] - e[2] - e[3],
+                          acc[2] * (acc[1] - e[2]) / acc[1]])[2], 9) + 0 AS km_survival
+         FROM ex ORDER BY life""",
+
+    // The int8 dot is exact integer arithmetic in any engine; both
+    // rankings tie-break on corpus id, so the overlap is deterministic.
+    "q_int8_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         qn AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) AS s FROM v),
+         qq AS (SELECT vec_id, e, s,
+                  list_transform(e, x -> CASE WHEN s > 0
+                    THEN floor(x * 127.0 / s + 0.5)::BIGINT
+                    ELSE 0 END) AS q
+                FROM qn),
+         pairs AS (
+           SELECT p.vec_id AS pid, c.vec_id AS cid,
+             list_reduce(list_transform(range(1, 65), i -> p.e[i] * c.e[i]),
+               (x, y) -> x + y) AS fs,
+             p.s * c.s * (list_reduce(
+               list_transform(range(1, 65), i -> p.q[i] * c.q[i]),
+               (x, y) -> x + y))::DOUBLE / 16129.0 AS qs
+           FROM qq p JOIN qq c ON p.vec_id <> c.vec_id
+           WHERE p.vec_id < 20),
+         tf AS (SELECT pid, cid FROM (
+                  SELECT pid, cid, row_number() OVER
+                    (PARTITION BY pid ORDER BY fs DESC, cid) AS rn
+                  FROM pairs) WHERE rn <= 10),
+         tq AS (SELECT pid, cid, 1 AS hit FROM (
+                  SELECT pid, cid, row_number() OVER
+                    (PARTITION BY pid ORDER BY qs DESC, cid) AS rn
+                  FROM pairs) WHERE rn <= 10)
+         SELECT tf.pid AS probe_id,
+           sum(coalesce(hit, 0))::BIGINT AS n_overlap,
+           round(sum(coalesce(hit, 0))::DOUBLE / 10, 6) + 0 AS recall
+         FROM tf LEFT JOIN tq ON tf.pid = tq.pid AND tf.cid = tq.cid
+         GROUP BY tf.pid ORDER BY probe_id"""
   )
 }

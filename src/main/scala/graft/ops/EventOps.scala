@@ -447,4 +447,117 @@ object EventOps {
         col("type_c").asc)
       .limit(topK)
   }
+
+  /** Multi-touch attribution — the fractional-credit counterpart of
+    * [[touchAttribution]]'s first/last picks: every conversion splits one
+    * unit of credit over the touches in ITS segment (the events since the
+    * user's previous conversion), under two standard models at once:
+    * linear (1/n each) and U-shaped (40% first, 40% last, the middle
+    * 20% split over the interior; n=1 → 1.0, n=2 → 0.5/0.5). Credits
+    * roll up per touch type — the budget-allocation view of the same
+    * event stream.
+    *
+    * Engine parity: each credit is one double division on exact integer
+    * counts, decimal-summed across conversions. Segment membership and
+    * positions come from the (ts, tie) order both engines share.
+    *
+    * Scale shape: ONE user-keyed exchange serves the conversion-counting
+    * window; the segment join is user-local (conversion ordinals); the
+    * per-segment position/size windows ride the same user hash; the
+    * rollup output is touch-catalog-sized.
+    */
+  def multiTouchAttribution(df: DataFrame, userCol: String, tsCol: String,
+                            tieCol: String, typeCol: String,
+                            convType: String): DataFrame = {
+    val w = Window.partitionBy("_u")
+      .orderBy(col("_ts").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = df.select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(tieCol).as("_tie"), col(typeCol).as("_ty"),
+        (col(typeCol) === convType).as("_conv"))
+      .withColumn("_cum",
+        sum(when(col("_conv"), 1L).otherwise(0L)).over(w))
+    // a touch with c prior-or-current conversions belongs to conversion
+    // ordinal c+1; the conversion row itself carries its own ordinal
+    val touches = base.where(!col("_conv"))
+      .select(col("_u"), (col("_cum") + 1).as("_cid"),
+        col("_ts"), col("_tie"), col("_ty"))
+    val convs = base.where(col("_conv")).select(col("_u"), col("_cum").as("_cid"))
+    val seg = touches.join(convs, Seq("_u", "_cid")) // only converted segments
+    val ws = Window.partitionBy("_u", "_cid")
+      .orderBy(col("_ts").asc, col("_tie").asc)
+    val withPos = seg
+      .withColumn("_pos", row_number().over(ws))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_u", "_cid")))
+    val linear = lit(1.0) / col("_n")
+    val uShape = when(col("_n") === 1, lit(1.0))
+      .when(col("_n") === 2, lit(0.5))
+      .when(col("_pos") === 1 || col("_pos") === col("_n"), lit(0.4))
+      .otherwise(lit(0.2) / (col("_n") - 2))
+    withPos.groupBy(col("_ty").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(Portable.decSum(linear, 12), 6).as("linear_credit"),
+        round(Portable.decSum(uShape, 12), 6).as("u_credit"))
+  }
+
+  /** Kaplan–Meier survival estimate of user lifetime (Kaplan & Meier
+    * 1958) with right-censoring: lifetime = days between a user's first
+    * and last event; users whose last event falls within `censorDays` of
+    * the corpus's last day are CENSORED (still alive — their lifetime is
+    * a lower bound), not churned. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
+    * observed lifetimes — the churn curve that does not pretend active
+    * users already died (a naive lifetime histogram biases every cohort
+    * younger than the corpus).
+    *
+    * Engine parity: the curve is a bounded catalog (≤ the corpus's day
+    * span), so the running product folds LEFT-TO-RIGHT over the sorted
+    * per-lifetime rows inside one collected array (Spark `aggregate` =
+    * DuckDB `list_reduce`, the q_holt list-accumulator pattern) — never
+    * exp/ln round-trips, never a windowed product whose association an
+    * engine may tree-shape. Every nᵢ, dᵢ is an exact integer; each
+    * factor is one double division.
+    *
+    * Scale shape: one user-keyed aggregate collapses the corpus to one
+    * row per user; one lifetime-keyed aggregate collapses that to the
+    * day-span catalog; the fold runs on ONE collected row of that
+    * catalog (the kMeansCentroids sanctioned model-sized shape).
+    */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
+                  censorDays: Int = 7, unitDays: Int = 30): DataFrame = {
+    val perUser = df.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("_f"), to_date(max(col(tsCol))).as("_l"))
+    val gmax = perUser.agg(max("_l").as("_gmax"))
+    val lives = perUser.crossJoin(broadcast(gmax))
+      .select((datediff(col("_l"), col("_f")).cast("long") / unitDays)
+          .cast("long").as("_life"), // int floor-div: datediff >= 0
+        (col("_l") < date_sub(col("_gmax"), censorDays)).as("_churn"))
+    val perLife = lives.groupBy("_life")
+      .agg(sum(when(col("_churn"), 1L).otherwise(0L)).as("_d"),
+        sum(when(!col("_churn"), 1L).otherwise(0L)).as("_c"))
+    // one catalog-sized row: [life, d, c] triples sorted by life
+    val curve = perLife
+      .agg(sort_array(collect_list(array(col("_life").cast("double"),
+          col("_d").cast("double"), col("_c").cast("double")))).as("_arr"),
+        sum(col("_d") + col("_c")).cast("double").as("_total"))
+    // acc = [remaining_at_risk, survival]; e = [life, d, c]
+    val fold = (acc: Column, e: Column) => array(
+      element_at(acc, 1) - element_at(e, 2) - element_at(e, 3),
+      element_at(acc, 2) *
+        (element_at(acc, 1) - element_at(e, 2)) / element_at(acc, 1))
+    curve
+      .select(col("_total"), col("_arr"),
+        posexplode(col("_arr")).as(Seq("_i0", "_e")))
+      .select(
+        element_at(col("_e"), 1).cast("long").as("life"),
+        (col("_total") -
+          aggregate(slice(col("_arr"), lit(1), col("_i0")), lit(0.0d),
+            (acc, e) => acc + element_at(e, 2) + element_at(e, 3)))
+          .cast("long").as("n_risk"),
+        element_at(col("_e"), 2).cast("long").as("n_churned"),
+        element_at(col("_e"), 3).cast("long").as("n_censored"),
+        round(element_at(
+          aggregate(slice(col("_arr"), lit(1), col("_i0") + 1),
+            array(col("_total"), lit(1.0d)), fold), 2), 9)
+          .as("km_survival"))
+  }
 }

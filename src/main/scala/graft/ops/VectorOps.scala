@@ -931,6 +931,49 @@ object VectorOps {
     * row-limited frame. The full-corpus path a user would ship is the
     * projection alone — linear, embarrassingly parallel.
     */
+  /** Quantized-retrieval recall audit: per probe, the top-k corpus
+    * neighbors by exact float dot product vs by the int8-quantized
+    * estimate sₐ·s_c·Σqₐq_c/127² ([[quantizeInt8]]'s dequantization
+    * applied to scoring), reported as recall@k — the measured answer to
+    * "can the 4×-smaller at-rest vectors serve first-stage retrieval".
+    * The integer dot is EXACT in any engine (Σ of int8 products —
+    * order-free), the scale product is one fixed double chain, and both
+    * rankings tie-break on corpus id, so the whole audit hash-checks.
+    *
+    * Scale shape: probe frame broadcasts into one corpus scan (the
+    * cosineTopK shape); both top-k windows ride ONE probe-hash exchange;
+    * at corpus scale the quantized score would be served from the IVF
+    * cells (C57) — this query measures what that costs in recall.
+    */
+  def int8Recall(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, probeLimit: Int): DataFrame = {
+    val q = quantizeInt8(df, idCol, vecCol)
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .join(q.select(col(idCol).as("_id"), col("scale").as("_s"),
+        col("q").as("_q")), Seq("_id"))
+    val probes = base.where(col("_id") < probeLimit)
+      .select(col("_id").as("_pid"), col("_v").as("_pv"),
+        col("_s").as("_ps"), col("_q").as("_pq"))
+    val qdot = aggregate(
+      zip_with(col("_pq"), col("_q"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val pairs = broadcast(probes).join(base, col("_pid") =!= col("_id"))
+      .select(col("_pid"), col("_id"),
+        dotNative(col("_pv"), col("_v")).as("_fs"),
+        (col("_ps") * col("_s") * qdot.cast("double") / lit(16129.0d)).as("_qs"))
+    val wF = Window.partitionBy("_pid").orderBy(col("_fs").desc, col("_id").asc)
+    val wQ = Window.partitionBy("_pid").orderBy(col("_qs").desc, col("_id").asc)
+    val topF = pairs.withColumn("_rn", row_number().over(wF))
+      .where(col("_rn") <= k).select(col("_pid"), col("_id"))
+    val topQ = pairs.withColumn("_rn", row_number().over(wQ))
+      .where(col("_rn") <= k).select(col("_pid"), col("_id"))
+    topF.join(topQ.withColumn("_hit", lit(1L)), Seq("_pid", "_id"), "left")
+      .groupBy(col("_pid").as("probe_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+      .select(col("probe_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).as("recall"))
+  }
+
   def jlDistortion(df: DataFrame, idCol: String, vecCol: String,
                    dim: Int, k: Int, probeLimit: Int): DataFrame = {
     val signs = jlSigns(k, dim)

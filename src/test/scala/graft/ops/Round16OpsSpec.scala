@@ -343,6 +343,101 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- multi-touch attribution ----------------------------------------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                event_type: String)
+
+  private def ev(u: Long, sec: Int, id: Long, ty: String) =
+    Ev(u, java.sql.Timestamp.valueOf(f"2024-03-01 00:00:$sec%02d"), id, ty)
+
+  test("multiTouchAttribution splits exactly one unit per converted segment") {
+    val rows = Seq(
+      // user 1: [a b c] -> buy (n=3: linear 1/3 each; U .4/.2/.4)
+      ev(1, 1, 1, "a"), ev(1, 2, 2, "b"), ev(1, 3, 3, "c"), ev(1, 4, 4, "purchase"),
+      // user 1 second segment: [b] -> buy (n=1: both models give 1.0)
+      ev(1, 5, 5, "b"), ev(1, 6, 6, "purchase"),
+      // user 2: [a b] -> buy (n=2: 0.5 each both models)
+      ev(2, 1, 7, "a"), ev(2, 2, 8, "b"), ev(2, 3, 9, "purchase"),
+      // user 2 trailing touches with NO conversion: zero credit
+      ev(2, 4, 10, "c"), ev(2, 5, 11, "c"),
+      // user 3: conversion with no preceding touches: no credit to give
+      ev(3, 1, 12, "purchase"))
+    val got = EventOps.multiTouchAttribution(df(rows), "user_id", "ts",
+        "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // credits are rounded to 6 digits by the operator
+    assert(got("a") === ((2L, 0.833333, 0.9)))   // 1/3 + 0.5 | 0.4 + 0.5
+    assert(got("b") === ((3L, 1.833333, 1.7)))   // 1/3 + 1 + 0.5 | 0.2 + 1 + 0.5
+    assert(got("c") === ((1L, 0.333333, 0.4)))
+    // total credit = number of conversions that had >= 1 touch (3 here)
+    assert(math.abs(got.values.map(_._2).sum - 3.0) < 1e-5)
+    assert(math.abs(got.values.map(_._3).sum - 3.0) < 1e-5)
+  }
+
+  // ---- Kaplan-Meier -----------------------------------------------------------
+
+  test("kaplanMeier matches the hand-computed curve with censoring") {
+    // lifetimes (1-day units): churned at 0,0,1; censored at 1,2,2
+    // (gmax = Apr 30; censor window 5 days → last < Apr 25 churns)
+    def u(id: Long, first: String, last: String) = Seq(
+      Ev(id, java.sql.Timestamp.valueOf(s"2024-04-$first 00:00:00"), id * 2, "x"),
+      Ev(id, java.sql.Timestamp.valueOf(s"2024-04-$last 12:00:00"), id * 2 + 1, "x"))
+    val rows =
+      u(1, "01", "01") ++ u(2, "02", "02") ++ u(3, "03", "04") ++ // churned 0,0,1
+      u(4, "28", "29") ++ u(5, "27", "29") ++ u(6, "28", "30")    // censored 1,2,2
+    val got = EventOps.kaplanMeier(df(rows), "user_id", "ts",
+        censorDays = 5, unitDays = 1)
+      .orderBy("life").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // t=0: risk 6, d=2 → S = 4/6; t=1: risk 4, d=1 → S = (4/6)(3/4) = 0.5;
+    // t=2: risk 2, d=0 → S stays 0.5
+    assert(got.length === 3)
+    assert(got(0) === ((0L, 6L, 2L, 0L, 0.666666667)))
+    assert(got(1) === ((1L, 4L, 1L, 1L, 0.5)))
+    assert(got(2) === ((2L, 2L, 0L, 2L, 0.5)))
+  }
+
+  test("kaplanMeier with no churns is a flat 1.0 curve") {
+    val rows = (1L to 4L).flatMap(i => Seq(
+      Ev(i, java.sql.Timestamp.valueOf("2024-04-29 00:00:00"), i * 2, "x"),
+      Ev(i, java.sql.Timestamp.valueOf("2024-04-30 00:00:00"), i * 2 + 1, "x")))
+    val got = EventOps.kaplanMeier(df(rows), "user_id", "ts", 5, 1).collect()
+    assert(got.forall(_.getDouble(4) === 1.0))
+    assert(got.map(_.getLong(3)).sum === 4L) // everyone censored
+  }
+
+  // ---- int8 retrieval recall ----------------------------------------------------
+
+  test("int8Recall matches a plain-Scala two-ranking referee") {
+    val dim = 8
+    val rnd = new scala.util.Random(1619)
+    val rows = (0L until 30L).map(i =>
+      VecRow(i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val k = 5
+    val got = VectorOps.int8Recall(df(rows), "vec_id", "embedding", k, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def quant(v: Seq[Float]): (Double, Seq[Long]) = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      (s, v.map(x => if (s > 0) math.floor(x.toDouble * 127.0 / s + 0.5).toLong else 0L))
+    }
+    for (p <- rows.take(6)) {
+      val others = rows.filter(_.vec_id != p.vec_id)
+      def fdot(a: Seq[Float], b: Seq[Float]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val topF = others.sortBy(c => (-fdot(p.embedding, c.embedding), c.vec_id))
+        .take(k).map(_.vec_id).toSet
+      val (ps, pq) = quant(p.embedding)
+      val topQ = others.sortBy { c =>
+        val (cs, cq) = quant(c.embedding)
+        (-(ps * cs * pq.zip(cq).map { case (a, b) => a * b }.sum / 16129.0), c.vec_id)
+      }.take(k).map(_.vec_id).toSet
+      assert(got(p.vec_id) === (topF & topQ).size.toLong, s"probe ${p.vec_id}")
+    }
+  }
+
   test("spanCorrupt round-trip: splicing target spans back restores the doc") {
     val docs = (100L until 140L).map(i =>
       GrowDoc(i, (0 to 30).map(j => s"w$j").mkString(" ")))
