@@ -3366,7 +3366,24 @@ object SparkEntry {
     "q_int8_recall" -> ((s, dir) =>
       VectorOps.int8Recall(T(s, dir, "embeddings"), "vec_id", "embedding",
           10, 20)
-        .orderBy("probe_id"))
+        .orderBy("probe_id")),
+
+    // Token-weighted median doc length per language: each doc weighted
+    // by what it contributes to a training run (the unweighted median
+    // over-counts short docs); the cut is the exact 2*cumw >= totw
+    // integer cross-multiplication, never percentile interpolation.
+    "q_weighted_median" -> ((s, dir) =>
+      Profiling.weightedMedian(T(s, dir, "documents"), "lang",
+          col("n_chars"), size(TextOps.tokens(col("text"))))
+        .orderBy("lang")),
+
+    // k-anonymity / l-diversity audit over (nation, market segment):
+    // the governance gate before shipping a "de-identified" extract —
+    // q_pii_redact removes direct identifiers, THIS measures whether
+    // the quasi-identifiers still single customers out.
+    "q_k_anonymity" -> ((s, dir) =>
+      Profiling.kAnonymity(T(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5))
   )
 
   /** Customer↔supplier trade edge list (supplier ids offset into a
@@ -9042,6 +9059,40 @@ object SparkEntry {
            sum(coalesce(hit, 0))::BIGINT AS n_overlap,
            round(sum(coalesce(hit, 0))::DOUBLE / 10, 6) + 0 AS recall
          FROM tf LEFT JOIN tq ON tf.pid = tq.pid AND tf.cid = tq.cid
-         GROUP BY tf.pid ORDER BY probe_id"""
+         GROUP BY tf.pid ORDER BY probe_id""",
+
+    // Integer weights, exact cross-multiplication cut — both engines
+    // agree on every boundary; ties collapsed by the (lang, value)
+    // pre-aggregate.
+    "q_weighted_median" ->
+      raw"""WITH t AS (
+           SELECT lang, n_chars AS v,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS w
+           FROM documents),
+         pv AS (SELECT lang, v, sum(w)::BIGINT AS w FROM t GROUP BY lang, v),
+         cw AS (SELECT lang, v,
+                  sum(w) OVER (PARTITION BY lang ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(w) OVER (PARTITION BY lang) AS tot
+                FROM pv)
+         SELECT lang, min(v)::BIGINT AS weighted_median,
+           max(tot)::BIGINT AS total_weight
+         FROM cw WHERE cum * 2 >= tot
+         GROUP BY lang ORDER BY lang""",
+
+    // Exact integer counts; the risk share is the one division.
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+                      count(DISTINCT c_acctbal)::BIGINT AS l
+                    FROM customer GROUP BY c_nationkey, c_mktsegment)
+         SELECT 5::BIGINT AS k, count(*)::BIGINT AS n_groups,
+           sum(n)::BIGINT AS n_rows,
+           sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_below_k,
+           sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS groups_below_k,
+           min(n)::BIGINT AS min_group_size,
+           min(l)::BIGINT AS min_l_diversity,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+             / sum(n)::DOUBLE, 9) + 0 AS reident_risk_share
+         FROM g"""
   )
 }

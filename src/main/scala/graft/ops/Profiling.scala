@@ -1189,6 +1189,70 @@ object Profiling {
     }.reduce(_ unionAll _)
   }
 
+  /** Weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group's total — computed by the EXACT
+    * integer cross-multiplication 2·cumw ≥ totw (no float boundary, the
+    * C198 threshold-pick convention), with deterministic middle-rank
+    * semantics (never percentile interpolation — the r11 ulp lesson).
+    * The curation read: "median doc length weighted by tokens" weights
+    * every document by what it actually contributes to a training run,
+    * where the unweighted median over-counts short docs.
+    *
+    * Scale shape: one (group, value) pre-aggregate collapses ties, one
+    * group-keyed cumulative window rides the same exchange, one final
+    * min — nothing row-sized crosses a second shuffle. Integer weights
+    * only (exactness is the contract).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: Column,
+                     weightCol: Column): DataFrame = {
+    val perValue = df
+      .select(col(groupCol), valueCol.as("_v"), weightCol.cast("long").as("_w"))
+      .groupBy(groupCol, "_v").agg(sum("_w").as("_w"))
+    val wCum = Window.partitionBy(groupCol).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(groupCol)
+    perValue
+      .withColumn("_cum", sum("_w").over(wCum))
+      .withColumn("_tot", sum("_w").over(wTot))
+      .where(col("_cum") * 2 >= col("_tot"))
+      .groupBy(groupCol)
+      .agg(min("_v").as("weighted_median"), max("_tot").as("total_weight"))
+  }
+
+  /** k-anonymity / l-diversity audit over a quasi-identifier tuple
+    * (Sweeney 2002; Machanavajjhala et al. 2007): how many rows sit in
+    * QI groups smaller than k (re-identifiable), and the minimum count
+    * of distinct sensitive values per group (attribute-disclosure
+    * exposure) — the governance gate a pipeline runs before shipping a
+    * "de-identified" extract, complementing C28's PII redaction (that
+    * removes direct identifiers; THIS measures whether the quasi
+    * identifiers still single people out). Exact integers end to end;
+    * the share is the one division.
+    *
+    * Scale shape: one QI-keyed aggregate (map-side combinable — the
+    * distinct-sensitive count keys on (QI, sensitive) first), one
+    * catalog-sized rollup.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitiveCol: Column,
+                 k: Int): DataFrame = {
+    val perGroup = df
+      .select(qiCols.map(col) :+ sensitiveCol.as("_s"): _*)
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), countDistinct(col("_s")).as("_l"))
+    perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum("_n").as("n_rows"),
+      sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("rows_below_k"),
+      sum(when(col("_n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+      min("_n").as("min_group_size"),
+      min("_l").as("min_l_diversity"))
+      .select(lit(k).cast("long").as("k"), col("n_groups"), col("n_rows"),
+        col("rows_below_k"), col("groups_below_k"), col("min_group_size"),
+        col("min_l_diversity"),
+        round(col("rows_below_k").cast("double") /
+          col("n_rows").cast("double"), 9).as("reident_risk_share"))
+  }
+
   /** AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996)
     * with the exact F₂ alongside: F₂ = Σ_v c_v² is the SELF-JOIN SIZE of
     * the column — the number every join planner wants before keying a

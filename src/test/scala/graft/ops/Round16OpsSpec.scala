@@ -409,6 +409,53 @@ class Round16OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).sum === 4L) // everyone censored
   }
 
+  // ---- weighted median ---------------------------------------------------------
+
+  case class WRow(g: String, v: Long, w: Long)
+
+  test("weightedMedian picks the exact half-weight boundary value") {
+    val rows = Seq(
+      // g1: values 1(w3), 2(w1), 10(w2): tot=6, cum at v=1 is 3 → 2*3>=6 → median 1
+      WRow("g1", 1, 3), WRow("g1", 2, 1), WRow("g1", 10, 2),
+      // g2: heavy tail dominates: 1(w1), 100(w9) → median 100
+      WRow("g2", 1, 1), WRow("g2", 100, 9),
+      // g3: duplicate values collapse: 5 appears twice w=2 each, 7 w=3 → tot 7, cum(5)=4 → 8>=7 → 5
+      WRow("g3", 5, 2), WRow("g3", 5, 2), WRow("g3", 7, 3))
+    val got = Profiling.weightedMedian(df(rows), "g", col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("g1") === ((1L, 6L)))
+    assert(got("g2") === ((100L, 10L)))
+    assert(got("g3") === ((5L, 7L)))
+  }
+
+  test("weightedMedian with unit weights equals the lower median") {
+    val rnd = new scala.util.Random(1621)
+    val rows = (1 to 201).map(_ => WRow("u", rnd.nextInt(1000).toLong, 1L))
+    val got = Profiling.weightedMedian(df(rows), "g", col("v"), col("w")).head
+    val sorted = rows.map(_.v).sorted
+    assert(got.getLong(1) === sorted(100)) // odd n: the true median
+  }
+
+  // ---- k-anonymity -------------------------------------------------------------
+
+  case class QiRow(qa: String, qb: String, s: Long)
+
+  test("kAnonymity counts re-identifiable rows and minimum l-diversity") {
+    val rows =
+      Seq.fill(10)(QiRow("a", "x", 1L)) ++            // big group, l=1
+      Seq(QiRow("a", "y", 1L), QiRow("a", "y", 2L)) ++ // size 2 < 3, l=2
+      Seq(QiRow("b", "x", 3L))                          // size 1 < 3, l=1
+    val r = Profiling.kAnonymity(df(rows), Seq("qa", "qb"), col("s"), 3).head
+    assert(r.getLong(0) === 3L)     // k
+    assert(r.getLong(1) === 3L)     // n_groups
+    assert(r.getLong(2) === 13L)    // n_rows
+    assert(r.getLong(3) === 3L)     // rows_below_k
+    assert(r.getLong(4) === 2L)     // groups_below_k
+    assert(r.getLong(5) === 1L)     // min_group_size
+    assert(r.getLong(6) === 1L)     // min_l_diversity
+    assert(math.abs(r.getDouble(7) - 3.0 / 13) < 1e-9)
+  }
+
   // ---- int8 retrieval recall ----------------------------------------------------
 
   test("int8Recall matches a plain-Scala two-ranking referee") {
