@@ -3383,7 +3383,29 @@ object SparkEntry {
     // the quasi-identifiers still single customers out.
     "q_k_anonymity" -> ((s, dir) =>
       Profiling.kAnonymity(T(s, dir, "customer"),
-        Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5))
+        Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
+
+    // Banded-LSH recall, measured as an oracle-checked query (not just a
+    // spec): exact >=0.2 pairs vs the 8x2 LSH candidates on the SAME
+    // verification subset — TP / misses / the recall ratio. The number a
+    // curation run quotes when it swaps the brute-force near-dup pass
+    // for the banded one.
+    "q_lsh_recall_eval" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").where(col("vec_id") < 200)
+      val exact = VectorOps.nearDupPairsExact(emb, "vec_id", "embedding", 0.2)
+        .select(col("id_a"), col("id_b"))
+      val lsh = VectorOps.nearDupPairsLsh(emb, "vec_id", "embedding", 0.2,
+          bands = 8, planesPerBand = 2, dim = 64)
+        .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+        .select(col("n_exact"), col("n_found"),
+          (col("n_exact") - col("n_found")).as("n_missed"),
+          when(col("n_exact") > 0,
+            round(col("n_found").cast("double") /
+              col("n_exact").cast("double"), 6)).as("recall"))
+    })
   )
 
   /** Customer↔supplier trade edge list (supplier ids offset into a
@@ -9093,6 +9115,43 @@ object SparkEntry {
            min(l)::BIGINT AS min_l_diversity,
            round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
              / sum(n)::DOUBLE, 9) + 0 AS reident_risk_share
-         FROM g"""
+         FROM g""",
+
+    // Both sides replayed: the brute-force >=0.2 pair set and the same
+    // md5-hyperplane banded candidates the q_embed_neardup_lsh oracle
+    // uses; recall is one exact integer ratio.
+    "q_lsh_recall_eval" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         exact AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x, y) -> x + y)
+               / (a.nrm * b.nrm) >= 0.2),
+         sigged AS (SELECT vec_id, e,
+           ${lshBandSigSql(bands = 8, planesPerBand = 2, dim = 64)} AS sigs
+           FROM v),
+         banded AS (
+           SELECT vec_id, ub.i - 1 AS band, sigs[ub.i] AS band_sig
+           FROM sigged CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ub),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+         lsh AS (
+           SELECT c.id_a, c.id_b, 1 AS hit
+           FROM cand c JOIN n na ON na.vec_id = c.id_a
+                       JOIN n nb ON nb.vec_id = c.id_b
+           WHERE list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
+               / (na.nrm * nb.nrm) >= 0.2)
+         SELECT count(*)::BIGINT AS n_exact,
+           sum(coalesce(hit, 0))::BIGINT AS n_found,
+           (count(*) - sum(coalesce(hit, 0)))::BIGINT AS n_missed,
+           CASE WHEN count(*) > 0
+             THEN round(sum(coalesce(hit, 0))::DOUBLE / count(*)::DOUBLE, 6) + 0
+           END AS recall
+         FROM exact LEFT JOIN lsh USING (id_a, id_b)"""
   )
 }
