@@ -3385,6 +3385,26 @@ object SparkEntry {
       Profiling.kAnonymity(T(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
 
+    // MinHash ESTIMATE accuracy, oracle-checked: on the LSH candidate
+    // pairs, the 16-row signature's estimated Jaccard vs the exact
+    // shingle Jaccard — mean/max absolute error and the share inside
+    // the 0.25 (~2 sigma at k=16) band. The q_lsh_recall_eval sibling
+    // answers "did banding find the pairs"; THIS answers "can you trust
+    // the signature's similarity value without re-reading the docs".
+    "q_minhash_est_eval" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(col("doc_id") < 200)
+      val cand = TextOps.minHashLshCandidates(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 8)
+      val exact = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val err = abs(col("est_jaccard") - col("jaccard"))
+      cand.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(Portable.decSum(err, 12) / count(lit(1)), 6).as("mean_abs_err"),
+          round(max(err), 6).as("max_abs_err"),
+          sum(when(err <= 0.25, 1L).otherwise(0L)).as("n_within_band"))
+    }),
+
     // Banded-LSH recall, measured as an oracle-checked query (not just a
     // spec): exact >=0.2 pairs vs the 8x2 LSH candidates on the SAME
     // verification subset — TP / misses / the recall ratio. The number a
@@ -9152,6 +9172,51 @@ object SparkEntry {
            CASE WHEN count(*) > 0
              THEN round(sum(coalesce(hit, 0))::DOUBLE / count(*)::DOUBLE, 6) + 0
            END AS recall
-         FROM exact LEFT JOIN lsh USING (id_a, id_b)"""
+         FROM exact LEFT JOIN lsh USING (id_a, id_b)""",
+
+    // The same 16-seed signature CTEs as q_minhash_lsh, joined to the
+    // exact shingle-intersection Jaccard; the error chain is abs/mean/max
+    // over identical doubles.
+    "q_minhash_est_eval" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents WHERE doc_id < 200),
+         sh AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM toks),
+         hashes AS (
+           SELECT doc_id, s.seed,
+             min(('0x' || substr(md5(s.seed::VARCHAR || '|' || shingle), 1, 8))::BIGINT) AS mh
+           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, sig, b.band,
+             md5(b.band::VARCHAR || '|' || array_to_string(sig[b.band*2+1 : b.band*2+2], ',')) AS band_key
+           FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+             len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i]))::DOUBLE / 16.0 AS est_jaccard
+           FROM banded a JOIN banded b2
+             ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+         j AS (
+           SELECT c.id_a, c.id_b,
+             abs(c.est_jaccard - i.n_common::DOUBLE
+               / (ca.n_sh + cb.n_sh - i.n_common)::DOUBLE) AS err
+           FROM cand c JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+             JOIN cnt ca ON ca.doc_id = c.id_a
+             JOIN cnt cb ON cb.doc_id = c.id_b)
+         SELECT count(*)::BIGINT AS n_pairs,
+           round(sum(CAST(err AS DECIMAL(28,12)))::DOUBLE / count(*), 6) + 0 AS mean_abs_err,
+           round(max(err), 6) + 0 AS max_abs_err,
+           sum(CASE WHEN err <= 0.25 THEN 1 ELSE 0 END)::BIGINT AS n_within_band
+         FROM j"""
   )
 }
