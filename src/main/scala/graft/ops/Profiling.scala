@@ -1293,8 +1293,9 @@ object Profiling {
     // sorted (tiny, groups-sized) list — deterministic middle-rank
     // picking, never percentile interpolation
     val medianOf = means.agg(sort_array(collect_list("_mean")).as("_ms"))
-      .select(((element_at(col("_ms"), (groups + 1) / 2) +
-        element_at(col("_ms"), groups / 2 + 1)) / 2).as("ams_estimate"))
+      .select(when(size(col("_ms")) === groups, // empty input → NULL, no throw
+        (element_at(col("_ms"), (groups + 1) / 2) +
+          element_at(col("_ms"), groups / 2 + 1)) / 2).as("ams_estimate"))
     exact.crossJoin(medianOf).select(
       col("n_rows"), col("n_distinct"), col("exact_f2"),
       round(col("ams_estimate"), 6).as("ams_estimate"),

@@ -290,6 +290,41 @@ class EmptyInputSpec extends SparkSpec {
     assert(Profiling.gainsTable(df(Seq.empty[GainsRow]), "g", col("score"),
       col("pos"), col("doc_id"), 10).count() === 0)
   }
+
+  test("round-16 operators on empty inputs") {
+    val emptyCohort = df(Seq.empty[CohortVal])
+    assert(Profiling.welchTTest(emptyCohort, "source", col("train"), col("v"))
+      .count() === 0)
+    val emptyKmv = df(Seq.empty[KmvRow])
+    assert(Profiling.kmvDistinct(emptyKmv, "lang", col("token"), 16).count() === 0)
+    assert(Profiling.kmvMergeProof(emptyKmv, "lang", col("token"), 16)
+      .count() === 0, "merge proof degrades to an empty frame")
+    val emptyGrow = df(Seq.empty[GrowDoc])
+    assert(TextOps.heapsLaw(emptyGrow, "doc_id", "text").head.getLong(0) === 0L)
+    assert(TextOps.spanCorrupt(emptyGrow, "doc_id", "text").count() === 0)
+    assert(TextOps.mattr(emptyGrow, "doc_id", "text", 25).count() === 0)
+    assert(TextOps.fimSplit(emptyGrow, "doc_id", "text").count() === 0)
+    val emptyDay = df(Seq.empty[DayVal])
+    assert(TimeSeries.seasonalDecompose(emptyDay, "k", "ts", "v", 7).count() === 0)
+    assert(Profiling.fdViolations(df(Seq.empty[FdRow]), Seq("a" -> "b"))
+      .head.getLong(2) === 0L) // zero groups, never a throw
+    val f2 = Profiling.amsF2(df(Seq.empty[KeyRow]), col("k")).collect()
+    assert(f2.length === 1 && f2.head.isNullAt(3), "NULL estimate, no throw")
+    val emptyVecs = df(Seq.empty[VecRow])
+    assert(VectorOps.jlDistortion(emptyVecs, "vec_id", "embedding", 8, 4, 10)
+      .count() === 0)
+    assert(VectorOps.int8Recall(emptyVecs, "vec_id", "embedding", 5, 10)
+      .count() === 0)
+    val emptyEv = df(Seq.empty[TyEv])
+    assert(EventOps.multiTouchAttribution(emptyEv, "user_id", "ts",
+      "event_id", "event_type", "purchase").count() === 0)
+    assert(EventOps.kaplanMeier(emptyEv, "user_id", "ts", 5, 1).count() === 0)
+    assert(Profiling.weightedMedian(df(Seq.empty[WRow]), "g", col("v"), col("w"))
+      .count() === 0)
+    val ka = Profiling.kAnonymity(df(Seq.empty[QiRow]), Seq("qa", "qb"),
+      col("s"), 3).collect()
+    assert(ka.length === 1 && ka.head.getLong(1) === 0L)
+  }
 }
 
 case class Rk15(doc_id: String, rank: Long)

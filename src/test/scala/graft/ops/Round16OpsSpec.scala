@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions._
 case class CohortVal(source: String, train: Boolean, v: Double)
 case class KmvRow(lang: String, token: String)
 case class GrowDoc(doc_id: Long, text: String)
+case class DayVal(k: String, ts: java.sql.Timestamp, v: Double)
+case class FdRow(a: String, b: String)
+case class KeyRow(k: Long)
+case class VecRow(vec_id: Long, embedding: Seq[Float])
+case class WRow(g: String, v: Long, w: Long)
+case class QiRow(qa: String, qb: String, s: Long)
+case class TyEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                event_type: String)
 
 /** Round-16 operators (Welch t / KMV sketch / Heaps' law / span
   * corruption), each checked against an independent plain-Scala referee
@@ -182,7 +190,6 @@ class Round16OpsSpec extends SparkSpec {
 
   // ---- classical seasonal decomposition ------------------------------------
 
-  case class DayVal(k: String, ts: java.sql.Timestamp, v: Double)
 
   test("seasonalDecompose recovers a planted trend + weekly pattern exactly") {
     // value(day) = 10·day + pattern[day mod 7]; the pattern sums to 0, so
@@ -219,7 +226,6 @@ class Round16OpsSpec extends SparkSpec {
 
   // ---- approximate-FD profile ----------------------------------------------
 
-  case class FdRow(a: String, b: String)
 
   test("fdViolations: exact FD scores 0; known violations count g3 rows") {
     val rows = Seq(
@@ -238,7 +244,6 @@ class Round16OpsSpec extends SparkSpec {
 
   // ---- AMS F2 ----------------------------------------------------------------
 
-  case class KeyRow(k: Long)
 
   test("amsF2 exact F2 is right and the estimate matches the hash referee") {
     // counts: value v appears v times, v = 1..12 → F2 = sum v^2 = 650
@@ -262,7 +267,6 @@ class Round16OpsSpec extends SparkSpec {
 
   // ---- JL distortion ----------------------------------------------------------
 
-  case class VecRow(vec_id: Long, embedding: Seq[Float])
 
   test("jlDistortion matches a plain-Scala projection referee") {
     val dim = 8; val k = 4
@@ -345,11 +349,9 @@ class Round16OpsSpec extends SparkSpec {
 
   // ---- multi-touch attribution ----------------------------------------------
 
-  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
-                event_type: String)
 
   private def ev(u: Long, sec: Int, id: Long, ty: String) =
-    Ev(u, java.sql.Timestamp.valueOf(f"2024-03-01 00:00:$sec%02d"), id, ty)
+    TyEv(u, java.sql.Timestamp.valueOf(f"2024-03-01 00:00:$sec%02d"), id, ty)
 
   test("multiTouchAttribution splits exactly one unit per converted segment") {
     val rows = Seq(
@@ -382,8 +384,8 @@ class Round16OpsSpec extends SparkSpec {
     // lifetimes (1-day units): churned at 0,0,1; censored at 1,2,2
     // (gmax = Apr 30; censor window 5 days → last < Apr 25 churns)
     def u(id: Long, first: String, last: String) = Seq(
-      Ev(id, java.sql.Timestamp.valueOf(s"2024-04-$first 00:00:00"), id * 2, "x"),
-      Ev(id, java.sql.Timestamp.valueOf(s"2024-04-$last 12:00:00"), id * 2 + 1, "x"))
+      TyEv(id, java.sql.Timestamp.valueOf(s"2024-04-$first 00:00:00"), id * 2, "x"),
+      TyEv(id, java.sql.Timestamp.valueOf(s"2024-04-$last 12:00:00"), id * 2 + 1, "x"))
     val rows =
       u(1, "01", "01") ++ u(2, "02", "02") ++ u(3, "03", "04") ++ // churned 0,0,1
       u(4, "28", "29") ++ u(5, "27", "29") ++ u(6, "28", "30")    // censored 1,2,2
@@ -402,8 +404,8 @@ class Round16OpsSpec extends SparkSpec {
 
   test("kaplanMeier with no churns is a flat 1.0 curve") {
     val rows = (1L to 4L).flatMap(i => Seq(
-      Ev(i, java.sql.Timestamp.valueOf("2024-04-29 00:00:00"), i * 2, "x"),
-      Ev(i, java.sql.Timestamp.valueOf("2024-04-30 00:00:00"), i * 2 + 1, "x")))
+      TyEv(i, java.sql.Timestamp.valueOf("2024-04-29 00:00:00"), i * 2, "x"),
+      TyEv(i, java.sql.Timestamp.valueOf("2024-04-30 00:00:00"), i * 2 + 1, "x")))
     val got = EventOps.kaplanMeier(df(rows), "user_id", "ts", 5, 1).collect()
     assert(got.forall(_.getDouble(4) === 1.0))
     assert(got.map(_.getLong(3)).sum === 4L) // everyone censored
@@ -411,7 +413,6 @@ class Round16OpsSpec extends SparkSpec {
 
   // ---- weighted median ---------------------------------------------------------
 
-  case class WRow(g: String, v: Long, w: Long)
 
   test("weightedMedian picks the exact half-weight boundary value") {
     val rows = Seq(
@@ -438,7 +439,6 @@ class Round16OpsSpec extends SparkSpec {
 
   // ---- k-anonymity -------------------------------------------------------------
 
-  case class QiRow(qa: String, qb: String, s: Long)
 
   test("kAnonymity counts re-identifiable rows and minimum l-diversity") {
     val rows =
