@@ -633,4 +633,65 @@ class PlanInvariantsSpec extends SparkSpec {
         .forall(_.subsetOf(Set("doc_id", "source", "lang"))),
       "q_fd_profile scans must prune to candidate columns")
   }
+
+  test("round-16 second-wave queries keep their scale-plan contracts") {
+    def nonRangeShuffles(p: SparkPlan) = flatten(p).count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      case _ => false
+    }
+    def hasBroadcastJoin(p: SparkPlan) = flatten(p).exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    def scanColumns(p: SparkPlan, table: String): Seq[Set[String]] =
+      flatten(p).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.inputFiles.exists(_.contains(table)) =>
+          s.schema.fieldNames.toSet
+      }
+    def run(name: String) = {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      q.collect(); q.queryExecution.executedPlan
+    }
+
+    // q_weighted_median: the tie pre-aggregate and the cumulative window
+    // share the lang prefix — two exchanges total, scan pruned to the
+    // three used columns
+    val wm = run("q_weighted_median")
+    assert(nonRangeShuffles(wm) <= 2,
+      "q_weighted_median is the tie agg + the cumulative window")
+    assert(scanColumns(wm, "documents")
+        .forall(_ === Set("lang", "n_chars", "text")),
+      "q_weighted_median scan must prune to (lang, n_chars, text)")
+
+    // q_k_anonymity: QI-keyed aggregates + singleton rollup, nothing
+    // row-sized after; scan pruned to QI + sensitive
+    val ka = run("q_k_anonymity")
+    assert(nonRangeShuffles(ka) <= 3, "q_k_anonymity exchanges must stay fixed")
+    assert(scanColumns(ka, "customer")
+        .forall(_ === Set("c_nationkey", "c_mktsegment", "c_acctbal")),
+      "q_k_anonymity scan must prune to QI + sensitive columns")
+
+    // q_attribution_multi: everything user-keyed — the conversion window,
+    // the user-local segment join and the position windows share the
+    // user-hash prefix; only the final touch-type rollup re-keys
+    assert(nonRangeShuffles(run("q_attribution_multi")) <= 4,
+      "q_attribution_multi must stay user-keyed until the rollup")
+
+    // q_km_survival: per-user agg → lifetime agg → one collected row;
+    // the corpus max broadcasts; scan prunes to (o_custkey, o_orderdate)
+    val km = run("q_km_survival")
+    assert(hasBroadcastJoin(km), "q_km_survival must broadcast the corpus max")
+    assert(scanColumns(km, "orders")
+        .forall(_ === Set("o_custkey", "o_orderdate")),
+      "q_km_survival scan must prune to (o_custkey, o_orderdate)")
+
+    // q_int8_recall: the probe frame broadcasts into the corpus scan;
+    // both top-k windows ride probe-hash exchanges
+    assert(hasBroadcastJoin(run("q_int8_recall")),
+      "q_int8_recall must broadcast the probe frame")
+  }
 }
