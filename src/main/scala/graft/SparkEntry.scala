@@ -3385,6 +3385,24 @@ object SparkEntry {
       Profiling.kAnonymity(T(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
 
+    // AMS inner-product join-size estimate: |orders x customer on
+    // custkey| forecast from two catalog-sized +-1 sketches (same seeds
+    // as q_ams_f2 — one sketch pass per table prices every pairwise
+    // join among them), exact value alongside. The 100 TB planner
+    // question "how many rows come out of this shuffle" answered
+    // without a dry run.
+    "q_join_size_est" -> ((s, dir) =>
+      Profiling.amsJoinSize(
+        T(s, dir, "orders"), col("o_custkey"),
+        T(s, dir, "customer"), col("c_custkey"))),
+
+    // LSH join-cost forecast: per SimHash band, bucket count, exact
+    // candidate-pair fan-out and the largest bucket — prices the
+    // near-dup shuffle (and names its straggler) BEFORE running it.
+    "q_lsh_cost_plan" -> ((s, dir) =>
+      TextOps.lshCostPlan(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("band")),
+
     // MinHash ESTIMATE accuracy, oracle-checked: on the LSH candidate
     // pairs, the 16-row signature's estimated Jaccard vs the exact
     // shingle Jaccard — mean/max absolute error and the share inside
@@ -9217,6 +9235,69 @@ object SparkEntry {
            round(sum(CAST(err AS DECIMAL(28,12)))::DOUBLE / count(*), 6) + 0 AS mean_abs_err,
            round(max(err), 6) + 0 AS max_abs_err,
            sum(CASE WHEN err <= 0.25 THEN 1 ELSE 0 END)::BIGINT AS n_within_band
-         FROM j"""
+         FROM j""",
+
+    // Two signed-count sketches with the q_ams_f2 seed rule; the inner
+    // product chain is exact integers, the exact size comes from the
+    // vocab-sized count-frame equi-join.
+    "q_join_size_est" ->
+      """WITH ca AS (SELECT o_custkey AS v, count(*)::BIGINT AS c
+                     FROM orders GROUP BY o_custkey),
+         cb AS (SELECT c_custkey AS v, count(*)::BIGINT AS c
+                FROM customer GROUP BY c_custkey),
+         za AS (SELECT seed,
+                  sum(CASE WHEN ('0x' || substr(md5(seed::VARCHAR || ':' || v::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                        THEN c ELSE -c END)::BIGINT AS z
+                FROM ca, (SELECT unnest(range(160)) AS seed) GROUP BY seed),
+         zb AS (SELECT seed,
+                  sum(CASE WHEN ('0x' || substr(md5(seed::VARCHAR || ':' || v::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                        THEN c ELSE -c END)::BIGINT AS z
+                FROM cb, (SELECT unnest(range(160)) AS seed) GROUP BY seed),
+         mm AS (SELECT za.seed % 5 AS grp,
+                  sum(za.z * zb.z)::DOUBLE / 32 AS mean
+                FROM za JOIN zb ON za.seed = zb.seed GROUP BY za.seed % 5),
+         med AS (SELECT list_sort(list(mean)) AS ms FROM mm),
+         e AS (SELECT coalesce(sum(ca.c * cb.c), 0)::BIGINT AS exact_join_size
+               FROM ca JOIN cb ON ca.v = cb.v)
+         SELECT exact_join_size,
+           round((ms[3] + ms[3]) / 2, 6) + 0 AS est_join_size,
+           CASE WHEN exact_join_size > 0
+             THEN round(abs((ms[3] + ms[3]) / 2 - exact_join_size::DOUBLE)
+                    / exact_join_size::DOUBLE, 6) + 0
+           END AS rel_err
+         FROM e, med""",
+
+    // The same simhash signature CTEs as q_simhash, banded into 16-bit
+    // keys; every forecast number is an exact integer.
+    "q_lsh_cost_plan" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote_sum > 0
+                   THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                   ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY doc_id),
+         banded AS (
+           SELECT b.band, (simhash >> (b.band * 16)) & 65535 AS key
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+         buckets AS (SELECT band, key, count(*)::BIGINT AS c
+                     FROM banded GROUP BY band, key)
+         SELECT band::BIGINT AS band, sum(c)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_buckets,
+           (sum(c * (c - 1)) // 2)::BIGINT AS candidate_pairs,
+           max(c)::BIGINT AS max_bucket
+         FROM buckets GROUP BY band ORDER BY band"""
   )
 }

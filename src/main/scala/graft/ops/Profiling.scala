@@ -1201,6 +1201,54 @@ object Profiling {
     }.reduce(_ unionAll _)
   }
 
+  /** AMS inner-product join-size estimate (Alon, Matias, Szegedy &
+    * Gibbons 1999): |A ⋈ B on key| = Σ_v cA(v)·cB(v), estimated as the
+    * median of means of zA_i·zB_i where each z is the ±1-hash signed
+    * count sum — the SAME sketch family as [[amsF2]] (F₂ is the
+    * self-join special case), with the same seeds, so one sketch pass
+    * per table prices EVERY pairwise join among them. This is the
+    * planner question at 100 TB: "how many rows come out of this
+    * shuffle" answered from two catalog-sized sketches instead of a dry
+    * run. Exact value alongside; every estimator an exact integer.
+    *
+    * Scale shape: one value-keyed count per table (vocabulary-sized), a
+    * ×k explode over those frames, a seed-keyed re-aggregate each, and a
+    * k-row join — the exact join size itself comes from the count-frame
+    * equi-join (vocab-sized, never row-sized).
+    */
+  def amsJoinSize(dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
+                  groups: Int = 5, perGroup: Int = 32): DataFrame = {
+    val k = groups * perGroup
+    def sketch(df: DataFrame, key: Column, out: String): DataFrame =
+      df.select(key.as("_v")).groupBy("_v").agg(count(lit(1)).as("_c"))
+        .select(col("_v"), col("_c"),
+          explode(sequence(lit(0), lit(k - 1))).as("_seed"))
+        .select(col("_seed"),
+          (when(Portable.hash32(concat_ws(":", col("_seed"), col("_v"))) % 2 === 0,
+            lit(1L)).otherwise(lit(-1L)) * col("_c")).as("_sc"))
+        .groupBy("_seed").agg(sum("_sc").as(out))
+    val za = sketch(dfA, keyA, "_za")
+    val zb = sketch(dfB, keyB, "_zb")
+    val means = za.join(zb, Seq("_seed"))
+      .select((col("_seed") % groups.toLong).as("_grp"),
+        (col("_za") * col("_zb")).as("_est"))
+      .groupBy("_grp").agg((sum("_est").cast("double") / perGroup).as("_mean"))
+    val medianOf = means.agg(sort_array(collect_list("_mean")).as("_ms"))
+      .select(when(size(col("_ms")) === groups,
+        (element_at(col("_ms"), (groups + 1) / 2) +
+          element_at(col("_ms"), groups / 2 + 1)) / 2).as("est_join_size"))
+    val ca = dfA.select(keyA.as("_v")).groupBy("_v").agg(count(lit(1)).as("_ca"))
+    val cb = dfB.select(keyB.as("_v")).groupBy("_v").agg(count(lit(1)).as("_cb"))
+    val exact = ca.join(cb, Seq("_v"))
+      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("exact_join_size"))
+    exact.crossJoin(medianOf).select(
+      col("exact_join_size"),
+      round(col("est_join_size"), 6).as("est_join_size"),
+      when(col("exact_join_size") > 0,
+        round(abs(col("est_join_size") - col("exact_join_size").cast("double")) /
+          col("exact_join_size").cast("double"), 6)).as("rel_err"))
+  }
+
   /** Weighted median per group: the smallest value whose cumulative
     * weight reaches half the group's total — computed by the EXACT
     * integer cross-multiplication 2·cumw ≥ totw (no float boundary, the

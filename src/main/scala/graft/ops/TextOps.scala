@@ -2604,6 +2604,34 @@ object TextOps {
           .as("mattr"))
   }
 
+  /** LSH join-cost forecast over the SimHash band buckets: per 16-bit
+    * band, the bucket count, the exact candidate-pair fan-out
+    * Σ c(c−1)/2, and the largest bucket — the numbers that price a
+    * near-dup pass BEFORE running it (candidate pairs = the shuffle you
+    * pay; the max bucket = the straggler you risk; a hot bucket here is
+    * the C34-style skew warning for the dedup join). The companion of
+    * [[Profiling.amsJoinSize]] for the self-join case where the key is a
+    * sketch band rather than a column.
+    *
+    * Scale shape: one signature pass (row-local), one (band, key) count
+    * aggregate — band-catalog-sized output; the forecast never touches a
+    * candidate pair.
+    */
+  def lshCostPlan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = simHash(df, idCol, textCol)
+    val banded = sig
+      .select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("band").cast("long").as("band"),
+        expr("(simhash >> (band * 16)) & 65535").as("_key"))
+    banded.groupBy("band", "_key").agg(count(lit(1)).as("_c"))
+      .groupBy("band")
+      .agg(sum("_c").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        expr("sum(_c * (_c - 1)) DIV 2").as("candidate_pairs"), // exact integer
+        max("_c").as("max_bucket"))
+  }
+
   /** Deterministic fill-in-the-middle transform (Bavarian et al. 2022's
     * PSM format, the PRNG replaced by the portable hash rule — the
     * [[spanCorrupt]] convention applied to infilling): two cut points

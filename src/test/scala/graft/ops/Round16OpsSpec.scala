@@ -411,6 +411,56 @@ class Round16OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).sum === 4L) // everyone censored
   }
 
+  // ---- AMS join-size estimate ----------------------------------------------------
+
+  case class KA(k: Long)
+  case class KB(k: Long)
+
+  test("amsJoinSize exact size is right and the estimate matches the referee") {
+    // A: key v appears v times (v=1..8); B: key v appears 2 times for even v
+    val a = (1 to 8).flatMap(v => Seq.fill(v)(KA(v.toLong)))
+    val b = (1 to 8).filter(_ % 2 == 0).flatMap(v => Seq.fill(2)(KB(v.toLong)))
+    val r = Profiling.amsJoinSize(df(a), col("k"), df(b), col("k"),
+      groups = 5, perGroup = 32).head
+    assert(r.getLong(0) === (2 + 4 + 6 + 8) * 2L) // Σ cA·cB over shared keys
+    val k = 160
+    def z(counts: Map[Long, Long], seed: Int) = counts.map { case (v, c) =>
+      (if (md5hash32(s"$seed:$v") % 2 == 0) 1L else -1L) * c
+    }.sum
+    val ca = a.groupBy(_.k).map { case (v, xs) => v -> xs.size.toLong }
+    val cb = b.groupBy(_.k).map { case (v, xs) => v -> xs.size.toLong }
+    val means = (0 until 5).map(g =>
+      (0 until k).filter(_ % 5 == g).map(i => z(ca, i) * z(cb, i)).sum.toDouble / 32)
+    assert(math.abs(r.getDouble(1) - means.sorted.apply(2)) < 1e-6)
+  }
+
+  test("amsJoinSize with disjoint keys reports exact 0 and NULL rel_err") {
+    val a = (1 to 5).map(v => KA(v.toLong))
+    val b = (11 to 15).map(v => KB(v.toLong))
+    val r = Profiling.amsJoinSize(df(a), col("k"), df(b), col("k")).head
+    assert(r.getLong(0) === 0L && r.isNullAt(2))
+  }
+
+  // ---- LSH cost plan ---------------------------------------------------------------
+
+  test("lshCostPlan matches the hand-banded simhash buckets") {
+    val rnd = new scala.util.Random(1627)
+    val docs = (0L until 80L).map(i =>
+      GrowDoc(i, (0 until 12).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")))
+    val sigs = TextOps.simHash(df(docs), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = TextOps.lshCostPlan(df(docs), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (band <- 0 to 3) {
+      val buckets = sigs.values.groupBy(s => (s >> (band * 16)) & 0xFFFF)
+        .view.mapValues(_.size.toLong).toMap
+      val pairs = buckets.values.map(c => c * (c - 1) / 2).sum
+      assert(got(band.toLong) ===
+        ((80L, buckets.size.toLong, pairs, buckets.values.max)), s"band $band")
+    }
+  }
+
   // ---- weighted median ---------------------------------------------------------
 
 
