@@ -3385,6 +3385,29 @@ object SparkEntry {
       Profiling.kAnonymity(T(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
 
+    // Daily user growth: active / new / returning / cumulative users
+    // per day — the acquisition-vs-retention decomposition of the event
+    // stream (q_cohort_retention's daily, catalog-sized cousin).
+    "q_user_growth" -> ((s, dir) =>
+      EventOps.userGrowth(T(s, dir, "events"), "user_id", "ts")
+        .orderBy("day")),
+
+    // Two-proportion z-test: purchase conversion of the md5 cohort A
+    // vs B — the A/B primitive for RATES (q_welch_t is the means
+    // sibling); pooled variance, exact integer counts.
+    "q_ab_test" -> ((s, dir) =>
+      EventOps.abProportionTest(T(s, dir, "events"), "user_id",
+        Portable.hash32(col("user_id")) % 2 === 0,
+        col("event_type") === "purchase")),
+
+    // Effective sample size of token-weighted doc sampling per language
+    // (Kish): how many uniform draws the weighting is worth — near 1/n
+    // means one heavy doc dominates every epoch.
+    "q_ess" -> ((s, dir) =>
+      Profiling.effectiveSampleSize(T(s, dir, "documents"), "lang",
+          size(TextOps.tokens(col("text"))))
+        .orderBy("lang")),
+
     // AMS inner-product join-size estimate: |orders x customer on
     // custkey| forecast from two catalog-sized +-1 sketches (same seeds
     // as q_ams_f2 — one sketch pass per table prices every pairwise
@@ -9298,6 +9321,69 @@ object SparkEntry {
            count(*)::BIGINT AS n_buckets,
            (sum(c * (c - 1)) // 2)::BIGINT AS candidate_pairs,
            max(c)::BIGINT AS max_bucket
-         FROM buckets GROUP BY band ORDER BY band"""
+         FROM buckets GROUP BY band ORDER BY band""",
+
+    // Day-catalog frames only; the cumulative window is bounded by the
+    // calendar, not the row count.
+    "q_user_growth" ->
+      """WITH fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS day
+                     FROM events GROUP BY user_id),
+         nw AS (SELECT day, count(*)::BIGINT AS n_new FROM fd GROUP BY day),
+         ac AS (SELECT day, count(*)::BIGINT AS n_active FROM (
+                  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+                GROUP BY day)
+         SELECT ac.day, n_active,
+           coalesce(n_new, 0)::BIGINT AS n_new,
+           (n_active - coalesce(n_new, 0))::BIGINT AS n_returning,
+           sum(coalesce(n_new, 0)) OVER (ORDER BY ac.day
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+         FROM ac LEFT JOIN nw ON ac.day = nw.day
+         ORDER BY ac.day""",
+
+    // Pooled-variance z on exact integer per-user flags; the md5 cohort
+    // rule is the shared hash convention.
+    "q_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+             max(('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a,
+             max(event_type = 'purchase') AS conv
+           FROM events GROUP BY user_id),
+         s AS (SELECT
+             sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN a AND conv THEN 1 ELSE 0 END)::BIGINT AS conv_a,
+             sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN NOT a AND conv THEN 1 ELSE 0 END)::BIGINT AS conv_b
+           FROM u),
+         e AS (SELECT *,
+             conv_a::DOUBLE / n_a AS pa, conv_b::DOUBLE / n_b AS pb,
+             (conv_a + conv_b)::DOUBLE / (n_a + n_b) AS pool
+           FROM s)
+         SELECT n_a, conv_a, n_b, conv_b,
+           CASE WHEN n_a > 0 THEN round(pa, 9) + 0 END AS rate_a,
+           CASE WHEN n_b > 0 THEN round(pb, 9) + 0 END AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b) > 0
+             THEN round((pa - pb) /
+               sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)), 6) + 0
+           END AS z_stat
+         FROM e""",
+
+    // Exact integer weight moments; ESS and its ratio are the two fixed
+    // divisions.
+    "q_ess" ->
+      raw"""WITH t AS (
+           SELECT lang,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS w
+           FROM documents),
+         a AS (SELECT lang, count(*)::BIGINT AS n_items,
+                 sum(w)::BIGINT AS sum_w, sum(w * w)::BIGINT AS sum_w2
+               FROM t GROUP BY lang)
+         SELECT lang, n_items, sum_w,
+           CASE WHEN sum_w2 > 0
+             THEN round((sum_w * sum_w)::DOUBLE / sum_w2::DOUBLE, 6) + 0 END AS ess,
+           CASE WHEN sum_w2 > 0 AND n_items > 0
+             THEN round((sum_w * sum_w)::DOUBLE / sum_w2::DOUBLE / n_items, 6) + 0
+           END AS ess_ratio
+         FROM a ORDER BY lang"""
   )
 }

@@ -500,6 +500,63 @@ object EventOps {
         round(Portable.decSum(uShape, 12), 6).as("u_credit"))
   }
 
+  /** Daily user-growth curve: per day, the distinct active users, the
+    * NEW users (first ever event that day), and the cumulative user
+    * count — the corpus-growth read every ingestion pipeline tracks
+    * (new vs returning decomposition; a day where active ≈ new is
+    * acquisition, active ≫ new is retention).
+    *
+    * Scale shape: one (user) aggregate for first-seen days, one
+    * (day, user) distinct for actives — both map-side combinable — then
+    * day-catalog-sized frames only; the cumulative window is global but
+    * runs over the bounded day catalog, never over rows.
+    */
+  def userGrowth(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstDay = df.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val active = df.select(to_date(col(tsCol)).as("day"), col(userCol))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_active"))
+    active.join(firstDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_users",
+        sum("n_new").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"), col("cum_users"))
+  }
+
+  /** Two-proportion z-test on conversion by deterministic cohort — the
+    * A/B primitive for RATES ([[graft.ops.Profiling.welchTTest]] is the
+    * means sibling): did cohort A's conversion rate differ from B's?
+    * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂. Exact
+    * integer counts; the z chain is fixed double arithmetic; degenerate
+    * cohorts (empty, or pooled rate 0/1 — no variance) emit NULL.
+    */
+  def abProportionTest(df: DataFrame, userCol: String, cohortFlag: Column,
+                       convFlag: Column): DataFrame = {
+    val perUser = df.groupBy(col(userCol))
+      .agg(max(cohortFlag.cast("boolean")).as("_a"),
+        max(convFlag.cast("boolean")).as("_conv"))
+    val agged = perUser.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_a") && col("_conv"), 1L).otherwise(0L)).as("conv_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("_a") && col("_conv"), 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se2 = pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    agged.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0, round(pa, 9)).as("rate_a"),
+      when(col("n_b") > 0, round(pb, 9)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se2 > 0,
+        Portable.pround((pa - pb) / sqrt(se2), 6)).as("z_stat"))
+  }
+
   /** Kaplan–Meier survival estimate of user lifetime (Kaplan & Meier
     * 1958) with right-censoring: lifetime = days between a user's first
     * and last event; users whose last event falls within `censorDays` of

@@ -1313,6 +1313,32 @@ object Profiling {
           col("n_rows").cast("double"), 9).as("reident_risk_share"))
   }
 
+  /** Effective sample size of a weighting scheme per group: ESS =
+    * (Σw)²/Σw² (Kish 1965) — "sampling proportional to these weights is
+    * worth how many uniform draws?". The diagnostic a curation pipeline
+    * reads before token-weighted or importance-weighted sampling: an ESS
+    * ratio near 1 means the weights barely matter; near 1/n means one
+    * heavy item dominates every epoch (the C111/C135 sanity gate).
+    * Integer or decimal-exact weight moments, two fixed divisions.
+    *
+    * Scale shape: one group-keyed aggregate, map-side combinable.
+    */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          weightCol: Column): DataFrame = {
+    val w = weightCol.cast("long")
+    df.select(col(groupCol), w.as("_w"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_items"),
+        sum("_w").as("sum_w"), sum(col("_w") * col("_w")).as("sum_w2"))
+      .select(col(groupCol), col("n_items"), col("sum_w"),
+        when(col("sum_w2") > 0,
+          round((col("sum_w") * col("sum_w")).cast("double") /
+            col("sum_w2").cast("double"), 6)).as("ess"),
+        when(col("sum_w2") > 0 && col("n_items") > 0,
+          round((col("sum_w") * col("sum_w")).cast("double") /
+            col("sum_w2").cast("double") / col("n_items"), 6)).as("ess_ratio"))
+  }
+
   /** AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996)
     * with the exact F₂ alongside: F₂ = Σ_v c_v² is the SELF-JOIN SIZE of
     * the column — the number every join planner wants before keying a

@@ -411,6 +411,65 @@ class Round16OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).sum === 4L) // everyone censored
   }
 
+  // ---- user growth -----------------------------------------------------------------
+
+  test("userGrowth decomposes active into new + returning, cumulative is monotone") {
+    val rows = Seq(
+      TyEv(1, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), 10, "x"),
+      TyEv(2, java.sql.Timestamp.valueOf("2024-05-01 11:00:00"), 11, "x"),
+      TyEv(1, java.sql.Timestamp.valueOf("2024-05-02 10:00:00"), 12, "x"),
+      TyEv(3, java.sql.Timestamp.valueOf("2024-05-02 11:00:00"), 13, "x"),
+      TyEv(1, java.sql.Timestamp.valueOf("2024-05-03 10:00:00"), 14, "x"),
+      TyEv(2, java.sql.Timestamp.valueOf("2024-05-03 11:00:00"), 15, "x"))
+    val got = EventOps.userGrowth(df(rows), "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((2L, 2L, 0L, 2L), (2L, 1L, 1L, 3L), (2L, 0L, 2L, 3L)))
+  }
+
+  // ---- A/B proportion test ------------------------------------------------------------
+
+  test("abProportionTest matches the textbook two-proportion z") {
+    // cohort A: 4 users, 3 convert; cohort B: 4 users, 1 converts —
+    // cohort assignment passed directly as a parity flag for the fixture
+    val rows = (1L to 8L).flatMap { u =>
+      val conv = (u % 2 == 1 && u <= 6) || u == 2 // users 1,3,5 (A-ish) + 2
+      Seq(TyEv(u, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), u * 10, "view")) ++
+        (if (conv) Seq(TyEv(u, java.sql.Timestamp.valueOf("2024-06-01 01:00:00"),
+          u * 10 + 1, "purchase")) else Nil)
+    }
+    val got = EventOps.abProportionTest(df(rows), "user_id",
+      col("user_id") % 2 === 1, col("event_type") === "purchase").head
+    val (na, ca2, nb, cb2) = (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    assert((na, ca2, nb, cb2) === ((4L, 3L, 4L, 1L)))
+    val (pa, pb) = (3.0 / 4, 1.0 / 4)
+    val pool = 4.0 / 8
+    val z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1.0 / 4 + 1.0 / 4))
+    assert(math.abs(got.getDouble(6) - z) < 1e-6)
+  }
+
+  test("abProportionTest degenerate pools emit NULL z") {
+    // nobody converts: pooled rate 0 → no variance → NULL, never NaN
+    val rows = (1L to 4L).map(u =>
+      TyEv(u, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), u, "view"))
+    val got = EventOps.abProportionTest(df(rows), "user_id",
+      col("user_id") % 2 === 1, col("event_type") === "purchase").head
+    assert(got.isNullAt(6))
+  }
+
+  // ---- effective sample size -------------------------------------------------------------
+
+  test("effectiveSampleSize: uniform weights give ESS = n; one dominant gives ~1") {
+    val rows = (1 to 10).map(_ => WRow("uniform", 1, 7)) ++
+      (Seq.fill(9)(WRow("skewed", 1, 1)) :+ WRow("skewed", 1, 1000))
+    val got = Profiling.effectiveSampleSize(df(rows), "g", col("w"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got("uniform") === ((10L, 10.0)))
+    val essSkew = got("skewed")._2
+    val ref = math.pow(1009.0, 2) / (9 + 1000.0 * 1000)
+    assert(math.abs(essSkew - ref) < 1e-4 && essSkew < 1.1)
+  }
+
   // ---- AMS join-size estimate ----------------------------------------------------
 
   case class KA(k: Long)
