@@ -14,6 +14,8 @@ case class WRow(g: String, v: Long, w: Long)
 case class QiRow(qa: String, qb: String, s: Long)
 case class TyEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                 event_type: String)
+case class KA(k: Long)
+case class KB(k: Long)
 
 /** Round-16 operators (Welch t / KMV sketch / Heaps' law / span
   * corruption), each checked against an independent plain-Scala referee
@@ -471,9 +473,6 @@ class Round16OpsSpec extends SparkSpec {
   }
 
   // ---- AMS join-size estimate ----------------------------------------------------
-
-  case class KA(k: Long)
-  case class KB(k: Long)
 
   test("amsJoinSize exact size is right and the estimate matches the referee") {
     // A: key v appears v times (v=1..8); B: key v appears 2 times for even v
