@@ -273,6 +273,46 @@ object StreamingOps {
       sketch.get.map(graft.ops.Profiling.kmvEstimateFromSketch(_, groupCol, k))
   }
 
+  /** Streaming user-growth maintenance — the streaming twin of C229's
+    * q_user_growth acquisition curve: each micro-batch reduces to its
+    * per-user minimum first-seen day, which MIN-merges into the running
+    * first-seen state (min is an idempotent, associative, commutative
+    * monoid — late or re-delivered events can only confirm or improve a
+    * first-seen day, never corrupt it). The derived (day, n_new,
+    * cum_users) curve is therefore exactly the batch answer for any
+    * micro-batch boundaries or arrival order. State is one row per user
+    * (the CdcApplyState keyed-state class — bounded by the user catalog,
+    * never by stream length); the active/returning columns, which would
+    * need per-(day, user) state, stay batch-only by design.
+    */
+  final class UserFirstSeenState(userCol: String, tsCol: String) {
+    private val firstSeen = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = batch.groupBy(col(userCol))
+        .agg(to_date(min(col(tsCol))).as("_day"))
+      val merged = firstSeen.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy(userCol).agg(min("_day").as("_day"))
+        case None => p
+      }
+      firstSeen.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current (day, n_new, cum_users) acquisition curve — exactly the
+      * batch q_user_growth projection over the same events. */
+    def finalized: Option[DataFrame] = firstSeen.get.map { fs =>
+      fs.groupBy("_day").agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users",
+          sum("n_new").over(org.apache.spark.sql.expressions.Window
+            .orderBy("_day").rowsBetween(Long.MinValue, 0)))
+        .select(col("_day").as("day"), col("n_new"), col("cum_users"))
+    }
+  }
+
   /** Streaming count-min sketch maintenance — the streaming twin of
     * TextOps.countMinSketch (C127): each micro-batch reduces to its own
     * depth×width counter matrix and SUM-merges into the running sketch.

@@ -684,6 +684,41 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming user-growth state converges to the batch acquisition curve") {
+    // C229's streaming twin: per-user min first-seen day is an
+    // idempotent min monoid, so the derived (day, n_new, cum_users)
+    // curve must equal the batch q_user_growth projection whatever the
+    // micro-batch boundaries — INCLUDING arrival out of time order
+    // (later files carry EARLIER events below).
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "ts", "event_id")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ug_in").toFile.getAbsolutePath
+    // reverse-chronological landing: the newest third arrives FIRST
+    val day = dayofmonth(col("ts"))
+    events.where(day >= 20).write.mode("append").parquet(inDir)
+    events.where(day >= 10 && day < 20).write.mode("append").parquet(inDir)
+    events.where(day < 10).write.mode("append").parquet(inDir)
+
+    val state = new StreamingOps.UserFirstSeenState("user_id", "ts")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.finalized.get
+      val batch = graft.ops.EventOps.userGrowth(events, "user_id", "ts")
+        .where(col("n_new") > 0)
+        .select(col("day"), col("n_new"), col("cum_users"))
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "min-merged first-seen days must reproduce the batch acquisition curve")
+      // replay + re-delivery are no-ops (idempotent monoid)
+      state.mergeBatch(events, 0L)
+      state.mergeBatch(events.limit(100), 42L)
+      val replayed = state.finalized.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming CDC apply converges to the batch cdcApply, out of order and replayed") {
     // C89's streaming twin (VERDICT r7 item 7): the q_cdc_apply changelog
     // (updates v2, deletes v3, inserts v1) lands in micro-batches in
