@@ -3385,6 +3385,29 @@ object SparkEntry {
       Profiling.kAnonymity(T(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
 
+    // Seasonally-adjusted anomaly screen — the composition that makes
+    // q_seasonal_decomp actionable: MAD over the DECOMPOSITION RESIDUAL
+    // per event type, so a Friday spike that is merely the weekly
+    // pattern no longer trips the screen that raw q_mad_outliers runs
+    // on values. Residuals enter rounded(6) on BOTH engines, the score
+    // rides the q_mad_outliers 12-scale decimal snapshot, and the 3.5
+    // flag is the standard robust cutoff.
+    "q_seasonal_outliers" -> ((s, dir) => {
+      val resid = TimeSeries.seasonalDecompose(T(s, dir, "events"),
+          "event_type", "ts", "value", 7)
+        .where(col("residual").isNotNull)
+        .select(col("event_type"), col("day"), col("residual"))
+      Profiling.madScore(resid, Seq("event_type"), "residual")
+        .select(col("event_type"), col("day"), col("residual"),
+          Portable.pround(col("med"), 9).as("med"),
+          round(col("mad"), 9).as("mad"),
+          Portable.canonZero(round(col("mad_score").cast("decimal(28,12)"), 6)
+            .cast("double")).as("mad_score"))
+        .withColumn("is_outlier",
+          when(col("mad_score").isNotNull, abs(col("mad_score")) > 3.5))
+        .orderBy("event_type", "day")
+    }),
+
     // Daily user growth: active / new / returning / cumulative users
     // per day — the acquisition-vs-retention decomposition of the event
     // stream (q_cohort_retention's daily, catalog-sized cousin).
@@ -9322,6 +9345,58 @@ object SparkEntry {
            (sum(c * (c - 1)) // 2)::BIGINT AS candidate_pairs,
            max(c)::BIGINT AS max_bucket
          FROM buckets GROUP BY band ORDER BY band""",
+
+    // The decompose CTEs feed quantile_cont over the SAME rounded(6)
+    // residual doubles; the score snapshots at DECIMAL(28,12) before the
+    // visible round (the q_mad_outliers ulp discipline).
+    "q_seasonal_outliers" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS value
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         ph AS (
+           SELECT event_type, day, value,
+             (day - DATE '1970-01-01') % 7 AS phase
+           FROM daily),
+         tr AS (
+           SELECT event_type, day, value, phase,
+             CASE WHEN count(*) OVER w = 7 THEN
+               (sum(CAST(value AS DECIMAL(28,12))) OVER w)::DOUBLE / 7
+             END AS trend
+           FROM ph
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         se AS (
+           SELECT event_type, phase,
+             sum(CAST(value - trend AS DECIMAL(28,12)))::DOUBLE / count(*) AS praw
+           FROM tr WHERE trend IS NOT NULL GROUP BY event_type, phase),
+         ce AS (
+           SELECT event_type, phase,
+             praw - (sum(CAST(praw AS DECIMAL(28,12))) OVER (PARTITION BY event_type))::DOUBLE
+                      / count(*) OVER (PARTITION BY event_type) AS seasonal
+           FROM se),
+         resid AS (
+           SELECT t.event_type, t.day,
+             round(t.value - t.trend - c.seasonal, 6) + 0 AS residual
+           FROM tr t JOIN ce c
+             ON t.event_type = c.event_type AND t.phase = c.phase
+           WHERE t.trend IS NOT NULL),
+         med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
+                 FROM resid GROUP BY event_type),
+         mad AS (SELECT r.event_type, max(m.med) AS med,
+                   quantile_cont(abs(r.residual - m.med), 0.5) AS mad
+                 FROM resid r JOIN med m ON r.event_type = m.event_type
+                 GROUP BY r.event_type)
+         SELECT r.event_type, r.day, r.residual,
+           round(a.med, 9) + 0 AS med, round(a.mad, 9) + 0 AS mad,
+           CASE WHEN a.mad > 0
+             THEN round(((r.residual - a.med) / a.mad)::DECIMAL(28,12), 6)::DOUBLE + 0
+           END AS mad_score,
+           CASE WHEN a.mad > 0
+             THEN abs(round(((r.residual - a.med) / a.mad)::DECIMAL(28,12), 6)::DOUBLE) > 3.5
+           END AS is_outlier
+         FROM resid r JOIN mad a ON r.event_type = a.event_type
+         ORDER BY r.event_type, r.day""",
 
     // Day-catalog frames only; the cumulative window is bounded by the
     // calendar, not the row count.
