@@ -1136,11 +1136,7 @@ object Profiling {
     */
   def kmvMergeProof(df: DataFrame, partCol: String, valueCol: Column,
                     k: Int = 64): DataFrame = {
-    // three consumers (direct path, merged path, part count) read the
-    // ONE materialized vocabulary-sized hash frame — without this the
-    // tokenize→shingle→hash pipeline re-evaluates per branch (measured
-    // 2.28 s → sub-second at sf0.1)
-    val hashes = kmvHashes(df, partCol, valueCol).localCheckpoint(true)
+    val hashes = kmvHashes(df, partCol, valueCol)
     val global = hashes.select(lit("all").as("_g"), col("_h"))
     val direct = kmvEstimateFromSketch(kmvSmallestK(global, "_g", k), "_g", k)
       .select(col("kmv_estimate").as("direct_estimate"))
