@@ -693,5 +693,42 @@ class PlanInvariantsSpec extends SparkSpec {
     // both top-k windows ride probe-hash exchanges
     assert(hasBroadcastJoin(run("q_int8_recall")),
       "q_int8_recall must broadcast the probe frame")
+
+    // q_user_growth: two aggregates collapse the corpus before the
+    // day-catalog join/window; the events scan prunes to (user_id, ts)
+    val ug = run("q_user_growth")
+    assert(scanColumns(ug, "events").forall(_ === Set("user_id", "ts")),
+      "q_user_growth scan must prune to (user_id, ts)")
+
+    // q_ab_test: one user aggregate then singleton rollups — exchanges
+    // stay fixed and the scan prunes to the three used columns
+    val ab = run("q_ab_test")
+    assert(nonRangeShuffles(ab) <= 2, "q_ab_test is user agg + rollup")
+    assert(scanColumns(ab, "events")
+        .forall(_ === Set("user_id", "event_type")),
+      "q_ab_test scan must prune to (user_id, event_type)")
+
+    // q_ess: ONE map-side-combinable aggregate
+    assert(nonRangeShuffles(run("q_ess")) === 1,
+      "q_ess is one group-keyed aggregate")
+
+    // q_lsh_cost_plan: signature pass is row-local; only the (band, key)
+    // count and the band rollup exchange — the forecast never touches a
+    // candidate pair (no join at all)
+    val cp = run("q_lsh_cost_plan")
+    assert(flatten(cp).count {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _ => false
+    } === 0, "q_lsh_cost_plan must forecast without any join")
+
+    // q_join_size_est: all exchanges are vocabulary/sketch-keyed — the
+    // fact scans prune to the single join-key column each
+    val js = run("q_join_size_est")
+    assert(scanColumns(js, "orders").forall(_ === Set("o_custkey")),
+      "q_join_size_est orders scan must prune to the key")
+    assert(scanColumns(js, "customer").forall(_ === Set("c_custkey")),
+      "q_join_size_est customer scan must prune to the key")
   }
 }
