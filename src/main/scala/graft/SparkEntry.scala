@@ -3385,6 +3385,14 @@ object SparkEntry {
       Profiling.kAnonymity(T(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
 
+    // The actionable end of q_fd_profile: the violating source groups
+    // of source->lang ranked by rows-to-repair, with each group's
+    // dominant label — g3 says how far the dependency is from holding,
+    // THIS says where to look first.
+    "q_fd_repair" -> ((s, dir) =>
+      Profiling.fdViolationDetail(T(s, dir, "documents"),
+        "source", "lang", 20)),
+
     // Seasonally-adjusted anomaly screen — the composition that makes
     // q_seasonal_decomp actionable: MAD over the DECOMPOSITION RESIDUAL
     // per event type, so a Friday spike that is merely the weekly
@@ -9345,6 +9353,22 @@ object SparkEntry {
            (sum(c * (c - 1)) // 2)::BIGINT AS candidate_pairs,
            max(c)::BIGINT AS max_bucket
          FROM buckets GROUP BY band ORDER BY band""",
+
+    // Dominant-rhs ties break on the rhs value; every count exact.
+    "q_fd_repair" ->
+      """WITH p AS (SELECT source AS lhs_value, lang AS r, count(*)::BIGINT AS n
+                    FROM documents GROUP BY source, lang),
+         w AS (SELECT lhs_value, r, n,
+                 row_number() OVER (PARTITION BY lhs_value
+                                    ORDER BY n DESC, r ASC) AS rk,
+                 sum(n) OVER (PARTITION BY lhs_value) AS tot,
+                 count(*) OVER (PARTITION BY lhs_value) AS nr
+               FROM p)
+         SELECT lhs_value, tot::BIGINT AS n_rows, nr::BIGINT AS n_distinct_rhs,
+           r AS dominant_rhs, n AS dominant_count,
+           (tot - n)::BIGINT AS rows_to_repair
+         FROM w WHERE rk = 1 AND nr > 1
+         ORDER BY rows_to_repair DESC, lhs_value ASC LIMIT 20""",
 
     // The decompose CTEs feed quantile_cont over the SAME rounded(6)
     // residual doubles; the score snapshots at DECIMAL(28,12) before the

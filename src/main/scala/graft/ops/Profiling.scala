@@ -1309,6 +1309,39 @@ object Profiling {
           col("n_rows").cast("double"), 9).as("reident_risk_share"))
   }
 
+  /** The actionable end of [[fdViolations]]: for ONE candidate
+    * `lhs → rhs`, the violating lhs groups ranked by how many rows must
+    * be deleted (or re-labeled) to repair them — group size, the
+    * dominant rhs and its count, the conflicting-rhs count. g₃ says HOW
+    * FAR a dependency is from holding; this says WHERE to look first.
+    * Dominant-rhs ties break on the rhs value (deterministic in any
+    * engine). Exact integers end to end.
+    *
+    * Scale shape: the same (lhs, rhs) → lhs aggregate cascade as the
+    * profile, plus a rank window on the dominant pick; the top-k cut is
+    * a TakeOrdered, never a global sort.
+    */
+  def fdViolationDetail(df: DataFrame, lhs: String, rhs: String,
+                        topK: Int): DataFrame = {
+    val pair = df.groupBy(col(lhs).as("lhs_value"), col(rhs).as("_r"))
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy("lhs_value")
+      .orderBy(col("_n").desc, col("_r").asc)
+    pair
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_tot", sum("_n").over(Window.partitionBy("lhs_value")))
+      .withColumn("_nr", count(lit(1)).over(Window.partitionBy("lhs_value")))
+      .where(col("_rk") === 1 && col("_nr") > 1)
+      .select(col("lhs_value").cast("string").as("lhs_value"),
+        col("_tot").as("n_rows"),
+        col("_nr").as("n_distinct_rhs"),
+        col("_r").cast("string").as("dominant_rhs"),
+        col("_n").as("dominant_count"),
+        (col("_tot") - col("_n")).as("rows_to_repair"))
+      .orderBy(col("rows_to_repair").desc, col("lhs_value").asc)
+      .limit(topK)
+  }
+
   /** Effective sample size of a weighting scheme per group: ESS =
     * (Σw)²/Σw² (Kish 1965) — "sampling proportional to these weights is
     * worth how many uniform draws?". The diagnostic a curation pipeline
