@@ -244,6 +244,19 @@ class Round16OpsSpec extends SparkSpec {
     assert(byLhs("b") === (("b", 3L, 0L, 0L, 0.0)))      // trivially exact
   }
 
+  test("fdViolationDetail ranks violating groups by rows to repair") {
+    val rows = Seq(
+      FdRow("x1", "p"), FdRow("x1", "p"), FdRow("x1", "q"), FdRow("x1", "r"), // repair 2
+      FdRow("x2", "p"), FdRow("x2", "q"),                                     // repair 1, tie p<q
+      FdRow("x3", "p"), FdRow("x3", "p"))                                     // clean → absent
+    val got = Profiling.fdViolationDetail(df(rows), "a", "b", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("x1", 4L, 3L, "p", 2L, 2L),
+      ("x2", 2L, 2L, "p", 1L, 1L))) // dominant tie broken to the smaller rhs
+  }
+
   // ---- AMS F2 ----------------------------------------------------------------
 
 
