@@ -3385,6 +3385,23 @@ object SparkEntry {
       Profiling.kAnonymity(T(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
 
+    // Good-Turing frequency spectrum over trigram-shingle document
+    // frequencies: how many dedup keys live in exactly c docs + the
+    // smoothed c* head — N_1/N is the unseen-mass estimate that says
+    // whether the dedup index has seen enough corpus; the tail-shape
+    // companion of q_vocab_coverage and q_heaps_law.
+    "q_freq_spectrum" -> ((s, dir) =>
+      TextOps.freqSpectrum(T(s, dir, "documents"), "doc_id", "text", 3, 10)
+        .orderBy("c")),
+
+    // Dedup-granularity tuning curve: duplication rate at n-gram sizes
+    // 1/2/3/5 — the measurement that justifies the n=3 dedup-key
+    // convention instead of assuming it.
+    "q_dup_rate_curve" -> ((s, dir) =>
+      TextOps.dupRateCurve(T(s, dir, "documents"), "doc_id", "text",
+          Seq(1, 2, 3, 5))
+        .orderBy("n")),
+
     // The actionable end of q_fd_profile: the violating source groups
     // of source->lang ranked by rows-to-repair, with each group's
     // dominant label — g3 says how far the dependency is from holding,
@@ -9353,6 +9370,48 @@ object SparkEntry {
            (sum(c * (c - 1)) // 2)::BIGINT AS candidate_pairs,
            max(c)::BIGINT AS max_bucket
          FROM buckets GROUP BY band ORDER BY band""",
+
+    // Counts-of-counts exact; c* is one double division per head row.
+    "q_freq_spectrum" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS sh
+           FROM t),
+         c AS (SELECT sh, count(*)::BIGINT AS c FROM tok GROUP BY sh),
+         sp AS (SELECT c, count(*)::BIGINT AS n_types FROM c GROUP BY c),
+         led AS (SELECT c, n_types,
+                   CASE WHEN lead(c) OVER (ORDER BY c) = c + 1
+                     THEN lead(n_types) OVER (ORDER BY c) END AS n_next
+                 FROM sp)
+         SELECT c, n_types,
+           CASE WHEN n_next IS NOT NULL
+             THEN round((c + 1)::DOUBLE * n_next / n_types, 6) + 0
+           END AS gt_adjusted_count
+         FROM led WHERE c <= 10 ORDER BY c""",
+
+    // Per n: one distinct-per-doc shingle count aggregate; the rate is
+    // one division on exact integers.
+    "q_dup_rate_curve" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT n.n, doc_id,
+             unnest(CASE WHEN len(t) >= n.n
+               THEN list_distinct(list_transform(range(1, len(t) - n.n + 2),
+                 i -> array_to_string(t[i:i+n.n-1], ' ')))
+               ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM t CROSS JOIN (SELECT unnest([1, 2, 3, 5]) AS n) n),
+         g AS (SELECT n, shingle, count(*)::BIGINT AS c
+               FROM sh GROUP BY n, shingle)
+         SELECT n::BIGINT AS n, sum(c)::BIGINT AS n_instances,
+           count(*)::BIGINT AS n_distinct,
+           round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) + 0 AS dup_rate
+         FROM g GROUP BY n ORDER BY n""",
 
     // Dominant-rhs ties break on the rhs value; every count exact.
     "q_fd_repair" ->

@@ -533,6 +533,11 @@ object EventOps {
     * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂. Exact
     * integer counts; the z chain is fixed double arithmetic; degenerate
     * cohorts (empty, or pooled rate 0/1 — no variance) emit NULL.
+    *
+    * The flags are evaluated per event and OR-reduced per user (max), so
+    * the test counts USERS; pass a user-deterministic `cohortFlag` (a
+    * hash of the user id, an assignment-table lookup) — a flag that
+    * varies within a user would silently land that user in cohort A.
     */
   def abProportionTest(df: DataFrame, userCol: String, cohortFlag: Column,
                        convFlag: Column): DataFrame = {

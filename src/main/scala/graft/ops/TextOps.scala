@@ -2604,6 +2604,68 @@ object TextOps {
           .as("mattr"))
   }
 
+  /** Shingle frequency-of-frequencies spectrum with Good–Turing
+    * adjusted counts (Good 1953), over DOCUMENT frequency of the
+    * `gram`-shingle vocabulary (the dedup keying unit): N_c = how many
+    * shingle types appear in exactly c documents, and for the low-count
+    * head the smoothed count c* = (c+1)·N_{c+1}/N_c. N_1/N is the
+    * Good–Turing unseen-mass estimate — the number that says whether
+    * the dedup index has seen enough of the corpus (huge singleton mass
+    * = every new document still brings new keys, the same signal C211
+    * reads as growth and C121 reads per-doc as novelty; this reads the
+    * TAIL SHAPE the smoothing literature actually consumes).
+    *
+    * Engine parity: counts-of-counts are exact integers; c* is one
+    * double division per emitted row.
+    *
+    * Scale shape: shingle-DF aggregate (vocabulary-sized) → count-keyed
+    * re-aggregate (spectrum-sized: ≤ distinct frequencies) → a lead
+    * window over the tiny spectrum for N_{c+1}. Nothing row-sized
+    * survives the first aggregate.
+    */
+  def freqSpectrum(df: DataFrame, idCol: String, textCol: String,
+                   gram: Int = 3, maxC: Int = 10): DataFrame = {
+    val counts = shingles(df, idCol, textCol, gram)
+      .groupBy("shingle").agg(count(lit(1)).as("_c"))
+    val spectrum = counts.groupBy(col("_c").as("c"))
+      .agg(count(lit(1)).as("n_types"))
+    val wc = Window.orderBy("c") // spectrum-sized global window
+    spectrum
+      .withColumn("_nNext",
+        when(lead("c", 1).over(wc) === col("c") + 1, lead("n_types", 1).over(wc)))
+      .where(col("c") <= maxC)
+      .select(col("c"), col("n_types"),
+        when(col("_nNext").isNotNull,
+          round((col("c") + 1).cast("double") * col("_nNext") /
+            col("n_types"), 6)).as("gt_adjusted_count"))
+  }
+
+  /** Dedup-granularity tuning curve: duplication rate of the corpus at
+    * word-n-gram sizes `ns` — total shingle instances vs distinct
+    * shingles per n. Unigrams always look heavily duplicated (types
+    * repeat by Zipf); the n where the dup rate collapses toward the
+    * corpus's TRUE near-dup level is the right dedup key size (the
+    * number that justifies C10/C18's n=3 convention instead of assuming
+    * it). Exact integers + one division per row.
+    *
+    * Scale shape: per n, one shingle-keyed count aggregate
+    * (vocabulary-sized, map-side combinable) collapsed to one row; the
+    * union output is |ns| rows. Instances are counted per (doc, distinct
+    * shingle) — the same unit the dedup joins key on.
+    */
+  def dupRateCurve(df: DataFrame, idCol: String, textCol: String,
+                   ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty, "no shingle sizes")
+    ns.map { n =>
+      shingles(df, idCol, textCol, n)
+        .groupBy("shingle").agg(count(lit(1)).as("_c"))
+        .agg(sum("_c").as("n_instances"), count(lit(1)).as("n_distinct"))
+        .select(lit(n.toLong).as("n"), col("n_instances"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_instances").cast("double"), 6).as("dup_rate"))
+    }.reduce(_ unionAll _)
+  }
+
   /** LSH join-cost forecast over the SimHash band buckets: per 16-bit
     * band, the bucket count, the exact candidate-pair fan-out
     * Σ c(c−1)/2, and the largest bucket — the numbers that price a

@@ -244,6 +244,41 @@ class Round16OpsSpec extends SparkSpec {
     assert(byLhs("b") === (("b", 3L, 0L, 0L, 0.0)))      // trivially exact
   }
 
+  test("freqSpectrum counts-of-counts and Good-Turing head match the referee") {
+    // single-token docs → shingle = the whole doc; DF spectrum is exact
+    val docs =
+      (1 to 6).map(i => GrowDoc(i.toLong, "solo" + i)) ++          // 6 singletons
+      (7 to 10).map(i => GrowDoc(i.toLong, "twice" + (i % 2))) ++  // 2 types, df=2
+      (11 to 13).map(i => GrowDoc(i.toLong, "triple"))             // 1 type, df=3
+    val got = TextOps.freqSpectrum(df(docs), "doc_id", "text", 3, 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got(1L) === ((6L, Some(0.666667))))      // round6((1+1)·N2/N1)
+    assert(got(2L) === ((2L, Some(1.5))))           // (2+1)·N3/N2
+    assert(got(3L) === ((1L, None)))                // no N4 → no adjustment
+  }
+
+  test("dupRateCurve: unigram rate high, long-gram rate collapses, counts exact") {
+    val docs = (1 to 10).map(i =>
+      GrowDoc(i.toLong, s"the same lead always but tail$i differs here$i"))
+    val got = TextOps.dupRateCurve(df(docs), "doc_id", "text", Seq(1, 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (i1, d1, r1) = got(1L)
+    val (i3, d3, r3) = got(3L)
+    assert(i1 === 80L)  // 8 tokens × 10 docs
+    assert(d1 === 6 + 2 * 10L) // 6 shared types + 2 unique per doc
+    assert(r1 > r3, "longer grams must deduplicate less")
+    assert(i3 === 60L) // 6 trigrams × 10 docs
+    // referee for n=3 distinct: 4 shared leading trigrams? compute directly
+    val tri = docs.flatMap { d =>
+      val t = d.text.split(" ")
+      t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    assert(d3 === tri.distinct.size.toLong)
+    assert(math.abs(r3 - (1.0 - tri.distinct.size.toDouble / tri.size)) < 1e-6)
+  }
+
   test("fdViolationDetail ranks violating groups by rows to repair") {
     val rows = Seq(
       FdRow("x1", "p"), FdRow("x1", "p"), FdRow("x1", "q"), FdRow("x1", "r"), // repair 2
