@@ -3385,6 +3385,30 @@ object SparkEntry {
       Profiling.kAnonymity(T(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
 
+    // IVF probe-budget recall curve: top-5 recall vs brute force at
+    // nProbe 1/2/4 over the persisted index — THE tuning curve for the
+    // latency/recall trade a 100 TB ANN deployment actually dials
+    // (q_lsh_recall_eval's sibling for the clustered index path).
+    "q_ivf_recall_curve" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
+        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      }
+      val queries = emb.where(col("vec_id") < 20)
+      val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("corpus_id"))
+      Seq(1, 2, 4).map { np =>
+        val ivf = VectorOps.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+            centroids, nProbe = np)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
+        brute.join(ivf, Seq("query_id", "corpus_id"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+          .select(lit(np.toLong).as("n_probe"), col("n_pairs"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
+      }.reduce(_ unionAll _).orderBy("n_probe")
+    }),
+
     // Good-Turing frequency spectrum over trigram-shingle document
     // frequencies: how many dedup keys live in exactly c docs + the
     // smoothed c* head — N_1/N is the unseen-mass estimate that says
@@ -3766,6 +3790,79 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** DuckDB oracle for q_ivf_recall_curve: the ivfTopKSql cell
+    * machinery (same persisted centroids, same argmax/probe rules)
+    * replayed at every probe budget in `nProbes`, each budget's top-k
+    * joined against the brute-force cosine top-k of the same query set
+    * — recall is one exact integer ratio per budget.
+    */
+  private def ivfRecallCurveSql(centroids: Array[Array[Float]],
+                                nProbes: Seq[Int], k: Int,
+                                probeLimit: Int): String = {
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toDouble).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n             ")
+    val perNp = nProbes.map { np =>
+      s"""top_$np AS (
+           SELECT query_id, corpus_id, 1 AS hit FROM (
+             SELECT s.query_id, s.corpus_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.score DESC, s.corpus_id ASC) AS rank
+             FROM (
+               SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 list_reduce(list_transform(range(1, 65), i -> nq.e[i]*nc.e[i]), (x, y) -> x + y)
+                   / (nq.nrm * nc.nrm) AS score
+               FROM query_cells q
+               JOIN corpus_cell c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+               JOIN n nq ON nq.vec_id = q.vec_id
+               JOIN n nc ON nc.vec_id = c.vec_id
+               WHERE q.rn <= $np) s)
+           WHERE rank <= $k)"""
+    }.mkString(",\n         ")
+    val unions = nProbes.map { np =>
+      s"""SELECT $np::BIGINT AS n_probe, count(*)::BIGINT AS n_pairs,
+           sum(coalesce(hit, 0))::BIGINT AS n_found,
+           round(sum(coalesce(hit, 0))::DOUBLE / count(*), 6) + 0 AS recall
+         FROM brute b LEFT JOIN top_$np t
+           ON b.query_id = t.query_id AND b.corpus_id = t.corpus_id"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cents(cell, c) AS (VALUES
+             $cents),
+         cell_dots AS (
+           SELECT vec_id, cell,
+             list_reduce(list_transform(range(1, 65), i -> e[i] * c[i]), (x, y) -> x + y) AS d
+           FROM v CROSS JOIN cents),
+         corpus_cell AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+             FROM cell_dots)
+           WHERE rn = 1),
+         query_cells AS (
+           SELECT vec_id, cell, rn FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+             FROM cell_dots WHERE vec_id < $probeLimit)
+           WHERE rn <= ${nProbes.max}),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         brute AS (
+           SELECT query_id, corpus_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_reduce(list_transform(range(1, 65), i -> q.e[i]*c.e[i]), (x, y) -> x + y)
+                   / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+             FROM n q JOIN n c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id < $probeLimit)
+           WHERE rank <= $k),
+         $perNp
+         SELECT n_probe, n_pairs, n_found, recall FROM (
+         $unions)
+         ORDER BY n_probe"""
+  }
+
   /** DuckDB oracle for q_pq_topk, generated from the persisted PQ
     * codebooks: sub-space codes replicate VectorOps.nearestCode (argmax of
     * dot − ½‖c‖², both the centroid floats and the precomputed ½‖c‖²
@@ -4093,6 +4190,7 @@ object SparkEntry {
     cOpt.filter(_.nonEmpty)
       .map(c => Map(
         "q_ivf_topk" -> ivfTopKSql(c, nProbe = 4),
+        "q_ivf_recall_curve" -> ivfRecallCurveSql(c, Seq(1, 2, 4), 5, 20),
         "q_silhouette" -> silhouetteSql(c)))
       .getOrElse(Map.empty)
   }
