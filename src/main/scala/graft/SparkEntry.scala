@@ -3409,6 +3409,34 @@ object SparkEntry {
       }.reduce(_ unionAll _).orderBy("n_probe")
     }),
 
+    // PQ rerank-budget recall curve: top-5 recall vs brute force with
+    // exact re-scoring of the ADC top-5/10/20 — how much exact-rescore
+    // budget buys back the quantization loss (q_ivf_recall_curve's
+    // sibling for the code-compressed path).
+    "q_pq_recall_curve" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val books = PqIndex.codebooksFor(dir, PqM, PqK, PqIters) {
+        (0 until PqM).map { m =>
+          VectorOps.subKMeans(
+            emb.select(col("vec_id"), slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub")),
+            "vec_id", "sub", PqK, PqIters)
+        }.toArray
+      }
+      val queries = emb.where(col("vec_id") < 20)
+      val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("corpus_id"))
+      Seq(5, 10, 20).map { r =>
+        val pq = VectorOps.pqTopK(emb, queries, "vec_id", "embedding", 5,
+            books, rerank = r)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
+        brute.join(pq, Seq("query_id", "corpus_id"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+          .select(lit(r.toLong).as("rerank"), col("n_pairs"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
+      }.reduce(_ unionAll _).orderBy("rerank")
+    }),
+
     // Good-Turing frequency spectrum over trigram-shingle document
     // frequencies: how many dedup keys live in exactly c docs + the
     // smoothed c* head — N_1/N is the unseen-mass estimate that says
@@ -3928,6 +3956,92 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** DuckDB oracle for q_pq_recall_curve: the pqTopKSql code/ADC
+    * machinery replayed once, then re-ranked at every rerank budget in
+    * `reranks`, each budget's exact-rescored top-k joined against the
+    * brute-force cosine top-k — recall is one exact integer ratio per
+    * budget.
+    */
+  private def pqRecallCurveSql(books: Array[Array[Array[Float]]],
+                               reranks: Seq[Int], k: Int,
+                               probeLimit: Int): String = {
+    val d = books(0)(0).length
+    val dim = books.length * d
+    val cents = books.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($m, $j, ${c.map(_.toDouble).mkString("[", ", ", "]")}::DOUBLE[], ${VectorOps.halfNorm2(c)})"
+      }
+    }.mkString(",\n             ")
+    val perR = reranks.map { r =>
+      s"""top_$r AS (
+           SELECT query_id, corpus_id, 1 AS hit FROM (
+             SELECT s.query_id, s.corpus_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.score DESC, s.corpus_id ASC) AS rank
+             FROM (
+               SELECT a.query_id, a.corpus_id,
+                 list_reduce(list_transform(range(1, ${dim + 1}), i -> nq.e[i]*nc.e[i]), (x, y) -> x + y)
+                   / (nq.nrm * nc.nrm) AS score
+               FROM ranked a
+               JOIN n nq ON nq.vec_id = a.query_id
+               JOIN n nc ON nc.vec_id = a.corpus_id
+               WHERE a.rn <= $r) s)
+           WHERE rank <= $k)"""
+    }.mkString(",\n         ")
+    val unions = reranks.map { r =>
+      s"""SELECT $r::BIGINT AS rerank, count(*)::BIGINT AS n_pairs,
+           sum(coalesce(hit, 0))::BIGINT AS n_found,
+           round(sum(coalesce(hit, 0))::DOUBLE / count(*), 6) + 0 AS recall
+         FROM brute b LEFT JOIN top_$r t
+           ON b.query_id = t.query_id AND b.corpus_id = t.corpus_id"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cents(m, j, c, h) AS (VALUES
+             $cents),
+         sub_scores AS (
+           SELECT v.vec_id, cents.m, cents.j,
+             list_reduce(list_transform(range(1, ${d + 1}), i -> e[cents.m * $d + i] * c[i]), (x, y) -> x + y)
+               - cents.h AS s
+           FROM v CROSS JOIN cents),
+         codes AS (
+           SELECT vec_id, m, j FROM (
+             SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, j ASC) AS rn
+             FROM sub_scores)
+           WHERE rn = 1),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < $probeLimit),
+         tm AS (
+           SELECT q.vec_id AS query_id, codes.vec_id AS corpus_id,
+             CAST(list_reduce(list_transform(range(1, ${d + 1}),
+                 x -> q.e[cents.m * $d + x] * cents.c[x]), (a, b) -> a + b)
+               AS DECIMAL(28,12)) AS t
+           FROM q
+           CROSS JOIN codes
+           JOIN cents ON cents.m = codes.m AND cents.j = codes.j
+           WHERE q.vec_id <> codes.vec_id),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sum(t)::DOUBLE DESC, corpus_id ASC) AS rn
+           FROM tm GROUP BY query_id, corpus_id),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, ${dim + 1}), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         brute AS (
+           SELECT query_id, corpus_id FROM (
+             SELECT q2.vec_id AS query_id, c2.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q2.vec_id
+                 ORDER BY list_reduce(list_transform(range(1, ${dim + 1}), i -> q2.e[i]*c2.e[i]), (x, y) -> x + y)
+                   / (q2.nrm * c2.nrm) DESC, c2.vec_id ASC) AS rank
+             FROM n q2 JOIN n c2 ON q2.vec_id <> c2.vec_id
+             WHERE q2.vec_id < $probeLimit)
+           WHERE rank <= $k),
+         $perR
+         SELECT rerank, n_pairs, n_found, recall FROM (
+         $unions)
+         ORDER BY rerank"""
+  }
+
   /** DuckDB oracle for q_ivfpq_topk / q_ivfpq_res_topk: the IVF half
     * (corpus cell = argmax centroid dot, query probes its nProbe best
     * cells — identical CTEs to ivfTopKSql) gates the candidate pairs; the
@@ -4161,7 +4275,9 @@ object SparkEntry {
         }
       }
       bOpt.filter(b => b.nonEmpty && b.forall(_.nonEmpty))
-        .map(b => Map("q_pq_topk" -> pqTopKSql(b, rerank = 20)))
+        .map(b => Map(
+          "q_pq_topk" -> pqTopKSql(b, rerank = 20),
+          "q_pq_recall_curve" -> pqRecallCurveSql(b, Seq(5, 10, 20), 5, 20)))
         .getOrElse(Map.empty)
   }
 
