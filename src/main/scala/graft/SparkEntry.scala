@@ -1826,9 +1826,10 @@ object SparkEntry {
     }),
 
     // Product-quantization ADC top-k with exact re-rank: each corpus
-    // vector compresses to 4 sub-space codes (16 bytes/vector — the scan
-    // payload of a 100 TB ANN sweep), queries rank by the dot against the
-    // reconstructed vector, and the top-20 candidates re-score exactly.
+    // vector compresses to 16 sub-space codes (8 bytes/vector packed at
+    // 4 bits/code — the scan payload of a 100 TB ANN sweep), queries rank
+    // by the dot against the reconstructed vector, and the top-20
+    // candidates re-score exactly.
     // Codebooks are a persisted artifact (PqIndex, same lifecycle as IVF)
     // whose literals the oracle embeds — fully hash-checked.
     "q_pq_topk" -> ((s, dir) => {
@@ -3386,7 +3387,7 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), 5)),
 
     // IVF probe-budget recall curve: top-5 recall vs brute force at
-    // nProbe 1/2/4 over the persisted index — THE tuning curve for the
+    // nProbe 1/2/4/8 over the persisted index — THE tuning curve for the
     // latency/recall trade a 100 TB ANN deployment actually dials
     // (q_lsh_recall_eval's sibling for the clustered index path).
     "q_ivf_recall_curve" -> ((s, dir) => {
@@ -3394,19 +3395,23 @@ object SparkEntry {
       val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
         VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
       }
-      val queries = emb.where(col("vec_id") < 20)
-      val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("corpus_id"))
-      Seq(1, 2, 4).map { np =>
-        val ivf = VectorOps.ivfTopK(emb, queries, "vec_id", "embedding", 5,
-            centroids, nProbe = np)
-          .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
-        brute.join(ivf, Seq("query_id", "corpus_id"), "left")
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
-          .select(lit(np.toLong).as("n_probe"), col("n_pairs"), col("n_found"),
-            round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
-      }.reduce(_ unionAll _).orderBy("n_probe")
+      ivfRecallCurve(emb, centroids, Seq(1, 2, 4, 8))
+    }),
+
+    // The same curve over a √N-sized coarse quantizer (k=64 ≈ √2000 at
+    // sf0.1; VERDICT r15 item 4): more, smaller cells sharpen the
+    // cell-boundary geometry, so at a MATCHED scan fraction (k=64 probing
+    // 4·p cells touches the same corpus share as k=16 probing p) recall
+    // should rise — this query measures whether it actually does on this
+    // corpus, or whether quasi-random unit vectors put a ceiling on any
+    // partition-based index (the honest-negative answer the C236 row
+    // documents either way).
+    "q_ivf_recall_sqrtn" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val centroids = IvfIndex.centroidsFor(dir, IvfK2, IvfIters) {
+        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK2, iters = IvfIters)
+      }
+      ivfRecallCurve(emb, centroids, Seq(4, 8, 16, 32))
     }),
 
     // PQ rerank-budget recall curve: top-5 recall vs brute force with
@@ -3637,9 +3642,45 @@ object SparkEntry {
   private val IvfK = 16
   private val IvfIters = 4
 
-  private val PqM = 4       // sub-spaces
-  private val PqSubDim = 16 // 64-dim embeddings / 4
-  private val PqK = 16      // codes per sub-space
+  /** √N-sized coarse quantizer for q_ivf_recall_sqrtn (√2000 ≈ 45 → 64
+    * at sf0.1) — a second persisted artifact, same lifecycle as IvfK's.
+    */
+  private val IvfK2 = 64
+
+  /** Shared recall-curve body of q_ivf_recall_curve / q_ivf_recall_sqrtn:
+    * top-5 recall vs the brute-force cosine baseline at each probe budget.
+    */
+  private def ivfRecallCurve(emb: DataFrame, centroids: Array[Array[Float]],
+                             nProbes: Seq[Int]): DataFrame = {
+    val queries = emb.where(col("vec_id") < 20)
+    val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("corpus_id"))
+    nProbes.map { np =>
+      val ivf = VectorOps.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+          centroids, nProbe = np)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
+      brute.join(ivf, Seq("query_id", "corpus_id"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+        .select(lit(np.toLong).as("n_probe"), col("n_pairs"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
+    }.reduce(_ unionAll _).orderBy("n_probe")
+  }
+
+  /** PQ codebook shape. Re-dimensioned 4×16 → 16×16 in r16 (VERDICT r15
+    * item 1): the 4-sub-space × 16-code books over 64-dim vectors were
+    * measured too coarse for candidate generation (q_pq_recall_curve
+    * top-5 recall 0.08/0.11/0.15 at rerank 5/10/20, sf0.1). Isotropic
+    * quantization MSE scales ~k^(−2/d) per sub-space, so SHRINKING the
+    * sub-space (d 16→4) beats adding codes: the measured curve is
+    * 0.31/0.46/0.61 at 16×4-dim (vs 0.12/0.16/0.28 for the 8×8-dim
+    * midpoint) — top-20 recall clears the 0.5 bar. Codes stay 4-bit
+    * (16 codes = 8 B packed per vector, FAISS PQ16x4 shape — still a
+    * 32× scan-payload compression).
+    */
+  private val PqM = 16     // sub-spaces
+  private val PqSubDim = 4 // 64-dim embeddings / 16
+  private val PqK = 16     // codes per sub-space
   private val PqIters = 4
 
   /** Artifact tag for the IVF-residual PQ codebooks (PqIndex.artifactPath
@@ -4303,12 +4344,25 @@ object SparkEntry {
         }
       }
     }
-    cOpt.filter(_.nonEmpty)
+    val base = cOpt.filter(_.nonEmpty)
       .map(c => Map(
         "q_ivf_topk" -> ivfTopKSql(c, nProbe = 4),
-        "q_ivf_recall_curve" -> ivfRecallCurveSql(c, Seq(1, 2, 4), 5, 20),
+        "q_ivf_recall_curve" -> ivfRecallCurveSql(c, Seq(1, 2, 4, 8), 5, 20),
         "q_silhouette" -> silhouetteSql(c)))
       .getOrElse(Map.empty)
+    // The √N-quantizer curve keys its own artifact; same load-else-train
+    // contract as the k=IvfK entries above.
+    val sqrtn = IvfIndex.loadIfPresent(dir, IvfK2, IvfIters).orElse {
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
+        IvfIndex.centroidsFor(dir, IvfK2, IvfIters) {
+          VectorOps.kMeansCentroids(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", k = IvfK2, iters = IvfIters)
+        }
+      }
+    }.filter(_.nonEmpty)
+      .map(c => Map("q_ivf_recall_sqrtn" -> ivfRecallCurveSql(c, Seq(4, 8, 16, 32), 5, 20)))
+      .getOrElse(Map.empty)
+    base ++ sqrtn
   }
 
   /** The Naive-Bayes prediction CTE shared by q_nb_confusion and

@@ -495,14 +495,20 @@ object Graph {
     * least one triangle.
     *
     * The wedge stream is the BIG intermediate — Θ(Σ C(outdeg, 2)), up to
-    * m^1.5 rows on a dense graph — so the closing join must not shuffle
-    * it: with `broadcastClose` (default) the canonical edge list is
-    * broadcast and wedges probe it in the same stage they are produced,
-    * never touching a shuffle. That is the right plan whenever the EDGE
-    * LIST fits executor memory — item/co-occurrence graphs at any fact
-    * scale, where |V| is a catalog, not the fact table. For a graph whose
-    * edges exceed memory, pass false to fall back to a shuffle join on
-    * the unordered pair key (and expect the wedge exchange to dominate).
+    * m^1.5 rows on a dense graph — so the closing join should not shuffle
+    * it when avoidable: broadcasting the canonical edge list lets wedges
+    * probe it in the same stage they are produced, never touching a
+    * shuffle. That is the right plan whenever the EDGE LIST fits executor
+    * memory — item/co-occurrence graphs at any fact scale, where |V| is a
+    * catalog, not the fact table. But the closing side IS the entire
+    * oriented edge set, so an unconditional broadcast is an OOM at
+    * 100× edge scale (VERDICT r15 item 2) — `broadcastClose = None`
+    * (default) therefore picks the strategy BY MEASURED SIZE: the edge
+    * count is already known at call time (the same one-row aggregate
+    * that decides key packability), and the build side broadcasts only
+    * when its estimated bytes (~16 B per packed-long hash-relation row)
+    * fit the session's `spark.sql.autoBroadcastJoinThreshold`. Pass
+    * `Some(true)`/`Some(false)` to force either plan.
     *
     * Closing-key encoding (r11): when every node id fits an unsigned
     * 32-bit value (checked on the actual data — catalogs and offset-id
@@ -521,7 +527,7 @@ object Graph {
     * build it somewhere latency-sensitive expecting a free plan.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
-                     broadcastClose: Boolean = true): DataFrame = {
+                     broadcastClose: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint(true) // reused three times: degrees, wedges, closing
     val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
@@ -550,19 +556,28 @@ object Graph {
         least(col("o1.dst"), col("o2.dst")).as("v"),
         greatest(col("o1.dst"), col("o2.dst")).as("w"))
     // v << 32 | w is injective only for ids in [0, 2^32); the bounds
-    // check runs on the checkpointed edge list (one tiny agg job).
+    // check runs on the checkpointed edge list (one tiny agg job) and
+    // doubles as the closing-side size probe for the broadcast decision.
     val bounds = e.agg(min(least(col("a"), col("b"))).as("_lo"),
-      max(greatest(col("a"), col("b"))).as("_hi")).head()
+      max(greatest(col("a"), col("b"))).as("_hi"),
+      count(lit(1)).as("_n")).head()
     val packable = !bounds.isNullAt(0) &&
       bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 32)
+    val doBroadcast = broadcastClose.getOrElse {
+      // ~16 B per row of the specialized long-key hash relation (8 B key
+      // + bookkeeping); the two-column fallback is wider but also rarer.
+      bounds.getLong(2) * 16L <= broadcastThresholdBytes(e.sparkSession)
+    }
     val tri =
       if (packable) {
         val wk = wedges.withColumn("_vw", shiftleft(col("v"), 32).bitwiseOR(col("w")))
         val closing = e.select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("_vw"))
-        wk.join(if (broadcastClose) broadcast(closing) else closing, Seq("_vw"))
+        wk.join(if (doBroadcast) broadcast(closing) else closing.hint("SHUFFLE_HASH"),
+          Seq("_vw"))
       } else {
         val closing = e.select(col("a").as("v"), col("b").as("w"))
-        wedges.join(if (broadcastClose) broadcast(closing) else closing, Seq("v", "w"))
+        wedges.join(if (doBroadcast) broadcast(closing) else closing.hint("SHUFFLE_HASH"),
+          Seq("v", "w"))
       }
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
@@ -581,8 +596,16 @@ object Graph {
     * triangle kernel is one degree aggregate and a node-keyed left join
     * (triangle-free nodes carry T = 0).
     */
+  /** Session broadcast threshold in bytes (spark.sql.autoBroadcastJoinThreshold,
+    * byte-suffixed forms included; -1 or unparsable → broadcast disabled).
+    */
+  private def broadcastThresholdBytes(s: org.apache.spark.sql.SparkSession): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    catch { case _: Exception => -1L }
+
   def clusteringCoefficients(edges: DataFrame, aCol: String, bCol: String,
-                             broadcastClose: Boolean = true): DataFrame = {
+                             broadcastClose: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
     val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))

@@ -467,8 +467,9 @@ object VectorOps {
 
   /** Product-quantization approximate top-k with exact re-rank — the
     * third member of the ANN family (brute force → IVF probe → PQ ADC):
-    * each corpus vector is encoded as M sub-space codes (16 bytes for a
-    * 64-dim float vector at M=4 — a 16× compression of the scan payload),
+    * each corpus vector is encoded as M sub-space codes (8 bytes for a
+    * 64-dim float vector at the production M=16, K=16, 4-bit packed — a
+    * 32× compression of the scan payload),
     * a query precomputes its M·K lookup table of sub-space dots and ranks
     * the corpus by the asymmetric distance — M table lookups + a decimal
     * sum per pair — and only the top `rerank` candidates per query are

@@ -46,8 +46,20 @@ object BuildIndex {
       }
       println(f"[build-index] $dir: k=${c.length} dim=${c.headOption.map(_.length).getOrElse(0)} " +
         f"-> ${IvfIndex.artifactPath(dir, k, iters)} (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      // √N-sized coarse quantizer (r16, q_ivf_recall_sqrtn) — a second
+      // persisted artifact alongside the production k=16 one.
+      val t0b = System.nanoTime()
+      val k2 = 64
+      val c2 = IvfIndex.centroidsFor(dir, k2, iters) {
+        VectorOps.kMeansCentroids(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", k2, iters)
+      }
+      println(f"[build-index] $dir: k2=${c2.length} dim=${c2.headOption.map(_.length).getOrElse(0)} " +
+        f"-> ${IvfIndex.artifactPath(dir, k2, iters)} (${(System.nanoTime() - t0b) / 1e9}%.1f s)")
       val t1 = System.nanoTime()
-      val (m, subDim) = (4, 16)
+      // 16×16 books, 4-dim sub-spaces (r16 re-dimension, VERDICT r15 item 1)
+      // — must stay in lockstep with SparkEntry.PqM/PqSubDim.
+      val (m, subDim) = (16, 4)
       val b = PqIndex.codebooksFor(dir, m, pqK, pqIters) {
         val emb = Tables.load(spark, dir, "embeddings")
         (0 until m).map { i =>

@@ -165,10 +165,12 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("q_triangles closes wedges via broadcast and ranks top-k without a global sort") {
-    // the triangle contract: the Θ(m^1.5)-worst-case wedge stream must
-    // probe a broadcast of the edge list (never shuffle), and the final
-    // rank must be a TakeOrderedAndProject over per-node counts, not a
-    // one-partition window over them
+    // the triangle contract at THIS scale: the edge list is far below the
+    // broadcast threshold, so the size-switch (r16, VERDICT r15 item 2)
+    // must pick the broadcast plan — the Θ(m^1.5)-worst-case wedge stream
+    // probes a broadcast of the edge list — and the final rank must be a
+    // TakeOrderedAndProject over per-node counts, not a one-partition
+    // window over them
     val df = SparkEntry.queries("q_triangles")(spark, sfDir)
     df.collect() // AQE settles the final stages
     val nodes = flatten(df.queryExecution.executedPlan)
@@ -178,6 +180,37 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
       "expected TakeOrderedAndProject for the top-20 rank")
+  }
+
+  test("triangleCounts size-switch: an edge list over the broadcast threshold shuffles the closing join") {
+    // the 100×-scale half of the contract: when the measured edge count
+    // exceeds the session broadcast threshold, the auto strategy must NOT
+    // pin a broadcast (the closing side is the entire oriented edge set —
+    // an executor OOM at scale); it falls back to a shuffled hash join
+    // with identical results
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val big = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64") // 5 edges × 16 B > 64 B
+      val d = graft.ops.Graph.triangleCounts(edges, "a", "b")
+      val rows = d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+      d
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val bigNodes = flatten(big.queryExecution.executedPlan)
+    assert(!bigNodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "over-threshold edge list must not broadcast the closing side")
+    assert(bigNodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "expected the closing join to fall back to a shuffled hash join")
+    // and the under-threshold auto pick still broadcasts (both plans, one fixture)
+    val small = graft.ops.Graph.triangleCounts(edges, "a", "b")
+    small.collect()
+    assert(flatten(small.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "under-threshold edge list must broadcast the closing side")
   }
 
   test("round-8 queries keep their scale-plan contracts") {

@@ -197,10 +197,41 @@ class LshRecallSpec extends SparkSpec {
     assert(hit >= 45)
 
     // the committed artifact for this dataset parses to the right shape
-    // (the load path Float-parses the exact strings training wrote)
-    PqIndex.loadIfPresent(dir, 4, 16, 4).foreach { loaded =>
-      assert(loaded.length === 4 && loaded.forall(b => b.length === 16 && b.forall(_.length === 16)))
+    // (the load path Float-parses the exact strings training wrote);
+    // m=16 × k=16 × subDim=4 is the r16 re-dimensioned production book
+    PqIndex.loadIfPresent(dir, 16, 16, 4).foreach { loaded =>
+      assert(loaded.length === 16 && loaded.forall(b => b.length === 16 && b.forall(_.length === 4)))
     }
+  }
+
+  test("PQ re-dimension (r16): 16×4-dim books beat 4×16-dim on the isotropic corpus") {
+    // The measured basis for the r16 codebook re-dimension (VERDICT r15
+    // item 1): isotropic quantization MSE ~ k^(−2/d) per sub-space, so
+    // at the same code budget per axis (k=16), 4-dim sub-spaces quantize
+    // far tighter than 16-dim ones. Recall at a fixed rerank budget must
+    // reflect that — this is the spec twin of q_pq_recall_curve's
+    // committed 0.15 → 0.61 lift at sf0.1.
+    val corpus = emb.select("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 8)
+    val brute = VectorOps.cosineTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(m: Int, subDim: Int): Double = {
+      val books = (0 until m).map { i =>
+        VectorOps.subKMeans(
+          corpus.select(col("vec_id"), slice(col("embedding"), i * subDim + 1, subDim).as("sub")),
+          "vec_id", "sub", k = 16, iters = 4)
+      }.toArray
+      val pq = VectorOps.pqTopK(corpus, queries, "vec_id", "embedding", 5, books, rerank = 20)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pq.intersect(brute).size.toDouble / brute.size
+    }
+    val coarse = recallAt(4, 16)
+    val fine = recallAt(16, 4)
+    info(f"PQ recall at rerank=20: 4×16-dim $coarse%.4f vs 16×4-dim $fine%.4f")
+    assert(fine > coarse, "finer sub-spaces must lift recall on the isotropic corpus")
+    assert(fine >= 0.5, "the production 16×4 books must clear the 0.5 recall bar")
   }
 
   test("IVF-PQ: planted twins found at nProbe=2, ADC candidate fraction below PQ-alone") {
