@@ -84,8 +84,14 @@ object Bench {
     // one catches queries with no history. The r9 artifact then showed
     // the 3× rule's own blind spot: q_rrf_fuse drifted 1.56× (~0.6 s of
     // phantom cost) and sat invisible below it — so queries already ≥ 1 s
-    // ALSO queue at > 1.5× their committed time (VERDICT r9 item 4;
-    // sub-second queries stay at 3× — their absolute drift is noise).
+    // ALSO queue at > 1.5× their committed time (VERDICT r9 item 4).
+    // The r15 artifact showed the remaining 1.5–3× gap for SUB-second
+    // queries firing in anger: q_user_paths 2.2×, q_dedup_lines 2.01×,
+    // q_attribution 2.0×, q_scan 1.86× all kept steal-inflated values
+    // during a 99.85 s-steal window and polluted the next round's retry
+    // baseline (VERDICT r15 item 3). So the ladder gains a middle rung:
+    // ≥ 0.3 s queues at > 2×; only sub-0.3 s queries stay at 3×, where
+    // absolute drift is tens of milliseconds and genuinely noise.
     // Both proportional triggers only fire when the committed artifact
     // was recorded at the SAME sf dir (ADVICE r9): per-query times at a
     // different scale factor would mis-trigger every query or none.
@@ -99,8 +105,10 @@ object Bench {
       } catch { case _: Throwable => (Map.empty, None) }
     val sfComparable = prevSf.contains(sfDir)
     def needsRetry(name: String, sec: Double): Boolean =
-      sec > 2.5 || (sfComparable && prevQueries.get(name).exists(p =>
-        p > 0 && (sec > 3 * p || (sec >= 1.0 && sec > 1.5 * p))))
+      sec > 2.5 || (sfComparable && prevQueries.get(name).exists { p =>
+        val factor = if (sec >= 1.0) 1.5 else if (sec >= 0.3) 2.0 else 3.0
+        p > 0 && sec > factor * p
+      })
     val firstPass = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
     val results = collection.mutable.Map[String, Double](firstPass.toSeq: _*)
     val retrySteal = collection.mutable.ArrayBuffer[Double]()

@@ -2819,8 +2819,10 @@ object SparkEntry {
     "q_modularity" -> ((s, dir) => {
       val pairs = TextOps.simHashNearDupCached(
         T(s, dir, "documents"), "doc_id", "text", 3, s, dir).select("id_a", "id_b")
+      // near-dup pairs are unique with id_a < id_b by construction —
+      // the dedup shuffle is provably redundant here
       Graph.modularity(pairs, "id_a", "id_b",
-        T(s, dir, "documents"), "doc_id", "lang")
+        T(s, dir, "documents"), "doc_id", "lang", edgesDistinct = true)
     }),
 
     // Length-3 sequential-pattern mining (PrefixSpan instinct): which
@@ -9057,15 +9059,15 @@ object SparkEntry {
                  max(CASE WHEN rn = 64 THEN h END) AS hk
                FROM r GROUP BY lang)
          SELECT lang, n_distinct_hashed,
-           CASE WHEN hk IS NOT NULL
+           CASE WHEN hk IS NOT NULL AND hk > 0
              THEN round(63.0 / (hk::DOUBLE / 4294967296.0), 6) + 0
              ELSE n_distinct_hashed::DOUBLE END AS kmv_estimate,
-           CASE WHEN hk IS NOT NULL
+           CASE WHEN hk IS NOT NULL AND hk > 0
              THEN round(abs(63.0 / (hk::DOUBLE / 4294967296.0)
                     - n_distinct_hashed::DOUBLE)
                   / n_distinct_hashed::DOUBLE, 6) + 0
              ELSE 0.0 END AS rel_err,
-           (CASE WHEN hk IS NOT NULL
+           (CASE WHEN hk IS NOT NULL AND hk > 0
               THEN abs(63.0 / (hk::DOUBLE / 4294967296.0)
                      - n_distinct_hashed::DOUBLE)
                    / n_distinct_hashed::DOUBLE
@@ -9348,7 +9350,7 @@ object SparkEntry {
          gl AS (SELECT DISTINCT h FROM h),
          dr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gl),
          dsk AS (SELECT count(*) AS n, max(h) AS mx FROM dr WHERE rn <= 64),
-         de AS (SELECT CASE WHEN n = 64
+         de AS (SELECT CASE WHEN n = 64 AND mx > 0
                   THEN round(63.0 / (mx::DOUBLE / 4294967296.0), 6) + 0
                   ELSE n::DOUBLE END AS direct_estimate FROM dsk),
          pr AS (SELECT source, h,
@@ -9357,7 +9359,7 @@ object SparkEntry {
          mu AS (SELECT DISTINCT h FROM pr WHERE rn <= 64),
          mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mu),
          msk AS (SELECT count(*) AS n, max(h) AS mx FROM mr WHERE rn <= 64),
-         me AS (SELECT CASE WHEN n = 64
+         me AS (SELECT CASE WHEN n = 64 AND mx > 0
                   THEN round(63.0 / (mx::DOUBLE / 4294967296.0), 6) + 0
                   ELSE n::DOUBLE END AS merged_estimate FROM msk),
          np AS (SELECT count(DISTINCT source)::BIGINT AS n_parts FROM documents)

@@ -520,8 +520,8 @@ object EventOps {
       .groupBy("day").agg(count(lit(1)).as("n_active"))
     active.join(firstDay, Seq("day"), "left")
       .na.fill(0L, Seq("n_new"))
-      .withColumn("cum_users",
-        sum("n_new").over(Window.orderBy("day")
+      .withColumn("cum_users", // day-catalog-sized cumulative window
+        sum("n_new").over(Portable.kRowWindow(col("day"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("day"), col("n_active"), col("n_new"),
         (col("n_active") - col("n_new")).as("n_returning"), col("cum_users"))

@@ -856,11 +856,22 @@ object Graph {
     * identically. Self-loops are dropped (the degreeDistribution
     * contract); nodes labeled NULL drop out of both e_c and d_c.
     */
+  /** `edgesDistinct = true` promises the input is an undirected edge SET
+    * with a < b per row (the near-dup-pair / pair-artifact contract) —
+    * the canonicalize+dedup pass, a full shuffle of the largest frame,
+    * is then skipped (the labelPropagation convention, ADVICE r15).
+    * Leave false for arbitrary edge lists: a duplicated edge row, or the
+    * same undirected edge listed both as (a,b) and (b,a), would
+    * otherwise double-count in e_in, deg_sum AND m, skewing Q_c.
+    */
   def modularity(edges: DataFrame, aCol: String, bCol: String,
-                 labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
-    val e = edges
-      .select(col(aCol).cast("long").as("_a"), col(bCol).cast("long").as("_b"))
+                 labels: DataFrame, idCol: String, labelCol: String,
+                 edgesDistinct: Boolean = false): DataFrame = {
+    val raw = edges
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("_a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("_b"))
       .where(col("_a") =!= col("_b"))
+    val e = if (edgesDistinct) raw else raw.distinct()
     val lab = labels.select(col(idCol).cast("long").as("_id"), col(labelCol).as("_c"))
       .where(col(labelCol).isNotNull)
     val tagged = e

@@ -1078,10 +1078,15 @@ object Profiling {
     * `kmv_estimate` column. */
   private[graft] def kmvEstimateFromSketch(sketch: DataFrame, groupCol: String,
                                            k: Int): DataFrame =
+    // The _mx > 0 guard (ADVICE r15): if the k-th smallest hash were
+    // literally 0, u_k = 0 and Spark (non-ANSI) yields NULL where DuckDB
+    // yields Inf — fall back to the exact count instead. Astronomically
+    // unlikely (requires hash collision at 0) but unguarded was a
+    // bit-parity hole.
     sketch.groupBy(groupCol)
       .agg(count(lit(1)).as("_n"), max("_h").as("_mx"))
       .select(col(groupCol),
-        when(col("_n") === k,
+        when(col("_n") === k && col("_mx") > 0,
           round(lit((k - 1).toDouble) /
             (col("_mx").cast("double") / lit(4294967296.0d)), 6))
           .otherwise(col("_n").cast("double"))
@@ -1100,18 +1105,21 @@ object Profiling {
       .select(
         col(groupCol),
         col("n_distinct_hashed"),
-        when(col("_hk").isNotNull,
+        // _hk > 0 guard (ADVICE r15): a k-th-smallest hash of literally 0
+        // would make u_k = 0 — NULL in Spark, Inf in DuckDB; fall back to
+        // the exact count, mirroring kmvEstimateFromSketch.
+        when(col("_hk").isNotNull && col("_hk") > 0,
           round(lit((k - 1).toDouble) /
             (col("_hk").cast("double") / lit(4294967296.0d)), 6))
           .otherwise(col("n_distinct_hashed").cast("double"))
           .as("kmv_estimate"),
-        when(col("_hk").isNotNull,
+        when(col("_hk").isNotNull && col("_hk") > 0,
           round(abs(lit((k - 1).toDouble) /
             (col("_hk").cast("double") / lit(4294967296.0d)) -
             col("n_distinct_hashed").cast("double")) /
             col("n_distinct_hashed").cast("double"), 6))
           .otherwise(lit(0.0d)).as("rel_err"),
-        (when(col("_hk").isNotNull,
+        (when(col("_hk").isNotNull && col("_hk") > 0,
           abs(lit((k - 1).toDouble) /
             (col("_hk").cast("double") / lit(4294967296.0d)) -
             col("n_distinct_hashed").cast("double")) /

@@ -416,6 +416,16 @@ object Relational {
     * throughout; engine-portable by construction.
     */
   def skyline2D(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    // The rangeBetween(…, -1) frame means "strictly larger x" ONLY for
+    // integer x: a fractional dominator with x < x' < x+1 would silently
+    // escape the frame and dominated points would survive (ADVICE r15).
+    // Enforce the precondition instead of documenting it away.
+    require(df.schema(xCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"skyline2D requires an integral x column; '$xCol' is " +
+      s"${df.schema(xCol).dataType.simpleString} — floor/scale it to an integer grid first")
     val strictlyAbove = Window.partitionBy(groupCol).orderBy(col(xCol).desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val sameX = Window.partitionBy(groupCol, xCol)

@@ -2629,7 +2629,7 @@ object TextOps {
       .groupBy("shingle").agg(count(lit(1)).as("_c"))
     val spectrum = counts.groupBy(col("_c").as("c"))
       .agg(count(lit(1)).as("n_types"))
-    val wc = Window.orderBy("c") // spectrum-sized global window
+    val wc = Portable.kRowWindow(col("c")) // spectrum-sized global window
     spectrum
       .withColumn("_nNext",
         when(lead("c", 1).over(wc) === col("c") + 1, lead("n_types", 1).over(wc)))

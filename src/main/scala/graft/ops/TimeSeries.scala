@@ -443,7 +443,12 @@ object TimeSeries {
            alpha: Double, gamma: Double): DataFrame = {
     val cAlpha = 1.0 - alpha
     val cGamma = 1.0 - gamma
-    val in = df.select(col(seriesKey), col(orderCol), col(valueCol).cast("double"))
+    // NULL values would NPE inside the mapPartitions recurrence (ADVICE
+    // r15); drop them up front — the expression-based operators (acf,
+    // senSlope) NULL-propagate, and for a stateful recurrence "skip the
+    // missing observation" is the standard, documented treatment.
+    val in = df.where(col(valueCol).isNotNull)
+      .select(col(seriesKey), col(orderCol), col(valueCol).cast("double"))
     val outSchema = org.apache.spark.sql.types.StructType(
       in.schema.fields :+
         org.apache.spark.sql.types.StructField(
@@ -536,7 +541,12 @@ object TimeSeries {
   def cusum(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
             k: Double = 0.5, h: Double = 5.0): DataFrame = {
     val v = col(valueCol)
-    val stats = df.groupBy(keyCol).agg(
+    // NULL observations would NPE in the recurrence below (ADVICE r15;
+    // the holt() treatment): skip them up front. The filter must also
+    // cover the mu/sigma aggregates — count(lit(1)) counts null-valued
+    // rows that decSum ignores, which would deflate mu.
+    val nn = df.where(v.isNotNull)
+    val stats = nn.groupBy(keyCol).agg(
       count(lit(1)).as("_n"),
       Portable.decSum(v, 6).as("_s1"),
       Portable.decSum(v * v, 6).as("_s2"))
@@ -544,7 +554,7 @@ object TimeSeries {
         (col("_s1") / col("_n")).as("_mu"),
         sqrt(greatest((col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n"),
           lit(0.0))).as("_sigma"))
-    val in = df.select(col(keyCol), col(orderCol), v.cast("double"))
+    val in = nn.select(col(keyCol), col(orderCol), v.cast("double"))
       .join(stats, Seq(keyCol))
     val outSchema = org.apache.spark.sql.types.StructType(
       in.schema.fields :+

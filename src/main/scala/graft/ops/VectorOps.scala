@@ -126,6 +126,15 @@ object VectorOps {
   def mmrSelect(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                 k: Int, lambda: Double, poolSize: Int): DataFrame = {
     val spark = corpus.sparkSession
+    // The greedy loop reranks ONE query's pool: with several query rows
+    // the pool would mix relevance scores across queries and the
+    // LinkedHashMap would keep only the last duplicate vec_id — a
+    // meaningless blended ranking. Fail fast instead (ADVICE r15).
+    // Zero query rows stay legal (empty pool → empty output — the
+    // EmptyInputSpec contract).
+    require(queries.limit(2).count() <= 1L,
+      "mmrSelect reranks a single query's pool; pass at most one query row " +
+        "— loop per query for multi-query reranking")
     val q = queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
     val c = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
     val pool = c.join(broadcast(q), col("_qid") =!= col("_cid"))

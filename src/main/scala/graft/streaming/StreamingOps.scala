@@ -938,6 +938,10 @@ object StreamingOps {
     * the per-group frontier width (≤ distinct x values per group), never
     * stream length. Same idempotent-replay contract as every
     * foreachBatch state here (re-delivered batchIds are no-ops).
+    *
+    * Inherits skyline2D's integral-x precondition (enforced there with a
+    * `require` — ADVICE r15): fractional x coordinates must be floored
+    * or scaled to an integer grid before feeding the stream.
     */
   final class SkylineState(groupCol: String, xCol: String, yCol: String) {
     private val frontier = new RetiringFrame

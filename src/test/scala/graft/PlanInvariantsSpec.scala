@@ -764,4 +764,47 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(scanColumns(js, "customer").forall(_ === Set("c_custkey")),
       "q_join_size_est customer scan must prune to the key")
   }
+
+  test("bench heavy tail (every query >= 1.5 s) keeps its exchange budget and stays SMJ-free") {
+    // VERDICT r15 item 7: the heavy tail is exactly where silent plan
+    // drift costs the most at 100×, so every BENCH_LAST query at or above
+    // 1.5 s carries a contract. Two invariants per query, both measured
+    // at the current plans (r16): (a) the non-range shuffle count stays
+    // at or under its recorded ceiling — exchange-count creep is the
+    // usual drift signature (a broadcast silently becoming a shuffle, a
+    // reused exchange splitting in two); (b) no SortMergeJoin appears —
+    // every join in this tail is a broadcast or shuffled-hash join today,
+    // and an SMJ regression would add two full sorts to the hottest
+    // queries. Queries already under a dedicated contract elsewhere in
+    // this spec (q_triangles, q_jaccard_prefix, q_label_prop, q_walks,
+    // q_pipeline_prep, q_min_cost_supplier) are not repeated.
+    val shuffleCeilings = Map(
+      "q_kmv_merge" -> 6, "q_embed_cov" -> 2, "q_ppr" -> 8,
+      "q_sen_slope" -> 2, "q_pq_recall_curve" -> 8, "q_freq_spectrum" -> 3,
+      "q_sssp" -> 2, "q_nb_confusion" -> 2, "q_pipeline_curate" -> 12,
+      "q_containment" -> 1, "q_pagerank" -> 5, "q_bfs_2hop" -> 2,
+      "q_embed_neardup_lsh_r8" -> 1, "q_sole_return_supplier" -> 3,
+      "q_itemsets3" -> 1, "q_join_salted" -> 1, "q_cdc_chunks" -> 3,
+      "q_label_suspects" -> 10, "q_heaps_law" -> 6, "q_dup_rate_curve" -> 8,
+      "q_record_linkage" -> 2, "q_tfidf" -> 7, "q_topk_pergroup" -> 2,
+      "q_dominant_supplier" -> 2)
+    shuffleCeilings.toSeq.sortBy(_._1).foreach { case (name, ceiling) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // AQE settles the final stages
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val shuffles = nodes.count {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          !e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+        case _ => false
+      }
+      withClue(s"$name: ") {
+        assert(shuffles <= ceiling,
+          s"non-range shuffle count $shuffles exceeds the recorded ceiling $ceiling")
+        assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+          "a SortMergeJoin appeared in a heavy-tail plan (was broadcast/SHJ)")
+      }
+    }
+  }
 }
