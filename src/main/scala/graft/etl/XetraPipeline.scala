@@ -32,13 +32,20 @@ object XetraPipeline {
 
   /** Derive `trading_ts` from the date + "HH:mm" time columns
     * (etl.py:56-59 semantics, typed per D1).
+    *
+    * `stringTs = true` (r16, VERDICT r15 missing-item 2) reproduces the
+    * reference's output byte-for-byte instead: trading_ts becomes the
+    * formatted STRING "yyyy-MM-dd HH:mm:ss" exactly as etl.py:56-59's
+    * date_format emits it — for consumers byte-compatible with the
+    * reference's parquet. Default stays the D1 typed column.
     */
-  def derive(df: DataFrame): DataFrame =
-    df.withColumn(
-      "trading_ts",
-      to_timestamp(
-        concat(col("trading_date").cast("string"), col("trading_time")),
-        "yyyy-MM-ddHH:mm"))
+  def derive(df: DataFrame, stringTs: Boolean = false): DataFrame = {
+    val ts = to_timestamp(
+      concat(col("trading_date").cast("string"), col("trading_time")),
+      "yyyy-MM-ddHH:mm")
+    df.withColumn("trading_ts",
+      if (stringTs) date_format(ts, "yyyy-MM-dd HH:mm:ss") else ts)
+  }
 
   /** Full pipeline: corrupt-capturing read → quarantine sink + (clean →
     * derive → partitioned parquet sink) (etl.py:62). Ingestion-side
@@ -48,14 +55,15 @@ object XetraPipeline {
     * is cached so the two branches share one CSV parse (also the
     * documented Spark requirement for queries over the corrupt column).
     */
-  def run(spark: SparkSession, inputPath: String, outputUri: String): Unit = {
+  def run(spark: SparkSession, inputPath: String, outputUri: String,
+          stringTs: Boolean = false): Unit = {
     val captured = graft.sources.CsvQuality
       .readWithCorruptCapture(spark, inputPath, Schemas.xetra).cache()
     try {
       graft.sources.CsvQuality.corruptRows(captured)
         .write.mode("overwrite")
         .parquet(s"$outputUri/quality_check/corrupt_rows")
-      derive(graft.sources.CsvQuality.cleanRows(captured))
+      derive(graft.sources.CsvQuality.cleanRows(captured), stringTs)
         .write.mode("overwrite")
         .partitionBy("trading_date")
         .parquet(s"$outputUri/data/xetra")

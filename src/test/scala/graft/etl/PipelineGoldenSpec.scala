@@ -92,6 +92,37 @@ class PipelineGoldenSpec extends SparkSpec {
     assert(spark.read.parquet(s"$xout/data/xetra").count() === 15057)
   }
 
+  test("stringTs mode reproduces the reference's parquet schema byte-for-byte (etl.py:56-59,102-119)") {
+    import org.apache.spark.sql.types.{StringType, IntegerType}
+    // Xetra: trading_ts becomes the reference's formatted string — same
+    // values the D1 typed test asserts, STRING-typed at the schema
+    val x = XetraPipeline.derive(XetraPipeline.read(spark, xetraCsv), stringTs = true)
+    assert(x.schema("trading_ts").dataType === StringType)
+    val xts = x.where(col("isin") === "AT0000A0E9W5" && col("trading_time") === "08:00")
+      .select("trading_ts").head().getString(0)
+    assert(xts === "2020-11-24 08:00:00")
+
+    // Eurex: trading_ts and maturity_date strings, maturity_days the
+    // reference's plain INT — values identical to the typed mode
+    val e = EurexPipeline.derive(EurexPipeline.read(spark, eurexCsv), stringTs = true)
+    assert(e.schema("trading_ts").dataType === StringType)
+    assert(e.schema("maturity_date").dataType === StringType)
+    assert(e.schema("maturity_days").dataType === IntegerType)
+    assert(e.schema("maturity_months").dataType === DoubleType)
+    val opt = e.where(col("isin") === "DE000P0YX7V7").head()
+    assert(opt.getAs[String]("maturity_date") === "2020-12-18")
+    assert(opt.getAs[Int]("maturity_days") === 24)
+    assert(math.abs(opt.getAs[Double]("maturity_months") - 24 / 30.5) < 1e-12)
+
+    // end-to-end: the stringTs sink round-trips the string schema
+    val sout = Files.createTempDirectory("graft_eurex_stringts").toString
+    EurexPipeline.run(spark, eurexCsv, dimCsv, sout, stringTs = true)
+    val facts = spark.read.parquet(s"$sout/data/eurex")
+    assert(facts.count() === 3546)
+    assert(facts.schema("trading_ts").dataType === StringType)
+    assert(facts.schema("maturity_date").dataType === StringType)
+  }
+
   test("partition pruning on the pipelines' OWN output (etl.py:62,171 intent)") {
     // The reference's design intent is that downstream `WHERE
     // trading_date=` scans read one partition, not the table. Prove it on
