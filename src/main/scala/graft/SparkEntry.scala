@@ -2930,6 +2930,37 @@ object SparkEntry {
           alpha = 0.5, gamma = 0.25)
         .orderBy("event_id")),
 
+    // ── round 16b: market-indicator family (the reference's domain) ────
+    // MACD per user series: fast/slow EWMAs + signal EWMA over the macd
+    // stream — THREE chained recurrences in one mapPartitions pass (the
+    // q_ewma shape); the signal fold seeds at macd₁ = 0 exactly, so the
+    // oracle replays it as one list_reduce over the macd prefix.
+    "q_macd" -> ((s, dir) =>
+      TimeSeries.macd(T(s, dir, "events"), "user_id", "event_id", "value")
+        .select("event_id", "user_id", "value", "macd", "signal", "hist")
+        .orderBy("event_id")),
+
+    // Wilder RSI (EWMA-smoothed variant, α=1/n seeded at the first
+    // delta — the reproducible warm-up; deviation from the n-bar
+    // arithmetic seed documented on the operator): gain/loss split of
+    // each delta, two smoothing recurrences, the 100 − 100/(1+RS) map
+    // with pinned degenerate states (flat → 50, lossless → 100,
+    // first row → NULL).
+    "q_rsi" -> ((s, dir) =>
+      TimeSeries.rsi(T(s, dir, "events"), "user_id", "event_id", "value", n = 14)
+        .select("event_id", "user_id", "value", "rsi")
+        .orderBy("event_id")),
+
+    // Bollinger bands + %B: trailing-20 mean ± 2σ off the exact-decimal
+    // window sums (the q_rolling_vol recipe — variance from decimal Σx,
+    // Σx², so bits survive any engine's stddev algorithm), and the
+    // normalized band position that feeds mean-reversion screens.
+    "q_bollinger" -> ((s, dir) =>
+      TimeSeries.bollinger(T(s, dir, "events"), "user_id", "event_id", "value",
+          n = 20, k = 2.0)
+        .select("event_id", "user_id", "bb_mid", "bb_upper", "bb_lower", "pct_b")
+        .orderBy("event_id")),
+
     // Calibration/reliability bins + ECE of the stopword-ratio score as
     // an English-probability estimate — q_auc's complement: AUC checks
     // the ranking, this checks the score VALUES (the gate before using
@@ -8417,6 +8448,100 @@ object SparkEntry {
            FROM ord)
          SELECT event_id, user_id, value, st[1] AS level, st[2] AS trend
          FROM ex ORDER BY event_id""",
+
+    // MACD: fast/slow EWMA prefix folds (the q_ewma idiom), macd as the
+    // per-index difference, signal as ONE fold over the macd prefix —
+    // sound because macd₁ = x−x = 0.0 exactly, which IS the signal seed.
+    // α literals interpolated from the Scala constants so both engines
+    // fold the identical doubles.
+    // (α spelled as the DIVISION 2/(n+1) in SQL, not its decimal literal:
+    // DuckDB parses a 17-digit literal through DECIMAL and lands one ulp
+    // off Scala's double — IEEE division is correctly rounded in BOTH
+    // engines, so shipping the division keeps the folds bit-identical.)
+    "q_macd" -> {
+      s"""WITH ord AS (
+           SELECT user_id,
+             list(event_id ORDER BY event_id) AS ids,
+             list(value ORDER BY event_id) AS vs
+           FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         f AS (
+           SELECT user_id, ids, vs,
+             list_transform(range(1, len(vs) + 1), i ->
+               list_reduce(vs[1:i], (acc, x) -> (2.0::DOUBLE / 13.0::DOUBLE) * x + (1.0::DOUBLE - 2.0::DOUBLE / 13.0::DOUBLE) * acc)) AS fast,
+             list_transform(range(1, len(vs) + 1), i ->
+               list_reduce(vs[1:i], (acc, x) -> (2.0::DOUBLE / 27.0::DOUBLE) * x + (1.0::DOUBLE - 2.0::DOUBLE / 27.0::DOUBLE) * acc)) AS slow
+           FROM ord),
+         m AS (
+           SELECT user_id, ids, vs,
+             list_transform(range(1, len(vs) + 1), i -> fast[i] - slow[i]) AS macds
+           FROM f),
+         e AS (
+           SELECT user_id,
+             unnest(ids) AS event_id, unnest(vs) AS value, unnest(macds) AS macd,
+             unnest(list_transform(range(1, len(macds) + 1), i ->
+               list_reduce(macds[1:i], (acc, x) -> (2.0::DOUBLE / 10.0::DOUBLE) * x + (1.0::DOUBLE - 2.0::DOUBLE / 10.0::DOUBLE) * acc))) AS signal
+           FROM m)
+         SELECT event_id, user_id, value, macd, signal, macd - signal AS hist
+         FROM e ORDER BY event_id""" },
+
+    // RSI: delta list → gain/loss split → two α=1/14 folds seeded at the
+    // first delta (list_reduce's no-init seed IS the Scala seeding), the
+    // 100 − 100/(1+RS) map with the same pinned degenerate cases, and a
+    // NULL prepended so row 1 (no delta) aligns.
+    "q_rsi" -> {
+      s"""WITH ord AS (
+           SELECT user_id,
+             list(event_id ORDER BY event_id) AS ids,
+             list(value ORDER BY event_id) AS vs
+           FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         d AS (
+           SELECT user_id, ids, vs,
+             list_transform(range(1, len(vs)), i -> vs[i + 1] - vs[i]) AS ds
+           FROM ord),
+         g AS (
+           SELECT user_id, ids, vs,
+             list_transform(ds, x -> CASE WHEN x > 0 THEN x ELSE 0.0::DOUBLE END) AS gs,
+             list_transform(ds, x -> CASE WHEN x < 0 THEN -x ELSE 0.0::DOUBLE END) AS ls
+           FROM d),
+         r AS (
+           SELECT user_id, ids, vs,
+             list_transform(range(1, len(gs) + 1), i ->
+               list_reduce(gs[1:i], (acc, x) -> (1.0::DOUBLE / 14.0::DOUBLE) * x + (1.0::DOUBLE - 1.0::DOUBLE / 14.0::DOUBLE) * acc)) AS ags,
+             list_transform(range(1, len(ls) + 1), i ->
+               list_reduce(ls[1:i], (acc, x) -> (1.0::DOUBLE / 14.0::DOUBLE) * x + (1.0::DOUBLE - 1.0::DOUBLE / 14.0::DOUBLE) * acc)) AS als
+           FROM g),
+         e AS (
+           SELECT user_id,
+             unnest(ids) AS event_id, unnest(vs) AS value,
+             unnest(list_prepend(NULL::DOUBLE,
+               list_transform(range(1, len(ags) + 1), i ->
+                 CASE WHEN als[i] = 0.0 AND ags[i] = 0.0 THEN 50.0::DOUBLE
+                      WHEN als[i] = 0.0 THEN 100.0::DOUBLE
+                      ELSE 100.0::DOUBLE - 100.0::DOUBLE / (1.0::DOUBLE + ags[i] / als[i]) END))) AS rsi
+           FROM r)
+         SELECT event_id, user_id, value, rsi FROM e ORDER BY event_id""" },
+
+    // Bollinger: the q_rolling_vol decimal-window-sum recipe, band
+    // arithmetic in the IDENTICAL double-op order as the Spark
+    // expressions (mid, sd, mid ± 2·sd, (x−lower)/(upper−lower)).
+    "q_bollinger" ->
+      """SELECT event_id, user_id,
+           CASE WHEN cnt > 1 THEN round(s1 / cnt, 6) + 0 END AS bb_mid,
+           CASE WHEN cnt > 1 THEN round(s1 / cnt + 2.0 * sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0)), 6) + 0 END AS bb_upper,
+           CASE WHEN cnt > 1 THEN round(s1 / cnt - 2.0 * sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0)), 6) + 0 END AS bb_lower,
+           CASE WHEN cnt > 1 AND (s1 / cnt + 2.0 * sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0)))
+                              - (s1 / cnt - 2.0 * sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0))) > 0
+             THEN round((value - (s1 / cnt - 2.0 * sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0))))
+                        / ((s1 / cnt + 2.0 * sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0)))
+                           - (s1 / cnt - 2.0 * sqrt(greatest((s2 - s1*s1/cnt)/(cnt-1.0), 0.0)))), 6) + 0 END AS pct_b
+         FROM (
+           SELECT event_id, user_id, value,
+             count(value) OVER w::DOUBLE AS cnt,
+             sum(CAST(value AS DECIMAL(28,6))) OVER w::DOUBLE AS s1,
+             sum(CAST(value*value AS DECIMAL(28,6))) OVER w::DOUBLE AS s2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         ORDER BY event_id""",
 
     // Fixed-width floor bins; conf = decimal-snapshotted mean rounded
     // BEFORE the ECE terms; acc = one exact integer division.

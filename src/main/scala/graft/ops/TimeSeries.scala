@@ -679,4 +679,129 @@ object TimeSeries {
         Portable.pround(col("value") - col("trend") - col("_seasonal"), 6)
           .as("residual"))
   }
+
+  /** MACD per series (Appel's moving-average convergence/divergence —
+    * the standard momentum indicator of the reference's market-data
+    * domain): fast and slow EWMAs of the value, macd = fast − slow, a
+    * signal EWMA over the macd stream, hist = macd − signal. Smoothing
+    * factors are the conventional α = 2/(n+1); every EWMA seeds at the
+    * series' first value (the [[ewma]] convention), so macd/signal/hist
+    * start at exactly 0.
+    *
+    * One mapPartitions recurrence pass carrying THREE accumulators —
+    * the [[ewma]]/[[holt]] shape (each output depends on the previous
+    * OUTPUT, inexpressible as a window): series-key repartition, sorted
+    * within partitions, constant state per task. NULL observations are
+    * skipped up front (the r16 holt/cusum treatment). Every step is a
+    * fixed left-to-right double op, so an oracle can replay it with
+    * prefix folds bit-for-bit.
+    */
+  def macd(df: DataFrame, seriesKey: String, orderCol: String, valueCol: String,
+           fastN: Int = 12, slowN: Int = 26, signalN: Int = 9): DataFrame = {
+    val aF = 2.0 / (fastN + 1.0); val aS = 2.0 / (slowN + 1.0)
+    val aG = 2.0 / (signalN + 1.0)
+    val in = df.where(col(valueCol).isNotNull)
+      .select(col(seriesKey), col(orderCol), col(valueCol).cast("double"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields ++ Seq("macd", "signal", "hist").map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    in.repartition(col(seriesKey))
+      .sortWithinPartitions(col(seriesKey), col(orderCol))
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var fast = 0.0; var slow = 0.0; var sig = 0.0
+        rows.map { r =>
+          val k = r.get(0)
+          val x = r.getDouble(2)
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; fast = x; slow = x; sig = 0.0
+          } else {
+            fast = aF * x + (1.0 - aF) * fast
+            slow = aS * x + (1.0 - aS) * slow
+            sig = aG * (fast - slow) + (1.0 - aG) * sig
+          }
+          val m = fast - slow
+          org.apache.spark.sql.Row(r.get(0), r.get(1), x, m, sig, m - sig)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF(seriesKey, orderCol, valueCol, "macd", "signal", "hist")
+  }
+
+  /** RSI per series (Wilder's relative strength index, EWMA-smoothed
+    * variant): split each delta into gain/loss, smooth both with
+    * α = 1/n seeded at the FIRST delta (the [[ewma]] seeding convention
+    * — the classic n-bar arithmetic warm-up trades reproducibility for
+    * folklore and is deliberately not used; documented deviation), then
+    * RSI = 100 − 100/(1 + avgGain/avgLoss). Degenerate states are
+    * pinned: no losses yet → 100 when gains exist; a flat series (no
+    * gains AND no losses) → 50; the series' first row has no delta →
+    * NULL. Same mapPartitions recurrence contract as [[macd]].
+    */
+  def rsi(df: DataFrame, seriesKey: String, orderCol: String, valueCol: String,
+          n: Int = 14): DataFrame = {
+    val a = 1.0 / n
+    val in = df.where(col(valueCol).isNotNull)
+      .select(col(seriesKey), col(orderCol), col(valueCol).cast("double"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rsi", org.apache.spark.sql.types.DoubleType, nullable = true))
+    in.repartition(col(seriesKey))
+      .sortWithinPartitions(col(seriesKey), col(orderCol))
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var prev = 0.0
+        var haveDelta = false
+        var ag = 0.0; var al = 0.0
+        rows.map { r =>
+          val k = r.get(0)
+          val x = r.getDouble(2)
+          var out: Any = null
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; haveDelta = false; ag = 0.0; al = 0.0
+          } else {
+            val d = x - prev
+            val g = if (d > 0) d else 0.0
+            val l = if (d < 0) -d else 0.0
+            if (!haveDelta) { ag = g; al = l; haveDelta = true }
+            else { ag = a * g + (1.0 - a) * ag; al = a * l + (1.0 - a) * al }
+            out =
+              if (al == 0.0 && ag == 0.0) 50.0
+              else if (al == 0.0) 100.0
+              else 100.0 - 100.0 / (1.0 + ag / al)
+          }
+          prev = x
+          org.apache.spark.sql.Row(r.get(0), r.get(1), x, out)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF(seriesKey, orderCol, valueCol, "rsi")
+  }
+
+  /** Bollinger bands + %B per series: trailing-n mean and sample stddev
+    * (the [[rollingVol]] exact-decimal recipe — var from decimal window
+    * sums, so bits match across engines), bands at mid ± k·sd, and
+    * %B = (x − lower)/(upper − lower) — the normalized band position
+    * that feeds mean-reversion screens. NULL until the window holds ≥ 2
+    * rows; %B NULL when the band has zero width (flat window).
+    */
+  def bollinger(df: DataFrame, seriesKey: String, orderCol: String, valueCol: String,
+                n: Int = 20, k: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(seriesKey).orderBy(orderCol).rowsBetween(-(n - 1), 0)
+    val v = col(valueCol)
+    val cnt = count(v).over(w).cast("double")
+    val s1 = sum(v.cast("decimal(28,6)")).over(w).cast("double")
+    val s2 = sum((v * v).cast("decimal(28,6)")).over(w).cast("double")
+    val mid = s1 / cnt
+    val sd = sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - lit(1.0)), lit(0.0)))
+    val upper = mid + lit(k) * sd
+    val lower = mid - lit(k) * sd
+    df.withColumn("bb_mid", when(cnt > 1, Portable.pround(mid, 6)))
+      .withColumn("bb_upper", when(cnt > 1, Portable.pround(upper, 6)))
+      .withColumn("bb_lower", when(cnt > 1, Portable.pround(lower, 6)))
+      .withColumn("pct_b",
+        when(cnt > 1 && upper - lower > 0,
+          Portable.pround((v - lower) / (upper - lower), 6)))
+  }
 }

@@ -325,7 +325,16 @@ class EmptyInputSpec extends SparkSpec {
       col("s"), 3).collect()
     assert(ka.length === 1 && ka.head.getLong(1) === 0L)
   }
+
+  test("round-16b operators on empty inputs") {
+    val emptySeries = df(Seq.empty[Series16])
+    assert(TimeSeries.macd(emptySeries, "key", "t", "v").count() === 0)
+    assert(TimeSeries.rsi(emptySeries, "key", "t", "v").count() === 0)
+    assert(TimeSeries.bollinger(emptySeries, "key", "t", "v").count() === 0)
+  }
 }
+
+case class Series16(key: String, t: Long, v: Double)
 
 case class Rk15(doc_id: String, rank: Long)
 case class Rl15(doc_id: String)
