@@ -2961,6 +2961,42 @@ object SparkEntry {
         .select("event_id", "user_id", "bb_mid", "bb_upper", "bb_lower", "pct_b")
         .orderBy("event_id")),
 
+    // TF-IDF document-similarity top-5: lexical retrieval through an
+    // inverted-index join (pairs exist only where a term is shared) with
+    // the DF-cap defining the vector space; weights round(·,9) BEFORE
+    // any product so ln's final-ulp engine differences never reach a
+    // multiplication (the r16b literal-ulp lesson applied to ln).
+    "q_tfidf_sim" -> ((s, dir) =>
+      TextOps.tfidfCosineTopK(T(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") < 20, k = 5, maxDf = 500)
+        .select("query_id", "corpus_id", "score", "rank")
+        .orderBy("query_id", "rank")),
+
+    // Sliding 7-day distinct users per day via MERGED per-day KMV
+    // sketches — trailing MAU where each output row merges k·7 longs,
+    // never re-scanning the window's raw rows; the exact column and
+    // rel_err grade the sketch in the same row (the C225/C226 audit
+    // discipline applied to the sliding-window shape).
+    "q_sliding_mau" -> ((s, dir) =>
+      Profiling.kmvSlidingDistinct(T(s, dir, "events"), "ts", col("user_id"),
+          k = 64, windowDays = 7)
+        .orderBy("day")),
+
+    // Item-item cosine neighbors ("customers also bought") over the
+    // persisted pair/item artifacts — the CF primitive: exact cooc and
+    // basket counts into two sqrts and a division, top-3 per item,
+    // fact table untouched.
+    "q_item_neighbors" -> ((s, dir) => {
+      // support >= 3 floor BEFORE ranking (cooc 1-2 is tie noise at this
+      // scale); ranks are dense among qualified neighbors
+      val pairs = graft.sources.PairStore.ensurePairs(s, dir)
+        .where(col("support") >= 3)
+      val items = graft.sources.PairStore.ensureItems(s, dir)
+      Relational.itemNeighbors(pairs, "support", items, "item", "basket_cnt", k = 3)
+        .select("item", "rank", "neighbor", "support", "cosine")
+        .orderBy("item", "rank")
+    }),
+
     // Calibration/reliability bins + ECE of the stopword-ratio score as
     // an English-probability estimate — q_auc's complement: AUC checks
     // the ranking, this checks the score VALUES (the gate before using
@@ -8542,6 +8578,107 @@ object SparkEntry {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
          ORDER BY event_id""",
+
+    // TF-IDF cosine: the q_tfidf weight recipe with the df <= 500 cap
+    // folded into the vector space, weights rounded(9) before products,
+    // decimal dots/norm sums, visible score rounded(6) — every CTE the
+    // mirror of TextOps.tfidfCosineTopK.
+    "q_tfidf_sim" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         perdoc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         dlen AS (SELECT doc_id, sum(cnt) AS len FROM perdoc GROUP BY 1),
+         dfreq AS (SELECT token, count(*) AS df FROM perdoc GROUP BY 1 HAVING count(*) <= 500),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         w AS (
+           SELECT p.doc_id, p.token,
+             round((p.cnt::DOUBLE / l.len::DOUBLE)
+               * (ln((n.n::DOUBLE + 1.0) / (f.df::DOUBLE + 1.0)) + 1.0), 9) + 0 AS w
+           FROM perdoc p
+           JOIN dfreq f ON p.token = f.token
+           JOIN dlen l ON p.doc_id = l.doc_id
+           CROSS JOIN n),
+         nrm AS (SELECT doc_id, sqrt(sum(CAST(w*w AS DECIMAL(28,12)))::DOUBLE) AS nrm
+                 FROM w GROUP BY doc_id),
+         dots AS (
+           SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+             sum(CAST(q.w * c.w AS DECIMAL(28,12)))::DOUBLE AS dot
+           FROM w q JOIN w c ON q.token = c.token AND q.doc_id <> c.doc_id
+           WHERE q.doc_id < 20
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT query_id, corpus_id,
+             round(dot / (nq.nrm * nc.nrm), 6) + 0 AS score
+           FROM dots
+           JOIN nrm nq ON nq.doc_id = query_id
+           JOIN nrm nc ON nc.doc_id = corpus_id)
+         SELECT query_id, corpus_id, score, rank FROM (
+           SELECT query_id, corpus_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Sliding MAU: per-day KMV sketches (the q_kmv_distinct hash rule)
+    // merged over the trailing 7-day window; the exact column re-scans
+    // the window; estimate arithmetic mirrors kmvEstimateFromSketch
+    // including the r16 mx > 0 guard.
+    "q_sliding_mau" ->
+      """WITH d AS (SELECT ts::DATE AS day, user_id FROM events),
+         h AS (SELECT DISTINCT day, ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+               FROM d),
+         pd AS (SELECT day, h FROM (
+                  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+                  FROM h) WHERE rn <= 64),
+         cat AS (SELECT DISTINCT day FROM pd),
+         m AS (SELECT DISTINCT cat.day AS day, pd.h
+               FROM cat JOIN pd ON pd.day <= cat.day AND pd.day > cat.day - 7),
+         nd AS (SELECT cat.day AS day, count(DISTINCT pd.day)::BIGINT AS n_days_merged
+                FROM cat JOIN pd ON pd.day <= cat.day AND pd.day > cat.day - 7
+                GROUP BY 1),
+         sk AS (SELECT day, h FROM (
+                  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+                  FROM m) WHERE rn <= 64),
+         est AS (SELECT day, count(*)::BIGINT AS nn, max(h) AS mx FROM sk GROUP BY day),
+         e2 AS (SELECT day,
+                  CASE WHEN nn = 64 AND mx > 0
+                    THEN round(63.0 / (mx::DOUBLE / 4294967296.0), 6) + 0
+                    ELSE nn::DOUBLE END AS kmv_estimate
+                FROM est),
+         ex AS (SELECT cat.day AS day, count(DISTINCT d.user_id)::BIGINT AS exact_distinct
+                FROM cat JOIN d ON d.day <= cat.day AND d.day > cat.day - 7
+                GROUP BY 1)
+         SELECT e2.day, nd.n_days_merged, e2.kmv_estimate, ex.exact_distinct,
+           round(abs(e2.kmv_estimate - ex.exact_distinct::DOUBLE)
+                 / ex.exact_distinct::DOUBLE, 6) + 0 AS rel_err
+         FROM e2 JOIN nd ON nd.day = e2.day JOIN ex ON ex.day = e2.day
+         ORDER BY e2.day""",
+
+    // Item-item cosine: the q_cooccur pair derivation with the
+    // support >= 3 floor, per-item basket counts, symmetrized, ranked by
+    // the ROUNDED cosine (ties to the lower neighbor id).
+    "q_item_neighbors" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         sup AS (
+           SELECT l.i AS item_a, r.i AS item_b, count(*) AS support
+           FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         cnt AS (SELECT i AS item, count(*) AS n FROM items GROUP BY 1),
+         sym AS (
+           SELECT item_a AS item, item_b AS neighbor, support FROM sup
+           UNION ALL
+           SELECT item_b AS item, item_a AS neighbor, support FROM sup),
+         scored AS (
+           SELECT s.item, s.neighbor, s.support::BIGINT AS support,
+             round(s.support::DOUBLE / (sqrt(a.n::DOUBLE) * sqrt(b.n::DOUBLE)), 6) + 0 AS cosine
+           FROM sym s
+           JOIN cnt a ON a.item = s.item
+           JOIN cnt b ON b.item = s.neighbor)
+         SELECT item, rank, neighbor, support, cosine FROM (
+           SELECT item, neighbor, support, cosine,
+             row_number() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor ASC) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY item, rank""",
 
     // Fixed-width floor bins; conf = decimal-snapshotted mean rounded
     // BEFORE the ECE terms; acc = one exact integer division.

@@ -1165,6 +1165,54 @@ object Profiling {
         (col("direct_estimate") === col("merged_estimate")).as("merge_exact"))
   }
 
+  /** Sliding distinct-count via mergeable KMV sketches — trailing-window
+    * MAU/WAU at 100 TB shape: each day reduces to its own k-hash sketch
+    * (the per-shard monoid [[kmvMergeProof]] proves), and each day's
+    * trailing `windowDays` estimate merges ONLY those day sketches —
+    * k·window longs per output row, never a re-scan of the window's raw
+    * rows. The exact trailing distinct (one window re-scan) ships
+    * alongside at test scale as the accuracy column; a production run
+    * would drop it and keep only the sketch path.
+    *
+    * Output: (day, n_days_merged, kmv_estimate, exact_distinct, rel_err).
+    * The merged sketch is exact below k (union of complete sketches is
+    * complete — the merge-proof property), so small windows carry zero
+    * error by construction.
+    *
+    * Scale shape: one distinct-(day, hash) aggregate over the facts, a
+    * per-day smallest-k window, then everything is day-catalog × k
+    * sized: the trailing merge joins the day catalog against its own
+    * ≤ windowDays predecessors (catalog² worst case — bounded), and the
+    * exact column is one more distinct aggregate. No global windows.
+    */
+  def kmvSlidingDistinct(df: DataFrame, tsCol: String, valueCol: Column,
+                         k: Int = 64, windowDays: Int = 7): DataFrame = {
+    val days = df.select(to_date(col(tsCol)).as("_day"), valueCol.as("_v"))
+    val perDay = kmvSmallestK(kmvHashes(days, "_day", col("_v")), "_day", k)
+    // trailing merge: day d pulls the sketches of days in (d−window, d]
+    val cat = perDay.select(col("_day").as("day")).distinct()
+    val merged = cat.join(perDay,
+        col("_day") <= col("day") &&
+          col("_day") > date_sub(col("day"), windowDays))
+      .select(col("day"), col("_day"), col("_h"))
+    val nDays = merged.select("day", "_day").distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_days_merged"))
+    val est = kmvEstimateFromSketch(
+      kmvSmallestK(merged.select(col("day"), col("_h")).distinct(), "day", k),
+      "day", k)
+    val exact = days.join(cat,
+        col("_day") <= col("day") &&
+          col("_day") > date_sub(col("day"), windowDays))
+      .select(col("day"), col("_v")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("exact_distinct"))
+    est.join(nDays, Seq("day")).join(exact, Seq("day"))
+      .select(col("day"), col("n_days_merged"), col("kmv_estimate"),
+        col("exact_distinct"),
+        Portable.pround(
+          abs(col("kmv_estimate") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"), 6).as("rel_err"))
+  }
+
   /** Approximate-functional-dependency profile (Kivinen & Mannila 1995's
     * g₃ error): for each candidate `lhs → rhs`, the minimum number of rows
     * that must be deleted for the FD to hold exactly — Σ over lhs groups

@@ -436,6 +436,40 @@ object Relational {
       .drop("_mx_gt", "_mx_eq")
   }
 
+  /** Item-item cosine neighbors from co-occurrence counts — the
+    * collaborative-filtering "customers also bought" primitive over the
+    * SAME persisted pair/item artifacts the market-basket family owns
+    * (C82/C128): cos(a, b) = cooc(a,b) / (√n_a·√n_b) on basket-presence
+    * vectors, exact integers into two correctly-rounded sqrts and one
+    * division (the bit-portable pow-free shape), per-item top-k with
+    * deterministic ties.
+    *
+    * `pairs` must be the canonical unordered co-occurrence table
+    * (item_a < item_b, one row per pair, a support count); `items` the
+    * per-item basket counts. The pair table is symmetrized so every item
+    * ranks its neighbors; everything is pair-artifact-sized — the fact
+    * table is never touched.
+    */
+  def itemNeighbors(pairs: DataFrame, supportCol: String,
+                    items: DataFrame, itemCol: String, cntCol: String,
+                    k: Int): DataFrame = {
+    val sym = pairs.select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col(supportCol).as("_sup"))
+      .unionByName(pairs.select(col("item_b").as("item"), col("item_a").as("neighbor"),
+        col(supportCol).as("_sup")))
+    val ni = items.select(col(itemCol).as("item"), col(cntCol).as("_na"))
+    val nn = items.select(col(itemCol).as("neighbor"), col(cntCol).as("_nb"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    sym.join(ni, Seq("item")).join(nn, Seq("neighbor"))
+      .select(col("item"), col("neighbor"), col("_sup").as("support"),
+        Portable.pround(col("_sup").cast("double") /
+          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   def incrementalJoinDelta(baseL: DataFrame, deltaL: DataFrame,
                            baseR: DataFrame, deltaR: DataFrame,
                            leftKey: String, rightKey: String): DataFrame =

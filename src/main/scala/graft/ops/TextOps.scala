@@ -1483,6 +1483,60 @@ object TextOps {
       .select(col(idCol), col("token"), col("score"), col("rank"))
   }
 
+  /** TF-IDF document-similarity top-k — the lexical retrieval twin of the
+    * embedding cosine family (C11): score(q, d) = cosine of the two
+    * docs' tf-idf vectors, computed through an INVERTED-INDEX join (pairs
+    * exist only where a term is shared) with a document-frequency cap —
+    * terms in more than `maxDf` docs are dropped from the vector space
+    * (they carry near-zero idf and quadratic join fan-out; the same DF
+    * guard as the shingle join, here made part of the space's
+    * definition so the oracle replays it exactly).
+    *
+    * Portability discipline: per-(doc, term) weights snapshot at
+    * round(·, 9) BEFORE any product (ln differs in final ulps across
+    * engines — rounding the weight first makes both engines multiply
+    * identical doubles), pair dots and norm sums accumulate in decimals,
+    * and the visible score rounds at 6.
+    *
+    * Scale shape: two hash aggs (tf, df) → term-keyed join bounded by
+    * maxDf fan-out → pair agg keyed (query, corpus) → one top-k window
+    * per query. Bodies never shuffle; only (doc, term, weight) triples.
+    */
+  def tfidfCosineTopK(df: DataFrame, idCol: String, textCol: String,
+                      queryPred: Column, k: Int, maxDf: Long): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val perDoc = tok.groupBy(idCol, "token").agg(count(lit(1)).as("_cnt"))
+    val docLen = perDoc.groupBy(idCol).agg(sum("_cnt").as("_len"))
+    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("_n"))
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf) // the DF cap defines the vector space
+    val weights = perDoc
+      .join(docFreq, Seq("token"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"),
+        Portable.pround((col("_cnt").cast("double") / col("_len").cast("double")) *
+          (log((col("_n").cast("double") + 1.0) / (col("_df").cast("double") + 1.0)) + 1.0), 9)
+          .as("_w"))
+    val norms = weights.groupBy(idCol)
+      .agg(sqrt(Portable.decSum(col("_w") * col("_w"), 12)).as("_nrm"))
+    val q = weights.where(queryPred)
+      .select(col(idCol).as("query_id"), col("token"), col("_w").as("_wq"))
+    val c = weights.select(col(idCol).as("corpus_id"), col("token"), col("_w").as("_wc"))
+    val dots = q.join(c, Seq("token"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(Portable.decSum(col("_wq") * col("_wc"), 12).as("_dot"))
+    val nq = norms.select(col(idCol).as("query_id"), col("_nrm").as("_nq"))
+    val nc = norms.select(col(idCol).as("corpus_id"), col("_nrm").as("_nc"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    dots.join(nq, Seq("query_id")).join(nc, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Portable.pround(col("_dot") / (col("_nq") * col("_nc")), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Sliding-window document chunking — the long-document splitter of a
     * training pipeline: token windows of `size` starting every
     * `size - overlap` tokens (the final window may be shorter). Pure

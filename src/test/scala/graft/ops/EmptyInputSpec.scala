@@ -331,10 +331,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(TimeSeries.macd(emptySeries, "key", "t", "v").count() === 0)
     assert(TimeSeries.rsi(emptySeries, "key", "t", "v").count() === 0)
     assert(TimeSeries.bollinger(emptySeries, "key", "t", "v").count() === 0)
+    val emptyDocs16 = df(Seq.empty[Doc16])
+    assert(TextOps.tfidfCosineTopK(emptyDocs16, "doc_id", "text",
+      lit(true), 5, 100).count() === 0)
+    val emptyTsU = df(Seq.empty[TsUser16])
+    assert(Profiling.kmvSlidingDistinct(emptyTsU, "ts", col("user_id")).count() === 0)
+    val emptyPairs = df(Seq.empty[Pair16])
+    val emptyItems = df(Seq.empty[Item16])
+    assert(Relational.itemNeighbors(emptyPairs, "support",
+      emptyItems, "item", "basket_cnt", 3).count() === 0)
   }
 }
 
 case class Series16(key: String, t: Long, v: Double)
+case class Doc16(doc_id: Long, text: String)
+case class TsUser16(ts: java.sql.Timestamp, user_id: Long)
+case class Pair16(item_a: Long, item_b: Long, support: Long)
+case class Item16(item: Long, basket_cnt: Long)
 
 case class Rk15(doc_id: String, rank: Long)
 case class Rl15(doc_id: String)

@@ -136,6 +136,80 @@ class Round16bOpsSpec extends SparkSpec {
     assert(last.getDouble(6) === 0.75)
   }
 
+  // ── tfidfCosineTopK ───────────────────────────────────────────────────
+
+  test("tfidfCosineTopK: identical docs score 1.0; disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"),
+      (3L, "dog elephant fox"),
+      (4L, "apple dog")).toDF("doc_id", "text")
+    val out = TextOps.tfidfCosineTopK(docs, "doc_id", "text",
+      col("doc_id") <= 4, k = 3, maxDf = 100)
+    val m = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) === 1.0, "identical tf-idf vectors must score exactly 1")
+    assert(!m.contains((1L, 3L)), "no shared term → no pair (inverted-index join)")
+    assert(m((4L, 1L)) > 0 && m((4L, 3L)) > 0, "partial overlap pairs exist")
+  }
+
+  test("tfidfCosineTopK: the DF cap removes ubiquitous terms from the space") {
+    // "the" appears in all docs; with maxDf = 2 it vanishes, so docs
+    // sharing ONLY "the" no longer pair
+    val docs = Seq(
+      (1L, "the apple"), (2L, "the banana"), (3L, "the apple crumble"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tfidfCosineTopK(docs, "doc_id", "text",
+      lit(true), k = 3, maxDf = 2)
+    val pairs = out.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 2L)), "docs sharing only the capped term must not pair")
+    assert(pairs.contains((1L, 3L)), "apple (df=2) stays in the space")
+  }
+
+  // ── kmvSlidingDistinct ────────────────────────────────────────────────
+
+  test("kmvSlidingDistinct: merged sketch is exact below k; window slides correctly") {
+    val ts = (d: Int, u: Long) =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 12:00:00"), u)
+    // day 1: users 1,2; day 2: users 2,3; day 9: user 9 (outside day 2's window)
+    val df = Seq(ts(1, 1), ts(1, 2), ts(2, 2), ts(2, 3), ts(9, 9))
+      .toDF("ts", "user_id")
+    val out = Profiling.kmvSlidingDistinct(df, "ts", col("user_id"),
+        k = 64, windowDays = 7)
+      .orderBy("day").collect()
+    assert(out.length === 3)
+    // day 1: {1,2}; day 2: {1,2,3}; day 9: day-2 data still in (9-7, 9]? no: 2 <= 9-7 → out
+    assert(out(0).getDouble(2) === 2.0 && out(0).getLong(3) === 2L)
+    assert(out(1).getDouble(2) === 3.0 && out(1).getLong(3) === 3L)
+    assert(out(2).getDouble(2) === 1.0 && out(2).getLong(3) === 1L)
+    assert(out(0).getDouble(4) === 0.0, "below-k merge is exact → zero rel_err")
+    assert(out(1).getLong(1) === 2L, "day 2 merges two day sketches")
+  }
+
+  test("kmvSlidingDistinct: estimate tracks a many-user day within KMV error bounds") {
+    val df = (1L to 2000L).map(u =>
+      (java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), u)).toDF("ts", "user_id")
+    val out = Profiling.kmvSlidingDistinct(df, "ts", col("user_id"), k = 64, 7)
+      .collect()(0)
+    val est = out.getDouble(2)
+    assert(math.abs(est - 2000.0) / 2000.0 < 4.0 / math.sqrt(64.0),
+      s"KMV estimate $est outside the 4/sqrt(k) bound for 2000 true distinct")
+  }
+
+  // ── itemNeighbors ─────────────────────────────────────────────────────
+
+  test("itemNeighbors: hand-checked cosine and symmetric ranking") {
+    val pairs = Seq((1L, 2L, 4L), (1L, 3L, 1L)).toDF("item_a", "item_b", "support")
+    val items = Seq((1L, 4L), (2L, 4L), (3L, 1L)).toDF("item", "basket_cnt")
+    val out = Relational.itemNeighbors(pairs, "support", items, "item", "basket_cnt", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(3), r.getLong(4))).toMap
+    // cos(1,2) = 4/(2*2) = 1.0; cos(1,3) = 1/(2*1) = 0.5
+    assert(out((1L, 2L))._1 === 1.0 && out((1L, 2L))._2 === 1L)
+    assert(out((1L, 3L))._1 === 0.5 && out((1L, 3L))._2 === 2L)
+    // symmetrized: item 2 sees 1, item 3 sees 1
+    assert(out((2L, 1L))._1 === 1.0 && out((3L, 1L))._1 === 0.5)
+  }
+
   test("bollinger: trailing window only sees the last n rows") {
     // 10 constant rows then a jump: at the end, the window [.., 100] has
     // nonzero sd and the jump sits above mid
