@@ -3324,6 +3324,57 @@ object SparkEntry {
         "source", col("_train"), col("n_chars"))
         .orderBy("source")),
 
+    // Mann-Whitney U on the SAME split/covariate as q_welch_t — the
+    // rank-based, distribution-free companion: Welch asks "do the means
+    // differ", this asks "does one sample stochastically dominate",
+    // immune to the outliers and skew a length column actually has.
+    // Doubled rank sums keep everything integer until three fixed
+    // double ops (the exactness contract on the operator).
+    "q_mann_whitney" -> ((s, dir) =>
+      Profiling.mannWhitneyU(
+        T(s, dir, "documents")
+          .select(col("source"),
+            (Portable.hash32(col("doc_id")) % 10000 < 8000).as("_train"),
+            col("n_chars")),
+        "source", col("_train"), col("n_chars"))
+        .orderBy("source")),
+
+    // 2x2 odds ratio with the Wald CI per nation: BUILDING-segment
+    // membership (exposure) vs positive account balance (outcome) —
+    // C230's z tests a rate DIFFERENCE, this quantifies association
+    // STRENGTH with the Haldane-Anscombe zero-cell correction.
+    "q_odds_ratio" -> ((s, dir) =>
+      Profiling.oddsRatio2x2(T(s, dir, "customer"), "c_nationkey",
+          col("c_mktsegment") === "BUILDING", col("c_acctbal") > 0)
+        .orderBy("c_nationkey")),
+
+    // Holt-Winters additive triple smoothing, season m=7 on the per-user
+    // event-id cycle: C186's Holt plus a seasonal ring — level seeds at
+    // the first value, seasonals at zero (cycle one degrades exactly to
+    // Holt; deterministic by design). α/γ/δ are exact binary literals.
+    "q_holt_winters" -> ((s, dir) =>
+      TimeSeries.holtWinters(T(s, dir, "events"), "user_id", "event_id", "value",
+          m = 7, alpha = 0.5, gamma = 0.25, delta = 0.25)
+        .orderBy("event_id")),
+
+    // Exponentially decayed event-type leaderboard (half-life = 1 day):
+    // per-day exact counts weighted 2^(−age) — the dyadic base makes
+    // every weight an exactly-representable double (NO pow/exp ulp
+    // hazard), so "what's trending" is hash-checkable end to end.
+    "q_decayed_topk" -> ((s, dir) =>
+      EventOps.decayedLeaderboard(T(s, dir, "events"), "ts", "event_type", k = 10)
+        .orderBy("rank")),
+
+    // Seeded Laplace-noise count release per language — the DP mechanism
+    // SHAPE (sensitivity-1 count + Laplace(1/ε)) with hash-seeded noise:
+    // reproducible and oracle-checkable, which is right for testing the
+    // pipeline and explicitly wrong for a real release (the operator's
+    // scaladoc carries the warning; swap the RNG to deploy).
+    "q_noisy_counts" -> ((s, dir) =>
+      Profiling.noisyCounts(T(s, dir, "documents"), "lang",
+          epsilon = 0.5, salt = "graft-r16b")
+        .orderBy("lang")),
+
     // K-minimum-values distinct sketch per language over the trigram
     // shingle vocabulary (the dedup keying unit — and, unlike the
     // 31-type unigram vocab of this corpus, large enough to exercise
@@ -9300,6 +9351,137 @@ object SparkEntry {
          FROM e ORDER BY source""",
 
     // The md5 hash rule makes the whole KMV sketch replicable: distinct
+    // MWU: rank()/count() windows reproduce min-rank + tie size; doubled
+    // rank sums stay integer; sigma2 and z mirror the operator's fixed
+    // double-op order exactly.
+    "q_mann_whitney" ->
+      raw"""WITH b AS (
+           SELECT source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 AS f,
+             n_chars AS v
+           FROM documents),
+         r AS (
+           SELECT source, f,
+             rank() OVER (PARTITION BY source ORDER BY v) AS minrank,
+             count(*) OVER (PARTITION BY source, v) AS t
+           FROM b),
+         a AS (
+           SELECT source,
+             sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN NOT f THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN f THEN 2 * minrank + t - 1 END)::BIGINT AS r1x2,
+             sum(t * t - 1)::BIGINT AS tie
+           FROM r GROUP BY source),
+         s AS (
+           SELECT source, n1, n2, r1x2,
+             (n1 * n2)::DOUBLE / 12.0 *
+               ((n1 + n2 + 1)::DOUBLE
+                 - tie::DOUBLE / ((n1 + n2) * (n1 + n2 - 1))::DOUBLE) AS sigma2
+           FROM a)
+         SELECT source, n1, n2,
+           (r1x2 - n1 * (n1 + 1))::DOUBLE / 2.0 AS u1,
+           CASE WHEN n1 > 0 AND n2 > 0 AND sigma2 > 0
+             THEN round(((r1x2 - n1 * (n1 + 1) - n1 * n2)::DOUBLE / 2.0)
+                        / sqrt(sigma2), 6) + 0 END AS z
+         FROM s ORDER BY source""",
+
+    // Odds ratio: conditional counts, the all-cells +0.5 correction on
+    // any zero, ln rounded(9) before the CI arithmetic - every double op
+    // in the operator's order.
+    "q_odds_ratio" ->
+      """WITH a AS (
+           SELECT c_nationkey,
+             sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN c_mktsegment = 'BUILDING' AND NOT c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+             sum(CASE WHEN c_mktsegment <> 'BUILDING' AND c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN c_mktsegment <> 'BUILDING' AND NOT c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS d
+           FROM customer GROUP BY c_nationkey),
+         cc AS (
+           SELECT c_nationkey, a, b, c, d,
+             CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN a::DOUBLE + 0.5 ELSE a::DOUBLE END AS ca,
+             CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN b::DOUBLE + 0.5 ELSE b::DOUBLE END AS cb,
+             CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN c::DOUBLE + 0.5 ELSE c::DOUBLE END AS cx,
+             CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN d::DOUBLE + 0.5 ELSE d::DOUBLE END AS cd
+           FROM a),
+         e AS (
+           SELECT c_nationkey, a, b, c, d,
+             (ca * cd) / (cb * cx) AS orr,
+             round(ln((ca * cd) / (cb * cx)), 9) + 0 AS logor,
+             sqrt(1.0::DOUBLE / ca + 1.0::DOUBLE / cb + 1.0::DOUBLE / cx + 1.0::DOUBLE / cd) AS se
+           FROM cc)
+         SELECT c_nationkey, a, b, c, d,
+           round(orr, 6) + 0 AS odds_ratio,
+           round(logor - 1.96 * se, 6) + 0 AS ci_lo,
+           round(logor + 1.96 * se, 6) + 0 AS ci_hi
+         FROM e ORDER BY c_nationkey""",
+
+    // Holt-Winters m=7: the q_holt struct-accumulator fold widened to
+    // (m+2)-element arrays - [level, trend, ring...]; the ring shifts by
+    // slicing acc[4:9] and appending the new seasonal. Alpha/gamma/delta
+    // literals (0.5/0.25/0.25 and complements) are exact binary fractions.
+    "q_holt_winters" ->
+      """WITH ord AS (
+           SELECT user_id,
+             list(event_id ORDER BY event_id) AS ids,
+             list(value ORDER BY event_id) AS vs
+           FROM events GROUP BY user_id),
+         ex AS (
+           SELECT user_id,
+             unnest(ids) AS event_id,
+             unnest(vs) AS value,
+             unnest(list_transform(range(1, len(vs) + 1), i ->
+               list_reduce(
+                 list_transform(vs[1:i], x -> [x::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                                               0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE]),
+                 (acc, e) -> list_concat(list_concat(
+                   [0.5::DOUBLE * (e[1] - acc[3]) + 0.5::DOUBLE * (acc[1] + acc[2]),
+                    0.25::DOUBLE * ((0.5::DOUBLE * (e[1] - acc[3]) + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                      + 0.75::DOUBLE * acc[2]],
+                   acc[4:9]),
+                   [0.25::DOUBLE * (e[1] - (0.5::DOUBLE * (e[1] - acc[3]) + 0.5::DOUBLE * (acc[1] + acc[2])))
+                      + 0.75::DOUBLE * acc[3]])))) AS st
+           FROM ord)
+         SELECT event_id, user_id, value,
+           st[1] AS level, st[2] AS trend, st[9] AS seasonal
+         FROM ex ORDER BY event_id""",
+
+    // Decayed leaderboard: per-day exact counts x power(1/2, age) - both
+    // engines' pow returns the exactly-representable 2^(-age); decimal
+    // sum; ranked on the ROUNDED score.
+    "q_decayed_topk" ->
+      """WITH daily AS (
+           SELECT event_type AS key, ts::DATE AS day, count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT max(day) AS maxd FROM daily),
+         sc AS (
+           SELECT key, sum(cnt)::BIGINT AS raw_count,
+             round(sum(CAST(cnt * power(0.5::DOUBLE, date_diff('day', day, maxd))
+                            AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS score
+           FROM daily CROSS JOIN mx GROUP BY key)
+         SELECT rank, key, raw_count, score FROM (
+           SELECT key, raw_count, score,
+             row_number() OVER (ORDER BY score DESC, key ASC) AS rank
+           FROM sc)
+         WHERE rank <= 10 ORDER BY rank""",
+
+    // Noisy counts: the md5 inverse-CDF draw, noise rounded(9) before
+    // the add (the ln ulp rule), release rounded(6).
+    "q_noisy_counts" ->
+      """WITH g AS (SELECT lang, count(*)::BIGINT AS true_count FROM documents GROUP BY lang),
+         n AS (
+           SELECT lang, true_count,
+             ((('0x' || substr(md5(lang || 'graft-r16b'), 1, 8))::BIGINT::DOUBLE + 0.5)
+               / 4294967296.0) - 0.5 AS ctr
+           FROM g),
+         z AS (
+           SELECT lang, true_count,
+             round((CASE WHEN ctr >= 0 THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END)
+                   * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(ctr)) / 0.5::DOUBLE, 9) + 0 AS noise
+           FROM n)
+         SELECT lang, true_count, 0.5::DOUBLE AS epsilon, noise,
+           round(true_count::DOUBLE + noise, 6) + 0 AS noisy_count
+         FROM z ORDER BY lang""",
+
     // hash values, the k-th smallest via the same rank window, the same
     // (k-1)/u_k estimator.
     "q_kmv_distinct" ->

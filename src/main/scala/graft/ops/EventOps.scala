@@ -622,4 +622,36 @@ object EventOps {
             array(col("_total"), lit(1.0d)), fold), 2), 9)
           .as("km_survival"))
   }
+  /** Exponentially time-decayed leaderboard — "what's trending": per
+    * key, score = Σ_days count(day) · 2^(−age·dailyHalfLives) where age
+    * is whole days before the corpus's max day. The half-life base 1/2
+    * with an INTEGER exponent makes every per-day weight an exact dyadic
+    * double (2^−k is representable — no pow/exp ulp hazard at all, the
+    * trick that keeps this hash-checkable), and per-day counts are exact
+    * ints, so every addend is bit-identical across engines before the
+    * decimal-snapshot sum.
+    *
+    * Scale shape: one (key, day) count aggregate (map-side combinable),
+    * the 1-row max-day aggregate broadcast onto it, one key aggregate,
+    * one top-k heap. Decay re-ranks daily with NO state: yesterday's
+    * leaderboard is never read — the decayed sum is recomputed from the
+    * (key, day) counts, which a real deployment keeps as its daily
+    * rollup table anyway.
+    */
+  def decayedLeaderboard(df: DataFrame, tsCol: String, keyCol: String,
+                         k: Int): DataFrame = {
+    val daily = df.select(col(keyCol).as("key"), to_date(col(tsCol)).as("_day"))
+      .groupBy("key", "_day").agg(count(lit(1)).as("_cnt"))
+    val maxDay = daily.agg(max("_day").as("_maxDay"))
+    val w = Portable.kRowWindow(col("score").desc, col("key").asc)
+    daily.crossJoin(broadcast(maxDay))
+      .withColumn("_wgt", pow(lit(0.5), datediff(col("_maxDay"), col("_day"))))
+      .groupBy("key")
+      .agg(Portable.decSum(col("_cnt") * col("_wgt"), 12).as("_raw"),
+        sum("_cnt").as("raw_count"))
+      .select(col("key"), col("raw_count"), Portable.pround(col("_raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("key").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "key", "raw_count", "score")
+  }
 }

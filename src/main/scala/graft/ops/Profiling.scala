@@ -1165,6 +1165,111 @@ object Profiling {
         (col("direct_estimate") === col("merged_estimate")).as("merge_exact"))
   }
 
+  /** Mann-Whitney U test per group (Wilcoxon rank-sum) — the
+    * distribution-free sibling of the C209 Welch t: does the `sampleFlag`
+    * subset's value distribution differ from the rest's, judged on RANKS
+    * (robust to outliers and any monotone transform). Tie handling is
+    * the standard average-rank + tie-corrected variance.
+    *
+    * Exactness: average ranks are half-integers, so the doubled rank sum
+    * 2R₁ = Σ(2·minrank + t − 1) stays an exact integer end to end, as do
+    * the tie term Σ(t³−t) and all counts; z is then THREE fixed double
+    * ops ((2U−2μ)/2 / √σ²) on exact operands — bit-portable. NULL z when
+    * either sample is empty or the variance is 0 (all values tied).
+    *
+    * Scale shape: ranks ride ONE group-keyed exchange (two windows on
+    * the same partitioning), tie sizes a (group, value) aggregate that
+    * reuses the prefix, the test one group-keyed aggregate. No joins.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, sampleFlag: Column,
+                   valueCol: Column): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select(col(groupCol), sampleFlag.as("_in1"), valueCol.as("_v"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("_v")
+    val wVal = Window.partitionBy(groupCol, "_v")
+    val ranked = base
+      .withColumn("_minrank", rank().over(wOrd))
+      .withColumn("_t", count(lit(1)).over(wVal))
+    val agg = ranked.groupBy(groupCol).agg(
+      sum(when(col("_in1"), lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(!col("_in1"), lit(1L)).otherwise(lit(0L))).as("n2"),
+      sum(when(col("_in1"), lit(2L) * col("_minrank") + col("_t") - 1L)).as("_r1x2"),
+      // Σ over tie groups of (t³−t) = Σ over ROWS of (t²−1): each of the
+      // t rows in a tie group contributes t²−1 — no per-group dedup pass
+      sum(col("_t") * col("_t") - 1L).as("_tieTerm"))
+    val n = col("n1") + col("n2")
+    val u1x2 = col("_r1x2") - col("n1") * (col("n1") + 1L) // 2·U₁
+    val sigma2 = (col("n1") * col("n2")).cast("double") / 12.0 *
+      ((n + 1L).cast("double") -
+        col("_tieTerm").cast("double") / (n * (n - 1L)).cast("double"))
+    agg.select(col(groupCol), col("n1"), col("n2"),
+        (u1x2.cast("double") / 2.0).as("u1"),
+        when(col("n1") > 0 && col("n2") > 0 && sigma2 > 0,
+          Portable.pround(
+            ((u1x2 - col("n1") * col("n2")).cast("double") / 2.0) / sqrt(sigma2), 6))
+          .as("z"))
+  }
+
+  /** 2×2 odds ratio per group with the Wald CI — the epidemiology/AB
+    * primitive for BINARY exposure × BINARY outcome (C230's z tests the
+    * rate difference; this quantifies the association's strength):
+    * OR = (a·d)/(b·c) over the contingency counts, with the
+    * Haldane–Anscombe +0.5 correction applied to ALL cells whenever any
+    * cell is zero (keeps OR and its CI finite and is the standard
+    * reproducible convention). ln(OR) ± 1.96·√(1/a+1/b+1/c+1/d) on the
+    * corrected cells; ln rounds at 9 before the CI arithmetic (the ulp
+    * discipline). One conditional aggregate per group; no joins.
+    */
+  def oddsRatio2x2(df: DataFrame, groupCol: String, exposure: Column,
+                   outcome: Column): DataFrame = {
+    val agg = df.groupBy(groupCol).agg(
+      sum(when(exposure && outcome, 1L).otherwise(0L)).as("a"),
+      sum(when(exposure && !outcome, 1L).otherwise(0L)).as("b"),
+      sum(when(!exposure && outcome, 1L).otherwise(0L)).as("c"),
+      sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("d"))
+    val anyZero = col("a") === 0L || col("b") === 0L || col("c") === 0L || col("d") === 0L
+    def cc(c0: Column): Column =
+      when(anyZero, c0.cast("double") + 0.5).otherwise(c0.cast("double"))
+    val (ca, cb, ccc, cd) = (cc(col("a")), cc(col("b")), cc(col("c")), cc(col("d")))
+    val or = (ca * cd) / (cb * ccc)
+    val logOr = Portable.pround(log(or), 9)
+    val se = sqrt(lit(1.0) / ca + lit(1.0) / cb + lit(1.0) / ccc + lit(1.0) / cd)
+    agg.select(col(groupCol), col("a"), col("b"), col("c"), col("d"),
+      Portable.pround(or, 6).as("odds_ratio"),
+      Portable.pround(logOr - lit(1.96) * se, 6).as("ci_lo"),
+      Portable.pround(logOr + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
+  /** Seeded Laplace-noise count release — the differential-privacy
+    * MECHANISM shape (sensitivity-1 count + Laplace(1/ε) noise) with the
+    * noise drawn from the portable md5 hash instead of an RNG: this
+    * makes the release REPRODUCIBLE and oracle-checkable, which is the
+    * right engineering for pipeline tests and exactly the wrong thing
+    * for a real privacy release (a seeded, replayable draw provides no
+    * privacy — swap in a real RNG and drop the oracle before any actual
+    * release; the scaladoc IS the warning).
+    *
+    * u = (h + 0.5)/2³² ∈ (0,1) from the group key's hash (never exactly
+    * 0/1, so the inverse CDF stays finite), noise = −(1/ε)·sgn(u−½)·
+    * ln(1−2|u−½|) rounded at 9 before the add (the ln ulp discipline).
+    * One aggregate; noise is a row-local expression.
+    */
+  def noisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                  salt: String): DataFrame = {
+    val h = Portable.hash32(concat(col(groupCol).cast("string"), lit(salt)))
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    val centered = u - 0.5
+    val noise = Portable.pround(
+      when(centered >= 0, lit(-1.0)).otherwise(lit(1.0)) *
+        log(lit(1.0) - lit(2.0) * abs(centered)) / epsilon, 9)
+    df.groupBy(groupCol).agg(count(lit(1)).as("true_count"))
+      .select(col(groupCol), col("true_count"),
+        lit(epsilon).as("epsilon"),
+        noise.as("noise"),
+        Portable.pround(col("true_count").cast("double") + noise, 6)
+          .as("noisy_count"))
+  }
+
   /** Sliding distinct-count via mergeable KMV sketches — trailing-window
     * MAU/WAU at 100 TB shape: each day reduces to its own k-hash sketch
     * (the per-shard monoid [[kmvMergeProof]] proves), and each day's

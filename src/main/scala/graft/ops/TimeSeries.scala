@@ -680,6 +680,66 @@ object TimeSeries {
           .as("residual"))
   }
 
+  /** Holt-Winters additive triple exponential smoothing per series —
+    * [[holt]] plus a season-m additive component: with s̄ the seasonal
+    * slot m observations back,
+    *
+    *   l_t = α(x_t − s̄) + (1−α)(l + b)
+    *   b_t = γ(l_t − l) + (1−γ)b
+    *   s_t = δ(x_t − l_t) + (1−δ)s̄
+    *
+    * Seeding convention (deterministic by design — the classical
+    * first-season averages trade reproducibility for folklore): level
+    * seeds at the first value, trend at 0, ALL seasonal slots at 0, so
+    * the first season degrades exactly to [[holt]] and seasonals learn
+    * from cycle two on. Each key's state is (l, b) + an m-slot ring
+    * buffer in one mapPartitions pass; the oracle replays it as a
+    * prefix fold over (m+2)-element arrays. NULLs skipped (r16 rule).
+    */
+  def holtWinters(df: DataFrame, seriesKey: String, orderCol: String,
+                  valueCol: String, m: Int, alpha: Double, gamma: Double,
+                  delta: Double): DataFrame = {
+    require(m >= 1, s"season length must be >= 1 (got $m)")
+    val cA = 1.0 - alpha; val cG = 1.0 - gamma; val cD = 1.0 - delta
+    val in = df.where(col(valueCol).isNotNull)
+      .select(col(seriesKey), col(orderCol), col(valueCol).cast("double"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields ++ Seq("level", "trend", "seasonal").map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    in.repartition(col(seriesKey))
+      .sortWithinPartitions(col(seriesKey), col(orderCol))
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var l = 0.0; var b = 0.0
+        var ring: Array[Double] = null
+        var head = 0
+        rows.map { r =>
+          val k = r.get(0)
+          val x = r.getDouble(2)
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true
+            l = x; b = 0.0
+            ring = new Array[Double](m); head = 0
+            // first obs consumes slot-0 (0.0) and writes back
+            // s = δ(x−l) + (1−δ)·0 = 0 exactly — the ring stays zeros
+          } else {
+            val sPrev = ring(head)
+            val l2 = alpha * (x - sPrev) + cA * (l + b)
+            b = gamma * (l2 - l) + cG * b
+            l = l2
+            ring(head) = delta * (x - l2) + cD * sPrev
+            head = (head + 1) % m
+          }
+          val sNew = if (head == 0) ring(m - 1) else ring(head - 1)
+          // for the first obs of a key head==0 and ring is all zeros
+          org.apache.spark.sql.Row(r.get(0), r.get(1), x, l, b, sNew)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF(seriesKey, orderCol, valueCol, "level", "trend", "seasonal")
+  }
+
   /** MACD per series (Appel's moving-average convergence/divergence —
     * the standard momentum indicator of the reference's market-data
     * domain): fast and slow EWMAs of the value, macd = fast − slow, a

@@ -340,6 +340,17 @@ class EmptyInputSpec extends SparkSpec {
     val emptyItems = df(Seq.empty[Item16])
     assert(Relational.itemNeighbors(emptyPairs, "support",
       emptyItems, "item", "basket_cnt", 3).count() === 0)
+    val emptyCohort16 = df(Seq.empty[Cohort16])
+    assert(Profiling.mannWhitneyU(emptyCohort16, "grp", col("in1"), col("v"))
+      .count() === 0)
+    assert(Profiling.oddsRatio2x2(df(Seq.empty[TwoByTwo16]), "grp",
+      col("e"), col("o")).count() === 0)
+    assert(Profiling.noisyCounts(df(Seq.empty[Doc16]).withColumnRenamed("text", "lang"),
+      "lang", 0.5, "s").count() === 0)
+    assert(TimeSeries.holtWinters(df(Seq.empty[Series16]), "key", "t", "v",
+      7, 0.5, 0.25, 0.25).count() === 0)
+    assert(EventOps.decayedLeaderboard(df(Seq.empty[TsUser16])
+      .withColumnRenamed("user_id", "k2"), "ts", "k2", 10).count() === 0)
   }
 }
 
@@ -348,6 +359,8 @@ case class Doc16(doc_id: Long, text: String)
 case class TsUser16(ts: java.sql.Timestamp, user_id: Long)
 case class Pair16(item_a: Long, item_b: Long, support: Long)
 case class Item16(item: Long, basket_cnt: Long)
+case class Cohort16(grp: String, in1: Boolean, v: Double)
+case class TwoByTwo16(grp: String, e: Boolean, o: Boolean)
 
 case class Rk15(doc_id: String, rank: Long)
 case class Rl15(doc_id: String)

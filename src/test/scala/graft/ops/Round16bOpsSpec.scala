@@ -136,6 +136,133 @@ class Round16bOpsSpec extends SparkSpec {
     assert(last.getDouble(6) === 0.75)
   }
 
+  // ── mannWhitneyU ──────────────────────────────────────────────────────
+
+  test("mannWhitneyU: hand-checked U and z on a tiny two-sample fixture") {
+    // group g: sample1 = {1, 3}, sample2 = {2, 4}; ranks 1..4, no ties
+    // R1 = 1 + 3 = 4, U1 = 4 − 2·3/2 = 1; μ = 2, σ² = 4·5/12 = 5/3
+    val df = Seq(("g", true, 1.0), ("g", false, 2.0), ("g", true, 3.0), ("g", false, 4.0))
+      .toDF("grp", "in1", "v")
+    val r = Profiling.mannWhitneyU(df, "grp", col("in1"), col("v")).head()
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 1.0)
+    val z = (1.0 - 2.0) / math.sqrt(5.0 / 3.0)
+    assert(math.abs(r.getDouble(4) - z) < 1e-6)
+  }
+
+  test("mannWhitneyU: ties get average ranks; all-tied group yields NULL z") {
+    // values {5, 5} split across samples: avg ranks 1.5/1.5, U1 = 1.5−1 = 0.5
+    val df = Seq(("g", true, 5.0), ("g", false, 5.0)).toDF("grp", "in1", "v")
+    val r = Profiling.mannWhitneyU(df, "grp", col("in1"), col("v")).head()
+    assert(r.getDouble(3) === 0.5)
+    assert(r.isNullAt(4), "zero variance (all tied) must yield NULL z")
+    // one-sided group: NULL z, U1 reported
+    val df2 = Seq(("h", true, 1.0), ("h", true, 2.0)).toDF("grp", "in1", "v")
+    assert(Profiling.mannWhitneyU(df2, "grp", col("in1"), col("v")).head().isNullAt(4))
+  }
+
+  test("mannWhitneyU: identical distributions give z near 0, shifted give large |z|") {
+    val base = (1 to 50).map(i => ("g", i % 2 == 0, i.toDouble))
+    val zSame = Profiling.mannWhitneyU(base.toDF("grp", "in1", "v"),
+      "grp", col("in1"), col("v")).head().getDouble(4)
+    assert(math.abs(zSame) < 1.0)
+    val shifted = (1 to 50).map(i => ("g", i <= 25, i.toDouble))
+    val zShift = Profiling.mannWhitneyU(shifted.toDF("grp", "in1", "v"),
+      "grp", col("in1"), col("v")).head().getDouble(4)
+    assert(math.abs(zShift) > 4.0)
+  }
+
+  // ── oddsRatio2x2 ──────────────────────────────────────────────────────
+
+  test("oddsRatio2x2: hand-checked OR and the zero-cell correction") {
+    // a=4 b=2 c=1 d=3 → OR = 12/2 = 6
+    val rows = Seq.fill(4)(("g", true, true)) ++ Seq.fill(2)(("g", true, false)) ++
+      Seq.fill(1)(("g", false, true)) ++ Seq.fill(3)(("g", false, false))
+    val r = Profiling.oddsRatio2x2(rows.toDF("grp", "e", "o"), "grp", col("e"), col("o")).head()
+    assert(r.getLong(1) === 4L && r.getLong(2) === 2L && r.getLong(3) === 1L && r.getLong(4) === 3L)
+    assert(r.getDouble(5) === 6.0)
+    assert(r.getDouble(6) < math.log(6.0) && r.getDouble(7) > math.log(6.0),
+      "CI must bracket ln(OR)")
+    // zero cell: correction keeps OR finite
+    val z = Seq(("g", true, true), ("g", false, false))
+    val rz = Profiling.oddsRatio2x2(z.toDF("grp", "e", "o"), "grp", col("e"), col("o")).head()
+    assert(!rz.isNullAt(5) && rz.getDouble(5) === 9.0) // (1.5·1.5)/(0.5·0.5)
+  }
+
+  // ── holtWinters ───────────────────────────────────────────────────────
+
+  test("holtWinters: first season degrades exactly to holt; seasonals kick in cycle two") {
+    val vals = (1 to 20).map(i => (5.0 + (i % 4))).toSeq
+    val df = series(vals: _*)
+    val hw = TimeSeries.holtWinters(df, "key", "t", "v", m = 4,
+      alpha = 0.5, gamma = 0.25, delta = 0.25).orderBy("t").collect()
+    val h = TimeSeries.holt(df, "key", "t", "v", alpha = 0.5, gamma = 0.25)
+      .orderBy("t").collect()
+    // rows 0..3 (first cycle): seasonal slots are all zero, so level and
+    // trend must equal plain Holt bit-for-bit
+    (0 until 4).foreach { i =>
+      assert(hw(i).getDouble(3) === h(i).getDouble(3), s"level row $i")
+      assert(hw(i).getDouble(4) === h(i).getDouble(4), s"trend row $i")
+      assert(hw(i).getDouble(5) === 0.0 || i > 0, "first seasonal is 0")
+    }
+    // cycle two on: the seasonal component is learning the period-4 wave
+    assert(hw(19).getDouble(5) !== 0.0, "seasonals must activate after cycle 1")
+  }
+
+  test("holtWinters: replays the ring-buffer recurrence exactly") {
+    val vals = Seq(10.0, 12.0, 8.0, 14.0, 11.0, 13.0, 9.0, 15.0)
+    val (m, a, g, d) = (3, 0.5, 0.25, 0.25)
+    var l = vals.head; var b = 0.0
+    val ring = Array.fill(m)(0.0); var head = 0
+    val expect = vals.zipWithIndex.map { case (x, i) =>
+      if (i > 0) {
+        val sPrev = ring(head)
+        val l2 = a * (x - sPrev) + (1 - a) * (l + b)
+        b = g * (l2 - l) + (1 - g) * b
+        l = l2
+        ring(head) = d * (x - l2) + (1 - d) * sPrev
+        head = (head + 1) % m
+      }
+      (l, b, if (head == 0) ring(m - 1) else ring(head - 1))
+    }
+    val out = TimeSeries.holtWinters(series(vals: _*), "key", "t", "v",
+      m, a, g, d).orderBy("t").collect()
+    out.zip(expect).foreach { case (r, (el, eb, es)) =>
+      assert(r.getDouble(3) === el && r.getDouble(4) === eb && r.getDouble(5) === es)
+    }
+  }
+
+  // ── decayedLeaderboard ────────────────────────────────────────────────
+
+  test("decayedLeaderboard: yesterday counts half; ranking follows the decayed score") {
+    val ts = (d: Int, k: String, n: Int) => Seq.fill(n)(
+      (java.sql.Timestamp.valueOf(f"2024-02-${d}%02d 10:00:00"), k))
+    // "old" has 8 events 2 days ago (decayed 2), "new" has 3 today (3)
+    val df = (ts(1, "old", 8) ++ ts(3, "new", 3)).toDF("ts", "key")
+    val out = EventOps.decayedLeaderboard(df, "ts", "key", 10)
+      .orderBy("rank").collect()
+    assert(out(0).getString(1) === "new" && out(0).getDouble(3) === 3.0)
+    assert(out(1).getString(1) === "old" && out(1).getDouble(3) === 2.0)
+    assert(out(1).getLong(2) === 8L, "raw_count keeps the undecayed total")
+  }
+
+  // ── noisyCounts ───────────────────────────────────────────────────────
+
+  test("noisyCounts: deterministic across runs, noise scale tracks 1/epsilon") {
+    val docs = (1 to 100).map(i => (s"g${i % 3}", i)).toDF("grp", "x")
+    val r1 = Profiling.noisyCounts(docs, "grp", 0.5, "salt").orderBy("grp").collect()
+    val r2 = Profiling.noisyCounts(docs, "grp", 0.5, "salt").orderBy("grp").collect()
+    assert(r1.map(_.getDouble(4)).toSeq === r2.map(_.getDouble(4)).toSeq,
+      "seeded noise must be reproducible")
+    r1.foreach { r =>
+      assert(r.getDouble(4) !== r.getLong(1).toDouble, "noise actually applied")
+      assert(math.abs(r.getDouble(3)) < 80.0, "Laplace(2) tail sanity")
+    }
+    // a different salt draws different noise
+    val r3 = Profiling.noisyCounts(docs, "grp", 0.5, "other").orderBy("grp").collect()
+    assert(r1.map(_.getDouble(3)).toSeq !== r3.map(_.getDouble(3)).toSeq)
+  }
+
   // ── tfidfCosineTopK ───────────────────────────────────────────────────
 
   test("tfidfCosineTopK: identical docs score 1.0; disjoint docs never pair") {
