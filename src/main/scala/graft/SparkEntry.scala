@@ -3375,6 +3375,31 @@ object SparkEntry {
           epsilon = 0.5, salt = "graft-r16b")
         .orderBy("lang")),
 
+    // Bloom-filter false-positive audit: build an m=4096-bit, k=3-hash
+    // filter from the BUILDING-segment customer keys, probe with every
+    // OTHER customer, report the measured FPR — the parameter check
+    // C43's runtime bloom-pruned join deserves BEFORE those m/k ship.
+    // Exact integers + one division; the analytic curve lives in the
+    // spec, not the data path.
+    "q_bloom_fpr" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      Profiling.bloomFprAudit(
+        cust.where(col("c_mktsegment") === "BUILDING"),
+        cust.where(col("c_mktsegment") =!= "BUILDING"),
+        col("c_custkey"), m = 4096L, k = 3)
+    }),
+
+    // Bounded-hop harmonic centrality over the SimHash near-dup doc
+    // graph: Σ 1/d within 3 hops — which duplicates sit at the CENTER of
+    // a near-dup cluster (canonical-pick tiebreak evidence C53 can use).
+    // The lcm numerator keeps the score one exact division.
+    "q_harmonic" -> ((s, dir) => {
+      val pairs = TextOps.simHashNearDupCached(
+        T(s, dir, "documents"), "doc_id", "text", 3, s, dir).select("id_a", "id_b")
+      Graph.harmonicCentrality(pairs, "id_a", "id_b", maxHops = 3)
+        .orderBy("node_id")
+    }),
+
     // K-minimum-values distinct sketch per language over the trigram
     // shingle vocabulary (the dedup keying unit — and, unlike the
     // 31-type unigram vocab of this corpus, large enough to exercise
@@ -3550,9 +3575,12 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 20)
       val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
         .select(col("query_id"), col("corpus_id"))
+      // ONE ADC ranking serves every rerank budget (r16: the encode +
+      // LUT + ranking is the expensive part; re-cutting it is free)
+      val ranked = VectorOps.pqAdcRanked(emb, queries, "vec_id", "embedding", books)
+        .where(col("_rn") <= 20).localCheckpoint(true)
       Seq(5, 10, 20).map { r =>
-        val pq = VectorOps.pqTopK(emb, queries, "vec_id", "embedding", 5,
-            books, rerank = r)
+        val pq = VectorOps.rerankAdc(ranked, k = 5, rerank = r)
           .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
         brute.join(pq, Seq("query_id", "corpus_id"), "left")
           .agg(count(lit(1)).as("n_pairs"),
@@ -9351,6 +9379,77 @@ object SparkEntry {
          FROM e ORDER BY source""",
 
     // The md5 hash rule makes the whole KMV sketch replicable: distinct
+    // Bloom FPR: the same md5 position family (v || '#' || j mod m),
+    // distinct member positions, k-row probe checkdown, exact ratio.
+    "q_bloom_fpr" ->
+      """WITH mem AS (SELECT DISTINCT c_custkey::VARCHAR AS v FROM customer
+                      WHERE c_mktsegment = 'BUILDING'),
+         prb AS (SELECT DISTINCT c_custkey::VARCHAR AS v FROM customer
+                 WHERE c_mktsegment <> 'BUILDING'),
+         js AS (SELECT unnest([1, 2, 3]) AS j),
+         mpos AS (SELECT DISTINCT ('0x' || substr(md5(v || '#' || j), 1, 8))::BIGINT % 4096 AS pos
+                  FROM mem CROSS JOIN js),
+         ppos AS (SELECT v, ('0x' || substr(md5(v || '#' || j), 1, 8))::BIGINT % 4096 AS pos
+                  FROM prb CROSS JOIN js),
+         hits AS (SELECT p.v,
+                    sum(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END) AS nh
+                  FROM ppos p LEFT JOIN mpos m ON m.pos = p.pos
+                  GROUP BY p.v),
+         agg AS (SELECT count(*)::BIGINT AS n_probes,
+                   sum(CASE WHEN nh = 3 THEN 1 ELSE 0 END)::BIGINT AS n_false_pos
+                 FROM hits),
+         bs AS (SELECT count(*)::BIGINT AS bits_set FROM mpos),
+         nm AS (SELECT count(*)::BIGINT AS n_members FROM mem)
+         SELECT n_members, 4096::BIGINT AS m_bits, 3::BIGINT AS k_hashes, bits_set,
+           round(bits_set::DOUBLE / 4096.0, 6) + 0 AS fill,
+           n_probes, n_false_pos,
+           round(n_false_pos::DOUBLE / n_probes::DOUBLE, 6) + 0 AS fpr
+         FROM agg CROSS JOIN bs CROSS JOIN nm""",
+
+    // Harmonic centrality <= 3 hops on the SimHash near-dup graph: the
+    // q_modularity pair CTE, layered BFS via EXCEPT-excluded joins, and
+    // the lcm(1..3) = 6 numerator so the score is one exact division.
+    "q_harmonic" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5('0|' || token), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5('0|' || token), 9, 8))::BIGINT AS h_hi
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b.bit,
+             CASE WHEN (CASE WHEN b.bit < 32 THEN h_lo >> b.bit ELSE h_hi >> (b.bit - 32) END) & 1 = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b),
+         votes AS (SELECT doc_id, bit, sum(vote) AS vote_sum FROM bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote_sum > 0
+                   THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << bit END
+                   ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b, id_a FROM p),
+         d1 AS (SELECT DISTINCT u AS src, v AS node FROM e),
+         d2 AS (SELECT DISTINCT a.src, e2.v AS node
+                FROM d1 a JOIN e e2 ON e2.u = a.node
+                WHERE e2.v <> a.src
+                EXCEPT SELECT src, node FROM d1),
+         d3 AS (SELECT DISTINCT a.src, e2.v AS node
+                FROM d2 a JOIN e e2 ON e2.u = a.node
+                WHERE e2.v <> a.src
+                EXCEPT (SELECT src, node FROM d1 UNION ALL SELECT src, node FROM d2)),
+         allv AS (SELECT src, 1 AS dist FROM d1
+                  UNION ALL SELECT src, 2 FROM d2
+                  UNION ALL SELECT src, 3 FROM d3)
+         SELECT src AS node_id, count(*)::BIGINT AS n_reached,
+           round(sum(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)::DOUBLE / 6.0, 6) + 0 AS harmonic
+         FROM allv GROUP BY src ORDER BY node_id""",
+
     // MWU: rank()/count() windows reproduce min-rank + tie size; doubled
     // rank sums stay integer; sigma2 and z mirror the operator's fixed
     // double-op order exactly.

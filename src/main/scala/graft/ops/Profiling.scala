@@ -1165,6 +1165,49 @@ object Profiling {
         (col("direct_estimate") === col("merged_estimate")).as("merge_exact"))
   }
 
+  /** Deterministic Bloom-filter false-positive audit — the measured
+    * answer to "is m bits × k hashes enough for this key set" BEFORE a
+    * runtime bloom-pruned join (C43) ships with those parameters: build
+    * the filter from `members` with the portable md5 hash family
+    * (position_j = hash32(value ⧺ '#' ⧺ j) mod m), probe it with a
+    * DISJOINT probe set, and report the exact false-positive rate plus
+    * the fill fraction that drives it. Everything is exact integers and
+    * one division — hash-checkable; the analytic (1−e^(−kn/m))^k curve
+    * lives in the spec, not the data path.
+    *
+    * Scale shape: the filter IS a distinct-positions frame (≤ m rows —
+    * sketch-sized, broadcastable); members explode ×k, probes explode ×k
+    * then one left join on position + one per-probe countdown. No
+    * driver-side bitset.
+    */
+  def bloomFprAudit(members: DataFrame, probes: DataFrame, valueCol: Column,
+                    m: Long, k: Int): DataFrame = {
+    require(m > 0 && k > 0, s"need positive m/k (got $m/$k)")
+    def positions(df: DataFrame) = df.select(valueCol.cast("string").as("_v"))
+      .distinct()
+      .select(col("_v"), explode(sequence(lit(1), lit(k))).as("_j"))
+      .select(col("_v"),
+        (Portable.hash32(concat(col("_v"), lit("#"), col("_j"))) % m).as("_pos"))
+    val bits = positions(members).select("_pos").distinct()
+    val nMembers = members.select(valueCol.cast("string").as("_v")).distinct()
+      .agg(count(lit(1)).as("n_members"))
+    val probePos = positions(probes)
+      .join(bits.withColumn("_hit", lit(1L)), Seq("_pos"), "left")
+    val perProbe = probePos.groupBy("_v")
+      .agg((sum(coalesce(col("_hit"), lit(0L))) === k).as("_fp"))
+    perProbe.agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("_fp"), 1L).otherwise(0L)).as("n_false_pos"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .crossJoin(broadcast(nMembers))
+      .select(col("n_members"), lit(m).as("m_bits"),
+        lit(k.toLong).as("k_hashes"), col("bits_set"),
+        Portable.pround(col("bits_set").cast("double") / m.toDouble, 6).as("fill"),
+        col("n_probes"), col("n_false_pos"),
+        Portable.pround(col("n_false_pos").cast("double") /
+          col("n_probes").cast("double"), 6).as("fpr"))
+  }
+
   /** Mann-Whitney U test per group (Wilcoxon rank-sum) — the
     * distribution-free sibling of the C209 Welch t: does the `sampleFlag`
     * subset's value distribution differ from the rest's, judged on RANKS

@@ -487,8 +487,14 @@ object VectorOps {
     * ADC scan touches 16 bytes per corpus row instead of 256, and the
     * exact vectors are fetched for rerank·|queries| rows only.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, codebooks: Array[Array[Array[Float]]], rerank: Int): DataFrame = {
+  /** The ADC-ranked candidate frame shared by [[pqTopK]] and the recall
+    * curve: (query_id, corpus_id, q_vec, c_vec, _rn) with _rn the
+    * per-query ADC rank. Exposing the ranking lets a caller that needs
+    * SEVERAL rerank budgets (q_pq_recall_curve) pay the encode + LUT +
+    * ranking once instead of once per budget (r16: 3× on the curve).
+    */
+  def pqAdcRanked(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                  codebooks: Array[Array[Array[Float]]]): DataFrame = {
     val m = codebooks.length
     require(m > 0, "need at least one codebook")
     val kk = codebooks(0).length
@@ -507,7 +513,10 @@ object VectorOps {
     // True ADC: each query precomputes its m·k lookup table of sub-space
     // dots once; a candidate pair then costs m element_at + a decimal sum
     // of the m partials (order-free, so the oracle replicates it with a
-    // grouped decimal SUM instead of a fixed-order chain).
+    // grouped decimal SUM instead of a fixed-order chain). The per-term
+    // cast is decimal(18,12) — long-backed, so the m-term chain stays in
+    // compact arithmetic (values are unchanged: 12-dp rounding is the
+    // same at any precision and LUT dots are far below the 10⁶ cap).
     val lut = array((0 until m).flatMap { i =>
       codebooks(i).map { cj => dotNative(slice(col("q_vec"), i * d + 1, d), typedlit(cj.toSeq)) }
     }: _*)
@@ -517,11 +526,23 @@ object VectorOps {
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("approx",
         (0 until m).map(i => element_at(col("_lut"), col(s"code_$i") + lit(i * kk + 1))
-          .cast("decimal(28,12)")).reduce(_ + _).cast("double"))
+          .cast("decimal(18,12)")).reduce(_ + _).cast("double"))
     val wa = Window.partitionBy("query_id").orderBy(col("approx").desc, col("corpus_id").asc)
-    val cand = approx.withColumn("_rn", row_number().over(wa)).where(col("_rn") <= rerank)
+    approx.select(col("query_id"), col("corpus_id"), col("q_vec"), col("c_vec"),
+      row_number().over(wa).as("_rn"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, codebooks: Array[Array[Array[Float]]], rerank: Int): DataFrame =
+    rerankAdc(pqAdcRanked(corpus, queries, idCol, vecCol, codebooks), k, rerank)
+
+  /** Exact-cosine rescore of an [[pqAdcRanked]] frame's top `rerank`
+    * candidates per query, cut to the final top `k`.
+    */
+  def rerankAdc(ranked: DataFrame, k: Int, rerank: Int): DataFrame = {
     val wf = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
-    cand.select(col("query_id"), col("corpus_id"),
+    ranked.where(col("_rn") <= rerank)
+      .select(col("query_id"), col("corpus_id"),
         cosineNative(col("q_vec"), col("c_vec")).as("score"))
       .withColumn("rank", row_number().over(wf))
       .where(col("rank") <= k)
@@ -618,10 +639,13 @@ object VectorOps {
     val q = if (residualEncoding)
       q0.withColumn("_qcent", dotNative(col("q_vec"), element_at(centsLit, col("cell") + 1)))
     else q0
+    // decimal(18,12): long-backed compact arithmetic for the m-term ADC
+    // chain (values unchanged — same 12-dp rounding, magnitudes far
+    // below the 10⁶ cap; the r16 pqAdcRanked treatment)
     val lutSum = (0 until m).map(i =>
-      element_at(col("_lut"), col(s"code_$i") + lit(i * kk + 1)).cast("decimal(28,12)"))
+      element_at(col("_lut"), col(s"code_$i") + lit(i * kk + 1)).cast("decimal(18,12)"))
     val approxTerms =
-      if (residualEncoding) col("_qcent").cast("decimal(28,12)") +: lutSum else lutSum
+      if (residualEncoding) col("_qcent").cast("decimal(18,12)") +: lutSum else lutSum
     val approx = c.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("approx", approxTerms.reduce(_ + _).cast("double"))

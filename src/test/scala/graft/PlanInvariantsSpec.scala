@@ -182,17 +182,20 @@ class PlanInvariantsSpec extends SparkSpec {
       "expected TakeOrderedAndProject for the top-20 rank")
   }
 
-  test("triangleCounts size-switch: an edge list over the broadcast threshold shuffles the closing join") {
-    // the 100×-scale half of the contract: when the measured edge count
-    // exceeds the session broadcast threshold, the auto strategy must NOT
-    // pin a broadcast (the closing side is the entire oriented edge set —
-    // an executor OOM at scale); it falls back to a shuffled hash join
-    // with identical results
+  test("triangleCounts size-switch: an over-cap edge list shuffles the closing join") {
+    // the 100×-scale half of the contract: when the closing side must
+    // not broadcast (the auto cap is max(session threshold, 128 MB) of
+    // MEASURED 16 B rows — GB-scale edge lists exceed it; -1 disables
+    // broadcast outright), the strategy falls back to a shuffled hash
+    // join with identical results. -1 is the forcing mechanism here:
+    // a spec-sized fixture cannot exceed the 128 MB floor, and the floor
+    // itself exists because the r16 bench measured the 10 MB default
+    // flipping sf0.1's 19 MB edge list to shuffle for a 1.7× slowdown.
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val big = try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64") // 5 edges × 16 B > 64 B
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val d = graft.ops.Graph.triangleCounts(edges, "a", "b")
       val rows = d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(rows === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))

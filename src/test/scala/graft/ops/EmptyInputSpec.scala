@@ -351,6 +351,13 @@ class EmptyInputSpec extends SparkSpec {
       7, 0.5, 0.25, 0.25).count() === 0)
     assert(EventOps.decayedLeaderboard(df(Seq.empty[TsUser16])
       .withColumnRenamed("user_id", "k2"), "ts", "k2", 10).count() === 0)
+    val noVals = df(Seq.empty[Doc16]).withColumnRenamed("text", "v")
+    // empty members: zero bits set, every probe a clean miss
+    val bloom = Profiling.bloomFprAudit(noVals,
+      df(Seq(Doc16(1L, "p"))).withColumnRenamed("text", "v"), col("v"), 64L, 3).head()
+    assert(bloom.getLong(3) === 0L && bloom.getLong(6) === 0L)
+    assert(Graph.harmonicCentrality(df(Seq.empty[Pair16])
+      .select(col("item_a").as("a"), col("item_b").as("b")), "a", "b").count() === 0)
   }
 }
 

@@ -136,6 +136,49 @@ class Round16bOpsSpec extends SparkSpec {
     assert(last.getDouble(6) === 0.75)
   }
 
+  // ── bloomFprAudit ─────────────────────────────────────────────────────
+
+  test("bloomFprAudit: no false negatives; saturated filter flags everything") {
+    val members = (1 to 50).map(i => Tuple1(s"m$i")).toDF("v")
+    // probing the members themselves: every probe must hit all k positions
+    val self = Profiling.bloomFprAudit(members, members, col("v"), 4096L, 3).head()
+    assert(self.getLong(6) === self.getLong(5),
+      "members probed against their own filter must all flag (no false negatives)")
+    // disjoint probes on a roomy filter: fpr well under 1
+    val probes = (1 to 200).map(i => Tuple1(s"p$i")).toDF("v")
+    val r = Profiling.bloomFprAudit(members, probes, col("v"), 4096L, 3).head()
+    assert(r.getLong(0) === 50L && r.getLong(5) === 200L)
+    assert(r.getDouble(7) < 0.05, s"4096 bits / 50 keys should be sparse (fpr=${r.getDouble(7)})")
+    // a saturated filter (m=4) flags essentially everything
+    val sat = Profiling.bloomFprAudit(members, probes, col("v"), 4L, 3).head()
+    assert(sat.getDouble(7) > 0.9, "4-bit filter must be useless")
+  }
+
+  // ── harmonicCentrality ────────────────────────────────────────────────
+
+  test("harmonicCentrality: hand-checked path graph; maxHops bounds the reach") {
+    // path 1-2-3-4: H(1) = 1 + 1/2 + 1/3; H(2) = 1 + 1 + 1/2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val h = Graph.harmonicCentrality(path, "a", "b", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(h(1L) === ((3L, 1.833333)))
+    assert(h(2L) === ((3L, 2.5)))
+    assert(h(3L) === ((3L, 2.5)))
+    // path 1-2-3-4-5 at maxHops=3: node 1 cannot see node 5
+    val p5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val h5 = Graph.harmonicCentrality(p5, "a", "b", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h5(1L) === 3L, "distance-4 node must be outside the 3-hop horizon")
+    assert(h5(3L) === 4L, "the center reaches everyone within 2")
+  }
+
+  test("harmonicCentrality: disconnected components never leak across") {
+    val twoComp = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val h = Graph.harmonicCentrality(twoComp, "a", "b", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h === Map(1L -> 1.0, 2L -> 1.0, 10L -> 1.0, 11L -> 1.0))
+  }
+
   // ── mannWhitneyU ──────────────────────────────────────────────────────
 
   test("mannWhitneyU: hand-checked U and z on a tiny two-sample fixture") {
