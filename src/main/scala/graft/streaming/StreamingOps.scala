@@ -490,6 +490,57 @@ object StreamingOps {
     }
   }
 
+  /** Streaming exponentially-decayed leaderboard — the streaming twin of
+    * EventOps.decayedLeaderboard (C253): state is the (key, day, cnt)
+    * daily rollup — a counts MONOID, so merging per-batch rollups equals
+    * the batch rollup for any micro-batch boundaries or arrival order,
+    * and the decayed ranking derives from state at READ time against the
+    * max day seen so far (late-arriving old days simply back-fill their
+    * counts; the 2^(−age) weights re-derive, no decay state to patch).
+    * State is keys × day-catalog sized — the same daily rollup table a
+    * batch deployment keeps. Idempotent-replay contract as every
+    * foreachBatch state here.
+    */
+  final class DecayedLeaderboardState(tsCol: String, keyCol: String) {
+    private val daily = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    private def rollup(batch: DataFrame): DataFrame = batch
+      .select(col(keyCol).cast("string").as("key"), to_date(col(tsCol)).as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("cnt"))
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = rollup(batch)
+      val merged = daily.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("key", "day").agg(sum("cnt").as("cnt"))
+        case None => p
+      }
+      daily.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** The decayed top-k off the current state — bit-identical to the
+      * batch operator over the same rows (same dyadic weights, decimal
+      * sum, rounded rank key). One-trigger validity (RetiringFrame).
+      */
+    def leaderboard(k: Int): Option[DataFrame] = daily.get.map { d =>
+      val maxDay = d.agg(max("day").as("_maxDay"))
+      val w = graft.ops.Portable.kRowWindow(col("score").desc, col("key").asc)
+      d.crossJoin(broadcast(maxDay))
+        .withColumn("_wgt", pow(lit(0.5), datediff(col("_maxDay"), col("day"))))
+        .groupBy("key")
+        .agg(graft.ops.Portable.decSum(col("cnt") * col("_wgt"), 12).as("_raw"),
+          sum("cnt").as("raw_count"))
+        .select(col("key"), col("raw_count"),
+          graft.ops.Portable.pround(col("_raw"), 6).as("score"))
+        .orderBy(col("score").desc, col("key").asc).limit(k)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select("rank", "key", "raw_count", "score")
+    }
+  }
+
   /** Streaming CDC apply (VERDICT r7 item 7) — the streaming twin of
     * Relational.cdcApply (C89): I/U/D changelog micro-batches merge into
     * a running base via foreachBatch, latest version per key wins, D

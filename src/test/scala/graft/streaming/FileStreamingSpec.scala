@@ -1172,6 +1172,37 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decayed leaderboard converges to the batch ranking") {
+    // C253's streaming twin: the (key, day, cnt) daily rollup is a count
+    // monoid, so whatever the micro-batch boundaries — including an
+    // out-of-order batch back-filling an EARLIER day — the derived
+    // decayed ranking must equal the batch operator bit-for-bit.
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "event_type")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_decay_in").toString
+    // two arbitrary slices, written as separate files → separate triggers;
+    // the second file carries the EARLIEST days (out-of-order arrival)
+    val w = events.withColumn("_r", col("ts").cast("long") % 2)
+    w.where(col("_r") === 0).drop("_r").coalesce(1).write.parquet(s"$inDir/f0")
+    val state = new StreamingOps.DecayedLeaderboardState("ts", "event_type")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/f0")
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      // late back-fill applied directly (same mergeBatch contract)
+      state.mergeBatch(w.where(col("_r") === 1).drop("_r"), 1000L)
+      val streamed = state.leaderboard(10).get
+      val batch = graft.ops.EventOps.decayedLeaderboard(events, "ts", "event_type", 10)
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "streamed decayed ranking must equal the batch operator")
+      // batchId replay is a no-op
+      state.mergeBatch(events, 1000L)
+      val replayed = state.leaderboard(10).get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
   test("cdcApplyKeyed rejects non-integral/string key columns at entry") {
     // The state-store grouping key is the key column rendered to string —
     // injective for integral/string keys only. A Double key must fail
