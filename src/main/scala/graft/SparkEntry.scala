@@ -3400,6 +3400,19 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // Truncated betweenness (path length ≤ 3) on the REPEAT-trade graph
+    // (w ≥ 3 — the q_kcore family's bipartite cust↔supp edges, a tier
+    // stricter so path structure stays rich at every SF): Brandes' pair
+    // dependency restricted to short paths — which customers/suppliers
+    // BROKER between market halves (q_harmonic finds centers; this finds
+    // connectors). Exact integer path counts; one fixed division per
+    // (pair, vertex).
+    "q_betweenness" -> ((s, dir) => {
+      val repeat = weightedTradeEdges(s, dir).where(col("w") >= 3)
+      Graph.truncatedBetweenness(repeat, "cust", "supp")
+        .orderBy("node_id")
+    }),
+
     // K-minimum-values distinct sketch per language over the trigram
     // shingle vocabulary (the dedup keying unit — and, unlike the
     // 31-type unigram vocab of this corpus, large enough to exercise
@@ -9449,6 +9462,41 @@ object SparkEntry {
          SELECT src AS node_id, count(*)::BIGINT AS n_reached,
            round(sum(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)::DOUBLE / 6.0, 6) + 0 AS harmonic
          FROM allv GROUP BY src ORDER BY node_id""",
+
+    // Truncated betweenness: 2-/3-path enumeration over the same pair
+    // CTE, shortest-only via NOT-EXISTS exclusions, per-pair 1/sigma
+    // dependencies decimal-summed per vertex.
+    "q_betweenness" ->
+      """WITH e0 AS (
+           SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         e AS (SELECT cust AS u, supp AS v FROM e0 UNION SELECT supp, cust FROM e0),
+         p1 AS (SELECT u AS s, v AS t FROM e WHERE u < v),
+         paths2 AS MATERIALIZED (
+           SELECT a.u AS s, a.v AS mid, b.v AS t
+           FROM e a JOIN e b ON a.v = b.u
+           WHERE a.u < b.v
+             AND NOT EXISTS (SELECT 1 FROM p1 WHERE p1.s = a.u AND p1.t = b.v)),
+         sigma2 AS MATERIALIZED (SELECT s, t, count(*)::BIGINT AS sg FROM paths2 GROUP BY 1, 2),
+         paths3 AS MATERIALIZED (
+           SELECT a.u AS s, a.v AS v1, b.v AS v2, c.v AS t
+           FROM e a JOIN e b ON a.v = b.u JOIN e c ON b.v = c.u
+           WHERE b.v <> a.u AND a.u < c.v AND a.v <> c.v
+             AND NOT EXISTS (SELECT 1 FROM p1 WHERE p1.s = a.u AND p1.t = c.v)
+             AND NOT EXISTS (SELECT 1 FROM sigma2 WHERE sigma2.s = a.u AND sigma2.t = c.v)),
+         sigma3 AS (SELECT s, t, count(*)::BIGINT AS sg FROM paths3 GROUP BY 1, 2),
+         dep AS (
+           SELECT mid AS node_id, 1.0::DOUBLE / sg::DOUBLE AS d
+           FROM paths2 JOIN sigma2 USING (s, t)
+           UNION ALL
+           SELECT v1, 1.0::DOUBLE / sg::DOUBLE FROM paths3 JOIN sigma3 USING (s, t)
+           UNION ALL
+           SELECT v2, 1.0::DOUBLE / sg::DOUBLE FROM paths3 JOIN sigma3 USING (s, t))
+         SELECT node_id, round(sum(CAST(d AS DECIMAL(28,12)))::DOUBLE, 6) + 0 AS betweenness,
+           count(*)::BIGINT AS n_path_slots
+         FROM dep GROUP BY node_id ORDER BY node_id""",
+
 
     // MWU: rank()/count() windows reproduce min-rank + tie size; doubled
     // rank sums stay integer; sigma2 and z mirror the operator's fixed

@@ -606,6 +606,65 @@ object Graph {
     * triangle kernel is one degree aggregate and a node-keyed left join
     * (triangle-free nodes carry T = 0).
     */
+  /** Truncated (k-)betweenness, path length ≤ 3: for every unordered
+    * pair (s, t) at distance 2 or 3, each interior vertex of a shortest
+    * s–t path collects (paths through it)/(total shortest s–t paths) —
+    * Brandes' pair-dependency δ restricted to short paths, the standard
+    * bounded variant (length-1 pairs have no interior; at social/near-dup
+    * diameters ≤3 captures most of the exact score while keeping the
+    * computation three self-joins instead of an all-sources BFS).
+    *
+    * Exactness: path counts are exact integers; each distance class
+    * contributes Σ (through_v / σ_st) — summed as DECIMAL(28,12) of the
+    * per-pair division, the one fixed double op, so rows hash-check.
+    *
+    * Scale shape: candidate 2-paths are one edge self-join (fan-out
+    * bounded by degree like the triangle wedge join), 3-paths one more;
+    * both anti-join against the shorter-distance pair sets so only true
+    * shortest paths count. All equi-joins + hash aggregates on payload-
+    * free key pairs. Input contract: canonical undirected edges (a < b,
+    * distinct, no self-loops).
+    */
+  def truncatedBetweenness(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // unordered dist-1 pairs (the exclusion set for d=2 candidates)
+    val p1 = sym.where(col("u") < col("v")).select(col("u").as("s"), col("v").as("t"))
+    // 2-paths s–v–t, s < t, excluding adjacent pairs → d(s,t) = 2 exactly
+    val paths2 = sym.select(col("u").as("s"), col("v").as("mid"))
+      .join(sym.select(col("u").as("mid"), col("v").as("t")), Seq("mid"))
+      .where(col("s") < col("t"))
+      .join(p1, Seq("s", "t"), "left_anti")
+      .localCheckpoint(true) // reused: σ₂ aggregate, δ₂ rollup, d3 exclusion
+    val sigma2 = paths2.groupBy("s", "t").agg(count(lit(1)).as("_sigma"))
+    val p2 = sigma2.select("s", "t")
+    // 3-paths s–v–w–t, s < t, vertices distinct, excluding d ≤ 2 pairs
+    val paths3 = sym.select(col("u").as("s"), col("v").as("v1"))
+      .join(sym.select(col("u").as("v1"), col("v").as("v2")), Seq("v1"))
+      .where(col("v2") =!= col("s"))
+      .join(sym.select(col("u").as("v2"), col("v").as("t")), Seq("v2"))
+      .where(col("s") < col("t") && col("v1") =!= col("t"))
+      .join(p1, Seq("s", "t"), "left_anti")
+      .join(p2, Seq("s", "t"), "left_anti")
+      .localCheckpoint(true) // reused: σ₃ aggregate + two interior rollups
+    val sigma3 = paths3.groupBy("s", "t").agg(count(lit(1)).as("_sigma"))
+    // per-pair dependency: through_v / σ, decimal-summed per vertex
+    val dep2 = paths2.join(sigma2, Seq("s", "t"))
+      .select(col("mid").as("node_id"),
+        (lit(1.0) / col("_sigma").cast("double")).as("_d"))
+    val dep3 = paths3.join(sigma3, Seq("s", "t"))
+      .select(explode(array(col("v1"), col("v2"))).as("node_id"),
+        (lit(1.0) / col("_sigma").cast("double")).as("_d"))
+    dep2.unionByName(dep3)
+      .groupBy("node_id")
+      .agg(Portable.pround(Portable.decSum(col("_d"), 12), 6).as("betweenness"),
+        count(lit(1)).as("n_path_slots"))
+  }
+
   /** Bounded-hop harmonic centrality: H(v) = Σ_{u≠v, d(u,v)≤maxHops} 1/d
     * — the centrality that handles disconnected graphs gracefully
     * (unreachable nodes contribute 0 instead of poisoning an average,

@@ -358,6 +358,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(bloom.getLong(3) === 0L && bloom.getLong(6) === 0L)
     assert(Graph.harmonicCentrality(df(Seq.empty[Pair16])
       .select(col("item_a").as("a"), col("item_b").as("b")), "a", "b").count() === 0)
+    assert(Graph.truncatedBetweenness(df(Seq.empty[Pair16])
+      .select(col("item_a").as("a"), col("item_b").as("b")), "a", "b").count() === 0)
   }
 }
 

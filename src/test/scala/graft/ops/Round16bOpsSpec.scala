@@ -172,6 +172,39 @@ class Round16bOpsSpec extends SparkSpec {
     assert(h5(3L) === 4L, "the center reaches everyone within 2")
   }
 
+  test("truncatedBetweenness: path, star, and split-flow diamond are hand-exact") {
+    // path 1-2-3-4: (1,3) and (1,4) route through 2; (2,4) and (1,4)
+    // through 3 → both interiors score 2; endpoints never appear
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val hp = Graph.truncatedBetweenness(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hp === Map(2L -> 2.0, 3L -> 2.0))
+
+    // star: all 6 leaf pairs route through the center, sigma = 1 each
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val hs = Graph.truncatedBetweenness(star, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hs === Map(0L -> 6.0))
+
+    // diamond 1-2, 1-3, 2-4, 3-4: every distance-2 pair has sigma = 2,
+    // so every vertex brokers exactly half a pair
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val hd = Graph.truncatedBetweenness(diamond, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hd === Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5))
+  }
+
+  test("truncatedBetweenness counts only SHORTEST paths") {
+    // triangle plus a pendant: (1,2) are adjacent, so the 2-path through
+    // 3 must NOT count; only (3,4)'s route through 1 (d=2) and nothing
+    // else scores
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val h = Graph.truncatedBetweenness(g, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pairs: (2,4): d=2 via 1 only (sigma 1); (3,4): d=2 via 1 (sigma 1)
+    assert(h === Map(1L -> 2.0))
+  }
+
   test("harmonicCentrality: disconnected components never leak across") {
     val twoComp = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
     val h = Graph.harmonicCentrality(twoComp, "a", "b", maxHops = 3)
