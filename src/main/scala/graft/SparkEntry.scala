@@ -3389,6 +3389,14 @@ object SparkEntry {
         col("c_custkey"), m = 4096L, k = 3)
     }),
 
+    // Binary-segmentation change-point per user series: the split
+    // minimizing SSE_left + SSE_right off exact decimal prefix sums —
+    // C191's CUSUM says "a drift exists", this says WHERE the level
+    // shifted, with the variance explained (gain_ratio) as effect size.
+    "q_changepoint" -> ((s, dir) =>
+      TimeSeries.binSegChangepoint(T(s, dir, "events"), "user_id", "event_id", "value")
+        .orderBy("user_id")),
+
     // Bounded-hop harmonic centrality over the SimHash near-dup doc
     // graph: Σ 1/d within 3 hops — which duplicates sit at the CENTER of
     // a near-dup cluster (canonical-pick tiebreak evidence C53 can use).
@@ -9462,6 +9470,39 @@ object SparkEntry {
          SELECT src AS node_id, count(*)::BIGINT AS n_reached,
            round(sum(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)::DOUBLE / 6.0, 6) + 0 AS harmonic
          FROM allv GROUP BY src ORDER BY node_id""",
+
+    // Changepoint: the same prefix-sum windows, candidate costs, and
+    // the argmin via (cost, k)-ordered row_number — identical doubles
+    // both sides, ties to the smallest split.
+    "q_changepoint" ->
+      """WITH b AS (
+           SELECT user_id, event_id, value::DOUBLE AS v,
+             row_number() OVER w AS k,
+             sum(CAST(value AS DECIMAL(28,6))) OVER w::DOUBLE AS s1,
+             sum(CAST(value*value AS DECIMAL(28,6))) OVER w::DOUBLE AS s2,
+             count(*) OVER wa AS n,
+             sum(CAST(value AS DECIMAL(28,6))) OVER wa::DOUBLE AS t1,
+             sum(CAST(value*value AS DECIMAL(28,6))) OVER wa::DOUBLE AS t2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wa AS (PARTITION BY user_id)),
+         c AS (
+           SELECT user_id, event_id, k, n, t1, t2,
+             (s2 - s1*s1/k::DOUBLE)
+               + ((t2 - s2) - (t1 - s1)*(t1 - s1)/(n - k)::DOUBLE) AS cost,
+             t2 - t1*t1/n::DOUBLE AS total
+           FROM b WHERE k < n),
+         r AS (
+           SELECT user_id, k, event_id, cost, total, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY cost ASC, k ASC) AS rn
+           FROM c)
+         SELECT user_id, n::BIGINT AS n, k::BIGINT AS split_k,
+           event_id AS split_order,
+           round(cost, 6) + 0 AS sse_split,
+           round(total, 6) + 0 AS sse_total,
+           CASE WHEN total > 0 THEN round((total - cost) / total, 6) + 0 END AS gain_ratio
+         FROM r WHERE rn = 1 ORDER BY user_id""",
 
     // Truncated betweenness: 2-/3-path enumeration over the same pair
     // CTE, shortest-only via NOT-EXISTS exclusions, per-pair 1/sigma

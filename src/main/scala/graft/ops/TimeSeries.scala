@@ -680,6 +680,58 @@ object TimeSeries {
           .as("residual"))
   }
 
+  /** Single best change-point per series by binary segmentation: the
+    * split k (1 ≤ k < n, in `orderCol` order) minimizing
+    * SSE(1..k) + SSE(k+1..n) — the first step of the classic binary-
+    * segmentation / PELT family, and the LOCALIZING complement of the
+    * CUSUM detector (C191 says "a drift exists"; this says WHERE the
+    * level shifted, with the variance explained by the split as the
+    * effect size).
+    *
+    * Exactness: both range SSEs come from exact decimal prefix sums
+    * (SSE(i..j) = Σx² − (Σx)²/n — the rollingVol identity on ranges), so
+    * every candidate's cost is the same fixed double expression in both
+    * engines and the argmin (ties → smallest k) picks identical rows.
+    *
+    * Scale shape: ONE series-key exchange serves the prefix windows, the
+    * totals window, and the final argmin aggregate; per-row state is two
+    * decimals. No driver loop — all candidate splits evaluate at once.
+    */
+  def binSegChangepoint(df: DataFrame, seriesKey: String, orderCol: String,
+                        valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesKey).orderBy(orderCol)
+    val wAll = Window.partitionBy(seriesKey)
+    val v = col(valueCol).cast("double")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(seriesKey), col(orderCol), v.as("_v"))
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .withColumn("_s1", sum(col("_v").cast("decimal(28,6)")).over(w).cast("double"))
+      .withColumn("_s2", sum((col("_v") * col("_v")).cast("decimal(28,6)")).over(w).cast("double"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_t1", sum(col("_v").cast("decimal(28,6)")).over(wAll).cast("double"))
+      .withColumn("_t2", sum((col("_v") * col("_v")).cast("decimal(28,6)")).over(wAll).cast("double"))
+    val k = col("_k").cast("double")
+    val nr = (col("_n") - col("_k")).cast("double")
+    val sseL = col("_s2") - col("_s1") * col("_s1") / k
+    val sseR = (col("_t2") - col("_s2")) -
+      (col("_t1") - col("_s1")) * (col("_t1") - col("_s1")) / nr
+    val cand = base.where(col("_k") < col("_n"))
+      .withColumn("_cost", sseL + sseR)
+      .withColumn("_total", col("_t2") - col("_t1") * col("_t1") / col("_n").cast("double"))
+    cand.groupBy(seriesKey)
+      .agg(
+        min(struct(col("_cost"), col("_k"), col(orderCol).as("_o"), col("_total"))).as("_best"),
+        max("_n").as("n"))
+      .select(col(seriesKey), col("n"),
+        col("_best._k").as("split_k"),
+        col("_best._o").as("split_order"),
+        Portable.pround(col("_best._cost"), 6).as("sse_split"),
+        Portable.pround(col("_best._total"), 6).as("sse_total"),
+        when(col("_best._total") > 0,
+          Portable.pround((col("_best._total") - col("_best._cost")) / col("_best._total"), 6))
+          .as("gain_ratio"))
+  }
+
   /** Holt-Winters additive triple exponential smoothing per series —
     * [[holt]] plus a season-m additive component: with s̄ the seasonal
     * slot m observations back,

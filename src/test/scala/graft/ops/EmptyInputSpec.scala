@@ -360,6 +360,8 @@ class EmptyInputSpec extends SparkSpec {
       .select(col("item_a").as("a"), col("item_b").as("b")), "a", "b").count() === 0)
     assert(Graph.truncatedBetweenness(df(Seq.empty[Pair16])
       .select(col("item_a").as("a"), col("item_b").as("b")), "a", "b").count() === 0)
+    assert(TimeSeries.binSegChangepoint(df(Seq.empty[Series16]), "key", "t", "v")
+      .count() === 0)
   }
 }
 

@@ -308,6 +308,30 @@ class Round16bOpsSpec extends SparkSpec {
     }
   }
 
+  // ── binSegChangepoint ─────────────────────────────────────────────────
+
+  test("binSegChangepoint: a planted level shift is localized exactly") {
+    val vals = Seq.fill(10)(5.0) ++ Seq.fill(10)(50.0)
+    val r = TimeSeries.binSegChangepoint(series(vals: _*), "key", "t", "v").head()
+    assert(r.getLong(1) === 20L)
+    assert(r.getLong(2) === 10L, "split must land exactly at the shift")
+    assert(r.getDouble(4) === 0.0, "two constant halves have zero split SSE")
+    assert(r.getDouble(6) === 1.0, "the split explains ALL the variance")
+    // with noise on both halves the split still lands at the shift
+    val noisy = vals.zipWithIndex.map { case (v, i) => v + (i % 3) * 0.1 }
+    val rn = TimeSeries.binSegChangepoint(series(noisy: _*), "key", "t", "v").head()
+    assert(rn.getLong(2) === 10L)
+    assert(rn.getDouble(6) > 0.99)
+  }
+
+  test("binSegChangepoint: constant series ties to the first split with NULL gain; n=1 drops") {
+    val r = TimeSeries.binSegChangepoint(series(7.0, 7.0, 7.0, 7.0), "key", "t", "v").head()
+    assert(r.getLong(2) === 1L, "all-zero costs tie to the smallest k")
+    assert(r.isNullAt(6), "zero total variance has no gain ratio")
+    assert(TimeSeries.binSegChangepoint(series(42.0), "key", "t", "v").count() === 0,
+      "a 1-point series has no candidate split")
+  }
+
   // ── decayedLeaderboard ────────────────────────────────────────────────
 
   test("decayedLeaderboard: yesterday counts half; ranking follows the decayed score") {
