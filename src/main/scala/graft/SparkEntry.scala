@@ -3389,6 +3389,19 @@ object SparkEntry {
         col("c_custkey"), m = 4096L, k = 3)
     }),
 
+    // QQ drift table between the md5 train split and the rest on
+    // n_chars: KS (C182) compresses distribution mismatch to one
+    // statistic, this says WHERE the cohorts diverge (tails vs body) —
+    // the audit read before trusting a covariate split. Rank-pick
+    // quantiles, no interpolation (the repo's percentile discipline).
+    "q_qq_drift" -> ((s, dir) =>
+      Profiling.qqDrift(
+        T(s, dir, "documents")
+          .select((Portable.hash32(col("doc_id")) % 10000 < 8000).as("_train"),
+            col("n_chars")),
+        col("_train"), col("n_chars"), Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+        .orderBy("q")),
+
     // Binary-segmentation change-point per user series: the split
     // minimizing SSE_left + SSE_right off exact decimal prefix sums —
     // C191's CUSUM says "a drift exists", this says WHERE the level
@@ -9470,6 +9483,29 @@ object SparkEntry {
          SELECT src AS node_id, count(*)::BIGINT AS n_reached,
            round(sum(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)::DOUBLE / 6.0, 6) + 0 AS harmonic
          FROM allv GROUP BY src ORDER BY node_id""",
+
+    // QQ drift: the same rank-pick rule (rn = 1 + floor(q(n-1))) per
+    // cohort, pivoted per quantile.
+    "q_qq_drift" ->
+      """WITH b AS (
+           SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 AS a,
+             n_chars::DOUBLE AS v
+           FROM documents),
+         r AS (
+           SELECT a, v,
+             row_number() OVER (PARTITION BY a ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY a) AS n
+           FROM b),
+         qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q),
+         p AS (
+           SELECT r.a, r.v, qs.q
+           FROM r CROSS JOIN qs
+           WHERE r.rn = 1 + floor(qs.q * (r.n - 1)::DOUBLE)::BIGINT)
+         SELECT q,
+           max(CASE WHEN a THEN v END) AS v_a,
+           max(CASE WHEN NOT a THEN v END) AS v_b,
+           round(max(CASE WHEN NOT a THEN v END) - max(CASE WHEN a THEN v END), 6) + 0 AS diff
+         FROM p GROUP BY q ORDER BY q""",
 
     // Changepoint: the same prefix-sum windows, candidate costs, and
     // the argmin via (cost, k)-ordered row_number — identical doubles

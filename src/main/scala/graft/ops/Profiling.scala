@@ -1165,6 +1165,49 @@ object Profiling {
         (col("direct_estimate") === col("merged_estimate")).as("merge_exact"))
   }
 
+  /** Quantile-quantile drift table between two cohorts — the
+    * DISTRIBUTION-match audit for a train/test split or an A/B
+    * assignment: the value at each requested quantile in cohort A vs
+    * cohort B, plus the gap. KS (C182) compresses the mismatch to one
+    * statistic; the QQ table says WHERE in the distribution the cohorts
+    * diverge (tails vs body), which is what you read before trusting a
+    * covariate split.
+    *
+    * Quantile rule: rank-pick, NO interpolation — the value at
+    * rn = 1 + floor(q·(n−1)) in ascending order (the repo's percentile
+    * discipline: both engines pick the identical physical row, so even
+    * the floor's FP edge cases agree — q·(n−1) is the same double on
+    * both sides). Ties need no tiebreak: equal values at a rank
+    * boundary yield the same picked VALUE under any tie order.
+    *
+    * Scale shape: one cohort-keyed exchange serves the rank window and
+    * the count; the quantile explode is rows × |quantiles| only at the
+    * matched ranks (the filter precedes the pivot aggregate).
+    */
+  def qqDrift(df: DataFrame, cohortFlag: Column, valueCol: Column,
+              quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      "quantiles must lie in [0, 1]")
+    val base = df.where(valueCol.isNotNull)
+      .select(cohortFlag.as("_a"), valueCol.cast("double").as("_v"))
+    val wOrd = Window.partitionBy("_a").orderBy("_v")
+    val wAll = Window.partitionBy("_a")
+    val ranked = base
+      .withColumn("_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    val picked = ranked
+      .select(col("_a"), col("_v"), col("_rn"), col("_n"),
+        explode(array(quantiles.map(lit(_)): _*)).as("q"))
+      .where(col("_rn") ===
+        lit(1L) + floor(col("q") * (col("_n") - 1L).cast("double")).cast("long"))
+    picked.groupBy("q")
+      .agg(
+        max(when(col("_a"), col("_v"))).as("v_a"),
+        max(when(!col("_a"), col("_v"))).as("v_b"))
+      .select(col("q"), col("v_a"), col("v_b"),
+        Portable.pround(col("v_b") - col("v_a"), 6).as("diff"))
+  }
+
   /** Deterministic Bloom-filter false-positive audit — the measured
     * answer to "is m bits × k hashes enough for this key set" BEFORE a
     * runtime bloom-pruned join (C43) ships with those parameters: build

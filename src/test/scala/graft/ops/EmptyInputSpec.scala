@@ -362,6 +362,8 @@ class EmptyInputSpec extends SparkSpec {
       .select(col("item_a").as("a"), col("item_b").as("b")), "a", "b").count() === 0)
     assert(TimeSeries.binSegChangepoint(df(Seq.empty[Series16]), "key", "t", "v")
       .count() === 0)
+    assert(Profiling.qqDrift(df(Seq.empty[Cohort16]), col("in1"), col("v"),
+      Seq(0.5)).count() === 0)
   }
 }
 

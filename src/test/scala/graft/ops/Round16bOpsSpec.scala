@@ -308,6 +308,30 @@ class Round16bOpsSpec extends SparkSpec {
     }
   }
 
+  // ── qqDrift ───────────────────────────────────────────────────────────
+
+  test("qqDrift: identical cohorts have zero drift; a shifted cohort shows it everywhere") {
+    val same = (1 to 100).flatMap(i => Seq((true, i.toDouble), (false, i.toDouble)))
+    val z = Profiling.qqDrift(same.toDF("a", "v"), col("a"), col("v"),
+      Seq(0.25, 0.5, 0.75)).collect()
+    assert(z.length === 3)
+    z.foreach(r => assert(r.getDouble(3) === 0.0))
+
+    val shifted = (1 to 100).flatMap(i => Seq((true, i.toDouble), (false, i + 10.0)))
+    val d = Profiling.qqDrift(shifted.toDF("a", "v"), col("a"), col("v"),
+      Seq(0.25, 0.5, 0.75)).collect()
+    d.foreach(r => assert(r.getDouble(3) === 10.0, "constant shift appears at every quantile"))
+  }
+
+  test("qqDrift: the rank-pick rule selects the exact physical row (median of odd n)") {
+    // cohort a = {1, 2, 30}: median must be the literal 2, not an
+    // interpolation artifact
+    val rows = Seq((true, 1.0), (true, 2.0), (true, 30.0),
+      (false, 5.0), (false, 6.0), (false, 7.0))
+    val r = Profiling.qqDrift(rows.toDF("a", "v"), col("a"), col("v"), Seq(0.5)).head()
+    assert(r.getDouble(1) === 2.0 && r.getDouble(2) === 6.0)
+  }
+
   // ── binSegChangepoint ─────────────────────────────────────────────────
 
   test("binSegChangepoint: a planted level shift is localized exactly") {
