@@ -911,6 +911,79 @@ object StreamingOps {
       .toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** Streaming MACD — the streaming twin of TimeSeries.macd (C244):
+    * per-key state is the three EWMA accumulators plus the (ts, tie)
+    * high-water mark, updated by `flatMapGroupsWithState`; one output
+    * row per event with the same (macd, signal, hist) triple the batch
+    * recurrence emits. Same ordered-append contract as
+    * [[attributionKeyed]]: recurrences are ORDER-DEFINED, so an event
+    * at or before the merged high-water is an error, not a silent
+    * mis-fold (use the batch operator for unordered logs). Within a
+    * micro-batch rows sort by (ts, tie) first, so any single batch may
+    * arrive unordered; only CROSS-batch regressions reject.
+    *
+    * Convergence: state after any prefix equals the batch fold over
+    * that prefix (the recurrence is a left fold; batching is just fold
+    * splitting) — FileStreamingSpec asserts bit-equality against
+    * TimeSeries.macd.
+    */
+  def macdKeyed(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                valueCol: String, fastN: Int = 12, slowN: Int = 26,
+                signalN: Int = 9): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val keyType = events.schema(keyCol).dataType
+    require(keyType == StringType || keyType == LongType || keyType == IntegerType ||
+        keyType == ShortType || keyType == ByteType,
+      s"macdKeyed requires an integral or string key column; '$keyCol' is $keyType")
+    val aF = 2.0 / (fastN + 1.0); val aS = 2.0 / (slowN + 1.0)
+    val aG = 2.0 / (signalN + 1.0)
+    val projected = events.select(col(keyCol), col(tieCol).cast("long").as(tieCol),
+      unix_micros(col(tsCol)).as("_us"), col(valueCol).cast("double").as(valueCol))
+    val outSchema = StructType(Seq(
+      StructField(tieCol, LongType),
+      projected.schema(keyCol),
+      StructField(valueCol, DoubleType),
+      StructField("macd", DoubleType),
+      StructField("signal", DoubleType),
+      StructField("hist", DoubleType)))
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    implicit val stEnc: org.apache.spark.sql.Encoder[(Boolean, Double, Double, Double, Long, Long)] =
+      Encoders.product[(Boolean, Double, Double, Double, Long, Long)]
+    def step(k: String, rows: Iterator[Row],
+             state: GroupState[(Boolean, Double, Double, Double, Long, Long)]): Iterator[Row] = {
+      var (seen, fast, slow, sig, lastUs, lastTie) =
+        state.getOption.getOrElse((false, 0.0, 0.0, 0.0, Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer[Row]()
+      rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
+        val us = r.getLong(2)
+        val tie = r.getLong(1)
+        if (us < lastUs || (us == lastUs && tie <= lastTie))
+          throw new IllegalStateException(
+            s"macdKeyed: out-of-order arrival for key $k — event ($us, $tie) at or " +
+              s"before the merged high-water ($lastUs, $lastTie); recurrences are " +
+              "order-defined (use the batch operator for unordered logs)")
+        val x = r.getDouble(3)
+        if (!seen) { seen = true; fast = x; slow = x; sig = 0.0 }
+        else {
+          fast = aF * x + (1.0 - aF) * fast
+          slow = aS * x + (1.0 - aS) * slow
+          sig = aG * (fast - slow) + (1.0 - aG) * sig
+        }
+        val m = fast - slow
+        out += Row(tie, r.get(0), x, m, sig, m - sig)
+        lastUs = us
+        lastTie = tie
+      }
+      state.update((seen, fast, slow, sig, lastUs, lastTie))
+      out.iterator
+    }
+    projected.groupByKey((r: Row) => r.get(0).toString)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+      .toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** Streaming twin of TextOps.dedupExact: fingerprint each arriving
     * document (md5 over whitespace-normalized, lower-cased text — the
     * same portable recipe as batch) and emit only the first occurrence

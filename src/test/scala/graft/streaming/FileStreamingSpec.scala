@@ -1148,6 +1148,64 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("macdKeyed converges bit-exactly to the batch MACD across a time-split arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    // synthetic series whose (ts, tie) order IS the batch orderCol order,
+    // so the stream folds the identical sequence per key
+    def t(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${n / 60}%02d:${n % 60}%02d:00")
+    val rows = (0 until 80).map { i =>
+      (i % 4L, i.toLong, t(i), 10.0 + (i % 7) * 1.5 - (i % 3))
+    }
+    val (a, b) = rows.splitAt(37)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val out = StreamingOps.macdKeyed(
+      in.toDF().toDF("key", "tie", "ts", "v"), "key", "ts", "tie", "v")
+    val q = out.writeStream.format("memory").queryName("macd_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      val streamed = toMap(spark.table("macd_stream")
+        .select("tie", "key", "v", "macd", "signal", "hist"))
+      val batchDf = graft.ops.TimeSeries.macd(rows.toDF("key", "tie", "ts", "v")
+        .select("key", "tie", "v"), "key", "tie", "v")
+      val batch = toMap(batchDf.select("tie", "key", "v", "macd", "signal", "hist"))
+      assert(streamed === batch,
+        "streamed recurrence must fold the identical doubles as the batch pass")
+    } finally q.stop()
+  }
+
+  test("macdKeyed refuses out-of-order cross-batch arrivals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val out = StreamingOps.macdKeyed(
+      in.toDF().toDF("key", "tie", "ts", "v"), "key", "ts", "tie", "v")
+    val q = out.writeStream.format("memory").queryName("macd_bad")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 10L, t(5), 1.0))
+      q.processAllAvailable()
+      in.addData((1L, 9L, t(3), 2.0)) // predates the high-water mark
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("out-of-order") ||
+        Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+    } finally q.stop()
+  }
+
   test("attributionKeyed refuses out-of-order cross-batch arrivals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
