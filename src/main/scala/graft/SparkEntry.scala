@@ -3442,6 +3442,17 @@ object SparkEntry {
     // mergeable by keep-smallest-k, intersection-capable, and — because
     // the hash is the deterministic md5 rule — fully oracle-replicable.
     // Exact distinct + estimate + error bound flag in one result.
+    // Pairwise Jaccard of language shingle vocabularies from the SAME
+    // persisted-recipe KMV sketches (Beyer et al.): the union sketch's
+    // smallest hashes vote on membership in both sides — the
+    // direct-Jaccard sibling of C153's HLL inclusion-exclusion; exact
+    // Jaccard + abs error ride along as the audit columns.
+    "q_kmv_jaccard" -> ((s, dir) =>
+      Profiling.kmvJaccard(
+        TextOps.shingles(T(s, dir, "documents"), "lang", "text", 3),
+        "lang", col("shingle"), 64)
+        .orderBy("ga", "gb")),
+
     "q_kmv_distinct" -> ((s, dir) =>
       Profiling.kmvDistinct(
         TextOps.shingles(T(s, dir, "documents"), "lang", "text", 3),
@@ -9708,6 +9719,57 @@ object SparkEntry {
 
     // hash values, the k-th smallest via the same rank window, the same
     // (k-1)/u_k estimator.
+    // KMV Jaccard: the q_kmv_distinct shingle/hash CTEs, per-pair union
+    // sketch via the same rank window, membership votes via left joins,
+    // exact Jaccard over the hashed universe as audit.
+    "q_kmv_jaccard" ->
+      raw"""WITH t AS (
+           SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents),
+         tok AS (
+           SELECT lang, unnest(CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS tok
+           FROM t),
+         h AS (SELECT DISTINCT lang,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+               FROM tok),
+         r AS (SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+               FROM h),
+         sk AS (SELECT lang, h FROM r WHERE rn <= 64),
+         langs AS (SELECT DISTINCT lang FROM sk),
+         pr AS (SELECT a.lang AS ga, b.lang AS gb
+                FROM langs a JOIN langs b ON a.lang < b.lang),
+         uu AS (SELECT DISTINCT pr.ga, pr.gb, sk.h
+                FROM pr JOIN sk ON sk.lang = pr.ga OR sk.lang = pr.gb),
+         ur AS (SELECT ga, gb, h,
+                  row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+                FROM uu),
+         u AS (SELECT ga, gb, h FROM ur WHERE rn <= 64),
+         m AS (
+           SELECT u.ga, u.gb, count(*)::BIGINT AS nu,
+             sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS mt
+           FROM u
+           LEFT JOIN sk a ON a.lang = u.ga AND a.h = u.h
+           LEFT JOIN sk b ON b.lang = u.gb AND b.h = u.h
+           GROUP BY 1, 2),
+         ex AS (SELECT x.lang AS ga, y.lang AS gb, count(*)::BIGINT AS inter
+                FROM h x JOIN h y ON x.h = y.h AND x.lang < y.lang GROUP BY 1, 2),
+         sz AS (SELECT lang, count(*)::BIGINT AS sz FROM h GROUP BY lang)
+         SELECT m.ga, m.gb,
+           round(mt::DOUBLE / nu::DOUBLE, 6) + 0 AS jaccard_est,
+           round(coalesce(ex.inter, 0)::DOUBLE
+                 / (sa.sz + sb.sz - coalesce(ex.inter, 0))::DOUBLE, 6) + 0 AS jaccard_exact,
+           round(abs((round(mt::DOUBLE / nu::DOUBLE, 6) + 0)
+                 - coalesce(ex.inter, 0)::DOUBLE
+                   / (sa.sz + sb.sz - coalesce(ex.inter, 0))::DOUBLE), 6) + 0 AS abs_err
+         FROM m
+         LEFT JOIN ex ON ex.ga = m.ga AND ex.gb = m.gb
+         JOIN sz sa ON sa.lang = m.ga
+         JOIN sz sb ON sb.lang = m.gb
+         ORDER BY m.ga, m.gb""",
+
     "q_kmv_distinct" ->
       raw"""WITH t AS (
            SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

@@ -1165,6 +1165,65 @@ object Profiling {
         (col("direct_estimate") === col("merged_estimate")).as("merge_exact"))
   }
 
+  /** KMV pairwise Jaccard estimate (Beyer et al. 2007) — set similarity
+    * from the SAME k-hash sketches the distinct estimator owns (C210):
+    * for each unordered group pair, the union sketch K(A ∪ B) =
+    * smallest-k(K(A) ∪ K(B)) (the merge monoid), and
+    * Ĵ = |K(A∪B) ∩ A ∩ B| / |K(A∪B)| — the fraction of the union's
+    * smallest hashes that belong to both sides. The direct-Jaccard
+    * sibling of C153's inclusion–exclusion HLL algebra: at 100 TB the
+    * pairwise similarity of any two shards/domains/days is k longs per
+    * side, never a re-scan. Exact Jaccard + abs error ship alongside as
+    * the audit columns (drop at scale).
+    *
+    * Everything is exact integers + one division + round(6); the hash
+    * is the portable md5 rule, so the whole table is oracle-checkable.
+    */
+  def kmvJaccard(df: DataFrame, groupCol: String, valueCol: Column,
+                 k: Int = 64): DataFrame = {
+    val hashes = kmvHashes(df, groupCol, valueCol) // distinct (g, h)
+    val sk = kmvSmallestK(hashes, groupCol, k)
+    val pairs = sk.select(col(groupCol).as("ga")).distinct()
+      .join(sk.select(col(groupCol).as("gb")).distinct(), col("ga") < col("gb"))
+    // union sketch per pair: smallest-k of the two sketches' distinct union
+    val wU = Window.partitionBy("ga", "gb").orderBy("_h")
+    val u = pairs.join(sk.withColumnRenamed(groupCol, "_g"),
+        col("_g") === col("ga") || col("_g") === col("gb"))
+      .select(col("ga"), col("gb"), col("_h")).distinct()
+      .withColumn("_rn", row_number().over(wU))
+      .where(col("_rn") <= k)
+    val inA = sk.select(col(groupCol).as("ga"), col("_h"), lit(1L).as("_inA"))
+    val inB = sk.select(col(groupCol).as("gb"), col("_h"), lit(1L).as("_inB"))
+    val est = u.join(inA, Seq("ga", "_h"), "left")
+      .join(inB, Seq("gb", "_h"), "left")
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("_nu"),
+        sum(when(col("_inA").isNotNull && col("_inB").isNotNull, 1L).otherwise(0L))
+          .as("_match"))
+      .select(col("ga"), col("gb"),
+        Portable.pround(col("_match").cast("double") / col("_nu").cast("double"), 6)
+          .as("jaccard_est"))
+    // exact Jaccard (audit column; a production run drops this branch)
+    val ha = hashes.select(col(groupCol).as("ga"), col("_h"))
+    val hb = hashes.select(col(groupCol).as("gb"), col("_h"))
+    val exact = ha.join(hb, Seq("_h"))
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("_inter"))
+    val sizes = hashes.groupBy(groupCol).agg(count(lit(1)).as("_sz"))
+    est
+      .join(exact, Seq("ga", "gb"), "left").na.fill(0L, Seq("_inter"))
+      .join(sizes.select(col(groupCol).as("ga"), col("_sz").as("_sa")), Seq("ga"))
+      .join(sizes.select(col(groupCol).as("gb"), col("_sz").as("_sb")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("jaccard_est"),
+        Portable.pround(col("_inter").cast("double") /
+          (col("_sa") + col("_sb") - col("_inter")).cast("double"), 6)
+          .as("jaccard_exact"),
+        Portable.pround(abs(col("jaccard_est") -
+          col("_inter").cast("double") /
+            (col("_sa") + col("_sb") - col("_inter")).cast("double")), 6)
+          .as("abs_err"))
+  }
+
   /** Quantile-quantile drift table between two cohorts — the
     * DISTRIBUTION-match audit for a train/test split or an A/B
     * assignment: the value at each requested quantile in cohort A vs

@@ -364,6 +364,8 @@ class EmptyInputSpec extends SparkSpec {
       .count() === 0)
     assert(Profiling.qqDrift(df(Seq.empty[Cohort16]), col("in1"), col("v"),
       Seq(0.5)).count() === 0)
+    assert(Profiling.kmvJaccard(df(Seq.empty[KmvRow]), "lang", col("token"), 16)
+      .count() === 0)
   }
 }
 

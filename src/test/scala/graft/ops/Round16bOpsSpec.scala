@@ -308,6 +308,36 @@ class Round16bOpsSpec extends SparkSpec {
     }
   }
 
+  // ── kmvJaccard ────────────────────────────────────────────────────────
+
+  test("kmvJaccard: below-k sets are EXACT; estimate tracks planted overlap above k") {
+    // two sets of 40 values with 20 shared: union 60 < k=64 → the union
+    // sketch is complete, so the estimate IS the exact Jaccard 20/60
+    val rows = ((1 to 40).map(i => ("a", s"v$i")) ++
+      (21 to 60).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val r = Profiling.kmvJaccard(rows, "g", col("v"), 64).head()
+    assert(r.getDouble(2) === r.getDouble(3), "below-k estimate must equal exact")
+    assert(r.getDouble(3) === 0.333333)
+    assert(r.getDouble(4) === 0.0)
+
+    // large sets (600 per side, 300 shared → J = 1/3): estimate within
+    // the KMV error envelope
+    val big = ((1 to 600).map(i => ("a", s"x$i")) ++
+      (301 to 900).map(i => ("b", s"x$i"))).toDF("g", "v")
+    val rb = Profiling.kmvJaccard(big, "g", col("v"), 64).head()
+    assert(math.abs(rb.getDouble(2) - rb.getDouble(3)) < 0.2,
+      s"est ${rb.getDouble(2)} vs exact ${rb.getDouble(3)}")
+  }
+
+  test("kmvJaccard: disjoint sets estimate zero; identical sets estimate one") {
+    val disjoint = ((1 to 100).map(i => ("a", s"p$i")) ++
+      (1 to 100).map(i => ("b", s"q$i"))).toDF("g", "v")
+    assert(Profiling.kmvJaccard(disjoint, "g", col("v"), 64).head().getDouble(2) === 0.0)
+    val same = ((1 to 100) ++ (1 to 100)).zipWithIndex.map { case (i, idx) =>
+      (if (idx < 100) "a" else "b", s"s$i") }.toDF("g", "v")
+    assert(Profiling.kmvJaccard(same, "g", col("v"), 64).head().getDouble(2) === 1.0)
+  }
+
   // ── qqDrift ───────────────────────────────────────────────────────────
 
   test("qqDrift: identical cohorts have zero drift; a shifted cohort shows it everywhere") {
