@@ -3389,6 +3389,15 @@ object SparkEntry {
         col("c_custkey"), m = 4096L, k = 3)
     }),
 
+    // Cross-correlation of the view vs purchase daily value series at
+    // lags -3..+3: does browsing LEAD buying — the lead/lag discovery
+    // ACF (C170) cannot see; dense day grid (quiet days are zeros, not
+    // dropped rows), exact decimal daily sums, decCorr per lag.
+    "q_ccf" -> ((s, dir) =>
+      TimeSeries.crossCorrelation(T(s, dir, "events"), "ts", "event_type",
+          "value", "view", "purchase", maxLag = 3)
+        .orderBy("lag")),
+
     // QQ drift table between the md5 train split and the rest on
     // n_chars: KS (C182) compresses distribution mismatch to one
     // statistic, this says WHERE the cohorts diverge (tails vs body) —
@@ -9494,6 +9503,40 @@ object SparkEntry {
          SELECT src AS node_id, count(*)::BIGINT AS n_reached,
            round(sum(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)::DOUBLE / 6.0, 6) + 0 AS harmonic
          FROM allv GROUP BY src ORDER BY node_id""",
+
+    // CCF: dense generate_series day grid, zero-filled decimal daily
+    // sums, the decCorr formula per lag — identical op order.
+    "q_ccf" ->
+      """WITH daily AS (
+           SELECT ts::DATE AS day, event_type AS t,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS s
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1, 2),
+         b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+         va AS (SELECT g.day, coalesce(d.s, 0.0::DOUBLE) AS v
+                FROM grid g LEFT JOIN daily d ON d.day = g.day AND d.t = 'view'),
+         vb AS (SELECT g.day, coalesce(d.s, 0.0::DOUBLE) AS v
+                FROM grid g LEFT JOIN daily d ON d.day = g.day AND d.t = 'purchase'),
+         lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+         j AS (
+           SELECT lags.lag, va.v AS x, vb.v AS y
+           FROM lags
+           JOIN va ON true
+           JOIN vb ON vb.day = va.day + to_days(lags.lag::INTEGER)),
+         a AS (
+           SELECT lag, count(*)::BIGINT AS n_days,
+             count(x)::DOUBLE AS n,
+             sum(CAST(x AS DECIMAL(28,6)))::DOUBLE AS sx,
+             sum(CAST(y AS DECIMAL(28,6)))::DOUBLE AS sy,
+             sum(CAST(x*x AS DECIMAL(28,6)))::DOUBLE AS sxx,
+             sum(CAST(y*y AS DECIMAL(28,6)))::DOUBLE AS syy,
+             sum(CAST(x*y AS DECIMAL(28,6)))::DOUBLE AS sxy
+           FROM j GROUP BY lag)
+         SELECT lag::BIGINT AS lag, n_days,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0 AS ccf
+         FROM a ORDER BY lag""",
 
     // QQ drift: the same rank-pick rule (rn = 1 + floor(q(n-1))) per
     // cohort, pivoted per quantile.

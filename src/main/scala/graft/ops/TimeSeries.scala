@@ -680,6 +680,44 @@ object TimeSeries {
           .as("residual"))
   }
 
+  /** Cross-correlation function between two daily series at lags
+    * −maxLag..+maxLag: does series A LEAD series B (positive-lag
+    * correlation) or follow it — the lead/lag discovery primitive ACF
+    * (C170) cannot see because it only correlates a series with itself.
+    * Series are exact decimal daily sums over the DENSE shared day grid
+    * (absent days are true zeros — the q_ffill densify convention, so a
+    * quiet day is signal, not a dropped row); each lag's correlation is
+    * [[Portable.decCorr]] over the grid join shifted by the lag.
+    *
+    * Scale shape: two daily aggregates (map-side combinable, day-catalog
+    * sized), the dense grid via sequence+explode off the 1-row bounds
+    * aggregate, one broadcast-joined frame per lag over the CATALOG —
+    * never the raw events. n_days rides along so a reader can judge the
+    * overlap each lag's coefficient rests on.
+    */
+  def crossCorrelation(df: DataFrame, tsCol: String, typeCol: String,
+                       valueCol: String, typeA: String, typeB: String,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0 (got $maxLag)")
+    val daily = df.where(col(typeCol).isin(typeA, typeB))
+      .groupBy(to_date(col(tsCol)).as("_day"), col(typeCol).as("_t"))
+      .agg(Portable.decSum(col(valueCol), 6).as("_s"))
+    val bounds = daily.agg(min("_day").as("_lo"), max("_day").as("_hi"))
+    val grid = bounds.select(explode(sequence(col("_lo"), col("_hi"))).as("_day"))
+    def side(t: String, alias: String) = grid
+      .join(daily.where(col("_t") === t).select(col("_day"), col("_s")), Seq("_day"), "left")
+      .select(col("_day"), coalesce(col("_s"), lit(0.0)).as(alias))
+    val a = side(typeA, "_va")
+    val b = side(typeB, "_vb")
+    (-maxLag to maxLag).map { lag =>
+      // positive lag: A at day d vs B at day d + lag (A leads by `lag`)
+      a.join(b.select(date_sub(col("_day"), lag).as("_day"), col("_vb")), Seq("_day"))
+        .agg(count(lit(1)).as("n_days"),
+          Portable.pround(Portable.decCorr(col("_va"), col("_vb"), 6), 6).as("ccf"))
+        .select(lit(lag.toLong).as("lag"), col("n_days"), col("ccf"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Single best change-point per series by binary segmentation: the
     * split k (1 ≤ k < n, in `orderCol` order) minimizing
     * SSE(1..k) + SSE(k+1..n) — the first step of the classic binary-

@@ -366,6 +366,8 @@ class EmptyInputSpec extends SparkSpec {
       Seq(0.5)).count() === 0)
     assert(Profiling.kmvJaccard(df(Seq.empty[KmvRow]), "lang", col("token"), 16)
       .count() === 0)
+    assert(TimeSeries.crossCorrelation(df(Seq.empty[TyEv]), "ts", "event_type",
+      "user_id", "a", "b", 2).where(col("n_days") > 0).count() === 0)
   }
 }
 

@@ -308,6 +308,34 @@ class Round16bOpsSpec extends SparkSpec {
     }
   }
 
+  // ── crossCorrelation ──────────────────────────────────────────────────
+
+  test("crossCorrelation: a planted 2-day lead shows up at exactly that lag") {
+    // series B is series A shifted forward 2 days: ccf must peak at
+    // lag +2 (A leads B) with coefficient 1
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-06-${d}%02d 09:00:00")
+    val aVals = Seq(5.0, 9.0, 2.0, 7.0, 4.0, 8.0, 3.0, 6.0)
+    val rows = aVals.zipWithIndex.flatMap { case (v, i) =>
+      Seq((t(i + 1), "A", v), (t(i + 3), "B", v))
+    }
+    val out = TimeSeries.crossCorrelation(rows.toDF("ts", "t", "v"),
+        "ts", "t", "v", "A", "B", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) === 1.0, s"shifted-copy series must correlate perfectly at lag 2 (got $out)")
+    assert(out(0L) < 1.0, "the unshifted alignment must NOT be the peak")
+  }
+
+  test("crossCorrelation: quiet days enter as zeros, not dropped rows") {
+    // A has a gap day; the dense grid keeps it as 0, so n_days at lag 0
+    // equals the full calendar span
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-06-${d}%02d 09:00:00")
+    val rows = Seq((t(1), "A", 1.0), (t(5), "A", 2.0),
+      (t(1), "B", 3.0), (t(5), "B", 1.0))
+    val r0 = TimeSeries.crossCorrelation(rows.toDF("ts", "t", "v"),
+        "ts", "t", "v", "A", "B", maxLag = 0).head()
+    assert(r0.getLong(1) === 5L, "the 5-day calendar span must all be present")
+  }
+
   // ── kmvJaccard ────────────────────────────────────────────────────────
 
   test("kmvJaccard: below-k sets are EXACT; estimate tracks planted overlap above k") {
