@@ -768,6 +768,80 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_join_size_est customer scan must prune to the key")
   }
 
+  test("round-16b queries keep their scale-plan contracts") {
+    def nodesOf(name: String) = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      flatten(df.queryExecution.executedPlan)
+    }
+    def nonRangeShuffles(nodes: Seq[SparkPlan]) = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      case _ => false
+    }
+    def smjCount(nodes: Seq[SparkPlan]) = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    def scanCols(nodes: Seq[SparkPlan], table: String): Seq[Set[String]] =
+      nodes.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.inputFiles.exists(_.contains(table)) =>
+          s.schema.fieldNames.toSet
+      }
+
+    // the recurrence family: ONE series-key exchange each, scan pruned
+    // to (event_id, user_id, value)
+    for (name <- Seq("q_macd", "q_rsi", "q_bollinger", "q_holt_winters", "q_changepoint")) {
+      val n = nodesOf(name)
+      withClue(s"$name: ") {
+        assert(nonRangeShuffles(n) === 1, "one series-key exchange serves everything")
+        assert(scanCols(n, "events").forall(_ === Set("event_id", "user_id", "value")),
+          "scan must prune to the three used columns")
+      }
+    }
+
+    // the one-aggregate stats family: one group exchange, pruned scans
+    for ((name, cols) <- Seq(
+      "q_mann_whitney" -> Set("doc_id", "source", "n_chars"),
+      "q_noisy_counts" -> Set("lang"))) {
+      val n = nodesOf(name)
+      withClue(s"$name: ") {
+        assert(nonRangeShuffles(n) === 1)
+        assert(scanCols(n, "documents").forall(_ === cols))
+      }
+    }
+    val or = nodesOf("q_odds_ratio")
+    assert(nonRangeShuffles(or) === 1, "q_odds_ratio is one conditional aggregate")
+    assert(scanCols(or, "customer")
+      .forall(_ === Set("c_nationkey", "c_acctbal", "c_mktsegment")))
+
+    // q_tfidf_sim: the inverted-index join must stay SMJ-free (the token
+    // join is hinted SHUFFLE_HASH — per-key build bounded by the DF cap)
+    // and the documents scans prune to (doc_id, text)
+    val tf = nodesOf("q_tfidf_sim")
+    assert(smjCount(tf) === 0, "the token join must not regress to sort-merge")
+    assert(scanCols(tf, "documents").forall(_.subsetOf(Set("doc_id", "text"))))
+
+    // q_item_neighbors reads ONLY the pair/item artifacts — lineitem and
+    // orders are never rescanned (the q_assoc_rules contract)
+    val in16 = nodesOf("q_item_neighbors")
+    assert(scanCols(in16, "lineitem").isEmpty && scanCols(in16, "orders").isEmpty,
+      "the CF ranking must ride the artifacts, not the fact tables")
+
+    // q_sliding_mau / q_decayed_topk / q_ccf: events scans prune to the
+    // used columns; everything after the first aggregate is catalog-sized
+    assert(scanCols(nodesOf("q_sliding_mau"), "events").forall(_ === Set("ts", "user_id")))
+    assert(scanCols(nodesOf("q_decayed_topk"), "events")
+      .forall(_.subsetOf(Set("ts", "event_type"))))
+    assert(scanCols(nodesOf("q_ccf"), "events")
+      .forall(_.subsetOf(Set("ts", "event_type", "value"))))
+
+    // graph pair: both ride checkpointed edge frames, SMJ-free
+    for (name <- Seq("q_harmonic", "q_betweenness")) {
+      withClue(s"$name: ") { assert(smjCount(nodesOf(name)) === 0) }
+    }
+  }
+
   test("bench heavy tail (every query >= 1.5 s) keeps its exchange budget and stays SMJ-free") {
     // VERDICT r15 item 7: the heavy tail is exactly where silent plan
     // drift costs the most at 100×, so every BENCH_LAST query at or above
