@@ -3389,6 +3389,15 @@ object SparkEntry {
         col("c_custkey"), m = 4096L, k = 3)
     }),
 
+    // One-step forecast accuracy of the Holt smoother (same α/γ as
+    // q_holt): MAE / SMAPE / MASE per user — the scorecard that turns
+    // the smoother from a prior into a forecast; MASE answers "better
+    // than persistence?" per series.
+    "q_forecast_acc" -> ((s, dir) =>
+      TimeSeries.forecastAccuracy(T(s, dir, "events"), "user_id", "event_id",
+          "value", alpha = 0.5, gamma = 0.25)
+        .orderBy("user_id")),
+
     // Cross-correlation of the view vs purchase daily value series at
     // lags -3..+3: does browsing LEAD buying — the lead/lag discovery
     // ACF (C170) cannot see; dense day grid (quiet days are zeros, not
@@ -9503,6 +9512,48 @@ object SparkEntry {
          SELECT src AS node_id, count(*)::BIGINT AS n_reached,
            round(sum(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)::DOUBLE / 6.0, 6) + 0 AS harmonic
          FROM allv GROUP BY src ORDER BY node_id""",
+
+    // Forecast accuracy: the q_holt struct fold re-used; per-i error /
+    // smape-denominator / naive lists unnest in parallel; metric
+    // arithmetic mirrors the operator's division order exactly.
+    "q_forecast_acc" ->
+      """WITH ord AS (
+           SELECT user_id,
+             list(event_id ORDER BY event_id) AS ids,
+             list(value ORDER BY event_id) AS vs
+           FROM events GROUP BY user_id),
+         st AS (
+           SELECT user_id, vs,
+             list_transform(range(1, len(vs) + 1), i ->
+               list_reduce(
+                 list_transform(vs[1:i], x -> [x::DOUBLE, 0.0::DOUBLE]),
+                 (acc, e) -> [0.5::DOUBLE * e[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+                              0.25::DOUBLE * ((0.5::DOUBLE * e[1] + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                                + 0.75::DOUBLE * acc[2]])) AS sts
+           FROM ord),
+         ex AS (
+           SELECT user_id,
+             unnest(list_transform(range(2, len(vs) + 1),
+               i -> vs[i] - (sts[i-1][1] + sts[i-1][2]))) AS e,
+             unnest(list_transform(range(2, len(vs) + 1),
+               i -> abs(vs[i]) + abs(sts[i-1][1] + sts[i-1][2]))) AS ds,
+             unnest(list_transform(range(2, len(vs) + 1),
+               i -> abs(vs[i] - vs[i-1]))) AS nv
+           FROM st),
+         a AS (
+           SELECT user_id, count(*)::BIGINT AS n_forecasts,
+             sum(CAST(abs(e) AS DECIMAL(28,12)))::DOUBLE AS sae,
+             sum(CAST(CASE WHEN ds > 0 THEN 2.0::DOUBLE * abs(e) / ds
+                           ELSE 0.0::DOUBLE END AS DECIMAL(28,12)))::DOUBLE AS ssm,
+             sum(CAST(nv AS DECIMAL(28,12)))::DOUBLE AS snv
+           FROM ex GROUP BY user_id)
+         SELECT user_id, n_forecasts,
+           round(sae / n_forecasts::DOUBLE, 6) + 0 AS mae,
+           round(ssm / n_forecasts::DOUBLE, 6) + 0 AS smape,
+           CASE WHEN snv > 0
+             THEN round((sae / n_forecasts::DOUBLE) / (snv / n_forecasts::DOUBLE), 6) + 0
+           END AS mase
+         FROM a ORDER BY user_id""",
 
     // CCF: dense generate_series day grid, zero-filled decimal daily
     // sums, the decCorr formula per lag — identical op order.

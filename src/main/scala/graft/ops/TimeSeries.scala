@@ -680,6 +680,51 @@ object TimeSeries {
           .as("residual"))
   }
 
+  /** One-step-ahead forecast accuracy of the Holt smoother per series:
+    * f_t = level_{t−1} + trend_{t−1} (the model's own next-step
+    * prediction), scored with the three standard scale-aware metrics —
+    * MAE, SMAPE (symmetric, zero-denominator terms contribute 0 by the
+    * documented convention), and MASE (MAE over the naive-forecast MAE
+    * |x_t − x_{t−1}| — the "is the model better than persistence"
+    * number; NULL on constant series where the naive MAE is 0). The
+    * measurement-layer closer for the forecasting family (C186/C252):
+    * a smoother nobody scores is a prior, not a forecast.
+    *
+    * All numerators/denominators are decimal sums of fixed double terms
+    * (the holt recurrence's own outputs), divisions fixed-shape,
+    * round(6) — hash-checkable. One series-key exchange total: the
+    * recurrence pass is reused for the lag window and the aggregate.
+    */
+  def forecastAccuracy(df: DataFrame, seriesKey: String, orderCol: String,
+                       valueCol: String, alpha: Double, gamma: Double): DataFrame = {
+    val h = holt(df, seriesKey, orderCol, valueCol, alpha, gamma)
+    val w = Window.partitionBy(seriesKey).orderBy(orderCol)
+    val f = lag(col("level"), 1).over(w) + lag(col("trend"), 1).over(w)
+    val x = col(valueCol)
+    // the naive baseline lag computes BEFORE the first-row filter — on
+    // the filtered frame the first surviving row would lag to null and
+    // desync the MASE denominator's term count from the MAE's
+    val scored = h.withColumn("_f", f)
+      .withColumn("_naive", abs(x - lag(x, 1).over(w)))
+      .where(col("_f").isNotNull)
+      .withColumn("_e", x - col("_f"))
+    val denomS = abs(x) + abs(col("_f"))
+    val agg = scored
+      .withColumn("_smapeTerm",
+        when(denomS > 0, lit(2.0) * abs(col("_e")) / denomS).otherwise(lit(0.0)))
+      .groupBy(seriesKey)
+      .agg(count(lit(1)).as("n_forecasts"),
+        Portable.decSum(abs(col("_e")), 12).as("_sae"),
+        Portable.decSum(col("_smapeTerm"), 12).as("_ssm"),
+        Portable.decSum(col("_naive"), 12).as("_snv"))
+    agg.select(col(seriesKey), col("n_forecasts"),
+      Portable.pround(col("_sae") / col("n_forecasts").cast("double"), 6).as("mae"),
+      Portable.pround(col("_ssm") / col("n_forecasts").cast("double"), 6).as("smape"),
+      when(col("_snv") > 0,
+        Portable.pround((col("_sae") / col("n_forecasts").cast("double")) /
+          (col("_snv") / col("n_forecasts").cast("double")), 6)).as("mase"))
+  }
+
   /** Cross-correlation function between two daily series at lags
     * −maxLag..+maxLag: does series A LEAD series B (positive-lag
     * correlation) or follow it — the lead/lag discovery primitive ACF

@@ -368,6 +368,8 @@ class EmptyInputSpec extends SparkSpec {
       .count() === 0)
     assert(TimeSeries.crossCorrelation(df(Seq.empty[TyEv]), "ts", "event_type",
       "user_id", "a", "b", 2).where(col("n_days") > 0).count() === 0)
+    assert(TimeSeries.forecastAccuracy(df(Seq.empty[Series16]), "key", "t", "v",
+      0.5, 0.25).count() === 0)
   }
 }
 

@@ -308,6 +308,44 @@ class Round16bOpsSpec extends SparkSpec {
     }
   }
 
+  // ── forecastAccuracy ──────────────────────────────────────────────────
+
+  test("forecastAccuracy: constant series forecasts perfectly; MASE is NULL (naive also perfect)") {
+    val r = TimeSeries.forecastAccuracy(series(5.0, 5.0, 5.0, 5.0),
+      "key", "t", "v", 0.5, 0.25).head()
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0)
+    assert(r.isNullAt(4), "zero naive MAE has no MASE")
+  }
+
+  test("forecastAccuracy: a trending series beats persistence (MASE < 1)") {
+    // linear trend: Holt's trend component learns the slope, so its
+    // one-step error shrinks below the naive |x_t − x_{t−1}| = slope
+    val vals = (1 to 30).map(i => 10.0 + 2.0 * i)
+    val r = TimeSeries.forecastAccuracy(series(vals: _*), "key", "t", "v",
+      0.5, 0.25).head()
+    assert(!r.isNullAt(4) && r.getDouble(4) < 1.0,
+      s"Holt must beat persistence on a linear trend (MASE=${r.getDouble(4)})")
+    // and the metrics replay the recurrence exactly: MAE from a manual fold
+    val (a, g) = (0.5, 0.25)
+    var l = vals.head; var b = 0.0
+    val errs = vals.tail.map { x =>
+      val fHat = l + b
+      val l2 = a * x + (1 - a) * (l + b)
+      b = g * (l2 - l) + (1 - g) * b
+      l = l2
+      math.abs(x - fHat)
+    }
+    val mae = BigDecimal(errs.map(e => BigDecimal(e).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / errs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(2) - mae) < 1e-9)
+  }
+
+  test("forecastAccuracy: a single-point series emits nothing") {
+    assert(TimeSeries.forecastAccuracy(series(7.0), "key", "t", "v", 0.5, 0.25)
+      .count() === 0)
+  }
+
   // ── crossCorrelation ──────────────────────────────────────────────────
 
   test("crossCorrelation: a planted 2-day lead shows up at exactly that lag") {
