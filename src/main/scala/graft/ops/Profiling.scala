@@ -1181,7 +1181,11 @@ object Profiling {
     */
   def kmvJaccard(df: DataFrame, groupCol: String, valueCol: Column,
                  k: Int = 64): DataFrame = {
-    val hashes = kmvHashes(df, groupCol, valueCol) // distinct (g, h)
+    // materialized ONCE: four consumers below (sketches, both exact
+    // sides, sizes) would otherwise each replay the value explosion +
+    // distinct; the frame is vocabulary-sized (the triangleCounts
+    // eager-checkpoint convention — this call runs Spark jobs)
+    val hashes = kmvHashes(df, groupCol, valueCol).localCheckpoint(true)
     val sk = kmvSmallestK(hashes, groupCol, k)
     val pairs = sk.select(col(groupCol).as("ga")).distinct()
       .join(sk.select(col(groupCol).as("gb")).distinct(), col("ga") < col("gb"))

@@ -840,6 +840,14 @@ class PlanInvariantsSpec extends SparkSpec {
     for (name <- Seq("q_harmonic", "q_betweenness")) {
       withClue(s"$name: ") { assert(smjCount(nodesOf(name)) === 0) }
     }
+
+    // q_kmv_jaccard: the hash frame is checkpointed once for its four
+    // consumers; everything downstream is sketch/vocabulary-keyed —
+    // bounded exchanges, SMJ-free, scan pruned to (lang, text)
+    val kj = nodesOf("q_kmv_jaccard")
+    assert(nonRangeShuffles(kj) <= 6 && smjCount(kj) === 0,
+      "q_kmv_jaccard must stay sketch-keyed and hash-joined")
+    assert(scanCols(kj, "documents").forall(_ === Set("lang", "text")))
   }
 
   test("bench heavy tail (every query >= 1.5 s) keeps its exchange budget and stays SMJ-free") {
