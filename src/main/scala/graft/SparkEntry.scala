@@ -3466,14 +3466,12 @@ object SparkEntry {
     // direct-Jaccard sibling of C153's HLL inclusion-exclusion; exact
     // Jaccard + abs error ride along as the audit columns.
     "q_kmv_jaccard" -> ((s, dir) =>
-      Profiling.kmvJaccard(
-        TextOps.shingles(T(s, dir, "documents"), "lang", "text", 3),
+      Profiling.kmvJaccard(labeledShingles(s, dir, "lang"),
         "lang", col("shingle"), 64)
         .orderBy("ga", "gb")),
 
     "q_kmv_distinct" -> ((s, dir) =>
-      Profiling.kmvDistinct(
-        TextOps.shingles(T(s, dir, "documents"), "lang", "text", 3),
+      Profiling.kmvDistinct(labeledShingles(s, dir, "lang"),
         "lang", col("shingle"), 64)
         .orderBy("lang")),
 
@@ -3548,8 +3546,7 @@ object SparkEntry {
     // executors ship k longs instead of a vocabulary (q_kmv_distinct's
     // scale story, made falsifiable).
     "q_kmv_merge" -> ((s, dir) =>
-      Profiling.kmvMergeProof(
-        TextOps.shingles(T(s, dir, "documents"), "source", "text", 3),
+      Profiling.kmvMergeProof(labeledShingles(s, dir, "source"),
         "source", col("shingle"), 64)),
 
     // Multi-touch attribution: linear and U-shaped (40/20/40) fractional
@@ -3848,6 +3845,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("w"))
         .localCheckpoint(true)
     }
+
+
+  /** Shingle rows re-labeled by a documents column — the persisted
+    * ShingleStore artifact joined doc_id → label instead of re-exploding
+    * text per query (r16b: the explode+distinct dominated every KMV
+    * query's cost; the artifact already holds the identical per-doc
+    * distinct trigrams, and the label join is a broadcast against the
+    * doc catalog). Downstream KMV hashing distincts per (label, hash),
+    * so the multiset framing is irrelevant — only the SET matters.
+    */
+  private def labeledShingles(s: SparkSession, dir: String, labelCol: String): DataFrame =
+    graft.sources.ShingleStore.ensureShingles(s, dir, 3)
+      .select("doc_id", "shingle")
+      .join(broadcast(T(s, dir, "documents").select(col("doc_id"), col(labelCol))),
+        Seq("doc_id"))
 
   /** IVF hyperparameters shared by the query and its oracle generator. */
   private val IvfK = 16

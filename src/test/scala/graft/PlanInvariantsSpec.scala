@@ -841,13 +841,19 @@ class PlanInvariantsSpec extends SparkSpec {
       withClue(s"$name: ") { assert(smjCount(nodesOf(name)) === 0) }
     }
 
-    // q_kmv_jaccard: the hash frame is checkpointed once for its four
-    // consumers; everything downstream is sketch/vocabulary-keyed —
-    // bounded exchanges, SMJ-free, scan pruned to (lang, text)
+    // q_kmv_jaccard: rides the persisted shingle artifact (never
+    // re-exploding text — the r16b KMV routing) with the doc→lang label
+    // as a broadcast; the hash frame is checkpointed once for its four
+    // consumers; everything downstream is sketch/vocabulary-keyed
+    // (the artifact + label-join scans live UPSTREAM of the hash frame's
+    // eager checkpoint, so the final plan reads the materialized RDD —
+    // the PairStore lesson; what the contract CAN pin is that no
+    // documents-text re-scan ever appears downstream)
     val kj = nodesOf("q_kmv_jaccard")
-    assert(nonRangeShuffles(kj) <= 6 && smjCount(kj) === 0,
+    assert(nonRangeShuffles(kj) <= 7 && smjCount(kj) === 0,
       "q_kmv_jaccard must stay sketch-keyed and hash-joined")
-    assert(scanCols(kj, "documents").forall(_ === Set("lang", "text")))
+    assert(scanCols(kj, "documents").forall(!_.contains("text")),
+      "the corpus text must never be re-scanned past the hash checkpoint")
   }
 
   test("bench heavy tail (every query >= 1.5 s) keeps its exchange budget and stays SMJ-free") {
