@@ -41,6 +41,7 @@ object Bench {
           s"(cost shifts into the first timed consumer): $t")
       }
     warmArtifact("shingle")(graft.sources.ShingleStore.ensureShingles(spark, sfDir, 3).count())
+    warmArtifact("token")(graft.sources.TokenStore.ensureTokens(spark, sfDir).count())
     // Pair-support + item-count artifacts (r11/r12): same lifecycle for
     // the market-basket tables feeding q_cooccur, the q_triangles edge
     // set, and q_assoc_rules.

@@ -1412,7 +1412,13 @@ object SparkEntry {
     // TF-IDF top-5 terms per document — keyword extraction over the whole
     // corpus. Ranks on the ROUNDED score so rank order is engine-exact.
     "q_tfidf" -> ((s, dir) =>
-      TextOps.tfIdfTopTerms(T(s, dir, "documents"), "doc_id", "text", 5)
+      // TokenStore fast path (r16b): tokenize once at ingest
+      TextOps.tfIdfTopTermsFromCounts(
+        graft.sources.TokenStore.ensureTokens(s, dir)
+          .select(col("doc_id"), col("token"), col("tf").as("_cnt")),
+        T(s, dir, "documents").select("doc_id").distinct()
+          .agg(count(lit(1)).as("_n")),
+        "doc_id", 5)
         .orderBy("doc_id", "rank")),
 
     // Corpus-unigram LM quality score (perplexity proxy): mean add-one
@@ -2967,8 +2973,15 @@ object SparkEntry {
     // any product so ln's final-ulp engine differences never reach a
     // multiplication (the r16b literal-ulp lesson applied to ln).
     "q_tfidf_sim" -> ((s, dir) =>
-      TextOps.tfidfCosineTopK(T(s, dir, "documents"), "doc_id", "text",
-          col("doc_id") < 20, k = 5, maxDf = 500)
+      // TokenStore fast path (r16b): the per-doc term counts are the
+      // persisted tokenize-once artifact; N comes from the doc catalog
+      // (the artifact cannot see zero-token docs)
+      TextOps.tfidfCosineTopKFromCounts(
+        graft.sources.TokenStore.ensureTokens(s, dir)
+          .select(col("doc_id"), col("token"), col("tf").as("_cnt")),
+        T(s, dir, "documents").select("doc_id").distinct()
+          .agg(count(lit(1)).as("_n")),
+        "doc_id", col("doc_id") < 20, k = 5, maxDf = 500)
         .select("query_id", "corpus_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
@@ -3656,7 +3669,13 @@ object SparkEntry {
     // whether the dedup index has seen enough corpus; the tail-shape
     // companion of q_vocab_coverage and q_heaps_law.
     "q_freq_spectrum" -> ((s, dir) =>
-      TextOps.freqSpectrum(T(s, dir, "documents"), "doc_id", "text", 3, 10)
+      // artifact fast path (r16b): the ShingleStore already carries each
+      // shingle's document frequency — read vocabulary-sized (shingle,
+      // df) pairs instead of re-exploding the corpus text
+      TextOps.freqSpectrumFromCounts(
+        graft.sources.ShingleStore.ensureShingles(s, dir, 3)
+          .select("shingle", "df").distinct()
+          .select(col("df").as("_c")), 10)
         .orderBy("c")),
 
     // Dedup-granularity tuning curve: duplication rate at n-gram sizes

@@ -1186,12 +1186,17 @@ object Profiling {
     // distinct; the frame is vocabulary-sized (the triangleCounts
     // eager-checkpoint convention — this call runs Spark jobs)
     val hashes = kmvHashes(df, groupCol, valueCol).localCheckpoint(true)
+    // sketches and the group catalog are sketch-sized: the two non-equi
+    // joins below (pair enumeration, OR-membership) carry explicit
+    // broadcasts so the planner's stats-blind fallback can never be a
+    // CartesianProduct (post-checkpoint frames lose their size estimates)
     val sk = kmvSmallestK(hashes, groupCol, k)
     val pairs = sk.select(col(groupCol).as("ga")).distinct()
-      .join(sk.select(col(groupCol).as("gb")).distinct(), col("ga") < col("gb"))
+      .join(broadcast(sk.select(col(groupCol).as("gb")).distinct()),
+        col("ga") < col("gb"))
     // union sketch per pair: smallest-k of the two sketches' distinct union
     val wU = Window.partitionBy("ga", "gb").orderBy("_h")
-    val u = pairs.join(sk.withColumnRenamed(groupCol, "_g"),
+    val u = pairs.join(broadcast(sk.withColumnRenamed(groupCol, "_g")),
         col("_g") === col("ga") || col("_g") === col("gb"))
       .select(col("ga"), col("gb"), col("_h")).distinct()
       .withColumn("_rn", row_number().over(wU))

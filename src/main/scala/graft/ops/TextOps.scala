@@ -1464,11 +1464,20 @@ object TextOps {
     * terms are bounded by the same DF-guard argument as the shingle join
     * (a term in every doc has idf → ln(1)+1, scoring near the bottom).
     */
-  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val perDoc = tok.groupBy(idCol, "token").agg(count(lit(1)).as("_cnt"))
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    tfIdfTopTermsFromCounts(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+        .groupBy(idCol, "token").agg(count(lit(1)).as("_cnt")),
+      df.select(col(idCol)).distinct().agg(count(lit(1)).as("_n")),
+      idCol, k)
+
+  /** [[tfIdfTopTerms]] off a precomputed (id, token, _cnt) frame — the
+    * TokenStore artifact fast path (r16b); `nDocs` passed separately for
+    * the zero-token-document reason tfidfCosineTopKFromCounts documents.
+    */
+  def tfIdfTopTermsFromCounts(perDoc: DataFrame, nDocs: DataFrame,
+                              idCol: String, k: Int): DataFrame = {
     val docLen = perDoc.groupBy(idCol).agg(sum("_cnt").as("_len"))
-    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("_n"))
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("_df"))
     val scored = perDoc
       .join(docLen, Seq(idCol))
@@ -1503,11 +1512,22 @@ object TextOps {
     * per query. Bodies never shuffle; only (doc, term, weight) triples.
     */
   def tfidfCosineTopK(df: DataFrame, idCol: String, textCol: String,
-                      queryPred: Column, k: Int, maxDf: Long): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val perDoc = tok.groupBy(idCol, "token").agg(count(lit(1)).as("_cnt"))
+                      queryPred: Column, k: Int, maxDf: Long): DataFrame =
+    tfidfCosineTopKFromCounts(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+        .groupBy(idCol, "token").agg(count(lit(1)).as("_cnt")),
+      df.select(col(idCol)).distinct().agg(count(lit(1)).as("_n")),
+      idCol, queryPred, k, maxDf)
+
+  /** [[tfidfCosineTopK]] off a precomputed (id, token, _cnt) frame — the
+    * TokenStore artifact fast path (r16b: tokenize once at ingest, not
+    * per query). `nDocs` is passed separately because the count frame
+    * cannot see zero-token documents (the smoothed idf's N counts ALL
+    * docs).
+    */
+  def tfidfCosineTopKFromCounts(perDoc: DataFrame, nDocs: DataFrame, idCol: String,
+                                queryPred: Column, k: Int, maxDf: Long): DataFrame = {
     val docLen = perDoc.groupBy(idCol).agg(sum("_cnt").as("_len"))
-    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("_n"))
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= maxDf) // the DF cap defines the vector space
     val weights = perDoc
@@ -2682,9 +2702,19 @@ object TextOps {
     * survives the first aggregate.
     */
   def freqSpectrum(df: DataFrame, idCol: String, textCol: String,
-                   gram: Int = 3, maxC: Int = 10): DataFrame = {
-    val counts = shingles(df, idCol, textCol, gram)
-      .groupBy("shingle").agg(count(lit(1)).as("_c"))
+                   gram: Int = 3, maxC: Int = 10): DataFrame =
+    freqSpectrumFromCounts(
+      shingles(df, idCol, textCol, gram)
+        .groupBy("shingle").agg(count(lit(1)).as("_c"))
+        .select(col("_c")),
+      maxC)
+
+  /** [[freqSpectrum]] off a precomputed per-type frequency column — the
+    * artifact fast path (r16b): ShingleStore already carries each
+    * shingle's document frequency, so the spectrum query reads
+    * vocabulary-sized (shingle, df) pairs instead of re-exploding text.
+    */
+  def freqSpectrumFromCounts(counts: DataFrame, maxC: Int = 10): DataFrame = {
     val spectrum = counts.groupBy(col("_c").as("c"))
       .agg(count(lit(1)).as("n_types"))
     val wc = Portable.kRowWindow(col("c")) // spectrum-sized global window
