@@ -3420,6 +3420,14 @@ object SparkEntry {
           "value", "view", "purchase", maxLag = 3)
         .orderBy("lag")),
 
+    // Lorenz curve of characters over documents: the inequality CURVE
+    // behind the C146 Gini scalar — "the bottom k/10 of docs hold what
+    // share of the corpus chars"; value-catalog windows only, exact
+    // tie-class correction per point.
+    "q_lorenz" -> ((s, dir) =>
+      Profiling.lorenzCurve(T(s, dir, "documents"), col("n_chars"), 10)
+        .orderBy("point")),
+
     // QQ drift table between the md5 train split and the rest on
     // n_chars: KS (C182) compresses distribution mismatch to one
     // statistic, this says WHERE the cohorts diverge (tails vs body) —
@@ -9619,6 +9627,31 @@ object SparkEntry {
            round((n * sxy - sx * sy)
                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0 AS ccf
          FROM a ORDER BY lag""",
+
+    // Lorenz: the same value-catalog cumulative windows, straddling tie
+    // class per point with the exact excess-member correction.
+    "q_lorenz" ->
+      """WITH b AS (SELECT n_chars::DOUBLE AS v FROM documents WHERE n_chars IS NOT NULL),
+         g AS (SELECT v, count(*)::BIGINT AS c FROM b GROUP BY v),
+         cum AS (
+           SELECT v, c,
+             sum(c) OVER w AS ccnt,
+             sum(CAST(v * c::DOUBLE AS DECIMAL(28,6))) OVER w::DOUBLE AS csum
+           FROM g WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT sum(c)::BIGINT AS n,
+                 sum(CAST(v * c::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS tt
+               FROM g),
+         pts AS (
+           SELECT p, n, tt, (p * n // 10)::BIGINT AS idx
+           FROM t CROSS JOIN (SELECT unnest(range(1, 11)) AS p))
+         SELECT p::BIGINT AS point,
+           round(idx::DOUBLE / n::DOUBLE, 6) + 0 AS pop_share,
+           CASE WHEN tt > 0
+             THEN round(coalesce(csum - (ccnt - idx)::DOUBLE * v, 0.0) / tt, 6) + 0
+           END AS value_share
+         FROM pts
+         LEFT JOIN cum ON ccnt >= idx AND ccnt - c < idx
+         ORDER BY point""",
 
     // QQ drift: the same rank-pick rule (rn = 1 + floor(q(n-1))) per
     // cohort, pivoted per quantile.

@@ -370,6 +370,8 @@ class EmptyInputSpec extends SparkSpec {
       "user_id", "a", "b", 2).where(col("n_days") > 0).count() === 0)
     assert(TimeSeries.forecastAccuracy(df(Seq.empty[Series16]), "key", "t", "v",
       0.5, 0.25).count() === 0)
+    assert(Profiling.lorenzCurve(df(Seq.empty[Series16]), col("v"), 10)
+      .where(col("value_share").isNotNull).count() === 0)
   }
 }
 

@@ -308,6 +308,36 @@ class Round16bOpsSpec extends SparkSpec {
     }
   }
 
+  // ── lorenzCurve ───────────────────────────────────────────────────────
+
+  test("lorenzCurve: perfect equality is the diagonal; concentration bends the curve") {
+    val equal = (1 to 100).map(_ => Tuple1(5.0)).toDF("v")
+    val eq = Profiling.lorenzCurve(equal, col("v"), 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    eq.foreach { case (p, (pop, share)) =>
+      assert(pop === share, s"equal values must put the curve on the diagonal at $p")
+    }
+    assert(eq(10L) === ((1.0, 1.0)))
+
+    // one doc holds ~everything: bottom 90% of docs hold ~nothing
+    val skewed = ((1 to 99).map(_ => Tuple1(1.0)) :+ Tuple1(10000.0)).toDF("v")
+    val sk = Profiling.lorenzCurve(skewed, col("v"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sk(9L) < 0.01, "bottom 90% must hold under 1% of a near-degenerate corpus")
+    assert(sk(10L) === 1.0)
+  }
+
+  test("lorenzCurve: the tie-class correction lands exact mid-class boundaries") {
+    // 4 values of 2 and 4 of 6: idx at p=5 (of 10) is 4 → bottom half =
+    // the four 2s = 8 of 32 total = 0.25
+    val vals = (Seq.fill(4)(2.0) ++ Seq.fill(4)(6.0)).map(Tuple1(_)).toDF("v")
+    val m = Profiling.lorenzCurve(vals, col("v"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(5L) === 0.25)
+    // p=7 → idx 5: four 2s + one 6 = 14/32 = 0.4375 — mid-tie-class
+    assert(m(7L) === 0.4375)
+  }
+
   // ── forecastAccuracy ──────────────────────────────────────────────────
 
   test("forecastAccuracy: constant series forecasts perfectly; MASE is NULL (naive also perfect)") {
