@@ -1177,6 +1177,10 @@ object Profiling {
     * cumulative sums, boundary indices floor(p·n/points) as exact
     * integers, one division per point (NULL when the total is 0).
     * One global-rank exchange over (value) pairs — payload-free.
+    *
+    * Precondition: non-negative values. Lorenz shares of a column with
+    * negatives are ill-defined (the cumulative sum is non-monotone and
+    * per-point shares can leave [0, 1]); callers screen or shift first.
     */
   def lorenzCurve(df: DataFrame, valueCol: Column, points: Int = 10): DataFrame = {
     require(points >= 1, s"need at least one curve point (got $points)")
@@ -1340,6 +1344,10 @@ object Profiling {
   def bloomFprAudit(members: DataFrame, probes: DataFrame, valueCol: Column,
                     m: Long, k: Int): DataFrame = {
     require(m > 0 && k > 0, s"need positive m/k (got $m/$k)")
+    // the position hash has 32 bits of range: a filter wider than 2^32
+    // bits could never be addressed past that and the fill fraction
+    // would silently lie (r16b self-review)
+    require(m <= (1L << 32), s"m must fit the 32-bit position hash (got $m)")
     def positions(df: DataFrame) = df.select(valueCol.cast("string").as("_v"))
       .distinct()
       .select(col("_v"), explode(sequence(lit(1), lit(k))).as("_j"))
@@ -1494,9 +1502,13 @@ object Profiling {
                          k: Int = 64, windowDays: Int = 7): DataFrame = {
     val days = df.select(to_date(col(tsCol)).as("_day"), valueCol.as("_v"))
     val perDay = kmvSmallestK(kmvHashes(days, "_day", col("_v")), "_day", k)
-    // trailing merge: day d pulls the sketches of days in (d−window, d]
+    // trailing merge: day d pulls the sketches of days in (d−window, d].
+    // The range join's day-catalog side broadcasts EXPLICITLY: it is
+    // catalog-sized by construction, and a stats-blind planner falling
+    // back to CartesianProduct here would trip the no-Cartesian
+    // invariant (the kmvJaccard r16b lesson)
     val cat = perDay.select(col("_day").as("day")).distinct()
-    val merged = cat.join(perDay,
+    val merged = broadcast(cat).join(perDay,
         col("_day") <= col("day") &&
           col("_day") > date_sub(col("day"), windowDays))
       .select(col("day"), col("_day"), col("_h"))
@@ -1505,7 +1517,7 @@ object Profiling {
     val est = kmvEstimateFromSketch(
       kmvSmallestK(merged.select(col("day"), col("_h")).distinct(), "day", k),
       "day", k)
-    val exact = days.join(cat,
+    val exact = days.join(broadcast(cat),
         col("_day") <= col("day") &&
           col("_day") > date_sub(col("day"), windowDays))
       .select(col("day"), col("_v")).distinct()
