@@ -84,9 +84,99 @@ class Round16bPropertySpec extends SparkSpec {
     }
   }
 
+  test("truncatedBetweenness conserves pair dependency: total = n_d2 + 2*n_d3") {
+    // every distance-2 pair distributes exactly 1 across interiors, every
+    // distance-3 pair exactly 2 (two interior slots per shortest path,
+    // weights summing to 1 per slot class) — so the SUM of betweenness
+    // equals n_pairs(d=2) + 2·n_pairs(d=3), checkable against an
+    // independent BFS distance census
+    val edges = (1 to 70).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a < b }.distinct
+    val g = df(edges.map { case (a, b) => Edge16(a, b) })
+    val total = Graph.truncatedBetweenness(g, "a", "b")
+      .agg(sum("betweenness")).head().getDouble(0)
+    // distance census via adjacency sets (driver-side reference model)
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    var (d2, d3) = (0, 0)
+    for (i <- nodes.indices; j <- i + 1 until nodes.size) {
+      val (s, t) = (nodes(i), nodes(j))
+      if (!adj(s).contains(t)) {
+        if ((adj(s) & adj(t)).nonEmpty) d2 += 1
+        else if (adj(s).exists(v => (adj(v) & adj(t)).nonEmpty)) d3 += 1
+      }
+    }
+    assert(math.abs(total - (d2 + 2 * d3)) < 1e-6,
+      s"dependency mass $total must equal $d2 + 2*$d3")
+  }
+
+  test("crossCorrelation is lag-symmetric: ccf_AB(lag) = ccf_BA(-lag)") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-07-${d}%02d 09:00:00")
+    val rows = (1 to 12).flatMap { d =>
+      Seq((t(d), "A", rnd.nextDouble() * 10), (t(d), "B", rnd.nextDouble() * 10))
+    }
+    val ab = TimeSeries.crossCorrelation(df(rows.map(r => Ccf16(r._1, r._2, r._3))),
+        "ts", "t", "v", "A", "B", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ba = TimeSeries.crossCorrelation(df(rows.map(r => Ccf16(r._1, r._2, r._3))),
+        "ts", "t", "v", "B", "A", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    (-3 to 3).foreach { l =>
+      assert(math.abs(ab(l.toLong) - ba(-l.toLong)) < 1e-9, s"lag $l")
+    }
+  }
+
+  test("binSegChangepoint is shift-invariant in the split location") {
+    val vals = (1 to 40).map(_ => rnd.nextInt(20).toDouble)
+    val base = TimeSeries.binSegChangepoint(series(vals), "key", "t", "v").head()
+    val shifted = TimeSeries.binSegChangepoint(
+      series(vals.map(_ + 1000.0)), "key", "t", "v").head()
+    assert(base.getLong(2) === shifted.getLong(2),
+      "adding a constant must not move the split")
+    assert(math.abs(base.getDouble(4) - shifted.getDouble(4)) < 1e-3,
+      "split SSE is shift-invariant up to decimal-snapshot noise")
+  }
+
+  test("lorenzCurve is monotone non-decreasing and ends at exactly 1") {
+    val vals = (1 to 200).map(_ => rnd.nextInt(1000).toDouble)
+    val curve = Profiling.lorenzCurve(df(vals.map(v => Series16("s", 0L, v))),
+        col("v"), 10)
+      .orderBy("point").collect().map(_.getDouble(2))
+    curve.zip(curve.tail).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, "value share must not decrease")
+    }
+    assert(curve.last === 1.0)
+    // convexity below the diagonal: bottom half never holds more than half
+    assert(curve(4) <= 0.5 + 1e-9)
+  }
+
+  test("qqDrift per-cohort quantile values are monotone in q") {
+    val rows = (1 to 300).map(_ => Mwu16("g", rnd.nextBoolean(), rnd.nextInt(500).toDouble))
+    val out = Profiling.qqDrift(df(rows), col("in1"), col("v"),
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      .orderBy("q").collect()
+    val va = out.map(_.getDouble(1)); val vb = out.map(_.getDouble(2))
+    va.zip(va.tail).foreach { case (a, b) => assert(b >= a) }
+    vb.zip(vb.tail).foreach { case (a, b) => assert(b >= a) }
+  }
+
+  test("kmvJaccard estimate stays within the sketch error envelope on random sets") {
+    val rows = (1 to 1200).map { i =>
+      val g = if (rnd.nextBoolean()) "a" else "b"
+      Kj16(g, s"v${rnd.nextInt(500)}")
+    }
+    val r = Profiling.kmvJaccard(df(rows), "g", col("v"), 64).head()
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 4.0 / math.sqrt(64.0),
+      s"est ${r.getDouble(2)} vs exact ${r.getDouble(3)} outside the envelope")
+  }
+
   private def series(vals: Seq[Double]) =
     df(vals.zipWithIndex.map { case (v, i) => Series16("s", i.toLong, v) })
 }
+
+case class Ccf16(ts: java.sql.Timestamp, t: String, v: Double)
+case class Kj16(g: String, v: String)
 
 case class Mwu16(grp: String, in1: Boolean, v: Double)
 case class Edge16(a: Long, b: Long)
