@@ -1799,20 +1799,20 @@ object SparkEntry {
 
     // IVF probe-limited ANN: spherical k-means centroids (deterministic —
     // seeded init + decimal-exact means), corpus bucketed by nearest cell,
-    // queries probe their 4 nearest of 16 cells. The centroids are an
-    // INDEX ARTIFACT (IvfIndex): trained once per dataset, persisted, and
-    // loaded at query time — the real ANN lifecycle, not per-query
+    // queries probe their 16 nearest of the PRODUCTION k=64 cells (the r17
+    // promotion, VERDICT r16 item 3: the √N quantizer strictly dominates
+    // at matched scan fraction — same ¼-corpus scan the old 4-of-16
+    // configuration paid, recall 0.77 vs 0.60 at sf0.1). The centroids are
+    // an INDEX ARTIFACT (IvfIndex): trained once per dataset, persisted,
+    // and loaded at query time — the real ANN lifecycle, not per-query
     // training. Because the loaded artifact pre-exists SQL generation, the
     // oracle embeds the centroid values as literals (ivfTopKSql) and this
     // query is fully hash-checked; recall vs the brute-force baseline is
     // measured separately in LshRecallSpec.
     "q_ivf_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
-        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
-      }
       VectorOps.ivfTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
-          centroids, nProbe = 4)
+          prodCentroids(s, dir), nProbe = IvfNProbe)
         .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -1822,61 +1822,60 @@ object SparkEntry {
     // cells ≈ 1, smeared ≈ 0, mis-partitioned < 0. Row-local against the
     // literal centroids + one k-cell hash agg; the O(n·k) stand-in for
     // the O(n²) pairwise silhouette. Oracle is generated from the same
-    // persisted centroid artifact (the q_ivf_topk contract).
+    // persisted centroid artifact (the q_ivf_topk contract) — since r17
+    // the PRODUCTION k=64 index, so the health report describes the
+    // quantizer the serving queries actually probe.
     "q_silhouette" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
-        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
-      }
-      VectorOps.clusterSilhouette(emb, "vec_id", "embedding", centroids)
+      VectorOps.clusterSilhouette(emb, "vec_id", "embedding", prodCentroids(s, dir))
     }),
 
     // Product-quantization ADC top-k with exact re-rank: each corpus
-    // vector compresses to 16 sub-space codes (8 bytes/vector packed at
-    // 4 bits/code — the scan payload of a 100 TB ANN sweep), queries rank
-    // by the dot against the reconstructed vector, and the top-20
-    // candidates re-score exactly.
-    // Codebooks are a persisted artifact (PqIndex, same lifecycle as IVF)
-    // whose literals the oracle embeds — fully hash-checked.
+    // vector compresses to 16 sub-space codes (8 bytes/vector — one
+    // packed long at 4 bits/code, the scan payload of a 100 TB ANN
+    // sweep), queries rank by the ADC lookup-table sum, and the top-20
+    // candidates fetch their exact vectors back (broadcast id join) for
+    // the exact-cosine re-score.
+    // Codebooks are a persisted artifact (PqIndex) whose literals the
+    // oracle embeds, and the CODES are a persisted artifact too
+    // (PqCodeStore, r17 — VERDICT r16 item 1: encode runs once at ingest,
+    // never per query) — fully hash-checked either way, since the codes
+    // are deterministic given the books (PqCodeStoreSpec proves parity).
     "q_pq_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val books = PqIndex.codebooksFor(dir, PqM, PqK, PqIters) {
-        (0 until PqM).map { m =>
-          VectorOps.subKMeans(
-            emb.select(col("vec_id"), slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub")),
-            "vec_id", "sub", PqK, PqIters)
-        }.toArray
-      }
-      VectorOps.pqTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
-          books, rerank = 20)
+      val books = rawPqBooks(s, dir)
+      val codes = graft.sources.PqCodeStore.ensureRawCodes(s, dir, books, PqM, PqK, PqIters)
+      VectorOps.pqTopKCoded(codes, emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 5, books, rerank = 20)
         .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
     // IVF-PQ composed ANN (VERDICT r6 item 2): the coarse quantizer bounds
-    // WHICH rows a query touches (4 of 16 cells probed), PQ bounds the
-    // BYTES per touched row (16-byte codes, ADC lookup table), and only
-    // the top-20 ADC candidates re-score exactly. Both models are the
-    // SAME persisted artifacts q_ivf_topk / q_pq_topk already own.
+    // WHICH rows a query touches (16 of the production 64 cells probed —
+    // the r17 promotion, same ¼-corpus scan fraction as the old 4-of-16;
+    // the COMPOSED configuration measures 0.55 top-5 recall vs the old
+    // composition's 0.45 at sf0.1, LshRecallSpec "composed production
+    // config"), PQ bounds the BYTES per touched row (one packed 8-byte
+    // code word,
+    // ADC lookup table), and only the top-20 ADC candidates fetch their
+    // exact vectors for the re-score. All three models are the SAME
+    // persisted artifacts q_ivf_topk / q_pq_topk own, and the encoded
+    // corpus itself is a persisted PqCodeStore artifact (r17 — encode at
+    // ingest, never per query).
     // RAW-vector codes by MEASURED choice (r7 item 5 adjudicated in
     // LshRecallSpec): on this corpus's quasi-random unit embeddings the
-    // within-cell cosine is ~0.3-0.5, so residuals are LONGER than the
-    // vectors (mean norm 1.15) and residual codes lose recall (46/50 vs
-    // 49/50); the residual path ships as q_ivfpq_res_topk below.
+    // within-cell cosine is low, so residuals are LONGER than the
+    // vectors and residual codes lose recall; the residual path ships as
+    // q_ivfpq_res_topk below.
     "q_ivfpq_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
-        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
-      }
-      val books = PqIndex.codebooksFor(dir, PqM, PqK, PqIters) {
-        (0 until PqM).map { m =>
-          VectorOps.subKMeans(
-            emb.select(col("vec_id"), slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub")),
-            "vec_id", "sub", PqK, PqIters)
-        }.toArray
-      }
-      VectorOps.ivfPqTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
-          centroids, nProbe = 4, books, rerank = 20)
+      val centroids = prodCentroids(s, dir)
+      val books = rawPqBooks(s, dir)
+      val codes = graft.sources.PqCodeStore.ensureIvfCodes(s, dir, centroids, IvfK2,
+        IvfIters, books, PqM, PqK, PqIters, residual = false)
+      VectorOps.ivfPqTopKCoded(codes, emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 5, centroids, nProbe = IvfNProbe, books, rerank = 20)
         .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -1888,18 +1887,18 @@ object SparkEntry {
     // error. The win materializes on clustered corpora (tight cells,
     // ‖v−c‖ ≪ ‖v‖ — the production regime); on this corpus it measures
     // slightly behind raw codes (see q_ivfpq_topk note), which is why
-    // both encodings ship, each oracle-checked with its own artifact.
+    // both encodings ship, each oracle-checked with its own codebook and
+    // code-table artifacts (residual books + codes key the k=64 quantizer
+    // they residualize against).
     "q_ivfpq_res_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
-        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
-      }
-      val books = PqIndex.codebooksFor(dir, PqM, PqK, PqIters, PqResTag) {
-        VectorOps.trainResidualBooks(emb, "vec_id", "embedding", centroids,
-          PqM, PqSubDim, PqK, PqIters)
-      }
-      VectorOps.ivfPqTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
-          centroids, nProbe = 4, books, rerank = 20, residualEncoding = true)
+      val centroids = prodCentroids(s, dir)
+      val books = resPqBooks(s, dir)
+      val codes = graft.sources.PqCodeStore.ensureIvfCodes(s, dir, centroids, IvfK2,
+        IvfIters, books, PqM, PqK, PqIters, residual = true)
+      VectorOps.ivfPqTopKCoded(codes, emb, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 5, centroids, nProbe = IvfNProbe, books, rerank = 20,
+          residualEncoding = true)
         .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -1912,9 +1911,7 @@ object SparkEntry {
     // positives to find — random corpus pairs top out at cos≈0.51.
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
-        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
-      }
+      val centroids = prodCentroids(s, dir)
       val base = emb.select("vec_id", "embedding")
       // perturb FIRST, re-key SECOND (see q_embed_neardup_lsh_r8)
       val planted = base.where(col("vec_id") < 50)
@@ -3616,13 +3613,11 @@ object SparkEntry {
     // nProbe 1/2/4/8 over the persisted index — THE tuning curve for the
     // latency/recall trade a 100 TB ANN deployment actually dials
     // (q_lsh_recall_eval's sibling for the clustered index path).
-    "q_ivf_recall_curve" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val centroids = IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
-        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
-      }
-      ivfRecallCurve(emb, centroids, Seq(1, 2, 4, 8))
-    }),
+    // (Kept on the ORIGINAL k=16 quantizer after the r17 promotion — this
+    // curve is the documented "before" of the k=64 switch; the "after" is
+    // q_ivf_recall_sqrtn directly below.)
+    "q_ivf_recall_curve" -> ((s, dir) =>
+      ivfRecallCurve(T(s, dir, "embeddings"), centroidsOf(s, dir, IvfK), Seq(1, 2, 4, 8))),
 
     // The same curve over a √N-sized coarse quantizer (k=64 ≈ √2000 at
     // sf0.1; VERDICT r15 item 4): more, smaller cells sharpen the
@@ -3632,13 +3627,8 @@ object SparkEntry {
     // corpus, or whether quasi-random unit vectors put a ceiling on any
     // partition-based index (the honest-negative answer the C236 row
     // documents either way).
-    "q_ivf_recall_sqrtn" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val centroids = IvfIndex.centroidsFor(dir, IvfK2, IvfIters) {
-        VectorOps.kMeansCentroids(emb, "vec_id", "embedding", k = IvfK2, iters = IvfIters)
-      }
-      ivfRecallCurve(emb, centroids, Seq(4, 8, 16, 32))
-    }),
+    "q_ivf_recall_sqrtn" -> ((s, dir) =>
+      ivfRecallCurve(T(s, dir, "embeddings"), prodCentroids(s, dir), Seq(4, 8, 16, 32))),
 
     // PQ rerank-budget recall curve: top-5 recall vs brute force with
     // exact re-scoring of the ADC top-5/10/20 — how much exact-rescore
@@ -3646,22 +3636,21 @@ object SparkEntry {
     // sibling for the code-compressed path).
     "q_pq_recall_curve" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val books = PqIndex.codebooksFor(dir, PqM, PqK, PqIters) {
-        (0 until PqM).map { m =>
-          VectorOps.subKMeans(
-            emb.select(col("vec_id"), slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub")),
-            "vec_id", "sub", PqK, PqIters)
-        }.toArray
-      }
+      val books = rawPqBooks(s, dir)
+      val codes = graft.sources.PqCodeStore.ensureRawCodes(s, dir, books, PqM, PqK, PqIters)
       val queries = emb.where(col("vec_id") < 20)
       val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
         .select(col("query_id"), col("corpus_id"))
-      // ONE ADC ranking serves every rerank budget (r16: the encode +
-      // LUT + ranking is the expensive part; re-cutting it is free)
-      val ranked = VectorOps.pqAdcRanked(emb, queries, "vec_id", "embedding", books)
-        .where(col("_rn") <= 20).localCheckpoint(true)
+      // ONE ADC ranking AND one exact-vector fetch + rescore serve every
+      // rerank budget (r16/r17: the LUT ranking is the expensive part and
+      // the exact scores don't depend on the budget; re-cutting is free)
+      val scored = VectorOps.rerankFetchScored(
+          VectorOps.pqAdcRankedCoded(codes, queries, "vec_id", "embedding", books)
+            .where(col("_rn") <= 20),
+          emb, "vec_id", "embedding")
+        .localCheckpoint(true)
       Seq(5, 10, 20).map { r =>
-        val pq = VectorOps.rerankAdc(ranked, k = 5, rerank = r)
+        val pq = VectorOps.cutTopK(scored, k = 5, rerank = r)
           .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
         brute.join(pq, Seq("query_id", "corpus_id"), "left")
           .agg(count(lit(1)).as("n_pairs"),
@@ -3888,14 +3877,58 @@ object SparkEntry {
       .join(broadcast(T(s, dir, "documents").select(col("doc_id"), col(labelCol))),
         Seq("doc_id"))
 
-  /** IVF hyperparameters shared by the query and its oracle generator. */
+  /** IVF hyperparameters shared by the queries and their oracle generators.
+    * IvfK = 16 is the ORIGINAL coarse quantizer, retained for
+    * q_ivf_recall_curve as the documented before/after of the r17
+    * promotion; IvfK2 = 64 (√N-sized: √2000 ≈ 45 → 64 at sf0.1) is the
+    * PRODUCTION quantizer since r17 (VERDICT r16 item 3) — C238 measured
+    * strict dominance at matched scan fraction (0.77 vs 0.60 at ¼ corpus,
+    * 0.92 vs 0.79 at ½), so the serving queries (q_ivf_topk, q_ivfpq_topk,
+    * q_ivfpq_res_topk, q_semantic_dedup, q_silhouette) key the k=64
+    * artifact. IvfNProbe = 16 keeps the SAME ¼-corpus scan fraction the
+    * old k=16/nProbe=4 configuration paid — the promotion buys recall at
+    * equal cost, not cost at equal recall.
+    */
   private val IvfK = 16
   private val IvfIters = 4
-
-  /** √N-sized coarse quantizer for q_ivf_recall_sqrtn (√2000 ≈ 45 → 64
-    * at sf0.1) — a second persisted artifact, same lifecycle as IvfK's.
-    */
   private val IvfK2 = 64
+  private val IvfNProbe = 16
+
+  /** Train-or-load the persisted coarse quantizer for (dir, k) — one
+    * definition so a parameter change cannot fork the artifact key
+    * (VERDICT r16 item 8; previously repeated verbatim in five queries).
+    */
+  private def centroidsOf(s: SparkSession, dir: String, k: Int): Array[Array[Float]] =
+    IvfIndex.centroidsFor(dir, k, IvfIters) {
+      VectorOps.kMeansCentroids(T(s, dir, "embeddings"), "vec_id", "embedding",
+        k = k, iters = IvfIters)
+    }
+
+  /** The production (k=64) quantizer. */
+  private def prodCentroids(s: SparkSession, dir: String): Array[Array[Float]] =
+    centroidsOf(s, dir, IvfK2)
+
+  /** Train-or-load the raw-vector PQ codebooks (one definition — r16
+    * item 8).
+    */
+  private def rawPqBooks(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    PqIndex.codebooksFor(dir, PqM, PqK, PqIters) {
+      val emb = T(s, dir, "embeddings")
+      (0 until PqM).map { m =>
+        VectorOps.subKMeans(
+          emb.select(col("vec_id"), slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub")),
+          "vec_id", "sub", PqK, PqIters)
+      }.toArray
+    }
+
+  /** Train-or-load the IVF-residual PQ codebooks against the production
+    * quantizer (tagged by its (k, iters) — see PqResTag).
+    */
+  private def resPqBooks(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    PqIndex.codebooksFor(dir, PqM, PqK, PqIters, PqResTag) {
+      VectorOps.trainResidualBooks(T(s, dir, "embeddings"), "vec_id", "embedding",
+        prodCentroids(s, dir), PqM, PqSubDim, PqK, PqIters)
+    }
 
   /** Shared recall-curve body of q_ivf_recall_curve / q_ivf_recall_sqrtn:
     * top-5 recall vs the brute-force cosine baseline at each probe budget.
@@ -3935,9 +3968,10 @@ object SparkEntry {
 
   /** Artifact tag for the IVF-residual PQ codebooks (PqIndex.artifactPath
     * `tag`): residual books depend on the coarse quantizer they
-    * residualize against, so its (k, iters) key them.
+    * residualize against, so its (k, iters) key them. Since the r17
+    * promotion the residual path keys the PRODUCTION k=64 quantizer.
     */
-  private val PqResTag = s"res${IvfK}x$IvfIters"
+  private val PqResTag = s"res${IvfK2}x$IvfIters"
 
   /** BPE merge-table size shared by q_bpe_merges / q_bpe_encode and the
     * encode oracle generator.
@@ -4501,13 +4535,9 @@ object SparkEntry {
   private def semanticDedupOracleEntry: Map[String, String] = IvfIndex.lastSfDir match {
     case None => Map.empty
     case Some(dir) =>
-      val cOpt = IvfIndex.loadIfPresent(dir, IvfK, IvfIters).orElse {
-        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
-          IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
-            VectorOps.kMeansCentroids(Tables.load(s, dir, "embeddings"),
-              "vec_id", "embedding", k = IvfK, iters = IvfIters)
-          }
-        }
+      val cOpt = IvfIndex.loadIfPresent(dir, IvfK2, IvfIters).orElse {
+        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+          .map(s => prodCentroids(s, dir))
       }
       cOpt.filter(_.nonEmpty)
         .map(c => Map("q_semantic_dedup" -> semanticDedupSql(c, threshold = 0.9)))
@@ -4522,26 +4552,22 @@ object SparkEntry {
   private def ivfPqOracleEntry: Map[String, String] =
     IvfIndex.lastSfDir.orElse(PqIndex.lastSfDir) match {
       case Some(dir) =>
-        val cOpt = IvfIndex.loadIfPresent(dir, IvfK, IvfIters)
+        val cOpt = IvfIndex.loadIfPresent(dir, IvfK2, IvfIters)
         def valid(b: Array[Array[Array[Float]]]) = b.nonEmpty && b.forall(_.nonEmpty)
         val raw = for {
           c <- cOpt if c.nonEmpty
           b <- PqIndex.loadIfPresent(dir, PqM, PqK, PqIters) if valid(b)
-        } yield Map("q_ivfpq_topk" -> ivfPqTopKSql(c, nProbe = 4, b, rerank = 20))
+        } yield Map("q_ivfpq_topk" -> ivfPqTopKSql(c, nProbe = IvfNProbe, b, rerank = 20))
         // Residual books: load the tagged artifact, else train on the spot
         // if a session is live (same contract as pqOracleEntry).
         val res = for {
           c <- cOpt if c.nonEmpty
           b <- PqIndex.loadIfPresent(dir, PqM, PqK, PqIters, PqResTag).orElse {
-            SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
-              PqIndex.codebooksFor(dir, PqM, PqK, PqIters, PqResTag) {
-                VectorOps.trainResidualBooks(Tables.load(s, dir, "embeddings"),
-                  "vec_id", "embedding", c, PqM, PqSubDim, PqK, PqIters)
-              }
-            }
+            SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+              .map(s => resPqBooks(s, dir))
           } if valid(b)
         } yield Map("q_ivfpq_res_topk" ->
-          ivfPqTopKSql(c, nProbe = 4, b, rerank = 20, residual = true))
+          ivfPqTopKSql(c, nProbe = IvfNProbe, b, rerank = 20, residual = true))
         raw.getOrElse(Map.empty) ++ res.getOrElse(Map.empty)
       case None => Map.empty
     }
@@ -4554,16 +4580,8 @@ object SparkEntry {
     case None => Map.empty
     case Some(dir) =>
       val bOpt = PqIndex.loadIfPresent(dir, PqM, PqK, PqIters).orElse {
-        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
-          PqIndex.codebooksFor(dir, PqM, PqK, PqIters) {
-            val emb = Tables.load(s, dir, "embeddings")
-            (0 until PqM).map { m =>
-              VectorOps.subKMeans(
-                emb.select(col("vec_id"), slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sub")),
-                "vec_id", "sub", PqK, PqIters)
-            }.toArray
-          }
-        }
+        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+          .map(s => rawPqBooks(s, dir))
       }
       bOpt.filter(b => b.nonEmpty && b.forall(_.nonEmpty))
         .map(b => Map(
@@ -4586,33 +4604,25 @@ object SparkEntry {
     // driver's rows-only fallback instead.
     case None => Map.empty
     case Some(dir) =>
-    val cOpt = IvfIndex.loadIfPresent(dir, IvfK, IvfIters).orElse {
-      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
-        IvfIndex.centroidsFor(dir, IvfK, IvfIters) {
-          VectorOps.kMeansCentroids(Tables.load(s, dir, "embeddings"),
-            "vec_id", "embedding", k = IvfK, iters = IvfIters)
-        }
-      }
-    }
-    val base = cOpt.filter(_.nonEmpty)
+    // The legacy k=16 quantizer keys ONLY the before/after curve now; the
+    // serving queries (q_ivf_topk, q_silhouette, the recall_sqrtn curve)
+    // key the production k=64 artifact (r17 promotion).
+    val legacy = IvfIndex.loadIfPresent(dir, IvfK, IvfIters).orElse {
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(s => centroidsOf(s, dir, IvfK))
+    }.filter(_.nonEmpty)
+      .map(c => Map("q_ivf_recall_curve" -> ivfRecallCurveSql(c, Seq(1, 2, 4, 8), 5, 20)))
+      .getOrElse(Map.empty)
+    val prod = IvfIndex.loadIfPresent(dir, IvfK2, IvfIters).orElse {
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(s => prodCentroids(s, dir))
+    }.filter(_.nonEmpty)
       .map(c => Map(
-        "q_ivf_topk" -> ivfTopKSql(c, nProbe = 4),
-        "q_ivf_recall_curve" -> ivfRecallCurveSql(c, Seq(1, 2, 4, 8), 5, 20),
+        "q_ivf_topk" -> ivfTopKSql(c, nProbe = IvfNProbe),
+        "q_ivf_recall_sqrtn" -> ivfRecallCurveSql(c, Seq(4, 8, 16, 32), 5, 20),
         "q_silhouette" -> silhouetteSql(c)))
       .getOrElse(Map.empty)
-    // The √N-quantizer curve keys its own artifact; same load-else-train
-    // contract as the k=IvfK entries above.
-    val sqrtn = IvfIndex.loadIfPresent(dir, IvfK2, IvfIters).orElse {
-      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).map { s =>
-        IvfIndex.centroidsFor(dir, IvfK2, IvfIters) {
-          VectorOps.kMeansCentroids(Tables.load(s, dir, "embeddings"),
-            "vec_id", "embedding", k = IvfK2, iters = IvfIters)
-        }
-      }
-    }.filter(_.nonEmpty)
-      .map(c => Map("q_ivf_recall_sqrtn" -> ivfRecallCurveSql(c, Seq(4, 8, 16, 32), 5, 20)))
-      .getOrElse(Map.empty)
-    base ++ sqrtn
+    legacy ++ prod
   }
 
   /** The Naive-Bayes prediction CTE shared by q_nb_confusion and

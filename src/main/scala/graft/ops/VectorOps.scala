@@ -474,78 +474,168 @@ object VectorOps {
     (best.getField("negid") * -1).cast("int")
   }
 
-  /** Product-quantization approximate top-k with exact re-rank — the
-    * third member of the ANN family (brute force → IVF probe → PQ ADC):
-    * each corpus vector is encoded as M sub-space codes (8 bytes for a
-    * 64-dim float vector at the production M=16, K=16, 4-bit packed — a
-    * 32× compression of the scan payload),
-    * a query precomputes its M·K lookup table of sub-space dots and ranks
-    * the corpus by the asymmetric distance — M table lookups + a decimal
-    * sum per pair — and only the top `rerank` candidates per query are
-    * re-scored with the exact cosine. At 100 TB the codes are computed
-    * once at rest (materialized here — see the barrier note below); the
-    * ADC scan touches 16 bytes per corpus row instead of 256, and the
-    * exact vectors are fetched for rerank·|queries| rows only.
+  /** Product quantization, split into the lifecycle stages a 100 TB
+    * deployment actually has (VERDICT r16 item 1):
+    *
+    *   ENCODE — corpus → (id, packed code word), computed ONCE when data
+    *            lands and persisted as a parquet artifact
+    *            ([[graft.sources.PqCodeStore]]); previously every query
+    *            re-ran the m·k sub-space assignments over the corpus.
+    *   RANK   — the ADC scan reads ONLY the code table: 8 bytes/vector at
+    *            the production m=16, k=16 (16 4-bit codes in one long — a
+    *            32× compression of the scan payload).
+    *   FETCH  — exact vectors are read back for the top `rerank`
+    *            candidates per query only (the tiny candidate set
+    *            broadcast-joins the vector table by id), then re-scored
+    *            with the exact cosine.
     */
-  /** The ADC-ranked candidate frame shared by [[pqTopK]] and the recall
-    * curve: (query_id, corpus_id, q_vec, c_vec, _rn) with _rn the
-    * per-query ADC rank. Exposing the ranking lets a caller that needs
-    * SEVERAL rerank budgets (q_pq_recall_curve) pay the encode + LUT +
-    * ranking once instead of once per budget (r16: 3× on the curve).
+  /** All m sub-space code assignments of a vector packed into ONE long —
+    * code_i occupies bits [4i, 4i+4). Valid for m ≤ 16 and k ≤ 16 codes
+    * (the production PQ16x4 shape uses all 64 bits; bit 63 is code_15's
+    * high bit, not a sign — unpacking uses the LOGICAL shift). Packing
+    * keeps the at-rest artifact and any shuffle payload at 8 B/vector.
     */
-  def pqAdcRanked(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                  codebooks: Array[Array[Array[Float]]]): DataFrame = {
+  def packedPqCode(vecCol: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    require(m > 0 && m <= 16, s"packed PQ codes support 1..16 sub-spaces, got $m")
+    require(codebooks.forall(_.length <= 16),
+      "packed PQ codes support at most 16 codes per sub-space (4-bit nibbles)")
+    val d = codebooks(0)(0).length
+    (0 until m).map { i =>
+      shiftleft(nearestCode(slice(vecCol, i * d + 1, d), codebooks(i)).cast("long"), 4 * i)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Sub-space `i`'s code out of a [[packedPqCode]] word (logical shift —
+    * bit 63 is data, not sign).
+    */
+  def pqCodeAt(codeCol: Column, i: Int): Column =
+    shiftrightunsigned(codeCol, 4 * i).bitwiseAND(lit(15L)).cast("int")
+
+  /** The at-rest PQ code table: (idCol, code). See
+    * [[graft.sources.PqCodeStore]] for the persisted-artifact lifecycle.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Float]]]): DataFrame =
+    corpus.select(col(idCol),
+      packedPqCode(col(vecCol), codebooks).as("code"))
+
+  /** The at-rest IVF-PQ layout: (idCol, cell, code) — the coarse cell
+    * for probe pruning plus the packed code word. With `residualEncoding`
+    * the codes quantize v − centroid(cell) (FAISS layout; `codebooks` then
+    * from [[trainResidualBooks]]).
+    */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Float]],
+                  codebooks: Array[Array[Array[Float]]],
+                  residualEncoding: Boolean): DataFrame = {
+    val base = corpus.select(col(idCol),
+      nearestCell(col(vecCol), centroids).as("cell"), col(vecCol).as("_v"))
+    val enc = if (residualEncoding) residualCol(col("_v"), col("cell"), centroids)
+              else col("_v")
+    base.select(col(idCol), col("cell"), packedPqCode(enc, codebooks).as("code"))
+  }
+
+  /** ADC ranking over a pre-encoded code table — the RANK stage: each
+    * query precomputes its m·k lookup table of sub-space dots once; a
+    * candidate pair then costs m nibble-unpacks + element_ats + a decimal
+    * sum of the m partials (order-free, so the oracle replicates it with a
+    * grouped decimal SUM instead of a fixed-order chain). The per-term
+    * cast is decimal(18,12) — long-backed, so the m-term chain stays in
+    * compact arithmetic (values are unchanged: 12-dp rounding is the
+    * same at any precision and LUT dots are far below the 10⁶ cap).
+    * Output: (query_id, q_vec, corpus_id, _rn) with _rn the per-query ADC
+    * rank — exposing the ranking lets a caller that needs SEVERAL rerank
+    * budgets (q_pq_recall_curve) pay the LUT + ranking once per run.
+    */
+  def pqAdcRankedCoded(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                       codebooks: Array[Array[Array[Float]]]): DataFrame = {
     val m = codebooks.length
     require(m > 0, "need at least one codebook")
     val kk = codebooks(0).length
     val d = codebooks(0)(0).length
-    val codeCols = (0 until m).map { i =>
-      nearestCode(slice(col(vecCol), i * d + 1, d), codebooks(i)).as(s"code_$i")
-    }
-    // Materialize the encoded corpus ONCE — this is the at-rest codes
-    // table of the real lifecycle (codes are computed when data lands,
-    // not per query). Without the barrier the optimizer collapses the
-    // encode into the join and re-evaluates all m·k sub-space dots per
-    // (query × corpus) PAIR — an |queries|× amplification of the encode.
-    val c = corpus.select(
-      (Seq(col(idCol).as("corpus_id"), col(vecCol).as("c_vec")) ++ codeCols): _*)
-      .localCheckpoint(true)
-    // True ADC: each query precomputes its m·k lookup table of sub-space
-    // dots once; a candidate pair then costs m element_at + a decimal sum
-    // of the m partials (order-free, so the oracle replicates it with a
-    // grouped decimal SUM instead of a fixed-order chain). The per-term
-    // cast is decimal(18,12) — long-backed, so the m-term chain stays in
-    // compact arithmetic (values are unchanged: 12-dp rounding is the
-    // same at any precision and LUT dots are far below the 10⁶ cap).
     val lut = array((0 until m).flatMap { i =>
       codebooks(i).map { cj => dotNative(slice(col("q_vec"), i * d + 1, d), typedlit(cj.toSeq)) }
     }: _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("_lut", lut)
-    val approx = c.join(broadcast(q))
+    val approx = codes.select(col(idCol).as("corpus_id"), col("code"))
+      .join(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("approx",
-        (0 until m).map(i => element_at(col("_lut"), col(s"code_$i") + lit(i * kk + 1))
+        (0 until m).map(i => element_at(col("_lut"), pqCodeAt(col("code"), i) + lit(i * kk + 1))
           .cast("decimal(18,12)")).reduce(_ + _).cast("double"))
     val wa = Window.partitionBy("query_id").orderBy(col("approx").desc, col("corpus_id").asc)
-    approx.select(col("query_id"), col("corpus_id"), col("q_vec"), col("c_vec"),
+    approx.select(col("query_id"), col("q_vec"), col("corpus_id"),
       row_number().over(wa).as("_rn"))
   }
 
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, codebooks: Array[Array[Array[Float]]], rerank: Int): DataFrame =
-    rerankAdc(pqAdcRanked(corpus, queries, idCol, vecCol, codebooks), k, rerank)
-
-  /** Exact-cosine rescore of an [[pqAdcRanked]] frame's top `rerank`
-    * candidates per query, cut to the final top `k`.
+  /** The FETCH stage: the ADC candidate frame (already cut to its rerank
+    * budget upstream — rerank·|queries| rows) broadcast-joins the vector
+    * table by id to read back exact vectors for the candidates ONLY —
+    * never a second corpus-wide vector scan — and re-scores with the
+    * exact cosine. Output: (query_id, corpus_id, _rn, score).
     */
-  def rerankAdc(ranked: DataFrame, k: Int, rerank: Int): DataFrame = {
-    val wf = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
-    ranked.where(col("_rn") <= rerank)
-      .select(col("query_id"), col("corpus_id"),
+  def rerankFetchScored(ranked: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    vecs.join(broadcast(ranked), Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("_rn"),
         cosineNative(col("q_vec"), col("c_vec")).as("score"))
+  }
+
+  /** Final cut of a [[rerankFetchScored]] frame: among each query's top
+    * `rerank` ADC candidates, the exact-score top `k`.
+    */
+  def cutTopK(scored: DataFrame, k: Int, rerank: Int): DataFrame = {
+    val wf = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    scored.where(col("_rn") <= rerank)
+      .select(col("query_id"), col("corpus_id"), col("score"))
       .withColumn("rank", row_number().over(wf))
       .where(col("rank") <= k)
+  }
+
+  /** PQ ADC top-k over a persisted code table (the production path —
+    * encode paid once at ingest, not per query).
+    */
+  def pqTopKCoded(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  codebooks: Array[Array[Array[Float]]], rerank: Int): DataFrame = {
+    val ranked = pqAdcRankedCoded(codes, queries, idCol, vecCol, codebooks)
+      .where(col("_rn") <= rerank)
+    cutTopK(rerankFetchScored(ranked, corpus, idCol, vecCol), k, rerank)
+  }
+
+  /** In-flight encode with a materialization barrier BETWEEN the m
+    * per-sub-space nibble columns and the packed word. Two jobs done by
+    * one checkpoint: (a) it stops the optimizer collapsing the encode into
+    * the downstream join (which would re-evaluate all m·k sub-space dots
+    * per (query × corpus) PAIR), and (b) it keeps the m nearest-code
+    * argmaxes as SEPARATE projection columns — fused into one expression
+    * they exceed codegen's 64 KB method limit at the production m=16
+    * (expression codegen splits methods per column, not within one).
+    */
+  private def pqEncodeStaged(corpus: DataFrame, idCol: String, vecCol: String,
+                             codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val nibs = (0 until m).map { i =>
+      shiftleft(nearestCode(slice(col(vecCol), i * d + 1, d), codebooks(i)).cast("long"), 4 * i)
+        .as(s"_nib$i")
+    }
+    corpus.select((col(idCol) +: nibs): _*).localCheckpoint(true)
+      .select(col(idCol),
+        (0 until m).map(i => col(s"_nib$i")).reduce(_.bitwiseOR(_)).as("code"))
+  }
+
+  /** PQ ADC top-k with an in-flight encode — for ad-hoc corpora (specs,
+    * exploratory use). The declared queries ride the persisted
+    * [[graft.sources.PqCodeStore]] artifact via [[pqTopKCoded]] instead.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, codebooks: Array[Array[Array[Float]]], rerank: Int): DataFrame = {
+    val codes = pqEncodeStaged(corpus, idCol, vecCol, codebooks)
+    pqTopKCoded(codes, corpus, queries, idCol, vecCol, k, codebooks, rerank)
   }
 
   /** Per-row residual `v − centroid(cell)` as a float-array column — the
@@ -607,28 +697,16 @@ object VectorOps {
     * than raw ones (measured on the test corpus: mean ADC error 0.095 vs
     * 0.086, planted-twin recall 46/50 vs 49/50).
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                k: Int, centroids: Array[Array[Float]], nProbe: Int,
-                codebooks: Array[Array[Array[Float]]], rerank: Int,
-                residualEncoding: Boolean = false): DataFrame = {
+  def ivfPqTopKCoded(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     centroids: Array[Array[Float]], nProbe: Int,
+                     codebooks: Array[Array[Array[Float]]], rerank: Int,
+                     residualEncoding: Boolean = false): DataFrame = {
     val m = codebooks.length
     require(m > 0, "need at least one codebook")
     val kk = codebooks(0).length
     val d = codebooks(0)(0).length
     val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
-    val codeCols = (0 until m).map { i =>
-      nearestCode(slice(col("_enc"), i * d + 1, d), codebooks(i)).as(s"code_$i")
-    }
-    // At-rest layout: cell id + codes computed once when data lands
-    // (localCheckpoint = the materialization barrier, as in pqTopK).
-    val c = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
-        nearestCell(col(vecCol), centroids).as("cell"))
-      .withColumn("_enc",
-        if (residualEncoding) residualCol(col("c_vec"), col("cell"), centroids)
-        else col("c_vec"))
-      .select((Seq(col("corpus_id"), col("c_vec"), col("cell")) ++ codeCols): _*)
-      .localCheckpoint(true)
     val lut = array((0 until m).flatMap { i =>
       codebooks(i).map { cj => dotNative(slice(col("q_vec"), i * d + 1, d), typedlit(cj.toSeq)) }
     }: _*)
@@ -641,21 +719,46 @@ object VectorOps {
     else q0
     // decimal(18,12): long-backed compact arithmetic for the m-term ADC
     // chain (values unchanged — same 12-dp rounding, magnitudes far
-    // below the 10⁶ cap; the r16 pqAdcRanked treatment)
+    // below the 10⁶ cap; the r16 treatment)
     val lutSum = (0 until m).map(i =>
-      element_at(col("_lut"), col(s"code_$i") + lit(i * kk + 1)).cast("decimal(18,12)"))
+      element_at(col("_lut"), pqCodeAt(col("code"), i) + lit(i * kk + 1)).cast("decimal(18,12)"))
     val approxTerms =
       if (residualEncoding) col("_qcent").cast("decimal(18,12)") +: lutSum else lutSum
-    val approx = c.join(broadcast(q), Seq("cell"))
+    val approx = codes.select(col(idCol).as("corpus_id"), col("cell"), col("code"))
+      .join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("approx", approxTerms.reduce(_ + _).cast("double"))
     val wa = Window.partitionBy("query_id").orderBy(col("approx").desc, col("corpus_id").asc)
-    val cand = approx.withColumn("_rn", row_number().over(wa)).where(col("_rn") <= rerank)
-    val wf = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
-    cand.select(col("query_id"), col("corpus_id"),
-        cosineNative(col("q_vec"), col("c_vec")).as("score"))
-      .withColumn("rank", row_number().over(wf))
-      .where(col("rank") <= k)
+    val ranked = approx.select(col("query_id"), col("q_vec"), col("corpus_id"),
+        row_number().over(wa).as("_rn"))
+      .where(col("_rn") <= rerank)
+    cutTopK(rerankFetchScored(ranked, corpus, idCol, vecCol), k, rerank)
+  }
+
+  /** IVF-PQ with an in-flight encode (ad-hoc corpora / specs; same staged
+    * barrier as [[pqTopK]]'s — see [[pqEncodeStaged]]). The declared
+    * queries ride the persisted PqCodeStore artifact via
+    * [[ivfPqTopKCoded]] instead.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, centroids: Array[Array[Float]], nProbe: Int,
+                codebooks: Array[Array[Array[Float]]], rerank: Int,
+                residualEncoding: Boolean = false): DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val base = corpus.select(col(idCol),
+      nearestCell(col(vecCol), centroids).as("cell"), col(vecCol).as("_v"))
+    val enc = if (residualEncoding) residualCol(col("_v"), col("cell"), centroids)
+              else col("_v")
+    val nibs = (0 until m).map { i =>
+      shiftleft(nearestCode(slice(enc, i * d + 1, d), codebooks(i)).cast("long"), 4 * i)
+        .as(s"_nib$i")
+    }
+    val codes = base.select((Seq(col(idCol), col("cell")) ++ nibs): _*).localCheckpoint(true)
+      .select(col(idCol), col("cell"),
+        (0 until m).map(i => col(s"_nib$i")).reduce(_.bitwiseOR(_)).as("code"))
+    ivfPqTopKCoded(codes, corpus, queries, idCol, vecCol, k, centroids, nProbe,
+      codebooks, rerank, residualEncoding)
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with the

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-once persisted PQ code table — the encode-once-at-ingest artifact
+  * of the ANN family (VERDICT r16 item 1: every PQ query previously re-ran
+  * the m·k sub-space nearest-code assignments over the whole corpus per
+  * execution — corpus-static work, ~12 s of the r16 bench suite).
+  *
+  * Codes are to codebooks what [[ShingleStore]]'s table is to shingles: the
+  * model (codebooks, a [[graft.ops.PqIndex]] artifact) is a few KB and
+  * trains once; the CODES are corpus-sized, deterministic given the model,
+  * and consumed by every query — so they are materialized once when data
+  * lands, as parquet next to the warehouse. A row is 8 bytes of code
+  * (16 4-bit codes packed into one long — [[graft.ops.VectorOps.packedPqCode]])
+  * plus the id [+ IVF cell], which is the entire ADC scan payload: at
+  * 100 TB the ranking stage never touches the raw vectors (32× larger),
+  * and exact vectors are fetched for the top-rerank candidates only.
+  *
+  * Three variants, keyed by the models that define them:
+  *   - raw codes (q_pq_topk, q_pq_recall_curve): (vec_id, code)
+  *   - IVF + raw codes (q_ivfpq_topk): (vec_id, cell, code)
+  *   - IVF + residual codes (q_ivfpq_res_topk): codes quantize
+  *     v − centroid(cell) against the SAME coarse quantizer that keys the
+  *     residual codebooks.
+  *
+  * Committed `_SUCCESS` marker, ensure-once per session, same contract as
+  * [[ShingleStore.ensureShingles]]. The build recipe is EXACTLY
+  * [[graft.ops.VectorOps.pqEncode]] / [[graft.ops.VectorOps.ivfPqEncode]]
+  * over the `embeddings` table — PqCodeStoreSpec proves artifact ≡
+  * recompute bit-for-bit, so consumers' DuckDB oracles keep replaying the
+  * encode from the codebook literals.
+  */
+object PqCodeStore {
+
+  private val ensured = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** Test-only: forget the ensure so a spec can exercise the build path. */
+  private[graft] def forgetForTest(spark: SparkSession, sfDir: String, variant: String): Unit =
+    ensured.remove((spark.sparkContext.applicationId, codesPath(spark, sfDir, variant)))
+
+  def codesPath(spark: SparkSession, sfDir: String, variant: String): String = {
+    val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"graft_pqcodes_v1_${variant}_$dirHash").toString
+  }
+
+  /** Variant keys carry every model parameter that defines the codes, so a
+    * codebook re-dimension or quantizer swap lands at a NEW path instead of
+    * silently serving stale codes.
+    */
+  def rawVariant(m: Int, k: Int, iters: Int): String = s"raw_m${m}k${k}i$iters"
+  def ivfVariant(ivfK: Int, ivfIters: Int, m: Int, k: Int, iters: Int,
+                 residual: Boolean): String =
+    s"${if (residual) "ivfres" else "ivfraw"}_k${ivfK}i${ivfIters}_m${m}k${k}i$iters"
+
+  /** Ensure the raw-code table of `sfDir`'s `embeddings` exists and return
+    * it. Columns: (vec_id, code).
+    */
+  def ensureRawCodes(spark: SparkSession, sfDir: String,
+                     codebooks: Array[Array[Array[Float]]],
+                     m: Int, k: Int, iters: Int): DataFrame =
+    ensure(spark, sfDir, rawVariant(m, k, iters)) { emb =>
+      graft.ops.VectorOps.pqEncode(emb, "vec_id", "embedding", codebooks)
+    }
+
+  /** Ensure the IVF-PQ layout of `sfDir`'s `embeddings` exists and return
+    * it. Columns: (vec_id, cell, code).
+    */
+  def ensureIvfCodes(spark: SparkSession, sfDir: String,
+                     centroids: Array[Array[Float]], ivfK: Int, ivfIters: Int,
+                     codebooks: Array[Array[Array[Float]]],
+                     m: Int, k: Int, iters: Int, residual: Boolean): DataFrame =
+    ensure(spark, sfDir, ivfVariant(ivfK, ivfIters, m, k, iters, residual)) { emb =>
+      graft.ops.VectorOps.ivfPqEncode(emb, "vec_id", "embedding",
+          centroids, codebooks, residualEncoding = residual)
+    }
+
+  private def ensure(spark: SparkSession, sfDir: String, variant: String)
+                    (encode: DataFrame => DataFrame): DataFrame = {
+    val loc = codesPath(spark, sfDir, variant)
+    ensured.getOrElseUpdate((spark.sparkContext.applicationId, loc), {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+        if (fs.exists(p)) fs.delete(p, true)
+        // The one-shot encode projection (16 nested nearest-code argmaxes
+        // ORed into one word) exceeds whole-stage codegen's 64 KB method
+        // limit; Spark would fall back per-operator anyway, but with a
+        // logged compiler blow-up on every cold build. Turn WSCG off for
+        // just this write — per-expression codegen (which splits methods)
+        // still applies, and the query-side ADC path is untouched.
+        val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try encode(graft.Tables.load(spark, sfDir, "embeddings"))
+          .write.mode("overwrite").parquet(loc)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.codegen.wholeStage", v)
+          case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+        }
+      }
+    })
+    spark.read.parquet(loc)
+  }
+}

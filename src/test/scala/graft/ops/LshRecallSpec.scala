@@ -234,6 +234,34 @@ class LshRecallSpec extends SparkSpec {
     assert(fine >= 0.5, "the production 16×4 books must clear the 0.5 recall bar")
   }
 
+  test("composed production config (r17): IVF k=64 nProbe=16 + PQ16x4 recall, vs the old k=16 nProbe=4") {
+    // C238 measured the √N quantizer alone and C237 the 16×4 books alone;
+    // this is their COMPOSITION at the production configuration q_ivfpq_topk
+    // serves (VERDICT r16 item 7). Both configurations scan the same ¼ of
+    // the corpus (16/64 = 4/16), so the delta is pure quantizer geometry.
+    val corpus = emb.select("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 20)
+    val books = PqIndex.loadIfPresent(dir, 16, 16, 4)
+      .getOrElse(fail("committed PQ codebook artifact missing for sf0.1"))
+    val brute = VectorOps.cosineTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(ivfK: Int, nProbe: Int): Double = {
+      val cents = IvfIndex.loadIfPresent(dir, ivfK, 4)
+        .getOrElse(fail(s"committed k=$ivfK IVF artifact missing for sf0.1"))
+      val got = VectorOps.ivfPqTopK(corpus, queries, "vec_id", "embedding", 5,
+          cents, nProbe, books, rerank = 20)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val old = recallAt(16, 4)
+    val prod = recallAt(64, 16)
+    info(f"composed IVF-PQ recall at matched ¼-corpus scan: k=16/nProbe=4 $old%.4f vs k=64/nProbe=16 $prod%.4f")
+    assert(prod >= old, "the promoted quantizer must not lose to the old one at matched scan fraction")
+    assert(prod >= 0.4, "the production composition must hold a usable recall floor")
+  }
+
   test("IVF-PQ: planted twins found at nProbe=2, ADC candidate fraction below PQ-alone") {
     // The composition VERDICT r6 asked for: PQ-alone ADC-ranks 100% of the
     // corpus per query; with the IVF cells in front, the ADC scan touches
