@@ -9570,7 +9570,7 @@ object SparkEntry {
            SELECT user_id,
              list(event_id ORDER BY event_id) AS ids,
              list(value ORDER BY event_id) AS vs
-           FROM events GROUP BY user_id),
+           FROM events WHERE value IS NOT NULL GROUP BY user_id),
          st AS (
            SELECT user_id, vs,
              list_transform(range(1, len(vs) + 1), i ->
@@ -9669,7 +9669,7 @@ object SparkEntry {
       """WITH b AS (
            SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 AS a,
              n_chars::DOUBLE AS v
-           FROM documents),
+           FROM documents WHERE n_chars IS NOT NULL),
          r AS (
            SELECT a, v,
              row_number() OVER (PARTITION BY a ORDER BY v) AS rn,
@@ -9699,6 +9699,7 @@ object SparkEntry {
              sum(CAST(value AS DECIMAL(28,6))) OVER wa::DOUBLE AS t1,
              sum(CAST(value*value AS DECIMAL(28,6))) OVER wa::DOUBLE AS t2
            FROM events
+           WHERE value IS NOT NULL
            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                   wa AS (PARTITION BY user_id)),
@@ -9762,7 +9763,7 @@ object SparkEntry {
            SELECT source,
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 AS f,
              n_chars AS v
-           FROM documents),
+           FROM documents WHERE n_chars IS NOT NULL),
          r AS (
            SELECT source, f,
              rank() OVER (PARTITION BY source ORDER BY v) AS minrank,
@@ -9827,7 +9828,7 @@ object SparkEntry {
            SELECT user_id,
              list(event_id ORDER BY event_id) AS ids,
              list(value ORDER BY event_id) AS vs
-           FROM events GROUP BY user_id),
+           FROM events WHERE value IS NOT NULL GROUP BY user_id),
          ex AS (
            SELECT user_id,
              unnest(ids) AS event_id,

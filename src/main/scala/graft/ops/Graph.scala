@@ -565,18 +565,24 @@ object Graph {
       bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 32)
     val doBroadcast = broadcastClose.getOrElse {
       // ~16 B per row of the specialized long-key hash relation (8 B key
-      // + bookkeeping); the two-column fallback is wider but also rarer.
-      // The cap is NOT the session autoBroadcastJoinThreshold: that
-      // guards Catalyst's size ESTIMATES, which err huge; here the row
-      // count is MEASURED, the relation is the compact long-key map, and
-      // avoiding the broadcast costs a full shuffle of the Θ(m^1.5)
-      // wedge stream (r16: the 10 MB default flipped sf0.1's 19 MB edge
-      // list to shuffle for a 1.7× slowdown). 128 MB fits any serious
-      // executor; the GB-scale edge lists the r15 verdict worried about
-      // still shuffle. A session threshold raised ABOVE the floor is
-      // honored; -1 (broadcast disabled) forces the shuffle path.
+      // + bookkeeping) on the packable path; the two-column fallback
+      // builds a wider generic-row relation — ~32 B/row (ADVICE r16).
+      // The DEFAULT session threshold is not the cap here: it guards
+      // Catalyst's size ESTIMATES, which err huge, while this row count
+      // is MEASURED, the relation is compact, and avoiding the broadcast
+      // costs a full shuffle of the Θ(m^1.5) wedge stream (r16: the
+      // 10 MB default flipped sf0.1's 19 MB edge list to shuffle for a
+      // 1.7× slowdown) — so a session still on the default gets the
+      // 128 MB measured-size cap (GB-scale edge lists still shuffle).
+      // A threshold the session EXPLICITLY moved off the default is
+      // honored exactly, in both directions (ADVICE r16: lowering it
+      // used to be silently overridden back up), and -1 (broadcast
+      // disabled) forces the shuffle path as before. The one ambiguity —
+      // explicitly setting the exact default value — reads as default.
       val t = broadcastThresholdBytes(e.sparkSession)
-      t >= 0 && bounds.getLong(2) * 16L <= math.max(t, 128L << 20)
+      val cap = if (t == 10485760L) math.max(t, 128L << 20) else t
+      val rowBytes = if (packable) 16L else 32L
+      t >= 0 && bounds.getLong(2) * rowBytes <= cap
     }
     val tri =
       if (packable) {

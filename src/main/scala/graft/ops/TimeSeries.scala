@@ -857,8 +857,11 @@ object TimeSeries {
             curKey = k; haveKey = true
             l = x; b = 0.0
             ring = new Array[Double](m); head = 0
-            // first obs consumes slot-0 (0.0) and writes back
-            // s = δ(x−l) + (1−δ)·0 = 0 exactly — the ring stays zeros
+            // first obs only initializes state (l = x, b = 0, fresh
+            // all-zero ring; head stays 0) — the ring is first consumed
+            // at the SECOND observation, which reads slot-0's 0.0
+            // (ADVICE r16: the old comment misstated this as a slot-0
+            // read+write on the first obs)
           } else {
             val sPrev = ring(head)
             val l2 = alpha * (x - sPrev) + cA * (l + b)

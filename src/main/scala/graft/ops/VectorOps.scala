@@ -131,14 +131,23 @@ object VectorOps {
     // LinkedHashMap would keep only the last duplicate vec_id — a
     // meaningless blended ranking. Fail fast instead (ADVICE r15).
     // Zero query rows stay legal (empty pool → empty output — the
-    // EmptyInputSpec contract).
-    require(queries.limit(2).count() <= 1L,
+    // EmptyInputSpec contract). The check is folded into the query row's
+    // OWN materialization — the function is driver-side past the pool cut
+    // anyway, and take(2) short-circuits after two rows, so valid callers
+    // no longer pay a separate full-scan count() job (ADVICE r16).
+    val qRows = queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv")).take(2)
+    require(qRows.length <= 1,
       "mmrSelect reranks a single query's pool; pass at most one query row " +
         "— loop per query for multi-query reranking")
-    val q = queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+    if (qRows.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Double)].toDF("rank", "vec_id", "rel", "mmr")
+    }
+    val qid = qRows.head.get(0)
+    val qv = typedlit(qRows.head.getSeq[Float](1))
     val c = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
-    val pool = c.join(broadcast(q), col("_qid") =!= col("_cid"))
-      .select(col("_cid"), col("_cv"), cosineNative(col("_qv"), col("_cv")).as("_rel"))
+    val pool = c.where(col("_cid") =!= lit(qid))
+      .select(col("_cid"), col("_cv"), cosineNative(qv, col("_cv")).as("_rel"))
       .orderBy(col("_rel").desc, col("_cid").asc).limit(poolSize)
       .localCheckpoint(true)
     val rels = pool.select(col("_cid"), col("_rel")).collect()

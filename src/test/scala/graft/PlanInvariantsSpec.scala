@@ -184,8 +184,9 @@ class PlanInvariantsSpec extends SparkSpec {
 
   test("triangleCounts size-switch: an over-cap edge list shuffles the closing join") {
     // the 100×-scale half of the contract: when the closing side must
-    // not broadcast (the auto cap is max(session threshold, 128 MB) of
-    // MEASURED 16 B rows — GB-scale edge lists exceed it; -1 disables
+    // not broadcast (the auto cap is 128 MB of MEASURED rows for a
+    // session on the default threshold, or the explicit threshold if the
+    // session moved it — GB-scale edge lists exceed either; -1 disables
     // broadcast outright), the strategy falls back to a shuffled hash
     // join with identical results. -1 is the forcing mechanism here:
     // a spec-sized fixture cannot exceed the 128 MB floor, and the floor
@@ -214,6 +215,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(flatten(small.queryExecution.executedPlan).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "under-threshold edge list must broadcast the closing side")
+    // a threshold the session EXPLICITLY lowered below the 128 MB default
+    // cap is honored, not silently overridden back up (ADVICE r16): at a
+    // 1-byte threshold even this 5-edge list must shuffle
+    val lowered = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val d = graft.ops.Graph.triangleCounts(edges, "a", "b")
+      d.collect()
+      d
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(!flatten(lowered.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "an explicitly lowered threshold must be honored by the size switch")
   }
 
   test("round-8 queries keep their scale-plan contracts") {
