@@ -22,8 +22,11 @@ object Bench {
     // warehouse — r7 found q_join_bucketed charged 18 s for the rebuild),
     // while the timed pass below measures the steady state every
     // subsequent consumer actually sees.
+    // (q_pq_topk / q_ivfpq_* warm the PqCodeStore code-table artifacts —
+    // the encode-at-ingest cost of the r17 lifecycle, paid once here.)
     Seq("q_groupby_agg", "q_row_number",
-        "q_join_bucketed", "q_zorder_scan", "q_ivf_topk", "q_pq_topk").foreach { name =>
+        "q_join_bucketed", "q_zorder_scan", "q_ivf_topk", "q_pq_topk",
+        "q_ivfpq_topk", "q_ivfpq_res_topk").foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
@@ -176,9 +179,39 @@ object Bench {
     val headline = Seq("q_groupby_agg", "q_join_q5", "q_topk", "q_simhash_neardup",
       "q_dedup_groups", "q_pipeline_prep", "q_ngram_jaccard_df", "q_minhash_lsh",
       "q_ivf_topk", "q_cosine_topk_native", "q_corr")
+    // Measured non-range shuffle count per headline query (VERDICT r16
+    // item 5): the exchange count is the usual plan-drift signature — a
+    // broadcast silently becoming a shuffle shows up here round-over-round
+    // without running the test suite. Untimed (after all timed passes);
+    // collect() settles AQE's final stages. Drift vs the previous
+    // committed artifact goes to stderr for bench adjudication.
+    val prevShuffles: Map[String, Int] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH_LAST.json"))
+        val at = txt.indexOf("\"shuffles\":{")
+        if (at < 0) Map.empty // pre-r17 artifact: no shuffle block yet
+        else {
+          val block = txt.substring(at + 12)
+          """"([A-Za-z0-9_]+)":(-?[0-9]+)""".r.findAllMatchIn(block.takeWhile(_ != '}'))
+            .map(m => m.group(1) -> m.group(2).toInt).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val shuffles = headline.map { name =>
+      val n = try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        graft.plans.PlanAudit.nonRangeShuffles(df)
+      } catch { case _: Throwable => -1 }
+      prevShuffles.get(name).filter(_ != n).foreach { p =>
+        System.err.println(s"[bench] PLAN DRIFT $name: non-range shuffles $p -> $n")
+      }
+      name -> n
+    }
+    val shufflesJson = shuffles
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val retryStealJson = retrySteal.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"retry_pass_steal":$retryStealJson,"queries":${fmt(results)},"deltas":$deltasJson,"sf":"$sfDir"}"""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"retry_pass_steal":$retryStealJson,"queries":${fmt(headline.flatMap(k => results.get(k).map(k -> _)))},"top_deltas":$deltasJson,"n_queries":${results.size},"detail":"BENCH_LAST.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"retry_pass_steal":$retryStealJson,"queries":${fmt(results)},"deltas":$deltasJson,"shuffles":$shufflesJson,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"retry_pass_steal":$retryStealJson,"queries":${fmt(headline.flatMap(k => results.get(k).map(k -> _)))},"top_deltas":$deltasJson,"shuffles":$shufflesJson,"n_queries":${results.size},"detail":"BENCH_LAST.json","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()

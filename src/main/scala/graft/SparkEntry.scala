@@ -1809,10 +1809,17 @@ object SparkEntry {
     // oracle embeds the centroid values as literals (ivfTopKSql) and this
     // query is fully hash-checked; recall vs the brute-force baseline is
     // measured separately in LshRecallSpec.
+    // The corpus side is the CELL-PARTITIONED at-rest layout
+    // (IvfClusterStore, r17): cells are assigned once at ingest, stored
+    // as hive partitions, and the probe restriction prunes the scan —
+    // the pre-r17 shape re-ran the k-centroid assignment per query.
     "q_ivf_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      VectorOps.ivfTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", 5,
-          prodCentroids(s, dir), nProbe = IvfNProbe)
+      val centroids = prodCentroids(s, dir)
+      val clustered = graft.sources.IvfClusterStore.ensureClustered(s, dir,
+        centroids, IvfK2, IvfIters)
+      VectorOps.ivfTopKClustered(clustered, emb.where(col("vec_id") < 8),
+          "vec_id", "embedding", 5, centroids, nProbe = IvfNProbe)
         .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -3627,8 +3634,12 @@ object SparkEntry {
     // corpus, or whether quasi-random unit vectors put a ceiling on any
     // partition-based index (the honest-negative answer the C236 row
     // documents either way).
-    "q_ivf_recall_sqrtn" -> ((s, dir) =>
-      ivfRecallCurve(T(s, dir, "embeddings"), prodCentroids(s, dir), Seq(4, 8, 16, 32))),
+    "q_ivf_recall_sqrtn" -> ((s, dir) => {
+      val centroids = prodCentroids(s, dir)
+      ivfRecallCurve(T(s, dir, "embeddings"), centroids, Seq(4, 8, 16, 32),
+        clustered = Some(graft.sources.IvfClusterStore.ensureClustered(s, dir,
+          centroids, IvfK2, IvfIters)))
+    }),
 
     // PQ rerank-budget recall curve: top-5 recall vs brute force with
     // exact re-scoring of the ADC top-5/10/20 — how much exact-rescore
@@ -3934,13 +3945,16 @@ object SparkEntry {
     * top-5 recall vs the brute-force cosine baseline at each probe budget.
     */
   private def ivfRecallCurve(emb: DataFrame, centroids: Array[Array[Float]],
-                             nProbes: Seq[Int]): DataFrame = {
+                             nProbes: Seq[Int],
+                             clustered: Option[DataFrame] = None): DataFrame = {
     val queries = emb.where(col("vec_id") < 20)
     val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
       .select(col("query_id"), col("corpus_id"))
     nProbes.map { np =>
-      val ivf = VectorOps.ivfTopK(emb, queries, "vec_id", "embedding", 5,
-          centroids, nProbe = np)
+      val ivf = clustered.fold(
+          VectorOps.ivfTopK(emb, queries, "vec_id", "embedding", 5, centroids, nProbe = np))(
+          cl => VectorOps.ivfTopKClustered(cl, queries, "vec_id", "embedding", 5,
+            centroids, nProbe = np))
         .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
       brute.join(ivf, Seq("query_id", "corpus_id"), "left")
         .agg(count(lit(1)).as("n_pairs"),

@@ -326,25 +326,31 @@ object Graph {
     }
     var hubs = nodes.select(col("id"), lit(1.0).as("hub"))
     var auths = nodes.select(col("id"), lit(0.0).as("auth"))
+    // every join below carries a SHUFFLE_HASH hint: the frames are
+    // post-checkpoint (stats-blind planner), and without the hint the
+    // node⋈scores joins regress to SortMergeJoin — two full sorts per
+    // round on node-keyed, well-distributed data (the r17 heavy-tail
+    // SMJ-free contract)
     for (i <- 0 until iters) {
-      val aRaw = e.join(hubs, e("_src") === hubs("id"))
+      val aRaw = e.join(hubs.hint("SHUFFLE_HASH"), e("_src") === hubs("id"))
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("hub").cast("decimal(28,12)")).cast("double").as("auth"))
       auths = l1normalize(
-        nodes.join(aRaw, Seq("id"), "left")
+        nodes.join(aRaw.hint("SHUFFLE_HASH"), Seq("id"), "left")
           .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")), "auth")
-      val hRaw = e.join(auths, e("_dst") === auths("id"))
+      val hRaw = e.join(auths.hint("SHUFFLE_HASH"), e("_dst") === auths("id"))
         .groupBy(col("_src").as("id"))
         .agg(sum(col("auth").cast("decimal(28,12)")).cast("double").as("hub"))
       hubs = l1normalize(
-        nodes.join(hRaw, Seq("id"), "left")
+        nodes.join(hRaw.hint("SHUFFLE_HASH"), Seq("id"), "left")
           .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")), "hub")
       if ((i + 1) % 3 == 0 && i + 1 < iters) {
         auths = auths.localCheckpoint(true)
         hubs = hubs.localCheckpoint(true)
       }
     }
-    nodes.join(auths, Seq("id")).join(hubs, Seq("id"))
+    nodes.join(auths.hint("SHUFFLE_HASH"), Seq("id"))
+      .join(hubs.hint("SHUFFLE_HASH"), Seq("id"))
   }
 
   /** Bounded-hop single-source shortest paths over a WEIGHTED undirected

@@ -1241,27 +1241,7 @@ object Profiling {
     // broadcasts so the planner's stats-blind fallback can never be a
     // CartesianProduct (post-checkpoint frames lose their size estimates)
     val sk = kmvSmallestK(hashes, groupCol, k)
-    val pairs = sk.select(col(groupCol).as("ga")).distinct()
-      .join(broadcast(sk.select(col(groupCol).as("gb")).distinct()),
-        col("ga") < col("gb"))
-    // union sketch per pair: smallest-k of the two sketches' distinct union
-    val wU = Window.partitionBy("ga", "gb").orderBy("_h")
-    val u = pairs.join(broadcast(sk.withColumnRenamed(groupCol, "_g")),
-        col("_g") === col("ga") || col("_g") === col("gb"))
-      .select(col("ga"), col("gb"), col("_h")).distinct()
-      .withColumn("_rn", row_number().over(wU))
-      .where(col("_rn") <= k)
-    val inA = sk.select(col(groupCol).as("ga"), col("_h"), lit(1L).as("_inA"))
-    val inB = sk.select(col(groupCol).as("gb"), col("_h"), lit(1L).as("_inB"))
-    val est = u.join(inA, Seq("ga", "_h"), "left")
-      .join(inB, Seq("gb", "_h"), "left")
-      .groupBy("ga", "gb")
-      .agg(count(lit(1)).as("_nu"),
-        sum(when(col("_inA").isNotNull && col("_inB").isNotNull, 1L).otherwise(0L))
-          .as("_match"))
-      .select(col("ga"), col("gb"),
-        Portable.pround(col("_match").cast("double") / col("_nu").cast("double"), 6)
-          .as("jaccard_est"))
+    val est = kmvJaccardFromSketches(sk, groupCol, k)
     // exact Jaccard (audit column; a production run drops this branch)
     val ha = hashes.select(col(groupCol).as("ga"), col("_h"))
     val hb = hashes.select(col(groupCol).as("gb"), col("_h"))
@@ -1281,6 +1261,42 @@ object Profiling {
           col("_inter").cast("double") /
             (col("_sa") + col("_sb") - col("_inter")).cast("double")), 6)
           .as("abs_err"))
+  }
+
+  /** The pairwise-Jaccard ESTIMATE off a ≤k-per-group sketch frame
+    * (groupCol, _h) — the read-time arithmetic shared by [[kmvJaccard]]
+    * and the streaming twin ([[graft.streaming.StreamingOps.KmvState
+    * .pairwiseJaccard]]), so the maintained-sketch estimates are
+    * bit-identical to the batch `jaccard_est` column by construction
+    * (one formula, two callers — the kmvEstimateFromSketch precedent).
+    * Union sketch per pair = smallest-k of the two sketches' union;
+    * Ĵ = the fraction of its members present in BOTH sides. The non-equi
+    * pair/membership joins carry explicit broadcasts: sketch frames are
+    * ≤ |groups|·k rows but often post-checkpoint (stats-blind planner —
+    * the r16b CartesianProduct lesson).
+    */
+  private[graft] def kmvJaccardFromSketches(sk: DataFrame, groupCol: String,
+                                            k: Int): DataFrame = {
+    val pairs = sk.select(col(groupCol).as("ga")).distinct()
+      .join(broadcast(sk.select(col(groupCol).as("gb")).distinct()),
+        col("ga") < col("gb"))
+    val wU = Window.partitionBy("ga", "gb").orderBy("_h")
+    val u = pairs.join(broadcast(sk.withColumnRenamed(groupCol, "_g")),
+        col("_g") === col("ga") || col("_g") === col("gb"))
+      .select(col("ga"), col("gb"), col("_h")).distinct()
+      .withColumn("_rn", row_number().over(wU))
+      .where(col("_rn") <= k)
+    val inA = sk.select(col(groupCol).as("ga"), col("_h"), lit(1L).as("_inA"))
+    val inB = sk.select(col(groupCol).as("gb"), col("_h"), lit(1L).as("_inB"))
+    u.join(inA, Seq("ga", "_h"), "left")
+      .join(inB, Seq("gb", "_h"), "left")
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("_nu"),
+        sum(when(col("_inA").isNotNull && col("_inB").isNotNull, 1L).otherwise(0L))
+          .as("_match"))
+      .select(col("ga"), col("gb"),
+        Portable.pround(col("_match").cast("double") / col("_nu").cast("double"), 6)
+          .as("jaccard_est"))
   }
 
   /** Quantile-quantile drift table between two cohorts — the

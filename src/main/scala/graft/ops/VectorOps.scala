@@ -424,6 +424,31 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
+  /** IVF top-k over the cell-partitioned at-rest layout
+    * ([[graft.sources.IvfClusterStore]]): the corpus frame already
+    * carries its cell — the hive partition column — so no per-query
+    * re-assignment runs (k full-dimension dots per corpus row, the
+    * dominant cost at k=64), and the probe restriction reaches the
+    * partitioned scan as dynamic partition pruning through the broadcast
+    * query join: un-probed cells' files are never read. Bit-identical
+    * results to [[ivfTopK]] (same assignment recipe at write time, same
+    * scoring and rank order).
+    */
+  def ivfTopKClustered(clustered: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, centroids: Array[Array[Float]],
+                       nProbe: Int): DataFrame = {
+    val c = clustered.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), col("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(topCells(col(vecCol), centroids, nProbe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineNative(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Plain (non-spherical) k-means over a float-array column — the
     * subquantizer trainer for product quantization, where sub-vector
     * MAGNITUDE matters (spherical k-means would collapse it). Assignment

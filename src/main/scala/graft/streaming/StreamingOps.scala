@@ -271,6 +271,19 @@ object StreamingOps {
       * q_kmv_distinct estimate column. */
     def finalized: Option[DataFrame] =
       sketch.get.map(graft.ops.Profiling.kmvEstimateFromSketch(_, groupCol, k))
+
+    /** Current pairwise (ga, gb, jaccard_est) — the streaming twin of
+      * C260's q_kmv_jaccard estimate column (VERDICT r16 item 6). The
+      * SAME maintained smallest-k sketches serve both reads: the merge
+      * monoid makes the sketch equal the batch whole-corpus sketch for
+      * any micro-batch boundaries, and the shared
+      * kmvJaccardFromSketches arithmetic makes the derived estimate
+      * bit-identical to the batch column. The exact-Jaccard audit
+      * columns are batch-only by design — they need the full hash sets,
+      * which streaming state intentionally does not keep.
+      */
+    def pairwiseJaccard: Option[DataFrame] =
+      sketch.get.map(graft.ops.Profiling.kmvJaccardFromSketches(_, groupCol, k))
   }
 
   /** Streaming user-growth maintenance — the streaming twin of C229's

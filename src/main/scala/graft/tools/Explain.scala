@@ -35,6 +35,10 @@ object Explain {
         df.collect()
         println(df.queryExecution.executedPlan.toString.take(8000))
       }
+      if (sys.env.get("GRAFT_EXPLAIN_SHUFFLES").contains("1")) {
+        df.collect()
+        println(s"  non-range shuffles: ${graft.plans.PlanAudit.nonRangeShuffles(df)}")
+      }
     }
     spark.stop()
   }
