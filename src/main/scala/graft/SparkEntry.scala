@@ -3453,6 +3453,31 @@ object SparkEntry {
       TimeSeries.binSegChangepoint(T(s, dir, "events"), "user_id", "event_id", "value")
         .orderBy("user_id")),
 
+    // CUPED variance reduction: adjust each user's second-half-of-month
+    // metric by their first-half covariate — how much experiment
+    // sensitivity the pre-period buys (the C230 A/B test's power
+    // multiplier). One-row report: theta, raw vs adjusted variance,
+    // reduction %.
+    "q_cuped" -> ((s, dir) =>
+      Profiling.cuped(T(s, dir, "events"), "user_id", "ts", col("value"),
+        splitDay = 16)),
+
+    // χ² uniformity audit of the portable md5 bucketing over 16 buckets
+    // of customer keys — the guardrail under every hash-keyed split this
+    // engine ships (sampling, bootstrap blocks, A/B cohorts, salting).
+    // crit = χ²(0.05, 15).
+    "q_hash_uniformity" -> ((s, dir) =>
+      Profiling.hashUniformity(T(s, dir, "customer"), col("c_custkey"),
+        buckets = 16, crit = 24.996)),
+
+    // Gumbel block-maxima tail fit over daily event-value maxima with
+    // 10/100/1000-day return levels — the capacity-planning threshold
+    // ("the largest value to expect once per T days").
+    "q_gumbel_tail" -> ((s, dir) =>
+      Profiling.gumbelTail(T(s, dir, "events"), "ts", col("value"),
+          Seq(10, 100, 1000))
+        .orderBy("return_period")),
+
     // Bounded-hop harmonic centrality over the SimHash near-dup doc
     // graph: Σ 1/d within 3 hops — which duplicates sit at the CENTER of
     // a near-dup cluster (canonical-pick tiebreak evidence C53 can use).
@@ -3986,6 +4011,41 @@ object SparkEntry {
     * promotion the residual path keys the PRODUCTION k=64 quantizer.
     */
   private val PqResTag = s"res${IvfK2}x$IvfIters"
+
+  /** DuckDB oracle for q_gumbel_tail, generated with the SAME 9-dp
+    * rounded constants the operator embeds (one r9 rule, two callers —
+    * the constants cannot fork).
+    */
+  private def gumbelTailSql(returnPeriods: Seq[Int]): String = {
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val b9 = r9(math.sqrt(6.0) / math.Pi)
+    val g9 = r9(0.57721566490153286)
+    val rows = returnPeriods
+      .map(t => s"($t, ${r9(-math.log(-math.log(1.0 - 1.0 / t)))})").mkString(", ")
+    raw"""WITH blocks AS (
+           SELECT CAST(ts AS DATE) AS d, max(value) AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         a AS (
+           SELECT count(*)::BIGINT AS n_blocks,
+             sum(CAST(m AS DECIMAL(28,6)))::DOUBLE AS s,
+             sum(CAST(m*m AS DECIMAL(28,6)))::DOUBLE AS q
+           FROM blocks),
+         f AS (
+           SELECT n_blocks,
+             CASE WHEN n_blocks > 0 THEN s/n_blocks::DOUBLE END AS mean,
+             CASE WHEN n_blocks > 1 THEN
+               sqrt((q - n_blocks::DOUBLE*(s/n_blocks::DOUBLE)*(s/n_blocks::DOUBLE))
+                    /(n_blocks::DOUBLE - 1)) END AS sd
+           FROM a),
+         g AS (
+           SELECT n_blocks, mean - $g9*(sd*$b9) AS mu, sd*$b9 AS beta FROM f)
+         SELECT pr.t::BIGINT AS return_period, n_blocks,
+           round(mu, 6) + 0 AS mu, round(beta, 6) + 0 AS beta,
+           round(mu + beta*pr.c::DOUBLE, 6) + 0 AS return_level
+         FROM g CROSS JOIN (VALUES $rows) AS pr(t, c)
+         ORDER BY return_period"""
+  }
 
   /** BPE merge-table size shared by q_bpe_merges / q_bpe_encode and the
     * encode oracle generator.
@@ -9733,6 +9793,62 @@ object SparkEntry {
            round(total, 6) + 0 AS sse_total,
            CASE WHEN total > 0 THEN round((total - cost) / total, 6) + 0 END AS gain_ratio
          FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    // CUPED: the same conditional decimal pre/post sums per user, one
+    // moment aggregate, the identical fixed IEEE theta/variance shapes.
+    "q_cuped" ->
+      """WITH per AS (
+           SELECT user_id,
+             sum(CAST(CASE WHEN date_part('day', ts) < 16 THEN value ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS x,
+             sum(CAST(CASE WHEN NOT (date_part('day', ts) < 16) THEN value ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS y
+           FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         m AS (
+           SELECT count(*)::BIGINT AS n,
+             sum(CAST(x AS DECIMAL(28,6)))::DOUBLE AS sx,
+             sum(CAST(y AS DECIMAL(28,6)))::DOUBLE AS sy,
+             sum(CAST(x*x AS DECIMAL(28,6)))::DOUBLE AS sxx,
+             sum(CAST(y*y AS DECIMAL(28,6)))::DOUBLE AS syy,
+             sum(CAST(x*y AS DECIMAL(28,6)))::DOUBLE AS sxy
+           FROM per),
+         v AS (
+           SELECT n,
+             CASE WHEN n > 1 THEN (sxx - sx*sx/n::DOUBLE)/n::DOUBLE END AS varx,
+             CASE WHEN n > 1 THEN (syy - sy*sy/n::DOUBLE)/n::DOUBLE END AS vary,
+             CASE WHEN n > 1 THEN (sxy - sx*sy/n::DOUBLE)/n::DOUBLE END AS covxy
+           FROM m)
+         SELECT n AS n_units,
+           CASE WHEN n > 1 AND varx > 0 THEN round(covxy/varx, 6) + 0 END AS theta,
+           round(vary, 6) + 0 AS var_raw,
+           CASE WHEN n > 1 AND varx > 0
+                THEN round(vary - covxy*covxy/varx, 6) + 0 END AS var_adj,
+           CASE WHEN n > 1 AND varx > 0 AND vary > 0
+                THEN round(100.0*(covxy*covxy/varx)/vary, 6) + 0 END AS var_reduction_pct
+         FROM v""",
+
+    // Hash-uniformity: the same md5-prefix bucketing, the empty-bucket
+    // catalog left join, and the exact integer (B·n_b − n)² numerator.
+    "q_hash_uniformity" ->
+      """WITH b AS (
+           SELECT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT % 16 AS bkt,
+             count(*)::BIGINT AS c
+           FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+         f AS (
+           SELECT r.range AS bkt, coalesce(bb.c, 0)::BIGINT AS c
+           FROM range(0, 16) r LEFT JOIN b bb ON bb.bkt = r.range),
+         t AS (SELECT sum(c)::BIGINT AS n FROM f),
+         s AS (
+           SELECT t.n AS n, min(f.c) AS min_bucket, max(f.c) AS max_bucket,
+             sum(CAST((16*f.c - t.n)*(16*f.c - t.n) AS DECIMAL(38,0))) AS num
+           FROM f CROSS JOIN t GROUP BY t.n)
+         SELECT n, 16::BIGINT AS n_buckets, min_bucket, max_bucket,
+           CASE WHEN n > 0 THEN round(num::DOUBLE/(16.0*n::DOUBLE), 6) + 0 END AS chi2,
+           CASE WHEN n > 0 THEN num::DOUBLE/(16.0*n::DOUBLE) < 24.996 END AS uniform_ok
+         FROM s""",
+
+    // Gumbel tail: identical daily-max blocks, decimal moments, and the
+    // same 9-dp rounded constant literals (ln/π differ in final ulps
+    // across engines; a ≤15-digit decimal literal does not).
+    "q_gumbel_tail" -> gumbelTailSql(Seq(10, 100, 1000)),
 
     // Truncated betweenness: 2-/3-path enumeration over the same pair
     // CTE, shortest-only via NOT-EXISTS exclusions, per-pair 1/sigma

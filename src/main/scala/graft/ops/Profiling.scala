@@ -1806,4 +1806,146 @@ object Profiling {
       round(abs(col("ams_estimate") - col("exact_f2").cast("double")) /
         col("exact_f2").cast("double"), 6).as("rel_err"))
   }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013, WSDM) —
+    * the experimentation-platform primitive on top of C230's A/B z-test:
+    * adjust each unit's experiment-period metric by its own
+    * PRE-experiment covariate, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X),
+    * shrinking metric variance by the squared pre/post correlation
+    * (var_adj = var(Y) − cov²/var(X)) and therefore the sample size any
+    * test on Y needs — at pipeline scale the difference between a
+    * week-long and a month-long experiment read. Reported: θ, raw vs
+    * adjusted variance, and the reduction percentage.
+    *
+    * Units are the entity keys; X = the unit's exact decimal value sum
+    * in the pre period (day-of-month < `splitDay`), Y = the rest. A unit
+    * missing one side contributes an exact 0 to it (the conditional-sum
+    * zero fill — CUPED needs every unit's covariate). All five moments
+    * accumulate as one decimal hash aggregate; θ and the variances are a
+    * fixed IEEE shape on bit-identical doubles, so the one-row report is
+    * hash-checkable. Degenerate inputs NULL-propagate: no units → n=0
+    * row of NULLs, var(X)=0 (constant covariate) → NULL θ/adjusted.
+    *
+    * Scale shape: one unit-keyed aggregate (map-side combinable) + one
+    * 1-row moment aggregate; nothing unit-count-sized leaves executors.
+    */
+  def cuped(df: DataFrame, unitCol: String, tsCol: String, valueCol: Column,
+            splitDay: Int): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select(col(unitCol).as("_u"),
+        (dayofmonth(col(tsCol)) < splitDay).as("_pre"),
+        valueCol.cast("double").as("_v"))
+    val per = base.groupBy("_u").agg(
+      Portable.decSum(when(col("_pre"), col("_v")).otherwise(lit(0.0)), 6).as("_x"),
+      Portable.decSum(when(!col("_pre"), col("_v")).otherwise(lit(0.0)), 6).as("_y"))
+    val m = per.agg(count(lit(1)).as("_n"),
+      Portable.decSum(col("_x"), 6).as("_sx"),
+      Portable.decSum(col("_y"), 6).as("_sy"),
+      Portable.decSum(col("_x") * col("_x"), 6).as("_sxx"),
+      Portable.decSum(col("_y") * col("_y"), 6).as("_syy"),
+      Portable.decSum(col("_x") * col("_y"), 6).as("_sxy"))
+    val n = col("_n").cast("double")
+    val varX = when(col("_n") > 1, (col("_sxx") - col("_sx") * col("_sx") / n) / n)
+    val varY = when(col("_n") > 1, (col("_syy") - col("_sy") * col("_sy") / n) / n)
+    val covXY = when(col("_n") > 1, (col("_sxy") - col("_sx") * col("_sy") / n) / n)
+    val ok = col("_n") > 1 && varX > 0
+    m.select(
+      col("_n").as("n_units"),
+      when(ok, Portable.pround(covXY / varX, 6)).as("theta"),
+      Portable.pround(varY, 6).as("var_raw"),
+      when(ok, Portable.pround(varY - covXY * covXY / varX, 6)).as("var_adj"),
+      when(ok && varY > 0,
+        Portable.pround(lit(100.0) * (covXY * covXY / varX) / varY, 6))
+        .as("var_reduction_pct"))
+  }
+
+  /** χ² uniformity audit of the portable md5 bucketing — the guardrail
+    * UNDER every hash-keyed decision this engine ships (C23 sampling,
+    * C197 bootstrap blocks, the A/B cohort splits, salting): does
+    * pmod(hash32(key), B) actually spread keys uniformly, or is the key
+    * population structured against the hash (the sample-ratio-mismatch
+    * check of experimentation platforms, applied to the bucketing
+    * itself). χ² = Σ_b (B·n_b − n)² / (B·n) — the rescaling keeps the
+    * numerator ONE exact integer sum (accumulated decimal(38,0): at
+    * 100 TB n ~ 10¹² squares past 2⁶³), so the statistic is exact until
+    * a single division + round. Empty buckets count (catalog left join),
+    * `uniform_ok` compares against the caller's χ²_{α, B−1} critical
+    * literal — the p-value itself needs the incomplete-gamma CDF, a
+    * cross-engine transcendental this report deliberately avoids.
+    */
+  def hashUniformity(df: DataFrame, keyCol: Column, buckets: Int,
+                     crit: Double): DataFrame = {
+    val counts = df.where(keyCol.isNotNull)
+      .select(pmod(Portable.hash32(keyCol), lit(buckets.toLong)).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_c"))
+    val catalog = df.sparkSession.range(buckets).select(col("id").as("_b"))
+    val filled = catalog.join(counts, Seq("_b"), "left")
+      .select(col("_b"), coalesce(col("_c"), lit(0L)).as("_c"))
+    val nRow = filled.agg(sum("_c").as("_n"))
+    filled.crossJoin(broadcast(nRow))
+      .select(col("_c"), col("_n"),
+        (lit(buckets.toLong) * col("_c") - col("_n")).as("_d"))
+      .agg(first(col("_n")).as("n"),
+        min(col("_c")).as("min_bucket"), max(col("_c")).as("max_bucket"),
+        sum((col("_d") * col("_d")).cast("decimal(38,0)")).as("_num"))
+      .select(col("n"), lit(buckets.toLong).as("n_buckets"),
+        col("min_bucket"), col("max_bucket"),
+        when(col("n") > 0, Portable.pround(
+          col("_num").cast("double") / (lit(buckets.toDouble) * col("n").cast("double")), 6))
+          .as("chi2"),
+        when(col("n") > 0,
+          col("_num").cast("double") / (lit(buckets.toDouble) * col("n").cast("double"))
+            < lit(crit)).as("uniform_ok"))
+  }
+
+  /** Gumbel block-maxima tail fit by the method of moments — the
+    * capacity-planning read of a value stream: fit the extreme-value-I
+    * distribution to the DAILY MAXIMA (classical block maxima, one block
+    * per calendar day) and report the T-block return levels
+    * z_T = μ + β·c_T, c_T = −ln(−ln(1 − 1/T)) — "the largest value to
+    * expect once per T days", the number a quota/alerting threshold is
+    * set from. Moment fit: β = sd·(√6/π), μ = mean − γ·β (Gumbel's
+    * moments; γ = Euler–Mascheroni).
+    *
+    * Portability: mean/sd come from exact decimal moment sums of the
+    * block maxima (raw stored doubles — no arithmetic before the agg);
+    * sqrt is correctly rounded IEEE everywhere; and ALL transcendental
+    * constants (√6/π, γ, each c_T) enter as 9-dp ROUNDED literals
+    * computed once driver-side — ln/π differ in final ulps across
+    * engines, a ≤15-significant-digit decimal literal does not (it
+    * round-trips exactly through DuckDB's DECIMAL parse; the r16 q_macd
+    * lesson). The 1e-10 constant truncation is documented and
+    * statistically immaterial next to the moment estimator's own error.
+    * n<2 blocks → NULL fit, never a throw.
+    */
+  def gumbelTail(df: DataFrame, tsCol: String, valueCol: Column,
+                 returnPeriods: Seq[Int]): DataFrame = {
+    require(returnPeriods.nonEmpty && returnPeriods.forall(_ >= 2),
+      "return periods must be >= 2 blocks")
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val b9 = r9(math.sqrt(6.0) / math.Pi)            // 0.779696801
+    val g9 = r9(0.57721566490153286)                 // Euler–Mascheroni
+    val blocks = df.where(valueCol.isNotNull)
+      .groupBy(to_date(col(tsCol)).as("_day"))
+      .agg(max(valueCol.cast("double")).as("_m"))
+    val agg = blocks.agg(count(lit(1)).as("n_blocks"),
+      Portable.decSum(col("_m"), 6).as("_s"),
+      Portable.decSum(col("_m") * col("_m"), 6).as("_q"))
+    val n = col("n_blocks").cast("double")
+    val mean = when(col("n_blocks") > 0, col("_s") / n)
+    val sd = when(col("n_blocks") > 1,
+      sqrt((col("_q") - n * mean * mean) / (n - 1)))
+    val beta = sd * lit(b9)
+    val mu = mean - lit(g9) * beta
+    val periods = array(returnPeriods.map { t =>
+      struct(lit(t.toLong).as("t"), lit(r9(-math.log(-math.log(1.0 - 1.0 / t)))).as("c"))
+    }: _*)
+    agg.select(col("n_blocks"), mean.as("_mean"), mu.as("_mu"), beta.as("_beta"),
+        explode(periods).as("_p"))
+      .select(col("_p.t").as("return_period"), col("n_blocks"),
+        Portable.pround(col("_mu"), 6).as("mu"),
+        Portable.pround(col("_beta"), 6).as("beta"),
+        Portable.pround(col("_mu") + col("_beta") * col("_p.c"), 6).as("return_level"))
+  }
 }

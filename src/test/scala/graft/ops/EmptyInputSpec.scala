@@ -373,6 +373,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(Profiling.lorenzCurve(df(Seq.empty[Series16]), col("v"), 10)
       .where(col("value_share").isNotNull).count() === 0)
   }
+
+  test("round-17 operators on empty inputs") {
+    val emptyEv = df(Seq.empty[R17Ev])
+    // cuped: one summary row, n_units = 0, every statistic NULL
+    val cu = Profiling.cuped(emptyEv, "user_id", "ts", col("value"), 16).head()
+    assert(cu.getLong(0) === 0L && cu.isNullAt(1) && cu.isNullAt(2) &&
+      cu.isNullAt(3) && cu.isNullAt(4))
+    // hashUniformity: the full bucket catalog survives, n = 0, NULL chi2
+    val hu = Profiling.hashUniformity(df(Seq.empty[R17Key]), col("k"), 16, 24.996).head()
+    assert(hu.getLong(0) === 0L && hu.getLong(1) === 16L &&
+      hu.getLong(2) === 0L && hu.getLong(3) === 0L && hu.isNullAt(4) && hu.isNullAt(5))
+    // gumbelTail: one row per requested period, zero blocks, NULL fit
+    val gt = Profiling.gumbelTail(emptyEv, "ts", col("value"), Seq(10, 100)).collect()
+    assert(gt.length === 2 && gt.forall(r =>
+      r.getLong(1) === 0L && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+  }
 }
 
 case class Series16(key: String, t: Long, v: Double)

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class R17Ev(user_id: Long, ts: java.sql.Timestamp, value: java.lang.Double)
+case class R17Key(k: Long)
+
+/** Hand-exact fixtures for the round-17 operators: CUPED variance
+  * reduction, the md5-bucket χ² uniformity audit, and the Gumbel
+  * block-maxima tail fit.
+  */
+class Round17OpsSpec extends SparkSpec {
+
+  private def ts(day: Int, hour: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+
+  private def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+
+  test("cuped: a perfectly predictive covariate removes all variance") {
+    // y = 2x exactly per unit -> theta = cov/var = 2, var_adj = 0,
+    // reduction = 100%
+    val evs = (1 to 4).flatMap { u =>
+      Seq(R17Ev(u, ts(5), u.toDouble),        // pre (day < 16): x = u
+          R17Ev(u, ts(20), 2.0 * u))          // post: y = 2u
+    }
+    val out = Profiling.cuped(df(evs), "user_id", "ts", col("value"), 16)
+      .collect().head
+    assert(out.getLong(0) === 4L)
+    assert(out.getDouble(1) === 2.0, "theta")
+    // var(y) over y=[2,4,6,8], population: mean 5, var = (9+1+1+9)/4 = 5
+    assert(out.getDouble(2) === 5.0, "var_raw")
+    assert(out.getDouble(3) === 0.0, "var_adj")
+    assert(out.getDouble(4) === 100.0, "var_reduction_pct")
+  }
+
+  test("cuped: constant covariate NULLs theta and the adjustment, keeps var_raw") {
+    val evs = (1 to 3).flatMap { u =>
+      Seq(R17Ev(u, ts(5), 7.0),               // x = 7 for everyone
+          R17Ev(u, ts(20), u.toDouble))       // y = 1, 2, 3
+    }
+    val out = Profiling.cuped(df(evs), "user_id", "ts", col("value"), 16)
+      .collect().head
+    assert(out.getLong(0) === 3L)
+    assert(out.isNullAt(1) && out.isNullAt(3) && out.isNullAt(4))
+    // var(y): mean 2, var = (1+0+1)/3
+    assert(out.getDouble(2) === r6(2.0 / 3.0))
+  }
+
+  test("cuped: a unit missing one period contributes an exact zero to it") {
+    // u1 has only pre, u2 only post — both still count as units
+    val evs = Seq(R17Ev(1, ts(5), 4.0), R17Ev(2, ts(20), 4.0))
+    val out = Profiling.cuped(df(evs), "user_id", "ts", col("value"), 16)
+      .collect().head
+    assert(out.getLong(0) === 2L)
+    // x = [4, 0], y = [0, 4]: var_x = 4, cov = -4 -> theta = -1;
+    // var_y = 4, var_adj = 4 - 16/4 = 0
+    assert(out.getDouble(1) === -1.0)
+    assert(out.getDouble(2) === 4.0 && out.getDouble(3) === 0.0)
+  }
+
+  test("hashUniformity: matches the driver-side recomputation, counts empty buckets") {
+    val keys = (1L to 37L).map(R17Key)
+    val out = Profiling.hashUniformity(df(keys), col("k"), buckets = 16,
+      crit = 24.996).collect().head
+    assert(out.getLong(0) === 37L)
+    assert(out.getLong(1) === 16L)
+    // referee: the same md5-prefix bucketing computed driver-side
+    val counts = Array.fill(16)(0L)
+    keys.foreach { k =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(k.k.toString).take(8), 16)
+      counts((h % 16).toInt) += 1
+    }
+    assert(out.getLong(2) === counts.min, "min_bucket (37 keys in 16 buckets: empties possible)")
+    assert(out.getLong(3) === counts.max)
+    val num = counts.map(c => { val d = 16L * c - 37L; d * d }).sum
+    assert(out.getDouble(4) === r6(num.toDouble / (16.0 * 37.0)))
+    assert(!out.isNullAt(5))
+  }
+
+  test("hashUniformity: a planted non-uniform key population fails the gate") {
+    // every key identical -> one bucket holds everything; chi2 = B - 1
+    // per key... chi2 = (B-1)·n (maximal concentration)
+    val keys = Seq.fill(100)(R17Key(42L))
+    val out = Profiling.hashUniformity(df(keys), col("k"), buckets = 16,
+      crit = 24.996).collect().head
+    assert(out.getLong(0) === 100L)
+    assert(out.getLong(2) === 0L && out.getLong(3) === 100L)
+    assert(out.getDouble(4) === 1500.0, "chi2 = (B-1)·n at full concentration")
+    assert(!out.getBoolean(5), "concentrated keys must fail the uniformity gate")
+  }
+
+  test("gumbelTail: moment fit matches hand math on two known daily maxima") {
+    val evs = Seq(
+      R17Ev(1, ts(1, 1), 3.0), R17Ev(2, ts(1, 2), 10.0), // day 1 max 10
+      R17Ev(3, ts(2, 1), 20.0), R17Ev(4, ts(2, 2), 5.0)) // day 2 max 20
+    val rows = Profiling.gumbelTail(df(evs), "ts", col("value"), Seq(10, 100))
+      .orderBy("return_period").collect()
+    assert(rows.length === 2)
+    val mean = 15.0
+    val sd = math.sqrt(50.0) // (100+400 - 2*225)/(2-1)
+    val b9 = 0.779696801; val g9 = 0.577215664
+    val beta = sd * b9
+    val mu = mean - g9 * beta
+    def c9(t: Int): Double = java.math.BigDecimal.valueOf(
+      -math.log(-math.log(1.0 - 1.0 / t)))
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    rows.zip(Seq(10, 100)).foreach { case (r, t) =>
+      assert(r.getLong(0) === t.toLong)
+      assert(r.getLong(1) === 2L, "n_blocks")
+      assert(r.getDouble(2) === r6(mu))
+      assert(r.getDouble(3) === r6(beta))
+      assert(r.getDouble(4) === r6(mu + beta * c9(t)))
+    }
+    // monotone: a rarer event has a higher return level
+    assert(rows(1).getDouble(4) > rows(0).getDouble(4))
+  }
+
+  test("gumbelTail: a single block yields NULL fit, never a throw") {
+    val evs = Seq(R17Ev(1, ts(1), 5.0), R17Ev(2, ts(1, 3), 9.0))
+    val rows = Profiling.gumbelTail(df(evs), "ts", col("value"), Seq(10))
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) === 1L)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3) && rows.head.isNullAt(4))
+  }
+}
