@@ -3478,6 +3478,28 @@ object SparkEntry {
           Seq(10, 100, 1000))
         .orderBy("return_period")),
 
+    // Pairwise Jensen–Shannon divergence between source unigram
+    // distributions — the corpus-mixing distance (symmetric, bounded,
+    // finite where KL explodes). Counts ride the persisted TokenStore
+    // rollup + a broadcast doc→source label join; only shared tokens
+    // join, one-sided mass folds in analytically.
+    "q_jsd" -> ((s, dir) => {
+      val counts = graft.sources.TokenStore.ensureTokens(s, dir)
+        .join(broadcast(T(s, dir, "documents").select(col("doc_id"), col("source"))),
+          Seq("doc_id"))
+        .groupBy("source", "token").agg(sum("tf").as("tf"))
+      TextOps.jsDivergence(counts, "source", "token", "tf")
+        .orderBy("label_a", "label_b")
+    }),
+
+    // md5-randomization permutation test for the A/B mean difference —
+    // the assumption-free p-value behind q_ab_test/q_cuped: 64
+    // deterministic hash-relabelings of the per-user metric, p =
+    // (1 + #extreme) / 65.
+    "q_perm_test" -> ((s, dir) =>
+      Profiling.permutationTest(T(s, dir, "events"), "user_id", col("value"),
+        replicas = 64)),
+
     // Bounded-hop harmonic centrality over the SimHash near-dup doc
     // graph: Σ 1/d within 3 hops — which duplicates sit at the CENTER of
     // a near-dup cluster (canonical-pick tiebreak evidence C53 can use).
@@ -9849,6 +9871,87 @@ object SparkEntry {
     // same 9-dp rounded constant literals (ln/π differ in final ulps
     // across engines; a ≤15-digit decimal literal does not).
     "q_gumbel_tail" -> gumbelTailSql(Seq(10, 100, 1000)),
+
+    // JSD: per-source token counts from the standard tokenization (the
+    // TokenStore recipe), shared-token inner join, 9-dp-rounded ln
+    // outputs before the count products, ln 2 as the 9-dp literal.
+    "q_jsd" ->
+      raw"""WITH tok AS (
+           SELECT d.source,
+             unnest(list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')) AS token
+           FROM documents d),
+         cnt AS (SELECT source, token, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+         tot AS (SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+         sh AS (
+           SELECT a.source AS label_a, b.source AS label_b,
+             sum(a.c)::BIGINT AS sa, sum(b.c)::BIGINT AS sb,
+             sum(CAST(a.c::DOUBLE * (round(ln(2.0*(a.c::DOUBLE*nb.n::DOUBLE)
+                   /(a.c::DOUBLE*nb.n::DOUBLE + b.c::DOUBLE*na.n::DOUBLE)), 9) + 0)
+                 AS DECIMAL(28,12)))::DOUBLE AS ta,
+             sum(CAST(b.c::DOUBLE * (round(ln(2.0*(b.c::DOUBLE*na.n::DOUBLE)
+                   /(a.c::DOUBLE*nb.n::DOUBLE + b.c::DOUBLE*na.n::DOUBLE)), 9) + 0)
+                 AS DECIMAL(28,12)))::DOUBLE AS tb
+           FROM cnt a JOIN cnt b ON a.token = b.token AND a.source < b.source
+           JOIN tot na ON na.source = a.source
+           JOIN tot nb ON nb.source = b.source
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT na.source AS label_a, nb.source AS label_b, na.n AS na, nb.n AS nb
+           FROM tot na JOIN tot nb ON na.source < nb.source)
+         SELECT p.label_a, p.label_b, p.na AS n_tokens_a, p.nb AS n_tokens_b,
+           round(0.5*(coalesce(ta, 0.0)/p.na::DOUBLE + coalesce(tb, 0.0)/p.nb::DOUBLE
+             + (1.0 - coalesce(sa, 0)::DOUBLE/p.na::DOUBLE)*0.693147181
+             + (1.0 - coalesce(sb, 0)::DOUBLE/p.nb::DOUBLE)*0.693147181), 6) + 0 AS jsd_nats,
+           round((0.5*(coalesce(ta, 0.0)/p.na::DOUBLE + coalesce(tb, 0.0)/p.nb::DOUBLE
+             + (1.0 - coalesce(sa, 0)::DOUBLE/p.na::DOUBLE)*0.693147181
+             + (1.0 - coalesce(sb, 0)::DOUBLE/p.nb::DOUBLE)*0.693147181))/0.693147181, 6) + 0 AS jsd_norm
+         FROM pairs p LEFT JOIN sh ON sh.label_a = p.label_a AND sh.label_b = p.label_b
+         ORDER BY p.label_a, p.label_b""",
+
+    // Permutation test: the same md5-parity observed split, 64
+    // hash32(unit#r) relabelings over the per-unit decimal sums,
+    // identical fixed-shape means, add-one p.
+    "q_perm_test" ->
+      """WITH u AS (
+           SELECT user_id AS uu,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS x,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS obsa
+           FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         obs AS (
+           SELECT count(*)::BIGINT AS n_units,
+             sum(CASE WHEN obsa THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN NOT obsa THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             CASE WHEN sum(CASE WHEN obsa THEN 1 ELSE 0 END) > 0
+                   AND sum(CASE WHEN NOT obsa THEN 1 ELSE 0 END) > 0 THEN
+               sum(CAST(CASE WHEN obsa THEN x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN obsa THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CAST(CASE WHEN NOT obsa THEN x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN NOT obsa THEN 1 ELSE 0 END)::DOUBLE
+             END AS dobs
+           FROM u),
+         reps AS (
+           SELECT s.r AS r,
+             CASE WHEN sum(CASE WHEN s.perma THEN 1 ELSE 0 END) > 0
+                   AND sum(CASE WHEN NOT s.perma THEN 1 ELSE 0 END) > 0 THEN
+               sum(CAST(CASE WHEN s.perma THEN s.x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN s.perma THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CAST(CASE WHEN NOT s.perma THEN s.x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN NOT s.perma THEN 1 ELSE 0 END)::DOUBLE
+             END AS dr
+           FROM (
+             SELECT u.x AS x, r.range AS r,
+               (('0x' || substr(md5(u.uu::VARCHAR || '#' || r.range::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS perma
+             FROM u CROSS JOIN range(1, 65) r) s
+           GROUP BY s.r),
+         e AS (
+           SELECT sum(CASE WHEN abs(r.dr) >= abs(o.dobs) THEN 1 ELSE 0 END)::BIGINT AS k
+           FROM reps r CROSS JOIN obs o)
+         SELECT o.n_units, o.n_a, o.n_b,
+           round(o.dobs, 6) + 0 AS obs_diff,
+           CASE WHEN o.dobs IS NOT NULL THEN e.k END AS n_extreme,
+           CASE WHEN o.dobs IS NOT NULL
+                THEN round((e.k + 1)::DOUBLE / 65.0, 6) + 0 END AS p_value
+         FROM obs o CROSS JOIN e""",
 
     // Truncated betweenness: 2-/3-path enumeration over the same pair
     // CTE, shortest-only via NOT-EXISTS exclusions, per-pair 1/sigma

@@ -1898,6 +1898,61 @@ object Profiling {
             < lit(crit)).as("uniform_ok"))
   }
 
+  /** md5-randomization permutation test for the two-cohort mean
+    * difference — the assumption-free significance read behind C230's
+    * z-test and C264's CUPED (no normality, no variance formula: "how
+    * often does a RANDOM reassignment of units beat the observed
+    * split"). Classical permutation testing draws random relabelings;
+    * here replica r assigns unit u to cohort A iff
+    * hash32(u # r) is even — the engine's standing RNG-free substitute
+    * (C23/C197): deterministic, layout-independent, replayable by the
+    * oracle byte for byte. p = (1 + #{r : |d_r| ≥ |d_obs|}) / (R + 1),
+    * the standard add-one permutation p-value — an exact rational.
+    *
+    * Every replica statistic is a fixed IEEE shape on exact decimal
+    * per-unit sums (conditional-sum means, one division each side), so
+    * the |d_r| ≥ |d_obs| comparisons agree bit-for-bit cross-engine.
+    * Scale shape: one unit aggregate (map-side combinable), then an
+    * R-way fan of the UNIT table only — never the event stream — and
+    * one replica aggregate. Degenerate inputs (no units, an empty
+    * observed cohort) NULL-propagate.
+    */
+  def permutationTest(df: DataFrame, unitCol: String, valueCol: Column,
+                      replicas: Int): DataFrame = {
+    require(replicas > 0, "need at least one permutation replica")
+    val units = df.where(valueCol.isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(Portable.decSum(valueCol.cast("double"), 6).as("_x"))
+      .withColumn("_obsA", pmod(Portable.hash32(col("_u")), lit(2L)) === 0)
+    def meanDiff(flag: Column): Column = {
+      val nA = sum(when(flag, 1L).otherwise(0L))
+      val nB = sum(when(!flag, 1L).otherwise(0L))
+      val sA = sum(when(flag, col("_x")).otherwise(lit(0.0)).cast("decimal(28,6)")).cast("double")
+      val sB = sum(when(!flag, col("_x")).otherwise(lit(0.0)).cast("decimal(28,6)")).cast("double")
+      when(nA > 0 && nB > 0, sA / nA.cast("double") - sB / nB.cast("double"))
+    }
+    val obs = units.agg(count(lit(1)).as("n_units"),
+      sum(when(col("_obsA"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_obsA"), 1L).otherwise(0L)).as("n_b"),
+      meanDiff(col("_obsA")).as("_dObs"))
+    val reps = units
+      .select(col("_u"), col("_x"),
+        explode(array((1 to replicas).map(r => lit(r)): _*)).as("_r"))
+      .withColumn("_permA",
+        pmod(Portable.hash32(concat_ws("#", col("_u"), col("_r"))), lit(2L)) === 0)
+      .groupBy("_r").agg(meanDiff(col("_permA")).as("_dR"))
+    val extreme = reps.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(col("_dR")) >= abs(col("_dObs")), 1L).otherwise(0L))
+        .as("n_extreme"))
+    obs.crossJoin(broadcast(extreme)).select(
+      col("n_units"), col("n_a"), col("n_b"),
+      Portable.pround(col("_dObs"), 6).as("obs_diff"),
+      when(col("_dObs").isNotNull, col("n_extreme")).as("n_extreme"),
+      when(col("_dObs").isNotNull, Portable.pround(
+        (col("n_extreme") + lit(1L)).cast("double") / lit((replicas + 1).toDouble), 6))
+        .as("p_value"))
+  }
+
   /** Gumbel block-maxima tail fit by the method of moments — the
     * capacity-planning read of a value stream: fit the extreme-value-I
     * distribution to the DAILY MAXIMA (classical block maxima, one block

@@ -2817,4 +2817,69 @@ object TextOps {
           lit(" <fim_suffix> "), col("suffix"),
           lit(" <fim_middle> "), col("middle")))
   }
+
+  /** Pairwise Jensen–Shannon divergence between label unigram
+    * distributions — the corpus-mixing DISTANCE the domain-balance
+    * family was missing: C134's MI asks "how predictive is the domain of
+    * the token", C145's overlap counts shared vocabulary, JSD measures
+    * how far two domains' token DISTRIBUTIONS sit (symmetric, bounded
+    * [0, ln 2], finite where KL explodes on one-sided tokens) — the
+    * number behind "these two sources are near-duplicates of each other
+    * / safe to merge / need separate mixing weights".
+    *
+    * Input is a (label, token, count) frame — route it through the
+    * persisted TokenStore rollup, never a text re-explode. Only SHARED
+    * tokens join (inner, label_a < label_b); each one-sided token's
+    * whole contribution is analytically c/N·ln 2, folded in via the
+    * shared-mass complements (1 − s/N)·ln 2 — so the join output is the
+    * shared vocabulary, never the union fan. Per shared token the log
+    * ratio P/M = 2·c_a·N_b / (c_a·N_b + c_b·N_a) is a ratio of exact
+    * integer products (doubles are exact to 2^53; at web scale cast
+    * before the product — documented); each ln OUTPUT rounds at 9 dp
+    * before the count multiplication (the TF-IDF ulp rule) and ln 2
+    * itself enters as the 9-dp literal 0.693147181 (the r17 Gumbel
+    * constant convention). Labels with zero shared tokens still pair
+    * via the label-catalog cross join: their JSD is exactly ln 2.
+    *
+    * Output: (label_a, label_b, n_tokens_a, n_tokens_b, jsd_nats,
+    * jsd_norm = jsd/ln2), one row per unordered label pair.
+    */
+  def jsDivergence(counts: DataFrame, labelCol: String, tokenCol: String,
+                   tfCol: String): DataFrame = {
+    val ln2 = 0.693147181
+    val tot = counts.groupBy(labelCol).agg(sum(col(tfCol).cast("long")).as("_n"))
+    val a = counts.select(col(labelCol).as("label_a"), col(tokenCol).as("_t"),
+      col(tfCol).cast("long").as("_ca"))
+    val b = counts.select(col(labelCol).as("label_b"), col(tokenCol).as("_t"),
+      col(tfCol).cast("long").as("_cb"))
+    val na = tot.select(col(labelCol).as("label_a"), col("_n").as("_na"))
+    val nb = tot.select(col(labelCol).as("label_b"), col("_n").as("_nb"))
+    val xa = col("_ca").cast("double") * col("_nb").cast("double")
+    val xb = col("_cb").cast("double") * col("_na").cast("double")
+    val shared = a.join(b, Seq("_t")).where(col("label_a") < col("label_b"))
+      .join(broadcast(na), Seq("label_a"))
+      .join(broadcast(nb), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("_ca"), col("_cb"),
+        (col("_ca").cast("double") *
+          Portable.pround(log(lit(2.0) * xa / (xa + xb)), 9)).as("_tla"),
+        (col("_cb").cast("double") *
+          Portable.pround(log(lit(2.0) * xb / (xa + xb)), 9)).as("_tlb"))
+      .groupBy("label_a", "label_b")
+      .agg(sum("_ca").as("_sa"), sum("_cb").as("_sb"),
+        Portable.decSum(col("_tla"), 12).as("_ta"),
+        Portable.decSum(col("_tlb"), 12).as("_tb"))
+    // label catalogs are aggregate outputs (stats-blind): broadcast the
+    // non-equi pair enumeration explicitly (the kmvJaccard lesson)
+    val pairs = na.join(broadcast(nb), col("label_a") < col("label_b"))
+    val jsdRaw = lit(0.5) * (
+      coalesce(col("_ta"), lit(0.0)) / col("_na").cast("double") +
+      coalesce(col("_tb"), lit(0.0)) / col("_nb").cast("double") +
+      (lit(1.0) - coalesce(col("_sa"), lit(0L)).cast("double") / col("_na").cast("double")) * lit(ln2) +
+      (lit(1.0) - coalesce(col("_sb"), lit(0L)).cast("double") / col("_nb").cast("double")) * lit(ln2))
+    pairs.join(shared, Seq("label_a", "label_b"), "left")
+      .select(col("label_a"), col("label_b"),
+        col("_na").as("n_tokens_a"), col("_nb").as("n_tokens_b"),
+        Portable.pround(jsdRaw, 6).as("jsd_nats"),
+        Portable.pround(jsdRaw / lit(ln2), 6).as("jsd_norm"))
+  }
 }

@@ -898,7 +898,13 @@ class PlanInvariantsSpec extends SparkSpec {
       // 4 power-iteration rounds × hub/auth join-aggs; q_degree_dist:
       // edge build + degree agg + histogram agg; q_bigram_logprob:
       // token explode → bigram agg → unigram join + smoothing)
-      "q_hits" -> 12, "q_degree_dist" -> 3, "q_bigram_logprob" -> 5)
+      "q_hits" -> 12, "q_degree_dist" -> 3, "q_bigram_logprob" -> 5,
+      // r17b: the second steal-window's entrants plus the promoted
+      // k=64 IVF family (assignment now reads the clustered store; the
+      // recall curves pay one probe exchange per budget)
+      "q_editdist_join" -> 1, "q_rfm" -> 5, "q_sliding_mau" -> 7,
+      "q_kn_logprob" -> 8, "q_clustering_coef" -> 4, "q_tfidf_sim" -> 11,
+      "q_ivf_topk" -> 1, "q_ivf_recall_curve" -> 9, "q_ivf_recall_sqrtn" -> 10)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until

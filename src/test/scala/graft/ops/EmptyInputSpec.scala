@@ -388,6 +388,12 @@ class EmptyInputSpec extends SparkSpec {
     val gt = Profiling.gumbelTail(emptyEv, "ts", col("value"), Seq(10, 100)).collect()
     assert(gt.length === 2 && gt.forall(r =>
       r.getLong(1) === 0L && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+    // jsDivergence: no labels -> no pairs
+    assert(TextOps.jsDivergence(df(Seq.empty[R17Cnt]), "lab", "tok", "c")
+      .count() === 0)
+    // permutationTest: one summary row of NULL statistics
+    val pt = Profiling.permutationTest(emptyEv, "user_id", col("value"), 8).head()
+    assert(pt.getLong(0) === 0L && pt.isNullAt(3) && pt.isNullAt(4) && pt.isNullAt(5))
   }
 }
 

@@ -126,4 +126,78 @@ class Round17OpsSpec extends SparkSpec {
     assert(rows.head.getLong(1) === 1L)
     assert(rows.head.isNullAt(2) && rows.head.isNullAt(3) && rows.head.isNullAt(4))
   }
+
+  private def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+  test("jsDivergence: identical distributions at 0, disjoint at exactly ln 2") {
+    val counts = Seq(
+      R17Cnt("a", "w", 3L), R17Cnt("a", "v", 1L),
+      R17Cnt("b", "w", 3L), R17Cnt("b", "v", 1L), // b identical to a
+      R17Cnt("c", "z", 5L))                       // c disjoint from both
+    val out = TextOps.jsDivergence(df(counts), "lab", "tok", "c")
+      .orderBy("label_a", "label_b").collect()
+    assert(out.length === 3) // (a,b) (a,c) (b,c)
+    val ab = out(0)
+    assert(ab.getDouble(4) === 0.0 && ab.getDouble(5) === 0.0,
+      "identical distributions must sit at JSD 0")
+    Seq(out(1), out(2)).foreach { r =>
+      assert(r.getDouble(4) === r6(0.5 * (0.693147181 + 0.693147181)),
+        "disjoint vocabularies must sit at exactly ln 2")
+      assert(r.getDouble(5) === 1.0)
+    }
+  }
+
+  test("jsDivergence: hand-exact asymmetric-support pair") {
+    // A = {w:1} (n=1), B = {w:1, v:1} (n=2); shared token w only:
+    // P/M = 2·1·2/(1·2 + 1·1) = 4/3, Q/M = 2·1·1/3 = 2/3
+    val counts = Seq(R17Cnt("A", "w", 1L), R17Cnt("B", "w", 1L), R17Cnt("B", "v", 1L))
+    val out = TextOps.jsDivergence(df(counts), "lab", "tok", "c").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(2) === 1L && r.getLong(3) === 2L)
+    val ln2 = 0.693147181
+    val expected = 0.5 * (
+      1.0 * r9(math.log(4.0 / 3.0)) / 1.0 +
+      1.0 * r9(math.log(2.0 / 3.0)) / 2.0 +
+      (1.0 - 1.0 / 1.0) * ln2 +
+      (1.0 - 1.0 / 2.0) * ln2)
+    assert(r.getDouble(4) === r6(expected))
+    assert(r.getDouble(5) === r6(expected / ln2))
+  }
+
+  test("permutationTest: constant metric gives p = 1, and the referee agrees") {
+    // every unit's metric is 7 -> every mean difference is exactly 0,
+    // all 64 replicas tie the observed split -> p = 65/65 = 1
+    val evs = (1L to 20L).map(u => R17Ev(u, ts(5), 7.0))
+    val out = Profiling.permutationTest(df(evs), "user_id", col("value"), 64)
+      .collect().head
+    assert(out.getLong(0) === 20L)
+    assert(out.getDouble(3) === 0.0)
+    assert(out.getLong(4) === 64L && out.getDouble(5) === 1.0)
+  }
+
+  test("permutationTest: matches a driver-side md5 referee bit for bit") {
+    val evs = (1L to 30L).map(u => R17Ev(u, ts(5), (u * u % 13).toDouble))
+    val out = Profiling.permutationTest(df(evs), "user_id", col("value"), 64)
+      .collect().head
+    // referee: same hashes, same fixed-shape arithmetic
+    def h(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(8), 16)
+    val x = (1L to 30L).map(u => u -> (u * u % 13).toDouble).toMap
+    def diff(flag: Long => Boolean): Double = {
+      val (a, b) = x.keys.toSeq.partition(flag)
+      a.map(x).sum / a.size - b.map(x).sum / b.size
+    }
+    val dObs = diff(u => h(u.toString) % 2 == 0)
+    val extreme = (1 to 64).count { r =>
+      math.abs(diff(u => h(s"$u#$r") % 2 == 0)) >= math.abs(dObs)
+    }
+    assert(out.getDouble(3) === r6(dObs))
+    assert(out.getLong(4) === extreme.toLong)
+    assert(out.getDouble(5) === r6((extreme + 1.0) / 65.0))
+    assert(out.getDouble(5) > 0.0 && out.getDouble(5) <= 1.0)
+  }
 }
+
+case class R17Cnt(lab: String, tok: String, c: Long)
