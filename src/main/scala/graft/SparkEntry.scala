@@ -3500,6 +3500,20 @@ object SparkEntry {
       Profiling.permutationTest(T(s, dir, "events"), "user_id", col("value"),
         replicas = 64)),
 
+    // James–Stein positive-part shrinkage of per-source mean doc length
+    // — the winner's-curse repair before ranking/filtering domains on
+    // small-sample means.
+    "q_james_stein" -> ((s, dir) =>
+      Profiling.jamesStein(T(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source")),
+
+    // Split-conformal interval for the persistence forecast: q̂ from
+    // first-half-of-month residuals at α = 0.1, coverage graded on the
+    // held-out half — the distribution-free monitoring band.
+    "q_conformal" -> ((s, dir) =>
+      Profiling.conformalInterval(T(s, dir, "events"), "user_id", "event_id",
+        "ts", col("value"), splitDay = 16, alpha = 0.1)),
+
     // Bounded-hop harmonic centrality over the SimHash near-dup doc
     // graph: Σ 1/d within 3 hops — which duplicates sit at the CENTER of
     // a near-dup cluster (canonical-pick tiebreak evidence C53 can use).
@@ -9952,6 +9966,74 @@ object SparkEntry {
            CASE WHEN o.dobs IS NOT NULL
                 THEN round((e.k + 1)::DOUBLE / 65.0, 6) + 0 END AS p_value
          FROM obs o CROSS JOIN e""",
+
+    // James–Stein: identical decimal group moments, the same fixed
+    // IEEE m̄/S/pooled-variance/shrinkage shapes, broadcast back.
+    "q_james_stein" ->
+      """WITH g AS (
+           SELECT source, count(*)::BIGINT AS n,
+             sum(CAST(n_chars::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS s,
+             sum(CAST(n_chars::DOUBLE * n_chars::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS q
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+         g2 AS (SELECT source, n, s, q, s/n::DOUBLE AS m FROM g),
+         t AS (
+           SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS ntot,
+             sum(CAST(m AS DECIMAL(28,12)))::DOUBLE AS sm,
+             sum(CAST(m*m AS DECIMAL(28,12)))::DOUBLE AS smm,
+             sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS qtot,
+             sum(CAST(n::DOUBLE*m*m AS DECIMAL(28,6)))::DOUBLE AS expl
+           FROM g2),
+         t2 AS (
+           SELECT k, ntot, sm/k::DOUBLE AS mbar,
+             smm - k::DOUBLE*(sm/k::DOUBLE)*(sm/k::DOUBLE) AS bigs,
+             CASE WHEN ntot > k THEN (qtot - expl)/(ntot - k)::DOUBLE END AS pooledvar
+           FROM t),
+         t3 AS (
+           SELECT k, mbar, bigs, pooledvar/(ntot::DOUBLE/k::DOUBLE) AS vhat FROM t2),
+         t4 AS (
+           SELECT mbar,
+             CASE WHEN k <= 3 THEN NULL
+                  WHEN bigs > 0 THEN greatest(0.0, 1.0 - (k - 3)::DOUBLE*vhat/bigs)
+                  ELSE 0.0 END AS c
+           FROM t3)
+         SELECT g2.source, g2.n AS n,
+           round(g2.m, 6) + 0 AS mean_raw,
+           round(t4.c, 6) + 0 AS shrink_c,
+           round(t4.mbar + t4.c*(g2.m - t4.mbar), 6) + 0 AS mean_shrunk
+         FROM g2 CROSS JOIN t4 ORDER BY g2.source""",
+
+    // Conformal: the same per-unit lag residuals rounded at definition,
+    // the value-catalog cumulative quantile pick, identical ceil index.
+    "q_conformal" ->
+      """WITH s0 AS (
+           SELECT user_id, event_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+           FROM events WHERE value IS NOT NULL),
+         sc AS (
+           SELECT (date_part('day', ts) < 16) AS cal,
+             round(abs(value - prev), 6) + 0 AS score
+           FROM s0 WHERE prev IS NOT NULL),
+         ncal AS (SELECT count(*)::BIGINT AS n_cal FROM sc WHERE cal),
+         cum AS (
+           SELECT score, count(*)::BIGINT AS c,
+             sum(count(*)) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ccnt
+           FROM sc WHERE cal GROUP BY score),
+         pick AS (
+           SELECT cum.score AS qhat
+           FROM cum CROSS JOIN ncal
+           WHERE ccnt >= least(ceil(0.9*(n_cal + 1)::DOUBLE)::BIGINT, n_cal)
+             AND ccnt - c < least(ceil(0.9*(n_cal + 1)::DOUBLE)::BIGINT, n_cal)),
+         qq AS (SELECT ncal.n_cal, pick.qhat FROM ncal LEFT JOIN pick ON TRUE),
+         ev AS (
+           SELECT count(*)::BIGINT AS n_eval,
+             sum(CASE WHEN sc.score <= qq.qhat THEN 1 ELSE 0 END)::BIGINT AS cov
+           FROM sc CROSS JOIN qq WHERE NOT sc.cal)
+         SELECT qq.n_cal, ev.n_eval, round(qq.qhat, 6) + 0 AS q_hat,
+           CASE WHEN ev.n_eval > 0 AND qq.qhat IS NOT NULL
+                THEN round(ev.cov::DOUBLE / ev.n_eval::DOUBLE, 6) + 0 END AS coverage,
+           0.9::DOUBLE AS target
+         FROM qq CROSS JOIN ev""",
 
     // Truncated betweenness: 2-/3-path enumeration over the same pair
     // CTE, shortest-only via NOT-EXISTS exclusions, per-pair 1/sigma

@@ -1898,6 +1898,136 @@ object Profiling {
             < lit(crit)).as("uniform_ok"))
   }
 
+  /** James–Stein positive-part shrinkage of per-group means (Efron &
+    * Morris 1975 flavor) — the small-sample-group repair every
+    * per-domain statistic needs before anyone ACTS on it: a domain with
+    * three documents posts an extreme mean by luck, and ranking/filtering
+    * on raw group means systematically selects those flukes (the
+    * winner's curse). Each group mean shrinks toward the grand mean of
+    * group means by c = max(0, 1 − (k−3)·v̂ / S), S = Σ(m_i − m̄)²,
+    * v̂ = σ̂²_pooled / n̄ (the common-variance, average-group-size
+    * approximation — documented; exact per-group variances would make
+    * this Efron–Morris with unequal shrinkage). Dominates the raw means
+    * in total squared error for k ≥ 4 — the theorem that founded
+    * empirical Bayes.
+    *
+    * All moments are exact decimal sums (per-group n, Σx, Σx²); m̄, S,
+    * the pooled SSE, and c are fixed IEEE shapes on bit-identical
+    * doubles, so every row hash-checks. Guards: k ≤ 3 → c NULL (the
+    * theorem needs k ≥ 4; raw means pass through with NULL shrunk
+    * columns), S = 0 (identical group means) → c = 0 exactly — the
+    * correct limit, full shrinkage onto the shared mean.
+    *
+    * Scale shape: one group aggregate + one k-row moment aggregate
+    * broadcast back — nothing corpus-sized moves twice.
+    */
+  def jamesStein(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val g = df.where(valueCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        Portable.decSum(v, 6).as("_s"),
+        Portable.decSum(v * v, 6).as("_q"))
+      .withColumn("_m", col("_s") / col("_n").cast("double"))
+    val tot = g.agg(count(lit(1)).as("_k"),
+        sum("_n").as("_nTot"),
+        Portable.decSum(col("_m"), 12).as("_sm"),
+        Portable.decSum(col("_m") * col("_m"), 12).as("_smm"),
+        // pooled within-group SSE = Σx² − Σ_i n_i·m_i²
+        Portable.decSum(col("_q"), 6).as("_qTot"),
+        Portable.decSum(col("_n").cast("double") * col("_m") * col("_m"), 6).as("_expl"))
+      .select(col("_k"), col("_nTot"),
+        (col("_sm") / col("_k").cast("double")).as("_mbar"),
+        // S = Σm² − k·m̄² (same exact-moment identity as the variances)
+        (col("_smm") - col("_k").cast("double") *
+          (col("_sm") / col("_k").cast("double")) *
+          (col("_sm") / col("_k").cast("double"))).as("_S"),
+        when(col("_nTot") > col("_k"),
+          (col("_qTot") - col("_expl")) / (col("_nTot") - col("_k")).cast("double"))
+          .as("_pooledVar"))
+      .withColumn("_vhat",
+        col("_pooledVar") / (col("_nTot").cast("double") / col("_k").cast("double")))
+      .withColumn("_c",
+        when(col("_k") <= 3, lit(null).cast("double"))
+          .otherwise(when(col("_S") > 0,
+            greatest(lit(0.0),
+              lit(1.0) - (col("_k") - 3).cast("double") * col("_vhat") / col("_S")))
+            .otherwise(lit(0.0))))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("_n").as("n"),
+        Portable.pround(col("_m"), 6).as("mean_raw"),
+        Portable.pround(col("_c"), 6).as("shrink_c"),
+        Portable.pround(col("_mbar") + col("_c") * (col("_m") - col("_mbar")), 6)
+          .as("mean_shrunk"))
+  }
+
+  /** Split-conformal prediction interval for the persistence forecast —
+    * the distribution-free "how wrong can the next value be" band a
+    * monitoring threshold should come from (Vovk's conformal guarantee:
+    * coverage ≥ 1 − α on exchangeable data, NO distributional
+    * assumption — the honest counterpart of a Gaussian ±2σ band).
+    * Nonconformity score = |value − previous value of the same unit|
+    * (the persistence/naive-forecast residual, C262's MASE baseline);
+    * calibration = scores with day-of-month < `splitDay`, q̂ = the
+    * ⌈(1−α)(n_cal+1)⌉-th smallest calibration score (rank-pick, NO
+    * interpolation — both engines select the identical physical row;
+    * clamped to n_cal), and the report grades q̂ on the held-out scores:
+    * empirical coverage vs the 1 − α target.
+    *
+    * Integer ranks, double comparisons on raw stored differences, two
+    * exact count ratios — every column hash-checks. n_cal = 0 → NULL
+    * q̂/coverage, never a throw.
+    */
+  def conformalInterval(df: DataFrame, unitCol: String, orderCol: String,
+                        tsCol: String, valueCol: Column, splitDay: Int,
+                        alpha: Double): DataFrame = {
+    val w = Window.partitionBy(unitCol).orderBy(orderCol)
+    val scored = df.where(valueCol.isNotNull)
+      .select(col(unitCol), col(orderCol), col(tsCol), valueCol.cast("double").as("_v"))
+      .withColumn("_prev", lag(col("_v"), 1).over(w))
+      .where(col("_prev").isNotNull)
+      // the score rounds to 6 dp AT DEFINITION: it bounds the distinct-
+      // score catalog the quantile pick cumulates over (continuous raw
+      // residuals would make the catalog row-scale), and a conformal
+      // threshold quoted past 6 dp is noise anyway
+      .select((dayofmonth(col(tsCol)) < splitDay).as("_cal"),
+        Portable.pround(abs(col("_v") - col("_prev")), 6).as("_score"))
+    val cal = scored.where(col("_cal"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // rank index ⌈(1−α)(n+1)⌉ clamped to n — the ceil runs on the double
+    // product of a small integer and the same parsed constant, identical
+    // in both engines. The pick itself is the value-CATALOG cumulative
+    // formulation (the weightedMedian/Lorenz discipline — never a
+    // row-scale global sort): aggregate scores to (value, count), one
+    // cumulative window over the bounded distinct-score catalog, and the
+    // picked rank's value is the straddling class's value — identical to
+    // rank-pick under any tie order.
+    val idx = least(
+      ceil(lit(1.0 - alpha) * (col("n_cal") + 1).cast("double")).cast("long"),
+      col("n_cal"))
+    val cum = cal.groupBy("_score").agg(count(lit(1)).as("_c"))
+      .withColumn("_ccnt", sum("_c").over(Portable.kRowWindow(col("_score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pick = cum.crossJoin(broadcast(nCal))
+      .where(col("_ccnt") >= idx && col("_ccnt") - col("_c") < idx)
+      .select(col("_score").as("_qhat"), lit(1).as("_k"))
+    // always exactly one summary row: an empty calibration set leaves a
+    // NULL q̂ (left join on the dummy key), never zero rows
+    val qrow = nCal.withColumn("_k", lit(1))
+      .join(broadcast(pick), Seq("_k"), "left").drop("_k")
+    val eval = scored.where(!col("_cal"))
+    val evalAgg = eval.crossJoin(broadcast(qrow))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("_score") <= col("_qhat"), 1L).otherwise(0L)).as("_cov"))
+    qrow.crossJoin(broadcast(evalAgg))
+      .select(col("n_cal"), col("n_eval"),
+        Portable.pround(col("_qhat"), 6).as("q_hat"),
+        when(col("n_eval") > 0 && col("_qhat").isNotNull,
+          Portable.pround(col("_cov").cast("double") / col("n_eval").cast("double"), 6))
+          .as("coverage"),
+        lit(1.0 - alpha).as("target"))
+  }
+
   /** md5-randomization permutation test for the two-cohort mean
     * difference — the assumption-free significance read behind C230's
     * z-test and C264's CUPED (no normality, no variance formula: "how

@@ -394,6 +394,13 @@ class EmptyInputSpec extends SparkSpec {
     // permutationTest: one summary row of NULL statistics
     val pt = Profiling.permutationTest(emptyEv, "user_id", col("value"), 8).head()
     assert(pt.getLong(0) === 0L && pt.isNullAt(3) && pt.isNullAt(4) && pt.isNullAt(5))
+    // jamesStein: no groups, no rows
+    assert(Profiling.jamesStein(df(Seq.empty[R17Cnt]), "lab", col("c")).count() === 0)
+    // conformalInterval: one summary row, zero counts, NULL band
+    val ci = Profiling.conformalInterval(df(Seq.empty[R17Ev2]), "user_id",
+      "event_id", "ts", col("value"), 16, 0.1).head()
+    assert(ci.getLong(0) === 0L && ci.getLong(1) === 0L &&
+      ci.isNullAt(2) && ci.isNullAt(3))
   }
 }
 

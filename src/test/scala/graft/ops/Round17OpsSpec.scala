@@ -177,6 +177,62 @@ class Round17OpsSpec extends SparkSpec {
     assert(out.getLong(4) === 64L && out.getDouble(5) === 1.0)
   }
 
+  test("jamesStein: hand-exact shrinkage on four balanced groups") {
+    // groups i = 1..4, values {i-1, i+1}: means m_i = i exactly,
+    // pooled SSE = 4 groups x 2·1² = 8 over n-k = 4 dof -> σ̂² = 2,
+    // v̂ = σ̂²/n̄ = 1, m̄ = 2.5, S = 1.5²+0.5²+0.5²+1.5² = 5,
+    // c = 1 - (k-3)·v̂/S = 0.8, shrunk_i = 2.5 + 0.8(i - 2.5)
+    val vals = (1 to 4).flatMap(i => Seq(
+      R17Cnt(s"g$i", "x", (i - 1).toLong), R17Cnt(s"g$i", "y", (i + 1).toLong)))
+    val out = Profiling.jamesStein(df(vals), "lab", col("c"))
+      .orderBy("lab").collect()
+    assert(out.length === 4)
+    out.zipWithIndex.foreach { case (r, i0) =>
+      val i = i0 + 1
+      assert(r.getLong(1) === 2L)
+      assert(r.getDouble(2) === i.toDouble, "mean_raw")
+      assert(r.getDouble(3) === 0.8, "shrink_c")
+      assert(r.getDouble(4) === r6(2.5 + 0.8 * (i - 2.5)), "mean_shrunk")
+    }
+  }
+
+  test("jamesStein: k <= 3 passes raw means with NULL shrinkage; equal means shrink fully") {
+    val three = (1 to 3).flatMap(i => Seq(
+      R17Cnt(s"g$i", "x", i.toLong), R17Cnt(s"g$i", "y", (i + 2).toLong)))
+    val o3 = Profiling.jamesStein(df(three), "lab", col("c")).collect()
+    assert(o3.length === 3 && o3.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    // identical group means -> S = 0 -> c = 0 exactly, full shrink to m̄
+    val same = (1 to 4).flatMap(i => Seq(
+      R17Cnt(s"g$i", "x", 4L), R17Cnt(s"g$i", "y", 6L)))
+    val oS = Profiling.jamesStein(df(same), "lab", col("c")).collect()
+    assert(oS.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 5.0))
+  }
+
+  test("conformalInterval: hand-exact quantile pick and held-out coverage") {
+    // one user; calibration residuals {1,2,3,4} (days < 16), eval
+    // residuals {2,5} (day 20). alpha = 0.5: idx = ceil(0.5·5) = 3 ->
+    // q̂ = 3rd smallest = 3.0; coverage = 1/2
+    val vs = Seq(0.0, 1.0, 3.0, 6.0, 10.0, 12.0, 17.0)
+    val evs = vs.zipWithIndex.map { case (v, i) =>
+      R17Ev2(1L, i.toLong, ts(if (i <= 4) 5 else 20), v)
+    }
+    val out = Profiling.conformalInterval(df(evs), "user_id", "event_id",
+      "ts", col("value"), splitDay = 16, alpha = 0.5).collect().head
+    assert(out.getLong(0) === 4L && out.getLong(1) === 2L)
+    assert(out.getDouble(2) === 3.0, "q_hat")
+    assert(out.getDouble(3) === 0.5, "coverage")
+    assert(out.getDouble(4) === 0.5, "target")
+  }
+
+  test("conformalInterval: empty calibration yields NULL q_hat, never a throw") {
+    val evs = Seq(R17Ev2(1L, 1L, ts(20), 1.0), R17Ev2(1L, 2L, ts(21), 5.0))
+    val out = Profiling.conformalInterval(df(evs), "user_id", "event_id",
+      "ts", col("value"), splitDay = 16, alpha = 0.1).collect().head
+    assert(out.getLong(0) === 0L)
+    assert(out.getLong(1) === 1L) // one eval residual (the lag pair)
+    assert(out.isNullAt(2) && out.isNullAt(3))
+  }
+
   test("permutationTest: matches a driver-side md5 referee bit for bit") {
     val evs = (1L to 30L).map(u => R17Ev(u, ts(5), (u * u % 13).toDouble))
     val out = Profiling.permutationTest(df(evs), "user_id", col("value"), 64)
@@ -201,3 +257,5 @@ class Round17OpsSpec extends SparkSpec {
 }
 
 case class R17Cnt(lab: String, tok: String, c: Long)
+case class R17Ev2(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                  value: java.lang.Double)
