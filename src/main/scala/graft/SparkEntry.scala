@@ -3514,6 +3514,36 @@ object SparkEntry {
       Profiling.conformalInterval(T(s, dir, "events"), "user_id", "event_id",
         "ts", col("value"), splitDay = 16, alpha = 0.1)),
 
+    // Chao1 asymptotic vocabulary richness + Good–Turing coverage off
+    // the TokenStore corpus frequencies — "how many token types has this
+    // corpus NOT shown us yet" (the vocab/dedup-memory sizing pair).
+    "q_chao1" -> ((s, dir) =>
+      TextOps.chao1(
+        graft.sources.TokenStore.ensureTokens(s, dir)
+          .groupBy("token").agg(sum("tf").as("c")),
+        col("c"))),
+
+    // Bradley–Terry preference strengths over per-order supplier
+    // head-to-heads (the max-value lineitem's supplier beats each other
+    // supplier in the order) — Hunter's MM, 5 fixed rounds, π catalog
+    // broadcast per round (the pageRank shape).
+    "q_bradley_terry" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_suppkey").asc)
+      val winner = li.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("l_orderkey"), col("l_suppkey").as("_winner"))
+      val comp = winner
+        .join(li.select("l_orderkey", "l_suppkey").distinct(), Seq("l_orderkey"))
+        .where(col("l_suppkey") =!= col("_winner"))
+        .select(col("_winner").as("winner"), col("l_suppkey").as("loser"))
+      Relational.bradleyTerry(comp, "winner", "loser", iters = 5)
+        .select(col("p").as("s_suppkey"), col("wins"), col("losses"), col("strength"))
+        .orderBy("s_suppkey")
+    }),
+
     // Bounded-hop harmonic centrality over the SimHash near-dup doc
     // graph: Σ 1/d within 3 hops — which duplicates sit at the CENTER of
     // a near-dup cluster (canonical-pick tiebreak evidence C53 can use).
@@ -4047,6 +4077,56 @@ object SparkEntry {
     * promotion the residual path keys the PRODUCTION k=64 quantizer.
     */
   private val PqResTag = s"res${IvfK2}x$IvfIters"
+
+  /** DuckDB oracle for q_bradley_terry: the winner-per-order window, the
+    * symmetric comparison matrix, then `iters` unrolled MM rounds — each
+    * round one decimal-summed denominator aggregate against the previous
+    * round's π, then a normalization. MATERIALIZED on sym/players/p{r}:
+    * each is referenced 2-3× by the next stage (the q_kcore lesson —
+    * inlining would grow the plan 3^rounds).
+    */
+  private def bradleyTerrySql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"p${r - 1}"
+      s"""d$r AS (
+           SELECT s.i AS p, sum(CAST(s.m::DOUBLE/(pa.pi + pb.pi) AS DECIMAL(28,12)))::DOUBLE AS den
+           FROM sym s JOIN $prev pa ON pa.p = s.i JOIN $prev pb ON pb.p = s.j
+           GROUP BY s.i),
+         u$r AS (
+           SELECT pl.p, pl.w::DOUBLE / d$r.den AS pi2
+           FROM players pl JOIN d$r ON d$r.p = pl.p),
+         n$r AS (SELECT sum(CAST(pi2 AS DECIMAL(28,12)))::DOUBLE AS s FROM u$r),
+         p$r AS MATERIALIZED (SELECT u$r.p, u$r.pi2/n$r.s AS pi FROM u$r CROSS JOIN n$r)"""
+    }.mkString(",\n         ")
+    raw"""WITH win AS (
+           SELECT l_orderkey, l_suppkey AS winner FROM (
+             SELECT l_orderkey, l_suppkey,
+               row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_extendedprice DESC, l_suppkey ASC) AS rn
+             FROM lineitem) WHERE rn = 1),
+         oth AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         comp AS (
+           SELECT w.winner, o.l_suppkey AS loser
+           FROM win w JOIN oth o USING (l_orderkey)
+           WHERE o.l_suppkey <> w.winner),
+         pairs AS (SELECT winner AS i, loser AS j, count(*)::BIGINT AS n
+                   FROM comp GROUP BY 1, 2),
+         sym AS MATERIALIZED (
+           SELECT i, j, sum(n)::BIGINT AS m FROM (
+             SELECT i, j, n FROM pairs UNION ALL SELECT j AS i, i AS j, n FROM pairs)
+           GROUP BY 1, 2),
+         wins AS (SELECT i AS p, sum(n)::BIGINT AS w FROM pairs GROUP BY 1),
+         totals AS (SELECT i AS p, sum(m)::BIGINT AS tot FROM sym GROUP BY 1),
+         players AS MATERIALIZED (
+           SELECT t.p, coalesce(wn.w, 0)::BIGINT AS w, t.tot
+           FROM totals t LEFT JOIN wins wn ON wn.p = t.p),
+         p0 AS (SELECT p, 1.0::DOUBLE AS pi FROM players),
+         $rounds
+         SELECT pl.p AS s_suppkey, pl.w AS wins, (pl.tot - pl.w)::BIGINT AS losses,
+           round(pf.pi, 6) + 0 AS strength
+         FROM players pl JOIN p$iters pf ON pf.p = pl.p
+         ORDER BY s_suppkey"""
+  }
 
   /** DuckDB oracle for q_gumbel_tail, generated with the SAME 9-dp
     * rounded constants the operator embeds (one r9 rule, two callers —
@@ -10034,6 +10114,29 @@ object SparkEntry {
                 THEN round(ev.cov::DOUBLE / ev.n_eval::DOUBLE, 6) + 0 END AS coverage,
            0.9::DOUBLE AS target
          FROM qq CROSS JOIN ev""",
+
+    // Chao1: the same corpus-frequency spectrum off the standard
+    // tokenization, exact integer moments, two fixed divisions.
+    "q_chao1" ->
+      raw"""WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         cnt AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+         a AS (
+           SELECT count(*)::BIGINT AS v_obs, sum(c)::BIGINT AS n_tokens,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+           FROM cnt)
+         SELECT v_obs, n_tokens, n1, n2,
+           round(v_obs::DOUBLE + (n1*(n1 - 1))::DOUBLE/(2*(n2 + 1))::DOUBLE, 6) + 0 AS chao1,
+           CASE WHEN n_tokens > 0
+                THEN round(1.0 - n1::DOUBLE/n_tokens::DOUBLE, 6) + 0 END AS coverage_gt
+         FROM a""",
+
+    // Bradley–Terry: the identical winner-per-order window, the same
+    // symmetric pair matrix, and 5 unrolled MM rounds (MATERIALIZED —
+    // each round's state is referenced twice by the next).
+    "q_bradley_terry" -> bradleyTerrySql(iters = 5),
 
     // Truncated betweenness: 2-/3-path enumeration over the same pair
     // CTE, shortest-only via NOT-EXISTS exclusions, per-pair 1/sigma

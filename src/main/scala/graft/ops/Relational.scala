@@ -874,4 +874,61 @@ object Relational {
         n.join(bad, Seq("block"), "left_semi").drop("_rowhash"),
         keys :+ "block", compareCols)
   }
+
+  /** Bradley–Terry preference-strength fit by Hunter's MM iterations
+    * (Hunter 2004) — the pairwise-preference model modern data pipelines
+    * fit constantly (reward-model data curation, ranker comparison,
+    * vendor/supplier quality): from a (winner, loser) comparison log,
+    * strength π with P(i beats j) = π_i/(π_i + π_j), via the fixed-point
+    * update π_i ← W_i / Σ_j m_ij/(π_i + π_j) (m_ij = comparisons between
+    * i and j, W_i = i's wins), normalized to Σπ = 1 each round. A FIXED
+    * iteration count keeps the fit deterministic and oracle-expressible
+    * as unrolled CTE rounds (the q_label_prop convention; MM converges
+    * monotonically, so a fixed budget is a principled truncation).
+    *
+    * Every round is one join of the pair matrix against the BROADCAST
+    * π catalog + one decimal-sum aggregate (the pageRank shape): the
+    * comparison matrix is catalog²-bounded and stays distributed, the
+    * π state is catalog-sized, nothing driver-side. Per-term divisions
+    * and the normalization run on bit-identical doubles, partials
+    * decimal-summed — every row hash-checks. Players with zero wins land
+    * at strength 0 (the BT MLE's boundary case — documented, not hidden);
+    * losses = total comparisons − wins off the same matrix.
+    */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int): DataFrame = {
+    require(iters > 0, "need at least one MM iteration")
+    val pairs = comparisons
+      .groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val sym = pairs.select(col("i"), col("j"), col("n"))
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum("n").as("m"))
+      .localCheckpoint(true)
+    val wins = pairs.groupBy(col("i").as("p")).agg(sum("n").as("_w"))
+    val totals = sym.groupBy(col("i").as("p")).agg(sum("m").as("_tot"))
+    val players = totals.select(col("p"), col("_tot"))
+      .join(wins.hint("SHUFFLE_HASH"), Seq("p"), "left")
+      .select(col("p"), coalesce(col("_w"), lit(0L)).as("_w"), col("_tot"))
+      .localCheckpoint(true)
+    var pi = players.select(col("p"), lit(1.0).as("_pi"))
+    for (_ <- 1 to iters) {
+      val den = sym
+        .join(broadcast(pi.select(col("p").as("i"), col("_pi").as("_pa"))), Seq("i"))
+        .join(broadcast(pi.select(col("p").as("j"), col("_pi").as("_pb"))), Seq("j"))
+        .groupBy(col("i").as("p"))
+        .agg(graft.ops.Portable.decSum(
+          col("m").cast("double") / (col("_pa") + col("_pb")), 12).as("_den"))
+      val u = players.join(den.hint("SHUFFLE_HASH"), Seq("p"))
+        .select(col("p"), (col("_w").cast("double") / col("_den")).as("_pi2"))
+      val norm = u.agg(graft.ops.Portable.decSum(col("_pi2"), 12).as("_norm"))
+      pi = u.crossJoin(broadcast(norm))
+        .select(col("p"), (col("_pi2") / col("_norm")).as("_pi"))
+    }
+    players.join(pi.hint("SHUFFLE_HASH"), Seq("p"))
+      .select(col("p"), col("_w").as("wins"),
+        (col("_tot") - col("_w")).as("losses"),
+        graft.ops.Portable.pround(col("_pi"), 6).as("strength"))
+  }
 }

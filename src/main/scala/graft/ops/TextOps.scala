@@ -2818,6 +2818,35 @@ object TextOps {
           lit(" <fim_middle> "), col("middle")))
   }
 
+  /** Chao1 asymptotic vocabulary-richness estimate (Chao 1984,
+    * bias-corrected form) off a (item, count) frequency frame — the
+    * "how big is the vocabulary we HAVEN'T finished seeing" closer of
+    * the coverage family: C148 Heaps' law extrapolates the growth curve,
+    * C234's Good–Turing N1/N estimates the unseen MASS, Chao1 estimates
+    * the unseen TYPE COUNT: V̂ = V_obs + N1(N1−1)/(2(N2+1)) — the
+    * singleton/doubleton ratio is the abundance signal (many singletons
+    * = the corpus is still discovering its vocabulary; the
+    * bias-corrected denominator keeps the estimator defined at N2 = 0).
+    * Reported with the Good–Turing sample coverage 1 − N1/N alongside —
+    * the pair a tokenizer-vocabulary or dedup-memory budget is sized
+    * from. Exact integer spectrum counts, two fixed divisions, one
+    * 1-row aggregate — hash-checkable and free at any scale.
+    */
+  def chao1(counts: DataFrame, countCol: Column): DataFrame =
+    counts.where(countCol.isNotNull && countCol > 0)
+      .agg(count(lit(1)).as("v_obs"),
+        sum(countCol.cast("long")).as("n_tokens"),
+        sum(when(countCol === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(countCol === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("v_obs"), col("n_tokens"), col("n1"), col("n2"),
+        Portable.pround(col("v_obs").cast("double") +
+          (col("n1") * (col("n1") - 1)).cast("double") /
+            (lit(2L) * (col("n2") + 1)).cast("double"), 6).as("chao1"),
+        when(col("n_tokens") > 0,
+          Portable.pround(lit(1.0) -
+            col("n1").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("coverage_gt"))
+
   /** Pairwise Jensen–Shannon divergence between label unigram
     * distributions — the corpus-mixing DISTANCE the domain-balance
     * family was missing: C134's MI asks "how predictive is the domain of

@@ -401,6 +401,12 @@ class EmptyInputSpec extends SparkSpec {
       "event_id", "ts", col("value"), 16, 0.1).head()
     assert(ci.getLong(0) === 0L && ci.getLong(1) === 0L &&
       ci.isNullAt(2) && ci.isNullAt(3))
+    // chao1: one row, zero types, NULL-propagated estimator
+    val ch = TextOps.chao1(df(Seq.empty[R17Cnt]), col("c")).head()
+    assert(ch.getLong(0) === 0L && ch.isNullAt(1) && ch.isNullAt(4) && ch.isNullAt(5))
+    // bradleyTerry: no comparisons, no players
+    assert(Relational.bradleyTerry(df(Seq.empty[R17Comp]), "winner", "loser", 3)
+      .count() === 0)
   }
 }
 

@@ -233,6 +233,55 @@ class Round17OpsSpec extends SparkSpec {
     assert(out.isNullAt(2) && out.isNullAt(3))
   }
 
+  test("chao1: hand-exact spectrum on four known frequencies") {
+    // counts {1, 1, 2, 5}: V = 4, N = 9, N1 = 2, N2 = 1 ->
+    // chao1 = 4 + 2·1/(2·2) = 4.5, coverage = 1 - 2/9
+    val counts = Seq(R17Cnt("_", "a", 1L), R17Cnt("_", "b", 1L),
+      R17Cnt("_", "c", 2L), R17Cnt("_", "d", 5L))
+    val out = TextOps.chao1(df(counts), col("c")).collect().head
+    assert(out.getLong(0) === 4L && out.getLong(1) === 9L)
+    assert(out.getLong(2) === 2L && out.getLong(3) === 1L)
+    assert(out.getDouble(4) === 4.5)
+    assert(out.getDouble(5) === r6(1.0 - 2.0 / 9.0))
+    // no singletons -> the estimator says the vocabulary is complete
+    val full = Seq(R17Cnt("_", "a", 3L), R17Cnt("_", "b", 2L))
+    val o2 = TextOps.chao1(df(full), col("c")).collect().head
+    assert(o2.getDouble(4) === 2.0 && o2.getDouble(5) === 1.0)
+  }
+
+  test("bradleyTerry: matches a driver-side MM referee bit for bit") {
+    // A beats B twice, B beats C twice, A and C split two games
+    val comp = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"),
+      ("A", "C"), ("C", "A")).map { case (w, l) => R17Comp(w, l) }
+    val out = Relational.bradleyTerry(df(comp), "winner", "loser", iters = 5)
+      .orderBy("p").collect()
+    assert(out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq("A" -> (3L, 1L), "B" -> (2L, 2L), "C" -> (1L, 3L)))
+    // referee: the same MM recursion with decimal-12 partial sums
+    def dec12(xs: Seq[Double]): Double =
+      xs.map(java.math.BigDecimal.valueOf(_).setScale(12, java.math.RoundingMode.HALF_UP))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+    val players = Seq("A", "B", "C")
+    val m = Map(("A", "B") -> 2L, ("B", "A") -> 2L, ("B", "C") -> 2L,
+      ("C", "B") -> 2L, ("A", "C") -> 2L, ("C", "A") -> 2L)
+    val wins = Map("A" -> 3L, "B" -> 2L, "C" -> 1L)
+    var pi = players.map(_ -> 1.0).toMap
+    (1 to 5).foreach { _ =>
+      val pi2 = players.map { i =>
+        val den = dec12(players.filter(j => m.contains((i, j)))
+          .map(j => m((i, j)).toDouble / (pi(i) + pi(j))))
+        i -> wins(i).toDouble / den
+      }.toMap
+      val norm = dec12(players.map(pi2))
+      pi = players.map(i => i -> pi2(i) / norm).toMap
+    }
+    out.foreach { r =>
+      assert(r.getDouble(3) === r6(pi(r.getString(0))), s"strength of ${r.getString(0)}")
+    }
+    // more wins against the same field -> strictly higher strength
+    assert(pi("A") > pi("B") && pi("B") > pi("C"))
+  }
+
   test("permutationTest: matches a driver-side md5 referee bit for bit") {
     val evs = (1L to 30L).map(u => R17Ev(u, ts(5), (u * u % 13).toDouble))
     val out = Profiling.permutationTest(df(evs), "user_id", col("value"), 64)
@@ -259,3 +308,4 @@ class Round17OpsSpec extends SparkSpec {
 case class R17Cnt(lab: String, tok: String, c: Long)
 case class R17Ev2(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                   value: java.lang.Double)
+case class R17Comp(winner: String, loser: String)
