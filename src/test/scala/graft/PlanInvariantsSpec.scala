@@ -908,7 +908,11 @@ class PlanInvariantsSpec extends SparkSpec {
       // the recall curves measure 9/10 cold but one reused exchange can
       // materialize separately when other suites have warmed the session
       // (10 observed in-suite) — the ceilings record the max
-      "q_ivf_recall_curve" -> 10, "q_ivf_recall_sqrtn" -> 11)
+      "q_ivf_recall_curve" -> 10, "q_ivf_recall_sqrtn" -> 11,
+      // r17c: Bradley–Terry joins the tail on arrival (winner window +
+      // pair agg ride one order-key exchange; the 5 MM rounds run off
+      // checkpointed catalog-sized state — no per-round exchange)
+      "q_bradley_terry" -> 2)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until

@@ -103,6 +103,24 @@ class PairStoreSpec extends SparkSpec {
     assert(art.count() === art.select("item_a", "item_b").distinct().count())
   }
 
+  test("bt-wins artifact equals the direct winner-window aggregation (r17)") {
+    val art = PairStore.ensureBtWins(spark, sfDir)
+    assert(art.columns.toSeq === Seq("winner", "loser", "n"))
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_suppkey").asc)
+    val direct = li.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("l_orderkey"), col("l_suppkey").as("_winner"))
+      .join(li.select("l_orderkey", "l_suppkey").distinct(), Seq("l_orderkey"))
+      .where(col("l_suppkey") =!= col("_winner"))
+      .groupBy(col("_winner").as("winner"), col("l_suppkey").as("loser"))
+      .agg(count(lit(1)).as("n"))
+    assert(art.except(direct).count() === 0 && direct.except(art).count() === 0)
+    // a supplier never beats itself
+    assert(art.where(col("winner") === col("loser")).count() === 0)
+  }
+
   test("incremental pair-support merge equals the full rebuild") {
     // The C45/C113 delta-merge identity on the pair table: split the
     // fact table so many baskets SPAN base and delta (the case the
