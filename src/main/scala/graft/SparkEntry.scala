@@ -3523,6 +3523,27 @@ object SparkEntry {
           .groupBy("token").agg(sum("tf").as("c")),
         col("c"))),
 
+    // NMI between the k=16 and production k=64 IVF assignments — the
+    // quantizer-migration audit (how much information do the old cells
+    // carry about the new ones). The k=64 side reads the clustered
+    // store's at-rest cell; the k=16 side is the cheap 16-dot argmax.
+    "q_cluster_nmi" -> ((s, dir) => {
+      val c16 = centroidsOf(s, dir, IvfK)
+      val clustered = graft.sources.IvfClusterStore.ensureClustered(s, dir,
+        prodCentroids(s, dir), IvfK2, IvfIters)
+      Profiling.clusterNmi(
+        clustered.select(col("vec_id"),
+          VectorOps.nearestCell(col("embedding"), c16).as("_c16"),
+          col("cell").as("_c64")),
+        col("_c16"), col("_c64"))
+    }),
+
+    // Hill tail index over the 100 largest doc lengths — the heavy-tail
+    // companion of q_gumbel_tail (small α̂ = power-law territory where a
+    // Gumbel quota is meaningless).
+    "q_hill_tail" -> ((s, dir) =>
+      Profiling.hillTail(T(s, dir, "documents"), col("n_chars"), k = 100)),
+
     // Bradley–Terry preference strengths over per-order supplier
     // head-to-heads (the max-value lineitem's supplier beats each other
     // supplier in the order) — Hunter's MM, 5 fixed rounds, π catalog
@@ -4069,6 +4090,61 @@ object SparkEntry {
     * promotion the residual path keys the PRODUCTION k=64 quantizer.
     */
   private val PqResTag = s"res${IvfK2}x$IvfIters"
+
+  /** DuckDB oracle for q_cluster_nmi, generated from BOTH persisted
+    * centroid artifacts: each side's assignment is the same dot-argmax
+    * (left-fold dots, dot DESC / cell ASC tiebreak) the silhouette
+    * oracle uses; the agreement statistics reduce to entropies of
+    * integer counts in the C110 shape, combined by MI = Hₐ + H_b − Hₐ_b.
+    */
+  private def clusterNmiSql(ca: Array[Array[Float]],
+                            cb: Array[Array[Float]]): String = {
+    def centsVals(cs: Array[Array[Float]]) = cs.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toDouble).mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n             ")
+    raw"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ca(cell, c) AS (VALUES
+             ${centsVals(ca)}),
+         cbm(cell, c) AS (VALUES
+             ${centsVals(cb)}),
+         da AS (
+           SELECT vec_id, cell,
+             list_reduce(list_transform(range(1, 65), i -> e[i]*c[i]), (x, y) -> x + y) AS dot
+           FROM v CROSS JOIN ca),
+         asga AS (
+           SELECT vec_id, cell AS a FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+             FROM da) WHERE rn = 1),
+         db AS (
+           SELECT vec_id, cell,
+             list_reduce(list_transform(range(1, 65), i -> e[i]*c[i]), (x, y) -> x + y) AS dot
+           FROM v CROSS JOIN cbm),
+         asgb AS (
+           SELECT vec_id, cell AS b FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+             FROM db) WHERE rn = 1),
+         j AS (SELECT a, b, count(*)::BIGINT AS nij
+               FROM asga JOIN asgb USING (vec_id) GROUP BY 1, 2),
+         t AS (SELECT coalesce(sum(nij), 0)::BIGINT AS n FROM j),
+         sab AS (SELECT sum(CAST(nij::DOUBLE * ln(nij::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS sab FROM j),
+         sa AS (SELECT sum(CAST(ni::DOUBLE * ln(ni::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS sa
+                FROM (SELECT sum(nij)::BIGINT AS ni FROM j GROUP BY a)),
+         sb AS (SELECT sum(CAST(nj::DOUBLE * ln(nj::DOUBLE) AS DECIMAL(28,12)))::DOUBLE AS sb
+                FROM (SELECT sum(nij)::BIGINT AS nj FROM j GROUP BY b)),
+         f AS (
+           SELECT t.n,
+             CASE WHEN t.n > 0 THEN ln(t.n::DOUBLE) - sa.sa/t.n::DOUBLE END AS ha,
+             CASE WHEN t.n > 0 THEN ln(t.n::DOUBLE) - sb.sb/t.n::DOUBLE END AS hb,
+             CASE WHEN t.n > 0 THEN ln(t.n::DOUBLE) - sab.sab/t.n::DOUBLE END AS hab
+           FROM t CROSS JOIN sab CROSS JOIN sa CROSS JOIN sb)
+         SELECT n, round(ha, 6) + 0 AS h_a, round(hb, 6) + 0 AS h_b,
+           round(ha + hb - hab, 6) + 0 AS mi_nats,
+           CASE WHEN ha > 0 AND hb > 0
+                THEN round((ha + hb - hab)/sqrt(ha*hb), 6) + 0 END AS nmi
+         FROM f"""
+  }
 
   /** DuckDB oracle for q_bradley_terry: the winner-per-order window, the
     * symmetric comparison matrix, then `iters` unrolled MM rounds — each
@@ -4786,25 +4862,30 @@ object SparkEntry {
     // driver's rows-only fallback instead.
     case None => Map.empty
     case Some(dir) =>
-    // The legacy k=16 quantizer keys ONLY the before/after curve now; the
-    // serving queries (q_ivf_topk, q_silhouette, the recall_sqrtn curve)
-    // key the production k=64 artifact (r17 promotion).
-    val legacy = IvfIndex.loadIfPresent(dir, IvfK, IvfIters).orElse {
+    // The legacy k=16 quantizer keys ONLY the before/after curve and the
+    // migration-audit NMI now; the serving queries (q_ivf_topk,
+    // q_silhouette, the recall_sqrtn curve) key the production k=64
+    // artifact (r17 promotion).
+    val c16 = IvfIndex.loadIfPresent(dir, IvfK, IvfIters).orElse {
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
         .map(s => centroidsOf(s, dir, IvfK))
     }.filter(_.nonEmpty)
-      .map(c => Map("q_ivf_recall_curve" -> ivfRecallCurveSql(c, Seq(1, 2, 4, 8), 5, 20)))
-      .getOrElse(Map.empty)
-    val prod = IvfIndex.loadIfPresent(dir, IvfK2, IvfIters).orElse {
+    val c64 = IvfIndex.loadIfPresent(dir, IvfK2, IvfIters).orElse {
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
         .map(s => prodCentroids(s, dir))
     }.filter(_.nonEmpty)
+    val legacy = c16
+      .map(c => Map("q_ivf_recall_curve" -> ivfRecallCurveSql(c, Seq(1, 2, 4, 8), 5, 20)))
+      .getOrElse(Map.empty)
+    val prod = c64
       .map(c => Map(
         "q_ivf_topk" -> ivfTopKSql(c, nProbe = IvfNProbe),
         "q_ivf_recall_sqrtn" -> ivfRecallCurveSql(c, Seq(4, 8, 16, 32), 5, 20),
         "q_silhouette" -> silhouetteSql(c)))
       .getOrElse(Map.empty)
-    legacy ++ prod
+    val nmi = (for { a <- c16; b <- c64 }
+      yield Map("q_cluster_nmi" -> clusterNmiSql(a, b))).getOrElse(Map.empty)
+    legacy ++ prod ++ nmi
   }
 
   /** The Naive-Bayes prediction CTE shared by q_nb_confusion and
@@ -10106,6 +10187,30 @@ object SparkEntry {
                 THEN round(ev.cov::DOUBLE / ev.n_eval::DOUBLE, 6) + 0 END AS coverage,
            0.9::DOUBLE AS target
          FROM qq CROSS JOIN ev""",
+
+    // Hill tail index: the same positive-value catalog, descending
+    // cumulative order statistics, 9-dp-rounded ln ratios.
+    "q_hill_tail" ->
+      """WITH cat AS (
+           SELECT n_chars::BIGINT AS v, count(*)::BIGINT AS c
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1),
+         cum AS (
+           SELECT v, c, sum(c) OVER (ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ccnt
+           FROM cat),
+         nr AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cat),
+         xk1 AS (SELECT v AS xk1 FROM cum WHERE ccnt >= 101 AND ccnt - c < 101),
+         q AS (SELECT nr.n, xk1.xk1 FROM nr LEFT JOIN xk1 ON TRUE),
+         top AS (
+           SELECT v, least(c, 100 - (ccnt - c))::BIGINT AS w
+           FROM cum WHERE ccnt - c < 100),
+         s AS (
+           SELECT sum(CAST(w::DOUBLE * (round(ln(v::DOUBLE / q.xk1::DOUBLE), 9) + 0)
+             AS DECIMAL(28,12)))::DOUBLE AS s
+           FROM top CROSS JOIN q)
+         SELECT q.n, 100::BIGINT AS k, q.xk1 AS x_k1,
+           CASE WHEN s.s > 0 THEN round(100.0/s.s, 6) + 0 END AS hill_alpha
+         FROM q CROSS JOIN s""",
 
     // Chao1: the same corpus-frequency spectrum off the standard
     // tokenization, exact integer moments, two fixed divisions.

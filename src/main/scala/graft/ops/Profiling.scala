@@ -1898,6 +1898,94 @@ object Profiling {
             < lit(crit)).as("uniform_ok"))
   }
 
+  /** Normalized mutual information between two labelings of the same
+    * rows — the clustering-AGREEMENT scalar (Strehl & Ghosh 2002): 1 =
+    * the partitions carry identical information, 0 = independent. The
+    * upgrade audit every quantizer/index migration needs (how much did
+    * cell assignments actually move between the k=16 and k=64 coarse
+    * quantizers — dedup groups, IVF cells, shard labels all reuse it).
+    *
+    * Everything reduces to ENTROPIES OF INTEGER COUNTS in the C110
+    * portable shape H = ln N − Σ c·ln c / N (ln of an integer-derived
+    * double — engine-exact; c·ln c terms decimal-summed), and the
+    * identity MI = H_a + H_b − H_ab keeps log-of-ratio expressions out
+    * entirely. NMI = MI/√(H_a·H_b), NULL when either marginal entropy
+    * is 0 (a single-cluster side carries no information to normalize
+    * by). One contingency aggregate (≤ k_a·k_b rows, checkpointed for
+    * its four readers) + three 1-row entropy aggregates.
+    */
+  def clusterNmi(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val base = df.where(aCol.isNotNull && bCol.isNotNull)
+      .select(aCol.as("_a"), bCol.as("_b"))
+    val joint = base.groupBy("_a", "_b").agg(count(lit(1)).as("_nij"))
+      .localCheckpoint(true)
+    def clogc(c: Column): Column = c.cast("double") * log(c.cast("double"))
+    val totN = joint.agg(coalesce(sum("_nij"), lit(0L)).as("n"))
+    val sAB = joint.agg(Portable.decSum(clogc(col("_nij")), 12).as("_sab"))
+    val sA = joint.groupBy("_a").agg(sum("_nij").as("_ni"))
+      .agg(Portable.decSum(clogc(col("_ni")), 12).as("_sa"))
+    val sB = joint.groupBy("_b").agg(sum("_nij").as("_nj"))
+      .agg(Portable.decSum(clogc(col("_nj")), 12).as("_sb"))
+    val nD = col("n").cast("double")
+    val hA = when(col("n") > 0, log(nD) - col("_sa") / nD)
+    val hB = when(col("n") > 0, log(nD) - col("_sb") / nD)
+    val hAB = when(col("n") > 0, log(nD) - col("_sab") / nD)
+    val mi = hA + hB - hAB
+    totN.crossJoin(broadcast(sAB)).crossJoin(broadcast(sA)).crossJoin(broadcast(sB))
+      .select(col("n"),
+        Portable.pround(hA, 6).as("h_a"),
+        Portable.pround(hB, 6).as("h_b"),
+        Portable.pround(mi, 6).as("mi_nats"),
+        when(hA > 0 && hB > 0,
+          Portable.pround(mi / sqrt(hA * hB), 6)).as("nmi"))
+  }
+
+  /** Hill tail-index estimator over the k largest values (Hill 1975) —
+    * the heavy-tail diagnostic pairing C266's Gumbel block maxima (that
+    * fits the light-tailed extreme-value-I; when the Hill α̂ is SMALL the
+    * tail is power-law and a Gumbel quota will be blown): α̂ = k /
+    * Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k largest observations, with
+    * x_(k+1) the (k+1)-th largest. Small α̂ (≲ 2) = infinite-variance
+    * territory — means/quotas off such a column are meaningless, the
+    * read that decides between percentile-based and mean-based
+    * monitoring.
+    *
+    * The order statistics come from the value-CATALOG cumulative
+    * formulation (weightedMedian/Lorenz discipline — a descending
+    * cumulative count over the bounded distinct-value catalog, the
+    * straddling class clipped to its in-top-k copies; never a row-scale
+    * sort). ln outputs round at 9 dp before the copy-count
+    * multiplication (the TF-IDF rule); ties inside the top k contribute
+    * identical terms under any tie order. Fewer than k+1 observations →
+    * NULL α̂; an all-tied top (Σ = 0) → NULL, never a divide error.
+    */
+  def hillTail(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "need at least one upper order statistic")
+    val cat = df.where(valueCol.isNotNull && valueCol > 0)
+      .groupBy(valueCol.cast("long").as("_v")).agg(count(lit(1)).as("_c"))
+    val cum = cat.withColumn("_ccnt",
+      sum("_c").over(Portable.kRowWindow(col("_v").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nRow = cat.agg(coalesce(sum("_c"), lit(0L)).as("n"))
+    val xk1 = cum
+      .where(col("_ccnt") >= k + 1 && col("_ccnt") - col("_c") < k + 1)
+      .select(col("_v").as("_xk1"), lit(1).as("_k"))
+    // always one summary row (the conformal qrow shape)
+    val qrow = nRow.withColumn("_k", lit(1))
+      .join(broadcast(xk1), Seq("_k"), "left").drop("_k")
+    val top = cum.where(col("_ccnt") - col("_c") < k)
+      .select(col("_v"),
+        least(col("_c"), lit(k.toLong) - (col("_ccnt") - col("_c"))).as("_w"))
+    val terms = top.crossJoin(broadcast(qrow))
+      .agg(Portable.decSum(col("_w").cast("double") *
+        Portable.pround(log(col("_v").cast("double") / col("_xk1").cast("double")), 9), 12)
+        .as("_s"))
+    qrow.crossJoin(broadcast(terms))
+      .select(col("n"), lit(k.toLong).as("k"), col("_xk1").as("x_k1"),
+        when(col("_s") > 0,
+          Portable.pround(lit(k.toDouble) / col("_s"), 6)).as("hill_alpha"))
+  }
+
   /** James–Stein positive-part shrinkage of per-group means (Efron &
     * Morris 1975 flavor) — the small-sample-group repair every
     * per-domain statistic needs before anyone ACTS on it: a domain with

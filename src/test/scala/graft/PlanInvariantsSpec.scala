@@ -157,6 +157,24 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_ivf_topk's clustered scan is dynamically partition-pruned by the probe join") {
+    // the r17 IvfClusterStore contract's runtime half: the layout test
+    // (IvfClusterStoreSpec) proves cells are hive partitions; THIS pins
+    // that the broadcast probe join actually injects a dynamic-pruning
+    // subquery into the scan — i.e. un-probed cells' files are never
+    // read, which is the entire point of storing an IVF corpus clustered
+    val df = SparkEntry.queries("q_ivf_topk")(spark, sfDir)
+    df.collect()
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfcluster")) => s
+    }
+    assert(scans.nonEmpty, "expected a clustered-store scan")
+    assert(scans.forall(_.partitionFilters.map(_.toString.toLowerCase)
+        .exists(_.contains("dynamicpruning"))),
+      "the probe restriction must reach the clustered scan as dynamic partition pruning")
+  }
+
   test("q_triangles closes wedges via broadcast and ranks top-k without a global sort") {
     // the triangle contract at THIS scale: the edge list is far below the
     // broadcast threshold, so the size-switch (r16, VERDICT r15 item 2)

@@ -407,6 +407,12 @@ class EmptyInputSpec extends SparkSpec {
     // bradleyTerry: no comparisons, no players
     assert(Relational.bradleyTerry(df(Seq.empty[R17Comp]), "winner", "loser", 3)
       .count() === 0)
+    // clusterNmi: one row, zero rows counted, NULL statistics
+    val nm = Profiling.clusterNmi(df(Seq.empty[R17Pair]), col("a"), col("b")).head()
+    assert(nm.getLong(0) === 0L && nm.isNullAt(1) && nm.isNullAt(3) && nm.isNullAt(4))
+    // hillTail: one row, zero observations, NULL threshold and index
+    val ht = Profiling.hillTail(df(Seq.empty[R17Key]), col("k"), 5).head()
+    assert(ht.getLong(0) === 0L && ht.isNullAt(2) && ht.isNullAt(3))
   }
 }
 

@@ -282,6 +282,43 @@ class Round17OpsSpec extends SparkSpec {
     assert(pi("A") > pi("B") && pi("B") > pi("C"))
   }
 
+  test("clusterNmi: identical partitions at exactly 1, independent at exactly 0") {
+    // identical 2-cluster labelings: MI = H = ln 2 -> NMI = 1
+    val same = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .map { case (a, b) => R17Pair(a, b) }
+    val o1 = Profiling.clusterNmi(df(same), col("a"), col("b")).collect().head
+    assert(o1.getLong(0) === 4L)
+    assert(o1.getDouble(4) === 1.0, "identical partitions must score NMI 1")
+    // uniform independent 2x2 contingency: MI = ln4 - 2ln2 = 0 in IEEE too
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .map { case (a, b) => R17Pair(a, b) }
+    val o2 = Profiling.clusterNmi(df(indep), col("a"), col("b")).collect().head
+    assert(o2.getDouble(3) === 0.0, "independent labels must score MI 0")
+    assert(o2.getDouble(4) === 0.0)
+    // a single-cluster side has zero entropy: nothing to normalize by
+    val degen = Seq(("x", "p"), ("x", "q")).map { case (a, b) => R17Pair(a, b) }
+    val o3 = Profiling.clusterNmi(df(degen), col("a"), col("b")).collect().head
+    assert(o3.getDouble(1) === 0.0 && o3.isNullAt(4))
+  }
+
+  test("hillTail: hand-exact index on a dyadic tail; all-tied top is NULL") {
+    // values {8,4,2,1}, k=2: top = {8,4}, x_(3) = 2 ->
+    // alpha = 2 / (r9(ln 4) + r9(ln 2))
+    val vals = Seq(8L, 4L, 2L, 1L).map(v => R17Key(v))
+    val out = Profiling.hillTail(df(vals), col("k"), k = 2).collect().head
+    assert(out.getLong(0) === 4L && out.getLong(1) === 2L && out.getLong(2) === 2L)
+    val expected = 2.0 / (r9(math.log(4.0)) + r9(math.log(2.0)))
+    assert(out.getDouble(3) === r6(expected))
+    // all-tied top: every ratio is 1, sum 0 -> NULL (not a divide error)
+    val tied = Seq(4L, 4L, 4L).map(R17Key)
+    val o2 = Profiling.hillTail(df(tied), col("k"), k = 2).collect().head
+    assert(o2.getLong(2) === 4L && o2.isNullAt(3))
+    // heavier tail -> smaller alpha (the diagnostic direction)
+    val heavy = Seq(1000L, 100L, 10L, 1L).map(R17Key)
+    val oH = Profiling.hillTail(df(heavy), col("k"), k = 2).collect().head
+    assert(oH.getDouble(3) < out.getDouble(3))
+  }
+
   test("permutationTest: matches a driver-side md5 referee bit for bit") {
     val evs = (1L to 30L).map(u => R17Ev(u, ts(5), (u * u % 13).toDouble))
     val out = Profiling.permutationTest(df(evs), "user_id", col("value"), 64)
@@ -309,3 +346,4 @@ case class R17Cnt(lab: String, tok: String, c: Long)
 case class R17Ev2(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                   value: java.lang.Double)
 case class R17Comp(winner: String, loser: String)
+case class R17Pair(a: String, b: String)
