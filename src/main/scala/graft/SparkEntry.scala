@@ -3544,6 +3544,13 @@ object SparkEntry {
     "q_hill_tail" -> ((s, dir) =>
       Profiling.hillTail(T(s, dir, "documents"), col("n_chars"), k = 100)),
 
+    // Jackknife influence of each source on the corpus mean doc length —
+    // "which domain is moving the headline number" (the responsibility
+    // audit next to q_bootstrap_se's uncertainty).
+    "q_source_influence" -> ((s, dir) =>
+      Profiling.jackknifeInfluence(T(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source")),
+
     // Bradley–Terry preference strengths over per-order supplier
     // head-to-heads (the max-value lineitem's supplier beats each other
     // supplier in the order) — Hunter's MM, 5 fixed rounds, π catalog
@@ -10187,6 +10194,24 @@ object SparkEntry {
                 THEN round(ev.cov::DOUBLE / ev.n_eval::DOUBLE, 6) + 0 END AS coverage,
            0.9::DOUBLE AS target
          FROM qq CROSS JOIN ev""",
+
+    // Jackknife influence: identical decimal group/total sums, the same
+    // fixed leave-out division shapes.
+    "q_source_influence" ->
+      """WITH g AS (
+           SELECT source, count(*)::BIGINT AS n,
+             sum(CAST(n_chars::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS s
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+         t AS (SELECT sum(n)::BIGINT AS nall,
+                 sum(CAST(s AS DECIMAL(28,6)))::DOUBLE AS sall FROM g)
+         SELECT g.source, g.n AS n,
+           round(g.n::DOUBLE / t.nall::DOUBLE, 6) + 0 AS row_share,
+           round(g.s / g.n::DOUBLE, 6) + 0 AS mean_group,
+           round(t.sall / t.nall::DOUBLE, 6) + 0 AS mean_all,
+           round(t.sall / t.nall::DOUBLE -
+             CASE WHEN t.nall > g.n
+                  THEN (t.sall - g.s) / (t.nall - g.n)::DOUBLE END, 6) + 0 AS influence
+         FROM g CROSS JOIN t ORDER BY g.source""",
 
     // Hill tail index: the same positive-value catalog, descending
     // cumulative order statistics, 9-dp-rounded ln ratios.

@@ -1898,6 +1898,39 @@ object Profiling {
             < lit(crit)).as("uniform_ok"))
   }
 
+  /** Jackknife (leave-one-group-out) influence of each group on a
+    * corpus-level mean — "which source is MOVING the headline number":
+    * influence_g = mean_all − mean_without_g, computable exactly from
+    * the group moments alone ((S − S_g)/(N − n_g) — no second pass, no
+    * resampling), plus the group's share of rows. The audit that runs
+    * before acting on any corpus-level average (C197's bootstrap says
+    * how UNCERTAIN the mean is; this says WHO is responsible for it) —
+    * at 100 TB the difference between re-crawling one domain and
+    * distrusting the whole metric.
+    *
+    * Exact decimal per-group sums, fixed IEEE divisions on identical
+    * doubles — every row hash-checks. A group equal to the whole corpus
+    * (nothing left out) NULL-propagates its leave-out mean.
+    */
+  def jackknifeInfluence(df: DataFrame, groupCol: String,
+                         valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val g = df.where(valueCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), Portable.decSum(v, 6).as("_s"))
+    val tot = g.agg(sum("_n").as("_nAll"), Portable.decSum(col("_s"), 6).as("_sAll"))
+    val meanAll = col("_sAll") / col("_nAll").cast("double")
+    val meanLoo = when(col("_nAll") > col("_n"),
+      (col("_sAll") - col("_s")) / (col("_nAll") - col("_n")).cast("double"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("_n").as("n"),
+        Portable.pround(col("_n").cast("double") / col("_nAll").cast("double"), 6)
+          .as("row_share"),
+        Portable.pround(col("_s") / col("_n").cast("double"), 6).as("mean_group"),
+        Portable.pround(meanAll, 6).as("mean_all"),
+        Portable.pround(meanAll - meanLoo, 6).as("influence"))
+  }
+
   /** Normalized mutual information between two labelings of the same
     * rows — the clustering-AGREEMENT scalar (Strehl & Ghosh 2002): 1 =
     * the partitions carry identical information, 0 = independent. The

@@ -413,6 +413,9 @@ class EmptyInputSpec extends SparkSpec {
     // hillTail: one row, zero observations, NULL threshold and index
     val ht = Profiling.hillTail(df(Seq.empty[R17Key]), col("k"), 5).head()
     assert(ht.getLong(0) === 0L && ht.isNullAt(2) && ht.isNullAt(3))
+    // jackknifeInfluence: no groups, no rows
+    assert(Profiling.jackknifeInfluence(df(Seq.empty[R17Cnt]), "lab", col("c"))
+      .count() === 0)
   }
 }
 

@@ -319,6 +319,23 @@ class Round17OpsSpec extends SparkSpec {
     assert(oH.getDouble(3) < out.getDouble(3))
   }
 
+  test("jackknifeInfluence: hand-exact leave-one-out means; influences offset") {
+    // g1 = {10, 20} (mean 15), g2 = {30} (mean 30): mean_all = 20;
+    // loo(g1) = 30 -> influence -10; loo(g2) = 15 -> influence +5
+    val rows = Seq(R17Cnt("g1", "a", 10L), R17Cnt("g1", "b", 20L),
+      R17Cnt("g2", "c", 30L))
+    val out = Profiling.jackknifeInfluence(df(rows), "lab", col("c"))
+      .orderBy("lab").collect()
+    assert(out.length === 2)
+    assert(out(0).getDouble(3) === 15.0 && out(0).getDouble(4) === 20.0)
+    assert(out(0).getDouble(5) === -10.0, "removing the light group raises the mean")
+    assert(out(1).getDouble(5) === 5.0, "removing the heavy group lowers the mean")
+    // one group = the whole corpus: nothing left out -> NULL influence
+    val solo = Seq(R17Cnt("g1", "a", 10L))
+    val oS = Profiling.jackknifeInfluence(df(solo), "lab", col("c")).collect().head
+    assert(oS.isNullAt(5) && oS.getDouble(2) === 1.0)
+  }
+
   test("permutationTest: matches a driver-side md5 referee bit for bit") {
     val evs = (1L to 30L).map(u => R17Ev(u, ts(5), (u * u % 13).toDouble))
     val out = Profiling.permutationTest(df(evs), "user_id", col("value"), 64)
