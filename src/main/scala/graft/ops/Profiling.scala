@@ -1918,6 +1918,17 @@ object Profiling {
     val g = df.where(valueCol.isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("_n"), Portable.decSum(v, 6).as("_s"))
+    jackknifeFromMoments(g, groupCol)
+  }
+
+  /** The influence read off a (group, _n, _s) moment frame — the
+    * arithmetic shared by [[jackknifeInfluence]] and the streaming twin
+    * ([[graft.streaming.StreamingOps.GroupMomentsState]]): (count,
+    * decimal sum) is the canonical additive monoid, so moments merged at
+    * ANY micro-batch boundary equal the batch moments exactly and one
+    * formula serves both paths (the kmvJaccardFromSketches precedent).
+    */
+  private[graft] def jackknifeFromMoments(g: DataFrame, groupCol: String): DataFrame = {
     val tot = g.agg(sum("_n").as("_nAll"), Portable.decSum(col("_s"), 6).as("_sAll"))
     val meanAll = col("_sAll") / col("_nAll").cast("double")
     val meanLoo = when(col("_nAll") > col("_n"),

@@ -286,6 +286,48 @@ object StreamingOps {
       sketch.get.map(graft.ops.Profiling.kmvJaccardFromSketches(_, groupCol, k))
   }
 
+  /** Streaming group-moment maintenance at decimal(28,6) — the streaming
+    * twin of C275's q_source_influence (r17): per-group (count, decimal
+    * sum) is the canonical ADDITIVE monoid, so moments merged at any
+    * micro-batch boundary or arrival order equal the whole-corpus batch
+    * moments EXACTLY, and the influence derived at read time — through
+    * the same [[graft.ops.Profiling.jackknifeFromMoments]] arithmetic the
+    * batch operator uses — is bit-identical to the batch
+    * q_source_influence rows (one formula, two callers). State is one
+    * (n, Σ) row per group forever; batch-id replay is a no-op (the
+    * IncrementalAggState exactly-once contract; this is that state at
+    * the batch jackknife's decimal scale with the influence read
+    * attached).
+    */
+  final class GroupMomentsState(groupCol: String, valueCol: Column) {
+    private val moments = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = batch.where(valueCol.isNotNull)
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("_n"),
+          sum(valueCol.cast("double").cast("decimal(28,6)")).as("_dec"))
+      val merged = moments.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy(groupCol)
+          .agg(sum("_n").as("_n"), sum("_dec").as("_dec"))
+        case None => p
+      }
+      moments.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current per-group jackknife influence table — bit-identical to
+      * the batch q_source_influence rows over everything merged so far.
+      */
+    def influence: Option[DataFrame] =
+      moments.get.map(p => graft.ops.Profiling.jackknifeFromMoments(
+        p.select(col(groupCol), col("_n"), col("_dec").cast("double").as("_s")),
+        groupCol))
+  }
+
   /** Streaming user-growth maintenance — the streaming twin of C229's
     * q_user_growth acquisition curve: each micro-batch reduces to its
     * per-user minimum first-seen day, which MIN-merges into the running

@@ -684,6 +684,38 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming group moments yield jackknife influences bit-identical to batch") {
+    // C275's streaming twin (r17): (count, decimal sum) is an additive
+    // monoid, so the per-source moments maintained over arbitrary batch
+    // boundaries must reproduce the batch q_source_influence rows
+    // bit-for-bit through the shared jackknifeFromMoments read.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "n_chars")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_jk_in").toFile.getAbsolutePath
+    // boundary split straddles sources: each batch holds half of every
+    // source's docs, so every group's moments assemble across batches
+    docs.where(pmod(col("doc_id"), lit(2)) === 0).write.mode("append").parquet(inDir)
+    docs.where(pmod(col("doc_id"), lit(2)) === 1).write.mode("append").parquet(inDir)
+
+    val state = new StreamingOps.GroupMomentsState("source", col("n_chars"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.influence.get
+      val batch = graft.ops.Profiling.jackknifeInfluence(docs, "source", col("n_chars"))
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "merged moments must reproduce the batch influence table exactly")
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(docs, 0L)
+      val replayed = state.influence.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0,
+        "batch-id replay must be a no-op")
+    } finally q.stop()
+  }
+
   test("streaming KMV sketches yield pairwise Jaccard estimates bit-identical to batch") {
     // C260's streaming twin (VERDICT r16 item 6): the SAME maintained
     // smallest-k sketches that serve the distinct estimate also serve
