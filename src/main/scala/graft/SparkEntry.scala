@@ -3551,6 +3551,26 @@ object SparkEntry {
       Profiling.jackknifeInfluence(T(s, dir, "documents"), "source", col("n_chars"))
         .orderBy("source")),
 
+    // Simpson's-paradox screen: per-event-type slope of value on
+    // day-of-month vs the pooled slope — flags groups whose trend sign
+    // the pooled aggregate reverses (the aggregation-bias audit).
+    "q_simpsons_paradox" -> ((s, dir) =>
+      Profiling.simpsonsParadox(
+        T(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"), col("value")),
+        "event_type", col("d"), col("value"))
+        .orderBy("event_type")),
+
+    // Wald SPRT over the daily purchase-rate stream (H0 p=0.10 vs H1
+    // p=0.15, α=β=0.05): the sequential monitor that says WHEN enough
+    // evidence arrived to stop — per day, the LLR walk and the first
+    // boundary decision.
+    "q_sprt" -> ((s, dir) =>
+      EventOps.sprt(T(s, dir, "events"), "ts",
+          col("event_type") === "purchase",
+          p0 = 0.10, p1 = 0.15, alpha = 0.05, beta = 0.05)
+        .orderBy("day")),
+
     // Bradley–Terry preference strengths over per-order supplier
     // head-to-heads (the max-value lineitem's supplier beats each other
     // supplier in the order) — Hunter's MM, 5 fixed rounds, π catalog
@@ -4097,6 +4117,41 @@ object SparkEntry {
     * promotion the residual path keys the PRODUCTION k=64 quantizer.
     */
   private val PqResTag = s"res${IvfK2}x$IvfIters"
+
+  /** DuckDB oracle for q_sprt, generated with the SAME 9-dp rounded
+    * constants the operator embeds (one r9 rule, two callers).
+    */
+  private def sprtSql(p0: Double, p1: Double, alpha: Double, beta: Double): String = {
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val aInc = r9(math.log(p1 / p0))
+    val bInc = r9(math.log((1.0 - p1) / (1.0 - p0)))
+    val upper = r9(math.log((1.0 - beta) / alpha))
+    val lower = r9(math.log(beta / (1.0 - alpha)))
+    raw"""WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_hit
+           FROM events WHERE (event_type = 'purchase') IS NOT NULL GROUP BY 1),
+         walk AS (
+           SELECT day, n, n_hit,
+             sum(CAST(n_hit::DOUBLE * ($aInc) + (n - n_hit)::DOUBLE * ($bInc)
+               AS DECIMAL(28,12))) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS llr
+           FROM daily),
+         dec AS (
+           SELECT day, n, n_hit, llr,
+             min(CASE WHEN llr >= ($upper) THEN day END) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hiday,
+             min(CASE WHEN llr <= ($lower) THEN day END) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS loday
+           FROM walk)
+         SELECT day, n, n_hit, round(llr, 6) + 0 AS llr,
+           CASE WHEN hiday IS NOT NULL AND (loday IS NULL OR hiday <= loday)
+                THEN 'accept_h1'
+                WHEN loday IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+         FROM dec ORDER BY day"""
+  }
 
   /** DuckDB oracle for q_cluster_nmi, generated from BOTH persisted
     * centroid artifacts: each side's assignment is the same dot-argmax
@@ -10194,6 +10249,50 @@ object SparkEntry {
                 THEN round(ev.cov::DOUBLE / ev.n_eval::DOUBLE, 6) + 0 END AS coverage,
            0.9::DOUBLE AS target
          FROM qq CROSS JOIN ev""",
+
+    // Simpson's screen: identical decimal moments per group and pooled
+    // (both from the row level), the same cov/varX slope shape, sign
+    // comparisons on the unrounded doubles.
+    "q_simpsons_paradox" ->
+      """WITH b AS (
+           SELECT event_type, date_part('day', ts)::DOUBLE AS x, value AS y
+           FROM events
+           WHERE date_part('day', ts) IS NOT NULL AND value IS NOT NULL),
+         g AS (
+           SELECT event_type, count(*)::BIGINT AS n,
+             sum(CAST(x AS DECIMAL(28,6)))::DOUBLE AS sx,
+             sum(CAST(y AS DECIMAL(28,6)))::DOUBLE AS sy,
+             sum(CAST(x*y AS DECIMAL(28,6)))::DOUBLE AS sxy,
+             sum(CAST(x*x AS DECIMAL(28,6)))::DOUBLE AS sxx
+           FROM b GROUP BY 1),
+         g2 AS (
+           SELECT event_type, n,
+             CASE WHEN n > 1 AND (sxx - sx*sx/n::DOUBLE) > 0
+                  THEN (sxy - sx*sy/n::DOUBLE)/(sxx - sx*sx/n::DOUBLE) END AS sg
+           FROM g),
+         p AS (
+           SELECT count(*)::BIGINT AS n,
+             sum(CAST(x AS DECIMAL(28,6)))::DOUBLE AS sx,
+             sum(CAST(y AS DECIMAL(28,6)))::DOUBLE AS sy,
+             sum(CAST(x*y AS DECIMAL(28,6)))::DOUBLE AS sxy,
+             sum(CAST(x*x AS DECIMAL(28,6)))::DOUBLE AS sxx
+           FROM b),
+         ps AS (
+           SELECT CASE WHEN n > 1 AND (sxx - sx*sx/n::DOUBLE) > 0
+                  THEN (sxy - sx*sy/n::DOUBLE)/(sxx - sx*sx/n::DOUBLE) END AS sa
+           FROM p)
+         SELECT g2.event_type, g2.n AS n,
+           round(g2.sg, 6) + 0 AS slope_group,
+           round(ps.sa, 6) + 0 AS slope_pooled,
+           CASE WHEN g2.sg IS NOT NULL AND ps.sa IS NOT NULL
+                THEN (g2.sg > 0 AND ps.sa < 0) OR (g2.sg < 0 AND ps.sa > 0)
+           END AS reversed
+         FROM g2 CROSS JOIN ps ORDER BY g2.event_type""",
+
+    // SPRT: the same daily integer hit/miss counts, 9-dp literal
+    // increments and boundaries, decimal-summed catalog walk, and
+    // first-crossing-day decision.
+    "q_sprt" -> sprtSql(p0 = 0.10, p1 = 0.15, alpha = 0.05, beta = 0.05),
 
     // Jackknife influence: identical decimal group/total sums, the same
     // fixed leave-out division shapes.

@@ -654,4 +654,59 @@ object EventOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "key", "raw_count", "score")
   }
+
+  /** Wald's SPRT over a daily Bernoulli stream — the SEQUENTIAL member
+    * of the experimentation family (C230 tests one frozen snapshot;
+    * C268 permutes it; SPRT monitors the accumulating stream and says
+    * when enough evidence has arrived to STOP): per day the
+    * log-likelihood ratio of H1: p = p1 vs H0: p = p0 advances by
+    * hits·ln(p1/p0) + misses·ln((1−p1)/(1−p0)), and the cumulative walk
+    * is compared to Wald's boundaries ln((1−β)/α) / ln(β/(1−α)). The
+    * decision column records what a sequential monitor would have
+    * concluded BY each day — the difference between a week-long and a
+    * quarter-long rollout gate.
+    *
+    * Portability: daily hit/miss counts are exact integers, both
+    * per-trial increments and both boundaries enter as 9-dp rounded
+    * literals (the r17 constant convention — ln differs in final ulps
+    * across engines, a ≤15-digit decimal literal does not), the daily
+    * increment is integer×literal and the walk a decimal-summed window
+    * over the bounded day catalog. Decisions persist: the walk keeps
+    * accumulating for the record, but `decision` reports the FIRST
+    * boundary crossed at or before the day (a real monitor stops there).
+    */
+  def sprt(df: DataFrame, tsCol: String, hitCol: Column,
+           p0: Double, p1: Double, alpha: Double, beta: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      "need distinct interior hypothesis rates")
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val aInc = r9(math.log(p1 / p0))
+    val bInc = r9(math.log((1.0 - p1) / (1.0 - p0)))
+    val upper = r9(math.log((1.0 - beta) / alpha))
+    val lower = r9(math.log(beta / (1.0 - alpha)))
+    val daily = df.where(hitCol.isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(hitCol.cast("boolean"), 1L).otherwise(0L)).as("n_hit"))
+    val w = Portable.kRowWindow(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = daily.withColumn("_llr",
+      sum((col("n_hit").cast("double") * lit(aInc) +
+        (col("n") - col("n_hit")).cast("double") * lit(bInc))
+        .cast("decimal(28,12)")).over(w).cast("double"))
+    // first boundary crossed at or before each day: the earliest
+    // crossing DAY of each boundary (a cumulative min over the catalog
+    // window), so a walk that later crosses the other boundary still
+    // reports what the monitor decided FIRST
+    walk
+      .withColumn("_hiDay", min(when(col("_llr") >= upper, col("day"))).over(w))
+      .withColumn("_loDay", min(when(col("_llr") <= lower, col("day"))).over(w))
+      .select(col("day"), col("n"), col("n_hit"),
+        Portable.pround(col("_llr"), 6).as("llr"),
+        when(col("_hiDay").isNotNull &&
+            (col("_loDay").isNull || col("_hiDay") <= col("_loDay")), lit("accept_h1"))
+          .when(col("_loDay").isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
 }

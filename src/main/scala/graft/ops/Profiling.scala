@@ -1898,6 +1898,47 @@ object Profiling {
             < lit(crit)).as("uniform_ok"))
   }
 
+  /** Simpson's-paradox screen: the per-group regression slope of y on x
+    * next to the POOLED slope, with a `reversed` flag where the signs
+    * disagree — the aggregation-bias audit every corpus-level trend
+    * needs before anyone acts on it (the pooled "quality rises with
+    * length" can be an artifact of group composition while every group
+    * individually falls; acting on the pooled sign then optimizes the
+    * wrong thing). Slopes are cov/var from exact decimal moments — the
+    * group moments from one hash aggregate, the pooled moments from an
+    * independent row-level aggregate (decimal sums, not a re-sum of
+    * rounded group doubles) — so the sign comparison is bit-stable.
+    * Degenerate groups (n ≤ 1 or zero x-variance) NULL their slope and
+    * never flag.
+    */
+  def simpsonsParadox(df: DataFrame, groupCol: String, xCol: Column,
+                      yCol: Column): DataFrame = {
+    val base = df.where(xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol), xCol.cast("double").as("_x"), yCol.cast("double").as("_y"))
+    def moments(grouped: Boolean): DataFrame = {
+      val g = if (grouped) base.groupBy(col(groupCol)) else base.groupBy()
+      g.agg(count(lit(1)).as("_n"),
+        Portable.decSum(col("_x"), 6).as("_sx"),
+        Portable.decSum(col("_y"), 6).as("_sy"),
+        Portable.decSum(col("_x") * col("_y"), 6).as("_sxy"),
+        Portable.decSum(col("_x") * col("_x"), 6).as("_sxx"))
+    }
+    def slope: Column = {
+      val n = col("_n").cast("double")
+      val varX = col("_sxx") - col("_sx") * col("_sx") / n
+      when(col("_n") > 1 && varX > 0,
+        (col("_sxy") - col("_sx") * col("_sy") / n) / varX)
+    }
+    val pooled = moments(grouped = false).select(slope.as("_slopeAll"))
+    moments(grouped = true).crossJoin(broadcast(pooled))
+      .select(col(groupCol), col("_n").as("n"),
+        Portable.pround(slope, 6).as("slope_group"),
+        Portable.pround(col("_slopeAll"), 6).as("slope_pooled"),
+        when(slope.isNotNull && col("_slopeAll").isNotNull,
+          (slope > 0 && col("_slopeAll") < 0) || (slope < 0 && col("_slopeAll") > 0))
+          .as("reversed"))
+  }
+
   /** Jackknife (leave-one-group-out) influence of each group on a
     * corpus-level mean — "which source is MOVING the headline number":
     * influence_g = mean_all − mean_without_g, computable exactly from

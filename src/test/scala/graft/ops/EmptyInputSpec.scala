@@ -416,6 +416,11 @@ class EmptyInputSpec extends SparkSpec {
     // jackknifeInfluence: no groups, no rows
     assert(Profiling.jackknifeInfluence(df(Seq.empty[R17Cnt]), "lab", col("c"))
       .count() === 0)
+    // simpsonsParadox / sprt: no groups / no days, no rows
+    assert(Profiling.simpsonsParadox(df(Seq.empty[R17Xy]), "g", col("x"), col("y"))
+      .count() === 0)
+    assert(EventOps.sprt(df(Seq.empty[R17Hit]), "ts", col("et") === "purchase",
+      0.2, 0.8, 0.05, 0.05).count() === 0)
   }
 }
 

@@ -336,6 +336,56 @@ class Round17OpsSpec extends SparkSpec {
     assert(oS.isNullAt(5) && oS.getDouble(2) === 1.0)
   }
 
+  test("simpsonsParadox: a planted reversal flags, aligned groups don't") {
+    // A: (1,9),(2,8) and B: (8,12),(9,11) — slope −1 INSIDE each group,
+    // but B sits higher on both axes so the pooled slope is positive
+    val rows = Seq(("A", 1L, 9.0), ("A", 2L, 8.0), ("B", 8L, 12.0), ("B", 9L, 11.0))
+      .map { case (g, x, y) => R17Xy(g, x, y) }
+    val out = Profiling.simpsonsParadox(df(rows), "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) === -1.0, "within-group slope")
+      assert(r.getDouble(3) > 0, "pooled slope reverses")
+      assert(r.getBoolean(4), "the reversal must flag")
+    }
+    // aligned data: same slope everywhere -> no flag
+    val aligned = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("B", 3L, 3.0), ("B", 4L, 4.0))
+      .map { case (g, x, y) => R17Xy(g, x, y) }
+    val o2 = Profiling.simpsonsParadox(df(aligned), "g", col("x"), col("y")).collect()
+    assert(o2.forall(r => !r.getBoolean(4)))
+    // a constant-x group NULLs its slope and never flags
+    val degen = Seq(("A", 5L, 1.0), ("A", 5L, 2.0), ("B", 1L, 1.0), ("B", 2L, 2.0))
+      .map { case (g, x, y) => R17Xy(g, x, y) }
+    val o3 = Profiling.simpsonsParadox(df(degen), "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(o3.head.isNullAt(2) && o3.head.isNullAt(4))
+  }
+
+  test("sprt: hand-exact walk, boundary decisions, and first-crossing persistence") {
+    // p0=0.2 vs p1=0.8: per-hit +ln4, per-miss −ln4 (9-dp rounded);
+    // boundaries ±ln19 ≈ ±2.944. Day 1: 3/3 hits -> llr ≈ 4.159 crosses
+    // H1. Day 2: 0/6 drives the walk below the H0 boundary — but the
+    // monitor ALREADY stopped at H1, so the decision must persist.
+    val evs = Seq.fill(3)(1).zipWithIndex.map { case (_, i) =>
+      R17Hit(ts(1, i), "purchase")
+    } ++ (0 until 6).map(i => R17Hit(ts(2, i), "view"))
+    val out = EventOps.sprt(df(evs), "ts", col("et") === "purchase",
+      0.2, 0.8, 0.05, 0.05).orderBy("day").collect()
+    assert(out.length === 2)
+    val a9 = r9(math.log(4.0))
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 3L)
+    assert(out(0).getDouble(3) === r6(3 * a9))
+    assert(out(0).getString(4) === "accept_h1")
+    assert(out(1).getDouble(3) === r6(3 * a9 - 6 * a9))
+    assert(out(1).getString(4) === "accept_h1",
+      "a sequential monitor stops at the FIRST boundary; later data cannot flip it")
+    // the symmetric all-miss stream accepts H0
+    val misses = (0 until 3).map(i => R17Hit(ts(1, i), "view"))
+    val o2 = EventOps.sprt(df(misses), "ts", col("et") === "purchase",
+      0.2, 0.8, 0.05, 0.05).collect()
+    assert(o2.head.getString(4) === "accept_h0")
+  }
+
   test("permutationTest: matches a driver-side md5 referee bit for bit") {
     val evs = (1L to 30L).map(u => R17Ev(u, ts(5), (u * u % 13).toDouble))
     val out = Profiling.permutationTest(df(evs), "user_id", col("value"), 64)
@@ -364,3 +414,5 @@ case class R17Ev2(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                   value: java.lang.Double)
 case class R17Comp(winner: String, loser: String)
 case class R17Pair(a: String, b: String)
+case class R17Xy(g: String, x: Long, y: Double)
+case class R17Hit(ts: java.sql.Timestamp, et: String)
