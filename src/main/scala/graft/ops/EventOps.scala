@@ -676,7 +676,23 @@ object EventOps {
     * boundary crossed at or before the day (a real monitor stops there).
     */
   def sprt(df: DataFrame, tsCol: String, hitCol: Column,
-           p0: Double, p1: Double, alpha: Double, beta: Double): DataFrame = {
+           p0: Double, p1: Double, alpha: Double, beta: Double): DataFrame =
+    sprtFromDaily(
+      df.where(hitCol.isNotNull)
+        .groupBy(to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(hitCol.cast("boolean"), 1L).otherwise(0L)).as("n_hit")),
+      p0, p1, alpha, beta)
+
+  /** The walk + decision read off a (day, n, n_hit) daily-count frame —
+    * the arithmetic shared by [[sprt]] and the streaming twin
+    * ([[graft.streaming.StreamingOps.SprtState]]): daily counts are the
+    * canonical additive monoid, so counts merged at any micro-batch
+    * boundary equal the batch counts exactly and one formula serves both
+    * paths.
+    */
+  private[graft] def sprtFromDaily(daily: DataFrame, p0: Double, p1: Double,
+                                   alpha: Double, beta: Double): DataFrame = {
     require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
       "need distinct interior hypothesis rates")
     def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
@@ -685,10 +701,6 @@ object EventOps {
     val bInc = r9(math.log((1.0 - p1) / (1.0 - p0)))
     val upper = r9(math.log((1.0 - beta) / alpha))
     val lower = r9(math.log(beta / (1.0 - alpha)))
-    val daily = df.where(hitCol.isNotNull)
-      .groupBy(to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(hitCol.cast("boolean"), 1L).otherwise(0L)).as("n_hit"))
     val w = Portable.kRowWindow(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val walk = daily.withColumn("_llr",

@@ -328,6 +328,45 @@ object StreamingOps {
         groupCol))
   }
 
+  /** Streaming SPRT maintenance — the streaming twin of C277's q_sprt
+    * (r17), and the operator whose NATURAL home is a stream: a
+    * sequential test exists to be evaluated as data arrives. Per-day
+    * (n, n_hit) Bernoulli counts are the additive monoid, so counts
+    * merged at any micro-batch boundary — including late events
+    * back-filling an earlier day — equal the batch daily counts exactly,
+    * and the LLR walk + first-crossing decision derived at read time
+    * (through the same [[graft.ops.EventOps.sprtFromDaily]] arithmetic)
+    * is bit-identical to the batch q_sprt rows. State is one row per
+    * day forever; batch-id replay is a no-op.
+    */
+  final class SprtState(tsCol: String, hitCol: Column,
+                        p0: Double, p1: Double, alpha: Double, beta: Double) {
+    private val daily = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = batch.where(hitCol.isNotNull)
+        .groupBy(to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(hitCol.cast("boolean"), 1L).otherwise(0L)).as("n_hit"))
+      val merged = daily.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("day")
+          .agg(sum("n").as("n"), sum("n_hit").as("n_hit"))
+        case None => p
+      }
+      daily.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current per-day walk + decisions — bit-identical to the batch
+      * q_sprt rows over everything merged so far.
+      */
+    def decisions: Option[DataFrame] =
+      daily.get.map(p => graft.ops.EventOps.sprtFromDaily(p, p0, p1, alpha, beta))
+  }
+
   /** Streaming user-growth maintenance — the streaming twin of C229's
     * q_user_growth acquisition curve: each micro-batch reduces to its
     * per-user minimum first-seen day, which MIN-merges into the running

@@ -684,6 +684,38 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SPRT decisions are bit-identical to batch, under out-of-order arrival") {
+    // C277's streaming twin (r17): per-day Bernoulli counts are an
+    // additive monoid, so the LLR walk + first-crossing decisions read
+    // from the maintained state must equal the batch q_sprt rows exactly
+    // — INCLUDING when late files back-fill EARLIER days (the second
+    // file below carries the first half of the month).
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "event_type", "event_id")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sprt_in").toFile.getAbsolutePath
+    val day = dayofmonth(col("ts"))
+    events.where(day >= 16).write.mode("append").parquet(inDir)   // newest first
+    events.where(day < 16).write.mode("append").parquet(inDir)    // back-fill
+    val state = new StreamingOps.SprtState("ts", col("event_type") === "purchase",
+      0.10, 0.15, 0.05, 0.05)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.decisions.get
+      val batch = graft.ops.EventOps.sprt(events, "ts",
+        col("event_type") === "purchase", 0.10, 0.15, 0.05, 0.05)
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "merged daily counts must reproduce the batch walk and decisions exactly")
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(events, 0L)
+      val replayed = state.decisions.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming group moments yield jackknife influences bit-identical to batch") {
     // C275's streaming twin (r17): (count, decimal sum) is an additive
     // monoid, so the per-source moments maintained over arbitrary batch
