@@ -4131,7 +4131,9 @@ object SparkEntry {
     raw"""WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n,
              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_hit
-           FROM events WHERE (event_type = 'purchase') IS NOT NULL GROUP BY 1),
+           FROM events
+           WHERE (event_type = 'purchase') IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
          walk AS (
            SELECT day, n, n_hit,
              sum(CAST(n_hit::DOUBLE * ($aInc) + (n - n_hit)::DOUBLE * ($bInc)

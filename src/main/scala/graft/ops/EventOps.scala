@@ -678,7 +678,11 @@ object EventOps {
   def sprt(df: DataFrame, tsCol: String, hitCol: Column,
            p0: Double, p1: Double, alpha: Double, beta: Double): DataFrame =
     sprtFromDaily(
-      df.where(hitCol.isNotNull)
+      // the ts filter is load-bearing cross-engine: a NULL day would
+      // SORT differently in the catalog walk (Spark NULLS FIRST, DuckDB
+      // NULLS LAST) — the one place a NULL is an ordering hazard, not
+      // just a skipped row
+      df.where(hitCol.isNotNull && col(tsCol).isNotNull)
         .groupBy(to_date(col(tsCol)).as("day"))
         .agg(count(lit(1)).as("n"),
           sum(when(hitCol.cast("boolean"), 1L).otherwise(0L)).as("n_hit")),

@@ -346,7 +346,7 @@ object StreamingOps {
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return
-      val p = batch.where(hitCol.isNotNull)
+      val p = batch.where(hitCol.isNotNull && col(tsCol).isNotNull)
         .groupBy(to_date(col(tsCol)).as("day"))
         .agg(count(lit(1)).as("n"),
           sum(when(hitCol.cast("boolean"), 1L).otherwise(0L)).as("n_hit"))
