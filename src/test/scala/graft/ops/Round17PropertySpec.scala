@@ -131,6 +131,40 @@ class Round17PropertySpec extends SparkSpec {
     assert(out.getDouble(5) >= 0.0 && out.getDouble(5) <= 1.0)
   }
 
+  test("simpsonsParadox slopes are exactly invariant under x- and y-translation") {
+    val rows = (1 to 24).map(i => R17Xy(s"g${i % 3}", (i % 7).toLong, (i * 3 % 11).toDouble))
+    val base = Profiling.simpsonsParadox(df(rows), "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    val shifted = Profiling.simpsonsParadox(
+      df(rows.map(r => r.copy(x = r.x + 50L, y = r.y + 100.0))), "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    base.zip(shifted).foreach { case (b, s) =>
+      assert(s.getDouble(2) === b.getDouble(2), "group slope is translation-invariant")
+      assert(s.getDouble(3) === b.getDouble(3), "pooled slope is translation-invariant")
+      assert(s.getBoolean(4) === b.getBoolean(4))
+    }
+  }
+
+  test("sprt decisions are monotone in the evidence and symmetric under hit/miss swap") {
+    def run(hits: Seq[Int], total: Int): Seq[String] = {
+      val evs = hits.zipWithIndex.flatMap { case (h, d) =>
+        (0 until total).map(i => R17Hit(ts(d + 1, i % 24), if (i < h) "purchase" else "view"))
+      }
+      EventOps.sprt(df(evs), "ts", col("et") === "purchase", 0.2, 0.8, 0.05, 0.05)
+        .orderBy("day").collect().map(_.getString(4)).toSeq
+    }
+    // swapping every hit for a miss (rate p -> 1-p with symmetric
+    // hypotheses) must mirror the decision
+    val up = run(Seq(5, 5), total = 5)     // all hits
+    val down = run(Seq(0, 0), total = 5)   // all misses
+    assert(up.head === "accept_h1" && down.head === "accept_h0")
+    // ambivalent evidence at the indifference rate keeps the monitor open
+    // (p̂ = 0.5 between p0 = 0.2 and p1 = 0.8: increments cancel exactly
+    // because ln(4) and ln(1/4) are the same 9-dp literal negated)
+    val mid = run(Seq(2, 2), total = 4)
+    assert(mid.forall(_ === "continue"))
+  }
+
   test("jsDivergence stays within [0, ln 2] and a self-pair is 0") {
     val counts = (1 to 30).map(i => R17Cnt(s"s${i % 4}", s"t${i % 9}", (i % 5 + 1).toLong))
     val out = TextOps.jsDivergence(df(counts), "lab", "tok", "c").collect()
