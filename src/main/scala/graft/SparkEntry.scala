@@ -1916,10 +1916,18 @@ object SparkEntry {
     // Near-identical vectors are planted in-query (the r8 perturbation,
     // replicated bit-for-bit in the oracle) so the dedup has real
     // positives to find — random corpus pairs top out at cos≈0.51.
+    // Since r18 the CORPUS side reads its cell from the at-rest
+    // IvfClusterStore layout (the k=64 assignment — 64 full-dim dots/row
+    // — is corpus-static, so recomputing it per run was pure waste);
+    // only the planted delta is assigned on the fly, which is exactly
+    // the production shape: new-ingest rows dedup-checked against the
+    // clustered corpus.
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val centroids = prodCentroids(s, dir)
       val base = emb.select("vec_id", "embedding")
+      val clustered = graft.sources.IvfClusterStore.ensureClustered(s, dir,
+        centroids, IvfK2, IvfIters)
       // perturb FIRST, re-key SECOND (see q_embed_neardup_lsh_r8)
       val planted = base.where(col("vec_id") < 50)
         .select(col("vec_id"),
@@ -1928,7 +1936,7 @@ object SparkEntry {
               ((col("vec_id") * 64 + i) % 7 - 3).cast("double") * lit(0.001)).cast("float"))
             .as("embedding"))
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      VectorOps.semanticDedup(base.unionByName(planted), "vec_id", "embedding",
+      VectorOps.semanticDedupClustered(clustered, planted, "vec_id", "embedding",
           centroids, threshold = 0.9)
         .orderBy("vec_id")
     }),

@@ -605,15 +605,39 @@ object VectorOps {
   }
 
   /** The FETCH stage: the ADC candidate frame (already cut to its rerank
-    * budget upstream — rerank·|queries| rows) broadcast-joins the vector
-    * table by id to read back exact vectors for the candidates ONLY —
-    * never a second corpus-wide vector scan — and re-scores with the
-    * exact cosine. Output: (query_id, corpus_id, _rn, score).
+    * budget upstream — rerank·|queries| rows) reads back exact vectors for
+    * the candidates ONLY — never a second corpus-wide vector scan — and
+    * re-scores with the exact cosine. Output:
+    * (query_id, corpus_id, _rn, score).
+    *
+    * Plan shape (r18 — VERDICT r17 item 2): the serving plan carries ONE
+    * exchange. The candidate frame is eagerly checkpointed — it is tiny
+    * (rerank·|queries| rows), so the ADC rank exchange executes once,
+    * inside the checkpoint job, however many consumers read it — then
+    * candidate ids broadcast into the corpus scan as a LEFT SEMI filter,
+    * and the fetched vectors (equally tiny) broadcast BACK into the
+    * candidate frame. [[cutTopK]]'s final window re-clusters by query_id:
+    * that is the serving plan's single exchange, and its traffic is the
+    * candidate frame itself — rerank·|queries| rows, never corpus-sized
+    * (the rank exchange upstream is equally thin: Spark's partial
+    * WindowGroupLimit caps it at rerank rows per query per map
+    * partition). The old shape streamed the WHOLE corpus through the
+    * fetch join instead — a corpus-wide probe whose output forfeited any
+    * clustering — before the same final exchange. Note an exchange-FREE
+    * final cut is not expressible here: under AQE, AdaptiveSparkPlanExec
+    * reports UnknownPartitioning to Dataset.checkpoint (measured r18), so
+    * the rank window's clustering cannot be carried across the
+    * materialization barrier, and persist() — whose InMemoryTableScan
+    * does preserve it — registers the plan in the CacheManager, where the
+    * next run of the same query would silently read this run's
+    * candidates (a benchmark-integrity leak, rejected).
     */
   def rerankFetchScored(ranked: DataFrame, corpus: DataFrame,
                         idCol: String, vecCol: String): DataFrame = {
+    val cand = ranked.localCheckpoint(true)
     val vecs = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
-    vecs.join(broadcast(ranked), Seq("corpus_id"))
+    val candVecs = vecs.join(broadcast(cand.select("corpus_id")), Seq("corpus_id"), "left_semi")
+    cand.join(broadcast(candVecs), Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"), col("_rn"),
         cosineNative(col("q_vec"), col("c_vec")).as("score"))
   }
@@ -820,6 +844,61 @@ object VectorOps {
       .where(cosineNative(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("_dup", lit(true))
+    cells.select(col(idCol), col("cell").cast("long").as("cell"))
+      .join(dups, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cell"),
+        not(coalesce(col("_dup"), lit(false))).as("kept"))
+  }
+
+  /** [[semanticDedup]] over the cell-partitioned at-rest layout
+    * ([[graft.sources.IvfClusterStore]]): the corpus frame already carries
+    * its `cell` — the hive partition column — so the k full-dimension dot
+    * products per corpus row that [[semanticDedup]] pays on every run
+    * (the dominant cost after the r17 k=64 promotion) never execute;
+    * only `extra` rows not present in the store (e.g. a freshly-ingested
+    * delta being dedup-checked against the clustered corpus) are assigned
+    * on the fly. Bit-identical to [[semanticDedup]] on the union — the
+    * store's write-time assignment IS [[nearestCell]], the same recipe
+    * used here for `extra` (IvfClusterStoreSpec proves the parity).
+    */
+  def semanticDedupClustered(clustered: DataFrame, extra: DataFrame,
+                             idCol: String, vecCol: String,
+                             centroids: Array[Array[Float]], threshold: Double): DataFrame = {
+    val assignedExtra = extra.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    // The pairwise work decomposes into store×store + store×extra +
+    // extra×extra rather than one self-join over (store ∪ extra): a union
+    // of a partitioned scan with a computed frame makes the join key a
+    // union output, and DPP then pushes its IN-subquery filter into the
+    // COMPUTED branch too, where no scan can execute it (measured r18:
+    // "dynamicpruning#N has not finished" at runtime). Decomposed, every
+    // dynamic pruning filter lands on a real scan — and the store scan in
+    // the cross part legitimately prunes to the extra rows' few cells,
+    // which is the production delta-vs-corpus shape. Semantics require
+    // store and extra ids to be distinct rows (same-id pairs are excluded,
+    // matching the union-based [[semanticDedup]]).
+    val sa = clustered.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val sb = clustered.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val ea = assignedExtra.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val eb = assignedExtra.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    def lowerWins(pairs: DataFrame): DataFrame = pairs
+      .where(col("id_a") < col("id_b"))
+      .where(cosineNative(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol))
+    // store×extra: each unordered pair appears once — flag whichever id
+    // is larger (the union-based self-join's id_a < id_b filter sees the
+    // pair in both orientations and keeps exactly that one).
+    val crossDups = sa.join(eb, Seq("cell"))
+      .where(col("id_a") =!= col("id_b"))
+      .where(cosineNative(col("va"), col("vb")) >= threshold)
+      .select(greatest(col("id_a"), col("id_b")).as(idCol))
+    val dups = lowerWins(sa.join(sb, Seq("cell")))
+      .unionByName(crossDups)
+      .unionByName(lowerWins(ea.join(eb, Seq("cell"))))
+      .distinct()
+      .withColumn("_dup", lit(true))
+    val cells = clustered.select(col(idCol), col("cell"))
+      .unionByName(assignedExtra.select(col(idCol), col("cell")))
     cells.select(col(idCol), col("cell").cast("long").as("cell"))
       .join(dups, Seq(idCol), "left_outer")
       .select(col(idCol), col("cell"),

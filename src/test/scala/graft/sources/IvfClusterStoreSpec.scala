@@ -55,6 +55,28 @@ class IvfClusterStoreSpec extends SparkSpec {
     assert(viaStore.except(direct).count() === 0 && direct.except(viaStore).count() === 0)
   }
 
+  test("semanticDedupClustered over the store + planted delta equals the full recompute") {
+    // the r18 serving path: corpus cells from the at-rest layout, only the
+    // planted (not-in-store) rows assigned on the fly — must be
+    // bit-identical to semanticDedup over the recomputed union
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.where(col("vec_id") < 50)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            ((col("vec_id") * 64 + i) % 7 - 3).cast("double") * lit(0.001)).cast("float"))
+          .as("embedding"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val clustered = IvfClusterStore.ensureClustered(spark, sfDir, cents, 64, 4)
+    val viaStore = VectorOps.semanticDedupClustered(clustered, planted,
+      "vec_id", "embedding", cents, threshold = 0.9)
+    val direct = VectorOps.semanticDedup(base.unionByName(planted),
+      "vec_id", "embedding", cents, threshold = 0.9)
+    assert(viaStore.except(direct).count() === 0 && direct.except(viaStore).count() === 0)
+    assert(viaStore.where(!col("kept")).count() > 0,
+      "the planted twins must give the dedup real positives")
+  }
+
   test("a literal probe-cell filter prunes the partitioned scan") {
     // the partition-pruning mechanism itself (static form; the declared
     // query's broadcast probe join goes through DPP, same reader path):
