@@ -2165,8 +2165,22 @@ object Profiling {
       // threshold quoted past 6 dp is noise anyway
       .select((dayofmonth(col(tsCol)) < splitDay).as("_cal"),
         Portable.pround(abs(col("_v") - col("_prev")), 6).as("_score"))
-    val cal = scored.where(col("_cal"))
-    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    conformalFromScoreCounts(
+      scored.groupBy("_cal", "_score").agg(count(lit(1)).as("_c")), alpha)
+  }
+
+  /** The conformal READ over an aggregated score catalog — (_cal: whether
+    * the score is calibration or held-out, _score, _c: occurrences).
+    * Factored out (r18) so the batch [[conformalInterval]] and the
+    * streaming twin ([[graft.streaming.StreamingOps.ConformalState]])
+    * share one arithmetic: the catalog is an additive monoid, so any
+    * maintenance that reproduces the batch catalog reproduces the q̂ pick
+    * and coverage BIT-identically. Everything downstream of the catalog
+    * is integer counts plus the same fixed double expressions.
+    */
+  def conformalFromScoreCounts(scoreCounts: DataFrame, alpha: Double): DataFrame = {
+    val cal = scoreCounts.where(col("_cal"))
+    val nCal = cal.agg(coalesce(sum("_c"), lit(0L)).as("n_cal"))
     // rank index ⌈(1−α)(n+1)⌉ clamped to n — the ceil runs on the double
     // product of a small integer and the same parsed constant, identical
     // in both engines. The pick itself is the value-CATALOG cumulative
@@ -2178,7 +2192,7 @@ object Profiling {
     val idx = least(
       ceil(lit(1.0 - alpha) * (col("n_cal") + 1).cast("double")).cast("long"),
       col("n_cal"))
-    val cum = cal.groupBy("_score").agg(count(lit(1)).as("_c"))
+    val cum = cal.groupBy("_score").agg(sum("_c").as("_c"))
       .withColumn("_ccnt", sum("_c").over(Portable.kRowWindow(col("_score"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val pick = cum.crossJoin(broadcast(nCal))
@@ -2188,10 +2202,10 @@ object Profiling {
     // NULL q̂ (left join on the dummy key), never zero rows
     val qrow = nCal.withColumn("_k", lit(1))
       .join(broadcast(pick), Seq("_k"), "left").drop("_k")
-    val eval = scored.where(!col("_cal"))
+    val eval = scoreCounts.where(!col("_cal"))
     val evalAgg = eval.crossJoin(broadcast(qrow))
-      .agg(count(lit(1)).as("n_eval"),
-        sum(when(col("_score") <= col("_qhat"), 1L).otherwise(0L)).as("_cov"))
+      .agg(coalesce(sum("_c"), lit(0L)).as("n_eval"),
+        sum(when(col("_score") <= col("_qhat"), col("_c")).otherwise(0L)).as("_cov"))
     qrow.crossJoin(broadcast(evalAgg))
       .select(col("n_cal"), col("n_eval"),
         Portable.pround(col("_qhat"), 6).as("q_hat"),

@@ -367,6 +367,125 @@ object StreamingOps {
       daily.get.map(p => graft.ops.EventOps.sprtFromDaily(p, p0, p1, alpha, beta))
   }
 
+  /** Streaming split-conformal maintenance — the streaming twin of C270's
+    * q_conformal (VERDICT r17 item 4): a distribution-free monitoring band
+    * exists to be re-read as data arrives. Two pieces of state:
+    *
+    *  - the (is-calibration, score, count) CATALOG — an additive monoid
+    *    (counts sum), and the ONLY input the conformal read needs: q̂ pick
+    *    and coverage derive through the SAME
+    *    [[graft.ops.Profiling.conformalFromScoreCounts]] arithmetic as
+    *    the batch rows, so a correctly-maintained catalog is bit-identical
+    *    by construction. Bounded by the distinct 6-dp-rounded residuals,
+    *    never by stream length.
+    *  - a per-unit (last order, last value) BOUNDARY row, so the
+    *    persistence residual of each unit's first row in a batch scores
+    *    against its true predecessor across the batch boundary. One row
+    *    per unit forever.
+    *
+    * Ordering contract: rows must arrive in `orderCol` order WITHIN each
+    * unit (batch boundaries may split a unit anywhere) — the persistence
+    * residual is inherently sequential, so a late row inserted between two
+    * already-scored neighbours would need their pair re-scored; unlike
+    * the SPRT's additive day counts, that cannot be repaired from compact
+    * state. Batch-id replay is a no-op.
+    */
+  final class ConformalState(unitCol: String, orderCol: String, tsCol: String,
+                             valueCol: Column, splitDay: Int, alpha: Double) {
+    private val catalog = new RetiringFrame   // (_cal, _score, _c)
+    private val boundary = new RetiringFrame  // (unit, _ord, _v)
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(unitCol).orderBy(col("_ord"))
+      val rows = batch.where(valueCol.isNotNull)
+        .select(col(unitCol), col(orderCol).as("_ord"), col(tsCol).as("_ts"),
+          valueCol.cast("double").as("_v"))
+        .withColumn("_prev_in", lag(col("_v"), 1).over(w))
+        .withColumn("_rn", row_number().over(w))
+      val withPrev = boundary.get match {
+        case Some(b) => rows.join(
+            broadcast(b.select(col(unitCol), col("_v").as("_bv"))), Seq(unitCol), "left")
+          .withColumn("_prev",
+            coalesce(col("_prev_in"), when(col("_rn") === 1, col("_bv"))))
+        case None => rows.withColumn("_prev", col("_prev_in"))
+      }
+      // same score definition as the batch operator: 6-dp rounding AT
+      // definition bounds the catalog (see conformalInterval's scaladoc)
+      val p = withPrev.where(col("_prev").isNotNull)
+        .select((dayofmonth(col("_ts")) < splitDay).as("_cal"),
+          graft.ops.Portable.pround(abs(col("_v") - col("_prev")), 6).as("_score"))
+        .groupBy("_cal", "_score").agg(count(lit(1)).as("_c"))
+      val mergedCat = catalog.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("_cal", "_score").agg(sum("_c").as("_c"))
+        case None => p
+      }
+      val batchLast = rows.groupBy(unitCol)
+        .agg(max(struct(col("_ord"), col("_v"))).as("_last"))
+        .select(col(unitCol), col("_last._ord").as("_ord"), col("_last._v").as("_v"))
+      val mergedBound = boundary.get match {
+        case Some(prev) => prev.unionByName(batchLast)
+          .groupBy(unitCol)
+          .agg(max(struct(col("_ord"), col("_v"))).as("_last"))
+          .select(col(unitCol), col("_last._ord").as("_ord"), col("_last._v").as("_v"))
+        case None => batchLast
+      }
+      catalog.swap(mergedCat.localCheckpoint(true))
+      boundary.swap(mergedBound.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current conformal summary row — bit-identical to the batch
+      * q_conformal row over everything merged so far.
+      */
+    def interval: Option[DataFrame] =
+      catalog.get.map(c => graft.ops.Profiling.conformalFromScoreCounts(c, alpha))
+  }
+
+  /** Streaming change-point maintenance — the streaming twin of C258's
+    * q_changepoint (VERDICT r17 item 4). Unlike the sketchable monitors
+    * (SPRT day counts, conformal score catalog), change-point
+    * LOCALIZATION is information-theoretically tied to the series itself:
+    * every candidate split's cost reads prefix sums at that split, and a
+    * single late row shifts every later prefix — no compact mergeable
+    * summary can answer "where did the level shift" exactly. The honest
+    * streaming state is therefore the per-series (order, value) log —
+    * bounded by the monitored series' lengths (a monitoring deployment
+    * bounds these by construction: fixed lookback, bounded key set), not
+    * by aggregate stream volume — and the read shares the WHOLE batch
+    * operator ([[graft.ops.TimeSeries.binSegChangepoint]] sorts by
+    * `orderCol` itself), which buys full out-of-order/back-fill safety:
+    * the log is a SET of rows, so arrival order is irrelevant. Exactly
+    * one delivery per row is the contract (batch-id replay is a no-op;
+    * the same guarantee every counter-state twin carries).
+    */
+  final class BinSegState(seriesKey: String, orderCol: String, valueCol: String) {
+    private val log = new RetiringFrame   // (seriesKey, orderCol, valueCol)
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = batch.where(col(valueCol).isNotNull)
+        .select(col(seriesKey), col(orderCol), col(valueCol))
+      val merged = log.get match {
+        case Some(prev) => prev.unionByName(p)
+        case None => p
+      }
+      log.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current per-series best split — bit-identical to the batch
+      * q_changepoint rows over everything merged so far.
+      */
+    def changepoints: Option[DataFrame] =
+      log.get.map(p => graft.ops.TimeSeries.binSegChangepoint(
+        p, seriesKey, orderCol, valueCol))
+  }
+
   /** Streaming user-growth maintenance — the streaming twin of C229's
     * q_user_growth acquisition curve: each micro-batch reduces to its
     * per-user minimum first-seen day, which MIN-merges into the running

@@ -716,6 +716,85 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming conformal interval is bit-identical to batch, split across the boundary") {
+    // C270's streaming twin (VERDICT r17 item 4): the (cal, score, count)
+    // catalog is an additive monoid and the boundary rows carry each
+    // unit's last value across the split, so the q̂ pick + coverage read
+    // through the shared conformalFromScoreCounts must equal the batch
+    // q_conformal row exactly — INCLUDING the persistence residuals whose
+    // (prev, cur) pair straddles the batch boundary. In-order arrival per
+    // unit is the contract (see ConformalState's scaladoc), so each half
+    // is a single file (one part) and the halves are stamped so the
+    // earlier-ordered half is ingested first.
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "event_id", "ts", "value")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_conf_in").toFile.getAbsolutePath
+    val mid = events.agg(percentile_approx(col("event_id"), lit(0.5), lit(100)))
+      .head().getLong(0)
+    events.where(col("event_id") < mid).repartition(1).write.mode("append").parquet(inDir)
+    // parquet part files of the two writes must ingest in order-column
+    // order: stamp the first half strictly older (FileStreamSource orders
+    // by modification time), then write the second half
+    val dir = new java.io.File(inDir)
+    dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(f.lastModified() - 60000)))
+    events.where(col("event_id") >= mid).repartition(1).write.mode("append").parquet(inDir)
+    val state = new StreamingOps.ConformalState("user_id", "event_id", "ts",
+      col("value"), splitDay = 16, alpha = 0.1)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.interval.get
+      val batch = graft.ops.Profiling.conformalInterval(events, "user_id", "event_id",
+        "ts", col("value"), splitDay = 16, alpha = 0.1)
+      assert(streamed.head().getAs[Any]("q_hat") != null,
+        "the calibration catalog must be populated")
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "merged score catalog must reproduce the batch conformal row exactly")
+      // the boundary path must actually fire: units exist on both sides
+      val straddlers = events.where(col("event_id") < mid).select("user_id")
+        .intersect(events.where(col("event_id") >= mid).select("user_id"))
+      assert(straddlers.count() > 0, "the split must straddle units")
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(events, 0L)
+      val replayed = state.interval.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0,
+        "batch-id replay must be a no-op")
+    } finally q.stop()
+  }
+
+  test("streaming change-point state is bit-identical to batch, under out-of-order arrival") {
+    // C258's streaming twin (VERDICT r17 item 4): the per-series
+    // (order, value) log is a SET, so arrival order is irrelevant — the
+    // read shares the whole batch operator, which sorts by the order
+    // column itself. The second file back-fills EARLIER rows (odd
+    // event_ids land after even ones) to prove it.
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "event_id", "value")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_binseg_in").toFile.getAbsolutePath
+    events.where(pmod(col("event_id"), lit(2)) === 0).write.mode("append").parquet(inDir)
+    events.where(pmod(col("event_id"), lit(2)) === 1).write.mode("append").parquet(inDir)
+    val state = new StreamingOps.BinSegState("user_id", "event_id", "value")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.changepoints.get
+      val batch = graft.ops.TimeSeries.binSegChangepoint(events, "user_id", "event_id", "value")
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "the maintained series log must reproduce the batch change-points exactly")
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(events, 0L)
+      val replayed = state.changepoints.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0,
+        "batch-id replay must be a no-op")
+    } finally q.stop()
+  }
+
   test("streaming group moments yield jackknife influences bit-identical to batch") {
     // C275's streaming twin (r17): (count, decimal sum) is an additive
     // monoid, so the per-source moments maintained over arbitrary batch
