@@ -103,9 +103,19 @@ object Bench {
     val (prevQueries, prevSf): (Map[String, Double], Option[String]) =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH_LAST.json"))
-        val qBlock = txt.substring(txt.indexOf("\"queries\":{") + 11)
+        // the flat-shape scan only works against the exact shape this
+        // writer emits — a parse miss must be VISIBLE (ADVICE r17 item 4:
+        // silent failure disables the retry triggers and drift detection)
+        val at = txt.indexOf("\"queries\":{")
+        if (at < 0) System.err.println(
+          "[bench] WARNING: no \"queries\" block in BENCH_LAST.json — " +
+            "proportional retry triggers and deltas are DISABLED this run")
+        val qBlock = txt.substring(at + 11)
         val qs = """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qBlock.takeWhile(_ != '}'))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (at >= 0 && qs.isEmpty) System.err.println(
+          "[bench] WARNING: \"queries\" block in BENCH_LAST.json parsed EMPTY — " +
+            "shape drift? retry triggers and deltas are DISABLED this run")
         (qs, """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)))
       } catch { case _: Throwable => (Map.empty, None) }
     val sfComparable = prevSf.contains(sfDir)
@@ -180,7 +190,7 @@ object Bench {
     val headline = Seq("q_groupby_agg", "q_join_q5", "q_topk", "q_simhash_neardup",
       "q_dedup_groups", "q_pipeline_prep", "q_ngram_jaccard_df", "q_minhash_lsh",
       "q_ivf_topk", "q_cosine_topk_native", "q_corr")
-    // Measured non-range shuffle count per headline query (VERDICT r16
+    // Measured non-range shuffle count per audited query (VERDICT r16
     // item 5): the exchange count is the usual plan-drift signature — a
     // broadcast silently becoming a shuffle shows up here round-over-round
     // without running the test suite. Untimed (after all timed passes);
@@ -190,14 +200,31 @@ object Bench {
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH_LAST.json"))
         val at = txt.indexOf("\"shuffles\":{")
-        if (at < 0) Map.empty // pre-r17 artifact: no shuffle block yet
-        else {
+        if (at < 0) {
+          // pre-r17 artifact had no shuffle block; on anything newer this
+          // means shape drift — either way drift detection is off, say so
+          System.err.println("[bench] WARNING: no \"shuffles\" block in " +
+            "BENCH_LAST.json — plan-drift detection is DISABLED this run")
+          Map.empty
+        } else {
           val block = txt.substring(at + 12)
-          """"([A-Za-z0-9_]+)":(-?[0-9]+)""".r.findAllMatchIn(block.takeWhile(_ != '}'))
+          val m = """"([A-Za-z0-9_]+)":(-?[0-9]+)""".r.findAllMatchIn(block.takeWhile(_ != '}'))
             .map(m => m.group(1) -> m.group(2).toInt).toMap
+          if (m.isEmpty) System.err.println(
+            "[bench] WARNING: \"shuffles\" block in BENCH_LAST.json parsed EMPTY — " +
+              "shape drift? plan-drift detection is DISABLED this run")
+          m
         }
       } catch { case _: Throwable => Map.empty }
-    val shuffles = headline.map { name =>
+    // Audited set = the headline queries PLUS the full ≥ 1.5 s tail of
+    // THIS run (VERDICT r17 item 5): the tail is exactly the set the
+    // self-updating PlanInvariantsSpec contract covers, so the emitted
+    // shuffle history now tracks what the contract pins — a broadcast
+    // regression in any expensive query surfaces as PLAN DRIFT in the
+    // next run, not only in the 11 headliners.
+    val audited = (headline ++
+      results.filter(_._2 >= 1.5).keys.toSeq.sorted.filterNot(headline.contains)).toSeq
+    val shuffles = audited.map { name =>
       val n = try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect()

@@ -92,7 +92,8 @@ object Orchestrator {
 
   final class LocalDag(val id: String, retries: Int = 0, retryDelayMs: Long = 0,
                        onceMarkerDir: Option[Path] = None) {
-    private case class TaskDef(name: String, rule: TriggerRule, body: Xcom => Any)
+    private case class TaskDef(name: String, rule: TriggerRule, body: Xcom => Any,
+                               dependsOnPast: Boolean)
     private val defs = mutable.LinkedHashMap.empty[String, TaskDef]
     private val edges = mutable.LinkedHashSet.empty[(String, String)]
 
@@ -102,10 +103,17 @@ object Orchestrator {
       edges += ((from, to))
     }
 
-    def task(name: String, rule: TriggerRule = TriggerRule.AllSuccess)
+    /** `dependsOnPast` (Airflow's `depends_on_past`, r18 — VERDICT r17
+      * item 6): in an ordered run sequence ([[backfill]]), the task runs
+      * only if ITS OWN instance in the previous run succeeded — the
+      * incremental-load contract (an increment must not apply over a
+      * hole). The first run of a sequence has no past and runs.
+      */
+    def task(name: String, rule: TriggerRule = TriggerRule.AllSuccess,
+             dependsOnPast: Boolean = false)
             (body: Xcom => Any): TaskRef = {
       require(!defs.contains(name), s"dag $id: duplicate task id '$name'")
-      defs(name) = TaskDef(name, rule, body)
+      defs(name) = TaskDef(name, rule, body, dependsOnPast)
       new TaskRef(name, this)
     }
 
@@ -133,11 +141,28 @@ object Orchestrator {
         pokes
       }
 
+    /** Execute an ORDERED run window (Airflow's backfill, r18 — VERDICT
+      * r17 item 6): one [[run]] per id, in the given order, each run
+      * seeing the previous one as its past for `dependsOnPast` tasks.
+      * A marker-skipped run (@once re-entry) counts as an all-success
+      * past — the marker is only ever written by a fully-successful run.
+      */
+    def backfill(runIds: Seq[String]): Seq[DagRun] = {
+      require(runIds.nonEmpty, s"dag $id: empty backfill window")
+      require(runIds.distinct.size == runIds.size,
+        s"dag $id: duplicate run ids in backfill window")
+      runIds.foldLeft(Vector.empty[DagRun]) { (done, rid) =>
+        done :+ run(rid, past = done.lastOption)
+      }
+    }
+
     /** Execute the dag for `runId`. Topological, deterministic (ready
       * tasks by id), fail-fast downstream skip per trigger rule; with a
       * marker dir, a completed runId re-entry is a no-op (@once).
+      * `past` is the previous run of an ordered window, consulted by
+      * `dependsOnPast` tasks (see [[backfill]]).
       */
-    def run(runId: String = "once"): DagRun = {
+    def run(runId: String = "once", past: Option[DagRun] = None): DagRun = {
       // cycle check up front — a cyclic edge list must fail the BUILD,
       // not hang the run
       val names = defs.keys.toSeq
@@ -167,11 +192,18 @@ object Orchestrator {
       order.foreach { n =>
         val d = defs(n)
         val ups = upstreamOf.getOrElse(n, Set.empty)
-        val runnable = d.rule match {
+        val upstreamOk = d.rule match {
           case TriggerRule.AllSuccess => ups.forall(u => runs(u).state == TaskState.Success)
           case TriggerRule.AllDone => true // topological order: all upstream finished
         }
-        if (!runnable) runs(n) = TaskRun(n, TaskState.Skipped, 0, None,
+        // depends_on_past: the same task in the previous run of the
+        // window must have succeeded (an @once marker-skipped past run
+        // counts as success — the marker only exists for successful runs)
+        val pastOk = !d.dependsOnPast ||
+          past.forall(p => p.alreadyRan || p.runs(n).state == TaskState.Success)
+        if (!pastOk) runs(n) = TaskRun(n, TaskState.Skipped, 0, None,
+          Some(s"depends_on_past: '$n' did not succeed in run '${past.get.runId}'"))
+        else if (!upstreamOk) runs(n) = TaskRun(n, TaskState.Skipped, 0, None,
           Some(s"upstream failed: ${ups.filter(u => runs(u).state != TaskState.Success).toSeq.sorted.mkString(", ")}"))
         else {
           var attempts = 0

@@ -2043,10 +2043,18 @@ object Profiling {
     * multiplication (the TF-IDF rule); ties inside the top k contribute
     * identical terms under any tie order. Fewer than k+1 observations →
     * NULL α̂; an all-tied top (Σ = 0) → NULL, never a divide error.
+    *
+    * The catalog is the INTEGER-TRUNCATED value (counts, sizes, latencies
+    * — the natural Hill inputs are integral anyway, and a long catalog
+    * keys exactly); the positivity filter therefore runs on the
+    * TRUNCATED value (ADVICE r17 item 3: a raw-value filter admits
+    * fractions in (0,1) that truncate to 0 and yield ln(0/x_k1) = −∞,
+    * silently voiding terms of the Hill sum). Values truncating to 0
+    * are excluded — for integral columns the two filters are identical.
     */
   def hillTail(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
     require(k >= 1, "need at least one upper order statistic")
-    val cat = df.where(valueCol.isNotNull && valueCol > 0)
+    val cat = df.where(valueCol.isNotNull && valueCol.cast("long") > 0)
       .groupBy(valueCol.cast("long").as("_v")).agg(count(lit(1)).as("_c"))
     val cum = cat.withColumn("_ccnt",
       sum("_c").over(Portable.kRowWindow(col("_v").desc)

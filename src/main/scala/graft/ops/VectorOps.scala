@@ -523,6 +523,19 @@ object VectorOps {
     *            broadcast-joins the vector table by id), then re-scored
     *            with the exact cosine.
     */
+  /** The m ≤ 16 / codes ≤ 16 validity guard EVERY 4-bit nibble packing
+    * shares — [[packedPqCode]], [[pqEncodeStaged]]'s per-column staging,
+    * and [[ivfPqTopK]]'s inline packing (ADVICE r17 item 1: Java shift
+    * amounts are mod 64, so an unguarded m > 16 or a 5-bit code silently
+    * WRAPS into corrupt code words instead of failing fast).
+    */
+  private def requirePackable(codebooks: Array[Array[Array[Float]]]): Unit = {
+    val m = codebooks.length
+    require(m > 0 && m <= 16, s"packed PQ codes support 1..16 sub-spaces, got $m")
+    require(codebooks.forall(_.length <= 16),
+      "packed PQ codes support at most 16 codes per sub-space (4-bit nibbles)")
+  }
+
   /** All m sub-space code assignments of a vector packed into ONE long —
     * code_i occupies bits [4i, 4i+4). Valid for m ≤ 16 and k ≤ 16 codes
     * (the production PQ16x4 shape uses all 64 bits; bit 63 is code_15's
@@ -530,10 +543,8 @@ object VectorOps {
     * keeps the at-rest artifact and any shuffle payload at 8 B/vector.
     */
   def packedPqCode(vecCol: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    requirePackable(codebooks)
     val m = codebooks.length
-    require(m > 0 && m <= 16, s"packed PQ codes support 1..16 sub-spaces, got $m")
-    require(codebooks.forall(_.length <= 16),
-      "packed PQ codes support at most 16 codes per sub-space (4-bit nibbles)")
     val d = codebooks(0)(0).length
     (0 until m).map { i =>
       shiftleft(nearestCode(slice(vecCol, i * d + 1, d), codebooks(i)).cast("long"), 4 * i)
@@ -675,6 +686,7 @@ object VectorOps {
     */
   private def pqEncodeStaged(corpus: DataFrame, idCol: String, vecCol: String,
                              codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    requirePackable(codebooks)
     val m = codebooks.length
     val d = codebooks(0)(0).length
     val nibs = (0 until m).map { i =>
@@ -802,6 +814,7 @@ object VectorOps {
                 k: Int, centroids: Array[Array[Float]], nProbe: Int,
                 codebooks: Array[Array[Array[Float]]], rerank: Int,
                 residualEncoding: Boolean = false): DataFrame = {
+    requirePackable(codebooks)
     val m = codebooks.length
     val d = codebooks(0)(0).length
     val base = corpus.select(col(idCol),

@@ -31,16 +31,25 @@ object IvfClusterStore {
 
   /** Test-only: forget the ensure so a spec can exercise the build path. */
   private[graft] def forgetForTest(spark: SparkSession, sfDir: String,
+                                   centroids: Array[Array[Float]],
                                    ivfK: Int, ivfIters: Int): Unit =
-    ensured.remove((spark.sparkContext.applicationId, clusterPath(spark, sfDir, ivfK, ivfIters)))
+    ensured.remove((spark.sparkContext.applicationId,
+      clusterPath(spark, sfDir, centroids, ivfK, ivfIters)))
 
-  def clusterPath(spark: SparkSession, sfDir: String, ivfK: Int, ivfIters: Int): String = {
+  /** The path keys the quantizer's CONTENT (an 8-hex centroid
+    * fingerprint) alongside its parameters — ADVICE r17 item 5: a
+    * same-(k, iters) retrain over regenerated data must land at a new
+    * path, not keep serving the old cells from the write-once artifact.
+    */
+  def clusterPath(spark: SparkSession, sfDir: String,
+                  centroids: Array[Array[Float]], ivfK: Int, ivfIters: Int): String = {
     val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
     val dirHash = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val fp = ModelKeys.fingerprint(centroids)
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_ivfcluster_v1_k${ivfK}i${ivfIters}_$dirHash").toString
+      s"graft_ivfcluster_v1_k${ivfK}i${ivfIters}_${fp}_$dirHash").toString
   }
 
   /** Ensure the cell-partitioned embeddings layout of `sfDir` exists and
@@ -50,7 +59,7 @@ object IvfClusterStore {
   def ensureClustered(spark: SparkSession, sfDir: String,
                       centroids: Array[Array[Float]],
                       ivfK: Int, ivfIters: Int): DataFrame = {
-    val loc = clusterPath(spark, sfDir, ivfK, ivfIters)
+    val loc = clusterPath(spark, sfDir, centroids, ivfK, ivfIters)
     ensured.getOrElseUpdate((spark.sparkContext.applicationId, loc), {
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

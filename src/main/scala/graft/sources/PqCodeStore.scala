@@ -47,14 +47,20 @@ object PqCodeStore {
       spark.conf.get("spark.sql.warehouse.dir"), s"graft_pqcodes_v1_${variant}_$dirHash").toString
   }
 
-  /** Variant keys carry every model parameter that defines the codes, so a
-    * codebook re-dimension or quantizer swap lands at a NEW path instead of
-    * silently serving stale codes.
+  /** Variant keys carry every model parameter that defines the codes PLUS
+    * an 8-hex fingerprint of the model CONTENT (ADVICE r17 item 5), so a
+    * codebook re-dimension, a quantizer swap, or a same-shape retrain
+    * over regenerated data lands at a NEW path instead of silently
+    * serving stale codes from the write-once artifact.
     */
-  def rawVariant(m: Int, k: Int, iters: Int): String = s"raw_m${m}k${k}i$iters"
+  def rawVariant(m: Int, k: Int, iters: Int,
+                 codebooks: Array[Array[Array[Float]]]): String =
+    s"raw_m${m}k${k}i${iters}_${ModelKeys.fingerprintBooks(codebooks)}"
   def ivfVariant(ivfK: Int, ivfIters: Int, m: Int, k: Int, iters: Int,
-                 residual: Boolean): String =
-    s"${if (residual) "ivfres" else "ivfraw"}_k${ivfK}i${ivfIters}_m${m}k${k}i$iters"
+                 residual: Boolean, centroids: Array[Array[Float]],
+                 codebooks: Array[Array[Array[Float]]]): String =
+    s"${if (residual) "ivfres" else "ivfraw"}_k${ivfK}i${ivfIters}_m${m}k${k}i$iters" +
+      s"_${ModelKeys.fingerprint(centroids)}${ModelKeys.fingerprintBooks(codebooks)}"
 
   /** Ensure the raw-code table of `sfDir`'s `embeddings` exists and return
     * it. Columns: (vec_id, code).
@@ -62,7 +68,7 @@ object PqCodeStore {
   def ensureRawCodes(spark: SparkSession, sfDir: String,
                      codebooks: Array[Array[Array[Float]]],
                      m: Int, k: Int, iters: Int): DataFrame =
-    ensure(spark, sfDir, rawVariant(m, k, iters)) { emb =>
+    ensure(spark, sfDir, rawVariant(m, k, iters, codebooks)) { emb =>
       graft.ops.VectorOps.pqEncode(emb, "vec_id", "embedding", codebooks)
     }
 
@@ -73,7 +79,8 @@ object PqCodeStore {
                      centroids: Array[Array[Float]], ivfK: Int, ivfIters: Int,
                      codebooks: Array[Array[Array[Float]]],
                      m: Int, k: Int, iters: Int, residual: Boolean): DataFrame =
-    ensure(spark, sfDir, ivfVariant(ivfK, ivfIters, m, k, iters, residual)) { emb =>
+    ensure(spark, sfDir,
+        ivfVariant(ivfK, ivfIters, m, k, iters, residual, centroids, codebooks)) { emb =>
       graft.ops.VectorOps.ivfPqEncode(emb, "vec_id", "embedding",
           centroids, codebooks, residualEncoding = residual)
     }
@@ -92,14 +99,15 @@ object PqCodeStore {
         // logged compiler blow-up on every cold build. Turn WSCG off for
         // just this write — per-expression codegen (which splits methods)
         // still applies, and the query-side ADC path is untouched.
-        val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        try encode(graft.Tables.load(spark, sfDir, "embeddings"))
+        // The toggle lives on a CHILD session (own SQLConf, shared
+        // SparkContext/warehouse — ADVICE r17 item 2): setting it on the
+        // caller's session would de-WSCG any concurrently-planned query,
+        // and two interleaved ensure() builds could save/restore each
+        // other's value and leave the flag wrong.
+        val buildSession = spark.newSession()
+        buildSession.conf.set("spark.sql.codegen.wholeStage", "false")
+        encode(graft.Tables.load(buildSession, sfDir, "embeddings"))
           .write.mode("overwrite").parquet(loc)
-        finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.codegen.wholeStage", v)
-          case None => spark.conf.unset("spark.sql.codegen.wholeStage")
-        }
       }
     })
     spark.read.parquet(loc)

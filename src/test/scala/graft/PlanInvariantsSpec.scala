@@ -933,7 +933,12 @@ class PlanInvariantsSpec extends SparkSpec {
       // r17c: Bradley–Terry joins the tail on arrival (winner window +
       // pair agg ride one order-key exchange; the 5 MM rounds run off
       // checkpointed catalog-sized state — no per-round exchange)
-      "q_bradley_terry" -> 2)
+      "q_bradley_terry" -> 2,
+      // r18 (VERDICT r17 item 7): q_sprt sits one steal gust under the
+      // 1.5 s line — ceiling measured proactively rather than waiting
+      // for the self-updating gate to trip mid-round (day-count agg +
+      // walk window share one day exchange; the referee agg adds one)
+      "q_sprt" -> 2)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until

@@ -139,6 +139,70 @@ class OrchestratorSpec extends SparkSpec {
     assert(!second.alreadyRan && second.succeeded)
   }
 
+  test("depends_on_past skips a task whose previous instance failed, until repaired") {
+    // the incremental-load contract (VERDICT r17 item 6): a
+    // depends_on_past increment must not apply over a hole — and the
+    // hole PROPAGATES until the failed day is repaired
+    var dayOneBroken = true
+    def build(): LocalDag = {
+      val dag = new LocalDag("dp1")
+      val extract = dag.task("extract") { _ => "rows" }
+      val load = dag.task("load", dependsOnPast = true) { _ =>
+        if (dayOneBroken) throw new RuntimeException("day-1 load dies")
+        "loaded"
+      }
+      val report = dag.task("report") { _ => "ok" }
+      extract >> load >> report
+      dag
+    }
+    val r1 = build().run("d1")
+    assert(r1.state("load") === TaskState.Failed)
+    // day 2: its own body would succeed, but the past instance failed
+    dayOneBroken = false
+    val r2 = build().run("d2", past = Some(r1))
+    assert(r2.state("extract") === TaskState.Success)
+    assert(r2.state("load") === TaskState.Skipped)
+    assert(r2.runs("load").error.exists(_.contains("depends_on_past")))
+    assert(r2.state("report") === TaskState.Skipped,
+      "downstream of a depends_on_past skip must skip too")
+    // the hole propagates: day 3 after day 2's skip also skips
+    val r3 = build().run("d3", past = Some(r2))
+    assert(r3.state("load") === TaskState.Skipped)
+    // repair day 1, then the chain unblocks
+    val r1fixed = build().run("d1")
+    assert(r1fixed.succeeded)
+    val r2fixed = build().run("d2", past = Some(r1fixed))
+    assert(r2fixed.succeeded)
+  }
+
+  test("backfill runs an ordered window, honoring depends_on_past and @once markers") {
+    val marker = Files.createTempDirectory("graft_dag_backfill")
+    var failOn: Set[String] = Set.empty
+    def build(): LocalDag = {
+      val dag = new LocalDag("bf1", onceMarkerDir = Some(marker))
+      val ingest = dag.task("ingest") { _ => "in" }
+      val inc = dag.task("inc", dependsOnPast = true) { x =>
+        if (failOn.contains("inc")) throw new RuntimeException("boom")
+        x.pull[String]("ingest") + "+inc"
+      }
+      ingest >> inc
+      dag
+    }
+    val window = Seq("2020-11-01", "2020-11-02", "2020-11-03")
+    val runs = build().backfill(window)
+    assert(runs.map(_.runId) === window)
+    assert(runs.forall(_.succeeded))
+    // re-backfilling the same window is a full no-op (@once markers per
+    // run id), and marker-skipped runs count as an all-success past
+    val again = build().backfill(window ++ Seq("2020-11-04"))
+    assert(again.take(3).forall(_.alreadyRan))
+    assert(!again.last.alreadyRan && again.last.succeeded,
+      "the new day must run with the marker-skipped window as its past")
+    // duplicate / empty windows are build errors
+    intercept[IllegalArgumentException](build().backfill(Seq("d", "d")))
+    intercept[IllegalArgumentException](build().backfill(Seq.empty))
+  }
+
   test("reference topology end-to-end: six-task lifecycle over the sample data") {
     val xetraCsv = "/root/reference/sample-data/2020-11-24_BINS_XETR08.csv"
     val eurexCsv = "/root/reference/sample-data/2020-11-24_BINS_XEUR08.csv"

@@ -20,7 +20,7 @@ class IvfClusterStoreSpec extends SparkSpec {
 
   test("ensureClustered writes once, as hive cell partitions") {
     val path = new org.apache.hadoop.fs.Path(
-      IvfClusterStore.clusterPath(spark, sfDir, 64, 4)).toUri.getPath
+      IvfClusterStore.clusterPath(spark, sfDir, cents, 64, 4)).toUri.getPath
     val first = IvfClusterStore.ensureClustered(spark, sfDir, cents, 64, 4)
     assert(first.count() === emb.count())
     val success = new java.io.File(path, "_SUCCESS")
@@ -30,7 +30,7 @@ class IvfClusterStoreSpec extends SparkSpec {
     assert(cellDirs.length > 1,
       "the layout must be hive-partitioned by cell — that IS the pruning story")
     val stamp = success.lastModified()
-    IvfClusterStore.forgetForTest(spark, sfDir, 64, 4)
+    IvfClusterStore.forgetForTest(spark, sfDir, cents, 64, 4)
     val second = IvfClusterStore.ensureClustered(spark, sfDir, cents, 64, 4)
     assert(second.count() === first.count())
     assert(success.lastModified() === stamp,

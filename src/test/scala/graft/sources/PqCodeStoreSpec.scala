@@ -44,13 +44,13 @@ class PqCodeStoreSpec extends SparkSpec {
 
   test("ensureRawCodes writes once and reuses the committed layout") {
     val path = new org.apache.hadoop.fs.Path(
-      PqCodeStore.codesPath(spark, sfDir, PqCodeStore.rawVariant(16, 16, 4))).toUri.getPath
+      PqCodeStore.codesPath(spark, sfDir, PqCodeStore.rawVariant(16, 16, 4, books))).toUri.getPath
     val first = PqCodeStore.ensureRawCodes(spark, sfDir, books, 16, 16, 4)
     assert(first.count() === emb.count())
     val success = new java.io.File(path, "_SUCCESS")
     assert(success.exists())
     val stamp = success.lastModified()
-    PqCodeStore.forgetForTest(spark, sfDir, PqCodeStore.rawVariant(16, 16, 4))
+    PqCodeStore.forgetForTest(spark, sfDir, PqCodeStore.rawVariant(16, 16, 4, books))
     val second = PqCodeStore.ensureRawCodes(spark, sfDir, books, 16, 16, 4)
     assert(second.count() === first.count())
     assert(success.lastModified() === stamp,
