@@ -3579,9 +3579,67 @@ object SparkEntry {
           p0 = 0.10, p1 = 0.15, alpha = 0.05, beta = 0.05)
         .orderBy("day")),
 
+    // ── round 18: the anytime-valid / stratified-inference wave ────────
+    // Likelihood-ratio e-process with anytime-valid p over the same daily
+    // purchase stream as q_sprt (same H0/H1): log E_t IS the LLR walk,
+    // log p_t = min(0, −max log E), rejection gate at ln(1/α) — the
+    // modern sequential monitor that may be read at ANY time without
+    // alpha-spending (Ville's inequality). All in log space: no exp, no
+    // ulp hazard.
+    "q_evalue" -> ((s, dir) =>
+      EventOps.eProcess(T(s, dir, "events"), "ts",
+          col("event_type") === "purchase", p0 = 0.10, p1 = 0.15, alpha = 0.05)
+        .orderBy("day")),
+
+    // Stratified md5-randomization permutation test: C268's null
+    // distribution, but each replica permutes labels WITHIN activity
+    // strata (⌊log2 events/unit⌋ + 1 = length(bin(n))), preserving the
+    // observed per-stratum cohort sizes — the correct null when
+    // assignment was balanced on activity.
+    "q_perm_test_strat" -> ((s, dir) =>
+      Profiling.permutationTestStratified(T(s, dir, "events"), "user_id",
+        col("value"), replicas = 64)),
+
+    // Kendall τ-b per event type between the daily count and the daily
+    // value sum — the tie-corrected concordance read (C189's Spearman
+    // correlates ranks; τ counts pair inversions, sturdier at month-long
+    // series). Integer concordance counts over the bounded day catalog.
+    "q_kendall" -> ((s, dir) =>
+      Profiling.kendallTau(T(s, dir, "events"), "event_type", "ts", col("value"))
+        .orderBy("event_type")),
+
+    // Kruskal–Wallis across sources on document length: "do the sources
+    // draw lengths from one distribution" without normality — the
+    // k-group member of the C250 rank family, tie-corrected, ranks via
+    // the integer doubled-midrank catalog.
+    "q_kruskal" -> ((s, dir) =>
+      Profiling.kruskalWallis(T(s, dir, "documents"), "source", col("n_chars"))),
+
+    // Cochran–Armitage trend: is the daily purchase RATE trending with
+    // the day-of-month index (C184 reads a continuous series; this reads
+    // proportions with binomial variance).
+    "q_trend_test" -> ((s, dir) =>
+      Profiling.cochranArmitage(T(s, dir, "events"),
+        "ts", col("event_type") === "purchase")),
+
+    // Mantel–Haenszel day-stratified pooled odds ratio for the C230
+    // cohorts (md5-even users) on purchase outcome — the within-stratum
+    // association a Simpson-reversed marginal table cannot fake.
+    "q_mh_odds" -> ((s, dir) =>
+      Profiling.mantelHaenszel(T(s, dir, "events"), to_date(col("ts")),
+        pmod(Portable.hash32(col("user_id")), lit(2L)) === 0,
+        col("event_type") === "purchase")),
+
+    // Character-trigram language ID (Cavnar–Trenkle profiles, integer
+    // overlap scoring): train on even doc_ids, classify the held-out
+    // half, report the router's confusion matrix.
+    "q_langid" -> ((s, dir) =>
+      TextOps.langIdTrigram(T(s, dir, "documents"), "doc_id", "lang", "text", k = 64)
+        .orderBy("lang", "predicted")),
+
     // Bradley–Terry preference strengths over per-order supplier
     // head-to-heads (the max-value lineitem's supplier beats each other
-    // supplier in the order) — Hunter's MM, 5 fixed rounds, π catalog
+    // suppliers in the order) — Hunter's MM, 5 fixed rounds, π catalog
     // broadcast per round (the pageRank shape). The win-count matrix is
     // corpus-static and rides the persisted PairStore artifact; the
     // oracle recomputes it from lineitem (identical by construction —
@@ -4161,6 +4219,40 @@ object SparkEntry {
                 WHEN loday IS NOT NULL THEN 'accept_h0'
                 ELSE 'continue' END AS decision
          FROM dec ORDER BY day"""
+  }
+
+  /** DuckDB oracle for q_evalue, generated with the SAME 9-dp rounded
+    * constants the operator embeds (one r9 rule, two callers — the
+    * sprtSql convention; the walk is the SPRT's LLR read in log-e-value
+    * space, gated at ln(1/α)).
+    */
+  private def eProcessSql(p0: Double, p1: Double, alpha: Double): String = {
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val aInc = r9(math.log(p1 / p0))
+    val bInc = r9(math.log((1.0 - p1) / (1.0 - p0)))
+    val thr = r9(math.log(1.0 / alpha))
+    raw"""WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_hit
+           FROM events
+           WHERE (event_type = 'purchase') IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         walk AS (
+           SELECT day, n, n_hit,
+             sum(CAST(n_hit::DOUBLE * ($aInc) + (n - n_hit)::DOUBLE * ($bInc)
+               AS DECIMAL(28,12))) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS loge
+           FROM daily),
+         m AS (
+           SELECT day, n, n_hit, loge,
+             max(loge) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxe
+           FROM walk)
+         SELECT day, n, n_hit, round(loge, 6) + 0 AS log_e,
+           round(least(0.0, -maxe), 6) + 0 AS log_avp,
+           CASE WHEN maxe >= ($thr) THEN 'reject_h0' ELSE 'continue' END AS decision
+         FROM m ORDER BY day"""
   }
 
   /** DuckDB oracle for q_cluster_nmi, generated from BOTH persisted
@@ -10303,6 +10395,218 @@ object SparkEntry {
     // increments and boundaries, decimal-summed catalog walk, and
     // first-crossing-day decision.
     "q_sprt" -> sprtSql(p0 = 0.10, p1 = 0.15, alpha = 0.05, beta = 0.05),
+
+    // e-process: the same walk in log space, cumulative max, literal
+    // ln(1/α) gate — generated with the shared 9-dp constants.
+    "q_evalue" -> eProcessSql(p0 = 0.10, p1 = 0.15, alpha = 0.05),
+
+    // Stratified permutation: identical unit moments, length(bin(n))
+    // strata, per-(stratum, replica) hash-order rank labeling preserving
+    // observed stratum cohort sizes, exact add-one rational p.
+    "q_perm_test_strat" ->
+      """WITH u AS (
+           SELECT user_id AS uu,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS x,
+             length(bin(count(*)::BIGINT))::INT AS stratum,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS obsa
+           FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         sc AS (
+           SELECT stratum, sum(CASE WHEN obsa THEN 1 ELSE 0 END)::BIGINT AS nas
+           FROM u GROUP BY stratum),
+         obs AS (
+           SELECT count(*)::BIGINT AS n_units,
+             count(DISTINCT stratum)::BIGINT AS n_strata,
+             sum(CASE WHEN obsa THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN NOT obsa THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             CASE WHEN sum(CASE WHEN obsa THEN 1 ELSE 0 END) > 0
+                   AND sum(CASE WHEN NOT obsa THEN 1 ELSE 0 END) > 0 THEN
+               sum(CAST(CASE WHEN obsa THEN x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN obsa THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CAST(CASE WHEN NOT obsa THEN x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN NOT obsa THEN 1 ELSE 0 END)::DOUBLE
+             END AS dobs
+           FROM u),
+         fan AS (
+           SELECT u.uu, u.x, u.stratum, r.range AS r,
+             ('0x' || substr(md5(u.uu::VARCHAR || '#' || r.range::VARCHAR), 1, 8))::BIGINT AS h
+           FROM u CROSS JOIN range(1, 65) r),
+         ranked AS (
+           SELECT stratum, r, x,
+             row_number() OVER (PARTITION BY stratum, r ORDER BY h ASC, uu ASC) AS rn
+           FROM fan),
+         labeled AS (
+           SELECT ranked.r AS r, ranked.x AS x, (ranked.rn <= sc.nas) AS perma
+           FROM ranked JOIN sc USING (stratum)),
+         reps AS (
+           SELECT r,
+             CASE WHEN sum(CASE WHEN perma THEN 1 ELSE 0 END) > 0
+                   AND sum(CASE WHEN NOT perma THEN 1 ELSE 0 END) > 0 THEN
+               sum(CAST(CASE WHEN perma THEN x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN perma THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CAST(CASE WHEN NOT perma THEN x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN NOT perma THEN 1 ELSE 0 END)::DOUBLE
+             END AS dr
+           FROM labeled GROUP BY r),
+         e AS (
+           SELECT sum(CASE WHEN abs(r.dr) >= abs(o.dobs) THEN 1 ELSE 0 END)::BIGINT AS k
+           FROM reps r CROSS JOIN obs o)
+         SELECT o.n_units, o.n_strata, o.n_a, o.n_b,
+           round(o.dobs, 6) + 0 AS obs_diff,
+           CASE WHEN o.dobs IS NOT NULL THEN e.k END AS n_extreme,
+           CASE WHEN o.dobs IS NOT NULL
+                THEN round((e.k + 1)::DOUBLE / 65.0, 6) + 0 END AS p_value
+         FROM obs o CROSS JOIN e""",
+
+    // Kendall τ-b: identical daily (count, decimal sum) rollups, exact
+    // integer concordance classification, one √ at the end.
+    "q_kendall" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS y
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.k AS k,
+             (CASE WHEN a.x < b.x THEN 1 WHEN a.x > b.x THEN -1 ELSE 0 END) AS sx,
+             (CASE WHEN a.y < b.y THEN 1 WHEN a.y > b.y THEN -1 ELSE 0 END) AS sy
+           FROM daily a JOIN daily b ON a.k = b.k AND a.day < b.day),
+         agg AS (
+           SELECT k, count(*)::BIGINT AS n_pairs,
+             sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+             sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)::BIGINT AS discordant,
+             sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END)::BIGINT AS tx,
+             sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END)::BIGINT AS ty
+           FROM pairs GROUP BY k)
+         SELECT k AS event_type, n_pairs, concordant, discordant,
+           CASE WHEN sqrt((n_pairs - tx)::DOUBLE * (n_pairs - ty)::DOUBLE) > 0
+                THEN round((concordant - discordant)::DOUBLE /
+                  sqrt((n_pairs - tx)::DOUBLE * (n_pairs - ty)::DOUBLE), 6) + 0
+           END AS tau_b
+         FROM agg ORDER BY event_type""",
+
+    // Kruskal–Wallis: the same value catalog, integer doubled-midrank
+    // rank sums, decimal(38,0) tie term, identical H/correction shapes.
+    "q_kruskal" ->
+      """WITH b AS (
+           SELECT source AS g, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+         cat AS (SELECT v, count(*)::BIGINT AS t FROM b GROUP BY v),
+         cum AS (
+           SELECT v, t, sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ccnt
+           FROM cat),
+         gv AS (SELECT g, v, count(*)::BIGINT AS ngv FROM b GROUP BY g, v),
+         r AS (
+           SELECT g, sum(ngv)::BIGINT AS ng,
+             sum(ngv * (2 * ccnt - t + 1))::BIGINT AS r2
+           FROM gv JOIN cum USING (v) GROUP BY g),
+         pg AS (
+           SELECT count(*)::BIGINT AS n_groups, sum(ng)::BIGINT AS n,
+             sum(CAST(r2::DOUBLE * r2::DOUBLE / (4.0 * ng::DOUBLE)
+               AS DECIMAL(28,6)))::DOUBLE AS sr
+           FROM r),
+         tie AS (
+           SELECT coalesce(sum(CAST(t AS DECIMAL(38,0)) * t * t - t),
+             0::DECIMAL(38,0)) AS tieterm
+           FROM cat)
+         SELECT n, n_groups, (n_groups - 1)::BIGINT AS df,
+           CASE WHEN n > 1 AND n_groups > 1
+                THEN round(12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * sr
+                  - 3.0 * (n::DOUBLE + 1.0), 6) + 0 END AS h,
+           CASE WHEN n > 1 AND n_groups > 1 AND
+                  (1.0 - tieterm::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) > 0
+                THEN round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * sr
+                    - 3.0 * (n::DOUBLE + 1.0)) /
+                  (1.0 - tieterm::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)),
+                  6) + 0 END AS h_adj
+         FROM pg CROSS JOIN tie""",
+
+    // Cochran–Armitage: exact integer score sums, the same p̄/variance
+    // shapes, one √.
+    "q_trend_test" ->
+      """WITH daily AS (
+           SELECT date_part('day', ts)::BIGINT AS s, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS h
+           FROM events
+           WHERE (event_type = 'purchase') IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         agg AS (
+           SELECT count(*)::BIGINT AS n_days, sum(n)::BIGINT AS n,
+             sum(h)::BIGINT AS n_hit,
+             sum(s * h)::BIGINT AS sh, sum(s * n)::BIGINT AS sn,
+             sum(s * s * n)::BIGINT AS ssn
+           FROM daily)
+         SELECT n_days, n, n_hit,
+           round(sh::DOUBLE - (n_hit::DOUBLE / n::DOUBLE) * sn::DOUBLE, 6) + 0
+             AS trend_stat,
+           CASE WHEN n > 0 AND
+                  (n_hit::DOUBLE / n::DOUBLE) * (1.0 - n_hit::DOUBLE / n::DOUBLE) *
+                    (ssn::DOUBLE - sn::DOUBLE * sn::DOUBLE / n::DOUBLE) > 0
+                THEN round((sh::DOUBLE - (n_hit::DOUBLE / n::DOUBLE) * sn::DOUBLE) /
+                  sqrt((n_hit::DOUBLE / n::DOUBLE) * (1.0 - n_hit::DOUBLE / n::DOUBLE) *
+                    (ssn::DOUBLE - sn::DOUBLE * sn::DOUBLE / n::DOUBLE)), 6) + 0
+           END AS z
+         FROM agg""",
+
+    // Mantel–Haenszel: identical per-day 2×2 integer cells, per-stratum
+    // double divisions decimal-snapshotted at 9, one final division.
+    "q_mh_odds" ->
+      """WITH e AS (
+           SELECT CAST(ts AS DATE) AS s,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS expo,
+             (event_type = 'purchase') AS hit
+           FROM events),
+         cells AS (
+           SELECT s,
+             sum(CASE WHEN expo AND hit THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN expo AND NOT hit THEN 1 ELSE 0 END)::BIGINT AS b,
+             sum(CASE WHEN NOT expo AND hit THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN NOT expo AND NOT hit THEN 1 ELSE 0 END)::BIGINT AS d
+           FROM e WHERE expo IS NOT NULL AND hit IS NOT NULL GROUP BY s),
+         agg AS (
+           SELECT count(*)::BIGINT AS n_strata,
+             sum(a + b + c + d)::BIGINT AS n,
+             sum(CAST(a::DOUBLE * d::DOUBLE / (a + b + c + d)::DOUBLE
+               AS DECIMAL(28,9)))::DOUBLE AS num,
+             sum(CAST(b::DOUBLE * c::DOUBLE / (a + b + c + d)::DOUBLE
+               AS DECIMAL(28,9)))::DOUBLE AS den
+           FROM cells)
+         SELECT n_strata, n,
+           round(num, 6) + 0 AS sum_ad_over_n,
+           round(den, 6) + 0 AS sum_bc_over_n,
+           CASE WHEN den > 0 THEN round(num / den, 6) + 0 END AS or_mh
+         FROM agg""",
+
+    // Language ID: the same normalized trigram fan, top-64 profiles
+    // (count desc, trigram asc), integer overlap argmax, 'unknown'
+    // fallback — integer end to end.
+    "q_langid" ->
+      raw"""WITH b AS (
+           SELECT doc_id AS id, lang,
+             regexp_replace(lower(text), '\s+', ' ', 'g') AS t,
+             (doc_id % 2 = 0) AS train
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         b2 AS (SELECT * FROM b WHERE length(t) >= 3),
+         grams AS (
+           SELECT id, lang, train, substr(t, u.i::INT, 3) AS g
+           FROM b2 CROSS JOIN LATERAL unnest(range(1, length(t) - 1)) AS u(i)),
+         prof AS (
+           SELECT plang, g FROM (
+             SELECT lang AS plang, g, count(*)::BIGINT AS c,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rn
+             FROM grams WHERE train GROUP BY lang, g)
+           WHERE rn <= 64),
+         types AS (SELECT DISTINCT id, g FROM grams WHERE NOT train),
+         best AS (
+           SELECT id, plang FROM (
+             SELECT t.id AS id, p.plang AS plang, count(*)::BIGINT AS overlap,
+               row_number() OVER (PARTITION BY t.id
+                 ORDER BY count(*) DESC, p.plang ASC) AS rn
+             FROM types t JOIN prof p USING (g) GROUP BY t.id, p.plang)
+           WHERE rn = 1)
+         SELECT b2.lang AS lang, coalesce(best.plang, 'unknown') AS predicted,
+           count(*)::BIGINT AS n_docs
+         FROM b2 LEFT JOIN best ON b2.id = best.id
+         WHERE NOT b2.train
+         GROUP BY 1, 2 ORDER BY lang, predicted""",
 
     // Jackknife influence: identical decimal group/total sums, the same
     // fixed leave-out division shapes.

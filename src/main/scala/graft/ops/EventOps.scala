@@ -725,4 +725,60 @@ object EventOps {
           .when(col("_loDay").isNotNull, lit("accept_h0"))
           .otherwise(lit("continue")).as("decision"))
   }
+
+  /** Likelihood-ratio e-process with anytime-valid p — the MODERN
+    * sequential gate completing C277's classical SPRT (r18, VERDICT r17
+    * item 8): the e-value E_t = Π LR_i is a nonnegative supermartingale
+    * under H0: p = p0, so by Ville's inequality P(sup E ≥ 1/α) ≤ α — the
+    * monitor may be read (and stopped) at ANY time, at any data-dependent
+    * moment, without alpha-spending bookkeeping; p_t = min(1, 1/max_s≤t
+    * E_s) is a p-value valid at every t simultaneously. Where the SPRT
+    * commits to α/β and reports accept/reject, the e-process never
+    * accepts H0 — evidence can only accumulate or wait.
+    *
+    * Everything stays in LOG space (no exp anywhere — exp differs in
+    * final ulps across engines and would poison the hash): log E_t IS
+    * the SPRT's LLR walk (same 9-dp per-trial increments, shared day
+    * catalog), log p_t = min(0, −max_s≤t log E_s), and the level-α
+    * rejection gate compares the walk to the 9-dp literal ln(1/α).
+    * Rejection is inherently sticky — the running max never decreases.
+    */
+  def eProcess(df: DataFrame, tsCol: String, hitCol: Column,
+               p0: Double, p1: Double, alpha: Double): DataFrame =
+    eProcessFromDaily(
+      df.where(hitCol.isNotNull && col(tsCol).isNotNull)
+        .groupBy(to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(hitCol.cast("boolean"), 1L).otherwise(0L)).as("n_hit")),
+      p0, p1, alpha)
+
+  /** The e-value walk + anytime-valid p read off a (day, n, n_hit)
+    * daily-count frame — the arithmetic shared by [[eProcess]] and the
+    * streaming read ([[graft.streaming.StreamingOps.SprtState.eValues]]):
+    * the SAME maintained day counts serve both sequential monitors.
+    */
+  private[graft] def eProcessFromDaily(daily: DataFrame, p0: Double, p1: Double,
+                                       alpha: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      "need distinct interior hypothesis rates")
+    require(alpha > 0 && alpha < 1, "need an interior level")
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val aInc = r9(math.log(p1 / p0))
+    val bInc = r9(math.log((1.0 - p1) / (1.0 - p0)))
+    val thr = r9(math.log(1.0 / alpha))
+    val w = Portable.kRowWindow(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("_loge",
+        sum((col("n_hit").cast("double") * lit(aInc) +
+          (col("n") - col("n_hit")).cast("double") * lit(bInc))
+          .cast("decimal(28,12)")).over(w).cast("double"))
+      .withColumn("_maxe", max(col("_loge")).over(w))
+      .select(col("day"), col("n"), col("n_hit"),
+        Portable.pround(col("_loge"), 6).as("log_e"),
+        Portable.pround(least(lit(0.0), -col("_maxe")), 6).as("log_avp"),
+        when(col("_maxe") >= thr, lit("reject_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
 }

@@ -2278,6 +2278,230 @@ object Profiling {
         .as("p_value"))
   }
 
+  /** Stratified md5-randomization permutation test (r18, VERDICT r17
+    * item 8) — C268's variant for experiments randomized WITHIN strata:
+    * when assignment is balanced inside activity/geography strata, the
+    * correct null distribution permutes labels inside each stratum too,
+    * preserving the observed per-stratum cohort sizes (an unstratified
+    * permutation would mix heavy and light strata and overstate the
+    * variance). Strata here are activity tiers: ⌊log2(events per
+    * unit)⌋ + 1, computed portably as length(bin(n)) — integer, and the
+    * classical covariate experimenters actually balance on.
+    *
+    * Replica r ORDERS each stratum's units by hash32(u#r) (ties broken
+    * by unit id) and labels the first n_A(s) of them A — an exact
+    * size-preserving permutation, deterministic and replayable by the
+    * oracle byte for byte. The test statistic stays the pooled mean
+    * difference (the quantity the experiment reports); stratification
+    * lives in the null distribution, which is where it belongs.
+    * p = (1 + #{r : |d_r| ≥ |d_obs|}) / (R + 1) — an exact rational.
+    *
+    * Scale shape: one unit aggregate, an R-way fan of the UNIT table,
+    * one rank window per (stratum, replica), one replica aggregate.
+    */
+  def permutationTestStratified(df: DataFrame, unitCol: String, valueCol: Column,
+                                replicas: Int): DataFrame = {
+    require(replicas > 0, "need at least one permutation replica")
+    val units = df.where(valueCol.isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(Portable.decSum(valueCol.cast("double"), 6).as("_x"),
+        count(lit(1)).as("_n"))
+      .withColumn("_stratum", length(bin(col("_n"))))
+      .withColumn("_obsA", pmod(Portable.hash32(col("_u")), lit(2L)) === 0)
+    def meanDiff(flag: Column): Column = {
+      val nA = sum(when(flag, 1L).otherwise(0L))
+      val nB = sum(when(!flag, 1L).otherwise(0L))
+      val sA = sum(when(flag, col("_x")).otherwise(lit(0.0)).cast("decimal(28,6)")).cast("double")
+      val sB = sum(when(!flag, col("_x")).otherwise(lit(0.0)).cast("decimal(28,6)")).cast("double")
+      when(nA > 0 && nB > 0, sA / nA.cast("double") - sB / nB.cast("double"))
+    }
+    val strata = units.groupBy("_stratum")
+      .agg(sum(when(col("_obsA"), 1L).otherwise(0L)).as("_nAs"))
+    val obs = units.agg(count(lit(1)).as("n_units"),
+      countDistinct(col("_stratum")).as("n_strata"),
+      sum(when(col("_obsA"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_obsA"), 1L).otherwise(0L)).as("n_b"),
+      meanDiff(col("_obsA")).as("_dObs"))
+    val wRank = Window.partitionBy("_stratum", "_r")
+      .orderBy(col("_h").asc, col("_u").asc)
+    val reps = units
+      .select(col("_u"), col("_x"), col("_stratum"),
+        explode(array((1 to replicas).map(r => lit(r)): _*)).as("_r"))
+      .withColumn("_h", Portable.hash32(concat_ws("#", col("_u"), col("_r"))))
+      .withColumn("_rn", row_number().over(wRank))
+      .join(broadcast(strata), Seq("_stratum"))
+      .withColumn("_permA", col("_rn") <= col("_nAs"))
+      .groupBy("_r").agg(meanDiff(col("_permA")).as("_dR"))
+    val extreme = reps.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(col("_dR")) >= abs(col("_dObs")), 1L).otherwise(0L))
+        .as("n_extreme"))
+    obs.crossJoin(broadcast(extreme)).select(
+      col("n_units"), col("n_strata"), col("n_a"), col("n_b"),
+      Portable.pround(col("_dObs"), 6).as("obs_diff"),
+      when(col("_dObs").isNotNull, col("n_extreme")).as("n_extreme"),
+      when(col("_dObs").isNotNull, Portable.pround(
+        (col("n_extreme") + lit(1L)).cast("double") / lit((replicas + 1).toDouble), 6))
+        .as("p_value"))
+  }
+
+  /** Kendall's τ-b per series between two per-day aggregates (count and
+    * value sum) — the fully tie-corrected CONCORDANCE companion of
+    * C189's Spearman (which correlates ranks; τ counts pair inversions,
+    * the more robust read at short series lengths): over all day pairs,
+    * C = concordant, D = discordant,
+    * τ-b = (C − D) / √((n₀ − t_x)(n₀ − t_y)) with n₀ = n(n−1)/2 and
+    * t_x/t_y the tied-pair counts in each margin.
+    *
+    * Everything is INTEGER until the final √ — the x margin is an exact
+    * count, the y margin an exact decimal sum compared exactly, so the
+    * concordance classification of every pair is engine-independent by
+    * construction. The pairwise fan is per-series day×day (≤ n²/2 rows
+    * on a BOUNDED day catalog — the series are daily rollups, never raw
+    * events; the C261 cross-correlation shape).
+    */
+  def kendallTau(df: DataFrame, seriesKey: String, tsCol: String,
+                 valueCol: Column): DataFrame = {
+    val daily = df.where(valueCol.isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesKey).as("_k"), to_date(col(tsCol)).as("_day"))
+      .agg(count(lit(1)).as("_x"), Portable.decSum(valueCol.cast("double"), 6).as("_y"))
+    val a = daily.select(col("_k"), col("_day").as("_da"),
+      col("_x").as("_xa"), col("_y").as("_ya"))
+    val b = daily.select(col("_k"), col("_day").as("_db"),
+      col("_x").as("_xb"), col("_y").as("_yb"))
+    val pairs = a.join(b, Seq("_k")).where(col("_da") < col("_db"))
+    val sx = (col("_xa") < col("_xb")).cast("int") - (col("_xa") > col("_xb")).cast("int")
+    val sy = (col("_ya") < col("_yb")).cast("int") - (col("_ya") > col("_yb")).cast("int")
+    val agg = pairs.groupBy("_k").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(sx * sy === 1, 1L).otherwise(0L)).as("concordant"),
+      sum(when(sx * sy === -1, 1L).otherwise(0L)).as("discordant"),
+      sum(when(sx === 0, 1L).otherwise(0L)).as("_tx"),
+      sum(when(sy === 0, 1L).otherwise(0L)).as("_ty"))
+    val denom = sqrt((col("n_pairs") - col("_tx")).cast("double") *
+      (col("n_pairs") - col("_ty")).cast("double"))
+    agg.select(col("_k").as(seriesKey), col("n_pairs"),
+      col("concordant"), col("discordant"),
+      when(denom > 0, Portable.pround(
+        (col("concordant") - col("discordant")).cast("double") / denom, 6))
+        .as("tau_b"))
+  }
+
+  /** Kruskal–Wallis one-way rank test across groups — "do these sources
+    * draw from the same distribution" without normality (the k-group
+    * member of the rank family: C250's Mann–Whitney compares two samples
+    * per group; this compares the groups themselves). H = 12/(N(N+1)) ·
+    * Σ R_g²/n_g − 3(N+1), tie-corrected by C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Rank sums stay INTEGER via the doubled-midrank identity (the C250
+    * trick): a value with catalog cumulative count c and multiplicity t
+    * has doubled midrank 2·(c − t + 1) + (t − 1) per copy, so
+    * 2R_g = Σ_v n_gv·(2·ccnt_v − t_v + 1) is an exact integer and
+    * R_g²/n_g = (2R_g)²/(4n_g) a fixed double shape. The ranking runs on
+    * the VALUE CATALOG (one kRowWindow over distinct values — the
+    * weightedMedian discipline, never a row-scale global sort); tie and
+    * square terms go through decimal(38,0) so no long overflow at scale.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.as("_v"))
+    val cat = base.groupBy("_v").agg(count(lit(1)).as("_t"))
+      .withColumn("_ccnt", sum("_t").over(Portable.kRowWindow(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val gv = base.groupBy("_g", "_v").agg(count(lit(1)).as("_ngv"))
+    val ranked = gv.join(cat, Seq("_v"))
+      .groupBy("_g").agg(
+        sum("_ngv").as("_ng"),
+        sum(col("_ngv") * (lit(2L) * col("_ccnt") - col("_t") + 1L)).as("_r2"))
+    val perGroup = ranked.agg(
+      count(lit(1)).as("n_groups"),
+      sum("_ng").as("n"),
+      // Σ R_g²/n_g = Σ (2R_g)² / (4 n_g): decimal snapshot per group
+      // keeps the cross-group sum order-independent
+      Portable.decSum(col("_r2").cast("double") * col("_r2").cast("double") /
+        (lit(4.0) * col("_ng").cast("double")), 6).as("_sr"))
+    val ties = cat.agg(
+      coalesce(sum((col("_t").cast("decimal(38,0)") * col("_t") * col("_t") - col("_t"))
+        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("_tie"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("_sr") - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("_tie").cast("double") /
+      (nD * nD * nD - nD)
+    perGroup.crossJoin(broadcast(ties)).select(
+      col("n"), col("n_groups"),
+      (col("n_groups") - 1L).as("df"),
+      when(col("n") > 1 && col("n_groups") > 1, Portable.pround(h, 6)).as("h"),
+      when(col("n") > 1 && col("n_groups") > 1 && corr > 0,
+        Portable.pround(h / corr, 6)).as("h_adj"))
+  }
+
+  /** Cochran–Armitage trend test over dose-ordered daily proportions —
+    * "is the conversion rate TRENDING with the day index" (the binary-
+    * outcome member of the trend family: C184's Mann–Kendall reads a
+    * continuous series; this reads proportions with their binomial
+    * variance): with day scores s_i = day-of-month, T = Σ s_i(h_i −
+    * n_i·p̄), Var = p̄(1−p̄)·(Σ n_i s_i² − (Σ n_i s_i)²/N), z = T/√Var.
+    *
+    * Every sum is an exact integer (scores and counts); p̄ and the final
+    * two divisions/√ are the only floating steps — fixed IEEE shapes on
+    * bit-identical integers. Degenerate inputs (p̄ ∈ {0,1}, one day)
+    * yield NULL z, never a divide error.
+    */
+  def cochranArmitage(df: DataFrame, tsCol: String, hitCol: Column): DataFrame = {
+    val daily = df.where(hitCol.isNotNull && col(tsCol).isNotNull)
+      .groupBy(dayofmonth(col(tsCol)).cast("long").as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(hitCol.cast("boolean"), 1L).otherwise(0L)).as("_h"))
+    val agg = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum("_n").as("n"), sum("_h").as("n_hit"),
+      sum(col("_s") * col("_h")).as("_sh"),
+      sum(col("_s") * col("_n")).as("_sn"),
+      sum(col("_s") * col("_s") * col("_n")).as("_ssn"))
+    val nD = col("n").cast("double")
+    val pbar = col("n_hit").cast("double") / nD
+    val t = col("_sh").cast("double") - pbar * col("_sn").cast("double")
+    val v = pbar * (lit(1.0) - pbar) *
+      (col("_ssn").cast("double") - col("_sn").cast("double") * col("_sn").cast("double") / nD)
+    agg.select(col("n_days"), col("n"), col("n_hit"),
+      Portable.pround(t, 6).as("trend_stat"),
+      when(col("n") > 0 && v > 0, Portable.pround(t / sqrt(v), 6)).as("z"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio across strata — "the common
+    * exposure↔outcome association, adjusted for the stratifier" (the
+    * confounder-adjusted completion of C251's per-group odds ratio, and
+    * the exact cure for C276's Simpson reversals: pooling per-stratum
+    * 2×2 tables with MH weights reads the within-stratum association a
+    * marginal table inverts): OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i).
+    *
+    * Per-stratum cells are exact integers; each term is one double
+    * division of integer products, decimal-snapshotted so the cross-
+    * stratum sums are order-independent. Strata where n = 0 cannot occur
+    * (a stratum exists only with rows); zero denominators yield NULL OR.
+    */
+  def mantelHaenszel(df: DataFrame, strataCol: Column, exposure: Column,
+                     outcome: Column): DataFrame = {
+    val cells = df.where(exposure.isNotNull && outcome.isNotNull)
+      .groupBy(strataCol.as("_s")).agg(
+        sum(when(exposure && outcome, 1L).otherwise(0L)).as("_a"),
+        sum(when(exposure && !outcome, 1L).otherwise(0L)).as("_b"),
+        sum(when(!exposure && outcome, 1L).otherwise(0L)).as("_c"),
+        sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("_d"))
+    val n = (col("_a") + col("_b") + col("_c") + col("_d")).cast("double")
+    val agg = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("_a") + col("_b") + col("_c") + col("_d")).as("n"),
+      Portable.decSum(col("_a").cast("double") * col("_d").cast("double") / n, 9)
+        .as("_num"),
+      Portable.decSum(col("_b").cast("double") * col("_c").cast("double") / n, 9)
+        .as("_den"))
+    agg.select(col("n_strata"), col("n"),
+      Portable.pround(col("_num"), 6).as("sum_ad_over_n"),
+      Portable.pround(col("_den"), 6).as("sum_bc_over_n"),
+      when(col("_den") > 0, Portable.pround(col("_num") / col("_den"), 6))
+        .as("or_mh"))
+  }
+
   /** Gumbel block-maxima tail fit by the method of moments — the
     * capacity-planning read of a value stream: fit the extreme-value-I
     * distribution to the DAILY MAXIMA (classical block maxima, one block

@@ -2911,4 +2911,65 @@ object TextOps {
         Portable.pround(jsdRaw, 6).as("jsd_nats"),
         Portable.pround(jsdRaw / lit(ln2), 6).as("jsd_norm"))
   }
+
+  /** Character-trigram language identification (r18, C284) — the
+    * Cavnar–Trenkle n-gram profile method reduced to its integer core,
+    * and the last text-pipeline primitive the brief names that had no
+    * operator (every corpus pipeline routes documents by language before
+    * any quality/dedup stage): TRAIN on the even-doc_id split — each
+    * language's profile is its top-`k` character trigrams by frequency
+    * (count desc, trigram asc — the deterministic tie) — then classify
+    * each held-out document to the language whose profile OVERLAPS most
+    * of the document's distinct trigrams (score = |types ∩ profile|, an
+    * integer; ties break to the lexicographically first language).
+    * Documents matching no profile at all report 'unknown'. Output is
+    * the (lang, predicted, n_docs) confusion matrix — the router's
+    * audit table.
+    *
+    * Integer end to end (counts, overlaps, argmax on integers): nothing
+    * to round, every row hash-checks. Scale shape: the trigram fan is
+    * one row per character (the C41/C160 text-fan shape) feeding one
+    * (lang, gram) aggregate on the train side and a distinct-type
+    * aggregate on the test side; profiles are k·|langs| rows — broadcast
+    * into the scoring join — and everything after the fan is type-keyed,
+    * never text-keyed. A production deployment persists the profile
+    * table (it is model-sized) instead of re-training per run.
+    */
+  def langIdTrigram(df: DataFrame, idCol: String, langCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need a nonempty profile")
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    val base = df.where(col(textCol).isNotNull && col(langCol).isNotNull)
+      .select(col(idCol).as("_id"), col(langCol).as("_lang"), norm.as("_t"))
+      .where(length(col("_t")) >= 3)
+      .withColumn("_train", pmod(col("_id"), lit(2)) === 0)
+    val grams = base
+      .select(col("_id"), col("_lang"), col("_train"),
+        explode(sequence(lit(1), length(col("_t")) - 2)).as("_i"), col("_t"))
+      .select(col("_id"), col("_lang"), col("_train"),
+        col("_t").substr(col("_i"), lit(3)).as("_g"))
+    val wProf = Window.partitionBy("_plang")
+      .orderBy(col("_c").desc, col("_g").asc)
+    val profile = grams.where(col("_train"))
+      .groupBy(col("_lang").as("_plang"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_rn", row_number().over(wProf))
+      .where(col("_rn") <= k)
+      .select(col("_plang"), col("_g"))
+    val testTypes = grams.where(!col("_train"))
+      .select(col("_id"), col("_g")).distinct()
+    val wBest = Window.partitionBy("_id")
+      .orderBy(col("_overlap").desc, col("_plang").asc)
+    val best = testTypes.join(broadcast(profile), Seq("_g"))
+      .groupBy("_id", "_plang").agg(count(lit(1)).as("_overlap"))
+      .withColumn("_rn", row_number().over(wBest))
+      .where(col("_rn") === 1)
+      .select(col("_id"), col("_plang"), col("_overlap"))
+    base.where(!col("_train"))
+      .select(col("_id"), col("_lang"))
+      .join(best, Seq("_id"), "left_outer")
+      .groupBy(col("_lang").as("lang"),
+        coalesce(col("_plang"), lit("unknown")).as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

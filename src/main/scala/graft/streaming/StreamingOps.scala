@@ -365,6 +365,13 @@ object StreamingOps {
       */
     def decisions: Option[DataFrame] =
       daily.get.map(p => graft.ops.EventOps.sprtFromDaily(p, p0, p1, alpha, beta))
+
+    /** Current e-value walk + anytime-valid p (C278, r18) — the SAME
+      * maintained day counts serve both sequential monitors; bit-identical
+      * to the batch q_evalue rows over everything merged so far.
+      */
+    def eValues: Option[DataFrame] =
+      daily.get.map(p => graft.ops.EventOps.eProcessFromDaily(p, p0, p1, alpha))
   }
 
   /** Streaming split-conformal maintenance — the streaming twin of C270's

@@ -938,7 +938,12 @@ class PlanInvariantsSpec extends SparkSpec {
       // 1.5 s line — ceiling measured proactively rather than waiting
       // for the self-updating gate to trip mid-round (day-count agg +
       // walk window share one day exchange; the referee agg adds one)
-      "q_sprt" -> 2)
+      "q_sprt" -> 2,
+      // r18: the trigram language router joins the tail on arrival
+      // (char fan → (lang,gram) agg → profile window → distinct types →
+      // overlap agg → argmax window → confusion agg: 7 exchanges, all
+      // type-keyed after the fan)
+      "q_langid" -> 7)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until

@@ -422,6 +422,34 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.sprt(df(Seq.empty[R17Hit]), "ts", col("et") === "purchase",
       0.2, 0.8, 0.05, 0.05).count() === 0)
   }
+
+  test("round-18 operators on empty inputs") {
+    val emptyEv = df(Seq.empty[R18Ev])
+    // eProcess: no days, no rows
+    assert(EventOps.eProcess(emptyEv, "ts", col("event_type") === "hit",
+      0.2, 0.8, 0.05).count() === 0)
+    // stratified permutation: one summary row of NULL statistics
+    val ps = Profiling.permutationTestStratified(emptyEv, "user_id",
+      col("value"), 8).head()
+    assert(ps.getLong(0) === 0L && ps.isNullAt(4) && ps.isNullAt(5) && ps.isNullAt(6))
+    // kendallTau: no days, no series rows
+    assert(Profiling.kendallTau(emptyEv, "event_type", "ts", col("value"))
+      .count() === 0)
+    // kruskalWallis: one row, zero groups, NULL H
+    val kw = Profiling.kruskalWallis(df(Seq.empty[R18Gv]), "g", col("v")).head()
+    assert(kw.getLong(1) === 0L && kw.isNullAt(3) && kw.isNullAt(4))
+    // cochranArmitage: one row, zero days, NULL statistics
+    val ca = Profiling.cochranArmitage(emptyEv, "ts",
+      col("event_type") === "hit").head()
+    assert(ca.getLong(0) === 0L && ca.isNullAt(4))
+    // mantelHaenszel: one row, zero strata, NULL OR
+    val mh = Profiling.mantelHaenszel(df(Seq.empty[R18Cell]), col("s"),
+      col("expo"), col("hit")).head()
+    assert(mh.getLong(0) === 0L && mh.isNullAt(4))
+    // langIdTrigram: no docs, no confusion rows
+    assert(TextOps.langIdTrigram(df(Seq.empty[R18Doc]), "doc_id", "lang",
+      "text", 8).count() === 0)
+  }
 }
 
 case class Series16(key: String, t: Long, v: Double)

@@ -709,6 +709,14 @@ class FileStreamingSpec extends SparkSpec {
       assert(streamed.count() > 0)
       assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
         "merged daily counts must reproduce the batch walk and decisions exactly")
+      // the SAME maintained day counts serve the e-process read (C278,
+      // r18): the anytime-valid monitor must match batch bit-for-bit too
+      val streamedE = state.eValues.get
+      val batchE = graft.ops.EventOps.eProcess(events, "ts",
+        col("event_type") === "purchase", 0.10, 0.15, 0.05)
+      assert(streamedE.except(batchE).count() === 0 &&
+        batchE.except(streamedE).count() === 0,
+        "one state, two sequential monitors — the e-walk must match batch")
       // replaying an already-applied batchId must be a no-op
       state.mergeBatch(events, 0L)
       val replayed = state.decisions.get
