@@ -3637,6 +3637,39 @@ object SparkEntry {
       TextOps.langIdTrigram(T(s, dir, "documents"), "doc_id", "lang", "text", k = 64)
         .orderBy("lang", "predicted")),
 
+    // Benjamini–Hochberg FDR over per-event-type permutation p-values
+    // (32 md5 relabelings per segment, exact add-one rationals): the
+    // multiple-testing control a per-segment experiment readout needs —
+    // at k segments and α=0.1 some "significant" p is EXPECTED under the
+    // global null; BH caps the false-discovery share instead.
+    "q_bh_fdr" -> ((s, dir) =>
+      Profiling.bhAdjust(
+          Profiling.permutationTestPerGroup(T(s, dir, "events"), "event_type",
+            "user_id", col("value"), replicas = 32),
+          "event_type", "p_value", alpha = 0.10)
+        .orderBy("event_type")),
+
+    // Two-sample Cramér–von Mises per event type between the md5
+    // cohorts: the L2 drift read that integrates the SQUARED ECDF gap
+    // over the pooled sample (C182's KS sees only the single largest
+    // gap; distributed small shifts register here first).
+    "q_cvm_drift" -> ((s, dir) =>
+      Profiling.cvmDrift(T(s, dir, "events"), "event_type", "user_id", col("value"))
+        .orderBy("event_type")),
+
+    // Friedman blocked rank test: do event types differ in daily mean
+    // value once the DAY effect is removed — complete blocks only,
+    // midranks within day, the general tied form of Q.
+    "q_friedman" -> ((s, dir) =>
+      Profiling.friedman(T(s, dir, "events"), "ts", "event_type", col("value"))),
+
+    // McNemar's paired test: did the SAME users change purchase behavior
+    // between month halves — only the discordant cells carry information
+    // (the paired completion of C230's marginal z-test).
+    "q_mcnemar" -> ((s, dir) =>
+      Profiling.mcnemar(T(s, dir, "events"), "user_id", "ts",
+        col("event_type") === "purchase", splitDay = 16)),
+
     // Bradley–Terry preference strengths over per-order supplier
     // head-to-heads (the max-value lineitem's supplier beats each other
     // suppliers in the order) — Hunter's MM, 5 fixed rounds, π catalog
@@ -10573,6 +10606,170 @@ object SparkEntry {
            round(num, 6) + 0 AS sum_ad_over_n,
            round(den, 6) + 0 AS sum_bc_over_n,
            CASE WHEN den > 0 THEN round(num / den, 6) + 0 END AS or_mh
+         FROM agg""",
+
+    // BH FDR: the same per-group unit moments and md5 relabelings as
+    // q_perm_test (32 replicas per segment), exact rational p per group,
+    // then the identical step-up machinery — ascending rank window,
+    // reversed cumulative-min adjusted p, max-passing-rank cut.
+    "q_bh_fdr" ->
+      """WITH u AS (
+           SELECT event_type AS g, user_id AS uu,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS x,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS obsa
+           FROM events WHERE value IS NOT NULL GROUP BY event_type, user_id),
+         obs AS (
+           SELECT g, count(*)::BIGINT AS n_units,
+             CASE WHEN sum(CASE WHEN obsa THEN 1 ELSE 0 END) > 0
+                   AND sum(CASE WHEN NOT obsa THEN 1 ELSE 0 END) > 0 THEN
+               sum(CAST(CASE WHEN obsa THEN x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN obsa THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CAST(CASE WHEN NOT obsa THEN x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN NOT obsa THEN 1 ELSE 0 END)::DOUBLE
+             END AS dobs
+           FROM u GROUP BY g),
+         reps AS (
+           SELECT s.g AS g, s.r AS r,
+             CASE WHEN sum(CASE WHEN s.perma THEN 1 ELSE 0 END) > 0
+                   AND sum(CASE WHEN NOT s.perma THEN 1 ELSE 0 END) > 0 THEN
+               sum(CAST(CASE WHEN s.perma THEN s.x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN s.perma THEN 1 ELSE 0 END)::DOUBLE
+               - sum(CAST(CASE WHEN NOT s.perma THEN s.x ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE
+                 / sum(CASE WHEN NOT s.perma THEN 1 ELSE 0 END)::DOUBLE
+             END AS dr
+           FROM (
+             SELECT u.g AS g, u.x AS x, r.range AS r,
+               (('0x' || substr(md5(u.uu::VARCHAR || '#' || r.range::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS perma
+             FROM u CROSS JOIN range(1, 33) r) s
+           GROUP BY s.g, s.r),
+         e AS (
+           SELECT r.g AS g,
+             sum(CASE WHEN abs(r.dr) >= abs(o.dobs) THEN 1 ELSE 0 END)::BIGINT AS k2
+           FROM reps r JOIN obs o USING (g) GROUP BY r.g),
+         p AS (
+           SELECT o.g AS g,
+             CASE WHEN o.dobs IS NOT NULL
+                  THEN round((e.k2 + 1)::DOUBLE / 33.0, 6) + 0 END AS p
+           FROM obs o LEFT JOIN e USING (g)),
+         ranked AS (
+           SELECT g, p, row_number() OVER (ORDER BY p ASC, g ASC) AS i,
+             count(*) OVER () AS m
+           FROM p WHERE p IS NOT NULL),
+         adj AS (
+           SELECT g, p, i, m,
+             least(1.0, min(p * m::DOUBLE / i::DOUBLE) OVER (ORDER BY p DESC, g DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS padj,
+             CASE WHEN p <= i::DOUBLE * 0.1 / m::DOUBLE THEN i END AS passes
+           FROM ranked),
+         cut AS (SELECT max(passes) AS cut FROM adj)
+         SELECT g AS event_type, p AS p_value, i AS p_rank,
+           round(padj, 6) + 0 AS p_adj,
+           coalesce(i <= cut.cut, false) AS significant
+         FROM adj CROSS JOIN cut ORDER BY event_type""",
+
+    // CvM: identical per-(group, value) cohort counts, cumulative ECDFs
+    // over the value catalog, squared-gap terms decimal-snapshotted.
+    "q_cvm_drift" ->
+      """WITH b AS (
+           SELECT event_type AS g, value AS v,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS ina
+           FROM events WHERE value IS NOT NULL),
+         cat AS (
+           SELECT g, v,
+             sum(CASE WHEN ina THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN NOT ina THEN 1 ELSE 0 END)::BIGINT AS cb
+           FROM b GROUP BY g, v),
+         cum AS (
+           SELECT g, v, ca, cb,
+             sum(ca) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fa,
+             sum(cb) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fb,
+             sum(ca) OVER (PARTITION BY g)::BIGINT AS n,
+             sum(cb) OVER (PARTITION BY g)::BIGINT AS m
+           FROM cat),
+         agg AS (
+           SELECT g, max(n)::BIGINT AS n_a, max(m)::BIGINT AS n_b,
+             sum(CAST((ca + cb)::DOUBLE *
+               (CASE WHEN n > 0 AND m > 0
+                     THEN fa::DOUBLE / n::DOUBLE - fb::DOUBLE / m::DOUBLE
+                     ELSE 0.0 END) *
+               (CASE WHEN n > 0 AND m > 0
+                     THEN fa::DOUBLE / n::DOUBLE - fb::DOUBLE / m::DOUBLE
+                     ELSE 0.0 END) AS DECIMAL(28,9)))::DOUBLE AS s
+           FROM cum GROUP BY g)
+         SELECT g AS event_type, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN round(n_a::DOUBLE * n_b::DOUBLE /
+                  ((n_a + n_b)::DOUBLE * (n_a + n_b)::DOUBLE) * s, 6) + 0
+           END AS cvm_stat
+         FROM agg ORDER BY event_type""",
+
+    // Friedman: identical complete-block daily means, in-block doubled
+    // midranks, the same general-ties Q shapes.
+    "q_friedman" ->
+      """WITH cells AS (
+           SELECT CAST(ts AS DATE) AS d, event_type AS g,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)::DOUBLE AS v
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT g)::BIGINT AS k FROM cells),
+         complete AS (
+           SELECT c.d, c.g, c.v
+           FROM cells c
+           JOIN (SELECT d, count(*)::BIGINT AS kd FROM cells GROUP BY d) cd
+             ON c.d = cd.d
+           CROSS JOIN kk WHERE cd.kd = kk.k),
+         r2 AS (
+           SELECT d, g,
+             (2 * rank() OVER (PARTITION BY d ORDER BY v)
+               + count(*) OVER (PARTITION BY d, v) - 1)::BIGINT AS r2
+           FROM complete),
+         pt AS (SELECT g, sum(r2)::BIGINT AS sr2 FROM r2 GROUP BY g),
+         tot AS (
+           SELECT count(DISTINCT d)::BIGINT AS n_blocks,
+             sum(CAST(r2::DOUBLE * r2::DOUBLE / 4.0 AS DECIMAL(28,6)))::DOUBLE AS a
+           FROM r2),
+         sd AS (
+           SELECT sum(CAST(
+             (pt.sr2::DOUBLE / 2.0 - tot.n_blocks::DOUBLE * (kk.k::DOUBLE + 1.0) / 2.0) *
+             (pt.sr2::DOUBLE / 2.0 - tot.n_blocks::DOUBLE * (kk.k::DOUBLE + 1.0) / 2.0)
+             AS DECIMAL(28,6)))::DOUBLE AS sd
+           FROM pt CROSS JOIN tot CROSS JOIN kk)
+         SELECT tot.n_blocks, kk.k AS k, (kk.k - 1)::BIGINT AS df,
+           CASE WHEN tot.n_blocks > 0 AND kk.k > 1 AND
+                  (tot.a - tot.n_blocks::DOUBLE * kk.k::DOUBLE *
+                    (kk.k::DOUBLE + 1.0) * (kk.k::DOUBLE + 1.0) / 4.0) > 0
+                THEN round((kk.k::DOUBLE - 1.0) * sd.sd /
+                  (tot.a - tot.n_blocks::DOUBLE * kk.k::DOUBLE *
+                    (kk.k::DOUBLE + 1.0) * (kk.k::DOUBLE + 1.0) / 4.0), 6) + 0
+           END AS q_stat
+         FROM tot CROSS JOIN kk CROSS JOIN sd""",
+
+    // McNemar: identical per-user period flags, integer cells, one
+    // division on the discordant pair.
+    "q_mcnemar" ->
+      """WITH per AS (
+           SELECT user_id,
+             max(CASE WHEN date_part('day', ts) < 16 AND event_type = 'purchase'
+               THEN 1 ELSE 0 END)::BIGINT AS p1,
+             max(CASE WHEN date_part('day', ts) >= 16 AND event_type = 'purchase'
+               THEN 1 ELSE 0 END)::BIGINT AS p2
+           FROM events
+           WHERE (event_type = 'purchase') IS NOT NULL AND ts IS NOT NULL
+           GROUP BY user_id),
+         agg AS (
+           SELECT count(*)::BIGINT AS n_units,
+             sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+             sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)::BIGINT AS first_only,
+             sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)::BIGINT AS second_only,
+             sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_neither
+           FROM per)
+         SELECT n_units, n_both, first_only, second_only, n_neither,
+           CASE WHEN first_only + second_only > 0
+                THEN round((first_only::DOUBLE - second_only::DOUBLE) *
+                  (first_only::DOUBLE - second_only::DOUBLE) /
+                  (first_only::DOUBLE + second_only::DOUBLE), 6) + 0
+           END AS chi2
          FROM agg""",
 
     // Language ID: the same normalized trigram fan, top-64 profiles

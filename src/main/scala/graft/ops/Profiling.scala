@@ -2502,6 +2502,223 @@ object Profiling {
         .as("or_mh"))
   }
 
+  /** Per-group md5-randomization permutation test (r18) — C268's exact
+    * machinery fanned over a group column: each group gets its own
+    * observed md5-cohort mean difference and add-one rational p from
+    * `replicas` within-group relabelings. The units are (group, unit)
+    * pairs, so a unit appearing in several groups is tested
+    * independently in each — the per-segment experiment readout. Feeds
+    * [[bhAdjust]], which is the reason per-group p-values exist at all:
+    * reading k segment p-values without multiplicity control is how
+    * false discoveries ship.
+    */
+  def permutationTestPerGroup(df: DataFrame, groupCol: String, unitCol: String,
+                              valueCol: Column, replicas: Int): DataFrame = {
+    require(replicas > 0, "need at least one permutation replica")
+    val units = df.where(valueCol.isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(unitCol).as("_u"))
+      .agg(Portable.decSum(valueCol.cast("double"), 6).as("_x"))
+      .withColumn("_obsA", pmod(Portable.hash32(col("_u")), lit(2L)) === 0)
+    def meanDiff(flag: Column): Column = {
+      val nA = sum(when(flag, 1L).otherwise(0L))
+      val nB = sum(when(!flag, 1L).otherwise(0L))
+      val sA = sum(when(flag, col("_x")).otherwise(lit(0.0)).cast("decimal(28,6)")).cast("double")
+      val sB = sum(when(!flag, col("_x")).otherwise(lit(0.0)).cast("decimal(28,6)")).cast("double")
+      when(nA > 0 && nB > 0, sA / nA.cast("double") - sB / nB.cast("double"))
+    }
+    val obs = units.groupBy("_g").agg(
+      count(lit(1)).as("n_units"), meanDiff(col("_obsA")).as("_dObs"))
+    val reps = units
+      .select(col("_g"), col("_u"), col("_x"),
+        explode(array((1 to replicas).map(r => lit(r)): _*)).as("_r"))
+      .withColumn("_permA",
+        pmod(Portable.hash32(concat_ws("#", col("_u"), col("_r"))), lit(2L)) === 0)
+      .groupBy("_g", "_r").agg(meanDiff(col("_permA")).as("_dR"))
+    val extreme = reps.join(obs.select(col("_g"), col("_dObs")), Seq("_g"))
+      .groupBy("_g")
+      .agg(sum(when(abs(col("_dR")) >= abs(col("_dObs")), 1L).otherwise(0L))
+        .as("_k"))
+    obs.join(extreme, Seq("_g"), "left_outer")
+      .select(col("_g").as(groupCol), col("n_units"),
+        Portable.pround(col("_dObs"), 6).as("obs_diff"),
+        when(col("_dObs").isNotNull, Portable.pround(
+          (col("_k") + lit(1L)).cast("double") / lit((replicas + 1).toDouble), 6))
+          .as("p_value"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a (group, p) table (r18) —
+    * the multiple-testing control every per-segment readout needs (at 20
+    * segments and α = 0.1, two "significant" segments are EXPECTED under
+    * the global null; BH caps the expected FALSE-DISCOVERY share at α
+    * instead of the per-test error): rank p ascending (ties → group
+    * asc), the largest i with p_(i) ≤ i·α/m and everything ranked at or
+    * under it rejects, and p_adj_(i) = min_{j ≥ i}(m·p_(j)/j) clamped
+    * at 1 (the monotone step-up adjusted value).
+    *
+    * Designed for EXACT p-values (the permutation family's add-one
+    * rationals): ranks are integers on the group catalog, every
+    * comparison is a fixed double shape on bit-identical inputs, and the
+    * reversed cumulative min runs over the same bounded catalog window —
+    * nothing resamples, nothing rounds before the visible 6 dp.
+    */
+  def bhAdjust(pvals: DataFrame, groupCol: String, pCol: String,
+               alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "need an interior FDR level")
+    val wUp = Portable.kRowWindow(col(pCol).asc, col(groupCol).asc)
+    val base = pvals.where(col(pCol).isNotNull)
+      .withColumn("_i", row_number().over(wUp).cast("long"))
+      .withColumn("_m", count(lit(1)).over(
+        Portable.kRowWindow(col(pCol).asc, col(groupCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val wDown = Portable.kRowWindow(col(pCol).desc, col(groupCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val adj = base
+      .withColumn("_raw", col(pCol) * col("_m").cast("double") / col("_i").cast("double"))
+      .withColumn("_adj", least(lit(1.0), min(col("_raw")).over(wDown)))
+      .withColumn("_passes",
+        when(col(pCol) <= col("_i").cast("double") * lit(alpha) / col("_m").cast("double"),
+          col("_i")))
+      .withColumn("_cut", max(col("_passes")).over(
+        Portable.kRowWindow(col(pCol).asc, col(groupCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    adj.select(col(groupCol), col(pCol).as("p_value"),
+      col("_i").as("p_rank"),
+      Portable.pround(col("_adj"), 6).as("p_adj"),
+      coalesce(col("_i") <= col("_cut"), lit(false)).as("significant"))
+  }
+
+  /** Two-sample Cramér–von Mises drift statistic per group (r18) — the
+    * L2 companion of C182's KS (which reads the single largest ECDF gap;
+    * CvM integrates the SQUARED gap over the whole pooled sample, so
+    * distributed small shifts that never produce one big gap still
+    * register): T = nm/(n+m)² · Σ_pooled (F_n(x) − G_m(x))², evaluated
+    * at every pooled observation via the value catalog (per distinct
+    * value, the gap term weighs by its multiplicity — never a row-scale
+    * sort). Cohorts are the engine's standing md5-even unit split.
+    *
+    * Cumulative counts are integers; each term is a fixed double shape,
+    * decimal-snapshotted before the cross-value sum. Either cohort
+    * empty → NULL statistic.
+    */
+  def cvmDrift(df: DataFrame, groupCol: String, unitCol: String,
+               valueCol: Column): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.as("_v"),
+        (pmod(Portable.hash32(col(unitCol)), lit(2L)) === 0).as("_inA"))
+    val cat = base.groupBy("_g", "_v").agg(
+      sum(when(col("_inA"), 1L).otherwise(0L)).as("_ca"),
+      sum(when(!col("_inA"), 1L).otherwise(0L)).as("_cb"))
+    val wCum = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("_g")
+    val cum = cat
+      .withColumn("_fa", sum("_ca").over(wCum))
+      .withColumn("_fb", sum("_cb").over(wCum))
+      .withColumn("_n", sum("_ca").over(wAll))
+      .withColumn("_m", sum("_cb").over(wAll))
+    // empty-cohort guard: a double /0 is Infinity in Spark and an error
+    // inside DuckDB's decimal snapshot — mask the gap to 0 (the final
+    // statistic is NULLed by the n_a/n_b guard anyway)
+    val gap = when(col("_n") > 0 && col("_m") > 0,
+      col("_fa").cast("double") / col("_n").cast("double") -
+        col("_fb").cast("double") / col("_m").cast("double")).otherwise(lit(0.0))
+    cum.groupBy("_g").agg(
+        max("_n").as("n_a"), max("_m").as("n_b"),
+        Portable.decSum((col("_ca") + col("_cb")).cast("double") * gap * gap, 9)
+          .as("_s"))
+      .select(col("_g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, Portable.pround(
+          col("n_a").cast("double") * col("n_b").cast("double") /
+            ((col("n_a") + col("n_b")).cast("double") *
+             (col("n_a") + col("n_b")).cast("double")) * col("_s"), 6))
+          .as("cvm_stat"))
+  }
+
+  /** Friedman blocked rank test (r18) — "do the treatments differ, with
+    * the block effect removed": blocks are calendar days, treatments the
+    * group column, the cell observation each (day, group)'s exact
+    * decimal mean. Only COMPLETE blocks (all k treatments present) enter
+    * — the classical design requirement, enforced rather than assumed.
+    * Within each block the k cells take midranks (ties averaged), and
+    * the general tied form is used:
+    * Q = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − n·k(k+1)²/4), A = Σ r_ij² —
+    * which reduces to the textbook 12/(nk(k+1))·ΣR_j² − 3n(k+1) when no
+    * ties occur.
+    *
+    * Ranks stay integer via the C250 doubled-midrank identity inside
+    * each block (2r = 2·minrank + t − 1); R_j, A, and every moment are
+    * exact (doubled ranks are integers, their squares exact quarters),
+    * so Q is one fixed double shape. Degenerate inputs (no complete
+    * blocks, k < 2, A = C) → NULL.
+    */
+  def friedman(df: DataFrame, tsCol: String, groupCol: String,
+               valueCol: Column): DataFrame = {
+    val cells = df.where(valueCol.isNotNull && col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("_d"), col(groupCol).as("_g"))
+      .agg((Portable.decSum(valueCol.cast("double"), 6) /
+        count(lit(1)).cast("double")).as("_v"))
+    val k = cells.agg(countDistinct(col("_g")).as("_k"))
+    val complete = cells
+      .withColumn("_kd", count(lit(1)).over(Window.partitionBy("_d")))
+      .crossJoin(broadcast(k)).where(col("_kd") === col("_k"))
+    val wOrd = Window.partitionBy("_d").orderBy("_v")
+    val wVal = Window.partitionBy("_d", "_v")
+    val ranked = complete
+      .withColumn("_minrank", rank().over(wOrd))
+      .withColumn("_t", count(lit(1)).over(wVal))
+      .withColumn("_r2", lit(2L) * col("_minrank") + col("_t") - 1L)
+    val perTreat = ranked.groupBy("_g").agg(
+      count(lit(1)).as("_n"), sum("_r2").as("_sr2"))
+    val totals = ranked.agg(
+      countDistinct(col("_d")).as("n_blocks"),
+      // A = Σ r² = Σ (2r)²/4 — doubled ranks are integers, kept exact
+      Portable.decSum(col("_r2").cast("double") * col("_r2").cast("double") / lit(4.0), 6)
+        .as("_a"))
+    val kk = col("_k").cast("double")
+    val nn = col("n_blocks").cast("double")
+    // Σ_j (R_j − n(k+1)/2)²: R_j = ΣR2_j/2, each deviation a fixed shape
+    val dev = col("_sr2").cast("double") / 2.0 - nn * (kk + 1.0) / 2.0
+    val sdev = perTreat.crossJoin(broadcast(totals)).crossJoin(broadcast(k))
+      .agg(Portable.decSum(dev * dev, 6).as("_sd"))
+    val denom = col("_a") - nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    totals.crossJoin(broadcast(k)).crossJoin(broadcast(sdev))
+      .select(col("n_blocks"), col("_k").as("k"),
+        (col("_k") - 1L).as("df"),
+        when(col("n_blocks") > 0 && col("_k") > 1 && denom > 0,
+          Portable.pround((kk - 1.0) * col("_sd") / denom, 6)).as("q_stat"))
+  }
+
+  /** McNemar's paired test (r18) — did the SAME units change behavior
+    * between two periods (the paired completion of C230's two-sample
+    * z-test, which cannot tell churn from noise because it compares
+    * marginals): per unit, did it convert in the first half of the month
+    * vs the second; only the DISCORDANT cells carry information and
+    * χ² = (b−c)²/(b+c) on them. Integer cells, one division; b+c = 0 →
+    * NULL (no discordance, nothing to test).
+    */
+  def mcnemar(df: DataFrame, unitCol: String, tsCol: String, hitCol: Column,
+              splitDay: Int): DataFrame = {
+    val per = df.where(hitCol.isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(
+        max(when(dayofmonth(col(tsCol)) < splitDay && hitCol.cast("boolean"), 1L)
+          .otherwise(0L)).as("_p1"),
+        max(when(dayofmonth(col(tsCol)) >= splitDay && hitCol.cast("boolean"), 1L)
+          .otherwise(0L)).as("_p2"))
+    val agg = per.agg(
+      count(lit(1)).as("n_units"),
+      sum(when(col("_p1") === 1 && col("_p2") === 1, 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("_p1") === 1 && col("_p2") === 0, 1L).otherwise(0L)).as("first_only"),
+      sum(when(col("_p1") === 0 && col("_p2") === 1, 1L).otherwise(0L)).as("second_only"),
+      sum(when(col("_p1") === 0 && col("_p2") === 0, 1L).otherwise(0L)).as("n_neither"))
+    val b = col("first_only").cast("double")
+    val c = col("second_only").cast("double")
+    agg.select(col("n_units"), col("n_both"), col("first_only"),
+      col("second_only"), col("n_neither"),
+      when(col("first_only") + col("second_only") > 0,
+        Portable.pround((b - c) * (b - c) / (b + c), 6)).as("chi2"))
+  }
+
   /** Gumbel block-maxima tail fit by the method of moments — the
     * capacity-planning read of a value stream: fit the extreme-value-I
     * distribution to the DAILY MAXIMA (classical block maxima, one block

@@ -943,7 +943,12 @@ class PlanInvariantsSpec extends SparkSpec {
       // (char fan → (lang,gram) agg → profile window → distinct types →
       // overlap agg → argmax window → confusion agg: 7 exchanges, all
       // type-keyed after the fan)
-      "q_langid" -> 7)
+      "q_langid" -> 7,
+      // r18: q_bh_fdr measures 1.2 s — one steal gust from the line, so
+      // pinned proactively like q_sprt (unit agg → per-(group, replica)
+      // agg → extreme join → the catalog-window step-up: 6 exchanges,
+      // unit-table-sized at most)
+      "q_bh_fdr" -> 6)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until

@@ -449,6 +449,19 @@ class EmptyInputSpec extends SparkSpec {
     // langIdTrigram: no docs, no confusion rows
     assert(TextOps.langIdTrigram(df(Seq.empty[R18Doc]), "doc_id", "lang",
       "text", 8).count() === 0)
+    // bhAdjust / per-group permutation / cvm / friedman: empty groups,
+    // empty or NULL-statistic outputs — never a throw
+    assert(Profiling.bhAdjust(df(Seq.empty[BhP]), "g", "p", 0.1).count() === 0)
+    assert(Profiling.permutationTestPerGroup(emptyEv, "event_type", "user_id",
+      col("value"), 4).count() === 0)
+    assert(Profiling.cvmDrift(emptyEv, "event_type", "user_id", col("value"))
+      .count() === 0)
+    val fr = Profiling.friedman(emptyEv, "ts", "event_type", col("value")).head()
+    assert(fr.getLong(0) === 0L && fr.isNullAt(3))
+    // mcnemar: one row of zero cells, NULL chi2
+    val mc = Profiling.mcnemar(emptyEv, "user_id", "ts",
+      col("event_type") === "purchase", 16).head()
+    assert(mc.getLong(0) === 0L && mc.isNullAt(5))
   }
 }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 case class R18Ev(user_id: Long, ts: java.sql.Timestamp, value: java.lang.Double,
                  event_type: String)
+case class BhP(g: String, p: java.lang.Double)
 case class R18Cell(s: String, expo: Boolean, hit: Boolean)
 case class R18Doc(doc_id: Long, lang: String, text: String)
 case class R18Gv(g: String, v: java.lang.Long)
@@ -229,6 +230,121 @@ class Round18OpsSpec extends SparkSpec {
       .orderBy("lang", "predicted").collect()
     val m = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(m === Map(("aa", "aa") -> 1L, ("qq", "unknown") -> 1L, ("zz", "zz") -> 1L))
+  }
+
+  // ── BH FDR ─────────────────────────────────────────────────────────
+
+  test("bhAdjust: textbook step-up with a clean cut") {
+    // p = .01 .02 .03 .2 .9, alpha = .1, m = 5: thresholds i/50 admit
+    // ranks 1..3; raw m·p/i = .05 .05 .05 .25 .9 and the reversed
+    // cumulative min leaves them unchanged
+    val ps = Seq(BhP("g1", 0.01), BhP("g2", 0.02), BhP("g3", 0.03),
+      BhP("g4", 0.2), BhP("g5", 0.9))
+    val out = Profiling.bhAdjust(df(ps), "g", "p", alpha = 0.1)
+      .orderBy("p_rank").collect()
+    assert(out.map(_.getBoolean(4)).toSeq ===
+      Seq(true, true, true, false, false))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(0.05, 0.05, 0.05, 0.25, 0.9))
+  }
+
+  test("bhAdjust: the step-up rescues a straggler below the cut rank") {
+    // p = .02 .03 .04 .05 with alpha .2, m = 4: thresholds .05 .10 .15
+    // .20 — EVERY rank passes because the largest passing rank is 4,
+    // even though nothing but rank 1 would pass Bonferroni
+    val ps = Seq(BhP("a", 0.02), BhP("b", 0.03), BhP("c", 0.04), BhP("d", 0.05))
+    val out = Profiling.bhAdjust(df(ps), "g", "p", alpha = 0.2)
+      .orderBy("p_rank").collect()
+    assert(out.forall(_.getBoolean(4)), "step-up admits everything under the cut")
+    // adjusted p is monotone nondecreasing in rank
+    val adj = out.map(_.getDouble(3)).toSeq
+    assert(adj === adj.sorted)
+  }
+
+  test("permutationTestPerGroup on one group equals the plain C268 test") {
+    val evs = (1L to 15L).map(u => R18Ev(u, ts(5), u.toDouble * 1.5, "only"))
+    val grouped = Profiling.permutationTestPerGroup(df(evs), "event_type",
+      "user_id", col("value"), replicas = 16).head()
+    val plain = Profiling.permutationTest(df(evs), "user_id",
+      col("value"), replicas = 16).head()
+    assert(grouped.getString(0) === "only")
+    assert(grouped.getLong(1) === plain.getLong(0))
+    assert(grouped.getDouble(2) === plain.getDouble(3), "same observed diff")
+    assert(grouped.getDouble(3) === plain.getDouble(5), "same p")
+  }
+
+  // ── Cramér–von Mises ───────────────────────────────────────────────
+
+  test("cvmDrift: identical distributions score zero; full separation hits the closed form") {
+    // parity of each unit under the engine's md5 split, read through the
+    // same Portable.hash32 the operator uses
+    val ids = (1L to 40L)
+    val parity = df(ids.map(u => R18Gv("x", u)))
+      .select(col("v"), (pmod(Portable.hash32(col("v")), lit(2L)) === 0).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // all-equal values: the one catalog point has F = G = 1, stat = 0
+    val flat = ids.map(u => R18Ev(u, ts(5), 7.0, "e"))
+    val z = Profiling.cvmDrift(df(flat), "event_type", "user_id", col("value")).head()
+    assert(z.getDouble(3) === 0.0)
+    // full separation: cohort A all 0, cohort B all 1 ->
+    // stat = n²m/(n+m)² at the catalog point v=0
+    val sep = ids.map(u => R18Ev(u, ts(5), if (parity(u)) 0.0 else 1.0, "e"))
+    val out = Profiling.cvmDrift(df(sep), "event_type", "user_id", col("value")).head()
+    val n = out.getLong(1).toDouble; val m = out.getLong(2).toDouble
+    assert(n > 0 && m > 0)
+    assert(out.getDouble(3) === r6(n * n * m / ((n + m) * (n + m))))
+  }
+
+  // ── Friedman ───────────────────────────────────────────────────────
+
+  test("friedman: a perfectly consistent ordering maxes Q, incomplete blocks drop") {
+    // 4 complete days with per-day means a < b < c -> ranks 1,2,3 every
+    // day: Q = 12/(4·3·4)·(16+64+144) − 3·4·4 = 8 = n(k−1), the maximum.
+    // Day 5 has only 'a' (incomplete) and must not enter.
+    val evs = (1 to 4).flatMap { d =>
+      Seq(R18Ev(d * 10L, ts(d), 1.0, "a"),
+          R18Ev(d * 10L + 1, ts(d), 2.0, "b"),
+          R18Ev(d * 10L + 2, ts(d), 3.0, "c"))
+    } :+ R18Ev(99L, ts(5), 9.0, "a")
+    val out = Profiling.friedman(df(evs), "ts", "event_type", col("value")).head()
+    assert(out.getLong(0) === 4L, "the incomplete day must be excluded")
+    assert(out.getLong(1) === 3L && out.getLong(2) === 2L)
+    assert(out.getDouble(3) === 8.0)
+  }
+
+  test("friedman: all-tied blocks have zero rank variance and NULL Q") {
+    val evs = (1 to 3).flatMap { d =>
+      Seq(R18Ev(d * 10L, ts(d), 5.0, "a"), R18Ev(d * 10L + 1, ts(d), 5.0, "b"))
+    }
+    val out = Profiling.friedman(df(evs), "ts", "event_type", col("value")).head()
+    assert(out.isNullAt(3), "A = C when every block is fully tied")
+  }
+
+  // ── McNemar ────────────────────────────────────────────────────────
+
+  test("mcnemar: only the discordant cells drive the statistic") {
+    // u1 converts only pre, u2 and u3 only post, u4 both, u5 never
+    // -> b=1, c=2, chi2 = 1/3; concordant cells don't move it
+    val evs = Seq(
+      R18Ev(1, ts(5), 1.0, "purchase"), R18Ev(1, ts(20), 1.0, "view"),
+      R18Ev(2, ts(5), 1.0, "view"), R18Ev(2, ts(20), 1.0, "purchase"),
+      R18Ev(3, ts(5), 1.0, "view"), R18Ev(3, ts(20), 1.0, "purchase"),
+      R18Ev(4, ts(5), 1.0, "purchase"), R18Ev(4, ts(20), 1.0, "purchase"),
+      R18Ev(5, ts(5), 1.0, "view"), R18Ev(5, ts(20), 1.0, "view"))
+    val out = Profiling.mcnemar(df(evs), "user_id", "ts",
+      col("event_type") === "purchase", splitDay = 16).head()
+    assert(out.getLong(0) === 5L)
+    assert(out.getLong(1) === 1L && out.getLong(2) === 1L &&
+      out.getLong(3) === 2L && out.getLong(4) === 1L)
+    assert(out.getDouble(5) === r6(1.0 / 3.0))
+  }
+
+  test("mcnemar: no discordance yields NULL chi2") {
+    val evs = Seq(
+      R18Ev(1, ts(5), 1.0, "purchase"), R18Ev(1, ts(20), 1.0, "purchase"),
+      R18Ev(2, ts(5), 1.0, "view"), R18Ev(2, ts(20), 1.0, "view"))
+    val out = Profiling.mcnemar(df(evs), "user_id", "ts",
+      col("event_type") === "purchase", splitDay = 16).head()
+    assert(out.isNullAt(5))
   }
 
   test("langIdTrigram: ties break to the lexicographically first language") {
