@@ -22,6 +22,21 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Stopword-ratio score frame shared by the calibration-family queries
+    * (q_auc / q_calibration / q_brier / q_stump): one deterministic
+    * [0,1] score per doc — an exact ratio of integer counts, so the
+    * value catalog is identical in both engines — plus the requested
+    * label columns.
+    */
+  private def stopwordScored(s: SparkSession, dir: String, cols: Column*): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    T(s, dir, "documents")
+      .select(cols :+
+        (size(filter(t, x => x.isin(TextOps.Stopwords: _*))).cast("double")
+          / size(t).cast("double")).as("_score"): _*)
+      .where(size(t) > 0)
+  }
+
   /** Query-term set for q_bm25 — shared by the Spark query and its oracle. */
   private val Bm25Terms = Seq("spark", "window", "merge")
 
@@ -2778,16 +2793,10 @@ object SparkEntry {
     // Mann-Whitney rank form, all-integer until ONE final division
     // (engine-exact, unrounded); one source exchange serves both the
     // distinct-score agg and the cumulative window.
-    "q_auc" -> ((s, dir) => {
-      val t = TextOps.tokens(col("text"))
-      val scored = T(s, dir, "documents")
-        .select(col("source"), col("lang"),
-          size(filter(t, x => x.isin(TextOps.Stopwords: _*))).cast("double")
-            ./(size(t).cast("double")).as("_score"))
-        .where(size(t) > 0)
-      Profiling.rocAuc(scored, "source", col("_score"), col("lang") === "en")
-        .orderBy("source")
-    }),
+    "q_auc" -> ((s, dir) =>
+      Profiling.rocAuc(stopwordScored(s, dir, col("source"), col("lang")),
+          "source", col("_score"), col("lang") === "en")
+        .orderBy("source")),
 
     // PSI drift gate between the deterministic train split and the rest
     // of the corpus over doc-length bins — did the md5-bucket split
@@ -3026,15 +3035,9 @@ object SparkEntry {
     // an English-probability estimate — q_auc's complement: AUC checks
     // the ranking, this checks the score VALUES (the gate before using
     // a quality score as a probability threshold).
-    "q_calibration" -> ((s, dir) => {
-      val t = TextOps.tokens(col("text"))
-      val scored = T(s, dir, "documents")
-        .select(col("lang"),
-          size(filter(t, x => x.isin(TextOps.Stopwords: _*))).cast("double")
-            ./(size(t).cast("double")).as("_score"))
-        .where(size(t) > 0)
-      Profiling.calibrationReport(scored, col("_score"), col("lang") === "en", 10)
-    }),
+    "q_calibration" -> ((s, dir) =>
+      Profiling.calibrationReport(stopwordScored(s, dir, col("lang")),
+        col("_score"), col("lang") === "en", 10)),
 
     // Word2vec negative-sampling table: top-30 types with count^0.75
     // sampling weights — the exponent computed as sqrt(c·sqrt(c)), the
@@ -3669,6 +3672,115 @@ object SparkEntry {
     "q_mcnemar" -> ((s, dir) =>
       Profiling.mcnemar(T(s, dir, "events"), "user_id", "ts",
         col("event_type") === "purchase", splitDay = 16)),
+
+    // One-way ANOVA F across sources on document length — the
+    // parametric companion of q_kruskal (means vs whole distributions),
+    // with η² effect size alongside: at corpus scale everything is
+    // "significant"; η² says how much variance the source label
+    // actually explains.
+    "q_anova" -> ((s, dir) =>
+      Profiling.anovaF(T(s, dir, "documents"), "source", col("n_chars"))),
+
+    // Brown–Forsythe variance homogeneity across sources on document
+    // length — the assumption check UNDER q_anova and every pooled-
+    // variance step: per-source spread around the group MEDIAN (robust
+    // Levene), W statistic alongside the per-group rows.
+    "q_levene" -> ((s, dir) =>
+      Profiling.brownForsythe(T(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source")),
+
+    // Minimum detectable effect + Cohen's d for the md5 A/B cohorts on
+    // per-user value sums — the experiment-PLANNING read: the smallest
+    // true lift this sample could flag at α=0.05 / power 0.8, next to
+    // the standardized effect actually observed.
+    "q_mde" -> ((s, dir) =>
+      EventOps.mdePower(T(s, dir, "events"), "user_id",
+        u => pmod(Portable.hash32(u), lit(2L)) === 0, col("value"))),
+
+    // Log-rank test: do the md5-even and md5-odd customer cohorts churn
+    // at the same rate — the hypothesis test over q_km_survival's
+    // curves (same 30-day lifetimes, same 180-day censor rule), O−E
+    // hypergeometric machinery over the lifetime catalog.
+    "q_logrank" -> ((s, dir) =>
+      EventOps.logRank(T(s, dir, "orders"), "o_custkey", "o_orderdate",
+        u => pmod(Portable.hash32(u), lit(2L)) === 0,
+        censorDays = 180, unitDays = 30)),
+
+    // Theil T inequality with between/within decomposition by source on
+    // document lengths — the DECOMPOSABLE member of the inequality
+    // family (q_gini is the scalar, q_lorenz the curve): is corpus
+    // inequality a mixing-weight problem (between sources) or a
+    // per-source cleanup (within)?
+    "q_theil" -> ((s, dir) =>
+      Profiling.theilIndex(T(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source")),
+
+    // Fano factor / index of dispersion of daily event arrivals per
+    // type over the dense day grid (quiet days are true zeros):
+    // burstiness vs the Poisson floor, with D = (n−1)·Fano compared to
+    // the caller's chi2_{0.99,29} literal (the ~30-day grid's df).
+    "q_fano" -> ((s, dir) =>
+      TimeSeries.fanoDispersion(T(s, dir, "events"), "event_type", "ts",
+          chi2Crit = 49.588)
+        .orderBy("event_type")),
+
+    // Murphy decomposition of the Brier score for the stopword-ratio
+    // score as an English-probability estimate — q_calibration's
+    // accounting: reliability (honesty) vs resolution (informativeness)
+    // vs uncertainty (the base-rate floor no forecaster beats).
+    "q_brier" -> ((s, dir) =>
+      Profiling.brierDecomposition(stopwordScored(s, dir, col("lang")),
+        col("_score"), col("lang") === "en", 10)),
+
+    // Decision-stump threshold: the single best "stopword-ratio <= t"
+    // cut of the English label by information gain — the SUPERVISED way
+    // to pick a quality-filter cutoff (q_quality_cut picks by rank,
+    // q_auc checks the ranking; this says where to cut and how much
+    // label entropy the cut removes).
+    "q_stump" -> ((s, dir) =>
+      Profiling.decisionStump(stopwordScored(s, dir, col("lang")),
+        col("_score"), col("lang") === "en")),
+
+    // Participation ratio / effective rank of the embedding covariance:
+    // how many dimensions the embeddings actually use — trace(C)²/|C|²_F
+    // off q_embed_cov's entries, eigen-free. The one-number
+    // justification for JL compression and the anisotropy warning for
+    // cosine-ANN recall.
+    "q_effective_rank" -> ((s, dir) =>
+      VectorOps.participationRatio(T(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // Linear CKA between the raw 64-dim embeddings and their 16-dim JL
+    // projection: did the compression preserve the representational
+    // GEOMETRY (q_jl_distortion checks probe-pair distances; this is the
+    // whole-corpus single-number promotion gate for serving ANN from
+    // compressed vectors).
+    "q_cka" -> ((s, dir) =>
+      VectorOps.linearCka(T(s, dir, "embeddings"), "embedding", dim = 64, k = 16)),
+
+    // Post-hoc pairwise Welch comparisons across sources on doc length —
+    // WHICH sources differ, the follow-up q_anova/q_kruskal demand;
+    // flags vs the Bonferroni-adjusted critical literal z_{1−.05/(2·190)}
+    // ≈ 3.651 for the 20-source catalog's 190 pairs.
+    "q_posthoc" -> ((s, dir) =>
+      Profiling.posthocPairwise(T(s, dir, "documents"), "source",
+          col("n_chars"), zCrit = 3.651)
+        .orderBy("g_a", "g_b")),
+
+    // Herfindahl–Hirschman concentration of corpus characters across
+    // sources + the effective number of sources (1/HHI) — the
+    // concentration closer of the balance family (Gini/Lorenz/Theil):
+    // the diversity read a mixing plan starts from.
+    "q_hhi" -> ((s, dir) =>
+      Profiling.hhiConcentration(T(s, dir, "documents"), "source",
+        col("n_chars"))),
+
+    // Flesch–Kincaid readability grade per source (vowel-group syllable
+    // estimator, sentences clamped >= 1) — the classic surface-form
+    // difficulty read of the quality-scoring family; per-source
+    // comparison is the signal, the absolute grade is a convention.
+    "q_readability" -> ((s, dir) =>
+      TextOps.readability(T(s, dir, "documents"), "source", col("text"))
+        .orderBy("source")),
 
     // Bradley–Terry preference strengths over per-order supplier
     // head-to-heads (the max-value lineitem's supplier beats each other
@@ -10771,6 +10883,485 @@ object SparkEntry {
                   (first_only::DOUBLE + second_only::DOUBLE), 6) + 0
            END AS chi2
          FROM agg""",
+
+    // ANOVA: identical per-group decimal moments, the same decimal-
+    // snapshotted between-group sum, fixed F/η² shapes.
+    "q_anova" ->
+      """WITH per AS (
+           SELECT source AS g, count(*)::BIGINT AS n,
+             sum(CAST(n_chars::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS s,
+             sum(CAST(n_chars::DOUBLE * n_chars::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS q
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+         agg AS (
+           SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+             sum(CAST(s AS DECIMAL(28,6)))::DOUBLE AS st,
+             sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS qt,
+             sum(CAST(s * s / n::DOUBLE AS DECIMAL(28,12)))::DOUBLE AS sb
+           FROM per)
+         SELECT k, n,
+           CASE WHEN n > 0 THEN round(sb - st * st / n::DOUBLE, 6) + 0 END
+             AS ss_between,
+           CASE WHEN n > 0 THEN round(qt - sb, 6) + 0 END AS ss_within,
+           CASE WHEN k > 0 THEN k - 1 END AS df1,
+           CASE WHEN n > k THEN n - k END AS df2,
+           CASE WHEN k > 1 AND n > k AND qt - sb > 0
+                THEN round(((sb - st * st / n::DOUBLE) / (k::DOUBLE - 1.0)) /
+                  ((qt - sb) / (n::DOUBLE - k::DOUBLE)), 6) + 0
+           END AS f_stat,
+           CASE WHEN n > 0 AND (sb - st * st / n::DOUBLE) + (qt - sb) > 0
+                THEN round((sb - st * st / n::DOUBLE) /
+                  ((sb - st * st / n::DOUBLE) + (qt - sb)), 6) + 0
+           END AS eta_sq
+         FROM agg""",
+
+    // Brown–Forsythe: identical lower-median catalog pick, exact
+    // deviations, the same ANOVA roll-up on |dev|.
+    "q_levene" ->
+      """WITH base AS (
+           SELECT source AS g, n_chars::DOUBLE AS v
+           FROM documents WHERE n_chars IS NOT NULL),
+         cat AS (SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY g, v),
+         cum AS (
+           SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v) AS cc,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM cat),
+         med AS (
+           SELECT g, v AS med FROM cum
+           WHERE cc >= CAST(floor((n + 1)::DOUBLE / 2.0) AS BIGINT)
+             AND cc - c < CAST(floor((n + 1)::DOUBLE / 2.0) AS BIGINT)),
+         per AS (
+           SELECT b.g AS g, count(*)::BIGINT AS n, max(m.med) AS median,
+             sum(CAST(abs(b.v - m.med) AS DECIMAL(28,6)))::DOUBLE AS s,
+             sum(CAST(abs(b.v - m.med) * abs(b.v - m.med) AS DECIMAL(28,6)))::DOUBLE AS q
+           FROM base b JOIN med m ON b.g = m.g GROUP BY b.g),
+         agg AS (
+           SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+             sum(CAST(s AS DECIMAL(28,6)))::DOUBLE AS st,
+             sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS qt,
+             sum(CAST(s * s / n::DOUBLE AS DECIMAL(28,12)))::DOUBLE AS sb
+           FROM per)
+         SELECT per.g AS source, per.n, round(per.median, 6) AS median,
+           round(per.s / per.n::DOUBLE, 9) AS mean_absdev,
+           CASE WHEN agg.k > 1 AND agg.nn > agg.k AND agg.qt - agg.sb > 0
+                THEN round(((agg.sb - agg.st * agg.st / agg.nn::DOUBLE) /
+                    (agg.k::DOUBLE - 1.0)) /
+                  ((agg.qt - agg.sb) / (agg.nn::DOUBLE - agg.k::DOUBLE)), 6) + 0
+           END AS w_stat
+         FROM per CROSS JOIN agg ORDER BY source""",
+
+    // MDE/power: identical per-unit decimal sums, cohort moments, 9-dp
+    // z literals, fixed IEEE shapes for d/se/MDE.
+    "q_mde" ->
+      """WITH per AS (
+           SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS m
+           FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         agg AS (
+           SELECT
+             sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CAST(CASE WHEN a THEN m ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS sa,
+             sum(CAST(CASE WHEN NOT a THEN m ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS sb,
+             sum(CAST(CASE WHEN a THEN m * m ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS qa,
+             sum(CAST(CASE WHEN NOT a THEN m * m ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS qb
+           FROM per),
+         e AS (SELECT *,
+             sa / n_a::DOUBLE AS mean_a, sb / n_b::DOUBLE AS mean_b,
+             (qa - sa * sa / n_a::DOUBLE) / (n_a::DOUBLE - 1.0) AS va,
+             (qb - sb * sb / n_b::DOUBLE) / (n_b::DOUBLE - 1.0) AS vb
+           FROM agg),
+         f AS (SELECT *,
+             va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2,
+             ((n_a::DOUBLE - 1.0) * va + (n_b::DOUBLE - 1.0) * vb) /
+               (n_a::DOUBLE + n_b::DOUBLE - 2.0) AS sp2,
+             (sa + sb) / (n_a::DOUBLE + n_b::DOUBLE) AS mean_all
+           FROM e)
+         SELECT n_a, n_b,
+           CASE WHEN n_a > 0 THEN round(mean_a, 9) END AS mean_a,
+           CASE WHEN n_b > 0 THEN round(mean_b, 9) END AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0
+                THEN round((mean_a - mean_b) / sqrt(sp2), 6) + 0 END AS cohens_d,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                THEN round(sqrt(se2), 9) END AS se_diff,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                THEN round((1.959963985 + 0.841621234) * sqrt(se2), 6) END AS mde_abs,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 AND mean_all <> 0.0
+                THEN round((1.959963985 + 0.841621234) * sqrt(se2) / mean_all, 6) + 0
+           END AS mde_rel
+         FROM f""",
+
+    // Log-rank: identical lifetime/censor construction as q_km_survival,
+    // integer risk sets off the descending cumulative, fixed E/V shapes.
+    "q_logrank" ->
+      """WITH u AS (SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+                      CAST(max(o_orderdate) AS DATE) AS l
+                    FROM orders GROUP BY o_custkey),
+         g AS (SELECT max(l) AS gmax FROM u),
+         lf AS (SELECT (l - f) // 30 AS life,
+                  CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn,
+                  (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a
+                FROM u, g),
+         pl AS (SELECT life,
+                  sum(CASE WHEN churn = 1 AND a THEN 1 ELSE 0 END)::BIGINT AS d1,
+                  sum(churn)::BIGINT AS d,
+                  sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS t1,
+                  count(*)::BIGINT AS t
+                FROM lf GROUP BY life),
+         risk AS (SELECT life, d1, d,
+                    sum(t1) OVER (ORDER BY life DESC) AS n1,
+                    sum(t) OVER (ORDER BY life DESC) AS n
+                  FROM pl),
+         terms AS (SELECT d1,
+                     d::DOUBLE * n1::DOUBLE / n::DOUBLE AS e,
+                     CASE WHEN n > 1
+                          THEN d::DOUBLE * (n1::DOUBLE / n::DOUBLE) *
+                            (1.0 - n1::DOUBLE / n::DOUBLE) *
+                            (n::DOUBLE - d::DOUBLE) / (n::DOUBLE - 1.0)
+                          ELSE 0.0 END AS v
+                   FROM risk WHERE d > 0),
+         tot AS (SELECT
+                   sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b
+                 FROM lf),
+         agg AS (SELECT sum(d1)::BIGINT AS o_a,
+                   sum(CAST(e AS DECIMAL(28,12)))::DOUBLE AS ea,
+                   sum(CAST(v AS DECIMAL(28,12)))::DOUBLE AS vv
+                 FROM terms)
+         SELECT tot.n_a, tot.n_b, agg.o_a,
+           round(agg.ea, 9) AS e_a, round(agg.vv, 9) AS var_lr,
+           CASE WHEN agg.vv > 0
+                THEN round((agg.o_a::DOUBLE - agg.ea) / sqrt(agg.vv), 6) + 0
+           END AS z_stat
+         FROM tot CROSS JOIN agg""",
+
+    // Theil: identical value-catalog ratios, 9-dp-rounded ln before the
+    // count products, decimal-snapshotted term sums.
+    "q_theil" ->
+      """WITH base AS (
+           SELECT source AS g, n_chars::DOUBLE AS v FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0),
+         cat AS (SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY g, v),
+         per AS (SELECT g, sum(c)::BIGINT AS ng,
+                   sum(CAST(v * c::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS sg
+                 FROM cat GROUP BY g),
+         tot AS (SELECT sum(ng)::BIGINT AS n,
+                   sum(CAST(sg AS DECIMAL(28,6)))::DOUBLE AS s FROM per),
+         w AS (SELECT cat.g AS g,
+                 sum(CAST(cat.c::DOUBLE * (cat.v * per.ng::DOUBLE / per.sg) *
+                   round(ln(cat.v * per.ng::DOUBLE / per.sg), 9)
+                   AS DECIMAL(28,12)))::DOUBLE AS tw
+               FROM cat JOIN per ON cat.g = per.g GROUP BY cat.g),
+         ttl AS (SELECT
+                 sum(CAST(c::DOUBLE * (v * tot.n::DOUBLE / tot.s) *
+                   round(ln(v * tot.n::DOUBLE / tot.s), 9)
+                   AS DECIMAL(28,12)))::DOUBLE AS tt
+               FROM cat CROSS JOIN tot),
+         btw AS (SELECT
+                 sum(CAST((per.sg / tot.s) *
+                   round(ln(per.sg * tot.n::DOUBLE / (tot.s * per.ng::DOUBLE)), 9)
+                   AS DECIMAL(28,12)))::DOUBLE AS tb
+               FROM per CROSS JOIN tot)
+         SELECT per.g AS source, per.ng AS n,
+           round(per.sg / per.ng::DOUBLE, 9) AS mean_value,
+           round(per.sg / tot.s, 9) AS share,
+           CASE WHEN per.ng > 0
+                THEN round(w.tw / per.ng::DOUBLE, 6) + 0 END AS theil_within,
+           round(btw.tb, 6) + 0 AS theil_between,
+           CASE WHEN tot.n > 0
+                THEN round(ttl.tt / tot.n::DOUBLE, 6) + 0 END AS theil_total
+         FROM per JOIN w ON per.g = w.g
+         CROSS JOIN tot CROSS JOIN ttl CROSS JOIN btw
+         ORDER BY source""",
+
+    // Fano: identical dense day grid (quiet days true zeros), exact
+    // integer moments, fixed variance/ratio shapes.
+    "q_fano" ->
+      """WITH daily AS (
+           SELECT event_type AS k, ts::DATE AS day, count(*)::BIGINT AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         keys AS (SELECT DISTINCT k FROM daily),
+         grid AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                  FROM keys CROSS JOIN b),
+         dense AS (SELECT g.k, coalesce(d.c, 0)::BIGINT AS c
+                   FROM grid g LEFT JOIN daily d ON d.k = g.k AND d.day = g.day),
+         per AS (SELECT k, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS n_events,
+                   sum(CAST(c * c AS DECIMAL(38,0)))::DOUBLE AS q
+                 FROM dense GROUP BY k),
+         e AS (SELECT *,
+             n_events::DOUBLE / n_days::DOUBLE AS mean,
+             CASE WHEN n_days > 1
+                  THEN (q - n_events::DOUBLE * n_events::DOUBLE / n_days::DOUBLE) /
+                    (n_days::DOUBLE - 1.0) END AS var
+           FROM per),
+         f AS (SELECT *,
+             CASE WHEN n_events > 0 THEN var / mean END AS fano FROM e)
+         SELECT k AS event_type, n_days, n_events,
+           round(mean, 9) AS mean_daily,
+           round(fano, 6) + 0 AS fano,
+           round((n_days::DOUBLE - 1.0) * fano, 6) + 0 AS dispersion_chi2,
+           ((n_days::DOUBLE - 1.0) * fano > 49.588) AS overdispersed
+         FROM f ORDER BY event_type""",
+
+    // Brier/Murphy: the q_calibration binning, 9-dp bin confidence
+    // before the squared terms, exact accuracy ratios.
+    "q_brier" ->
+      raw"""WITH t AS (
+           SELECT lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks)::DOUBLE AS sc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM t WHERE len(toks) > 0),
+         bb AS (SELECT least(floor(sc * 10), 9)::BIGINT AS bin, y, sc FROM s),
+         raw AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+                   sum(CAST((sc - y::DOUBLE) * (sc - y::DOUBLE)
+                     AS DECIMAL(28,12)))::DOUBLE AS sq
+                 FROM bb),
+         g AS (SELECT bin, count(*)::BIGINT AS nb, sum(y)::BIGINT AS pb,
+                 sum(CAST(sc AS DECIMAL(28,12)))::DOUBLE AS ss
+               FROM bb GROUP BY bin),
+         terms AS (SELECT
+             sum(CAST(g.nb::DOUBLE *
+               (round(g.ss / g.nb, 9) - g.pb::DOUBLE / g.nb::DOUBLE) *
+               (round(g.ss / g.nb, 9) - g.pb::DOUBLE / g.nb::DOUBLE)
+               AS DECIMAL(28,12)))::DOUBLE AS rel,
+             sum(CAST(g.nb::DOUBLE *
+               (g.pb::DOUBLE / g.nb::DOUBLE - raw.n_pos::DOUBLE / raw.n::DOUBLE) *
+               (g.pb::DOUBLE / g.nb::DOUBLE - raw.n_pos::DOUBLE / raw.n::DOUBLE)
+               AS DECIMAL(28,12)))::DOUBLE AS res
+           FROM g CROSS JOIN raw)
+         SELECT raw.n, raw.n_pos,
+           CASE WHEN raw.n > 0 THEN round(raw.sq / raw.n::DOUBLE, 9) END AS brier,
+           CASE WHEN raw.n > 0
+                THEN round(terms.rel / raw.n::DOUBLE, 9) END AS reliability,
+           CASE WHEN raw.n > 0
+                THEN round(terms.res / raw.n::DOUBLE, 9) END AS resolution,
+           CASE WHEN raw.n > 0
+                THEN round((raw.n_pos::DOUBLE / raw.n::DOUBLE) *
+                  (1.0 - raw.n_pos::DOUBLE / raw.n::DOUBLE), 9) END AS uncertainty,
+           CASE WHEN raw.n > 0
+                THEN round(terms.rel / raw.n::DOUBLE - terms.res / raw.n::DOUBLE +
+                  (raw.n_pos::DOUBLE / raw.n::DOUBLE) *
+                  (1.0 - raw.n_pos::DOUBLE / raw.n::DOUBLE), 9) + 0
+           END AS brier_binned
+         FROM raw CROSS JOIN terms""",
+
+    // Stump: identical score catalog, integer-count entropies with
+    // 0·ln0 = 0, rounded-gain argmax with smallest-threshold ties.
+    "q_stump" ->
+      raw"""WITH t AS (
+           SELECT lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks)::DOUBLE AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM t WHERE len(toks) > 0),
+         cat AS (SELECT v, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+                 FROM s GROUP BY v),
+         tot AS (SELECT sum(c)::BIGINT AS n, sum(p)::BIGINT AS n_pos FROM cat),
+         cum AS (SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS nl,
+                   sum(p) OVER (ORDER BY v)::BIGINT AS pl
+                 FROM cat),
+         cand AS (SELECT cum.v, cum.nl, cum.pl, tot.n, tot.n_pos
+                  FROM cum CROSS JOIN tot WHERE cum.nl < tot.n),
+         scored AS (SELECT n, n_pos,
+             round(CASE WHEN n > 0 THEN ln(n::DOUBLE) -
+               ((CASE WHEN n_pos > 0 THEN n_pos::DOUBLE * ln(n_pos::DOUBLE) ELSE 0.0 END) +
+                (CASE WHEN n - n_pos > 0 THEN (n - n_pos)::DOUBLE * ln((n - n_pos)::DOUBLE) ELSE 0.0 END))
+               / n::DOUBLE ELSE 0.0 END, 6) + 0 AS h_parent,
+             v AS threshold, nl AS n_left, pl AS pos_left,
+             round(
+               (CASE WHEN n > 0 THEN ln(n::DOUBLE) -
+                 ((CASE WHEN n_pos > 0 THEN n_pos::DOUBLE * ln(n_pos::DOUBLE) ELSE 0.0 END) +
+                  (CASE WHEN n - n_pos > 0 THEN (n - n_pos)::DOUBLE * ln((n - n_pos)::DOUBLE) ELSE 0.0 END))
+                 / n::DOUBLE ELSE 0.0 END) -
+               (nl::DOUBLE / n::DOUBLE *
+                 (CASE WHEN nl > 0 THEN ln(nl::DOUBLE) -
+                   ((CASE WHEN pl > 0 THEN pl::DOUBLE * ln(pl::DOUBLE) ELSE 0.0 END) +
+                    (CASE WHEN nl - pl > 0 THEN (nl - pl)::DOUBLE * ln((nl - pl)::DOUBLE) ELSE 0.0 END))
+                   / nl::DOUBLE ELSE 0.0 END) +
+                (n - nl)::DOUBLE / n::DOUBLE *
+                 (CASE WHEN n - nl > 0 THEN ln((n - nl)::DOUBLE) -
+                   ((CASE WHEN n_pos - pl > 0 THEN (n_pos - pl)::DOUBLE * ln((n_pos - pl)::DOUBLE) ELSE 0.0 END) +
+                    (CASE WHEN (n - nl) - (n_pos - pl) > 0 THEN ((n - nl) - (n_pos - pl))::DOUBLE * ln(((n - nl) - (n_pos - pl))::DOUBLE) ELSE 0.0 END))
+                   / (n - nl)::DOUBLE ELSE 0.0 END)), 6) + 0 AS info_gain
+           FROM cand)
+         SELECT n, n_pos, h_parent, threshold, n_left, pos_left, info_gain
+         FROM scored
+         QUALIFY row_number() OVER (ORDER BY info_gain DESC, threshold ASC) = 1""",
+
+    // Participation ratio: the q_embed_cov covariance (6-dp contract)
+    // rolled to trace²/frobenius² — identical entry rounding, decimal-
+    // snapshotted sums, one fixed division chain.
+    "q_effective_rank" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         p AS (SELECT unnest(flatten(list_transform(range(0, len(v)), i ->
+                 list_transform(range(i, len(v)), j ->
+                   {'i': i, 'j': j, 'xy': v[i+1]::DOUBLE * v[j+1]::DOUBLE})))) AS s
+               FROM e),
+         agg AS (SELECT s.i AS i, s.j AS j,
+                   sum(CAST(s.xy AS DECIMAL(28,12)))::DOUBLE AS sxy, count(*) AS n
+                 FROM p GROUP BY 1, 2),
+         m AS (SELECT u.i AS i, sum(CAST(u.x AS DECIMAL(28,12)))::DOUBLE AS sx FROM
+                 (SELECT unnest(list_transform(range(0, len(v)), i ->
+                    {'i': i, 'x': v[i+1]::DOUBLE})) AS u FROM e) t
+               GROUP BY 1),
+         cov AS (SELECT a.i, a.j,
+                   round(a.sxy / a.n - (mi.sx / a.n) * (mj.sx / a.n), 6) + 0 AS cov
+                 FROM agg a JOIN m mi ON a.i = mi.i JOIN m mj ON a.j = mj.i),
+         r AS (SELECT sum(CASE WHEN i = j THEN 1 ELSE 0 END)::BIGINT AS d,
+                 sum(CAST(CASE WHEN i = j THEN cov ELSE 0.0 END
+                   AS DECIMAL(28,12)))::DOUBLE AS tr,
+                 sum(CAST(CASE WHEN i = j THEN cov * cov ELSE 2.0 * cov * cov END
+                   AS DECIMAL(28,12)))::DOUBLE AS fr
+               FROM cov)
+         SELECT d, round(tr, 9) + 0 AS trace, round(fr, 9) AS frob_sq,
+           CASE WHEN fr > 0
+                THEN round(tr * tr / fr, 6) + 0 END AS participation_ratio,
+           CASE WHEN fr > 0 AND d > 0
+                THEN round(tr * tr / fr / d::DOUBLE, 6) + 0 END AS pr_fraction
+         FROM r""",
+
+    // CKA: identical md5 sign projection (the q_jl_distortion replay),
+    // the three C138-shaped moment fans with 6-dp entries, fixed
+    // Frobenius/ratio shapes.
+    "q_cka" ->
+      """WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
+         signs AS (
+           SELECT j,
+             list(CASE WHEN ('0x' || substr(md5('rp:' || j::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END ORDER BY d) AS srow
+           FROM (SELECT unnest(range(16)) AS j),
+                (SELECT unnest(range(1, 65)) AS d)
+           GROUP BY j),
+         proj AS (
+           SELECT e.vec_id,
+             list(list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(e.x) + 1),
+                   i -> e.x[i]::DOUBLE * s.srow[i])),
+               (a, b) -> a + b) / sqrt(16.0) ORDER BY s.j) AS y
+           FROM e, signs s GROUP BY e.vec_id),
+         base AS (SELECT e.x AS x, proj.y AS y FROM e JOIN proj USING (vec_id)),
+         xxp AS (SELECT unnest(flatten(list_transform(range(0, len(x)), i ->
+                   list_transform(range(i, len(x)), j ->
+                     {'i': i, 'j': j, 'xy': x[i+1]::DOUBLE * x[j+1]::DOUBLE})))) AS s
+                 FROM base),
+         xxa AS (SELECT s.i AS i, s.j AS j,
+                   sum(CAST(s.xy AS DECIMAL(28,12)))::DOUBLE AS sxy, count(*) AS n
+                 FROM xxp GROUP BY 1, 2),
+         xm AS (SELECT u.i AS i, sum(CAST(u.x AS DECIMAL(28,12)))::DOUBLE AS sx FROM
+                  (SELECT unnest(list_transform(range(0, len(x)), i ->
+                     {'i': i, 'x': x[i+1]::DOUBLE})) AS u FROM base) t
+                GROUP BY 1),
+         xxf AS (SELECT sum(CAST(CASE WHEN c.i = c.j THEN c.cov * c.cov
+                     ELSE 2.0 * c.cov * c.cov END AS DECIMAL(28,12)))::DOUBLE AS f
+                 FROM (SELECT a.i, a.j,
+                         round(a.sxy / a.n - (mi.sx / a.n) * (mj.sx / a.n), 6) + 0 AS cov
+                       FROM xxa a JOIN xm mi ON a.i = mi.i JOIN xm mj ON a.j = mj.i) c),
+         yyp AS (SELECT unnest(flatten(list_transform(range(0, len(y)), i ->
+                   list_transform(range(i, len(y)), j ->
+                     {'i': i, 'j': j, 'xy': y[i+1] * y[j+1]})))) AS s
+                 FROM base),
+         yya AS (SELECT s.i AS i, s.j AS j,
+                   sum(CAST(s.xy AS DECIMAL(28,12)))::DOUBLE AS sxy, count(*) AS n
+                 FROM yyp GROUP BY 1, 2),
+         ym AS (SELECT u.i AS i, sum(CAST(u.x AS DECIMAL(28,12)))::DOUBLE AS sx FROM
+                  (SELECT unnest(list_transform(range(0, len(y)), i ->
+                     {'i': i, 'x': y[i+1]})) AS u FROM base) t
+                GROUP BY 1),
+         yyf AS (SELECT sum(CAST(CASE WHEN c.i = c.j THEN c.cov * c.cov
+                     ELSE 2.0 * c.cov * c.cov END AS DECIMAL(28,12)))::DOUBLE AS f
+                 FROM (SELECT a.i, a.j,
+                         round(a.sxy / a.n - (mi.sx / a.n) * (mj.sx / a.n), 6) + 0 AS cov
+                       FROM yya a JOIN ym mi ON a.i = mi.i JOIN ym mj ON a.j = mj.i) c),
+         xyp AS (SELECT unnest(flatten(list_transform(range(0, len(x)), i ->
+                   list_transform(range(0, len(y)), j ->
+                     {'i': i, 'j': j, 'xy': x[i+1]::DOUBLE * y[j+1]})))) AS s
+                 FROM base),
+         xya AS (SELECT s.i AS i, s.j AS j,
+                   sum(CAST(s.xy AS DECIMAL(28,12)))::DOUBLE AS sxy, count(*) AS n
+                 FROM xyp GROUP BY 1, 2),
+         xyf AS (SELECT sum(CAST(c.cov * c.cov AS DECIMAL(28,12)))::DOUBLE AS f,
+                   max(c.n) AS n
+                 FROM (SELECT a.i, a.j, a.n,
+                         round(a.sxy / a.n - (mi.sx / a.n) * (mj.sx / a.n), 6) + 0 AS cov
+                       FROM xya a JOIN xm mi ON a.i = mi.i JOIN ym mj ON a.j = mj.i) c)
+         SELECT xyf.n, 64::BIGINT AS d, 16::BIGINT AS k,
+           round(xyf.f, 9) AS cross_frob_sq,
+           round(xxf.f, 9) AS x_frob_sq,
+           round(yyf.f, 9) AS y_frob_sq,
+           CASE WHEN xxf.f > 0 AND yyf.f > 0
+                THEN round(xyf.f / (sqrt(xxf.f) * sqrt(yyf.f)), 6) + 0 END AS cka
+         FROM xyf CROSS JOIN xxf CROSS JOIN yyf""",
+
+    // Post-hoc: identical group moments, fixed Welch shapes per pair,
+    // the same Bonferroni critical literal.
+    "q_posthoc" ->
+      """WITH per AS (
+           SELECT source AS g, count(*)::BIGINT AS n,
+             sum(CAST(n_chars::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS s,
+             sum(CAST(n_chars::DOUBLE * n_chars::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS q
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+         pairs AS (
+           SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+             a.s / a.n::DOUBLE AS mean_a, b.s / b.n::DOUBLE AS mean_b,
+             CASE WHEN a.n > 1
+                  THEN (a.q - a.s * a.s / a.n::DOUBLE) / (a.n::DOUBLE - 1.0) END AS va,
+             CASE WHEN b.n > 1
+                  THEN (b.q - b.s * b.s / b.n::DOUBLE) / (b.n::DOUBLE - 1.0) END AS vb
+           FROM per a JOIN per b ON a.g < b.g),
+         e AS (SELECT *, va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2 FROM pairs)
+         SELECT g_a, g_b, n_a, n_b,
+           round(mean_a, 9) AS mean_a, round(mean_b, 9) AS mean_b,
+           CASE WHEN se2 > 0
+                THEN round((mean_a - mean_b) / sqrt(se2), 6) + 0 END AS z_stat,
+           CASE WHEN se2 > 0
+                THEN abs((mean_a - mean_b) / sqrt(se2)) > 3.651 END AS significant
+         FROM e ORDER BY g_a, g_b""",
+
+    // HHI: exact decimal group sums, one share division, decimal-
+    // snapshotted squares, one reciprocal.
+    "q_hhi" ->
+      """WITH per AS (
+           SELECT source AS g, sum(CAST(n_chars::DOUBLE AS DECIMAL(28,6)))::DOUBLE AS s
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+         tot AS (SELECT count(*)::BIGINT AS k,
+                   sum(CAST(s AS DECIMAL(28,6)))::DOUBLE AS t FROM per),
+         agg AS (SELECT max(tot.k) AS k,
+                   sum(CAST((per.s / tot.t) * (per.s / tot.t)
+                     AS DECIMAL(28,12)))::DOUBLE AS hhi
+                 FROM per CROSS JOIN tot)
+         SELECT k, round(hhi, 9) AS hhi,
+           CASE WHEN hhi > 0 THEN round(1.0 / hhi, 6) + 0 END AS effective_sources
+         FROM agg""",
+
+    // Readability: the same three integer regex counts, fixed per-doc
+    // grade shape, decimal-snapshotted group mean.
+    "q_readability" ->
+      raw"""WITH d AS (
+           SELECT source,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS sn,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS sy
+           FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT source, w, sn, sy,
+             0.39 * (w::DOUBLE / sn::DOUBLE) + 11.8 * (sy::DOUBLE / w::DOUBLE) - 15.59 AS grade
+           FROM d WHERE w > 0)
+         SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+           round(sum(w)::DOUBLE / sum(sn)::DOUBLE, 9) AS words_per_sentence,
+           round(sum(sy)::DOUBLE / sum(w)::DOUBLE, 9) AS syllables_per_word,
+           round(sum(CAST(grade AS DECIMAL(28,12)))::DOUBLE / count(*)::DOUBLE, 6) + 0
+             AS mean_grade
+         FROM f GROUP BY source ORDER BY source""",
 
     // Language ID: the same normalized trigram fan, top-64 profiles
     // (count desc, trigram asc), integer overlap argmax, 'unknown'

@@ -781,4 +781,139 @@ object EventOps {
         when(col("_maxe") >= thr, lit("reject_h0"))
           .otherwise(lit("continue")).as("decision"))
   }
+
+  /** Minimum detectable effect + Cohen's d for a two-cohort experiment
+    * (r18b) — the PLANNING member of the experimentation shelf: C230/
+    * C209 test a snapshot, C264's CUPED shrinks the variance, C277/C278
+    * decide when to stop; THIS says what the current sample can even
+    * see. MDE = (z_{1−α/2} + z_{power})·√(v_A/n_A + v_B/n_B) — the
+    * smallest true mean difference the test would flag at the given
+    * size/power — plus Cohen's d = (m_A − m_B)/s_pooled, the
+    * standardized effect actually observed (at corpus scale every
+    * difference is "significant"; d says whether it is 0.02σ noise or
+    * a 0.5σ shift worth acting on). An MDE far above |m_A − m_B| reads
+    * "this experiment cannot answer its question yet".
+    *
+    * The z quantiles enter as caller-passed 9-dp literals (defaults
+    * Φ⁻¹(0.975) = 1.959963985, Φ⁻¹(0.8) = 0.841621234) — the C265
+    * convention: the inverse-normal transcendental is a cross-engine
+    * ulp hazard, a short decimal literal is not.
+    *
+    * Portability/scale: per-unit metric = exact decimal event-value
+    * sum (ONE unit-keyed map-side-combinable aggregate collapses the
+    * stream); cohort moments are exact decimal sums over the unit
+    * table; every division/√ is a fixed IEEE shape. n ≤ 1 on a side or
+    * a zero variance NULLs the affected statistics, never throws.
+    */
+  def mdePower(df: DataFrame, unitCol: String, isA: Column => Column,
+               valueCol: Column,
+               zAlpha: Double = 1.959963985, zPower: Double = 0.841621234): DataFrame = {
+    val per = df.where(valueCol.isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(sum(valueCol.cast("decimal(28,6)")).cast("double").as("_m"))
+      .select(isA(col("_u")).as("_a"), col("_m"))
+    val agg = per.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      Portable.decSum(when(col("_a"), col("_m")).otherwise(lit(0.0)), 6).as("_sa"),
+      Portable.decSum(when(!col("_a"), col("_m")).otherwise(lit(0.0)), 6).as("_sb"),
+      Portable.decSum(when(col("_a"), col("_m") * col("_m")).otherwise(lit(0.0)), 6)
+        .as("_qa"),
+      Portable.decSum(when(!col("_a"), col("_m") * col("_m")).otherwise(lit(0.0)), 6)
+        .as("_qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val meanA = col("_sa") / na
+    val meanB = col("_sb") / nb
+    // variances are NULL-guarded at the DIVISION (not just at the output
+    // projection): ANSI mode evaluates `when` CONDITIONS unconditionally,
+    // so a bare (n−1) divisor would throw on a one-unit cohort before
+    // any outer guard could suppress it. NULL propagates instead.
+    val varA = when(col("n_a") > 1,
+      (col("_qa") - col("_sa") * col("_sa") / na) / (na - 1.0))
+    val varB = when(col("n_b") > 1,
+      (col("_qb") - col("_sb") * col("_sb") / nb) / (nb - 1.0))
+    val se2 = varA / na + varB / nb
+    val sp2 = ((na - 1.0) * varA + (nb - 1.0) * varB) / (na + nb - 2.0)
+    val meanAll = (col("_sa") + col("_sb")) / (na + nb)
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(meanA, 9)).as("mean_a"),
+      when(col("n_b") > 0, round(meanB, 9)).as("mean_b"),
+      when(sp2 > 0,
+        Portable.pround((meanA - meanB) / sqrt(sp2), 6)).as("cohens_d"),
+      when(se2 > 0, round(sqrt(se2), 9)).as("se_diff"),
+      when(se2 > 0,
+        round(lit(zAlpha + zPower) * sqrt(se2), 6)).as("mde_abs"),
+      when(se2 > 0 && meanAll =!= 0.0,
+        Portable.pround(lit(zAlpha + zPower) * sqrt(se2) / meanAll, 6)).as("mde_rel"))
+  }
+
+  /** Log-rank test between two survival cohorts (r18b) — do cohorts A
+    * and B CHURN at the same rate, the hypothesis test over the
+    * [[kaplanMeier]] curves (Mantel 1966; the same O−E machinery as
+    * C283's Mantel–Haenszel, stratified by event TIME instead of day):
+    * at each distinct lifetime with d > 0 churn events, cohort A's
+    * observed events d₁ are compared to the hypergeometric expectation
+    * d·n₁/n given the at-risk sets, and z = (O−E)/√V with
+    * V = Σ d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1). Censored units (still alive
+    * at the corpus edge) leave the risk set without counting as events
+    * — the naive "compare mean lifetimes" read cannot do this and
+    * biases toward whichever cohort joined earlier.
+    *
+    * Portability: lifetimes/cells/risk sets are exact integers (the
+    * at-risk sets are one DESCENDING cumulative window over the
+    * bounded lifetime catalog); each E/V term is a fixed double shape,
+    * decimal-snapshotted before the final sums; the single √/division
+    * is the only remaining float step. No churn events or V = 0 →
+    * NULL z, never a throw.
+    *
+    * Scale shape: one unit-keyed aggregate collapses the corpus, one
+    * lifetime-keyed aggregate collapses the units to the day-span
+    * catalog; everything after is catalog-sized.
+    */
+  def logRank(df: DataFrame, userCol: String, tsCol: String,
+              isA: Column => Column, censorDays: Int = 7,
+              unitDays: Int = 30): DataFrame = {
+    val perUser = df.groupBy(col(userCol).as("_u"))
+      .agg(to_date(min(col(tsCol))).as("_f"), to_date(max(col(tsCol))).as("_l"))
+    val gmax = perUser.agg(max("_l").as("_gmax"))
+    val lives = perUser.crossJoin(broadcast(gmax))
+      .select((datediff(col("_l"), col("_f")).cast("long") / unitDays)
+          .cast("long").as("_life"), // int floor-div: datediff >= 0
+        (col("_l") < date_sub(col("_gmax"), censorDays)).as("_churn"),
+        isA(col("_u")).as("_a"))
+    val perLife = lives.groupBy("_life").agg(
+      sum(when(col("_churn") && col("_a"), 1L).otherwise(0L)).as("_d1"),
+      sum(when(col("_churn"), 1L).otherwise(0L)).as("_d"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("_t1"),
+      count(lit(1)).as("_t"))
+    val wDesc = Portable.kRowWindow(col("_life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = perLife
+      .withColumn("_n1", sum("_t1").over(wDesc))
+      .withColumn("_n", sum("_t").over(wDesc))
+    val nD = col("_n").cast("double")
+    val n1D = col("_n1").cast("double")
+    val dD = col("_d").cast("double")
+    val terms = risk.where(col("_d") > 0).select(
+      col("_d1"),
+      (dD * n1D / nD).as("_e"),
+      when(col("_n") > 1,
+        dD * (n1D / nD) * (lit(1.0) - n1D / nD) * (nD - dD) / (nD - 1.0))
+        .otherwise(lit(0.0)).as("_v"))
+    val tot = lives.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+    val agg = terms.agg(
+      sum("_d1").as("o_a"),
+      Portable.decSum(col("_e"), 12).as("_ea"),
+      Portable.decSum(col("_v"), 12).as("_vv"))
+    tot.crossJoin(broadcast(agg))
+      .select(col("n_a"), col("n_b"), col("o_a"),
+        round(col("_ea"), 9).as("e_a"),
+        round(col("_vv"), 9).as("var_lr"),
+        when(col("_vv") > 0,
+          Portable.pround((col("o_a").cast("double") - col("_ea")) / sqrt(col("_vv")), 6))
+          .as("z_stat"))
+  }
 }

@@ -2769,4 +2769,340 @@ object Profiling {
         Portable.pround(col("_beta"), 6).as("beta"),
         Portable.pround(col("_mu") + col("_beta") * col("_p.c"), 6).as("return_level"))
   }
+
+  /** One-way ANOVA F (r18b) — do the group MEANS differ, the classical
+    * parametric companion of [[kruskalWallis]] (which asks the same of
+    * whole distributions via ranks): F = (SSB/(k−1))/(SSW/(N−k)) with
+    * SSB = Σ S_g²/n_g − S²/N and SSW = ΣQ − Σ S_g²/n_g from per-group
+    * sum/sum-of-squares moments. η² = SSB/(SSB+SSW) rides along — the
+    * EFFECT SIZE a large-N pipeline needs next to the statistic (at
+    * corpus scale everything is "significant"; η² says whether the
+    * group label explains 0.1% or 40% of the variance).
+    *
+    * Portability: per-group moments are exact decimal sums; the
+    * between-group term S_g²/n_g is one fixed double shape per group,
+    * decimal-snapshotted before the k-row roll-up, so SSB/SSW/F are
+    * fixed IEEE shapes on bit-identical inputs. Degenerate inputs
+    * (k < 2, N ≤ k, SSW = 0) NULL the statistic, never throw.
+    *
+    * Scale shape: ONE group hash aggregate collapses the corpus to the
+    * group catalog; everything after is catalog-sized.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("double").as("_v"))
+    val agg = anovaMoments(base)
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("_sb") - col("_st") * col("_st") / nD
+    val ssw = col("_qt") - col("_sb")
+    agg.select(col("k"), col("n"),
+      when(col("n") > 0, Portable.pround(ssb, 6)).as("ss_between"),
+      when(col("n") > 0, Portable.pround(ssw, 6)).as("ss_within"),
+      when(col("k") > 0, col("k") - 1L).as("df1"),
+      when(col("n") > col("k"), col("n") - col("k")).as("df2"),
+      when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+        Portable.pround((ssb / (kD - 1.0)) / (ssw / (nD - kD)), 6)).as("f_stat"),
+      when(col("n") > 0 && ssb + ssw > 0,
+        Portable.pround(ssb / (ssb + ssw), 6)).as("eta_sq"))
+  }
+
+  /** Shared one-way moment roll-up for [[anovaF]] / [[brownForsythe]]:
+    * per-group (n, ΣX, ΣX²) exact decimal moments off a (_g, _v) frame,
+    * then the k-row catalog collapsed to one row carrying k, N, ΣS, ΣQ
+    * and the decimal-snapshotted between-group sum Σ S_g²/n_g.
+    */
+  private def anovaMoments(base: DataFrame): DataFrame =
+    anovaRollup(base.groupBy("_g").agg(
+      count(lit(1)).as("_n"),
+      Portable.decSum(col("_v"), 6).as("_s"),
+      Portable.decSum(col("_v") * col("_v"), 6).as("_q")))
+
+  private def anovaRollup(per: DataFrame): DataFrame =
+    per.agg(
+      count(lit(1)).as("k"), sum("_n").as("n"),
+      Portable.decSum(col("_s"), 6).as("_st"),
+      Portable.decSum(col("_q"), 6).as("_qt"),
+      Portable.decSum(col("_s") * col("_s") / col("_n").cast("double"), 12)
+        .as("_sb"))
+
+  /** Brown–Forsythe variance-homogeneity test (r18b) — the assumption
+    * check UNDER [[anovaF]] (and under every pooled-variance step the
+    * experimentation shelf takes): do the groups have equal SPREAD,
+    * measured as the one-way ANOVA F of the absolute deviations from
+    * each group's MEDIAN (Brown & Forsythe 1974 — the median-centered
+    * Levene variant, robust to heavy tails where mean-centering is not).
+    * Output is one row per group (n, median, mean |dev|) with the
+    * W statistic alongside — the per-group spreads are what a reader
+    * acts on (which SOURCE is the noisy one), W is the gate.
+    *
+    * The group median is the LOWER median (the value whose cumulative
+    * count first reaches ⌈n/2⌉), picked off the per-group VALUE CATALOG
+    * cumulative — the weightedMedian/Lorenz discipline: both engines
+    * pick the identical physical value, no interpolation, never a
+    * row-scale global sort. Deviations are exact (integer inputs −
+    * integer median); the W roll-up reuses [[anovaF]]'s moment shapes.
+    *
+    * Scale shape: one (group, value) hash aggregate bounds everything
+    * downstream by the value catalog; the median map is catalog-sized
+    * and broadcast back onto the rows for the deviation aggregate.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("double").as("_v"))
+    val cat = base.groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    val wg = Window.partitionBy("_g").orderBy("_v")
+    val thr = floor((col("_n") + 1).cast("double") / 2.0).cast("long")
+    val med = cat
+      .withColumn("_cc", sum("_c").over(wg))
+      .withColumn("_n", sum("_c").over(Window.partitionBy("_g")))
+      .where(col("_cc") >= thr && col("_cc") - col("_c") < thr)
+      .select(col("_g"), col("_v").as("_med"))
+    val dev = base.join(broadcast(med), Seq("_g"))
+      .select(col("_g"), abs(col("_v") - col("_med")).as("_v"), col("_med"))
+    val per = dev.groupBy("_g").agg(
+      count(lit(1)).as("_n"), max("_med").as("_median"),
+      Portable.decSum(col("_v"), 6).as("_s"),
+      Portable.decSum(col("_v") * col("_v"), 6).as("_q"))
+    val agg = anovaRollup(per)
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("_sb") - col("_st") * col("_st") / nD
+    val ssw = col("_qt") - col("_sb")
+    per.crossJoin(broadcast(agg))
+      .select(col("_g").as(groupCol), col("_n").as("n"),
+        round(col("_median"), 6).as("median"),
+        round(col("_s") / col("_n").cast("double"), 9).as("mean_absdev"),
+        when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+          Portable.pround((ssb / (kD - 1.0)) / (ssw / (nD - kD)), 6)).as("w_stat"))
+  }
+
+  /** Theil T inequality index with between/within decomposition (r18b)
+    * — the DECOMPOSABLE member of the inequality family (C146's Gini is
+    * the summary area, C263's Lorenz the curve; only Theil splits
+    * additively): T = (1/N)Σ(x/μ)ln(x/μ), and
+    * T = T_between + Σ_g (S_g/S)·T_g — "how much corpus inequality is
+    * BETWEEN sources vs inside them", the read that decides whether a
+    * data-balance fix is a mixing-weight change (between) or a
+    * per-source cleanup (within). Positive values only (Theil's domain;
+    * zero-length docs are excluded, documented).
+    *
+    * Portability: everything evaluates on the VALUE CATALOG (one
+    * (group, value) hash aggregate bounds all downstream work — never a
+    * row-scale ln). Each ratio is integer-exact sums in one fixed double
+    * shape; ln outputs round at 9 dp BEFORE the count products (the
+    * TF-IDF rule), so every term is bit-identical cross-engine; term
+    * sums decimal-snapshot at 12. The decomposition identity then holds
+    * to the 9-dp rounding of ln, not exactly — T_total is therefore
+    * computed from the row-level definition, not as the sum.
+    */
+  def theilIndex(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val base = df.where(valueCol.isNotNull && valueCol > 0)
+      .select(col(groupCol).as("_g"), valueCol.cast("double").as("_v"))
+    val cat = base.groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    val per = cat.groupBy("_g").agg(
+      sum("_c").as("_ng"),
+      Portable.decSum(col("_v") * col("_c").cast("double"), 6).as("_sg"))
+    val tot = per.agg(sum("_ng").as("_n"),
+      Portable.decSum(col("_sg"), 6).as("_s"))
+    def ln9(c: Column): Column = round(log(c), 9)
+    val cD = col("_c").cast("double")
+    // within: r = v·n_g/S_g per catalog row, T_g = Σ c·r·ln9(r) / n_g
+    val rW = col("_v") * col("_ng").cast("double") / col("_sg")
+    val within = cat.join(broadcast(per), Seq("_g"))
+      .select(col("_g"), (cD * rW * ln9(rW)).as("_t"))
+      .groupBy("_g").agg(Portable.decSum(col("_t"), 12).as("_tw"))
+    // total: r = v·N/S per catalog row, T = Σ c·r·ln9(r) / N
+    val rT = col("_v") * col("_n").cast("double") / col("_s")
+    val total = cat.crossJoin(broadcast(tot))
+      .agg(Portable.decSum(cD * rT * ln9(rT), 12).as("_tt"))
+    // between: Σ_g (S_g/S)·ln9(S_g·N / (S·n_g))
+    val share = col("_sg") / col("_s")
+    val rB = col("_sg") * col("_n").cast("double") /
+      (col("_s") * col("_ng").cast("double"))
+    val perT = per.crossJoin(broadcast(tot))
+    val between = perT.agg(Portable.decSum(share * ln9(rB), 12).as("_tb"))
+    perT.join(within, Seq("_g"))
+      .crossJoin(broadcast(total)).crossJoin(broadcast(between))
+      .select(col("_g").as(groupCol), col("_ng").as("n"),
+        round(col("_sg") / col("_ng").cast("double"), 9).as("mean_value"),
+        round(share, 9).as("share"),
+        when(col("_ng") > 0,
+          Portable.pround(col("_tw") / col("_ng").cast("double"), 6)).as("theil_within"),
+        Portable.pround(col("_tb"), 6).as("theil_between"),
+        when(col("_n") > 0,
+          Portable.pround(col("_tt") / col("_n").cast("double"), 6)).as("theil_total"))
+  }
+
+  /** Murphy decomposition of the Brier score (r18b) — the calibration
+    * ACCOUNTING that C187's ECE summary cannot give: over the same
+    * fixed-width score bins, Brier_binned = REL − RES + UNC
+    * (reliability: how far bin confidence sits from bin accuracy —
+    * smaller is better; resolution: how much the bins separate the base
+    * rate — LARGER is better; uncertainty: the base rate's own
+    * variance, the floor no forecaster can beat). Two scores with equal
+    * ECE can differ entirely in resolution — this says whether the
+    * score is merely honest or actually informative. The RAW per-row
+    * Brier rides along (it differs from the binned one by the
+    * within-bin score variance).
+    *
+    * Portability: binning is floor(score·nBins) clamped to the top bin
+    * (the C187 shape); bin confidence rounds at 9 dp before entering
+    * any squared term; accuracies are exact integer ratios; every
+    * squared term is one fixed double shape decimal-snapshotted at 12.
+    * Two hash aggregates over ≤ nBins rows + broadcast totals.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: Column, labelCol: Column,
+                         nBins: Int = 10): DataFrame = {
+    val binned = df.select(
+      least(floor(scoreCol * nBins), lit(nBins - 1)).cast("long").as("_bin"),
+      labelCol.cast("boolean").cast("long").as("_y"),
+      scoreCol.as("_s"))
+    val raw = binned.agg(
+      count(lit(1)).as("n"), sum("_y").as("n_pos"),
+      Portable.decSum((col("_s") - col("_y").cast("double")) *
+        (col("_s") - col("_y").cast("double")), 12).as("_sq"))
+    val g = binned.groupBy("_bin").agg(
+      count(lit(1)).as("_nb"), sum("_y").as("_pb"),
+      Portable.decSum(col("_s"), 12).as("_ss"))
+    val conf = round(col("_ss") / col("_nb"), 9)
+    val acc = col("_pb").cast("double") / col("_nb").cast("double")
+    val obar = col("n_pos").cast("double") / col("n").cast("double")
+    val nbD = col("_nb").cast("double")
+    val terms = g.crossJoin(broadcast(raw))
+      .agg(
+        Portable.decSum(nbD * (conf - acc) * (conf - acc), 12).as("_rel"),
+        Portable.decSum(nbD * (acc - obar) * (acc - obar), 12).as("_res"))
+    val nD = col("n").cast("double")
+    raw.crossJoin(broadcast(terms))
+      .select(col("n"), col("n_pos"),
+        when(col("n") > 0, round(col("_sq") / nD, 9)).as("brier"),
+        when(col("n") > 0, round(col("_rel") / nD, 9)).as("reliability"),
+        when(col("n") > 0, round(col("_res") / nD, 9)).as("resolution"),
+        when(col("n") > 0, round(obar * (lit(1.0) - obar), 9)).as("uncertainty"),
+        when(col("n") > 0,
+          Portable.pround(col("_rel") / nD - col("_res") / nD +
+            obar * (lit(1.0) - obar), 9)).as("brier_binned"))
+  }
+
+  /** Decision-stump threshold learner (r18b) — the best single
+    * "score ≤ t" split of a binary label by information gain: the
+    * SUPERVISED way to pick a quality-filter cutoff (C122's quantile
+    * boundary picks by rank, C180's AUC says the ranking separates,
+    * C187 says the values are honest; THIS says where to CUT and how
+    * much label entropy the cut removes). One row out: the argmax-gain
+    * threshold with its child counts.
+    *
+    * Portability: candidate splits are exactly the score's VALUE
+    * CATALOG (both engines enumerate identical candidates — the score
+    * must be a deterministic shared shape, e.g. an exact ratio of
+    * integer counts); entropies use C110/C273's integer-count shape
+    * H = ln n − Σc·ln c/n with 0·ln 0 = 0 guarded, decimal-snapshotted
+    * cumulative counts, gains one fixed double shape; argmax ties break
+    * to the smallest threshold. One catalog aggregate + one bounded
+    * cumulative window — never a row-scale sort.
+    */
+  def decisionStump(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val base = df.where(scoreCol.isNotNull)
+      .select(scoreCol.as("_v"), labelCol.cast("boolean").cast("long").as("_y"))
+    val cat = base.groupBy("_v").agg(count(lit(1)).as("_c"), sum("_y").as("_p"))
+    val wCum = Portable.kRowWindow(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cat.agg(sum("_c").as("n"), sum("_p").as("n_pos"))
+    def clg(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    def hh(n: Column, p: Column): Column =
+      when(n > 0, log(n.cast("double")) - (clg(p) + clg(n - p)) / n.cast("double"))
+        .otherwise(lit(0.0))
+    val cum = cat
+      .withColumn("_nl", sum("_c").over(wCum))
+      .withColumn("_pl", sum("_p").over(wCum))
+      .crossJoin(broadcast(tot))
+      .where(col("_nl") < col("n"))
+    val nr = col("n") - col("_nl")
+    val pr = col("n_pos") - col("_pl")
+    val hParent = hh(col("n"), col("n_pos"))
+    val weighted =
+      col("_nl").cast("double") / col("n").cast("double") * hh(col("_nl"), col("_pl")) +
+        nr.cast("double") / col("n").cast("double") * hh(nr, pr)
+    val scored = cum.select(col("n"), col("n_pos"),
+      Portable.pround(hParent, 6).as("h_parent"),
+      col("_v").as("threshold"), col("_nl").as("n_left"), col("_pl").as("pos_left"),
+      Portable.pround(hParent - weighted, 6).as("info_gain"))
+    val wPick = Portable.kRowWindow(col("info_gain").desc, col("threshold").asc)
+    scored.withColumn("_rn", row_number().over(wPick))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Post-hoc pairwise Welch comparisons (r18b) — WHICH groups differ,
+    * the follow-up C289/C281 demand (an omnibus "the sources differ"
+    * is unactionable until someone says which pairs): for every group
+    * pair, Welch's z = (m₁−m₂)/√(v₁/n₁+v₂/n₂) flagged against a
+    * caller-passed BONFERRONI-adjusted critical literal
+    * z_{1−α/(2m)} over the m = k(k−1)/2 pairs — the C265
+    * convention: the inverse-normal is a cross-engine transcendental,
+    * the caller owns the family-α/m choice as one 9-dp literal. At
+    * corpus n the z is effectively Gaussian (Welch df in the
+    * thousands), which is why z and not t.
+    *
+    * Portability/scale: ONE group hash aggregate collapses the corpus
+    * to (n, ΣX, ΣX²) moments; the pair fan is the k²-bounded catalog
+    * self-join (broadcast); variances NULL-guard at the (n−1) division
+    * (the ANSI lesson); mean/variance/z are fixed IEEE shapes.
+    */
+  def posthocPairwise(df: DataFrame, groupCol: String, valueCol: Column,
+                      zCrit: Double): DataFrame = {
+    val per = df.where(valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("double").as("_v"))
+      .groupBy("_g").agg(
+        count(lit(1)).as("_n"),
+        Portable.decSum(col("_v"), 6).as("_s"),
+        Portable.decSum(col("_v") * col("_v"), 6).as("_q"))
+    def side(tag: String) = per.select(
+      col("_g").as(s"g_$tag"), col("_n").as(s"_n$tag"),
+      col("_s").as(s"_s$tag"), col("_q").as(s"_q$tag"))
+    def nD(t: String) = col(s"_n$t").cast("double")
+    def mean(t: String) = col(s"_s$t") / nD(t)
+    def variance(t: String) = when(col(s"_n$t") > 1,
+      (col(s"_q$t") - col(s"_s$t") * col(s"_s$t") / nD(t)) / (nD(t) - 1.0))
+    val se2 = variance("a") / nD("a") + variance("b") / nD("b")
+    val z = (mean("a") - mean("b")) / sqrt(se2)
+    side("a").join(broadcast(side("b")), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        round(mean("a"), 9).as("mean_a"),
+        round(mean("b"), 9).as("mean_b"),
+        when(se2 > 0, Portable.pround(z, 6)).as("z_stat"),
+        when(se2 > 0, abs(z) > zCrit).as("significant"))
+  }
+
+  /** Herfindahl–Hirschman concentration of a weight column over groups
+    * (r18b) — the concentration CLOSER of the balance family (C146
+    * Gini = dispersion across items, C293 Theil = decomposable
+    * inequality, HHI = how concentrated the corpus is across SOURCES):
+    * HHI = Σ share_g², and 1/HHI is the "effective number of sources"
+    * — a corpus drawing 90% of its mass from two domains has effective
+    * 2-ish sources no matter how many the catalog lists, the
+    * diversity read a mixing plan starts from.
+    *
+    * Portability: shares are one fixed double division off exact
+    * decimal group sums; their squares decimal-snapshot; the final
+    * reciprocal is one division. One group hash aggregate; k rows in,
+    * one row out.
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String, weightCol: Column): DataFrame = {
+    val per = df.where(weightCol.isNotNull)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(Portable.decSum(weightCol.cast("double"), 6).as("_s"))
+    val tot = per.agg(count(lit(1)).as("k"),
+      Portable.decSum(col("_s"), 6).as("_t"))
+    val share = col("_s") / col("_t")
+    val agg = per.crossJoin(broadcast(tot))
+      .agg(max("k").as("k"),
+        Portable.decSum(share * share, 12).as("_hhi"))
+    agg.select(col("k"),
+      round(col("_hhi"), 9).as("hhi"),
+      when(col("_hhi") > 0,
+        Portable.pround(lit(1.0) / col("_hhi"), 6)).as("effective_sources"))
+  }
 }

@@ -2972,4 +2972,46 @@ object TextOps {
         coalesce(col("_plang"), lit("unknown")).as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Flesch–Kincaid readability grade per group (r18b) — the classic
+    * surface-form difficulty read of the quality-scoring family
+    * (Kincaid et al. 1975): grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/word) − 15.59, with syllables approximated as
+    * VOWEL-GROUP runs ([aeiouy]+ — the standard cheap estimator; the
+    * absolute grade is then a convention, the per-source COMPARISON is
+    * the signal) and sentences as [.!?]+ runs clamped to ≥ 1. The
+    * formula literals are exact decimals.
+    *
+    * Portability: all three counts are integers from the SAME regexes
+    * in both engines (simple character classes — identical under Java
+    * regex and RE2); each per-doc grade is one fixed double shape of
+    * integer ratios, decimal-snapshotted into the group mean; the
+    * aggregate word/syllable ratios are exact-integer-sum divisions.
+    * One group hash aggregate; zero-word docs are excluded (no grade
+    * exists for them), documented.
+    */
+  def readability(df: DataFrame, groupCol: String, textCol: Column): DataFrame = {
+    val words = size(tokens(textCol))
+    val sentences = greatest(
+      size(regexp_extract_all(textCol, lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = size(regexp_extract_all(lower(textCol), lit("[aeiouy]+"), lit(0)))
+    val grade = lit(0.39) * (words.cast("double") / sentences.cast("double")) +
+      lit(11.8) * (syllables.cast("double") / words.cast("double")) - lit(15.59)
+    val base = df.where(textCol.isNotNull && words > 0)
+      .select(col(groupCol).as("_g"), words.cast("long").as("_w"),
+        sentences.cast("long").as("_sn"), syllables.cast("long").as("_sy"),
+        grade.as("_grade"))
+    base.groupBy("_g").agg(
+        count(lit(1)).as("n_docs"),
+        sum("_w").as("n_words"),
+        sum("_sn").as("_sent"), sum("_sy").as("_syl"),
+        Portable.decSum(col("_grade"), 12).as("_gs"))
+      .select(col("_g").as(groupCol), col("n_docs"), col("n_words"),
+        round(col("n_words").cast("double") / col("_sent").cast("double"), 9)
+          .as("words_per_sentence"),
+        round(col("_syl").cast("double") / col("n_words").cast("double"), 9)
+          .as("syllables_per_word"),
+        Portable.pround(col("_gs") / col("n_docs").cast("double"), 6)
+          .as("mean_grade"))
+  }
 }

@@ -1002,4 +1002,60 @@ object TimeSeries {
         when(cnt > 1 && upper - lower > 0,
           Portable.pround((v - lower) / (upper - lower), 6)))
   }
+
+  /** Fano factor / index-of-dispersion per series (r18b) — is the daily
+    * arrival process BURSTY: Fano = var/mean of the daily counts over
+    * the DENSE day grid (quiet days are true zeros — the C261 densify
+    * convention; dropping them would fake regularity). Under a Poisson
+    * stream Fano = 1 and D = Σ(x−x̄)²/x̄ = (n−1)·Fano ~ χ²_{n−1}, so
+    * `overdispersed` compares D to a caller-passed χ² critical literal
+    * (the C265 convention — the χ² CDF is a cross-engine transcendental;
+    * the caller owns the df/α choice). Burstiness is the capacity read
+    * UNDER the C266/C274 tail fits: a Fano of 30 means provisioning for
+    * the MEAN is meaningless.
+    *
+    * Portability: daily counts are exact integers; Σx² goes through
+    * decimal(38,0) (at 100 TB a 1e9-events day squares past 2⁶³); mean,
+    * variance, Fano are fixed double shapes with the (n−1) division
+    * NULL-guarded at the divisor (the ANSI lesson). One (key, day) hash
+    * aggregate collapses the corpus; the grid is keys × bounded
+    * calendar.
+    */
+  def fanoDispersion(df: DataFrame, keyCol: String, tsCol: String,
+                     chi2Crit: Double): DataFrame =
+    fanoFromDaily(
+      df.where(col(tsCol).isNotNull)
+        .groupBy(col(keyCol).as("_k"), to_date(col(tsCol)).as("_day"))
+        .agg(count(lit(1)).as("_c")),
+      keyCol, chi2Crit)
+
+  /** [[fanoDispersion]] from an already-maintained (_k, _day, _c) daily
+    * count table — the shared read path for the batch query and the
+    * streaming twin (daily counts are an additive monoid, so a state
+    * merged at any micro-batch boundary reads bit-identically).
+    */
+  def fanoFromDaily(daily: DataFrame, keyCol: String,
+                    chi2Crit: Double): DataFrame = {
+    val bounds = daily.agg(min("_day").as("_lo"), max("_day").as("_hi"))
+    val keys = daily.select("_k").distinct()
+    val grid = keys.crossJoin(broadcast(bounds))
+      .select(col("_k"), explode(sequence(col("_lo"), col("_hi"))).as("_day"))
+    val dense = grid.join(daily, Seq("_k", "_day"), "left")
+      .select(col("_k"), coalesce(col("_c"), lit(0L)).as("_c"))
+    val per = dense.groupBy("_k").agg(
+      count(lit(1)).as("n_days"),
+      sum("_c").as("n_events"),
+      sum((col("_c") * col("_c")).cast("decimal(38,0)")).cast("double").as("_q"))
+    val nD = col("n_days").cast("double")
+    val sD = col("n_events").cast("double")
+    val mean = sD / nD
+    val variance = when(col("n_days") > 1,
+      (col("_q") - sD * sD / nD) / (nD - 1.0))
+    val fano = when(col("n_events") > 0, variance / mean)
+    per.select(col("_k").as(keyCol), col("n_days"), col("n_events"),
+      round(mean, 9).as("mean_daily"),
+      Portable.pround(fano, 6).as("fano"),
+      Portable.pround((nD - 1.0) * fano, 6).as("dispersion_chi2"),
+      ((nD - 1.0) * fano > chi2Crit).as("overdispersed"))
+  }
 }

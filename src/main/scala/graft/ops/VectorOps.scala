@@ -1266,4 +1266,116 @@ object VectorOps {
           .as("distortion"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Participation ratio / effective rank of the embedding covariance
+    * (r18b) — how many dimensions the embeddings ACTUALLY use:
+    * PR = (Σλ)²/Σλ² = trace(C)²/‖C‖²_F, computed entirely from the
+    * [[embeddingCovariance]] entries WITHOUT an eigendecomposition
+    * (trace(C²) = ΣᵢⱼC²ᵢⱼ for symmetric C — the sum-of-squares over the
+    * matrix, off-diagonals twice). PR near d means isotropic use of the
+    * space; PR ≪ d means a few directions dominate — the one-number
+    * justification for C216's JL compression and the matryoshka-style
+    * truncation, and the anisotropy warning for cosine-ANN recall
+    * (C138's covariance is the input; this is its summary).
+    *
+    * Portability: the covariance entries are ALREADY rounded at 6 dp by
+    * C138's contract (bit-identical across engines); trace and ‖C‖²_F
+    * are decimal-snapshotted sums of those rounded entries, and the one
+    * final division is a fixed double shape. d×d rows in, one row out.
+    */
+  def participationRatio(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cov = embeddingCovariance(df, idCol, vecCol)
+    val diag = when(col("i") === col("j"), col("cov")).otherwise(lit(0.0))
+    val sq = when(col("i") === col("j"), col("cov") * col("cov"))
+      .otherwise(lit(2.0) * col("cov") * col("cov"))
+    val agg = cov.agg(
+      coalesce(sum(when(col("i") === col("j"), 1L).otherwise(0L)), lit(0L)).as("d"),
+      Portable.decSum(diag, 12).as("_tr"),
+      Portable.decSum(sq, 12).as("_fr"))
+    agg.select(col("d"),
+      Portable.pround(col("_tr"), 9).as("trace"),
+      round(col("_fr"), 9).as("frob_sq"),
+      when(col("_fr") > 0,
+        Portable.pround(col("_tr") * col("_tr") / col("_fr"), 6))
+        .as("participation_ratio"),
+      when(col("_fr") > 0 && col("d") > 0,
+        Portable.pround(col("_tr") * col("_tr") / col("_fr") /
+          col("d").cast("double"), 6)).as("pr_fraction"))
+  }
+
+  /** Linear CKA between the raw embeddings and their k-dim JL projection
+    * (r18b) — did the compression PRESERVE the representational geometry
+    * (Kornblith et al. 2019): CKA(X,Y) = ‖C_xy‖²_F/(‖C_xx‖_F·‖C_yy‖_F)
+    * over the centered cross/auto second moments, = 1 iff the two
+    * representations agree up to rotation+scale. C216's distortion audit
+    * checks pairwise DISTANCES on probe pairs; CKA is the global
+    * single-number read over the WHOLE corpus — the promotion gate for
+    * serving ANN from the compressed vectors.
+    *
+    * Portability/scale: Y = X·R/√k with C216's deterministic ±1 md5 sign
+    * matrix (both engines replay R exactly; √k is correctly-rounded
+    * IEEE); all three moment matrices come from ROW-LOCAL (i,j) fans
+    * (the C138 shape — no self-join, map-side combinable) with exact
+    * decimal sums; each covariance entry rounds at 6 dp BEFORE the
+    * Frobenius accumulation (the C138 contract), squares decimal-
+    * snapshot, and the final ratio is fixed IEEE (two √, one divide).
+    * Fan width is d(d+1)/2 + dk + k(k+1)/2 per row — constant in corpus
+    * size.
+    */
+  def linearCka(df: DataFrame, vecCol: String, dim: Int, k: Int): DataFrame = {
+    val signs = jlSigns(k, dim)
+    val scale = math.sqrt(k.toDouble)
+    def dot(v: Column, row: Array[Double]): Column =
+      aggregate(
+        zip_with(v, typedLit(row.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0d), (acc, x) => acc + x)
+    val base = df.select(col(vecCol).as("_x"),
+      array((0 until k).map(j => dot(col(vecCol), signs(j)) / scale): _*).as("_y"))
+    // one row-local fan per matrix cell: xx upper-tri, yy upper-tri, xy full
+    def fan(a: Column, b: Column, upperOnly: Boolean): Column = {
+      val pair = (x: Column, i: Column, y: Column, jj: Column) =>
+        struct(i.as("i"), jj.as("j"), (x.cast("double") * y.cast("double")).as("xy"))
+      if (upperOnly)
+        flatten(transform(a, (x, i) =>
+          transform(slice(b, i + 1, size(b) - i), (y, jj) => pair(x, i, y, i + jj))))
+      else
+        flatten(transform(a, (x, i) => transform(b, (y, jj) => pair(x, i, y, jj))))
+    }
+    def covFrob(pairsCol: Column, selfA: Column, selfB: Column,
+                doubleOffDiag: Boolean): DataFrame = {
+      val pairs = base.select(explode(pairsCol).as("_p"))
+        .select(col("_p.i").as("i"), col("_p.j").as("j"), col("_p.xy").as("xy"))
+        .groupBy("i", "j")
+        .agg(Portable.decSum(col("xy"), 12).as("_sxy"), count(lit(1)).as("n"))
+      val meansA = base.select(posexplode(selfA))
+        .select(col("pos").as("i"), col("col").cast("double").as("x"))
+        .groupBy("i").agg(Portable.decSum(col("x"), 12).as("_si"))
+      val meansB = base.select(posexplode(selfB))
+        .select(col("pos").as("j"), col("col").cast("double").as("x"))
+        .groupBy("j").agg(Portable.decSum(col("x"), 12).as("_sj"))
+      val cov = Portable.canonZero(round(col("_sxy") / col("n") -
+        (col("_si") / col("n")) * (col("_sj") / col("n")), 6))
+      val sq = if (doubleOffDiag)
+        when(col("i") === col("j"), cov * cov).otherwise(lit(2.0) * cov * cov)
+      else cov * cov
+      pairs.join(broadcast(meansA), Seq("i")).join(broadcast(meansB), Seq("j"))
+        .agg(Portable.decSum(sq, 12).as("frob_sq"), max("n").as("n"))
+    }
+    val xx = covFrob(fan(col("_x"), col("_x"), upperOnly = true),
+      col("_x"), col("_x"), doubleOffDiag = true)
+    val yy = covFrob(fan(col("_y"), col("_y"), upperOnly = true),
+      col("_y"), col("_y"), doubleOffDiag = true)
+    val xy = covFrob(fan(col("_x"), col("_y"), upperOnly = false),
+      col("_x"), col("_y"), doubleOffDiag = false)
+    xy.select(col("n"), col("frob_sq").as("_cxy"))
+      .crossJoin(broadcast(xx.select(col("frob_sq").as("_cxx"))))
+      .crossJoin(broadcast(yy.select(col("frob_sq").as("_cyy"))))
+      .select(col("n"), lit(dim.toLong).as("d"), lit(k.toLong).as("k"),
+        round(col("_cxy"), 9).as("cross_frob_sq"),
+        round(col("_cxx"), 9).as("x_frob_sq"),
+        round(col("_cyy"), 9).as("y_frob_sq"),
+        when(col("_cxx") > 0 && col("_cyy") > 0,
+          Portable.pround(col("_cxy") / (sqrt(col("_cxx")) * sqrt(col("_cyy"))), 6))
+          .as("cka"))
+  }
 }

@@ -374,6 +374,42 @@ object StreamingOps {
       daily.get.map(p => graft.ops.EventOps.eProcessFromDaily(p, p0, p1, alpha))
   }
 
+  /** Streaming Fano/overdispersion maintenance — the streaming twin of
+    * C294's q_fano (r18b): burstiness is a monitoring read, so its
+    * natural home is a continuously-updated state. Per-(key, day)
+    * counts are the additive monoid (late events back-filling an
+    * earlier day merge exactly like the SPRT's), and the dense-grid
+    * dispersion derives at read time through the SAME
+    * [[graft.ops.TimeSeries.fanoFromDaily]] arithmetic — bit-identical
+    * to the batch q_fano rows over everything merged so far. State is
+    * one row per (key, day) forever; batch-id replay is a no-op.
+    */
+  final class FanoState(keyCol: String, tsCol: String, chi2Crit: Double) {
+    private val daily = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = batch.where(col(tsCol).isNotNull)
+        .groupBy(col(keyCol).as("_k"), to_date(col(tsCol)).as("_day"))
+        .agg(count(lit(1)).as("_c"))
+      val merged = daily.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("_k", "_day")
+          .agg(sum("_c").as("_c"))
+        case None => p
+      }
+      daily.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current per-key dispersion table — bit-identical to the batch
+      * q_fano rows over everything merged so far.
+      */
+    def dispersion: Option[DataFrame] =
+      daily.get.map(p => graft.ops.TimeSeries.fanoFromDaily(p, keyCol, chi2Crit))
+  }
+
   /** Streaming split-conformal maintenance — the streaming twin of C270's
     * q_conformal (VERDICT r17 item 4): a distribution-free monitoring band
     * exists to be re-read as data arrives. Two pieces of state:

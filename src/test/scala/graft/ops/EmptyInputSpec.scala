@@ -463,6 +463,42 @@ class EmptyInputSpec extends SparkSpec {
       col("event_type") === "purchase", 16).head()
     assert(mc.getLong(0) === 0L && mc.isNullAt(5))
   }
+
+  test("round-18b operators on empty inputs") {
+    // anovaF: one row, zero groups, NULL sums and statistics
+    val av = Profiling.anovaF(df(Seq.empty[R18bGv]), "g", col("v")).head()
+    assert(av.getLong(0) === 0L && av.isNullAt(6) && av.isNullAt(7))
+    // brownForsythe: no groups, no rows
+    assert(Profiling.brownForsythe(df(Seq.empty[R18bGv]), "g", col("v"))
+      .count() === 0)
+    // mdePower: one row of NULL cohort counts and statistics
+    val md = EventOps.mdePower(df(Seq.empty[R18bUv]), "u",
+      u => pmod(u, lit(2L)) === 0, col("v")).head()
+    assert(md.isNullAt(0) && md.isNullAt(4) && md.isNullAt(6))
+    // logRank: one row, NULL O/E/V/z
+    val lr = EventOps.logRank(df(Seq.empty[R18bOrd]), "o_custkey",
+      "o_orderdate", u => pmod(u, lit(2L)) === 0, 0, 1).head()
+    assert(lr.isNullAt(2) && lr.isNullAt(5))
+    // theilIndex / fanoDispersion / decisionStump: no groups, no rows
+    assert(Profiling.theilIndex(df(Seq.empty[R18bGv]), "g", col("v"))
+      .count() === 0)
+    assert(TimeSeries.fanoDispersion(df(Seq.empty[R18Ev]), "event_type",
+      "ts", 5.0).count() === 0)
+    assert(Profiling.decisionStump(df(Seq.empty[R18cSy]), col("s"), col("y"))
+      .count() === 0)
+    // brierDecomposition: one row of NULL statistics
+    val br = Profiling.brierDecomposition(df(Seq.empty[R18cSy]),
+      col("s"), col("y"), 10).head()
+    assert(br.getLong(0) === 0L && br.isNullAt(2) && br.isNullAt(6))
+    // posthoc / readability: no groups, no rows
+    assert(Profiling.posthocPairwise(df(Seq.empty[R18cGv]), "g", col("v"), 1.0)
+      .count() === 0)
+    assert(TextOps.readability(df(Seq.empty[R18eDoc]), "source", col("text"))
+      .count() === 0)
+    // hhi: one row of NULL k/HHI
+    val hh = Profiling.hhiConcentration(df(Seq.empty[R18cGv]), "g", col("v")).head()
+    assert(hh.isNullAt(1) && hh.isNullAt(2))
+  }
 }
 
 case class Series16(key: String, t: Long, v: Double)

@@ -684,6 +684,37 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Fano dispersion is bit-identical to batch, under out-of-order arrival") {
+    // C294's streaming twin (r18b): per-(key, day) counts are an
+    // additive monoid, so the dense-grid dispersion read from the
+    // maintained state must equal the batch q_fano rows exactly —
+    // including when a late file back-fills EARLIER days (which also
+    // stretches the grid's min bound at read time).
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "event_type")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_fano_in").toFile.getAbsolutePath
+    val day = dayofmonth(col("ts"))
+    events.where(day >= 16).write.mode("append").parquet(inDir)   // newest first
+    events.where(day < 16).write.mode("append").parquet(inDir)    // back-fill
+    val state = new StreamingOps.FanoState("event_type", "ts", 49.588)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val streamed = state.dispersion.get
+      val batch = graft.ops.TimeSeries.fanoDispersion(events, "event_type",
+        "ts", 49.588)
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "merged daily counts must reproduce the batch dispersion exactly")
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(events, 0L)
+      val replayed = state.dispersion.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming SPRT decisions are bit-identical to batch, under out-of-order arrival") {
     // C277's streaming twin (r17): per-day Bernoulli counts are an
     // additive monoid, so the LLR walk + first-crossing decisions read
