@@ -3782,6 +3782,68 @@ object SparkEntry {
       TextOps.readability(T(s, dir, "documents"), "source", col("text"))
         .orderBy("source")),
 
+    // Context-window packing audit at 512/1024/2048/4096: what
+    // concatenate-and-cut pretraining packing does to this corpus —
+    // split fraction, docs per window, tail waste; the numbers that
+    // pick a context length before a training run. Distributed
+    // two-phase prefix sum, never a single-partition corpus window.
+    "q_packing" -> ((s, dir) =>
+      TextOps.packingAudit(T(s, dir, "documents"), "doc_id", col("text"),
+          contexts = Seq(512, 1024, 2048, 4096))
+        .orderBy("context")),
+
+    // Rank-biased overlap between the true-cosine and JL-projected
+    // cosine top-10 per probe: does the compressed index return the
+    // same TOP answers, weighted toward rank 1 (q_jl_distortion checks
+    // distances, q_cka the global geometry; this checks what serving
+    // returns).
+    "q_rbo_compress" -> ((s, dir) =>
+      VectorOps.rboProjection(T(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, kProj = 16, probeLimit = 20, depth = 10)
+        .orderBy("query_id")),
+
+    // Covariate balance (standardized mean differences) between the md5
+    // cohorts on pre-existing per-user characteristics — the audit
+    // UNDER every A/B readout: a significant outcome difference on
+    // imbalanced cohorts is a covariate effect in a costume.
+    "q_smd" -> ((s, dir) =>
+      EventOps.covariateBalance(T(s, dir, "events"), "user_id",
+          u => pmod(Portable.hash32(u), lit(2L)) === 0,
+          Seq(
+            "n_events" -> count(lit(1)),
+            "total_value" -> sum(col("value").cast("decimal(28,6)")).cast("double"),
+            "active_days" -> countDistinct(to_date(col("ts")))))
+        .orderBy("covariate")),
+
+    // Dunn's post-hoc pairwise rank comparisons across sources on doc
+    // length — WHICH sources differ by RANKS, the nonparametric
+    // follow-up to q_kruskal exactly as q_posthoc follows q_anova; same
+    // Bonferroni literal for the 190 source pairs.
+    "q_dunn" -> ((s, dir) =>
+      Profiling.dunnPosthoc(T(s, dir, "documents"), "source",
+          col("n_chars"), zCrit = 3.651)
+        .orderBy("g_a", "g_b")),
+
+    // Cliff's delta per source between the md5 train split and the
+    // holdout on doc length — the effect size under q_mann_whitney: at
+    // corpus n every U test "rejects"; delta says whether anyone
+    // should care (with the Vargha-Delaney probability alongside).
+    "q_cliffs_delta" -> ((s, dir) =>
+      Profiling.cliffsDelta(
+          T(s, dir, "documents")
+            .select(col("source"),
+              (Portable.hash32(col("doc_id")) % 10000 < 8000).as("_train"),
+              col("n_chars")),
+          "source", col("_train"), col("n_chars"))
+        .orderBy("source")),
+
+    // Cochran's Q: do the event types reach DIFFERENT user bases once
+    // each user is their own control — the k-treatment completion of
+    // q_mcnemar (k=2 reduces to it), blocks = users, binary outcome =
+    // "did the user perform this type".
+    "q_cochran_q" -> ((s, dir) =>
+      EventOps.cochranQ(T(s, dir, "events"), "user_id", "event_type")),
+
     // Bradley–Terry preference strengths over per-order supplier
     // head-to-heads (the max-value lineitem's supplier beats each other
     // suppliers in the order) — Hunter's MM, 5 fixed rounds, π catalog
@@ -10941,8 +11003,8 @@ object SparkEntry {
              sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS qt,
              sum(CAST(s * s / n::DOUBLE AS DECIMAL(28,12)))::DOUBLE AS sb
            FROM per)
-         SELECT per.g AS source, per.n, round(per.median, 6) AS median,
-           round(per.s / per.n::DOUBLE, 9) AS mean_absdev,
+         SELECT per.g AS source, per.n, round(per.median, 6) + 0 AS median,
+           round(per.s / per.n::DOUBLE, 9) + 0 AS mean_absdev,
            CASE WHEN agg.k > 1 AND agg.nn > agg.k AND agg.qt - agg.sb > 0
                 THEN round(((agg.sb - agg.st * agg.st / agg.nn::DOUBLE) /
                     (agg.k::DOUBLE - 1.0)) /
@@ -10978,14 +11040,14 @@ object SparkEntry {
              (sa + sb) / (n_a::DOUBLE + n_b::DOUBLE) AS mean_all
            FROM e)
          SELECT n_a, n_b,
-           CASE WHEN n_a > 0 THEN round(mean_a, 9) END AS mean_a,
-           CASE WHEN n_b > 0 THEN round(mean_b, 9) END AS mean_b,
+           CASE WHEN n_a > 0 THEN round(mean_a, 9) + 0 END AS mean_a,
+           CASE WHEN n_b > 0 THEN round(mean_b, 9) + 0 END AS mean_b,
            CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0
                 THEN round((mean_a - mean_b) / sqrt(sp2), 6) + 0 END AS cohens_d,
            CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
-                THEN round(sqrt(se2), 9) END AS se_diff,
+                THEN round(sqrt(se2), 9) + 0 END AS se_diff,
            CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
-                THEN round((1.959963985 + 0.841621234) * sqrt(se2), 6) END AS mde_abs,
+                THEN round((1.959963985 + 0.841621234) * sqrt(se2), 6) + 0 END AS mde_abs,
            CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 AND mean_all <> 0.0
                 THEN round((1.959963985 + 0.841621234) * sqrt(se2) / mean_all, 6) + 0
            END AS mde_rel
@@ -11029,7 +11091,7 @@ object SparkEntry {
                    sum(CAST(v AS DECIMAL(28,12)))::DOUBLE AS vv
                  FROM terms)
          SELECT tot.n_a, tot.n_b, agg.o_a,
-           round(agg.ea, 9) AS e_a, round(agg.vv, 9) AS var_lr,
+           round(agg.ea, 9) + 0 AS e_a, round(agg.vv, 9) + 0 AS var_lr,
            CASE WHEN agg.vv > 0
                 THEN round((agg.o_a::DOUBLE - agg.ea) / sqrt(agg.vv), 6) + 0
            END AS z_stat
@@ -11049,22 +11111,22 @@ object SparkEntry {
                    sum(CAST(sg AS DECIMAL(28,6)))::DOUBLE AS s FROM per),
          w AS (SELECT cat.g AS g,
                  sum(CAST(cat.c::DOUBLE * (cat.v * per.ng::DOUBLE / per.sg) *
-                   round(ln(cat.v * per.ng::DOUBLE / per.sg), 9)
+                   round(ln(cat.v * per.ng::DOUBLE / per.sg), 9) + 0
                    AS DECIMAL(28,12)))::DOUBLE AS tw
                FROM cat JOIN per ON cat.g = per.g GROUP BY cat.g),
          ttl AS (SELECT
                  sum(CAST(c::DOUBLE * (v * tot.n::DOUBLE / tot.s) *
-                   round(ln(v * tot.n::DOUBLE / tot.s), 9)
+                   round(ln(v * tot.n::DOUBLE / tot.s), 9) + 0
                    AS DECIMAL(28,12)))::DOUBLE AS tt
                FROM cat CROSS JOIN tot),
          btw AS (SELECT
                  sum(CAST((per.sg / tot.s) *
-                   round(ln(per.sg * tot.n::DOUBLE / (tot.s * per.ng::DOUBLE)), 9)
+                   round(ln(per.sg * tot.n::DOUBLE / (tot.s * per.ng::DOUBLE)), 9) + 0
                    AS DECIMAL(28,12)))::DOUBLE AS tb
                FROM per CROSS JOIN tot)
          SELECT per.g AS source, per.ng AS n,
-           round(per.sg / per.ng::DOUBLE, 9) AS mean_value,
-           round(per.sg / tot.s, 9) AS share,
+           round(per.sg / per.ng::DOUBLE, 9) + 0 AS mean_value,
+           round(per.sg / tot.s, 9) + 0 AS share,
            CASE WHEN per.ng > 0
                 THEN round(w.tw / per.ng::DOUBLE, 6) + 0 END AS theil_within,
            round(btw.tb, 6) + 0 AS theil_between,
@@ -11098,7 +11160,7 @@ object SparkEntry {
          f AS (SELECT *,
              CASE WHEN n_events > 0 THEN var / mean END AS fano FROM e)
          SELECT k AS event_type, n_days, n_events,
-           round(mean, 9) AS mean_daily,
+           round(mean, 9) + 0 AS mean_daily,
            round(fano, 6) + 0 AS fano,
            round((n_days::DOUBLE - 1.0) * fano, 6) + 0 AS dispersion_chi2,
            ((n_days::DOUBLE - 1.0) * fano > 49.588) AS overdispersed
@@ -11127,8 +11189,8 @@ object SparkEntry {
                FROM bb GROUP BY bin),
          terms AS (SELECT
              sum(CAST(g.nb::DOUBLE *
-               (round(g.ss / g.nb, 9) - g.pb::DOUBLE / g.nb::DOUBLE) *
-               (round(g.ss / g.nb, 9) - g.pb::DOUBLE / g.nb::DOUBLE)
+               (round(g.ss / g.nb, 9) + 0 - g.pb::DOUBLE / g.nb::DOUBLE) *
+               (round(g.ss / g.nb, 9) + 0 - g.pb::DOUBLE / g.nb::DOUBLE)
                AS DECIMAL(28,12)))::DOUBLE AS rel,
              sum(CAST(g.nb::DOUBLE *
                (g.pb::DOUBLE / g.nb::DOUBLE - raw.n_pos::DOUBLE / raw.n::DOUBLE) *
@@ -11136,14 +11198,14 @@ object SparkEntry {
                AS DECIMAL(28,12)))::DOUBLE AS res
            FROM g CROSS JOIN raw)
          SELECT raw.n, raw.n_pos,
-           CASE WHEN raw.n > 0 THEN round(raw.sq / raw.n::DOUBLE, 9) END AS brier,
+           CASE WHEN raw.n > 0 THEN round(raw.sq / raw.n::DOUBLE, 9) + 0 END AS brier,
            CASE WHEN raw.n > 0
-                THEN round(terms.rel / raw.n::DOUBLE, 9) END AS reliability,
+                THEN round(terms.rel / raw.n::DOUBLE, 9) + 0 END AS reliability,
            CASE WHEN raw.n > 0
-                THEN round(terms.res / raw.n::DOUBLE, 9) END AS resolution,
+                THEN round(terms.res / raw.n::DOUBLE, 9) + 0 END AS resolution,
            CASE WHEN raw.n > 0
                 THEN round((raw.n_pos::DOUBLE / raw.n::DOUBLE) *
-                  (1.0 - raw.n_pos::DOUBLE / raw.n::DOUBLE), 9) END AS uncertainty,
+                  (1.0 - raw.n_pos::DOUBLE / raw.n::DOUBLE), 9) + 0 END AS uncertainty,
            CASE WHEN raw.n > 0
                 THEN round(terms.rel / raw.n::DOUBLE - terms.res / raw.n::DOUBLE +
                   (raw.n_pos::DOUBLE / raw.n::DOUBLE) *
@@ -11223,7 +11285,7 @@ object SparkEntry {
                  sum(CAST(CASE WHEN i = j THEN cov * cov ELSE 2.0 * cov * cov END
                    AS DECIMAL(28,12)))::DOUBLE AS fr
                FROM cov)
-         SELECT d, round(tr, 9) + 0 AS trace, round(fr, 9) AS frob_sq,
+         SELECT d, round(tr, 9) + 0 AS trace, round(fr, 9) + 0 AS frob_sq,
            CASE WHEN fr > 0
                 THEN round(tr * tr / fr, 6) + 0 END AS participation_ratio,
            CASE WHEN fr > 0 AND d > 0
@@ -11296,9 +11358,9 @@ object SparkEntry {
                          round(a.sxy / a.n - (mi.sx / a.n) * (mj.sx / a.n), 6) + 0 AS cov
                        FROM xya a JOIN xm mi ON a.i = mi.i JOIN ym mj ON a.j = mj.i) c)
          SELECT xyf.n, 64::BIGINT AS d, 16::BIGINT AS k,
-           round(xyf.f, 9) AS cross_frob_sq,
-           round(xxf.f, 9) AS x_frob_sq,
-           round(yyf.f, 9) AS y_frob_sq,
+           round(xyf.f, 9) + 0 AS cross_frob_sq,
+           round(xxf.f, 9) + 0 AS x_frob_sq,
+           round(yyf.f, 9) + 0 AS y_frob_sq,
            CASE WHEN xxf.f > 0 AND yyf.f > 0
                 THEN round(xyf.f / (sqrt(xxf.f) * sqrt(yyf.f)), 6) + 0 END AS cka
          FROM xyf CROSS JOIN xxf CROSS JOIN yyf""",
@@ -11321,7 +11383,7 @@ object SparkEntry {
            FROM per a JOIN per b ON a.g < b.g),
          e AS (SELECT *, va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2 FROM pairs)
          SELECT g_a, g_b, n_a, n_b,
-           round(mean_a, 9) AS mean_a, round(mean_b, 9) AS mean_b,
+           round(mean_a, 9) + 0 AS mean_a, round(mean_b, 9) + 0 AS mean_b,
            CASE WHEN se2 > 0
                 THEN round((mean_a - mean_b) / sqrt(se2), 6) + 0 END AS z_stat,
            CASE WHEN se2 > 0
@@ -11340,7 +11402,7 @@ object SparkEntry {
                    sum(CAST((per.s / tot.t) * (per.s / tot.t)
                      AS DECIMAL(28,12)))::DOUBLE AS hhi
                  FROM per CROSS JOIN tot)
-         SELECT k, round(hhi, 9) AS hhi,
+         SELECT k, round(hhi, 9) + 0 AS hhi,
            CASE WHEN hhi > 0 THEN round(1.0 / hhi, 6) + 0 END AS effective_sources
          FROM agg""",
 
@@ -11357,11 +11419,225 @@ object SparkEntry {
              0.39 * (w::DOUBLE / sn::DOUBLE) + 11.8 * (sy::DOUBLE / w::DOUBLE) - 15.59 AS grade
            FROM d WHERE w > 0)
          SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
-           round(sum(w)::DOUBLE / sum(sn)::DOUBLE, 9) AS words_per_sentence,
-           round(sum(sy)::DOUBLE / sum(w)::DOUBLE, 9) AS syllables_per_word,
+           round(sum(w)::DOUBLE / sum(sn)::DOUBLE, 9) + 0 AS words_per_sentence,
+           round(sum(sy)::DOUBLE / sum(w)::DOUBLE, 9) + 0 AS syllables_per_word,
            round(sum(CAST(grade AS DECIMAL(28,12)))::DOUBLE / count(*)::DOUBLE, 6) + 0
              AS mean_grade
          FROM f GROUP BY source ORDER BY source""",
+
+    // Packing: identical two-phase prefix sum (in-bucket window +
+    // cumulative bucket offsets), identical floor-div window indices.
+    "q_packing" ->
+      raw"""WITH d AS (
+           SELECT doc_id AS id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS w
+           FROM documents WHERE text IS NOT NULL),
+         base AS (SELECT id, w, (id // 1024)::BIGINT AS b FROM d WHERE w > 0),
+         inb AS (SELECT id, w, b,
+                   (sum(w) OVER (PARTITION BY b ORDER BY id) - w)::BIGINT AS pre
+                 FROM base),
+         boff AS (SELECT b, coalesce(sum(bw) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+                  FROM (SELECT b, sum(w)::BIGINT AS bw FROM base GROUP BY b)),
+         placed AS (SELECT i.w, bo.off + i.pre AS start
+                    FROM inb i JOIN boff bo ON i.b = bo.b),
+         ctx AS (SELECT unnest([512, 1024, 2048, 4096])::BIGINT AS c),
+         per AS (SELECT c, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS total_tokens,
+                   sum(CASE WHEN (floor((start + w - 1)::DOUBLE / c::DOUBLE)
+                       - floor(start::DOUBLE / c::DOUBLE))::BIGINT + 1 > 1
+                     THEN 1 ELSE 0 END)::BIGINT AS docs_split,
+                   sum((floor((start + w - 1)::DOUBLE / c::DOUBLE)
+                       - floor(start::DOUBLE / c::DOUBLE))::BIGINT + 1)::BIGINT AS inc
+                 FROM placed CROSS JOIN ctx GROUP BY c),
+         e AS (SELECT *,
+             CAST(floor((total_tokens + c - 1)::DOUBLE / c::DOUBLE) AS BIGINT) AS n_windows
+           FROM per)
+         SELECT c AS context, n_docs, total_tokens, n_windows, docs_split,
+           CASE WHEN n_docs > 0
+                THEN round(docs_split::DOUBLE / n_docs::DOUBLE, 9) + 0 END AS split_frac,
+           CASE WHEN n_windows > 0
+                THEN round(inc::DOUBLE / n_windows::DOUBLE, 9) + 0 END AS docs_per_window,
+           (n_windows * c - total_tokens)::BIGINT AS tail_waste
+         FROM e ORDER BY context""",
+
+    // RBO: the q_cka sign projection, the q_cosine_topk fold cosines,
+    // identical rank tie-breaks, 12-dp tail-weight literals shared with
+    // the Spark side.
+    "q_rbo_compress" -> {
+      val tails = graft.ops.VectorOps.rboTails(10).mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         signs AS (
+           SELECT j,
+             list(CASE WHEN ('0x' || substr(md5('rp:' || j::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END ORDER BY d) AS srow
+           FROM (SELECT unnest(range(16)) AS j),
+                (SELECT unnest(range(1, 65)) AS d)
+           GROUP BY j),
+         proj AS (
+           SELECT e.vec_id,
+             list(list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(e.x) + 1),
+                   i -> e.x[i] * s.srow[i])),
+               (a, b) -> a + b) / sqrt(16.0) ORDER BY s.j) AS p
+           FROM e, signs s GROUP BY e.vec_id),
+         v AS (SELECT e.vec_id AS id, e.x, proj.p,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e.x[i]*e.x[i]),
+                   (a, b) -> a + b)) AS nx,
+                 sqrt(list_reduce(list_transform(range(1, 17), i -> proj.p[i]*proj.p[i]),
+                   (a, b) -> a + b)) AS np
+               FROM e JOIN proj USING (vec_id)),
+         q AS (SELECT * FROM v WHERE id < 20),
+         scored AS (
+           SELECT q.id AS query_id, c.id AS corpus_id,
+             list_reduce(list_transform(range(1, 65), i -> q.x[i]*c.x[i]),
+               (a, b) -> a + b) / (q.nx * c.nx) AS st,
+             list_reduce(list_transform(range(1, 17), i -> q.p[i]*c.p[i]),
+               (a, b) -> a + b) / (q.np * c.np) AS sp
+           FROM v c JOIN q ON q.id <> c.id),
+         ranked AS (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY st DESC, corpus_id ASC) AS ra,
+             row_number() OVER (PARTITION BY query_id ORDER BY sp DESC, corpus_id ASC) AS rb
+           FROM scored),
+         hit AS (SELECT query_id, ra, rb FROM ranked WHERE ra <= 10 AND rb <= 10),
+         agg AS (SELECT query_id, count(*)::BIGINT AS ov,
+                   sum(CAST(list_value($tails)[greatest(ra, rb)]
+                     AS DECIMAL(28,12)))::DOUBLE AS rbo
+                 FROM hit GROUP BY query_id)
+         SELECT q.id AS query_id,
+           coalesce(agg.ov, 0)::BIGINT AS overlap_at_k,
+           round(coalesce(agg.rbo, 0.0), 9) + 0 AS rbo_min
+         FROM q LEFT JOIN agg ON q.id = agg.query_id ORDER BY query_id"""
+    },
+
+    // SMD: identical per-unit covariate aggregates, struct-list unpivot,
+    // the mdePower moment shapes, the (vA+vB)/2 pooled denominator.
+    "q_smd" ->
+      """WITH per AS (
+           SELECT user_id,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a,
+             count(*)::DOUBLE AS n_events,
+             sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS total_value,
+             count(DISTINCT CAST(ts AS DATE))::DOUBLE AS active_days
+           FROM events GROUP BY user_id),
+         unp AS (SELECT a, u.c AS c, u.v AS v
+                 FROM per CROSS JOIN LATERAL unnest([
+                   {'c': 'n_events', 'v': n_events},
+                   {'c': 'total_value', 'v': total_value},
+                   {'c': 'active_days', 'v': active_days}]) AS t(u)
+                 WHERE u.v IS NOT NULL),
+         agg AS (SELECT c,
+             sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CAST(CASE WHEN a THEN v ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS sa,
+             sum(CAST(CASE WHEN NOT a THEN v ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS sb,
+             sum(CAST(CASE WHEN a THEN v * v ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS qa,
+             sum(CAST(CASE WHEN NOT a THEN v * v ELSE 0.0 END AS DECIMAL(28,6)))::DOUBLE AS qb
+           FROM unp GROUP BY c),
+         e AS (SELECT *,
+             sa / n_a::DOUBLE AS mean_a, sb / n_b::DOUBLE AS mean_b,
+             CASE WHEN n_a > 1
+                  THEN (qa - sa * sa / n_a::DOUBLE) / (n_a::DOUBLE - 1.0) END AS va,
+             CASE WHEN n_b > 1
+                  THEN (qb - sb * sb / n_b::DOUBLE) / (n_b::DOUBLE - 1.0) END AS vb
+           FROM agg),
+         f AS (SELECT *, (va + vb) / 2.0 AS pooled FROM e)
+         SELECT c AS covariate, n_a, n_b,
+           CASE WHEN n_a > 0 THEN round(mean_a, 9) + 0 END AS mean_a,
+           CASE WHEN n_b > 0 THEN round(mean_b, 9) + 0 END AS mean_b,
+           CASE WHEN pooled > 0
+                THEN round((mean_a - mean_b) / sqrt(pooled), 6) + 0 END AS smd,
+           CASE WHEN pooled > 0
+                THEN abs((mean_a - mean_b) / sqrt(pooled)) < 0.1 END AS balanced
+         FROM f ORDER BY covariate""",
+
+    // Dunn: the q_kruskal doubled-midrank catalog identity, identical
+    // tie term, fixed z shapes per pair, the shared Bonferroni literal.
+    "q_dunn" ->
+      """WITH base AS (
+           SELECT source AS g, n_chars AS v FROM documents
+           WHERE n_chars IS NOT NULL),
+         cat AS (SELECT v, count(*)::BIGINT AS t FROM base GROUP BY v),
+         cum AS (SELECT v, t, sum(t) OVER (ORDER BY v)::BIGINT AS ccnt FROM cat),
+         gv AS (SELECT g, v, count(*)::BIGINT AS ngv FROM base GROUP BY g, v),
+         perg AS (SELECT gv.g AS g, sum(gv.ngv)::BIGINT AS ng,
+                    sum(gv.ngv * (2 * cum.ccnt - cum.t + 1))::BIGINT AS r2
+                  FROM gv JOIN cum ON gv.v = cum.v GROUP BY gv.g),
+         tot AS (SELECT coalesce(sum(t), 0)::BIGINT AS n,
+                   coalesce(sum(CAST(t AS DECIMAL(38,0)) * t * t - t), 0)
+                     ::DECIMAL(38,0) AS tie
+                 FROM cat),
+         pairs AS (
+           SELECT a.g AS g_a, b.g AS g_b, a.ng AS n_a, b.ng AS n_b,
+             a.r2::DOUBLE / (2.0 * a.ng::DOUBLE) AS ra,
+             b.r2::DOUBLE / (2.0 * b.ng::DOUBLE) AS rb,
+             (tot.n::DOUBLE * (tot.n::DOUBLE + 1.0) / 12.0 -
+               CASE WHEN tot.n > 1
+                    THEN tot.tie::DOUBLE / (12.0 * (tot.n::DOUBLE - 1.0)) END) *
+               (1.0 / a.ng::DOUBLE + 1.0 / b.ng::DOUBLE) AS se2
+           FROM perg a JOIN perg b ON a.g < b.g CROSS JOIN tot)
+         SELECT g_a, g_b, n_a, n_b,
+           round(ra, 9) + 0 AS mean_rank_a, round(rb, 9) + 0 AS mean_rank_b,
+           CASE WHEN se2 > 0
+                THEN round((ra - rb) / sqrt(se2), 6) + 0 END AS z_stat,
+           CASE WHEN se2 > 0
+                THEN abs((ra - rb) / sqrt(se2)) > 3.651 END AS significant
+         FROM pairs ORDER BY g_a, g_b""",
+
+    // Cliff's delta: identical per-side value catalogs, one cumulative
+    // window for the below-count, exact integer pair counts.
+    "q_cliffs_delta" ->
+      """WITH base AS (
+           SELECT source AS g,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000) AS in1,
+             n_chars AS v
+           FROM documents WHERE n_chars IS NOT NULL),
+         cat AS (SELECT g, v,
+                   sum(CASE WHEN in1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                   sum(CASE WHEN NOT in1 THEN 1 ELSE 0 END)::BIGINT AS c2
+                 FROM base GROUP BY g, v),
+         cum AS (SELECT g, v, c1, c2,
+                   (sum(c2) OVER (PARTITION BY g ORDER BY v) - c2)::BIGINT AS lt2,
+                   sum(c2) OVER (PARTITION BY g)::BIGINT AS n2
+                 FROM cat),
+         agg AS (SELECT g, sum(c1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+                   sum(c1 * lt2)::BIGINT AS n_concordant,
+                   sum(c1 * (n2 - lt2 - c2))::BIGINT AS n_discordant,
+                   sum(c1 * c2)::BIGINT AS n_ties
+                 FROM cum GROUP BY g)
+         SELECT g AS source, n1, n2, n_concordant, n_discordant, n_ties,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round((n_concordant - n_discordant)::DOUBLE /
+                  (n1 * n2)::DOUBLE, 9) + 0 END AS cliffs_delta,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(((n_concordant - n_discordant)::DOUBLE /
+                  (n1 * n2)::DOUBLE + 1.0) / 2.0, 9) + 0 END AS vd_a
+         FROM agg ORDER BY source""",
+
+    // Cochran's Q: identical distinct (unit, type) cells, integer
+    // totals, one division.
+    "q_cochran_q" ->
+      """WITH cells AS (
+           SELECT DISTINCT user_id AS u, event_type AS t FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         k AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cells),
+         bt AS (SELECT coalesce(sum(tj), 0)::BIGINT AS tt,
+                  coalesce(sum(tj * tj), 0)::BIGINT AS tj2
+                FROM (SELECT t, count(*)::BIGINT AS tj FROM cells GROUP BY t)),
+         bu AS (SELECT count(*)::BIGINT AS n_units,
+                  coalesce(sum(ui), 0)::BIGINT AS us,
+                  coalesce(sum(ui * ui), 0)::BIGINT AS u2
+                FROM (SELECT u, count(*)::BIGINT AS ui FROM cells GROUP BY u))
+         SELECT bu.n_units, k.k,
+           CASE WHEN k.k > 1 THEN k.k - 1 END AS df,
+           CASE WHEN k.k > 1 AND
+                  k.k::DOUBLE * bu.us::DOUBLE - bu.u2::DOUBLE > 0
+                THEN round((k.k::DOUBLE - 1.0) *
+                  (k.k::DOUBLE * bt.tj2::DOUBLE - bt.tt::DOUBLE * bt.tt::DOUBLE) /
+                  (k.k::DOUBLE * bu.us::DOUBLE - bu.u2::DOUBLE), 6) + 0
+           END AS q_stat
+         FROM bu CROSS JOIN k CROSS JOIN bt""",
 
     // Language ID: the same normalized trigram fan, top-64 profiles
     // (count desc, trigram asc), integer overlap argmax, 'unknown'

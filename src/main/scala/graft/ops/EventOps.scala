@@ -916,4 +916,98 @@ object EventOps {
           Portable.pround((col("o_a").cast("double") - col("_ea")) / sqrt(col("_vv")), 6))
           .as("z_stat"))
   }
+
+  /** Cochran's Q test (r18b) — do the k treatments differ in a BINARY
+    * outcome across matched blocks, the k-treatment completion of
+    * C288's McNemar exactly as C281 completes C250 (Cochran 1950; for
+    * k = 2 it reduces to McNemar's χ²): blocks = units, treatments =
+    * the event types, outcome = "did the unit perform this type".
+    * Q = (k−1)·(k·ΣT_j² − T²)/(k·Σu_i − Σu_i²) with T_j the per-type
+    * engagement totals, u_i the per-unit engaged-type counts, T the
+    * grand total — "do the event types reach DIFFERENT user bases once
+    * each user is their own control".
+    *
+    * Exact integers end to end (the absent (unit, type) cells are
+    * implicit zeros — both Σ shapes only touch the 1-cells), one final
+    * division; an all-or-nothing design (denominator 0) → NULL, never
+    * a throw. ONE distinct-pair aggregate collapses the corpus; the
+    * unit and type roll-ups are catalog-sized.
+    */
+  def cochranQ(df: DataFrame, unitCol: String, treatmentCol: String): DataFrame = {
+    val cells = df.where(col(unitCol).isNotNull && col(treatmentCol).isNotNull)
+      .select(col(unitCol).as("_u"), col(treatmentCol).as("_t")).distinct()
+    val k = cells.agg(countDistinct("_t").as("k"))
+    val byType = cells.groupBy("_t").agg(count(lit(1)).as("_tj"))
+      .agg(coalesce(sum("_tj"), lit(0L)).as("_tt"),
+        coalesce(sum(col("_tj") * col("_tj")), lit(0L)).as("_tj2"))
+    val byUnit = cells.groupBy("_u").agg(count(lit(1)).as("_ui"))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum("_ui"), lit(0L)).as("_us"),
+        coalesce(sum(col("_ui") * col("_ui")), lit(0L)).as("_u2"))
+    val kD = col("k").cast("double")
+    val num = (kD - 1.0) *
+      (kD * col("_tj2").cast("double") -
+        col("_tt").cast("double") * col("_tt").cast("double"))
+    val den = kD * col("_us").cast("double") - col("_u2").cast("double")
+    byUnit.crossJoin(broadcast(k)).crossJoin(broadcast(byType))
+      .select(col("n_units"), col("k"),
+        when(col("k") > 1, col("k") - 1L).as("df"),
+        when(col("k") > 1 && den > 0, Portable.pround(num / den, 6)).as("q_stat"))
+  }
+
+  /** Covariate-balance audit via standardized mean differences (r18b) —
+    * the check UNDER every two-cohort comparison this engine ships
+    * (C230/C209/C264/C291): are the cohorts comparable on their
+    * PRE-EXISTING characteristics, SMD = (m_A − m_B)/√((v_A+v_B)/2) per
+    * covariate, with the conventional |SMD| < 0.1 balance rule as a
+    * caller-passed threshold. A "significant" outcome difference on
+    * imbalanced cohorts is a covariate effect wearing a costume — this
+    * is the one-table read that catches it (the observational-data
+    * complement of C265's randomization check: C265 audits the hash,
+    * THIS audits what the hash delivered).
+    *
+    * `covariates` are named per-unit AGGREGATES (count, sums, distinct
+    * days…) evaluated in ONE unit-keyed exchange; the unit table then
+    * unpivots row-locally to (covariate, value) and one catalog-sized
+    * aggregate computes both cohorts' moments per covariate. Exact
+    * decimal sums, variances NULL-guarded at the (n−1) division (the
+    * ANSI lesson), fixed IEEE shapes.
+    */
+  def covariateBalance(df: DataFrame, unitCol: String, isA: Column => Column,
+                       covariates: Seq[(String, Column)],
+                       threshold: Double = 0.1): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    val per = df.groupBy(col(unitCol).as("_u"))
+      .agg(covariates.head._2.cast("double").as(covariates.head._1),
+        covariates.tail.map { case (n, c) => c.cast("double").as(n) }: _*)
+      .select(isA(col("_u")).as("_a"),
+        explode(array(covariates.map { case (n, _) =>
+          struct(lit(n).as("c"), col(n).as("v")) }: _*)).as("_e"))
+      .select(col("_a"), col("_e.c").as("_c"), col("_e.v").as("_v"))
+      .where(col("_v").isNotNull)
+    val agg = per.groupBy("_c").agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      Portable.decSum(when(col("_a"), col("_v")).otherwise(lit(0.0)), 6).as("_sa"),
+      Portable.decSum(when(!col("_a"), col("_v")).otherwise(lit(0.0)), 6).as("_sb"),
+      Portable.decSum(when(col("_a"), col("_v") * col("_v")).otherwise(lit(0.0)), 6)
+        .as("_qa"),
+      Portable.decSum(when(!col("_a"), col("_v") * col("_v")).otherwise(lit(0.0)), 6)
+        .as("_qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val meanA = col("_sa") / na
+    val meanB = col("_sb") / nb
+    val varA = when(col("n_a") > 1,
+      (col("_qa") - col("_sa") * col("_sa") / na) / (na - 1.0))
+    val varB = when(col("n_b") > 1,
+      (col("_qb") - col("_sb") * col("_sb") / nb) / (nb - 1.0))
+    val pooled = (varA + varB) / 2.0
+    val smd = (meanA - meanB) / sqrt(pooled)
+    agg.select(col("_c").as("covariate"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(meanA, 9)).as("mean_a"),
+      when(col("n_b") > 0, round(meanB, 9)).as("mean_b"),
+      when(pooled > 0, Portable.pround(smd, 6)).as("smd"),
+      when(pooled > 0, abs(smd) < threshold).as("balanced"))
+  }
 }

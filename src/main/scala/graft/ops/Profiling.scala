@@ -2534,11 +2534,16 @@ object Profiling {
       .withColumn("_permA",
         pmod(Portable.hash32(concat_ws("#", col("_u"), col("_r"))), lit(2L)) === 0)
       .groupBy("_g", "_r").agg(meanDiff(col("_permA")).as("_dR"))
-    val extreme = reps.join(obs.select(col("_g"), col("_dObs")), Seq("_g"))
+    // both joins pair stats-blind post-aggregation frames of CATALOG
+    // size (groups / groups×replicas); without hints the planner falls
+    // back to SMJ on estimate-blind inputs in some session states —
+    // broadcast the group-sized side explicitly (the Relational.scala
+    // stats-blind-frame precedent)
+    val extreme = reps.join(broadcast(obs.select(col("_g"), col("_dObs"))), Seq("_g"))
       .groupBy("_g")
       .agg(sum(when(abs(col("_dR")) >= abs(col("_dObs")), 1L).otherwise(0L))
         .as("_k"))
-    obs.join(extreme, Seq("_g"), "left_outer")
+    obs.join(broadcast(extreme), Seq("_g"), "left_outer")
       .select(col("_g").as(groupCol), col("n_units"),
         Portable.pround(col("_dObs"), 6).as("obs_diff"),
         when(col("_dObs").isNotNull, Portable.pround(
@@ -3074,6 +3079,98 @@ object Profiling {
         round(mean("b"), 9).as("mean_b"),
         when(se2 > 0, Portable.pround(z, 6)).as("z_stat"),
         when(se2 > 0, abs(z) > zCrit).as("significant"))
+  }
+
+  /** Dunn's post-hoc pairwise rank comparisons (r18b) — WHICH groups
+    * differ by RANKS, the nonparametric follow-up to [[kruskalWallis]]
+    * exactly as [[posthocPairwise]] follows C289's ANOVA (Dunn 1964 —
+    * the standard post-hoc on the KW pooled ranking, robust where
+    * Welch's means are not): z_ab = (R̄_a − R̄_b) / √(s²·(1/n_a + 1/n_b))
+    * with s² = N(N+1)/12 − Σ(t³−t)/(12(N−1)), flagged against a
+    * caller-passed Bonferroni critical literal (the C265/C299
+    * convention).
+    *
+    * Mean ranks come from the SAME integer doubled-midrank value-catalog
+    * identity as C281 (2R_g = Σ n_gv·(2·ccnt − t + 1) — never a
+    * row-scale sort); the tie term goes through decimal(38,0). The pair
+    * fan is the k²-bounded group-catalog self-join (broadcast); every
+    * division is a fixed IEEE shape.
+    */
+  def dunnPosthoc(df: DataFrame, groupCol: String, valueCol: Column,
+                  zCrit: Double): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.as("_v"))
+    val cat = base.groupBy("_v").agg(count(lit(1)).as("_t"))
+      .withColumn("_ccnt", sum("_t").over(Portable.kRowWindow(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val gv = base.groupBy("_g", "_v").agg(count(lit(1)).as("_ngv"))
+    val perG = gv.join(cat, Seq("_v"))
+      .groupBy("_g").agg(
+        sum("_ngv").as("_ng"),
+        sum(col("_ngv") * (lit(2L) * col("_ccnt") - col("_t") + 1L)).as("_r2"))
+    val tot = cat.agg(
+      coalesce(sum("_t"), lit(0L)).as("_n"),
+      coalesce(sum((col("_t").cast("decimal(38,0)") * col("_t") * col("_t") - col("_t"))
+        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("_tie"))
+    def side(tag: String) = perG.select(
+      col("_g").as(s"g_$tag"), col("_ng").as(s"_n$tag"), col("_r2").as(s"_r2$tag"))
+    def nD(t: String) = col(s"_n$t").cast("double")
+    def meanRank(t: String) = col(s"_r2$t").cast("double") / (lit(2.0) * nD(t))
+    val bigN = col("_n").cast("double")
+    val s2 = bigN * (bigN + 1.0) / 12.0 -
+      when(col("_n") > 1, col("_tie").cast("double") / (lit(12.0) * (bigN - 1.0)))
+    val se2 = s2 * (lit(1.0) / nD("a") + lit(1.0) / nD("b"))
+    val z = (meanRank("a") - meanRank("b")) / sqrt(se2)
+    side("a").join(broadcast(side("b")), col("g_a") < col("g_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("g_a"), col("g_b"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        round(meanRank("a"), 9).as("mean_rank_a"),
+        round(meanRank("b"), 9).as("mean_rank_b"),
+        when(se2 > 0, Portable.pround(z, 6)).as("z_stat"),
+        when(se2 > 0, abs(z) > zCrit).as("significant"))
+  }
+
+  /** Cliff's delta ordinal effect size (r18b) — the EFFECT SIZE under
+    * [[mannWhitneyU]] (C250 says "one sample stochastically dominates";
+    * δ says by HOW MUCH, scale-free and outlier-immune): δ =
+    * (#{x₁ > x₂} − #{x₁ < x₂})/(n₁·n₂) over all cross-sample pairs,
+    * with the Vargha–Delaney A = (δ+1)/2 probability-of-superiority
+    * reading alongside. At corpus n every U test "rejects"; δ is the
+    * number that says whether anyone should care.
+    *
+    * The pairwise counts collapse onto the VALUE CATALOG (concordant =
+    * Σ_v c₁(v)·#{side-2 below v} off one cumulative window — never an
+    * n₁×n₂ fan); everything is exact integers until the two final
+    * divisions. One group exchange serves the catalog, the cumulative,
+    * and the roll-up.
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, sampleFlag: Column,
+                  valueCol: Column): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select(col(groupCol), sampleFlag.as("_in1"), valueCol.as("_v"))
+    val cat = base.groupBy(groupCol, "_v").agg(
+      sum(when(col("_in1"), 1L).otherwise(0L)).as("_c1"),
+      sum(when(!col("_in1"), 1L).otherwise(0L)).as("_c2"))
+    val wCum = Window.partitionBy(groupCol).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = cat
+      .withColumn("_lt2", sum("_c2").over(wCum) - col("_c2"))
+      .withColumn("_n2", sum("_c2").over(wAll))
+    val agg = cum.groupBy(groupCol).agg(
+      sum("_c1").as("n1"), max("_n2").as("n2"),
+      sum(col("_c1") * col("_lt2")).as("n_concordant"),
+      sum(col("_c1") * (col("_n2") - col("_lt2") - col("_c2"))).as("n_discordant"),
+      sum(col("_c1") * col("_c2")).as("n_ties"))
+    val prod = (col("n1") * col("n2")).cast("double")
+    val delta = (col("n_concordant") - col("n_discordant")).cast("double") / prod
+    agg.select(col(groupCol), col("n1"), col("n2"),
+      col("n_concordant"), col("n_discordant"), col("n_ties"),
+      when(col("n1") > 0 && col("n2") > 0,
+        Portable.pround(delta, 9)).as("cliffs_delta"),
+      when(col("n1") > 0 && col("n2") > 0,
+        round((delta + 1.0) / 2.0, 9)).as("vd_a"))
   }
 
   /** Herfindahl–Hirschman concentration of a weight column over groups

@@ -3014,4 +3014,63 @@ object TextOps {
         Portable.pround(col("_gs") / col("n_docs").cast("double"), 6)
           .as("mean_grade"))
   }
+
+  /** Context-window packing audit (r18b) — what concatenate-and-cut
+    * pretraining packing does to THIS corpus at each context size:
+    * documents are laid out in doc-id order as one token stream and cut
+    * every C tokens (the standard packing that wastes no padding except
+    * the final window), and per C the audit reports how many documents
+    * a cut SPLITS, the (doc, window) incidence per window, and the
+    * tail-window waste — the numbers that pick a context length and
+    * price cross-document attention contamination before a training
+    * run.
+    *
+    * Scale shape: the global token-offset prefix is the classic
+    * distributed two-phase prefix sum — per-BUCKET in-partition windows
+    * (doc_id div bucketSize partitions the stream) plus a broadcast
+    * cumulative of the bounded bucket-total catalog — never a
+    * single-partition corpus window. Window indices use double
+    * floor-division, exact below 2⁵² total tokens (≈ 4.5e15 — two
+    * orders past a 100 TB corpus), documented rather than assumed.
+    * Everything else is exact integer sums and two final divisions.
+    */
+  def packingAudit(df: DataFrame, idCol: String, textCol: Column,
+                   contexts: Seq[Int], bucketSize: Int = 1024): DataFrame = {
+    require(contexts.nonEmpty && contexts.forall(_ > 0), "need positive context sizes")
+    val w = size(tokens(textCol))
+    val base = df.where(textCol.isNotNull && w > 0)
+      .select(col(idCol).as("_id"), w.cast("long").as("_w"),
+        floor(col(idCol).cast("double") / bucketSize).cast("long").as("_b"))
+    val wInB = Window.partitionBy("_b").orderBy("_id")
+    val inBucket = base.withColumn("_pre", sum("_w").over(wInB) - col("_w"))
+    val bOff = base.groupBy("_b").agg(sum("_w").as("_bw"))
+      .withColumn("_off", coalesce(
+        sum("_bw").over(Portable.kRowWindow(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_off")
+    val placed = inBucket.join(broadcast(bOff), Seq("_b"))
+      .select(col("_w"), (col("_off") + col("_pre")).as("_start"))
+    contexts.map { cLen =>
+      val c = cLen.toDouble
+      val firstWin = floor(col("_start").cast("double") / c)
+      val lastWin = floor((col("_start") + col("_w") - 1).cast("double") / c)
+      val spans = (lastWin - firstWin).cast("long") + 1L
+      val agg = placed.agg(
+        count(lit(1)).as("n_docs"),
+        sum("_w").as("total_tokens"),
+        sum(when(spans > 1L, 1L).otherwise(0L)).as("docs_split"),
+        sum(spans).as("_incidence"))
+      val nWindows = floor((col("total_tokens") + cLen - 1).cast("double") / c)
+        .cast("long")
+      agg.select(lit(cLen.toLong).as("context"), col("n_docs"),
+        col("total_tokens"), nWindows.as("n_windows"), col("docs_split"),
+        when(col("n_docs") > 0,
+          round(col("docs_split").cast("double") / col("n_docs").cast("double"), 9))
+          .as("split_frac"),
+        when(nWindows > 0,
+          round(col("_incidence").cast("double") / nWindows.cast("double"), 9))
+          .as("docs_per_window"),
+        (nWindows * cLen - col("total_tokens")).as("tail_waste"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -1314,13 +1314,15 @@ object VectorOps {
     *
     * Portability/scale: Y = X·R/√k with C216's deterministic ±1 md5 sign
     * matrix (both engines replay R exactly; √k is correctly-rounded
-    * IEEE); all three moment matrices come from ROW-LOCAL (i,j) fans
-    * (the C138 shape — no self-join, map-side combinable) with exact
-    * decimal sums; each covariance entry rounds at 6 dp BEFORE the
-    * Frobenius accumulation (the C138 contract), squares decimal-
-    * snapshot, and the final ratio is fixed IEEE (two √, one divide).
-    * Fan width is d(d+1)/2 + dk + k(k+1)/2 per row — constant in corpus
-    * size.
+    * IEEE); all three moment matrices come from ONE row-local (i,j)
+    * upper-triangular fan over the CONCATENATED [x‖y] vector (the C138
+    * shape — no self-join, map-side combinable, ONE corpus scan: the xx
+    * block is i,j < d, the cross block i < d ≤ j, the yy block d ≤ i,j)
+    * with exact decimal sums; each covariance entry rounds at 6 dp
+    * BEFORE the Frobenius accumulation (the C138 contract), squares
+    * decimal-snapshot into the three block sums in the SAME aggregate,
+    * and the final ratio is fixed IEEE (two √, one divide). Fan width is
+    * (d+k)(d+k+1)/2 per row — constant in corpus size.
     */
   def linearCka(df: DataFrame, vecCol: String, dim: Int, k: Int): DataFrame = {
     val signs = jlSigns(k, dim)
@@ -1329,53 +1331,110 @@ object VectorOps {
       aggregate(
         zip_with(v, typedLit(row.toSeq), (x, w) => x.cast("double") * w),
         lit(0.0d), (acc, x) => acc + x)
-    val base = df.select(col(vecCol).as("_x"),
-      array((0 until k).map(j => dot(col(vecCol), signs(j)) / scale): _*).as("_y"))
-    // one row-local fan per matrix cell: xx upper-tri, yy upper-tri, xy full
-    def fan(a: Column, b: Column, upperOnly: Boolean): Column = {
-      val pair = (x: Column, i: Column, y: Column, jj: Column) =>
-        struct(i.as("i"), jj.as("j"), (x.cast("double") * y.cast("double")).as("xy"))
-      if (upperOnly)
-        flatten(transform(a, (x, i) =>
-          transform(slice(b, i + 1, size(b) - i), (y, jj) => pair(x, i, y, i + jj))))
-      else
-        flatten(transform(a, (x, i) => transform(b, (y, jj) => pair(x, i, y, jj))))
+    val z = concat(
+      transform(col(vecCol), x => x.cast("double")),
+      array((0 until k).map(j => dot(col(vecCol), signs(j)) / scale): _*))
+    val base = df.select(z.as("_z"))
+    val cells = base.select(explode(flatten(transform(col("_z"), (x, i) =>
+        transform(slice(col("_z"), i + 1, size(col("_z")) - i),
+          (y, jj) => struct(i.as("i"), (i + jj).as("j"), (x * y).as("xy")))))).as("_p"))
+      .select(col("_p.i").as("i"), col("_p.j").as("j"), col("_p.xy").as("xy"))
+      .groupBy("i", "j")
+      .agg(Portable.decSum(col("xy"), 12).as("_sxy"), count(lit(1)).as("n"))
+    val means = base.select(posexplode(col("_z")))
+      .select(col("pos").as("i"), col("col").as("x"))
+      .groupBy("i").agg(Portable.decSum(col("x"), 12).as("_s"))
+    val cov = Portable.canonZero(round(col("_sxy") / col("n") -
+      (col("_si") / col("n")) * (col("_sj") / col("n")), 6))
+    val inXx = col("i") < dim && col("j") < dim
+    val inYy = col("i") >= dim && col("j") >= dim
+    val sqSym = when(col("i") === col("j"), cov * cov).otherwise(lit(2.0) * cov * cov)
+    val agg = cells
+      .join(broadcast(means.select(col("i"), col("_s").as("_si"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("_s").as("_sj"))), Seq("j"))
+      .agg(max("n").as("n"),
+        Portable.decSum(when(inXx, sqSym).otherwise(lit(0.0)), 12).as("_cxx"),
+        Portable.decSum(when(inYy, sqSym).otherwise(lit(0.0)), 12).as("_cyy"),
+        Portable.decSum(when(!inXx && !inYy, cov * cov).otherwise(lit(0.0)), 12)
+          .as("_cxy"))
+    agg.select(col("n"), lit(dim.toLong).as("d"), lit(k.toLong).as("k"),
+      round(col("_cxy"), 9).as("cross_frob_sq"),
+      round(col("_cxx"), 9).as("x_frob_sq"),
+      round(col("_cyy"), 9).as("y_frob_sq"),
+      when(col("_cxx") > 0 && col("_cyy") > 0,
+        Portable.pround(col("_cxy") / (sqrt(col("_cxx")) * sqrt(col("_cyy"))), 6))
+        .as("cka"))
+  }
+
+  /** Rank-biased-overlap tail weights for [[rboProjection]] — shared
+    * with the oracle generator as 12-dp literals: tail(m) =
+    * Σ_{d=m..depth} (1−p)·p^{d−1}/d at p = ½, so every power is an
+    * exact dyadic double and the fixed-order sum is deterministic.
+    */
+  private[graft] def rboTails(depth: Int): Array[Double] =
+    Array.tabulate(depth) { i =>
+      var s = 0.0
+      ((i + 1) to depth).foreach(d => s += math.pow(0.5, d) / d)
+      java.math.BigDecimal.valueOf(s)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
     }
-    def covFrob(pairsCol: Column, selfA: Column, selfB: Column,
-                doubleOffDiag: Boolean): DataFrame = {
-      val pairs = base.select(explode(pairsCol).as("_p"))
-        .select(col("_p.i").as("i"), col("_p.j").as("j"), col("_p.xy").as("xy"))
-        .groupBy("i", "j")
-        .agg(Portable.decSum(col("xy"), 12).as("_sxy"), count(lit(1)).as("n"))
-      val meansA = base.select(posexplode(selfA))
-        .select(col("pos").as("i"), col("col").cast("double").as("x"))
-        .groupBy("i").agg(Portable.decSum(col("x"), 12).as("_si"))
-      val meansB = base.select(posexplode(selfB))
-        .select(col("pos").as("j"), col("col").cast("double").as("x"))
-        .groupBy("j").agg(Portable.decSum(col("x"), 12).as("_sj"))
-      val cov = Portable.canonZero(round(col("_sxy") / col("n") -
-        (col("_si") / col("n")) * (col("_sj") / col("n")), 6))
-      val sq = if (doubleOffDiag)
-        when(col("i") === col("j"), cov * cov).otherwise(lit(2.0) * cov * cov)
-      else cov * cov
-      pairs.join(broadcast(meansA), Seq("i")).join(broadcast(meansB), Seq("j"))
-        .agg(Portable.decSum(sq, 12).as("frob_sq"), max("n").as("n"))
-    }
-    val xx = covFrob(fan(col("_x"), col("_x"), upperOnly = true),
-      col("_x"), col("_x"), doubleOffDiag = true)
-    val yy = covFrob(fan(col("_y"), col("_y"), upperOnly = true),
-      col("_y"), col("_y"), doubleOffDiag = true)
-    val xy = covFrob(fan(col("_x"), col("_y"), upperOnly = false),
-      col("_x"), col("_y"), doubleOffDiag = false)
-    xy.select(col("n"), col("frob_sq").as("_cxy"))
-      .crossJoin(broadcast(xx.select(col("frob_sq").as("_cxx"))))
-      .crossJoin(broadcast(yy.select(col("frob_sq").as("_cyy"))))
-      .select(col("n"), lit(dim.toLong).as("d"), lit(k.toLong).as("k"),
-        round(col("_cxy"), 9).as("cross_frob_sq"),
-        round(col("_cxx"), 9).as("x_frob_sq"),
-        round(col("_cyy"), 9).as("y_frob_sq"),
-        when(col("_cxx") > 0 && col("_cyy") > 0,
-          Portable.pround(col("_cxy") / (sqrt(col("_cxx")) * sqrt(col("_cyy"))), 6))
-          .as("cka"))
+
+  /** Rank-biased overlap between the TRUE cosine ranking and the
+    * JL-PROJECTED cosine ranking per probe (r18b) — the top-k RANKING
+    * member of the compression-audit family (C216 checks pairwise
+    * distances, C298 the global geometry; RBO asks the question serving
+    * actually cares about: does the compressed index return the same
+    * top results, weighted toward rank 1). Truncated RBO lower bound
+    * (Webber et al. 2010) at persistence p = ½: each id in BOTH top-D
+    * lists contributes tail(max(rank_true, rank_proj)) — algebraically
+    * Σ_d (1−p)p^{d−1}·overlap_d/d — so the whole read is one join on
+    * the two D-row shortlists plus literal-weight sums.
+    *
+    * Portability: both rankings use the shared fold-shape cosines with
+    * corpus-id tie-breaks (bit-identical scores → identical ranks);
+    * the tail weights enter as 12-dp literals computed once
+    * driver-side ([[rboTails]] — the r17 constant convention). Scale:
+    * probe set broadcast against the corpus (the [[cosineTopK]]
+    * baseline shape), ONE probe-keyed exchange serves both rank
+    * windows and the final aggregate.
+    */
+  def rboProjection(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    kProj: Int, probeLimit: Int, depth: Int): DataFrame = {
+    val signs = jlSigns(kProj, dim)
+    val scale = math.sqrt(kProj.toDouble)
+    def pdot(v: Column, row: Array[Double]): Column =
+      aggregate(
+        zip_with(v, typedLit(row.toSeq), (x, s) => x.cast("double") * s),
+        lit(0.0d), (acc, x) => acc + x)
+    val withProj = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      array((0 until kProj).map(j => pdot(col(vecCol), signs(j)) / scale): _*)
+        .as("_p"))
+    val q = withProj.where(col("_id") < probeLimit)
+      .select(col("_id").as("query_id"), col("_v").as("_qv"), col("_p").as("_qp"))
+    // true ranking rides the fused float expression; the projected
+    // vectors are doubles, so their cosine takes the generic fold
+    // (bit-identical shape — both are left folds over array order)
+    val scored = withProj.join(broadcast(q), col("query_id") =!= col("_id"))
+      .select(col("query_id"), col("_id").as("corpus_id"),
+        cosineNative(col("_qv"), col("_v")).as("_st"),
+        cosine(col("_qp"), col("_p")).as("_sp"))
+      .repartition(col("query_id"))
+    val wT = Window.partitionBy("query_id").orderBy(col("_st").desc, col("corpus_id").asc)
+    val wP = Window.partitionBy("query_id").orderBy(col("_sp").desc, col("corpus_id").asc)
+    val ranked = scored
+      .withColumn("_ra", row_number().over(wT))
+      .withColumn("_rb", row_number().over(wP))
+      .where(col("_ra") <= depth && col("_rb") <= depth)
+    val tails = typedLit(rboTails(depth).toSeq)
+    val agg = ranked
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("_ov"),
+        Portable.decSum(element_at(tails, greatest(col("_ra"), col("_rb"))), 12)
+          .as("_rbo"))
+    // a probe whose shortlists are disjoint still gets its row (RBO 0)
+    q.select(col("query_id")).join(broadcast(agg), Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("_ov"), lit(0L)).as("overlap_at_k"),
+        round(coalesce(col("_rbo"), lit(0.0)), 9).as("rbo_min"))
   }
 }

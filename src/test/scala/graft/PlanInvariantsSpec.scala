@@ -946,9 +946,24 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_langid" -> 7,
       // r18: q_bh_fdr measures 1.2 s — one steal gust from the line, so
       // pinned proactively like q_sprt (unit agg → per-(group, replica)
-      // agg → extreme join → the catalog-window step-up: 6 exchanges,
-      // unit-table-sized at most)
-      "q_bh_fdr" -> 6)
+      // agg → extreme join → the catalog-window step-up). r18b: the two
+      // catalog joins are broadcast-HINTED now — the estimate-blind
+      // frames planned SMJ in some session states — and one group-hash
+      // exchange the SMJ's shared sort previously covered materializes
+      // separately: 7 exchanges measured, unit-table-sized at most
+      "q_bh_fdr" -> 7,
+      // r18b: the representation audits join the tail on arrival — both
+      // are ONE row-local (i,j) moment fan + a cell aggregate + a means
+      // aggregate + the 1-row roll-up (q_cka's fan runs over the
+      // concatenated [x‖y] vector so ALL three Frobenius blocks share
+      // one corpus scan; its first cut at 3 separate fans measured 8
+      // exchanges and was rewritten before landing)
+      "q_effective_rank" -> 3, "q_cka" -> 3,
+      // r18b: the k=64 silhouette health report drifted over the line in
+      // a clean window (1.7 s — the honest k=64 promotion cost the r17
+      // notes documented); ONE cell exchange serves the per-cell moment
+      // aggregate, everything after is 64-row catalog work
+      "q_silhouette" -> 1)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until

@@ -62,4 +62,33 @@ class SparkEntrySpec extends SparkSpec {
         withClue(s"$name: ")(assert(a === b))
       }
   }
+
+  test("the queries and oracleSql map literals declare no duplicate keys") {
+    // Scala Map literals keep the LAST duplicate key, so a reused query
+    // name silently SHADOWS the original on both the query and oracle
+    // sides — consistently, so every downstream validation stays green
+    // while a declared operator stops being exercised (the r18 q_rbo
+    // near-miss: the new projected-ranking RBO almost replaced the r12
+    // BM25-vs-LM ranker overlap). Textual gate: each `"q_..." ->` key
+    // must appear exactly once per map literal.
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    val qStart = src.indexOf("def queries")
+    val oStart = src.indexOf("def oracleSql")
+    assert(qStart >= 0 && oStart > qStart)
+    // only TOP-LEVEL map-literal entries (4-space indent) — deeper
+    // indents are nested helper Maps (dynamic oracle variants), which
+    // reuse the name deliberately
+    def dupes(section: String): Seq[String] =
+      "(?m)^    \"(q_[a-z0-9_]+)\" ->".r.findAllMatchIn(section).map(_.group(1)).toSeq
+        .groupBy(identity).collect { case (k, v) if v.size > 1 => k }.toSeq.sorted
+    val qDupes = dupes(src.substring(qStart, oStart))
+    val oDupes = dupes(src.substring(oStart))
+    assert(qDupes.isEmpty, s"duplicate keys in queries: ${qDupes.mkString(", ")}")
+    assert(oDupes.isEmpty, s"duplicate keys in oracleSql: ${oDupes.mkString(", ")}")
+    // every static oracle names a declared query (the reverse doesn't
+    // hold here: the IVF/PQ-family oracles are DYNAMIC — they join the
+    // map only once their model artifacts exist for the target sfDir)
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
 }

@@ -498,6 +498,24 @@ class EmptyInputSpec extends SparkSpec {
     // hhi: one row of NULL k/HHI
     val hh = Profiling.hhiConcentration(df(Seq.empty[R18cGv]), "g", col("v")).head()
     assert(hh.isNullAt(1) && hh.isNullAt(2))
+    // packingAudit: one row per context of zero docs and NULL ratios
+    val pk = TextOps.packingAudit(df(Seq.empty[R18fDoc]), "doc_id",
+      col("text"), Seq(4)).head()
+    assert(pk.getLong(1) === 0L && pk.isNullAt(5))
+    // rboProjection / covariateBalance: no probes / no units, no rows
+    assert(VectorOps.rboProjection(df(Seq.empty[Vec]), "vec_id", "embedding",
+      64, 16, 20, 10).count() === 0)
+    assert(EventOps.covariateBalance(df(Seq.empty[R18fEv]), "user_id",
+      u => pmod(u, lit(2L)) === 0,
+      Seq("n_events" -> count(lit(1)))).count() === 0)
+    // dunn / cliffsDelta: no groups, no rows
+    assert(Profiling.dunnPosthoc(df(Seq.empty[R18cGv]), "g", col("v"), 1.0)
+      .count() === 0)
+    assert(Profiling.cliffsDelta(df(Seq.empty[R18gSv]), "g", col("in1"), col("v"))
+      .count() === 0)
+    // cochranQ: one row, zero treatments, NULL Q
+    val cq = EventOps.cochranQ(df(Seq.empty[R18gUt]), "user_id", "event_type").head()
+    assert(cq.getLong(1) === 0L && cq.isNullAt(3))
   }
 }
 
