@@ -2830,6 +2830,17 @@ object SparkEntry {
       VectorOps.embeddingDrift(T(s, dir, "embeddings"), ref, "embedding")
     }),
 
+    // Second-moment drift between the same md5 cohorts — the
+    // SHAPE-sensitive companion of q_embed_drift (centroid comparison
+    // is blind to a variance expansion around an unchanged mean):
+    // Frobenius distance/cosine of the uncentered E[xx^T] matrices,
+    // exactly the quadratic-kernel MMD².
+    "q_moment_drift" -> ((s, dir) => {
+      val ref = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000 < 8000
+      VectorOps.secondMomentDrift(T(s, dir, "embeddings"), ref, "embedding")
+    }),
+
     // Label-error candidates (confident-learning instinct): docs whose
     // NB score under some OTHER language beats their own label's,
     // ranked by margin — the "audit these labels first" queue; rides
@@ -9235,6 +9246,39 @@ object SparkEntry {
            CASE WHEN aa > 0 AND bb > 0
              THEN round(dot / (sqrt(aa) * sqrt(bb)), 9) + 0 END AS mean_cos,
            round(sqrt(d2), 9) + 0 AS l2_dist
+         FROM agg""",
+
+    // Second-moment drift: the q_embed_cov upper-triangular fan per
+    // cohort, the q_embed_drift decimal-mean/cell shape, off-diagonals
+    // weighted x2 for the full symmetric matrix.
+    "q_moment_drift" ->
+      """WITH e AS (
+           SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000) AS ref,
+             embedding AS v
+           FROM embeddings),
+         p AS (SELECT ref, unnest(flatten(list_transform(range(0, len(v)), i ->
+                 list_transform(range(i, len(v)), j ->
+                   {'i': i, 'j': j, 'xy': v[i+1]::DOUBLE * v[j+1]::DOUBLE})))) AS s
+               FROM e),
+         cells AS (SELECT ref, s.i AS i, s.j AS j,
+                     sum(CAST(s.xy AS DECIMAL(28,12)))::DOUBLE / count(*) AS m,
+                     count(*)::BIGINT AS n
+                   FROM p GROUP BY 1, 2, 3),
+         j AS (SELECT a.i, a.j, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb,
+                 CASE WHEN a.i = a.j THEN 1.0 ELSE 2.0 END AS w
+               FROM cells a JOIN cells b
+                 ON a.i = b.i AND a.j = b.j AND a.ref AND NOT b.ref),
+         agg AS (SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                   sum(CAST(w * ma * mb AS DECIMAL(28,12)))::DOUBLE AS dot,
+                   sum(CAST(w * ma * ma AS DECIMAL(28,12)))::DOUBLE AS aa,
+                   sum(CAST(w * mb * mb AS DECIMAL(28,12)))::DOUBLE AS bb,
+                   sum(CAST(w * (ma - mb) * (ma - mb) AS DECIMAL(28,12)))::DOUBLE AS d2
+                 FROM j)
+         SELECT n_a, n_b,
+           round(sqrt(aa), 9) + 0 AS frob_a, round(sqrt(bb), 9) + 0 AS frob_b,
+           round(sqrt(d2), 9) + 0 AS moment_dist,
+           CASE WHEN aa > 0 AND bb > 0
+             THEN round(dot / (sqrt(aa) * sqrt(bb)), 6) + 0 END AS moment_cos
          FROM agg""",
 
     // The shared NB scored CTE; best-other via the negated-score struct

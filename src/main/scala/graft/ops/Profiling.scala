@@ -592,14 +592,34 @@ object Profiling {
     * rows + broadcast totals.
     */
   def calibrationReport(df: DataFrame, scoreCol: Column, labelCol: Column,
-                        nBins: Int = 10): DataFrame = {
+                        nBins: Int = 10): DataFrame =
+    calibrationFromBins(scoreBins(df, scoreCol, labelCol, nBins))
+
+  /** Shared per-bin sufficient statistics for [[calibrationReport]] /
+    * [[brierDecomposition]] and their streaming twin: per fixed-width
+    * score bin, (n, positives, Σscore, Σ(score−y)²) with the sums kept
+    * as DECIMALS — an additive monoid, so partial states merged at any
+    * micro-batch boundary equal the batch aggregate exactly.
+    */
+  private[graft] def scoreBins(df: DataFrame, scoreCol: Column,
+                               labelCol: Column, nBins: Int): DataFrame = {
     val binned = df.select(
       least(floor(scoreCol * nBins), lit(nBins - 1)).cast("long").as("bin"),
       labelCol.cast("boolean").cast("long").as("_y"),
       scoreCol.as("_s"))
-    val g = binned.groupBy("bin").agg(
+    binned.groupBy("bin").agg(
       count(lit(1)).as("n"), sum("_y").as("n_pos"),
-      Portable.decSum(col("_s"), 12).as("_ss"))
+      sum(col("_s").cast("decimal(28,12)")).as("_ssd"),
+      sum(((col("_s") - col("_y").cast("double")) *
+        (col("_s") - col("_y").cast("double"))).cast("decimal(28,12)")).as("_sqd"))
+  }
+
+  /** [[calibrationReport]] from maintained [[scoreBins]] — the shared
+    * read path for the batch query and the streaming twin.
+    */
+  def calibrationFromBins(bins: DataFrame): DataFrame = {
+    val g = bins.select(col("bin"), col("n"), col("n_pos"),
+      col("_ssd").cast("double").as("_ss"))
     val tot = g.agg(sum("n").as("_N"))
     val conf = round(col("_ss") / col("n"), 9)
     val acc = col("n_pos").cast("double") / col("n").cast("double")
@@ -2958,18 +2978,19 @@ object Profiling {
     * Two hash aggregates over ≤ nBins rows + broadcast totals.
     */
   def brierDecomposition(df: DataFrame, scoreCol: Column, labelCol: Column,
-                         nBins: Int = 10): DataFrame = {
-    val binned = df.select(
-      least(floor(scoreCol * nBins), lit(nBins - 1)).cast("long").as("_bin"),
-      labelCol.cast("boolean").cast("long").as("_y"),
-      scoreCol.as("_s"))
-    val raw = binned.agg(
-      count(lit(1)).as("n"), sum("_y").as("n_pos"),
-      Portable.decSum((col("_s") - col("_y").cast("double")) *
-        (col("_s") - col("_y").cast("double")), 12).as("_sq"))
-    val g = binned.groupBy("_bin").agg(
-      count(lit(1)).as("_nb"), sum("_y").as("_pb"),
-      Portable.decSum(col("_s"), 12).as("_ss"))
+                         nBins: Int = 10): DataFrame =
+    brierFromBins(scoreBins(df, scoreCol, labelCol, nBins))
+
+  /** [[brierDecomposition]] from maintained [[scoreBins]] — the shared
+    * read path for the batch query and the streaming twin (the raw
+    * Brier sum folds exactly from the per-bin decimal partials).
+    */
+  def brierFromBins(bins: DataFrame): DataFrame = {
+    val raw = bins.agg(
+      coalesce(sum("n"), lit(0L)).as("n"), sum("n_pos").as("n_pos"),
+      sum("_sqd").cast("double").as("_sq"))
+    val g = bins.select(col("bin").as("_bin"), col("n").as("_nb"),
+      col("n_pos").as("_pb"), col("_ssd").cast("double").as("_ss"))
     val conf = round(col("_ss") / col("_nb"), 9)
     val acc = col("_pb").cast("double") / col("_nb").cast("double")
     val obar = col("n_pos").cast("double") / col("n").cast("double")
@@ -3187,10 +3208,18 @@ object Profiling {
     * reciprocal is one division. One group hash aggregate; k rows in,
     * one row out.
     */
-  def hhiConcentration(df: DataFrame, groupCol: String, weightCol: Column): DataFrame = {
-    val per = df.where(weightCol.isNotNull)
-      .groupBy(col(groupCol).as("_g"))
-      .agg(Portable.decSum(weightCol.cast("double"), 6).as("_s"))
+  def hhiConcentration(df: DataFrame, groupCol: String, weightCol: Column): DataFrame =
+    hhiFromSums(
+      df.where(weightCol.isNotNull)
+        .groupBy(col(groupCol).as("_g"))
+        .agg(sum(weightCol.cast("double").cast("decimal(28,6)")).as("_sd")))
+
+  /** [[hhiConcentration]] from a maintained (_g, _sd) decimal group-sum
+    * table — the shared read path for the batch query and the streaming
+    * twin (per-group decimal weight sums are an additive monoid).
+    */
+  def hhiFromSums(per0: DataFrame): DataFrame = {
+    val per = per0.select(col("_g"), col("_sd").cast("double").as("_s"))
     val tot = per.agg(count(lit(1)).as("k"),
       Portable.decSum(col("_s"), 6).as("_t"))
     val share = col("_s") / col("_t")

@@ -1119,6 +1119,62 @@ object VectorOps {
         round(sqrt(col("_d2")), 9).as("l2_dist"))
   }
 
+  /** Second-moment drift between two embedding cohorts (r18b) — the
+    * SHAPE-sensitive companion of [[embeddingDrift]] (which compares
+    * centroid means — the linear-kernel MMD — and is blind to a
+    * variance expansion or a rotation around an unchanged mean):
+    * compares the uncentered second-moment matrices S = E[xxᵀ] by
+    * Frobenius distance ‖S_A − S_B‖_F and cosine ⟨S_A,S_B⟩/‖S_A‖‖S_B‖.
+    * ‖S_A − S_B‖²_F is exactly the quadratic-kernel MMD²
+    * (k(x,y) = (xᵀy)²: E k(x,x') = ‖E[xxᵀ]‖²_F), so this is a proper
+    * two-sample distribution test statistic over embedding space, not
+    * a heuristic. The read that catches "the new crawl's embeddings
+    * have the same centroid but a different spread".
+    *
+    * Scale shape: ONE row-local upper-triangular (i,j) fan per row (the
+    * C138 shape — no self-join, map-side combinable), one (cohort,
+    * cell) aggregate, a d²-bounded cell join, one roll-up; per-cell
+    * means are the [[embeddingDrift]] decimal-sum/count shape,
+    * off-diagonal cells weighted ×2 for the full symmetric matrix.
+    */
+  def secondMomentDrift(df: DataFrame, cohortCol: Column, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    // ONE cell aggregate carries both cohorts as conditional sums (the
+    // per-cohort decimal sums are identical to separately-grouped ones —
+    // the `otherwise(0)` addends are exact zeros), so no cohort-keyed
+    // cell join ever materializes
+    val cells = df.select(cohortCol.cast("boolean").as("_ref"),
+        explode(flatten(transform(v, (x, i) =>
+          transform(slice(v, i + 1, size(v) - i),
+            (y, jj) => struct(i.as("i"), (i + jj).as("j"),
+              (x.cast("double") * y.cast("double")).as("xy")))))).as("_p"))
+      .select(col("_ref"), col("_p.i").as("i"), col("_p.j").as("j"),
+        col("_p.xy").as("xy"))
+      .groupBy("i", "j")
+      .agg(
+        sum(when(col("_ref"), 1L).otherwise(0L)).as("_na"),
+        sum(when(!col("_ref"), 1L).otherwise(0L)).as("_nb"),
+        Portable.decSum(when(col("_ref"), col("xy")).otherwise(lit(0.0)), 12).as("_sa"),
+        Portable.decSum(when(!col("_ref"), col("xy")).otherwise(lit(0.0)), 12).as("_sb"))
+    val ma = col("_sa") / col("_na")
+    val mb = col("_sb") / col("_nb")
+    val w = when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))
+    cells.where(col("_na") > 0 && col("_nb") > 0)
+      .agg(
+        max("_na").as("n_a"), max("_nb").as("n_b"),
+        Portable.decSum(w * ma * mb, 12).as("_dot"),
+        Portable.decSum(w * ma * ma, 12).as("_aa"),
+        Portable.decSum(w * mb * mb, 12).as("_bb"),
+        Portable.decSum(w * (ma - mb) * (ma - mb), 12).as("_d2"))
+      .select(col("n_a"), col("n_b"),
+        round(sqrt(col("_aa")), 9).as("frob_a"),
+        round(sqrt(col("_bb")), 9).as("frob_b"),
+        round(sqrt(col("_d2")), 9).as("moment_dist"),
+        when(col("_aa") > 0 && col("_bb") > 0,
+          Portable.pround(col("_dot") / (sqrt(col("_aa")) * sqrt(col("_bb"))), 6))
+          .as("moment_cos"))
+  }
+
   /** Simplified (centroid-based) silhouette per IVF cell: for each
     * vector, a = cosine distance to its OWN centroid, b = the nearest
     * OTHER centroid's distance, s = (b − a)/max(a, b) ∈ [−1, 1]; the

@@ -410,6 +410,89 @@ object StreamingOps {
       daily.get.map(p => graft.ops.TimeSeries.fanoFromDaily(p, keyCol, chi2Crit))
   }
 
+  /** Streaming calibration maintenance — the streaming twin of C187's
+    * q_calibration AND C295's q_brier (r18b): calibration is a DRIFT
+    * property (a score honest on last month's corpus quietly stops being
+    * honest as the mix shifts), so its natural home is a continuously
+    * updated state. Per-bin (n, positives, Σscore, Σ(score−y)²) with the
+    * sums as DECIMALS is the additive monoid
+    * ([[graft.ops.Profiling.scoreBins]]); both the reliability report
+    * and the Murphy decomposition derive at read time through the SAME
+    * `calibrationFromBins`/`brierFromBins` arithmetic — bit-identical to
+    * the batch rows over everything merged so far (one state, two
+    * monitors, the SprtState precedent). `rowFilter` pre-guards rows the
+    * score expression cannot evaluate (e.g. zero-token docs — ANSI
+    * double division throws). State is nBins rows forever; batch-id
+    * replay is a no-op.
+    */
+  final class CalibrationBinsState(scoreCol: Column, labelCol: Column,
+                                   nBins: Int, rowFilter: Column) {
+    private val bins = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = graft.ops.Profiling.scoreBins(
+        batch.where(rowFilter), scoreCol, labelCol, nBins)
+      val merged = bins.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("bin")
+          .agg(sum("n").as("n"), sum("n_pos").as("n_pos"),
+            sum("_ssd").as("_ssd"), sum("_sqd").as("_sqd"))
+        case None => p
+      }
+      bins.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current reliability table + ECE — bit-identical to the batch
+      * q_calibration rows over everything merged so far.
+      */
+    def report: Option[DataFrame] =
+      bins.get.map(graft.ops.Profiling.calibrationFromBins)
+
+    /** Current Murphy decomposition — bit-identical to the batch
+      * q_brier row over everything merged so far.
+      */
+    def brier: Option[DataFrame] =
+      bins.get.map(graft.ops.Profiling.brierFromBins)
+  }
+
+  /** Streaming source-mix concentration — the streaming twin of C301's
+    * q_hhi (r18b): corpus concentration is an INGESTION property (one
+    * domain quietly swallowing the mix is exactly what a crawl monitor
+    * exists to catch), so the per-group decimal weight sums are
+    * maintained as the additive monoid and HHI + effective source count
+    * derive at read time through the SAME
+    * [[graft.ops.Profiling.hhiFromSums]] arithmetic — bit-identical to
+    * the batch q_hhi row over everything merged so far. State is one
+    * row per group forever; batch-id replay is a no-op.
+    */
+  final class HhiState(groupCol: String, weightCol: Column) {
+    private val sums = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = batch.where(weightCol.isNotNull)
+        .groupBy(col(groupCol).as("_g"))
+        .agg(sum(weightCol.cast("double").cast("decimal(28,6)")).as("_sd"))
+      val merged = sums.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("_g").agg(sum("_sd").as("_sd"))
+        case None => p
+      }
+      sums.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current concentration row — bit-identical to the batch q_hhi row
+      * over everything merged so far.
+      */
+    def concentration: Option[DataFrame] =
+      sums.get.map(graft.ops.Profiling.hhiFromSums)
+  }
+
   /** Streaming split-conformal maintenance — the streaming twin of C270's
     * q_conformal (VERDICT r17 item 4): a distribution-free monitoring band
     * exists to be re-read as data arrives. Two pieces of state:

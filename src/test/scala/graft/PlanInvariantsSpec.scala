@@ -963,7 +963,11 @@ class PlanInvariantsSpec extends SparkSpec {
       // a clean window (1.7 s — the honest k=64 promotion cost the r17
       // notes documented); ONE cell exchange serves the per-cell moment
       // aggregate, everything after is 64-row catalog work
-      "q_silhouette" -> 1)
+      "q_silhouette" -> 1,
+      // r18d: the two-cohort second-moment sweep is a tail resident by
+      // construction (it is two embed_cov passes fused into one fan with
+      // conditional cohort sums): one cell exchange + the 1-row roll-up
+      "q_moment_drift" -> 2)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until

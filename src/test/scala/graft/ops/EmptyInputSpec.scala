@@ -516,6 +516,10 @@ class EmptyInputSpec extends SparkSpec {
     // cochranQ: one row, zero treatments, NULL Q
     val cq = EventOps.cochranQ(df(Seq.empty[R18gUt]), "user_id", "event_type").head()
     assert(cq.getLong(1) === 0L && cq.isNullAt(3))
+    // secondMomentDrift: one row of NULL moments (empty cell join)
+    val md0 = VectorOps.secondMomentDrift(df(Seq.empty[Vec]),
+      pmod(col("vec_id"), lit(2L)) === 0, "embedding").head()
+    assert(md0.isNullAt(4) && md0.isNullAt(5))
   }
 }
 

@@ -68,6 +68,32 @@ class Round18dOpsSpec extends SparkSpec {
     assert(a.getDouble(3) === b.getDouble(3), "cross-Frobenius too")
   }
 
+  test("secondMomentDrift: catches a variance expansion the mean drift cannot see") {
+    // A = {(1,0),(-1,0)}, B = {(2,0),(-2,0)}: both centroids are the
+    // origin (embeddingDrift reads 0 distance), but S_A = diag(1,0) vs
+    // S_B = diag(4,0) -> Frobenius distance exactly 3, same direction
+    val rows = Seq(
+      Vec(2, Array(1f, 0f)), Vec(4, Array(-1f, 0f)),
+      Vec(1, Array(2f, 0f)), Vec(3, Array(-2f, 0f)))
+    val isA = pmod(col("vec_id"), lit(2L)) === 0
+    val mean = VectorOps.embeddingDrift(df(rows), isA, "embedding").head()
+    assert(mean.getDouble(3) === 0.0, "centroids agree — mean drift is blind here")
+    val out = VectorOps.secondMomentDrift(df(rows), isA, "embedding").head()
+    assert(out.getLong(0) === 2L && out.getLong(1) === 2L)
+    assert(out.getDouble(2) === 1.0 && out.getDouble(3) === 4.0)
+    assert(out.getDouble(4) === 3.0, "||diag(1,0) - diag(4,0)||_F = 3")
+    assert(out.getDouble(5) === 1.0, "same moment direction, different scale")
+  }
+
+  test("secondMomentDrift: identical cohorts sit at distance 0, cosine 1") {
+    val rows = Seq(
+      Vec(2, Array(1f, 2f)), Vec(4, Array(3f, -1f)),
+      Vec(1, Array(1f, 2f)), Vec(3, Array(3f, -1f)))
+    val out = VectorOps.secondMomentDrift(df(rows),
+      pmod(col("vec_id"), lit(2L)) === 0, "embedding").head()
+    assert(out.getDouble(4) === 0.0 && out.getDouble(5) === 1.0)
+  }
+
   test("linearCka and participationRatio: empty input") {
     val empty = df(Seq.empty[Vec])
     val pr = VectorOps.participationRatio(empty, "vec_id", "embedding").head()

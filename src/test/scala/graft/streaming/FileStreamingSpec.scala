@@ -684,6 +684,73 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming calibration bins serve both the report and the Brier read, bit-identical to batch") {
+    // C187 + C295's streaming twin (r18b): calibration is a drift
+    // property, so the bin state is maintained continuously; the
+    // per-bin decimal sufficient statistics are an additive monoid and
+    // BOTH reads (reliability report, Murphy decomposition) must equal
+    // their batch queries exactly over everything merged so far.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text")
+    val t = TextOps.tokens(col("text"))
+    val score = size(org.apache.spark.sql.functions.filter(t,
+      x => x.isin(TextOps.Stopwords: _*))).cast("double") / size(t).cast("double")
+    val label = col("lang") === "en"
+    val inDir = java.nio.file.Files.createTempDirectory("graft_cal_in").toFile.getAbsolutePath
+    docs.where(col("doc_id") % 2 === 0).write.mode("append").parquet(inDir)
+    docs.where(col("doc_id") % 2 =!= 0).write.mode("append").parquet(inDir)
+    val state = new StreamingOps.CalibrationBinsState(score, label, 10, size(t) > 0)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val scored = docs.select(col("lang"), score.as("_score")).where(size(t) > 0)
+      val batchRep = graft.ops.Profiling.calibrationReport(
+        scored, col("_score"), col("lang") === "en", 10)
+      val rep = state.report.get
+      assert(rep.count() > 0)
+      assert(rep.except(batchRep).count() === 0 && batchRep.except(rep).count() === 0,
+        "merged bins must reproduce the batch reliability table exactly")
+      val batchBrier = graft.ops.Profiling.brierDecomposition(
+        scored, col("_score"), col("lang") === "en", 10)
+      val br = state.brier.get
+      assert(br.except(batchBrier).count() === 0 && batchBrier.except(br).count() === 0,
+        "one state, two monitors — the Murphy read must match batch too")
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(docs, 0L)
+      val replayed = state.report.get
+      assert(replayed.except(batchRep).count() === 0 &&
+        batchRep.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming HHI concentration is bit-identical to batch") {
+    // C301's streaming twin (r18b): per-source decimal character sums
+    // are the additive monoid; the concentration read from the merged
+    // state must equal the batch q_hhi row exactly.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "n_chars")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_hhi_in").toFile.getAbsolutePath
+    docs.where(col("doc_id") % 2 === 0).write.mode("append").parquet(inDir)
+    docs.where(col("doc_id") % 2 =!= 0).write.mode("append").parquet(inDir)
+    val state = new StreamingOps.HhiState("source", col("n_chars"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val batch = graft.ops.Profiling.hhiConcentration(docs, "source", col("n_chars"))
+      val streamed = state.concentration.get
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0,
+        "merged source sums must reproduce the batch concentration exactly")
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(docs, 0L)
+      val replayed = state.concentration.get
+      assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming Fano dispersion is bit-identical to batch, under out-of-order arrival") {
     // C294's streaming twin (r18b): per-(key, day) counts are an
     // additive monoid, so the dense-grid dispersion read from the
