@@ -2830,6 +2830,17 @@ object SparkEntry {
       VectorOps.embeddingDrift(T(s, dir, "embeddings"), ref, "embedding")
     }),
 
+    // Per-source centroid similarity matrix — WHICH sources are
+    // semantically close (the mixing map read before merging
+    // near-duplicate domains): embeddings joined to their documents,
+    // per-source decimal centroid, k x k pairwise cosine + L2 over the
+    // source catalog.
+    "q_source_sim" -> ((s, dir) =>
+      VectorOps.sourceCentroidSimilarity(
+          T(s, dir, "embeddings"), T(s, dir, "documents"),
+          "vec_id", "embedding", "doc_id", "source")
+        .orderBy("g_a", "g_b")),
+
     // Second-moment drift between the same md5 cohorts — the
     // SHAPE-sensitive companion of q_embed_drift (centroid comparison
     // is blind to a variance expansion around an unchanged mean):
@@ -9247,6 +9258,35 @@ object SparkEntry {
              THEN round(dot / (sqrt(aa) * sqrt(bb)), 9) + 0 END AS mean_cos,
            round(sqrt(d2), 9) + 0 AS l2_dist
          FROM agg""",
+
+    // Source centroids: the q_embed_drift decimal-mean shape per
+    // (source, dim), identical pair moments over the dimension join.
+    "q_source_sim" ->
+      """WITH j AS (
+           SELECT d.source AS g, e.embedding AS v
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           WHERE d.source IS NOT NULL),
+         fan AS (
+           SELECT g, p.pos AS p, v[p.pos]::DOUBLE AS x
+           FROM j CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p),
+         m AS (SELECT g, p,
+                 sum(CAST(x AS DECIMAL(28,12)))::DOUBLE / count(*) AS m,
+                 count(*)::BIGINT AS n
+               FROM fan GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.g AS g_a, b.g AS g_b,
+             max(a.n)::BIGINT AS n_a, max(b.n)::BIGINT AS n_b,
+             sum(CAST(a.m * b.m AS DECIMAL(28,12)))::DOUBLE AS dot,
+             sum(CAST(a.m * a.m AS DECIMAL(28,12)))::DOUBLE AS aa,
+             sum(CAST(b.m * b.m AS DECIMAL(28,12)))::DOUBLE AS bb,
+             sum(CAST((a.m - b.m) * (a.m - b.m) AS DECIMAL(28,12)))::DOUBLE AS d2
+           FROM m a JOIN m b ON a.p = b.p AND a.g < b.g
+           GROUP BY 1, 2)
+         SELECT g_a, g_b, n_a, n_b,
+           CASE WHEN aa > 0 AND bb > 0
+             THEN round(dot / (sqrt(aa) * sqrt(bb)), 6) + 0 END AS centroid_cos,
+           round(sqrt(d2), 9) + 0 AS centroid_l2
+         FROM pairs ORDER BY g_a, g_b""",
 
     // Second-moment drift: the q_embed_cov upper-triangular fan per
     // cohort, the q_embed_drift decimal-mean/cell shape, off-diagonals

@@ -1175,6 +1175,53 @@ object VectorOps {
           .as("moment_cos"))
   }
 
+  /** Per-source centroid similarity matrix (r18b) — WHICH sources are
+    * semantically close: per source the embedding centroid (exact
+    * decimal per-dimension means), then every source pair's centroid
+    * cosine and L2 distance — the semantic MIXING MAP a corpus plan
+    * reads before merging near-duplicate domains or assigning separate
+    * weights (C134 asks "does the domain label predict tokens", C267
+    * compares token DISTRIBUTIONS; this compares where the domains sit
+    * in embedding space). The C181 cohort-drift machinery generalized
+    * from 2 cohorts to the full k×k catalog.
+    *
+    * Scale shape: one broadcast id join attaches the group, ONE
+    * (group, dim) hash aggregate collapses the corpus to k·d rows,
+    * and the pair fan is the k²-bounded catalog self-join on the
+    * dimension key; per-pair moments decimal-snapshot, the cosine/L2
+    * are fixed IEEE shapes. Degenerate zero-norm centroids NULL the
+    * cosine, never throw.
+    */
+  def sourceCentroidSimilarity(emb: DataFrame, docs: DataFrame,
+                               idCol: String, vecCol: String,
+                               docIdCol: String, groupCol: String): DataFrame = {
+    val joined = emb.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .join(broadcast(docs.select(col(docIdCol).as("_id"), col(groupCol).as("_g"))
+        .where(col("_g").isNotNull)), Seq("_id"))
+    val means = joined.select(col("_g"), posexplode(col("_v")))
+      .select(col("_g"), col("pos").as("_p"), col("col").cast("double").as("_x"))
+      .groupBy("_g", "_p")
+      .agg((Portable.decSum(col("_x"), 12) / count(lit(1))).as("_m"),
+        count(lit(1)).as("_n"))
+    val a = means.select(col("_g").as("g_a"), col("_p").as("_pa"),
+      col("_m").as("_ma"), col("_n").as("_na"))
+    val b = means.select(col("_g").as("g_b"), col("_p").as("_pb"),
+      col("_m").as("_mb"), col("_n").as("_nb"))
+    a.join(broadcast(b), col("_pa") === col("_pb") && col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b")
+      .agg(max("_na").as("n_a"), max("_nb").as("n_b"),
+        Portable.decSum(col("_ma") * col("_mb"), 12).as("_dot"),
+        Portable.decSum(col("_ma") * col("_ma"), 12).as("_aa"),
+        Portable.decSum(col("_mb") * col("_mb"), 12).as("_bb"),
+        Portable.decSum((col("_ma") - col("_mb")) * (col("_ma") - col("_mb")), 12)
+          .as("_d2"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        when(col("_aa") > 0 && col("_bb") > 0,
+          Portable.pround(col("_dot") / (sqrt(col("_aa")) * sqrt(col("_bb"))), 6))
+          .as("centroid_cos"),
+        round(sqrt(col("_d2")), 9).as("centroid_l2"))
+  }
+
   /** Simplified (centroid-based) silhouette per IVF cell: for each
     * vector, a = cosine distance to its OWN centroid, b = the nearest
     * OTHER centroid's distance, s = (b − a)/max(a, b) ∈ [−1, 1]; the

@@ -520,6 +520,10 @@ class EmptyInputSpec extends SparkSpec {
     val md0 = VectorOps.secondMomentDrift(df(Seq.empty[Vec]),
       pmod(col("vec_id"), lit(2L)) === 0, "embedding").head()
     assert(md0.isNullAt(4) && md0.isNullAt(5))
+    // sourceCentroidSimilarity: no sources, no pairs
+    assert(VectorOps.sourceCentroidSimilarity(df(Seq.empty[Vec]),
+      df(Seq.empty[R18hDoc]), "vec_id", "embedding", "doc_id", "source")
+      .count() === 0)
   }
 }
 

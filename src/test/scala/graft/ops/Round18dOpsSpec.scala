@@ -3,10 +3,16 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+case class R18hDoc(doc_id: Long, source: String)
+
 /** Hand-exact fixtures for the round-18d representation audits: the
-  * covariance participation ratio and linear CKA vs the JL projection.
+  * covariance participation ratio, linear CKA vs the JL projection,
+  * the second-moment drift, and the source centroid-similarity map.
   */
 class Round18dOpsSpec extends SparkSpec {
+
+  private def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
 
   // ── participation ratio ────────────────────────────────────────────
 
@@ -92,6 +98,32 @@ class Round18dOpsSpec extends SparkSpec {
     val out = VectorOps.secondMomentDrift(df(rows),
       pmod(col("vec_id"), lit(2L)) === 0, "embedding").head()
     assert(out.getDouble(4) === 0.0 && out.getDouble(5) === 1.0)
+  }
+
+  test("sourceCentroidSimilarity: hand-placed centroids") {
+    // source a: (1,0),(3,0) -> centroid (2,0); b: (0,2) -> (0,2);
+    // c: (4,0),(4,0) -> (4,0). cos(a,b)=0, l2(a,b)=sqrt(8);
+    // cos(a,c)=1 (same direction), l2(a,c)=2
+    val emb = Seq(
+      Vec(1, Array(1f, 0f)), Vec(2, Array(3f, 0f)),
+      Vec(3, Array(0f, 2f)),
+      Vec(4, Array(4f, 0f)), Vec(5, Array(4f, 0f)))
+    val docs = Seq(R18hDoc(1, "a"), R18hDoc(2, "a"), R18hDoc(3, "b"),
+      R18hDoc(4, "c"), R18hDoc(5, "c"))
+    val out = VectorOps.sourceCentroidSimilarity(df(emb), df(docs),
+      "vec_id", "embedding", "doc_id", "source")
+      .orderBy("g_a", "g_b").collect()
+    assert(out.length === 3)
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = byPair(("a", "b"))
+    assert(ab.getLong(2) === 2L && ab.getLong(3) === 1L)
+    assert(ab.getDouble(4) === 0.0, "orthogonal centroids")
+    assert(ab.getDouble(5) === r9(math.sqrt(8.0)))
+    val ac = byPair(("a", "c"))
+    assert(ac.getDouble(4) === 1.0, "same direction, different norm")
+    assert(ac.getDouble(5) === 2.0)
+    val bc = byPair(("b", "c"))
+    assert(bc.getDouble(4) === 0.0)
   }
 
   test("linearCka and participationRatio: empty input") {
