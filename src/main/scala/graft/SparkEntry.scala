@@ -3728,6 +3728,14 @@ object SparkEntry {
         u => pmod(Portable.hash32(u), lit(2L)) === 0,
         censorDays = 180, unitDays = 30)),
 
+    // Nelson-Aalen cumulative hazard over the same lifetimes as
+    // q_km_survival — the survival shelf's additive form: the slope of
+    // H(t) is the churn INTENSITY per lifetime bucket, the quantity a
+    // retention intervention targets.
+    "q_na_hazard" -> ((s, dir) =>
+      EventOps.nelsonAalen(T(s, dir, "orders"), "o_custkey", "o_orderdate",
+        censorDays = 180, unitDays = 30)),
+
     // Theil T inequality with between/within decomposition by source on
     // document lengths — the DECOMPOSABLE member of the inequality
     // family (q_gini is the scalar, q_lorenz the curve): is corpus
@@ -11180,6 +11188,30 @@ object SparkEntry {
                 THEN round((agg.o_a::DOUBLE - agg.ea) / sqrt(agg.vv), 6) + 0
            END AS z_stat
          FROM tot CROSS JOIN agg""",
+
+    // Nelson-Aalen: the q_km_survival lifetime construction, descending
+    // cumulative risk sets, fixed hazard divisions, decimal-snapshotted
+    // cumulative sum.
+    "q_na_hazard" ->
+      """WITH u AS (SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+                      CAST(max(o_orderdate) AS DATE) AS l
+                    FROM orders GROUP BY o_custkey),
+         g AS (SELECT max(l) AS gmax FROM u),
+         lf AS (SELECT (l - f) // 30 AS life,
+                  CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn
+                FROM u, g),
+         pl AS (SELECT life, sum(churn)::BIGINT AS d,
+                  sum(1 - churn)::BIGINT AS c
+                FROM lf GROUP BY life),
+         r AS (SELECT life, d, c,
+                 sum(d + c) OVER (ORDER BY life DESC)::BIGINT AS n
+               FROM pl),
+         h AS (SELECT life, n, d, c, d::DOUBLE / n::DOUBLE AS hz FROM r)
+         SELECT life, n AS n_risk, d AS n_churned, c AS n_censored,
+           round(hz, 9) + 0 AS hazard,
+           round(sum(CAST(hz AS DECIMAL(28,12)))
+             OVER (ORDER BY life ASC)::DOUBLE, 9) + 0 AS cum_hazard
+         FROM h ORDER BY life""",
 
     // Theil: identical value-catalog ratios, 9-dp-rounded ln before the
     // count products, decimal-snapshotted term sums.

@@ -584,18 +584,62 @@ object EventOps {
     * day-span catalog; the fold runs on ONE collected row of that
     * catalog (the kMeansCentroids sanctioned model-sized shape).
     */
-  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
-                  censorDays: Int = 7, unitDays: Int = 30): DataFrame = {
+  /** Shared right-censored lifetime table for [[kaplanMeier]] /
+    * [[nelsonAalen]]: one row per distinct lifetime bucket with churn
+    * and censor counts (lifetime = whole `unitDays` between a unit's
+    * first and last event; units whose last event falls within
+    * `censorDays` of the corpus edge are censored, not churned).
+    */
+  private def lifeTable(df: DataFrame, userCol: String, tsCol: String,
+                        censorDays: Int, unitDays: Int): DataFrame = {
     val perUser = df.groupBy(col(userCol))
       .agg(to_date(min(col(tsCol))).as("_f"), to_date(max(col(tsCol))).as("_l"))
     val gmax = perUser.agg(max("_l").as("_gmax"))
-    val lives = perUser.crossJoin(broadcast(gmax))
+    perUser.crossJoin(broadcast(gmax))
       .select((datediff(col("_l"), col("_f")).cast("long") / unitDays)
           .cast("long").as("_life"), // int floor-div: datediff >= 0
         (col("_l") < date_sub(col("_gmax"), censorDays)).as("_churn"))
-    val perLife = lives.groupBy("_life")
+      .groupBy("_life")
       .agg(sum(when(col("_churn"), 1L).otherwise(0L)).as("_d"),
         sum(when(!col("_churn"), 1L).otherwise(0L)).as("_c"))
+  }
+
+  /** Nelson–Aalen cumulative hazard (r18b) — the survival shelf's third
+    * member (C221's KM estimates the survival CURVE by products, C292's
+    * log-rank TESTS two curves; Nelson–Aalen estimates the cumulative
+    * HAZARD H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ by sums — the additive form whose
+    * slope reads as the churn INTENSITY per lifetime bucket, the
+    * quantity a retention intervention is aimed at, and the
+    * lower-variance estimator at small risk sets).
+    *
+    * Portability/scale: risk sets are one DESCENDING cumulative window
+    * over the bounded lifetime catalog (integer counts); each hazard
+    * increment dᵢ/nᵢ is one fixed double division; the cumulative sum
+    * decimal-snapshots the increments (order-independent). No
+    * row-scale work after the [[lifeTable]] unit aggregate.
+    */
+  def nelsonAalen(df: DataFrame, userCol: String, tsCol: String,
+                  censorDays: Int = 7, unitDays: Int = 30): DataFrame = {
+    val perLife = lifeTable(df, userCol, tsCol, censorDays, unitDays)
+    val wDesc = Portable.kRowWindow(col("_life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Portable.kRowWindow(col("_life").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perLife
+      .withColumn("_n", sum(col("_d") + col("_c")).over(wDesc))
+      .withColumn("_h", col("_d").cast("double") / col("_n").cast("double"))
+      .withColumn("_hc", sum(col("_h").cast("decimal(28,12)")).over(wAsc)
+        .cast("double"))
+      .select(col("_life").as("life"), col("_n").as("n_risk"),
+        col("_d").as("n_churned"), col("_c").as("n_censored"),
+        round(col("_h"), 9).as("hazard"),
+        round(col("_hc"), 9).as("cum_hazard"))
+      .orderBy("life")
+  }
+
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
+                  censorDays: Int = 7, unitDays: Int = 30): DataFrame = {
+    val perLife = lifeTable(df, userCol, tsCol, censorDays, unitDays)
     // one catalog-sized row: [life, d, c] triples sorted by life
     val curve = perLife
       .agg(sort_array(collect_list(array(col("_life").cast("double"),

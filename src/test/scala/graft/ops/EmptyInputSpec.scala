@@ -479,6 +479,9 @@ class EmptyInputSpec extends SparkSpec {
     val lr = EventOps.logRank(df(Seq.empty[R18bOrd]), "o_custkey",
       "o_orderdate", u => pmod(u, lit(2L)) === 0, 0, 1).head()
     assert(lr.isNullAt(2) && lr.isNullAt(5))
+    // nelsonAalen: no lifetimes, no rows
+    assert(EventOps.nelsonAalen(df(Seq.empty[R18bOrd]), "o_custkey",
+      "o_orderdate", 0, 1).count() === 0)
     // theilIndex / fanoDispersion / decisionStump: no groups, no rows
     assert(Profiling.theilIndex(df(Seq.empty[R18bGv]), "g", col("v"))
       .count() === 0)

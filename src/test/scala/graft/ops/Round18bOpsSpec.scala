@@ -132,6 +132,26 @@ class Round18bOpsSpec extends SparkSpec {
     assert(out.getDouble(5) === r6((2.0 - e) / math.sqrt(v)))
   }
 
+  test("nelsonAalen: hand-computed hazards on the log-rank fixture shape") {
+    // lifetimes: life0 churn, life1 churn x2, life2 censored (l = gmax)
+    // risk sets 4, 3, 1 -> hazards 1/4, 2/3, 0; H = 1/4, 1/4 + 2/3, same
+    val rows = Seq(
+      R18bOrd(1, d(1)), R18bOrd(1, d(1)),
+      R18bOrd(2, d(1)), R18bOrd(2, d(2)),
+      R18bOrd(3, d(2)), R18bOrd(3, d(3)),
+      R18bOrd(4, d(2)), R18bOrd(4, d(4)))
+    val out = EventOps.nelsonAalen(df(rows), "o_custkey", "o_orderdate",
+      censorDays = 0, unitDays = 1).collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 4L && out(0).getDouble(4) === 0.25)
+    assert(out(0).getDouble(5) === 0.25)
+    assert(out(1).getLong(1) === 3L && out(1).getDouble(4) === r9(2.0 / 3.0))
+    assert(out(1).getDouble(5) === r9(0.25 + 2.0 / 3.0))
+    assert(out(2).getLong(1) === 1L && out(2).getLong(3) === 1L)
+    assert(out(2).getDouble(4) === 0.0, "a censor-only bucket adds no hazard")
+    assert(out(2).getDouble(5) === out(1).getDouble(5), "H is flat there")
+  }
+
   test("logRank: identical cohorts balance O against E") {
     // symmetric cohorts: one churner each at the same lifetime, so
     // O = 1, E = 2·(1/2)... per lifetime d=2,n1=2,n=4 -> e=1, O-E=0
