@@ -5387,7 +5387,7 @@ object SparkEntry {
     staticOracles ++ ivfOracleEntry ++ pqOracleEntry ++ ivfPqOracleEntry ++
       semanticDedupOracleEntry ++ bpeOracleEntry
 
-  private def staticOracles: Map[String, String] = Map(
+  private[graft] def staticOracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql(BpeN),
 
     "q_scan" ->
@@ -10795,7 +10795,8 @@ object SparkEntry {
          gv AS (SELECT g, v, count(*)::BIGINT AS ngv FROM b GROUP BY g, v),
          r AS (
            SELECT g, sum(ngv)::BIGINT AS ng,
-             sum(ngv * (2 * ccnt - t + 1))::BIGINT AS r2
+             sum(CAST(ngv AS DECIMAL(38,0)) * (2 * ccnt - t + 1))
+               ::DECIMAL(38,0) AS r2
            FROM gv JOIN cum USING (v) GROUP BY g),
          pg AS (
            SELECT count(*)::BIGINT AS n_groups, sum(ng)::BIGINT AS n,
@@ -11678,7 +11679,8 @@ object SparkEntry {
          cum AS (SELECT v, t, sum(t) OVER (ORDER BY v)::BIGINT AS ccnt FROM cat),
          gv AS (SELECT g, v, count(*)::BIGINT AS ngv FROM base GROUP BY g, v),
          perg AS (SELECT gv.g AS g, sum(gv.ngv)::BIGINT AS ng,
-                    sum(gv.ngv * (2 * cum.ccnt - cum.t + 1))::BIGINT AS r2
+                    sum(CAST(gv.ngv AS DECIMAL(38,0)) * (2 * cum.ccnt - cum.t + 1))
+                      ::DECIMAL(38,0) AS r2
                   FROM gv JOIN cum ON gv.v = cum.v GROUP BY gv.g),
          tot AS (SELECT coalesce(sum(t), 0)::BIGINT AS n,
                    coalesce(sum(CAST(t AS DECIMAL(38,0)) * t * t - t), 0)

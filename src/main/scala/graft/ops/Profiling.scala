@@ -2428,10 +2428,14 @@ object Profiling {
       .withColumn("_ccnt", sum("_t").over(Portable.kRowWindow(col("_v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val gv = base.groupBy("_g", "_v").agg(count(lit(1)).as("_ngv"))
+    // doubled-rank sum in decimal(38,0), the [[dunnPosthoc]] fix (ADVICE
+    // r18 item 4): Long wraps past 2^63 at N ≳ 3e9 rows
     val ranked = gv.join(cat, Seq("_v"))
       .groupBy("_g").agg(
         sum("_ngv").as("_ng"),
-        sum(col("_ngv") * (lit(2L) * col("_ccnt") - col("_t") + 1L)).as("_r2"))
+        sum((col("_ngv").cast("decimal(38,0)") *
+          (lit(2L) * col("_ccnt") - col("_t") + 1L)).cast("decimal(38,0)"))
+          .as("_r2"))
     val perGroup = ranked.agg(
       count(lit(1)).as("n_groups"),
       sum("_ng").as("n"),
@@ -3125,10 +3129,15 @@ object Profiling {
       .withColumn("_ccnt", sum("_t").over(Portable.kRowWindow(col("_v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val gv = base.groupBy("_g", "_v").agg(count(lit(1)).as("_ngv"))
+    // the doubled-rank sum rides decimal(38,0) like the tie term (ADVICE
+    // r18 item 4): at N ≳ 3e9 rows the per-group Σ ngv·(2·ccnt − t + 1)
+    // product chain exceeds 2^63 in Long, silently wrapping the mean rank
     val perG = gv.join(cat, Seq("_v"))
       .groupBy("_g").agg(
         sum("_ngv").as("_ng"),
-        sum(col("_ngv") * (lit(2L) * col("_ccnt") - col("_t") + 1L)).as("_r2"))
+        sum((col("_ngv").cast("decimal(38,0)") *
+          (lit(2L) * col("_ccnt") - col("_t") + 1L)).cast("decimal(38,0)"))
+          .as("_r2"))
     val tot = cat.agg(
       coalesce(sum("_t"), lit(0L)).as("_n"),
       coalesce(sum((col("_t").cast("decimal(38,0)") * col("_t") * col("_t") - col("_t"))

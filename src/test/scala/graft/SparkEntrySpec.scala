@@ -79,11 +79,29 @@ class SparkEntrySpec extends SparkSpec {
     // only TOP-LEVEL map-literal entries (4-space indent) — deeper
     // indents are nested helper Maps (dynamic oracle variants), which
     // reuse the name deliberately
-    def dupes(section: String): Seq[String] =
+    def keys(section: String): Seq[String] =
       "(?m)^    \"(q_[a-z0-9_]+)\" ->".r.findAllMatchIn(section).map(_.group(1)).toSeq
-        .groupBy(identity).collect { case (k, v) if v.size > 1 => k }.toSeq.sorted
-    val qDupes = dupes(src.substring(qStart, oStart))
-    val oDupes = dupes(src.substring(oStart))
+    def dupes(ks: Seq[String]): Seq[String] =
+      ks.groupBy(identity).collect { case (k, v) if v.size > 1 => k }.toSeq.sorted
+    val qKeys = keys(src.substring(qStart, oStart))
+    val oKeys = keys(src.substring(oStart))
+    // the regex is indentation-sensitive by design; a reformat that
+    // changes the entry indent would silently blind the guard (ADVICE
+    // r18 item 3), so the match count must stay plausible vs the
+    // RUNTIME map sizes — fewer textual keys than live entries means
+    // the pattern stopped seeing them, and the test fails loudly
+    assert(qKeys.size >= SparkEntry.queries.size,
+      s"queries guard regex found ${qKeys.size} textual keys but the map has " +
+        s"${SparkEntry.queries.size} entries — formatting drift disabled the guard")
+    // compare the oracle side against the STATIC map, not the runtime
+    // one: the IVF/PQ/BPE-family dynamic oracles join oracleSql only
+    // once their model artifacts exist, so the runtime size moves with
+    // test-suite ordering while the textual count cannot
+    assert(oKeys.size >= SparkEntry.staticOracles.size,
+      s"oracleSql guard regex found ${oKeys.size} textual keys but the static map " +
+        s"has ${SparkEntry.staticOracles.size} entries — formatting drift disabled the guard")
+    val qDupes = dupes(qKeys)
+    val oDupes = dupes(oKeys)
     assert(qDupes.isEmpty, s"duplicate keys in queries: ${qDupes.mkString(", ")}")
     assert(oDupes.isEmpty, s"duplicate keys in oracleSql: ${oDupes.mkString(", ")}")
     // every static oracle names a declared query (the reverse doesn't
