@@ -52,6 +52,9 @@ object Bench {
     warmArtifact("item-count")(graft.sources.PairStore.ensureItems(spark, sfDir).count())
     warmArtifact("basket")(graft.sources.PairStore.ensureBaskets(spark, sfDir).count())
     warmArtifact("bt-wins")(graft.sources.PairStore.ensureBtWins(spark, sfDir).count())
+    // Second-moment artifact (r19): one corpus fan at ingest; the five
+    // representation audits then read kilobytes.
+    warmArtifact("moments")(graft.sources.MomentStore.ensure(spark, sfDir).cells.count())
     // Steal ticks (field 8 of /proc/stat "cpu": USER_HZ=100) — direct
     // evidence for noise-vs-regression adjudication that loadavg only
     // proxies: nonzero steal_sec means the host took CPU mid-run.

@@ -2196,13 +2196,18 @@ object SparkEntry {
         .orderBy("token")),
 
     // Embedding covariance matrix (r12): the d(d+1)/2 upper-triangular
-    // entries that feed PCA/whitening — row-local (i,j,x·y) expansion
-    // (no self-join), exact-decimal sums, whole matrix hash-checked.
-    "q_embed_cov" -> ((s, dir) =>
-      VectorOps.embeddingCovariance(T(s, dir, "embeddings"), "vec_id", "embedding")
+    // entries that feed PCA/whitening — served from the persisted
+    // MomentStore partials since r19 (decimal partial sums merge
+    // exactly, so the derived matrix is bit-identical to the direct
+    // row-local fan and the oracle is unchanged; at 100 TB the corpus
+    // is never re-scanned per audit).
+    "q_embed_cov" -> ((s, dir) => {
+      val m = graft.sources.MomentStore.ensure(s, dir)
+      VectorOps.covarianceFromMoments(m.cells, m.dims, graft.sources.MomentStore.Dim)
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           col("n"), col("cov"))
-        .orderBy("i", "j")),
+        .orderBy("i", "j")
+    }),
 
     // ── round 7e: feature engineering + graph profile + CDC ─────────────
     // Rolling 20-row autocorrelation (value vs lag-value) per user: five
@@ -2835,10 +2840,12 @@ object SparkEntry {
     // near-duplicate domains): embeddings joined to their documents,
     // per-source decimal centroid, k x k pairwise cosine + L2 over the
     // source catalog.
+    // Served from the MomentStore per-(source, dim) first-moment
+    // partials since r19 — same bits, zero corpus work at read time.
     "q_source_sim" -> ((s, dir) =>
-      VectorOps.sourceCentroidSimilarity(
-          T(s, dir, "embeddings"), T(s, dir, "documents"),
-          "vec_id", "embedding", "doc_id", "source")
+      VectorOps.sourceCentroidSimilarityFromMoments(
+          graft.sources.MomentStore.ensure(s, dir).dims,
+          graft.sources.MomentStore.Dim)
         .orderBy("g_a", "g_b")),
 
     // Second-moment drift between the same md5 cohorts — the
@@ -2846,11 +2853,13 @@ object SparkEntry {
     // is blind to a variance expansion around an unchanged mean):
     // Frobenius distance/cosine of the uncentered E[xx^T] matrices,
     // exactly the quadratic-kernel MMD².
-    "q_moment_drift" -> ((s, dir) => {
-      val ref = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000 < 8000
-      VectorOps.secondMomentDrift(T(s, dir, "embeddings"), ref, "embedding")
-    }),
+    // Served from the MomentStore cohort cell partials since r19: the
+    // md5-cohort conditional decimal sums ARE the store's columns, so
+    // the read is one roll-up over 2,080 xx-block rows.
+    "q_moment_drift" -> ((s, dir) =>
+      VectorOps.secondMomentDriftFromMoments(
+        graft.sources.MomentStore.ensure(s, dir).cells,
+        graft.sources.MomentStore.Dim)),
 
     // Label-error candidates (confident-learning instinct): docs whose
     // NB score under some OTHER language beats their own label's,
@@ -3776,16 +3785,27 @@ object SparkEntry {
     // off q_embed_cov's entries, eigen-free. The one-number
     // justification for JL compression and the anisotropy warning for
     // cosine-ANN recall.
-    "q_effective_rank" -> ((s, dir) =>
-      VectorOps.participationRatio(T(s, dir, "embeddings"), "vec_id", "embedding")),
+    // Served from the MomentStore since r19 (the covariance derivation
+    // is shared with q_embed_cov — same bits, no corpus scan).
+    "q_effective_rank" -> ((s, dir) => {
+      val m = graft.sources.MomentStore.ensure(s, dir)
+      VectorOps.participationRatioFromMoments(m.cells, m.dims,
+        graft.sources.MomentStore.Dim)
+    }),
 
     // Linear CKA between the raw 64-dim embeddings and their 16-dim JL
     // projection: did the compression preserve the representational
     // GEOMETRY (q_jl_distortion checks probe-pair distances; this is the
     // whole-corpus single-number promotion gate for serving ANN from
     // compressed vectors).
-    "q_cka" -> ((s, dir) =>
-      VectorOps.linearCka(T(s, dir, "embeddings"), "embedding", dim = 64, k = 16)),
+    // Served from the MomentStore since r19: the persisted cells ARE
+    // the [x‖y] fan's aggregate, so the read is block bookkeeping over
+    // 3,240 rows instead of a corpus scan.
+    "q_cka" -> ((s, dir) => {
+      val m = graft.sources.MomentStore.ensure(s, dir)
+      VectorOps.ckaFromMoments(m.cells, m.dims,
+        graft.sources.MomentStore.Dim, graft.sources.MomentStore.K)
+    }),
 
     // Post-hoc pairwise Welch comparisons across sources on doc length —
     // WHICH sources differ, the follow-up q_anova/q_kruskal demand;

@@ -1156,6 +1156,16 @@ object VectorOps {
         sum(when(!col("_ref"), 1L).otherwise(0L)).as("_nb"),
         Portable.decSum(when(col("_ref"), col("xy")).otherwise(lit(0.0)), 12).as("_sa"),
         Portable.decSum(when(!col("_ref"), col("xy")).otherwise(lit(0.0)), 12).as("_sb"))
+    secondMomentDriftFromCells(cells)
+  }
+
+  /** [[secondMomentDrift]]'s read over an already-aggregated cohort cell
+    * frame (i, j, _na, _nb, _sa, _sb) — the shared tail for the direct
+    * corpus fan, the MomentStore serving path, and the streaming
+    * MomentState twin: per-cell means, Frobenius norms, and the
+    * quadratic-MMD distance/cosine from the same fixed IEEE shapes.
+    */
+  private[graft] def secondMomentDriftFromCells(cells: DataFrame): DataFrame = {
     val ma = col("_sa") / col("_na")
     val mb = col("_sb") / col("_nb")
     val w = when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))
@@ -1386,8 +1396,14 @@ object VectorOps {
     * are decimal-snapshotted sums of those rounded entries, and the one
     * final division is a fixed double shape. d×d rows in, one row out.
     */
-  def participationRatio(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val cov = embeddingCovariance(df, idCol, vecCol)
+  def participationRatio(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    participationRatioFromCov(embeddingCovariance(df, idCol, vecCol))
+
+  /** [[participationRatio]]'s read over an already-computed covariance
+    * frame (i, j, cov) — the shared tail that lets the MomentStore
+    * serving path and the direct corpus fan produce identical bits.
+    */
+  def participationRatioFromCov(cov: DataFrame): DataFrame = {
     val diag = when(col("i") === col("j"), col("cov")).otherwise(lit(0.0))
     val sq = when(col("i") === col("j"), col("cov") * col("cov"))
       .otherwise(lit(2.0) * col("cov") * col("cov"))
@@ -1539,5 +1555,115 @@ object VectorOps {
       .select(col("query_id"),
         coalesce(col("_ov"), lit(0L)).as("overlap_at_k"),
         round(coalesce(col("_rbo"), lit(0.0)), 9).as("rbo_min"))
+  }
+
+  // ── MomentStore serving paths (r19, VERDICT r18 item 1) ──────────────
+  // Every reader below derives its audit from the persisted mergeable
+  // moment partials (graft.sources.MomentStore) instead of re-scanning
+  // the corpus: decimal partial sums merge EXACTLY (decimal addition is
+  // exact, counts are longs), so each derived frame is bit-identical to
+  // its direct corpus-fan sibling above and the DuckDB oracles are
+  // unchanged (MomentStoreSpec pins artifact ≡ recompute per consumer).
+
+  /** Global per-dimension first-moment totals of the store's `dims`
+    * table: (i, _n: long, _s: decimal) summed over (source, cohort).
+    */
+  private def dimTotals(dims: DataFrame): DataFrame =
+    dims.groupBy("i").agg(sum("n").as("_n"), sum("sx").as("_s"))
+
+  /** [[embeddingCovariance]] served from the moment artifact — the
+    * xx block (i, j < dim) of the cells table plus broadcast global
+    * means; cov finalizes through the identical 6-dp contract.
+    */
+  def covarianceFromMoments(cells: DataFrame, dims: DataFrame, dim: Int): DataFrame = {
+    val xx = cells.where(col("i") < dim && col("j") < dim)
+      .select(col("i"), col("j"), (col("n_a") + col("n_b")).as("n"),
+        (col("sxy_a") + col("sxy_b")).cast("double").as("_sxy"))
+    val totals = dimTotals(dims.where(col("i") < dim))
+      .select(col("i"), col("_s").cast("double").as("_sx"))
+    xx
+      .join(broadcast(totals.select(col("i"), col("_sx").as("_si"))), Seq("i"))
+      .join(broadcast(totals.select(col("i").as("j"), col("_sx").as("_sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        Portable.canonZero(round(col("_sxy") / col("n") -
+          (col("_si") / col("n")) * (col("_sj") / col("n")), 6)).as("cov"))
+  }
+
+  /** [[participationRatio]] served from the moment artifact: the
+    * derived covariance into the shared [[participationRatioFromCov]]
+    * tail.
+    */
+  def participationRatioFromMoments(cells: DataFrame, dims: DataFrame,
+                                    dim: Int): DataFrame =
+    participationRatioFromCov(covarianceFromMoments(cells, dims, dim))
+
+  /** [[secondMomentDrift]] served from the moment artifact: the xx-block
+    * cohort partials straight into the shared MMD tail — zero corpus
+    * work at read time.
+    */
+  def secondMomentDriftFromMoments(cells: DataFrame, dim: Int): DataFrame =
+    secondMomentDriftFromCells(
+      cells.where(col("i") < dim && col("j") < dim)
+        .select(col("i"), col("j"), col("n_a").as("_na"), col("n_b").as("_nb"),
+          col("sxy_a").cast("double").as("_sa"),
+          col("sxy_b").cast("double").as("_sb")))
+
+  /** [[linearCka]] served from the moment artifact: the store's cells
+    * ARE the [x‖y] fan's aggregate, so the whole read is the block
+    * bookkeeping + one roll-up over 3,240 rows.
+    */
+  def ckaFromMoments(cells: DataFrame, dims: DataFrame, dim: Int, k: Int): DataFrame = {
+    val c = cells.select(col("i"), col("j"), (col("n_a") + col("n_b")).as("n"),
+      (col("sxy_a") + col("sxy_b")).cast("double").as("_sxy"))
+    val totals = dimTotals(dims).select(col("i"), col("_s").cast("double").as("_sd"))
+    val cov = Portable.canonZero(round(col("_sxy") / col("n") -
+      (col("_si") / col("n")) * (col("_sj") / col("n")), 6))
+    val inXx = col("i") < dim && col("j") < dim
+    val inYy = col("i") >= dim && col("j") >= dim
+    val sqSym = when(col("i") === col("j"), cov * cov).otherwise(lit(2.0) * cov * cov)
+    val agg = c
+      .join(broadcast(totals.select(col("i"), col("_sd").as("_si"))), Seq("i"))
+      .join(broadcast(totals.select(col("i").as("j"), col("_sd").as("_sj"))), Seq("j"))
+      .agg(max("n").as("n"),
+        Portable.decSum(when(inXx, sqSym).otherwise(lit(0.0)), 12).as("_cxx"),
+        Portable.decSum(when(inYy, sqSym).otherwise(lit(0.0)), 12).as("_cyy"),
+        Portable.decSum(when(!inXx && !inYy, cov * cov).otherwise(lit(0.0)), 12)
+          .as("_cxy"))
+    agg.select(col("n"), lit(dim.toLong).as("d"), lit(k.toLong).as("k"),
+      round(col("_cxy"), 9).as("cross_frob_sq"),
+      round(col("_cxx"), 9).as("x_frob_sq"),
+      round(col("_cyy"), 9).as("y_frob_sq"),
+      when(col("_cxx") > 0 && col("_cyy") > 0,
+        Portable.pround(col("_cxy") / (sqrt(col("_cxx")) * sqrt(col("_cyy"))), 6))
+        .as("cka"))
+  }
+
+  /** [[sourceCentroidSimilarity]] served from the moment artifact: the
+    * per-(source, dimension) first-moment partials merge across cohorts
+    * into exactly the centroid means the direct doc-join fan produces;
+    * the k²-bounded pair fan and the cosine/L2 shapes are unchanged.
+    */
+  def sourceCentroidSimilarityFromMoments(dims: DataFrame, dim: Int): DataFrame = {
+    val means = dims.where(col("src").isNotNull && col("i") < dim)
+      .groupBy(col("src").as("_g"), col("i").as("_p"))
+      .agg((sum("sx").cast("double") / sum("n")).as("_m"),
+        sum("n").as("_n"))
+    val a = means.select(col("_g").as("g_a"), col("_p").as("_pa"),
+      col("_m").as("_ma"), col("_n").as("_na"))
+    val b = means.select(col("_g").as("g_b"), col("_p").as("_pb"),
+      col("_m").as("_mb"), col("_n").as("_nb"))
+    a.join(broadcast(b), col("_pa") === col("_pb") && col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b")
+      .agg(max("_na").as("n_a"), max("_nb").as("n_b"),
+        Portable.decSum(col("_ma") * col("_mb"), 12).as("_dot"),
+        Portable.decSum(col("_ma") * col("_ma"), 12).as("_aa"),
+        Portable.decSum(col("_mb") * col("_mb"), 12).as("_bb"),
+        Portable.decSum((col("_ma") - col("_mb")) * (col("_ma") - col("_mb")), 12)
+          .as("_d2"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        when(col("_aa") > 0 && col("_bb") > 0,
+          Portable.pround(col("_dot") / (sqrt(col("_aa")) * sqrt(col("_bb"))), 6))
+          .as("centroid_cos"),
+        round(sqrt(col("_d2")), 9).as("centroid_l2"))
   }
 }
