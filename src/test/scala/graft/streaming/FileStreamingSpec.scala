@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.{SparkSpec, Tables}
 import graft.ops.{EventOps, TextOps}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 case class Doc2(doc_id: Long, text: String)
@@ -748,6 +749,53 @@ class FileStreamingSpec extends SparkSpec {
       state.mergeBatch(docs, 0L)
       val replayed = state.concentration.get
       assert(replayed.except(batch).count() === 0 && batch.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming second-moment state serves all four representation monitors bit-identically") {
+    // The MomentStore family's streaming twin (r19, VERDICT r18 item 2):
+    // cohort-conditional decimal second-moment partials are an additive
+    // monoid, so drift, covariance, participation ratio AND linear CKA
+    // read from ONE maintained state must equal their batch queries
+    // exactly, however the stream happens to batch the corpus.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_mom_in").toFile.getAbsolutePath
+    // three uneven batches — the split must be irrelevant to the sums
+    emb.where(col("vec_id") % 7 === 0).write.mode("append").parquet(inDir)
+    emb.where(col("vec_id") % 7 === 1).write.mode("append").parquet(inDir)
+    emb.where(col("vec_id") % 7 >= 2).write.mode("append").parquet(inDir)
+    val state = new StreamingOps.MomentState("vec_id", "embedding")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val checks: Seq[(String, DataFrame, DataFrame)] = Seq(
+        ("drift", state.drift.get,
+          graft.ops.VectorOps.secondMomentDrift(emb,
+            graft.sources.MomentStore.refCohort(col("vec_id")), "embedding")),
+        ("covariance", state.covariance.get,
+          graft.ops.VectorOps.embeddingCovariance(emb, "vec_id", "embedding")),
+        ("participation", state.participation.get,
+          graft.ops.VectorOps.participationRatio(emb, "vec_id", "embedding")),
+        ("cka", state.cka.get,
+          graft.ops.VectorOps.linearCka(emb, "embedding",
+            graft.sources.MomentStore.Dim, graft.sources.MomentStore.K)))
+      checks.foreach { case (what, streamed, batch) =>
+        withClue(s"$what: ") {
+          assert(streamed.except(batch).count() === 0 &&
+            batch.except(streamed).count() === 0,
+            s"the $what read from merged moment state must equal batch exactly")
+        }
+      }
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(emb, 0L)
+      val replayed = state.drift.get
+      val batchDrift = graft.ops.VectorOps.secondMomentDrift(emb,
+        graft.sources.MomentStore.refCohort(col("vec_id")), "embedding")
+      assert(replayed.except(batchDrift).count() === 0 &&
+        batchDrift.except(replayed).count() === 0)
     } finally q.stop()
   }
 
