@@ -3745,6 +3745,17 @@ object SparkEntry {
       EventOps.nelsonAalen(T(s, dir, "orders"), "o_custkey", "o_orderdate",
         censorDays = 180, unitDays = 30)),
 
+    // Cox proportional hazards over the same lifetimes, md5-cohort
+    // covariate (r19) — the survival shelf's regression closer: the
+    // log-rank test says WHETHER the cohorts' churn differs, this says
+    // BY HOW MUCH (hazard ratio + SE + Wald z). Newton in θ = e^β
+    // space: every iteration is rational over the checkpointed
+    // event-time stats; ln happens once at read-out.
+    "q_cox_ph" -> ((s, dir) =>
+      EventOps.coxPh(T(s, dir, "orders"), "o_custkey", "o_orderdate",
+        u => pmod(Portable.hash32(u), lit(2L)) === 0,
+        censorDays = 180, unitDays = 30)),
+
     // Theil T inequality with between/within decomposition by source on
     // document lengths — the DECOMPOSABLE member of the inequality
     // family (q_gini is the scalar, q_lorenz the curve): is corpus
@@ -5383,6 +5394,71 @@ object SparkEntry {
     * the Spark side uses, making bucket assignment engine-identical.
     * Expects a vector column `e` of type DOUBLE[].
     */
+  /** The q_cox_ph oracle: q_logrank's lifetime/risk-set CTEs feed the
+    * event-time stats table, then `iters` Newton steps in θ = e^β space
+    * unroll as CTE pairs (an aggregate computing the decimal-snapshotted
+    * U and J sums at the current θ, then the clamped 12-dp θ update —
+    * mirroring EventOps.coxPh's driver-side loop bit for bit), and the
+    * read-out applies the single ln. Generated because the iteration
+    * count parameterizes the chain (the bpeMergesSql precedent).
+    */
+  private def coxPhSql(iters: Int): String = {
+    def uj(prev: String, tag: String) =
+      s"""j$tag AS (SELECT min(i.th) AS th,
+           sum(CAST(s.d1 - s.d * s.n1 * i.th / (s.n0 + s.n1 * i.th)
+             AS DECIMAL(28,12)))::DOUBLE AS uu,
+           sum(CAST(s.d * s.n0 * s.n1 /
+             ((s.n0 + s.n1 * i.th) * (s.n0 + s.n1 * i.th))
+             AS DECIMAL(28,12)))::DOUBLE AS jj
+         FROM $prev i CROSS JOIN st s),
+         i$tag AS (SELECT round(greatest(th +
+             (CASE WHEN jj > 0 THEN uu / jj ELSE 0.0 END),
+             0.000000000001), 12) AS th FROM j$tag)"""
+    val chain = (1 to iters)
+      .map(k => uj(if (k == 1) "i0" else s"i${k - 1}", k.toString))
+      .mkString(",\n         ")
+    s"""WITH u AS (SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+           CAST(max(o_orderdate) AS DATE) AS l
+         FROM orders GROUP BY o_custkey),
+       g AS (SELECT max(l) AS gmax FROM u),
+       lf AS (SELECT (l - f) // 30 AS life,
+           CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn,
+           (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a
+         FROM u, g),
+       pl AS (SELECT life,
+           sum(CASE WHEN churn = 1 AND a THEN 1 ELSE 0 END)::BIGINT AS d1,
+           sum(churn)::BIGINT AS d,
+           sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS t1,
+           count(*)::BIGINT AS t
+         FROM lf GROUP BY life),
+       risk AS (SELECT life, d1, d,
+           sum(t1) OVER (ORDER BY life DESC) AS n1,
+           sum(t) OVER (ORDER BY life DESC) AS n
+         FROM pl),
+       st AS (SELECT d1::DOUBLE AS d1, d::DOUBLE AS d, n1::DOUBLE AS n1,
+           (n - n1)::DOUBLE AS n0, d AS dl
+         FROM risk WHERE d > 0),
+       i0 AS (SELECT 1.0::DOUBLE AS th),
+       $chain,
+       jf AS (SELECT min(i.th) AS th, coalesce(sum(s.dl), 0)::BIGINT AS n_events,
+           sum(CAST(s.d * s.n0 * s.n1 /
+             ((s.n0 + s.n1 * i.th) * (s.n0 + s.n1 * i.th))
+             AS DECIMAL(28,12)))::DOUBLE AS jj
+         FROM i$iters i CROSS JOIN st s),
+       tot AS (SELECT
+           sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b
+         FROM lf)
+       SELECT tot.n_a, tot.n_b, jf.n_events,
+         round(jf.th, 6) + 0 AS hazard_ratio,
+         round(ln(jf.th), 6) + 0 AS beta,
+         CASE WHEN jf.th * jf.jj > 0
+              THEN round(1.0 / sqrt(jf.th * jf.jj), 6) + 0 END AS se_beta,
+         CASE WHEN jf.th * jf.jj > 0
+              THEN round(ln(jf.th) * sqrt(jf.th * jf.jj), 6) + 0 END AS z_stat
+       FROM tot CROSS JOIN jf"""
+  }
+
   private def lshBandSigSql(bands: Int, planesPerBand: Int, dim: Int): String = {
     val planes = VectorOps.hyperplanes(bands * planesPerBand, dim)
     (0 until bands).map { bnd =>
@@ -11233,6 +11309,12 @@ object SparkEntry {
            round(sum(CAST(hz AS DECIMAL(28,12)))
              OVER (ORDER BY life ASC)::DOUBLE, 9) + 0 AS cum_hazard
          FROM h ORDER BY life""",
+
+    // Cox PH: identical lifetime/risk-set CTEs as q_logrank, then the
+    // θ-space Newton iteration unrolled as CTE pairs (decimal-snapshot
+    // U/J sums, greatest-clamped 12-dp θ re-round per step — the exact
+    // driver-side update EventOps.coxPh applies), ln once at read-out.
+    "q_cox_ph" -> coxPhSql(12),
 
     // Theil: identical value-catalog ratios, 9-dp-rounded ln before the
     // count products, decimal-snapshotted term sums.

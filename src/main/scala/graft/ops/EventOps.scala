@@ -961,6 +961,94 @@ object EventOps {
           .as("z_stat"))
   }
 
+  /** Cox proportional hazards with a single binary covariate (r19) —
+    * the REGRESSION closer of the survival shelf: Kaplan–Meier (C221)
+    * draws the curve, the log-rank test (C292) says WHETHER the two
+    * cohorts' hazards differ, Nelson–Aalen (C310) gives the additive
+    * hazard — Cox says BY HOW MUCH, as a hazard ratio with a standard
+    * error (Cox 1972, Breslow tie handling). Identical lifetime /
+    * censoring construction and integer risk sets as [[logRank]].
+    *
+    * Fitting: Newton–Raphson parameterized in θ = e^β rather than β, so
+    * EVERY iteration is rational arithmetic over the event-time stats —
+    * U(θ) = Σ_t (d1 − d·n1·θ/(n0+n1·θ)), J(θ) = Σ_t d·n0·n1/(n0+n1·θ)²,
+    * θ ← θ + U/J — and the single transcendental (ln θ) happens ONCE,
+    * at the read-out, on a 12-dp-rounded argument (the C266/C156 ln
+    * convention): no cross-engine exp drift can compound through the
+    * loop. Per-iteration sums decimal-snapshot at 12 dp and θ re-rounds
+    * to 12 dp each step, so the DuckDB oracle's unrolled-CTE replay of
+    * the same iteration lands on the same bits. The observed Fisher
+    * information in β-scale is I(β) = θ·J(θ), giving se = 1/√(θ·J) and
+    * z = ln(θ)·√(θ·J).
+    *
+    * Scale shape: one user-keyed aggregate collapses the corpus to
+    * lifetimes, the risk sets ride the catalog-sized descending
+    * cumulative, and each Newton step is one tiny aggregate over the
+    * CHECKPOINTED event-time stats (the Bradley–Terry iterative-fit
+    * precedent) — the per-round collect moves two doubles, the
+    * sanctioned model-sized read. Degenerate inputs (no events, or a
+    * vanishing information) freeze θ at its current value instead of
+    * throwing, exactly like the oracle's guarded CASE.
+    */
+  def coxPh(df: DataFrame, userCol: String, tsCol: String,
+            isA: Column => Column, censorDays: Int = 7,
+            unitDays: Int = 30, iters: Int = 12): DataFrame = {
+    val perUser = df.groupBy(col(userCol).as("_u"))
+      .agg(to_date(min(col(tsCol))).as("_f"), to_date(max(col(tsCol))).as("_l"))
+    val gmax = perUser.agg(max("_l").as("_gmax"))
+    val lives = perUser.crossJoin(broadcast(gmax))
+      .select((datediff(col("_l"), col("_f")).cast("long") / unitDays)
+          .cast("long").as("_life"),
+        (col("_l") < date_sub(col("_gmax"), censorDays)).as("_churn"),
+        isA(col("_u")).as("_a"))
+    val perLife = lives.groupBy("_life").agg(
+      sum(when(col("_churn") && col("_a"), 1L).otherwise(0L)).as("_d1"),
+      sum(when(col("_churn"), 1L).otherwise(0L)).as("_d"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("_t1"),
+      count(lit(1)).as("_t"))
+    val wDesc = Portable.kRowWindow(col("_life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = perLife
+      .withColumn("_n1", sum("_t1").over(wDesc))
+      .withColumn("_n", sum("_t").over(wDesc))
+      .where(col("_d") > 0)
+      .select(col("_d1").cast("double").as("_d1"),
+        col("_d").cast("double").as("_d"),
+        col("_n1").cast("double").as("_n1"),
+        (col("_n") - col("_n1")).cast("double").as("_n0"),
+        col("_d").as("_dl"))
+      .localCheckpoint(true)
+    var th = 1.0
+    for (_ <- 0 until iters) {
+      val den = col("_n0") + col("_n1") * lit(th)
+      val row = stats.agg(
+        Portable.decSum(col("_d1") - col("_d") * col("_n1") * lit(th) / den, 12)
+          .as("_u"),
+        Portable.decSum(col("_d") * col("_n0") * col("_n1") / (den * den), 12)
+          .as("_j")).collect()(0)
+      if (!row.isNullAt(1) && row.getDouble(1) > 0) {
+        val step = th + row.getDouble(0) / row.getDouble(1)
+        th = java.math.BigDecimal.valueOf(math.max(step, 1e-12))
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+      }
+    }
+    val tot = lives.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+    val den = col("_n0") + col("_n1") * lit(th)
+    val fin = stats.agg(
+      coalesce(sum("_dl"), lit(0L)).as("n_events"),
+      Portable.decSum(col("_d") * col("_n0") * col("_n1") / (den * den), 12)
+        .as("_j"))
+    val info = lit(th) * col("_j")
+    tot.crossJoin(broadcast(fin))
+      .select(col("n_a"), col("n_b"), col("n_events"),
+        Portable.pround(lit(th), 6).as("hazard_ratio"),
+        Portable.pround(log(lit(th)), 6).as("beta"),
+        when(info > 0, Portable.pround(lit(1.0) / sqrt(info), 6)).as("se_beta"),
+        when(info > 0, Portable.pround(log(lit(th)) * sqrt(info), 6)).as("z_stat"))
+  }
+
   /** Cochran's Q test (r18b) — do the k treatments differ in a BINARY
     * outcome across matched blocks, the k-treatment completion of
     * C288's McNemar exactly as C281 completes C250 (Cochran 1950; for
