@@ -4271,6 +4271,34 @@ object SparkEntry {
           when(col("n_exact") > 0,
             round(col("n_found").cast("double") /
               col("n_exact").cast("double"), 6)).as("recall"))
+    }),
+
+    // Multi-probe sign-LSH recall ladder (r19): the same exact >=0.2
+    // truth set vs the 8x2 banded candidates at probe level 0 (exact
+    // buckets — q_lsh_recall_eval's regime) and level 1 (each band's
+    // Hamming-1 neighbor buckets probed too, Lv et al. 2007) — the
+    // standard recall-at-fixed-memory lever, measured as an
+    // oracle-checked query: what a curation run buys by probing 3x the
+    // buckets instead of re-hashing with more bands.
+    "q_lsh_multiprobe" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").where(col("vec_id") < 200)
+      val exact = VectorOps.nearDupPairsExact(emb, "vec_id", "embedding", 0.2)
+        .select(col("id_a"), col("id_b"))
+      def recallRow(level: Int, cand: org.apache.spark.sql.DataFrame) =
+        exact.join(cand.select(col("id_a"), col("id_b"), lit(1L).as("_hit")),
+            Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+          .select(lit(level).as("probe_level"), col("n_exact"), col("n_found"),
+            (col("n_exact") - col("n_found")).as("n_missed"),
+            when(col("n_exact") > 0,
+              round(col("n_found").cast("double") /
+                col("n_exact").cast("double"), 6)).as("recall"))
+      recallRow(0, VectorOps.nearDupPairsLsh(emb, "vec_id", "embedding", 0.2,
+          bands = 8, planesPerBand = 2, dim = 64))
+        .unionByName(recallRow(1, VectorOps.nearDupPairsLshMultiprobe(emb,
+          "vec_id", "embedding", 0.2, bands = 8, planesPerBand = 2, dim = 64)))
+        .orderBy("probe_level")
     })
   )
 
@@ -12668,6 +12696,59 @@ object SparkEntry {
              THEN round(sum(coalesce(hit, 0))::DOUBLE / count(*)::DOUBLE, 6) + 0
            END AS recall
          FROM exact LEFT JOIN lsh USING (id_a, id_b)""",
+
+    // Multi-probe ladder: the q_lsh_recall_eval CTEs for level 0, plus
+    // the Hamming-<=1 band predicate (xor + bit_count over the same
+    // integer signatures) for level 1; identical re-score threshold.
+    "q_lsh_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(range(1, 65), i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm
+               FROM v),
+         exact AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x, y) -> x + y)
+               / (a.nrm * b.nrm) >= 0.2),
+         sigged AS (SELECT vec_id, e,
+           ${lshBandSigSql(bands = 8, planesPerBand = 2, dim = 64)} AS sigs
+           FROM v),
+         banded AS (
+           SELECT vec_id, ub.i - 1 AS band, sigs[ub.i] AS band_sig
+           FROM sigged CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ub),
+         cand0 AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+         lsh0 AS (
+           SELECT c.id_a, c.id_b, 1 AS hit
+           FROM cand0 c JOIN n na ON na.vec_id = c.id_a
+                        JOIN n nb ON nb.vec_id = c.id_b
+           WHERE list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
+               / (na.nrm * nb.nrm) >= 0.2),
+         cand1 AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM sigged a JOIN sigged b ON a.vec_id < b.vec_id
+           WHERE len(list_filter(range(1, 9),
+             i -> bit_count(xor(a.sigs[i]::BIGINT, b.sigs[i]::BIGINT)) <= 1)) > 0),
+         lsh1 AS (
+           SELECT c.id_a, c.id_b, 1 AS hit
+           FROM cand1 c JOIN n na ON na.vec_id = c.id_a
+                        JOIN n nb ON nb.vec_id = c.id_b
+           WHERE list_reduce(list_transform(range(1, 65), i -> na.e[i]*nb.e[i]), (x, y) -> x + y)
+               / (na.nrm * nb.nrm) >= 0.2),
+         r0 AS (SELECT 0 AS probe_level, count(*)::BIGINT AS n_exact,
+                  sum(coalesce(hit, 0))::BIGINT AS n_found
+                FROM exact LEFT JOIN lsh0 USING (id_a, id_b)),
+         r1 AS (SELECT 1 AS probe_level, count(*)::BIGINT AS n_exact,
+                  sum(coalesce(hit, 0))::BIGINT AS n_found
+                FROM exact LEFT JOIN lsh1 USING (id_a, id_b)),
+         u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+         SELECT probe_level, n_exact, n_found,
+           (n_exact - n_found)::BIGINT AS n_missed,
+           CASE WHEN n_exact > 0
+             THEN round(n_found::DOUBLE / n_exact::DOUBLE, 6) + 0 END AS recall
+         FROM u ORDER BY probe_level""",
 
     // The same 16-seed signature CTEs as q_minhash_lsh, joined to the
     // exact shingle-intersection Jaccard; the error chain is abs/mean/max
