@@ -3756,6 +3756,17 @@ object SparkEntry {
         u => pmod(Portable.hash32(u), lit(2L)) === 0,
         censorDays = 180, unitDays = 30)),
 
+    // Stratified Cox (r19): the same cohort effect with the baseline
+    // hazard freed per market segment — the survival analogue of the
+    // Mantel–Haenszel stratified pooling (q_mh_odds): "does the cohort
+    // churn faster than its own segment's baseline", immune to
+    // confounding by the segment mix.
+    "q_cox_strat" -> ((s, dir) =>
+      EventOps.coxPhStratified(T(s, dir, "orders"), "o_custkey", "o_orderdate",
+        T(s, dir, "customer"), "c_custkey", "c_mktsegment",
+        u => pmod(Portable.hash32(u), lit(2L)) === 0,
+        censorDays = 180, unitDays = 30)),
+
     // Theil T inequality with between/within decomposition by source on
     // document lengths — the DECOMPOSABLE member of the inequality
     // family (q_gini is the scalar, q_lorenz the curve): is corpus
@@ -4061,6 +4072,16 @@ object SparkEntry {
     // from 4x-smaller vectors (q_quantize_int8's accuracy audit).
     "q_int8_recall" -> ((s, dir) =>
       VectorOps.int8Recall(T(s, dir, "embeddings"), "vec_id", "embedding",
+          10, 20)
+        .orderBy("probe_id")),
+
+    // One-bit sign-quantization recall (r19): the 64x-compression end
+    // of the storage/recall ladder (float -> int8 4x -> JL 4x-dims ->
+    // sign 64x) — top-10 by exact float dot vs by sign-agreement count
+    // (the Hamming cosine estimator); integer agreements + id
+    // tie-breaks keep the ranking bit-stable cross-engine.
+    "q_sign_recall" -> ((s, dir) =>
+      VectorOps.signRecall(T(s, dir, "embeddings"), "vec_id", "embedding",
           10, 20)
         .orderBy("probe_id")),
 
@@ -5430,7 +5451,7 @@ object SparkEntry {
     * read-out applies the single ln. Generated because the iteration
     * count parameterizes the chain (the bpeMergesSql precedent).
     */
-  private def coxPhSql(iters: Int): String = {
+  private def coxPhSql(iters: Int, stratified: Boolean = false): String = {
     def uj(prev: String, tag: String) =
       s"""j$tag AS (SELECT min(i.th) AS th,
            sum(CAST(s.d1 - s.d * s.n1 * i.th / (s.n0 + s.n1 * i.th)
@@ -5441,27 +5462,41 @@ object SparkEntry {
          FROM $prev i CROSS JOIN st s),
          i$tag AS (SELECT round(greatest(th +
              (CASE WHEN jj > 0 THEN uu / jj ELSE 0.0 END),
-             0.000000000001), 12) AS th FROM j$tag)"""
+             0.000000000001), 12) + 0 AS th FROM j$tag)"""
     val chain = (1 to iters)
       .map(k => uj(if (k == 1) "i0" else s"i${k - 1}", k.toString))
       .mkString(",\n         ")
+    val lf =
+      if (stratified)
+        """lf AS (SELECT c.c_mktsegment AS strat, (l - f) // 30 AS life,
+           CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn,
+           (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a
+         FROM u JOIN customer c ON u.o_custkey = c.c_custkey, g)"""
+      else
+        """lf AS (SELECT (l - f) // 30 AS life,
+           CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn,
+           (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a
+         FROM u, g)"""
+    val plKey = if (stratified) "strat, life" else "life"
+    val riskPart = if (stratified) "PARTITION BY strat " else ""
+    val riskSel = if (stratified) "strat, life" else "life"
+    val stratTot =
+      if (stratified) ",\n           count(DISTINCT strat)::BIGINT AS n_strata" else ""
+    val stratOut = if (stratified) ", tot.n_strata" else ""
     s"""WITH u AS (SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
            CAST(max(o_orderdate) AS DATE) AS l
          FROM orders GROUP BY o_custkey),
        g AS (SELECT max(l) AS gmax FROM u),
-       lf AS (SELECT (l - f) // 30 AS life,
-           CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn,
-           (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a
-         FROM u, g),
-       pl AS (SELECT life,
+       $lf,
+       pl AS (SELECT $plKey,
            sum(CASE WHEN churn = 1 AND a THEN 1 ELSE 0 END)::BIGINT AS d1,
            sum(churn)::BIGINT AS d,
            sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS t1,
            count(*)::BIGINT AS t
-         FROM lf GROUP BY life),
-       risk AS (SELECT life, d1, d,
-           sum(t1) OVER (ORDER BY life DESC) AS n1,
-           sum(t) OVER (ORDER BY life DESC) AS n
+         FROM lf GROUP BY $plKey),
+       risk AS (SELECT $riskSel, d1, d,
+           sum(t1) OVER (${riskPart}ORDER BY life DESC) AS n1,
+           sum(t) OVER (${riskPart}ORDER BY life DESC) AS n
          FROM pl),
        st AS (SELECT d1::DOUBLE AS d1, d::DOUBLE AS d, n1::DOUBLE AS n1,
            (n - n1)::DOUBLE AS n0, d AS dl
@@ -5475,9 +5510,9 @@ object SparkEntry {
          FROM i$iters i CROSS JOIN st s),
        tot AS (SELECT
            sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
-           sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b
+           sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b$stratTot
          FROM lf)
-       SELECT tot.n_a, tot.n_b, jf.n_events,
+       SELECT tot.n_a, tot.n_b$stratOut, jf.n_events,
          round(jf.th, 6) + 0 AS hazard_ratio,
          round(ln(jf.th), 6) + 0 AS beta,
          CASE WHEN jf.th * jf.jj > 0
@@ -11344,6 +11379,10 @@ object SparkEntry {
     // driver-side update EventOps.coxPh applies), ln once at read-out.
     "q_cox_ph" -> coxPhSql(12),
 
+    // Stratified Cox: the same generated chain with the lifetime table
+    // joined to its market segment and risk sets partitioned by it.
+    "q_cox_strat" -> coxPhSql(12, stratified = true),
+
     // Theil: identical value-catalog ratios, 9-dp-rounded ln before the
     // count products, decimal-snapshotted term sums.
     "q_theil" ->
@@ -12624,6 +12663,33 @@ object SparkEntry {
            sum(coalesce(hit, 0))::BIGINT AS n_overlap,
            round(sum(coalesce(hit, 0))::DOUBLE / 10, 6) + 0 AS recall
          FROM tf LEFT JOIN tq ON tf.pid = tq.pid AND tf.cid = tq.cid
+         GROUP BY tf.pid ORDER BY probe_id""",
+
+    // Sign recall: identical pair fan and float ranking as
+    // q_int8_recall; the estimate side ranks by the integer
+    // sign-agreement count (no float ties possible).
+    "q_sign_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         pairs AS (
+           SELECT p.vec_id AS pid, c.vec_id AS cid,
+             list_reduce(list_transform(range(1, 65), i -> p.e[i] * c.e[i]),
+               (x, y) -> x + y) AS fs,
+             len(list_filter(range(1, 65),
+               i -> (p.e[i] > 0) = (c.e[i] > 0)))::BIGINT AS hs
+           FROM v p JOIN v c ON p.vec_id <> c.vec_id
+           WHERE p.vec_id < 20),
+         tf AS (SELECT pid, cid FROM (
+                  SELECT pid, cid, row_number() OVER
+                    (PARTITION BY pid ORDER BY fs DESC, cid) AS rn
+                  FROM pairs) WHERE rn <= 10),
+         th AS (SELECT pid, cid, 1 AS hit FROM (
+                  SELECT pid, cid, row_number() OVER
+                    (PARTITION BY pid ORDER BY hs DESC, cid) AS rn
+                  FROM pairs) WHERE rn <= 10)
+         SELECT tf.pid AS probe_id,
+           sum(coalesce(hit, 0))::BIGINT AS n_overlap,
+           round(sum(coalesce(hit, 0))::DOUBLE / 10, 6) + 0 AS recall
+         FROM tf LEFT JOIN th ON tf.pid = th.pid AND tf.cid = th.cid
          GROUP BY tf.pid ORDER BY probe_id""",
 
     // Integer weights, exact cross-multiplication cut — both engines

@@ -1018,6 +1018,21 @@ object EventOps {
         (col("_n") - col("_n1")).cast("double").as("_n0"),
         col("_d").as("_dl"))
       .localCheckpoint(true)
+    val th = coxNewtonTheta(stats, iters)
+    val tot = lives.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+    tot.crossJoin(broadcast(coxFinal(stats, th)))
+      .select((Seq(col("n_a"), col("n_b"), col("n_events")) ++
+        coxReadoutCols(th)): _*)
+  }
+
+  /** The θ-space Newton loop shared by [[coxPh]] and
+    * [[coxPhStratified]]: the stratified partial likelihood is the
+    * PRODUCT over strata, so its score and information are the same
+    * per-event-time sums taken over the pooled stats rows.
+    */
+  private def coxNewtonTheta(stats: DataFrame, iters: Int): Double = {
     var th = 1.0
     for (_ <- 0 until iters) {
       val den = col("_n0") + col("_n1") * lit(th)
@@ -1032,21 +1047,80 @@ object EventOps {
           .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
       }
     }
-    val tot = lives.agg(
-      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+    th
+  }
+
+  private def coxFinal(stats: DataFrame, th: Double): DataFrame = {
     val den = col("_n0") + col("_n1") * lit(th)
-    val fin = stats.agg(
+    stats.agg(
       coalesce(sum("_dl"), lit(0L)).as("n_events"),
       Portable.decSum(col("_d") * col("_n0") * col("_n1") / (den * den), 12)
         .as("_j"))
+  }
+
+  private def coxReadoutCols(th: Double): Seq[Column] = {
     val info = lit(th) * col("_j")
-    tot.crossJoin(broadcast(fin))
-      .select(col("n_a"), col("n_b"), col("n_events"),
-        Portable.pround(lit(th), 6).as("hazard_ratio"),
-        Portable.pround(log(lit(th)), 6).as("beta"),
-        when(info > 0, Portable.pround(lit(1.0) / sqrt(info), 6)).as("se_beta"),
-        when(info > 0, Portable.pround(log(lit(th)) * sqrt(info), 6)).as("z_stat"))
+    Seq(
+      Portable.pround(lit(th), 6).as("hazard_ratio"),
+      Portable.pround(log(lit(th)), 6).as("beta"),
+      when(info > 0, Portable.pround(lit(1.0) / sqrt(info), 6)).as("se_beta"),
+      when(info > 0, Portable.pround(log(lit(th)) * sqrt(info), 6)).as("z_stat"))
+  }
+
+  /** Stratified Cox proportional hazards (r19) — [[coxPh]] with the
+    * baseline hazard freed PER STRATUM (the survival analogue of C283's
+    * Mantel–Haenszel stratified pooling): each stratum keeps its own
+    * risk sets and event times, the partial likelihood multiplies
+    * across strata, so the score/information are the SAME sums over the
+    * pooled per-(stratum, event-time) stats and the one fitted β is the
+    * within-stratum effect — "does the cohort churn faster than its own
+    * stratum's baseline", immune to confounding by the stratum mix.
+    * `strata` maps the unit key to its stratum (broadcast,
+    * catalog-sized); risk sets ride a stratum-partitioned descending
+    * cumulative. Same θ-space Newton, same single read-out ln.
+    */
+  def coxPhStratified(df: DataFrame, userCol: String, tsCol: String,
+                      strata: DataFrame, strataKeyCol: String,
+                      strataValCol: String, isA: Column => Column,
+                      censorDays: Int = 7, unitDays: Int = 30,
+                      iters: Int = 12): DataFrame = {
+    val perUser = df.groupBy(col(userCol).as("_u"))
+      .agg(to_date(min(col(tsCol))).as("_f"), to_date(max(col(tsCol))).as("_l"))
+    val gmax = perUser.agg(max("_l").as("_gmax"))
+    val lives = perUser
+      .join(broadcast(strata.select(col(strataKeyCol).as("_u"),
+        col(strataValCol).as("_st"))), Seq("_u"))
+      .crossJoin(broadcast(gmax))
+      .select(col("_st"),
+        (datediff(col("_l"), col("_f")).cast("long") / unitDays)
+          .cast("long").as("_life"),
+        (col("_l") < date_sub(col("_gmax"), censorDays)).as("_churn"),
+        isA(col("_u")).as("_a"))
+    val perLife = lives.groupBy("_st", "_life").agg(
+      sum(when(col("_churn") && col("_a"), 1L).otherwise(0L)).as("_d1"),
+      sum(when(col("_churn"), 1L).otherwise(0L)).as("_d"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("_t1"),
+      count(lit(1)).as("_t"))
+    val wDesc = Window.partitionBy("_st").orderBy(col("_life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = perLife
+      .withColumn("_n1", sum("_t1").over(wDesc))
+      .withColumn("_n", sum("_t").over(wDesc))
+      .where(col("_d") > 0)
+      .select(col("_d1").cast("double").as("_d1"),
+        col("_d").cast("double").as("_d"),
+        col("_n1").cast("double").as("_n1"),
+        (col("_n") - col("_n1")).cast("double").as("_n0"),
+        col("_d").as("_dl"))
+      .localCheckpoint(true)
+    val th = coxNewtonTheta(stats, iters)
+    val tot = lives.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      countDistinct("_st").as("n_strata"))
+    tot.crossJoin(broadcast(coxFinal(stats, th)))
+      .select((Seq(col("n_a"), col("n_b"), col("n_strata"), col("n_events")) ++
+        coxReadoutCols(th)): _*)
   }
 
   /** Cochran's Q test (r18b) — do the k treatments differ in a BINARY

@@ -1406,6 +1406,48 @@ object VectorOps {
         round(col("n_overlap").cast("double") / k, 6).as("recall"))
   }
 
+  /** One-bit (sign) quantization retrieval recall (r19) — the extreme
+    * end of the storage/recall ladder this engine already measures at
+    * 4× (C222's int8) and 4×-dims (C216's JL): keep ONE bit per
+    * dimension (the sign), 64× smaller than float32, and rank by sign
+    * agreement — the Hamming estimate of angular similarity (Charikar
+    * 2002: P[sign agree] = 1 − θ/π per dimension, so agreement count is
+    * a monotone estimator of cosine). Per probe, top-k by exact float
+    * dot vs top-k by agreement; the overlap IS the measured price of
+    * serving retrieval from 1-bit vectors. Integer agreement counts
+    * with id tie-breaks — no float ties can flip ranks cross-engine.
+    *
+    * Scale shape: the audit joins broadcast probes against the corpus
+    * (the C222 shape); the production path stores the 64 sign bits
+    * packed in one long per vector and serves xor+popcount — this
+    * query measures whether that index would return the right answers.
+    */
+  def signRecall(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, probeLimit: Int): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val probes = base.where(col("_id") < probeLimit)
+      .select(col("_id").as("_pid"), col("_v").as("_pv"))
+    val agree = aggregate(
+      zip_with(col("_pv"), col("_v"),
+        (x, y) => when((x > 0f) === (y > 0f), 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val pairs = broadcast(probes).join(base, col("_pid") =!= col("_id"))
+      .select(col("_pid"), col("_id"),
+        dotNative(col("_pv"), col("_v")).as("_fs"),
+        agree.as("_hs"))
+    val wF = Window.partitionBy("_pid").orderBy(col("_fs").desc, col("_id").asc)
+    val wH = Window.partitionBy("_pid").orderBy(col("_hs").desc, col("_id").asc)
+    val topF = pairs.withColumn("_rn", row_number().over(wF))
+      .where(col("_rn") <= k).select(col("_pid"), col("_id"))
+    val topH = pairs.withColumn("_rn", row_number().over(wH))
+      .where(col("_rn") <= k).select(col("_pid"), col("_id"))
+    topF.join(topH.withColumn("_hit", lit(1L)), Seq("_pid", "_id"), "left")
+      .groupBy(col("_pid").as("probe_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+      .select(col("probe_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).as("recall"))
+  }
+
   def jlDistortion(df: DataFrame, idCol: String, vecCol: String,
                    dim: Int, k: Int, probeLimit: Int): DataFrame = {
     val signs = jlSigns(k, dim)

@@ -57,6 +57,152 @@ class Round19OpsSpec extends SparkSpec {
     assert(at12.getDouble(3) > 0, "hazard ratio is positive")
   }
 
+  // ── stratified Cox (C313) ──────────────────────────────────────────
+
+  test("coxPhStratified: recovers the common within-stratum effect; marginal fit confounds") {
+    // Stratum X: the C311 single-event-time fixture (life 0: n1=3, n0=2,
+    // d=3, d1=2 -> root 4/3); stratum Y: a doubled copy whose single
+    // event time is life 1 (n1=6, n0=4, d=6, d1=4 -> root 4·4/(6·2) =
+    // 4/3). Both strata's scores vanish at θ = 4/3, so the pooled
+    // stratified fit lands exactly there; the UNstratified fit pools the
+    // risk sets across different baselines and reads a different
+    // (confounded) hazard ratio.
+    val gday = 5
+    val x = Seq(
+      R19Ord(2, d(1)), R19Ord(4, d(1)), R19Ord(1, d(1)),
+      R19Ord(6, d(1)), R19Ord(6, d(gday)),
+      R19Ord(3, d(1)), R19Ord(3, d(gday)))
+    val yChurnA = Seq(10L, 12L, 14L, 16L).flatMap(u =>
+      Seq(R19Ord(u, d(1)), R19Ord(u, d(2))))
+    val yChurnB = Seq(7L, 9L).flatMap(u =>
+      Seq(R19Ord(u, d(1)), R19Ord(u, d(2))))
+    val yCensA = Seq(22L, 24L).flatMap(u =>
+      Seq(R19Ord(u, d(1)), R19Ord(u, d(gday))))
+    val yCensB = Seq(11L, 13L).flatMap(u =>
+      Seq(R19Ord(u, d(1)), R19Ord(u, d(gday))))
+    val orders = df(x ++ yChurnA ++ yChurnB ++ yCensA ++ yCensB)
+    val s = spark; import s.implicits._
+    val strata = (Seq(2L, 4L, 1L, 6L, 3L).map((_, "X")) ++
+      Seq(10L, 12L, 14L, 16L, 7L, 9L, 22L, 24L, 11L, 13L).map((_, "Y")))
+      .toDF("key", "seg")
+    val isA = (u: org.apache.spark.sql.Column) => pmod(u, lit(2L)) === 0
+    val strat = EventOps.coxPhStratified(orders, "o_custkey", "o_orderdate",
+      strata, "key", "seg", isA, censorDays = 0, unitDays = 1).head()
+    assert(strat.getLong(2) === 2L, "two strata")
+    assert(strat.getLong(3) === 9L, "nine churn events pooled")
+    assert(strat.getDouble(4) === r6(4.0 / 3.0),
+      "the stratified fit recovers the common within-stratum hazard ratio")
+    val marginal = EventOps.coxPh(orders, "o_custkey", "o_orderdate",
+      isA, censorDays = 0, unitDays = 1).head()
+    assert(marginal.getDouble(3) !== r6(4.0 / 3.0),
+      "pooling risk sets across different baselines confounds the marginal fit")
+  }
+
+  // ── one-bit sign recall (C314) ─────────────────────────────────────
+
+  test("signRecall: perfect recall when sign agreement and dot produce one ranking") {
+    // v_j flips the first j of 64 unit coordinates: dot(v_0, v_j) =
+    // 64 − 2j and agreement(v_0, v_j) = 64 − j are both strictly
+    // decreasing in j, so the float and Hamming top-k agree exactly.
+    val s = spark; import s.implicits._
+    val vecs = (0 to 5).map { j =>
+      (j.toLong, (0 until 64).map(i => if (i < j) -1.0f else 1.0f))
+    }.toDF("vec_id", "embedding")
+    val out = VectorOps.signRecall(vecs, "vec_id", "embedding", k = 3,
+      probeLimit = 1).head()
+    assert(out.getLong(0) === 0L && out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 1.0)
+  }
+
+  test("signRecall: measured recall on the test embeddings is reported and sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = VectorOps.signRecall(emb, "vec_id", "embedding", 10, 20)
+      .orderBy("probe_id").collect()
+    assert(out.length === 20)
+    val mean = out.map(_.getDouble(2)).sum / out.length
+    info(f"1-bit sign recall@10 over 20 probes at sf0.001: $mean%.3f")
+    assert(out.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(mean > 0.2, "64 sign bits should carry real angular signal")
+  }
+
+  // ── OPQ-style rotation measurement (VERDICT r18 item 7, low) ───────
+
+  test("PQ 16x4: measured ADC recall with and without a deterministic pre-rotation") {
+    // The classical OPQ intuition: an orthogonal rotation before
+    // codebook training balances variance across the m sub-spaces and
+    // can lift recall at the same bit budget. The cheap deterministic
+    // variant (sign flips + a stride-17 coordinate permutation — an
+    // exact orthogonal transform both engines could replay) is measured
+    // here against raw sub-space training at the committed 16x4 shape;
+    // the number is recorded in NOTES either way (the C57
+    // raw-vs-residual precedent) and only promoted to a query if the
+    // gain is real on this corpus.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val m = 16; val sub = 4; val k = 16; val iters = 8
+    def adcRecall(vecs: org.apache.spark.sql.DataFrame): Double = {
+      val books = (0 until m).map { b =>
+        VectorOps.subKMeans(
+          vecs.select(col("vec_id"),
+            slice(col("embedding"), b * sub + 1, sub).as("subv")),
+          "vec_id", "subv", k, iters)
+      }.toArray
+      val codes = VectorOps.pqEncode(vecs, "vec_id", "embedding", books)
+      val queries = vecs.where(col("vec_id") < 20)
+      val truth = VectorOps.cosineTopK(vecs, queries, "vec_id", "embedding", 10)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adc = VectorOps.pqAdcRankedCoded(codes, queries, "vec_id", "embedding", books)
+        .where(col("_rn") <= 10)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(adc).size.toDouble / truth.size
+    }
+    // the SERVED metric: ADC shortlist (rerank=20) -> exact cosine
+    // re-rank on the RAW vectors -> top-5, vs brute-force top-5 — the
+    // q_pq_recall_curve read. This, not raw ADC overlap, is what a
+    // promotion decision rides on.
+    def servedRecall(vecs: org.apache.spark.sql.DataFrame): Double = {
+      val books = (0 until m).map { b =>
+        VectorOps.subKMeans(
+          vecs.select(col("vec_id"),
+            slice(col("embedding"), b * sub + 1, sub).as("subv")),
+          "vec_id", "subv", k, iters)
+      }.toArray
+      val codes = VectorOps.pqEncode(vecs, "vec_id", "embedding", books)
+      val queries = emb.where(col("vec_id") < 20)
+      val truth = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ranked = VectorOps.pqAdcRankedCoded(codes,
+        vecs.where(col("vec_id") < 20), "vec_id", "embedding", books)
+        .where(col("_rn") <= 20)
+      // fetch + exact re-rank in the SAME space as the codes (an
+      // orthogonal rotation preserves cosines, so the served answers
+      // are comparable against the raw-space truth)
+      val served = VectorOps.cutTopK(
+          VectorOps.rerankFetchScored(ranked, vecs, "vec_id", "embedding"),
+          k = 5, rerank = 20)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(served).size.toDouble / truth.size
+    }
+    val signs = VectorOps.jlSigns(1, 64)(0)
+    val rot = array((0 until 64).map(i =>
+      (element_at(col("embedding"), (i * 17) % 64 + 1) *
+        lit(signs(i).toFloat)).cast("float")): _*)
+    val rotated = emb.select(col("vec_id"), rot.as("embedding"))
+    val rawRecall = adcRecall(emb)
+    val rotRecall = adcRecall(rotated)
+    val rawServed = servedRecall(emb)
+    val rotServed = servedRecall(rotated)
+    info(f"PQ16x4 ADC recall@10 raw: $rawRecall%.4f, rotated (sign+stride17): $rotRecall%.4f")
+    info(f"PQ16x4 SERVED recall@5 (rerank 20) raw: $rawServed%.4f, rotated: $rotServed%.4f")
+    assert(rawRecall > 0.1 && rawRecall <= 1.0)
+    assert(rotRecall > 0.1 && rotRecall <= 1.0)
+    assert(rawServed > 0.5 && rotServed > 0.5)
+  }
+
   test("coxPh: no-effect covariate lands at hazard ratio 1 on a symmetric fixture") {
     // perfectly balanced churn: one A and one B die at life 0, one A and
     // one B censored at life 2 -> U(1) = d1 − d·n1/(n0+n1) = 1 − 2·2/4 = 0,
