@@ -971,7 +971,35 @@ class PlanInvariantsSpec extends SparkSpec {
       // MomentStore's cohort cell columns (VERDICT r18 item 1: 2 → 1
       // store-side) — the single exchange is the 1-row roll-up over the
       // 2,080 xx-block rows; the corpus fan lives in the artifact build
-      "q_moment_drift" -> 1)
+      "q_moment_drift" -> 1,
+      // r19: the Cox pair hovers at the 1.5 s line in steal windows —
+      // pinned proactively (the q_sprt precedent). q_cox_ph: user agg +
+      // lifetime agg + risk window + the checkpointed stats' 1-row
+      // Newton/read-out aggs (4); q_cox_strat adds the stratum-keyed
+      // risk exchange (5). Iterations run off the checkpointed
+      // catalog-sized stats — no per-round corpus exchange.
+      "q_cox_ph" -> 4, "q_cox_strat" -> 5,
+      // r19: q_join_star crossed 1.5 s ONLY inside a 21 s steal window
+      // (isolated-warm 0.81–0.91 s, BENCHONE in NOTES_r19) — ceiling
+      // recorded at its measured plan: one shuffle for the fact-side
+      // agg; dims broadcast
+      "q_join_star" -> 1,
+      // r19: q_textrank likewise a steal-window entrant (1.66 s at
+      // 117 s storm steal; isolated-warm 1.00–1.23 s at steal 0.21,
+      // BENCHONE in NOTES_r19) — ceiling at its measured plan: token
+      // fan → co-occurrence agg + the two string-keyed PageRank
+      // join-agg rounds
+      "q_textrank" -> 3,
+      // r19: q_dsir_weights, same storm (1.55 s at 68 s steal;
+      // isolated-warm 1.00–1.24 s at steal 0.07) — hash fan → in/out
+      // unigram aggs + the per-doc log-ratio join-aggs, all
+      // vocabulary-keyed
+      "q_dsir_weights" -> 6,
+      // r19: q_cosine_topk_lsh, same storm (1.66 s at 68 s steal;
+      // isolated-warm 1.03–1.36 s at steal 0.48) — the banded
+      // candidate join rides one (band, sig) exchange; queries
+      // broadcast, exact re-score row-local
+      "q_cosine_topk_lsh" -> 1)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until
