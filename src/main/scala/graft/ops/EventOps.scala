@@ -591,11 +591,25 @@ object EventOps {
     * `censorDays` of the corpus edge are censored, not churned).
     */
   private def lifeTable(df: DataFrame, userCol: String, tsCol: String,
-                        censorDays: Int, unitDays: Int): DataFrame = {
-    val perUser = df.groupBy(col(userCol))
+                        censorDays: Int, unitDays: Int): DataFrame =
+    lifeTableFromSpan(perUserSpan(df, userCol, tsCol), censorDays, unitDays)
+
+  /** Per-unit (first, last) DATE span — the survival shelf's complete
+    * sufficient statistic: every read (KM, Nelson–Aalen, log-rank, Cox)
+    * is a pure function of this table, and (min, max) over dates is an
+    * additive monoid (date casting is monotone, so per-batch mins/maxes
+    * merge to the global span exactly) — which is what lets the
+    * streaming SurvivalState serve the whole shelf bit-identically.
+    */
+  private[graft] def perUserSpan(df: DataFrame, userCol: String,
+                                 tsCol: String): DataFrame =
+    df.groupBy(col(userCol).as("_u"))
       .agg(to_date(min(col(tsCol))).as("_f"), to_date(max(col(tsCol))).as("_l"))
-    val gmax = perUser.agg(max("_l").as("_gmax"))
-    perUser.crossJoin(broadcast(gmax))
+
+  private[graft] def lifeTableFromSpan(span: DataFrame, censorDays: Int,
+                                       unitDays: Int): DataFrame = {
+    val gmax = span.agg(max("_l").as("_gmax"))
+    span.crossJoin(broadcast(gmax))
       .select((datediff(col("_l"), col("_f")).cast("long") / unitDays)
           .cast("long").as("_life"), // int floor-div: datediff >= 0
         (col("_l") < date_sub(col("_gmax"), censorDays)).as("_churn"))
@@ -619,8 +633,12 @@ object EventOps {
     * row-scale work after the [[lifeTable]] unit aggregate.
     */
   def nelsonAalen(df: DataFrame, userCol: String, tsCol: String,
-                  censorDays: Int = 7, unitDays: Int = 30): DataFrame = {
-    val perLife = lifeTable(df, userCol, tsCol, censorDays, unitDays)
+                  censorDays: Int = 7, unitDays: Int = 30): DataFrame =
+    nelsonAalenFromSpan(perUserSpan(df, userCol, tsCol), censorDays, unitDays)
+
+  private[graft] def nelsonAalenFromSpan(span: DataFrame, censorDays: Int,
+                                         unitDays: Int): DataFrame = {
+    val perLife = lifeTableFromSpan(span, censorDays, unitDays)
     val wDesc = Portable.kRowWindow(col("_life").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAsc = Portable.kRowWindow(col("_life").asc)
@@ -638,8 +656,12 @@ object EventOps {
   }
 
   def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
-                  censorDays: Int = 7, unitDays: Int = 30): DataFrame = {
-    val perLife = lifeTable(df, userCol, tsCol, censorDays, unitDays)
+                  censorDays: Int = 7, unitDays: Int = 30): DataFrame =
+    kaplanMeierFromSpan(perUserSpan(df, userCol, tsCol), censorDays, unitDays)
+
+  private[graft] def kaplanMeierFromSpan(span: DataFrame, censorDays: Int,
+                                         unitDays: Int): DataFrame = {
+    val perLife = lifeTableFromSpan(span, censorDays, unitDays)
     // one catalog-sized row: [life, d, c] triples sorted by life
     val curve = perLife
       .agg(sort_array(collect_list(array(col("_life").cast("double"),
@@ -917,9 +939,11 @@ object EventOps {
     */
   def logRank(df: DataFrame, userCol: String, tsCol: String,
               isA: Column => Column, censorDays: Int = 7,
-              unitDays: Int = 30): DataFrame = {
-    val perUser = df.groupBy(col(userCol).as("_u"))
-      .agg(to_date(min(col(tsCol))).as("_f"), to_date(max(col(tsCol))).as("_l"))
+              unitDays: Int = 30): DataFrame =
+    logRankFromSpan(perUserSpan(df, userCol, tsCol), isA, censorDays, unitDays)
+
+  private[graft] def logRankFromSpan(perUser: DataFrame, isA: Column => Column,
+                                     censorDays: Int, unitDays: Int): DataFrame = {
     val gmax = perUser.agg(max("_l").as("_gmax"))
     val lives = perUser.crossJoin(broadcast(gmax))
       .select((datediff(col("_l"), col("_f")).cast("long") / unitDays)
@@ -992,9 +1016,12 @@ object EventOps {
     */
   def coxPh(df: DataFrame, userCol: String, tsCol: String,
             isA: Column => Column, censorDays: Int = 7,
-            unitDays: Int = 30, iters: Int = 12): DataFrame = {
-    val perUser = df.groupBy(col(userCol).as("_u"))
-      .agg(to_date(min(col(tsCol))).as("_f"), to_date(max(col(tsCol))).as("_l"))
+            unitDays: Int = 30, iters: Int = 12): DataFrame =
+    coxPhFromSpan(perUserSpan(df, userCol, tsCol), isA, censorDays, unitDays, iters)
+
+  private[graft] def coxPhFromSpan(perUser: DataFrame, isA: Column => Column,
+                                   censorDays: Int, unitDays: Int,
+                                   iters: Int): DataFrame = {
     val gmax = perUser.agg(max("_l").as("_gmax"))
     val lives = perUser.crossJoin(broadcast(gmax))
       .select((datediff(col("_l"), col("_f")).cast("long") / unitDays)

@@ -749,6 +749,58 @@ object StreamingOps {
     }
   }
 
+  /** Streaming survival-shelf maintenance (r19) — ONE state serving the
+    * WHOLE survival family: per-unit (first, last) DATE spans are the
+    * shelf's complete sufficient statistic ([[graft.ops.EventOps
+    * .perUserSpan]]), and (min, max) over dates is an additive monoid
+    * (date casting is monotone, so per-batch spans merge to the global
+    * span exactly). Kaplan–Meier (C221), Nelson–Aalen (C310), the
+    * log-rank test (C292) and the Cox fit (C311) all derive at read
+    * time through the SAME `FromSpan` arithmetic as their batch
+    * queries — bit-identical over everything merged so far, the
+    * CalibrationBinsState one-state-many-monitors precedent taken to a
+    * whole shelf. Censoring stays CORRECT continuously: the corpus
+    * edge (gmax) re-derives from the maintained spans each read, so a
+    * unit that was censored yesterday and ordered again today simply
+    * extends its span and the censor boundary moves with the stream.
+    * State is one row per unit forever (the CdcApplyState bound);
+    * batch-id replay is a no-op; arrival order is irrelevant (min/max).
+    */
+  final class SurvivalState(userCol: String, tsCol: String,
+                            censorDays: Int, unitDays: Int) {
+    private val spans = new RetiringFrame
+    private var lastBatchId: Long = -1L
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      val p = graft.ops.EventOps.perUserSpan(batch, userCol, tsCol)
+      val merged = spans.get match {
+        case Some(prev) => prev.unionByName(p)
+          .groupBy("_u").agg(min("_f").as("_f"), max("_l").as("_l"))
+        case None => p
+      }
+      spans.swap(merged.localCheckpoint(true))
+      lastBatchId = batchId
+    }
+
+    /** Current KM curve — bit-identical to batch q_km_survival. */
+    def kaplanMeier: Option[DataFrame] = spans.get.map(s =>
+      graft.ops.EventOps.kaplanMeierFromSpan(s, censorDays, unitDays))
+
+    /** Current cumulative hazard — bit-identical to batch q_na_hazard. */
+    def nelsonAalen: Option[DataFrame] = spans.get.map(s =>
+      graft.ops.EventOps.nelsonAalenFromSpan(s, censorDays, unitDays))
+
+    /** Current log-rank comparison — bit-identical to batch q_logrank. */
+    def logRank(isA: Column => Column): Option[DataFrame] = spans.get.map(s =>
+      graft.ops.EventOps.logRankFromSpan(s, isA, censorDays, unitDays))
+
+    /** Current Cox fit — bit-identical to batch q_cox_ph. */
+    def coxPh(isA: Column => Column, iters: Int = 12): Option[DataFrame] =
+      spans.get.map(s =>
+        graft.ops.EventOps.coxPhFromSpan(s, isA, censorDays, unitDays, iters))
+  }
+
   /** Streaming count-min sketch maintenance — the streaming twin of
     * TextOps.countMinSketch (C127): each micro-batch reduces to its own
     * depth×width counter matrix and SUM-merges into the running sketch.

@@ -752,6 +752,55 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming survival state serves the whole shelf bit-identically") {
+    // r19: per-unit (first, last) date spans are the survival shelf's
+    // complete sufficient statistic and a (min, max) monoid, so KM,
+    // Nelson-Aalen, log-rank AND the Cox fit read from one maintained
+    // state must equal their batch queries exactly — including a unit
+    // whose span is SPLIT across batches (its early orders arrive in
+    // batch 1, later ones in batch 3, so the merged span — and its
+    // censoring status against the moving corpus edge — must re-derive).
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_custkey", "o_orderdate")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_surv_in").toFile.getAbsolutePath
+    val yr = year(col("o_orderdate"))
+    orders.where(yr <= 1994).write.mode("append").parquet(inDir)
+    orders.where(yr === 1995).write.mode("append").parquet(inDir)
+    orders.where(yr >= 1996).write.mode("append").parquet(inDir)
+    val state = new StreamingOps.SurvivalState("o_custkey", "o_orderdate",
+      censorDays = 180, unitDays = 30)
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val isA = (u: org.apache.spark.sql.Column) =>
+        pmod(graft.ops.Portable.hash32(u), lit(2L)) === 0
+      val checks: Seq[(String, DataFrame, DataFrame)] = Seq(
+        ("kaplanMeier", state.kaplanMeier.get,
+          EventOps.kaplanMeier(orders, "o_custkey", "o_orderdate", 180, 30)),
+        ("nelsonAalen", state.nelsonAalen.get,
+          EventOps.nelsonAalen(orders, "o_custkey", "o_orderdate", 180, 30)),
+        ("logRank", state.logRank(isA).get,
+          EventOps.logRank(orders, "o_custkey", "o_orderdate", isA, 180, 30)),
+        ("coxPh", state.coxPh(isA).get,
+          EventOps.coxPh(orders, "o_custkey", "o_orderdate", isA, 180, 30)))
+      checks.foreach { case (what, streamed, batch) =>
+        withClue(s"$what: ") {
+          assert(streamed.except(batch).count() === 0 &&
+            batch.except(streamed).count() === 0,
+            s"the $what read from merged spans must equal batch exactly")
+        }
+      }
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(orders, 0L)
+      val batchKm = EventOps.kaplanMeier(orders, "o_custkey", "o_orderdate", 180, 30)
+      val replayed = state.kaplanMeier.get
+      assert(replayed.except(batchKm).count() === 0 &&
+        batchKm.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming second-moment state serves all four representation monitors bit-identically") {
     // The MomentStore family's streaming twin (r19, VERDICT r18 item 2):
     // cohort-conditional decimal second-moment partials are an additive
