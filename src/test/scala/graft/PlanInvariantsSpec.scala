@@ -999,7 +999,11 @@ class PlanInvariantsSpec extends SparkSpec {
       // isolated-warm 1.03–1.36 s at steal 0.48) — the banded
       // candidate join rides one (band, sig) exchange; queries
       // broadcast, exact re-score row-local
-      "q_cosine_topk_lsh" -> 1)
+      "q_cosine_topk_lsh" -> 1,
+      // r19: q_profile, same storm epoch (1.56 s; isolated-warm
+      // 1.09–1.28 s at steal 0.24) — one column-stats aggregate + the
+      // 5-row summary roll-up
+      "q_profile" -> 2)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until
