@@ -3756,6 +3756,18 @@ object SparkEntry {
         u => pmod(Portable.hash32(u), lit(2L)) === 0,
         censorDays = 180, unitDays = 30)),
 
+    // Restricted mean survival time per md5 cohort at tau = 12 units
+    // (r19): E[min(lifetime, tau)] from the KM curve — the
+    // decision-grade effect size of the survival shelf ("how much
+    // retained lifetime within the first year is the cohort worth"),
+    // valid even where proportional hazards fails. One KM-style fold
+    // per cohort computes curve and integral together.
+    "q_rmst" -> ((s, dir) =>
+      EventOps.rmstByCohort(T(s, dir, "orders"), "o_custkey", "o_orderdate",
+          u => pmod(Portable.hash32(u), lit(2L)) === 0,
+          censorDays = 180, unitDays = 30, tauUnits = 12)
+        .orderBy("cohort")),
+
     // Stratified Cox (r19): the same cohort effect with the baseline
     // hazard freed per market segment — the survival analogue of the
     // Mantel–Haenszel stratified pooling (q_mh_odds): "does the cohort
@@ -11382,6 +11394,40 @@ object SparkEntry {
     // Stratified Cox: the same generated chain with the lifetime table
     // joined to its market segment and risk sets partitioned by it.
     "q_cox_strat" -> coxPhSql(12, stratified = true),
+
+    // RMST: the q_km_survival lifetime CTEs split by cohort, then ONE
+    // list fold per cohort carrying [at_risk, survival, prev_mark,
+    // rmst_acc] — identical left-fold shape to Spark's aggregate, the
+    // tail interval closed at the final survival.
+    "q_rmst" ->
+      """WITH u AS (SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+                      CAST(max(o_orderdate) AS DATE) AS l
+                    FROM orders GROUP BY o_custkey),
+         g AS (SELECT max(l) AS gmax FROM u),
+         lf AS (SELECT CASE WHEN (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 = 0)
+                  THEN 'A' ELSE 'B' END AS cohort,
+                  (l - f) // 30 AS life,
+                  CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn
+                FROM u, g),
+         pl AS (SELECT cohort, life, sum(churn)::BIGINT AS d,
+                  sum(1 - churn)::BIGINT AS c
+                FROM lf GROUP BY cohort, life),
+         arr AS (SELECT cohort,
+                  list([life::DOUBLE, d::DOUBLE, c::DOUBLE] ORDER BY life) AS a,
+                  sum(d + c)::DOUBLE AS total
+                 FROM pl GROUP BY cohort),
+         f AS (SELECT cohort, total,
+                 list_reduce(
+                   list_prepend([total, 1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE], a),
+                   (acc, e) -> [acc[1] - e[2] - e[3],
+                                acc[2] * (acc[1] - e[2]) / acc[1],
+                                e[1],
+                                acc[4] + acc[2] *
+                                  greatest(0.0, least(e[1], 12.0) - acc[3])]) AS st
+               FROM arr)
+         SELECT cohort, total::BIGINT AS n_units, 12::BIGINT AS tau_units,
+           round(st[4] + st[2] * greatest(0.0, 12.0 - st[3]), 6) + 0 AS rmst
+         FROM f ORDER BY cohort""",
 
     // Theil: identical value-catalog ratios, 9-dp-rounded ln before the
     // count products, decimal-snapshotted term sums.

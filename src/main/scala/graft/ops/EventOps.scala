@@ -688,6 +688,59 @@ object EventOps {
             array(col("_total"), lit(1.0d)), fold), 2), 9)
           .as("km_survival"))
   }
+  /** Restricted mean survival time per cohort (r19) — the
+    * DECISION-GRADE scalar over the KM curve: RMST(τ) = ∫₀^τ S(t)dt =
+    * E[min(lifetime, τ)], "how many lifetime units a unit retains
+    * within the first τ", and the cohort delta is the effect size a
+    * retention readout actually wants (C311's hazard ratio says the
+    * rates differ multiplicatively; RMST says how much LIFETIME that
+    * is worth — and it stays meaningful when proportional hazards is
+    * false). Royston & Parmar 2013's recommended KM summary.
+    *
+    * One fold computes it: the C221 KM fold gains a prev-mark and an
+    * accumulator — each step adds surv·(clamped interval width) BEFORE
+    * updating survival, and the tail past the last bucket closes at
+    * the final survival. Spark `aggregate` = DuckDB `list_reduce`
+    * (both left folds over the sorted bucket array), so the chained
+    * products/sums are bit-identical cross-engine; widths are exact
+    * integers-as-doubles; one 6-dp round at read-out. Catalog-sized
+    * after the unit aggregate, two rows out.
+    */
+  def rmstByCohort(df: DataFrame, userCol: String, tsCol: String,
+                   isA: Column => Column, censorDays: Int = 7,
+                   unitDays: Int = 30, tauUnits: Int = 12): DataFrame = {
+    val span = perUserSpan(df, userCol, tsCol)
+    val gmax = span.agg(max("_l").as("_gmax"))
+    val lives = span.crossJoin(broadcast(gmax))
+      .select(when(isA(col("_u")), "A").otherwise("B").as("cohort"),
+        (datediff(col("_l"), col("_f")).cast("long") / unitDays)
+          .cast("long").as("_life"),
+        (col("_l") < date_sub(col("_gmax"), censorDays)).as("_churn"))
+    val perLife = lives.groupBy("cohort", "_life").agg(
+      sum(when(col("_churn"), 1L).otherwise(0L)).as("_d"),
+      sum(when(!col("_churn"), 1L).otherwise(0L)).as("_c"))
+    val curve = perLife.groupBy("cohort")
+      .agg(sort_array(collect_list(array(col("_life").cast("double"),
+          col("_d").cast("double"), col("_c").cast("double")))).as("_arr"),
+        sum(col("_d") + col("_c")).cast("double").as("_total"))
+    val tau = lit(tauUnits.toDouble)
+    // acc = [at_risk, survival, prev_mark, rmst_acc]; e = [life, d, c]
+    val fold = (acc: Column, e: Column) => array(
+      element_at(acc, 1) - element_at(e, 2) - element_at(e, 3),
+      element_at(acc, 2) *
+        (element_at(acc, 1) - element_at(e, 2)) / element_at(acc, 1),
+      element_at(e, 1),
+      element_at(acc, 4) + element_at(acc, 2) *
+        greatest(lit(0.0d), least(element_at(e, 1), tau) - element_at(acc, 3)))
+    val folded = aggregate(col("_arr"),
+      array(col("_total"), lit(1.0d), lit(0.0d), lit(0.0d)), fold)
+    curve
+      .select(col("cohort"), col("_total").cast("long").as("n_units"),
+        lit(tauUnits.toLong).as("tau_units"),
+        Portable.pround(element_at(folded, 4) + element_at(folded, 2) *
+          greatest(lit(0.0d), tau - element_at(folded, 3)), 6).as("rmst"))
+  }
+
   /** Exponentially time-decayed leaderboard — "what's trending": per
     * key, score = Σ_days count(day) · 2^(−age·dailyHalfLives) where age
     * is whole days before the corpus's max day. The half-life base 1/2

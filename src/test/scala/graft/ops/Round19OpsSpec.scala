@@ -98,6 +98,45 @@ class Round19OpsSpec extends SparkSpec {
       "pooling risk sets across different baselines confounds the marginal fit")
   }
 
+  // ── restricted mean survival time (C315) ───────────────────────────
+
+  test("rmstByCohort: hand-exact KM integrals on a four-user fixture") {
+    // unitDays=1, censorDays=0, tau=3; gmax = day 3.
+    // Cohort A (even): u2 churns at life 0, u4 censored at life 2
+    //   -> S(0)=S(1)=S(2)=0.5, RMST(3) = 1.5
+    // Cohort B (odd): u1 churns at life 1, u3 censored at life 2
+    //   -> S(0)=1, S(1)=S(2)=0.5, RMST(3) = 2.0
+    val rows = Seq(
+      R19Ord(2, d(1)),
+      R19Ord(4, d(1)), R19Ord(4, d(3)),
+      R19Ord(1, d(1)), R19Ord(1, d(2)),
+      R19Ord(3, d(1)), R19Ord(3, d(3)))
+    val out = EventOps.rmstByCohort(df(rows), "o_custkey", "o_orderdate",
+        u => pmod(u, lit(2L)) === 0, censorDays = 0, unitDays = 1,
+        tauUnits = 3)
+      .orderBy("cohort").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "A" && out(0).getLong(1) === 2L)
+    assert(out(0).getDouble(3) === 1.5)
+    assert(out(1).getString(0) === "B" && out(1).getLong(1) === 2L)
+    assert(out(1).getDouble(3) === 2.0)
+  }
+
+  test("rmstByCohort: tau caps the integral and matches the KM step sum on real data") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val isA = (u: org.apache.spark.sql.Column) =>
+      pmod(Portable.hash32(u), lit(2L)) === 0
+    val r12 = EventOps.rmstByCohort(orders, "o_custkey", "o_orderdate", isA,
+      180, 30, tauUnits = 12).orderBy("cohort").collect()
+    val r1 = EventOps.rmstByCohort(orders, "o_custkey", "o_orderdate", isA,
+      180, 30, tauUnits = 1).orderBy("cohort").collect()
+    r12.zip(r1).foreach { case (a, b) =>
+      assert(a.getDouble(3) >= b.getDouble(3), "RMST is monotone in tau")
+      assert(b.getDouble(3) <= 1.0, "RMST(1) is at most one unit")
+      assert(a.getDouble(3) <= 12.0)
+    }
+  }
+
   // ── one-bit sign recall (C314) ─────────────────────────────────────
 
   test("signRecall: perfect recall when sign agreement and dot produce one ranking") {
