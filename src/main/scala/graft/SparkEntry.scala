@@ -3756,6 +3756,16 @@ object SparkEntry {
         u => pmod(Portable.hash32(u), lit(2L)) === 0,
         censorDays = 180, unitDays = 30)),
 
+    // Difference-in-differences (r19): the pre/post x cohort panel
+    // estimator — per-user engagement totals on the dense
+    // user x {pre, post} panel (silent periods are true zeros), period
+    // split at the observed date-range midpoint, cohorts by md5. The
+    // effect read when assignment is not randomized but both cohorts
+    // share the time trend.
+    "q_did" -> ((s, dir) =>
+      EventOps.didEstimate(T(s, dir, "events"), "user_id", "ts", col("value"),
+        u => pmod(Portable.hash32(u), lit(2L)) === 0)),
+
     // Restricted mean survival time per md5 cohort at tau = 12 units
     // (r19): E[min(lifetime, tau)] from the KM curve — the
     // decision-grade effect size of the survival shelf ("how much
@@ -11394,6 +11404,50 @@ object SparkEntry {
     // Stratified Cox: the same generated chain with the lifetime table
     // joined to its market segment and risk sets partitioned by it.
     "q_cox_strat" -> coxPhSql(12, stratified = true),
+
+    // DiD: midpoint split from the observed range, per-user decimal
+    // period totals, dense panel via the user catalog x [false, true],
+    // 10 conditional cell sums, Welch-shape guarded variances.
+    "q_did" ->
+      """WITH sp AS (SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+                     FROM events),
+         s2 AS (SELECT mn, mx, mn + (((mx - mn) // 2)::INTEGER) AS split FROM sp),
+         pu AS (SELECT user_id AS u, (CAST(ts AS DATE) >= split) AS post,
+                  sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS y
+                FROM events, s2 GROUP BY u, post),
+         us AS (SELECT DISTINCT user_id AS u FROM events),
+         panel AS (SELECT
+                     (('0x' || substr(md5(u.u::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a,
+                     p.post, coalesce(pu.y, 0.0) AS y
+                   FROM us u CROSS JOIN (SELECT unnest([false, true]) AS post) p
+                   LEFT JOIN pu ON pu.u = u.u AND pu.post = p.post),
+         c AS (SELECT
+                 sum(CASE WHEN a AND NOT post THEN 1 ELSE 0 END)::BIGINT AS na,
+                 sum(CAST(CASE WHEN a AND NOT post THEN y END AS DECIMAL(28,6)))::DOUBLE AS sa0,
+                 sum(CAST(CASE WHEN a AND NOT post THEN y*y END AS DECIMAL(28,6)))::DOUBLE AS qa0,
+                 sum(CAST(CASE WHEN a AND post THEN y END AS DECIMAL(28,6)))::DOUBLE AS sa1,
+                 sum(CAST(CASE WHEN a AND post THEN y*y END AS DECIMAL(28,6)))::DOUBLE AS qa1,
+                 sum(CASE WHEN (NOT a) AND NOT post THEN 1 ELSE 0 END)::BIGINT AS nb,
+                 sum(CAST(CASE WHEN (NOT a) AND NOT post THEN y END AS DECIMAL(28,6)))::DOUBLE AS sb0,
+                 sum(CAST(CASE WHEN (NOT a) AND NOT post THEN y*y END AS DECIMAL(28,6)))::DOUBLE AS qb0,
+                 sum(CAST(CASE WHEN (NOT a) AND post THEN y END AS DECIMAL(28,6)))::DOUBLE AS sb1,
+                 sum(CAST(CASE WHEN (NOT a) AND post THEN y*y END AS DECIMAL(28,6)))::DOUBLE AS qb1
+               FROM panel),
+         r AS (SELECT na, nb,
+                 ((sa1/na - sa0/na) - (sb1/nb - sb0/nb)) AS did,
+                 (CASE WHEN na > 1 THEN ((qa0 - na*(sa0/na)*(sa0/na)) / (na - 1)) END / na +
+                  CASE WHEN na > 1 THEN ((qa1 - na*(sa1/na)*(sa1/na)) / (na - 1)) END / na +
+                  CASE WHEN nb > 1 THEN ((qb0 - nb*(sb0/nb)*(sb0/nb)) / (nb - 1)) END / nb +
+                  CASE WHEN nb > 1 THEN ((qb1 - nb*(sb1/nb)*(sb1/nb)) / (nb - 1)) END / nb) AS se2
+               FROM c)
+         SELECT strftime(s2.split, '%Y-%m-%d') AS split_date,
+           r.na AS n_a, r.nb AS n_b,
+           round(r.did, 9) + 0 AS did,
+           CASE WHEN r.na > 1 AND r.nb > 1 AND r.se2 > 0
+                THEN round(sqrt(r.se2), 9) + 0 END AS se,
+           CASE WHEN r.na > 1 AND r.nb > 1 AND r.se2 > 0
+                THEN round(r.did / sqrt(r.se2), 6) + 0 END AS z_stat
+         FROM r CROSS JOIN s2""",
 
     // RMST: the q_km_survival lifetime CTEs split by cohort, then ONE
     // list fold per cohort carrying [at_risk, survival, prev_mark,

@@ -688,6 +688,79 @@ object EventOps {
             array(col("_total"), lit(1.0d)), fold), 2), 9)
           .as("km_survival"))
   }
+  /** Difference-in-differences (r19) — the pre/post × cohort PANEL
+    * estimator the experimentation shelf lacked: C230/C209 compare two
+    * cohorts at one time, C264 reduces variance with a pre-period
+    * covariate, C304 audits balance — DiD estimates the effect when
+    * assignment is NOT randomized but both cohorts share a time trend:
+    * δ = (Ȳ_A,post − Ȳ_A,pre) − (Ȳ_B,post − Ȳ_B,pre), differencing out
+    * both the level gap between cohorts and the common shock between
+    * periods (Card & Krueger 1994's workhorse).
+    *
+    * Panel construction: per-unit per-period outcome totals on the
+    * DENSE unit × {pre, post} panel (a unit silent in a period is a
+    * true zero — absence IS the outcome for engagement totals); the
+    * period split is the midpoint of the observed date range
+    * (deterministic, derived — no magic date literal). SE treats the
+    * four cell means as independent (the two-period OLS-equivalent):
+    * se² = Σ_c s²_c/n_c over per-unit outcomes, z = δ/se. Exact
+    * decimal sums per cell, every division (n−1)-guarded (the ANSI
+    * lesson), fixed IEEE shapes. ONE unit-period aggregate collapses
+    * the corpus; the panel and the 12-way conditional cell aggregate
+    * are unit-catalog-sized.
+    */
+  def didEstimate(df: DataFrame, userCol: String, tsCol: String,
+                  valueCol: Column, isA: Column => Column): DataFrame = {
+    val span = df.agg(to_date(min(col(tsCol))).as("_mn"),
+      to_date(max(col(tsCol))).as("_mx"))
+    val withSplit = span.select(col("_mn"), col("_mx"),
+      date_add(col("_mn"),
+        (datediff(col("_mx"), col("_mn")) / 2).cast("int")).as("_split"))
+    val perUP = df.crossJoin(broadcast(withSplit))
+      .select(col(userCol).as("_u"),
+        (to_date(col(tsCol)) >= col("_split")).as("_post"),
+        valueCol.cast("double").as("_v"), col("_split"))
+      .groupBy("_u", "_post")
+      .agg(Portable.decSum(col("_v"), 6).as("_y"), max("_split").as("_split"))
+    val users = perUP.select("_u").distinct()
+    val panel = users
+      .select(col("_u"), explode(array(lit(false), lit(true))).as("_post"))
+      .join(perUP, Seq("_u", "_post"), "left_outer")
+      .select(isA(col("_u")).as("_a"), col("_post"),
+        coalesce(col("_y"), lit(0.0d)).as("_y"))
+    def cell(a: Boolean, post: Boolean) = {
+      val in = (if (a) col("_a") else !col("_a")) &&
+        (if (post) col("_post") else !col("_post"))
+      (sum(when(in, 1L).otherwise(0L)),
+        Portable.decSum(when(in, col("_y")), 6),
+        Portable.decSum(when(in, col("_y") * col("_y")), 6))
+    }
+    val ((naC, saPreC, qaPreC)) = cell(a = true, post = false)
+    val ((_, saPostC, qaPostC)) = cell(a = true, post = true)
+    val ((nbC, sbPreC, qbPreC)) = cell(a = false, post = false)
+    val ((_, sbPostC, qbPostC)) = cell(a = false, post = true)
+    val agged = panel.agg(naC.as("_na"), saPreC.as("_sa0"), qaPreC.as("_qa0"),
+      saPostC.as("_sa1"), qaPostC.as("_qa1"),
+      nbC.as("_nb"), sbPreC.as("_sb0"), qbPreC.as("_qb0"),
+      sbPostC.as("_sb1"), qbPostC.as("_qb1"))
+    def m(s: String, n: String) = when(col(n) > 0, col(s) / col(n))
+    def v(q: String, s: String, n: String) = when(col(n) > 1,
+      (col(q) - col(n) * m(s, n) * m(s, n)) / (col(n) - 1))
+    val did = (m("_sa1", "_na") - m("_sa0", "_na")) -
+      (m("_sb1", "_nb") - m("_sb0", "_nb"))
+    val se2 = v("_qa0", "_sa0", "_na") / col("_na") +
+      v("_qa1", "_sa1", "_na") / col("_na") +
+      v("_qb0", "_sb0", "_nb") / col("_nb") +
+      v("_qb1", "_sb1", "_nb") / col("_nb")
+    val ok = col("_na") > 1 && col("_nb") > 1 && se2 > 0
+    agged.crossJoin(broadcast(withSplit.select(
+        date_format(col("_split"), "yyyy-MM-dd").as("split_date"))))
+      .select(col("split_date"), col("_na").as("n_a"), col("_nb").as("n_b"),
+        Portable.pround(did, 9).as("did"),
+        when(ok, Portable.pround(sqrt(se2), 9)).as("se"),
+        when(ok, Portable.pround(did / sqrt(se2), 6)).as("z_stat"))
+  }
+
   /** Restricted mean survival time per cohort (r19) — the
     * DECISION-GRADE scalar over the KM curve: RMST(τ) = ∫₀^τ S(t)dt =
     * E[min(lifetime, τ)], "how many lifetime units a unit retains

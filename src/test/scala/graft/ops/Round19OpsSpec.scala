@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 case class R19Ord(o_custkey: Long, o_orderdate: java.sql.Date)
+case class R19Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
 /** Hand-exact fixtures for the round-19 operators. */
 class Round19OpsSpec extends SparkSpec {
@@ -96,6 +97,45 @@ class Round19OpsSpec extends SparkSpec {
       isA, censorDays = 0, unitDays = 1).head()
     assert(marginal.getDouble(3) !== r6(4.0 / 3.0),
       "pooling risk sets across different baselines confounds the marginal fit")
+  }
+
+  // ── difference-in-differences (C316) ───────────────────────────────
+
+  private def ev(u: Long, day: Int, v: Double): R19Ev =
+    R19Ev(u, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"), v)
+
+  test("didEstimate: hand-exact four-user panel") {
+    // range day1..day5 -> split day3 (post = date >= day3).
+    // A (even): u2 pre 10 / post 30, u4 pre 20 / post 20 -> delta_A = 10
+    // B (odd):  u1 pre 10 / post 15, u3 pre 30 / post 35 -> delta_B = 5
+    // DiD = 5; cell variances 50/50/200/200 over n=2 each ->
+    // se = sqrt(250), z = 5/sqrt(250) = 0.316228.
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      ev(2, 1, 10), ev(2, 4, 30), ev(4, 2, 20), ev(4, 3, 20),
+      ev(1, 1, 10), ev(1, 4, 15), ev(3, 2, 30), ev(3, 5, 35)).toDF()
+    val out = EventOps.didEstimate(rows, "user_id", "ts", col("value"),
+      u => pmod(u, lit(2L)) === 0).head()
+    assert(out.getString(0) === "2024-03-03")
+    assert(out.getLong(1) === 2L && out.getLong(2) === 2L)
+    assert(out.getDouble(3) === 5.0)
+    assert(out.getDouble(4) === r9(math.sqrt(250.0)))
+    assert(out.getDouble(5) === r6(5.0 / math.sqrt(250.0)))
+  }
+
+  private def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+
+  test("didEstimate: a unit silent in a period is a true zero") {
+    // u4 (A) has no post-period events -> its post outcome is 0, so
+    // A's post mean is (30+0)/2 = 15 and DiD = (15-15) - (25-20) = -5.
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      ev(2, 1, 10), ev(2, 4, 30), ev(4, 2, 20),
+      ev(1, 1, 10), ev(1, 4, 15), ev(3, 2, 30), ev(3, 5, 35)).toDF()
+    val out = EventOps.didEstimate(rows, "user_id", "ts", col("value"),
+      u => pmod(u, lit(2L)) === 0).head()
+    assert(out.getDouble(3) === -5.0)
   }
 
   // ── restricted mean survival time (C315) ───────────────────────────
