@@ -5472,10 +5472,20 @@ object SparkEntry {
     * mirroring EventOps.coxPh's driver-side loop bit for bit), and the
     * read-out applies the single ln. Generated because the iteration
     * count parameterizes the chain (the bpeMergesSql precedent).
+    *
+    * Degenerate zero-event corpus (ADVICE r19 item 1): with `st` empty,
+    * every `min(i.th)` aggregates over an empty CROSS JOIN and returns
+    * NULL — which would poison θ through the whole chain while the
+    * Scala side freezes θ at 1.0 (coxNewtonTheta skips the update when
+    * J is NULL/non-positive). Each carried θ is therefore
+    * `coalesce(min(i.th), 1.0)`: a no-op on any non-degenerate corpus
+    * (the aggregate always sees ≥ 1 row), and exactly the frozen
+    * θ = 1.0 / hazard_ratio = 1.0 / beta = 0.0 / NULL se,z read-out the
+    * Scala side emits when there are no uncensored events.
     */
   private def coxPhSql(iters: Int, stratified: Boolean = false): String = {
     def uj(prev: String, tag: String) =
-      s"""j$tag AS (SELECT min(i.th) AS th,
+      s"""j$tag AS (SELECT coalesce(min(i.th), 1.0) AS th,
            sum(CAST(s.d1 - s.d * s.n1 * i.th / (s.n0 + s.n1 * i.th)
              AS DECIMAL(28,12)))::DOUBLE AS uu,
            sum(CAST(s.d * s.n0 * s.n1 /
@@ -5525,7 +5535,8 @@ object SparkEntry {
          FROM risk WHERE d > 0),
        i0 AS (SELECT 1.0::DOUBLE AS th),
        $chain,
-       jf AS (SELECT min(i.th) AS th, coalesce(sum(s.dl), 0)::BIGINT AS n_events,
+       jf AS (SELECT coalesce(min(i.th), 1.0) AS th,
+           coalesce(sum(s.dl), 0)::BIGINT AS n_events,
            sum(CAST(s.d * s.n0 * s.n1 /
              ((s.n0 + s.n1 * i.th) * (s.n0 + s.n1 * i.th))
              AS DECIMAL(28,12)))::DOUBLE AS jj

@@ -556,8 +556,20 @@ object StreamingOps {
           .groupBy("i").agg(sum("n").as("n"), sum("sx").as("sx"))
         case None => pd
       }
-      cells.swap(mergedCells.localCheckpoint(true))
-      dims.swap(mergedDims.localCheckpoint(true))
+      // Materialize BOTH merged frames before swapping EITHER (ADVICE
+      // r19 item 4): with the old swap-then-checkpoint order, a failure
+      // in the dims checkpoint left cells already advanced while
+      // lastBatchId was not — so the replayed batch double-counted into
+      // cells. Checkpointing first makes a mid-merge failure leave the
+      // state untouched and replay a true no-op.
+      val ckCells = mergedCells.localCheckpoint(true)
+      val ckDims =
+        try mergedDims.localCheckpoint(true)
+        catch { case t: Throwable =>
+          graft.ops.SessionMemo.releaseCheckpoint(ckCells); throw t
+        }
+      cells.swap(ckCells)
+      dims.swap(ckDims)
       lastBatchId = batchId
     }
 

@@ -67,16 +67,31 @@ object BenchOne {
           // one untimed run absorbs this query's own lazy session state
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           val s0 = stealTicks()
-          val times = (1 to runs).map { _ =>
+          // A failed run must not masquerade as a timing (ADVICE r19
+          // item 2: an instantly-throwing query would report a bogus
+          // fast min/median — exactly the number that gets pasted into
+          // NOTES as an adjudication). Failures are excluded from the
+          // stats and reported as runs_failed=N; all-failed prints a
+          // FAILED line with no stats at all.
+          val timed = (1 to runs).map { _ =>
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
+            val ok = try { fn(spark, sfDir).count(); true }
+              catch { case t: Throwable =>
+                System.err.println(s"[benchone] $name run FAILED: $t"); false }
+            ((System.nanoTime() - t0) / 1e9, ok)
+          }
           val stealSec = if (s0 >= 0) (stealTicks() - s0) / 100.0 else -1.0
-          val median = times(times.size / 2)
-          println(f"BENCHONE $name sf=$sfDir runs=$runs " +
-            f"min=${times.head}%.3f median=$median%.3f max=${times.last}%.3f " +
-            f"steal_sec=$stealSec%.2f")
+          val failed = timed.count(!_._2)
+          val times = timed.collect { case (t, true) => t }.sorted
+          if (times.isEmpty)
+            println(f"BENCHONE $name sf=$sfDir runs=$runs runs_failed=$failed " +
+              f"FAILED steal_sec=$stealSec%.2f")
+          else {
+            val median = times(times.size / 2)
+            println(f"BENCHONE $name sf=$sfDir runs=$runs runs_failed=$failed " +
+              f"min=${times.head}%.3f median=$median%.3f max=${times.last}%.3f " +
+              f"steal_sec=$stealSec%.2f")
+          }
       }
     }
     spark.stop()
