@@ -2759,6 +2759,21 @@ object SparkEntry {
           "doc_id", s, dir)
         .orderBy("true_label", "pred_label")),
 
+    // In-engine trained logistic-regression quality classifier (r20) —
+    // the DISCRIMINATIVE member of the classifier family (q_nb_confusion
+    // is the closed-form generative floor): English-vs-rest over C87's
+    // hashed token features + intercept, 8 diagonal-Newton iterations in
+    // the C311 decimal-snapshot discipline (exact z, one rounded
+    // sigmoid per doc-iteration, 9-dp weight rounds), oracle-replayed
+    // as unrolled CTE rounds. Read-out: the 65-weight catalog with the
+    // in-sample Mann-Whitney AUC of the exact linear score and the
+    // z>0 accuracy repeated.
+    "q_logreg" -> ((s, dir) =>
+      Classify.logisticRegression(T(s, dir, "documents"), "doc_id",
+          "text", col("lang") === "en", nBuckets = 64, iters = 8,
+          lambda = 0.1)
+        .orderBy("bucket")),
+
     // Cohen's kappa of the NB language-ID against the true labels —
     // chance-corrected agreement (accuracy rewards majority-class
     // guessing; kappa subtracts the margin-product chance rate). Rides
@@ -5553,6 +5568,83 @@ object SparkEntry {
          CASE WHEN jf.th * jf.jj > 0
               THEN round(ln(jf.th) * sqrt(jf.th * jf.jj), 6) + 0 END AS z_stat
        FROM tot CROSS JOIN jf"""
+  }
+
+  /** The q_logreg oracle: C87's hashed-feature CTE (+ the intercept
+    * pseudo-feature) feeds `iters` unrolled diagonal-Newton rounds —
+    * each a (z, p, g/h, w) CTE quadruple mirroring
+    * Classify.logisticRegression's driver-side loop bit for bit: z sums
+    * CAST(tf·w AS DECIMAL(28,12)) (exact, order-free), p is the one
+    * 7-dp-rounded sigmoid, g/h decimal-snapshot per bucket, w re-rounds
+    * at 12 dp (+0 canon). Read-out: the final weight catalog with the
+    * exact-z Mann-Whitney AUC (the q_auc rank CTE, one logical group)
+    * and z>0 accuracy repeated. Weight rounds at 9 dp (12 dp sits at
+    * mantissa digit ~13 for O(0.1) weights, where Spark's string-based
+    * and DuckDB's binary rounding measurably disagree). Generated
+    * because the iteration count parameterizes the chain (the
+    * coxPhSql precedent).
+    */
+  private def logregSql(nBuckets: Int, iters: Int, lambda: String): String = {
+    // Every w$k is referenced twice (by z${k+1} and w${k+1}) — without
+    // forced materialization DuckDB may inline the reference and the
+    // plan tree doubles per round (2^iters blow-up; measured: the
+    // 8-round chain ran minutes instead of milliseconds).
+    val rounds = (1 to iters).map { k =>
+      val prev = s"w${k - 1}"
+      raw"""z$k AS (SELECT f.doc_id, sum(CAST(f.x * w.w AS DECIMAL(28,12)))::DOUBLE AS z
+           FROM feat f JOIN $prev w USING (b) GROUP BY f.doc_id),
+         p$k AS (SELECT d.doc_id, d.y, round(1.0/(1.0 + exp(-z.z)), 7) AS p
+           FROM docs d JOIN z$k z USING (doc_id)),
+         g$k AS (SELECT f.b,
+             sum(CAST(f.x * (p.y - p.p) AS DECIMAL(28,12)))::DOUBLE AS g
+           FROM feat f JOIN p$k p USING (doc_id) GROUP BY f.b),
+         w$k AS MATERIALIZED (SELECT w.b, round(w.w + (g.g - $lambda * w.w)/(h.hh + $lambda), 9) + 0 AS w
+           FROM $prev w JOIN g$k g USING (b) JOIN hb h USING (b))"""
+    }.mkString(",\n         ")
+    raw"""WITH docs AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+           FROM documents),
+         cnts AS (
+           SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % $nBuckets AS b,
+             count(*)::BIGINT AS cnt
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(cnt) AS len FROM cnts GROUP BY 1),
+         feat AS MATERIALIZED (
+           SELECT c.doc_id, c.b, c.cnt::DOUBLE / d.len::DOUBLE AS x
+           FROM cnts c JOIN dl d USING (doc_id)
+           UNION ALL
+           SELECT doc_id, -1 AS b, 1.0::DOUBLE AS x FROM documents),
+         hb AS MATERIALIZED (SELECT b, sum(CAST(x AS DECIMAL(28,12)))::DOUBLE * 0.5 AS hh
+           FROM feat GROUP BY b),
+         w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0::DOUBLE AS w FROM feat),
+         $rounds,
+         zlast AS (SELECT f.doc_id, sum(CAST(f.x * w.w AS DECIMAL(28,12)))::DOUBLE AS z
+           FROM feat f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+         zf AS (SELECT d.doc_id, d.y, z.z FROM docs d JOIN zlast z USING (doc_id)),
+         ag AS (SELECT z, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+           FROM zf GROUP BY z),
+         ac AS (SELECT z, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY z
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+           FROM ag),
+         ev AS (SELECT sum(pos * (cumb * 2 + cnt + 1)) AS r2,
+             sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS n_pos
+           FROM ac),
+         eval AS (SELECT n, n_pos,
+             CASE WHEN n_pos > 0 AND n_pos < n
+               THEN (r2 - n_pos * (n_pos + 1))::DOUBLE
+                 / ((n_pos * (n - n_pos))::DOUBLE * 2.0)
+             END AS auc
+           FROM ev),
+         accr AS (SELECT
+             sum(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END)::DOUBLE
+               / count(*)::DOUBLE AS acc
+           FROM zf)
+         SELECT w.b AS bucket, w.w AS weight, e.n, e.n_pos, e.auc, a.acc
+         FROM w$iters w CROSS JOIN eval e CROSS JOIN accr a
+         ORDER BY bucket"""
   }
 
   private def lshBandSigSql(bands: Int, planesPerBand: Int, dim: Int): String = {
@@ -9002,6 +9094,10 @@ object SparkEntry {
       s"""$NbPredCte
          SELECT true_lang AS true_label, pred_lang AS pred_label, count(*) AS n_docs
          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Logistic regression (r20): the unrolled diagonal-Newton chain —
+    // generated, see logregSql.
+    "q_logreg" -> logregSql(64, 8, "0.1"),
 
     // Cohen's kappa over the SAME NB prediction CTE: agreement trace /
     // margin products, fixed-shape kappa.
