@@ -59,6 +59,22 @@ object SparkEntry {
     */
   private val CmProbesSqlValues = CmProbes.map(t => s"('$t')").mkString(", ")
 
+  /** Planted HTML chrome for q_html_extract — corpus texts carry no
+    * markup, so the classic crawl page (head+script, nav bar, article
+    * body, share bar, footer) is constructed around each text and
+    * oracle-replicated (the C123 PNG-planting convention). ONE
+    * definition drives both engines.
+    */
+  private val HtmlHead = "<html><head><title>Doc "
+  private val HtmlHeadTail = "</title><script type=\"text/javascript\">" +
+    "var track = 1; emit(track);</script></head>"
+  private val HtmlNav = "<nav><a href=\"/\">Home</a> | " +
+    "<a href=\"/about\">About</a> | <a href=\"/contact\">Contact</a></nav>"
+  private val HtmlShare = "<div class=\"share\"><a href=\"#s\">Share</a> " +
+    "<a href=\"#t\">Tweet</a> <a href=\"#l\">Like</a></div>"
+  private val HtmlFooter =
+    "<footer>Copyright 2020 Example Inc All Rights Reserved</footer>"
+
   /** Exactly 20 tokens — one full span for q_dedup_paragraph's planted
     * boilerplate (span = 20), shared verbatim by query and oracle.
     */
@@ -1279,6 +1295,22 @@ object SparkEntry {
     // same footer line appended. dedupLines keeps both only in ldoc 0
     // and strips them from the other 99 docs; content lines are unique
     // and survive everywhere.
+    // HTML boilerplate extraction (r20, jusText shape): deterministic
+    // page chrome (head+script, nav, share bar, footer) planted around
+    // each corpus text, oracle-replicated; script blocks strip whole,
+    // lines classify by link-density (counted pre-strip) and stopword
+    // density (integer cross-multiplied), the article body survives on
+    // length regardless of language and every chrome line dies.
+    "q_html_extract" -> ((s, dir) => {
+      val html = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit(HtmlHead), col("doc_id").cast("string"),
+          lit(HtmlHeadTail + "\n<body>\n" + HtmlNav + "\n<p>"),
+          col("text"),
+          lit("</p>\n" + HtmlShare + "\n" + HtmlFooter + "\n</body></html>"))
+          .as("html"))
+      TextOps.htmlExtract(html, "doc_id", "html").orderBy("doc_id")
+    }),
+
     "q_dedup_lines" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
         .select((col("doc_id") % 100).as("ldoc"), col("doc_id"), col("text"))
@@ -6870,6 +6902,46 @@ object SparkEntry {
 
     // Line numbering mirrors the engine's derived doc exactly: header at
     // line 0, content lines at 1..cnt in doc_id order, footer at cnt+1.
+    // HTML extraction (r20): same planted chrome, same pre-strip link
+    // count, same integer keep rule, same '\n' rebuild.
+    "q_html_extract" ->
+      raw"""WITH h AS (SELECT doc_id,
+             '$HtmlHead' || doc_id || '$HtmlHeadTail' || chr(10) ||
+             '<body>' || chr(10) || '$HtmlNav' || chr(10) ||
+             '<p>' || text || '</p>' || chr(10) ||
+             '$HtmlShare' || chr(10) || '$HtmlFooter' || chr(10) ||
+             '</body></html>' AS html
+           FROM documents),
+         ns AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+             '<script[^>]*>[^<]*</script>', ' ', 'g'),
+             '<style[^>]*>[^<]*</style>', ' ', 'g') AS html FROM h),
+         ls AS (SELECT doc_id, string_split(html, chr(10)) AS arr FROM ns),
+         ln AS (SELECT doc_id, u.i AS line_no, arr[u.i + 1] AS raw
+           FROM ls CROSS JOIN LATERAL unnest(range(0, len(arr))) AS u(i)),
+         ft AS (SELECT doc_id, line_no,
+             len(string_split(raw, '<a ')) - 1 AS links,
+             list_filter(string_split_regex(
+               regexp_replace(raw, '<[^>]*>', ' ', 'g'), '\s+'),
+               x -> x <> '') AS toks
+           FROM ln),
+         cl AS (SELECT doc_id, line_no, links, len(toks) AS nt,
+             len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it'))) AS nst,
+             array_to_string(toks, ' ') AS txt
+           FROM ft),
+         kp AS (SELECT doc_id, line_no, links, txt,
+             (links = 0 AND nt > 0 AND (nt >= 10 OR nst * 10 >= nt * 3)) AS keep
+           FROM cl)
+         SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN NOT keep AND links > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_link_lines_removed,
+           CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+                THEN string_agg(CASE WHEN keep THEN txt END, chr(10)
+                  ORDER BY line_no)
+           END AS extracted_text
+         FROM kp GROUP BY doc_id ORDER BY doc_id""",
+
     "q_dedup_lines" ->
       """WITH content AS (
            SELECT doc_id % 100 AS ldoc,

@@ -586,6 +586,69 @@ object TextOps {
     * 32-byte hashes + two keys, never line bodies; bodies move once, in
     * the (id, line_no)-keyed rejoin feeding the per-doc rebuild.
     */
+  /** HTML boilerplate extraction (C318, r20) — the jusText-shaped
+    * main-content extractor every crawl-ingestion pipeline runs before
+    * any text operator sees a byte: strip script/style blocks, split
+    * into lines, classify each line as content or boilerplate by
+    * link-density and stopword-density, and rebuild the document from
+    * its content lines.
+    *
+    * Entirely row-local (regex + the C164 line machinery): script and
+    * style elements are removed whole (`<script…>…</script>` with no
+    * nested '<' — the planted-fixture contract), lines split on '\n',
+    * per line the `<a ` anchor count is taken BEFORE tag-stripping,
+    * then tags strip to spaces and the line canonicalizes to its
+    * whitespace tokens. Keep rule (all integer arithmetic — the
+    * stopword share compares cross-multiplied, 10·n_stop ≥ 3·n_tokens,
+    * so no division sits on the decision path): zero links AND
+    * non-empty AND (≥ 10 tokens OR stopword share ≥ 0.3). Long article
+    * bodies pass on length regardless of language; navigation/share
+    * bars die on links; title/footer/chrome fragments die short and
+    * stopword-poor.
+    *
+    * Returns (id, n_lines, n_kept, n_link_lines_removed,
+    * extracted_text) with extracted_text the kept lines' token-
+    * normalized text joined by '\n' (NULL when everything was
+    * boilerplate — the dedupLines convention).
+    *
+    * 100 TB shape: generator-side line fan-out, one (id)-keyed rebuild
+    * aggregate; no state, no model, nothing crosses a shuffle except
+    * the classified lines themselves.
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noScript = regexp_replace(regexp_replace(col(htmlCol),
+      "<script[^>]*>[^<]*</script>", " "),
+      "<style[^>]*>[^<]*</style>", " ")
+    val lines = df.select(col(idCol),
+      posexplode(split(noScript, "\n", -1)).as(Seq("line_no", "_raw")))
+    val toks = tokens(regexp_replace(col("_raw"), "<[^>]*>", " "))
+    val feat = lines.select(col(idCol), col("line_no"),
+        (size(split(col("_raw"), "<a ", -1)) - 1).as("_links"),
+        toks.as("_toks"))
+      .select(col(idCol), col("line_no"), col("_links"),
+        size(col("_toks")).as("_nt"),
+        size(filter(col("_toks"), t => t.isin(Stopwords: _*))).as("_ns"),
+        concat_ws(" ", col("_toks")).as("_txt"))
+    val keep = col("_links") === 0 && col("_nt") > 0 &&
+      (col("_nt") >= 10 || col("_ns") * 10 >= col("_nt") * 3)
+    feat.withColumn("_keep", keep)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("_keep") && col("_links") > 0, 1L).otherwise(0L))
+          .as("n_link_lines_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("line_no"), col("_txt"))))),
+            x => x.getField("_txt")),
+          "\n").as("_et"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        col("n_link_lines_removed"),
+        when(col("n_kept") > 0, col("_et")).as("extracted_text"))
+  }
+
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "line")))

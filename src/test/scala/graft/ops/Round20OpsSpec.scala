@@ -66,6 +66,42 @@ class Round20OpsSpec extends SparkSpec {
       s"discriminative fit must match or beat the NB floor: $lrAuc vs $nbAuc")
   }
 
+  // ── HTML boilerplate extraction (C318) ─────────────────────────────
+
+  test("htmlExtract: article body survives, chrome and script die") {
+    val s = spark; import s.implicits._
+    val html =
+      "<html><head><title>T</title><script>var x = 1; track(x);</script></head>\n" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/b\">Browse</a></nav>\n" +
+      "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa</p>\n" +
+      "it is a of the\n" +
+      "<footer>short footer line</footer>"
+    val out = TextOps.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").head()
+    assert(out.getLong(1) === 5L, "five lines after script strip")
+    // kept: the 10-token article body (length rule) AND the short
+    // all-stopword line (density rule); dead: title fragment (short,
+    // stopword-poor), nav (links), footer (short, stopword-poor)
+    assert(out.getLong(2) === 2L, "body + stopword-dense line survive")
+    assert(out.getLong(3) === 1L, "exactly the nav died on link density")
+    val txt = out.getString(4)
+    assert(txt ===
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa\nit is a of the")
+    assert(!txt.contains("track") && !txt.contains("var"),
+      "script content must not leak into extracted text")
+    assert(!txt.contains("Home") && !txt.contains("footer"),
+      "nav/footer boilerplate must not survive")
+  }
+
+  test("htmlExtract: all-boilerplate page yields NULL extracted text") {
+    val s = spark; import s.implicits._
+    val html = "<nav><a href=\"/\">Home</a></nav>\n<footer>bye now</footer>"
+    val out = TextOps.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").head()
+    assert(out.getLong(2) === 0L)
+    assert(out.isNullAt(4), "no kept lines => NULL (the dedupLines convention)")
+  }
+
   // ── Cox PH degenerate zero-event corpus (ADVICE r19 item 1) ────────
 
   test("coxPh: zero uncensored events freezes θ at 1.0 with NULL se/z") {
