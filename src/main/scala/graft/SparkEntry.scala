@@ -3836,6 +3836,20 @@ object SparkEntry {
         u => pmod(Portable.hash32(u), lit(2L)) === 0,
         censorDays = 180, unitDays = 30)),
 
+    // Two-covariate Cox (r20): the md5 cohort effect fitted JOINTLY
+    // with a second binary covariate (high-value market segment) — the
+    // regression answer to confounding that q_cox_strat reaches by
+    // stratification: risk sets partition into the four covariate
+    // cells, every Newton iteration stays rational in (θ1, θ2) through
+    // the explicit 2×2 determinant solve, both read-out lns land once
+    // on 9-dp-rounded arguments.
+    "q_cox_multi" -> ((s, dir) =>
+      EventOps.coxPhMulti(T(s, dir, "orders"), "o_custkey", "o_orderdate",
+        u => pmod(Portable.hash32(u), lit(2L)) === 0,
+        T(s, dir, "customer"), "c_custkey", "c_mktsegment",
+        v => v.isin("BUILDING", "AUTOMOBILE"),
+        censorDays = 180, unitDays = 30)),
+
     // Theil T inequality with between/within decomposition by source on
     // document lengths — the DECOMPOSABLE member of the inequality
     // family (q_gini is the scalar, q_lorenz the curve): is corpus
@@ -5677,6 +5691,108 @@ object SparkEntry {
          SELECT w.b AS bucket, w.w AS weight, e.n, e.n_pos, e.auc, a.acc
          FROM w$iters w CROSS JOIN eval e CROSS JOIN accr a
          ORDER BY bucket"""
+  }
+
+  /** The q_cox_multi oracle: coxPhSql's lifetime CTEs with the risk set
+    * partitioned into the four covariate cells, then `iters` rational
+    * Newton rounds in (θ₁, θ₂) unrolled as (cell-ratio, score/info,
+    * update) CTE triples — the update solves the 2×2 system through the
+    * explicit determinant, freezes on det ≤ 0 (NULL propagates to
+    * false), clamps at the 1e-9 grid point and rounds at 9 dp, exactly
+    * mirroring EventOps.coxPhMulti's driver loop. Each i$k is
+    * referenced once (linear chain — no materialization needed, unlike
+    * logregSql's twice-referenced weights).
+    */
+  private def coxPhMultiSql(iters: Int): String = {
+    val s0 = "(s.n0 + s.n1*i.th1 + s.n2*i.th2 + s.n3*i.th1*i.th2)"
+    def detE(p: String) = s"(${p}i11*${p}i22 - ${p}i12*${p}i12)"
+    def roundRow(k: Int) = {
+      val det = detE("")
+      s"""i$k AS (SELECT
+           round(greatest(th1 * (1 + (CASE WHEN $det > 0
+               THEN (i22*u1 - i12*u2)/$det ELSE 0.0 END)), 0.000000001), 9) + 0 AS th1,
+           round(greatest(th2 * (1 + (CASE WHEN $det > 0
+               THEN (i11*u2 - i12*u1)/$det ELSE 0.0 END)), 0.000000001), 9) + 0 AS th2
+         FROM j$k)"""
+    }
+    def statRow(k: Int, prev: String) =
+      s"""s$k AS (SELECT s.d, s.d1, s.d2, s.dl, i.th1, i.th2,
+           (s.n1*i.th1 + s.n3*i.th1*i.th2) / $s0 AS r1,
+           (s.n2*i.th2 + s.n3*i.th1*i.th2) / $s0 AS r2,
+           (s.n3*i.th1*i.th2) / $s0 AS r12
+         FROM $prev i CROSS JOIN st s)"""
+    def sumRow(k: Int) =
+      s"""j$k AS (SELECT coalesce(min(th1), 1.0) AS th1,
+           coalesce(min(th2), 1.0) AS th2,
+           sum(CAST(d1 - d * r1 AS DECIMAL(28,12)))::DOUBLE AS u1,
+           sum(CAST(d2 - d * r2 AS DECIMAL(28,12)))::DOUBLE AS u2,
+           sum(CAST(d * (r1 - r1 * r1) AS DECIMAL(28,12)))::DOUBLE AS i11,
+           sum(CAST(d * (r2 - r2 * r2) AS DECIMAL(28,12)))::DOUBLE AS i22,
+           sum(CAST(d * (r12 - r1 * r2) AS DECIMAL(28,12)))::DOUBLE AS i12
+         FROM s$k)"""
+    val chain = (1 to iters).map { k =>
+      Seq(statRow(k, if (k == 1) "i0" else s"i${k - 1}"), sumRow(k),
+        roundRow(k)).mkString(",\n       ")
+    }.mkString(",\n       ")
+    val detF = "(jf.i11*jf.i22 - jf.i12*jf.i12)"
+    s"""WITH u AS (SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+           CAST(max(o_orderdate) AS DATE) AS l
+         FROM orders GROUP BY o_custkey),
+       g AS (SELECT max(l) AS gmax FROM u),
+       lf AS (SELECT (l - f) // 30 AS life,
+           CASE WHEN l < gmax - 180 THEN 1 ELSE 0 END AS churn,
+           (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 = 0) AS a,
+           (c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) AS b2
+         FROM u JOIN customer c ON u.o_custkey = c.c_custkey, g),
+       pl AS (SELECT life,
+           sum(CASE WHEN NOT a AND NOT b2 THEN 1 ELSE 0 END)::BIGINT AS t0,
+           sum(CASE WHEN NOT a AND NOT b2 AND churn = 1 THEN 1 ELSE 0 END)::BIGINT AS e0,
+           sum(CASE WHEN a AND NOT b2 THEN 1 ELSE 0 END)::BIGINT AS t1,
+           sum(CASE WHEN a AND NOT b2 AND churn = 1 THEN 1 ELSE 0 END)::BIGINT AS e1,
+           sum(CASE WHEN NOT a AND b2 THEN 1 ELSE 0 END)::BIGINT AS t2,
+           sum(CASE WHEN NOT a AND b2 AND churn = 1 THEN 1 ELSE 0 END)::BIGINT AS e2,
+           sum(CASE WHEN a AND b2 THEN 1 ELSE 0 END)::BIGINT AS t3,
+           sum(CASE WHEN a AND b2 AND churn = 1 THEN 1 ELSE 0 END)::BIGINT AS e3
+         FROM lf GROUP BY life),
+       risk AS (SELECT life, e0, e1, e2, e3,
+           sum(t0) OVER w AS n0, sum(t1) OVER w AS n1,
+           sum(t2) OVER w AS n2, sum(t3) OVER w AS n3
+         FROM pl WINDOW w AS (ORDER BY life DESC)),
+       st AS (SELECT (e0+e1+e2+e3)::DOUBLE AS d,
+           (e1+e3)::DOUBLE AS d1, (e2+e3)::DOUBLE AS d2,
+           n0::DOUBLE AS n0, n1::DOUBLE AS n1,
+           n2::DOUBLE AS n2, n3::DOUBLE AS n3,
+           (e0+e1+e2+e3) AS dl
+         FROM risk WHERE e0+e1+e2+e3 > 0),
+       i0 AS (SELECT 1.0::DOUBLE AS th1, 1.0::DOUBLE AS th2),
+       $chain,
+       ${statRow(iters + 1, s"i$iters")},
+       jf AS (SELECT coalesce(min(th1), 1.0) AS th1,
+           coalesce(min(th2), 1.0) AS th2,
+           coalesce(sum(dl), 0)::BIGINT AS n_events,
+           sum(CAST(d * (r1 - r1 * r1) AS DECIMAL(28,12)))::DOUBLE AS i11,
+           sum(CAST(d * (r2 - r2 * r2) AS DECIMAL(28,12)))::DOUBLE AS i22,
+           sum(CAST(d * (r12 - r1 * r2) AS DECIMAL(28,12)))::DOUBLE AS i12
+         FROM s${iters + 1}),
+       tot AS (SELECT
+           sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+           sum(CASE WHEN b2 THEN 1 ELSE 0 END)::BIGINT AS n_x2
+         FROM lf)
+       SELECT tot.n_a, tot.n_b, tot.n_x2, jf.n_events,
+         round(jf.th1, 6) + 0 AS hazard_ratio_1,
+         round(ln(jf.th1), 6) + 0 AS beta_1,
+         CASE WHEN $detF > 0
+              THEN round(sqrt(jf.i22 / $detF), 6) + 0 END AS se_1,
+         CASE WHEN $detF > 0
+              THEN round(ln(jf.th1) / sqrt(jf.i22 / $detF), 6) + 0 END AS z_1,
+         round(jf.th2, 6) + 0 AS hazard_ratio_2,
+         round(ln(jf.th2), 6) + 0 AS beta_2,
+         CASE WHEN $detF > 0
+              THEN round(sqrt(jf.i11 / $detF), 6) + 0 END AS se_2,
+         CASE WHEN $detF > 0
+              THEN round(ln(jf.th2) / sqrt(jf.i11 / $detF), 6) + 0 END AS z_2
+       FROM tot CROSS JOIN jf"""
   }
 
   private def lshBandSigSql(bands: Int, planesPerBand: Int, dim: Int): String = {
@@ -11583,6 +11699,10 @@ object SparkEntry {
     // Stratified Cox: the same generated chain with the lifetime table
     // joined to its market segment and risk sets partitioned by it.
     "q_cox_strat" -> coxPhSql(12, stratified = true),
+
+    // Two-covariate Cox (r20): four-cell risk sets, rational 2x2
+    // Newton rounds unrolled — generated, see coxPhMultiSql.
+    "q_cox_multi" -> coxPhMultiSql(12),
 
     // DiD: midpoint split from the observed range, per-user decimal
     // period totals, dense panel via the user catalog x [false, true],

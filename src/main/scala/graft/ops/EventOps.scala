@@ -1292,6 +1292,138 @@ object EventOps {
     * a throw. ONE distinct-pair aggregate collapses the corpus; the
     * unit and type roll-ups are catalog-sized.
     */
+  /** Two-covariate Cox proportional hazards (C320, r20) — [[coxPh]]
+    * with a 2-vector β = (β₁, β₂) over two BINARY covariates, the
+    * regression answer to confounding the survival shelf could so far
+    * only reach by stratification (C313 frees the baseline per stratum;
+    * this fits both effects jointly — "does the cohort still churn
+    * faster once the second covariate's effect is in the model").
+    *
+    * Same lifetime/censoring construction and integer risk sets; the
+    * risk set partitions into the FOUR covariate cells g = (x₁, x₂)
+    * with weights w_g = θ₁^{x₁}·θ₂^{x₂} (θ_j = e^{β_j}), so with
+    * r₁ = S₁/S₀, r₂ = S₂/S₀, r₁₂ = S₁₂/S₀ over the cell-count sums,
+    * EVERY iteration stays rational in (θ₁, θ₂):
+    *   U₁ = Σ_t (d₁ − d·r₁)            U₂ = Σ_t (d₂ − d·r₂)
+    *   I₁₁ = Σ_t d·(r₁ − r₁²)          I₂₂ = Σ_t d·(r₂ − r₂²)
+    *   I₁₂ = Σ_t d·(r₁₂ − r₁·r₂)
+    * and the Newton step solves the 2×2 system through the explicit
+    * determinant (det = I₁₁I₂₂ − I₁₂², the C311 θ-form generalized:
+    * θ_j ← θ_j·(1 + δ_j), δ = I⁻¹U — exactly C311's θ + U/J when I is
+    * 1×1), frozen when det ≤ 0 or any sum is NULL (no-variation /
+    * degenerate corpus — the zero-event freeze generalized). θ rounds
+    * at 9 dp per step (NOT C311's 12: two θs × 12 iterations doubles
+    * the rounding count, and 12 dp sits at mantissa digit ~13 for
+    * O(1) values where Spark's string-based and DuckDB's binary
+    * rounding measurably disagree — the C317 lesson), clamped at the
+    * 1e-9 grid point so a large negative step can never drive θ to 0.
+    * The two read-out lns land once each, on 9-dp-rounded arguments;
+    * se_j = √((I⁻¹)_jj) with the same det guard.
+    *
+    * Scale shape: one unit-keyed aggregate collapses the corpus, the
+    * four risk-set cumulatives ride ONE descending window over the
+    * lifetime catalog, each Newton step is one tiny aggregate over the
+    * CHECKPOINTED event-time stats (five doubles to the driver — the
+    * sanctioned model-sized read), and the second covariate joins from
+    * a broadcast catalog dimension (the C313 posture).
+    */
+  def coxPhMulti(df: DataFrame, userCol: String, tsCol: String,
+                 isA: Column => Column,
+                 dim: DataFrame, dimKeyCol: String, dimValCol: String,
+                 isB: Column => Column,
+                 censorDays: Int = 7, unitDays: Int = 30,
+                 iters: Int = 12): DataFrame = {
+    val perUser = perUserSpan(df, userCol, tsCol)
+    val gmax = perUser.agg(max("_l").as("_gmax"))
+    val lives = perUser
+      .join(broadcast(dim.select(col(dimKeyCol).as("_u"),
+        isB(col(dimValCol)).as("_b2"))), Seq("_u"))
+      .crossJoin(broadcast(gmax))
+      .select((datediff(col("_l"), col("_f")).cast("long") / unitDays)
+          .cast("long").as("_life"),
+        (col("_l") < date_sub(col("_gmax"), censorDays)).as("_churn"),
+        isA(col("_u")).as("_a"), col("_b2"))
+    def inCell(a: Boolean, b: Boolean): Column =
+      (if (a) col("_a") else !col("_a")) &&
+        (if (b) col("_b2") else !col("_b2"))
+    val cells = Seq((false, false), (true, false), (false, true), (true, true))
+    val cellAggs = cells.zipWithIndex.flatMap { case ((a, b), g) => Seq(
+      sum(when(inCell(a, b), 1L).otherwise(0L)).as(s"_t$g"),
+      sum(when(inCell(a, b) && col("_churn"), 1L).otherwise(0L)).as(s"_e$g"))
+    }
+    val perLife = lives.groupBy("_life").agg(cellAggs.head, cellAggs.tail: _*)
+    val wDesc = Portable.kRowWindow(col("_life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = (0 to 3).foldLeft(perLife) { (f, g) =>
+      f.withColumn(s"_n$g", sum(s"_t$g").over(wDesc))
+    }
+    val dTot = col("_e0") + col("_e1") + col("_e2") + col("_e3")
+    val stats = withRisk
+      .where(dTot > 0)
+      .select(dTot.cast("double").as("_d"),
+        (col("_e1") + col("_e3")).cast("double").as("_d1"),
+        (col("_e2") + col("_e3")).cast("double").as("_d2"),
+        col("_n0").cast("double").as("_n0"),
+        col("_n1").cast("double").as("_n1"),
+        col("_n2").cast("double").as("_n2"),
+        col("_n3").cast("double").as("_n3"),
+        dTot.as("_dl"))
+      .localCheckpoint(true)
+
+    def sums(th1: Double, th2: Double): Seq[Column] = {
+      val s0 = col("_n0") + col("_n1") * lit(th1) + col("_n2") * lit(th2) +
+        col("_n3") * lit(th1) * lit(th2)
+      val r1 = (col("_n1") * lit(th1) + col("_n3") * lit(th1) * lit(th2)) / s0
+      val r2 = (col("_n2") * lit(th2) + col("_n3") * lit(th1) * lit(th2)) / s0
+      val r12 = (col("_n3") * lit(th1) * lit(th2)) / s0
+      Seq(
+        Portable.decSum(col("_d1") - col("_d") * r1, 12).as("_u1"),
+        Portable.decSum(col("_d2") - col("_d") * r2, 12).as("_u2"),
+        Portable.decSum(col("_d") * (r1 - r1 * r1), 12).as("_i11"),
+        Portable.decSum(col("_d") * (r2 - r2 * r2), 12).as("_i22"),
+        Portable.decSum(col("_d") * (r12 - r1 * r2), 12).as("_i12"))
+    }
+    def round9clamp(x: Double): Double =
+      java.math.BigDecimal.valueOf(math.max(x, 1e-9))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    var th1 = 1.0; var th2 = 1.0
+    for (_ <- 0 until iters) {
+      val ss = sums(th1, th2)
+      val row = stats.agg(ss.head, ss.tail: _*).collect()(0)
+      if (!(0 to 4).exists(row.isNullAt)) {
+        val (u1, u2) = (row.getDouble(0), row.getDouble(1))
+        val (i11, i22, i12) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+        val det = i11 * i22 - i12 * i12
+        if (det > 0) {
+          val d1 = (i22 * u1 - i12 * u2) / det
+          val d2 = (i11 * u2 - i12 * u1) / det
+          th1 = round9clamp(th1 * (1 + d1))
+          th2 = round9clamp(th2 * (1 + d2))
+        }
+      }
+    }
+
+    val tot = lives.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_b2"), 1L).otherwise(0L)).as("n_x2"))
+    val fin = stats.agg(coalesce(sum("_dl"), lit(0L)).as("n_events"),
+      sums(th1, th2).drop(2): _*)
+    val det = col("_i11") * col("_i22") - col("_i12") * col("_i12")
+    tot.crossJoin(broadcast(fin))
+      .select(col("n_a"), col("n_b"), col("n_x2"), col("n_events"),
+        Portable.pround(lit(th1), 6).as("hazard_ratio_1"),
+        Portable.pround(log(lit(th1)), 6).as("beta_1"),
+        when(det > 0, Portable.pround(sqrt(col("_i22") / det), 6)).as("se_1"),
+        when(det > 0,
+          Portable.pround(log(lit(th1)) / sqrt(col("_i22") / det), 6)).as("z_1"),
+        Portable.pround(lit(th2), 6).as("hazard_ratio_2"),
+        Portable.pround(log(lit(th2)), 6).as("beta_2"),
+        when(det > 0, Portable.pround(sqrt(col("_i11") / det), 6)).as("se_2"),
+        when(det > 0,
+          Portable.pround(log(lit(th2)) / sqrt(col("_i11") / det), 6)).as("z_2"))
+  }
+
   def cochranQ(df: DataFrame, unitCol: String, treatmentCol: String): DataFrame = {
     val cells = df.where(col(unitCol).isNotNull && col(treatmentCol).isNotNull)
       .select(col(unitCol).as("_u"), col(treatmentCol).as("_t")).distinct()

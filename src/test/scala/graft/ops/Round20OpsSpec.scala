@@ -102,6 +102,61 @@ class Round20OpsSpec extends SparkSpec {
     assert(out.isNullAt(4), "no kept lines => NULL (the dedupLines convention)")
   }
 
+  // ── Two-covariate Cox (C320) ───────────────────────────────────────
+
+  // H segment churns at life 0, L segment at life 2; WITHIN each
+  // segment cohorts A and B behave identically, but the cells are
+  // unbalanced (A is mostly H, B mostly L) — so cohort correlates with
+  // segment without causing anything. One censored user per segment
+  // (day 4) pins gmax and keeps late risk sets alive.
+  private val coxOrders = Seq(
+    R20Ord(2, d(1)), R20Ord(4, d(1)), R20Ord(6, d(1)), R20Ord(8, d(1)),
+    R20Ord(1, d(1)),
+    R20Ord(10, d(1)), R20Ord(10, d(3)),
+    R20Ord(3, d(1)), R20Ord(3, d(3)), R20Ord(5, d(1)), R20Ord(5, d(3)),
+    R20Ord(7, d(1)), R20Ord(7, d(3)), R20Ord(9, d(1)), R20Ord(9, d(3)),
+    R20Ord(12, d(1)), R20Ord(12, d(4)), R20Ord(11, d(1)), R20Ord(11, d(4)))
+  private def segDf = {
+    val s = spark; import s.implicits._
+    Seq((2L, "H"), (4L, "H"), (6L, "H"), (8L, "H"), (1L, "H"), (12L, "H"),
+      (10L, "L"), (3L, "L"), (5L, "L"), (7L, "L"), (9L, "L"), (11L, "L"))
+      .toDF("custkey", "seg")
+  }
+
+  test("coxPhMulti: second covariate absorbs the confounded cohort effect") {
+    val multi = EventOps.coxPhMulti(odf(coxOrders), "o_custkey", "o_orderdate",
+      u => pmod(u, lit(2L)) === 0,
+      segDf, "custkey", "seg", v => v === "H",
+      censorDays = 0, unitDays = 1).head()
+    val single = EventOps.coxPh(odf(coxOrders), "o_custkey", "o_orderdate",
+      u => pmod(u, lit(2L)) === 0, censorDays = 0, unitDays = 1).head()
+    val b1Multi = multi.getDouble(5)
+    val z1Multi = multi.getDouble(7)
+    val b2Multi = multi.getDouble(9)
+    val b1Single = single.getDouble(4)
+    // deterministic fixture => exact 6-dp pins: the marginal fit reads a
+    // solid positive cohort effect (β=0.458) that the joint fit reveals
+    // as the segment mix (cohort β=-0.202 at |z|=0.22 — null; segment
+    // β=+1.049 carries the hazard)
+    assert(b1Single === 0.458145, s"confounded marginal read, got $b1Single")
+    assert(b1Multi === -0.20239, s"deconfounded cohort effect, got $b1Multi")
+    assert(math.abs(z1Multi) < 0.5, s"cohort effect null in the joint fit")
+    assert(b2Multi === 1.048903, s"segment effect, got $b2Multi")
+  }
+
+  test("coxPhMulti: constant second covariate freezes via the det guard") {
+    val s = spark; import s.implicits._
+    val segAllH = (1L to 12L).map(k => (k, "H")).toDF("custkey", "seg")
+    val out = EventOps.coxPhMulti(odf(coxOrders), "o_custkey", "o_orderdate",
+      u => pmod(u, lit(2L)) === 0,
+      segAllH, "custkey", "seg", v => v === "H",
+      censorDays = 0, unitDays = 1).head()
+    // no x2 variation: i22 = 0, det = -i12^2 <= 0, every step frozen
+    assert(out.getDouble(4) === 1.0 && out.getDouble(8) === 1.0,
+      "both hazard ratios frozen at the seed")
+    assert(out.isNullAt(6) && out.isNullAt(10), "se NULL under the det guard")
+  }
+
   // ── Cox PH degenerate zero-event corpus (ADVICE r19 item 1) ────────
 
   test("coxPh: zero uncensored events freezes θ at 1.0 with NULL se/z") {
