@@ -75,6 +75,24 @@ object SparkEntry {
   private val HtmlFooter =
     "<footer>Copyright 2020 Example Inc All Rights Reserved</footer>"
 
+  /** q_url_filter planting: one URL per doc from a 5-domain rotation
+    * (keyed doc_id % 5) + a 3-rule category blocklist. The rotation
+    * exercises: a subdomain hitting a registrable-suffix rule
+    * (ads.example.com → example.com), a second category
+    * (cdn.tracker.net → tracker.net), a clean domain, the
+    * embedded-substring NEGATIVE case (example.com.evil.io contains
+    * "example.com" but no dot-suffix equals it → clean), and a rule
+    * that matches nothing. ONE definition drives both engines.
+    */
+  private val UrlPlantDomains = Seq("ads.example.com", "cdn.tracker.net",
+    "news.site.io", "example.com.evil.io", "docs.python.org")
+  private val UrlBlocklist = Seq("example.com" -> "ads",
+    "tracker.net" -> "tracking", "badsite.org" -> "malware")
+  private val UrlPlantSqlList =
+    UrlPlantDomains.map(d => s"'$d'").mkString("[", ", ", "]")
+  private val UrlBlocklistSqlValues =
+    UrlBlocklist.map { case (s, c) => s"('$s', '$c')" }.mkString(", ")
+
   /** Exactly 20 tokens — one full span for q_dedup_paragraph's planted
     * boilerplate (span = 20), shared verbatim by query and oracle.
     */
@@ -1295,6 +1313,22 @@ object SparkEntry {
     // same footer line appended. dedupLines keeps both only in ldoc 0
     // and strips them from the other 99 docs; content lines are unique
     // and survive everywhere.
+    // URL-category blocklist filter (r20): registrable-suffix rule
+    // matching over extracted domains — subdomains hit their parent
+    // rules via exploded dot-suffix keys against the broadcast rule
+    // catalog, the embedded-substring case stays clean, verdicts take
+    // the most specific match; per-category doc counts + exact shares
+    // (the Gopher rule-accounting shape).
+    "q_url_filter" -> ((s, dir) => {
+      val domArr = array(UrlPlantDomains.map(lit): _*)
+      val wu = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" visit https://"),
+          element_at(domArr, (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+          lit("/p"), col("doc_id").cast("string")).as("text"))
+      TextOps.urlCategoryFilter(wu, "doc_id", "text", UrlBlocklist)
+        .orderBy("category")
+    }),
+
     // HTML boilerplate extraction (r20, jusText shape): deterministic
     // page chrome (head+script, nav, share bar, footer) planted around
     // each corpus text, oracle-replicated; script blocks strip whole,
@@ -7018,6 +7052,36 @@ object SparkEntry {
 
     // Line numbering mirrors the engine's derived doc exactly: header at
     // line 0, content lines at 1..cnt in doc_id order, footer at cnt+1.
+    // URL blocklist filter (r20): same rotation, same suffix keys, same
+    // struct-min verdict, same exact share.
+    "q_url_filter" ->
+      raw"""WITH wu AS (SELECT doc_id,
+             text || ' visit https://' ||
+               ($UrlPlantSqlList)[(doc_id % 5 + 1)] ||
+               '/p' || doc_id AS text
+           FROM documents),
+         dom AS (SELECT DISTINCT doc_id, dom FROM (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS dom
+           FROM wu)),
+         sfx AS (SELECT d.doc_id, array_to_string(d.ls[u.i + 1:], '.') AS sfx
+           FROM (SELECT doc_id, string_split(dom, '.') AS ls FROM dom) d
+           CROSS JOIN LATERAL unnest(range(0, len(d.ls) - 1)) AS u(i)),
+         rules(sfx, category) AS (VALUES $UrlBlocklistSqlValues),
+         hits AS (SELECT s.doc_id, len(string_split(s.sfx, '.')) AS slab,
+             r.category
+           FROM sfx s JOIN rules r ON s.sfx = r.sfx),
+         verd AS (SELECT doc_id, (min({'ns': -slab, 'c': category})).c AS vc
+           FROM hits GROUP BY doc_id),
+         per AS (SELECT coalesce(v.vc, 'clean') AS category
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN verd v USING (doc_id)),
+         tot AS (SELECT count(*)::BIGINT AS n FROM per)
+         SELECT category, count(*)::BIGINT AS n_docs,
+           round(count(*)::DOUBLE / t.n::DOUBLE, 9) AS share
+         FROM per CROSS JOIN tot t GROUP BY category, t.n
+         ORDER BY category""",
+
     // HTML extraction (r20): same planted chrome, same pre-strip link
     // count, same integer keep rule, same '\n' rebuild.
     "q_html_extract" ->

@@ -1687,6 +1687,57 @@ object TextOps {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_refs"), countDistinct(col(idCol)).as("n_docs"))
 
+  /** URL-category blocklist filter (C321, r20) — the domain-blocklist
+    * verdict pass every crawl curation run applies over C162's
+    * extracted domains: each blocklist entry is a REGISTRABLE-SUFFIX
+    * rule (so `ads.example.com` hits an `example.com` rule), each doc
+    * gets one verdict with per-category removal attribution.
+    *
+    * Suffix keys, not string matching: each extracted domain explodes
+    * into its dot-boundary suffixes with ≥ 2 labels
+    * (a.b.c → [a.b.c, b.c]) and equi-joins the BROADCAST rule catalog
+    * on the exact suffix — which is both the 100 TB shape (the corpus
+    * side never sees the rule list; no regex scan per rule) and the
+    * correctness shape (`example.com.evil.io` contains the string
+    * "example.com" but no suffix equals it → clean). Verdict per doc =
+    * the MOST SPECIFIC match across all its URLs (suffix label count
+    * desc, then category asc — the NB argmax struct-min idiom);
+    * unmatched docs read `clean`. Output: per category, doc count and
+    * exact share.
+    */
+  def urlCategoryFilter(df: DataFrame, idCol: String, textCol: String,
+                        blocklist: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rules = broadcast(blocklist.toDF("_sfx", "_cat")
+      .withColumn("_slab", size(split(col("_sfx"), "\\."))))
+    val doms = df.select(col(idCol).as("_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlDomainPattern), lit(1)))
+          .as("_dom"))
+      .distinct()
+    val labels = split(col("_dom"), "\\.")
+    val sfx = doms
+      .where(size(labels) >= 2)
+      .select(col("_id"),
+        explode(transform(sequence(lit(0), size(labels) - 2),
+          i => array_join(slice(labels, i + 1, size(labels) - i), ".")))
+          .as("_sfx"))
+    val verdicts = sfx.join(rules, Seq("_sfx"))
+      .groupBy("_id")
+      .agg(min(struct((col("_slab") * -1).as("_ns"), col("_cat").as("_c")))
+        .as("_v"))
+      .select(col("_id"), col("_v._c").as("_vc"))
+    val perDoc = df.select(col(idCol).as("_id")).distinct()
+      .join(verdicts, Seq("_id"), "left_outer")
+      .select(coalesce(col("_vc"), lit("clean")).as("category"))
+    val tot = perDoc.agg(count(lit(1)).as("_n"))
+    perDoc.groupBy("category").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("category"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("_n").cast("double"), 9)
+          .as("share"))
+  }
+
   /** Corpus-unigram language-model quality score — the classic
     * "perplexity-proxy" filter of a training-data pipeline: score each
     * document by the mean log-probability of its tokens under the corpus's

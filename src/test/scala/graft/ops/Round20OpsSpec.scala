@@ -102,6 +102,29 @@ class Round20OpsSpec extends SparkSpec {
     assert(out.isNullAt(4), "no kept lines => NULL (the dedupLines convention)")
   }
 
+  // ── URL-category blocklist filter (C321) ───────────────────────────
+
+  test("urlCategoryFilter: suffix keys match subdomains, not substrings") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "see https://ads.example.com/x"),        // subdomain -> ads
+      (2L, "see https://example.com/y"),            // exact -> ads
+      (3L, "see https://example.com.evil.io/z"),    // substring, NOT suffix
+      (4L, "see https://docs.python.org/w"),        // clean
+      // two URLs, most specific match wins: sub.bad.example.com hits
+      // both the 3-label bad.example.com rule (tracking) and the
+      // 2-label example.com rule (ads) -> tracking
+      (5L, "https://sub.bad.example.com/a and https://ads.example.com/b"),
+      (6L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val rules = Seq("example.com" -> "ads", "bad.example.com" -> "tracking")
+    val out = TextOps.urlCategoryFilter(docs, "doc_id", "text", rules)
+      .orderBy("category").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("ads" -> 2L, "tracking" -> 1L, "clean" -> 3L),
+      s"doc1/doc2 ads; doc5 tracking (most specific); doc3/4/6 clean: $out")
+  }
+
   // ── Two-covariate Cox (C320) ───────────────────────────────────────
 
   // H segment churns at life 0, L segment at life 2; WITHIN each
