@@ -3147,6 +3147,17 @@ object SparkEntry {
     // an English-probability estimate — q_auc's complement: AUC checks
     // the ranking, this checks the score VALUES (the gate before using
     // a quality score as a probability threshold).
+    // Isotonic calibration (r20): PAV over the stopword score's
+    // distinct-value catalog per source — the nonparametric
+    // recalibration step after q_calibration's diagnosis: fit the best
+    // monotone score → P(en) map (exact-integer pool merges, executor-
+    // side stack fold) and report ECE before/after on the same bins.
+    "q_isotonic" -> ((s, dir) =>
+      Profiling.isotonicCalibration(
+          stopwordScored(s, dir, col("source"), col("lang")),
+          "source", col("_score"), col("lang") === "en")
+        .orderBy("source")),
+
     "q_calibration" -> ((s, dir) =>
       Profiling.calibrationReport(stopwordScored(s, dir, col("lang")),
         col("_score"), col("lang") === "en", 10)),
@@ -10139,6 +10150,88 @@ object SparkEntry {
 
     // Fixed-width floor bins; conf = decimal-snapshotted mean rounded
     // BEFORE the ECE terms; acc = one exact integer division.
+    // Isotonic calibration (r20): the PAV fixpoint reached by iterated
+    // run-pooling in a recursive CTE (each pass pools maximal
+    // non-increasing runs of block means — integer cross-multiplied
+    // comparisons, so the block structure is engine-exact), then the
+    // same binned ECE shape before/after.
+    "q_isotonic" ->
+      raw"""WITH RECURSIVE
+         t AS (SELECT source, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         sc AS (SELECT source,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks)::DOUBLE AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM t WHERE len(toks) > 0),
+         cat AS (SELECT source, s, count(*)::BIGINT AS w, sum(y)::BIGINT AS p
+           FROM sc GROUP BY 1, 2),
+         base AS (SELECT source,
+             row_number() OVER (PARTITION BY source ORDER BY s) AS seq,
+             s, w, p
+           FROM cat),
+         pav AS (
+           SELECT 0 AS pass, source, seq, seq AS seqlo, seq AS seqhi, w, p
+           FROM base
+           UNION ALL
+           SELECT pass, source, run AS seq, seqlo, seqhi, w, p FROM (
+             SELECT pass, source, run, min(seqlo) AS seqlo, max(seqhi) AS seqhi,
+               sum(w) AS w, sum(p) AS p, max(cin) AS cin,
+               count(*) OVER (PARTITION BY pass, source) AS cout
+             FROM (
+               SELECT pass + 1 AS pass, source, seq, seqlo, seqhi, w, p,
+                 count(*) OVER (PARTITION BY source) AS cin,
+                 sum(CASE WHEN strt THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY source ORDER BY seq) AS run
+               FROM (
+                 SELECT pass, source, seq, seqlo, seqhi, w, p,
+                   (lag(p) OVER (PARTITION BY source ORDER BY seq) IS NULL
+                    OR lag(p) OVER (PARTITION BY source ORDER BY seq)::HUGEINT * w
+                       < p::HUGEINT * lag(w) OVER (PARTITION BY source ORDER BY seq))
+                     AS strt
+                 FROM pav
+               )
+             ) GROUP BY pass, source, run
+           ) WHERE cout < cin
+         ),
+         fin AS (SELECT source, max(pass) AS mp FROM pav GROUP BY source),
+         blocks AS (SELECT p.source, p.seqlo, p.seqhi, p.w, p.p FROM pav p
+           JOIN fin f ON p.source = f.source AND p.pass = f.mp),
+         fitted AS (SELECT b.source, v.s, v.w, v.p,
+             b.p::DOUBLE / b.w::DOUBLE AS f
+           FROM blocks b JOIN base v
+             ON v.source = b.source AND v.seq BETWEEN b.seqlo AND b.seqhi),
+         ebb AS (SELECT source, least(floor(s * 10), 9)::BIGINT AS bin, w, p,
+             s * w::DOUBLE AS pw FROM cat),
+         eb1 AS (SELECT source, bin, sum(w)::BIGINT AS n, sum(p)::BIGINT AS np,
+             sum(CAST(pw AS DECIMAL(28,12)))::DOUBLE AS scs,
+             sum(sum(w)) OVER (PARTITION BY source) AS nn
+           FROM ebb GROUP BY source, bin),
+         eb AS (SELECT source, round(sum(CAST((n::DOUBLE / nn::DOUBLE) *
+               abs(np::DOUBLE / n::DOUBLE - round(scs / n::DOUBLE, 9))
+               AS DECIMAL(28,12)))::DOUBLE, 9) AS ece_before
+           FROM eb1 GROUP BY source),
+         eab AS (SELECT source, least(floor(f * 10), 9)::BIGINT AS bin, w, p,
+             f * w::DOUBLE AS pw FROM fitted),
+         ea1 AS (SELECT source, bin, sum(w)::BIGINT AS n, sum(p)::BIGINT AS np,
+             sum(CAST(pw AS DECIMAL(28,12)))::DOUBLE AS scs,
+             sum(sum(w)) OVER (PARTITION BY source) AS nn
+           FROM eab GROUP BY source, bin),
+         ea AS (SELECT source, round(sum(CAST((n::DOUBLE / nn::DOUBLE) *
+               abs(np::DOUBLE / n::DOUBLE - round(scs / n::DOUBLE, 9))
+               AS DECIMAL(28,12)))::DOUBLE, 9) AS ece_after
+           FROM ea1 GROUP BY source),
+         summ AS (SELECT source, sum(w)::BIGINT AS n, count(*)::BIGINT AS n_values
+           FROM cat GROUP BY source),
+         nb AS (SELECT source, count(*)::BIGINT AS n_blocks FROM blocks
+           GROUP BY source)
+         SELECT summ.source, summ.n, summ.n_values, nb.n_blocks,
+           eb.ece_before, ea.ece_after
+         FROM summ JOIN nb USING (source) JOIN eb USING (source)
+           JOIN ea USING (source)
+         ORDER BY source""",
+
     "q_calibration" ->
       raw"""WITH t AS (
            SELECT lang,

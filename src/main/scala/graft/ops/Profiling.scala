@@ -3240,4 +3240,125 @@ object Profiling {
       when(col("_hhi") > 0,
         Portable.pround(lit(1.0) / col("_hhi"), 6)).as("effective_sources"))
   }
+
+  /** Isotonic calibration via pool-adjacent-violators (C319, r20) — the
+    * NONPARAMETRIC recalibration step between C-calibration's diagnosis
+    * ("the score is miscalibrated") and shipping the score as a
+    * probability: fit the best monotone map score → P(y=1) (Barlow et
+    * al. 1972; Zadrozny & Elkan 2002 for classifier calibration) and
+    * report ECE before/after off the existing calibration-binning
+    * machinery.
+    *
+    * PAV runs per group over the score's distinct-VALUE catalog
+    * (weights = value multiplicities — the isotonic fit over values
+    * with weights equals the fit over raw rows): one hash-agg collapses
+    * the corpus to (group, value, w, pos), one collect_list per group
+    * assembles the sorted catalog EXECUTOR-side (never the driver —
+    * groups are few, catalogs are value-bounded), and the classic
+    * stack-PAV runs as plain Scala inside a typed flatMap (the
+    * sanctioned per-group fold: an unbounded pool-merge loop is not
+    * expressible as a Column fold). All merge decisions compare
+    * cross-multiplied integer (pos, weight) pairs — no division, no
+    * float tie — so the block structure is engine-exact; fitted value
+    * = block pos/weight, one double division both engines perform on
+    * identical integers. The DuckDB oracle reaches the identical
+    * fixpoint by ITERATED RUN-POOLING in a recursive CTE (each pass
+    * pools maximal non-increasing runs — safe: adjacent violators
+    * always share a final block; convergence: strictly increasing
+    * block means = the unique isotonic fit, blocks = maximal constant
+    * runs in both algorithms).
+    *
+    * ECE before uses the raw score as the prediction, ECE after the
+    * fitted probability — same fixed-width bins, per-bin confidence
+    * 9-dp-rounded, contributions decimal-summed (the
+    * calibrationReport conventions). Returns one row per group:
+    * (group, n, n_values, n_blocks, ece_before, ece_after).
+    *
+    * Long cross-products bound pos·w by (rows per group)² — fine to
+    * ~3e9 rows per group; past that, widen to BigInt in the fold.
+    */
+  /** The PAV fit itself — the monotone score → P(y=1) map
+    * [[isotonicCalibration]] summarizes: one row per (group, distinct
+    * score) with its weight, positive count, fitted probability and
+    * block index. Exposed so callers can SERVE the calibration map,
+    * not just read its quality.
+    */
+  private def isotonicCatalog(df: DataFrame, groupCol: String,
+                              scoreCol: Column, labelCol: Column): DataFrame =
+    df.select(col(groupCol).cast("string").as("_g"),
+        scoreCol.as("_s"), labelCol.cast("boolean").cast("long").as("_y"))
+      .groupBy("_g", "_s").agg(count(lit(1)).as("_w"), sum("_y").as("_p"))
+
+  private def isotonicFitFromCatalog(cat: DataFrame): DataFrame = {
+    val spark = cat.sparkSession
+    import spark.implicits._
+    val arrs = cat.groupBy("_g").agg(
+      sort_array(collect_list(struct(col("_s").as("_1"), col("_w").as("_2"),
+        col("_p").as("_3")))).as("_arr"))
+    arrs.as[(String, Seq[(Double, Long, Long)])]
+      .flatMap { case (g, arr) =>
+        val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        arr.foreach { case (_, w, p) =>
+          var cw = w; var cp = p; var cn = 1
+          while (stack.nonEmpty && stack.last._2 * cw >= cp * stack.last._1) {
+            val (pw, pp, pn) = stack.remove(stack.size - 1)
+            cw += pw; cp += pp; cn += pn
+          }
+          stack += ((cw, cp, cn))
+        }
+        val out = Seq.newBuilder[(String, Double, Long, Long, Double, Int)]
+        var vi = 0
+        stack.zipWithIndex.foreach { case ((bw, bp, bn), bi) =>
+          val f = bp.toDouble / bw.toDouble
+          (0 until bn).foreach { _ =>
+            val (s, w, p) = arr(vi); vi += 1
+            out += ((g, s, w, p, f, bi))
+          }
+        }
+        out.result()
+      }.toDF("_g", "_s", "_w", "_p", "_f", "_blk")
+  }
+
+  /** The PAV fit itself — the monotone score → P(y=1) map
+    * [[isotonicCalibration]] summarizes: one row per (group, distinct
+    * score) with weight, positive count, fitted probability and block
+    * index. Exposed so callers can SERVE the calibration map, not just
+    * read its quality.
+    */
+  def isotonicFit(df: DataFrame, groupCol: String, scoreCol: Column,
+                  labelCol: Column): DataFrame =
+    isotonicFitFromCatalog(isotonicCatalog(df, groupCol, scoreCol, labelCol))
+      .select(col("_g").as(groupCol), col("_s").as("score"),
+        col("_w").as("n"), col("_p").as("n_pos"),
+        col("_f").as("fitted"), col("_blk").as("block"))
+
+  def isotonicCalibration(df: DataFrame, groupCol: String, scoreCol: Column,
+                          labelCol: Column, nBins: Int = 10): DataFrame = {
+    val cat = isotonicCatalog(df, groupCol, scoreCol, labelCol)
+      .localCheckpoint(true)
+    val fitted = isotonicFitFromCatalog(cat).localCheckpoint(true)
+    def ece(fr: DataFrame, pred: Column, outName: String): DataFrame = {
+      val b = fr.select(col("_g"),
+        least(floor(pred * nBins), lit(nBins - 1)).cast("long").as("_bin"),
+        col("_w"), col("_p"), (pred * col("_w").cast("double")).as("_pw"))
+      val bins = b.groupBy("_g", "_bin").agg(sum("_w").as("_n"),
+        sum("_p").as("_np"), Portable.decSum(col("_pw"), 12).as("_sc"))
+      val tot = bins.groupBy("_g").agg(sum("_n").as("_ntot"))
+      bins.join(tot, Seq("_g"))
+        .select(col("_g"),
+          ((col("_n").cast("double") / col("_ntot").cast("double")) *
+            abs(col("_np").cast("double") / col("_n").cast("double") -
+              round(col("_sc") / col("_n").cast("double"), 9))).as("_c"))
+        .groupBy("_g").agg(round(Portable.decSum(col("_c"), 12), 9).as(outName))
+    }
+    val summary = cat.groupBy("_g")
+      .agg(sum("_w").as("n"), count(lit(1)).as("n_values"))
+    val blocks = fitted.groupBy("_g")
+      .agg((max("_blk") + 1).cast("long").as("n_blocks"))
+    summary.join(blocks, Seq("_g"))
+      .join(ece(cat, col("_s"), "ece_before"), Seq("_g"))
+      .join(ece(fitted, col("_f"), "ece_after"), Seq("_g"))
+      .select(col("_g").as(groupCol), col("n"), col("n_values"),
+        col("n_blocks"), col("ece_before"), col("ece_after"))
+  }
 }

@@ -102,6 +102,46 @@ class Round20OpsSpec extends SparkSpec {
     assert(out.isNullAt(4), "no kept lines => NULL (the dedupLines convention)")
   }
 
+  // ── Isotonic calibration (C319) ────────────────────────────────────
+
+  test("isotonicFit: textbook pool-adjacent-violators fixture") {
+    val s = spark; import s.implicits._
+    // value catalog (as raw rows): score 0.1 -> 3/4 positive, score
+    // 0.2 -> 1/4 (VIOLATES monotonicity vs 0.1 -> pool to 4/8 = 0.5),
+    // score 0.3 -> 2/2 (stands). Expected fit: [0.5, 0.5, 1.0].
+    def rows(sc: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)(("g", sc, 1L)) ++ Seq.fill(neg)(("g", sc, 0L))
+    val df = (rows(0.1, 3, 1) ++ rows(0.2, 1, 3) ++ rows(0.3, 2, 0))
+      .toDF("grp", "score", "y")
+    val fit = Profiling.isotonicFit(df, "grp", col("score"), col("y") === 1)
+      .orderBy("score").collect()
+    assert(fit.map(_.getDouble(4)).toSeq === Seq(0.5, 0.5, 1.0))
+    assert(fit.map(_.getInt(5)).toSeq === Seq(0, 0, 1), "two blocks")
+    // monotone by construction
+    assert(fit.map(_.getDouble(4)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("isotonicCalibration: planted miscalibration's ECE improves") {
+    val s = spark; import s.implicits._
+    // score anti-correlated with the label at the top (0.9 -> never
+    // positive) and noisy in the middle: badly miscalibrated as a raw
+    // probability, in-sample PAV must drive binned ECE to ~0
+    val df = (
+      Seq.fill(10)(("g", 0.9, 0L)) ++
+      Seq.fill(6)(("g", 0.5, 1L)) ++ Seq.fill(4)(("g", 0.5, 0L)) ++
+      Seq.fill(2)(("g", 0.1, 1L)) ++ Seq.fill(8)(("g", 0.1, 0L))
+    ).toDF("grp", "score", "y")
+    val out = Profiling.isotonicCalibration(df, "grp", col("score"),
+      col("y") === 1).head()
+    assert(out.getLong(1) === 30L && out.getLong(2) === 3L)
+    val (before, after) = (out.getDouble(4), out.getDouble(5))
+    assert(before > 0.3, s"planted miscalibration must read large, got $before")
+    assert(after < before, s"PAV must improve ECE: $after vs $before")
+    assert(after === 0.0,
+      "in-sample isotonic is perfectly calibrated at block level " +
+        "(blocks never split across bins)")
+  }
+
   // ── URL-category blocklist filter (C321) ───────────────────────────
 
   test("urlCategoryFilter: suffix keys match subdomains, not substrings") {
