@@ -710,18 +710,36 @@ object EventOps {
     * are unit-catalog-sized.
     */
   def didEstimate(df: DataFrame, userCol: String, tsCol: String,
-                  valueCol: Column, isA: Column => Column): DataFrame = {
-    val span = df.agg(to_date(min(col(tsCol))).as("_mn"),
-      to_date(max(col(tsCol))).as("_mx"))
+                  valueCol: Column, isA: Column => Column): DataFrame =
+    didFromDaily(didDailyPanel(df, userCol, tsCol, valueCol), isA)
+
+  /** The (unit, day) outcome-sum panel [[didEstimate]] reduces through —
+    * per-day DECIMAL(28,6) partials, an additive monoid keyed by
+    * (unit, day): day-sum-merged partials from any batch split roll up
+    * to the same (unit, period) totals bit-exactly, and the period
+    * boundary re-derives from the maintained day span at READ time (the
+    * SurvivalState censoring pattern) — which is exactly what lets the
+    * streaming twin serve DiD continuously while the split date moves
+    * with the stream.
+    */
+  private[graft] def didDailyPanel(df: DataFrame, userCol: String,
+                                   tsCol: String, valueCol: Column): DataFrame =
+    df.select(col(userCol).as("_u"), to_date(col(tsCol)).as("_dt"),
+        valueCol.cast("double").as("_v"))
+      .groupBy("_u", "_dt")
+      .agg(sum(col("_v").cast("decimal(28,6)")).cast("decimal(28,6)").as("_yd"))
+
+  private[graft] def didFromDaily(daily: DataFrame,
+                                  isA: Column => Column): DataFrame = {
+    val span = daily.agg(min(col("_dt")).as("_mn"), max(col("_dt")).as("_mx"))
     val withSplit = span.select(col("_mn"), col("_mx"),
       date_add(col("_mn"),
         (datediff(col("_mx"), col("_mn")) / 2).cast("int")).as("_split"))
-    val perUP = df.crossJoin(broadcast(withSplit))
-      .select(col(userCol).as("_u"),
-        (to_date(col(tsCol)) >= col("_split")).as("_post"),
-        valueCol.cast("double").as("_v"), col("_split"))
+    val perUP = daily.crossJoin(broadcast(withSplit))
+      .select(col("_u"), (col("_dt") >= col("_split")).as("_post"),
+        col("_yd"), col("_split"))
       .groupBy("_u", "_post")
-      .agg(Portable.decSum(col("_v"), 6).as("_y"), max("_split").as("_split"))
+      .agg(sum("_yd").cast("double").as("_y"), max("_split").as("_split"))
     val users = perUP.select("_u").distinct()
     val panel = users
       .select(col("_u"), explode(array(lit(false), lit(true))).as("_post"))

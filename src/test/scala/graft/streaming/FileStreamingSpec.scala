@@ -752,6 +752,44 @@ class FileStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DiD state equals batch over uneven batches and replays as a no-op") {
+    // r20 (VERDICT r19 item 7): the (unit, day) decimal outcome-sum
+    // panel is an additive monoid and the pre/post boundary re-derives
+    // from the maintained day span at read time — so the DiD read off
+    // the merged state must equal batch q_did bit-exactly however the
+    // stream batches the corpus, including units whose pre- and
+    // post-period events arrive in DIFFERENT batches (the split date
+    // itself moves as later batches extend the span).
+    val evs = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "ts", "value")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_did_in").toFile.getAbsolutePath
+    // three uneven batches keyed by user hash — pre/post rows of one
+    // user land together, but the global span grows batch by batch
+    val h = pmod(col("user_id"), lit(5))
+    evs.where(h <= 1).write.mode("append").parquet(inDir)
+    evs.where(h === 2).write.mode("append").parquet(inDir)
+    evs.where(h >= 3).write.mode("append").parquet(inDir)
+    val state = new StreamingOps.DidState("user_id", "ts", "value")
+    val stream = spark.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch(state.mergeBatch _).start()
+    try {
+      q.processAllAvailable()
+      val isA = (u: org.apache.spark.sql.Column) =>
+        pmod(graft.ops.Portable.hash32(u), lit(2L)) === 0
+      val batch = EventOps.didEstimate(evs, "user_id", "ts", col("value"), isA)
+      val streamed = state.did(isA).get
+      assert(streamed.except(batch).count() === 0 &&
+        batch.except(streamed).count() === 0,
+        "DiD from the maintained daily panel must equal batch exactly")
+      // replaying an already-applied batchId must be a no-op
+      state.mergeBatch(evs, 0L)
+      val replayed = state.did(isA).get
+      assert(replayed.except(batch).count() === 0 &&
+        batch.except(replayed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming survival state serves the whole shelf bit-identically") {
     // r19: per-unit (first, last) date spans are the survival shelf's
     // complete sufficient statistic and a (min, max) monoid, so KM,
