@@ -5684,7 +5684,7 @@ object SparkEntry {
       val prev = s"w${k - 1}"
       raw"""z$k AS (SELECT f.doc_id, sum(CAST(f.x * w.w AS DECIMAL(28,12)))::DOUBLE AS z
            FROM feat f JOIN $prev w USING (b) GROUP BY f.doc_id),
-         p$k AS (SELECT d.doc_id, d.y, round(1.0/(1.0 + exp(-z.z)), 7) AS p
+         p$k AS (SELECT d.doc_id, d.y, round(1.0/(1.0 + exp(-z.z)), 7) + 0 AS p
            FROM docs d JOIN z$k z USING (doc_id)),
          g$k AS (SELECT f.b,
              sum(CAST(f.x * (p.y - p.p) AS DECIMAL(28,12)))::DOUBLE AS g
@@ -7089,7 +7089,7 @@ object SparkEntry {
            LEFT JOIN verd v USING (doc_id)),
          tot AS (SELECT count(*)::BIGINT AS n FROM per)
          SELECT category, count(*)::BIGINT AS n_docs,
-           round(count(*)::DOUBLE / t.n::DOUBLE, 9) AS share
+           round(count(*)::DOUBLE / t.n::DOUBLE, 9) + 0 AS share
          FROM per CROSS JOIN tot t GROUP BY category, t.n
          ORDER BY category""",
 
@@ -10209,8 +10209,8 @@ object SparkEntry {
              sum(sum(w)) OVER (PARTITION BY source) AS nn
            FROM ebb GROUP BY source, bin),
          eb AS (SELECT source, round(sum(CAST((n::DOUBLE / nn::DOUBLE) *
-               abs(np::DOUBLE / n::DOUBLE - round(scs / n::DOUBLE, 9))
-               AS DECIMAL(28,12)))::DOUBLE, 9) AS ece_before
+               abs(np::DOUBLE / n::DOUBLE - (round(scs / n::DOUBLE, 9) + 0))
+               AS DECIMAL(28,12)))::DOUBLE, 9) + 0 AS ece_before
            FROM eb1 GROUP BY source),
          eab AS (SELECT source, least(floor(f * 10), 9)::BIGINT AS bin, w, p,
              f * w::DOUBLE AS pw FROM fitted),
@@ -10219,8 +10219,8 @@ object SparkEntry {
              sum(sum(w)) OVER (PARTITION BY source) AS nn
            FROM eab GROUP BY source, bin),
          ea AS (SELECT source, round(sum(CAST((n::DOUBLE / nn::DOUBLE) *
-               abs(np::DOUBLE / n::DOUBLE - round(scs / n::DOUBLE, 9))
-               AS DECIMAL(28,12)))::DOUBLE, 9) AS ece_after
+               abs(np::DOUBLE / n::DOUBLE - (round(scs / n::DOUBLE, 9) + 0))
+               AS DECIMAL(28,12)))::DOUBLE, 9) + 0 AS ece_after
            FROM ea1 GROUP BY source),
          summ AS (SELECT source, sum(w)::BIGINT AS n, count(*)::BIGINT AS n_values
            FROM cat GROUP BY source),
