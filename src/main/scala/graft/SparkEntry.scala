@@ -3158,6 +3158,17 @@ object SparkEntry {
           "source", col("_score"), col("lang") === "en")
         .orderBy("source")),
 
+    // Platt scaling (r20): the PARAMETRIC member of the same shelf —
+    // per-source two-parameter sigmoid p = σ(a·s + b) fitted by
+    // λ-ridged 2×2 Newton over the same distinct-score catalog
+    // (6-dp parameter rounds, one 7-dp sigmoid per value-iteration),
+    // ECE before/after directly comparable with q_isotonic's rows.
+    "q_platt" -> ((s, dir) =>
+      Profiling.plattScaling(
+          stopwordScored(s, dir, col("source"), col("lang")),
+          "source", col("_score"), col("lang") === "en")
+        .orderBy("source")),
+
     "q_calibration" -> ((s, dir) =>
       Profiling.calibrationReport(stopwordScored(s, dir, col("lang")),
         col("_score"), col("lang") === "en", 10)),
@@ -5838,6 +5849,86 @@ object SparkEntry {
          CASE WHEN $detF > 0
               THEN round(ln(jf.th2) / sqrt(jf.i11 / $detF), 6) + 0 END AS z_2
        FROM tot CROSS JOIN jf"""
+  }
+
+  /** The q_platt oracle: the q_isotonic score-catalog CTEs feed `iters`
+    * unrolled per-source 2×2 Newton rounds — each a (sigmoid,
+    * gradient/information, update) CTE triple mirroring
+    * Profiling.plattScaling's driver loop bit for bit (7-dp sigmoid,
+    * 12-dp decimal snapshots, determinant-guarded solve, 9-dp parameter
+    * rounds). Linear chain (each i$k referenced once; the final
+    * fitted frame carries a/b forward so i$iters is not re-referenced).
+    */
+  private def plattSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "i0" else s"i${k - 1}"
+      raw"""p$k AS (SELECT c.source, c.s, c.w, c.p, i.a, i.b,
+           round(1.0/(1.0 + exp(-(i.a * c.s + i.b))), 7) + 0 AS pp
+         FROM cat c JOIN $prev i USING (source)),
+       g$k AS (SELECT source, min(a) AS a, min(b) AS b,
+           sum(CAST((p - w * pp) * s AS DECIMAL(28,12)))::DOUBLE AS ga,
+           sum(CAST(p - w * pp AS DECIMAL(28,12)))::DOUBLE AS gb,
+           sum(CAST(w * (pp * (1.0 - pp)) * s * s AS DECIMAL(28,12)))::DOUBLE AS haa,
+           sum(CAST(w * (pp * (1.0 - pp)) * s AS DECIMAL(28,12)))::DOUBLE AS hab,
+           sum(CAST(w * (pp * (1.0 - pp)) AS DECIMAL(28,12)))::DOUBLE AS hbb
+         FROM p$k GROUP BY source),
+       i$k AS (SELECT source,
+           round(a + (CASE WHEN (haa + 0.1) * (hbb + 0.1) - hab * hab > 0
+               THEN ((hbb + 0.1) * (ga - 0.1 * a) - hab * (gb - 0.1 * b))
+                 / ((haa + 0.1) * (hbb + 0.1) - hab * hab)
+               ELSE 0.0 END), 6) + 0 AS a,
+           round(b + (CASE WHEN (haa + 0.1) * (hbb + 0.1) - hab * hab > 0
+               THEN ((haa + 0.1) * (gb - 0.1 * b) - hab * (ga - 0.1 * a))
+                 / ((haa + 0.1) * (hbb + 0.1) - hab * hab)
+               ELSE 0.0 END), 6) + 0 AS b
+         FROM g$k)"""
+    }.mkString(",\n         ")
+    raw"""WITH t AS (SELECT source, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         sc AS (SELECT source,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks)::DOUBLE AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM t WHERE len(toks) > 0),
+         cat AS (SELECT source, s, count(*)::BIGINT AS w, sum(y)::BIGINT AS p
+           FROM sc GROUP BY 1, 2),
+         i0 AS (SELECT DISTINCT source, 0.0::DOUBLE AS a, 0.0::DOUBLE AS b
+           FROM cat),
+         $rounds,
+         pf AS (SELECT c.source, c.s, c.w, c.p, i.a, i.b,
+             round(1.0/(1.0 + exp(-(i.a * c.s + i.b))), 7) + 0 AS pp
+           FROM cat c JOIN i$iters i USING (source)),
+         ab AS (SELECT source, min(a) AS a, min(b) AS b FROM pf
+           GROUP BY source),
+         ebb AS (SELECT source, least(floor(s * 10), 9)::BIGINT AS bin, w, p,
+             s * w::DOUBLE AS pw FROM cat),
+         eb1 AS (SELECT source, bin, sum(w)::BIGINT AS n, sum(p)::BIGINT AS np,
+             sum(CAST(pw AS DECIMAL(28,12)))::DOUBLE AS scs,
+             sum(sum(w)) OVER (PARTITION BY source) AS nn
+           FROM ebb GROUP BY source, bin),
+         eb AS (SELECT source, round(sum(CAST((n::DOUBLE / nn::DOUBLE) *
+               abs(np::DOUBLE / n::DOUBLE - (round(scs / n::DOUBLE, 9) + 0))
+               AS DECIMAL(28,12)))::DOUBLE, 9) + 0 AS ece_before
+           FROM eb1 GROUP BY source),
+         eab AS (SELECT source, least(floor(pp * 10), 9)::BIGINT AS bin, w, p,
+             pp * w::DOUBLE AS pw FROM pf),
+         ea1 AS (SELECT source, bin, sum(w)::BIGINT AS n, sum(p)::BIGINT AS np,
+             sum(CAST(pw AS DECIMAL(28,12)))::DOUBLE AS scs,
+             sum(sum(w)) OVER (PARTITION BY source) AS nn
+           FROM eab GROUP BY source, bin),
+         ea AS (SELECT source, round(sum(CAST((n::DOUBLE / nn::DOUBLE) *
+               abs(np::DOUBLE / n::DOUBLE - (round(scs / n::DOUBLE, 9) + 0))
+               AS DECIMAL(28,12)))::DOUBLE, 9) + 0 AS ece_after
+           FROM ea1 GROUP BY source),
+         summ AS (SELECT source, sum(w)::BIGINT AS n,
+             count(*)::BIGINT AS n_values, sum(p)::BIGINT AS n_pos
+           FROM cat GROUP BY source)
+         SELECT summ.source, ab.a, ab.b, summ.n, summ.n_values, summ.n_pos,
+           eb.ece_before, ea.ece_after
+         FROM summ JOIN ab USING (source) JOIN eb USING (source)
+           JOIN ea USING (source)
+         ORDER BY source"""
   }
 
   private def lshBandSigSql(bands: Int, planesPerBand: Int, dim: Int): String = {
@@ -10150,6 +10241,10 @@ object SparkEntry {
 
     // Fixed-width floor bins; conf = decimal-snapshotted mean rounded
     // BEFORE the ECE terms; acc = one exact integer division.
+    // Platt scaling (r20): per-source 2x2 Newton rounds unrolled —
+    // generated, see plattSql.
+    "q_platt" -> plattSql(8),
+
     // Isotonic calibration (r20): the PAV fixpoint reached by iterated
     // run-pooling in a recursive CTE (each pass pools maximal
     // non-increasing runs of block means — integer cross-multiplied

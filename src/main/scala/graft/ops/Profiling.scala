@@ -3332,33 +3332,130 @@ object Profiling {
         col("_w").as("n"), col("_p").as("n_pos"),
         col("_f").as("fitted"), col("_blk").as("block"))
 
+  /** Weighted binned expected-calibration-error per group over a
+    * (_g, _w, _p) catalog frame, with `pred` the per-row prediction —
+    * shared by [[isotonicCalibration]] and [[plattScaling]]: fixed-width
+    * bins, per-bin confidence 9-dp-rounded, contributions
+    * decimal-summed (the calibrationReport conventions).
+    */
+  private def binnedEce(fr: DataFrame, pred: Column, nBins: Int,
+                        outName: String): DataFrame = {
+    val b = fr.select(col("_g"),
+      least(floor(pred * nBins), lit(nBins - 1)).cast("long").as("_bin"),
+      col("_w"), col("_p"), (pred * col("_w").cast("double")).as("_pw"))
+    val bins = b.groupBy("_g", "_bin").agg(sum("_w").as("_n"),
+      sum("_p").as("_np"), Portable.decSum(col("_pw"), 12).as("_sc"))
+    val tot = bins.groupBy("_g").agg(sum("_n").as("_ntot"))
+    bins.join(tot, Seq("_g"))
+      .select(col("_g"),
+        ((col("_n").cast("double") / col("_ntot").cast("double")) *
+          abs(col("_np").cast("double") / col("_n").cast("double") -
+            round(col("_sc") / col("_n").cast("double"), 9))).as("_c"))
+      .groupBy("_g").agg(round(Portable.decSum(col("_c"), 12), 9).as(outName))
+  }
+
   def isotonicCalibration(df: DataFrame, groupCol: String, scoreCol: Column,
                           labelCol: Column, nBins: Int = 10): DataFrame = {
     val cat = isotonicCatalog(df, groupCol, scoreCol, labelCol)
       .localCheckpoint(true)
     val fitted = isotonicFitFromCatalog(cat).localCheckpoint(true)
-    def ece(fr: DataFrame, pred: Column, outName: String): DataFrame = {
-      val b = fr.select(col("_g"),
-        least(floor(pred * nBins), lit(nBins - 1)).cast("long").as("_bin"),
-        col("_w"), col("_p"), (pred * col("_w").cast("double")).as("_pw"))
-      val bins = b.groupBy("_g", "_bin").agg(sum("_w").as("_n"),
-        sum("_p").as("_np"), Portable.decSum(col("_pw"), 12).as("_sc"))
-      val tot = bins.groupBy("_g").agg(sum("_n").as("_ntot"))
-      bins.join(tot, Seq("_g"))
-        .select(col("_g"),
-          ((col("_n").cast("double") / col("_ntot").cast("double")) *
-            abs(col("_np").cast("double") / col("_n").cast("double") -
-              round(col("_sc") / col("_n").cast("double"), 9))).as("_c"))
-        .groupBy("_g").agg(round(Portable.decSum(col("_c"), 12), 9).as(outName))
-    }
     val summary = cat.groupBy("_g")
       .agg(sum("_w").as("n"), count(lit(1)).as("n_values"))
     val blocks = fitted.groupBy("_g")
       .agg((max("_blk") + 1).cast("long").as("n_blocks"))
     summary.join(blocks, Seq("_g"))
-      .join(ece(cat, col("_s"), "ece_before"), Seq("_g"))
-      .join(ece(fitted, col("_f"), "ece_after"), Seq("_g"))
+      .join(binnedEce(cat, col("_s"), nBins, "ece_before"), Seq("_g"))
+      .join(binnedEce(fitted, col("_f"), nBins, "ece_after"), Seq("_g"))
       .select(col("_g").as(groupCol), col("n"), col("n_values"),
         col("n_blocks"), col("ece_before"), col("ece_after"))
+  }
+
+  /** Platt scaling (C322, r20) — the PARAMETRIC member of the
+    * calibration shelf (C-calibration diagnoses, C319's isotonic fit is
+    * the nonparametric fix, THIS is the two-parameter sigmoid fix
+    * p = σ(a·s + b) one ships when the monotone-sigmoid shape is
+    * trusted or per-group data is too thin for PAV; Platt 1999): fitted
+    * per group by full 2×2 Newton on the log-likelihood over the
+    * SAME distinct-score catalog as C319 (weights = multiplicities).
+    *
+    * Every iteration is catalog-sized and engine-portable in the
+    * C317/C320 discipline: z = a·s + b on exactly-agreed doubles, ONE
+    * 7-dp-rounded sigmoid per (group, value, iteration), gradient
+    * (g_a, g_b) and information (h_aa, h_ab, h_bb) decimal-snapshotted
+    * at 12 dp, the update solves through the explicit determinant
+    * (kept as a guard though the λ-ridged information is always PD;
+    * λ = 0.1 also BOUNDS the parameters on near-separable groups,
+    * where the raw MLE diverges — measured |a| ~ 29 on sf0.001),
+    * (a, b) re-round at 6 dp — not 9: a 29-magnitude parameter put a
+    * 9-dp round inside string-vs-binary rounding territory (one
+    * measured bit-flip); at 6 dp the boundary is ~1e9 ulps wide at
+    * this magnitude. The per-group (a, b)
+    * pairs are the model — a groups×2 catalog collected per iteration
+    * (the sanctioned model-sized read) and re-broadcast.
+    *
+    * Read-out per group: (a, b, n, n_values, n_pos, ece_before,
+    * ece_after) with both ECEs from the shared binned machinery —
+    * directly comparable with C319's row for the same group (in-sample,
+    * the parametric fit's ECE can only be ≥ isotonic's).
+    */
+  def plattScaling(df: DataFrame, groupCol: String, scoreCol: Column,
+                   labelCol: Column, iters: Int = 8,
+                   nBins: Int = 10, lambda: Double = 0.1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cat = isotonicCatalog(df, groupCol, scoreCol, labelCol)
+      .localCheckpoint(true)
+    var ab: Map[String, (Double, Double)] = cat.select("_g").distinct()
+      .collect().map(_.getString(0) -> (0.0d, 0.0d)).toMap
+    def abFrame(m: Map[String, (Double, Double)]): DataFrame =
+      m.toSeq.sortBy(_._1).map { case (g, (a, b)) => (g, a, b) }
+        .toDF("_g", "_a", "_b")
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0d
+    def withP(m: Map[String, (Double, Double)]): DataFrame =
+      cat.join(broadcast(abFrame(m)), Seq("_g"))
+        .withColumn("_pp", round(lit(1.0d) /
+          (lit(1.0d) + exp(-(col("_a") * col("_s") + col("_b")))), 7) + lit(0.0d))
+    for (_ <- 0 until iters) {
+      val q = col("_pp") * (lit(1.0d) - col("_pp"))
+      val rows = withP(ab).groupBy("_g").agg(
+        Portable.decSum((col("_p") - col("_w") * col("_pp")) * col("_s"), 12)
+          .as("_ga"),
+        Portable.decSum(col("_p") - col("_w") * col("_pp"), 12).as("_gb"),
+        Portable.decSum(col("_w") * q * col("_s") * col("_s"), 12).as("_haa"),
+        Portable.decSum(col("_w") * q * col("_s"), 12).as("_hab"),
+        Portable.decSum(col("_w") * q, 12).as("_hbb")).collect()
+      ab = ab ++ rows.flatMap { r =>
+        if ((1 to 5).exists(r.isNullAt)) None
+        else {
+          val g = r.getString(0)
+          val (ga, gb) = (r.getDouble(1), r.getDouble(2))
+          val (haa, hab, hbb) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+          // L2 ridge: bounds the parameters on (near-)separable groups
+          // (the unridged MLE diverges there — measured |a| ~ 29 on
+          // sf0.001 sources), keeps the information matrix PD, and the
+          // C317 lesson on rounding exposure: parameters round at 6 dp,
+          // where 1-ulp string-vs-binary rounding splits can't land
+          val (a, b) = ab(g)
+          val (rga, rgb) = (ga - lambda * a, gb - lambda * b)
+          val (rhaa, rhbb) = (haa + lambda, hbb + lambda)
+          val det = rhaa * rhbb - hab * hab
+          if (det > 0)
+            Some(g -> (round6(a + (rhbb * rga - hab * rgb) / det),
+              round6(b + (rhaa * rgb - hab * rga) / det)))
+          else None
+        }
+      }
+    }
+    val fitted = withP(ab).localCheckpoint(true)
+    val summary = cat.groupBy("_g").agg(sum("_w").as("n"),
+      count(lit(1)).as("n_values"), sum("_p").as("n_pos"))
+    summary
+      .join(broadcast(abFrame(ab)), Seq("_g"))
+      .join(binnedEce(cat, col("_s"), nBins, "ece_before"), Seq("_g"))
+      .join(binnedEce(fitted, col("_pp"), nBins, "ece_after"), Seq("_g"))
+      .select(col("_g").as(groupCol), col("_a").as("a"), col("_b").as("b"),
+        col("n"), col("n_values"), col("n_pos"),
+        col("ece_before"), col("ece_after"))
   }
 }

@@ -142,6 +142,46 @@ class Round20OpsSpec extends SparkSpec {
         "(blocks never split across bins)")
   }
 
+  // ── Platt scaling (C322) ───────────────────────────────────────────
+
+  test("plattScaling: fits the signal direction and improves ECE") {
+    val s = spark; import s.implicits._
+    // positive rate DECREASES in the score (0.9 -> 0/10, 0.5 -> 6/10,
+    // 0.1 -> 2/10): the fitted sigmoid must read a negative slope and
+    // recalibrate the badly miscalibrated raw score
+    val df = (
+      Seq.fill(10)(("g", 0.9, 0L)) ++
+      Seq.fill(6)(("g", 0.5, 1L)) ++ Seq.fill(4)(("g", 0.5, 0L)) ++
+      Seq.fill(2)(("g", 0.1, 1L)) ++ Seq.fill(8)(("g", 0.1, 0L))
+    ).toDF("grp", "score", "y")
+    val out = Profiling.plattScaling(df, "grp", col("score"),
+      col("y") === 1).head()
+    val (a, b) = (out.getDouble(1), out.getDouble(2))
+    val (before, after) = (out.getDouble(6), out.getDouble(7))
+    assert(a < 0, s"decreasing positive rate => negative slope, got $a")
+    assert(before > 0.3 && after < before,
+      s"sigmoid recalibration must improve ECE: $after vs $before")
+    // the parametric fit can never beat the in-sample isotonic fit
+    val iso = Profiling.isotonicCalibration(df, "grp", col("score"),
+      col("y") === 1).head().getDouble(5)
+    assert(after >= iso, s"platt ECE $after >= isotonic ECE $iso in-sample")
+  }
+
+  test("plattScaling: ridge keeps a separable group's parameters bounded") {
+    val s = spark; import s.implicits._
+    // perfectly separable: unridged MLE diverges (|a| grew to ~29 on
+    // real data before the ridge landed); λ = 0.1 must keep the fit
+    // finite and small while still separating (positive slope)
+    val df = (Seq.fill(10)(("g", 0.9, 1L)) ++ Seq.fill(10)(("g", 0.1, 0L)))
+      .toDF("grp", "score", "y")
+    val out = Profiling.plattScaling(df, "grp", col("score"),
+      col("y") === 1).head()
+    val (a, after) = (out.getDouble(1), out.getDouble(7))
+    assert(a > 0, s"separating direction, got $a")
+    assert(math.abs(a) < 15, s"ridge bounds the separable fit, got $a")
+    assert(after < 0.2, s"separable group calibrates well, got $after")
+  }
+
   // ── URL-category blocklist filter (C321) ───────────────────────────
 
   test("urlCategoryFilter: suffix keys match subdomains, not substrings") {
