@@ -3346,7 +3346,11 @@ object Profiling {
     val bins = b.groupBy("_g", "_bin").agg(sum("_w").as("_n"),
       sum("_p").as("_np"), Portable.decSum(col("_pw"), 12).as("_sc"))
     val tot = bins.groupBy("_g").agg(sum("_n").as("_ntot"))
-    bins.join(tot, Seq("_g"))
+    // every frame here is group-catalog-sized, but the PAV read-back
+    // comes through a typed flatMap with no size stats — hint the
+    // broadcast or the estimate-blind planner picks SMJ (measured in
+    // the r20 tail gate)
+    bins.join(broadcast(tot), Seq("_g"))
       .select(col("_g"),
         ((col("_n").cast("double") / col("_ntot").cast("double")) *
           abs(col("_np").cast("double") / col("_n").cast("double") -
@@ -3363,9 +3367,9 @@ object Profiling {
       .agg(sum("_w").as("n"), count(lit(1)).as("n_values"))
     val blocks = fitted.groupBy("_g")
       .agg((max("_blk") + 1).cast("long").as("n_blocks"))
-    summary.join(blocks, Seq("_g"))
-      .join(binnedEce(cat, col("_s"), nBins, "ece_before"), Seq("_g"))
-      .join(binnedEce(fitted, col("_f"), nBins, "ece_after"), Seq("_g"))
+    summary.join(broadcast(blocks), Seq("_g"))
+      .join(broadcast(binnedEce(cat, col("_s"), nBins, "ece_before")), Seq("_g"))
+      .join(broadcast(binnedEce(fitted, col("_f"), nBins, "ece_after")), Seq("_g"))
       .select(col("_g").as(groupCol), col("n"), col("n_values"),
         col("n_blocks"), col("ece_before"), col("ece_after"))
   }
@@ -3452,8 +3456,8 @@ object Profiling {
       count(lit(1)).as("n_values"), sum("_p").as("n_pos"))
     summary
       .join(broadcast(abFrame(ab)), Seq("_g"))
-      .join(binnedEce(cat, col("_s"), nBins, "ece_before"), Seq("_g"))
-      .join(binnedEce(fitted, col("_pp"), nBins, "ece_after"), Seq("_g"))
+      .join(broadcast(binnedEce(cat, col("_s"), nBins, "ece_before")), Seq("_g"))
+      .join(broadcast(binnedEce(fitted, col("_pp"), nBins, "ece_after")), Seq("_g"))
       .select(col("_g").as(groupCol), col("_a").as("a"), col("_b").as("b"),
         col("n"), col("n_values"), col("n_pos"),
         col("ece_before"), col("ece_after"))

@@ -1029,7 +1029,15 @@ class PlanInvariantsSpec extends SparkSpec {
       // q_url_filter 1.15 s in the storm window — domain distinct +
       // suffix-hit verdict agg + the per-doc left join + category
       // roll-up; the rule side broadcasts
-      "q_url_filter" -> 5)
+      "q_url_filter" -> 5,
+      // r20: Platt scaling enters the clean-window tail on arrival
+      // (1.93 s at steal 0.38): iterations run against the
+      // checkpointed score catalog (driver-side (a,b) model, no
+      // per-round corpus exchange); the audited read-out carries the
+      // summary agg, the fitted-frame join, and the two ECE binning
+      // agg+roll-up pairs — all catalog-sized after the one
+      // (source, score) catalog agg
+      "q_platt" -> 9)
     // Self-updating coverage (VERDICT r16 item 2): the covered set
     // derives from the COMMITTED bench artifact, not a hardcoded list —
     // a query that newly enters the ≥ 1.5 s tail FAILS this suite until
