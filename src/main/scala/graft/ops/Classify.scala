@@ -112,10 +112,20 @@ object Classify {
       import spark.implicits._
       m.toSeq.sortBy(_._1).toDF("_b", "_w")
     }
-    def zFrame(m: Map[Long, Double]): DataFrame =
-      feat.join(broadcast(weightFrame(m)), Seq("_b"))
-        .groupBy("_id")
-        .agg(Portable.decSum(col("_x") * col("_w"), 12).as("_z"))
+    // The weight lookup is a LITERAL MAP expression, not a broadcast
+    // join: the model is bucket-catalog-sized and changes every round,
+    // so joining it costs a fresh broadcast + join per iteration (8 of
+    // each) where a codegen'd element_at costs nothing — and the values
+    // are identical doubles either way. Every observed bucket is a key
+    // (w is initialized from the feature frame's bucket set), so the
+    // lookup never misses.
+    def zFrame(m: Map[Long, Double]): DataFrame = {
+      val wMap = map(m.toSeq.sortBy(_._1)
+        .flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+      feat.groupBy("_id")
+        .agg(Portable.decSum(col("_x") * element_at(wMap, col("_b")), 12)
+          .as("_z"))
+    }
 
     for (_ <- 0 until iters) {
       val p = zFrame(w).join(labels, Seq("_id"))
