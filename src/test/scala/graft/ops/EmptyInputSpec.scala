@@ -528,7 +528,40 @@ class EmptyInputSpec extends SparkSpec {
       df(Seq.empty[R18hDoc]), "vec_id", "embedding", "doc_id", "source")
       .count() === 0)
   }
+
+  test("r20 ops on empty inputs") {
+    val emptyLab = df(Seq.empty[Lab20])
+    // logistic regression: no docs, no buckets, no model — empty read-out
+    assert(Classify.logisticRegression(df(Seq.empty[Doc16]), "doc_id",
+      "text", lit(true)).count() === 0)
+    // html extraction / url filter: empty corpus, empty report
+    assert(TextOps.htmlExtract(df(Seq.empty[Doc16]), "doc_id", "text")
+      .count() === 0)
+    assert(TextOps.urlCategoryFilter(df(Seq.empty[Doc16]), "doc_id", "text",
+      Seq("example.com" -> "ads")).count() === 0)
+    // calibration pair: no scores, no groups
+    assert(Profiling.isotonicCalibration(emptyLab, "grp", col("score"),
+      col("y") === 1).count() === 0)
+    assert(Profiling.isotonicFit(emptyLab, "grp", col("score"),
+      col("y") === 1).count() === 0)
+    assert(Profiling.plattScaling(emptyLab, "grp", col("score"),
+      col("y") === 1).count() === 0)
+    // two-covariate Cox: the one-row read-out degrades to the frozen
+    // θ = 1 / NULL-se shape (the coxPh zero-event convention)
+    val cm = EventOps.coxPhMulti(df(Seq.empty[Ord20]), "o_custkey",
+      "o_orderdate", u => pmod(u, lit(2L)) === 0,
+      df(Seq.empty[Seg20]), "custkey", "seg", v => v === "H",
+      censorDays = 0, unitDays = 1).head()
+    assert(cm.getLong(3) === 0L, "no events")
+    assert(cm.getDouble(4) === 1.0 && cm.getDouble(8) === 1.0,
+      "both hazard ratios frozen at the seed")
+    assert(cm.isNullAt(6) && cm.isNullAt(10), "se NULL at zero information")
+  }
 }
+
+case class Lab20(grp: String, score: Double, y: Long)
+case class Seg20(custkey: Long, seg: String)
+case class Ord20(o_custkey: Long, o_orderdate: java.sql.Date)
 
 case class Series16(key: String, t: Long, v: Double)
 case class Doc16(doc_id: Long, text: String)
