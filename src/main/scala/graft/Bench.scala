@@ -256,7 +256,10 @@ object Bench {
     catch { case _: Throwable => () }
     if (storm) System.err.println(
       s"[bench] STORM WINDOW (steal_sec=$stealSec, median_ratio=$medianRatio): " +
-        "full artifact written to BENCH_DIRTY.json; BENCH_LAST.json untouched")
+        "full artifact written to BENCH_DIRTY.json; BENCH_LAST.json untouched. " +
+        "If this is NOT steal but a durable host-mode change (low steal, " +
+        "uniform ratio — the r11 epoch shape), adjudicate per-query and " +
+        "promote manually: cp BENCH_DIRTY.json BENCH_LAST.json")
     spark.stop()
     println(compact)
   }

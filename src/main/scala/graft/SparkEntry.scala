@@ -1304,15 +1304,6 @@ object SparkEntry {
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
 
-    // Line-level dedup (CCNet granularity): the corpus texts carry no
-    // newlines, so line-structured docs are DERIVED deterministically —
-    // doc_id % 100 buckets, each bucket's texts joined with '\n' in
-    // doc_id order — and the classic boilerplate motivation is planted
-    // (replicated in the oracle, q_dedup_paragraph pattern): every
-    // derived doc gets the same license-header line prepended and the
-    // same footer line appended. dedupLines keeps both only in ldoc 0
-    // and strips them from the other 99 docs; content lines are unique
-    // and survive everywhere.
     // URL-category blocklist filter (r20): registrable-suffix rule
     // matching over extracted domains — subdomains hit their parent
     // rules via exploded dot-suffix keys against the broadcast rule
@@ -1345,6 +1336,15 @@ object SparkEntry {
       TextOps.htmlExtract(html, "doc_id", "html").orderBy("doc_id")
     }),
 
+    // Line-level dedup (CCNet granularity): the corpus texts carry no
+    // newlines, so line-structured docs are DERIVED deterministically —
+    // doc_id % 100 buckets, each bucket's texts joined with '\n' in
+    // doc_id order — and the classic boilerplate motivation is planted
+    // (replicated in the oracle, q_dedup_paragraph pattern): every
+    // derived doc gets the same license-header line prepended and the
+    // same footer line appended. dedupLines keeps both only in ldoc 0
+    // and strips them from the other 99 docs; content lines are unique
+    // and survive everywhere.
     "q_dedup_lines" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
         .select((col("doc_id") % 100).as("ldoc"), col("doc_id"), col("text"))
@@ -5678,7 +5678,7 @@ object SparkEntry {
     * Classify.logisticRegression's driver-side loop bit for bit: z sums
     * CAST(tf·w AS DECIMAL(28,12)) (exact, order-free), p is the one
     * 7-dp-rounded sigmoid, g/h decimal-snapshot per bucket, w re-rounds
-    * at 12 dp (+0 canon). Read-out: the final weight catalog with the
+    * at 9 dp (+0 canon). Read-out: the final weight catalog with the
     * exact-z Mann-Whitney AUC (the q_auc rank CTE, one logical group)
     * and z>0 accuracy repeated. Weight rounds at 9 dp (12 dp sits at
     * mantissa digit ~13 for O(0.1) weights, where Spark's string-based
@@ -7152,8 +7152,6 @@ object SparkEntry {
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
 
-    // Line numbering mirrors the engine's derived doc exactly: header at
-    // line 0, content lines at 1..cnt in doc_id order, footer at cnt+1.
     // URL blocklist filter (r20): same rotation, same suffix keys, same
     // struct-min verdict, same exact share.
     "q_url_filter" ->
@@ -7224,6 +7222,8 @@ object SparkEntry {
            END AS extracted_text
          FROM kp GROUP BY doc_id ORDER BY doc_id""",
 
+    // Line numbering mirrors the engine's derived doc exactly: header at
+    // line 0, content lines at 1..cnt in doc_id order, footer at cnt+1.
     "q_dedup_lines" ->
       """WITH content AS (
            SELECT doc_id % 100 AS ldoc,

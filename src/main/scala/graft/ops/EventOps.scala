@@ -1369,7 +1369,11 @@ object EventOps {
       sum(when(inCell(a, b), 1L).otherwise(0L)).as(s"_t$g"),
       sum(when(inCell(a, b) && col("_churn"), 1L).otherwise(0L)).as(s"_e$g"))
     }
+    // catalog-sized and CHECKPOINTED: both the risk-set cumulatives and
+    // the cohort totals derive from it, so the corpus (and the dim
+    // join) is scanned exactly once
     val perLife = lives.groupBy("_life").agg(cellAggs.head, cellAggs.tail: _*)
+      .localCheckpoint(true)
     val wDesc = Portable.kRowWindow(col("_life").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withRisk = (0 to 3).foldLeft(perLife) { (f, g) =>
@@ -1421,10 +1425,13 @@ object EventOps {
       }
     }
 
-    val tot = lives.agg(
-      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
-      sum(when(col("_b2"), 1L).otherwise(0L)).as("n_x2"))
+    // cohort totals from the checkpointed cell counts — identical longs
+    // (Σ over the life catalog of per-cell memberships), no second
+    // corpus pass
+    val tot = perLife.agg(
+      sum(col("_t1") + col("_t3")).as("n_a"),
+      sum(col("_t0") + col("_t2")).as("n_b"),
+      sum(col("_t2") + col("_t3")).as("n_x2"))
     val fin = stats.agg(coalesce(sum("_dl"), lit(0L)).as("n_events"),
       sums(th1, th2).drop(2): _*)
     val det = col("_i11") * col("_i22") - col("_i12") * col("_i12")

@@ -3241,47 +3241,8 @@ object Profiling {
         Portable.pround(lit(1.0) / col("_hhi"), 6)).as("effective_sources"))
   }
 
-  /** Isotonic calibration via pool-adjacent-violators (C319, r20) — the
-    * NONPARAMETRIC recalibration step between C-calibration's diagnosis
-    * ("the score is miscalibrated") and shipping the score as a
-    * probability: fit the best monotone map score → P(y=1) (Barlow et
-    * al. 1972; Zadrozny & Elkan 2002 for classifier calibration) and
-    * report ECE before/after off the existing calibration-binning
-    * machinery.
-    *
-    * PAV runs per group over the score's distinct-VALUE catalog
-    * (weights = value multiplicities — the isotonic fit over values
-    * with weights equals the fit over raw rows): one hash-agg collapses
-    * the corpus to (group, value, w, pos), one collect_list per group
-    * assembles the sorted catalog EXECUTOR-side (never the driver —
-    * groups are few, catalogs are value-bounded), and the classic
-    * stack-PAV runs as plain Scala inside a typed flatMap (the
-    * sanctioned per-group fold: an unbounded pool-merge loop is not
-    * expressible as a Column fold). All merge decisions compare
-    * cross-multiplied integer (pos, weight) pairs — no division, no
-    * float tie — so the block structure is engine-exact; fitted value
-    * = block pos/weight, one double division both engines perform on
-    * identical integers. The DuckDB oracle reaches the identical
-    * fixpoint by ITERATED RUN-POOLING in a recursive CTE (each pass
-    * pools maximal non-increasing runs — safe: adjacent violators
-    * always share a final block; convergence: strictly increasing
-    * block means = the unique isotonic fit, blocks = maximal constant
-    * runs in both algorithms).
-    *
-    * ECE before uses the raw score as the prediction, ECE after the
-    * fitted probability — same fixed-width bins, per-bin confidence
-    * 9-dp-rounded, contributions decimal-summed (the
-    * calibrationReport conventions). Returns one row per group:
-    * (group, n, n_values, n_blocks, ece_before, ece_after).
-    *
-    * Long cross-products bound pos·w by (rows per group)² — fine to
-    * ~3e9 rows per group; past that, widen to BigInt in the fold.
-    */
-  /** The PAV fit itself — the monotone score → P(y=1) map
-    * [[isotonicCalibration]] summarizes: one row per (group, distinct
-    * score) with its weight, positive count, fitted probability and
-    * block index. Exposed so callers can SERVE the calibration map,
-    * not just read its quality.
+  /** The (group, distinct score) → (weight, positives) catalog both
+    * calibration fits reduce through.
     */
   private def isotonicCatalog(df: DataFrame, groupCol: String,
                               scoreCol: Column, labelCol: Column): DataFrame =
@@ -3358,6 +3319,42 @@ object Profiling {
       .groupBy("_g").agg(round(Portable.decSum(col("_c"), 12), 9).as(outName))
   }
 
+  /** Isotonic calibration via pool-adjacent-violators (C319, r20) — the
+    * NONPARAMETRIC recalibration step between C-calibration's diagnosis
+    * ("the score is miscalibrated") and shipping the score as a
+    * probability: fit the best monotone map score → P(y=1) (Barlow et
+    * al. 1972; Zadrozny & Elkan 2002 for classifier calibration) and
+    * report ECE before/after off the existing calibration-binning
+    * machinery.
+    *
+    * PAV runs per group over the score's distinct-VALUE catalog
+    * (weights = value multiplicities — the isotonic fit over values
+    * with weights equals the fit over raw rows): one hash-agg collapses
+    * the corpus to (group, value, w, pos), one collect_list per group
+    * assembles the sorted catalog EXECUTOR-side (never the driver —
+    * groups are few, catalogs are value-bounded), and the classic
+    * stack-PAV runs as plain Scala inside a typed flatMap (the
+    * sanctioned per-group fold: an unbounded pool-merge loop is not
+    * expressible as a Column fold). All merge decisions compare
+    * cross-multiplied integer (pos, weight) pairs — no division, no
+    * float tie — so the block structure is engine-exact; fitted value
+    * = block pos/weight, one double division both engines perform on
+    * identical integers. The DuckDB oracle reaches the identical
+    * fixpoint by ITERATED RUN-POOLING in a recursive CTE (each pass
+    * pools maximal non-increasing runs — safe: adjacent violators
+    * always share a final block; convergence: strictly increasing
+    * block means = the unique isotonic fit, blocks = maximal constant
+    * runs in both algorithms).
+    *
+    * ECE before uses the raw score as the prediction, ECE after the
+    * fitted probability — same fixed-width bins, per-bin confidence
+    * 9-dp-rounded, contributions decimal-summed (the
+    * calibrationReport conventions). Returns one row per group:
+    * (group, n, n_values, n_blocks, ece_before, ece_after).
+    *
+    * Long cross-products bound pos·w by (rows per group)² — fine to
+    * ~3e9 rows per group; past that, widen to BigInt in the fold.
+    */
   def isotonicCalibration(df: DataFrame, groupCol: String, scoreCol: Column,
                           labelCol: Column, nBins: Int = 10): DataFrame = {
     val cat = isotonicCatalog(df, groupCol, scoreCol, labelCol)
