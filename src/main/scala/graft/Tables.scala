@@ -10,7 +10,29 @@ import org.apache.spark.sql.functions.{col, expr}
   * factor — and, on a real cluster, against any warehouse path.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Plan-level memo of loaded base tables, keyed per (session, dir, name).
+    *
+    * `spark.read.parquet(path)` pays a driver-side file listing plus a
+    * parquet footer read to infer the schema on EVERY call; a 369-query
+    * bench re-pays that for every table of every query (guide §6: listing
+    * and planning are driver-side, single-threaded costs). Memoizing the
+    * resolved DataFrame reuses the relation's FileIndex and schema across
+    * queries while changing NOTHING about execution: each action still
+    * scans the parquet files — no data is cached, so every bench/oracle
+    * invocation computes from the inputs (the no-result-caching rule is
+    * untouched; this is the same class of reuse as a shared Hive catalog
+    * entry). Keyed on the session so a new SparkSession (fresh Bench /
+    * Verify process, or a test harness with its own session) never sees
+    * another session's plans; entries die with the process.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name),
+      _ => loadUncached(spark, dir, name))
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped in two physical layouts across testdata
       // generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to map

@@ -87,8 +87,15 @@ object Classify {
                          iters: Int = 8, lambda: Double = 0.1): DataFrame = {
     val docs = df.select(col(idCol).as("_id"),
       labelCol.cast("boolean").cast("long").as("_y"))
-    val tok = df.select(col(idCol).as("_id"),
-      explode(TextOps.tokens(col(textCol))).as("_w"))
+    // r21 (guide §8): the doc-keyed exchange moves BEFORE the token
+    // fan-out — repartitioning the compact (id, text) rows parallelizes
+    // the explode+md5 stage (the single-file scan is one task) and
+    // hash(_id) satisfies every downstream per-doc aggregate and join,
+    // so the exploded token stream never crosses an exchange
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = df.repartition(nPart, col(idCol))
+      .select(col(idCol).as("_id"),
+        explode(TextOps.tokens(col(textCol))).as("_w"))
     val counts = tok
       .withColumn("_b", Portable.hash32(col("_w")) % nBuckets)
       .groupBy("_id", "_b").agg(count(lit(1)).as("_cnt"))
@@ -96,15 +103,41 @@ object Classify {
     val feat = counts.join(docLen, Seq("_id"))
       .select(col("_id"), col("_b"),
         (col("_cnt").cast("double") / col("_len").cast("double")).as("_x"))
-      .unionByName(df.select(col(idCol).as("_id"), lit(-1L).as("_b"),
-        lit(1.0d).as("_x")))
+    // r21 optimization (guide §2.3/§2.4): the training loop used to keep
+    // the feature frame in EXPLODED (doc, bucket, x) form, so every
+    // iteration paid a groupBy(_id) shuffle to rebuild z, a join back to
+    // the labels, and a second shuffle of the whole feature frame into
+    // the gradient's groupBy(_b) — three exchanges per round. Grouping
+    // ONCE to a per-doc feature array (docs × ≤ nBuckets+1 entries, the
+    // same bytes) makes z a row-local array aggregate (zero shuffles)
+    // and leaves exactly ONE exchange per round: the bucket-keyed
+    // gradient aggregate, which is the transpose the algorithm
+    // fundamentally needs. Every per-term product still snapshots to
+    // DECIMAL(28,12) before an exact decimal sum (sum(decimal(28,12))
+    // accumulates in decimal(38,12); the array fold below uses the same
+    // accumulator type), so z and g are bit-identical to the exploded
+    // form — regrouping an exact sum is order-free.
+    // the intercept pseudo-feature (bucket −1, x = 1) appends ROW-LOCALLY
+    // after grouping (same multiset of (b, x) terms as the former
+    // unionByName row; the union defeated the co-partitioning above) —
+    // the left join keeps token-free docs, which carry just the intercept
+    val intercept = array(struct(lit(-1L).as("_b"), lit(1.0d).as("_x")))
+    val docFeat = docs
+      .join(feat.groupBy("_id")
+        .agg(collect_list(struct(col("_b"), col("_x"))).as("_f0")),
+        Seq("_id"), "left")
+      .select(col("_id"), col("_y"),
+        when(col("_f0").isNull, intercept)
+          .otherwise(concat(col("_f0"), intercept)).as("_fs"))
       .localCheckpoint(true)
-    val labels = docs.localCheckpoint(true)
     val spark = df.sparkSession
 
-    // iteration-independent majorized curvature per bucket
-    val curv: Map[Long, Double] = feat.groupBy("_b")
-      .agg((Portable.decSum(col("_x"), 12) * lit(0.5d)).as("_hh"))
+    // iteration-independent majorized curvature per bucket (off the
+    // checkpointed per-doc frame: same terms, one cheap explode)
+    val curv: Map[Long, Double] = docFeat
+      .select(explode(col("_fs")).as("_f"))
+      .groupBy(col("_f._b").as("_b"))
+      .agg((Portable.decSum(col("_f._x"), 12) * lit(0.5d)).as("_hh"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     var w: Map[Long, Double] = curv.keys.map(_ -> 0.0d).toMap
 
@@ -119,21 +152,31 @@ object Classify {
     // are identical doubles either way. Every observed bucket is a key
     // (w is initialized from the feature frame's bucket set), so the
     // lookup never misses.
-    def zFrame(m: Map[Long, Double]): DataFrame = {
+    // z_i = Σ_j x_ij·w_j as a row-local fold over the feature array:
+    // each term casts to DECIMAL(28,12) exactly as Portable.decSum does,
+    // the accumulator is the same decimal(38,12) a builtin
+    // sum(decimal(28,12)) uses, and the exact result casts to double —
+    // bit-identical to the former groupBy(_id) aggregate, minus its
+    // exchange.
+    def zCol(m: Map[Long, Double]): Column = {
       val wMap = map(m.toSeq.sortBy(_._1)
         .flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
-      feat.groupBy("_id")
-        .agg(Portable.decSum(col("_x") * element_at(wMap, col("_b")), 12)
-          .as("_z"))
+      // accumulator stays decimal(32,12): the + result (decimal(33,12))
+      // casts back losslessly each step (|z| ≪ 10^20), so every addition
+      // is exact — a decimal(38,12) accumulator would widen to the
+      // precision cap and Spark would shave the scale to 11
+      aggregate(col("_fs"), lit(0).cast("decimal(32,12)"),
+        (acc, f) => (acc + (f.getField("_x") * element_at(wMap, f.getField("_b")))
+          .cast("decimal(28,12)")).cast("decimal(32,12)")).cast("double")
     }
 
     for (_ <- 0 until iters) {
-      val p = zFrame(w).join(labels, Seq("_id"))
-        .select(col("_id"), col("_y"),
-          round(lit(1.0d) / (lit(1.0d) + exp(-col("_z"))), 7).as("_p"))
-      val g = feat.join(p, Seq("_id"))
-        .groupBy("_b")
-        .agg(Portable.decSum(col("_x") * (col("_y") - col("_p")), 12).as("_g"))
+      val g = docFeat
+        .select(col("_fs"), col("_y"),
+          round(lit(1.0d) / (lit(1.0d) + exp(-zCol(w))), 7).as("_p"))
+        .select(explode(col("_fs")).as("_f"), col("_y"), col("_p"))
+        .groupBy(col("_f._b").as("_b"))
+        .agg(Portable.decSum(col("_f._x") * (col("_y") - col("_p")), 12).as("_g"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       w = w.map { case (b, wb) =>
         val step = wb + (g.getOrElse(b, 0.0d) - lambda * wb) /
@@ -143,8 +186,7 @@ object Classify {
       }
     }
 
-    val scored = zFrame(w).join(labels, Seq("_id"))
-      .select(col("_id"), col("_y"), col("_z"))
+    val scored = docFeat.select(col("_id"), col("_y"), zCol(w).as("_z"))
     val eval = Profiling.rocAuc(scored.withColumn("_grp", lit("all")),
         "_grp", col("_z"), col("_y") === 1)
       .select(col("n"), col("n_pos"), col("auc"))

@@ -1189,31 +1189,67 @@ object EventOps {
         (col("_n") - col("_n1")).cast("double").as("_n0"),
         col("_d").as("_dl"))
       .localCheckpoint(true)
-    val th = coxNewtonTheta(stats, iters)
+    val statRows = collectCoxStats(stats)
+    val th = coxNewtonThetaLocal(statRows, iters)
     val tot = lives.agg(
       sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
-    tot.crossJoin(broadcast(coxFinal(stats, th)))
+    tot.crossJoin(broadcast(coxFinalLocal(perUser.sparkSession, statRows, th)))
       .select((Seq(col("n_a"), col("n_b"), col("n_events")) ++
         coxReadoutCols(th)): _*)
   }
+
+  /** Driver-side replica of Portable.decSum(_, 12) over already-computed
+    * double terms (r21): each finite term snapshots exactly as Spark's
+    * double→DECIMAL(28,12) cast does (BigDecimal.valueOf = the same
+    * Double.toString construction, then HALF_UP at scale 12), non-finite
+    * terms drop as the cast's null does, the exact sum converts back
+    * once. None ⇔ the engine aggregate's NULL (no finite term).
+    */
+  private def decSum12(terms: Iterator[Double]): Option[Double] = {
+    var acc: java.math.BigDecimal = null
+    terms.foreach { x =>
+      if (java.lang.Double.isFinite(x)) {
+        val d = java.math.BigDecimal.valueOf(x)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        acc = if (acc == null) d else acc.add(d)
+      }
+    }
+    Option(acc).map(_.doubleValue)
+  }
+
+  /** Per-event-time stats rows (d1, d, n1, n0) collected once — the
+    * lifetime catalog, ≤ a few dozen rows (the sanctioned model-sized
+    * read; the frame is checkpointed by every caller).
+    */
+  private def collectCoxStats(stats: DataFrame): Array[(Double, Double, Double, Double, Long)] =
+    stats.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getLong(4)))
 
   /** The θ-space Newton loop shared by [[coxPh]] and
     * [[coxPhStratified]]: the stratified partial likelihood is the
     * PRODUCT over strata, so its score and information are the same
     * per-event-time sums taken over the pooled stats rows.
+    *
+    * r21: the loop runs DRIVER-SIDE over the collected event-time
+    * catalog — 12 iterations used to cost 12 plan+codegen+job round
+    * trips (~0.2 s each of pure driver latency) for aggregates over a
+    * couple dozen checkpointed rows. Every term replays the engine
+    * expression tree verbatim (same IEEE op order) and [[decSum12]]
+    * replays the decimal snapshot, so θ is bit-identical per round;
+    * a null score read as 0.0 (Row.getDouble on null) is replicated
+    * by getOrElse(0.0).
     */
-  private def coxNewtonTheta(stats: DataFrame, iters: Int): Double = {
+  private def coxNewtonThetaLocal(rows: Array[(Double, Double, Double, Double, Long)],
+                                  iters: Int): Double = {
     var th = 1.0
     for (_ <- 0 until iters) {
-      val den = col("_n0") + col("_n1") * lit(th)
-      val row = stats.agg(
-        Portable.decSum(col("_d1") - col("_d") * col("_n1") * lit(th) / den, 12)
-          .as("_u"),
-        Portable.decSum(col("_d") * col("_n0") * col("_n1") / (den * den), 12)
-          .as("_j")).collect()(0)
-      if (!row.isNullAt(1) && row.getDouble(1) > 0) {
-        val step = th + row.getDouble(0) / row.getDouble(1)
+      val u = decSum12(rows.iterator.map { case (d1, d, n1, n0, _) =>
+        d1 - d * n1 * th / (n0 + n1 * th) })
+      val j = decSum12(rows.iterator.map { case (_, d, n1, n0, _) =>
+        val den = n0 + n1 * th; d * n0 * n1 / (den * den) })
+      if (j.isDefined && j.get > 0) {
+        val step = th + u.getOrElse(0.0) / j.get
         th = java.math.BigDecimal.valueOf(math.max(step, 1e-12))
           .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
       }
@@ -1221,12 +1257,17 @@ object EventOps {
     th
   }
 
-  private def coxFinal(stats: DataFrame, th: Double): DataFrame = {
-    val den = col("_n0") + col("_n1") * lit(th)
-    stats.agg(
-      coalesce(sum("_dl"), lit(0L)).as("n_events"),
-      Portable.decSum(col("_d") * col("_n0") * col("_n1") / (den * den), 12)
-        .as("_j"))
+  /** (n_events, J(θ)) as a 1-row local frame — same values the former
+    * in-engine aggregate produced, without its job.
+    */
+  private def coxFinalLocal(spark: org.apache.spark.sql.SparkSession,
+                            rows: Array[(Double, Double, Double, Double, Long)],
+                            th: Double): DataFrame = {
+    import spark.implicits._
+    val nEvents = rows.map(_._5).sum
+    val j = decSum12(rows.iterator.map { case (_, d, n1, n0, _) =>
+      val den = n0 + n1 * th; d * n0 * n1 / (den * den) })
+    Seq((nEvents, j)).toDF("n_events", "_j")
   }
 
   private def coxReadoutCols(th: Double): Seq[Column] = {
@@ -1284,12 +1325,13 @@ object EventOps {
         (col("_n") - col("_n1")).cast("double").as("_n0"),
         col("_d").as("_dl"))
       .localCheckpoint(true)
-    val th = coxNewtonTheta(stats, iters)
+    val statRows = collectCoxStats(stats)
+    val th = coxNewtonThetaLocal(statRows, iters)
     val tot = lives.agg(
       sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
       countDistinct("_st").as("n_strata"))
-    tot.crossJoin(broadcast(coxFinal(stats, th)))
+    tot.crossJoin(broadcast(coxFinalLocal(df.sparkSession, statRows, th)))
       .select((Seq(col("n_a"), col("n_b"), col("n_strata"), col("n_events")) ++
         coxReadoutCols(th)): _*)
   }
@@ -1392,29 +1434,47 @@ object EventOps {
         dTot.as("_dl"))
       .localCheckpoint(true)
 
-    def sums(th1: Double, th2: Double): Seq[Column] = {
-      val s0 = col("_n0") + col("_n1") * lit(th1) + col("_n2") * lit(th2) +
-        col("_n3") * lit(th1) * lit(th2)
-      val r1 = (col("_n1") * lit(th1) + col("_n3") * lit(th1) * lit(th2)) / s0
-      val r2 = (col("_n2") * lit(th2) + col("_n3") * lit(th1) * lit(th2)) / s0
-      val r12 = (col("_n3") * lit(th1) * lit(th2)) / s0
+    // r21: the 2×2 Newton runs DRIVER-SIDE over the collected event-time
+    // catalog (same move as coxNewtonThetaLocal — 12 iterations of
+    // plan+codegen+job round trips for a few-dozen-row aggregate were
+    // ~5 s of pure driver latency). Each term replays the engine
+    // expression tree verbatim; [[decSum12]] replays the decimal
+    // snapshot; the all-five-non-null gate matches the former
+    // row.isNullAt check, so θ₁/θ₂ are bit-identical per round.
+    val statRows: Array[(Double, Double, Double, Double, Double, Double, Double, Long)] =
+      stats.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    // stats row order: (_d, _d1, _d2, _n0, _n1, _n2, _n3, _dl)
+    def localSums(th1: Double, th2: Double): Seq[Option[Double]] = {
+      def terms(f: (Double, Double, Double, Double, Double, Double, Double) => Double) =
+        decSum12(statRows.iterator.map { case (d, d1, d2, n0, n1, n2, n3, _) =>
+          f(d, d1, d2, n0, n1, n2, n3) })
+      def s0(n0: Double, n1: Double, n2: Double, n3: Double) =
+        n0 + n1 * th1 + n2 * th2 + n3 * th1 * th2
+      def r1(n0: Double, n1: Double, n2: Double, n3: Double) =
+        (n1 * th1 + n3 * th1 * th2) / s0(n0, n1, n2, n3)
+      def r2(n0: Double, n1: Double, n2: Double, n3: Double) =
+        (n2 * th2 + n3 * th1 * th2) / s0(n0, n1, n2, n3)
+      def r12(n0: Double, n1: Double, n2: Double, n3: Double) =
+        (n3 * th1 * th2) / s0(n0, n1, n2, n3)
       Seq(
-        Portable.decSum(col("_d1") - col("_d") * r1, 12).as("_u1"),
-        Portable.decSum(col("_d2") - col("_d") * r2, 12).as("_u2"),
-        Portable.decSum(col("_d") * (r1 - r1 * r1), 12).as("_i11"),
-        Portable.decSum(col("_d") * (r2 - r2 * r2), 12).as("_i22"),
-        Portable.decSum(col("_d") * (r12 - r1 * r2), 12).as("_i12"))
+        terms((d, d1, _, n0, n1, n2, n3) => d1 - d * r1(n0, n1, n2, n3)),
+        terms((d, _, d2, n0, n1, n2, n3) => d2 - d * r2(n0, n1, n2, n3)),
+        terms((d, _, _, n0, n1, n2, n3) => {
+          val r = r1(n0, n1, n2, n3); d * (r - r * r) }),
+        terms((d, _, _, n0, n1, n2, n3) => {
+          val r = r2(n0, n1, n2, n3); d * (r - r * r) }),
+        terms((d, _, _, n0, n1, n2, n3) =>
+          d * (r12(n0, n1, n2, n3) - r1(n0, n1, n2, n3) * r2(n0, n1, n2, n3))))
     }
     def round9clamp(x: Double): Double =
       java.math.BigDecimal.valueOf(math.max(x, 1e-9))
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
     var th1 = 1.0; var th2 = 1.0
     for (_ <- 0 until iters) {
-      val ss = sums(th1, th2)
-      val row = stats.agg(ss.head, ss.tail: _*).collect()(0)
-      if (!(0 to 4).exists(row.isNullAt)) {
-        val (u1, u2) = (row.getDouble(0), row.getDouble(1))
-        val (i11, i22, i12) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+      val ss = localSums(th1, th2)
+      if (ss.forall(_.isDefined)) {
+        val Seq(u1, u2, i11, i22, i12) = ss.map(_.get)
         val det = i11 * i22 - i12 * i12
         if (det > 0) {
           val d1 = (i22 * u1 - i12 * u2) / det
@@ -1432,8 +1492,13 @@ object EventOps {
       sum(col("_t1") + col("_t3")).as("n_a"),
       sum(col("_t0") + col("_t2")).as("n_b"),
       sum(col("_t2") + col("_t3")).as("n_x2"))
-    val fin = stats.agg(coalesce(sum("_dl"), lit(0L)).as("n_events"),
-      sums(th1, th2).drop(2): _*)
+    val fin = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val nEvents = statRows.map(_._8).sum
+      val Seq(_, _, i11, i22, i12) = localSums(th1, th2)
+      Seq((nEvents, i11, i22, i12)).toDF("n_events", "_i11", "_i22", "_i12")
+    }
     val det = col("_i11") * col("_i22") - col("_i12") * col("_i12")
     tot.crossJoin(broadcast(fin))
       .select(col("n_a"), col("n_b"), col("n_x2"), col("n_events"),

@@ -136,10 +136,19 @@ object Graph {
       .distinct().localCheckpoint(true)
     val nNodes = nodes.count().toDouble
     val outDeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
-    val eDeg = e.join(outDeg, Seq("_src")).localCheckpoint(true)
+    // r21 (guide §2.4, the labelPropagation layout): HASH-PARTITION the
+    // degree-folded edge list on its join key BEFORE the one-time
+    // checkpoint (explicit partition count so AQE cannot re-coalesce it
+    // into a layout the join sides can't share) — every round then
+    // shuffles only the node-sized rank frame into the join, never the
+    // edge list; SHUFFLE_HASH keeps the stats-blind post-checkpoint
+    // planner off SortMergeJoin (two per-round sorts for nothing).
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val eDeg = e.join(outDeg, Seq("_src"))
+      .repartition(nPart, col("_src")).localCheckpoint(true)
     var ranks = nodes.select(col("id"), (lit(1.0) / lit(nNodes)).as("rank"))
     for (i <- 0 until iters) {
-      val contrib = eDeg.join(ranks, eDeg("_src") === ranks("id"))
+      val contrib = eDeg.join(ranks.hint("SHUFFLE_HASH"), eDeg("_src") === ranks("id"))
         .select(col("_dst").as("id"), (col("rank") / col("_deg")).as("_c"))
       val summed = contrib.groupBy("id")
         .agg(sum(col("_c").cast("decimal(28,12)")).cast("double").as("_in"))
@@ -173,7 +182,11 @@ object Graph {
     val nodes = e.select(col("_src").as("id")).union(e.select(col("_dst").as("id")))
       .distinct().localCheckpoint(true)
     val outDeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
-    val eDeg = e.join(outDeg, Seq("_src")).localCheckpoint(true)
+    // r21: same loop-invariant edge layout as pageRank — partitioned on
+    // the join key once, so rounds shuffle only the rank frame
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val eDeg = e.join(outDeg, Seq("_src"))
+      .repartition(nPart, col("_src")).localCheckpoint(true)
     val seedSet = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .join(nodes, Seq("id"), "left_semi").localCheckpoint(true)
     val nSeeds = seedSet.count().toDouble
@@ -184,7 +197,7 @@ object Graph {
       .select(col("id"), coalesce(col("_p"), lit(0.0)).as("rank"))
     val pFull = ranks.select(col("id"), col("rank").as("_p")).localCheckpoint(true)
     for (i <- 0 until iters) {
-      val contrib = eDeg.join(ranks, eDeg("_src") === ranks("id"))
+      val contrib = eDeg.join(ranks.hint("SHUFFLE_HASH"), eDeg("_src") === ranks("id"))
         .select(col("_dst").as("id"), (col("rank") / col("_deg")).as("_c"))
       val summed = contrib.groupBy("id")
         .agg(sum(col("_c").cast("decimal(28,12)")).cast("double").as("_in"))
@@ -894,6 +907,14 @@ object Graph {
         .groupBy("seed")
         .agg(min(struct(Portable.hash32(key).as("_h"), col("_dst").as("_v"))).as("_n"))
         .select(col("seed"), col("_n._v").as("node"))
+        // r21: LAZY checkpoint per step — the final union reads step t's
+        // frontier from TWO branches (its own output row and step t+1's
+        // input), so without a truncation point the t-th branch re-ran
+        // the entire 1..t join chain: measured 47 s of summed task time
+        // at sf0.1 for the 4-step walk vs ~3 s with the cache (the
+        // bfs/sssp lazy-checkpoint contract; no extra job — the RDD
+        // caches on first use)
+        .localCheckpoint(false)
       out = out.unionByName(frontier.select(col("seed"), lit(t.toLong).as("step"), col("node")))
     }
     out

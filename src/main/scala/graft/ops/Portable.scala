@@ -96,6 +96,22 @@ object Portable {
     (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
   }
 
+  /** Scan-parallelism guard (r21): round-robin-spread a frame across the
+    * session's parallelism ONLY when its physical scan has fewer splits —
+    * the driver test tables are single-row-group parquet files, so every
+    * map stage otherwise runs on one core regardless of cluster size. On
+    * real inputs (many files / row groups) this is a structural no-op:
+    * the scan already has ≥ the session's partitions and NO exchange is
+    * added, so nothing extra ships at 100 TB. Use only in front of heavy
+    * row-local fan-out (explode/shingle/score) feeding a NON-key-aligned
+    * aggregate; key-aligned pipelines should hash-repartition on their
+    * key instead and earn the exchange back downstream.
+    */
+  def spreadSmallScan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Portable 32-bit non-negative integer hash of a string column.
     * DuckDB equivalent: ('0x' || substr(md5(x), 1, 8))::BIGINT
     */

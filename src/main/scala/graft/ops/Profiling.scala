@@ -3413,10 +3413,20 @@ object Profiling {
         .toDF("_g", "_a", "_b")
     def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0d
-    def withP(m: Map[String, (Double, Double)]): DataFrame =
-      cat.join(broadcast(abFrame(m)), Seq("_g"))
+    // r21: (a, b) are GROUP-CATALOG-sized and change every round — the
+    // C317 literal-map convention replaces the former per-iteration
+    // broadcast join (8 broadcast exchanges + joins for values a
+    // codegen'd element_at reads in place; the doubles are identical
+    // either way, so _pp is bit-identical)
+    def withP(m: Map[String, (Double, Double)]): DataFrame = {
+      val ms = m.toSeq.sortBy(_._1)
+      val mapA = map(ms.flatMap { case (g, (a, _)) => Seq(lit(g), lit(a)) }: _*)
+      val mapB = map(ms.flatMap { case (g, (_, b)) => Seq(lit(g), lit(b)) }: _*)
+      cat.withColumn("_a", element_at(mapA, col("_g")))
+        .withColumn("_b", element_at(mapB, col("_g")))
         .withColumn("_pp", round(lit(1.0d) /
           (lit(1.0d) + exp(-(col("_a") * col("_s") + col("_b")))), 7) + lit(0.0d))
+    }
     for (_ <- 0 until iters) {
       val q = col("_pp") * (lit(1.0d) - col("_pp"))
       val rows = withP(ab).groupBy("_g").agg(

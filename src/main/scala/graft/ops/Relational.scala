@@ -924,28 +924,62 @@ object Relational {
       .join(wins.hint("SHUFFLE_HASH"), Seq("p"), "left")
       .select(col("p"), coalesce(col("_w"), lit(0L)).as("_w"), col("_tot"))
       .localCheckpoint(true)
-    var pi = players.select(col("p"), lit(1.0).as("_pi"))
+    // r21 optimization (guide §2.4 / the C317 literal-map convention):
+    // π is PLAYER-CATALOG-sized and changes every round — exactly the
+    // shape whose per-round broadcast-join + eager-checkpoint loop paid
+    // 2 broadcasts, 2 joins and a materialization job per iteration for
+    // values two driver-built broadcast relations attach in place. The
+    // state now lives in a driver map (the C135/C317 catalog-bounded
+    // read: one (p, den) collect per round, ≤ |players| doubles); each
+    // round is ONE job — the sym → groupBy(i) decimal aggregate with
+    // both π sides broadcast from LOCAL relations (no build job, no
+    // lineage chain, no checkpoint). Update arithmetic is replayed
+    // EXACTLY: w/den and π/norm are the same double divisions, and the
+    // normalizer replicates Portable.decSum(_, 12) term for term —
+    // java BigDecimal.valueOf(x).setScale(12, HALF_UP) is the same
+    // snapshot Spark's double→decimal(28,12) cast performs, summed
+    // exactly (the plattScaling round6 replication precedent); non-
+    // finite terms drop, as the cast's null does. π_i values are
+    // bit-identical round for round, so the committed hashes stand.
+    val playerRows = players.collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue,
+        r.get(2).asInstanceOf[Number].longValue))
+    var pi: Map[Long, Double] = playerRows.map { case (p, _, _) => p -> 1.0d }.toMap
+    val dec12 = (x: Double) =>
+      java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+    val spark0 = pairCounts.sparkSession
+    def piFrameOf(m: Map[Long, Double], key: String, v: String): DataFrame = {
+      import spark0.implicits._
+      m.toSeq.sortBy(_._1).toDF(key, v)
+    }
     for (_ <- 1 to iters) {
+      // π attaches through two BROADCAST joins of driver-built local
+      // relations (no Spark job to build them — LocalTableScan
+      // broadcasts assemble on the driver thread) with hash-map lookup
+      // per row; a literal-map element_at was measured 4× more task
+      // time here (GetMapValue linear-scans its 1000 entries per row)
       val den = sym
-        .join(broadcast(pi.select(col("p").as("i"), col("_pi").as("_pa"))), Seq("i"))
-        .join(broadcast(pi.select(col("p").as("j"), col("_pi").as("_pb"))), Seq("j"))
+        .join(broadcast(piFrameOf(pi, "i", "_pa")), Seq("i"))
+        .join(broadcast(piFrameOf(pi, "j", "_pb")), Seq("j"))
         .groupBy(col("i").as("p"))
         .agg(graft.ops.Portable.decSum(
-          col("m").cast("double") / (col("_pa") + col("_pb")), 12).as("_den"))
-      val u = players.join(den.hint("SHUFFLE_HASH"), Seq("p"))
-        .select(col("p"), (col("_w").cast("double") / col("_den")).as("_pi2"))
-      val norm = u.agg(graft.ops.Portable.decSum(col("_pi2"), 12).as("_norm"))
-      // per-round eager checkpoint of the catalog-sized state (the
-      // pageRank contract): π is referenced THREE times by the next
-      // round (two broadcast sides + the normalization's parent) — an
-      // unmaterialized chain re-executes the whole history per
-      // reference, ~3^iters recomputation (measured 42 s at sf0.1;
-      // 1.4 s with the barrier)
-      pi = u.crossJoin(broadcast(norm))
-        .select(col("p"), (col("_pi2") / col("_norm")).as("_pi"))
-        .localCheckpoint(true)
+          col("m").cast("double") / (col("_pa") + col("_pb")), 12)
+          .as("_den"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val u = playerRows.flatMap { case (p, w, _) =>
+        den.get(p).map(d => p -> (w.toDouble / d))
+      }
+      val norm = u.map(_._2).filter(java.lang.Double.isFinite)
+        .map(dec12).foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+      pi = u.map { case (p, v) => p -> v / norm }.toMap
     }
-    players.join(pi.hint("SHUFFLE_HASH"), Seq("p"))
+    val piFrame = {
+      val spark = pairCounts.sparkSession
+      import spark.implicits._
+      pi.toSeq.sortBy(_._1).toDF("p", "_pi")
+    }
+    players.join(broadcast(piFrame), Seq("p"))
       .select(col("p"), col("_w").as("wins"),
         (col("_tot") - col("_w")).as("losses"),
         graft.ops.Portable.pround(col("_pi"), 6).as("strength"))

@@ -2554,13 +2554,23 @@ object TextOps {
     */
   def naiveBayesScores(df: DataFrame, labelCol: String, textCol: String,
                        idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("_id"), col(labelCol).as("_true"),
-      explode(tokens(col(textCol))).as("_w"))
+    // r21 (guide §2.3/§2.4): ONE corpus explode — the per-(doc, token)
+    // count frame is checkpointed and every other statistic is a
+    // rollup of it (cnt = Σ tf over docs, ltot = Σ tf over vocab,
+    // vocab = its distinct tokens: identical integers by associativity).
+    // The doc-keyed exchange runs BEFORE the token fan-out (compact
+    // rows; hash(_id) then satisfies the tf aggregate), and the four
+    // separate explode+shuffle passes collapse into one.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = df.repartition(nPart, col(idCol))
+      .select(col(idCol).as("_id"), col(labelCol).as("_true"),
+        explode(tokens(col(textCol))).as("_w"))
     val tf = tok.groupBy("_id", "_true", "_w").agg(count(lit(1)).as("_tf"))
-    val cnt = tok.groupBy(col("_true").as("_l"), col("_w"))
-      .agg(count(lit(1)).as("_c"))
-    val ltot = tok.groupBy(col("_true").as("_l")).agg(count(lit(1)).as("_tot"))
-    val vocab = tok.agg(countDistinct("_w").as("_v"))
+      .localCheckpoint(true)
+    val cnt = tf.groupBy(col("_true").as("_l"), col("_w"))
+      .agg(sum(col("_tf")).as("_c"))
+    val ltot = tf.groupBy(col("_true").as("_l")).agg(sum(col("_tf")).as("_tot"))
+    val vocab = tf.agg(countDistinct("_w").as("_v"))
     val nDocs = df.agg(count(lit(1)).as("_nn"))
     val priors = df.groupBy(col(labelCol).as("_l")).agg(count(lit(1)).as("_nd"))
     val labels = priors.join(ltot, Seq("_l")).crossJoin(vocab).crossJoin(nDocs)
@@ -2596,15 +2606,21 @@ object TextOps {
   def nbLabelSuspects(df: DataFrame, labelCol: String, textCol: String,
                       idCol: String, topK: Int): DataFrame = {
     val scored = naiveBayesScores(df, labelCol, textCol, idCol)
-    val trueScore = scored.where(col("_cand") === col("_true"))
-      .select(col("_id"), col("_score").as("_ts"))
-    val bestOther = scored.where(col("_cand") =!= col("_true"))
-      .groupBy(col("_id"), col("_true"))
-      .agg(min(struct((col("_score") * -1).as("_ns"), col("_cand").as("_bl"))).as("_b"))
+    // r21: own-label score and best-other-label pick in ONE grouped pass
+    // (conditional aggregates) — the two-branch form evaluated the whole
+    // NB scoring twice and paid a join to glue the halves back; min/max
+    // skip the nulls the when() guards produce, so both values are the
+    // ones the branches computed
+    scored.groupBy(col("_id"), col("_true"))
+      .agg(
+        max(when(col("_cand") === col("_true"), col("_score"))).as("_ts"),
+        min(when(col("_cand") =!= col("_true"),
+          struct((col("_score") * -1).as("_ns"), col("_cand").as("_bl")))).as("_b"))
       .select(col("_id"), col("_true"),
-        col("_b._bl").as("suspect_label"), (col("_b._ns") * -1).as("_bs"))
-    bestOther.join(trueScore, Seq("_id"))
-      .where(col("_bs") > col("_ts"))
+        col("_b._bl").as("suspect_label"), (col("_b._ns") * -1).as("_bs"),
+        col("_ts"))
+      .where(col("_bs").isNotNull && col("_ts").isNotNull &&
+        col("_bs") > col("_ts"))
       .withColumn("_margin", col("_bs") - col("_ts"))
       .orderBy(col("_margin").desc, col("_id").asc)
       .limit(topK)
@@ -2663,18 +2679,34 @@ object TextOps {
     * bit-identical in both engines, the sums decimal-accumulate, and
     * the slope/intercept divisions are the only remaining float steps.
     */
+  /** `perDocTokens` / `docShingles` (r21, guide §1.2 "don't recompute
+    * what an artifact already holds"): a (doc, token, tf) frame and a
+    * per-doc shingle frame built by the SAME recipes this operator
+    * would otherwise run ([[graft.sources.TokenStore]] /
+    * [[graft.sources.ShingleStore]]) — rolling them up reproduces the
+    * token totals (Σ tf = token count) and first-doc-per-shingle
+    * exactly, and skips both corpus explodes.
+    */
   def heapsLaw(df: DataFrame, idCol: String, textCol: String,
-               gram: Int = 3, minExp: Int = 4): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("_id"),
-      explode(tokens(col(textCol))).as("_tok"))
+               gram: Int = 3, minExp: Int = 4,
+               perDocTokens: Option[DataFrame] = None,
+               docShingles: Option[DataFrame] = None): DataFrame = {
     // checkpoint exponents: minExp .. bitlen(max id) (the last checkpoint
     // 2^bitlen > max id covers the whole corpus; earlier ones are strict
     // prefixes). One broadcast 1-row frame pins the upper bound.
     val hi = df.agg(length(bin(max(col(idCol).cast("long")))).as("_hiExp"))
-    val perDoc = toks.groupBy("_id").agg(count(lit(1)).as("_ntok"))
-    val firstDoc = shingles(df, idCol, textCol, gram)
-      .select(col(idCol).cast("long").as("_id"), col("shingle"))
-      .groupBy("shingle").agg(min("_id").as("_fid"))
+    val perDoc = perDocTokens.fold(
+      df.select(col(idCol).cast("long").as("_id"),
+          explode(tokens(col(textCol))).as("_tok"))
+        .groupBy("_id").agg(count(lit(1)).as("_ntok")))(
+      t => t.groupBy(col(idCol).cast("long").as("_id"))
+        .agg(sum(col("tf")).as("_ntok")))
+    val firstDoc = docShingles.fold(
+      shingles(df, idCol, textCol, gram)
+        .select(col(idCol).cast("long").as("_id"), col("shingle"))
+        .groupBy("shingle").agg(min("_id").as("_fid")))(
+      sh => sh.select(col(idCol).cast("long").as("_id"), col("shingle"))
+        .groupBy("shingle").agg(min("_id").as("_fid")))
     def cumAtCheckpoints(src: DataFrame, idc: String, valc: Column,
                          out: String): DataFrame =
       src.crossJoin(broadcast(hi))
@@ -2858,14 +2890,35 @@ object TextOps {
   def dupRateCurve(df: DataFrame, idCol: String, textCol: String,
                    ns: Seq[Int]): DataFrame = {
     require(ns.nonEmpty, "no shingle sizes")
-    ns.map { n =>
-      shingles(df, idCol, textCol, n)
-        .groupBy("shingle").agg(count(lit(1)).as("_c"))
-        .agg(sum("_c").as("n_instances"), count(lit(1)).as("n_distinct"))
-        .select(lit(n.toLong).as("n"), col("n_instances"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast("double") /
-            col("n_instances").cast("double"), 6).as("dup_rate"))
-    }.reduce(_ unionAll _)
+    // r21 (guide §2.3): ONE corpus pass for every shingle size — each
+    // size used to re-tokenize and re-explode the corpus into its own
+    // groupBy (4 scans, 8 exchanges for the standard 1/2/3/5 curve).
+    // All sizes now ride one explode of (n, shingle) pairs built
+    // row-locally, one (n, shingle) count aggregate, and one final
+    // (n) rollup — same per-size multisets (the gram arrays are the
+    // [[shingles]] recipe verbatim), so counts and rates are identical.
+    val t = tokens(col(textCol))
+    val perSize = ns.map { n =>
+      val idx = sequence(lit(0), size(t) - n)
+      val grams = when(size(t) >= n,
+        array_distinct(transform(idx, i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      ).otherwise(array(concat_ws(" ", t)))
+      transform(grams, g => struct(lit(n.toLong).as("n"), g.as("shingle")))
+    }
+    // the (n, shingle) aggregate is NOT doc-keyed, so a doc repartition
+    // buys nothing at scale (the exchange ships partial gram counts
+    // either way) — spread ONLY when the scan itself has fewer splits
+    // than the session's parallelism (the single-row-group bench file),
+    // where the 4-size explode would otherwise run on one core
+    val spread = Portable.spreadSmallScan(df.select(col(idCol), col(textCol)))
+    spread.select(explode(flatten(array(perSize: _*))).as("_p"))
+      .select(col("_p.n").as("n"), col("_p.shingle").as("shingle"))
+      .groupBy("n", "shingle").agg(count(lit(1)).as("_c"))
+      .groupBy("n")
+      .agg(sum("_c").as("n_instances"), count(lit(1)).as("n_distinct"))
+      .select(col("n"), col("n_instances"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_instances").cast("double"), 6).as("dup_rate"))
   }
 
   /** LSH join-cost forecast over the SimHash band buckets: per 16-bit
@@ -3057,21 +3110,42 @@ object TextOps {
       .select(col(idCol).as("_id"), col(langCol).as("_lang"), norm.as("_t"))
       .where(length(col("_t")) >= 3)
       .withColumn("_train", pmod(col("_id"), lit(2)) === 0)
+    // r21: build the trigram ARRAY row-locally and explode that — the
+    // former sequence-explode carried the full document text into every
+    // generated index row (L−2 copies of a ~1 KB string per doc) before
+    // substr ran; same trigrams, ~KB-per-row → 3-bytes-per-row explode.
+    // The doc-keyed exchange moves BEFORE the fan-out (guide §8: decide
+    // placement on small rows): repartitioning the compact (id, text)
+    // rows lets the explode run on every core instead of inside the
+    // single-task scan stage, and hash(_id) already satisfies the
+    // (id, …, gram) aggregate's distribution — the 40×-larger exploded
+    // gram stream never crosses an exchange at all.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val grams = base
+      .repartition(nPart, col("_id"))
       .select(col("_id"), col("_lang"), col("_train"),
-        explode(sequence(lit(1), length(col("_t")) - 2)).as("_i"), col("_t"))
-      .select(col("_id"), col("_lang"), col("_train"),
-        col("_t").substr(col("_i"), lit(3)).as("_g"))
+        explode(transform(sequence(lit(1), length(col("_t")) - 2),
+          i => col("_t").substr(i, lit(3)))).as("_g"))
+    // r21 (guide §2.3/§2.4): fold the exploded gram stream into per-doc
+    // TYPE counts once and checkpoint that frame — the profile branch
+    // and the test branch used to each replay the corpus explode, and
+    // the test side paid a full .distinct() shuffle for a property the
+    // (id, gram) aggregate already guarantees. Profile counts are the
+    // same integers (sum of per-doc counts = count of instances).
+    val gramCounts = grams
+      .groupBy(col("_id"), col("_lang"), col("_train"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
     val wProf = Window.partitionBy("_plang")
       .orderBy(col("_c").desc, col("_g").asc)
-    val profile = grams.where(col("_train"))
+    val profile = gramCounts.where(col("_train"))
       .groupBy(col("_lang").as("_plang"), col("_g"))
-      .agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")).as("_c"))
       .withColumn("_rn", row_number().over(wProf))
       .where(col("_rn") <= k)
       .select(col("_plang"), col("_g"))
-    val testTypes = grams.where(!col("_train"))
-      .select(col("_id"), col("_g")).distinct()
+    val testTypes = gramCounts.where(!col("_train"))
+      .select(col("_id"), col("_g"))
     val wBest = Window.partitionBy("_id")
       .orderBy(col("_overlap").desc, col("_plang").asc)
     val best = testTypes.join(broadcast(profile), Seq("_g"))

@@ -490,6 +490,39 @@ object VectorOps {
     * results to [[ivfTopK]] (same assignment recipe at write time, same
     * scoring and rank order).
     */
+  /** Scored IVF candidates for EVERY probe budget up to `nProbeMax` in
+    * one pass (r21, the q_pq_recall_curve sharing move): each corpus row
+    * lives in exactly one cell and each query probes an ORDERED cell
+    * list, so a candidate carries the 0-based position `_probe` at which
+    * its cell was probed — filtering `_probe < np` then re-ranking
+    * reproduces [[ivfTopK]](np) / [[ivfTopKClustered]](np) candidate
+    * sets and scores exactly (the cell lists for smaller np are
+    * prefixes; scoring does not depend on np). One corpus scan + one
+    * broadcast join serves the whole recall curve instead of one per
+    * budget.
+    */
+  def ivfScoredWithProbeRank(corpusWithCell: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String,
+                             centroids: Array[Array[Float]],
+                             nProbeMax: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      posexplode(topCells(col(vecCol), centroids, nProbeMax)).as(Seq("_probe", "cell")))
+    corpusWithCell.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("_probe"),
+        cosineNative(col("q_vec"), col("c_vec")).as("score"))
+  }
+
+  /** Per-budget top-k cut of [[ivfScoredWithProbeRank]] output: the same
+    * rank rule as [[ivfTopK]], restricted to cells probed within `np`.
+    */
+  def ivfCutTopK(scored: DataFrame, k: Int, np: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    scored.where(col("_probe") < np)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   def ivfTopKClustered(clustered: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int, centroids: Array[Array[Float]],
                        nProbe: Int): DataFrame = {
