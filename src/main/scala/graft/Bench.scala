@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // r21: the suite compiles ~4 generated classes per query × 369
+      // queries; the default 100-entry codegen cache evicts everything
+      // long before the deferred retry passes re-run a query, so every
+      // retry recompiled from scratch. Scale-independent (bounded class
+      // cache, a few MB) — not a local-mode tune.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Portable.silenceKRowWindowWarnings()

@@ -1699,8 +1699,7 @@ object SparkEntry {
       val reps = deduped.join(
         groups.where(col("id") === col("group_rep")).select(col("id").as("doc_id")),
         Seq("doc_id"), "left_semi")
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000
+      val bucket = Portable.hash32(col("doc_id")) % 10000
       reps
         .withColumn("split", when(bucket < 8000, lit("train")).otherwise(lit("eval")))
         .select("doc_id", "n_tokens", "quality_score", "split")
@@ -2430,10 +2429,16 @@ object SparkEntry {
       val ps = T(s, dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg(Portable.decSum(col("l_quantity"), 2).as("supp_qty"))
-      val pt = ps.groupBy("l_partkey")
-        .agg(Portable.decSum(col("supp_qty"), 2).as("part_qty"),
-          count(lit(1)).as("n_supps"))
-      ps.join(pt, Seq("l_partkey"))
+      // r21 (guide §2.4): the per-part totals ride a WINDOW over the
+      // (part, supp) rollup instead of a second aggregate joined back —
+      // same two exchanges, but the self-join (and its SMJ sorts over
+      // the rollup) disappears; the window's decimal sum adds the same
+      // supp_qty terms the joined aggregate summed, so part_qty is
+      // bit-identical
+      val wPart = Window.partitionBy("l_partkey")
+      ps.withColumn("part_qty",
+          sum(col("supp_qty").cast("decimal(28,2)")).over(wPart).cast("double"))
+        .withColumn("n_supps", count(lit(1)).over(wPart))
         .where(col("n_supps") >= 2 &&
                col("supp_qty") * col("n_supps") > col("part_qty") * lit(3.0))
         .select(col("l_partkey"), col("l_suppkey"), col("supp_qty"),
@@ -2911,8 +2916,7 @@ object SparkEntry {
     // level counterpart of q_psi's scalar drift gate (a feature can
     // hold still while the embedding space rotates under it).
     "q_embed_drift" -> ((s, dir) => {
-      val ref = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000 < 8000
+      val ref = Portable.hash32(col("vec_id")) % 10000 < 8000
       VectorOps.embeddingDrift(T(s, dir, "embeddings"), ref, "embedding")
     }),
 
@@ -4281,8 +4285,12 @@ object SparkEntry {
       val books = rawPqBooks(s, dir)
       val codes = graft.sources.PqCodeStore.ensureRawCodes(s, dir, books, PqM, PqK, PqIters)
       val queries = emb.where(col("vec_id") < 20)
+      // r21: checkpointed — the three rerank branches each join against
+      // the brute frame, which otherwise re-runs the broadcast cosine
+      // scan + rank window per branch
       val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
         .select(col("query_id"), col("corpus_id"))
+        .localCheckpoint(true)
       // ONE ADC ranking AND one exact-vector fetch + rescore serve every
       // rerank budget (r16/r17: the LUT ranking is the expensive part and
       // the exact scores don't depend on the budget; re-cutting is free)

@@ -26,11 +26,20 @@ object Tables {
     * another session's plans; entries die with the process.
     */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, dir, name),
-      _ => loadUncached(spark, dir, name))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        memo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => loadUncached(spark, dir, name))
+  }
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

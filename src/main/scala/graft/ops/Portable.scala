@@ -114,9 +114,16 @@ object Portable {
 
   /** Portable 32-bit non-negative integer hash of a string column.
     * DuckDB equivalent: ('0x' || substr(md5(x), 1, 8))::BIGINT
+    *
+    * r21: served by the native [[graft.functions.Md5Prefix32]]
+    * expression — the same unsigned first-4-digest-bytes value the
+    * conv(substring(md5(x), 1, 8), 16, 10) recipe produces (so every
+    * committed oracle hash stands), without the 32-char hex format,
+    * substring and base-16 parse per evaluation. This is the hot hash
+    * on the feature/sampling/salting paths (~48 call sites).
     */
   def hash32(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Prefix32.prefix32(c.cast("string"))
 
   /** Portable hash of several columns (null-safe via concat_ws).
     * DuckDB equivalent: md5(concat_ws('|', c1, c2, ...))

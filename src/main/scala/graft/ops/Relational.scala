@@ -62,8 +62,7 @@ object Relational {
     * correct way to carve out a held-out split of a 100 TB corpus.
     */
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10000
+    val bucket = Portable.hash32(col(keyCol)) % 10000
     // math.round: truncation would put e.g. 0.29*10000 = 2899.999... one
     // bucket under the documented rate*10000 threshold
     df.where(bucket < math.round(rate * 10000))
@@ -72,8 +71,7 @@ object Relational {
   /** Stratified deterministic sample: per-stratum rates, same hash rule. */
   def hashSampleBy(df: DataFrame, keyCol: String, strataCol: String,
                    rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10000
+    val bucket = Portable.hash32(col(keyCol)) % 10000
     val threshold = rates.foldLeft(lit(math.round(defaultRate * 10000))) {
       case (acc, (stratum, rate)) =>
         when(col(strataCol) === stratum, lit(math.round(rate * 10000))).otherwise(acc)
@@ -90,8 +88,7 @@ object Relational {
     */
   def splitAssign(df: DataFrame, keyCol: String,
                   fractions: Seq[(String, Double)]): DataFrame = {
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10000
+    val bucket = Portable.hash32(col(keyCol)) % 10000
     val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * 10000)
     }.tail
@@ -124,8 +121,7 @@ object Relational {
                      weightCol: String, k: Int): DataFrame = {
     // u in (0, 1): (bucket + 0.5) / 2^32 over the first 8 md5 hex digits —
     // never 0 or 1, so the log is finite; same digest both engines.
-    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") + 0.5) / 4294967296.0
+    val u = (Portable.hash32(col(keyCol)).cast("double") + 0.5) / 4294967296.0
     val rank = row_number().over(
       Window.partitionBy(col(strataCol))
         .orderBy(col("_priority").asc, col(keyCol).asc))
@@ -941,18 +937,29 @@ object Relational {
     // exactly (the plattScaling round6 replication precedent); non-
     // finite terms drop, as the cast's null does. π_i values are
     // bit-identical round for round, so the committed hashes stand.
+    // Player keys keep their ORIGINAL type (long supplier keys here,
+    // strings in the referee spec): driver state is keyed on the raw
+    // row value, and the π frames are LocalRelations built with the
+    // players frame's own key DataType, so no cast ever touches the
+    // join keys or the output schema.
+    val pType = players.schema.fields(0).dataType
     val playerRows = players.collect()
-      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+      .map(r => (r.get(0),
         r.get(1).asInstanceOf[Number].longValue,
         r.get(2).asInstanceOf[Number].longValue))
-    var pi: Map[Long, Double] = playerRows.map { case (p, _, _) => p -> 1.0d }.toMap
+    var pi: Map[Any, Double] = playerRows.map { case (p, _, _) => (p, 1.0d) }.toMap
+    val piOrder = playerRows.map(_._1) // stable driver-side order
     val dec12 = (x: Double) =>
       java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
     val spark0 = pairCounts.sparkSession
-    def piFrameOf(m: Map[Long, Double], key: String, v: String): DataFrame = {
-      import spark0.implicits._
-      m.toSeq.sortBy(_._1).toDF(key, v)
-    }
+    def piFrameOf(m: Map[Any, Double], key: String, v: String): DataFrame =
+      spark0.createDataFrame(
+        java.util.Arrays.asList(piOrder.filter(m.contains).map(p =>
+          org.apache.spark.sql.Row(p, m(p))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(key, pType),
+          org.apache.spark.sql.types.StructField(v,
+            org.apache.spark.sql.types.DoubleType))))
     for (_ <- 1 to iters) {
       // π attaches through two BROADCAST joins of driver-built local
       // relations (no Spark job to build them — LocalTableScan
@@ -966,20 +973,15 @@ object Relational {
         .agg(graft.ops.Portable.decSum(
           col("m").cast("double") / (col("_pa") + col("_pb")), 12)
           .as("_den"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .collect().map(r => (r.get(0), r.getDouble(1))).toMap
       val u = playerRows.flatMap { case (p, w, _) =>
-        den.get(p).map(d => p -> (w.toDouble / d))
+        den.get(p).map(d => (p, w.toDouble / d))
       }
       val norm = u.map(_._2).filter(java.lang.Double.isFinite)
         .map(dec12).foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
-      pi = u.map { case (p, v) => p -> v / norm }.toMap
+      pi = u.map { case (p, v) => (p, v / norm) }.toMap
     }
-    val piFrame = {
-      val spark = pairCounts.sparkSession
-      import spark.implicits._
-      pi.toSeq.sortBy(_._1).toDF("p", "_pi")
-    }
-    players.join(broadcast(piFrame), Seq("p"))
+    players.join(broadcast(piFrameOf(pi, "p", "_pi")), Seq("p"))
       .select(col("p"), col("_w").as("wins"),
         (col("_tot") - col("_w")).as("losses"),
         graft.ops.Portable.pround(col("_pi"), 6).as("strength"))

@@ -1660,8 +1660,7 @@ object TextOps {
     */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
                     budget: Long, shards: Int): DataFrame = {
-    val shard = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % shards
+    val shard = Portable.hash32(col(idCol)) % shards
     val w = Window.partitionBy("shard").orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol), col(nTokCol), shard.as("shard"))
@@ -1858,8 +1857,7 @@ object TextOps {
             (lit(targetFrac) * col("_n").cast("double")) / col("_c").cast("double")),
         6))
       .select(col(strataCol), col("keep_rate"))
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10000
+    val bucket = Portable.hash32(col(idCol)) % 10000
     df.join(broadcast(rates), Seq(strataCol))
       .where(bucket < round(col("keep_rate") * 10000))
   }
@@ -2454,8 +2452,13 @@ object TextOps {
     */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, mask: Long = 64L): DataFrame = {
-    val docs = df.select(col(idCol), col(textCol).as("_t"))
-      .where(length(col("_t")) >= 1)
+    // r21: the per-k-gram MD5 roll is the heaviest row-local loop in the
+    // suite — spread the compact doc rows when the scan is under-split
+    // (single-row-group bench file) so mapPartitions runs on every core;
+    // structural no-op on real multi-split inputs
+    val docs = Portable.spreadSmallScan(
+      df.select(col(idCol), col(textCol).as("_t"))
+        .where(length(col("_t")) >= 1))
     val idField = docs.schema.fields(0)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(idField,
       org.apache.spark.sql.types.StructField("chunk_no",

@@ -495,8 +495,13 @@ object TimeSeries {
     */
   def senSlope(df: DataFrame, keyCol: String, orderCol: String,
                valueCol: String): DataFrame = {
-    val base = df.select(col(keyCol), col(orderCol).cast("double").as("_o"),
-      col(valueCol).cast("double").as("_v"))
+    // r21: spread the compact input rows when the scan is under-split —
+    // the broadcast self-join's PROBE side otherwise generates the
+    // n²/2-per-series pair stream inside the single scan task
+    // (structural no-op on real multi-split inputs)
+    val base = Portable.spreadSmallScan(
+      df.select(col(keyCol), col(orderCol).cast("double").as("_o"),
+        col(valueCol).cast("double").as("_v")))
     // pair count from the series length (np = n(n−1)/2) instead of a
     // partition-wide count window: saves a second full window pass over
     // the pair frame (which is series-length² heavier than the input)

@@ -1348,11 +1348,20 @@ object VectorOps {
     }
     val distArr = array(dists.toIndexedSeq: _*)
     val own = nearestCell(v, centroids)
-    val a = element_at(distArr, own + 1)
-    val b = array_min(transform(distArr,
-      (x, i) => when(i === own, lit(Double.PositiveInfinity)).otherwise(x)))
+    // r21: materialize the assignment and the distance array ONCE per row
+    // behind a projection barrier — `own` (an argmax over k dots) used to
+    // be re-evaluated inside the transform lambda PER ARRAY ELEMENT
+    // (k × k × dim multiplies per row; CollapseProject keeps the barrier
+    // because the reused expressions are non-cheap), and the scan spread
+    // lets the row-local O(k·dim) work use every core on the
+    // single-row-group bench file (structural no-op on real inputs)
+    val staged = Portable.spreadSmallScan(corpus.select(col(vecCol)))
+      .select(own.as("cell"), distArr.as("_d"))
+    val a = element_at(col("_d"), col("cell") + 1)
+    val b = array_min(transform(col("_d"),
+      (x, i) => when(i === col("cell"), lit(Double.PositiveInfinity)).otherwise(x)))
     val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b))
-    corpus.select(own.as("cell"), s.as("_s"))
+    staged.select(col("cell"), s.as("_s"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n"),
         Portable.pround(Portable.decSum(col("_s"), 12) / count(col("_s")), 9)

@@ -71,8 +71,7 @@ object MomentStore {
 
   /** C308's cohort split, shared with q_moment_drift and the oracles. */
   private[graft] def refCohort(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10000 < 8000
+    graft.ops.Portable.hash32(idCol) % 10000 < 8000
 
   /** The concatenated [x ‖ y] audit vector — C298's exact construction
     * (x cast to double; y_j a fixed-order fold dot with the ±1 sign row,

@@ -31,6 +31,7 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000") // match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.ops.Portable.silenceKRowWindowWarnings()

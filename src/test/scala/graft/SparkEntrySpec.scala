@@ -73,7 +73,7 @@ class SparkEntrySpec extends SparkSpec {
     // must appear exactly once per map literal.
     val src = java.nio.file.Files.readString(
       java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
-    val qStart = src.indexOf("def queries")
+    val qStart = src.indexOf("lazy val queries")
     val oStart = src.indexOf("def oracleSql")
     assert(qStart >= 0 && oStart > qStart)
     // only TOP-LEVEL map-literal entries (4-space indent) — deeper
