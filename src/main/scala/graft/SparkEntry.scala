@@ -5881,8 +5881,9 @@ object SparkEntry {
     * unrolled per-source 2×2 Newton rounds — each a (sigmoid,
     * gradient/information, update) CTE triple mirroring
     * Profiling.plattScaling's driver loop bit for bit (7-dp sigmoid,
-    * 12-dp decimal snapshots, determinant-guarded solve, 9-dp parameter
-    * rounds). Linear chain (each i$k referenced once; the final
+    * 12-dp decimal snapshots, determinant-guarded solve, 6-dp parameter
+    * rounds — plattScaling.round6's C317-lesson choice; ADVICE r20).
+    * Linear chain (each i$k referenced once; the final
     * fitted frame carries a/b forward so i$iters is not re-referenced).
     */
   private def plattSql(iters: Int): String = {
