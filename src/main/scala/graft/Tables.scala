@@ -23,20 +23,23 @@ object Tables {
     * untouched; this is the same class of reuse as a shared Hive catalog
     * entry). Keyed on the session so a new SparkSession (fresh Bench /
     * Verify process, or a test harness with its own session) never sees
-    * another session's plans; entries die with the process.
+    * another session's plans. Retention is honest about its bound
+    * (r21 review): the memoized DataFrames strongly reference their
+    * session, so weak keys could never evict — instead only the MOST
+    * RECENT session's memo is kept; a session switch (multi-session
+    * test JVMs) drops the previous session's entries outright.
     */
-  private val memo =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  private var memoSession: SparkSession = null
+  private var memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = memo.synchronized {
-      var m = memo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        memo.put(spark, m)
+    val perSession = synchronized {
+      if (memoSession ne spark) {
+        memoSession = spark
+        memo = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
       }
-      m
+      memo
     }
     perSession.computeIfAbsent((dir, name), _ => loadUncached(spark, dir, name))
   }

@@ -165,9 +165,15 @@ object Classify {
       // casts back losslessly each step (|z| ≪ 10^20), so every addition
       // is exact — a decimal(38,12) accumulator would widen to the
       // precision cap and Spark would shave the scale to 11
+      // coalesce replicates sum()'s null-SKIP for any term the decimal
+      // cast would null (unreachable today — every bucket has a weight
+      // and |x·w| ≪ 10^16 — but the fold would otherwise null-poison
+      // the whole doc where the old aggregate skipped one term)
       aggregate(col("_fs"), lit(0).cast("decimal(32,12)"),
-        (acc, f) => (acc + (f.getField("_x") * element_at(wMap, f.getField("_b")))
-          .cast("decimal(28,12)")).cast("decimal(32,12)")).cast("double")
+        (acc, f) => (acc + coalesce(
+          (f.getField("_x") * element_at(wMap, f.getField("_b")))
+            .cast("decimal(28,12)"),
+          lit(0).cast("decimal(28,12)"))).cast("decimal(32,12)")).cast("double")
     }
 
     for (_ <- 0 until iters) {

@@ -1199,24 +1199,12 @@ object EventOps {
         coxReadoutCols(th)): _*)
   }
 
-  /** Driver-side replica of Portable.decSum(_, 12) over already-computed
-    * double terms (r21): each finite term snapshots exactly as Spark's
-    * double→DECIMAL(28,12) cast does (BigDecimal.valueOf = the same
-    * Double.toString construction, then HALF_UP at scale 12), non-finite
-    * terms drop as the cast's null does, the exact sum converts back
-    * once. None ⇔ the engine aggregate's NULL (no finite term).
+  /** See [[Portable.decSum12Local]] — the one shared driver-side replica
+    * of the decSum(_, 12) recipe (r21 review: two copies of
+    * bit-identity-critical logic would drift).
     */
-  private def decSum12(terms: Iterator[Double]): Option[Double] = {
-    var acc: java.math.BigDecimal = null
-    terms.foreach { x =>
-      if (java.lang.Double.isFinite(x)) {
-        val d = java.math.BigDecimal.valueOf(x)
-          .setScale(12, java.math.RoundingMode.HALF_UP)
-        acc = if (acc == null) d else acc.add(d)
-      }
-    }
-    Option(acc).map(_.doubleValue)
-  }
+  private def decSum12(terms: Iterator[Double]): Option[Double] =
+    Portable.decSum12Local(terms)
 
   /** Per-event-time stats rows (d1, d, n1, n0) collected once — the
     * lifetime catalog, ≤ a few dozen rows (the sanctioned model-sized

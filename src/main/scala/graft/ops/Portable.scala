@@ -96,6 +96,29 @@ object Portable {
     (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
   }
 
+  /** Driver-side replica of [[decSum]] at scale 12 over already-computed
+    * double terms (r21, shared by the Cox Newton and Bradley–Terry MM
+    * loops — ONE copy so the oracle-matched recipe cannot drift): each
+    * term snapshots exactly as Spark's double→DECIMAL(28,12) cast does —
+    * BigDecimal.valueOf (the same Double.toString construction) then
+    * HALF_UP at scale 12 — and terms the cast would NULL are skipped the
+    * way sum() skips them: non-finite values AND magnitudes ≥ 1e16
+    * (decimal(28,12) holds < 10^16, so larger finite doubles overflow
+    * the precision and cast to null). None ⇔ the engine aggregate's
+    * NULL (no surviving term).
+    */
+  def decSum12Local(terms: Iterator[Double]): Option[Double] = {
+    var acc: java.math.BigDecimal = null
+    terms.foreach { x =>
+      if (java.lang.Double.isFinite(x) && math.abs(x) < 1e16) {
+        val d = java.math.BigDecimal.valueOf(x)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        acc = if (acc == null) d else acc.add(d)
+      }
+    }
+    Option(acc).map(_.doubleValue)
+  }
+
   /** Scan-parallelism guard (r21): round-robin-spread a frame across the
     * session's parallelism ONLY when its physical scan has fewer splits —
     * the driver test tables are single-row-group parquet files, so every

@@ -882,14 +882,18 @@ object Relational {
     * as unrolled CTE rounds (the q_label_prop convention; MM converges
     * monotonically, so a fixed budget is a principled truncation).
     *
-    * Every round is one join of the pair matrix against the BROADCAST
-    * π catalog + one decimal-sum aggregate (the pageRank shape): the
-    * comparison matrix is catalog²-bounded and stays distributed, the
-    * π state is catalog-sized, nothing driver-side. Per-term divisions
-    * and the normalization run on bit-identical doubles, partials
-    * decimal-summed — every row hash-checks. Players with zero wins land
-    * at strength 0 (the BT MLE's boundary case — documented, not hidden);
-    * losses = total comparisons − wins off the same matrix.
+    * Every round is one decimal-sum aggregate over the pair matrix with
+    * the π catalog attached through two driver-built broadcast
+    * relations (r21): the comparison matrix is catalog²-bounded and
+    * stays distributed; the π state is PLAYER-CATALOG-sized and lives
+    * in a driver map between rounds (the C135/C317 sanctioned
+    * model-sized read — one (p, den) collect per round). Per-term
+    * divisions and the normalization run on bit-identical doubles,
+    * partials decimal-summed (the driver normalizer replays
+    * Portable.decSum via [[Portable.decSum12Local]]) — every row
+    * hash-checks. Players with zero wins land at strength 0 (the BT
+    * MLE's boundary case — documented, not hidden); losses = total
+    * comparisons − wins off the same matrix.
     */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String, loserCol: String,
                    iters: Int): DataFrame =
@@ -949,8 +953,6 @@ object Relational {
         r.get(2).asInstanceOf[Number].longValue))
     var pi: Map[Any, Double] = playerRows.map { case (p, _, _) => (p, 1.0d) }.toMap
     val piOrder = playerRows.map(_._1) // stable driver-side order
-    val dec12 = (x: Double) =>
-      java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
     val spark0 = pairCounts.sparkSession
     def piFrameOf(m: Map[Any, Double], key: String, v: String): DataFrame =
       spark0.createDataFrame(
@@ -973,13 +975,18 @@ object Relational {
         .agg(graft.ops.Portable.decSum(
           col("m").cast("double") / (col("_pa") + col("_pb")), 12)
           .as("_den"))
-        .collect().map(r => (r.get(0), r.getDouble(1))).toMap
+        // a NULL den (all of a player's terms non-finite — unreachable
+        // while π starts at 1, but the old join degraded gracefully
+        // there, so the collect must too, not throw on getDouble(null))
+        .collect().filter(!_.isNullAt(1))
+        .map(r => (r.get(0), r.getDouble(1))).toMap
       val u = playerRows.flatMap { case (p, w, _) =>
         den.get(p).map(d => (p, w.toDouble / d))
       }
-      val norm = u.map(_._2).filter(java.lang.Double.isFinite)
-        .map(dec12).foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
-      pi = u.map { case (p, v) => (p, v / norm) }.toMap
+      // the shared decSum(_, 12) replica (Portable.decSum12Local);
+      // empty ⇔ the engine aggregate's NULL — keep π unchanged then
+      val norm = graft.ops.Portable.decSum12Local(u.iterator.map(_._2))
+      pi = norm.fold(pi)(n => u.map { case (p, v) => (p, v / n) }.toMap)
     }
     players.join(broadcast(piFrameOf(pi, "p", "_pi")), Seq("p"))
       .select(col("p"), col("_w").as("wins"),

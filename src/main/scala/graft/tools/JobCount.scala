@@ -89,6 +89,9 @@ object JobCount {
         case None => System.err.println(s"[jobcount] unknown query: $name")
         case Some(fn) =>
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          // drain the warm run's async listener events BEFORE resetting
+          // the counters, or its stragglers land in the measured window
+          Thread.sleep(300)
           jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0L)
           counting = true
           val s0 = stealTicks()

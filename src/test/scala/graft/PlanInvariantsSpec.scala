@@ -913,7 +913,10 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_itemsets3" -> 1, "q_join_salted" -> 1,
       // r21: +1 = the adaptive small-scan spread (Portable.spreadSmallScan
       // round-robins the single-row-group bench file across cores; absent
-      // on real multi-split inputs) in q_cdc_chunks and q_sen_slope
+      // on real multi-split inputs) in q_cdc_chunks; q_sen_slope carries
+      // +2 — its spread exchange materializes separately under EACH side
+      // of the self-join (2 real + 2 spread measured at sf0.1 and in the
+      // committed bench audit)
       "q_cdc_chunks" -> 4,
       // r21: label_suspects single-pass conditional agg (10 -> 8 measured),
       // dup_rate_curve one corpus pass for all four sizes (8 -> 3 measured)
