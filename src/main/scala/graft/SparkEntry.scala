@@ -4285,12 +4285,10 @@ object SparkEntry {
       val books = rawPqBooks(s, dir)
       val codes = graft.sources.PqCodeStore.ensureRawCodes(s, dir, books, PqM, PqK, PqIters)
       val queries = emb.where(col("vec_id") < 20)
-      // r21: checkpointed — the three rerank branches each join against
-      // the brute frame, which otherwise re-runs the broadcast cosine
-      // scan + rank window per branch
+      // r22: single-read frames — the r21 checkpoints (then shared by 3
+      // per-budget branches) are extra jobs once the read-out is fused
       val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
         .select(col("query_id"), col("corpus_id"))
-        .localCheckpoint(true)
       // ONE ADC ranking AND one exact-vector fetch + rescore serve every
       // rerank budget (r16/r17: the LUT ranking is the expensive part and
       // the exact scores don't depend on the budget; re-cutting is free)
@@ -4298,16 +4296,10 @@ object SparkEntry {
           VectorOps.pqAdcRankedCoded(codes, queries, "vec_id", "embedding", books)
             .where(col("_rn") <= 20),
           emb, "vec_id", "embedding")
-        .localCheckpoint(true)
-      Seq(5, 10, 20).map { r =>
-        val pq = VectorOps.cutTopK(scored, k = 5, rerank = r)
-          .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
-        brute.join(pq, Seq("query_id", "corpus_id"), "left")
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
-          .select(lit(r.toLong).as("rerank"), col("n_pairs"), col("n_found"),
-            round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
-      }.reduce(_ unionAll _).orderBy("rerank")
+      // r22 (guide §2.4): ONE window + join + aggregate for all budgets —
+      // `_rn <= r` eligibility reproduces cutTopK(r) exactly
+      VectorOps.recallCurveFused(brute, scored, Seq(5, 10, 20),
+        r => col("_rn") <= r, "rerank", k = 5)
     }),
 
     // Good-Turing frequency spectrum over trigram-shingle document
@@ -4621,9 +4613,11 @@ object SparkEntry {
     // and ranks per budget are reproduced exactly by the `_probe < np`
     // prefix cut (ordered probe lists; scores budget-independent).
     val queries = emb.where(col("vec_id") < 20)
+    // r22: the brute/scored frames are each read ONCE by the fused
+    // read-out below, so their r21 eager checkpoints (needed when 3–4
+    // per-budget branches re-joined them) became pure extra jobs — gone.
     val brute = VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 5)
       .select(col("query_id"), col("corpus_id"))
-      .localCheckpoint(true)
     val corpusWithCell = clustered.fold(
         emb.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"),
           VectorOps.nearestCell(col("embedding"), centroids).as("cell")))(
@@ -4631,16 +4625,10 @@ object SparkEntry {
           col("cell")))
     val scored = VectorOps.ivfScoredWithProbeRank(corpusWithCell, queries,
         "vec_id", "embedding", centroids, nProbes.max)
-      .localCheckpoint(true)
-    nProbes.map { np =>
-      val ivf = VectorOps.ivfCutTopK(scored, k = 5, np = np)
-        .select(col("query_id"), col("corpus_id"), lit(1L).as("_hit"))
-      brute.join(ivf, Seq("query_id", "corpus_id"), "left")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
-        .select(lit(np.toLong).as("n_probe"), col("n_pairs"), col("n_found"),
-          round(col("n_found").cast("double") / col("n_pairs"), 6).as("recall"))
-    }.reduce(_ unionAll _).orderBy("n_probe")
+    // r22 (guide §2.4): ONE window + join + aggregate for all budgets —
+    // `_probe < np` eligibility reproduces ivfCutTopK(np) exactly
+    VectorOps.recallCurveFused(brute, scored, nProbes,
+      np => col("_probe") < np, "n_probe", k = 5)
   }
 
   /** PQ codebook shape. Re-dimensioned 4×16 → 16×16 in r16 (VERDICT r15

@@ -33,6 +33,17 @@ object Tables {
   private var memo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
+  /** STATIC-INPUT ASSUMPTION (r22, ADVICE r21 item 3): the memo
+    * snapshots each table's FileIndex at first load, so files added to
+    * or removed from a base-table directory MID-SESSION are invisible
+    * until a new SparkSession. That is the contract every caller
+    * already lives by — the driver's test tables never change inside a
+    * run, and the artifact stores write to their OWN directories (never
+    * into a base table's) and manage their own re-listing. Any future
+    * path that rewrites a base table in-session must call
+    * [[invalidate]] (or use a fresh session) or it will silently read
+    * the stale listing.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = synchronized {
       if (memoSession ne spark) {
@@ -42,6 +53,16 @@ object Tables {
       memo
     }
     perSession.computeIfAbsent((dir, name), _ => loadUncached(spark, dir, name))
+  }
+
+  /** Drop the memoized plan for one table (or every table of `dir` when
+    * `name` is null) — the escape hatch for a caller that rewrites a
+    * base-table directory mid-session (none exists today; see the
+    * static-input note on [[load]]).
+    */
+  def invalidate(dir: String, name: String = null): Unit = synchronized {
+    if (name != null) memo.remove((dir, name))
+    else memo.keySet.removeIf(_._1 == dir)
   }
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -59,6 +59,13 @@ object Graph {
     // the empty / all-ids-sum-to-zero corner
     var converged = prevSum == 0 && labels.isEmpty
     var i = 0
+    // r22 NOTE (measured, kept as-is): a probe-every-2nd-round cadence
+    // was tried to halve loop jobs and REGRESSED (q_dedup_groups 27 → 30
+    // jobs, 0.60 → 0.87 s warm; q_pipeline_prep 31 → 34, 0.78 → 1.08) —
+    // the per-round probe job is what materializes the round, so probes
+    // are not marginal cost, and convergence detection lagging by up to
+    // two rounds adds whole propagation rounds that dwarf the saved
+    // sum-aggregates. The per-round probe stays.
     while (!converged && i < maxIters) {
       // One propagation round as union + min-aggregate: each node's row
       // (v, rep(v)) unions with one contribution (dst, rep(src)) per
@@ -295,9 +302,17 @@ object Graph {
     // pure scheduling overhead.
     var reached = seeds.select(col(seedCol).cast("long").as("id"), lit(0).as("hop"))
       .distinct().localCheckpoint(false)
-    for (h <- 1 to hops) {
+    for (_ <- 1 to hops) {
+      // r22: hop carried as reached("hop") + 1 instead of the per-round
+      // literal lit(h) — the Bellman-Ford relaxation min(hop(v),
+      // min over neighbors hop(u)+1) reaches the identical min-hop
+      // fixpoint per round (a node first adjacent to the reached set at
+      // round h has min neighbor hop h−1), while the round plans become
+      // textually identical so every round after the first reuses the
+      // cached generated classes (the ssspWithinHops loop shape, which
+      // never had a per-round literal).
       val next = sym.join(reached, sym("u") === reached("id"))
-        .select(col("v").as("id"), lit(h).as("hop"))
+        .select(col("v").as("id"), (col("hop") + lit(1)).as("hop"))
       reached = reached.union(next)
         .groupBy("id").agg(min("hop").as("hop"))
         .localCheckpoint(false)

@@ -3406,18 +3406,70 @@ object Profiling {
     import spark.implicits._
     val cat = isotonicCatalog(df, groupCol, scoreCol, labelCol)
       .localCheckpoint(true)
-    var ab: Map[String, (Double, Double)] = cat.select("_g").distinct()
-      .collect().map(_.getString(0) -> (0.0d, 0.0d)).toMap
+    // r22 (the Cox/Bradley–Terry move, guide §1.2): the whole ridged
+    // Newton loop runs DRIVER-SIDE over the collected (group, distinct
+    // score) catalog — the same catalog-bounded read class as the Cox
+    // event-time stats (r20 verdict's sanctioned collect audit). The r21
+    // form still paid one plan+codegen+job round trip per iteration
+    // (8 collect jobs of pure fixed latency for aggregates over a
+    // checkpointed catalog). Every term replays the engine expression
+    // tree verbatim: _pp = round(σ(a·s+b), 7) + 0.0 with the SAME
+    // BigDecimal.valueOf/HALF_UP rounding Spark's Round applies to
+    // doubles and the same java.lang.Math.exp, products in the same IEEE
+    // order, and [[Portable.decSum12Local]] replaying the
+    // double→DECIMAL(28,12) snapshot sum — so (a, b) are bit-identical
+    // per round (369/369 oracle hash gate re-proven).
+    val catRows: Array[(String, Double, Long, Long)] = cat.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val byG: Map[String, Array[(Double, Long, Long)]] =
+      catRows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(t => (t._2, t._3, t._4)) }
+    var ab: Map[String, (Double, Double)] =
+      byG.keys.map(_ -> (0.0d, 0.0d)).toMap
     def abFrame(m: Map[String, (Double, Double)]): DataFrame =
       m.toSeq.sortBy(_._1).map { case (g, (a, b)) => (g, a, b) }
         .toDF("_g", "_a", "_b")
     def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0d
-    // r21: (a, b) are GROUP-CATALOG-sized and change every round — the
-    // C317 literal-map convention replaces the former per-iteration
-    // broadcast join (8 broadcast exchanges + joins for values a
-    // codegen'd element_at reads in place; the doubles are identical
-    // either way, so _pp is bit-identical)
+    def round7(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue + 0.0d
+    for (_ <- 0 until iters) {
+      ab = ab ++ byG.flatMap { case (g, rs) =>
+        val (a, b) = ab(g)
+        // _pp exactly as the engine read-out computes it below
+        def pp(s: Double): Double = round7(1.0d / (1.0d + math.exp(-(a * s + b))))
+        val ga = Portable.decSum12Local(rs.iterator.map { case (s, w, p) =>
+          (p.toDouble - w.toDouble * pp(s)) * s })
+        val gb = Portable.decSum12Local(rs.iterator.map { case (s, w, p) =>
+          p.toDouble - w.toDouble * pp(s) })
+        def q(s: Double): Double = { val v = pp(s); v * (1.0d - v) }
+        val haa = Portable.decSum12Local(rs.iterator.map { case (s, w, _) =>
+          w.toDouble * q(s) * s * s })
+        val hab = Portable.decSum12Local(rs.iterator.map { case (s, w, _) =>
+          w.toDouble * q(s) * s })
+        val hbb = Portable.decSum12Local(rs.iterator.map { case (s, w, _) =>
+          w.toDouble * q(s) })
+        if (Seq(ga, gb, haa, hab, hbb).exists(_.isEmpty)) None
+        else {
+          // L2 ridge: bounds the parameters on (near-)separable groups
+          // (the unridged MLE diverges there — measured |a| ~ 29 on
+          // sf0.001 sources), keeps the information matrix PD, and the
+          // C317 lesson on rounding exposure: parameters round at 6 dp,
+          // where 1-ulp string-vs-binary rounding splits can't land
+          val (rga, rgb) = (ga.get - lambda * a, gb.get - lambda * b)
+          val (rhaa, rhbb) = (haa.get + lambda, hbb.get + lambda)
+          val det = rhaa * rhbb - hab.get * hab.get
+          if (det > 0)
+            Some(g -> (round6(a + (rhbb * rga - hab.get * rgb) / det),
+              round6(b + (rhaa * rgb - hab.get * rga) / det)))
+          else None
+        }
+      }
+    }
+    // (a, b) are GROUP-CATALOG-sized — the C317 literal-map convention
+    // (r21) keeps the read-out a codegen'd element_at in place of a
+    // broadcast join; the doubles are identical either way, so _pp is
+    // bit-identical
     def withP(m: Map[String, (Double, Double)]): DataFrame = {
       val ms = m.toSeq.sortBy(_._1)
       val mapA = map(ms.flatMap { case (g, (a, _)) => Seq(lit(g), lit(a)) }: _*)
@@ -3426,37 +3478,6 @@ object Profiling {
         .withColumn("_b", element_at(mapB, col("_g")))
         .withColumn("_pp", round(lit(1.0d) /
           (lit(1.0d) + exp(-(col("_a") * col("_s") + col("_b")))), 7) + lit(0.0d))
-    }
-    for (_ <- 0 until iters) {
-      val q = col("_pp") * (lit(1.0d) - col("_pp"))
-      val rows = withP(ab).groupBy("_g").agg(
-        Portable.decSum((col("_p") - col("_w") * col("_pp")) * col("_s"), 12)
-          .as("_ga"),
-        Portable.decSum(col("_p") - col("_w") * col("_pp"), 12).as("_gb"),
-        Portable.decSum(col("_w") * q * col("_s") * col("_s"), 12).as("_haa"),
-        Portable.decSum(col("_w") * q * col("_s"), 12).as("_hab"),
-        Portable.decSum(col("_w") * q, 12).as("_hbb")).collect()
-      ab = ab ++ rows.flatMap { r =>
-        if ((1 to 5).exists(r.isNullAt)) None
-        else {
-          val g = r.getString(0)
-          val (ga, gb) = (r.getDouble(1), r.getDouble(2))
-          val (haa, hab, hbb) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
-          // L2 ridge: bounds the parameters on (near-)separable groups
-          // (the unridged MLE diverges there — measured |a| ~ 29 on
-          // sf0.001 sources), keeps the information matrix PD, and the
-          // C317 lesson on rounding exposure: parameters round at 6 dp,
-          // where 1-ulp string-vs-binary rounding splits can't land
-          val (a, b) = ab(g)
-          val (rga, rgb) = (ga - lambda * a, gb - lambda * b)
-          val (rhaa, rhbb) = (haa + lambda, hbb + lambda)
-          val det = rhaa * rhbb - hab * hab
-          if (det > 0)
-            Some(g -> (round6(a + (rhbb * rga - hab * rgb) / det),
-              round6(b + (rhaa * rgb - hab * rga) / det)))
-          else None
-        }
-      }
     }
     val fitted = withP(ab).localCheckpoint(true)
     val summary = cat.groupBy("_g").agg(sum("_w").as("n"),

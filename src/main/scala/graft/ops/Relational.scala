@@ -984,7 +984,15 @@ object Relational {
         den.get(p).map(d => (p, w.toDouble / d))
       }
       // the shared decSum(_, 12) replica (Portable.decSum12Local);
-      // empty ⇔ the engine aggregate's NULL — keep π unchanged then
+      // empty ⇔ the engine aggregate's NULL — keep π unchanged then.
+      // (ADVICE r21 item 6, adjudicated r22: the pre-r21 in-engine plan
+      // null-poisoned every strength when norm was NULL; keeping the
+      // previous π is the deliberate divergence — the case is provably
+      // unreachable (π starts at 1 and stays positive-finite, so every
+      // u-term is finite), and IF a future input ever hit it, frozen
+      // strengths degrade gracefully where null-poisoning destroyed the
+      // whole read-out. The oracle replays the same guarded fold, so
+      // parity holds on every reachable input.)
       val norm = graft.ops.Portable.decSum12Local(u.iterator.map(_._2))
       pi = norm.fold(pi)(n => u.map { case (p, v) => (p, v / n) }.toMap)
     }

@@ -2689,6 +2689,12 @@ object TextOps {
     * [[graft.sources.ShingleStore]]) — rolling them up reproduces the
     * token totals (Σ tf = token count) and first-doc-per-shingle
     * exactly, and skips both corpus explodes.
+    *
+    * CONTRACT (r22, ADVICE r21 item 4): a `docShingles` frame MUST have
+    * been built with shingle size == `gram` — the store frame carries no
+    * n column to assert on, so a mismatched store silently yields the
+    * wrong first-doc counts. The one production caller passes
+    * `ensureShingles(_, _, 3)` with the default gram = 3.
     */
   def heapsLaw(df: DataFrame, idCol: String, textCol: String,
                gram: Int = 3, minExp: Int = 4,

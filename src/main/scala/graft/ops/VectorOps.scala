@@ -753,6 +753,57 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
+  /** Fused recall-curve read-out (r22, guide §2.4): every per-budget
+    * branch of the r21 curves still paid its own rank window + join +
+    * aggregate against the shared scored/brute frames — 3–4 windows,
+    * 3–4 broadcast joins and 3–4 one-row aggregates per curve. All
+    * budgets share ONE total order (score desc, corpus_id asc within a
+    * query), so one running-count window computes, per candidate row and
+    * per budget b, its rank among the budget-b-eligible rows: the row is
+    * in budget b's exact top-k iff it is itself eligible and ≤ k
+    * eligible rows precede-or-equal it — precisely the
+    * filter-then-row_number rule of [[cutTopK]] / [[ivfCutTopK]]
+    * (filtering a total order preserves relative order). One left join
+    * against the brute top-k and one aggregate with a conditional sum
+    * per budget then serve the whole curve; the per-budget rows unfold
+    * from a single explode. Same rows, same types, same integers as the
+    * per-budget branches — verified against the unchanged DuckDB oracle.
+    *
+    * `inBudget(b)` is the eligibility predicate (`_rn <= b` for the PQ
+    * rerank curve, `_probe < b` for the IVF probe curve); `budgetCol`
+    * names the output budget column.
+    */
+  def recallCurveFused(brute: DataFrame, scored: DataFrame,
+                       budgets: Seq[Int], inBudget: Int => Column,
+                       budgetCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flags = scored.select(
+      col("query_id") +: col("corpus_id") +: budgets.map { b =>
+        (inBudget(b) &&
+          sum(when(inBudget(b), lit(1L)).otherwise(lit(0L))).over(w) <= k)
+          .cast("long").as(s"_h$b")
+      }: _*)
+      // keep only rows that hit SOME budget's top-k: the frame shrinks
+      // from candidate-sized (probe-bounded — corpus-fraction at scale)
+      // to ≤ k·|budgets|·|queries| rows, making the broadcast below safe
+      // at any corpus size; dropped rows contributed only coalesce(0)s
+      .where(budgets.map(b => col(s"_h$b") === lit(1L)).reduce(_ || _))
+    // broadcast: the left join against the (equally tiny) brute top-k
+    // otherwise lands on a stats-blind SortMergeJoin post-window
+    // (measured r22: 1 SMJ + 2 sort exchanges in the fused plan)
+    val agged = brute.join(broadcast(flags), Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        budgets.map(b => sum(coalesce(col(s"_h$b"), lit(0L))).as(s"_f$b")): _*)
+    agged.select(explode(array(budgets.map(b =>
+        struct(lit(b.toLong).as("_b"), col("n_pairs").as("n_pairs"),
+          col(s"_f$b").as("n_found"))): _*)).as("_e"))
+      .select(col("_e._b").as(budgetCol), col("_e.n_pairs"), col("_e.n_found"),
+        round(col("_e.n_found").cast("double") / col("_e.n_pairs"), 6).as("recall"))
+      .orderBy(budgetCol)
+  }
+
   /** PQ ADC top-k over a persisted code table (the production path —
     * encode paid once at ingest, not per query).
     */

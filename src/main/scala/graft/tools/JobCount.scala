@@ -63,14 +63,18 @@ object JobCount {
     })
 
     // the bench's artifact warm-up set, so steady-state costs are measured
+    // (r22, ADVICE r21: NonFatal only — swallowing OutOfMemoryError or
+    // InterruptedException here would mask broken artifacts and produce
+    // misleading steady-state numbers downstream)
     Seq("q_groupby_agg", "q_row_number",
         "q_join_bucketed", "q_zorder_scan", "q_ivf_topk", "q_pq_topk",
         "q_ivfpq_topk", "q_ivfpq_res_topk").foreach { name =>
       try graft.SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[jobcount] warm-up $name failed: $t") }
     }
     def warm(what: String)(build: => Long): Unit =
-      try build catch { case t: Throwable =>
+      try build catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"[jobcount] $what artifact warm-up FAILED: $t") }
     warm("shingle")(graft.sources.ShingleStore.ensureShingles(spark, sfDir, 3).count())
     warm("token")(graft.sources.TokenStore.ensureTokens(spark, sfDir).count())
@@ -88,7 +92,9 @@ object JobCount {
       graft.SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[jobcount] unknown query: $name")
         case Some(fn) =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          try fn(spark, sfDir).count()
+          catch { case scala.util.control.NonFatal(t) =>
+            System.err.println(s"[jobcount] warm run $name failed: $t") }
           // drain the warm run's async listener events BEFORE resetting
           // the counters, or its stragglers land in the measured window
           Thread.sleep(300)
@@ -97,7 +103,7 @@ object JobCount {
           val s0 = stealTicks()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
-            catch { case t: Throwable =>
+            catch { case scala.util.control.NonFatal(t) =>
               System.err.println(s"[jobcount] $name FAILED: $t"); false }
           val wall = (System.nanoTime() - t0) / 1e9
           val steal = (stealTicks() - s0) / 100.0
