@@ -256,8 +256,10 @@ object Bench {
     // clean artifact survives reruns untouched.
     val storm = isStormWindow(stealSec, medianRatio)
     val artifact = if (storm) "BENCH_DIRTY.json" else "BENCH_LAST.json"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"storm":$storm,"retry_pass_steal":$retryStealJson,"queries":${fmt(results)},"deltas":$deltasJson,"shuffles":$shufflesJson,"sf":"$sfDir"}"""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"storm":$storm,"retry_pass_steal":$retryStealJson,"queries":${fmt(headline.flatMap(k => results.get(k).map(k -> _)))},"top_deltas":$deltasJson,"shuffles":$shufflesJson,"n_queries":${results.size},"detail":"$artifact","sf":"$sfDir"}"""
+    // VERDICT r20 item 7: see modeAdjusted's scaladoc
+    val adjusted = modeAdjusted(total, medianRatio)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","value_mode_adjusted":$adjusted,"loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"storm":$storm,"retry_pass_steal":$retryStealJson,"queries":${fmt(results)},"deltas":$deltasJson,"shuffles":$shufflesJson,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_mode_adjusted":$adjusted,"loadavg":$loadavg,"steal_sec":$stealSec,"median_ratio":$medianRatio,"storm":$storm,"retry_pass_steal":$retryStealJson,"queries":${fmt(headline.flatMap(k => results.get(k).map(k -> _)))},"top_deltas":$deltasJson,"shuffles":$shufflesJson,"n_queries":${results.size},"detail":"$artifact","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full + "\n")
     catch { case _: Throwable => () }
     if (storm) System.err.println(
@@ -283,4 +285,19 @@ object Bench {
     */
   private[graft] def isStormWindow(stealSec: Double, medianRatio: Double): Boolean =
     stealSec > 15.0 || medianRatio > 1.15
+
+  /** Mode-adjusted total (r22, VERDICT r20 item 7): the artifact already
+    * carries median_ratio so a reader can normalize away a uniform
+    * host-mode shift (the r11 epoch shape: every query uniformly ~1.6×
+    * under sustained contention); `value_mode_adjusted` does the
+    * division once — total / median_ratio — so cross-round comparison
+    * stops needing adjudication prose. -1 when no same-sf history
+    * exists (median_ratio is -1 there; a ratio against a different
+    * scale factor would be meaningless). Precedents from BASELINE.md:
+    * the r20 clean window 211.7 s at median_ratio 0.95 reads 222.9
+    * mode-adjusted; the r21 capture 172.76 at 0.85 reads 203.2 — the
+    * adjusted values are comparable where the raw totals are not.
+    */
+  private[graft] def modeAdjusted(total: Double, medianRatio: Double): Double =
+    if (medianRatio > 0) math.rint(total / medianRatio * 1000) / 1000 else -1.0
 }

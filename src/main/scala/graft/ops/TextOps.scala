@@ -2579,8 +2579,13 @@ object TextOps {
     val labels = priors.join(ltot, Seq("_l")).crossJoin(vocab).crossJoin(nDocs)
       .select(col("_l"), col("_tot"), col("_v"),
         log(col("_nd").cast("double") / col("_nn").cast("double")).as("_prior_ln"))
+    // r22 (r21 follow-up item 4): the (label, token) count table is
+    // vocabulary-bounded — broadcast it EXPLICITLY so the build side
+    // never depends on AQE's estimates (the plan already lands on
+    // BroadcastHashJoin today; the hint pins it against stats drift,
+    // keeping the corpus-sized tf stream un-shuffled at any scale)
     tf.crossJoin(broadcast(labels))
-      .join(cnt, Seq("_l", "_w"), "left")
+      .join(broadcast(cnt), Seq("_l", "_w"), "left")
       .groupBy(col("_id"), col("_true"), col("_l"))
       .agg((max(col("_prior_ln")) + Portable.decSum(
         col("_tf").cast("double") *
@@ -3129,12 +3134,18 @@ object TextOps {
     // single-task scan stage, and hash(_id) already satisfies the
     // (id, …, gram) aggregate's distribution — the 40×-larger exploded
     // gram stream never crosses an exchange at all.
+    // r22 (guide §1.2 step 2, per-task work): the transform+substr array
+    // build was O(L²) per document — UTF8String.substr walks codepoint
+    // starts from byte 0 on every call. CharNgrams emits the identical
+    // gram array in one O(L) byte scan (property-tested bit-equal to the
+    // transform+substr reference; the `length >= 3` guard above holds).
+    // Measured: summed task time 20.2 → 18.0 s at sf0.1 — the remaining
+    // profile is the (id, gram) hash aggregate, not the gram build.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val grams = base
       .repartition(nPart, col("_id"))
       .select(col("_id"), col("_lang"), col("_train"),
-        explode(transform(sequence(lit(1), length(col("_t")) - 2),
-          i => col("_t").substr(i, lit(3)))).as("_g"))
+        explode(graft.functions.CharNgrams.ngrams(col("_t"), 3)).as("_g"))
     // r21 (guide §2.3/§2.4): fold the exploded gram stream into per-doc
     // TYPE counts once and checkpoint that frame — the profile branch
     // and the test branch used to each replay the corpus explode, and

@@ -42,4 +42,15 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isStormWindow(-1.0, -1.0))
     assert(!Bench.isStormWindow(0.0, -1.0))
   }
+
+  test("mode-adjusted totals against the BASELINE.md precedents") {
+    // VERDICT r20 item 7: total / median_ratio, milli-rounded.
+    // r20 clean driver window: 211.719 s at median_ratio 0.95
+    assert(Bench.modeAdjusted(211.719, 0.95) === 222.862)
+    // r21 committed clean window: 172.76 s at 0.85
+    assert(Bench.modeAdjusted(172.76, 0.85) === 203.247)
+    // no same-sf history: median_ratio -1 → sentinel, never a division
+    assert(Bench.modeAdjusted(199.4, -1.0) === -1.0)
+    assert(Bench.modeAdjusted(199.4, 0.0) === -1.0)
+  }
 }
