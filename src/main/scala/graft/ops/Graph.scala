@@ -912,24 +912,25 @@ object Graph {
     // labelPropagation.
     val sym = (if (edgesDistinct) doubled else doubled.distinct())
       .localCheckpoint(false)
-    // r22: the step rides the FRONTIER as a column instead of a per-round
-    // literal — the hash key concatenates the identical string bytes
-    // (cast(step+1 as string) = the former lit(t) text), so the walk rule
-    // and the oracle are untouched, while every round's plan becomes
-    // textually identical and rounds ≥ 2 reuse the cached generated
-    // classes (the bfsWithinHops hop-as-column move). groupBy gains the
-    // constant `step` key: same groups, same argmin.
+    // r22 NOTE (measured, kept as-is): carrying the step as a frontier
+    // COLUMN (the bfsWithinHops hop-as-column move) was tried to make
+    // round plans codegen-cache-identical and REGRESSED — summed task
+    // time 6.95 → 9.74 s, warm wall 1.01 → 1.63 s at sf0.1. Unlike
+    // bfs's integer hop, the step here feeds the HASH KEY STRING:
+    // lit(t).cast("string") constant-folds to a literal per round, while
+    // (step+1).cast("string") re-formats a long per EDGE ROW inside the
+    // hottest expression — the per-row cost dwarfs the saved per-round
+    // compile. The per-round literal stays.
     var frontier = seeds.select(col(seedCol).cast("long").as("seed"))
-      .distinct()
-      .select(col("seed"), col("seed").as("node"), lit(0L).as("step"))
-    var out = frontier.select(col("seed"), col("step"), col("node"))
-    for (_ <- 1 to steps) {
-      val key = concat(col("seed").cast("string"), lit("_"),
-        (col("step") + lit(1L)).cast("string"), lit("_"), col("_dst").cast("string"))
+      .distinct().select(col("seed"), col("seed").as("node"))
+    var out = frontier.select(col("seed"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val key = concat(col("seed").cast("string"), lit("_"), lit(t).cast("string"),
+        lit("_"), col("_dst").cast("string"))
       frontier = sym.join(broadcast(frontier), sym("_src") === frontier("node"))
-        .groupBy("seed", "step")
+        .groupBy("seed")
         .agg(min(struct(Portable.hash32(key).as("_h"), col("_dst").as("_v"))).as("_n"))
-        .select(col("seed"), col("_n._v").as("node"), (col("step") + lit(1L)).as("step"))
+        .select(col("seed"), col("_n._v").as("node"))
         // r21: LAZY checkpoint per step — the final union reads step t's
         // frontier from TWO branches (its own output row and step t+1's
         // input), so without a truncation point the t-th branch re-ran
@@ -938,7 +939,7 @@ object Graph {
         // bfs/sssp lazy-checkpoint contract; no extra job — the RDD
         // caches on first use)
         .localCheckpoint(false)
-      out = out.unionByName(frontier.select(col("seed"), col("step"), col("node")))
+      out = out.unionByName(frontier.select(col("seed"), lit(t.toLong).as("step"), col("node")))
     }
     out
   }
